@@ -1,0 +1,399 @@
+package graft
+
+/** DuckDB-runnable oracle SQL, one per [[Queries]] entry (the driver's t2
+  * correctness gate). Written for DuckDB 1.0 against views named after the
+  * fixture tables. Conventions mirrored from the Spark side:
+  *   - double aggregation → CAST(... AS DECIMAL(30,6)) before SUM, DOUBLE out
+  *   - canonical text = trim(regexp_replace(lower(text),'\s+',' ','g'))
+  *   - every query totally ordered by an explicit key
+  */
+object Oracles {
+
+  private val canon = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  /** Planted near-duplicate corpus (must match Queries.docsWithPlantedDups). */
+  private val plantedDocs =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000, text || ' nearduplicate' FROM documents WHERE source = 'src0'""".stripMargin
+
+  private def shinglesCte(corpus: String): String =
+    s"""tok AS (SELECT doc_id, string_split($canon, ' ') AS tokens FROM ($corpus)),
+       |sh AS (SELECT doc_id,
+       |  list_distinct([array_to_string(tokens[i:i+2], ' ') for i in range(1, len(tokens) - 1)]) AS shingles
+       |FROM tok)""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |HAVING count(*) > 100
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q03_project_filter" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderstatus IN ('F','O')
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND o_totalprice > 1000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q04_hash_id" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_name IS NULL OR c_name = '' THEN NULL ELSE md5(c_name) END AS name_hash,
+        |  CASE WHEN c_mktsegment IS NULL OR c_mktsegment = '' THEN NULL ELSE c_mktsegment END AS segment
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q05_latest_event_per_user" ->
+      """SELECT user_id, event_id, ts, value FROM (
+        |  SELECT user_id, event_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q06_merge_upsert" ->
+      """WITH t AS (
+        |  SELECT event_id, ts AS insert_timestamp, ts AS update_timestamp, value
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-20'),
+        |s AS (
+        |  SELECT event_id, ts + INTERVAL 1 HOUR AS insert_timestamp,
+        |         ts + INTERVAL 1 HOUR AS update_timestamp, value + 100.0 AS value
+        |  FROM events WHERE ts >= TIMESTAMP '2024-01-10')
+        |SELECT coalesce(t.event_id, s.event_id) AS event_id,
+        |  CASE WHEN t.event_id IS NOT NULL THEN t.insert_timestamp ELSE s.insert_timestamp END AS insert_timestamp,
+        |  CASE WHEN s.event_id IS NOT NULL THEN s.update_timestamp ELSE t.update_timestamp END AS update_timestamp,
+        |  CASE WHEN s.event_id IS NOT NULL THEN s.value ELSE t.value END AS value
+        |FROM t FULL OUTER JOIN s ON t.event_id = s.event_id
+        |ORDER BY event_id""".stripMargin,
+
+    "q07_union_pages" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 = 1)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q08_semi_anti" ->
+      """WITH b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 5000.0)
+        |SELECT c_mktsegment,
+        |  count(*) FILTER (WHERE b.o_custkey IS NOT NULL) AS n_with,
+        |  count(*) FILTER (WHERE b.o_custkey IS NULL) AS n_without
+        |FROM customer c LEFT JOIN b ON c.c_custkey = b.o_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q09_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_acctbal,
+        |  count(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+
+    "q10_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rnk, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders) WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin,
+
+    "q11_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_spend
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 12
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q12_schema_lengths" ->
+      """SELECT column_name, max_len FROM (
+        |  SELECT 'c_custkey' AS column_name, max(length(CAST(c_custkey AS VARCHAR))) AS max_len FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', max(length(c_mktsegment)) FROM customer
+        |  UNION ALL
+        |  SELECT 'c_name', max(length(c_name)) FROM customer)
+        |ORDER BY column_name""".stripMargin,
+
+    "q13_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_check_for_key" ->
+      """SELECT event_id,
+        |  CASE WHEN props IS NULL THEN NULL
+        |       ELSE coalesce(json_extract_string(props, '$.k'), 'empty') END AS k_value,
+        |  CASE WHEN props IS NULL THEN NULL
+        |       ELSE coalesce(json_extract_string(props, '$.missing_key'), 'empty') END AS missing_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q15_flatten_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS props__k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q16_parse_timestamp" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ct_string,
+        |  date_trunc('milliseconds', ts) AS reparsed,
+        |  CAST(NULL AS TIMESTAMP) AS bad_parse
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q17_watermark" ->
+      """SELECT strftime(max(ts) - INTERVAL 3 SECOND, '%Y-%m-%dT%H:%M:%S') AS watermark
+        |FROM events""".stripMargin,
+
+    "q18_count_on_date" ->
+      """SELECT count(*) AS n FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'""",
+
+    "q19_top1_latest" ->
+      """SELECT ts, event_id, user_id, value FROM events
+        |ORDER BY ts DESC, event_id DESC LIMIT 1""".stripMargin,
+
+    "q20_sql_template" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderpriority
+        |HAVING count(*) > 10
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q21_windowed_events" ->
+      """SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q22_alert_gate" ->
+      """WITH history AS (
+        |  SELECT event_type AS alert_identifier, user_id AS alert_deduplication_key,
+        |         value AS alert_deduplication_value, ts AS last_alert
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-20'),
+        |latest_hist AS (
+        |  SELECT alert_identifier, alert_deduplication_key,
+        |         alert_deduplication_value AS last_value
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY alert_identifier, alert_deduplication_key
+        |          ORDER BY last_alert DESC) AS rn
+        |        FROM history WHERE last_alert > DATE '2024-01-10')
+        |  WHERE rn = 1),
+        |cands AS (
+        |  SELECT event_type AS alert_identifier, user_id AS alert_deduplication_key,
+        |         value AS alert_deduplication_value
+        |  FROM (SELECT *, row_number() OVER (
+        |          PARTITION BY event_type, user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events WHERE ts >= TIMESTAMP '2024-01-20')
+        |  WHERE rn = 1)
+        |SELECT c.alert_identifier, c.alert_deduplication_key,
+        |       c.alert_deduplication_value, h.last_value
+        |FROM cands c
+        |LEFT JOIN latest_hist h USING (alert_identifier, alert_deduplication_key)
+        |WHERE h.last_value IS NULL
+        |   OR abs(c.alert_deduplication_value - h.last_value) >= 50.0
+        |ORDER BY c.alert_identifier, c.alert_deduplication_key""".stripMargin,
+
+    "q23_dedup_exact" ->
+      s"""WITH corpus AS ($plantedDocs)
+         |SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+         |FROM (SELECT doc_id, md5($canon) AS fp FROM corpus)
+         |GROUP BY fp
+         |ORDER BY doc_id""".stripMargin,
+
+    "q24_minhash_signature" ->
+      s"""WITH ${shinglesCte("SELECT doc_id, text FROM documents")}
+         |SELECT doc_id,
+         |  list_min([md5('0|' || s) for s in shingles]) AS sig0,
+         |  list_min([md5('1|' || s) for s in shingles]) AS sig1
+         |FROM sh
+         |ORDER BY doc_id""".stripMargin,
+
+    "q25_near_dup_pairs" -> {
+      val sigExprs = (0 until 12)
+        .map(seed => s"list_min([md5('$seed|' || s) for s in shingles])")
+        .mkString("[", ", ", "]")
+      val bandHash = "md5(sig[3*b + 1] || '|' || sig[3*b + 2] || '|' || sig[3*b + 3])"
+      s"""WITH ${shinglesCte(plantedDocs)},
+         |sig AS (SELECT doc_id, shingles, $sigExprs AS sig FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b AS band_id, $bandHash AS band_hash
+         |  FROM sig, range(0, 4) t(b)
+         |  WHERE $bandHash IS NOT NULL),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band_id, band_hash)
+         |  WHERE a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT id_a, id_b,
+         |    len(list_intersect(sa.shingles, sb.shingles)) AS ilen,
+         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS ulen
+         |  FROM pairs
+         |  JOIN sh sa ON sa.doc_id = id_a
+         |  JOIN sh sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b,
+         |  round(CASE WHEN ulen = 0 THEN 0.0 ELSE CAST(ilen AS DOUBLE) / ulen END, 6) AS jaccard
+         |FROM j
+         |WHERE (CASE WHEN ulen = 0 THEN 0.0 ELSE CAST(ilen AS DOUBLE) / ulen END) >= 0.7
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q26_simhash" -> {
+      val bitTerms = (0 until 60).map { i =>
+        s"CASE WHEN list_sum([((h >> $i) & 1) * 2 - 1 for h in hashes]) > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_distinct(string_split($canon, ' ')) AS tokens FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    [CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) for t in tokens] AS hashes
+         |  FROM tok)
+         |SELECT doc_id, $bitTerms AS fingerprint
+         |FROM h
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q27_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum([CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(qv) + 1)]) /
+        |    (sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) for i in range(1, len(qv) + 1)])) *
+        |     sqrt(list_sum([CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE) for i in range(1, len(cv) + 1)]))) AS cosine
+        |  FROM q CROSS JOIN c
+        |  WHERE query_id <> neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM scored WHERE cosine IS NOT NULL)
+        |SELECT query_id, neighbor_id, rank, round(cosine, 8) AS cosine
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q28_embedding_near_dup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 25),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+        |  FROM corpus a CROSS JOIN corpus b WHERE a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    list_sum([CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) for i in range(1, len(va) + 1)]) /
+        |    (sqrt(list_sum([CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE) for i in range(1, len(va) + 1)])) *
+        |     sqrt(list_sum([CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE) for i in range(1, len(vb) + 1)]))) AS cosine
+        |  FROM pairs)
+        |SELECT id_a, id_b, round(cosine, 8) AS cosine
+        |FROM scored WHERE cosine >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q29_text_profile" -> {
+      val stop = Map(
+        "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "von"),
+        "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+        "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "que"),
+        "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "du", "que"),
+        "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+      val hitExprs = stop.toSeq.sortBy(_._1).map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString("(", ", ", ")")
+        s"len(list_filter(tokens, t -> t IN $inList)) AS ${lang}_hits"
+      }.mkString(",\n    ")
+      val best = "greatest(de_hits, en_hits, es_hits, fr_hits, zh_hits)"
+      raw"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS tokens
+         |  FROM documents),
+         |hits AS (
+         |  SELECT doc_id, text, tokens,
+         |    $hitExprs
+         |  FROM base)
+         |SELECT doc_id,
+         |  len(string_split_regex(trim(text), '\s+')) AS n_tokens_ws,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+         |  round(CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+         |    ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+         |  round(CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0
+         |    ELSE CAST(list_sum([length(t) for t in string_split_regex(trim(text), '\s+')]) AS DOUBLE)
+         |         / len(string_split_regex(trim(text), '\s+')) END, 6) AS mean_word_len,
+         |  CASE WHEN $best <= 0 THEN 'und'
+         |       WHEN de_hits = $best THEN 'de'
+         |       WHEN en_hits = $best THEN 'en'
+         |       WHEN es_hits = $best THEN 'es'
+         |       WHEN fr_hits = $best THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred,
+         |  md5($canon) AS fingerprint
+         |FROM hits
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q30_quality_by_lang" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    CAST(
+        |      (CASE WHEN length(coalesce(text,'')) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+        |      (CASE WHEN (CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / length(text) END) <= 0.3
+        |         THEN 1.0 ELSE 0.0 END) * 0.3 +
+        |      (CASE WHEN (CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0
+        |         ELSE CAST(list_sum([length(t) for t in string_split_regex(trim(text), '\s+')]) AS DOUBLE)
+        |              / len(string_split_regex(trim(text), '\s+')) END) BETWEEN 2.5 AND 12.0
+        |         THEN 1.0 ELSE 0.0 END) * 0.3
+        |    AS DECIMAL(10,4)) AS q
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN q >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(q) AS DOUBLE) / count(*) AS mean_quality
+        |FROM scored
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q31_multimodal_meta" ->
+      """SELECT doc_id AS asset_id, 'text/plain' AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  (octet_length(encode(text)) IS NULL OR octet_length(encode(text)) = 0) AS is_empty,
+        |  md5(text) AS content_md5
+        |FROM documents
+        |ORDER BY asset_id""".stripMargin,
+
+    "q32_sheet_source" ->
+      """SELECT * FROM (VALUES
+        |  ('spring_launch', 'search', '800'),
+        |  ('summer_sale', 'email', '1200'),
+        |  ('winter_push', 'social', NULL)) AS t(campaign, channel, budget)
+        |ORDER BY campaign""".stripMargin,
+
+    "q33_schema_diff" ->
+      """SELECT * FROM (VALUES
+        |  ('orders', 'o_channel', 'string', 'added'),
+        |  ('orders', 'o_comment', 'string', 'added'),
+        |  ('orders', 'o_orderpriority', 'string', 'removed'),
+        |  ('orders', 'o_totalprice', 'double -> string', 'retyped'))
+        |  AS t(table_name, column_name, data_type, change)
+        |ORDER BY change, column_name""".stripMargin
+  )
+}

@@ -1,0 +1,525 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Functions
+import graft.nested.Normalize
+import graft.operators.{AlertGate, Dedup, Multimodal, Similarity, TextAnalysis, Upsert}
+import graft.schema.SchemaAudit
+import graft.sources.{KeysetSource, SheetSource, SqlScript}
+
+/** The driver-checked operator inventory (SURVEY §2) as named queries.
+  *
+  * Every query here has a DuckDB-equivalent oracle in [[Oracles]]; the
+  * differential-test determinism rules are:
+  *   - no `current_date`/`current_timestamp` (pinned literals instead —
+  *     SURVEY §7.3's "pin a runTimestamp" rule)
+  *   - double aggregation goes through decimal casts (exact, order-free) and
+  *     is cast back to double at the end, so both engines produce identical
+  *     bits; bare double sums would differ by summation order
+  *   - every output is totally ordered by an explicit key
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Decimal-exact sum of a double column, surfaced as double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(30,6)")).cast("double")
+
+  // ==========================================================================
+  // Relational core (SURVEY §2.2-§2.8)
+  // ==========================================================================
+
+  /** A5/A1/P8/F8 — grouped aggregation with post-agg filter (TPC-H Q1 shape).
+    * One shuffle (partial aggs map-side); scan prunes to 7 columns.
+    */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).alias("sum_qty"),
+        dsum(col("l_extendedprice")).alias("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).alias("sum_disc_price"),
+        (sum(col("l_quantity").cast("decimal(30,6)")).cast("double") /
+          count(lit(1))).alias("avg_qty"),
+        count(lit(1)).alias("count_order"))
+      .filter(col("count_order") > 100)
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** J5 — star join with broadcast dims (region/nation/customer broadcast;
+    * the only real shuffle is lineitem⋈orders on orderkey).
+    */
+  def q02RevenueByNation(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).alias("revenue"),
+        count(lit(1)).alias("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** P1/P3/P6/P7 — existence-tolerant projection + conjunctive filters.
+    * Requested columns include one that does not exist (silently dropped,
+    * `ct_utils.py:116-119`); filters push to the parquet scan.
+    */
+  def q03ProjectFilter(spark: SparkSession, dir: String): DataFrame = {
+    val projected = Functions.selectExisting(
+      t(spark, dir, "orders"),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_no_such_column"))
+    projected
+      .filter(col("o_orderstatus").isin("F", "O") &&
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp") &&
+        col("o_totalprice") > 1000.0)
+      .drop("o_orderdate")
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** F1/P5 — hash_id with null/empty guard (md5 digest for cross-engine
+    * differential testing; sha1 parity covered in unit tests).
+    */
+  def q04HashId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        Functions.hashId(col("c_name"), "md5").alias("name_hash"),
+        Functions.nullIfEmpty(col("c_mktsegment")).alias("segment"))
+      .orderBy(col("c_custkey"))
+
+  /** W1 — latest-per-key window (set-based form of the reference's
+    * ORDER BY ... DESC LIMIT 1 point query, `utils.py:210-219`).
+    */
+  def q05LatestEventPerUser(spark: SparkSession, dir: String): DataFrame =
+    AlertGate
+      .latestPerKey(
+        t(spark, dir, "events").withColumn("__ord", struct(col("ts"), col("event_id"))),
+        Seq("user_id"), "__ord")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .orderBy(col("user_id"))
+
+  /** J4/S10/§2.9 — MERGE upsert with the PK/INSERT_TIMESTAMP carve-outs.
+    * Target = events before 2024-01-20 (INSERT/UPDATE_TIMESTAMP = ts);
+    * staged = events on/after 2024-01-10, value+100, timestamps ts+1h.
+    * Matched rows keep the target's INSERT_TIMESTAMP — the heart of the
+    * reference's merge semantics.
+    */
+  def q06MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val cut1 = lit("2024-01-10").cast("timestamp")
+    val cut2 = lit("2024-01-20").cast("timestamp")
+    val target = ev.filter(col("ts") < cut2).select(
+      col("event_id"),
+      col("ts").alias(Upsert.InsertTs),
+      col("ts").alias(Upsert.UpdateTs),
+      col("value"))
+    val staged = ev.filter(col("ts") >= cut1).select(
+      col("event_id"),
+      (col("ts") + expr("INTERVAL 1 HOUR")).alias(Upsert.InsertTs),
+      (col("ts") + expr("INTERVAL 1 HOUR")).alias(Upsert.UpdateTs),
+      (col("value") + 100.0).alias("value"))
+    Upsert.merge(target, staged, Seq("event_id"))
+      .select(col("event_id"),
+        col(Upsert.InsertTs).alias("insert_timestamp"),
+        col(Upsert.UpdateTs).alias("update_timestamp"),
+        col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** U1 — name-aligned union with missing columns → null
+    * (`pd.concat` semantics, `ct_utils.py:258`).
+    */
+  def q07UnionPages(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val page1 = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val page2 = o.filter(col("o_orderkey") % 3 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    page1.unionByName(page2, allowMissingColumns = true)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** J6 — semi/anti join: per segment, customers with vs without big orders. */
+  def q08SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val big = t(spark, dir, "orders").filter(col("o_totalprice") > 5000.0)
+    val withOrders = c.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).alias("n_with"))
+    val withoutOrders = c.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).alias("n_without"))
+    withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_with"), lit(0L)).alias("n_with"),
+        coalesce(col("n_without"), lit(0L)).alias("n_without"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** A6 — rollup over the region/nation hierarchy. */
+  def q09Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(dsum(col("c_acctbal")).alias("sum_acctbal"), count(lit(1)).alias("n_customers"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).alias("region"),
+        coalesce(col("n_name"), lit("ALL")).alias("nation"),
+        col("sum_acctbal"), col("n_customers"))
+      .orderBy(col("region"), col("nation"))
+
+  /** W2 — ranking window: top-3 orders per customer by price. */
+  def q10WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  /** P8 — GROUP BY + HAVING via post-agg filter (`utils.py:322-323`). */
+  def q11Having(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).alias("n_orders"), dsum(col("o_totalprice")).alias("total_spend"))
+      .filter(col("n_orders") >= 12)
+      .orderBy(col("o_custkey"))
+
+  /** A3/E1 — observed max string length per column, one scan (string and
+    * integer columns only: double→string formatting is engine-specific).
+    */
+  def q12SchemaLengths(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("c_custkey", "c_name", "c_mktsegment")
+    val lengths = SchemaAudit.maxColumnLengths(t(spark, dir, "customer"), cols)
+    import spark.implicits._
+    lengths.toSeq.sortBy(_._1).toDF("column_name", "max_len")
+  }
+
+  // ==========================================================================
+  // JSON / nested (SURVEY §2.5) + timestamps (§2.10)
+  // ==========================================================================
+
+  /** N6/F10 — JSON path extraction + aggregation over extracted values. */
+  def q13JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(Functions.jsonPath(col("props"), "k").cast("int").alias("k"))
+      .groupBy(col("k")).agg(count(lit(1)).alias("n"))
+      .orderBy(col("k"))
+
+  /** N7 — dynamic key lookup with "empty" default over a MapType column. */
+  def q14CheckForKey(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+      .select(
+        col("event_id"),
+        Functions.checkForKey(col("m"), "k").alias("k_value"),
+        Functions.checkForKey(col("m"), "missing_key").alias("missing_value"))
+      .orderBy(col("event_id"))
+
+  /** N4 — normalize-to-flat fixpoint over a parsed JSON struct column. */
+  def q15FlattenJson(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = t(spark, dir, "events")
+      .select(col("event_id"), from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("struct<k:int>")).alias("props"))
+    Normalize.normalize(parsed)
+      .orderBy(col("event_id"))
+  }
+
+  /** F2/F3 — ISO-8601 round trip: format to the commercetools wire format,
+    * parse back (null on unparseable ≡ the reference's len<5 guard).
+    */
+  def q16ParseTimestamp(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(
+        col("event_id"),
+        Functions.formatCtTimestamp(col("ts")).alias("ct_string"),
+        Functions.parseTimestamp(
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")).alias("reparsed"),
+        Functions.parseTimestamp(lit("nan")).alias("bad_parse"))
+      .orderBy(col("event_id"))
+
+  /** S4/A1/F4 — delta-load watermark: MAX(ts) − 3 s, ct-formatted. */
+  def q17Watermark(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .agg(max(Functions.formatCtTimestamp(
+        Functions.minusSeconds(col("ts"), 3))).alias("watermark"))
+
+  /** A2/F5 — predicated count on a pinned date (the reference's
+    * TO_DATE(ts)=CURRENT_DATE audit, `utils.py:293-294`, with the date
+    * pinned for determinism).
+    */
+  def q18CountOnDate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter(to_date(col("ts")) === lit("2024-01-15").cast("date"))
+      .agg(count(lit(1)).alias("n"))
+
+  /** O1 — top-1 most-recent row (scalable max_by form, not sort-limit). */
+  def q19Top1Latest(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(struct(col("ts"), col("event_id"), col("user_id"), col("value")).alias("s"))
+      .agg(max(col("s")).alias("m"))
+      .select(
+        col("m.ts").alias("ts"), col("m.event_id").alias("event_id"),
+        col("m.user_id").alias("user_id"), col("m.value").alias("value"))
+
+  /** S6 — parameterized SQL script entry: the full Spark SQL surface through
+    * the reference's `{param}` template contract.
+    */
+  def q20SqlTemplate(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    SqlScript.fromString(spark,
+      """SELECT o_orderpriority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |FROM orders_v
+        |WHERE o_orderdate >= CAST('{start_date}' AS TIMESTAMP)
+        |GROUP BY o_orderpriority
+        |HAVING count(*) > {min_cnt}
+        |ORDER BY o_orderpriority""".stripMargin,
+      Map("start_date" -> "1997-01-01", "min_cnt" -> 10))
+  }
+
+  // ==========================================================================
+  // Streaming-shaped + alerting (SURVEY §2.11, §2.12)
+  // ==========================================================================
+
+  /** §2.11 — tumbling-window aggregation (batch twin of the streaming shape;
+    * identical code path via IncrementalLoad.windowedCounts).
+    */
+  def q21WindowedEvents(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).alias("n"), dsum(col("value")).alias("sum_value"))
+      .select(col("window.start").alias("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** C1/W1/P9 — set-based alert dedup gate: candidates vs latest-per-key
+    * history, resend iff |cur − last| ≥ threshold (`utils.py:191-234`).
+    */
+  def q22AlertGate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val cut = lit("2024-01-20").cast("timestamp")
+    val asOf = lit("2024-01-10").cast("date")
+    val history = ev.filter(col("ts") < cut).select(
+      col("event_type").alias(AlertGate.Identifier),
+      col("user_id").alias(AlertGate.DedupKey),
+      col("value").alias(AlertGate.DedupValue),
+      col("ts").alias(AlertGate.LastAlert))
+    val candidates = AlertGate
+      .latestPerKey(
+        ev.filter(col("ts") >= cut)
+          .withColumn("__ord", struct(col("ts"), col("event_id"))),
+        Seq("event_type", "user_id"), "__ord")
+      .select(
+        col("event_type").alias(AlertGate.Identifier),
+        col("user_id").alias(AlertGate.DedupKey),
+        col("value").alias(AlertGate.DedupValue))
+    AlertGate.shouldSend(candidates, history, resendThreshold = 50.0, asOfDate = asOf)
+      .select(col(AlertGate.Identifier), col(AlertGate.DedupKey),
+        col(AlertGate.DedupValue), col("last_value"))
+      .orderBy(col(AlertGate.Identifier), col(AlertGate.DedupKey))
+  }
+
+  // ==========================================================================
+  // Training-data extensions (BASELINE north star)
+  // ==========================================================================
+
+  /** Documents with planted near-duplicates: each src0 document reappears
+    * with doc_id+100000 and a one-word suffix — deterministic ground truth
+    * for the near-dup operators, derivable identically in any engine.
+    */
+  private def docsWithPlantedDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val dups = docs.filter(col("source") === "src0").select(
+      (col("doc_id") + 100000L).alias("doc_id"),
+      concat(col("text"), lit(" nearduplicate")).alias("text"),
+      col("lang"), col("source"), col("n_chars"))
+    docs.unionByName(dups)
+  }
+
+  /** Dedup/exact — groupBy on content digest; dup_count > 1 ⇔ planted dup
+    * pairs where the suffix did not change the canonical text (none here, so
+    * this also proves absence of false positives).
+    */
+  def q23DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docsWithPlantedDups(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Dedup/MinHash — signature head (2 of 12 hashes) per document: pins the
+    * shingle → seeded-min-hash pipeline itself.
+    */
+  def q24MinhashSignature(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.minhashSignature(col("text"), 12).alias("sig"))
+      .select(col("doc_id"),
+        col("sig").getItem(0).alias("sig0"),
+        col("sig").getItem(1).alias("sig1"))
+      .orderBy(col("doc_id"))
+
+  /** Dedup/LSH+Jaccard — near-duplicate pairs over the planted corpus:
+    * LSH band-bucket candidates, exact n-gram Jaccard verification ≥ 0.7.
+    * Recovers exactly the planted (id, id+100000) pairs.
+    */
+  def q25NearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDuplicates(docsWithPlantedDups(spark, dir), "doc_id", "text",
+      threshold = 0.7, bands = 4, rowsPerBand = 3)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Dedup/SimHash — 60-bit fingerprint per document (bit-vote pipeline). */
+  def q26Simhash(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.simhash(col("text")).alias("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Similarity/brute-force — exact cosine top-5 per query vector (first 20
+    * vectors as queries). Decimal-exact dot products (order-independent) make
+    * the scores engine-reproducible to the last bit.
+    */
+  def q27CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").alias("query_id"), col("embedding"))
+    Similarity.bruteForceTopK(queries, emb, k = 5)
+      .withColumn("cosine", round(col("cosine"), 8))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Similarity/embedding near-dup — planted exact-duplicate vectors
+    * (vec_id+100000) recovered by cosine ≥ 0.999 over LSH buckets.
+    */
+  def q28EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val planted = emb.filter(col("vec_id") < 25)
+      .select((col("vec_id") + 100000L).alias("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(planted)
+    Similarity.embeddingNearDuplicates(corpus, threshold = 0.999, numPlanes = 4)
+      .withColumn("cosine", round(col("cosine"), 8))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Text analysis — full per-document profile (token counts, punct ratio,
+    * mean word length, language-ID, md5 content fingerprint) in ONE scan.
+    */
+  def q29TextProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    d.select(
+      col("doc_id"),
+      TextAnalysis.tokenCountWhitespace(col("text")).cast("long").alias("n_tokens_ws"),
+      TextAnalysis.tokenCountBpe(col("text")).cast("long").alias("n_tokens_bpe"),
+      round(TextAnalysis.punctRatio(col("text")), 6).alias("punct_ratio"),
+      round(TextAnalysis.meanWordLength(col("text")), 6).alias("mean_word_len"),
+      TextAnalysis.langId(col("text")).alias("lang_pred"),
+      md5(Dedup.canonical(col("text"))).alias("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Text quality — corpus quality report grouped by language: docs kept by
+    * the quality gate, mean quality score.
+    */
+  def q30QualityByLang(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"),
+        TextAnalysis.qualityScore(col("text")).cast("decimal(10,4)").alias("q"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        sum(when(col("q") >= 0.7, 1L).otherwise(0L)).alias("n_kept"),
+        (sum(col("q")).cast("double") / count(lit(1))).alias("mean_quality"))
+      .orderBy(col("lang"))
+
+  /** Multimodal — binary asset plumbing: documents as opaque payloads with
+    * metadata-only profile (column-pruned scan; decode stubs live behind the
+    * mapPartitions surface, unit-tested separately).
+    */
+  def q31MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val assets = Multimodal.toAssets(t(spark, dir, "documents"), "doc_id", "text", "text/plain")
+    Multimodal.metadataProfile(assets)
+      .select(col("asset_id"), col("media_type"), col("byte_len"),
+        col("is_empty"), col("content_md5"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** S5 — spreadsheet source: header promotion + ragged-row padding over a
+    * fixed fixture range (the driver-side fetch is stubbed; semantics are
+    * `read.option("header",true)`).
+    */
+  def q32SheetSource(spark: SparkSession, dir: String): DataFrame = {
+    val values = Seq(
+      Seq("campaign", "channel", "budget"),
+      Seq("summer_sale", "email", "1200"),
+      Seq("winter_push", "social"), // ragged row → null-padded
+      Seq("spring_launch", "search", "800"))
+    SheetSource.fromValues(spark, values).orderBy(col("campaign"))
+  }
+
+  /** E3 — schema drift detection between two fixture schemas. */
+  def q33SchemaDiff(spark: SparkSession, dir: String): DataFrame = {
+    val current = t(spark, dir, "orders").schema
+    val incoming = org.apache.spark.sql.types.StructType(
+      current.fields.filterNot(_.name == "o_orderpriority") :+
+        org.apache.spark.sql.types.StructField("o_channel",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("o_comment",
+          org.apache.spark.sql.types.StringType))
+    val retyped = org.apache.spark.sql.types.StructType(incoming.fields.map {
+      case f if f.name == "o_totalprice" =>
+        f.copy(dataType = org.apache.spark.sql.types.StringType)
+      case f => f
+    })
+    import spark.implicits._
+    SchemaAudit.schemaDiff("orders", current, retyped)
+      .toDF()
+      .toDF("table_name", "column_name", "data_type", "change")
+      .orderBy(col("change"), col("column_name"))
+  }
+
+  // ==========================================================================
+  // Registry
+  // ==========================================================================
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_revenue_by_nation" -> (q02RevenueByNation _),
+    "q03_project_filter" -> (q03ProjectFilter _),
+    "q04_hash_id" -> (q04HashId _),
+    "q05_latest_event_per_user" -> (q05LatestEventPerUser _),
+    "q06_merge_upsert" -> (q06MergeUpsert _),
+    "q07_union_pages" -> (q07UnionPages _),
+    "q08_semi_anti" -> (q08SemiAnti _),
+    "q09_rollup" -> (q09Rollup _),
+    "q10_window_rank" -> (q10WindowRank _),
+    "q11_having" -> (q11Having _),
+    "q12_schema_lengths" -> (q12SchemaLengths _),
+    "q13_json_extract" -> (q13JsonExtract _),
+    "q14_check_for_key" -> (q14CheckForKey _),
+    "q15_flatten_json" -> (q15FlattenJson _),
+    "q16_parse_timestamp" -> (q16ParseTimestamp _),
+    "q17_watermark" -> (q17Watermark _),
+    "q18_count_on_date" -> (q18CountOnDate _),
+    "q19_top1_latest" -> (q19Top1Latest _),
+    "q20_sql_template" -> (q20SqlTemplate _),
+    "q21_windowed_events" -> (q21WindowedEvents _),
+    "q22_alert_gate" -> (q22AlertGate _),
+    "q23_dedup_exact" -> (q23DedupExact _),
+    "q24_minhash_signature" -> (q24MinhashSignature _),
+    "q25_near_dup_pairs" -> (q25NearDupPairs _),
+    "q26_simhash" -> (q26Simhash _),
+    "q27_cosine_topk" -> (q27CosineTopK _),
+    "q28_embedding_near_dup" -> (q28EmbeddingNearDup _),
+    "q29_text_profile" -> (q29TextProfile _),
+    "q30_quality_by_lang" -> (q30QualityByLang _),
+    "q31_multimodal_meta" -> (q31MultimodalMeta _),
+    "q32_sheet_source" -> (q32SheetSource _),
+    "q33_schema_diff" -> (q33SchemaDiff _)
+  )
+}

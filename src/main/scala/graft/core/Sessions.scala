@@ -1,0 +1,37 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session bootstrap (SURVEY §2.12 C7: the reference builds its Exasol
+  * connection from env vars, `utils.py:299-309`; here the "connection" is the
+  * SparkSession itself).
+  *
+  * Scale notes: AQE on (runtime re-plan, skew-join splitting, partition
+  * coalescing), UTC session timezone for deterministic timestamp semantics,
+  * shuffle partitions sized for the local harness but overridable — on a real
+  * cluster this would be `spark.sql.shuffle.partitions ≈ 2-3× total cores`
+  * plus AQE coalescing.
+  */
+object Sessions {
+  def builder(
+      appName: String = "graft",
+      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+  ): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def local(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

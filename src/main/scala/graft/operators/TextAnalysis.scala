@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (BASELINE north star):
+  * language-ID, quality scoring, token counting, document fingerprinting.
+  * Every metric is a built-in-expression composition — codegen'd, one
+  * projection over the corpus, no shuffle, no UDF — so a 100 TB corpus pays
+  * exactly one scan for the whole profile.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWhitespace(text: Column): Column =
+    when(text.isNull, lit(null))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: word pieces + digits + punctuation as separate
+    * tokens (the standard pre-tokenizer regex family: letter runs, digit
+    * runs, single non-space symbols).
+    */
+  def tokenCountBpe(text: Column): Column =
+    when(text.isNull, lit(null))
+      .otherwise(size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
+
+  /** Punctuation ratio: punctuation chars / total chars (0 for empty).
+    * The class is the explicit ASCII punctuation range (what Java calls
+    * `\p{Punct}`) spelled out so RE2-based engines match identically.
+    */
+  val PunctClass = "[!-/:-@\\[-`{-~]"
+  def punctRatio(text: Column): Column =
+    when(text.isNull || length(text) === 0, lit(0.0))
+      .otherwise(
+        size(regexp_extract_all(text, lit(PunctClass), lit(0))).cast("double") / length(text))
+
+  /** Stopword ratio for a given stopword list (case-insensitive). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val tokens = split(lower(trim(text)), "\\s+")
+    val hits = size(filter(tokens, t => t.isInCollection(stopwords.map(_.toLowerCase))))
+    when(text.isNull || size(tokens) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(tokens))
+  }
+
+  /** Mean word length (quality signal: gibberish skews extreme). */
+  def meanWordLength(text: Column): Column = {
+    val tokens = split(trim(text), "\\s+")
+    when(text.isNull || size(tokens) === 0, lit(0.0))
+      .otherwise(aggregate(tokens, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(tokens))
+  }
+
+  /** Composite quality score in [0,1]: length band + punct band + mean-word
+    * band (a C4-style heuristic filter, expressed as one expression).
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(coalesce(text, lit("")))
+    val lengthOk = when(nChars >= 50 && nChars <= 20000, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) <= 0.3, 1.0).otherwise(0.0)
+    val mwl = meanWordLength(text)
+    val wordsOk = when(mwl >= 2.5 && mwl <= 12.0, 1.0).otherwise(0.0)
+    lengthOk * lit(0.4) + punctOk * lit(0.3) + wordsOk * lit(0.3)
+  }
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Deliberately small and public-knowledge (most frequent
+    * function words).
+    */
+  val StopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "du", "que"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "que"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这")
+  )
+
+  /** Language-ID: argmax over per-language stopword hit counts; ties and
+    * zero hits → "und" (undetermined). Deterministic tie-break: higher count
+    * wins, then lexicographic language code.
+    */
+  def langId(text: Column, profiles: Map[String, Seq[String]] = StopwordProfiles): Column = {
+    val tokens = split(lower(trim(coalesce(text, lit("")))), "\\s+")
+    // build array<struct<neg_hits, lang>> and array_min for deterministic argmax
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(tokens, t => t.isInCollection(words)))
+      struct((-hits).alias("neg_hits"), lit(lang).alias("lang"))
+    }
+    val best = array_min(array(scored: _*))
+    when(best.getField("neg_hits") >= 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Document fingerprint: polynomial rolling hash (base 31, mod 2^61-1) of
+    * the canonical text's characters — an order-sensitive fingerprint that
+    * any engine can reproduce (unlike md5, it is also incrementally
+    * computable in a rolling window). Expressed over the char array with
+    * `aggregate`; pmod keeps it in [0, M).
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val M = 2305843009213693951L // 2^61 − 1
+    val chars = split(Dedup.canonical(coalesce(text, lit(""))), "")
+    aggregate(chars, lit(0L),
+      (acc, ch) => pmod(acc * 31L + coalesce(ascii(ch).cast("long"), lit(0L)), lit(M)))
+  }
+
+  /** Full text profile in one projection. */
+  def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      tokenCountWhitespace(t).alias("n_tokens_ws"),
+      tokenCountBpe(t).alias("n_tokens_bpe"),
+      round(punctRatio(t), 6).alias("punct_ratio"),
+      round(meanWordLength(t), 6).alias("mean_word_len"),
+      langId(t).alias("lang_pred"),
+      rollingFingerprint(t).alias("fingerprint"))
+  }
+}

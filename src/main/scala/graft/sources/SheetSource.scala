@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import scala.concurrent.duration._
+import graft.core.Retry
+
+/** Spreadsheet-range source (SURVEY §2.1 S5, reference `gs_utils.py:14-74`).
+  *
+  * The reference fetches an A1 range as a 2-D string array, retries ≤6 times
+  * with linear backoff (`gs_utils.py:51-63`), and promotes the first row to
+  * the header (`gs_utils.py:68-70`). The transport is pluggable here (a
+  * `fetch` thunk) — production would wrap an HTTP client, tests a fixture —
+  * and the frame-building semantics are exactly `spark.read.option("header",
+  * true).csv`: header promotion, ragged rows padded with null, all-string
+  * columns.
+  *
+  * Scale note: a spreadsheet is inherently driver-sized (Sheets caps at ~10M
+  * cells); `createDataFrame` + an immediate repartition on first use is the
+  * right shape. This is a dimension-table source — downstream joins should
+  * `broadcast()` it.
+  */
+object SheetSource {
+
+  /** Header promotion + ragged-row padding over driver-fetched values. */
+  def fromValues(
+      spark: SparkSession,
+      values: Seq[Seq[String]],
+      headerRow: Boolean = true
+  ): DataFrame = {
+    require(values.nonEmpty, "empty sheet range")
+    val (names, data) =
+      if (headerRow) (values.head.map(_.trim), values.tail)
+      else (values.head.indices.map(i => s"col_$i"), values)
+    val width = names.length
+    val rows = data.map { r =>
+      val padded = r.padTo(width, null).take(width)
+      Row.fromSeq(padded)
+    }
+    val schema = StructType(names.map(n => StructField(n, StringType, nullable = true)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toList), schema)
+  }
+
+  /** Full source: retried fetch (C3 semantics: 6 attempts, (n+1)×10 s) then
+    * header promotion.
+    */
+  def load(
+      spark: SparkSession,
+      fetch: () => Seq[Seq[String]],
+      maxAttempts: Int = 6,
+      backoffBase: FiniteDuration = 10.seconds,
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)
+  ): DataFrame = {
+    val values = Retry.retry(maxAttempts, Retry.linearBackoff(backoffBase), sleep)(fetch())
+    fromValues(spark, values)
+  }
+}
