@@ -224,19 +224,26 @@ object Oracles {
          |GROUP BY fp
          |ORDER BY doc_id""".stripMargin,
 
-    "q24_minhash_signature" ->
+    "q24_minhash_signature" -> {
+      def mins(i: Int): String = {
+        val (a, b) = graft.operators.Dedup.affineParams(i)
+        s"list_min([(CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) * $a + $b) % ${graft.operators.Dedup.MinhashP} for s in shingles])"
+      }
       s"""WITH ${shinglesCte("SELECT doc_id, text FROM documents")}
          |SELECT doc_id,
-         |  list_min([md5('0|' || s) for s in shingles]) AS sig0,
-         |  list_min([md5('1|' || s) for s in shingles]) AS sig1
+         |  ${mins(0)} AS sig0,
+         |  ${mins(1)} AS sig1
          |FROM sh
-         |ORDER BY doc_id""".stripMargin,
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q25_near_dup_pairs" -> {
-      val sigExprs = (0 until 12)
-        .map(seed => s"list_min([md5('$seed|' || s) for s in shingles])")
-        .mkString("[", ", ", "]")
-      val bandHash = "md5(sig[3*b + 1] || '|' || sig[3*b + 2] || '|' || sig[3*b + 3])"
+      val sigExprs = (0 until 12).map { i =>
+        val (a, b) = graft.operators.Dedup.affineParams(i)
+        s"list_min([(CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) * $a + $b) % ${graft.operators.Dedup.MinhashP} for s in shingles])"
+      }.mkString("[", ", ", "]")
+      val bandHash =
+        "md5(CAST(sig[3*b + 1] AS VARCHAR) || '|' || CAST(sig[3*b + 2] AS VARCHAR) || '|' || CAST(sig[3*b + 3] AS VARCHAR))"
       s"""WITH ${shinglesCte(plantedDocs)},
          |sig AS (SELECT doc_id, shingles, $sigExprs AS sig FROM sh),
          |bands AS (
@@ -394,6 +401,28 @@ object Oracles {
         |  ('orders', 'o_orderpriority', 'string', 'removed'),
         |  ('orders', 'o_totalprice', 'double -> string', 'retyped'))
         |  AS t(table_name, column_name, data_type, change)
-        |ORDER BY change, column_name""".stripMargin
+        |ORDER BY change, column_name""".stripMargin,
+
+    "q34_keyset_normalize" ->
+      """WITH pages AS (
+        |  SELECT * FROM read_json('/root/repo/src/test/resources/json/pages/page_*.json',
+        |    format='newline_delimited', union_by_name=true, timestampformat='disabled_xx')
+        |),
+        |exploded AS (
+        |  SELECT id, lastModifiedAt, channel,
+        |    totalPrice.amount AS tp_amount, totalPrice.currency AS tp_currency,
+        |    custom.note AS custom_note,
+        |    unnest(CASE WHEN lineItems IS NULL OR len(lineItems) = 0
+        |                THEN [NULL]::STRUCT(sku VARCHAR, qty BIGINT)[]
+        |                ELSE lineItems END) AS li
+        |  FROM pages
+        |)
+        |SELECT channel,
+        |  custom_note AS "custom__note",
+        |  id, lastModifiedAt,
+        |  li.qty AS "lineItems__qty", li.sku AS "lineItems__sku",
+        |  tp_amount AS "totalPrice__amount", tp_currency AS "totalPrice__currency"
+        |FROM exploded
+        |ORDER BY id, "lineItems__sku"""".stripMargin
   )
 }

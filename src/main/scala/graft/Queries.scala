@@ -100,7 +100,7 @@ object Queries {
     */
   def q05LatestEventPerUser(spark: SparkSession, dir: String): DataFrame =
     AlertGate
-      .latestPerKey(
+      .latestPerKeyAgg(
         t(spark, dir, "events").withColumn("__ord", struct(col("ts"), col("event_id"))),
         Seq("user_id"), "__ord")
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
@@ -315,7 +315,7 @@ object Queries {
       col("value").alias(AlertGate.DedupValue),
       col("ts").alias(AlertGate.LastAlert))
     val candidates = AlertGate
-      .latestPerKey(
+      .latestPerKeyAgg(
         ev.filter(col("ts") >= cut)
           .withColumn("__ord", struct(col("ts"), col("event_id"))),
         Seq("event_type", "user_id"), "__ord")
@@ -359,7 +359,7 @@ object Queries {
     */
   def q24MinhashSignature(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(col("doc_id"), Dedup.minhashSignature(col("text"), 12).alias("sig"))
+      .select(col("doc_id"), Dedup.minhashSignature(col("text"), 2).alias("sig"))
       .select(col("doc_id"),
         col("sig").getItem(0).alias("sig0"),
         col("sig").getItem(1).alias("sig1"))
@@ -483,6 +483,18 @@ object Queries {
       .orderBy(col("change"), col("column_name"))
   }
 
+  /** S2-S4 + N4 — the reference's flagship pipeline (§3 entry point 1):
+    * keyset-paginated JSON pages → name-aligned union → recursive
+    * normalize-to-flat. Pages are authored fixtures with schema drift across
+    * pages, empty/null arrays, and null structs (FIXTURES.md).
+    */
+  def q34KeysetNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val pagesDir = "/root/repo/src/test/resources/json/pages"
+    val raw = KeysetSource.load(spark, KeysetSource.fixtureFetcher(pagesDir), maxPages = 50)
+    Normalize.normalize(raw)
+      .orderBy(col("id"), col("lineItems__sku"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -520,6 +532,7 @@ object Queries {
     "q30_quality_by_lang" -> (q30QualityByLang _),
     "q31_multimodal_meta" -> (q31MultimodalMeta _),
     "q32_sheet_source" -> (q32SheetSource _),
-    "q33_schema_diff" -> (q33SchemaDiff _)
+    "q33_schema_diff" -> (q33SchemaDiff _),
+    "q34_keyset_normalize" -> (q34KeysetNormalize _)
   )
 }

@@ -34,6 +34,25 @@ object AlertGate {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Aggregation form of W1 for the top-1 case: `max(struct(order, rest))`
+    * per key. Unlike the window form this gets map-side partial aggregation
+    * (each partition reduces to one row per key before the shuffle) and
+    * skips the per-partition sort — the shape that wins at 100 TB where
+    * keys ≪ rows. Column order is preserved.
+    */
+  def latestPerKeyAgg(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val rest = df.columns.filterNot(c => keys.contains(c) || c == orderCol).toSeq
+    val packed = struct((col(s"`$orderCol`") +: rest.map(c => col(s"`$c`"))): _*)
+    val agg = df.groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(max(packed).alias("__top"))
+    val out = keys.map(c => col(s"`$c`")) ++
+      df.columns.filterNot(keys.contains).toSeq.map {
+        case c if c == orderCol => col(s"__top.`$orderCol`").alias(orderCol)
+        case c                  => col(s"__top.`$c`").alias(c)
+      }
+    agg.select(out: _*).select(df.columns.map(c => col(s"`$c`")): _*)
+  }
+
   /** C1 — gate a frame of candidate alerts against history.
     *
     * @param candidates columns: alert_identifier, alert_deduplication_key,
@@ -54,7 +73,7 @@ object AlertGate {
       asOfDate: Column = current_date()
   ): DataFrame = {
     val todays = history.filter(col(LastAlert) > asOfDate)
-    val latest = latestPerKey(todays, Seq(Identifier, DedupKey), LastAlert)
+    val latest = latestPerKeyAgg(todays, Seq(Identifier, DedupKey), LastAlert)
       .select(col(Identifier), col(DedupKey), col(DedupValue).alias("last_value"))
     candidates
       .join(latest, Seq(Identifier, DedupKey), "left")

@@ -49,14 +49,43 @@ object Dedup {
       s => size(split(s, " ")) === n))
   }
 
-  /** MinHash signature: for each of `numHashes` seeds, the lexicographic min
-    * of md5(seed || shingle). Output: array<string> of length `numHashes`.
-    * Runs entirely inside one projection — no shuffle, no UDF.
+  /** MinHash prime modulus and per-permutation affine parameters. One base
+    * hash per shingle (md5 → 32-bit int) + `numHashes` affine maps
+    * `h_i = (a_i·h + b_i) mod P` replaces `numHashes` independent digests —
+    * the standard 2-universal construction, and ~12× fewer md5 evaluations.
+    * Parameter ranges keep every product within a signed 64-bit long
+    * (h < 2^32, a < 2^28), so the arithmetic is portable to any engine with
+    * plain BIGINT math (the differential-test requirement).
     */
-  def minhashSignature(text: Column, numHashes: Int = 12): Column = {
-    val sh = shingles(text)
-    val mins = (0 until numHashes).map { seed =>
-      array_min(transform(sh, s => md5(concat(lit(s"$seed|"), s))))
+  val MinhashP = 1000000007L
+
+  def affineParams(i: Int): (Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h7(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 7), 16)
+    (h7(s"minhash-a-$i") | 1L, h7(s"minhash-b-$i"))
+  }
+
+  /** Base 32-bit shingle hash: first 8 md5 hex digits as an integer. */
+  def shingleHash(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signature: array<long> of length `numHashes`, min over the
+    * affine-permuted base hashes. Runs in one projection — no shuffle.
+    */
+  def minhashSignature(text: Column, numHashes: Int = 12): Column =
+    minhashSignatureOfHashes(transform(shingles(text), shingleHash(_)), numHashes)
+
+  def minhashSignatureOfShingles(sh: Column, numHashes: Int): Column =
+    minhashSignatureOfHashes(transform(sh, shingleHash(_)), numHashes)
+
+  /** Signature over an already-computed base-hash column — pipelines
+    * materialize the md5 pass ONCE and derive all permutations from it.
+    */
+  def minhashSignatureOfHashes(h32: Column, numHashes: Int): Column = {
+    val mins = (0 until numHashes).map { i =>
+      val (a, b) = affineParams(i)
+      array_min(transform(h32, h => (h * a + b) % MinhashP))
     }
     array(mins: _*)
   }
@@ -85,53 +114,90 @@ object Dedup {
       .filter(col("band_hash").isNotNull)
   }
 
-  /** LSH candidate pairs: docs sharing any band bucket. The join is
-    * bucket-local; `maxBucketSize` drops degenerate buckets (boilerplate
-    * documents) that would otherwise produce O(bucket²) pairs — at 100 TB
-    * this cap is what keeps the operator bounded. Pairs are oriented a<b and
-    * de-duplicated across bands.
+  /** The shingle index: (id, __sh) — the one expensive projection (regex
+    * split + sliding windows + distinct) the whole near-dup pipeline shares.
+    * Persisted because both the candidate stage and the verification stage
+    * read it; at warehouse scale this is the index you'd materialize to
+    * storage once per corpus snapshot.
     */
-  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol), shingles(col(textCol), n).alias("__sh"))
+
+  /** LSH candidate pairs: docs sharing any band bucket. ONE shuffle: bands
+    * are grouped by (band_id, band_hash) and pairs are expanded map-side
+    * from each bucket's id list — no window pass, no self-join.
+    * `maxBucketSize` drops degenerate buckets (boilerplate documents) that
+    * would otherwise produce O(bucket²) pairs — at 100 TB this cap is what
+    * keeps the operator bounded. Pairs are oriented a<b and de-duplicated
+    * across bands.
+    */
+  def lshCandidatePairsFromShingles(shIdx: DataFrame, idCol: String,
       bands: Int = 4, rowsPerBand: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val banded = lshBands(docs, idCol, textCol, bands, rowsPerBand)
-    val bounded = banded
-      .withColumn("__bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_id"), col("band_hash"))))
-      .filter(col("__bucket_n") <= maxBucketSize)
-      .drop("__bucket_n")
-    val a = bounded.select(col("band_id"), col("band_hash"), col(idCol).alias("id_a"))
-    val b = bounded.select(col("band_id"), col("band_hash"), col(idCol).alias("id_b"))
-    a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    val banded = shIdx
+      .select(col(idCol), transform(col("__sh"), shingleHash(_)).alias("__h32"))
+      .select(col(idCol),
+        minhashSignatureOfHashes(col("__h32"), bands * rowsPerBand).alias("__sig"),
+        size(col("__h32")).alias("__n"))
+      // null-signature (no shingles) docs never bucket
+      .filter(col("__n") > 0)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => {
+          val parts: Seq[Column] = (0 until rowsPerBand).flatMap { j =>
+            Seq(element_at(col("__sig"), (b * rowsPerBand + j + 1).cast("int")).cast("string"),
+              lit("|"))
+          }.dropRight(1)
+          md5(concat(parts: _*))
+        })))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_hash")
+      .filter(col("band_hash").isNotNull)
+    val ids = col("__ids")
+    banded
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(sort_array(collect_list(col(idCol))).alias("__ids"))
+      .filter(size(ids) >= 2 && size(ids) <= maxBucketSize)
+      .select(explode(flatten(transform(ids, a =>
+        filter(transform(ids, b => struct(a.alias("id_a"), b.alias("id_b"))),
+          p => p.getField("id_a") < p.getField("id_b"))))).alias("p"))
+      .select(col("p.id_a").alias("id_a"), col("p.id_b").alias("id_b"))
       .distinct()
   }
 
-  /** Exact n-gram Jaccard similarity for a pair frame (id_a, id_b) —
-    * verification stage after LSH candidates. Joins the shingle sets back in
-    * (two hash joins on ids) and computes |∩|/|∪| with array intrinsics.
+  /** Back-compat convenience over raw docs. */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    lshCandidatePairsFromShingles(shingleIndex(docs, idCol, textCol), idCol,
+      bands, rowsPerBand, maxBucketSize)
+
+  /** Exact n-gram Jaccard for a pair frame (id_a, id_b) against a shingle
+    * index — two hash joins on ids, |∩|/|∪| via array intrinsics.
     */
-  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col(textCol), n).alias("__sh"))
+  def ngramJaccardFromShingles(pairs: DataFrame, shIdx: DataFrame, idCol: String): DataFrame =
     pairs
-      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("__sh", "__sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("__sh", "__sh_b"), Seq("id_b"))
+      .join(shIdx.select(col(idCol).alias("id_a"), col("__sh").alias("__sh_a")), Seq("id_a"))
+      .join(shIdx.select(col(idCol).alias("id_b"), col("__sh").alias("__sh_b")), Seq("id_b"))
       .withColumn("__inter", size(array_intersect(col("__sh_a"), col("__sh_b"))))
       .withColumn("__union", size(array_union(col("__sh_a"), col("__sh_b"))))
       .select(col("id_a"), col("id_b"),
         when(col("__union") === 0, lit(0.0))
           .otherwise(col("__inter").cast("double") / col("__union")).alias("jaccard"))
-  }
+
+  /** Back-compat convenience over raw docs. */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    ngramJaccardFromShingles(pairs, shingleIndex(docs, idCol, textCol, n), idCol)
 
   /** MinHash near-dup end-to-end: LSH candidates verified by true Jaccard ≥
-    * threshold.
+    * threshold. The shingle index is computed once and persisted across the
+    * two stages.
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
-    val cands = lshCandidatePairs(docs, idCol, textCol, bands, rowsPerBand)
-    ngramJaccard(cands, docs, idCol, textCol).filter(col("jaccard") >= threshold)
+    val shIdx = shingleIndex(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidatePairsFromShingles(shIdx, idCol, bands, rowsPerBand)
+    ngramJaccardFromShingles(cands, shIdx, idCol).filter(col("jaccard") >= threshold)
   }
 
   /** SimHash: 64-bit fingerprint. Each token votes its md5-derived 64-bit

@@ -41,15 +41,26 @@ object Similarity {
     * @return (query_id, neighbor_id, rank, cosine) — self-matches excluded
     *         when ids collide
     */
+  /** ‖v‖ as a single array pass. */
+  def norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       queryIdCol: String = "query_id", idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // norms are per-vector: compute once per side BEFORE the pair join so
+    // each pair does one dot-product pass, not three array reductions
     val q = broadcast(queries.select(col(queryIdCol).alias("query_id"),
-      col(vecCol).alias("__qv")))
-    val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"))
+      col(vecCol).alias("__qv"), norm(col(vecCol)).alias("__qn")))
+    val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"),
+      norm(col(vecCol)).alias("__cn"))
+    val dot = aggregate(zip_with(col("__qv"), col("__cv"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine",
+        when(col("__qn") === 0.0 || col("__cn") === 0.0, lit(null))
+          .otherwise(dot / (col("__qn") * col("__cn"))))
       .filter(col("cosine").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -59,20 +70,34 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (seed, plane,
-    * dimension): md5-derived uniform in [-1, 1).
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * md5-derived uniform in [-1, 1). Computed ONCE on the driver — the
+    * planes are constants, so evaluating the digest per row (500k+ md5
+    * expression calls at corpus scale) would be pure waste.
     */
-  private def planeComponent(plane: Int, dim: Column): Column = {
-    val h = conv(substring(md5(concat(lit(s"plane$plane|"), dim.cast("string"))), 1, 8), 16, 10)
-      .cast("double")
-    h / lit(math.pow(16, 8) / 2) - 1.0
+  private[operators] def planeComponent(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane$plane|$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    java.lang.Long.parseLong(hex, 16).toDouble / (math.pow(16, 8) / 2) - 1.0
   }
 
-  /** Random-hyperplane LSH bucket id: `numPlanes` sign bits of ⟨v, r_p⟩. */
-  def hyperplaneBucket(vec: Column, numPlanes: Int = 8): Column = {
+  /** Random-hyperplane LSH bucket id: `numPlanes` sign bits of ⟨v, r_p⟩.
+    * Plane vectors are literal arrays (driver-precomputed, broadcast with
+    * the plan); the per-row work is numPlanes dot products in codegen.
+    *
+    * @param maxDims plane length; vectors longer than this use only the
+    *                first maxDims components for bucketing (still a valid
+    *                LSH — bucketing needs consistency, not completeness)
+    */
+  def hyperplaneBucket(vec: Column, numPlanes: Int = 8, maxDims: Int = 1024): Column = {
     val signs = (0 until numPlanes).map { p =>
-      val dotRp = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, i) => x.cast("double") * planeComponent(p, i)), lit(0.0), (acc, v) => acc + v)
+      // one ArrayType literal per plane (typedlit), not 1024 scalar literals
+      val plane = typedLit((0 until maxDims).map(d => planeComponent(p, d)))
+      val dotRp = aggregate(
+        zip_with(vec, slice(plane, lit(1), greatest(size(vec), lit(1))),
+          (x, r) => x.cast("double") * r),
+        lit(0.0), (acc, v) => acc + coalesce(v, lit(0.0)))
       when(dotRp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     signs.reduce(_ + _)
@@ -86,12 +111,18 @@ object Similarity {
       queryIdCol: String = "query_id", idCol: String = "vec_id",
       vecCol: String = "embedding", numPlanes: Int = 6): DataFrame = {
     val q = queries.select(col(queryIdCol).alias("query_id"), col(vecCol).alias("__qv"),
-      hyperplaneBucket(col(vecCol), numPlanes).alias("__bucket"))
+      hyperplaneBucket(col(vecCol), numPlanes).alias("__bucket"),
+      norm(col(vecCol)).alias("__qn"))
     val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"),
-      hyperplaneBucket(col(vecCol), numPlanes).alias("__bucket"))
+      hyperplaneBucket(col(vecCol), numPlanes).alias("__bucket"),
+      norm(col(vecCol)).alias("__cn"))
+    val dot = aggregate(zip_with(col("__qv"), col("__cv"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
     val scored = q.join(c, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine",
+        when(col("__qn") === 0.0 || col("__cn") === 0.0, lit(null))
+          .otherwise(dot / (col("__qn") * col("__cn"))))
       .filter(col("cosine").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -109,12 +140,19 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       numPlanes: Int = 6): DataFrame = {
     val withBucket = corpus.select(col(idCol), col(vecCol),
-      hyperplaneBucket(col(vecCol), numPlanes).alias("__bucket"))
-    val a = withBucket.select(col("__bucket"), col(idCol).alias("id_a"), col(vecCol).alias("__va"))
-    val b = withBucket.select(col("__bucket"), col(idCol).alias("id_b"), col(vecCol).alias("__vb"))
+      hyperplaneBucket(col(vecCol), numPlanes).alias("__bucket"),
+      norm(col(vecCol)).alias("__norm"))
+    val a = withBucket.select(col("__bucket"), col(idCol).alias("id_a"),
+      col(vecCol).alias("__va"), col("__norm").alias("__na"))
+    val b = withBucket.select(col("__bucket"), col(idCol).alias("id_b"),
+      col(vecCol).alias("__vb"), col("__norm").alias("__nb"))
+    val dot = aggregate(zip_with(col("__va"), col("__vb"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
     a.join(b, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .withColumn("cosine",
+        when(col("__na") === 0.0 || col("__nb") === 0.0, lit(null))
+          .otherwise(dot / (col("__na") * col("__nb"))))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
