@@ -14,13 +14,9 @@ object Explain {
       "q01_pricing_summary", "q02_revenue_by_nation", "q03_project_filter",
       "q05_latest_event_per_user", "q06_merge_upsert", "q25_near_dup_pairs",
       "q27_cosine_topk", "q34_keyset_normalize")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // library session builder: carries GraftExtensions (SQL-callable
+    // native functions), AQE, UTC
+    val spark = graft.core.Sessions.builder("graft-explain").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
@@ -36,6 +32,14 @@ object Explain {
       ks.explain("formatted")
       println(s"rows after pushdown: ${ks.count()}")
     } catch { case e: Throwable => println(s"keyset demo failed: ${e.getMessage}") }
+    // session-extension surface: native expressions callable from SQL
+    println("\n========== SQL extension functions ==========")
+    try {
+      spark.sql(
+        """SELECT cosine_similarity(array(1.0, 2.0), array(2.0, 4.0)) AS cos_parallel,
+          |       graft_hash_id('42') AS h42, graft_hash_id('') AS h_empty""".stripMargin)
+        .show(truncate = false)
+    } catch { case e: Throwable => println(s"extension demo failed: ${e.getMessage}") }
     spark.stop()
   }
 }

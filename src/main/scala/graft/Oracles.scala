@@ -403,6 +403,86 @@ object Oracles {
         |  AS t(table_name, column_name, data_type, change)
         |ORDER BY change, column_name""".stripMargin,
 
+    "q35_session_window" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM d)
+        |SELECT min(ts) AS session_start, user_id, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM i
+        |GROUP BY user_id, island
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q36_sliding_window" ->
+      """SELECT window_start, event_type, count(*) AS n FROM (
+        |  SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '6 hours', ts) - INTERVAL 6 HOUR, event_type FROM events)
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "q37_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q38_stats" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n, sx / n AS mean,
+        |  (sxx - sx * sx / n) / (n - 1) AS variance
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    "q39_set_ops" ->
+      """WITH c96 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+        |c97 AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_custkey, set_op FROM (
+        |  SELECT o_custkey, 'both_years' AS set_op FROM (SELECT * FROM c96 INTERSECT SELECT * FROM c97)
+        |  UNION ALL
+        |  SELECT o_custkey, 'only_1996' FROM (SELECT * FROM c96 EXCEPT SELECT * FROM c97))
+        |ORDER BY set_op, o_custkey""".stripMargin,
+
+    "q40_lag_delta" ->
+      """SELECT event_id, user_id,
+        |  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q42_simhash_pairs" -> {
+      val bitTerms = (0 until 60).map { i =>
+        s"CASE WHEN list_sum([((h >> $i) & 1) * 2 - 1 for h in hashes]) > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH corpus AS ($plantedDocs),
+         |tok AS (
+         |  SELECT doc_id, list_distinct(string_split($canon, ' ')) AS tokens FROM corpus),
+         |h AS (
+         |  SELECT doc_id,
+         |    [CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) for t in tokens] AS hashes
+         |  FROM tok),
+         |fp AS (SELECT doc_id, $bitTerms AS f FROM h),
+         |blocked AS (SELECT doc_id, f, f >> 52 AS blk FROM fp)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+         |FROM blocked a JOIN blocked b ON a.blk = b.blk
+         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.f, b.f)) <= 16
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     "q34_keyset_normalize" ->
       """WITH pages AS (
         |  SELECT * FROM read_json('/root/repo/src/test/resources/json/pages/page_*.json',

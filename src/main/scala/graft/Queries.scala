@@ -495,6 +495,108 @@ object Queries {
       .orderBy(col("id"), col("lineItems__sku"))
   }
 
+  /** §2.11 — session windows (30-minute inactivity gap) per user: the
+    * stateful-streaming shape, batch-checkable via gaps-and-islands SQL.
+    */
+  def q35SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).alias("n"), dsum(col("value")).alias("sum_value"))
+      .select(col("session_window.start").alias("session_start"), col("user_id"),
+        col("n"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** §2.11 — sliding windows (12 h window, 6 h slide): each event lands in
+    * two overlapping windows.
+    */
+  def q36SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "12 hours", "6 hours"), col("event_type"))
+      .agg(count(lit(1)).alias("n"))
+      .select(col("window.start").alias("window_start"), col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** A6 — full cube over (status, priority). */
+  def q37Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).alias("n"), dsum(col("o_totalprice")).alias("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).alias("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).alias("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  /** A-family — exact moment statistics per group: mean and sample variance
+    * derived from DECIMAL-exact Σx and Σx² (order-independent), finalized in
+    * double — deterministic across engines, unlike native stddev/var aggs
+    * whose summation order varies.
+    */
+  def q38Stats(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("value")
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).alias("n"),
+        sum(x.cast("decimal(30,6)")).cast("double").alias("sum_x"),
+        sum((x * x).cast("decimal(30,6)")).cast("double").alias("sum_xx"))
+      .select(
+        col("event_type"), col("n"),
+        (col("sum_x") / col("n")).alias("mean"),
+        ((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1))
+          .alias("variance"))
+      .orderBy(col("event_type"))
+  }
+
+  /** U3 — intersect / except over yearly customer sets. */
+  def q39SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    def custsIn(year: Int) =
+      o.filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+    val both = custsIn(1996).intersect(custsIn(1997))
+      .withColumn("set_op", lit("both_years"))
+    val only96 = custsIn(1996).except(custsIn(1997))
+      .withColumn("set_op", lit("only_1996"))
+    both.unionByName(only96)
+      .orderBy(col("set_op"), col("o_custkey"))
+  }
+
+  /** W2 — lag/lead analytics: per-user value delta between consecutive
+    * events.
+    */
+  def q40LagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select(col("event_id"), col("user_id"),
+        (col("value") - col("prev_value")).alias("delta"))
+      .orderBy(col("event_id"))
+  }
+
+  /** A6 — approximate distinct (HLL). No cross-engine oracle exists for the
+    * sketch itself (engine-specific), so this query is registered WITHOUT
+    * oracle SQL — the driver records the weaker rows-only check; the exact
+    * distinct count is covered by q08/q39.
+    */
+  def q41ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).alias("approx_parts"),
+        countDistinct(col("l_partkey")).alias("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** Dedup/SimHash pairs — planted corpus, Hamming ≤ 16 within blocking
+    * buckets (top-8 fingerprint bits). The planted suffix changes one token,
+    * flipping few fingerprint bits, so (id, id+100000) pairs survive.
+    */
+  def q42SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDuplicates(docsWithPlantedDups(spark, dir), "doc_id", "text",
+      maxDistance = 16, blockBits = 8)
+      .withColumn("hamming", col("hamming").cast("long"))
+      .orderBy(col("id_a"), col("id_b"))
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -533,6 +635,14 @@ object Queries {
     "q31_multimodal_meta" -> (q31MultimodalMeta _),
     "q32_sheet_source" -> (q32SheetSource _),
     "q33_schema_diff" -> (q33SchemaDiff _),
-    "q34_keyset_normalize" -> (q34KeysetNormalize _)
+    "q34_keyset_normalize" -> (q34KeysetNormalize _),
+    "q35_session_window" -> (q35SessionWindow _),
+    "q36_sliding_window" -> (q36SlidingWindow _),
+    "q37_cube" -> (q37Cube _),
+    "q38_stats" -> (q38Stats _),
+    "q39_set_ops" -> (q39SetOps _),
+    "q40_lag_delta" -> (q40LagDelta _),
+    "q41_approx_distinct" -> (q41ApproxDistinct _),
+    "q42_simhash_pairs" -> (q42SimhashPairs _)
   )
 }

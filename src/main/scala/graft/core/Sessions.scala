@@ -22,6 +22,7 @@ object Sessions {
       .builder()
       .appName(appName)
       .master(master)
+      .withExtensions(new graft.GraftExtensions) // SQL-callable native fns
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

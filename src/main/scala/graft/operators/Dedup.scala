@@ -200,14 +200,29 @@ object Dedup {
     ngramJaccardFromShingles(cands, shIdx, idCol).filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash: 64-bit fingerprint. Each token votes its md5-derived 64-bit
-    * hash's bits weighted ±1; fingerprint bit i = sign of the vote sum.
-    * Computed with array/bit intrinsics only (conv on a 15-hex-digit slice
-    * keeps the value positive within a signed 64-bit long: 60 bits).
+  /** Token hashes for simhash: md5 of each distinct token, first 15 hex
+    * digits as a positive 60-bit long.
     */
-  def simhash(text: Column, bits: Int = 60): Column = {
-    val tokens = array_distinct(split(canonical(text), " "))
-    val hashes = transform(tokens, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+  def simhashTokenHashes(text: Column): Column =
+    transform(array_distinct(split(canonical(text), " ")),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+
+  /** SimHash: 60-bit fingerprint via the native fused kernel
+    * ([[graft.functions.expressions.SimHash]]): each token votes its hash's
+    * bits ±1, fingerprint bit i = sign of vote i. The builtin-expression
+    * twin ([[simhashBuiltin]]) is the cross-check.
+    */
+  def simhash(text: Column, bits: Int = 60): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.SimHash(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(simhashTokenHashes(text)),
+        bits))
+
+  /** Builtin-only formulation: `bits` aggregate lambdas — correct but
+    * O(bits) codegen units; kept for differential testing of the kernel.
+    */
+  def simhashBuiltin(text: Column, bits: Int = 60): Column = {
+    val hashes = simhashTokenHashes(text)
     val bitVotes = (0 until bits).map { i =>
       // vote_i = Σ tokens: +1 if bit set else −1  ⇒  2·popcount_i − n
       aggregate(hashes, lit(0L),

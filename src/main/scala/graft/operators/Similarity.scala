@@ -23,10 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two array<numeric> columns as a pure
-    * expression: dot(a,b) / (‖a‖·‖b‖); null/zero vectors → null.
+  /** Cosine similarity between two array<numeric> columns: the native
+    * codegen'd kernel (one fused loop, no per-row allocation — see
+    * [[graft.functions.expressions.CosineSimilarity]]); null/zero vectors →
+    * null. Arithmetic is bit-identical to the higher-order-function
+    * formulation in [[cosineBuiltin]].
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.CosineSimilarity(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
+  /** Built-in-only formulation (`zip_with` + `aggregate`) — kept as the
+    * cross-check twin for the native expression and for environments that
+    * reject custom expressions.
+    */
+  def cosineBuiltin(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
@@ -48,19 +61,12 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       queryIdCol: String = "query_id", idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    // norms are per-vector: compute once per side BEFORE the pair join so
-    // each pair does one dot-product pass, not three array reductions
     val q = broadcast(queries.select(col(queryIdCol).alias("query_id"),
-      col(vecCol).alias("__qv"), norm(col(vecCol)).alias("__qn")))
-    val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"),
-      norm(col(vecCol)).alias("__cn"))
-    val dot = aggregate(zip_with(col("__qv"), col("__cv"),
-      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+      col(vecCol).alias("__qv")))
+    val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        when(col("__qn") === 0.0 || col("__cn") === 0.0, lit(null))
-          .otherwise(dot / (col("__qn") * col("__cn"))))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
       .filter(col("cosine").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -111,18 +117,12 @@ object Similarity {
       queryIdCol: String = "query_id", idCol: String = "vec_id",
       vecCol: String = "embedding", numPlanes: Int = 6): DataFrame = {
     val q = queries.select(col(queryIdCol).alias("query_id"), col(vecCol).alias("__qv"),
-      hyperplaneBucket(col(vecCol), numPlanes).alias("__bucket"),
-      norm(col(vecCol)).alias("__qn"))
+      hyperplaneBucket(col(vecCol), numPlanes).alias("__bucket"))
     val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"),
-      hyperplaneBucket(col(vecCol), numPlanes).alias("__bucket"),
-      norm(col(vecCol)).alias("__cn"))
-    val dot = aggregate(zip_with(col("__qv"), col("__cv"),
-      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+      hyperplaneBucket(col(vecCol), numPlanes).alias("__bucket"))
     val scored = q.join(c, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine",
-        when(col("__qn") === 0.0 || col("__cn") === 0.0, lit(null))
-          .otherwise(dot / (col("__qn") * col("__cn"))))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
       .filter(col("cosine").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -140,19 +140,12 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       numPlanes: Int = 6): DataFrame = {
     val withBucket = corpus.select(col(idCol), col(vecCol),
-      hyperplaneBucket(col(vecCol), numPlanes).alias("__bucket"),
-      norm(col(vecCol)).alias("__norm"))
-    val a = withBucket.select(col("__bucket"), col(idCol).alias("id_a"),
-      col(vecCol).alias("__va"), col("__norm").alias("__na"))
-    val b = withBucket.select(col("__bucket"), col(idCol).alias("id_b"),
-      col(vecCol).alias("__vb"), col("__norm").alias("__nb"))
-    val dot = aggregate(zip_with(col("__va"), col("__vb"),
-      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+      hyperplaneBucket(col(vecCol), numPlanes).alias("__bucket"))
+    val a = withBucket.select(col("__bucket"), col(idCol).alias("id_a"), col(vecCol).alias("__va"))
+    val b = withBucket.select(col("__bucket"), col(idCol).alias("id_b"), col(vecCol).alias("__vb"))
     a.join(b, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine",
-        when(col("__na") === 0.0 || col("__nb") === 0.0, lit(null))
-          .otherwise(dot / (col("__na") * col("__nb"))))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

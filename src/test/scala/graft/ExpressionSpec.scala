@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Native CosineSimilarity expression: interpreted vs codegen vs built-in
+  * formulation, null contracts, SQL registration via GraftExtensions.
+  */
+class ExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)), // zero norm
+    (4L, Array(2.0f, 2.0f, 2.0f), Array(1.0f, 1.0f, 1.0f))
+  ).toDF("id", "a", "b")
+
+  test("native cosine matches the built-in zip_with/aggregate formulation bit-for-bit") {
+    val both = vecs.select(
+      $"id",
+      Similarity.cosine($"a", $"b").alias("native"),
+      Similarity.cosineBuiltin($"a", $"b").alias("builtin"))
+    both.collect().foreach { r =>
+      val n = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      val b = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(n == b, s"row ${r.getLong(0)}")
+    }
+  }
+
+  test("null contracts: zero-norm vector and null input → null; parallel → 1") {
+    val out = vecs.select($"id", Similarity.cosine($"a", $"b").alias("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(2L).contains(0.0))
+    assert(out(3L).isEmpty)
+    assert(math.abs(out(4L).get - 1.0) < 1e-12)
+    val withNull = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b").select(Similarity.cosine($"a", $"b").alias("c"))
+    assert(withNull.head().isNullAt(0))
+  }
+
+  test("works on double arrays and codegen path survives wide rows") {
+    val d = (1 to 200).map(i => (i.toLong, Array.tabulate(64)(j => (i + j).toDouble),
+      Array.tabulate(64)(j => (i * j + 1).toDouble))).toDF("id", "a", "b")
+    val n = d.select(Similarity.cosine($"a", $"b").alias("c"))
+      .filter($"c".isNotNull).count()
+    assert(n == 200)
+  }
+
+  test("native SimHash kernel matches the builtin bit-vote formulation") {
+    import graft.operators.Dedup
+    val texts = Seq(
+      "the quick brown fox", "the quick brown cat",
+      "spark engines at scale", "a", "").toDF("text")
+    val both = texts.select(
+      Dedup.simhash($"text").alias("native"),
+      Dedup.simhashBuiltin($"text").alias("builtin"))
+    both.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+    }
+  }
+
+  test("GraftExtensions registers SQL functions: cosine_similarity, graft_hash_id") {
+    // a fresh session over the shared context so withExtensions applies
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import ext.implicits._
+      Seq((Array(1.0, 2.0), Array(2.0, 4.0), "42"))
+        .toDF("a", "b", "s").createOrReplaceTempView("v_ext")
+      val r = ext.sql(
+        "SELECT cosine_similarity(a, b) AS c, graft_hash_id(s) AS h, graft_hash_id('') AS e FROM v_ext")
+        .head()
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      assert(r.getString(1) == "92cfceb39d57d914ed8b14d0e37643de0797ae56")
+      assert(r.isNullAt(2))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}

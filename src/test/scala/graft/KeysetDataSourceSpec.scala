@@ -43,6 +43,33 @@ class KeysetDataSourceSpec extends SparkSpec {
     assert(batches.map(_._2).sum == 7)
   }
 
+  test("DSv2 stream → idempotent merge sink: the full incremental contract end-to-end") {
+    import graft.streaming.IncrementalLoad
+    val ckpt = Files.createTempDirectory("keyset_merge_ckpt").toString
+    val stream = spark.readStream.format("graft-keyset").option("path", pagesDir).load()
+      .select(col("id"), col("lastModifiedAt"), col("totalPrice.amount").alias("amount"))
+    val initial = Seq(("o01", "2023-12-31T00:00:00", 1L))
+      .toDF("id", "lastModifiedAt", "amount")
+    val state = IncrementalLoad.runAvailableNow(
+      spark, stream, initial, Seq("id"), "lastModifiedAt", ckpt)
+    val rows = state.orderBy("id")
+      .select("id", "amount").as[(String, Long)].collect().toMap
+    assert(rows.size == 7)            // o01..o07 all present exactly once
+    assert(rows("o01") == 100L)       // replayed page overwrote the stale seed
+    assert(rows("o05") == 980L)
+  }
+
+  test("Skew.saltedJoin: result equals the plain join, keys spread over salts") {
+    import graft.operators.Skew
+    val big = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
+      .toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+    val salted = Skew.saltedJoin(big, small, Seq("k"), factor = 8,
+      saltBy = Seq(col("v"))).select("k", "v", "name")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   private implicit class QueueOps[A](q: java.util.concurrent.ConcurrentLinkedQueue[A]) {
     def asScala: Iterable[A] = {
       import scala.jdk.CollectionConverters._
