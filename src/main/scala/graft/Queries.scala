@@ -587,6 +587,21 @@ object Queries {
         countDistinct(col("l_partkey")).alias("exact_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** Similarity/IVF — inverted-file ANN over the planted corpus: probe-based
+    * approximate top-3. Approximate results are engine-specific (cell
+    * assignment is ours), so like q41 this registers WITHOUT an oracle —
+    * the driver records the rows-only check; recall is spec-tested against
+    * brute force.
+    */
+  def q43IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("embedding"))
+    Similarity.ivfTopK(queries, emb, k = 3, cells = 16, nprobe = 4)
+      .withColumn("cosine", round(col("cosine"), 8))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Dedup/SimHash pairs — planted corpus, Hamming ≤ 16 within blocking
     * buckets (top-8 fingerprint bits). The planted suffix changes one token,
     * flipping few fingerprint bits, so (id, id+100000) pairs survive.
@@ -643,6 +658,7 @@ object Queries {
     "q39_set_ops" -> (q39SetOps _),
     "q40_lag_delta" -> (q40LagDelta _),
     "q41_approx_distinct" -> (q41ApproxDistinct _),
-    "q42_simhash_pairs" -> (q42SimhashPairs _)
+    "q42_simhash_pairs" -> (q42SimhashPairs _),
+    "q43_ivf_topk" -> (q43IvfTopK _)
   )
 }

@@ -70,6 +70,13 @@ object Normalize {
   def explodeColumn(df: DataFrame, column: String): DataFrame =
     df.withColumn(column, explode_outer(col(s"`$column`")))
 
+  /** N2 legacy — inner explode (rows with null/empty arrays are DROPPED),
+    * the behavior of the legacy generation's concat path
+    * (`commercetools_utils.py:72`). Kept for back-compat parity.
+    */
+  def explodeColumnInner(df: DataFrame, column: String): DataFrame =
+    df.withColumn(column, explode(col(s"`$column`")))
+
   /** N4 — recursive normalize-to-flat fixpoint (`ct_utils.py:161-180`):
     * explode + flatten until the schema holds only scalars (excluded columns
     * aside). Deterministic and data-independent because it is schema-driven.

@@ -105,7 +105,8 @@ object Dedup {
         sequence(lit(0), lit(bands - 1)),
         b => {
           val parts: Seq[Column] = (0 until rowsPerBand).flatMap { j =>
-            Seq(element_at(col("__sig"), (b * rowsPerBand + j + 1).cast("int")), lit("|"))
+            Seq(element_at(col("__sig"), (b * rowsPerBand + j + 1).cast("int")).cast("string"),
+              lit("|"))
           }.dropRight(1)
           md5(concat(parts: _*))
         })))

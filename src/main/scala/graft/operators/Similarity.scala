@@ -132,6 +132,64 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** IVF (inverted-file) ANN — the other standard scale path next to LSH:
+    * partition the corpus into `k` cells around deterministic centroids,
+    * probe only the `nprobe` nearest cells per query, re-score exactly.
+    *
+    * Centroids are a deterministic hash-ordered sample of the corpus (k-means
+    * would refine them; the cell/probe plumbing — the part that matters for
+    * the distributed shape — is identical). At scale: the centroid table is
+    * tiny and broadcast twice (assignment + probe); the only big shuffle is
+    * the candidate equi-join on cell id.
+    */
+  def ivfAssignCells(corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val centroids = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(pmod(hash(col(idCol)), lit(104729)).asc, col(idCol).asc)
+      .limit(k)
+      .select(row_number().over(Window.orderBy(col(idCol))).alias("cell_id"),
+        col(vecCol).alias("__centroid"))
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col(vecCol), col("__centroid")))
+      .filter(col("__sim").isNotNull)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cell_id").asc)
+    val assigned = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("cell_id"))
+    (assigned, centroids)
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest cells per query, exact cosine over
+    * the union of those cells' members.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      cells: Int = 16, nprobe: Int = 4,
+      queryIdCol: String = "query_id", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (assigned, centroids) = ivfAssignCells(corpus, cells, idCol, vecCol)
+    val qCells = queries
+      .select(col(queryIdCol).alias("query_id"), col(vecCol).alias("__qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col("__qv"), col("__centroid")))
+      .filter(col("__sim").isNotNull)
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("cell_id").asc)
+    val probes = qCells.withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("cell_id"))
+    val cands = probes.join(
+      assigned.select(col("cell_id"), col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv")),
+      Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .filter(col("cosine").isNotNull)
+    val wRank = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): LSH-bucketed
     * self-join, exact cosine ≥ threshold. The all-pairs fallback within a
     * bucket is bounded by bucket size — same skew guard story as Dedup.

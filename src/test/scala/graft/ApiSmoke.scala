@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sample consumer driven by the verify workflow: exercises library exports
+  * that no Verify query reaches (lshBands, explodeColumnInner) against the
+  * real fixtures and prints what it observes. Run with
+  * `sbt "Test/runMain graft.ApiSmoke"`.
+  */
+object ApiSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.core.Sessions.builder("api-smoke", "local[4]", 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bands = graft.operators.Dedup.lshBands(docs, "doc_id", "text")
+    println(s"lshBands rows: ${bands.count()} (expect 500 docs x 4 bands = 2000)")
+    bands.orderBy("doc_id", "band_id").show(4, truncate = false)
+
+    val nested = Seq(
+      (1L, Seq("a", "b")), (2L, Seq.empty[String]), (3L, null.asInstanceOf[Seq[String]])
+    ).toDF("id", "xs")
+    println(s"explode_outer rows: ${graft.nested.Normalize.explodeColumn(nested, "xs").count()}")
+    println(s"explode inner rows: ${graft.nested.Normalize.explodeColumnInner(nested, "xs").count()}")
+    spark.stop()
+  }
+}

@@ -89,6 +89,14 @@ class ExtensionSpec extends SparkSpec {
     assert(out.contains(4L))
   }
 
+  test("ivfTopK: exact duplicate lands in the same cell and is recalled at rank 1") {
+    val q = vecs.filter($"vec_id" === 1L).select($"vec_id".alias("query_id"), $"embedding")
+    val out = Similarity.ivfTopK(q, vecs, k = 2, cells = 2, nprobe = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toMap
+    assert(out.keySet.contains(4L))
+    assert(out(4L) == 1)
+  }
+
   test("embeddingNearDuplicates finds the exact-dup vector pair") {
     val out = Similarity.embeddingNearDuplicates(vecs, threshold = 0.999, numPlanes = 2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

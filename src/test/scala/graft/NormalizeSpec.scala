@@ -61,4 +61,33 @@ class NormalizeSpec extends SparkSpec {
     val flat = Seq((1, "x")).toDF("a", "b")
     assert(Normalize.normalize(flat).columns.toSeq == Seq("a", "b"))
   }
+
+  test("N4 property: terminates with a scalar-only schema on random nested JSON (depth ≤ 4)") {
+    // generator for arbitrary nested JSON values (drives spark.read.json
+    // schema inference → arbitrary nested StructType/ArrayType trees)
+    val rnd = new scala.util.Random(42)
+    def genValue(depth: Int): String =
+      if (depth == 0) rnd.nextInt(3) match {
+        case 0 => rnd.nextInt(100).toString
+        case 1 => "\"s" + rnd.nextInt(10) + "\""
+        case _ => "null"
+      }
+      else rnd.nextInt(4) match {
+        case 0 => genValue(0)
+        case 1 => // object
+          (0 until 1 + rnd.nextInt(3))
+            .map(i => s""""f$i": ${genValue(depth - 1)}""").mkString("{", ", ", "}")
+        case 2 => // array
+          (0 until rnd.nextInt(3)).map(_ => genValue(depth - 1)).mkString("[", ", ", "]")
+        case _ => "null"
+      }
+    (1 to 15).foreach { trial =>
+      val docs = (1 to 5).map(i =>
+        s"""{"id": $i, "payload": ${genValue(1 + rnd.nextInt(3))}}""")
+      val df = spark.read.json(spark.createDataset(docs))
+      val out = Normalize.normalize(df)
+      assert(Normalize.isFlat(out), s"trial $trial not flat: ${out.schema.simpleString}")
+      assert(out.count() >= 0) // plan executes
+    }
+  }
 }

@@ -68,6 +68,24 @@ class UpsertSpec extends SparkSpec {
     assert(sql.contains("WHEN NOT MATCHED THEN INSERT"))
   }
 
+  test("§2.9 mergeAndSwap: durable parquet target updated atomically, audit returned") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("upsert_swap").toString + "/target"
+    target
+      .withColumn(Upsert.InsertTs, col(Upsert.InsertTs).cast("timestamp"))
+      .withColumn(Upsert.UpdateTs, col(Upsert.UpdateTs).cast("timestamp"))
+      .write.parquet(dir)
+    val stagedTs = staged
+      .withColumn(Upsert.InsertTs, col(Upsert.InsertTs).cast("timestamp"))
+      .withColumn(Upsert.UpdateTs, current_timestamp()) // "loaded now"
+    val audited = Upsert.mergeAndSwap(spark, dir, stagedTs, Seq("pk"))
+    val after = spark.read.parquet(dir).orderBy("pk").collect()
+    assert(after.length == 3)
+    assert(after(1).getAs[String]("payload") == "s2")
+    assert(after(2).getAs[String]("payload") == "s3")
+    assert(audited == 2L) // the two staged rows carry today's UPDATE_TIMESTAMP
+  }
+
   test("A2 audit counts rows updated today (utils.py:293-295)") {
     val merged = Seq(("2024-01-01")).toDF(Upsert.UpdateTs)
       .withColumn(Upsert.UpdateTs, col(Upsert.UpdateTs).cast("timestamp"))
