@@ -483,6 +483,25 @@ object Oracles {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    "q44_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q45_posexplode" ->
+      """SELECT vec_id, u.pos AS pos, u.value AS value FROM (
+        |  SELECT vec_id,
+        |    unnest([{'pos': i - 1, 'value': CAST(embedding[i] AS DOUBLE)}
+        |            for i in range(1, len(embedding) + 1)]) AS u
+        |  FROM embeddings WHERE vec_id < 3)
+        |ORDER BY vec_id, pos""".stripMargin,
+
     "q34_keyset_normalize" ->
       """WITH pages AS (
         |  SELECT * FROM read_json('/root/repo/src/test/resources/json/pages/page_*.json',

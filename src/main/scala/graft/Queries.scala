@@ -612,6 +612,29 @@ object Queries {
       .withColumn("hamming", col("hamming").cast("long"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Pivot — per-user activity matrix: one column per event type. Pivot
+    * values are pinned (the scalable form: no extra distinct-values job; at
+    * 100 TB an unpinned pivot scans twice).
+    */
+  def q44Pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** N2 on numeric arrays — posexplode of embeddings (position-preserving
+    * array flattening; the array↔rows bridge for vector post-processing).
+    */
+  def q45Posexplode(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").cast("long").alias("pos"),
+        col("col").cast("double").alias("value"))
+      .orderBy(col("vec_id"), col("pos"))
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -659,6 +682,8 @@ object Queries {
     "q40_lag_delta" -> (q40LagDelta _),
     "q41_approx_distinct" -> (q41ApproxDistinct _),
     "q42_simhash_pairs" -> (q42SimhashPairs _),
-    "q43_ivf_topk" -> (q43IvfTopK _)
+    "q43_ivf_topk" -> (q43IvfTopK _),
+    "q44_pivot" -> (q44Pivot _),
+    "q45_posexplode" -> (q45Posexplode _)
   )
 }

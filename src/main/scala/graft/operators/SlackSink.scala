@@ -37,6 +37,15 @@ object SlackSink {
 
   def payload(message: String): String = s"""{"text": "${jsonEscape(message)}"}"""
 
+  /** C5 — deprecated alias kept for parity with the reference's renamed
+    * entry point (`send_slack_alert`, `utils.py:117-123`, which warns and
+    * forwards). Compile-time deprecation is strictly stronger than the
+    * reference's runtime `warnings.warn`.
+    */
+  @deprecated("use SlackSink.send", "0.1.0")
+  def sendSlackAlert(df: DataFrame, webhookUrl: String, messageCol: String = "message"): Long =
+    send(df, webhookUrl, messageCol)
+
   /** Deliver every value of `messageCol` to the webhook. Returns the number
     * of rows attempted (delivery is at-least-once best-effort, like the
     * reference's fire-and-log contract).

@@ -86,6 +86,33 @@ class SourcesSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n") == 2L)
   }
 
+  test("§2.11 streaming session windows with watermark (append mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 00:10:00"), 2.0),  // same session (gap < 30m)
+      (1L, ts("2024-01-01 01:00:00"), 3.0),  // new session
+      (2L, ts("2024-01-01 02:30:00"), 4.0))  // advances watermark past both
+    val stream = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).alias("n"))
+      .select(col("session_window.start").alias("start"), col("user_id"), col("n"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("sessions_out")
+      .orderBy("user_id", "start")
+      .select("user_id", "n").as[(Long, Long)].collect().toSeq
+    // user 1: one 2-event session + one 1-event session closed by the watermark
+    assert(rows.filter(_._1 == 1L).map(_._2).sorted == Seq(1L, 2L))
+  }
+
   test("§2.11 streaming AvailableNow: replay + idempotent merge = effectively-once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
