@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Evidence for the SCALE.md co-location claim: bucketing both join sides by
+  * the join key removes the shuffle entirely (the fix for the one large
+  * shuffle in the star join / MERGE at 100 TB).
+  */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed-by-key tables join without an Exchange") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_extendedprice")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_bucketed")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("o_bucketed")
+
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+
+    // both scans feed the sort-merge join directly: no shuffle on either side
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free co-located join, got:\n$plan")
+    // and the result is still correct
+    assert(joined.count() ==
+      li.join(o, col("l_orderkey") === col("o_orderkey")).count())
+  }
+}
