@@ -103,4 +103,64 @@ object Multimodal {
       col("byte_len"),
       (col("byte_len").isNull || col("byte_len") === 0).alias("is_empty"),
       md5(col("bytes")).alias("content_md5"))
+
+  final case class ResizedAsset(asset_id: Long, width: Int, height: Int, bytes: Array[Byte])
+
+  /** Image resize over batches — the Spark plumbing (narrow map, streaming
+    * iterator, codec-init-per-partition) is real; the pixel work is a
+    * deterministic stub (length-preserving byte fold) standing in for a real
+    * scaler. Target dims are parameters, as a production kernel's would be.
+    */
+  def resize(assets: DataFrame, width: Int, height: Int): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // production: codec/scaler init once per partition here
+        it.map { case (id, bytes) =>
+          ResizedAsset(id, width, height, resizeStub(bytes, width, height))
+        }
+      }
+      .toDF()
+  }
+
+  /** Frame sampling for video payloads: emit one row per sampled frame
+    * (flatMap — row count grows, still a narrow op). Frame bytes are a
+    * deterministic slice stub; `everyNth` mirrors a real stride parameter.
+    */
+  def sampleFrames(assets: DataFrame, everyNth: Int, maxFrames: Int = 16): DataFrame = {
+    require(everyNth >= 1, "everyNth must be >= 1")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("bytes")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val frames = frameSampleStub(bytes, everyNth, maxFrames)
+        frames.zipWithIndex.map { case (f, i) => (id, i * everyNth, f) }
+      }
+      .toDF("asset_id", "frame_index", "frame_bytes")
+  }
+
+  /** Deterministic stand-ins for the codec kernels (media libraries are not
+    * available in this environment — see class doc).
+    */
+  private def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty) Array.emptyByteArray
+    else {
+      val out = new Array[Byte](math.min(w * h / 64 + 1, bytes.length))
+      var i = 0
+      while (i < out.length) { out(i) = bytes(i % bytes.length); i += 1 }
+      out
+    }
+  }
+
+  private def frameSampleStub(bytes: Array[Byte], everyNth: Int, maxFrames: Int): Seq[Array[Byte]] = {
+    if (bytes == null || bytes.isEmpty) Seq.empty
+    else {
+      val frameSize = math.max(bytes.length / 16, 1)
+      val nFrames = math.min((bytes.length + frameSize - 1) / frameSize, maxFrames * everyNth)
+      (0 until nFrames by everyNth).map { f =>
+        bytes.slice(f * frameSize, math.min((f + 1) * frameSize, bytes.length))
+      }
+    }
+  }
 }

@@ -23,6 +23,14 @@ object ApiSmoke {
     ).toDF("id", "xs")
     println(s"explode_outer rows: ${graft.nested.Normalize.explodeColumn(nested, "xs").count()}")
     println(s"explode inner rows: ${graft.nested.Normalize.explodeColumnInner(nested, "xs").count()}")
+
+    val assets = graft.operators.Multimodal.toAssets(docs, "doc_id", "text", "text/plain")
+    val resized = graft.operators.Multimodal.resize(assets, 224, 224)
+    println(s"resized assets: ${resized.count()} (expect 500)")
+    resized.select("asset_id", "width", "height").show(2)
+    val frames = graft.operators.Multimodal.sampleFrames(assets, everyNth = 4)
+    println(s"sampled frames: ${frames.count()} from ${assets.count()} assets")
+    frames.groupBy().agg(min(col("frame_index")), max(col("frame_index"))).show()
     spark.stop()
   }
 }

@@ -17,6 +17,17 @@ class BucketingSpec extends SparkSpec {
 
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    // a previous JVM's in-memory catalog is gone but its warehouse dirs
+    // survive; clear them so CTAS doesn't refuse the location
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(dir)
+      }
+    }
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("li_bucketed")
     o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")

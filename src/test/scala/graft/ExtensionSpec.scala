@@ -130,6 +130,36 @@ class ExtensionSpec extends SparkSpec {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("multimodal: resize keeps one row per asset with requested dims") {
+    val assets = Multimodal.toAssets(docs, "doc_id", "text")
+    val out = Multimodal.resize(assets, 224, 224).collect()
+    assert(out.length == 5)
+    assert(out.forall(r => r.getAs[Int]("width") == 224 && r.getAs[Int]("height") == 224))
+    // deterministic: exact dup docs produce identical resized bytes
+    val byId = out.map(r => r.getAs[Long]("asset_id") -> r.getAs[Array[Byte]]("bytes")).toMap
+    assert(java.util.Arrays.equals(byId(1L), byId(4L)))
+  }
+
+  test("multimodal: frame sampling emits strided frames, empty payload → none") {
+    val assets = Multimodal.toAssets(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(assets, everyNth = 2, maxFrames = 4)
+    val byAsset = frames.groupBy("asset_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!byAsset.contains(5L)) // empty doc → no frames
+    assert(byAsset(1L) >= 1 && byAsset(1L) <= 4)
+    val idx = frames.filter($"asset_id" === 1L)
+      .select("frame_index").as[Int].collect().sorted.toSeq
+    assert(idx == idx.indices.map(_ * 2)) // stride honored
+  }
+
+  test("native cosine rejects non-array inputs at analysis time") {
+    val bad = Seq((1, 2)).toDF("a", "b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(Similarity.cosine($"a", $"b")).collect()
+    }
+    assert(e.getMessage.contains("cosine_similarity expects two numeric arrays"))
+  }
+
   test("multimodal: asset layout + stubbed feature extraction batch shape") {
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "text/plain")
     assert(assets.columns.toSeq == Seq("asset_id", "media_type", "bytes", "byte_len"))
