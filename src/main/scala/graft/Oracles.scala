@@ -502,6 +502,48 @@ object Oracles {
         |  FROM embeddings WHERE vec_id < 3)
         |ORDER BY vec_id, pos""".stripMargin,
 
+    "q46_running_sum" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(30,6))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        |  count(*) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q47_null_semantics" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN value < 50.0 THEN NULL ELSE value END AS maybe_value,
+        |         nullif(event_type, 'error') AS maybe_type
+        |  FROM events)
+        |SELECT maybe_type,
+        |  count(*) AS n_rows,
+        |  count(maybe_value) AS n_nonnull,
+        |  CAST(sum(CAST(coalesce(maybe_value, 0.0) AS DECIMAL(30,6))) AS DOUBLE) AS sum_filled,
+        |  CAST(sum(CAST(maybe_value AS DECIMAL(30,6))) AS DOUBLE) AS sum_skipnull
+        |FROM e
+        |GROUP BY maybe_type
+        |ORDER BY maybe_type ASC NULLS FIRST""".stripMargin,
+
+    "q48_string_fns" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS up,
+        |  substring(c_name, 1, 8) AS prefix,
+        |  length(c_name) AS len,
+        |  regexp_replace(c_name, 'Customer', 'C', 'g') AS shortened,
+        |  concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q49_date_parts" ->
+      """SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q, month(o_orderdate) AS m,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY y, q, m
+        |ORDER BY y, q, m""".stripMargin,
+
     "q34_keyset_normalize" ->
       """WITH pages AS (
         |  SELECT * FROM read_json('/root/repo/src/test/resources/json/pages/page_*.json',

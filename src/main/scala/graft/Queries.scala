@@ -635,6 +635,65 @@ object Queries {
         col("col").cast("double").alias("value"))
       .orderBy(col("vec_id"), col("pos"))
 
+  /** W2 frame specs — running (cumulative) aggregate per user over event
+    * time; decimal accumulation keeps the running values engine-exact.
+    */
+  def q46RunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .withColumn("running_value",
+        sum(col("value").cast("decimal(30,6)")).over(w).cast("double"))
+      .withColumn("running_n", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("running_value"), col("running_n"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Null-semantics pack — the fixtures carry no nulls, so manufacture them
+    * (`nullif`) and pin the contracts that differ across engines if handled
+    * sloppily: null grouping keys form their own group, aggregates skip
+    * nulls, count(*) does not, coalesce fills.
+    */
+  def q47NullSemantics(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("maybe_value", when(col("value") < 50.0, lit(null)).otherwise(col("value")))
+      .withColumn("maybe_type", nullif(col("event_type"), lit("error")))
+      .groupBy(col("maybe_type"))
+      .agg(
+        count(lit(1)).alias("n_rows"),
+        count(col("maybe_value")).alias("n_nonnull"),
+        dsum(coalesce(col("maybe_value"), lit(0.0))).alias("sum_filled"),
+        dsum(col("maybe_value")).alias("sum_skipnull"))
+      .orderBy(col("maybe_type").asc_nulls_first)
+
+  /** String-function pack over customer names (engine-portable subset:
+    * no regex classes beyond literals).
+    */
+  def q48StringFns(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).alias("up"),
+        substring(col("c_name"), 1, 8).alias("prefix"),
+        length(col("c_name")).cast("long").alias("len"),
+        regexp_replace(col("c_name"), "Customer", "C").alias("shortened"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey").cast("string")).alias("seg_key"),
+        lpad(col("c_custkey").cast("string"), 10, "0").alias("padded"))
+      .orderBy(col("c_custkey"))
+
+  /** Date-part extraction over order dates (year/quarter/month/day — the
+    * parts with identical semantics across engines; week/dow conventions
+    * deliberately excluded).
+    */
+  def q49DateParts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).alias("y"),
+        quarter(col("o_orderdate")).alias("q"),
+        month(col("o_orderdate")).alias("m"))
+      .agg(count(lit(1)).alias("n"), dsum(col("o_totalprice")).alias("total"))
+      .orderBy(col("y"), col("q"), col("m"))
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -684,6 +743,10 @@ object Queries {
     "q42_simhash_pairs" -> (q42SimhashPairs _),
     "q43_ivf_topk" -> (q43IvfTopK _),
     "q44_pivot" -> (q44Pivot _),
-    "q45_posexplode" -> (q45Posexplode _)
+    "q45_posexplode" -> (q45Posexplode _),
+    "q46_running_sum" -> (q46RunningSum _),
+    "q47_null_semantics" -> (q47NullSemantics _),
+    "q48_string_fns" -> (q48StringFns _),
+    "q49_date_parts" -> (q49DateParts _)
   )
 }
