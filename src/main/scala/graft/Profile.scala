@@ -37,6 +37,15 @@ object Profile {
     time("jaccard")(Dedup.ngramJaccardFromShingles(cands, shP, "doc_id").filter(col("jaccard") >= 0.7).count())
     time("full nearDuplicates")(Dedup.nearDuplicates(corpus, "doc_id", "text").count())
     time("full nearDuplicates again")(Dedup.nearDuplicates(corpus, "doc_id", "text").count())
+    // no-persist variant: both stages recompute the shingle index, fully pipelined
+    def noPersist(): Long = {
+      val shIdx = Dedup.shingleIndex(corpus, "doc_id", "text")
+      val cands = Dedup.lshCandidatePairsFromShingles(shIdx, "doc_id")
+      Dedup.ngramJaccardFromShingles(cands, shIdx, "doc_id")
+        .filter(col("jaccard") >= 0.7).count()
+    }
+    time("nearDup NO persist")(noPersist())
+    time("nearDup NO persist again")(noPersist())
     spark.stop()
   }
 }
