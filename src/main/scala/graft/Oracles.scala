@@ -544,6 +544,12 @@ object Oracles {
         |GROUP BY y, q, m
         |ORDER BY y, q, m""".stripMargin,
 
+    "q50_map_keys" ->
+      """SELECT key, count(*) AS n FROM (
+        |  SELECT unnest(json_keys(props)) AS key FROM events WHERE props IS NOT NULL)
+        |GROUP BY key
+        |ORDER BY key""".stripMargin,
+
     "q34_keyset_normalize" ->
       """WITH pages AS (
         |  SELECT * FROM read_json('/root/repo/src/test/resources/json/pages/page_*.json',

@@ -694,6 +694,18 @@ object Queries {
       .agg(count(lit(1)).alias("n"), dsum(col("o_totalprice")).alias("total"))
       .orderBy(col("y"), col("q"), col("m"))
 
+  /** N7/map-ops — dynamic-key introspection: per-document key inventory of
+    * the JSON payload (map_keys + explode over a MapType column), the
+    * schema-on-read primitive for payloads whose keys are data.
+    */
+  def q50MapKeys(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(explode(map_keys(from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))).alias("key"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).alias("n"))
+      .orderBy(col("key"))
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -747,6 +759,7 @@ object Queries {
     "q46_running_sum" -> (q46RunningSum _),
     "q47_null_semantics" -> (q47NullSemantics _),
     "q48_string_fns" -> (q48StringFns _),
-    "q49_date_parts" -> (q49DateParts _)
+    "q49_date_parts" -> (q49DateParts _),
+    "q50_map_keys" -> (q50MapKeys _)
   )
 }
