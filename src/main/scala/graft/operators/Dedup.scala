@@ -39,9 +39,21 @@ object Dedup {
       .drop("__fp")
 
   /** Word n-gram shingles of the canonical text (default 3-word shingles —
-    * the standard near-dup granularity).
+    * the standard near-dup granularity). Native fused kernel
+    * ([[graft.functions.expressions.WordShingles]]): one pass per document,
+    * stays in whole-stage codegen. [[shinglesBuiltin]] is the
+    * differential-test twin.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.WordShingles(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), n))
+
+  /** Builtin-only formulation — `transform`/`filter`/`array_distinct` are
+    * interpreted (CodegenFallback) per element, so this is the slow twin
+    * kept for cross-checking the kernel.
+    */
+  def shinglesBuiltin(text: Column, n: Int = 3): Column = {
     val tokens = split(canonical(text), " ")
     // sliding windows via transform over token indices; filter short tails
     array_distinct(filter(
@@ -57,27 +69,30 @@ object Dedup {
     * (h < 2^32, a < 2^28), so the arithmetic is portable to any engine with
     * plain BIGINT math (the differential-test requirement).
     */
-  val MinhashP = 1000000007L
+  val MinhashP: Long = graft.functions.expressions.Kernels.MinhashP
 
-  def affineParams(i: Int): (Long, Long) = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def h7(s: String): Long = java.lang.Long.parseLong(
-      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 7), 16)
-    (h7(s"minhash-a-$i") | 1L, h7(s"minhash-b-$i"))
-  }
+  def affineParams(i: Int): (Long, Long) =
+    graft.functions.expressions.Kernels.affineParams(i)
 
   /** Base 32-bit shingle hash: first 8 md5 hex digits as an integer. */
   def shingleHash(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
   /** MinHash signature: array<long> of length `numHashes`, min over the
-    * affine-permuted base hashes. Runs in one projection — no shuffle.
+    * affine-permuted base hashes. Native fused kernel
+    * ([[graft.functions.expressions.MinHashSig]]) — one md5 pass over the
+    * shingles, all permutations in one loop. The builtin twin
+    * ([[minhashSignatureOfHashes]]) duplicates its input subtree per hash
+    * (Catalyst re-evaluates the un-CSE'd branch `numHashes` times) — the
+    * round-1 q25 bottleneck.
     */
   def minhashSignature(text: Column, numHashes: Int = 12): Column =
-    minhashSignatureOfHashes(transform(shingles(text), shingleHash(_)), numHashes)
+    minhashSignatureOfShingles(shingles(text), numHashes)
 
   def minhashSignatureOfShingles(sh: Column, numHashes: Int): Column =
-    minhashSignatureOfHashes(transform(sh, shingleHash(_)), numHashes)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.MinHashSig(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(sh), numHashes))
 
   /** Signature over an already-computed base-hash column — pipelines
     * materialize the md5 pass ONCE and derive all permutations from it.
@@ -97,10 +112,16 @@ object Dedup {
     * colliding into one md5("") mega-bucket.
     */
   def lshBands(docs: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
-    val sig = minhashSignature(col(textCol), bands * rowsPerBand)
-    docs
-      .select(col(idCol), sig.alias("__sig"))
+      bands: Int = 4, rowsPerBand: Int = 3): DataFrame =
+    bandRows(
+      docs.select(col(idCol),
+        minhashSignature(col(textCol), bands * rowsPerBand).alias("__sig")),
+      idCol, bands, rowsPerBand)
+
+  /** (id, __sig) → exploded (id, band_id, band_hash) rows. */
+  private def bandRows(withSig: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    withSig
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => {
@@ -113,7 +134,6 @@ object Dedup {
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "band_hash")
       .filter(col("band_hash").isNotNull)
-  }
 
   /** The shingle index: (id, __sh) — the one expensive projection (regex
     * split + sliding windows + distinct) the whole near-dup pipeline shares.
@@ -134,25 +154,12 @@ object Dedup {
     */
   def lshCandidatePairsFromShingles(shIdx: DataFrame, idCol: String,
       bands: Int = 4, rowsPerBand: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val banded = shIdx
-      .select(col(idCol), transform(col("__sh"), shingleHash(_)).alias("__h32"))
-      .select(col(idCol),
-        minhashSignatureOfHashes(col("__h32"), bands * rowsPerBand).alias("__sig"),
-        size(col("__h32")).alias("__n"))
-      // null-signature (no shingles) docs never bucket
-      .filter(col("__n") > 0)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => {
-          val parts: Seq[Column] = (0 until rowsPerBand).flatMap { j =>
-            Seq(element_at(col("__sig"), (b * rowsPerBand + j + 1).cast("int")).cast("string"),
-              lit("|"))
-          }.dropRight(1)
-          md5(concat(parts: _*))
-        })))
-      .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "band_hash")
-      .filter(col("band_hash").isNotNull)
+    val banded = bandRows(
+      shIdx
+        .filter(size(col("__sh")) > 0) // no shingles → never buckets
+        .select(col(idCol),
+          minhashSignatureOfShingles(col("__sh"), bands * rowsPerBand).alias("__sig")),
+      idCol, bands, rowsPerBand)
     val ids = col("__ids")
     banded
       .groupBy(col("band_id"), col("band_hash"))
@@ -202,9 +209,16 @@ object Dedup {
   }
 
   /** Token hashes for simhash: md5 of each distinct token, first 15 hex
-    * digits as a positive 60-bit long.
+    * digits as a positive 60-bit long. Native fused kernel
+    * ([[graft.functions.expressions.HashedTokens]]); builtin twin below.
     */
   def simhashTokenHashes(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.HashedTokens(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
+  /** Builtin-only twin of [[simhashTokenHashes]] for differential testing. */
+  def simhashTokenHashesBuiltin(text: Column): Column =
     transform(array_distinct(split(canonical(text), " ")),
       t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
 

@@ -144,12 +144,25 @@ object Similarity {
     */
   def ivfAssignCells(corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
-    val centroids = corpus
+    // k centroid rows are collected to the driver: k is a small constant
+    // (≤ a few thousand cells even at 100 TB), and numbering them locally
+    // avoids a single-partition global window (WindowExec would move data
+    // to one partition — fine for k rows, but a scale smell worth zero).
+    val spark = corpus.sparkSession
+    val sample = corpus
       .select(col(idCol), col(vecCol))
       .orderBy(pmod(hash(col(idCol)), lit(104729)).asc, col(idCol).asc)
       .limit(k)
-      .select(row_number().over(Window.orderBy(col(idCol))).alias("cell_id"),
-        col(vecCol).alias("__centroid"))
+      .orderBy(col(idCol))
+      .collect()
+    val vecType = corpus.schema(vecCol).dataType
+    val centroidSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell_id", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__centroid", vecType, nullable = true)))
+    val centroids = spark.createDataFrame(
+      java.util.Arrays.asList(sample.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(i + 1, r.get(1))
+      }: _*), centroidSchema)
     val scored = corpus.crossJoin(broadcast(centroids))
       .withColumn("__sim", cosine(col(vecCol), col("__centroid")))
       .filter(col("__sim").isNotNull)

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Fused text kernels (WordShingles / MinHashSig / HashedTokens) vs their
+  * builtin-expression twins: bit-identical on real fixture text and on the
+  * edge cases (null, empty, whitespace-only, short docs, messy whitespace).
+  */
+class TextKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgeTexts = Seq(
+    Some("The quick  brown\tfox jumps over the lazy dog"),
+    Some("one two"),            // fewer tokens than shingle width
+    Some("one two three"),      // exactly one shingle
+    Some("a a a a a"),          // repeated tokens → distinct collapses
+    Some(""),                   // empty
+    Some("   \t\n  "),          // whitespace only
+    Some("MiXeD CaSe   MiXeD CaSe extra"),
+    None                        // null text
+  ).toDF("text")
+
+  private def fixtureTexts =
+    spark.read.parquet(s"$sfDir/documents.parquet").select($"text")
+
+  test("WordShingles matches builtin shingles on edge cases and fixtures") {
+    for (df <- Seq(edgeTexts, fixtureTexts)) {
+      val rows = df.select(
+        Dedup.shingles($"text").alias("native"),
+        Dedup.shinglesBuiltin($"text").alias("builtin")).collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1))
+        if (!r.isNullAt(0))
+          assert(r.getSeq[String](0) == r.getSeq[String](1))
+      }
+    }
+  }
+
+  test("MinHashSig matches the builtin affine-min formulation") {
+    // Contract note: for a NULL shingle array the native kernel returns NULL
+    // while the builtin `array(array_min(...))` returns [null × k] — every
+    // element access / band hash downstream yields identical values, so the
+    // twins are compared on non-null inputs and the null case is pinned
+    // separately ("kernel null/empty contracts").
+    for (df <- Seq(edgeTexts, fixtureTexts)) {
+      val sh = df.select(Dedup.shinglesBuiltin($"text").alias("sh"))
+        .filter($"sh".isNotNull)
+      val rows = sh.select(
+        Dedup.minhashSignatureOfShingles($"sh", 12).alias("native"),
+        Dedup.minhashSignatureOfHashes(
+          transform($"sh", Dedup.shingleHash(_)), 12).alias("builtin")).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(!r.isNullAt(0) && !r.isNullAt(1))
+        assert(r.getSeq[Any](0) == r.getSeq[Any](1))
+      }
+    }
+  }
+
+  test("HashedTokens matches the builtin md5-60bit formulation") {
+    for (df <- Seq(edgeTexts, fixtureTexts)) {
+      val rows = df.select(
+        Dedup.simhashTokenHashes($"text").alias("native"),
+        Dedup.simhashTokenHashesBuiltin($"text").alias("builtin")).collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1))
+        if (!r.isNullAt(0))
+          assert(r.getSeq[Long](0).sorted == r.getSeq[Long](1).sorted)
+      }
+    }
+  }
+
+  test("HashedTokens preserves the builtin's first-occurrence order") {
+    val r = Seq("b a c a b").toDF("text").select(
+      Dedup.simhashTokenHashes($"text").alias("n"),
+      Dedup.simhashTokenHashesBuiltin($"text").alias("b")).head()
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+  }
+
+  test("kernel null/empty contracts") {
+    val r = edgeTexts.select(
+      Dedup.shingles($"text").alias("sh"),
+      Dedup.minhashSignatureOfShingles(Dedup.shingles($"text"), 3).alias("sig"))
+      .collect()
+    // empty text → empty shingles, all-null signature
+    val empty = r(4)
+    assert(empty.getSeq[String](0).isEmpty)
+    assert(empty.getSeq[Any](1) == Seq(null, null, null))
+    // null text → null shingles, null signature
+    val nul = r(7)
+    assert(nul.isNullAt(0) && nul.isNullAt(1))
+  }
+}
