@@ -550,6 +550,174 @@ object Oracles {
         |GROUP BY key
         |ORDER BY key""".stripMargin,
 
+    "q51_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS user_id, o_orderdate,
+        |    o_orderdate AS last_order_date,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS day_total,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, r.last_order_date, r.day_total, r.n_orders
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q52_range_join" ->
+      """WITH bands AS (
+        |  SELECT i AS band_id, i * 10000.0 AS lo, (i + 1) * 10000.0 AS hi
+        |  FROM range(0, 12) t(i))
+        |SELECT band_id, lo, hi, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |FROM lineitem JOIN bands
+        |  ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY band_id, lo, hi
+        |ORDER BY band_id""".stripMargin,
+
+    "q53_dedup_clusters" -> {
+      val sigExprs = (0 until 12).map { i =>
+        val (a, b) = graft.operators.Dedup.affineParams(i)
+        s"list_min([(CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) * $a + $b) % ${graft.operators.Dedup.MinhashP} for s in shingles])"
+      }.mkString("[", ", ", "]")
+      val bandHash =
+        "md5(CAST(sig[3*b + 1] AS VARCHAR) || '|' || CAST(sig[3*b + 2] AS VARCHAR) || '|' || CAST(sig[3*b + 3] AS VARCHAR))"
+      s"""WITH RECURSIVE ${shinglesCte(plantedDocs)},
+         |sig AS (SELECT doc_id, shingles, $sigExprs AS sig FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b AS band_id, $bandHash AS band_hash
+         |  FROM sig, range(0, 4) t(b)
+         |  WHERE $bandHash IS NOT NULL),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band_id, band_hash)
+         |  WHERE a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT id_a, id_b,
+         |    len(list_intersect(sa.shingles, sb.shingles)) AS ilen,
+         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS ulen
+         |  FROM pairs
+         |  JOIN sh sa ON sa.doc_id = id_a
+         |  JOIN sh sb ON sb.doc_id = id_b),
+         |verified AS (
+         |  SELECT id_a, id_b FROM j
+         |  WHERE (CASE WHEN ulen = 0 THEN 0.0 ELSE CAST(ilen AS DOUBLE) / ulen END) >= 0.7),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified
+         |  UNION
+         |  SELECT id_b, id_a FROM verified),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id AS doc_id, min(lbl) AS cluster_id
+         |FROM reach GROUP BY id
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q54_hash_sample" ->
+      """SELECT l_returnflag, count(*) AS n_sampled,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q55_grouping_sets" ->
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q56_unpivot" ->
+      """WITH agg AS (
+        |  SELECT o_orderpriority,
+        |    CAST(count(*) AS DOUBLE) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, metric, value FROM (
+        |  SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM agg
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'total_price', total_price FROM agg)
+        |ORDER BY o_orderpriority, metric""".stripMargin,
+
+    "q57_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  min(l_quantity) AS mn,
+        |  max(l_quantity) AS mx
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q58_corpus_select" -> {
+      val stop = Map(
+        "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "von"),
+        "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+        "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de", "que"),
+        "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "du", "que"),
+        "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+      val hitExprs = stop.toSeq.sortBy(_._1).map { case (lang, words) =>
+        val inList = words.map(w => s"'$w'").mkString("(", ", ", ")")
+        s"len(list_filter(tokens, t -> t IN $inList)) AS ${lang}_hits"
+      }.mkString(",\n    ")
+      val best = "greatest(de_hits, en_hits, es_hits, fr_hits, zh_hits)"
+      raw"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    string_split_regex(lower(trim(coalesce(text, ''))), '\s+') AS tokens
+         |  FROM documents),
+         |hits AS (
+         |  SELECT doc_id, text, tokens,
+         |    $hitExprs
+         |  FROM base),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN $best <= 0 THEN 'und'
+         |         WHEN de_hits = $best THEN 'de'
+         |         WHEN en_hits = $best THEN 'en'
+         |         WHEN es_hits = $best THEN 'es'
+         |         WHEN fr_hits = $best THEN 'fr'
+         |         ELSE 'zh' END AS lang_pred,
+         |    CAST(CAST(
+         |      (CASE WHEN length(coalesce(text,'')) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+         |      (CASE WHEN (CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+         |         ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / length(text) END) <= 0.3
+         |         THEN 1.0 ELSE 0.0 END) * 0.3 +
+         |      (CASE WHEN (CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0
+         |         ELSE CAST(list_sum([length(t) for t in string_split_regex(trim(text), '\s+')]) AS DOUBLE)
+         |              / len(string_split_regex(trim(text), '\s+')) END) BETWEEN 2.5 AND 12.0
+         |         THEN 1.0 ELSE 0.0 END) * 0.3
+         |      AS DECIMAL(10,4)) AS DOUBLE) AS quality,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         |    md5($canon) AS fp
+         |  FROM hits),
+         |filtered AS (
+         |  SELECT * FROM scored WHERE quality >= 0.7 AND lang_pred <> 'und'),
+         |deduped AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |    FROM filtered)
+         |  WHERE rn = 1),
+         |ranked AS (
+         |  SELECT lang_pred, doc_id, quality, n_tokens,
+         |    row_number() OVER (PARTITION BY lang_pred ORDER BY quality DESC, doc_id ASC) AS rank
+         |  FROM deduped)
+         |SELECT lang_pred, rank, doc_id, quality, n_tokens
+         |FROM ranked WHERE rank <= 20
+         |ORDER BY lang_pred, rank""".stripMargin
+    },
+
+    "q59_running_total" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+        |    ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q34_keyset_normalize" ->
       """WITH pages AS (
         |  SELECT * FROM read_json('/root/repo/src/test/resources/json/pages/page_*.json',

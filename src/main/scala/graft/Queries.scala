@@ -706,6 +706,150 @@ object Queries {
       .agg(count(lit(1)).alias("n"))
       .orderBy(col("key"))
 
+  /** As-of join (J6 extension) — for each event, the customer's most recent
+    * order day at event time: one shuffle on the key (union + running
+    * window), never a range-join row explosion. Right side pre-aggregated
+    * per (custkey, day) so the as-of tie contract (unique key+ts) holds.
+    */
+  def q51AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val orderDays = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(dsum(col("o_totalprice")).alias("day_total"), count(lit(1)).alias("n_orders"))
+      .select(col("o_custkey").alias("user_id"), col("o_orderdate"),
+        col("o_orderdate").alias("last_order_date"), col("day_total"), col("n_orders"))
+    graft.operators.AsOfJoin.backward(
+      events, orderDays, on = Seq("user_id"), leftTs = "ts", rightTs = "o_orderdate")
+      .select(col("event_id"), col("user_id"), col("last_order_date"),
+        col("day_total"), col("n_orders"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range (interval) join — classify line items into price bands: the
+    * band table is tiny and broadcast, so the theta-join is a broadcast
+    * nested loop over 12 rows per item, not a shuffle.
+    */
+  def q52RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bands = (0 until 12).map(i => (i.toLong, i * 10000.0, (i + 1) * 10000.0))
+    val bandDf = spark.createDataFrame(bands).toDF("band_id", "lo", "hi")
+    t(spark, dir, "lineitem")
+      .join(broadcast(bandDf),
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy(col("band_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).alias("n"), dsum(col("l_extendedprice")).alias("total"))
+      .orderBy(col("band_id"))
+  }
+
+  /** Dedup clustering — connected components over the near-dup pair graph
+    * (min-label propagation, O(diameter) shuffles): every document that has
+    * a near-duplicate, labeled with its dedup-group representative.
+    */
+  def q53DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDuplicates(docsWithPlantedDups(spark, dir), "doc_id", "text",
+      threshold = 0.7, bands = 4, rowsPerBand = 3)
+    Dedup.clusters(pairs)
+      .select(col("id").alias("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic hash sampling — the reproducible Bernoulli sample every
+    * training-data pipeline needs (same rows on every engine/run, unlike
+    * `TABLESAMPLE`): keep a row iff its key's md5 bucket < rate.
+    */
+  def q54HashSample(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .withColumn("__bucket",
+        conv(substring(md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))), 1, 8),
+          16, 10).cast("long") % 100)
+      .filter(col("__bucket") < 10) // 10% sample
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).alias("n_sampled"), dsum(col("l_quantity")).alias("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** GROUPING SETS (A6 family beyond rollup/cube) — explicit set list with
+    * GROUPING() sentinels, through the SQL entry point (S6).
+    */
+  def q55GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("v_lineitem_gs")
+    spark.sql(
+      """SELECT
+        |  CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+        |  CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+        |FROM v_lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  /** Unpivot (wide→long melt) — per-priority metrics unpivoted to
+    * (priority, metric, value) rows; the inverse bridge to q44's pivot.
+    */
+  def q56Unpivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast("double").alias("n_orders"),
+        dsum(col("o_totalprice")).alias("total_price"))
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("n_orders"), col("total_price")), "metric", "value")
+      .orderBy(col("o_orderpriority"), col("metric"))
+
+  /** Exact interpolated percentiles (quantile_cont semantics) per group —
+    * quantity quartiles by return flag.
+    */
+  def q57Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).alias("p25"),
+        percentile(col("l_quantity"), lit(0.5)).alias("p50"),
+        percentile(col("l_quantity"), lit(0.75)).alias("p75"),
+        min(col("l_quantity")).alias("mn"),
+        max(col("l_quantity")).alias("mx"))
+      .orderBy(col("l_returnflag"))
+
+  /** Training-corpus selection — the end-to-end LLM-data pipeline in one
+    * query: quality-score filter → language filter → exact dedup (keep min
+    * doc id per canonical digest) → top-20 per language by quality. One
+    * corpus scan; dedup and ranking are the only shuffles.
+    */
+  def q58CorpusSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val scored = docs.select(
+      col("doc_id"), col("text"),
+      TextAnalysis.langId(col("text")).alias("lang_pred"),
+      round(TextAnalysis.qualityScore(col("text")), 4).alias("quality"),
+      TextAnalysis.tokenCountWhitespace(col("text")).cast("long").alias("n_tokens"),
+      md5(Dedup.canonical(col("text"))).alias("__fp"))
+      .filter(col("quality") >= 0.7 && col("lang_pred") =!= "und")
+    // exact dedup: keep the min doc_id per fingerprint (one shuffle)
+    val wDedup = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
+    val deduped = scored
+      .withColumn("__rn", row_number().over(wDedup))
+      .filter(col("__rn") === 1)
+    // top-20 per language by quality (deterministic tie-break on doc_id)
+    val wTop = Window.partitionBy(col("lang_pred"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    deduped
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 20)
+      .select(col("lang_pred"), col("rank").cast("long").alias("rank"),
+        col("doc_id"), col("quality"), col("n_tokens"))
+      .orderBy(col("lang_pred"), col("rank"))
+  }
+
+  /** Global running total WITHOUT a single-partition window — the two-pass
+    * prefix-sum operator (bucketed cumulative sums + broadcast offsets);
+    * decimal accumulation makes the result bit-equal to `sum() OVER
+    * (ORDER BY)` in any engine.
+    */
+  def q59RunningTotal(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.PrefixSum.runningTotal(
+      t(spark, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      orderCol = "o_orderkey", valueCol = "o_totalprice", buckets = 64)
+      .select(col("o_orderkey"), col("running_total").cast("double").alias("running_total"))
+      .orderBy(col("o_orderkey"))
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -760,6 +904,15 @@ object Queries {
     "q47_null_semantics" -> (q47NullSemantics _),
     "q48_string_fns" -> (q48StringFns _),
     "q49_date_parts" -> (q49DateParts _),
-    "q50_map_keys" -> (q50MapKeys _)
+    "q50_map_keys" -> (q50MapKeys _),
+    "q51_asof_join" -> (q51AsofJoin _),
+    "q52_range_join" -> (q52RangeJoin _),
+    "q53_dedup_clusters" -> (q53DedupClusters _),
+    "q54_hash_sample" -> (q54HashSample _),
+    "q55_grouping_sets" -> (q55GroupingSets _),
+    "q56_unpivot" -> (q56Unpivot _),
+    "q57_percentiles" -> (q57Percentiles _),
+    "q58_corpus_select" -> (q58CorpusSelect _),
+    "q59_running_total" -> (q59RunningTotal _)
   )
 }

@@ -208,6 +208,50 @@ object Dedup {
     ngramJaccardFromShingles(cands, shIdx, idCol).filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected near-dup pair frame — the
+    * clustering step that turns pairwise matches into dedup groups (keep
+    * one representative per component).
+    *
+    * Iterative min-label propagation: every node starts labeled with its
+    * own id; each round every node takes the min of its label and its
+    * neighbors' labels; fixpoint ⇒ label = component minimum. One shuffle
+    * per round, O(diameter) rounds — near-dup components are shallow
+    * (pairs share ≥70% content, so components are cliques-ish; diameters
+    * of 2-4), which is why plain propagation beats the alternating
+    * small-star/large-star scheme here. `localCheckpoint` after each round
+    * keeps lineage (and thus plan size) constant.
+    *
+    * @return (id, cluster_id) for every id that appears in `pairs`;
+    *         cluster_id = min id of the component.
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).alias("src"), col(idB).alias("dst"))
+      .union(pairs.select(col(idB).alias("src"), col(idA).alias("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").alias("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels.select(col("id").alias("dst"), col("label").alias("__nl")), Seq("dst"))
+        .groupBy(col("src").alias("id"))
+        .agg(min(col("__nl")).alias("__nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("__nmin"), col("label"))).alias("__next"))
+        .localCheckpoint()
+      converged = updated.filter(col("__next") =!= col("label")).isEmpty
+      labels = updated.select(col("id"), col("__next").alias("label"))
+      round += 1
+    }
+    labels.select(col("id"), col("label").alias("cluster_id"))
+  }
+
   /** Token hashes for simhash: md5 of each distinct token, first 15 hex
     * digits as a positive 60-bit long. Native fused kernel
     * ([[graft.functions.expressions.HashedTokens]]); builtin twin below.
