@@ -13,6 +13,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Materialize EVERY output column via the noop sink. A bare `count()`
+    // lets Catalyst prune all computed columns off projection-final queries
+    // (a text-profile query "benchmarks" as a row count of the scan), which
+    // silently under-measures; noop writes execute the full plan, like a
+    // real consumer would.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
     // Codegen/JIT warmup outside the timed region: run every query shape
     // once at the smallest scale factor. WholeStageCodegen classes are cached
     // by generated source, so the timed sf run then measures data-scale work
@@ -21,11 +28,11 @@ object Bench {
     // of pure driver time.
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try run(fn, warmDir) catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn, sfDir) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

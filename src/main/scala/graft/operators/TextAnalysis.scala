@@ -11,8 +11,22 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** The fused one-pass profile struct (native kernel; see
+    * [[graft.functions.expressions.TextProfile]]) — all single-document
+    * metrics below project fields off it; whole-stage codegen CSEs the
+    * kernel call, so touching five metrics still costs one pass.
+    */
+  def profileStruct(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.TextProfile(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   /** Whitespace token count. */
   def tokenCountWhitespace(text: Column): Column =
+    profileStruct(text).getField("n_tokens_ws")
+
+  /** Builtin twin of [[tokenCountWhitespace]] (differential testing). */
+  def tokenCountWhitespaceBuiltin(text: Column): Column =
     when(text.isNull, lit(null))
       .otherwise(size(split(trim(text), "\\s+")))
 
@@ -21,6 +35,10 @@ object TextAnalysis {
     * runs, single non-space symbols).
     */
   def tokenCountBpe(text: Column): Column =
+    profileStruct(text).getField("n_tokens_bpe")
+
+  /** Builtin twin of [[tokenCountBpe]] (differential testing). */
+  def tokenCountBpeBuiltin(text: Column): Column =
     when(text.isNull, lit(null))
       .otherwise(size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))))
 
@@ -30,6 +48,10 @@ object TextAnalysis {
     */
   val PunctClass = "[!-/:-@\\[-`{-~]"
   def punctRatio(text: Column): Column =
+    profileStruct(text).getField("punct_ratio")
+
+  /** Builtin twin of [[punctRatio]] (differential testing). */
+  def punctRatioBuiltin(text: Column): Column =
     when(text.isNull || length(text) === 0, lit(0.0))
       .otherwise(
         size(regexp_extract_all(text, lit(PunctClass), lit(0))).cast("double") / length(text))
@@ -43,7 +65,11 @@ object TextAnalysis {
   }
 
   /** Mean word length (quality signal: gibberish skews extreme). */
-  def meanWordLength(text: Column): Column = {
+  def meanWordLength(text: Column): Column =
+    profileStruct(text).getField("mean_word_len")
+
+  /** Builtin twin of [[meanWordLength]] (differential testing). */
+  def meanWordLengthBuiltin(text: Column): Column = {
     val tokens = split(trim(text), "\\s+")
     when(text.isNull || size(tokens) === 0, lit(0.0))
       .otherwise(aggregate(tokens, lit(0L), (acc, t) => acc + length(t)).cast("double")
@@ -78,7 +104,13 @@ object TextAnalysis {
     * zero hits → "und" (undetermined). Deterministic tie-break: higher count
     * wins, then lexicographic language code.
     */
-  def langId(text: Column, profiles: Map[String, Seq[String]] = StopwordProfiles): Column = {
+  def langId(text: Column): Column =
+    profileStruct(text).getField("lang_pred")
+
+  /** Builtin twin of [[langId]] (differential testing; also the variant
+    * that accepts custom profiles).
+    */
+  def langIdBuiltin(text: Column, profiles: Map[String, Seq[String]] = StopwordProfiles): Column = {
     val tokens = split(lower(trim(coalesce(text, lit("")))), "\\s+")
     // build array<struct<neg_hits, lang>> and array_min for deterministic argmax
     val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>

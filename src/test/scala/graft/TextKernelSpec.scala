@@ -78,6 +78,31 @@ class TextKernelSpec extends SparkSpec {
     assert(r.getSeq[Long](0) == r.getSeq[Long](1))
   }
 
+  test("TextProfile kernel matches every builtin metric twin") {
+    import graft.operators.TextAnalysis
+    for (df <- Seq(edgeTexts, fixtureTexts)) {
+      val rows = df.select(
+        TextAnalysis.tokenCountWhitespace($"text").alias("ws_n"),
+        TextAnalysis.tokenCountWhitespaceBuiltin($"text").alias("ws_b"),
+        TextAnalysis.tokenCountBpe($"text").alias("bpe_n"),
+        TextAnalysis.tokenCountBpeBuiltin($"text").alias("bpe_b"),
+        TextAnalysis.punctRatio($"text").alias("pr_n"),
+        TextAnalysis.punctRatioBuiltin($"text").alias("pr_b"),
+        TextAnalysis.meanWordLength($"text").alias("mwl_n"),
+        TextAnalysis.meanWordLengthBuiltin($"text").alias("mwl_b"),
+        TextAnalysis.langId($"text").alias("lang_n"),
+        TextAnalysis.langIdBuiltin($"text").alias("lang_b"),
+        TextAnalysis.profileStruct($"text").getField("fingerprint").alias("fp_n"),
+        md5(graft.operators.Dedup.canonical($"text")).alias("fp_b")).collect()
+      rows.foreach { r =>
+        for (base <- Seq(0, 2, 4, 6, 8, 10)) {
+          assert(r.isNullAt(base) == r.isNullAt(base + 1), s"null mismatch at field $base: $r")
+          if (!r.isNullAt(base)) assert(r.get(base) == r.get(base + 1), s"field $base: $r")
+        }
+      }
+    }
+  }
+
   test("kernel null/empty contracts") {
     val r = edgeTexts.select(
       Dedup.shingles($"text").alias("sh"),
