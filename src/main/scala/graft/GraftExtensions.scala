@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.{BinaryType, StringType}
 
-import graft.functions.expressions.CosineSimilarity
+import graft.functions.expressions.{CosineSimilarity, HashedTokens, MinHashSig, SimHash, TextProfile, WordShingles}
 
 /** Session extensions (SURVEY §4.2): SQL-callable registrations of the
   * engine's native expressions, injected via
@@ -16,8 +16,18 @@ import graft.functions.expressions.CosineSimilarity
   *   - `graft_hash_id(s)`       — the reference's hash_id contract
   *     (`utils.py:46-55`): sha1 hex, null/empty → null, as pure Catalyst
   *     nodes so SQL callers get the same null semantics as the Column API
+  *   - `word_shingles(text[, n])`, `minhash_sig(shingles, k)`,
+  *     `hashed_tokens(text)`, `graft_simhash(text)`, `text_profile(text)`
+  *     — the fused text-dedup/profile kernels
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("cosine_similarity"),
@@ -25,6 +35,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_similarity(a, b) takes two arrays")
         CosineSimilarity(args.head, args(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => WordShingles(t)
+        case Seq(t, n) => WordShingles(t, litInt(n, "shingle size"))
+        case _ => throw new IllegalArgumentException("word_shingles(text[, n])")
+      }))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sig(shingles, numHashes)")
+        MinHashSig(args.head, litInt(args(1), "numHashes"))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("hashed_tokens"),
+      new ExpressionInfo(classOf[HashedTokens].getName, "hashed_tokens"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "hashed_tokens(text)")
+        HashedTokens(args.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash(text)")
+        SimHash(HashedTokens(args.head))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("text_profile"),
+      new ExpressionInfo(classOf[TextProfile].getName, "text_profile"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "text_profile(text)")
+        TextProfile(args.head)
       }))
     e.injectFunction((
       FunctionIdentifier("graft_hash_id"),

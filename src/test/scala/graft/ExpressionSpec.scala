@@ -61,7 +61,7 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
-  test("GraftExtensions registers SQL functions: cosine_similarity, graft_hash_id") {
+  test("GraftExtensions registers SQL functions: cosine_similarity, graft_hash_id, text kernels") {
     // a fresh session over the shared context so withExtensions applies
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -80,6 +80,19 @@ class ExpressionSpec extends SparkSpec {
       assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
       assert(r.getString(1) == "92cfceb39d57d914ed8b14d0e37643de0797ae56")
       assert(r.isNullAt(2))
+      val k = ext.sql(
+        """SELECT word_shingles('a b c d') AS sh,
+          |       minhash_sig(word_shingles('a b c d'), 2) AS sig,
+          |       size(hashed_tokens('x y x')) AS nt,
+          |       graft_simhash('hello world') AS fp,
+          |       text_profile('The quick fox!').lang_pred AS lang,
+          |       text_profile('The quick fox!').n_tokens_ws AS ntok""".stripMargin).head()
+      assert(k.getSeq[String](0) == Seq("a b c", "b c d"))
+      assert(k.getSeq[Long](1).length == 2)
+      assert(k.getInt(2) == 2)
+      assert(k.getLong(3) != 0L)
+      assert(k.getString(4) == "en")
+      assert(k.getInt(5) == 3)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)

@@ -51,4 +51,46 @@ class PropertySpec extends SparkSpec {
       assert(graft.operators.Upsert.parsePkColumns(joined) == cols)
     }
   }
+
+  test("text kernels ≡ builtin twins on arbitrary unicode-ish text") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, TextAnalysis}
+    import spark.implicits._
+    // words over several scripts + whitespace variants + punctuation
+    val word = Gen.oneOf(
+      Gen.alphaNumStr.suchThat(_.nonEmpty),
+      Gen.oneOf("the", "und", "la", "de", "的", "è", "ñandú", "Straße", "!?;", "a.b,c"),
+      Gen.listOfN(3, Gen.oneOf('一', '人', '大', 'Ж', 'ü', 'É')).map(_.mkString))
+    val ws = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val text = for {
+      n <- Gen.choose(0, 30)
+      words <- Gen.listOfN(n, word)
+      seps <- Gen.listOfN(math.max(n - 1, 0), ws)
+      lead <- Gen.oneOf("", " ", "\t")
+    } yield lead + words.zipAll(seps, "", "").map { case (w, s) => w + s }.mkString
+    val texts = samples(text, 300)
+    val df = texts.toDF("text")
+    val rows = df.select(
+      Dedup.shingles($"text").alias("sh_n"), Dedup.shinglesBuiltin($"text").alias("sh_b"),
+      Dedup.simhashTokenHashes($"text").alias("ht_n"),
+      Dedup.simhashTokenHashesBuiltin($"text").alias("ht_b"),
+      TextAnalysis.tokenCountWhitespace($"text").alias("ws_n"),
+      TextAnalysis.tokenCountWhitespaceBuiltin($"text").alias("ws_b"),
+      TextAnalysis.punctRatio($"text").alias("pr_n"),
+      TextAnalysis.punctRatioBuiltin($"text").alias("pr_b"),
+      TextAnalysis.meanWordLength($"text").alias("mwl_n"),
+      TextAnalysis.meanWordLengthBuiltin($"text").alias("mwl_b"),
+      TextAnalysis.langId($"text").alias("lg_n"),
+      TextAnalysis.langIdBuiltin($"text").alias("lg_b"),
+      $"text").collect()
+    rows.foreach { r =>
+      for (base <- Seq(0, 2, 4, 6, 8, 10)) {
+        assert(r.isNullAt(base) == r.isNullAt(base + 1),
+          s"null mismatch field $base for text=${r.get(12)}")
+        if (!r.isNullAt(base))
+          assert(r.get(base) == r.get(base + 1),
+            s"field $base for text=${r.get(12)}: ${r.get(base)} != ${r.get(base + 1)}")
+      }
+    }
+  }
 }
