@@ -47,6 +47,26 @@ class StatefulSessionSpec extends SparkSpec {
     assert(u2.length == 1 && u2(0).nEvents == 1 && u2(0).sumValue == 8.0)
   }
 
+  test("streaming dedup within watermark: re-delivered events drop, state stays bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    mem.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:01:00")))
+    // batch 2 re-delivers event 1 (at-least-once overlap) + a new event
+    mem.addData((1L, ts("2024-01-01 00:00:00")), (3L, ts("2024-01-01 00:02:00")))
+    val stream = mem.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ids = spark.table("dedup_stream").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L)) // each event exactly once
+  }
+
   test("transition function: in-batch merge order is event-time, not arrival") {
     // feed events out of order within one invocation; the transition sorts
     val state = new TestGroupState[StatefulSessions.OpenSession]
