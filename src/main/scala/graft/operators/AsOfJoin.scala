@@ -36,6 +36,17 @@ object AsOfJoin {
     require(on.nonEmpty, "as-of join needs at least one key column")
     val payloadCols = right.columns.filterNot(c => on.contains(c) || c == rightTs).toSeq
     require(payloadCols.nonEmpty, "right side has no payload columns")
+    // Reject silently-ambiguous output up front: a payload column shadowing
+    // a left column would emit two same-named columns, and user columns named
+    // like our temporaries would collide with them inside the union.
+    val shadowed = left.columns.toSet.intersect(payloadCols.toSet)
+    require(shadowed.isEmpty,
+      s"right payload columns ${shadowed.mkString(", ")} collide with left columns; " +
+        "rename or drop them before the as-of join")
+    val reserved = Set("__ts", "__side", "__pay", "__m")
+    val clash = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"columns ${clash.mkString(", ")} collide with as-of join internals; rename them")
 
     val lT = left
       .withColumn("__ts", col(leftTs))

@@ -225,7 +225,20 @@ object Dedup {
     *         cluster_id = min id of the component.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50): DataFrame = clustersImpl(pairs, idA, idB, maxRounds)._1
+
+  /** [[clusters]] plus whether the propagation reached its fixpoint — if
+    * false (a component's diameter exceeded `maxRounds`), labels are only
+    * partially propagated and one true component may carry several
+    * cluster_ids. `clusters` itself logs a warning in that case rather than
+    * failing: for dedup, a split component only means less aggressive
+    * deduplication, never wrong merges.
+    */
+  def clustersConverged(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxRounds: Int = 50): (DataFrame, Boolean) = clustersImpl(pairs, idA, idB, maxRounds)
+
+  private def clustersImpl(pairs: DataFrame, idA: String, idB: String,
+      maxRounds: Int): (DataFrame, Boolean) = {
     val edges = pairs.select(col(idA).alias("src"), col(idB).alias("dst"))
       .union(pairs.select(col(idB).alias("src"), col(idA).alias("dst")))
       .distinct()
@@ -249,7 +262,12 @@ object Dedup {
       labels = updated.select(col("id"), col("__next").alias("label"))
       round += 1
     }
-    labels.select(col("id"), col("label").alias("cluster_id"))
+    if (!converged)
+      graft.core.Logging.logger("graft.dedup").warn(
+        s"clusters: label propagation did not converge within $maxRounds rounds; " +
+          "components wider than that are split into multiple cluster_ids " +
+          "(use clustersConverged to detect this programmatically)")
+    (labels.select(col("id"), col("label").alias("cluster_id")), converged)
   }
 
   /** Token hashes for simhash: md5 of each distinct token, first 15 hex

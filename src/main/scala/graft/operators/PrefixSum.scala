@@ -31,9 +31,17 @@ object PrefixSum {
   def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
       buckets: Int = 256, resultCol: String = "running_total"): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
+    // min/max/null-check in ONE pass; a null order key has no place in a
+    // global order (any engine's ORDER BY would make its position a
+    // convention, not a value) — fail fast instead of silently dropping it.
     val bounds = df.agg(
       min(col(orderCol)).cast("double").alias("mn"),
-      max(col(orderCol)).cast("double").alias("mx")).head()
+      max(col(orderCol)).cast("double").alias("mx"),
+      count(when(col(orderCol).isNull, 1)).alias("nNull")).head()
+    if (bounds.getLong(2) > 0)
+      throw new IllegalArgumentException(
+        s"runningTotal: order column '$orderCol' contains ${bounds.getLong(2)} null(s); " +
+          "a global running order is undefined for null keys — filter them first")
     if (bounds.isNullAt(0)) // empty input: preserve schema, no rows
       return df.withColumn(resultCol, lit(null).cast("decimal(38,6)"))
     val mn = bounds.getDouble(0)
@@ -54,7 +62,11 @@ object PrefixSum {
     // prefix offsets → broadcast back. Driver-side on purpose: doing this
     // with an unpartitioned window would re-introduce the warning this
     // operator exists to remove.
-    val totals = withB.groupBy(col("__bucket")).agg(sum(v).alias("__tot"))
+    // coalesce: a bucket whose values are ALL null sums to null, which must
+    // contribute 0 to downstream offsets (null-skipping sum semantics), not
+    // NPE the driver-side accumulation.
+    val totals = withB.groupBy(col("__bucket"))
+      .agg(coalesce(sum(v), lit(0).cast("decimal(38,6)")).alias("__tot"))
       .collect().map(r => (r.getInt(0), r.getDecimal(1))).sortBy(_._1)
     var acc = java.math.BigDecimal.ZERO
     val offsetRows = totals.map { case (b, tot) =>

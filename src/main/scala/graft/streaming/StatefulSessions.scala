@@ -49,7 +49,11 @@ object StatefulSessions {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.endMs <= gapMs =>
-            cur = Some(OpenSession(s.startMs, math.max(s.endMs, t), s.n + 1, s.sum + e.value))
+            // min() on start too: a late-but-in-watermark event can PRECEDE
+            // the open session restored from state; without it the emitted
+            // sessionStart would be wrong for cross-batch out-of-order data.
+            cur = Some(OpenSession(math.min(s.startMs, t), math.max(s.endMs, t),
+              s.n + 1, s.sum + e.value))
           case Some(s) =>
             closed += close(userId, s)
             cur = Some(OpenSession(t, t, 1L, e.value))

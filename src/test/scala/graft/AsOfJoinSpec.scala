@@ -38,6 +38,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("k", "ts", "lv", "rv"))
   }
 
+  test("rejects payload columns that shadow left columns") {
+    val clashing = right.withColumnRenamed("rv", "lv") // same name as a left col
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, clashing, Seq("k"), "ts", "rts")
+    }
+    assert(e.getMessage.contains("lv"))
+  }
+
+  test("rejects user columns named like join internals") {
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left.withColumn("__side", lit(1)), right, Seq("k"), "ts", "rts")
+    }
+    assert(e.getMessage.contains("__side"))
+  }
+
   test("multiple payload columns travel together from the same right row") {
     val r2 = right.withColumn("rv2", concat($"rv", lit("-x")))
     val out = AsOfJoin.backward(left, r2, Seq("k"), "ts", "rts")

@@ -22,6 +22,15 @@ class ClusterSpec extends SparkSpec {
     assert(out.forall(_._2 == 1L))
   }
 
+  test("clustersConverged reports truncation when maxRounds is too small") {
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (_, convergedShort) = Dedup.clustersConverged(pairs, maxRounds = 2)
+    assert(!convergedShort)
+    val (full, convergedFull) = Dedup.clustersConverged(pairs)
+    assert(convergedFull)
+    assert(full.as[(Long, Long)].collect().forall(_._2 == 1L))
+  }
+
   test("isolated pair stays its own cluster; ids appear exactly once") {
     val pairs = Seq((5L, 6L), (6L, 5L), (5L, 6L)).toDF("id_a", "id_b")
     val out = Dedup.clusters(pairs).as[(Long, Long)].collect().sortBy(_._1)

@@ -34,6 +34,24 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  test("null order key fails fast instead of silently dropping rows") {
+    val df = Seq((Some(1L), 1.0), (None, 2.0), (Some(3L), 3.0)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      PrefixSum.runningTotal(df, "k", "v")
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
+  test("all-null value bucket contributes 0, does not NPE") {
+    // 2 buckets: keys 1,2 land in bucket 0 with only-null values
+    val df = Seq((1L, None), (2L, None), (100L, Some(5.0)), (101L, Some(7.0)))
+      .toDF("k", "v")
+    val out = PrefixSum.runningTotal(df, "k", "v", buckets = 2)
+      .select($"k", $"running_total".cast("double")).as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(100L).contains(5.0) && out(101L).contains(12.0))
+  }
+
   test("empty input yields empty output with the result column") {
     val df = Seq((1L, 1.0)).toDF("k", "v").filter($"k" < 0)
     val out = PrefixSum.runningTotal(df, "k", "v")

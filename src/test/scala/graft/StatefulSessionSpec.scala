@@ -67,6 +67,22 @@ class StatefulSessionSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L)) // each event exactly once
   }
 
+  test("transition function: late-but-in-watermark event extends session start backward") {
+    // state restored from a previous batch holds an open session [01:00,01:00];
+    // a late event at 00:50 (within gap) must LOWER sessionStart, not only
+    // extend the end.
+    val state = new TestGroupState[StatefulSessions.OpenSession]
+    state.update(StatefulSessions.OpenSession(
+      ts("2024-01-01 01:00:00").getTime, ts("2024-01-01 01:00:00").getTime, 1L, 4.0))
+    val out = StatefulSessions.transition(30 * 60000L)(
+      1L, Iterator(Event(1L, ts("2024-01-01 00:50:00"), 1.0)), state).toSeq
+    assert(out.isEmpty) // merged, nothing closed
+    val s = state.updated.get
+    assert(s.startMs == ts("2024-01-01 00:50:00").getTime)
+    assert(s.endMs == ts("2024-01-01 01:00:00").getTime)
+    assert(s.n == 2 && s.sum == 5.0)
+  }
+
   test("transition function: in-batch merge order is event-time, not arrival") {
     // feed events out of order within one invocation; the transition sorts
     val state = new TestGroupState[StatefulSessions.OpenSession]
