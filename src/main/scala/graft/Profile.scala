@@ -26,18 +26,23 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f  $name ($n rows)")
+    // Materialize exactly like Bench (noop write executes every output
+    // column); count() would let Catalyst prune the computed columns and
+    // profile the wrong plan.
+    def mat(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"${(System.nanoTime() - t0) / 1e9}%8.2f  $name")
     }
     val warmDir = "/root/testdata/sf0.001"
     val t0 = System.nanoTime()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try mat(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
     println(f"${(System.nanoTime() - t0) / 1e9}%8.2f  [warmup all @ sf0.001]")
     for (round <- 1 to 3; (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1) if names(name)) {
-      time(s"$name round $round")(fn(spark, sfDir).count())
+      time(s"$name round $round")(mat(fn(spark, sfDir)))
     }
     spark.stop()
   }

@@ -225,7 +225,8 @@ object Dedup {
     *         cluster_id = min id of the component.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxRounds: Int = 50): DataFrame = clustersImpl(pairs, idA, idB, maxRounds)._1
+      maxRounds: Int = 50, smallGraphMaxEdges: Long = 2000000L): DataFrame =
+    clustersImpl(pairs, idA, idB, maxRounds, smallGraphMaxEdges)._1
 
   /** [[clusters]] plus whether the propagation reached its fixpoint — if
     * false (a component's diameter exceeded `maxRounds`), labels are only
@@ -235,14 +236,79 @@ object Dedup {
     * deduplication, never wrong merges.
     */
   def clustersConverged(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxRounds: Int = 50): (DataFrame, Boolean) = clustersImpl(pairs, idA, idB, maxRounds)
+      maxRounds: Int = 50, smallGraphMaxEdges: Long = 2000000L): (DataFrame, Boolean) =
+    clustersImpl(pairs, idA, idB, maxRounds, smallGraphMaxEdges)
+
+  /** Driver-side union-find (path-halving; smaller id becomes the root, so
+    * roots are component minima — identical labels to the distributed
+    * fixpoint). Used below the size gate, where a handful of propagation
+    * ROUNDS (each a join+agg+checkpoint job) would cost more in fixed
+    * scheduling overhead than the whole graph costs to collect.
+    */
+  private def unionFindLabels(edges: Array[(Any, Any)], lt: (Any, Any) => Boolean)
+      : scala.collection.mutable.HashMap[Any, Any] = {
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) {
+        val p = parent(r)
+        parent(r) = parent.getOrElse(p, p) // path halving
+        r = parent(r)
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val out = scala.collection.mutable.HashMap.empty[Any, Any]
+    parent.keysIterator.foreach(k => out(k) = find(k))
+    out
+  }
+
+  /** Comparison for the union-find root choice; None for id types where the
+    * distributed path must be used (no deterministic "min id" ordering).
+    */
+  private def idOrdering(dt: org.apache.spark.sql.types.DataType): Option[(Any, Any) => Boolean] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some((a, b) => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue)
+      case StringType => Some((a, b) => a.asInstanceOf[String] < b.asInstanceOf[String])
+      case _ => None
+    }
+  }
 
   private def clustersImpl(pairs: DataFrame, idA: String, idB: String,
-      maxRounds: Int): (DataFrame, Boolean) = {
+      maxRounds: Int, smallGraphMaxEdges: Long): (DataFrame, Boolean) = {
     val edges = pairs.select(col(idA).alias("src"), col(idB).alias("dst"))
       .union(pairs.select(col(idB).alias("src"), col(idA).alias("dst")))
       .distinct()
       .localCheckpoint()
+    val idType = edges.schema("src").dataType
+    val nEdges = edges.count() // cheap: reads the checkpointed blocks
+    val lt = idOrdering(idType)
+    if (nEdges <= smallGraphMaxEdges && lt.isDefined) {
+      // Small-graph fast path: near-dup graphs are usually a sliver of the
+      // corpus (edges ∝ duplicates found, not documents scanned), so even at
+      // 100 TB of input this branch is often the one taken. Above the gate —
+      // or for exotic id types — the distributed fixpoint below runs instead.
+      val labelOf = unionFindLabels(
+        edges.collect().map(r => (r.get(0), r.get(1))), lt.get)
+      val spark = pairs.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("cluster_id", idType)))
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(labelOf.toSeq.map {
+          case (k, v) => org.apache.spark.sql.Row(k, v)
+        }: _*)
+      return (spark.createDataFrame(rows, schema), true)
+    }
     var labels = edges.select(col("src").alias("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()

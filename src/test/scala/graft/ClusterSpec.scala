@@ -24,11 +24,28 @@ class ClusterSpec extends SparkSpec {
 
   test("clustersConverged reports truncation when maxRounds is too small") {
     val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (_, convergedShort) = Dedup.clustersConverged(pairs, maxRounds = 2)
+    val (_, convergedShort) =
+      Dedup.clustersConverged(pairs, maxRounds = 2, smallGraphMaxEdges = 0L)
     assert(!convergedShort)
     val (full, convergedFull) = Dedup.clustersConverged(pairs)
     assert(convergedFull)
     assert(full.as[(Long, Long)].collect().forall(_._2 == 1L))
+  }
+
+  test("small-graph fast path and distributed fixpoint agree") {
+    // mix of a path, a clique, an isolated pair; string ids too
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val fast = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.clusters(pairs, smallGraphMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == dist)
+    val sPairs = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val sFast = Dedup.clusters(sPairs).as[(String, String)].collect().toMap
+    val sDist = Dedup.clusters(sPairs, smallGraphMaxEdges = 0L)
+      .as[(String, String)].collect().toMap
+    assert(sFast == sDist)
+    assert(sFast == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
   test("isolated pair stays its own cluster; ids appear exactly once") {
