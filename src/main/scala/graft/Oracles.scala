@@ -718,6 +718,96 @@ object Oracles {
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
+    "q60_scd2" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, event_type, ts, event_id FROM ordered
+        |  WHERE prev_type IS NULL OR prev_type <> event_type),
+        |scd AS (
+        |  SELECT user_id, event_id AS change_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM changes)
+        |SELECT user_id, change_id, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM scd
+        |ORDER BY user_id, change_id""".stripMargin,
+
+    "q61_vocab_topk" ->
+      s"""SELECT token, count(*) AS freq FROM (
+         |  SELECT unnest(string_split($canon, ' ')) AS token FROM documents)
+         |WHERE token <> ''
+         |GROUP BY token
+         |ORDER BY freq DESC, token
+         |LIMIT 50""".stripMargin,
+
+    "q62_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000
+        |  < CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 5000 WHEN 'fr' THEN 1000
+        |              WHEN 'es' THEN 1000 WHEN 'zh' THEN 3000 ELSE 0 END
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q63_repetition" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split($canon, ' ')) AS token FROM documents),
+         |per_token AS (
+         |  SELECT doc_id, token, count(*) AS n FROM tok WHERE token <> ''
+         |  GROUP BY doc_id, token),
+         |per_doc AS (
+         |  SELECT doc_id,
+         |    CAST(sum(n) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_distinct,
+         |    CAST(max(n) AS BIGINT) AS max_n
+         |  FROM per_token GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, n_distinct,
+         |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_ratio,
+         |  round(CAST(max_n AS DOUBLE) / n_tokens, 6) AS top_token_share
+         |FROM per_doc
+         |WHERE round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) >= 0.5
+         |ORDER BY doc_id""".stripMargin,
+
+    "q64_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS mabs
+        |  FROM embeddings WHERE vec_id < 100),
+        |s AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN mabs IS NULL OR mabs = 0 THEN 0.0 ELSE 127.0 / mabs END AS scale
+        |  FROM m)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  [CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT) for x in embedding] AS codes
+        |FROM s
+        |ORDER BY vec_id""".stripMargin,
+
+    "q65_contamination" ->
+      s"""WITH ${shinglesCte(plantedDocs)},
+         |probes AS (
+         |  SELECT doc_id AS probe_id, shingles AS psh FROM sh WHERE doc_id >= 100000),
+         |corpus AS (SELECT doc_id, shingles FROM sh WHERE doc_id < 100000),
+         |j AS (
+         |  SELECT p.probe_id, c.doc_id,
+         |    round(CAST(len(list_intersect(c.shingles, p.psh)) AS DOUBLE) / len(p.psh), 6)
+         |      AS containment
+         |  FROM corpus c CROSS JOIN probes p)
+         |SELECT probe_id, doc_id, containment FROM j
+         |WHERE containment >= 0.8
+         |ORDER BY probe_id, doc_id""".stripMargin,
+
+    "q66_salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q34_keyset_normalize" ->
       """WITH pages AS (
         |  SELECT * FROM read_json('/root/repo/src/test/resources/json/pages/page_*.json',

@@ -850,6 +850,104 @@ object Queries {
       .select(col("o_orderkey"), col("running_total").cast("double").alias("running_total"))
       .orderBy(col("o_orderkey"))
 
+  /** SCD2 history build (§2.9 family extension): change-compress the event
+    * log per user on event_type, then attach validity intervals — both steps
+    * one window shuffle on the key. `change_id` keeps the output totally
+    * ordered even when a user changes type twice at the same timestamp.
+    */
+  def q60Scd2(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Scd2.fromChangeLog(
+      t(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
+      keyCols = Seq("user_id"), tsCol = "ts",
+      attrCols = Seq("event_type"), tieBreakCols = Seq("event_id"))
+      .select(col("user_id"), col("event_id").alias("change_id"),
+        col("event_type"), col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("user_id"), col("change_id"))
+
+  /** Vocabulary build — global token frequencies, top 50 (corpus statistics
+    * for tokenizer training). One explode + one shuffle with map-side
+    * partial counts; top-k via sort+limit on the aggregated (small) side.
+    */
+  def q61VocabTopk(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(split(Dedup.canonical(col("text")), " ")).alias("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).alias("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(50)
+
+  /** Stratified deterministic sampling — per-language corpus mixing rates
+    * keyed on content hash (reproducible on any cluster layout / engine).
+    * Pure row-local predicate: no shuffle, composes with pushdown.
+    */
+  def q62StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratified(
+      t(spark, dir, "documents"), "lang",
+      rates = Map("en" -> 0.2, "de" -> 0.5, "fr" -> 0.1, "es" -> 0.1, "zh" -> 0.3),
+      keys = Seq(col("doc_id")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).alias("n_sampled"),
+        sum(col("n_chars")).alias("sum_chars"))
+      .orderBy(col("lang"))
+
+  /** Intra-document repetition profile (Gopher-style quality rule): docs
+    * whose most frequent token dominates or whose duplicate-token ratio is
+    * high are boilerplate candidates.
+    */
+  def q63Repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionProfile(t(spark, dir, "documents"), "doc_id", "text")
+      .filter(col("dup_token_ratio") >= 0.5)
+      .orderBy(col("doc_id"))
+
+  /** Symmetric int8 embedding quantization — the ANN storage path (4× vs
+    * float32). floor(x·scale + 0.5) is engine-portable rounding; codes and
+    * scale verified bit-exactly against the oracle.
+    */
+  def q64Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.operators.Similarity.quantizeInt8(col("embedding"))
+    t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"),
+        round(q.getField("scale"), 6).alias("scale"),
+        q.getField("codes").alias("codes"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Benchmark-contamination check: shingle containment of each planted
+    * "benchmark" probe (doc_id ≥ 100000) in every corpus document. Each
+    * probe is caught embedded in its source document at ~0.95 containment.
+    */
+  def q65Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val all = docsWithPlantedDups(spark, dir)
+    Dedup.containment(
+      corpus = all.filter(col("doc_id") < 100000L),
+      probes = all.filter(col("doc_id") >= 100000L),
+      corpusIdCol = "doc_id", probeIdCol = "doc_id", textCol = "text",
+      minContainment = 0.8)
+      .orderBy(col("probe_id"), col("doc_id"))
+  }
+
+  /** Skew-salted fact⋈dim join (deterministic salt, small side replicated
+    * factor×) — result provably identical to the unsalted join; the shape
+    * that survives a hot orderkey at 100 TB.
+    */
+  def q66SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val big = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").alias("orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"))
+    val small = t(spark, dir, "orders")
+      .select(col("o_orderkey").alias("orderkey"), col("o_orderpriority"))
+    graft.operators.Skew.saltedJoin(big, small, Seq("orderkey"), factor = 8,
+      saltBy = Seq(col("l_linenumber")))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).alias("revenue"),
+        count(lit(1)).alias("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -913,6 +1011,13 @@ object Queries {
     "q56_unpivot" -> (q56Unpivot _),
     "q57_percentiles" -> (q57Percentiles _),
     "q58_corpus_select" -> (q58CorpusSelect _),
-    "q59_running_total" -> (q59RunningTotal _)
+    "q59_running_total" -> (q59RunningTotal _),
+    "q60_scd2" -> (q60Scd2 _),
+    "q61_vocab_topk" -> (q61VocabTopk _),
+    "q62_stratified_sample" -> (q62StratifiedSample _),
+    "q63_repetition" -> (q63Repetition _),
+    "q64_quantize" -> (q64Quantize _),
+    "q65_contamination" -> (q65Contamination _),
+    "q66_salted_join" -> (q66SaltedJoin _)
   )
 }

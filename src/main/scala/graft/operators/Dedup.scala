@@ -380,6 +380,48 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints via bit_count(xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Benchmark-contamination check: shingle containment of each probe
+    * ("benchmark") document in each corpus document —
+    * |sh(corpus) ∩ sh(probe)| / |sh(probe)|. The asymmetric cousin of
+    * Jaccard: a training document that embeds a whole benchmark item scores
+    * ~1 even when the document is much longer.
+    *
+    * Plan shape: explode both sides to (doc, shingle) rows and equi-join on
+    * the shingle — a hash join on a bounded-cardinality key, never an
+    * all-pairs comparison. Probe shingle-set sizes broadcast (the probe set
+    * is a benchmark: small by construction). `maxDocFreq` drops shingles
+    * that occur in more than that many corpus documents (stopword-ish
+    * n-grams) — the cap that keeps the join linear at 100 TB; dropped
+    * shingles can only LOWER containment, so the filter is conservative for
+    * a ≥-threshold use.
+    */
+  def containment(corpus: DataFrame, probes: DataFrame,
+      corpusIdCol: String, probeIdCol: String, textCol: String,
+      minContainment: Double = 0.8, n: Int = 3,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val shC0 = corpus.select(col(corpusIdCol).alias("doc_id"),
+      explode(shingles(col(textCol), n)).alias("__sh"))
+    val shC = maxDocFreq match {
+      case Some(cap) =>
+        val hot = shC0.groupBy(col("__sh")).agg(count(lit(1)).alias("__df"))
+          .filter(col("__df") > cap).select(col("__sh"))
+        shC0.join(hot, Seq("__sh"), "left_anti")
+      case None => shC0
+    }
+    val shP = probes.select(col(probeIdCol).alias("probe_id"),
+      shingles(col(textCol), n).alias("__shl"))
+    val probeSizes = shP.select(col("probe_id"), size(col("__shl")).alias("__n_probe"))
+    val shPe = shP.select(col("probe_id"), explode(col("__shl")).alias("__sh"))
+    shC.join(shPe, Seq("__sh"))
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).alias("__n_common"))
+      .join(broadcast(probeSizes), Seq("probe_id"))
+      .withColumn("containment",
+        round(col("__n_common").cast("double") / col("__n_probe"), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("probe_id"), col("doc_id"), col("containment"))
+  }
+
   /** SimHash near-dup pairs: block on the top `blockBits` bits (cheap LSH for
     * Hamming space) then verify distance ≤ maxDistance within blocks.
     */

@@ -203,6 +203,29 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the storage/ANN
+    * scale lever (4× smaller than float32, 8× smaller than float64; the
+    * format IVF/PQ-style indexes score against). Per vector:
+    * `scale = 127 / max|x|`, `q_i = floor(x_i·scale + 0.5)` — floor(x+.5)
+    * instead of round() because half-way rounding is engine-convention
+    * territory while floor is IEEE-pinned (differential-test requirement).
+    * Zero/empty vectors quantize to scale 0 and all-zero codes.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val mabs = array_max(transform(v, x => abs(x.cast("double"))))
+    val scale = when(mabs.isNull || mabs === 0.0, lit(0.0)).otherwise(lit(127.0) / mabs)
+    struct(
+      scale.alias("scale"),
+      transform(v, x => floor(x.cast("double") * scale + 0.5).cast("int")).alias("codes"))
+  }
+
+  /** Dequantize int8 codes back to doubles (`x ≈ code / scale`). */
+  def dequantizeInt8(q: Column): Column =
+    when(q.getField("scale") === 0.0,
+      transform(q.getField("codes"), _ => lit(0.0)))
+      .otherwise(transform(q.getField("codes"),
+        c => c.cast("double") / q.getField("scale")))
+
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): LSH-bucketed
     * self-join, exact cosine ≥ threshold. The all-pairs fallback within a
     * bucket is bounded by bucket size — same skew guard story as Dedup.

@@ -134,6 +134,37 @@ object TextAnalysis {
       (acc, ch) => pmod(acc * 31L + coalesce(ascii(ch).cast("long"), lit(0L)), lit(M)))
   }
 
+  /** Intra-document repetition profile (Gopher-style quality rule: heavily
+    * repeated content predicts boilerplate/spam). Per document: token count,
+    * distinct-token count, duplicate-token ratio, and the most frequent
+    * token's share. Computed via explode + two keyed aggregations (shuffle
+    * keys (doc, token) then doc) — linear in corpus size, no per-document
+    * quadratic work, unlike the tempting `transform`-over-distinct-tokens
+    * formulation.
+    */
+  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perToken = docs
+      .select(col(idCol),
+        explode(split(Dedup.canonical(col(textCol)), " ")).alias("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).alias("__n"))
+    perToken
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__n")).alias("n_tokens"),
+        count(lit(1)).alias("n_distinct"),
+        max(col("__n")).alias("__max_n"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .alias("dup_token_ratio"),
+        round(col("__max_n").cast("double") / col("n_tokens"), 6)
+          .alias("top_token_share"))
+  }
+
   /** Full text profile in one projection. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -130,6 +130,67 @@ class ExtensionSpec extends SparkSpec {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("hash sampling is content-keyed: invariant under repartitioning") {
+    val df = spark.read.parquet(s"$sfDir/customer.parquet")
+    val picked = graft.operators.Sampling
+      .hashSample(df, Seq($"c_custkey"), 0.3).select($"c_custkey").as[Long].collect().sorted
+    val repicked = graft.operators.Sampling
+      .hashSample(df.repartition(13), Seq($"c_custkey"), 0.3)
+      .select($"c_custkey").as[Long].collect().sorted
+    assert(picked.sameElements(repicked) && picked.nonEmpty && picked.length < df.count())
+  }
+
+  test("stratified sampling: missing stratum takes default rate 0") {
+    val df = Seq((1L, "en"), (2L, "xx"), (3L, "en"), (4L, "xx")).toDF("id", "lang")
+    val out = graft.operators.Sampling
+      .stratified(df, "lang", Map("en" -> 1.0), Seq($"id"))
+      .select($"lang").as[String].collect()
+    assert(out.forall(_ == "en") && out.length == 2)
+  }
+
+  test("int8 quantization: codes within [-127,127], dequantize error ≤ half a step") {
+    val vecs = Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8($"embedding")
+    val rows = vecs.select($"vec_id", q.getField("scale").alias("s"),
+      q.getField("codes").alias("c"), Similarity.dequantizeInt8(q).alias("d"))
+      .collect()
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    val scale = r1.getDouble(1)
+    val codes = r1.getSeq[Int](2)
+    val deq = r1.getSeq[Double](3)
+    assert(codes.forall(c => c >= -127 && c <= 127) && codes.contains(-127))
+    val orig = Seq(0.5, -1.0, 0.25)
+    assert(deq.zip(orig).forall { case (d, o) => math.abs(d - o) <= 0.5 / scale + 1e-12 })
+    val r2 = rows.find(_.getLong(0) == 2L).get
+    assert(r2.getDouble(1) == 0.0 && r2.getSeq[Int](2).forall(_ == 0) &&
+      r2.getSeq[Double](3).forall(_ == 0.0))
+  }
+
+  test("containment: embedded probe scores ~1 in its source, maxDocFreq only lowers") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "totally unrelated words in this other document right here")
+    ).toDF("doc_id", "text")
+    val probes = Seq((10L, "beta gamma delta epsilon zeta")).toDF("probe_id", "text")
+    val out = Dedup.containment(corpus, probes, "doc_id", "probe_id", "text",
+      minContainment = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 1 && out.head._1 == 10L && out.head._2 == 1L && out.head._3 == 1.0)
+    val capped = Dedup.containment(corpus, probes, "doc_id", "probe_id", "text",
+      minContainment = 0.0, maxDocFreq = Some(0)) // every shingle dropped
+    assert(capped.isEmpty)
+  }
+
+  test("repetition profile: counts and ratios on a hand-checked doc") {
+    val df = Seq((1L, "a a a b"), (2L, "x y z w")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((4L, 2L, 0.5, 0.75)))
+    assert(out(2L) == ((4L, 4L, 0.0, 0.25)))
+  }
+
   test("multimodal: resize keeps one row per asset with requested dims") {
     val assets = Multimodal.toAssets(docs, "doc_id", "text")
     val out = Multimodal.resize(assets, 224, 224).collect()
