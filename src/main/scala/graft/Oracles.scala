@@ -800,6 +800,18 @@ object Oracles {
          |WHERE containment >= 0.8
          |ORDER BY probe_id, doc_id""".stripMargin,
 
+    "q67_asof_forward" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS user_id, o_orderdate,
+        |    o_orderdate AS next_order_date,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS day_total,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, r.next_order_date, r.day_total, r.n_orders
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.user_id AND e.ts <= r.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
     "q66_salted_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,

@@ -939,13 +939,30 @@ object Queries {
         col("l_extendedprice"), col("l_discount"))
     val small = t(spark, dir, "orders")
       .select(col("o_orderkey").alias("orderkey"), col("o_orderpriority"))
-    graft.operators.Skew.saltedJoin(big, small, Seq("orderkey"), factor = 8,
+    graft.operators.Skew.saltedJoin(big, small, Seq("orderkey"), factor = 4,
       saltBy = Seq(col("l_linenumber")))
       .groupBy(col("o_orderpriority"))
       .agg(
         dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).alias("revenue"),
         count(lit(1)).alias("n_items"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  /** Forward as-of join — next order day at/after each event per user
+    * (same single-shuffle union+window plan as q51, direction reversed).
+    */
+  def q67AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val orderDays = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(dsum(col("o_totalprice")).alias("day_total"), count(lit(1)).alias("n_orders"))
+      .select(col("o_custkey").alias("user_id"), col("o_orderdate"),
+        col("o_orderdate").alias("next_order_date"), col("day_total"), col("n_orders"))
+    graft.operators.AsOfJoin.forward(
+      events, orderDays, on = Seq("user_id"), leftTs = "ts", rightTs = "o_orderdate")
+      .select(col("event_id"), col("user_id"), col("next_order_date"),
+        col("day_total"), col("n_orders"))
+      .orderBy(col("event_id"))
   }
 
   // ==========================================================================
@@ -1018,6 +1035,7 @@ object Queries {
     "q63_repetition" -> (q63Repetition _),
     "q64_quantize" -> (q64Quantize _),
     "q65_contamination" -> (q65Contamination _),
-    "q66_salted_join" -> (q66SaltedJoin _)
+    "q66_salted_join" -> (q66SaltedJoin _),
+    "q67_asof_forward" -> (q67AsofForward _)
   )
 }

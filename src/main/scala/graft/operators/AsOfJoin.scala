@@ -32,7 +32,21 @@ object AsOfJoin {
     * (dedupe first, e.g. via `AlertGate.latestPerKeyAgg`).
     */
   def backward(left: DataFrame, right: DataFrame, on: Seq[String],
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String): DataFrame =
+    joined(left, right, on, leftTs, rightTs, forward = false)
+
+  /** Forward as-of join: attach the payload of the EARLIEST right row whose
+    * timestamp is ≥ the left row's timestamp, per key (inclusive at
+    * equality) — the "next quote after the order" direction. Same
+    * single-shuffle union+window plan as [[backward]], with the scan order
+    * reversed.
+    */
+  def forward(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTs: String, rightTs: String): DataFrame =
+    joined(left, right, on, leftTs, rightTs, forward = true)
+
+  private def joined(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTs: String, rightTs: String, forward: Boolean): DataFrame = {
     require(on.nonEmpty, "as-of join needs at least one key column")
     val payloadCols = right.columns.filterNot(c => on.contains(c) || c == rightTs).toSeq
     require(payloadCols.nonEmpty, "right side has no payload columns")
@@ -58,9 +72,11 @@ object AsOfJoin {
         struct(payloadCols.map(col): _*).alias("__pay")): _*)
     val unioned = lT.unionByName(rT, allowMissingColumns = true)
 
-    // right (side 0) sorts before left (side 1) at equal __ts → inclusive
+    // right (side 0) sorts before left (side 1) at equal __ts → inclusive;
+    // forward direction just scans time in reverse
+    val tsOrder = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
 

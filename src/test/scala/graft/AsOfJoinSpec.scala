@@ -38,6 +38,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("k", "ts", "lv", "rv"))
   }
 
+  test("forward as-of: earliest right row with rts >= ts, inclusive at equality") {
+    val out = AsOfJoin.forward(left, right, Seq("k"), "ts", "rts")
+      .select($"k", $"ts", $"rv").as[(String, Long, String)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out(("k1", 2L)) == "r@3")     // next at or after 2
+    assert(out(("k1", 5L)) == "r@5")     // inclusive at equality
+    assert(out(("k1", 10L)) == null)     // nothing after 10
+    assert(out(("k2", 7L)) == "r@99")    // future right row now matches
+    assert(out(("k3", 9L)) == null)      // key absent on right
+  }
+
   test("rejects payload columns that shadow left columns") {
     val clashing = right.withColumnRenamed("rv", "lv") // same name as a left col
     val e = intercept[IllegalArgumentException] {
