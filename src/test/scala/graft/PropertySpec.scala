@@ -93,4 +93,47 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("sampling: rate monotonicity (lower rate selects a subset) and bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 2000L).toDF("id")
+    val r10 = graft.operators.Sampling.hashSample(df, Seq(col("id")), 0.1)
+      .as[Long].collect().toSet
+    val r30 = graft.operators.Sampling.hashSample(df, Seq(col("id")), 0.3)
+      .as[Long].collect().toSet
+    assert(r10.subsetOf(r30))
+    // md5 buckets are uniform: 10% ± a generous band
+    assert(r10.size > 100 && r10.size < 300, s"10% sample picked ${r10.size}/2000")
+    assert(graft.operators.Sampling.hashSample(df, Seq(col("id")), 0.0).count() == 0)
+    assert(graft.operators.Sampling.hashSample(df, Seq(col("id")), 1.0).count() == 2000)
+  }
+
+  test("scd2: intervals tile each key's timeline (no overlap, no gap, one current)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      k <- Gen.choose(1L, 5L)
+      ts <- Gen.choose(0L, 50L)
+      attr <- Gen.oneOf("A", "B", "C")
+    } yield (k, attr, new java.sql.Timestamp(ts * 3600000L))
+    val rowsIn = samples(gen, 120).distinct.zipWithIndex
+      .map { case ((k, a, ts), i) => (k, a, ts, i.toLong) }
+    val df = rowsIn.toDF("k", "attr", "ts", "id")
+    val out = graft.operators.Scd2
+      .fromChangeLog(df, Seq("k"), "ts", Seq("attr"), Seq("id"))
+      .select(col("k"), col("valid_from"), col("valid_to"), col("is_current"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2)), r.getBoolean(3)))
+      .groupBy(_._1)
+    out.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2.getTime, r._3.map(_.getTime).getOrElse(Long.MaxValue)))
+      sorted.init.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._3.nonEmpty, "only the last interval may be open")
+        assert(a._3.get.getTime <= b._2.getTime, "intervals must not overlap")
+      }
+      assert(sorted.count(_._4) == 1 && sorted.last._4, "exactly one current row, the last")
+      assert(sorted.last._3.isEmpty, "current row must be open-ended")
+    }
+  }
 }
