@@ -73,6 +73,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TextProfile(args.head)
       }))
     e.injectFunction((
+      FunctionIdentifier("topk"),
+      new ExpressionInfo(classOf[graft.functions.expressions.TopK].getName, "topk"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, kArg) =>
+          graft.functions.expressions.TopK(c, litInt(kArg, "k"))
+        case Seq(c, kArg, Literal(desc: Boolean, org.apache.spark.sql.types.BooleanType)) =>
+          graft.functions.expressions.TopK(c, litInt(kArg, "k"), descending = desc)
+        case _ => throw new IllegalArgumentException("topk(col, k[, descending])")
+      }))
+    e.injectFunction((
       FunctionIdentifier("graft_hash_id"),
       new ExpressionInfo(classOf[Sha1].getName, "graft_hash_id"),
       (args: Seq[Expression]) => {

@@ -812,6 +812,14 @@ object Oracles {
         |  ON e.user_id = r.user_id AND e.ts <= r.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
 
+    "q68_topk_agg" ->
+      """SELECT o_custkey,
+        |  (list(o_totalprice ORDER BY o_totalprice DESC))[1:3] AS top_totals,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
     "q66_salted_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,

@@ -965,6 +965,19 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Native bounded top-k AGGREGATE (custom TypedImperativeAggregate with
+    * map-side partials) — top order totals per customer. The window idiom
+    * (q10) shuffles every row; this moves ≤ k values per group per
+    * partition.
+    */
+  def q68TopkAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        Functions.topK(col("o_totalprice"), 3).alias("top_totals"),
+        count(lit(1)).alias("n_orders"))
+      .orderBy(col("o_custkey"))
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1036,6 +1049,7 @@ object Queries {
     "q64_quantize" -> (q64Quantize _),
     "q65_contamination" -> (q65Contamination _),
     "q66_salted_join" -> (q66SaltedJoin _),
-    "q67_asof_forward" -> (q67AsofForward _)
+    "q67_asof_forward" -> (q67AsofForward _),
+    "q68_topk_agg" -> (q68TopkAgg _)
   )
 }

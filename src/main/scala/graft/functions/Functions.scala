@@ -93,4 +93,14 @@ object Functions {
   /** P2 — column-name whitespace normalization (`utils.py:276`). */
   def trimColumnNames(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(_.trim): _*)
+
+  /** Bounded top-k aggregate (native [[graft.functions.expressions.TopK]]):
+    * k best values per group as a sorted array, with map-side partials —
+    * shuffle volume O(groups·k) where the window top-N idiom moves O(rows).
+    */
+  def topK(c: Column, k: Int, descending: Boolean = true): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.TopK(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), k, descending)
+        .toAggregateExpression())
 }

@@ -1,4 +1,5 @@
 package graft
+// (TopK aggregate tests appended below)
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -93,6 +94,58 @@ class ExpressionSpec extends SparkSpec {
       assert(k.getLong(3) != 0L)
       assert(k.getString(4) == "en")
       assert(k.getInt(5) == 3)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("topk aggregate matches the window top-N idiom across many partitions") {
+    import graft.functions.Functions
+    val df = spark.read.parquet(s"$sfDir/orders.parquet").repartition(7)
+    val agg = df.groupBy($"o_custkey")
+      .agg(Functions.topK($"o_totalprice", 3).alias("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_totalprice".desc)
+    val win = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .groupBy($"o_custkey").agg(sort_array(collect_list($"o_totalprice"), asc = false).alias("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(agg.keySet == win.keySet && agg.forall { case (k, v) => win(k) == v })
+  }
+
+  test("topk: nulls skipped, ascending mode, strings, buffer prune past 2k elems") {
+    import graft.functions.Functions
+    val df = (1 to 500).map(i => (1L, Some(i.toDouble))).toDF("g", "v")
+      .union(Seq((1L, Option.empty[Double]), (2L, Some(9.0))).toDF("g", "v"))
+      .repartition(5)
+    val out = df.groupBy($"g")
+      .agg(Functions.topK($"v", 2).alias("top"),
+        Functions.topK($"v", 2, descending = false).alias("bottom"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Double](1), r.getSeq[Double](2))).toMap
+    assert(out(1L) == ((Seq(500.0, 499.0), Seq(1.0, 2.0))))
+    assert(out(2L) == ((Seq(9.0), Seq(9.0))))
+    val s = Seq(("x", "pear"), ("x", "apple"), ("x", "mango"))
+      .toDF("g", "v").groupBy($"g").agg(Functions.topK($"v", 2).alias("top"))
+      .head().getSeq[String](1)
+    assert(s == Seq("pear", "mango"))
+  }
+
+  test("topk is SQL-callable via GraftExtensions") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import ext.implicits._
+      Seq((1L, 5.0), (1L, 9.0), (1L, 7.0)).toDF("g", "v").createOrReplaceTempView("v_topk")
+      val r = ext.sql("SELECT g, topk(v, 2) AS t, topk(v, 2, false) AS b FROM v_topk GROUP BY g")
+        .head()
+      assert(r.getSeq[Double](1) == Seq(9.0, 7.0))
+      assert(r.getSeq[Double](2) == Seq(5.0, 7.0))
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
