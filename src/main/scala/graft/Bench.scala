@@ -5,13 +5,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // library session builder: carries GraftExtensions (native SQL fns +
+    // the top-N-window rewrite rule), AQE, UTC — bench measures the
+    // engine's real configuration
+    val spark = graft.core.Sessions.builder("graft-bench",
+      master = s"local[$cpus]", shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Materialize EVERY output column via the noop sink. A bare `count()`
     // lets Catalyst prune all computed columns off projection-final queries

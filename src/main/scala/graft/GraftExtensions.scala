@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // optimizer rule: window top-N (row_number <= k) → bounded topk
+    // aggregate with map-side partials (see graft.plans.TopNWindowRewrite)
+    e.injectOptimizerRule(_ => graft.plans.TopNWindowRewrite())
     e.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
