@@ -18,13 +18,9 @@ object Profile {
     val names: Set[String] = if (args.length > 1) args.drop(1).toSet
       else Set("q25_near_dup_pairs", "q53_dedup_clusters", "q58_corpus_select")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // same session shape as Bench (extensions incl. optimizer rules)
+    val spark = graft.core.Sessions.builder("graft-profile",
+      master = s"local[$cpus]", shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // Materialize exactly like Bench (noop write executes every output
     // column); count() would let Catalyst prune the computed columns and

@@ -27,6 +27,11 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // object-hash agg (TypedImperativeAggregate: topk, collect_*) falls
+      // back to SORT-based aggregation after this many in-memory keys —
+      // the default 128 turns any high-cardinality topk into a full sort.
+      // Buffers are ≤ k elements, so thousands of entries are cheap.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

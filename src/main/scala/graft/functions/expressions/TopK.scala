@@ -84,11 +84,16 @@ case class TopK(
   override def eval(buf: mutable.ArrayBuffer[Any]): Any =
     new GenericArrayData(buf.sorted(bestFirst).take(k).toArray)
 
+  // built once per task, NOT per serialize() call — UnsafeProjection.create
+  // is a codegen compile, and the sort-based agg fallback serializes every
+  // group buffer (a per-call create cost thousands of Janino compiles)
+  @transient private lazy val serProj: UnsafeProjection =
+    UnsafeProjection.create(
+      Array[DataType](ArrayType(child.dataType, containsNull = false)))
+
   override def serialize(buf: mutable.ArrayBuffer[Any]): Array[Byte] = {
     prune(buf)
-    val proj = UnsafeProjection.create(
-      Array[DataType](ArrayType(child.dataType, containsNull = false)))
-    proj(InternalRow(new GenericArrayData(buf.toArray))).getBytes
+    serProj(InternalRow(new GenericArrayData(buf.toArray))).getBytes
   }
 
   override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[Any] = {
