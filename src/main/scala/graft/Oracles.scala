@@ -820,6 +820,28 @@ object Oracles {
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
 
+    "q69_gap_fill" ->
+      """WITH spine AS (
+        |  SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-02-10',
+        |    INTERVAL 1 DAY))::DATE AS day),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1)
+        |SELECT spine.day, CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events
+        |FROM spine LEFT JOIN daily USING (day)
+        |ORDER BY spine.day""".stripMargin,
+
+    "q70_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC) AS spend_quartile
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q71_redact" ->
+      """SELECT event_id, regexp_replace(props, '[0-9]', '#', 'g') AS props_redacted
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
     "q66_salted_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,

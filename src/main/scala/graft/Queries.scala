@@ -978,6 +978,46 @@ object Queries {
         count(lit(1)).alias("n_orders"))
       .orderBy(col("o_custkey"))
 
+  /** Calendar-spine gap fill — daily event counts over a pinned date spine,
+    * empty days present with 0 (the warehouse reporting staple pandas
+    * pipelines do with reindex). Spine = sequence+explode (narrow), counts
+    * join on date.
+    */
+  def q69GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val spine = spark.range(1)
+      .select(explode(sequence(
+        lit("2024-01-01").cast("date"), lit("2024-02-10").cast("date"))).alias("day"))
+    val daily = t(spark, dir, "events")
+      .groupBy(to_date(col("ts")).alias("day"))
+      .agg(count(lit(1)).alias("__n"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("__n"), lit(0L)).alias("n_events"))
+      .orderBy(col("day"))
+  }
+
+  /** ntile quartiles per partition (W2 family beyond rank/lag) — spend
+    * quartile of each order within its priority class; total order via
+    * (totalprice, orderkey) keeps the bucketing engine-deterministic.
+    */
+  def q70Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).alias("spend_quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Regex redaction (data-cleaning / PII-style scrub): digits masked in the
+    * JSON payload. Pure row-local projection — composes with pushdown, no
+    * shuffle.
+    */
+  def q71Redact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]", "#").alias("props_redacted"))
+      .orderBy(col("event_id"))
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1050,6 +1090,9 @@ object Queries {
     "q65_contamination" -> (q65Contamination _),
     "q66_salted_join" -> (q66SaltedJoin _),
     "q67_asof_forward" -> (q67AsofForward _),
-    "q68_topk_agg" -> (q68TopkAgg _)
+    "q68_topk_agg" -> (q68TopkAgg _),
+    "q69_gap_fill" -> (q69GapFill _),
+    "q70_ntile" -> (q70Ntile _),
+    "q71_redact" -> (q71Redact _)
   )
 }
