@@ -842,6 +842,34 @@ object Oracles {
         |FROM events
         |ORDER BY event_id""".stripMargin,
 
+    "q72_sequence_packing" ->
+      raw"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |run AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS r
+         |  FROM tok)
+         |SELECT doc_id, lang, n_tokens, (r - n_tokens) // 2000 AS bin
+         |FROM run
+         |ORDER BY doc_id""".stripMargin,
+
+    "q73_point_in_time" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |changes AS (
+        |  SELECT user_id, ts AS valid_from, event_type AS type_at_ts,
+        |    event_id AS change_id
+        |  FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT e.event_id, e.user_id, c.type_at_ts, c.change_id
+        |FROM events e ASOF LEFT JOIN changes c
+        |  ON e.user_id = c.user_id AND e.ts >= c.valid_from
+        |ORDER BY e.event_id""".stripMargin,
+
     "q66_salted_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,

@@ -1018,6 +1018,46 @@ object Queries {
         regexp_replace(col("props"), "[0-9]", "#").alias("props_redacted"))
       .orderBy(col("event_id"))
 
+  /** Sequence packing — assign documents to fixed-token-budget training
+    * bins per language: bin = (running token total before the doc) div
+    * budget. Per-language running sums parallelize across languages; for a
+    * single giant stratum the PrefixSum two-pass operator (q59) is the
+    * drop-in replacement.
+    */
+  def q72SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCountWhitespace(col("text")).cast("long").alias("n_tokens"))
+      .withColumn("__run", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr("(__run - n_tokens) div 2000"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Point-in-time (temporal) dimension lookup — each event joined to the
+    * SCD2 attribute valid AT its timestamp: the feature-store correctness
+    * primitive (no leakage from the future). Composition: q60's change
+    * compression → backward as-of join; intervals tile, so as-of on
+    * valid_from ≡ the interval join without the range-explosion.
+    */
+  def q73PointInTime(spark: SparkSession, dir: String): DataFrame = {
+    val events = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val changes = graft.operators.Scd2.collapseUnchanged(
+      t(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
+      keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+      attrCols = Seq("event_type"))
+      .select(col("user_id"), col("ts").alias("valid_from"),
+        col("event_type").alias("type_at_ts"), col("event_id").alias("change_id"))
+    graft.operators.AsOfJoin.backward(
+      events, changes, on = Seq("user_id"), leftTs = "ts", rightTs = "valid_from")
+      .select(col("event_id"), col("user_id"), col("type_at_ts"), col("change_id"))
+      .orderBy(col("event_id"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1093,6 +1133,8 @@ object Queries {
     "q68_topk_agg" -> (q68TopkAgg _),
     "q69_gap_fill" -> (q69GapFill _),
     "q70_ntile" -> (q70Ntile _),
-    "q71_redact" -> (q71Redact _)
+    "q71_redact" -> (q71Redact _),
+    "q72_sequence_packing" -> (q72SequencePacking _),
+    "q73_point_in_time" -> (q73PointInTime _)
   )
 }
