@@ -463,6 +463,14 @@ object Oracles {
         |  value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "q41_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS approx_within_15pct
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q42_simhash_pairs" -> {
       val bitTerms = (0 until 60).map { i =>
         s"CASE WHEN list_sum([((h >> $i) & 1) * 2 - 1 for h in hashes]) > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END"

@@ -585,6 +585,12 @@ object Queries {
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).alias("approx_parts"),
         countDistinct(col("l_partkey")).alias("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        // HLL++ estimates are engine-specific, so the DIFFERENTIAL check is
+        // on the accuracy CONTRACT: the estimate must land within 3× the
+        // default rsd (5%) of the exact count — the oracle pins TRUE
+        (abs(col("approx_parts") - col("exact_parts"))
+          .cast("double") / col("exact_parts") <= 0.15).alias("approx_within_15pct"))
       .orderBy(col("l_returnflag"))
 
   /** Similarity/IVF — inverted-file ANN over the planted corpus: probe-based
