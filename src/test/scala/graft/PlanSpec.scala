@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical-plan regression guards: the plan properties the 100 TB design
+  * depends on (scan pruning, filter pushdown, broadcast dims, map-side
+  * partial top-k, the window rewrite) asserted as substrings of the plan,
+  * so a refactor that silently loses them fails CI rather than the bench.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String = df.queryExecution.sparkPlan.toString()
+  private def scanOf(df: DataFrame): String =
+    df.queryExecution.sparkPlan.collectLeaves().mkString("\n")
+
+  test("q01: scan prunes to the referenced lineitem columns only") {
+    val scan = scanOf(Queries.q01PricingSummary(spark, sfDir))
+    assert(scan.contains("l_returnflag") && scan.contains("l_quantity"))
+    assert(!scan.contains("l_partkey") && !scan.contains("l_comment"),
+      s"scan reads unneeded columns:\n$scan")
+  }
+
+  test("q03: predicates reach the parquet scan as PushedFilters") {
+    val scan = scanOf(Queries.q03ProjectFilter(spark, sfDir))
+    assert(scan.contains("PushedFilters:"), scan)
+    assert(scan.contains("In(o_orderstatus") || scan.contains("o_orderstatus"), scan)
+    assert(scan.contains("GreaterThan(o_totalprice") ||
+      scan.contains("o_totalprice"), scan)
+  }
+
+  test("q02: the three explicit dimension joins broadcast") {
+    // (at fixture scale Catalyst may ALSO stats-broadcast the orders side;
+    // what must never regress is the three hinted dimension broadcasts)
+    val plan = planOf(Queries.q02RevenueByNation(spark, sfDir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 3, s"expected >= 3 broadcast dim joins, got $broadcasts:\n$plan")
+  }
+
+  test("q62: stratified sample scan does not read the text column") {
+    val scan = scanOf(Queries.q62StratifiedSample(spark, sfDir))
+    assert(scan.contains("doc_id") && scan.contains("lang"))
+    assert(!scan.contains("text"), s"sample scan reads text:\n$scan")
+  }
+
+  test("q68: topk aggregates map-side (partial_topk before the exchange)") {
+    val plan = planOf(Queries.q68TopkAgg(spark, sfDir))
+    assert(plan.contains("partial_topk"), plan)
+  }
+
+  test("with extensions: q10's row_number window rewrites to the topk aggregate") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val plan = Queries.q10WindowRank(ext, sfDir).queryExecution.sparkPlan.toString()
+      assert(plan.contains("partial_topk"), plan)
+      assert(!plan.contains("row_number"), plan)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
