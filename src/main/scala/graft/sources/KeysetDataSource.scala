@@ -75,10 +75,22 @@ class KeysetTable(schema: StructType, options: CaseInsensitiveStringMap)
 }
 
 class KeysetScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private val sortField = Option(options.get("sortField")).getOrElse("lastModifiedAt")
   private var watermark: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = schema
+
+  /** Column pruning (the DSv2 twin of parquet's ReadSchema): the JSON
+    * parser is handed only the required fields, so unrequested fields are
+    * skipped at parse time — for a REST-backed cursor this would become
+    * the projection parameter in the request (the reference's `columns`
+    * param, `ct_utils.py:116-119`). If a watermark filter was pushed but
+    * the sort field was pruned, the scan re-adds it internally (Spark's
+    * post-scan projection drops the surplus column).
+    */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
 
   /** Accept >= / > on the sort field — the keyset watermark — source-side. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -97,7 +109,13 @@ class KeysetScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new KeysetScan(schema, options, sortField, watermark)
+  override def build(): Scan = {
+    val effective =
+      if (watermark.isEmpty || required.fieldNames.contains(sortField) ||
+          !schema.fieldNames.contains(sortField)) required
+      else StructType(required.fields :+ schema(sortField))
+    new KeysetScan(effective, options, sortField, watermark)
+  }
 }
 
 class KeysetScan(schema: StructType, options: CaseInsensitiveStringMap,

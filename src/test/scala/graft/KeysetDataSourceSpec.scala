@@ -25,6 +25,25 @@ class KeysetDataSourceSpec extends SparkSpec {
     assert(explained.contains("graft") || df.count() == 4) // plan renders DSv2 scan
   }
 
+  test("column pruning pushed into the source (SupportsPushDownRequiredColumns)") {
+    val base = spark.read.format("graft-keyset").option("path", pagesDir).load()
+    // projection-only query: the DSv2 scan must output just the one column
+    val one = base.select(col("id"))
+    val scanOut = one.queryExecution.executedPlan.collectLeaves()
+      .map(_.output.map(_.name).toSet).headOption.getOrElse(Set.empty[String])
+    assert(scanOut == Set("id"), s"scan reads $scanOut")
+    assert(one.count() == 7)
+    // projection + watermark: the scan re-adds the sort field internally
+    val filtered = base
+      .filter(col("lastModifiedAt") >= "2024-01-02T00:00:00")
+      .select(col("id"))
+    val scanOut2 = filtered.queryExecution.executedPlan.collectLeaves()
+      .map(_.output.map(_.name).toSet).headOption.getOrElse(Set.empty[String])
+    assert(scanOut2 == Set("id", "lastModifiedAt"), s"scan reads $scanOut2")
+    assert(filtered.count() == 4)
+    assert(filtered.columns.toSeq == Seq("id"))
+  }
+
   test("micro-batch stream: one batch per page, cumulative state = batch load") {
     val ckpt = Files.createTempDirectory("keyset_ckpt").toString
     val stream = spark.readStream.format("graft-keyset").option("path", pagesDir).load()
