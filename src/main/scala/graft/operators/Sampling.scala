@@ -16,6 +16,7 @@ object Sampling {
     * '|'-joined key columns. Uniform for any key distribution.
     */
   def hashBucket(keys: Seq[Column], buckets: Int): Column = {
+    require(keys.nonEmpty, "hashBucket needs at least one key column")
     require(buckets >= 1 && buckets <= (1 << 30), "buckets out of range")
     conv(substring(md5(concat_ws("|", keys: _*)), 1, 8), 16, 10)
       .cast("long") % buckets

@@ -31,8 +31,10 @@ object Scd2 {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(col): _*)
     val cur = struct(attrCols.map(col): _*)
     val prev = lag(cur, 1).over(w)
+    // null-SAFE inequality: plain =!= yields NULL when an attribute is null,
+    // which would silently collapse a transition TO null as "unchanged"
     df.withColumn("__prev", prev)
-      .filter(col("__prev").isNull || col("__prev") =!= cur)
+      .filter(!(col("__prev") <=> cur))
       .drop("__prev")
   }
 

@@ -40,6 +40,18 @@ class Scd2Spec extends SparkSpec {
     assert(k2.length == 1 && k2.head._5 && k2.head._4.isEmpty)
   }
 
+  test("transition to/from a null attribute counts as a change") {
+    val log = Seq(
+      (1L, Some("A"), ts("2024-01-01 00:00:00"), 1L),
+      (1L, Option.empty[String], ts("2024-01-02 00:00:00"), 2L), // A -> null
+      (1L, Option.empty[String], ts("2024-01-03 00:00:00"), 3L), // null (unchanged)
+      (1L, Some("A"), ts("2024-01-04 00:00:00"), 4L)             // null -> A
+    ).toDF("k", "attr", "ts", "id")
+    val kept = Scd2.collapseUnchanged(log, Seq("k"), Seq("ts", "id"), Seq("attr"))
+      .select($"id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 4L))
+  }
+
   test("same-timestamp changes stay deterministic via tie-break column") {
     val clash = Seq(
       (1L, "A", ts("2024-01-01 00:00:00"), 1L),
