@@ -877,8 +877,7 @@ object Queries {
     */
   def q61VocabTopk(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(explode(split(Dedup.canonical(col("text")), " ")).alias("token"))
-      .filter(length(col("token")) > 0)
+      .select(explode(TextAnalysis.canonicalTokens(col("text"))).alias("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).alias("freq"))
       .orderBy(col("freq").desc, col("token"))

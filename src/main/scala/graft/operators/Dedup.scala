@@ -272,13 +272,21 @@ object Dedup {
 
   /** Comparison for the union-find root choice; None for id types where the
     * distributed path must be used (no deterministic "min id" ordering).
+    * Strings compare by UTF-8 BYTES, matching Spark's min() (UTF8String
+    * binary order) — Java's String '<' is UTF-16 code-unit order, which
+    * disagrees for non-BMP characters and would elect a different root than
+    * the distributed fixpoint.
     */
   private def idOrdering(dt: org.apache.spark.sql.types.DataType): Option[(Any, Any) => Boolean] = {
     import org.apache.spark.sql.types._
     dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         Some((a, b) => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue)
-      case StringType => Some((a, b) => a.asInstanceOf[String] < b.asInstanceOf[String])
+      case StringType => Some { (a, b) =>
+        val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        java.util.Arrays.compareUnsigned(x, y) < 0
+      }
       case _ => None
     }
   }

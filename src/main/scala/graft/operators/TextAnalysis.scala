@@ -134,6 +134,14 @@ object TextAnalysis {
       (acc, ch) => pmod(acc * 31L + coalesce(ascii(ch).cast("long"), lit(0L)), lit(M)))
   }
 
+  /** Canonical token stream for corpus statistics: tokens of the canonical
+    * (lowercased, whitespace-collapsed) text, empty tokens excluded. The
+    * single definition q61's vocabulary and [[repetitionProfile]] share —
+    * a tokenization change must not let corpus metrics drift apart.
+    */
+  def canonicalTokens(text: Column): Column =
+    filter(split(Dedup.canonical(text), " "), t => length(t) > 0)
+
   /** Intra-document repetition profile (Gopher-style quality rule: heavily
     * repeated content predicts boilerplate/spam). Per document: token count,
     * distinct-token count, duplicate-token ratio, and the most frequent
@@ -144,9 +152,7 @@ object TextAnalysis {
     */
   def repetitionProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val perToken = docs
-      .select(col(idCol),
-        explode(split(Dedup.canonical(col(textCol)), " ")).alias("__tok"))
-      .filter(length(col("__tok")) > 0)
+      .select(col(idCol), explode(canonicalTokens(col(textCol))).alias("__tok"))
       .groupBy(col(idCol), col("__tok"))
       .agg(count(lit(1)).alias("__n"))
     perToken

@@ -109,7 +109,16 @@ case class TopNWindowRewrite(maxK: Int = 1000) extends Rule[LogicalPlan] {
       case Ascending  => Some(so.child)
       case Descending => reverseExact(so.child)
     }
-    valueKey.map(v => Seq(nullFlag, v))
+    // float/double DESC: Spark orders NaN greater than everything, but
+    // negation leaves NaN as NaN (still sorting greatest), which would
+    // misplace NaN rows last instead of first — an explicit not-NaN flag
+    // (false sorts first) restores NaN-first for descending keys.
+    // Ascending needs nothing: NaN already sorts last either way.
+    val nanFlag: Seq[Expression] = (so.direction, so.child.dataType) match {
+      case (Descending, FloatType | DoubleType) => Seq(Not(IsNaN(so.child)))
+      case _ => Nil
+    }
+    valueKey.map(v => (nullFlag +: nanFlag) :+ v)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -118,7 +127,12 @@ case class TopNWindowRewrite(maxK: Int = 1000) extends Rule[LogicalPlan] {
           WindowSpecDefinition(part, order, _)), _)), _, _, child, _))
         if order.nonEmpty =>
       ((cond, rnAlias.exprId)) match {
-        case RankBound((k, rest)) if k <= maxK =>
+        case RankBound((k, rest)) if k <= maxK
+            // the whole row travels inside TopK's ordered struct, so EVERY
+            // output column must be orderable (a MapType column would pass
+            // analysis here and then throw at task execution)
+            && child.output.forall(a =>
+              org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(a.dataType)) =>
           val keyFields = order.map(sortKeyFields)
           if (keyFields.exists(_.isEmpty)) f
           else {

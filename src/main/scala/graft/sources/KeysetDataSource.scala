@@ -77,7 +77,7 @@ class KeysetTable(schema: StructType, options: CaseInsensitiveStringMap)
 class KeysetScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private val sortField = Option(options.get("sortField")).getOrElse("lastModifiedAt")
-  private var watermark: Option[String] = None
+  private var watermark: Option[KeysetWatermark] = None
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = schema
 
@@ -92,20 +92,31 @@ class KeysetScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Accept >= / > on the sort field — the keyset watermark — source-side. */
+  /** Accept >= / > on the sort field — the keyset watermark — source-side.
+    * Accepted filters are FULLY pushed (Spark drops them from the plan), so
+    * the reader must honour strictness and SQL null semantics exactly;
+    * multiple accepted filters keep the most restrictive bound.
+    */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
-      case GreaterThanOrEqual(a, v: String) if a == sortField => true
-      case GreaterThan(a, v: String) if a == sortField => true
+      case GreaterThanOrEqual(a, _: String) if a == sortField => true
+      case GreaterThan(a, _: String) if a == sortField => true
       case _ => false
     }
     pushed = accepted
     accepted.foreach {
-      case GreaterThanOrEqual(_, v: String) => watermark = Some(v)
-      case GreaterThan(_, v: String)        => watermark = Some(v)
+      case GreaterThanOrEqual(_, v: String) => tighten(KeysetWatermark(v, strict = false))
+      case GreaterThan(_, v: String)        => tighten(KeysetWatermark(v, strict = true))
       case _                                 => ()
     }
     rejected // Spark still applies these
+  }
+
+  private def tighten(w: KeysetWatermark): Unit = watermark = watermark match {
+    case None => Some(w)
+    case Some(cur) =>
+      // larger value wins; at equal values strict (>) beats non-strict (>=)
+      if (w.value > cur.value || (w.value == cur.value && w.strict)) Some(w) else Some(cur)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -118,8 +129,16 @@ class KeysetScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
   }
 }
 
+/** A fully-pushed keyset predicate: sort value must be > (strict) or >= the
+  * bound, and — per SQL comparison semantics — null sort values never pass.
+  */
+case class KeysetWatermark(value: String, strict: Boolean) {
+  def accepts(v: String): Boolean =
+    v != null && (if (strict) v > value else v >= value)
+}
+
 class KeysetScan(schema: StructType, options: CaseInsensitiveStringMap,
-    sortField: String, watermark: Option[String]) extends Scan {
+    sortField: String, watermark: Option[KeysetWatermark]) extends Scan {
   private val dir = KeysetDataSource.pathOf(options)
   override def readSchema(): StructType = schema
   override def toBatch: Batch = new Batch {
@@ -143,7 +162,7 @@ case class KeysetOffset(pageIdx: Int) extends Offset {
 }
 
 class KeysetMicroBatchStream(dir: String, schema: StructType,
-    sortField: String, watermark: Option[String]) extends MicroBatchStream {
+    sortField: String, watermark: Option[KeysetWatermark]) extends MicroBatchStream {
   override def initialOffset(): Offset = KeysetOffset(0)
   override def latestOffset(): Offset =
     KeysetOffset(KeysetDataSource.pageFiles(dir).length)
@@ -161,7 +180,7 @@ class KeysetMicroBatchStream(dir: String, schema: StructType,
 }
 
 class KeysetReaderFactory(schema: StructType, sortField: String,
-    watermark: Option[String]) extends PartitionReaderFactory {
+    watermark: Option[KeysetWatermark]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[KeysetInputPartition].path
     new PartitionReader[InternalRow] {
@@ -178,11 +197,13 @@ class KeysetReaderFactory(schema: StructType, sortField: String,
       override def next(): Boolean = {
         while (!batch.hasNext && lines.hasNext) {
           val parsed = parser.parse(lines.next(), createParser, UTF8String.fromString)
-          // source-side watermark filter (the pushed keyset predicate)
+          // source-side watermark filter (the pushed keyset predicate):
+          // strictness preserved, null sort values excluded (SQL semantics —
+          // the filter was dropped from the plan, nobody re-checks it)
           batch = parsed.iterator.filter { row =>
             watermark.isEmpty || sortIdx < 0 || {
               val v = row.getUTF8String(sortIdx)
-              v == null || v.toString >= watermark.get
+              watermark.get.accepts(if (v == null) null else v.toString)
             }
           }
         }

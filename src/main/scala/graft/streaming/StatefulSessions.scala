@@ -48,10 +48,16 @@ object StatefulSessions {
       sorted.foreach { e =>
         val t = e.ts.getTime
         cur match {
+          case Some(s) if t < s.startMs - gapMs =>
+            // stale straggler: more than a gap BEFORE the open session —
+            // it can never merge (the gap invariant would break), and with
+            // one-open-session-per-key state the only bounded-state choice
+            // is to emit it as its own closed singleton session.
+            closed += ClosedSession(userId, e.ts, e.ts, 1L, e.value)
           case Some(s) if t - s.endMs <= gapMs =>
-            // min() on start too: a late-but-in-watermark event can PRECEDE
-            // the open session restored from state; without it the emitted
-            // sessionStart would be wrong for cross-batch out-of-order data.
+            // min() on start: a late-but-in-watermark event may precede the
+            // open session's start by up to gapMs and still merge; without
+            // min() the emitted sessionStart would be wrong.
             cur = Some(OpenSession(math.min(s.startMs, t), math.max(s.endMs, t),
               s.n + 1, s.sum + e.value))
           case Some(s) =>

@@ -25,6 +25,17 @@ class KeysetDataSourceSpec extends SparkSpec {
     assert(explained.contains("graft") || df.count() == 4) // plan renders DSv2 scan
   }
 
+  test("strict > watermark excludes the boundary row; >= includes it") {
+    val base = spark.read.format("graft-keyset").option("path", pagesDir).load()
+    val boundary = base.select(col("lastModifiedAt")).na.drop()
+      .orderBy(col("lastModifiedAt")).collect().map(_.getString(0)).distinct
+    val b = boundary(1) // an existing sort value with rows at it
+    val geq = base.filter(col("lastModifiedAt") >= b).count()
+    val gt = base.filter(col("lastModifiedAt") > b).count()
+    val atBoundary = base.filter(col("lastModifiedAt") === b).count()
+    assert(atBoundary > 0 && geq == gt + atBoundary)
+  }
+
   test("column pruning pushed into the source (SupportsPushDownRequiredColumns)") {
     val base = spark.read.format("graft-keyset").option("path", pagesDir).load()
     // projection-only query: the DSv2 scan must output just the one column

@@ -83,6 +83,23 @@ class StatefulSessionSpec extends SparkSpec {
     assert(s.n == 2 && s.sum == 5.0)
   }
 
+  test("transition function: straggler older than start-gap becomes its own closed session") {
+    // open session [01:00, 01:00], gap 30m; an event at 00:10 is 50m before
+    // the start — merging it would violate the gap invariant
+    val state = new TestGroupState[StatefulSessions.OpenSession]
+    state.update(StatefulSessions.OpenSession(
+      ts("2024-01-01 01:00:00").getTime, ts("2024-01-01 01:00:00").getTime, 1L, 4.0))
+    val out = StatefulSessions.transition(30 * 60000L)(
+      1L, Iterator(Event(1L, ts("2024-01-01 00:10:00"), 2.0)), state).toSeq
+    assert(out.length == 1)
+    assert(out.head.sessionStart == ts("2024-01-01 00:10:00") &&
+      out.head.sessionEnd == ts("2024-01-01 00:10:00") &&
+      out.head.nEvents == 1 && out.head.sumValue == 2.0)
+    // the open session is untouched
+    assert(state.updated.exists(s =>
+      s.startMs == ts("2024-01-01 01:00:00").getTime && s.n == 1))
+  }
+
   test("transition function: in-batch merge order is event-time, not arrival") {
     // feed events out of order within one invocation; the transition sorts
     val state = new TestGroupState[StatefulSessions.OpenSession]

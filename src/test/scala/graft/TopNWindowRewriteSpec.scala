@@ -143,6 +143,39 @@ class TopNWindowRewriteSpec extends SparkSpec {
     }
   }
 
+  test("NaN in a desc double key keeps Spark's NaN-greatest placement") {
+    val data = Seq((1L, Double.NaN, "nan"), (1L, 5.0, "five"), (1L, 3.0, "three"))
+    def run(s: SparkSession) = {
+      import s.implicits._
+      val w = Window.partitionBy($"g").orderBy($"v".desc, $"tag")
+      data.toDF("g", "v", "tag").withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2).collect()
+        .map(r => (r.getInt(3), r.getString(2))).sortBy(_._1)
+    }
+    val stock = run(spark)
+    assert(stock.head._2 == "nan") // Spark: NaN sorts greatest
+    withExtSession { ext =>
+      import ext.implicits._
+      val w = Window.partitionBy($"g").orderBy($"v".desc, $"tag")
+      val q = data.toDF("g", "v", "tag").withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2)
+      assert(optimized(q).contains("topk"), optimized(q))
+      assert(run(ext).toSeq == stock.toSeq)
+    }
+  }
+
+  test("non-orderable payload column (map) declines the rewrite, query still runs") {
+    withExtSession { ext =>
+      import ext.implicits._
+      val df = Seq((1L, 2.0, Map("a" -> 1)), (1L, 3.0, Map("b" -> 2)))
+        .toDF("g", "v", "m")
+      val w = Window.partitionBy($"g").orderBy($"v".desc)
+      val q = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 1)
+      assert(!optimized(q).contains("topk"))
+      assert(q.count() == 1)
+    }
+  }
+
   test("rank() (non-row_number) windows are left alone") {
     withExtSession { ext =>
       import ext.implicits._
