@@ -103,4 +103,16 @@ object Functions {
       graft.functions.expressions.TopK(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), k, descending)
         .toAggregateExpression())
+
+  /** max_by/min_by generalized to k: the payloads of the k best rows by
+    * `value`, best first (ties broken by payload bytes, deterministically).
+    * Same map-side-partial shuffle bound as [[topK]].
+    */
+  def topKBy(value: Column, payload: Column, k: Int,
+      descending: Boolean = true): Column = {
+    import org.apache.spark.sql.functions.{struct, transform}
+    transform(
+      topK(struct(value.alias("v"), payload.alias("p")), k, descending),
+      s => s.getField("p"))
+  }
 }

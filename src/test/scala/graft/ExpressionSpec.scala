@@ -131,6 +131,18 @@ class ExpressionSpec extends SparkSpec {
     assert(s == Seq("pear", "mango"))
   }
 
+  test("topKBy returns payloads of the k best rows by value") {
+    import graft.functions.Functions
+    val df = Seq((1L, 5.0, "five"), (1L, 9.0, "nine"), (1L, 7.0, "seven"), (2L, 1.0, "one"))
+      .toDF("g", "v", "tag")
+    val out = df.groupBy($"g")
+      .agg(Functions.topKBy($"v", $"tag", 2).alias("top"),
+        Functions.topKBy($"v", $"tag", 1, descending = false).alias("worst"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getSeq[String](2))).toMap
+    assert(out(1L) == ((Seq("nine", "seven"), Seq("five"))))
+    assert(out(2L) == ((Seq("one"), Seq("one"))))
+  }
+
   test("topk is SQL-callable via GraftExtensions") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
