@@ -31,6 +31,20 @@ object ApiSmoke {
     val frames = graft.operators.Multimodal.sampleFrames(assets, everyNth = 4)
     println(s"sampled frames: ${frames.count()} from ${assets.count()} assets")
     frames.groupBy().agg(min(col("frame_index")), max(col("frame_index"))).show()
+
+    // round-3 exports without a Verify query of their own
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = graft.operators.Similarity.quantizeInt8(col("embedding"))
+    val roundTrip = emb.select(
+      graft.operators.Similarity.cosine(
+        col("embedding"), graft.operators.Similarity.dequantizeInt8(q)).alias("c"))
+      .agg(min(col("c"))).head().getDouble(0)
+    println(f"int8 round-trip min cosine vs original: $roundTrip%.6f (expect > 0.999)")
+
+    val top = docs.groupBy(col("lang"))
+      .agg(graft.functions.Functions.topKBy(col("n_chars"), col("doc_id"), 3).alias("longest"))
+    println(s"topKBy longest-docs-per-lang rows: ${top.count()} (expect 5)")
+    top.orderBy("lang").show(5, truncate = false)
     spark.stop()
   }
 }
