@@ -12,8 +12,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq else Seq(
       "q01_pricing_summary", "q02_revenue_by_nation", "q03_project_filter",
-      "q05_latest_event_per_user", "q06_merge_upsert", "q25_near_dup_pairs",
-      "q27_cosine_topk", "q34_keyset_normalize")
+      "q05_latest_event_per_user", "q06_merge_upsert", "q10_window_rank",
+      "q25_near_dup_pairs", "q27_cosine_topk", "q34_keyset_normalize",
+      "q68_topk_agg")
     // library session builder: carries GraftExtensions (SQL-callable
     // native functions), AQE, UTC
     val spark = graft.core.Sessions.builder("graft-explain").getOrCreate()

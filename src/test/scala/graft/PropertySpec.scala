@@ -109,6 +109,38 @@ class PropertySpec extends SparkSpec {
     assert(graft.operators.Sampling.hashSample(df, Seq(col("id")), 1.0).count() == 2000)
   }
 
+  test("topk ≡ sort-and-take-k for arbitrary grouped data with nulls and NaN") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      g <- Gen.choose(1L, 6L)
+      v <- Gen.frequency(
+        (8, Gen.choose(-100.0, 100.0).map(Option(_))),
+        (1, Gen.const(Option(Double.NaN))),
+        (1, Gen.const(Option.empty[Double])))
+    } yield (g, v)
+    val data = samples(gen, 400)
+    val df = data.toDF("g", "v").repartition(7)
+    val got = df.groupBy($"g")
+      .agg(graft.functions.Functions.topK($"v", 3).alias("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    // expected: per group, non-null values sorted by Spark's ordering
+    // (NaN greatest), descending, take 3
+    val expect = data.groupBy(_._1).map { case (g, rows) =>
+      g -> rows.flatMap(_._2)
+        .sorted(Ordering.fromLessThan[Double](java.lang.Double.compare(_, _) > 0))
+        .take(3).toSeq
+    }
+    got.foreach { case (g, vs) =>
+      // compare via java compare to make NaN == NaN
+      val e = expect(g)
+      assert(vs.size == e.size &&
+        vs.zip(e).forall { case (a, b) => java.lang.Double.compare(a, b) == 0 },
+        s"group $g: got $vs want $e")
+    }
+    assert(got.keySet == expect.keySet)
+  }
+
   test("scd2: intervals tile each key's timeline (no overlap, no gap, one current)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
