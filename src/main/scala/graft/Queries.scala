@@ -1020,7 +1020,7 @@ object Queries {
   def q71Redact(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .select(col("event_id"),
-        regexp_replace(col("props"), "[0-9]", "#").alias("props_redacted"))
+        TextAnalysis.redact(col("props")).alias("props_redacted"))
       .orderBy(col("event_id"))
 
   /** Sequence packing — assign documents to fixed-token-budget training

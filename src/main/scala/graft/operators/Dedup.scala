@@ -388,6 +388,19 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints via bit_count(xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Jaccard ESTIMATE from two MinHash signatures: the fraction of agreeing
+    * positions (an unbiased estimator of the true Jaccard similarity, ±
+    * O(1/√k)). The at-scale substitute for exact shingle-set verification:
+    * signatures are k longs per document, so pair scoring never re-touches
+    * the text.
+    */
+  def jaccardEstimateFromSignatures(sigA: Column, sigB: Column): Column =
+    when(sigA.isNull || sigB.isNull || size(sigA) === 0 || size(sigA) =!= size(sigB),
+      lit(null))
+      .otherwise(
+        size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
+          .cast("double") / size(sigA))
+
   /** Benchmark-contamination check: shingle containment of each probe
     * ("benchmark") document in each corpus document —
     * |sh(corpus) ∩ sh(probe)| / |sh(probe)|. The asymmetric cousin of

@@ -171,6 +171,15 @@ object TextAnalysis {
           .alias("top_token_share"))
   }
 
+  /** Pattern redaction (PII-style scrub): replace every match of `pattern`
+    * with `replacement`. Row-local, codegen'd, composes with pushdown —
+    * and the pattern class is spelled in portable regex (no engine-specific
+    * shorthand) so cleaning is differential-testable (q71).
+    */
+  def redact(text: Column, pattern: String = "[0-9]",
+      replacement: String = "#"): Column =
+    regexp_replace(text, pattern, replacement)
+
   /** Full text profile in one projection. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

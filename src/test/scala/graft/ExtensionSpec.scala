@@ -182,6 +182,32 @@ class ExtensionSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("signature jaccard estimate tracks exact jaccard on near/exact/disjoint pairs") {
+    val withSig = docs.filter(length($"text") > 0)
+      .select($"doc_id", Dedup.minhashSignature($"text", 12).alias("sig"),
+        Dedup.shingles($"text").alias("sh"))
+    val pairs = withSig.alias("a").crossJoin(withSig.alias("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id"), col("b.doc_id"),
+        Dedup.jaccardEstimateFromSignatures(col("a.sig"), col("b.sig")).alias("est"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).alias("exact"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val (estDup, exactDup) = pairs((1L, 4L))     // exact duplicates
+    assert(estDup == 1.0 && exactDup == 1.0)
+    val (estDisj, exactDisj) = pairs((1L, 3L))   // disjoint content
+    assert(estDisj <= 0.25 && exactDisj == 0.0)  // k=12: estimator noise bounded
+    val (estNear, exactNear) = pairs((1L, 2L))   // near-dup: one word differs
+    assert(math.abs(estNear - exactNear) <= 0.35, s"est $estNear vs exact $exactNear")
+    // contract: size mismatch / null → null
+    val bad = spark.sql("SELECT 1").select(
+      Dedup.jaccardEstimateFromSignatures(
+        array(lit(1L), lit(2L)), array(lit(1L))).alias("x"))
+    assert(bad.head().isNullAt(0))
+  }
+
   test("repetition profile: counts and ratios on a hand-checked doc") {
     val df = Seq((1L, "a a a b"), (2L, "x y z w")).toDF("doc_id", "text")
     val out = TextAnalysis.repetitionProfile(df, "doc_id", "text")
