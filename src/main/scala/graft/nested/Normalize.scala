@@ -53,10 +53,25 @@ object Normalize {
     * Non-struct columns pass through untouched. Pure projection — no shuffle.
     */
   def flattenOnce(df: DataFrame, exclude: Set[String] = Set.empty, sep: String = "__"): DataFrame = {
+    // collision-safe naming: a flattened `parent__child` may collide with an
+    // existing column (source data may legitimately contain `__` in names);
+    // an ambiguous duplicate would poison every later select. Deterministic
+    // uniquification: append `_2`, `_3`, ... in field order.
+    val taken = scala.collection.mutable.HashSet[String](df.columns: _*)
+    df.schema.fields.foreach(f => if (f.dataType.isInstanceOf[StructType] && !exclude(f.name))
+      taken -= f.name) // struct parents disappear after the flatten
+    def unique(name: String): String = {
+      var cand = name
+      var i = 2
+      while (taken(cand)) { cand = s"${name}_$i"; i += 1 }
+      taken += cand
+      cand
+    }
     val cols: Seq[Column] = df.schema.fields.toSeq.flatMap { f =>
       f.dataType match {
         case st: StructType if !exclude(f.name) =>
-          st.fields.toSeq.map(sf => col(s"`${f.name}`.`${sf.name}`").alias(s"${f.name}$sep${sf.name}"))
+          st.fields.toSeq.map(sf =>
+            col(s"`${f.name}`.`${sf.name}`").alias(unique(s"${f.name}$sep${sf.name}")))
         case _ => Seq(col(s"`${f.name}`"))
       }
     }
@@ -81,8 +96,17 @@ object Normalize {
     * explode + flatten until the schema holds only scalars (excluded columns
     * aside). Deterministic and data-independent because it is schema-driven.
     *
-    * @param serializeExcluded if true, surviving excluded complex columns are
-    *        `to_json`-serialized so the output is strictly scalar (DWH-shaped)
+    * MapType contract: maps are deliberately NOT structurally flattened —
+    * their keys are DATA, not schema (N7's `element_at`/`check_for_key` is
+    * the access path), so a schema-driven fixpoint cannot expand them
+    * deterministically. A frame containing maps therefore only satisfies
+    * [[isFlat]] when `serializeExcluded = true` (maps become JSON strings,
+    * like excluded arrays/structs) — pass it whenever a strictly scalar
+    * DWH-shaped output is required.
+    *
+    * @param serializeExcluded if true, surviving complex columns (excluded
+    *        arrays/structs, and all maps) are `to_json`-serialized so the
+    *        output is strictly scalar (DWH-shaped)
     */
   def normalize(
       df: DataFrame,

@@ -77,8 +77,13 @@ object AlertGate {
       .select(col(Identifier), col(DedupKey), col(DedupValue).alias("last_value"))
     candidates
       .join(latest, Seq(Identifier, DedupKey), "left")
+      // coalesce(.., true): a null diff (null/non-numeric current or last
+      // value) must FAIL OPEN — suppressing the alert on an unevaluable
+      // threshold would break the "threshold 0 ⇒ resend always" contract,
+      // and a gate that silently drops alerts is worse than a duplicate
       .filter(col("last_value").isNull ||
-        abs(col(DedupValue) - col("last_value")) >= lit(resendThreshold))
+        coalesce(abs(col(DedupValue) - col("last_value")) >= lit(resendThreshold),
+          lit(true)))
   }
 
   /** S8 — append sent alerts to the history table shape

@@ -57,14 +57,20 @@ object Upsert {
 
     val outCols: Seq[Column] = target.columns.toSeq.map { c =>
       val tc = col(s"t.`$c`")
-      val sc = if (staged.columns.contains(c)) col(s"s.`$c`") else lit(null)
+      val stagedHas = staged.columns.contains(c)
+      val sc = if (stagedHas) col(s"s.`$c`") else lit(null)
       val v =
         if (pk.contains(c) || c == InsertTs)
           // PK/INSERT_TIMESTAMP: target value wins on match; staged only on insert
           when(stagedOnly, sc).otherwise(tc)
-        else
-          // everything else (incl. UPDATE_TIMESTAMP): staged wins when present
+        else if (stagedHas)
+          // staged wins when present (incl. UPDATE_TIMESTAMP)
           when(stagedOnly || matched, sc).otherwise(tc)
+        else
+          // column absent from the staged frame (schema drift): ANSI MERGE
+          // only SETs staged columns, so matched rows KEEP the target value
+          // — overwriting with null would silently erase data
+          tc
       v.alias(c)
     }
     joined.select(outCols: _*)
@@ -92,8 +98,16 @@ object Upsert {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmpPath), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(targetPath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmpPath), dst)
+    // Hadoop FS ops signal failure by RETURN VALUE, not exception — an
+    // ignored false from rename after a successful delete would leave the
+    // live table gone with the only copy stranded at the tmp path.
+    if (!fs.delete(dst, true) && fs.exists(dst))
+      throw new java.io.IOException(
+        s"mergeAndSwap: could not delete $targetPath; merged data is intact at $tmpPath")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmpPath), dst))
+      throw new java.io.IOException(
+        s"mergeAndSwap: rename $tmpPath -> $targetPath failed; " +
+          s"target was removed, RECOVER the merged table from $tmpPath")
     auditUpdatedToday(spark.read.parquet(targetPath))
   }
 

@@ -40,9 +40,15 @@ object SchemaAudit {
     maxColumnLengths(df, columns).toSeq.toDF("column_name", "new_max_size")
   }
 
-  final case class Widen(column: String, columnType: String, newLength: Long) {
-    def alterSql(table: String): String =
-      s"""ALTER TABLE $table ALTER COLUMN $column TYPE $columnType($newLength)"""
+  final case class Widen(column: String, columnType: String, newLength: Long,
+      scale: Option[Long] = None) {
+    def alterSql(table: String): String = {
+      val tpe = scale match {
+        case Some(s) => s"$columnType($newLength,$s)"
+        case None    => s"$columnType($newLength)"
+      }
+      s"""ALTER TABLE $table ALTER COLUMN $column TYPE $tpe"""
+    }
   }
 
   /** E1 — compare observed vs declared, emit widen actions for VARCHAR and
@@ -50,22 +56,34 @@ object SchemaAudit {
     * types are reported for manual follow-up (the reference's "look up
     * manually", `utils.py:536`).
     *
-    * @param declared column → (typeName, declaredMax); typeName in
-    *                 {"VARCHAR","DECIMAL",...} mirroring Exasol type ids 12/3
+    * DECIMAL caution: `DECIMAL(n)` means scale 0, so emitting it for a
+    * fractional column would TRUNCATE every value — a "widen" must never be
+    * lossy. DECIMAL columns therefore widen only when their declared scale
+    * is supplied (emitted as `DECIMAL(p,s)` with the scale preserved);
+    * otherwise they go to the manual-review list.
+    *
+    * @param declared      column → (typeName, declaredMax); typeName in
+    *                      {"VARCHAR","DECIMAL",...} mirroring Exasol ids 12/3
+    * @param declaredScale column → scale for DECIMAL columns (from the
+    *                      catalog's COLUMN_NUM_SCALE equivalent)
     * @return (widen actions, manual-review column names)
     */
   def widenPlan(
       observed: Map[String, Long],
-      declared: Map[String, (String, Long)]
+      declared: Map[String, (String, Long)],
+      declaredScale: Map[String, Long] = Map.empty
   ): (Seq[Widen], Seq[String]) = {
     val hits = declared.toSeq.flatMap { case (c, (tpe, declaredMax)) =>
       observed.get(c).filter(_ > declaredMax).map(obs => (c, tpe, obs))
     }
-    val (widenable, manual) = hits.partition { case (_, tpe, _) =>
-      tpe.equalsIgnoreCase("VARCHAR") || tpe.equalsIgnoreCase("DECIMAL")
+    val (widenable, manual) = hits.partition { case (c, tpe, _) =>
+      tpe.equalsIgnoreCase("VARCHAR") ||
+        (tpe.equalsIgnoreCase("DECIMAL") && declaredScale.contains(c))
     }
-    (widenable.map { case (c, tpe, obs) => Widen(c, tpe.toUpperCase, obs) },
-      manual.map(_._1))
+    (widenable.map { case (c, tpe, obs) =>
+      Widen(c, tpe.toUpperCase, obs,
+        if (tpe.equalsIgnoreCase("DECIMAL")) declaredScale.get(c) else None)
+    }, manual.map(_._1))
   }
 
   /** E2 — apply widen actions to one or two tables (the reference propagates

@@ -72,22 +72,30 @@ object KeysetSource {
       s"pageSize must be in [1, $MaxPageSize]") // ct_utils.py:288-290
     import spark.implicits._
     var cursor = startWatermark.orElse(Some(DefaultFallbackWatermark))
-    var pages = List.empty[DataFrame]
+    // accumulate raw records, parse ONCE at the end: one schema-inference
+    // job and a flat plan, instead of one inference job per page plus a
+    // maxPages-deep union tree for Catalyst to analyze. Driver memory is
+    // bounded by maxPages × pageSize records — the same ceiling the
+    // reference enforces (ct_utils.py:199-201); the unbounded form is the
+    // streaming path (IncrementalLoad). Global inference also merges
+    // drifting page schemas more robustly than pairwise unionByName
+    // (int-then-string drift widens instead of failing).
+    val records = Seq.newBuilder[String]
     var n = 0
     var done = false
     while (!done && n < maxPages) {
       val page = fetch(cursor, pageSize)
-      if (page.jsonRecords.nonEmpty)
-        pages ::= spark.read.json(spark.createDataset(page.jsonRecords))
+      records ++= page.jsonRecords
       n += 1
       // the fetcher owns pagination-end signalling: None cursor ⇒ exhausted
       done = page.lastSortValue.isEmpty
       if (!done) cursor = page.lastSortValue
     }
-    if (pages.isEmpty) spark.emptyDataFrame
+    val all = records.result()
+    if (all.isEmpty) spark.emptyDataFrame
     else {
-      val unioned = pages.reverse.reduce(_.unionByName(_, allowMissingColumns = true))
-      if (columns.nonEmpty) Functions.selectExisting(unioned, columns) else unioned
+      val parsed = spark.read.json(spark.createDataset(all))
+      if (columns.nonEmpty) Functions.selectExisting(parsed, columns) else parsed
     }
   }
 
@@ -104,8 +112,10 @@ object KeysetSource {
     (watermarkVal: Option[String], _: Int) => {
       if (idx >= files.length) Page(Nil, None)
       else {
-        val lines = scala.io.Source.fromFile(files(idx))("UTF-8").getLines()
-          .filter(_.trim.nonEmpty).toList
+        val src = scala.io.Source.fromFile(files(idx))("UTF-8")
+        val lines =
+          try src.getLines().filter(_.trim.nonEmpty).toList
+          finally src.close() // leak-free: one descriptor per page otherwise
         idx += 1
         // keyset contract: only records past the watermark are served
         val kept = watermarkVal match {
@@ -125,11 +135,19 @@ object KeysetSource {
     }
   }
 
-  /** Minimal top-level string-field extractor for fixture cursors (avoids a
-    * JSON library dependency on the driver path).
+  /** Top-level string-field extractor for fixture cursors. A real JSON parse
+    * (Jackson ships with Spark), not a regex: a regex would match the field
+    * name inside NESTED objects or string values — a nested
+    * `meta.lastModifiedAt` from the future would silently jump the cursor
+    * and drop every later record. Top-level-only lookup, null on anything
+    * unparseable or non-textual.
     */
-  private[sources] def ujsonField(json: String, field: String): String = {
-    val re = ("\"" + java.util.regex.Pattern.quote(field) + "\"\\s*:\\s*\"([^\"]*)\"").r
-    re.findFirstMatchIn(json).map(_.group(1)).orNull
-  }
+  private[graft] def ujsonField(json: String, field: String): String =
+    try {
+      val node = KeysetSource.mapper.readTree(json)
+      val v = if (node != null && node.isObject) node.get(field) else null
+      if (v != null && v.isTextual) v.asText() else null
+    } catch { case _: com.fasterxml.jackson.core.JacksonException => null }
+
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 }

@@ -22,7 +22,12 @@ import graft.core.Retry
   */
 object SheetSource {
 
-  /** Header promotion + ragged-row padding over driver-fetched values. */
+  /** Header promotion + ragged-row padding over driver-fetched values.
+    * Header hygiene matches the csv header reader's guarantees: blank header
+    * cells become positional `col_<i>` names, and duplicate headers are
+    * uniquified (`name`, `name_2`, ...) — real spreadsheets have both, and
+    * an ambiguous duplicate would make every later `col("name")` throw.
+    */
   def fromValues(
       spark: SparkSession,
       values: Seq[Seq[String]],
@@ -30,7 +35,7 @@ object SheetSource {
   ): DataFrame = {
     require(values.nonEmpty, "empty sheet range")
     val (names, data) =
-      if (headerRow) (values.head.map(_.trim), values.tail)
+      if (headerRow) (dedupeHeaders(values.head.map(_.trim)), values.tail)
       else (values.head.indices.map(i => s"col_$i"), values)
     val width = names.length
     val rows = data.map { r =>
@@ -39,6 +44,18 @@ object SheetSource {
     }
     val schema = StructType(names.map(n => StructField(n, StringType, nullable = true)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toList), schema)
+  }
+
+  private[sources] def dedupeHeaders(raw: Seq[String]): Seq[String] = {
+    val taken = scala.collection.mutable.HashSet.empty[String]
+    raw.zipWithIndex.map { case (h, i) =>
+      val base = if (h.isEmpty) s"col_$i" else h
+      var cand = base
+      var n = 2
+      while (taken(cand)) { cand = s"${base}_$n"; n += 1 }
+      taken += cand
+      cand
+    }
   }
 
   /** Full source: retried fetch (C3 semantics: 6 attempts, (n+1)×10 s) then

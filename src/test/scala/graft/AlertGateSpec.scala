@@ -48,6 +48,17 @@ class AlertGateSpec extends SparkSpec {
     assert(AlertGate.shouldSend(cands, history, 0.0, asOf).count() == 1)
   }
 
+  test("C1 null dedup value fails OPEN: unevaluable threshold still sends") {
+    val asOf = lit("2024-01-10").cast("date")
+    val history = Seq(("m", 1L, Some(100.0), "2024-01-11 08:00:00"))
+      .toDF(AlertGate.Identifier, AlertGate.DedupKey, AlertGate.DedupValue, AlertGate.LastAlert)
+      .withColumn(AlertGate.LastAlert, col(AlertGate.LastAlert).cast("timestamp"))
+    val cands = Seq(("m", 1L, Option.empty[Double]))
+      .toDF(AlertGate.Identifier, AlertGate.DedupKey, AlertGate.DedupValue)
+    // null − 100.0 is null; the gate must send rather than silently suppress
+    assert(AlertGate.shouldSend(cands, history, 50.0, asOf).count() == 1)
+  }
+
   test("A3 maxColumnLengths: one-pass observed lengths (utils.py:520)") {
     val df = Seq(("abc", 1234), ("x", 7)).toDF("s", "i")
     assert(SchemaAudit.maxColumnLengths(df) == Map("s" -> 3L, "i" -> 4L))
@@ -60,6 +71,18 @@ class AlertGateSpec extends SparkSpec {
     assert(widens == Seq(SchemaAudit.Widen("a", "VARCHAR", 10L)))
     assert(manual == Seq("c"))
     assert(widens.head.alterSql("s.t") == "ALTER TABLE s.t ALTER COLUMN a TYPE VARCHAR(10)")
+  }
+
+  test("E1 DECIMAL widen preserves scale, and without a known scale goes to manual") {
+    val observed = Map("d" -> 9L, "e" -> 9L)
+    val declared = Map("d" -> ("DECIMAL", 6L), "e" -> ("DECIMAL", 6L))
+    // no scale known: DECIMAL(9) would mean scale 0 and truncate fractions —
+    // must be a manual-review item, never an emitted ALTER
+    val (w0, m0) = SchemaAudit.widenPlan(observed, declared)
+    assert(w0.isEmpty && m0.toSet == Set("d", "e"))
+    val (w1, m1) = SchemaAudit.widenPlan(observed, declared, Map("d" -> 2L))
+    assert(w1 == Seq(SchemaAudit.Widen("d", "DECIMAL", 9L, Some(2L))) && m1 == Seq("e"))
+    assert(w1.head.alterSql("s.t") == "ALTER TABLE s.t ALTER COLUMN d TYPE DECIMAL(9,2)")
   }
 
   test("E3 schemaDiff reports added/removed/retyped (dlt_utils.py:8-40)") {

@@ -60,6 +60,23 @@ class CoreSpec extends SparkSpec {
     assert(df.filter(df("c").isNull).count() == 1)
   }
 
+  test("S5 sheet headers: duplicates uniquified, blanks become positional names") {
+    val df = SheetSource.fromValues(spark, Seq(
+      Seq("name", "name", "", "name"),
+      Seq("1", "2", "3", "4")))
+    assert(df.columns.toSeq == Seq("name", "name_2", "col_2", "name_3"))
+    assert(df.select("name_2").head().getString(0) == "2") // selectable, not ambiguous
+  }
+
+  test("S3 fixture cursor reads the TOP-LEVEL sort field, not a nested decoy") {
+    import graft.sources.KeysetSource
+    val json = """{"meta":{"lastModifiedAt":"2099-01-01T00:00:00"},"lastModifiedAt":"2024-01-01T00:00:05"}"""
+    assert(KeysetSource.ujsonField(json, "lastModifiedAt") == "2024-01-01T00:00:05")
+    assert(KeysetSource.ujsonField("""{"a": 1}""", "lastModifiedAt") == null)
+    assert(KeysetSource.ujsonField("not json", "lastModifiedAt") == null)
+    assert(KeysetSource.ujsonField("""{"f":"a\"b"}""", "f") == "a\"b") // escaped quote
+  }
+
   test("S5 sheet source retries the fetch (6 attempts)") {
     var calls = 0
     val df = SheetSource.load(spark, () => {

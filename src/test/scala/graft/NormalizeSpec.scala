@@ -47,6 +47,18 @@ class NormalizeSpec extends SparkSpec {
     assert(Normalize.isFlat(ser))
   }
 
+  test("N3 flatten uniquifies when parent__child collides with an existing column") {
+    val df = spark.read.json(spark.createDataset(Seq(
+      """{"a__b": 1, "a": {"b": 2}}"""))(org.apache.spark.sql.Encoders.STRING))
+    val flat = Normalize.flattenOnce(df)
+    assert(flat.columns.toSeq.sorted == Seq("a__b", "a__b_2"))
+    val row = flat.select("a__b", "a__b_2").head()
+    assert(row.getLong(0) == 1L && row.getLong(1) == 2L)
+    // and the fixpoint stays usable on the collision
+    val norm = Normalize.normalize(df)
+    assert(norm.columns.distinct.length == norm.columns.length)
+  }
+
   test("N4 terminates on deeply nested arrays-of-structs-of-arrays") {
     val deep = Seq(
       """{"a":[{"b":[{"c":[1,2]},{"c":[3]}]}],"d":{"e":{"f":{"g":"x"}}}}"""

@@ -27,6 +27,14 @@ class UpsertSpec extends SparkSpec {
     assert(row2.getAs[Double]("amount") == 99.0)
   }
 
+  test("J4 schema drift: target column absent from staged keeps its value on match") {
+    val driftedStaged = staged.drop("amount") // batch page lost a column
+    val out = Upsert.merge(target, driftedStaged, Seq("pk")).orderBy("pk").collect()
+    assert(out(1).getAs[String]("payload") == "s2")   // present column: staged wins
+    assert(out(1).getAs[Double]("amount") == 20.0)    // absent column: target KEPT
+    assert(out(2).isNullAt(out(2).fieldIndex("amount"))) // inserted row: null is correct
+  }
+
   test("J4 unmatched target rows pass through; staged-only rows inserted whole (utils.py:283-290)") {
     val out = Upsert.merge(target, staged, Seq("pk")).orderBy("pk").collect()
     assert(out(0).getAs[String]("payload") == "t1")
