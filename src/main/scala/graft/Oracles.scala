@@ -790,7 +790,7 @@ object Oracles {
         |    CASE WHEN mabs IS NULL OR mabs = 0 THEN 0.0 ELSE 127.0 / mabs END AS scale
         |  FROM m)
         |SELECT vec_id, round(scale, 6) AS scale,
-        |  [CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT) for x in embedding] AS codes
+        |  [CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS TINYINT) for x in embedding] AS codes
         |FROM s
         |ORDER BY vec_id""".stripMargin,
 

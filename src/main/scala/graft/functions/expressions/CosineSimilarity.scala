@@ -20,8 +20,8 @@ import org.apache.spark.sql.types._
   * Arithmetic contract (differential-testability): sequential ascending
   * double accumulation of dot, ‖a‖², ‖b‖² — bit-identical to the
   * `aggregate(zip_with(...))` formulation and to any engine that sums the
-  * same arrays in index order. Null any input → null; zero-norm → null;
-  * length mismatch → min-length prefix (defensive; schemas fix dims).
+  * same arrays in index order. Null input, null ELEMENT, dimension
+  * mismatch, zero norm → null (exactly the builtin twin's semantics).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -29,15 +29,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // decimals are rejected (not silently mis-evaluated): the codegen path
+    // has no exact decimal getter, and decimal embeddings have no use case
     def elemOk(t: DataType): Boolean = t match {
-      case ArrayType(et, _) => et.isInstanceOf[NumericType]
-      case _                => false
+      case ArrayType(et, _) =>
+        et.isInstanceOf[NumericType] && !et.isInstanceOf[DecimalType]
+      case _ => false
     }
     if (elemOk(left.dataType) && elemOk(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cosine_similarity expects two numeric arrays, got " +
+        s"cosine_similarity expects two non-decimal numeric arrays, got " +
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
@@ -51,12 +54,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val arrB = b.asInstanceOf[ArrayData]
     val ta = elemType(left)
     val tb = elemType(right)
-    val n = math.min(arrA.numElements(), arrB.numElements())
+    val n = arrA.numElements()
+    // dimension mismatch and null ELEMENTS → null, matching the
+    // zip_with/aggregate builtin twin exactly (the differential contract)
+    if (n != arrB.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = if (arrA.isNullAt(i)) 0.0 else toDouble(arrA, i, ta)
-      val y = if (arrB.isNullAt(i)) 0.0 else toDouble(arrB, i, tb)
+      if (arrA.isNullAt(i) || arrB.isNullAt(i)) return null
+      val x = toDouble(arrA, i, ta)
+      val y = toDouble(arrB, i, tb)
       dot += x * y
       na += x * x
       nb += y * y
@@ -98,17 +105,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |boolean $bad = ($n != $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = $a.isNullAt($i) ? 0.0d : ${getter(ta, a, i)};
-         |  double $y = $b.isNullAt($i) ? 0.0d : ${getter(tb, b, i)};
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |  double $x = ${getter(ta, a, i)};
+         |  double $y = ${getter(tb, b, i)};
          |  $dot += $x * $y;
          |  $na += $x * $x;
          |  $nb += $y * $y;
          |}
-         |if ($na == 0.0d || $nb == 0.0d) {
+         |if ($bad || $na == 0.0d || $nb == 0.0d) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

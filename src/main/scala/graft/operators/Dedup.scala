@@ -102,7 +102,9 @@ object Dedup {
       val (a, b) = affineParams(i)
       array_min(transform(h32, h => (h * a + b) % MinhashP))
     }
-    array(mins: _*)
+    // null input → null signature (matches the native kernel; a bare
+    // array(...) would yield an ARRAY OF NULLS instead)
+    when(h32.isNull, lit(null).cast("array<bigint>")).otherwise(array(mins: _*))
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand` and
@@ -379,10 +381,13 @@ object Dedup {
       aggregate(hashes, lit(0L),
         (acc, h) => acc + shiftright(h, i).bitwiseAND(lit(1L)) * 2L - 1L)
     }
-    // fingerprint = Σ (vote_i > 0) << i
-    bitVotes.zipWithIndex.map { case (v, i) =>
+    // fingerprint = Σ (vote_i > 0) << i; null token hashes (null text) →
+    // null fingerprint, matching the native kernel — without the guard the
+    // when(...).otherwise(0) branches would swallow the null votes into 0
+    val fp = bitVotes.zipWithIndex.map { case (v, i) =>
       when(v > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_ + _)
+    when(hashes.isNull, lit(null).cast("long")).otherwise(fp)
   }
 
   /** Hamming distance between two simhash fingerprints via bit_count(xor). */

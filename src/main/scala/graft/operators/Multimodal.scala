@@ -44,7 +44,7 @@ object Multimodal {
 
   final case class AssetFeatures(
       asset_id: Long,
-      byte_len: Long,
+      byte_len: Option[Long], // null assets are in-contract (null payloads)
       // STUB decode output: deterministic pseudo-metadata derived from bytes.
       // A real decoder would emit true width/height/duration here.
       width: Int,
@@ -62,7 +62,10 @@ object Multimodal {
     import spark.implicits._
     assets
       .select(col("asset_id"), col("bytes"), col("byte_len"))
-      .as[(Long, Array[Byte], Long)]
+      // Option[Long]: a null payload has null byte_len, and a primitive Long
+      // encoder would NPE at deserialization before decodeStub's null guard
+      // ever ran
+      .as[(Long, Array[Byte], Option[Long])]
       .mapPartitions { it =>
         // production: initialize the codec ONCE per partition here
         it.map { case (id, bytes, len) =>

@@ -25,9 +25,10 @@ object Similarity {
 
   /** Cosine similarity between two array<numeric> columns: the native
     * codegen'd kernel (one fused loop, no per-row allocation — see
-    * [[graft.functions.expressions.CosineSimilarity]]); null/zero vectors →
-    * null. Arithmetic is bit-identical to the higher-order-function
-    * formulation in [[cosineBuiltin]].
+    * [[graft.functions.expressions.CosineSimilarity]]); null input/element,
+    * dimension mismatch, or zero norm → null. Semantics and arithmetic are
+    * bit-identical to the higher-order-function formulation in
+    * [[cosineBuiltin]].
     */
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
@@ -216,7 +217,10 @@ object Similarity {
     val scale = when(mabs.isNull || mabs === 0.0, lit(0.0)).otherwise(lit(127.0) / mabs)
     struct(
       scale.alias("scale"),
-      transform(v, x => floor(x.cast("double") * scale + 0.5).cast("int")).alias("codes"))
+      // tinyint, not int: codes are in [-127,127] by construction, and the
+      // 1-byte physical type is the entire point of the operator (4× vs
+      // float32); an int column would store 4 bytes per code
+      transform(v, x => floor(x.cast("double") * scale + 0.5).cast("byte")).alias("codes"))
   }
 
   /** Dequantize int8 codes back to doubles (`x ≈ code / scale`). */

@@ -21,22 +21,16 @@ object PartitionedSink {
     * the partitions present in `df` (dynamic overwrite), leaving all other
     * partitions untouched.
     */
-  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      df.write
-        .mode("overwrite")
-        .partitionBy(partitionCols: _*)
-        .parquet(path)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
-  }
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    // WRITER-level option, not a session-conf mutation: setting the session
+    // conf and restoring it in finally races with concurrent writers on the
+    // same session — a write that starts in the restored window runs in
+    // STATIC mode and deletes every partition the batch didn't touch.
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 
   /** Derive a `dt` (date string) partition column from a timestamp column —
     * the standard daily layout.

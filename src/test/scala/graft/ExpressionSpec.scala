@@ -49,6 +49,34 @@ class ExpressionSpec extends SparkSpec {
     assert(n == 200)
   }
 
+  test("twins agree on null text: simhash and minhash signature both null") {
+    import graft.operators.Dedup
+    val df = Seq(Option.empty[String], Some("hello world")).toDF("text")
+    val out = df.select(
+      Dedup.simhash($"text").alias("n_sh"),
+      Dedup.simhashBuiltin($"text").alias("b_sh"),
+      Dedup.minhashSignature($"text", 4).alias("n_mh"),
+      Dedup.minhashSignatureOfHashes(
+        transform(Dedup.shingles($"text"), Dedup.shingleHash(_)), 4).alias("b_mh"))
+    val rows = out.collect()
+    val nullRow = rows(0)
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1) &&
+      nullRow.isNullAt(2) && nullRow.isNullAt(3))
+    val liveRow = rows(1)
+    assert(!liveRow.isNullAt(0) && liveRow.getLong(0) == liveRow.getLong(1))
+  }
+
+  test("native cosine matches builtin on null elements and ragged dims (both null)") {
+    val df = Seq(
+      (Seq(Some(1.0), None), Seq(Some(1.0), Some(1.0))),  // null element
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(1.0)))          // ragged dims
+    ).toDF("a", "b")
+    val out = df.select(
+      Similarity.cosine($"a", $"b").alias("n"),
+      Similarity.cosineBuiltin($"a", $"b").alias("bt")).collect()
+    out.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1)))
+  }
+
   test("native SimHash kernel matches the builtin bit-vote formulation") {
     import graft.operators.Dedup
     val texts = Seq(

@@ -157,14 +157,20 @@ class ExtensionSpec extends SparkSpec {
       .collect()
     val r1 = rows.find(_.getLong(0) == 1L).get
     val scale = r1.getDouble(1)
-    val codes = r1.getSeq[Int](2)
+    val codes = r1.getSeq[Byte](2)
     val deq = r1.getSeq[Double](3)
-    assert(codes.forall(c => c >= -127 && c <= 127) && codes.contains(-127))
+    assert(codes.forall(c => c >= -127 && c <= 127) && codes.contains(-127.toByte))
     val orig = Seq(0.5, -1.0, 0.25)
     assert(deq.zip(orig).forall { case (d, o) => math.abs(d - o) <= 0.5 / scale + 1e-12 })
     val r2 = rows.find(_.getLong(0) == 2L).get
-    assert(r2.getDouble(1) == 0.0 && r2.getSeq[Int](2).forall(_ == 0) &&
+    assert(r2.getDouble(1) == 0.0 && r2.getSeq[Byte](2).forall(_ == 0) &&
       r2.getSeq[Double](3).forall(_ == 0.0))
+    // the codes column is physically 1-byte (the operator's storage claim)
+    val codesType = vecs.select(q.getField("codes")).schema.head.dataType
+    assert(codesType == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      codesType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
+        org.apache.spark.sql.types.ByteType)
   }
 
   test("containment: embedded probe scores ~1 in its source, maxDocFreq only lowers") {
@@ -244,7 +250,7 @@ class ExtensionSpec extends SparkSpec {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       bad.select(Similarity.cosine($"a", $"b")).collect()
     }
-    assert(e.getMessage.contains("cosine_similarity expects two numeric arrays"))
+    assert(e.getMessage.contains("cosine_similarity expects two non-decimal numeric arrays"))
   }
 
   test("multimodal: asset layout + stubbed feature extraction batch shape") {
