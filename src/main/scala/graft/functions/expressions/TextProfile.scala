@@ -74,9 +74,13 @@ case class TextProfile(child: Expression,
     var i = 0
     while (i < nWs) { sumLen += wsTokens(i).codePointCount(0, wsTokens(i).length); i += 1 }
     val mwl = if (nWs == 0) 0.0 else sumLen.toDouble / nWs
-    // language id over lowercased tokens
-    val lowTokens = TextProfile.wsPattern.split(
-      TextProfile.stripSpaces(text.toLowerCase.toString), -1)
+    // language id over lowercased tokens — derived from the ALREADY-split
+    // tokens (no Unicode character lowercases to whitespace, so boundaries
+    // are identical); re-splitting a second lowered copy doubled the
+    // regex work per document
+    val lowTokens = new Array[String](nWs)
+    var k = 0
+    while (k < nWs) { lowTokens(k) = wsTokens(k).toLowerCase; k += 1 }
     var bestLang = und
     var bestHits = 0
     var li = 0
