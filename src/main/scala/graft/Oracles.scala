@@ -878,6 +878,28 @@ object Oracles {
         |  ON e.user_id = c.user_id AND e.ts >= c.valid_from
         |ORDER BY e.event_id""".stripMargin,
 
+    "q74_percent_rank" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  percent_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC) AS cume
+        |FROM orders
+        |WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q75_array_ops" ->
+      """WITH h AS (
+        |  SELECT vec_id,
+        |    ([CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding])[1:4] AS head4
+        |  FROM embeddings WHERE vec_id < 50)
+        |SELECT vec_id, head4,
+        |  list_sort(head4) AS sorted4,
+        |  list_reverse_sort(head4) AS desc4,
+        |  list_contains([x > 0 for x in head4], TRUE) AS any_positive
+        |FROM h
+        |ORDER BY vec_id""".stripMargin,
+
     "q66_salted_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,

@@ -1063,6 +1063,37 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** W2 analytic ratios — percent_rank and cume_dist per priority class
+    * (total order via (totalprice, orderkey) keeps both engine-exact:
+    * identical integer ranks → identical double divisions).
+    */
+  def q74PercentRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 1000)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        percent_rank().over(w).alias("pct_rank"),
+        cume_dist().over(w).alias("cume"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** F11 array surface — slice / element-wise floor / sort / reverse /
+    * contains over the embedding vectors (floor(x·1000) instead of round:
+    * half-way rounding is engine convention, floor is IEEE-pinned).
+    */
+  def q75ArrayOps(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        slice(transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long")), 1, 4).alias("head4"))
+      .select(col("vec_id"), col("head4"),
+        array_sort(col("head4")).alias("sorted4"),
+        reverse(array_sort(col("head4"))).alias("desc4"),
+        array_contains(transform(col("head4"), _ > 0), lit(true)).alias("any_positive"))
+      .orderBy(col("vec_id"))
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1140,6 +1171,8 @@ object Queries {
     "q70_ntile" -> (q70Ntile _),
     "q71_redact" -> (q71Redact _),
     "q72_sequence_packing" -> (q72SequencePacking _),
-    "q73_point_in_time" -> (q73PointInTime _)
+    "q73_point_in_time" -> (q73PointInTime _),
+    "q74_percent_rank" -> (q74PercentRank _),
+    "q75_array_ops" -> (q75ArrayOps _)
   )
 }
