@@ -900,6 +900,54 @@ object Oracles {
         |FROM h
         |ORDER BY vec_id""".stripMargin,
 
+    "q76_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, count(*) AS cnt FROM (
+         |    SELECT doc_id, unnest(string_split($canon, ' ')) AS token FROM documents)
+         |  WHERE token <> ''
+         |  GROUP BY doc_id, token),
+         |wl AS (
+         |  SELECT doc_id, token, cnt,
+         |    sum(cnt) OVER (PARTITION BY doc_id) AS doc_len FROM tf),
+         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (
+         |  SELECT wl.doc_id, wl.token,
+         |    CAST(wl.cnt * n.n_docs AS DOUBLE) /
+         |      CAST(wl.doc_len * dfq.df AS DOUBLE) AS score
+         |  FROM wl JOIN dfq ON wl.token = dfq.token CROSS JOIN n
+         |  WHERE wl.doc_id < 100),
+         |r AS (
+         |  SELECT doc_id, token, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+         |  FROM s)
+         |SELECT doc_id, rk, token, score FROM r WHERE rk <= 3
+         |ORDER BY doc_id, rk""".stripMargin,
+
+    "q77_attribution" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, max(event_id) AS view_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT c.event_id, c.user_id, c.ts AS click_ts,
+        |    v.view_event_id, v.ts AS view_ts,
+        |    row_number() OVER (PARTITION BY c.event_id ORDER BY v.ts DESC) AS rk
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |    AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 12 HOUR)
+        |SELECT event_id, user_id, click_ts, view_event_id, view_ts
+        |FROM j WHERE rk = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q78_rolling_range" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_12h,
+        |  CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_12h
+        |FROM events WHERE user_id < 30
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 12 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
     "q66_salted_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,

@@ -1094,6 +1094,83 @@ object Queries {
         array_contains(transform(col("head4"), _ > 0), lit(true)).alias("any_positive"))
       .orderBy(col("vec_id"))
 
+  /** TF-IDF keyword extraction — top-3 scoring terms per document. The
+    * score is kept cross-engine exact by avoiding irrational math: with
+    * tf = cnt/doc_len and idf = n_docs/df, score = (cnt·n_docs)/(doc_len·df)
+    * is ONE IEEE division of two exactly-representable integers (no log, no
+    * accumulated float error). Plan: one shuffle on (doc, token), one on
+    * token for document frequencies (corpus-wide, as TF-IDF requires), the
+    * scored subset joins the vocab-sized df table, and the 1-row corpus
+    * count broadcasts.
+    */
+  def q76Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.canonicalTokens(col("text"))).alias("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).alias("cnt"))
+    val withLen = tf.withColumn("doc_len",
+      sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).alias("df"))
+    val nDocs = docs.agg(count(lit(1)).alias("n_docs"))
+    val scored = withLen
+      .filter(col("doc_id") < 100)
+      .join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("cnt") * col("n_docs")).cast("double") /
+          (col("doc_len") * col("df")).cast("double"))
+    val rk = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    scored
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("long").alias("rk"), col("token"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Last-touch attribution — each click joined to the most recent view by
+    * the same user within a 12 h lookback. As-of join with tolerance: the
+    * single-shuffle union+window as-of attaches the latest preceding view,
+    * then the tolerance is a row-local post-filter (clicks whose only view
+    * is older drop out). Views are pre-aggregated to one row per
+    * (user, ts) so the as-of pick is deterministic under timestamp ties.
+    */
+  def q77Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).alias("view_event_id"))
+      .select(col("user_id"), col("ts").alias("vts"),
+        col("view_event_id"), col("ts").alias("view_ts"))
+    graft.operators.AsOfJoin.backward(
+      clicks, views, on = Seq("user_id"), leftTs = "ts", rightTs = "vts")
+      .filter(col("view_ts").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("view_ts")) <= 12L * 3600 * 1000000)
+      .select(col("event_id"), col("user_id"), col("ts").alias("click_ts"),
+        col("view_event_id"), col("view_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  /** W-frame RANGE — event-time rolling 12 h totals per user (frame bounds
+    * by VALUE of the order key, not row count: peers at the boundary are
+    * included, unlike q46's ROWS frame). Partitioned by user so the window
+    * parallelizes; decimal accumulation keeps the sums order-free.
+    */
+  def q78RollingRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsm"))
+      .rangeBetween(-12L * 3600 * 1000000, 0)
+    t(spark, dir, "events")
+      .filter(col("user_id") < 30)
+      .withColumn("tsm", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).alias("n_12h"),
+        sum(col("value").cast("decimal(30,6)")).over(w).cast("double").alias("sum_12h"))
+      .orderBy(col("event_id"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1173,6 +1250,9 @@ object Queries {
     "q72_sequence_packing" -> (q72SequencePacking _),
     "q73_point_in_time" -> (q73PointInTime _),
     "q74_percent_rank" -> (q74PercentRank _),
-    "q75_array_ops" -> (q75ArrayOps _)
+    "q75_array_ops" -> (q75ArrayOps _),
+    "q76_tfidf" -> (q76Tfidf _),
+    "q77_attribution" -> (q77Attribution _),
+    "q78_rolling_range" -> (q78RollingRange _)
   )
 }
