@@ -1091,7 +1091,7 @@ object Queries {
       .select(col("vec_id"), col("head4"),
         array_sort(col("head4")).alias("sorted4"),
         reverse(array_sort(col("head4"))).alias("desc4"),
-        array_contains(transform(col("head4"), _ > 0), lit(true)).alias("any_positive"))
+        exists(col("head4"), _ > 0).alias("any_positive"))
       .orderBy(col("vec_id"))
 
   /** TF-IDF keyword extraction — top-3 scoring terms per document. The
