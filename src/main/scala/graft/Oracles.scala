@@ -948,6 +948,22 @@ object Oracles {
         |  RANGE BETWEEN INTERVAL 12 HOUR PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
+    "q79_string_agg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS keys_csv,
+        |  count(*) AS n
+        |FROM orders WHERE o_orderkey <= 500
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q80_locf" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
     "q66_salted_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,

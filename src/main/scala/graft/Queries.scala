@@ -1171,6 +1171,41 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Ordered string aggregation (LISTAGG/string_agg) — collect_list is
+    * UNordered in a distributed engine (partition arrival order), so the
+    * deterministic form is collect → sort_array → join: the order lives in
+    * the data, not in the plan's accident. Numeric sort before cast (string
+    * sort would put "10" before "9").
+    */
+  def q79StringAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 500)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_join(
+          transform(sort_array(collect_list(col("o_orderkey"))),
+            _.cast("string")), ",").alias("keys_csv"),
+        count(lit(1)).alias("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** LOCF forward fill — carry the last non-null observation forward
+    * (`last(..., ignoreNulls)` over a running frame): the standard
+    * sparse-observation densify (sensor readings, SCD snapshots). Per-user
+    * partitions parallelize; the frame streams in event-time order with
+    * O(1) state (last seen value), so the fill costs one window pass.
+    */
+  def q80Locf(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "purchase", col("value")).alias("pv"))
+      .select(col("event_id"), col("user_id"),
+        last(col("pv"), ignoreNulls = true).over(w).alias("locf"))
+      .orderBy(col("event_id"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1253,6 +1288,8 @@ object Queries {
     "q75_array_ops" -> (q75ArrayOps _),
     "q76_tfidf" -> (q76Tfidf _),
     "q77_attribution" -> (q77Attribution _),
-    "q78_rolling_range" -> (q78RollingRange _)
+    "q78_rolling_range" -> (q78RollingRange _),
+    "q79_string_agg" -> (q79StringAgg _),
+    "q80_locf" -> (q80Locf _)
   )
 }
