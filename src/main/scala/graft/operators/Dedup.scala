@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Sizing for the optional broadcast-bloom corpus prefilter in
+    * [[containment]]: `expectedItems` ≈ distinct probe shingles (the bloom
+    * is built over the PROBE side, which is small by contract), `fpp` the
+    * false-positive rate — at 1% the corpus-side shuffle shrinks to
+    * ~matches + 1% of non-matches. A benchmark suite of 1M shingles at 1%
+    * fpp is a ~1.2 MB broadcast.
+    */
+  case class BloomConfig(expectedItems: Long = 1000000L, fpp: Double = 0.01)
+
   /** Canonical text for fingerprinting: lowercase, collapse whitespace. */
   def canonical(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
@@ -424,10 +433,11 @@ object Dedup {
   def containment(corpus: DataFrame, probes: DataFrame,
       corpusIdCol: String, probeIdCol: String, textCol: String,
       minContainment: Double = 0.8, n: Int = 3,
-      maxDocFreq: Option[Int] = None): DataFrame = {
+      maxDocFreq: Option[Int] = None,
+      bloomPrefilter: Option[BloomConfig] = None): DataFrame = {
     val shC0 = corpus.select(col(corpusIdCol).alias("doc_id"),
       explode(shingles(col(textCol), n)).alias("__sh"))
-    val shC = maxDocFreq match {
+    val shC1 = maxDocFreq match {
       case Some(cap) =>
         val hot = shC0.groupBy(col("__sh")).agg(count(lit(1)).alias("__df"))
           .filter(col("__df") > cap).select(col("__sh"))
@@ -438,6 +448,20 @@ object Dedup {
       shingles(col(textCol), n).alias("__shl"))
     val probeSizes = shP.select(col("probe_id"), size(col("__shl")).alias("__n_probe"))
     val shPe = shP.select(col("probe_id"), explode(col("__shl")).alias("__sh"))
+    // Optional broadcast-bloom prefilter over the CORPUS side (the 100 TB
+    // side): almost no corpus shingle appears in any benchmark, so testing
+    // membership against a bloom of the probe shingles before the exchange
+    // cuts shuffle volume by ~1/fpp. Exactness is untouched — bloom false
+    // positives are discarded by the equi-join that follows; false
+    // negatives cannot occur.
+    val shC = bloomPrefilter match {
+      case Some(cfg) =>
+        val bloom = shPe.stat.bloomFilter("__sh", cfg.expectedItems, cfg.fpp)
+        val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+        val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+        shC1.filter(mightContain(col("__sh")))
+      case None => shC1
+    }
     shC.join(shPe, Seq("__sh"))
       .groupBy(col("doc_id"), col("probe_id"))
       .agg(count(lit(1)).alias("__n_common"))

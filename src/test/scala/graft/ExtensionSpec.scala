@@ -188,6 +188,19 @@ class ExtensionSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("containment with bloom prefilter is exact (identical to the unfiltered result)") {
+    val corpus = docs.filter(length($"text") > 0)
+    val probes = docs.filter($"doc_id" < 10 && length($"text") > 0)
+      .select($"doc_id".as("probe_id"), $"text")
+    val plain = Dedup.containment(corpus, probes, "doc_id", "probe_id", "text",
+      minContainment = 0.3).as[(Long, Long, Double)].collect().toSet
+    val bloomed = Dedup.containment(corpus, probes, "doc_id", "probe_id", "text",
+      minContainment = 0.3,
+      bloomPrefilter = Some(Dedup.BloomConfig(expectedItems = 10000L, fpp = 0.01)))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(plain.nonEmpty && bloomed == plain)
+  }
+
   test("signature jaccard estimate tracks exact jaccard on near/exact/disjoint pairs") {
     val withSig = docs.filter(length($"text") > 0)
       .select($"doc_id", Dedup.minhashSignature($"text", 12).alias("sig"),
