@@ -47,6 +47,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_topk"), plan)
   }
 
+  test("q76: doc filter pushes to the tf scan; top-3 uses WindowGroupLimit; no text col beyond tokenize") {
+    val df = Queries.q76Tfidf(spark, sfDir)
+    val scan = scanOf(df)
+    assert(scan.contains("LessThan(doc_id,100)"), scan)
+    assert(!scan.contains("n_chars") && !scan.contains("source"),
+      s"tfidf scans unneeded columns:\n$scan")
+    val plan = planOf(df)
+    assert(plan.contains("WindowGroupLimit"), plan) // rank<=3 prunes before the full sort
+    assert(plan.contains("partial_count"), plan)    // map-side partials on both aggs
+  }
+
+  test("q77: one as-of window on user_id; event_type filters reach the scans") {
+    val df = Queries.q77Attribution(spark, sfDir)
+    val scan = scanOf(df)
+    assert(scan.contains("EqualTo(event_type,click)") &&
+      scan.contains("EqualTo(event_type,view)"), scan)
+    val plan = planOf(df)
+    assert("(?m)^\\s*\\+?-? ?Window ".r.findAllIn(plan).size <= 1 &&
+      plan.contains("windowspecdefinition(user_id"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"as-of join degenerated into a product join:\n$plan")
+  }
+
+  test("q78: RANGE frame windows are partitioned by user (no single-partition window)") {
+    val plan = planOf(Queries.q78RollingRange(spark, sfDir))
+    assert(plan.contains("RangeFrame"), plan)
+    assert(plan.contains("windowspecdefinition(user_id"), plan)
+  }
+
   test("with extensions: q10's row_number window rewrites to the topk aggregate") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
