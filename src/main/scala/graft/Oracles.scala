@@ -964,6 +964,34 @@ object Oracles {
         |FROM events
         |ORDER BY event_id""".stripMargin,
 
+    "q81_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS first_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS first_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.first_view
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS first_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.first_click
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT v.user_id, first_view, first_click, first_purchase
+        |FROM v JOIN c ON v.user_id = c.user_id JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+
+    "q82_retention" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS wk
+        |  FROM events),
+        |cohorts AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id)
+        |SELECT cohort_wk, e.wk - cohort_wk AS weeks_since,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN cohorts ON e.user_id = cohorts.user_id
+        |GROUP BY cohort_wk, weeks_since
+        |ORDER BY cohort_wk, weeks_since""".stripMargin,
+
     "q66_salted_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,

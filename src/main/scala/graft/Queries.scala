@@ -1206,6 +1206,48 @@ object Queries {
       .orderBy(col("event_id"))
   }
 
+  /** Conversion funnel — first view, first click strictly after it, first
+    * purchase strictly after that, per user. Three keyed min-aggregations
+    * chained by inequality joins on user_id: each stage's output is one row
+    * per user (≤ |users|), so after the first aggregation every join input
+    * is cardinality-bounded and AQE broadcasts the small side — no
+    * event×event blowup at any stage.
+    */
+  def q81Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).alias("first_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("first_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).alias("first_click"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("first_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).alias("first_purchase"))
+    v.join(c, "user_id").join(p, "user_id")
+      .select(col("user_id"), col("first_view"), col("first_click"),
+        col("first_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Cohort retention — users bucketed by first-activity week, counted per
+    * (cohort, weeks-since-cohort). Week index is day-arithmetic from a
+    * pinned epoch (not date_trunc: week-start conventions differ across
+    * engines). Two shuffles: first-activity per user, then the cohort
+    * matrix aggregation; the per-user cohort frame broadcasts back onto
+    * events via AQE.
+    */
+  def q82Retention(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("2024-01-01").cast("date")
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"),
+        floor(datediff(col("ts").cast("date"), epoch) / 7).alias("wk"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("wk")).alias("cohort_wk"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).alias("weeks_since"))
+      .agg(countDistinct(col("user_id")).alias("n_users"))
+      .orderBy(col("cohort_wk"), col("weeks_since"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1290,6 +1332,8 @@ object Queries {
     "q77_attribution" -> (q77Attribution _),
     "q78_rolling_range" -> (q78RollingRange _),
     "q79_string_agg" -> (q79StringAgg _),
-    "q80_locf" -> (q80Locf _)
+    "q80_locf" -> (q80Locf _),
+    "q81_funnel" -> (q81Funnel _),
+    "q82_retention" -> (q82Retention _)
   )
 }
