@@ -437,13 +437,6 @@ object Dedup {
       bloomPrefilter: Option[BloomConfig] = None): DataFrame = {
     val shC0 = corpus.select(col(corpusIdCol).alias("doc_id"),
       explode(shingles(col(textCol), n)).alias("__sh"))
-    val shC1 = maxDocFreq match {
-      case Some(cap) =>
-        val hot = shC0.groupBy(col("__sh")).agg(count(lit(1)).alias("__df"))
-          .filter(col("__df") > cap).select(col("__sh"))
-        shC0.join(hot, Seq("__sh"), "left_anti")
-      case None => shC0
-    }
     val shP = probes.select(col(probeIdCol).alias("probe_id"),
       shingles(col(textCol), n).alias("__shl"))
     val probeSizes = shP.select(col("probe_id"), size(col("__shl")).alias("__n_probe"))
@@ -453,13 +446,24 @@ object Dedup {
     // membership against a bloom of the probe shingles before the exchange
     // cuts shuffle volume by ~1/fpp. Exactness is untouched — bloom false
     // positives are discarded by the equi-join that follows; false
-    // negatives cannot occur.
-    val shC = bloomPrefilter match {
+    // negatives cannot occur. Applied BEFORE the doc-frequency cap so the
+    // cap's groupBy also runs on the prefiltered set (the bloom is
+    // per-shingle deterministic: a surviving shingle keeps ALL its corpus
+    // occurrences, so its doc-freq count is unchanged; a dropped shingle
+    // could never join anyway).
+    val shC1 = bloomPrefilter match {
       case Some(cfg) =>
         val bloom = shPe.stat.bloomFilter("__sh", cfg.expectedItems, cfg.fpp)
         val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
         val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
-        shC1.filter(mightContain(col("__sh")))
+        shC0.filter(mightContain(col("__sh")))
+      case None => shC0
+    }
+    val shC = maxDocFreq match {
+      case Some(cap) =>
+        val hot = shC1.groupBy(col("__sh")).agg(count(lit(1)).alias("__df"))
+          .filter(col("__df") > cap).select(col("__sh"))
+        shC1.join(hot, Seq("__sh"), "left_anti")
       case None => shC1
     }
     shC.join(shPe, Seq("__sh"))

@@ -49,22 +49,36 @@ object PartitionedSink {
     * leaves `shuffle.partitions`-sized file shards, and at 100 TB the
     * resulting small-files population dominates planning time (file
     * listing, footer reads) and kills scan throughput. `compact` rewrites
-    * every leaf partition whose file count exceeds
-    * ceil(partitionBytes / targetBytes) down to exactly that count.
+    * every leaf partition whose parquet file count exceeds
+    * ceil(partitionBytes / targetBytes).
     *
     * Data is byte-preserved (read → coalesce → rewrite, no shuffle: coalesce
-    * only narrows), each partition is swapped atomically via a hidden temp
-    * dir (dot-prefixed, so concurrent readers never list half-written
-    * files), and partitions already at their target are left untouched —
-    * compaction is idempotent.
+    * only narrows). The swap is rename-aside, never delete-first: the old
+    * dir is renamed to a hidden trash name, the rewrite renamed into place,
+    * then the trash deleted — at every intermediate step BOTH copies exist
+    * on the filesystem, so a crash mid-swap loses nothing (worst case the
+    * partition is briefly absent and the data sits in the `.compact-trash`/
+    * `.compact-tmp` dirs for manual recovery; a failed swap is rolled
+    * back). Non-parquet sidecar files in the partition are carried into the
+    * rewrite before the swap. Partitions already at their target are left
+    * untouched — compaction is idempotent.
+    *
+    * CONCURRENCY CONTRACT: a plain filesystem has no directory locks, so
+    * compaction must not race writers on the SAME partition — a file
+    * committed between the read and the swap would be swapped away. Run it
+    * on quiesced partitions (the usual cadence: compact yesterday's
+    * partitions while today's receive writes), exactly like Hive/Iceberg
+    * compaction jobs that take a snapshot or partition lock.
     *
     * Driver iterates partitions (each rewrite is a distributed job); for
-    * millions of partitions you'd batch by modification time — the usual
-    * operational cadence is "compact yesterday's partitions", keeping the
-    * loop small.
+    * millions of partitions you'd batch by modification time — the same
+    * "yesterday only" cadence keeps the loop small.
     *
     * @return one (partitionDir, filesBefore, filesAfter) per rewritten
-    *         partition (empty = nothing needed compaction)
+    *         partition, filesAfter counted from the filesystem (coalesce
+    *         may produce fewer than the target when the reader packs the
+    *         small files into fewer input partitions); empty = nothing
+    *         needed compaction
     */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Seq[(String, Int, Int)] = {
@@ -79,27 +93,50 @@ object PartitionedSink {
           !s.getPath.getName.startsWith("_"))
       if (children.isEmpty) Seq(p) else children.toSeq.flatMap(c => leafDirs(c.getPath))
     }
+    def parquetFiles(p: Path) = fs.listStatus(p).filter(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
 
     leafDirs(root).flatMap { dir =>
-      val files = fs.listStatus(dir).filter(s =>
-        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val files = parquetFiles(dir)
       val totalBytes = files.map(_.getLen).sum
       val targetFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
       if (files.length <= targetFiles) None
       else {
         val tmp = new Path(dir.getParent, "." + dir.getName + ".compact-tmp")
-        if (fs.exists(tmp) && !fs.delete(tmp, true))
-          throw new java.io.IOException(s"compact: cannot clear stale temp dir $tmp")
+        val trash = new Path(dir.getParent, "." + dir.getName + ".compact-trash")
+        for (stale <- Seq(tmp, trash))
+          if (fs.exists(stale) && !fs.delete(stale, true))
+            throw new java.io.IOException(s"compact: cannot clear stale $stale " +
+              "(a previous run may have crashed mid-swap; recover it first)")
         spark.read.parquet(dir.toString)
           .coalesce(targetFiles)
           .write.mode("overwrite").parquet(tmp.toString)
-        // swap; every FS boolean checked (a false return here means the
-        // partition would silently vanish or double)
-        if (!fs.delete(dir, true))
-          throw new java.io.IOException(s"compact: cannot remove $dir for swap")
-        if (!fs.rename(tmp, dir))
-          throw new java.io.IOException(s"compact: rename $tmp -> $dir failed")
-        Some((dir.toString, files.length, targetFiles))
+        // carry sidecars (non-parquet files another tool may have left) into
+        // the rewrite so the swap preserves them
+        fs.listStatus(dir)
+          .filter(s => s.isFile && !s.getPath.getName.endsWith(".parquet"))
+          .foreach { s =>
+            val destination = new Path(tmp, s.getPath.getName)
+            if (fs.exists(destination) && !fs.delete(destination, false))
+              throw new java.io.IOException(s"compact: cannot replace $destination")
+            if (!fs.rename(s.getPath, destination))
+              throw new java.io.IOException(
+                s"compact: cannot carry sidecar ${s.getPath} into $tmp")
+          }
+        // rename-aside swap; every FS boolean checked (a false return here
+        // means the partition would silently vanish or double)
+        if (!fs.rename(dir, trash))
+          throw new java.io.IOException(s"compact: rename $dir -> $trash failed")
+        if (!fs.rename(tmp, dir)) {
+          val rolledBack = fs.rename(trash, dir)
+          throw new java.io.IOException(s"compact: rename $tmp -> $dir failed" +
+            (if (rolledBack) " (original partition restored)"
+             else s" AND rollback failed — data is in $trash"))
+        }
+        if (!fs.delete(trash, true))
+          throw new java.io.IOException(
+            s"compact: swap done but cannot remove $trash (delete it manually)")
+        Some((dir.toString, files.length, parquetFiles(dir).length))
       }
     }
   }

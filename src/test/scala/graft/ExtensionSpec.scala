@@ -199,6 +199,15 @@ class ExtensionSpec extends SparkSpec {
       bloomPrefilter = Some(Dedup.BloomConfig(expectedItems = 10000L, fpp = 0.01)))
       .as[(Long, Long, Double)].collect().toSet
     assert(plain.nonEmpty && bloomed == plain)
+    // composes with the doc-freq cap (bloom runs first; df counts of
+    // surviving shingles are unchanged, so results stay identical)
+    val cappedPlain = Dedup.containment(corpus, probes, "doc_id", "probe_id", "text",
+      minContainment = 0.1, maxDocFreq = Some(3)).as[(Long, Long, Double)].collect().toSet
+    val cappedBloom = Dedup.containment(corpus, probes, "doc_id", "probe_id", "text",
+      minContainment = 0.1, maxDocFreq = Some(3),
+      bloomPrefilter = Some(Dedup.BloomConfig(expectedItems = 10000L, fpp = 0.01)))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cappedBloom == cappedPlain)
   }
 
   test("signature jaccard estimate tracks exact jaccard on near/exact/disjoint pairs") {

@@ -64,7 +64,9 @@ class PlanSpec extends SparkSpec {
     assert(scan.contains("EqualTo(event_type,click)") &&
       scan.contains("EqualTo(event_type,view)"), scan)
     val plan = planOf(df)
-    assert("(?m)^\\s*\\+?-? ?Window ".r.findAllIn(plan).size <= 1 &&
+    // "Window [" matches the operator at any tree position (+-, :-, root)
+    // and not WindowGroupLimit
+    assert(plan.split("\n").count(_.contains("Window [")) == 1 &&
       plan.contains("windowspecdefinition(user_id"), plan)
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"as-of join degenerated into a product join:\n$plan")
