@@ -992,6 +992,28 @@ object Oracles {
         |GROUP BY cohort_wk, weeks_since
         |ORDER BY cohort_wk, weeks_since""".stripMargin,
 
+    "q83_quality_checks" ->
+      """WITH t AS (
+        |  SELECT count(*) AS n,
+        |    CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS DOUBLE) AS v0,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE) AS v1,
+        |    CAST(count(CASE WHEN o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 0 OR o_totalprice > 300000) THEN 1 END) AS DOUBLE) AS v2,
+        |    CAST(count(CASE WHEN NOT coalesce(o_orderstatus IN ('F','O'), FALSE)
+        |      THEN 1 END) AS DOUBLE) AS v3
+        |  FROM orders),
+        |u AS (
+        |  SELECT 'not_null_o_custkey' AS check_name, v0 AS v, 0.0 AS threshold, n FROM t
+        |  UNION ALL SELECT 'unique_o_orderkey', v1, 0.0, n FROM t
+        |  UNION ALL SELECT 'in_range_o_totalprice', v2, 0.5, n FROM t
+        |  UNION ALL SELECT 'status_f_or_o', v3, 0.0, n FROM t)
+        |SELECT check_name,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE v / n END AS metric,
+        |  threshold,
+        |  (CASE WHEN n = 0 THEN 0.0 ELSE v / n END) <= threshold AS passed
+        |FROM u
+        |ORDER BY check_name""".stripMargin,
+
     "q66_salted_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,

@@ -1248,6 +1248,23 @@ object Queries {
       .orderBy(col("cohort_wk"), col("weeks_since"))
   }
 
+  /** Declarative data-quality gate — four expectation checks compiled into
+    * ONE aggregation pass over orders (see [[graft.schema.QualityChecks]]):
+    * null fraction, key uniqueness, range conformance, domain membership.
+    * The metric is a raw division of exact counts (engine-exact); the
+    * report is the 1-row agg exploded, so the scan cost is independent of
+    * the number of checks.
+    */
+  def q83QualityChecks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.schema.QualityChecks._
+    run(t(spark, dir, "orders"), Seq(
+      NotNull("o_custkey"),
+      Unique(Seq("o_orderkey")),
+      InRange("o_totalprice", 0, 300000, maxOutFrac = 0.5),
+      Satisfies("status_f_or_o", col("o_orderstatus").isin("F", "O"))))
+      .orderBy(col("check_name"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1334,6 +1351,7 @@ object Queries {
     "q79_string_agg" -> (q79StringAgg _),
     "q80_locf" -> (q80Locf _),
     "q81_funnel" -> (q81Funnel _),
-    "q82_retention" -> (q82Retention _)
+    "q82_retention" -> (q82Retention _),
+    "q83_quality_checks" -> (q83QualityChecks _)
   )
 }
