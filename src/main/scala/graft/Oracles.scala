@@ -17,6 +17,14 @@ object Oracles {
       |UNION ALL
       |SELECT doc_id + 100000, text || ' nearduplicate' FROM documents WHERE source = 'src0'""".stripMargin
 
+  /** Exact cosine between two list columns — the same double-accumulation
+    * shape the native kernel uses (see q27: bit-identical at full precision).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a) + 1)]) /
+       |    (sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in range(1, len($a) + 1)])) *
+       |     sqrt(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($b) + 1)])))""".stripMargin
+
   private def shinglesCte(corpus: String): String =
     s"""tok AS (SELECT doc_id, string_split($canon, ' ') AS tokens FROM ($corpus)),
        |sh AS (SELECT doc_id,
@@ -491,6 +499,52 @@ object Oracles {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    // Full replay of Similarity.ivfTopK: md5-ordered centroid election,
+    // nearest-cell assignment, nprobe=4 probing, exact re-score, top-3.
+    "q43_ivf_topk" ->
+      s"""WITH samp AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 104729 ASC,
+         |    vec_id ASC
+         |  LIMIT 16),
+         |cent AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cell_id,
+         |    embedding AS centroid
+         |  FROM samp),
+         |asg0 AS (
+         |  SELECT e.vec_id, e.embedding, c.cell_id,
+         |    ${cosSql("e.embedding", "c.centroid")} AS sim
+         |  FROM embeddings e CROSS JOIN cent c),
+         |asg AS (
+         |  SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, cell_id ASC) AS rn
+         |    FROM asg0 WHERE sim IS NOT NULL)
+         |  WHERE rn = 1),
+         |q0 AS (
+         |  SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell_id,
+         |    ${cosSql("e.embedding", "c.centroid")} AS sim
+         |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 10),
+         |probes AS (
+         |  SELECT query_id, qv, cell_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, cell_id ASC) AS rn
+         |    FROM q0 WHERE sim IS NOT NULL)
+         |  WHERE rn <= 4),
+         |cands AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    ${cosSql("p.qv", "a.embedding")} AS cosine
+         |  FROM probes p JOIN asg a ON p.cell_id = a.cell_id
+         |  WHERE p.query_id <> a.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM cands WHERE cosine IS NOT NULL)
+         |SELECT query_id, neighbor_id, rank, round(cosine, 8) AS cosine
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
     "q44_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,
@@ -790,7 +844,9 @@ object Oracles {
         |    CASE WHEN mabs IS NULL OR mabs = 0 THEN 0.0 ELSE 127.0 / mabs END AS scale
         |  FROM m)
         |SELECT vec_id, round(scale, 6) AS scale,
-        |  [CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS TINYINT) for x in embedding] AS codes
+        |  array_to_string(
+        |    [CAST(CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS TINYINT) AS VARCHAR)
+        |     for x in embedding], ',') AS codes
         |FROM s
         |ORDER BY vec_id""".stripMargin,
 
@@ -822,7 +878,10 @@ object Oracles {
 
     "q68_topk_agg" ->
       """SELECT o_custkey,
-        |  (list(o_totalprice ORDER BY o_totalprice DESC))[1:3] AS top_totals,
+        |  array_to_string(
+        |    [CAST(CAST(x AS DECIMAL(30,2)) AS VARCHAR)
+        |     for x in (list(o_totalprice ORDER BY o_totalprice DESC))[1:3]], ',')
+        |    AS top_totals,
         |  count(*) AS n_orders
         |FROM orders
         |GROUP BY o_custkey
@@ -891,12 +950,13 @@ object Oracles {
     "q75_array_ops" ->
       """WITH h AS (
         |  SELECT vec_id,
-        |    ([CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding])[1:4] AS head4
+        |    ([CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) for x in embedding])[1:4] AS h4
         |  FROM embeddings WHERE vec_id < 50)
-        |SELECT vec_id, head4,
-        |  list_sort(head4) AS sorted4,
-        |  list_reverse_sort(head4) AS desc4,
-        |  list_contains([x > 0 for x in head4], TRUE) AS any_positive
+        |SELECT vec_id,
+        |  array_to_string([CAST(x AS VARCHAR) for x in h4], ',') AS head4,
+        |  array_to_string([CAST(x AS VARCHAR) for x in list_sort(h4)], ',') AS sorted4,
+        |  array_to_string([CAST(x AS VARCHAR) for x in list_reverse_sort(h4)], ',') AS desc4,
+        |  list_contains([x > 0 for x in h4], TRUE) AS any_positive
         |FROM h
         |ORDER BY vec_id""".stripMargin,
 

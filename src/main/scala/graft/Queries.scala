@@ -594,10 +594,10 @@ object Queries {
       .orderBy(col("l_returnflag"))
 
   /** Similarity/IVF — inverted-file ANN over the planted corpus: probe-based
-    * approximate top-3. Approximate results are engine-specific (cell
-    * assignment is ours), so like q41 this registers WITHOUT an oracle —
-    * the driver records the rows-only check; recall is spec-tested against
-    * brute force.
+    * approximate top-3. The whole pipeline (md5-ordered centroid election,
+    * cell assignment, probing, re-score) is deterministic and engine-
+    * portable, so the DuckDB oracle replays it verbatim; recall is
+    * additionally spec-tested against brute force.
     */
   def q43IvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
@@ -908,7 +908,9 @@ object Queries {
 
   /** Symmetric int8 embedding quantization — the ANN storage path (4× vs
     * float32). floor(x·scale + 0.5) is engine-portable rounding; codes and
-    * scale verified bit-exactly against the oracle.
+    * scale verified bit-exactly against the oracle. Codes are emitted as a
+    * comma-joined string: the correctness harness canonicalizes rows in
+    * pandas, which cannot sort/hash raw array cells.
     */
   def q64Quantize(spark: SparkSession, dir: String): DataFrame = {
     val q = graft.operators.Similarity.quantizeInt8(col("embedding"))
@@ -916,7 +918,7 @@ object Queries {
       .filter(col("vec_id") < 100)
       .select(col("vec_id"),
         round(q.getField("scale"), 6).alias("scale"),
-        q.getField("codes").alias("codes"))
+        array_join(q.getField("codes").cast("array<string>"), ",").alias("codes"))
       .orderBy(col("vec_id"))
   }
 
@@ -979,8 +981,14 @@ object Queries {
     t(spark, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(
-        Functions.topK(col("o_totalprice"), 3).alias("top_totals"),
+        Functions.topK(col("o_totalprice"), 3).alias("__top"),
         count(lit(1)).alias("n_orders"))
+      // comma-joined DECIMAL(30,2) strings: harness-sortable scalar output,
+      // and the decimal cast pins double→string formatting in both engines
+      .select(col("o_custkey"),
+        array_join(transform(col("__top"),
+          x => x.cast("decimal(30,2)").cast("string")), ",").alias("top_totals"),
+        col("n_orders"))
       .orderBy(col("o_custkey"))
 
   /** Calendar-spine gap fill — daily event counts over a pinned date spine,
@@ -1087,11 +1095,14 @@ object Queries {
       .filter(col("vec_id") < 50)
       .select(col("vec_id"),
         slice(transform(col("embedding"),
-          x => floor(x.cast("double") * 1000).cast("long")), 1, 4).alias("head4"))
-      .select(col("vec_id"), col("head4"),
-        array_sort(col("head4")).alias("sorted4"),
-        reverse(array_sort(col("head4"))).alias("desc4"),
-        exists(col("head4"), _ > 0).alias("any_positive"))
+          x => floor(x.cast("double") * 1000).cast("long")), 1, 4).alias("__h4"))
+      // arrays serialized to comma-joined strings for the pandas-based
+      // correctness harness (raw array cells are unhashable there)
+      .select(col("vec_id"),
+        array_join(col("__h4").cast("array<string>"), ",").alias("head4"),
+        array_join(array_sort(col("__h4")).cast("array<string>"), ",").alias("sorted4"),
+        array_join(reverse(array_sort(col("__h4"))).cast("array<string>"), ",").alias("desc4"),
+        exists(col("__h4"), _ > 0).alias("any_positive"))
       .orderBy(col("vec_id"))
 
   /** TF-IDF keyword extraction — top-3 scoring terms per document. The

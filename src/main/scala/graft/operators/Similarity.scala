@@ -150,9 +150,15 @@ object Similarity {
     // avoids a single-partition global window (WindowExec would move data
     // to one partition — fine for k rows, but a scale smell worth zero).
     val spark = corpus.sparkSession
+    // md5-derived sample order (not Spark's murmur3 `hash`): the election is
+    // part of the operator's contract and must be reproducible by any engine
+    // (the DuckDB oracle replays it verbatim)
+    val sampleKey = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(104729L))
     val sample = corpus
       .select(col(idCol), col(vecCol))
-      .orderBy(pmod(hash(col(idCol)), lit(104729)).asc, col(idCol).asc)
+      .orderBy(sampleKey.asc, col(idCol).asc)
       .limit(k)
       .orderBy(col(idCol))
       .collect()
