@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.{BinaryType, StringType}
 
-import graft.functions.expressions.{CosineSimilarity, HashedTokens, MinHashSig, SimHash, TextProfile, WordShingles}
+import graft.functions.expressions.{CanonicalTokens, CosineSimilarity, HashedTokens, MinHashSig, SimHash, TextProfile, WordShingles}
 
 /** Session extensions (SURVEY §4.2): SQL-callable registrations of the
   * engine's native expressions, injected via
@@ -53,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "minhash_sig(shingles, numHashes)")
         MinHashSig(args.head, litInt(args(1), "numHashes"))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("canonical_tokens"),
+      new ExpressionInfo(classOf[CanonicalTokens].getName, "canonical_tokens"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "canonical_tokens(text)")
+        CanonicalTokens(args.head)
       }))
     e.injectFunction((
       FunctionIdentifier("hashed_tokens"),

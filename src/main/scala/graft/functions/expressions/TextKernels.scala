@@ -137,6 +137,21 @@ object Kernels {
     else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
+  /** Tokens of the canonical text in order, empty tokens excluded — one
+    * fused pass, char-identical to
+    * `filter(split(canonical(text), " "), t => length(t) > 0)`.
+    */
+  def canonicalTokens(text: UTF8String): ArrayData = {
+    val canon = canonical(text)
+    if (canon.isEmpty) return new GenericArrayData(Array.empty[Any])
+    // canonical() collapsed runs and trimmed ends, so every token is nonempty
+    val tokens = canon.split(" ", -1)
+    val out = new Array[Any](tokens.length)
+    var i = 0
+    while (i < tokens.length) { out(i) = UTF8String.fromString(tokens(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Distinct tokens of the canonical text, each hashed to 60 bits — the
     * SimHash front end, one pass.
     */
@@ -203,6 +218,24 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.expressions.Kernels.minHashSig($c, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Ordered canonical tokens (null text → null, blank text → empty array). */
+case class CanonicalTokens(child: Expression)
+    extends UnaryExpression with StringInputCheck {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.canonicalTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.Kernels.canonicalTokens($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

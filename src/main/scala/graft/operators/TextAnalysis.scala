@@ -138,8 +138,21 @@ object TextAnalysis {
     * (lowercased, whitespace-collapsed) text, empty tokens excluded. The
     * single definition q61's vocabulary and [[repetitionProfile]] share —
     * a tokenization change must not let corpus metrics drift apart.
+    *
+    * Native fused kernel ([[graft.functions.expressions.CanonicalTokens]]):
+    * the builtin `filter(split(...))` twin below is CodegenFallback (every
+    * token pays an interpreted-lambda round-trip), which made vocabulary
+    * builds the slowest query in the suite.
     */
   def canonicalTokens(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.CanonicalTokens(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
+  /** Built-in-only twin of [[canonicalTokens]] — the differential cross-check
+    * for the native kernel.
+    */
+  def canonicalTokensBuiltin(text: Column): Column =
     filter(split(Dedup.canonical(text), " "), t => length(t) > 0)
 
   /** Intra-document repetition profile (Gopher-style quality rule: heavily

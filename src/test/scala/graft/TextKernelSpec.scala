@@ -78,6 +78,20 @@ class TextKernelSpec extends SparkSpec {
     assert(r.getSeq[Long](0) == r.getSeq[Long](1))
   }
 
+  test("CanonicalTokens matches the builtin filter(split(...)) twin") {
+    import graft.operators.TextAnalysis
+    for (df <- Seq(edgeTexts, fixtureTexts)) {
+      val rows = df.select(
+        TextAnalysis.canonicalTokens($"text").alias("native"),
+        TextAnalysis.canonicalTokensBuiltin($"text").alias("builtin")).collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(0) == r.isNullAt(1))
+        if (!r.isNullAt(0))
+          assert(r.getSeq[String](0) == r.getSeq[String](1))
+      }
+    }
+  }
+
   test("TextProfile kernel matches every builtin metric twin") {
     import graft.operators.TextAnalysis
     for (df <- Seq(edgeTexts, fixtureTexts)) {
