@@ -453,10 +453,24 @@ object Dedup {
     // could never join anyway).
     val shC1 = bloomPrefilter match {
       case Some(cfg) =>
-        val bloom = shPe.stat.bloomFilter("__sh", cfg.expectedItems, cfg.fpp)
-        val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
-        val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
-        shC0.filter(mightContain(col("__sh")))
+        // Native bloom path (the same BloomFilterAggregate/MightContain pair
+        // Spark's own runtime filters use) instead of a Scala UDF: the
+        // corpus-side membership test is the densest filter in the operator
+        // and must stay inside whole-stage codegen. Bits sized from fpp via
+        // the standard m = -n·ln(p)/ln(2)² formula.
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+        val numBits = math.max(64L,
+          (-cfg.expectedItems * math.log(cfg.fpp) / (math.log(2) * math.log(2))).toLong)
+        val hashed = ColumnBridge.expression(xxhash64(col("__sh")))
+        val bloomBin = shPe.select(ColumnBridge.column(
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            hashed, Literal(cfg.expectedItems), Literal(numBits))
+            .toAggregateExpression()).alias("__bloom")).head().get(0)
+        if (bloomBin == null) shC0 // no probe shingles: nothing can join anyway
+        else shC0.filter(ColumnBridge.column(BloomFilterMightContain(
+          Literal(bloomBin, org.apache.spark.sql.types.BinaryType),
+          ColumnBridge.expression(xxhash64(col("__sh"))))))
       case None => shC0
     }
     val shC = maxDocFreq match {
@@ -478,11 +492,21 @@ object Dedup {
 
   /** SimHash near-dup pairs: block on the top `blockBits` bits (cheap LSH for
     * Hamming space) then verify distance ≤ maxDistance within blocks.
+    *
+    * `maxBlockSize` drops degenerate blocks before the within-block
+    * self-join — the same skew guard as `maxBucketSize` in the MinHash
+    * path: a boilerplate-heavy corpus where many documents share the top
+    * fingerprint bits would otherwise make one reducer O(block²).
     */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-      maxDistance: Int = 3, blockBits: Int = 12): DataFrame = {
+      maxDistance: Int = 3, blockBits: Int = 12, maxBlockSize: Int = 1000): DataFrame = {
     val withFp = docs.select(col(idCol), simhash(col(textCol)).alias("__fp"))
-    val blocked = withFp.withColumn("__block", shiftright(col("__fp"), 60 - blockBits))
+    val blocked0 = withFp.withColumn("__block", shiftright(col("__fp"), 60 - blockBits))
+    val oversized = blocked0.groupBy(col("__block"))
+      .agg(count(lit(1)).alias("__n"))
+      .filter(col("__n") > maxBlockSize)
+      .select(col("__block"))
+    val blocked = blocked0.join(oversized, Seq("__block"), "left_anti")
     val a = blocked.select(col("__block"), col(idCol).alias("id_a"), col("__fp").alias("fp_a"))
     val b = blocked.select(col("__block"), col(idCol).alias("id_b"), col("__fp").alias("fp_b"))
     a.join(b, Seq("__block"))

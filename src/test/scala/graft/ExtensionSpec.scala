@@ -61,6 +61,20 @@ class ExtensionSpec extends SparkSpec {
     assert(out.contains((1L, 4L)))
   }
 
+  test("simhashNearDuplicates maxBlockSize drops degenerate blocks (skew guard)") {
+    // worst case: every document identical → one block holds the whole
+    // corpus and the within-block self-join would be O(n²)
+    val degenerate = (1L to 60L).map(i => (i, "all documents share this exact text"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simhashNearDuplicates(degenerate, "doc_id", "text",
+      maxDistance = 0, maxBlockSize = 10)
+    assert(capped.isEmpty) // the oversized block is dropped, not exploded
+    // under the cap the result is the full pair set, unchanged by the guard
+    val under = Dedup.simhashNearDuplicates(degenerate, "doc_id", "text",
+      maxDistance = 0, maxBlockSize = 60)
+    assert(under.count() == 60L * 59 / 2)
+  }
+
   private def vecs = Seq(
     (1L, Array(1.0f, 0.0f, 0.0f)),
     (2L, Array(0.9f, 0.1f, 0.0f)),
