@@ -1074,6 +1074,12 @@ object Oracles {
         |FROM u
         |ORDER BY check_name""".stripMargin,
 
+    "q84_offset_pages" ->
+      """SELECT id, lastModifiedAt, channel
+        |FROM read_json('/root/repo/src/test/resources/json/pages/page_*.json',
+        |  format='newline_delimited', union_by_name=true, timestampformat='disabled_xx')
+        |ORDER BY id""".stripMargin,
+
     "q66_salted_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,

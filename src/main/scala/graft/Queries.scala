@@ -1276,6 +1276,19 @@ object Queries {
       .orderBy(col("check_name"))
   }
 
+  /** S2 — offset-paginated source: the same fixture pages q34 loads by
+    * keyset, loaded via the limit/offset loop (pageSize 3 exercises several
+    * iterations and a short final page). Projection only — the normalize
+    * stage is q34's job.
+    */
+  def q84OffsetPages(spark: SparkSession, dir: String): DataFrame = {
+    val pagesDir = "/root/repo/src/test/resources/json/pages"
+    KeysetSource.loadOffset(spark, KeysetSource.fixtureOffsetFetcher(pagesDir),
+      pageSize = 3, maxPages = 50)
+      .select(col("id"), col("lastModifiedAt"), col("channel"))
+      .orderBy(col("id"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1363,6 +1376,7 @@ object Queries {
     "q80_locf" -> (q80Locf _),
     "q81_funnel" -> (q81Funnel _),
     "q82_retention" -> (q82Retention _),
-    "q83_quality_checks" -> (q83QualityChecks _)
+    "q83_quality_checks" -> (q83QualityChecks _),
+    "q84_offset_pages" -> (q84OffsetPages _)
   )
 }

@@ -99,6 +99,76 @@ object KeysetSource {
     }
   }
 
+  /** S2 — offset pagination: `(offset, limit) → records`. The endpoint
+    * signals exhaustion by returning fewer than `limit` records (the
+    * reference's `basic_ct_pagination` loop, `ct_utils.py:126-158`).
+    */
+  type OffsetFetcher = (Long, Int) => Seq[String]
+
+  /** Legacy endpoints cap the page size at 250 (`commercetools_utils.py:
+    * 264-266`); the current API allows 500.
+    */
+  val LegacyMaxOffsetLimit = 250
+
+  /** S2 — offset-pagination loop: fetch `(offset, limit)` slices until a
+    * short page or `maxPages`. Unlike keyset paging there is no cursor —
+    * the offset only ever advances by the returned record count, so a
+    * concurrent insert can shift later pages (the documented reason keyset
+    * is the recommended path); this loader exists for endpoints that offer
+    * nothing better. Records parse ONCE at the end (same single-inference,
+    * flat-plan design as [[load]]).
+    *
+    * @param legacyLimit validate against the legacy 250 cap instead of 500
+    */
+  def loadOffset(
+      spark: SparkSession,
+      fetch: OffsetFetcher,
+      pageSize: Int = MaxPageSize,
+      maxPages: Int = 250,
+      columns: Seq[String] = Nil,
+      legacyLimit: Boolean = false
+  ): DataFrame = {
+    val cap = if (legacyLimit) LegacyMaxOffsetLimit else MaxPageSize
+    require(pageSize >= 1 && pageSize <= cap,
+      s"pageSize must be in [1, $cap]") // ct_utils.py:288-290 / commercetools_utils.py:264-266
+    val records = Seq.newBuilder[String]
+    var offset = 0L
+    var n = 0
+    var done = false
+    while (!done && n < maxPages) {
+      val page = fetch(offset, pageSize)
+      records ++= page
+      offset += page.length
+      n += 1
+      done = page.length < pageSize // short page ⇒ exhausted
+    }
+    val all = records.result()
+    if (all.isEmpty) spark.emptyDataFrame
+    else {
+      val parsed = spark.read.json(spark.createDataset(all)(org.apache.spark.sql.Encoders.STRING))
+      if (columns.nonEmpty) Functions.selectExisting(parsed, columns) else parsed
+    }
+  }
+
+  /** Fixture-backed offset fetcher over the same `page_*.json` files the
+    * keyset fetcher replays: all records flattened in file order, served as
+    * `(offset, limit)` slices.
+    */
+  def fixtureOffsetFetcher(dir: String): OffsetFetcher = {
+    lazy val all: Vector[String] = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("page_") && f.getName.endsWith(".json"))
+      .sortBy(_.getName)
+      .toVector
+      .flatMap { f =>
+        val src = scala.io.Source.fromFile(f)("UTF-8")
+        try src.getLines().filter(_.trim.nonEmpty).toList finally src.close()
+      }
+    (offset: Long, limit: Int) =>
+      if (offset >= all.length) Nil
+      else all.slice(offset.toInt, math.min(offset + limit, all.length.toLong).toInt)
+  }
+
   /** Fixture-backed fetcher: pages are files `page_*.json` (one JSON record
     * per line) in lexicographic order — the shape the tests and the Verify
     * queries replay. Sort values are read from each record's `sortField`.

@@ -45,6 +45,38 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("S2 offset load: limit/offset slices to exhaustion, equal to the keyset row set") {
+    val dir = Files.createTempDirectory("pages").toString
+    writePages(dir)
+    // pageSize 3 over 4 records: one full slice + one short slice ends the loop
+    val off = KeysetSource.loadOffset(spark, KeysetSource.fixtureOffsetFetcher(dir),
+      pageSize = 3, maxPages = 10)
+    assert(off.count() == 4)
+    val key = KeysetSource.load(spark, KeysetSource.fixtureFetcher(dir), maxPages = 10)
+    assert(off.select("id").as[String].collect().sorted.toSeq ==
+      key.select("id").as[String].collect().sorted.toSeq)
+    // maxPages bounds the iteration even when the endpoint never runs dry
+    val capped = KeysetSource.loadOffset(spark, (_: Long, limit: Int) =>
+      Seq.fill(limit)("""{"id":"x"}"""), pageSize = 2, maxPages = 3)
+    assert(capped.count() == 6)
+  }
+
+  test("S2 offset page-size caps: 500 current, 250 legacy (commercetools_utils.py:264-266)") {
+    intercept[IllegalArgumentException] {
+      KeysetSource.loadOffset(spark, KeysetSource.fixtureOffsetFetcher("/nonexistent"),
+        pageSize = 501)
+    }
+    intercept[IllegalArgumentException] {
+      KeysetSource.loadOffset(spark, KeysetSource.fixtureOffsetFetcher("/nonexistent"),
+        pageSize = 251, legacyLimit = true)
+    }
+    // 251 is fine on the current API; the fetcher is never called with an
+    // empty dir beyond the first (empty) slice
+    assert(KeysetSource.loadOffset(spark,
+      KeysetSource.fixtureOffsetFetcher(Files.createTempDirectory("empty").toString),
+      pageSize = 251).isEmpty)
+  }
+
   test("S3 projection restricted to existing columns (P1)") {
     val dir = Files.createTempDirectory("pages").toString
     writePages(dir)
