@@ -1080,6 +1080,64 @@ object Oracles {
         |  format='newline_delimited', union_by_name=true, timestampformat='disabled_xx')
         |ORDER BY id""".stripMargin,
 
+    // Pair generation replays q28's all-pairs form (valid because LSH
+    // bucketing at threshold 0.999 loses no pair on this corpus — q28 pins
+    // that equality); clustering replays q53's recursive min-label reach.
+    "q85_semantic_dedup" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 25),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM corpus a CROSS JOIN corpus b
+         |  WHERE a.vec_id < b.vec_id
+         |    AND ${cosSql("a.embedding", "b.embedding")} >= 0.999),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         |lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT c.vec_id,
+         |  coalesce(lab.cluster_id, c.vec_id) AS cluster_id,
+         |  c.vec_id = coalesce(lab.cluster_id, c.vec_id) AS kept
+         |FROM corpus c LEFT JOIN lab ON lab.id = c.vec_id
+         |ORDER BY c.vec_id""".stripMargin,
+
+    "q86_incremental_dedup" -> {
+      val sigExprs = (0 until 12).map { i =>
+        val (a, b) = graft.operators.Dedup.affineParams(i)
+        s"list_min([(CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) * $a + $b) % ${graft.operators.Dedup.MinhashP} for s in shingles])"
+      }.mkString("[", ", ", "]")
+      val bandHash =
+        "md5(CAST(sig[3*b + 1] AS VARCHAR) || '|' || CAST(sig[3*b + 2] AS VARCHAR) || '|' || CAST(sig[3*b + 3] AS VARCHAR))"
+      s"""WITH ${shinglesCte(plantedDocs)},
+         |sig AS (SELECT doc_id, $sigExprs AS sig FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b AS band_id, $bandHash AS band_hash
+         |  FROM sig, range(0, 4) t(b)
+         |  WHERE $bandHash IS NOT NULL),
+         |cands AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         |  FROM bands n JOIN bands c USING (band_id, band_hash)
+         |  WHERE n.doc_id >= 100000 AND c.doc_id < 100000),
+         |est AS (
+         |  SELECT new_id, corpus_id,
+         |    round(CAST(list_sum(
+         |      [CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END for i in range(1, 13)])
+         |      AS DOUBLE) / 12, 6) AS jaccard_est
+         |  FROM cands
+         |  JOIN sig sa ON sa.doc_id = new_id
+         |  JOIN sig sb ON sb.doc_id = corpus_id)
+         |SELECT new_id, corpus_id, jaccard_est FROM est
+         |WHERE jaccard_est >= 0.5
+         |ORDER BY new_id, corpus_id""".stripMargin
+    },
+
     "q66_salted_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,

@@ -1289,6 +1289,37 @@ object Queries {
       .orderBy(col("id"))
   }
 
+  /** SemDeDup — semantic dedup over embeddings: near-dup pairs (cosine ≥
+    * 0.999 via LSH buckets, the q28 pair set) → connected components → keep
+    * the min-id representative. Planted exact duplicates (vec_id+100000)
+    * cluster with their source and are dropped; everything else survives.
+    */
+  def q85SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val planted = emb.filter(col("vec_id") < 25)
+      .select((col("vec_id") + 100000L).alias("vec_id"), col("embedding"), col("label"))
+    graft.operators.Similarity.semanticDedup(
+      emb.unionByName(planted), threshold = 0.999, numPlanes = 4)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Incremental dedup — the continuous-ingest shape: a new crawl batch
+    * (the planted near-duplicates) matched against the base corpus's
+    * persisted MinHash signature index; corpus text is never re-read.
+    * jaccard_est is the signature-agreement fraction (k=12), exact
+    * rational arithmetic in both engines.
+    */
+  def q86IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val newBatch = docs.filter(col("source") === "src0")
+      .select((col("doc_id") + 100000L).alias("doc_id"),
+        concat(col("text"), lit(" nearduplicate")).alias("text"))
+    val index = Dedup.signatureIndex(docs, "doc_id", "text")
+    Dedup.incrementalNearDuplicates(newBatch, index, "doc_id", "text",
+      threshold = 0.5)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1377,6 +1408,8 @@ object Queries {
     "q81_funnel" -> (q81Funnel _),
     "q82_retention" -> (q82Retention _),
     "q83_quality_checks" -> (q83QualityChecks _),
-    "q84_offset_pages" -> (q84OffsetPages _)
+    "q84_offset_pages" -> (q84OffsetPages _),
+    "q85_semantic_dedup" -> (q85SemanticDedup _),
+    "q86_incremental_dedup" -> (q86IncrementalDedup _)
   )
 }

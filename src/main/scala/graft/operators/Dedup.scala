@@ -402,6 +402,58 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints via bit_count(xor). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** MinHash signature index of a corpus: `(id, __sig)` — the artifact an
+    * incremental pipeline materializes ONCE per corpus snapshot (k longs per
+    * document, ~100 bytes vs the document text) and joins every new crawl
+    * batch against. Documents with no shingles carry an all-null signature
+    * and never band-match.
+    */
+  def signatureIndex(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 12): DataFrame =
+    docs.select(col(idCol),
+      minhashSignature(col(textCol), numHashes).alias("__sig"))
+
+  /** Incremental near-dup detection: match a NEW batch against an existing
+    * [[signatureIndex]] WITHOUT re-reading corpus text — the shape that
+    * keeps continuous-ingest dedup linear in the batch, not the corpus.
+    * Candidates come from an LSH band equi-join (new bands ⋈ index bands,
+    * one shuffle, never all-pairs); verification is the signature-agreement
+    * Jaccard estimate, so corpus documents are never re-tokenized.
+    * `maxBucketSize` caps degenerate index-side bands (the boilerplate skew
+    * guard, as in [[lshCandidatePairsFromShingles]]).
+    *
+    * @return (new_id, corpus_id, jaccard_est) for estimate ≥ threshold
+    */
+  def incrementalNearDuplicates(newDocs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.7,
+      bands: Int = 4, rowsPerBand: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(bands * rowsPerBand >= 1, "bands*rowsPerBand must be >= 1")
+    val newSigs = signatureIndex(newDocs, idCol, textCol, bands * rowsPerBand)
+    val newBands = bandRows(newSigs.withColumnRenamed(idCol, "new_id"),
+      "new_id", bands, rowsPerBand)
+      .select(col("band_id"), col("band_hash"), col("new_id"))
+    val idxBands0 = bandRows(index.withColumnRenamed(idCol, "corpus_id"),
+      "corpus_id", bands, rowsPerBand)
+      .select(col("band_id"), col("band_hash"), col("corpus_id"))
+    // skew guard on the corpus side (the big side): drop index bands that
+    // bucket more than maxBucketSize documents
+    val hot = idxBands0.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).alias("__n")).filter(col("__n") > maxBucketSize)
+      .select(col("band_id"), col("band_hash"))
+    val idxBands = idxBands0.join(hot, Seq("band_id", "band_hash"), "left_anti")
+    val cands = newBands.join(idxBands, Seq("band_id", "band_hash"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    cands
+      .join(newSigs.select(col(idCol).alias("new_id"), col("__sig").alias("__sa")), Seq("new_id"))
+      .join(index.select(col(idCol).alias("corpus_id"), col("__sig").alias("__sb")), Seq("corpus_id"))
+      .withColumn("jaccard_est",
+        round(jaccardEstimateFromSignatures(col("__sa"), col("__sb")), 6))
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard_est"))
+  }
+
   /** Jaccard ESTIMATE from two MinHash signatures: the fraction of agreeing
     * positions (an unbiased estimator of the true Jaccard similarity, ±
     * O(1/√k)). The at-scale substitute for exact shingle-set verification:

@@ -236,6 +236,26 @@ object Similarity {
       .otherwise(transform(q.getField("codes"),
         c => c.cast("double") / q.getField("scale")))
 
+  /** SemDeDup-style semantic deduplication: embedding near-dup pairs →
+    * connected components → keep the minimum-id representative per cluster.
+    * Returns one row per corpus id: `(idCol, cluster_id, kept)` — singletons
+    * are their own representative, so `filter(kept)` is the deduplicated
+    * corpus. Scale shape: [[embeddingNearDuplicates]] is LSH-bucketed (never
+    * all-pairs) and [[Dedup.clusters]] is the bounded min-label fixpoint;
+    * the final join is one shuffle on the id.
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      numPlanes: Int = 6): DataFrame = {
+    val pairs = embeddingNearDuplicates(corpus, threshold, idCol, vecCol, numPlanes)
+    val labels = Dedup.clusters(pairs).withColumnRenamed("id", idCol)
+    corpus.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).alias("cluster_id"))
+      .withColumn("kept", col(idCol) === col("cluster_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): LSH-bucketed
     * self-join, exact cosine ≥ threshold. The all-pairs fallback within a
     * bucket is bounded by bucket size — same skew guard story as Dedup.

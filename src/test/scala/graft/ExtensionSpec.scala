@@ -224,6 +224,35 @@ class ExtensionSpec extends SparkSpec {
     assert(cappedBloom == cappedPlain)
   }
 
+  test("semanticDedup keeps the min-id representative per embedding cluster") {
+    val out = Similarity.semanticDedup(vecs, threshold = 0.999, numPlanes = 2)
+      .orderBy("vec_id").as[(Long, Long, Boolean)].collect()
+    assert(out.length == 4)
+    val byId = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L) == ((1L, true)))  // representative of {1, 4}
+    assert(byId(4L) == ((1L, false))) // clustered with 1, dropped
+    assert(byId(2L) == ((2L, true)) && byId(3L) == ((3L, true))) // singletons
+  }
+
+  test("incrementalNearDuplicates matches a new batch against the signature index only") {
+    val index = Dedup.signatureIndex(docs, "doc_id", "text")
+    val newBatch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"), // dup of 1 and 4
+      (102L, "entirely unrelated text about something else entirely different")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDuplicates(newBatch, index, "doc_id", "text",
+      threshold = 0.5).select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(out.contains((101L, 1L)) && out.contains((101L, 4L)))
+    assert(!out.exists(_._1 == 102L))
+    // degenerate index bands above the cap are dropped, bounding the join
+    val boiler = (1L to 40L).map(i => (i, "same boilerplate text every single time"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.incrementalNearDuplicates(
+      newBatch, Dedup.signatureIndex(boiler, "doc_id", "text"), "doc_id", "text",
+      threshold = 0.0, maxBucketSize = 10)
+    assert(capped.isEmpty)
+  }
+
   test("signature jaccard estimate tracks exact jaccard on near/exact/disjoint pairs") {
     val withSig = docs.filter(length($"text") > 0)
       .select($"doc_id", Dedup.minhashSignature($"text", 12).alias("sig"),
