@@ -1138,6 +1138,47 @@ object Oracles {
          |ORDER BY new_id, corpus_id""".stripMargin
     },
 
+    // Full PQ replay: md5-ordered codebook election, per-subspace argmin
+    // encode (strict first-min tie-break), ADC table lookups summed in
+    // subspace order. csub computes every (vector, subspace, centroid)
+    // distance once and serves both corpus encoding and query tables.
+    "q87_pq_topk" ->
+      """WITH samp AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 104729 ASC,
+        |    vec_id ASC
+        |  LIMIT 16),
+        |cbl AS (SELECT list(embedding ORDER BY vec_id) AS cbs FROM samp),
+        |csub AS (
+        |  SELECT e.vec_id, t.s, u.j,
+        |    list_sum([
+        |      (CAST(e.embedding[8*t.s + d] AS DOUBLE) - CAST(cbl.cbs[u.j + 1][8*t.s + d] AS DOUBLE))
+        |      * (CAST(e.embedding[8*t.s + d] AS DOUBLE) - CAST(cbl.cbs[u.j + 1][8*t.s + d] AS DOUBLE))
+        |      for d in range(1, 9)]) AS dist
+        |  FROM embeddings e, range(0, 8) t(s), range(0, 16) u(j), cbl),
+        |codes AS (
+        |  SELECT vec_id, list(j ORDER BY s) AS codes FROM (
+        |    SELECT vec_id, s, j,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS rn
+        |    FROM csub) WHERE rn = 1 GROUP BY vec_id),
+        |qtab AS (SELECT vec_id AS query_id, s, j, dist FROM csub WHERE vec_id < 10),
+        |pairscore AS (
+        |  SELECT qt.query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list(qt.dist ORDER BY qt.s)) AS score
+        |  FROM codes c
+        |  CROSS JOIN range(0, 8) t(s)
+        |  JOIN qtab qt ON qt.s = t.s AND qt.j = c.codes[t.s + 1]
+        |  WHERE qt.query_id <> c.vec_id
+        |  GROUP BY qt.query_id, c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score ASC, neighbor_id ASC) AS rank
+        |  FROM pairscore)
+        |SELECT query_id, neighbor_id, rank, round(score, 8) AS score
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
     "q66_salted_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,

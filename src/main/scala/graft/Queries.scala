@@ -1320,6 +1320,21 @@ object Queries {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
+  /** PQ ANN — product-quantization top-3 by ADC (8 subspaces × 16 sampled
+    * centroids over the 64-dim embeddings): codes are 8 bytes per corpus
+    * vector, scoring is 8 table lookups per pair. Fully deterministic
+    * (md5-ordered codebook election, fixed-order IEEE accumulation), so the
+    * DuckDB oracle replays encode + ADC bit-exactly.
+    */
+  def q87PqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("embedding"))
+    graft.operators.Similarity.pqTopK(queries, emb, k = 3)
+      .withColumn("score", round(col("score"), 8))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1410,6 +1425,7 @@ object Queries {
     "q83_quality_checks" -> (q83QualityChecks _),
     "q84_offset_pages" -> (q84OffsetPages _),
     "q85_semantic_dedup" -> (q85SemanticDedup _),
-    "q86_incremental_dedup" -> (q86IncrementalDedup _)
+    "q86_incremental_dedup" -> (q86IncrementalDedup _),
+    "q87_pq_topk" -> (q87PqTopK _)
   )
 }

@@ -210,6 +210,76 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** PQ codebook: `k` deterministically-sampled corpus vectors (the same
+    * md5-ordered election as IVF centroids — engine-replayable), each split
+    * into `m` subvectors: `codebook(s)(j)` = subvector `s` of sample `j`.
+    * k-means would refine the centroids; the encode/ADC plumbing — the part
+    * that matters for the distributed shape — is identical. Driver-side by
+    * design: the codebook is m·k·(dim/m) doubles, a constant.
+    */
+  def pqCodebook(corpus: DataFrame, m: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val sampleKey = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(104729L))
+    val sample = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(sampleKey.asc, col(idCol).asc)
+      .limit(k)
+      .orderBy(col(idCol))
+      .collect()
+    require(sample.nonEmpty, "pqCodebook: corpus is empty")
+    val vecs = sample.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case null => throw new IllegalArgumentException("pqCodebook: sampled vector has null element")
+    }.toArray)
+    val dim = vecs.head.length
+    require(dim % m == 0, s"pqCodebook: dim $dim not divisible by m=$m")
+    require(vecs.forall(_.length == dim), "pqCodebook: ragged sampled vectors")
+    val sub = dim / m
+    Array.tabulate(m, vecs.length)((s, j) => vecs(j).slice(s * sub, s * sub + sub))
+  }
+
+  /** PQ top-k (ADC): encode the corpus to m-byte codes, precompute each
+    * query's subspace distance table once, score every candidate with m
+    * table lookups, rank ascending by approximate distance.
+    *
+    * Scale shape: codes are m bytes/vector (the 100 TB corpus shrinks 64×
+    * for 64-dim float64), the query side (table included) broadcasts, and
+    * the per-pair cost is O(m) — compare [[bruteForceTopK]]'s O(dim).
+    * Compose with [[cosine]] over the top candidates for exact re-ranking.
+    *
+    * @return (query_id, neighbor_id, rank, score) — score = approximate
+    *         squared L2 distance, rank 1 = nearest
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 8, numCentroids: Int = 16,
+      queryIdCol: String = "query_id", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cb = pqCodebook(corpus, m, numCentroids, idCol, vecCol)
+    val codes = corpus.select(col(idCol).alias("neighbor_id"),
+      ColumnBridge.column(graft.functions.expressions.PqEncode(
+        ColumnBridge.expression(col(vecCol)), cb)).alias("__codes"))
+      .filter(col("__codes").isNotNull)
+    val q = broadcast(queries.select(col(queryIdCol).alias("query_id"),
+      ColumnBridge.column(graft.functions.expressions.PqDistTable(
+        ColumnBridge.expression(col(vecCol)), cb)).alias("__tab"))
+      .filter(col("__tab").isNotNull))
+    val scored = q.crossJoin(codes)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", ColumnBridge.column(graft.functions.expressions.PqAdcScore(
+        ColumnBridge.expression(col("__tab")), ColumnBridge.expression(col("__codes")))))
+      .filter(col("score").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage/ANN
     * scale lever (4× smaller than float32, 8× smaller than float64; the
     * format IVF/PQ-style indexes score against). Per vector:

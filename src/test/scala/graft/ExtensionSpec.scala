@@ -253,6 +253,30 @@ class ExtensionSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("pqTopK: exact-duplicate vector is the rank-1 hit (ADC global minimum)") {
+    val q = vecs.filter($"vec_id" === 1L)
+      .select($"vec_id".alias("query_id"), $"embedding")
+    val out = Similarity.pqTopK(q, vecs, k = 1, m = 3, numCentroids = 4).collect()
+    // doc 4 shares doc 1's vector → identical codes → its ADC score is the
+    // per-subspace minimum sum, the global minimum
+    assert(out.length == 1 && out.head.getLong(1) == 4L && out.head.getInt(2) == 1)
+  }
+
+  test("PQ encode: identical vectors → identical codes; mismatched dim → null") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cb = Similarity.pqCodebook(vecs, m = 3, k = 4)
+    assert(cb.length == 3 && cb(0).length == 4 && cb(0)(0).length == 1)
+    def enc(v: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.functions.expressions.PqEncode(ColumnBridge.expression(v), cb))
+    val codes = vecs.select($"vec_id", enc($"embedding").alias("c"))
+      .as[(Long, Seq[Byte])].collect().toMap
+    assert(codes(1L) == codes(4L))
+    assert(codes.values.forall(c => c.length == 3 && c.forall(j => j >= 0 && j < 4)))
+    val bad = Seq((9L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+      .select(enc($"embedding").alias("c")).head()
+    assert(bad.isNullAt(0))
+  }
+
   test("signature jaccard estimate tracks exact jaccard on near/exact/disjoint pairs") {
     val withSig = docs.filter(length($"text") > 0)
       .select($"doc_id", Dedup.minhashSignature($"text", 12).alias("sig"),
