@@ -1179,6 +1179,30 @@ object Oracles {
         |FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
 
+    // stride = 64 - 8 = 56; chunk count = ceil((n-64)/56) + 1 via integer
+    // floor-div; list slice truncates at the end exactly like Spark's slice
+    "q88_chunking" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_filter(string_split($canon, ' '), t -> t <> '') AS tokens
+         |  FROM documents WHERE doc_id < 200),
+         |c AS (
+         |  SELECT doc_id, tokens, len(tokens) AS n,
+         |    CASE WHEN len(tokens) <= 0 THEN 0
+         |         WHEN len(tokens) <= 64 THEN 1
+         |         ELSE (len(tokens) - 64 + 55) // 56 + 1 END AS nc
+         |  FROM tok),
+         |e AS (
+         |  SELECT doc_id, tokens, unnest([i for i in range(0, nc)]) AS chunk_id
+         |  FROM c WHERE nc > 0),
+         |w AS (
+         |  SELECT doc_id, chunk_id,
+         |    tokens[chunk_id*56 + 1 : chunk_id*56 + 64] AS w
+         |  FROM e)
+         |SELECT doc_id, chunk_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  array_to_string(w, ' ') AS chunk_text
+         |FROM w
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+
     "q66_salted_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,

@@ -1335,6 +1335,16 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Token chunking — fixed 64-token windows with 8-token overlap over the
+    * canonical token stream (training/RAG preprocessing). Row-local; one
+    * scan at any corpus size.
+    */
+  def q88Chunking(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunk(
+      t(spark, dir, "documents").filter(col("doc_id") < 200),
+      "doc_id", "text", chunkTokens = 64, overlap = 8)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1426,6 +1436,7 @@ object Queries {
     "q84_offset_pages" -> (q84OffsetPages _),
     "q85_semantic_dedup" -> (q85SemanticDedup _),
     "q86_incremental_dedup" -> (q86IncrementalDedup _),
-    "q87_pq_topk" -> (q87PqTopK _)
+    "q87_pq_topk" -> (q87PqTopK _),
+    "q88_chunking" -> (q88Chunking _)
   )
 }

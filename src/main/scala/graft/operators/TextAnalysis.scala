@@ -193,6 +193,43 @@ object TextAnalysis {
       replacement: String = "#"): Column =
     regexp_replace(text, pattern, replacement)
 
+  /** Fixed-size token chunking with overlap — the training/RAG preprocessing
+    * step that turns documents into model-sized windows. Chunk `i` covers
+    * canonical tokens `[i·stride, i·stride + chunkTokens)` with
+    * `stride = chunkTokens − overlap`; the count of chunks is
+    * `ceil((n − chunkTokens)/stride) + 1` (one chunk when `n ≤ chunkTokens`,
+    * none for empty docs). Row-local (tokenize → posexplode of a chunk-index
+    * sequence → slice), no shuffle — a 100 TB corpus chunks in one scan.
+    * All arithmetic is integer, replayed exactly by the DuckDB oracle.
+    *
+    * @return idCol + (chunk_id, n_tokens, chunk_text), one row per chunk
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 128, overlap: Int = 16): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    require(overlap >= 0 && overlap < chunkTokens, "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    val toks = canonicalTokens(col(textCol))
+    val n = size(toks)
+    // floor-div via double is exact here: token counts are far below 2^26,
+    // so the quotient cannot round across an integer boundary
+    val nChunks = when(n <= 0, lit(0L))
+      .when(n <= chunkTokens, lit(1L))
+      .otherwise(floor((n - chunkTokens + stride - 1).cast("double") / stride).cast("long") + 1L)
+    docs
+      .select(col(idCol), toks.alias("__toks"), nChunks.alias("__nc"))
+      .filter(col("__nc") > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0L), col("__nc") - 1L)))
+      .withColumn("chunk_id", col("col"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("__toks"), (col("chunk_id") * stride + 1L).cast("int"), lit(chunkTokens))
+          .alias("__w"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__w")).cast("long").alias("n_tokens"),
+        array_join(col("__w"), " ").alias("chunk_text"))
+  }
+
   /** Full text profile in one projection. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

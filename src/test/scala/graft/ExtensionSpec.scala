@@ -303,6 +303,27 @@ class ExtensionSpec extends SparkSpec {
     assert(bad.head().isNullAt(0))
   }
 
+  test("chunk: window/overlap arithmetic, short docs, empty docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "one two three"),                          // shorter than a chunk
+      (3L, "")                                        // no tokens → no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, String)].collect()
+    // doc 1: stride 3, ceil((10-4)/3)+1 = 3 chunks; last truncated to 4 from pos 7
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(d1.head._4 == "t1 t2 t3 t4")
+    assert(d1(1)._4 == "t4 t5 t6 t7")   // overlap of 1 token
+    assert(d1(2)._4 == "t7 t8 t9 t10")
+    assert(d1.forall(_._3 == 4L))
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._4 == "one two three" && d2.head._3 == 3L)
+    assert(!out.exists(_._1 == 3L))
+  }
+
   test("repetition profile: counts and ratios on a hand-checked doc") {
     val df = Seq((1L, "a a a b"), (2L, "x y z w")).toDF("doc_id", "text")
     val out = TextAnalysis.repetitionProfile(df, "doc_id", "text")

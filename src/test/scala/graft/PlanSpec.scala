@@ -78,6 +78,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(user_id"), plan)
   }
 
+  test("q86: incremental dedup is equi-joins only (no product join against the corpus)") {
+    val plan = planOf(Queries.q86IncrementalDedup(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"band/signature join degenerated into a product join:\n$plan")
+  }
+
+  test("q87: PQ corpus scan prunes to id+vector; only the query side broadcasts") {
+    val df = Queries.q87PqTopK(spark, sfDir)
+    val scan = scanOf(df)
+    assert(scan.contains("vec_id") && scan.contains("embedding"))
+    assert(!scan.contains("label"), s"PQ scan reads unneeded columns:\n$scan")
+    val plan = planOf(df)
+    // the deliberate broadcast cross join of the (small) query side — the
+    // corpus side must never be the broadcast/shuffle-heavy side
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q88: chunking is row-local — no shuffle before the output sort") {
+    val plan = planOf(Queries.q88Chunking(spark, sfDir))
+    val exchanges = plan.split("\n").count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"chunking should only exchange for the final sort:\n$plan")
+  }
+
   test("with extensions: q10's row_number window rewrites to the topk aggregate") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
