@@ -491,7 +491,12 @@ object Oracles {
          |    [CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) for t in tokens] AS hashes
          |  FROM tok),
          |fp AS (SELECT doc_id, $bitTerms AS f FROM h),
-         |blocked AS (SELECT doc_id, f, f >> 52 AS blk FROM fp)
+         |blocked0 AS (SELECT doc_id, f, f >> 52 AS blk FROM fp),
+         |oversized AS (
+         |  SELECT blk FROM blocked0 GROUP BY blk HAVING count(*) > 1000),
+         |blocked AS (
+         |  SELECT b.* FROM blocked0 b LEFT JOIN oversized o ON b.blk = o.blk
+         |  WHERE o.blk IS NULL)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
          |FROM blocked a JOIN blocked b ON a.blk = b.blk
@@ -1121,10 +1126,16 @@ object Oracles {
          |  SELECT doc_id, b AS band_id, $bandHash AS band_hash
          |  FROM sig, range(0, 4) t(b)
          |  WHERE $bandHash IS NOT NULL),
+         |hot AS (
+         |  SELECT band_id, band_hash FROM bands
+         |  WHERE doc_id < 100000
+         |  GROUP BY band_id, band_hash HAVING count(*) > 1000),
          |cands AS (
          |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
-         |  FROM bands n JOIN bands c USING (band_id, band_hash)
-         |  WHERE n.doc_id >= 100000 AND c.doc_id < 100000),
+         |  FROM bands n
+         |  JOIN bands c USING (band_id, band_hash)
+         |  LEFT JOIN hot h USING (band_id, band_hash)
+         |  WHERE n.doc_id >= 100000 AND c.doc_id < 100000 AND h.band_id IS NULL),
          |est AS (
          |  SELECT new_id, corpus_id,
          |    round(CAST(list_sum(

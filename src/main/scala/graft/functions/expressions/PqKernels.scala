@@ -126,6 +126,8 @@ private[expressions] trait FloatArrayInput { self: UnaryExpression =>
   */
 case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
     extends UnaryExpression with FloatArrayInput {
+  require(codebook.nonEmpty && codebook.forall(s => s.nonEmpty && s.length <= 127),
+    "PQ codebook must have 1..127 centroids per subspace (codes are signed bytes)")
 
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
   override def nullable: Boolean = true

@@ -429,13 +429,27 @@ object Dedup {
       bands: Int = 4, rowsPerBand: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
     require(bands * rowsPerBand >= 1, "bands*rowsPerBand must be >= 1")
+    // A signature-length mismatch between the index and bands*rowsPerBand
+    // would not fail loudly: band rows still collide, but the verification
+    // estimate nulls out and every candidate silently drops. Check the
+    // index's actual length up front (one row, not a scan).
+    index.filter(col("__sig").isNotNull)
+      .select(size(col("__sig")).alias("__k")).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == bands * rowsPerBand,
+        s"index signature length ${r.getInt(0)} != bands*rowsPerBand (${bands * rowsPerBand}); " +
+          "rebuild the index with signatureIndex(..., numHashes = bands*rowsPerBand)")
+    }
+    // both band frames feed two consumers (candidate join + hot-bucket agg /
+    // verification join) — persist so the shingle+minhash pass runs once
     val newSigs = signatureIndex(newDocs, idCol, textCol, bands * rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = bandRows(newSigs.withColumnRenamed(idCol, "new_id"),
       "new_id", bands, rowsPerBand)
       .select(col("band_id"), col("band_hash"), col("new_id"))
     val idxBands0 = bandRows(index.withColumnRenamed(idCol, "corpus_id"),
       "corpus_id", bands, rowsPerBand)
       .select(col("band_id"), col("band_hash"), col("corpus_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // skew guard on the corpus side (the big side): drop index bands that
     // bucket more than maxBucketSize documents
     val hot = idxBands0.groupBy(col("band_id"), col("band_hash"))
@@ -514,6 +528,16 @@ object Dedup {
         import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
         val numBits = math.max(64L,
           (-cfg.expectedItems * math.log(cfg.fpp) / (math.log(2) * math.log(2))).toLong)
+        // BloomFilterAggregate silently clamps to the runtime-filter conf
+        // ceilings; a clamped filter's realized fpp balloons exactly at the
+        // probe-set scale the prefilter exists for — fail loudly instead.
+        val conf = corpus.sparkSession.conf
+        val maxItems = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+        val maxBits = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+        require(cfg.expectedItems <= maxItems && numBits <= maxBits,
+          s"bloom prefilter needs $numBits bits for ${cfg.expectedItems} items, above the " +
+            "session's runtime-bloom ceiling; raise spark.sql.optimizer.runtime.bloomFilter." +
+            "maxNumItems/maxNumBits or shrink BloomConfig")
         val hashed = ColumnBridge.expression(xxhash64(col("__sh")))
         val bloomBin = shPe.select(ColumnBridge.column(
           new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(

@@ -219,6 +219,9 @@ object Similarity {
     */
   def pqCodebook(corpus: DataFrame, m: Int, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    // codes are signed bytes: k > 127 would wrap negative and silently null
+    // every ADC score downstream
+    require(k >= 1 && k <= 127, s"numCentroids must be in [1, 127], got $k")
     val sampleKey = pmod(
       conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long"),
       lit(104729L))
