@@ -262,14 +262,16 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val cb = pqCodebook(corpus, m, numCentroids, idCol, vecCol)
+    // no isNotNull filters on __codes/__tab: they would push past the
+    // projection and re-evaluate the encode kernel inside the scan filter
+    // (doubling the expensive pass); a null on either side nulls the ADC
+    // score, and the score filter below drops the row anyway
     val codes = corpus.select(col(idCol).alias("neighbor_id"),
       ColumnBridge.column(graft.functions.expressions.PqEncode(
         ColumnBridge.expression(col(vecCol)), cb)).alias("__codes"))
-      .filter(col("__codes").isNotNull)
     val q = broadcast(queries.select(col(queryIdCol).alias("query_id"),
       ColumnBridge.column(graft.functions.expressions.PqDistTable(
-        ColumnBridge.expression(col(vecCol)), cb)).alias("__tab"))
-      .filter(col("__tab").isNotNull))
+        ColumnBridge.expression(col(vecCol)), cb)).alias("__tab")))
     val scored = q.crossJoin(codes)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", ColumnBridge.column(graft.functions.expressions.PqAdcScore(
