@@ -68,12 +68,15 @@ object Similarity {
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-      .filter(col("cosine").isNotNull)
+    // nulls are dropped AFTER ranking: a pre-window isNotNull filter pushes
+    // into the join condition and evaluates the cosine kernel twice per
+    // pair; desc ordering ranks nulls last, so non-null ranks are identical
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .filter(col("cosine").isNotNull)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
@@ -124,12 +127,13 @@ object Similarity {
     val scored = q.join(c, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-      .filter(col("cosine").isNotNull)
+    // null filter after ranking — see bruteForceTopK
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .filter(col("cosine").isNotNull)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
@@ -172,10 +176,12 @@ object Similarity {
       }: _*), centroidSchema)
     val scored = corpus.crossJoin(broadcast(centroids))
       .withColumn("__sim", cosine(col(vecCol), col("__centroid")))
-      .filter(col("__sim").isNotNull)
+    // null filter after ranking (desc ranks nulls last) — a pre-window
+    // filter would push into the join and double-evaluate the kernel
     val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cell_id").asc)
     val assigned = scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
+      .filter(col("__sim").isNotNull)
       .select(col(idCol), col(vecCol), col("cell_id"))
     (assigned, centroids)
   }
@@ -192,21 +198,21 @@ object Similarity {
       .select(col(queryIdCol).alias("query_id"), col(vecCol).alias("__qv"))
       .crossJoin(broadcast(centroids))
       .withColumn("__sim", cosine(col("__qv"), col("__centroid")))
-      .filter(col("__sim").isNotNull)
     val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("cell_id").asc)
     val probes = qCells.withColumn("__rn", row_number().over(wProbe))
       .filter(col("__rn") <= nprobe)
+      .filter(col("__sim").isNotNull)
       .select(col("query_id"), col("__qv"), col("cell_id"))
     val cands = probes.join(
       assigned.select(col("cell_id"), col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv")),
       Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-      .filter(col("cosine").isNotNull)
     val wRank = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     cands
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
+      .filter(col("cosine").isNotNull)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
