@@ -422,6 +422,13 @@ object Dedup {
     * `maxBucketSize` caps degenerate index-side bands (the boilerplate skew
     * guard, as in [[lshCandidatePairsFromShingles]]).
     *
+    * The index and the new batch are each consumed twice (banding +
+    * verification); caching is deliberately the CALLER's choice — in the
+    * continuous-ingest deployment the index is a materialized table (that is
+    * the point of [[signatureIndex]]) and re-reads are cheap columnar scans,
+    * while an operator-internal persist would leak one cached plan per
+    * batch for the session's lifetime.
+    *
     * @return (new_id, corpus_id, jaccard_est) for estimate ≥ threshold
     */
   def incrementalNearDuplicates(newDocs: DataFrame, index: DataFrame,
@@ -429,27 +436,13 @@ object Dedup {
       bands: Int = 4, rowsPerBand: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
     require(bands * rowsPerBand >= 1, "bands*rowsPerBand must be >= 1")
-    // A signature-length mismatch between the index and bands*rowsPerBand
-    // would not fail loudly: band rows still collide, but the verification
-    // estimate nulls out and every candidate silently drops. Check the
-    // index's actual length up front (one row, not a scan).
-    index.filter(col("__sig").isNotNull)
-      .select(size(col("__sig")).alias("__k")).limit(1).collect().foreach { r =>
-      require(r.getInt(0) == bands * rowsPerBand,
-        s"index signature length ${r.getInt(0)} != bands*rowsPerBand (${bands * rowsPerBand}); " +
-          "rebuild the index with signatureIndex(..., numHashes = bands*rowsPerBand)")
-    }
-    // both band frames feed two consumers (candidate join + hot-bucket agg /
-    // verification join) — persist so the shingle+minhash pass runs once
     val newSigs = signatureIndex(newDocs, idCol, textCol, bands * rowsPerBand)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = bandRows(newSigs.withColumnRenamed(idCol, "new_id"),
       "new_id", bands, rowsPerBand)
       .select(col("band_id"), col("band_hash"), col("new_id"))
     val idxBands0 = bandRows(index.withColumnRenamed(idCol, "corpus_id"),
       "corpus_id", bands, rowsPerBand)
       .select(col("band_id"), col("band_hash"), col("corpus_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // skew guard on the corpus side (the big side): drop index bands that
     // bucket more than maxBucketSize documents
     val hot = idxBands0.groupBy(col("band_id"), col("band_hash"))
@@ -462,8 +455,19 @@ object Dedup {
     cands
       .join(newSigs.select(col(idCol).alias("new_id"), col("__sig").alias("__sa")), Seq("new_id"))
       .join(index.select(col(idCol).alias("corpus_id"), col("__sig").alias("__sb")), Seq("corpus_id"))
+      // A mismatched index (built with a different numHashes) would not fail
+      // on its own: bands still collide, but the estimate nulls out and
+      // every candidate silently drops. Fail at execution instead — lazily,
+      // so constructing the plan stays job-free.
       .withColumn("jaccard_est",
-        round(jaccardEstimateFromSignatures(col("__sa"), col("__sb")), 6))
+        when(col("__sa").isNotNull && col("__sb").isNotNull &&
+            size(col("__sa")) =!= size(col("__sb")),
+          raise_error(concat(
+            lit("incrementalNearDuplicates: index signature length "),
+            size(col("__sb")).cast("string"),
+            lit(s" != bands*rowsPerBand (${bands * rowsPerBand}); rebuild the index " +
+              "with signatureIndex(..., numHashes = bands*rowsPerBand)"))).cast("double"))
+          .otherwise(round(jaccardEstimateFromSignatures(col("__sa"), col("__sb")), 6)))
       .filter(col("jaccard_est") >= threshold)
       .select(col("new_id"), col("corpus_id"), col("jaccard_est"))
   }

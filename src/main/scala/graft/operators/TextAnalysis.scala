@@ -220,8 +220,7 @@ object TextAnalysis {
       .select(col(idCol), toks.alias("__toks"), nChunks.alias("__nc"))
       .filter(col("__nc") > 0)
       .select(col(idCol), col("__toks"),
-        posexplode(sequence(lit(0L), col("__nc") - 1L)))
-      .withColumn("chunk_id", col("col"))
+        explode(sequence(lit(0L), col("__nc") - 1L)).alias("chunk_id"))
       .select(col(idCol), col("chunk_id"),
         slice(col("__toks"), (col("chunk_id") * stride + 1L).cast("int"), lit(chunkTokens))
           .alias("__w"))

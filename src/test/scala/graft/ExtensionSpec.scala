@@ -251,6 +251,25 @@ class ExtensionSpec extends SparkSpec {
       newBatch, Dedup.signatureIndex(boiler, "doc_id", "text"), "doc_id", "text",
       threshold = 0.0, maxBucketSize = 10)
     assert(capped.isEmpty)
+    // an index built with a different numHashes fails loudly at execution.
+    // Too short: ANSI element_at throws in banding. Too long: bands still
+    // collide on the shared prefix, and without the explicit guard the
+    // null estimate would silently drop every candidate — the raise_error
+    // in the verification step covers that case.
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val shortErr = intercept[Exception] {
+      Dedup.incrementalNearDuplicates(newBatch,
+        Dedup.signatureIndex(docs, "doc_id", "text", numHashes = 6),
+        "doc_id", "text", threshold = 0.0).collect()
+    }
+    assert(messages(shortErr).exists(_.contains("INVALID_ARRAY_INDEX")), shortErr.toString)
+    val longErr = intercept[Exception] {
+      Dedup.incrementalNearDuplicates(newBatch,
+        Dedup.signatureIndex(docs, "doc_id", "text", numHashes = 24),
+        "doc_id", "text", threshold = 0.0).collect()
+    }
+    assert(messages(longErr).exists(_.contains("signature length")), longErr.toString)
   }
 
   test("pqTopK: exact-duplicate vector is the rank-1 hit (ADC global minimum)") {
@@ -303,16 +322,17 @@ class ExtensionSpec extends SparkSpec {
     assert(bad.head().isNullAt(0))
   }
 
-  test("chunk: window/overlap arithmetic, short docs, empty docs") {
+  test("chunk: window/overlap arithmetic, truncated tail, short docs, empty docs") {
     val docs = Seq(
-      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens: full windows
       (2L, "one two three"),                          // shorter than a chunk
-      (3L, "")                                        // no tokens → no chunks
+      (3L, ""),                                       // no tokens → no chunks
+      (4L, (1 to 11).map(i => s"t$i").mkString(" "))  // 11 tokens: 2-token tail
     ).toDF("doc_id", "text")
     val out = TextAnalysis.chunk(docs, "doc_id", "text", chunkTokens = 4, overlap = 1)
       .orderBy("doc_id", "chunk_id")
       .as[(Long, Long, Long, String)].collect()
-    // doc 1: stride 3, ceil((10-4)/3)+1 = 3 chunks; last truncated to 4 from pos 7
+    // doc 1: stride 3, ceil((10-4)/3)+1 = 3 chunks, all full windows
     val d1 = out.filter(_._1 == 1L)
     assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L))
     assert(d1.head._4 == "t1 t2 t3 t4")
@@ -322,6 +342,11 @@ class ExtensionSpec extends SparkSpec {
     val d2 = out.filter(_._1 == 2L)
     assert(d2.length == 1 && d2.head._4 == "one two three" && d2.head._3 == 3L)
     assert(!out.exists(_._1 == 3L))
+    // doc 4: ceil((11-4)/3)+1 = 4 chunks; the final slice truncates to the
+    // 2-token remainder, not an empty or padded window
+    val d4 = out.filter(_._1 == 4L)
+    assert(d4.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d4(3)._4 == "t10 t11" && d4(3)._3 == 2L)
   }
 
   test("repetition profile: counts and ratios on a hand-checked doc") {

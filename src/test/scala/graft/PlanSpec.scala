@@ -97,9 +97,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q88: chunking is row-local — no shuffle before the output sort") {
-    val plan = planOf(Queries.q88Chunking(spark, sfDir))
+    // executedPlan, not sparkPlan: EnsureRequirements places the Exchange
+    // nodes during prepareForExecution, so sparkPlan would count zero and
+    // the guard could never fail
+    val plan = Queries.q88Chunking(spark, sfDir)
+      .queryExecution.executedPlan.toString()
     val exchanges = plan.split("\n").count(_.contains("Exchange"))
-    assert(exchanges <= 1, s"chunking should only exchange for the final sort:\n$plan")
+    assert(exchanges == 1, s"chunking should only exchange for the final sort:\n$plan")
   }
 
   test("with extensions: q10's row_number window rewrites to the topk aggregate") {
