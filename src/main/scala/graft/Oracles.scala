@@ -25,6 +25,43 @@ object Oracles {
        |    (sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in range(1, len($a) + 1)])) *
        |     sqrt(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($b) + 1)])))""".stripMargin
 
+  /** Shared PQ pipeline replay (q87/q89): codebook election → per-subspace
+    * argmin codes → per-query ADC tables → pair scores → ADC ranking.
+    */
+  private val pqPipelineCte: String =
+    """samp AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 104729 ASC,
+      |    vec_id ASC
+      |  LIMIT 16),
+      |cbl AS (SELECT list(embedding ORDER BY vec_id) AS cbs FROM samp),
+      |csub AS (
+      |  SELECT e.vec_id, t.s, u.j,
+      |    list_sum([
+      |      (CAST(e.embedding[8*t.s + d] AS DOUBLE) - CAST(cbl.cbs[u.j + 1][8*t.s + d] AS DOUBLE))
+      |      * (CAST(e.embedding[8*t.s + d] AS DOUBLE) - CAST(cbl.cbs[u.j + 1][8*t.s + d] AS DOUBLE))
+      |      for d in range(1, 9)]) AS dist
+      |  FROM embeddings e, range(0, 8) t(s), range(0, 16) u(j), cbl),
+      |codes AS (
+      |  SELECT vec_id, list(j ORDER BY s) AS codes FROM (
+      |    SELECT vec_id, s, j,
+      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS rn
+      |    FROM csub) WHERE rn = 1 GROUP BY vec_id),
+      |qtab AS (SELECT vec_id AS query_id, s, j, dist FROM csub WHERE vec_id < 10),
+      |pairscore AS (
+      |  SELECT qt.query_id, c.vec_id AS neighbor_id,
+      |    list_sum(list(qt.dist ORDER BY qt.s)) AS score
+      |  FROM codes c
+      |  CROSS JOIN range(0, 8) t(s)
+      |  JOIN qtab qt ON qt.s = t.s AND qt.j = c.codes[t.s + 1]
+      |  WHERE qt.query_id <> c.vec_id
+      |  GROUP BY qt.query_id, c.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score ASC, neighbor_id ASC) AS rank
+      |  FROM pairscore)""".stripMargin
+
   private def shinglesCte(corpus: String): String =
     s"""tok AS (SELECT doc_id, string_split($canon, ' ') AS tokens FROM ($corpus)),
        |sh AS (SELECT doc_id,
@@ -1154,41 +1191,31 @@ object Oracles {
     // subspace order. csub computes every (vector, subspace, centroid)
     // distance once and serves both corpus encoding and query tables.
     "q87_pq_topk" ->
-      """WITH samp AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 104729 ASC,
-        |    vec_id ASC
-        |  LIMIT 16),
-        |cbl AS (SELECT list(embedding ORDER BY vec_id) AS cbs FROM samp),
-        |csub AS (
-        |  SELECT e.vec_id, t.s, u.j,
-        |    list_sum([
-        |      (CAST(e.embedding[8*t.s + d] AS DOUBLE) - CAST(cbl.cbs[u.j + 1][8*t.s + d] AS DOUBLE))
-        |      * (CAST(e.embedding[8*t.s + d] AS DOUBLE) - CAST(cbl.cbs[u.j + 1][8*t.s + d] AS DOUBLE))
-        |      for d in range(1, 9)]) AS dist
-        |  FROM embeddings e, range(0, 8) t(s), range(0, 16) u(j), cbl),
-        |codes AS (
-        |  SELECT vec_id, list(j ORDER BY s) AS codes FROM (
-        |    SELECT vec_id, s, j,
-        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS rn
-        |    FROM csub) WHERE rn = 1 GROUP BY vec_id),
-        |qtab AS (SELECT vec_id AS query_id, s, j, dist FROM csub WHERE vec_id < 10),
-        |pairscore AS (
-        |  SELECT qt.query_id, c.vec_id AS neighbor_id,
-        |    list_sum(list(qt.dist ORDER BY qt.s)) AS score
-        |  FROM codes c
-        |  CROSS JOIN range(0, 8) t(s)
-        |  JOIN qtab qt ON qt.s = t.s AND qt.j = c.codes[t.s + 1]
-        |  WHERE qt.query_id <> c.vec_id
-        |  GROUP BY qt.query_id, c.vec_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, score,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score ASC, neighbor_id ASC) AS rank
-        |  FROM pairscore)
-        |SELECT query_id, neighbor_id, rank, round(score, 8) AS score
-        |FROM ranked WHERE rank <= 3
-        |ORDER BY query_id, rank""".stripMargin,
+      s"""WITH $pqPipelineCte
+         |SELECT query_id, neighbor_id, rank, round(score, 8) AS score
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Two-stage ANN: the q87 byte-code shortlist (top-20 by ADC) re-scored
+    // with exact cosine, top-3 by true similarity.
+    "q89_pq_rerank" ->
+      s"""WITH $pqPipelineCte,
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 20),
+         |ex AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    ${cosSql("q.embedding", "n.embedding")} AS cosine
+         |  FROM short s
+         |  JOIN embeddings q ON q.vec_id = s.query_id
+         |  JOIN embeddings n ON n.vec_id = s.neighbor_id),
+         |rr AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM ex WHERE cosine IS NOT NULL)
+         |SELECT query_id, neighbor_id, rank, round(cosine, 8) AS cosine
+         |FROM rr WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
 
     // stride = 64 - 8 = 56; chunk count = ceil((n-64)/56) + 1 via integer
     // floor-div; list slice truncates at the end exactly like Spark's slice

@@ -1345,6 +1345,20 @@ object Queries {
       "doc_id", "text", chunkTokens = 64, overlap = 8)
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** PQ + exact re-rank — the two-stage ANN deployment: byte-code ADC
+    * shortlist (20 candidates) re-scored with the exact cosine kernel,
+    * top-3 by true similarity. Raw vectors are touched for shortlist rows
+    * only.
+    */
+  def q89PqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("embedding"))
+    graft.operators.Similarity.pqRerankTopK(queries, emb, k = 3, candidates = 20)
+      .withColumn("cosine", round(col("cosine"), 8))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1437,6 +1451,7 @@ object Queries {
     "q85_semantic_dedup" -> (q85SemanticDedup _),
     "q86_incremental_dedup" -> (q86IncrementalDedup _),
     "q87_pq_topk" -> (q87PqTopK _),
-    "q88_chunking" -> (q88Chunking _)
+    "q88_chunking" -> (q88Chunking _),
+    "q89_pq_rerank" -> (q89PqRerank _)
   )
 }

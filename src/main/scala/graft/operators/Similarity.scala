@@ -291,6 +291,39 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
   }
 
+  /** PQ with exact re-ranking — the standard two-stage ANN deployment:
+    * [[pqTopK]] shortlists `candidates` neighbors per query from the byte
+    * codes (m lookups/pair over the whole corpus), then only the shortlist
+    * (candidates·|Q| rows, corpus-independent) is re-scored with the exact
+    * cosine kernel. At 100 TB the raw vectors are touched for shortlist
+    * rows only.
+    *
+    * @return (query_id, neighbor_id, rank, cosine) — rank by exact cosine
+    */
+  def pqRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      candidates: Int = 20, m: Int = 8, numCentroids: Int = 16,
+      queryIdCol: String = "query_id", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(candidates >= k, "candidate shortlist must be at least k")
+    val shortlist = pqTopK(queries, corpus, candidates, m, numCentroids,
+      queryIdCol, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(queryIdCol).alias("query_id"),
+      col(vecCol).alias("__qv")))
+    val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"))
+    val scored = shortlist
+      .join(q, Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .filter(col("cosine").isNotNull)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage/ANN
     * scale lever (4× smaller than float32, 8× smaller than float64; the
     * format IVF/PQ-style indexes score against). Per vector:

@@ -281,6 +281,17 @@ class ExtensionSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getLong(1) == 4L && out.head.getInt(2) == 1)
   }
 
+  test("pqRerankTopK with a full-corpus shortlist equals exact brute force") {
+    val q = vecs.filter($"vec_id" <= 2L)
+      .select($"vec_id".alias("query_id"), $"embedding")
+    val rerank = Similarity.pqRerankTopK(q, vecs, k = 2, candidates = 3,
+      m = 3, numCentroids = 4)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    val brute = Similarity.bruteForceTopK(q, vecs, k = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq)
+    assert(rerank.toSeq == brute.toSeq)
+  }
+
   test("PQ encode: identical vectors → identical codes; mismatched dim → null") {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val cb = Similarity.pqCodebook(vecs, m = 3, k = 4)

@@ -168,4 +168,81 @@ class PropertySpec extends SparkSpec {
       assert(sorted.last._3.isEmpty, "current row must be open-ended")
     }
   }
+
+  test("chunk invariants: full coverage, exact overlap, bounded windows, reassembly") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val cases = for {
+      n <- Gen.choose(0, 120)
+      chunkTokens <- Gen.choose(2, 20)
+      overlap <- Gen.choose(0, chunkTokens - 1)
+    } yield (n, chunkTokens, overlap)
+    samples(cases, 60).foreach { case (n, chunkTokens, overlap) =>
+      val text = (1 to n).map(i => s"w$i").mkString(" ")
+      val out = TextAnalysis.chunk(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", chunkTokens, overlap)
+        .orderBy("chunk_id")
+        .as[(Long, Long, Long, String)].collect()
+      val stride = chunkTokens - overlap
+      if (n == 0) assert(out.isEmpty, s"empty doc must produce no chunks ($chunkTokens/$overlap)")
+      else {
+        val ctx = s"n=$n chunk=$chunkTokens overlap=$overlap"
+        assert(out.map(_._2).toSeq == out.indices.map(_.toLong), s"dense chunk ids: $ctx")
+        // every window is non-empty, at most chunkTokens, and only the last may be short
+        assert(out.forall(c => c._3 >= 1 && c._3 <= chunkTokens), ctx)
+        assert(out.dropRight(1).forall(_._3 == chunkTokens), s"only last chunk short: $ctx")
+        // window i starts at token i*stride — consecutive chunks overlap exactly
+        out.foreach { c =>
+          val start = (c._2 * stride).toInt
+          val want = (start + 1 to math.min(start + chunkTokens, n)).map(i => s"w$i")
+          assert(c._4 == want.mkString(" "), s"window ${c._2}: $ctx")
+        }
+        // reassembly: stripping each window's first `overlap` tokens (except
+        // chunk 0) reconstructs the document exactly — nothing lost or doubled
+        val rebuilt = out.zipWithIndex.flatMap { case (c, i) =>
+          val toks = c._4.split(" ").toSeq
+          if (i == 0) toks else toks.drop(overlap)
+        }
+        assert(rebuilt.toSeq == (1 to n).map(i => s"w$i"), s"reassembly: $ctx")
+      }
+    }
+  }
+
+  test("PQ invariants: codes in range, ADC self-score is the per-subspace minimum sum") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import spark.implicits._
+    val vecGen = for {
+      dim <- Gen.oneOf(4, 8, 16)
+      v <- Gen.listOfN(dim, Gen.choose(-1.0f, 1.0f))
+    } yield v.toArray
+    samples(Gen.listOfN(12, vecGen), 8).zipWithIndex.foreach { case (vecs0, seed) =>
+      // one dim per corpus (PQ requires uniform dims); m divides dim
+      val dim = vecs0.head.length
+      val vecs = vecs0.filter(_.length == dim)
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      val m = if (dim % 4 == 0) 4 else 2
+      val cb = Similarity.pqCodebook(df, m, k = math.min(vecs.length, 7))
+      val enc = ColumnBridge.column(
+        graft.functions.expressions.PqEncode(ColumnBridge.expression($"embedding"), cb))
+      val tab = ColumnBridge.column(
+        graft.functions.expressions.PqDistTable(ColumnBridge.expression($"embedding"), cb))
+      val score = ColumnBridge.column(graft.functions.expressions.PqAdcScore(
+        ColumnBridge.expression($"__tab"), ColumnBridge.expression($"__codes")))
+      val rows = df.select($"vec_id", enc.alias("__codes"), tab.alias("__tab"))
+        .withColumn("self_score", score)
+        .as[(Long, Seq[Byte], Seq[Double], Double)].collect()
+      val k = cb(0).length
+      rows.foreach { case (id, codes, table, self) =>
+        assert(codes.length == m && codes.forall(j => j >= 0 && j < k), s"seed=$seed id=$id")
+        assert(table.length == m * k && table.forall(_ >= 0.0), s"seed=$seed id=$id")
+        // a vector's own codes pick each subspace's minimal table entry, so
+        // its self ADC score is the global minimum over any code assignment
+        val minSum = (0 until m).map(s => table.slice(s * k, (s + 1) * k).min).sum
+        assert(math.abs(self - minSum) < 1e-12, s"seed=$seed id=$id: $self != $minSum")
+      }
+    }
+  }
 }
