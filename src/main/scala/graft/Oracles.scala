@@ -1241,6 +1241,31 @@ object Oracles {
          |FROM w
          |ORDER BY doc_id, chunk_id""".stripMargin,
 
+    // Recall@3 of the PQ shortlist vs exact cosine top-3: both pipelines
+    // replayed, intersection counted per query. Queries with an empty
+    // intersection are absent on both sides (inner-join semantics).
+    "q90_ann_recall" ->
+      s"""WITH $pqPipelineCte,
+         |approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3),
+         |qv AS (
+         |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |ex0 AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    ${cosSql("q.qe", "e.embedding")} AS cosine
+         |  FROM qv q CROSS JOIN embeddings e
+         |  WHERE q.query_id <> e.vec_id),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id ASC) AS rn
+         |    FROM ex0 WHERE cosine IS NOT NULL)
+         |  WHERE rn <= 3)
+         |SELECT query_id, CAST(count(*) AS DOUBLE) / 3 AS recall
+         |FROM exact JOIN approx USING (query_id, neighbor_id)
+         |GROUP BY query_id
+         |ORDER BY query_id""".stripMargin,
+
     "q66_salted_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,

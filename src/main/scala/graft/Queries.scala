@@ -1359,6 +1359,21 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ANN evaluation — recall@3 of the PQ path against exact brute force,
+    * per query. Both pipelines and the recall arithmetic are deterministic,
+    * so the approximation QUALITY itself is correctness-gated (the check
+    * the IVF/LSH/PQ family needs before anyone trusts it at scale).
+    */
+  def q90AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("embedding"))
+    val approx = graft.operators.Similarity.pqTopK(queries, emb, k = 3)
+    val exact = graft.operators.Similarity.bruteForceTopK(queries, emb, k = 3)
+    graft.operators.Similarity.recallAtK(approx, exact, k = 3)
+      .orderBy(col("query_id"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1452,6 +1467,7 @@ object Queries {
     "q86_incremental_dedup" -> (q86IncrementalDedup _),
     "q87_pq_topk" -> (q87PqTopK _),
     "q88_chunking" -> (q88Chunking _),
-    "q89_pq_rerank" -> (q89PqRerank _)
+    "q89_pq_rerank" -> (q89PqRerank _),
+    "q90_ann_recall" -> (q90AnnRecall _)
   )
 }

@@ -324,6 +324,22 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Recall@k of an approximate ANN result against the exact result — the
+    * standard evaluation for every approximate path here (LSH/IVF/PQ): per
+    * query, |approx ∩ exact| / k. Both inputs are `(query_id, neighbor_id,
+    * ...)` top-k frames (e.g. [[lshTopK]] vs [[bruteForceTopK]]). One
+    * semi-join + one keyed count — evaluation cost is shortlist-sized,
+    * corpus-independent.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg((count(lit(1)).cast("double") / k).alias("recall"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage/ANN
     * scale lever (4× smaller than float32, 8× smaller than float64; the
     * format IVF/PQ-style indexes score against). Per vector:
