@@ -1242,8 +1242,8 @@ object Oracles {
          |ORDER BY doc_id, chunk_id""".stripMargin,
 
     // Recall@3 of the PQ shortlist vs exact cosine top-3: both pipelines
-    // replayed, intersection counted per query. Queries with an empty
-    // intersection are absent on both sides (inner-join semantics).
+    // replayed, intersection counted per query. TOTAL metric: every query
+    // in the exact frame gets a row, recall 0.0 included (left join).
     "q90_ann_recall" ->
       s"""WITH $pqPipelineCte,
          |approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3),
@@ -1261,10 +1261,12 @@ object Oracles {
          |        ORDER BY cosine DESC, neighbor_id ASC) AS rn
          |    FROM ex0 WHERE cosine IS NOT NULL)
          |  WHERE rn <= 3)
-         |SELECT query_id, CAST(count(*) AS DOUBLE) / 3 AS recall
-         |FROM exact JOIN approx USING (query_id, neighbor_id)
-         |GROUP BY query_id
-         |ORDER BY query_id""".stripMargin,
+         |SELECT e.query_id, CAST(count(a.neighbor_id) AS DOUBLE) / 3 AS recall
+         |FROM exact e
+         |LEFT JOIN approx a
+         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |GROUP BY e.query_id
+         |ORDER BY e.query_id""".stripMargin,
 
     "q66_salted_join" ->
       """SELECT o_orderpriority,

@@ -68,9 +68,16 @@ object Similarity {
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    // nulls are dropped AFTER ranking: a pre-window isNotNull filter pushes
-    // into the join condition and evaluates the cosine kernel twice per
-    // pair; desc ordering ranks nulls last, so non-null ranks are identical
+    rankByCosine(scored, k)
+  }
+
+  /** Shared exact-ranking tail for every cosine top-k path: per-query desc
+    * window, top-k, THEN the null filter. The order is load-bearing — a
+    * pre-window isNotNull filter pushes into the join condition and
+    * evaluates the cosine kernel twice per pair; desc ordering ranks nulls
+    * last, so non-null ranks are identical either way.
+    */
+  private def rankByCosine(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -127,14 +134,7 @@ object Similarity {
     val scored = q.join(c, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    // null filter after ranking — see bruteForceTopK
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .filter(col("cosine").isNotNull)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+    rankByCosine(scored, k)
   }
 
   /** IVF (inverted-file) ANN — the other standard scale path next to LSH:
@@ -208,12 +208,7 @@ object Similarity {
       Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    val wRank = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cands
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .filter(col("cosine").isNotNull)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+    rankByCosine(cands, k)
   }
 
   /** PQ codebook: `k` deterministically-sampled corpus vectors (the same
@@ -308,36 +303,40 @@ object Similarity {
     val shortlist = pqTopK(queries, corpus, candidates, m, numCentroids,
       queryIdCol, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"))
-    val q = broadcast(queries.select(col(queryIdCol).alias("query_id"),
-      col(vecCol).alias("__qv")))
+    val q = queries.select(col(queryIdCol).alias("query_id"), col(vecCol).alias("__qv"))
     val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"))
-    val scored = shortlist
-      .join(q, Seq("query_id"))
+    // the shortlist (candidates x |Q| rows, corpus-independent) carries the
+    // query vectors and BROADCASTS against the corpus — without the hint
+    // this join would shuffle every raw corpus vector, which is exactly
+    // what the two-stage design exists to avoid
+    val scored = broadcast(shortlist.join(q, Seq("query_id")))
       .join(c, Seq("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .filter(col("cosine").isNotNull)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+    rankByCosine(scored, k)
   }
 
   /** Recall@k of an approximate ANN result against the exact result — the
     * standard evaluation for every approximate path here (LSH/IVF/PQ): per
     * query, |approx ∩ exact| / k. Both inputs are `(query_id, neighbor_id,
-    * ...)` top-k frames (e.g. [[lshTopK]] vs [[bruteForceTopK]]). One
-    * semi-join + one keyed count — evaluation cost is shortlist-sized,
+    * ..., rank?)` frames (e.g. [[lshTopK]] vs [[bruteForceTopK]]); when a
+    * `rank` column is present, rows beyond rank k are ignored, so passing a
+    * wider shortlist cannot inflate the metric past 1. The metric is TOTAL:
+    * every query present in `exact` gets a row, including recall 0.0. One
+    * left join + one keyed count — evaluation cost is shortlist-sized,
     * corpus-independent.
     */
-  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int,
+      queryIdCol: String = "query_id", idCol: String = "neighbor_id"): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    exact.select(col("query_id"), col("neighbor_id"))
-      .join(approx.select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_semi")
+    def topK(df: DataFrame) = {
+      val capped = if (df.columns.contains("rank")) df.filter(col("rank") <= k) else df
+      capped.select(col(queryIdCol).alias("query_id"), col(idCol).alias("neighbor_id"))
+    }
+    topK(exact)
+      .join(topK(approx).withColumn("__hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
-      .agg((count(lit(1)).cast("double") / k).alias("recall"))
+      .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") / k).alias("recall"))
   }
 
   /** Symmetric int8 quantization of an embedding column — the storage/ANN

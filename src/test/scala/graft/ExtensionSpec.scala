@@ -314,25 +314,32 @@ class ExtensionSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
     val dir = java.nio.file.Files.createTempDirectory("inc_dedup").toString
-    Dedup.signatureIndex(docs, "doc_id", "text").write.parquet(s"$dir/index")
-    val index = spark.read.parquet(s"$dir/index")
-    implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[(Long, String)]
-    mem.addData((101L, "the quick brown fox jumps over the lazy dog"),
-      (102L, "entirely unrelated text about something else entirely different"))
-    val found = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-    val q = mem.toDF().toDF("doc_id", "text").writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        found ++= Dedup.incrementalNearDuplicates(batch, index, "doc_id", "text",
-          threshold = 0.5)
-          .select("new_id", "corpus_id").as[(Long, Long)].collect()
-        ()
+    try {
+      Dedup.signatureIndex(docs, "doc_id", "text").write.parquet(s"$dir/index")
+      val index = spark.read.parquet(s"$dir/index")
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      mem.addData((101L, "the quick brown fox jumps over the lazy dog"),
+        (102L, "entirely unrelated text about something else entirely different"))
+      val found = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          found ++= Dedup.incrementalNearDuplicates(batch, index, "doc_id", "text",
+            threshold = 0.5)
+            .select("new_id", "corpus_id").as[(Long, Long)].collect()
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // the exact duplicates (1, 4) and the one-token near-dup (2) match;
+      // the unrelated batch doc 102 matches nothing
+      assert(found.toSet == Set((101L, 1L), (101L, 2L), (101L, 4L)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    // the exact duplicates (1, 4) and the one-token near-dup (2) match;
-    // the unrelated batch doc 102 matches nothing
-    assert(found.toSet == Set((101L, 1L), (101L, 2L), (101L, 4L)))
+      rm(new java.io.File(dir))
+    }
   }
 
   test("signature jaccard estimate tracks exact jaccard on near/exact/disjoint pairs") {

@@ -215,7 +215,7 @@ class PropertySpec extends SparkSpec {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import spark.implicits._
     val vecGen = for {
-      dim <- Gen.oneOf(4, 8, 16)
+      dim <- Gen.oneOf(4, 6, 8, 16) // 6 forces the m=2 layout below
       v <- Gen.listOfN(dim, Gen.choose(-1.0f, 1.0f))
     } yield v.toArray
     samples(Gen.listOfN(12, vecGen), 8).zipWithIndex.foreach { case (vecs0, seed) =>
