@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines (SURVEY §7.2 slice 6 /
@@ -444,11 +445,14 @@ object Dedup {
       "corpus_id", bands, rowsPerBand)
       .select(col("band_id"), col("band_hash"), col("corpus_id"))
     // skew guard on the corpus side (the big side): drop index bands that
-    // bucket more than maxBucketSize documents
-    val hot = idxBands0.groupBy(col("band_id"), col("band_hash"))
-      .agg(count(lit(1)).alias("__n")).filter(col("__n") > maxBucketSize)
-      .select(col("band_id"), col("band_hash"))
-    val idxBands = idxBands0.join(hot, Seq("band_id", "band_hash"), "left_anti")
+    // bucket more than maxBucketSize documents. Window count, not
+    // groupBy+anti-join — shares the candidate join's (band_id, band_hash)
+    // partitioning and avoids recomputing the index banding lineage twice
+    val idxBands = idxBands0
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("band_id"), col("band_hash"))))
+      .filter(col("__n") <= maxBucketSize)
+      .drop("__n")
     val cands = newBands.join(idxBands, Seq("band_id", "band_hash"))
       .filter(col("new_id") =!= col("corpus_id"))
       .select(col("new_id"), col("corpus_id")).distinct()
@@ -582,11 +586,13 @@ object Dedup {
       maxDistance: Int = 3, blockBits: Int = 12, maxBlockSize: Int = 1000): DataFrame = {
     val withFp = docs.select(col(idCol), simhash(col(textCol)).alias("__fp"))
     val blocked0 = withFp.withColumn("__block", shiftright(col("__fp"), 60 - blockBits))
-    val oversized = blocked0.groupBy(col("__block"))
-      .agg(count(lit(1)).alias("__n"))
-      .filter(col("__n") > maxBlockSize)
-      .select(col("__block"))
-    val blocked = blocked0.join(oversized, Seq("__block"), "left_anti")
+    // cap via a window count, not groupBy+anti-join: the count shares the
+    // self-join's __block partitioning (no extra shuffle) and avoids a
+    // third evaluation of the simhash kernel lineage
+    val blocked = blocked0
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__block"))))
+      .filter(col("__n") <= maxBlockSize)
+      .drop("__n")
     val a = blocked.select(col("__block"), col(idCol).alias("id_a"), col("__fp").alias("fp_a"))
     val b = blocked.select(col("__block"), col(idCol).alias("id_b"), col("__fp").alias("fp_b"))
     a.join(b, Seq("__block"))
