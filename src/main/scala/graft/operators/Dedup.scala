@@ -559,9 +559,12 @@ object Dedup {
     }
     val shC = maxDocFreq match {
       case Some(cap) =>
-        val hot = shC1.groupBy(col("__sh")).agg(count(lit(1)).alias("__df"))
-          .filter(col("__df") > cap).select(col("__sh"))
-        shC1.join(hot, Seq("__sh"), "left_anti")
+        // window count, not groupBy+anti-join: shares the probe join's __sh
+        // partitioning and evaluates the corpus shingle-explode lineage once
+        shC1.withColumn("__df",
+            count(lit(1)).over(Window.partitionBy(col("__sh"))))
+          .filter(col("__df") <= cap)
+          .drop("__df")
       case None => shC1
     }
     shC.join(shPe, Seq("__sh"))
