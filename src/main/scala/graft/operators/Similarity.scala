@@ -106,16 +106,22 @@ object Similarity {
     * @param maxDims plane length; vectors longer than this use only the
     *                first maxDims components for bucketing (still a valid
     *                LSH — bucketing needs consistency, not completeness)
+    * @param band    independent plane-set selector: band `b` uses planes
+    *                `b*numPlanes ... (b+1)*numPlanes - 1`, so different
+    *                bands bucket the same vector independently (the LSH
+    *                banding trick: candidates = union over bands)
     */
-  def hyperplaneBucket(vec: Column, numPlanes: Int = 8, maxDims: Int = 1024): Column = {
-    val signs = (0 until numPlanes).map { p =>
+  def hyperplaneBucket(vec: Column, numPlanes: Int = 8, maxDims: Int = 1024,
+      band: Int = 0): Column = {
+    val signs = (0 until numPlanes).map { p0 =>
+      val p = band * numPlanes + p0
       // one ArrayType literal per plane (typedlit), not 1024 scalar literals
       val plane = typedLit((0 until maxDims).map(d => planeComponent(p, d)))
       val dotRp = aggregate(
         zip_with(vec, slice(plane, lit(1), greatest(size(vec), lit(1))),
           (x, r) => x.cast("double") * r),
         lit(0.0), (acc, v) => acc + coalesce(v, lit(0.0)))
-      when(dotRp >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      when(dotRp >= 0, shiftleft(lit(1L), p0)).otherwise(lit(0L))
     }
     signs.reduce(_ + _)
   }
@@ -330,7 +336,11 @@ object Similarity {
     require(k >= 1, "k must be >= 1")
     def topK(df: DataFrame) = {
       val capped = if (df.columns.contains("rank")) df.filter(col("rank") <= k) else df
+      // distinct makes the ≤1.0 guarantee unconditional: a caller passing an
+      // un-deduplicated rank-less candidate frame would otherwise multiply
+      // exact rows through the left join and inflate the metric
       capped.select(col(queryIdCol).alias("query_id"), col(idCol).alias("neighbor_id"))
+        .distinct()
     }
     topK(exact)
       .join(topK(approx).withColumn("__hit", lit(1)),
@@ -375,29 +385,75 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      numPlanes: Int = 6): DataFrame = {
+      numPlanes: Int = 6, keepBy: Option[Column] = None): DataFrame = {
     val pairs = embeddingNearDuplicates(corpus, threshold, idCol, vecCol, numPlanes)
     val labels = Dedup.clusters(pairs).withColumnRenamed("id", idCol)
-    corpus.select(col(idCol))
+    val labeled = corpus.select(col(idCol) +: keepBy.map(_.alias("__keep_by")).toSeq: _*)
       .join(labels, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("cluster_id"), col(idCol)).alias("cluster_id"))
-      .withColumn("kept", col(idCol) === col("cluster_id"))
+        coalesce(col("cluster_id"), col(idCol)).alias("cluster_id"),
+        keepBy.map(_ => col("__keep_by")).getOrElse(lit(null)).alias("__keep_by"))
+    keepBy match {
+      // default: the min-id member (== the cluster label) represents — no
+      // extra shuffle, `kept` is a row-local comparison
+      case None =>
+        labeled.select(col(idCol), col("cluster_id"),
+          (col(idCol) === col("cluster_id")).alias("kept"))
+      // quality election: keep the HIGHEST-keepBy member per cluster
+      // (deterministic — ties break to the smaller id; nulls sort last so a
+      // null quality never beats a scored one). Real pipelines keep the
+      // best-quality duplicate, not the smallest id.
+      case Some(_) =>
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("__keep_by").desc_nulls_last, col(idCol).asc)
+        labeled
+          .withColumn("kept", row_number().over(w) === 1)
+          .select(col(idCol), col("cluster_id"), col("kept"))
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs (dedup by embedding): LSH-bucketed
-    * self-join, exact cosine ≥ threshold. The all-pairs fallback within a
-    * bucket is bounded by bucket size — same skew guard story as Dedup.
+    * self-join, exact cosine ≥ threshold.
+    *
+    * Scale guards (the bucket count 2^numPlanes is a CONSTANT, so at 100×
+    * data an unguarded bucket join is O((N/2^planes)²) — quadratic in the
+    * corpus):
+    *   - `maxBucketSize` drops degenerate buckets via a window count over
+    *     the join's own partition key (no extra shuffle, no re-evaluation
+    *     of the bucketing lineage) — the same skew cap as the MinHash
+    *     (`Dedup.nearDuplicates`) and SimHash (`Dedup.simhashNearDuplicates`)
+    *     paths.
+    *   - `numBands` independent plane sets (band b = planes b·numPlanes…)
+    *     union their candidates, so a pair lost to a capped bucket in one
+    *     band — or to an unlucky plane split — is still found by another.
+    *     Candidate pairs are deduplicated BEFORE the exact kernel runs, so
+    *     each surviving pair is scored exactly once.
     */
   def embeddingNearDuplicates(corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      numPlanes: Int = 6): DataFrame = {
-    val withBucket = corpus.select(col(idCol), col(vecCol),
-      hyperplaneBucket(col(vecCol), numPlanes).alias("__bucket"))
-    val a = withBucket.select(col("__bucket"), col(idCol).alias("id_a"), col(vecCol).alias("__va"))
-    val b = withBucket.select(col("__bucket"), col(idCol).alias("id_b"), col(vecCol).alias("__vb"))
-    a.join(b, Seq("__bucket"))
-      .filter(col("id_a") < col("id_b"))
+      numPlanes: Int = 6, numBands: Int = 2, maxBucketSize: Int = 10000): DataFrame = {
+    require(numPlanes >= 1, "numPlanes must be >= 1")
+    require(numBands >= 1, "numBands must be >= 1")
+    require(maxBucketSize >= 1, "maxBucketSize must be >= 1")
+    val base = corpus.select(col(idCol), col(vecCol))
+    val candidates = (0 until numBands).map { band =>
+      val withBucket = base.select(col(idCol), col(vecCol),
+        hyperplaneBucket(col(vecCol), numPlanes, band = band).alias("__bucket"))
+      // cap via a window count sharing the self-join's __bucket partitioning
+      val capped = withBucket
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__bucket"))))
+        .filter(col("__n") <= maxBucketSize)
+        .drop("__n")
+      val a = capped.select(col("__bucket"), col(idCol).alias("id_a"), col(vecCol).alias("__va"))
+      val b = capped.select(col("__bucket"), col(idCol).alias("id_b"), col(vecCol).alias("__vb"))
+      a.join(b, Seq("__bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
+    }.reduce(_ unionByName _)
+      // same (id_a, id_b) carries identical vectors in every band, so a
+      // plain distinct dedups candidates without a join-back to the corpus
+      .distinct()
+    candidates
       .withColumn("cosine", cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
