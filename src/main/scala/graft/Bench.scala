@@ -28,26 +28,32 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try run(fn, warmDir) catch { case _: Throwable => () }
     }
-    // min of 2 timed runs per query: the machine is shared, and a single
-    // sample conflates data work with scheduler noise (observed 2× total
-    // swings on identical code); the minimum is the standard steady-state
-    // estimator (cold-start cost is already amortized by the warmup pass)
+    // 3 timed runs per query: the machine is shared, and a single sample
+    // conflates data work with scheduler noise (observed 2× total swings on
+    // identical code). The record carries BOTH estimators so cross-round
+    // deltas separate signal from noise: `queries` = min of 3 (steady-state;
+    // codegen/JIT already amortized by the warmup pass) and `queries_cold` =
+    // the first timed sample (what a one-shot run would have seen).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to 2).map { _ =>
+      val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try run(fn, sfDir) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> samples.min
+      (name, samples.min, samples.head)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonMap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jsonMap(results.map(r => r._1 -> r._2))
+    val qsCold = jsonMap(results.map(r => r._1 -> r._3))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val totalCold = if (results.nonEmpty) results.map(_._3).sum else 0.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":$qs,"queries_cold":$qsCold,"sf":"$sfDir"}"""
     println(line)
     // also persist to a file: captured-stdout tails have been observed
-    // truncated, which silently loses the early queries from the record
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
+    // truncated, which silently loses the early queries from the record.
+    // cwd-relative default so runs outside this container still land somewhere
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()

@@ -166,6 +166,8 @@ object KeysetSource {
       }
     (offset: Long, limit: Int) =>
       if (offset >= all.length) Nil
+      // offset < all.length (an Int) is established by the guard above, so
+      // the Long→Int narrowing cannot wrap here
       else all.slice(offset.toInt, math.min(offset + limit, all.length.toLong).toInt)
   }
 
