@@ -224,6 +224,62 @@ class ExtensionSpec extends SparkSpec {
     assert(cappedBloom == cappedPlain)
   }
 
+  test("embeddingNearDuplicates maxBucketSize drops degenerate buckets (skew guard)") {
+    // worst case: every embedding identical → each band's bucketing puts the
+    // whole corpus in ONE bucket and the self-join would be O(n²)
+    val degenerate = (1L to 50L).map(i => (i, Array(1.0f, 0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.embeddingNearDuplicates(degenerate, threshold = 0.999,
+      numPlanes = 2, numBands = 2, maxBucketSize = 10)
+    assert(capped.isEmpty) // oversized buckets dropped in every band, not exploded
+    // under the cap the guard changes nothing: full pair set, each pair once
+    val under = Similarity.embeddingNearDuplicates(degenerate, threshold = 0.999,
+      numPlanes = 2, numBands = 2, maxBucketSize = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(under.length == 50 * 49 / 2)
+    assert(under.distinct.length == under.length) // banding dedups candidates
+  }
+
+  test("embeddingNearDuplicates banding: extra bands only add candidates") {
+    val oneBand = Similarity.embeddingNearDuplicates(vecs, threshold = 0.9,
+      numPlanes = 3, numBands = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val threeBands = Similarity.embeddingNearDuplicates(vecs, threshold = 0.9,
+      numPlanes = 3, numBands = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // band 0 is the same plane set in both runs, so the union over bands is
+    // a superset — banding recovers pairs a single unlucky split would lose
+    assert(oneBand.subsetOf(threeBands))
+    assert(threeBands.contains((1L, 4L)))
+  }
+
+  test("semanticDedup keepBy elects the highest-quality member, ties to min id") {
+    // cluster {1, 4, 5}: identical embeddings (always co-bucketed in every
+    // band). Quality 4 > 1; member 5 has NULL quality and must never beat a
+    // scored member. 2 and 3 are singletons at this threshold.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), Some(0.5)),
+      (2L, Array(0.9f, 0.1f, 0.0f), Option.empty[Double]),
+      (3L, Array(0.0f, 1.0f, 0.0f), Option.empty[Double]),
+      (4L, Array(1.0f, 0.0f, 0.0f), Some(0.9)),
+      (5L, Array(1.0f, 0.0f, 0.0f), Option.empty[Double])
+    ).toDF("vec_id", "embedding", "quality")
+    val out = Similarity.semanticDedup(corpus, threshold = 0.999, numPlanes = 2,
+      keepBy = Some($"quality"))
+      .orderBy("vec_id").as[(Long, Long, Boolean)].collect()
+    val byId = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(4L) == ((1L, true)))  // highest quality in {1,4,5} wins
+    assert(byId(1L) == ((1L, false)) && byId(5L) == ((1L, false)))
+    assert(byId(2L)._2 && byId(3L)._2) // singletons kept, null quality or not
+    // tie case: equal quality everywhere → smaller id deterministically wins
+    val tied = Similarity.semanticDedup(
+      corpus.withColumn("quality", lit(1.0)), threshold = 0.999, numPlanes = 2,
+      keepBy = Some($"quality"))
+      .as[(Long, Long, Boolean)].collect()
+    val tiedKept = tied.filter(_._3).map(_._1).toSet
+    assert(tiedKept == Set(1L, 2L, 3L))
+  }
+
   test("semanticDedup keeps the min-id representative per embedding cluster") {
     val out = Similarity.semanticDedup(vecs, threshold = 0.999, numPlanes = 2)
       .orderBy("vec_id").as[(Long, Long, Boolean)].collect()
