@@ -1320,17 +1320,18 @@ object Queries {
       .orderBy(col("new_id"), col("corpus_id"))
   }
 
-  /** PQ ANN — product-quantization top-3 by ADC (8 subspaces × 16 sampled
-    * centroids over the 64-dim embeddings): codes are 8 bytes per corpus
-    * vector, scoring is 8 table lookups per pair. Fully deterministic
-    * (md5-ordered codebook election, fixed-order IEEE accumulation), so the
-    * DuckDB oracle replays encode + ADC bit-exactly.
+  /** PQ ANN — product-quantization top-3 by ADC (8 subspaces × 16 centroids
+    * over the 64-dim embeddings): codes are 8 bytes per corpus vector,
+    * scoring is 8 table lookups per pair. The md5-sampled codebook is
+    * refined by 4 deterministic Lloyd passes (DECIMAL-sum means — order-
+    * independent, engine-exact), so the DuckDB oracle replays election,
+    * refinement, encode, and ADC bit-exactly.
     */
   def q87PqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").alias("query_id"), col("embedding"))
-    graft.operators.Similarity.pqTopK(queries, emb, k = 3)
+    graft.operators.Similarity.pqTopK(queries, emb, k = 3, refineIters = 4)
       .withColumn("score", round(col("score"), 8))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -1354,7 +1355,8 @@ object Queries {
     val emb = t(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").alias("query_id"), col("embedding"))
-    graft.operators.Similarity.pqRerankTopK(queries, emb, k = 3, candidates = 20)
+    graft.operators.Similarity.pqRerankTopK(queries, emb, k = 3, candidates = 20,
+      refineIters = 4)
       .withColumn("cosine", round(col("cosine"), 8))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -1368,7 +1370,40 @@ object Queries {
     val emb = t(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").alias("query_id"), col("embedding"))
-    val approx = graft.operators.Similarity.pqTopK(queries, emb, k = 3)
+    val approx = graft.operators.Similarity.pqTopK(queries, emb, k = 3, refineIters = 4)
+    val exact = graft.operators.Similarity.bruteForceTopK(queries, emb, k = 3)
+    graft.operators.Similarity.recallAtK(approx, exact, k = 3)
+      .orderBy(col("query_id"))
+  }
+
+  /** ANN evaluation (LSH) — recall@3 of the hyperplane-LSH path against
+    * exact brute force, per query. Promotes the LSH quality check from a
+    * unit spec to the oracle gate: the bucketing (md5-derived plane
+    * constants), candidate join, re-scoring, and recall arithmetic are all
+    * deterministic, so DuckDB replays the whole evaluation.
+    */
+  def q91LshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("embedding"))
+    val approx = graft.operators.Similarity.lshTopK(queries, emb, k = 3, numPlanes = 6)
+    val exact = graft.operators.Similarity.bruteForceTopK(queries, emb, k = 3)
+    graft.operators.Similarity.recallAtK(approx, exact, k = 3)
+      .orderBy(col("query_id"))
+  }
+
+  /** ANN evaluation (IVF, refined) — recall@3 of the inverted-file path
+    * with 4 Lloyd refinement passes against exact brute force. Gates both
+    * the IVF recall promotion and the centroid refinement itself: the
+    * DuckDB oracle replays sample election, every refinement pass
+    * (DECIMAL-sum means), probing, and the recall join.
+    */
+  def q92IvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("embedding"))
+    val approx = graft.operators.Similarity.ivfTopK(queries, emb, k = 3,
+      cells = 16, nprobe = 4, refineIters = 4)
     val exact = graft.operators.Similarity.bruteForceTopK(queries, emb, k = 3)
     graft.operators.Similarity.recallAtK(approx, exact, k = 3)
       .orderBy(col("query_id"))
@@ -1468,6 +1503,8 @@ object Queries {
     "q87_pq_topk" -> (q87PqTopK _),
     "q88_chunking" -> (q88Chunking _),
     "q89_pq_rerank" -> (q89PqRerank _),
-    "q90_ann_recall" -> (q90AnnRecall _)
+    "q90_ann_recall" -> (q90AnnRecall _),
+    "q91_lsh_recall" -> (q91LshRecall _),
+    "q92_ivf_recall" -> (q92IvfRecall _)
   )
 }

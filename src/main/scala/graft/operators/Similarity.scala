@@ -92,7 +92,7 @@ object Similarity {
     * planes are constants, so evaluating the digest per row (500k+ md5
     * expression calls at corpus scale) would be pure waste.
     */
-  private[operators] def planeComponent(plane: Int, dim: Int): Double = {
+  private[graft] def planeComponent(plane: Int, dim: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"plane$plane|$dim".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.substring(0, 8)
@@ -147,14 +147,17 @@ object Similarity {
     * partition the corpus into `k` cells around deterministic centroids,
     * probe only the `nprobe` nearest cells per query, re-score exactly.
     *
-    * Centroids are a deterministic hash-ordered sample of the corpus (k-means
-    * would refine them; the cell/probe plumbing — the part that matters for
-    * the distributed shape — is identical). At scale: the centroid table is
+    * Initial centroids are a deterministic hash-ordered sample of the corpus;
+    * `refineIters` fixed Lloyd passes (see [[refineCentroids]]) then move
+    * them to per-cell means — deterministic end to end, so the DuckDB oracle
+    * replays the refined pipeline verbatim. At scale: the centroid table is
     * tiny and broadcast twice (assignment + probe); the only big shuffle is
     * the candidate equi-join on cell id.
     */
   def ivfAssignCells(corpus: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      refineIters: Int = 0): (DataFrame, DataFrame) = {
+    require(refineIters >= 0, "refineIters must be >= 0")
     // k centroid rows are collected to the driver: k is a small constant
     // (≤ a few thousand cells even at 100 TB), and numbering them locally
     // avoids a single-partition global window (WindowExec would move data
@@ -176,20 +179,85 @@ object Similarity {
     val centroidSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("cell_id", org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("__centroid", vecType, nullable = true)))
-    val centroids = spark.createDataFrame(
+    val initial = spark.createDataFrame(
       java.util.Arrays.asList(sample.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row(i + 1, r.get(1))
       }: _*), centroidSchema)
+    val centroids = refineCentroids(corpus, initial, refineIters, idCol, vecCol)
+    (assignToCells(corpus, centroids, idCol, vecCol), centroids)
+  }
+
+  /** Nearest-centroid assignment by cosine (deterministic tie-break: lower
+    * cell id; zero-norm/null vectors drop out). The shared step of IVF
+    * indexing and Lloyd refinement.
+    */
+  private def assignToCells(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
     val scored = corpus.crossJoin(broadcast(centroids))
       .withColumn("__sim", cosine(col(vecCol), col("__centroid")))
     // null filter after ranking (desc ranks nulls last) — a pre-window
     // filter would push into the join and double-evaluate the kernel
     val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cell_id").asc)
-    val assigned = scored.withColumn("__rn", row_number().over(w))
+    scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .filter(col("__sim").isNotNull)
       .select(col(idCol), col(vecCol), col("cell_id"))
-    (assigned, centroids)
+  }
+
+  /** Fixed-iteration Lloyd refinement of IVF centroids, deterministic and
+    * engine-replayable: each pass reassigns every vector to its cosine-
+    * nearest centroid, then recomputes each cell's centroid as the per-
+    * dimension mean. The mean is computed with DECIMAL(30,6) sums — exact,
+    * therefore ORDER-INDEPENDENT, so the distributed aggregation commits to
+    * the same bits regardless of partitioning, and DuckDB reproduces it
+    * (the same convention every aggregate query here uses). Cells that
+    * capture no vectors keep their previous centroid. Cost per pass: one
+    * corpus scan + one map-side-combined shuffle of N·dim (cell, dim)
+    * partial sums; the k·dim mean grid collected to the driver is constant-
+    * sized (IVF centroid tables are small by construction).
+    */
+  def refineCentroids(corpus: DataFrame, initial: DataFrame, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    if (iters <= 0) return initial
+    // centroids live as double arrays from here on (float→double is exact,
+    // and the cosine kernel computes in double either way)
+    var cur: Array[(Int, Option[Array[Double]])] = initial
+      .select(col("cell_id"), col("__centroid"))
+      .collect()
+      .map { r =>
+        val vec = Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[Any]].map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case null => throw new IllegalArgumentException("refineCentroids: null component")
+        }.toArray)
+        (r.getInt(0), vec)
+      }
+      .sortBy(_._1)
+    val centroidSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell_id", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__centroid",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType), nullable = true)))
+    def toDf(cs: Array[(Int, Option[Array[Double]])]): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(cs.map { case (id, v) =>
+          org.apache.spark.sql.Row(id, v.map(_.toSeq).orNull)
+        }: _*), centroidSchema)
+    for (_ <- 0 until iters) {
+      val stats = assignToCells(corpus, toDf(cur), idCol, vecCol)
+        .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("d", "comp")))
+        .groupBy(col("cell_id"), col("d"))
+        .agg(sum(col("comp").cast("double").cast("decimal(30,6)")).alias("csum"),
+          count(lit(1)).alias("n"))
+        .collect()
+      val next = cur.map { case (id, v) => (id, v.map(_.clone())) }.toMap
+      stats.foreach { r =>
+        val cell = r.getInt(0); val d = r.getInt(1)
+        next(cell).foreach(_(d) = r.getDecimal(2).doubleValue() / r.getLong(3))
+      }
+      cur = cur.map { case (id, _) => (id, next(id)) }
+    }
+    toDf(cur)
   }
 
   /** IVF top-k: probe the `nprobe` nearest cells per query, exact cosine over
@@ -198,8 +266,8 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       cells: Int = 16, nprobe: Int = 4,
       queryIdCol: String = "query_id", idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val (assigned, centroids) = ivfAssignCells(corpus, cells, idCol, vecCol)
+      vecCol: String = "embedding", refineIters: Int = 0): DataFrame = {
+    val (assigned, centroids) = ivfAssignCells(corpus, cells, idCol, vecCol, refineIters)
     val qCells = queries
       .select(col(queryIdCol).alias("query_id"), col(vecCol).alias("__qv"))
       .crossJoin(broadcast(centroids))
@@ -219,13 +287,14 @@ object Similarity {
 
   /** PQ codebook: `k` deterministically-sampled corpus vectors (the same
     * md5-ordered election as IVF centroids — engine-replayable), each split
-    * into `m` subvectors: `codebook(s)(j)` = subvector `s` of sample `j`.
-    * k-means would refine the centroids; the encode/ADC plumbing — the part
-    * that matters for the distributed shape — is identical. Driver-side by
-    * design: the codebook is m·k·(dim/m) doubles, a constant.
+    * into `m` subvectors: `codebook(s)(j)` = subvector `s` of sample `j`,
+    * then `refineIters` fixed Lloyd passes per subspace (see
+    * [[refinePqCodebook]]). Driver-side by design: the codebook is
+    * m·k·(dim/m) doubles, a constant.
     */
   def pqCodebook(corpus: DataFrame, m: Int, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      refineIters: Int = 0): Array[Array[Array[Double]]] = {
     // codes are signed bytes: k > 127 would wrap negative and silently null
     // every ADC score downstream
     require(k >= 1 && k <= 127, s"numCentroids must be in [1, 127], got $k")
@@ -248,7 +317,49 @@ object Similarity {
     require(dim % m == 0, s"pqCodebook: dim $dim not divisible by m=$m")
     require(vecs.forall(_.length == dim), "pqCodebook: ragged sampled vectors")
     val sub = dim / m
-    Array.tabulate(m, vecs.length)((s, j) => vecs(j).slice(s * sub, s * sub + sub))
+    val sampled = Array.tabulate(m, vecs.length)((s, j) => vecs(j).slice(s * sub, s * sub + sub))
+    refinePqCodebook(corpus, sampled, refineIters, vecCol)
+  }
+
+  /** Fixed-iteration Lloyd refinement of a PQ codebook, deterministic and
+    * engine-replayable. Each pass: (1) re-encode the corpus against the
+    * current codebook — [[graft.functions.expressions.PqEncode]] IS the
+    * assignment step (strict first-min L2² argmin per subspace); (2) move
+    * each (subspace, centroid) to the per-dimension mean of its assigned
+    * subvectors. Means use DECIMAL(30,6) sums — exact, therefore order-
+    * independent, so the distributed aggregation commits to the same bits
+    * regardless of partitioning and DuckDB replays it. Centroids that win
+    * no subvectors keep their previous value. Cost per pass: one corpus
+    * scan + one map-side-combined shuffle of N·dim (s, j, d) partial sums;
+    * the collected mean grid is k·dim rows — a constant.
+    */
+  def refinePqCodebook(corpus: DataFrame, cb: Array[Array[Array[Double]]],
+      iters: Int, vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(iters >= 0, "refineIters must be >= 0")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    var cur = cb
+    val sub = cb(0)(0).length
+    for (_ <- 0 until iters) {
+      val stats = corpus
+        .select(ColumnBridge.column(graft.functions.expressions.PqEncode(
+          ColumnBridge.expression(col(vecCol)), cur)).alias("__codes"),
+          col(vecCol).alias("__v"))
+        .select(posexplode(col("__codes")).as(Seq("s", "j")), col("__v"))
+        .select(col("s"), col("j").cast("int").alias("j"),
+          posexplode(slice(col("__v"), col("s") * lit(sub) + lit(1), lit(sub)))
+            .as(Seq("d", "comp")))
+        .groupBy(col("s"), col("j"), col("d"))
+        .agg(sum(col("comp").cast("double").cast("decimal(30,6)")).alias("csum"),
+          count(lit(1)).alias("n"))
+        .collect()
+      val next = cur.map(_.map(_.clone()))
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getDecimal(3).doubleValue() / r.getLong(4)
+      }
+      cur = next
+    }
+    cur
   }
 
   /** PQ top-k (ADC): encode the corpus to m-byte codes, precompute each
@@ -266,9 +377,9 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 8, numCentroids: Int = 16,
       queryIdCol: String = "query_id", idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", refineIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    val cb = pqCodebook(corpus, m, numCentroids, idCol, vecCol)
+    val cb = pqCodebook(corpus, m, numCentroids, idCol, vecCol, refineIters)
     // no isNotNull filters on __codes/__tab: they would push past the
     // projection and re-evaluate the encode kernel inside the scan filter
     // (doubling the expensive pass); a null on either side nulls the ADC
@@ -304,10 +415,10 @@ object Similarity {
   def pqRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       candidates: Int = 20, m: Int = 8, numCentroids: Int = 16,
       queryIdCol: String = "query_id", idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", refineIters: Int = 0): DataFrame = {
     require(candidates >= k, "candidate shortlist must be at least k")
     val shortlist = pqTopK(queries, corpus, candidates, m, numCentroids,
-      queryIdCol, idCol, vecCol)
+      queryIdCol, idCol, vecCol, refineIters)
       .select(col("query_id"), col("neighbor_id"))
     val q = queries.select(col(queryIdCol).alias("query_id"), col(vecCol).alias("__qv"))
     val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"))
