@@ -84,6 +84,38 @@ class PlanSpec extends SparkSpec {
       s"band/signature join degenerated into a product join:\n$plan")
   }
 
+  test("q25/q42/q85: the dedup family never degenerates into a product join") {
+    for ((name, df) <- Seq(
+        "q25" -> Queries.q25NearDupPairs(spark, sfDir),
+        "q42" -> Queries.q42SimhashPairs(spark, sfDir),
+        "q85" -> Queries.q85SemanticDedup(spark, sfDir))) {
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name degenerated into a product join:\n$plan")
+    }
+  }
+
+  test("q85's pair pipeline: every LSH band carries its bucket-size cap window") {
+    // the skew guard is a count window over the self-join's own __bucket
+    // key — one per band (numBands=2 default); losing it re-opens the
+    // O((N/2^planes)²) degenerate-bucket bomb at scale. Asserted on the
+    // pair-generation pipeline (q85's final frame hides it: the ≤2M-edge
+    // clusters() gate executes the pairs eagerly into a LocalTableScan).
+    import org.apache.spark.sql.functions.col
+    val pairs = graft.operators.Similarity.embeddingNearDuplicates(
+      Tables.load(spark, sfDir, "embeddings"), threshold = 0.999, numPlanes = 4)
+    val plan = planOf(pairs)
+    assert(plan.split("\n").count(_.contains("windowspecdefinition(__bucket")) >= 2,
+      s"expected a bucket-cap window per band:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"bucket self-join degenerated into a product join:\n$plan")
+    // the exact kernel runs AFTER the cross-band distinct — each surviving
+    // pair is scored exactly once
+    assert(!plan.contains("cosine_similarity") ||
+      plan.indexOf("cosine_similarity") < plan.indexOf("HashAggregate"),
+      s"cosine kernel should sit above the candidate distinct:\n$plan")
+  }
+
   test("q87: PQ corpus scan prunes to id+vector; only the query side broadcasts") {
     val df = Queries.q87PqTopK(spark, sfDir)
     val scan = scanOf(df)
