@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   * the PK; if the staged side is small Catalyst/AQE broadcast it, and if the
   * target is bucketed by PK the shuffle on the target side disappears
   * entirely. Atomicity on plain parquet = write-to-temp-then-swap
-  * (`mergeAndSwap`); on a Delta-capable catalog the same call maps to
+  * (`mergeAndSwap`), or — object-store-safe — the snapshot-manifest commit
+  * (`mergeAndCommit`); on a Delta-capable catalog the same call maps to
   * `MERGE INTO` verbatim.
   *
   * Null caveat (documented, deliberate): PK equality is Spark SQL `=` — null
@@ -109,6 +110,29 @@ object Upsert {
         s"mergeAndSwap: rename $tmpPath -> $targetPath failed; " +
           s"target was removed, RECOVER the merged table from $tmpPath")
     auditUpdatedToday(spark.read.parquet(targetPath))
+  }
+
+  /** [[mergeAndSwap]] upgraded to the snapshot-manifest commit protocol
+    * ([[graft.sources.SnapshotManifest]]): the merged table is written as
+    * immutable data files and becomes current via ONE atomic rename of a
+    * manifest — no delete-then-rename window, object-store-safe, previous
+    * snapshot readable throughout (and after a crash at any point).
+    * `tableRoot` is a SnapshotManifest table; bootstrap one with
+    * `SnapshotManifest.commit(spark, root, initialDf)`. The rename-swap
+    * variant remains for plain parquet paths.
+    *
+    * @return (committed version, audit count of rows updated today)
+    */
+  def mergeAndCommit(
+      spark: SparkSession,
+      tableRoot: String,
+      staged: DataFrame,
+      pkCols: Seq[String]
+  ): (Long, Long) = {
+    val target = graft.sources.SnapshotManifest.read(spark, tableRoot)
+    val version = graft.sources.SnapshotManifest.commit(
+      spark, tableRoot, merge(target, staged, pkCols))
+    (version, auditUpdatedToday(graft.sources.SnapshotManifest.read(spark, tableRoot)))
   }
 
   /** Post-merge audit (`utils.py:293-295`): rows whose UPDATE_TIMESTAMP is
