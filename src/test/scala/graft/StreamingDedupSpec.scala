@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingDedup
+
+/** Streaming incremental dedup end-to-end: a growing signature index served
+  * to later batches, exactly-once growth across a forced restart, and the
+  * crash window between the matches commit and the index-delta commit.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different content about spark engines and scale"),
+    (4L, "the quick brown fox jumps over the lazy dog"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  private val batch0 = Seq(
+    (101L, "the quick brown fox jumps over the lazy dog"), // dup of 1/2/4
+    (102L, "totally novel content about deep sea creatures and their bioluminescent signalling patterns"))
+  private val batch1 = Seq(
+    (201L, "totally novel content about deep sea creatures and their bioluminescent signalling patterns indeed"), // near-dup of 102 — only in the GROWN index
+    (202L, "totally novel content about deep sea creatures and their bioluminescent signalling patterns indeed")) // exact dup of 201, same batch
+
+  test("index grows exactly-once; grown index serves later batches; crash window converges") {
+    val root = Files.createTempDirectory("sdedup").toString
+    val (indexDir, matchesDir) = (s"$root/index", s"$root/matches")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StreamingDedup.bootstrapIndex(spark, corpus, indexDir)
+    assert(StreamingDedup.currentIndex(spark, indexDir).count() == 5)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    def run(ckpt: String) = StreamingDedup.runAvailableNow(spark,
+      mem.toDF().toDF("doc_id", "text"), indexDir, matchesDir, ckpt,
+      threshold = 0.5)
+
+    // batch 0: 101 matches the bootstrap corpus; 102 is novel → admitted
+    mem.addData(batch0)
+    val m0 = run(s"$root/ckpt1")
+      .select("new_id", "corpus_id", "batch_id").as[(Long, Long, Long)].collect().toSet
+    assert(m0 == Set((101L, 1L, 0L), (101L, 2L, 0L), (101L, 4L, 0L)))
+    assert(StreamingDedup.currentIndex(spark, indexDir).count() == 6) // +102 only
+    assert(spark.read.parquet(s"$indexDir/delta-00000000").count() == 1)
+
+    // batch 1 (same checkpoint): 202 collapses to 201 within the batch;
+    // 201 matches 102 — a member that exists ONLY because the index grew
+    mem.addData(batch1)
+    val m1 = run(s"$root/ckpt1")
+      .select("new_id", "corpus_id", "batch_id").as[(Long, Long, Long)].collect().toSet
+    assert(m1.contains((201L, 102L, 1L)) && m1.contains((202L, 201L, 1L)))
+    assert(m1.size == 5)
+    assert(StreamingDedup.currentIndex(spark, indexDir).count() == 6) // nothing admitted
+    assert(spark.read.parquet(s"$indexDir/delta-00000001").count() == 0)
+
+    // crash injection: the batch-1 writer died AFTER committing its matches
+    // but BEFORE the index-delta commit marker
+    assert(fs.delete(new Path(indexDir, "delta-00000001"), true))
+
+    // forced restart replaying the source wholesale under a fresh checkpoint:
+    // batch 0 re-delivers → delta marker present → skipped outright;
+    // batch 1 re-delivers → recomputed against the identical pre-batch
+    // index, matches commit skips (already present), delta commits
+    val mem2 = MemoryStream[(Long, String)]
+    def rerun(ckpt: String) = StreamingDedup.runAvailableNow(spark,
+      mem2.toDF().toDF("doc_id", "text"), indexDir, matchesDir, ckpt,
+      threshold = 0.5)
+    mem2.addData(batch0)
+    rerun(s"$root/ckpt2")
+    mem2.addData(batch1)
+    val mr = rerun(s"$root/ckpt2")
+      .select("new_id", "corpus_id", "batch_id").as[(Long, Long, Long)].collect().toSet
+    assert(mr == m1)                                                  // matches exactly-once
+    assert(StreamingDedup.currentIndex(spark, indexDir).count() == 6) // index exactly-once
+    assert(fs.exists(new Path(indexDir, "delta-00000001")))           // marker restored
+  }
+
+  test("running without a bootstrap index fails loudly") {
+    val root = Files.createTempDirectory("sdedup2").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val e = intercept[IllegalStateException] {
+      StreamingDedup.runAvailableNow(spark, mem.toDF().toDF("doc_id", "text"),
+        s"$root/index", s"$root/matches", s"$root/ckpt")
+    }
+    assert(e.getMessage.contains("bootstrapIndex"))
+  }
+}
