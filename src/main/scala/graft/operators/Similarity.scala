@@ -129,14 +129,31 @@ object Similarity {
   /** Approximate top-k: bucket-join candidates (same hyperplane bucket) then
     * exact cosine re-scoring. Recall is tunable via numPlanes (fewer planes →
     * bigger buckets → higher recall, more compute).
+    *
+    * Per-query candidate cost is ~|C|/2^numPlanes — sublinear by a constant
+    * factor, which is the LSH contract. The failure mode at scale is a
+    * DEGENERATE bucket (e.g. a mass of near-identical embeddings landing in
+    * one bucket): `maxBucketSize` drops corpus buckets above the cap via a
+    * window count on the join's own key (no extra shuffle) — the same skew
+    * guard as [[embeddingNearDuplicates]]. Default = uncapped, preserving
+    * exact recall semantics; set it when the corpus distribution is
+    * untrusted.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       queryIdCol: String = "query_id", idCol: String = "vec_id",
-      vecCol: String = "embedding", numPlanes: Int = 6): DataFrame = {
+      vecCol: String = "embedding", numPlanes: Int = 6,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxBucketSize >= 1, "maxBucketSize must be >= 1")
     val q = queries.select(col(queryIdCol).alias("query_id"), col(vecCol).alias("__qv"),
       hyperplaneBucket(col(vecCol), numPlanes).alias("__bucket"))
-    val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"),
+    val c0 = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"),
       hyperplaneBucket(col(vecCol), numPlanes).alias("__bucket"))
+    val c =
+      if (maxBucketSize == Int.MaxValue) c0
+      else c0
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__bucket"))))
+        .filter(col("__n") <= maxBucketSize)
+        .drop("__n")
     val scored = q.join(c, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv")))

@@ -103,6 +103,21 @@ class ExtensionSpec extends SparkSpec {
     assert(out.contains(4L))
   }
 
+  test("lshTopK maxBucketSize drops a degenerate corpus bucket (skew guard)") {
+    // all-identical corpus → ONE bucket holds everything; the per-query
+    // candidate set would be the whole corpus
+    val degenerate = (1L to 40L).map(i => (i, Array(1.0f, 0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val q = degenerate.limit(1).select($"vec_id".alias("query_id"), $"embedding")
+    val capped = Similarity.lshTopK(q, degenerate, k = 3, numPlanes = 2,
+      maxBucketSize = 10)
+    assert(capped.isEmpty) // oversized bucket dropped, not exploded
+    // under the cap the guard changes nothing
+    val under = Similarity.lshTopK(q, degenerate, k = 3, numPlanes = 2,
+      maxBucketSize = 40).count()
+    assert(under == 3)
+  }
+
   test("ivfTopK: exact duplicate lands in the same cell and is recalled at rank 1") {
     val q = vecs.filter($"vec_id" === 1L).select($"vec_id".alias("query_id"), $"embedding")
     val out = Similarity.ivfTopK(q, vecs, k = 2, cells = 2, nprobe = 2)
