@@ -245,4 +245,36 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("PQ Lloyd refinement: total distortion is monotone non-increasing per pass") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map(_._2.map(_.toDouble).toArray)
+    val df = Tables.load(spark, sfDir, "embeddings")
+    val (m, sub) = (8, 8)
+    // distortion under codebook cb = Σ_v Σ_s min_j L2²(v_s, cb[s][j]) —
+    // computed driver-side in plain Scala so the property is independent
+    // of the distributed implementation it checks
+    def distortion(cb: Array[Array[Array[Double]]]): Double =
+      vecs.map { v =>
+        (0 until m).map { s =>
+          cb(s).map { c =>
+            var d = 0.0
+            var t = 0
+            while (t < sub) { val diff = v(s * sub + t) - c(t); d += diff * diff; t += 1 }
+            d
+          }.min
+        }.sum
+      }.sum
+    val byIter = (0 to 3).map(i =>
+      distortion(Similarity.pqCodebook(df, m, k = 16, refineIters = i)))
+    byIter.sliding(2).foreach { case Seq(prev, next) =>
+      // exact Lloyd is monotone; DECIMAL(30,6) mean rounding can nudge a
+      // centroid by ≤5e-7 per component, so allow proportional slack
+      assert(next <= prev * (1 + 1e-9) + 1e-6, s"distortion increased: $byIter")
+    }
+    assert(byIter.last < byIter.head, s"refinement never helped: $byIter")
+  }
 }
