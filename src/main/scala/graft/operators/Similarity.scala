@@ -278,13 +278,30 @@ object Similarity {
   }
 
   /** IVF top-k: probe the `nprobe` nearest cells per query, exact cosine over
-    * the union of those cells' members.
+    * the union of those cells' members. Builds the index inline; for the
+    * serving deployment (one corpus, many query batches) materialize
+    * [[ivfAssignCells]]'s two frames ONCE (both are plain DataFrames —
+    * parquet round-trips them) and call [[ivfTopKFromIndex]] per batch:
+    * the corpus is then never rescanned or reassigned per query batch.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       cells: Int = 16, nprobe: Int = 4,
       queryIdCol: String = "query_id", idCol: String = "vec_id",
       vecCol: String = "embedding", refineIters: Int = 0): DataFrame = {
     val (assigned, centroids) = ivfAssignCells(corpus, cells, idCol, vecCol, refineIters)
+    ivfTopKFromIndex(queries, assigned, centroids, k, nprobe, queryIdCol, idCol, vecCol)
+  }
+
+  /** IVF top-k served from a materialized index — `assigned`/`centroids`
+    * as returned by [[ivfAssignCells]] (possibly persisted and reloaded).
+    * Per batch: the k-row centroid table broadcasts for probing, and the
+    * only corpus-sized operation is the cell-id equi-join against the
+    * probed cells.
+    */
+  def ivfTopKFromIndex(queries: DataFrame, assigned: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int = 4,
+      queryIdCol: String = "query_id", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     val qCells = queries
       .select(col(queryIdCol).alias("query_id"), col(vecCol).alias("__qv"))
       .crossJoin(broadcast(centroids))
@@ -395,15 +412,40 @@ object Similarity {
       m: Int = 8, numCentroids: Int = 16,
       queryIdCol: String = "query_id", idCol: String = "vec_id",
       vecCol: String = "embedding", refineIters: Int = 0): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
     val cb = pqCodebook(corpus, m, numCentroids, idCol, vecCol, refineIters)
-    // no isNotNull filters on __codes/__tab: they would push past the
-    // projection and re-evaluate the encode kernel inside the scan filter
-    // (doubling the expensive pass); a null on either side nulls the ADC
-    // score, and the score filter below drops the row anyway
-    val codes = corpus.select(col(idCol).alias("neighbor_id"),
+    pqTopKFromCodes(queries, pqEncodeCorpus(corpus, cb, idCol, vecCol), cb, k,
+      queryIdCol, vecCol)
+  }
+
+  /** Corpus encoded to PQ byte codes: `(neighbor_id, __codes)` — the
+    * m-bytes-per-vector artifact a serving deployment materializes ONCE
+    * (64× smaller than the float64 vectors it replaces) and scores every
+    * query batch against via [[pqTopKFromCodes]]. The codebook itself is a
+    * deterministic pure function of (corpus, m, k, refineIters), so
+    * re-deriving it for later batches is exact — or persist it alongside
+    * the codes with your artifact store of choice.
+    */
+  def pqEncodeCorpus(corpus: DataFrame, cb: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // no isNotNull filter on __codes: it would push past the projection and
+    // re-evaluate the encode kernel inside the scan filter (doubling the
+    // expensive pass); a null codes row nulls the ADC score downstream and
+    // the score filter drops it there
+    corpus.select(col(idCol).alias("neighbor_id"),
       ColumnBridge.column(graft.functions.expressions.PqEncode(
         ColumnBridge.expression(col(vecCol)), cb)).alias("__codes"))
+  }
+
+  /** PQ top-k served from a materialized code table ([[pqEncodeCorpus]],
+    * possibly persisted and reloaded): per batch, only the query side is
+    * (re)computed — its ADC tables broadcast, and the corpus-sized work is
+    * m byte-lookups per (query, code row) pair.
+    */
+  def pqTopKFromCodes(queries: DataFrame, codes: DataFrame,
+      cb: Array[Array[Array[Double]]], k: Int,
+      queryIdCol: String = "query_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val q = broadcast(queries.select(col(queryIdCol).alias("query_id"),
       ColumnBridge.column(graft.functions.expressions.PqDistTable(
         ColumnBridge.expression(col(vecCol)), cb)).alias("__tab")))

@@ -126,6 +126,30 @@ class ExtensionSpec extends SparkSpec {
     assert(out(4L) == 1)
   }
 
+  test("ANN serving paths: materialized IVF index / PQ code table round-trip parquet and match the inline result") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx").toString
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q = emb.filter($"vec_id" < 5).select($"vec_id".alias("query_id"), $"embedding")
+    // IVF: index built once, persisted, reloaded, served — identical to inline
+    val inlineIvf = Similarity.ivfTopK(q, emb, k = 3, cells = 8, nprobe = 3, refineIters = 1)
+      .collect().map(_.toSeq).toSet
+    val (assigned, centroids) = Similarity.ivfAssignCells(emb, 8, refineIters = 1)
+    assigned.write.parquet(s"$dir/assigned")
+    centroids.write.parquet(s"$dir/centroids")
+    val servedIvf = Similarity.ivfTopKFromIndex(q,
+      spark.read.parquet(s"$dir/assigned"), spark.read.parquet(s"$dir/centroids"),
+      k = 3, nprobe = 3).collect().map(_.toSeq).toSet
+    assert(servedIvf == inlineIvf && servedIvf.nonEmpty)
+    // PQ: code table persisted, codebook re-derived (deterministic) — identical
+    val inlinePq = Similarity.pqTopK(q, emb, k = 3, refineIters = 1)
+      .collect().map(_.toSeq).toSet
+    val cb = Similarity.pqCodebook(emb, m = 8, k = 16, refineIters = 1)
+    Similarity.pqEncodeCorpus(emb, cb).write.parquet(s"$dir/codes")
+    val servedPq = Similarity.pqTopKFromCodes(q,
+      spark.read.parquet(s"$dir/codes"), cb, k = 3).collect().map(_.toSeq).toSet
+    assert(servedPq == inlinePq && servedPq.nonEmpty)
+  }
+
   test("embeddingNearDuplicates finds the exact-dup vector pair") {
     val out = Similarity.embeddingNearDuplicates(vecs, threshold = 0.999, numPlanes = 2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
