@@ -1446,6 +1446,29 @@ object Oracles {
          |$exactRecallTail""".stripMargin
     },
 
+    // PII redaction replay: the same ordered regex chain (patterns embedded
+    // from TextAnalysis.PiiPatterns — single source of truth), counts taken
+    // on the progressively-redacted text exactly as piiCounts computes them.
+    "q93_pii_redact" -> {
+      val Seq((_, reEmail, tagEmail), (_, reIp, tagIp), (_, rePhone, tagPhone)) =
+        graft.operators.TextAnalysis.PiiPatterns
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN text || ' contact jane.doe@example.com or +1 (555) 123-4567 from 10.0.0.1'
+         |      ELSE text END AS t0
+         |  FROM documents WHERE doc_id < 300),
+         |s1 AS (SELECT doc_id, t0, regexp_replace(t0, '$reEmail', '$tagEmail', 'g') AS t1 FROM d),
+         |s2 AS (SELECT *, regexp_replace(t1, '$reIp', '$tagIp', 'g') AS t2 FROM s1),
+         |s3 AS (SELECT *, regexp_replace(t2, '$rePhone', '$tagPhone', 'g') AS t3 FROM s2)
+         |SELECT doc_id, t3 AS clean_text,
+         |  CAST(len(regexp_extract_all(t0, '$reEmail')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t1, '$reIp')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(t2, '$rePhone')) AS BIGINT) AS n_phone
+         |FROM s3
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "q66_salted_join" ->
       """SELECT o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,

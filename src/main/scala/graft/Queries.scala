@@ -1409,6 +1409,30 @@ object Queries {
       .orderBy(col("query_id"))
   }
 
+  /** PII scrubbing — the redaction pass every public-web training corpus
+    * runs before anything else: emails, IPv4s, and phone-shaped numbers
+    * replaced with typed tags, with per-type hit counts for the audit
+    * trail. Patterns are restricted to the Java-regex/RE2-identical subset,
+    * so the DuckDB oracle replays the chain (and the counts on the
+    * progressively-redacted text) exactly. PII is planted deterministically
+    * on every third document — the fixture itself is clean.
+    */
+  def q93PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").filter(col("doc_id") < 300)
+    val planted = docs.withColumn("__t0",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"),
+          lit(" contact jane.doe@example.com or +1 (555) 123-4567 from 10.0.0.1")))
+        .otherwise(col("text")))
+    val counts = TextAnalysis.piiCounts(col("__t0"))
+    planted.select(col("doc_id"),
+      TextAnalysis.redactPii(col("__t0")).alias("clean_text"),
+      counts.getField("n_email").cast("long").alias("n_email"),
+      counts.getField("n_ipv4").cast("long").alias("n_ipv4"),
+      counts.getField("n_phone").cast("long").alias("n_phone"))
+      .orderBy(col("doc_id"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1505,6 +1529,7 @@ object Queries {
     "q89_pq_rerank" -> (q89PqRerank _),
     "q90_ann_recall" -> (q90AnnRecall _),
     "q91_lsh_recall" -> (q91LshRecall _),
-    "q92_ivf_recall" -> (q92IvfRecall _)
+    "q92_ivf_recall" -> (q92IvfRecall _),
+    "q93_pii_redact" -> (q93PiiRedact _)
   )
 }

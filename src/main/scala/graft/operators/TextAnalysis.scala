@@ -229,6 +229,40 @@ object TextAnalysis {
         array_join(col("__w"), " ").alias("chunk_text"))
   }
 
+  /** PII patterns for corpus scrubbing, ordered (applied first to last —
+    * email before phone so an address's digits are already gone when the
+    * phone pattern runs). Restricted to the regex subset Java regex and
+    * RE2 evaluate identically — no lookaround, no backreferences, explicit
+    * character classes — so any engine replays the redaction bit-for-bit
+    * (the differential-test requirement, same as every kernel here).
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("ipv4", """\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b""", "<IP>"),
+    ("phone", """\+?[0-9][0-9()\-\s]{6,}[0-9]""", "<PHONE>"))
+
+  /** Redact PII in place: each pattern replaced by its typed tag. One
+    * projection, row-local, codegen'd `regexp_replace` chain — a 100 TB
+    * scrub is one scan. Null text stays null.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (_, re, tag)) =>
+      regexp_replace(acc, re, tag)
+    }
+
+  /** Per-type PII hit counts (audit/reporting side of the scrub): counts
+    * are taken on the SAME progressively-redacted text the replacements
+    * see, so they equal exactly what [[redactPii]] removed.
+    */
+  def piiCounts(text: Column): Column = {
+    val (_, counts) = PiiPatterns.foldLeft((text, Seq.empty[Column])) {
+      case ((acc, cols), (name, re, tag)) =>
+        (regexp_replace(acc, re, tag),
+          cols :+ regexp_count(acc, lit(re)).alias(s"n_$name"))
+    }
+    struct(counts: _*)
+  }
+
   /** Full text profile in one projection. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -157,6 +157,27 @@ class ExtensionSpec extends SparkSpec {
     assert(!out.contains((1L, 3L)))
   }
 
+  test("PII redaction: typed tags, counts match removals, null-safe") {
+    val r = Seq(
+      "mail a.b+c@x-corp.io and b@y.org, call +49 (30) 1234-5678, host 192.168.0.255 end",
+      "no pii here at all",
+      null
+    ).toDF("text").select(
+      TextAnalysis.redactPii($"text").alias("clean"),
+      TextAnalysis.piiCounts($"text").alias("c")).collect()
+    assert(r(0).getString(0) ==
+      "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IP> end")
+    assert(r(0).getStruct(1).toSeq == Seq(2, 1, 1)) // n_email, n_ipv4, n_phone
+    assert(r(1).getString(0) == "no pii here at all")
+    assert(r(1).getStruct(1).toSeq == Seq(0, 0, 0))
+    assert(r(2).isNullAt(0))
+    // 256.1.1.1 is not an IPv4; the trailing octets alone still are not
+    // (word boundary blocks a partial match inside 256)
+    val notIp = Seq("x 256.1.1.1 y").toDF("text")
+      .select(TextAnalysis.redactPii($"text")).head().getString(0)
+    assert(notIp == "x 256.1.1.1 y")
+  }
+
   test("text analysis: token counts, ratios, language id") {
     val r = Seq("The cat and the dog, in a hat!").toDF("text").select(
       TextAnalysis.tokenCountWhitespace($"text").alias("ws"),

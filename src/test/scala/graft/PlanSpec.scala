@@ -116,6 +116,19 @@ class PlanSpec extends SparkSpec {
       s"cosine kernel should sit above the candidate distinct:\n$plan")
   }
 
+  test("q91/q92: recall pipelines — candidate joins are equi-joins, no CartesianProduct") {
+    for ((name, df) <- Seq(
+        "q91" -> Queries.q91LshRecall(spark, sfDir),
+        "q92" -> Queries.q92IvfRecall(spark, sfDir))) {
+      val plan = planOf(df)
+      // BroadcastNestedLoopJoin appears by design (brute-force exact side +
+      // broadcast centroid probing); what must never appear is an unplanned
+      // CartesianProduct shuffling both sides
+      assert(!plan.contains("CartesianProduct"),
+        s"$name grew a product join:\n$plan")
+    }
+  }
+
   test("q87: PQ corpus scan prunes to id+vector; only the query side broadcasts") {
     val df = Queries.q87PqTopK(spark, sfDir)
     val scan = scanOf(df)
