@@ -116,6 +116,17 @@ class PlanSpec extends SparkSpec {
       s"cosine kernel should sit above the candidate distinct:\n$plan")
   }
 
+  test("q93: redaction is one scan — doc filter pushed down, no shuffle before the sort") {
+    val df = Queries.q93PiiRedact(spark, sfDir)
+    val scan = scanOf(df)
+    assert(scan.contains("LessThan(doc_id,300)"), scan)
+    assert(!scan.contains("n_chars") && !scan.contains("source"),
+      s"redaction scans unneeded columns:\n$scan")
+    val plan = df.queryExecution.executedPlan.toString()
+    val exchanges = plan.split("\n").count(_.contains("Exchange"))
+    assert(exchanges == 1, s"redaction should only exchange for the final sort:\n$plan")
+  }
+
   test("q91/q92: recall pipelines — candidate joins are equi-joins, no CartesianProduct") {
     for ((name, df) <- Seq(
         "q91" -> Queries.q91LshRecall(spark, sfDir),
