@@ -31,9 +31,11 @@ object Bench {
     // 3 timed runs per query: the machine is shared, and a single sample
     // conflates data work with scheduler noise (observed 2× total swings on
     // identical code). The record carries BOTH estimators so cross-round
-    // deltas separate signal from noise: `queries` = min of 3 (steady-state;
-    // codegen/JIT already amortized by the warmup pass) and `queries_cold` =
-    // the first timed sample (what a one-shot run would have seen).
+    // deltas separate signal from noise: `queries` = min of 3 (steady-state)
+    // and `queries_cold` = the first timed sample. NOTE: "cold" is relative
+    // — the warmup pass has already paid codegen/JIT, so the first sample
+    // captures residual first-run costs at the target SF (page cache, scan
+    // listing, lazy init), NOT true cold-start latency.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

@@ -38,7 +38,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SnapshotManifest {
 
-  private val ManifestRe = "manifest-(\\d{8})\\.json".r
+  // {8,}: %08d pads to 8 digits but GROWS past them at version 1e8 — an
+  // exact {8} would make such versions invisible to currentVersion and
+  // permanently wedge commits on the apparent version collision
+  private val ManifestRe = "manifest-(\\d{8,})\\.json".r
 
   private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
@@ -166,7 +169,7 @@ object SnapshotManifest {
     val floor = versions.drop(doomed.length).headOption
     val dataRoot = new Path(rootPath, "data")
     if (floor.isDefined && fs.exists(dataRoot)) {
-      val orphanRe = "v(\\d{8})".r
+      val orphanRe = "v(\\d{8,})".r
       fs.listStatus(dataRoot).foreach { s =>
         s.getPath.getName match {
           case orphanRe(v) if s.isDirectory && v.toLong < floor.get &&

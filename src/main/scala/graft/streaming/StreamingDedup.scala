@@ -15,22 +15,27 @@ import graft.operators.Dedup
   * then serves every later batch. Corpus text is never re-read — the index
   * is ~100 bytes/document regardless of document size.
   *
-  * Index layout: an append-only log of parquet dirs,
+  * Index layout: an append-only log of parquet dirs plus one commit-marker
+  * FILE per delta,
   * {{{
-  *   index/base/              // bootstrap corpus signatures
-  *   index/delta-00000000/    // batch 0's new-member signatures
-  *   index/delta-00000001/    // ...
+  *   index/base/                      // bootstrap corpus signatures
+  *   index/delta-00000000/            // batch 0's new-member signatures
+  *   index/delta-00000000.committed   // batch 0's commit marker
   * }}}
-  * The atomic rename that creates `delta-<batchId>` IS the batch's commit
-  * marker (same primitive as [[graft.sources.SnapshotManifest]]: rename to
-  * a new name — atomic on HDFS-like filesystems, PUT-if-absent on object
-  * stores). Structured Streaming's foreachBatch is at-least-once; a
-  * replayed batch finds its marker and skips, so the index grows
-  * EXACTLY-ONCE across restarts. Matches are committed the same way,
-  * BEFORE the index delta: a crash between the two re-runs the batch
-  * against the identical pre-batch index (deterministic pipeline → same
-  * matches, skipped on rename) and then commits the delta — converging to
-  * the no-crash state.
+  * Readers list MARKERS, never raw dirs, so partially-written data from a
+  * crashed attempt is invisible by construction. The marker is created by
+  * renaming a dot-prefixed temp FILE — a single-file rename (atomic on
+  * HDFS-like filesystems; on object stores a single small PUT — renaming a
+  * data DIRECTORY there would be a non-atomic multi-object copy, which is
+  * why the marker, not the dir, is the commit). foreachBatch is
+  * at-least-once; a replayed batch finds its marker and skips, so the
+  * index grows EXACTLY-ONCE across restarts. A replayed batch whose
+  * marker is absent deletes the stale dir and rewrites it before
+  * committing. Matches commit the same way, BEFORE the index delta: a
+  * crash between the two re-runs the batch against the identical
+  * pre-batch index (deterministic pipeline → same matches, skipped via
+  * their marker) and then commits the delta — converging to the no-crash
+  * state.
   *
   * Within a batch, exact duplicates (canonical text) collapse to the
   * min-id representative before the index probe; near-duplicates arriving
@@ -47,41 +52,68 @@ import graft.operators.Dedup
   */
 object StreamingDedup {
 
-  /** Materialize the bootstrap corpus index at `indexDir/base`. */
+  private val DeltaMarkerRe = "(delta-\\d{8,})\\.committed".r
+  private val MatchesMarkerRe = "(matches-\\d{8,})\\.committed".r
+
+  /** Materialize the bootstrap corpus index at `indexDir/base`.
+    * `numHashes` MUST equal the `bands * rowsPerBand` later passed to
+    * [[runAvailableNow]] (default 12 = 4·3 there); the run validates this
+    * against the stored signatures and fails fast on mismatch.
+    */
   def bootstrapIndex(spark: SparkSession, corpus: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       numHashes: Int = 12): Unit =
     Dedup.signatureIndex(corpus, idCol, textCol, numHashes)
       .write.parquet(new Path(indexDir, "base").toString)
 
-  /** The committed index: base + every committed delta (uncommitted work is
-    * invisible — tmp dirs are dot-prefixed, which Spark's file listing
-    * skips).
-    */
-  def currentIndex(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"${indexDir.stripSuffix("/")}/*")
+  private def committedDirs(fs: FileSystem, dir: Path, re: scala.util.matching.Regex): Seq[Path] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.flatMap(s => s.getPath.getName match {
+      case re(d) if s.isFile => Some(new Path(dir, d))
+      case _ => None
+    }).sortBy(_.getName)
 
-  /** Idempotent commit of `df` at `dest`: write to a dot-prefixed tmp dir,
-    * rename to the final name. An existing `dest` (this batch already
-    * committed, or a replay raced us) is a SKIP, not an error.
+  /** The committed index: base + every delta whose commit marker exists.
+    * Listing is marker-driven — uncommitted or partially-written dirs are
+    * never read (a glob over the dir would read them: Spark's hidden-file
+    * filter applies to files UNDER each input path, not to glob-matched
+    * directories themselves).
+    */
+  def currentIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = new Path(root, "base") +: committedDirs(fs, root, DeltaMarkerRe)
+    spark.read.parquet(paths.map(_.toString): _*)
+  }
+
+  /** Idempotent commit of `df` at `dest` with marker `dest.committed`:
+    * marker present → SKIP (keep the committed data); marker absent → any
+    * stale dir is a crashed attempt, deleted and rewritten, then the
+    * marker is created via single-file rename.
     */
   private def commitDir(df: DataFrame, dest: Path, fs: FileSystem): Unit = {
-    if (fs.exists(dest)) return
-    val tmp = new Path(dest.getParent, "." + dest.getName + ".tmp")
-    if (fs.exists(tmp) && !fs.delete(tmp, true))
-      throw new java.io.IOException(s"StreamingDedup: cannot clear stale $tmp")
-    df.write.parquet(tmp.toString)
-    if (!fs.rename(tmp, dest) && !fs.exists(dest))
-      throw new java.io.IOException(s"StreamingDedup: commit rename $tmp -> $dest failed")
+    val marker = new Path(dest.getParent, dest.getName + ".committed")
+    if (fs.exists(marker)) return
+    if (fs.exists(dest) && !fs.delete(dest, true))
+      throw new java.io.IOException(s"StreamingDedup: cannot clear stale attempt $dest")
+    df.write.parquet(dest.toString)
+    val tmp = new Path(dest.getParent, "." + dest.getName + ".committed.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(Array.emptyByteArray) finally out.close()
+    if (!fs.rename(tmp, marker)) {
+      fs.delete(tmp, false) // lost a race (single-writer contract violated) — don't leak the tmp
+      if (!fs.exists(marker))
+        throw new java.io.IOException(s"StreamingDedup: commit rename $tmp -> $marker failed")
+    }
   }
 
   /** Run the ingest stream to completion (AvailableNow) and return the
-    * accumulated matches `(new_id, corpus_id, jaccard_est, batch_id)`.
-    * `corpus_id` is an index member, or — for within-batch exact
-    * duplicates — the batch's min-id representative (jaccard_est 1.0).
-    * Restart-safe: re-run with the same checkpoint (or replay the source
-    * wholesale with a fresh one) and committed batches are skipped via
-    * their delta markers.
+    * accumulated matches `(new_id, corpus_id, jaccard_est, batch_id)` —
+    * empty (correct schema) if the stream delivered nothing. `corpus_id`
+    * is an index member, or — for within-batch exact duplicates — the
+    * batch's min-id representative (jaccard_est 1.0). Restart-safe: re-run
+    * with the same checkpoint (or replay the source wholesale with a fresh
+    * one) and committed batches are skipped via their markers.
     */
   def runAvailableNow(
       spark: SparkSession,
@@ -96,17 +128,29 @@ object StreamingDedup {
       rowsPerBand: Int = 3,
       maxBucketSize: Int = 1000
   ): DataFrame = {
-    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(indexDir, "base")))
+    val indexRoot = new Path(indexDir)
+    val fs = indexRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(indexRoot, "base")))
       throw new IllegalStateException(
         s"StreamingDedup: no bootstrap index at $indexDir/base — call bootstrapIndex first")
+    // fail fast on a signature-length mismatch: a wrong index would drop
+    // bands silently (null band hashes) long before the per-candidate
+    // guard inside incrementalNearDuplicates could fire
+    currentIndex(spark, indexDir)
+      .select(size(col("__sig")).alias("n")).filter(col("n").isNotNull)
+      .limit(1).collect().headOption.foreach { r =>
+        require(r.getInt(0) == bands * rowsPerBand,
+          s"StreamingDedup: index signatures have length ${r.getInt(0)} but " +
+            s"bands*rowsPerBand = ${bands * rowsPerBand}; rebuild the index with " +
+            s"bootstrapIndex(..., numHashes = ${bands * rowsPerBand})")
+      }
     val query = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val deltaDest = new Path(indexDir, f"delta-$batchId%08d")
-        if (!fs.exists(deltaDest)) { // exactly-once: marker absent → process
+        val deltaMarker = new Path(indexRoot, f"delta-$batchId%08d.committed")
+        if (!fs.exists(deltaMarker)) { // exactly-once: marker absent → process
           val rows = batch.select(col(idCol), col(textCol)).localCheckpoint(true)
           // within-batch exact dedup: min-id representative per canonical text
           val withRep = rows
@@ -123,19 +167,31 @@ object StreamingDedup {
             threshold, bands, rowsPerBand, maxBucketSize).localCheckpoint(true)
           val matches = idxMatches.unionByName(innerMatches)
             .withColumn("batch_id", lit(batchId))
-          // matches BEFORE the delta: the delta rename is the commit marker,
+          // matches BEFORE the delta: the delta marker is the batch's commit,
           // so a crash between the two replays into a skip + delta commit
           commitDir(matches, new Path(matchesDir, f"matches-$batchId%08d"), fs)
           val newMembers = reps.join(
             idxMatches.select(col("new_id").alias(idCol)).distinct(),
             Seq(idCol), "left_anti")
           commitDir(Dedup.signatureIndex(newMembers, idCol, textCol, bands * rowsPerBand),
-            deltaDest, fs)
+            new Path(indexRoot, f"delta-$batchId%08d"), fs)
         }
         ()
       }
       .start()
     query.awaitTermination()
-    spark.read.parquet(s"${matchesDir.stripSuffix("/")}/*")
+    val matchDirs = committedDirs(fs, new Path(matchesDir), MatchesMarkerRe)
+    if (matchDirs.nonEmpty) spark.read.parquet(matchDirs.map(_.toString): _*)
+    else {
+      val idType = stream.schema(idCol).dataType
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("new_id", idType),
+          org.apache.spark.sql.types.StructField("corpus_id", idType),
+          org.apache.spark.sql.types.StructField("jaccard_est",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.LongType))))
+    }
   }
 }

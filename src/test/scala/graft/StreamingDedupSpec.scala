@@ -6,8 +6,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.streaming.StreamingDedup
 
 /** Streaming incremental dedup end-to-end: a growing signature index served
-  * to later batches, exactly-once growth across a forced restart, and the
-  * crash window between the matches commit and the index-delta commit.
+  * to later batches, exactly-once growth across a forced restart, the
+  * crash window between the matches commit and the index-delta commit,
+  * and invisibility of uncommitted staging data.
   */
 class StreamingDedupSpec extends SparkSpec {
   import spark.implicits._
@@ -59,13 +60,17 @@ class StreamingDedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$indexDir/delta-00000001").count() == 0)
 
     // crash injection: the batch-1 writer died AFTER committing its matches
-    // but BEFORE the index-delta commit marker
-    assert(fs.delete(new Path(indexDir, "delta-00000001"), true))
+    // but BEFORE the index-delta commit — its delta dir may exist partially
+    // written, but the marker (the commit) does not
+    assert(fs.delete(new Path(indexDir, "delta-00000001.committed"), false))
+    // the uncommitted dir is invisible to readers (marker-driven listing)
+    assert(StreamingDedup.currentIndex(spark, indexDir).count() == 6)
 
     // forced restart replaying the source wholesale under a fresh checkpoint:
-    // batch 0 re-delivers → delta marker present → skipped outright;
+    // batch 0 re-delivers → marker present → skipped outright;
     // batch 1 re-delivers → recomputed against the identical pre-batch
-    // index, matches commit skips (already present), delta commits
+    // index, matches commit skips (marker present), stale delta dir is
+    // cleared and rewritten, delta commits
     val mem2 = MemoryStream[(Long, String)]
     def rerun(ckpt: String) = StreamingDedup.runAvailableNow(spark,
       mem2.toDF().toDF("doc_id", "text"), indexDir, matchesDir, ckpt,
@@ -77,11 +82,44 @@ class StreamingDedupSpec extends SparkSpec {
       .select("new_id", "corpus_id", "batch_id").as[(Long, Long, Long)].collect().toSet
     assert(mr == m1)                                                  // matches exactly-once
     assert(StreamingDedup.currentIndex(spark, indexDir).count() == 6) // index exactly-once
-    assert(fs.exists(new Path(indexDir, "delta-00000001")))           // marker restored
+    assert(fs.exists(new Path(indexDir, "delta-00000001.committed"))) // marker restored
+  }
+
+  test("uncommitted staging dirs are invisible; empty stream returns an empty typed frame") {
+    val root = Files.createTempDirectory("sdedup2").toString
+    val (indexDir, matchesDir) = (s"$root/index", s"$root/matches")
+    StreamingDedup.bootstrapIndex(spark, corpus, indexDir)
+    // a crashed writer left a partially-written delta with NO marker — it
+    // must not be read (and a half-written parquet dir would even fail to
+    // parse, so visibility here means a crashed stream wedges on restart)
+    Seq((999L, Array(1L, 2L, 3L))).toDF("doc_id", "__sig")
+      .write.parquet(s"$indexDir/delta-00000007")
+    assert(StreamingDedup.currentIndex(spark, indexDir).count() == 5)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    // no data added: zero batches fire, no matches dir is ever created —
+    // an idle ingest tick must return an empty frame, not throw
+    val out = StreamingDedup.runAvailableNow(spark,
+      mem.toDF().toDF("doc_id", "text"), indexDir, matchesDir, s"$root/ckpt")
+    assert(out.isEmpty)
+    assert(out.columns.toSeq == Seq("new_id", "corpus_id", "jaccard_est", "batch_id"))
+  }
+
+  test("signature-length mismatch with the bootstrap index fails fast") {
+    val root = Files.createTempDirectory("sdedup3").toString
+    StreamingDedup.bootstrapIndex(spark, corpus, s"$root/index", numHashes = 8)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.runAvailableNow(spark, mem.toDF().toDF("doc_id", "text"),
+        s"$root/index", s"$root/matches", s"$root/ckpt") // wants 4*3 = 12
+    }
+    assert(e.getMessage.contains("length 8"))
   }
 
   test("running without a bootstrap index fails loudly") {
-    val root = Files.createTempDirectory("sdedup2").toString
+    val root = Files.createTempDirectory("sdedup4").toString
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
     val e = intercept[IllegalStateException] {
