@@ -12,6 +12,61 @@ import graft.sources.KeysetSource
 class EndToEndSpec extends SparkSpec {
   import spark.implicits._
 
+  test("training-data flow: stream-dedup → manifest-table merge → compact → vacuum") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.SnapshotManifest
+    import graft.streaming.StreamingDedup
+    val root = java.nio.file.Files.createTempDirectory("e2e_corpus").toString
+
+    // 0. bootstrap: a curated corpus lives in a snapshot-manifest table and
+    //    its signature index is materialized once
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines and scale")
+    ).toDF("doc_id", "text")
+    val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    SnapshotManifest.commit(spark, s"$root/table",
+      corpus.withColumn(Upsert.InsertTs, t0).withColumn(Upsert.UpdateTs, t0))
+    StreamingDedup.bootstrapIndex(spark, corpus, s"$root/index")
+
+    // 1. a crawl stream arrives: one duplicate of the corpus, two novel
+    //    docs (one of them duplicated inside the batch)
+    implicit val sqlCtx = spark.sqlContext
+    val crawl = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "fresh material never seen before about distributed snapshot protocols"),
+      (12L, "fresh material never seen before about distributed snapshot protocols"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(crawl)
+    val matches = StreamingDedup.runAvailableNow(spark,
+      mem.toDF().toDF("doc_id", "text"), s"$root/index", s"$root/matches",
+      s"$root/ckpt", threshold = 0.5)
+    val dupIds = matches.select("new_id").as[Long].collect().toSet
+    assert(dupIds == Set(10L, 12L)) // 11 survives as the novel representative
+
+    // 2. the surviving docs MERGE into the corpus table via the atomic
+    //    manifest commit (no delete-then-rename window)
+    val survivors = crawl.toDF("doc_id", "text")
+      .join(matches.select(col("new_id").alias("doc_id")), Seq("doc_id"), "left_anti")
+    val (v1, _) = Upsert.mergeAndCommit(spark, s"$root/table",
+      survivors
+        .withColumn(Upsert.InsertTs, current_timestamp())
+        .withColumn(Upsert.UpdateTs, current_timestamp())
+        .select(col("doc_id"), col("text"), col(Upsert.InsertTs), col(Upsert.UpdateTs)),
+      Seq("doc_id"))
+    assert(v1 == 1L)
+    assert(SnapshotManifest.read(spark, s"$root/table")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L))
+
+    // 3. maintenance: compact the snapshot, vacuum the superseded ones —
+    //    the current snapshot stays readable throughout
+    SnapshotManifest.compactSnapshot(spark, s"$root/table", targetBytes = 1L << 30)
+    SnapshotManifest.vacuum(spark, s"$root/table", keep = 1)
+    val fin = SnapshotManifest.read(spark, s"$root/table")
+    assert(fin.count() == 3)
+    assert(fin.columns.contains("text"))
+  }
+
   test("keyset → normalize → merge → alert gate → sink → audit") {
     val pagesDir = "/root/repo/src/test/resources/json/pages"
 
