@@ -1450,7 +1450,8 @@ object Oracles {
     // from TextAnalysis.PiiPatterns — single source of truth), counts taken
     // on the progressively-redacted text exactly as piiCounts computes them.
     "q93_pii_redact" -> {
-      val Seq((_, reEmail, tagEmail), (_, reIp, tagIp), (_, rePhone, tagPhone)) =
+      val Seq((_, reEmail, tagEmail), (_, reIp, tagIp),
+        (_, reIntl, tagPhone), (_, reParen, _)) =
         graft.operators.TextAnalysis.PiiPatterns
       s"""WITH d AS (
          |  SELECT doc_id,
@@ -1460,12 +1461,13 @@ object Oracles {
          |  FROM documents WHERE doc_id < 300),
          |s1 AS (SELECT doc_id, t0, regexp_replace(t0, '$reEmail', '$tagEmail', 'g') AS t1 FROM d),
          |s2 AS (SELECT *, regexp_replace(t1, '$reIp', '$tagIp', 'g') AS t2 FROM s1),
-         |s3 AS (SELECT *, regexp_replace(t2, '$rePhone', '$tagPhone', 'g') AS t3 FROM s2)
-         |SELECT doc_id, t3 AS clean_text,
+         |s3 AS (SELECT *, regexp_replace(t2, '$reIntl', '$tagPhone', 'g') AS t3 FROM s2),
+         |s4 AS (SELECT *, regexp_replace(t3, '$reParen', '$tagPhone', 'g') AS t4 FROM s3)
+         |SELECT doc_id, t4 AS clean_text,
          |  CAST(len(regexp_extract_all(t0, '$reEmail')) AS BIGINT) AS n_email,
          |  CAST(len(regexp_extract_all(t1, '$reIp')) AS BIGINT) AS n_ipv4,
-         |  CAST(len(regexp_extract_all(t2, '$rePhone')) AS BIGINT) AS n_phone
-         |FROM s3
+         |  CAST(len(regexp_extract_all(t2, '$reIntl')) + len(regexp_extract_all(t3, '$reParen')) AS BIGINT) AS n_phone
+         |FROM s4
          |ORDER BY doc_id""".stripMargin
     },
 

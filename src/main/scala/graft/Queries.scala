@@ -1429,7 +1429,8 @@ object Queries {
       TextAnalysis.redactPii(col("__t0")).alias("clean_text"),
       counts.getField("n_email").cast("long").alias("n_email"),
       counts.getField("n_ipv4").cast("long").alias("n_ipv4"),
-      counts.getField("n_phone").cast("long").alias("n_phone"))
+      (counts.getField("n_phone_intl") + counts.getField("n_phone_paren"))
+        .cast("long").alias("n_phone"))
       .orderBy(col("doc_id"))
   }
 

@@ -235,11 +235,19 @@ object TextAnalysis {
     * RE2 evaluate identically — no lookaround, no backreferences, explicit
     * character classes — so any engine replays the redaction bit-for-bit
     * (the differential-test requirement, same as every kernel here).
+    *
+    * Phone matching is PRECISION-FIRST: only international (+CC ...) and
+    * parenthesized-area-code forms match, because without lookaround any
+    * bare digit-run pattern also swallows dates (`2024-01-01`), large
+    * integers, and numeric table rows — silently mangling most documents
+    * at corpus scale. Bare national numbers (`555-123-4567`) are a
+    * documented miss, not a latent false-positive class.
     */
   val PiiPatterns: Seq[(String, String, String)] = Seq(
     ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
     ("ipv4", """\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b""", "<IP>"),
-    ("phone", """\+?[0-9][0-9()\-\s]{6,}[0-9]""", "<PHONE>"))
+    ("phone_intl", """\+[0-9]{1,3}[\s\-]?\(?[0-9]{1,4}\)?[\s\-]?[0-9]{2,4}[\s\-]?[0-9]{2,6}""", "<PHONE>"),
+    ("phone_paren", """\([0-9]{2,4}\)[\s\-]?[0-9]{2,4}[\s\-]?[0-9]{2,6}""", "<PHONE>"))
 
   /** Redact PII in place: each pattern replaced by its typed tag. One
     * projection, row-local, codegen'd `regexp_replace` chain — a 100 TB

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The one atomic-publish primitive every commit path here builds on:
+  * write a dot-prefixed temp FILE, rename it to its final name. The
+  * rename-to-a-new-name is atomic on HDFS-like filesystems (single
+  * namenode op). On object stores, Hadoop-style `rename` is a client-side
+  * copy+delete and is NOT a conditional put — running these protocols
+  * there requires a store-side conditional-write primitive (S3
+  * If-None-Match, GCS preconditions) in place of the rename; the
+  * single-small-FILE shape is what makes that swap possible at all
+  * (directory renames have no such equivalent).
+  *
+  * Used by [[SnapshotManifest]] (manifest files) and
+  * [[graft.streaming.StreamingDedup]] (commit markers) so the race/crash
+  * handling is audited in exactly one place.
+  */
+private[graft] object CommitProtocol {
+
+  /** Publish `content` at `dest` via tmp-write + rename.
+    *
+    * @return true if this call created `dest`; false if `dest` already
+    *         exists (a concurrent or earlier publisher won — tmp is
+    *         cleaned up, dest is untouched)
+    */
+  def publishFile(fs: FileSystem, dest: Path, content: Array[Byte]): Boolean = {
+    if (fs.exists(dest)) return false
+    val tmp = new Path(dest.getParent, "." + dest.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content) finally out.close()
+    if (fs.rename(tmp, dest)) true
+    else {
+      fs.delete(tmp, false) // lost the race — don't leak the temp file
+      if (fs.exists(dest)) false
+      else throw new java.io.IOException(
+        s"publishFile: rename $tmp -> $dest failed and $dest does not exist")
+    }
+  }
+}

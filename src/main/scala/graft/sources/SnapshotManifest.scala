@@ -18,13 +18,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   1. write the new snapshot's data files under a fresh `data/v<N>/` dir —
   *      invisible to readers, who only follow manifests;
   *   2. write `.manifest-<N>.tmp` listing those files;
-  *   3. rename it to `manifest-<N>.json` — rename-to-a-NEW-name, the one
-  *      primitive that is atomic on HDFS-like filesystems and maps to
-  *      PUT-if-absent on object stores. The rename IS the commit: a crash
-  *      anywhere before it leaves only invisible garbage and the previous
-  *      snapshot fully readable; after it, the new snapshot is fully
-  *      durable. There is no delete-then-rename window at all (the failure
-  *      mode `mergeAndSwap` documents).
+  *   3. rename it to `manifest-<N>.json` — rename-to-a-NEW-name of ONE
+  *      small file, atomic on HDFS-like filesystems. The rename IS the
+  *      commit: a crash anywhere before it leaves only invisible garbage
+  *      and the previous snapshot fully readable; after it, the new
+  *      snapshot is fully durable. There is no delete-then-rename window
+  *      at all (the failure mode `mergeAndSwap` documents). On object
+  *      stores, swap the rename for a store-side conditional put — see
+  *      [[CommitProtocol]]; Hadoop's S3A `rename` is copy+delete and is
+  *      NOT a substitute.
   *
   * Readers list `manifest-*.json` and follow the highest version — no
   * pointer file to swap, so reads need no coordination. Version-numbered
@@ -95,29 +97,34 @@ object SnapshotManifest {
     val (fs, rootPath) = fsOf(spark, root)
     val next = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
     val dataDir = new Path(rootPath, new Path("data", dataDirName(next)))
-    // a dir for version `next` can only be a previous crashed attempt (no
-    // manifest-`next` exists, or `next` would not be the next version) —
-    // clear it so its files don't leak into this commit's manifest
-    if (fs.exists(dataDir) && !fs.delete(dataDir, true))
-      throw new java.io.IOException(s"commit: cannot clear stale attempt $dataDir")
+    // a dir for version `next` can be a previous CRASHED attempt (clear it
+    // so its files don't leak into this commit's manifest) — or a
+    // concurrent writer's already-COMMITTED data, which deleting would
+    // corrupt their live snapshot. Re-check the manifest at the last
+    // moment: committed → lose the race loudly, touching nothing.
+    if (fs.exists(dataDir)) {
+      if (fs.exists(new Path(rootPath, manifestName(next))))
+        throw new java.io.IOException(
+          s"commit: version $next already committed by a concurrent writer; nothing staged")
+      if (!fs.delete(dataDir, true))
+        throw new java.io.IOException(s"commit: cannot clear stale attempt $dataDir")
+    }
     df.write.parquet(dataDir.toString)
     val files = fs.listStatus(dataDir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"data/${dataDirName(next)}/${s.getPath.getName}")
       .sorted
     require(files.nonEmpty, s"commit: write produced no parquet files under $dataDir")
-    val tmp = new Path(rootPath, s".manifest-$next.tmp")
-    val out = fs.create(tmp, true)
-    try out.write((s"version=$next\n" + files.mkString("", "\n", "\n")).getBytes("UTF-8"))
-    finally out.close()
     val manifest = new Path(rootPath, manifestName(next))
-    // THE commit point: atomic rename to a new name. False = a concurrent
+    // THE commit point: one atomic file publish. False = a concurrent
     // writer committed this version first — fail loudly, leave their
     // snapshot intact, and surface our staged data for inspection.
-    if (!fs.rename(tmp, manifest))
+    val won = CommitProtocol.publishFile(fs, manifest,
+      (s"version=$next\n" + files.mkString("", "\n", "\n")).getBytes("UTF-8"))
+    if (!won)
       throw new java.io.IOException(
         s"commit: version $next already committed by a concurrent writer; " +
-          s"staged data left at $dataDir, uncommitted manifest at $tmp")
+          s"staged data left at $dataDir")
     next
   }
 

@@ -23,11 +23,10 @@ import graft.operators.Dedup
   *   index/delta-00000000.committed   // batch 0's commit marker
   * }}}
   * Readers list MARKERS, never raw dirs, so partially-written data from a
-  * crashed attempt is invisible by construction. The marker is created by
-  * renaming a dot-prefixed temp FILE — a single-file rename (atomic on
-  * HDFS-like filesystems; on object stores a single small PUT — renaming a
-  * data DIRECTORY there would be a non-atomic multi-object copy, which is
-  * why the marker, not the dir, is the commit). foreachBatch is
+  * crashed attempt is invisible by construction. The marker is one small
+  * FILE published atomically ([[graft.sources.CommitProtocol]] — which is
+  * also why the marker, not the data dir, is the commit: a directory has
+  * no atomic-publish equivalent on object stores). foreachBatch is
   * at-least-once; a replayed batch finds its marker and skips, so the
   * index grows EXACTLY-ONCE across restarts. A replayed batch whose
   * marker is absent deletes the stale dir and rewrites it before
@@ -36,6 +35,14 @@ import graft.operators.Dedup
   * pre-batch index (deterministic pipeline → same matches, skipped via
   * their marker) and then commits the delta — converging to the no-crash
   * state.
+  *
+  * RESTART CONTRACT: markers are keyed by batchId, which Structured
+  * Streaming keeps stable only for the SAME checkpoint — restart with the
+  * original checkpointDir and the guarantee is unconditional (the same
+  * keying Delta's idempotent `txnAppId`/`txnVersion` sinks use). Starting
+  * over with a FRESH checkpoint is safe only if the source re-delivers
+  * identical batch boundaries; a source that re-batches differently would
+  * alias a processed batchId and skip unseen documents.
   *
   * Within a batch, exact duplicates (canonical text) collapse to the
   * min-id representative before the index probe; near-duplicates arriving
@@ -97,14 +104,11 @@ object StreamingDedup {
     if (fs.exists(dest) && !fs.delete(dest, true))
       throw new java.io.IOException(s"StreamingDedup: cannot clear stale attempt $dest")
     df.write.parquet(dest.toString)
-    val tmp = new Path(dest.getParent, "." + dest.getName + ".committed.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(Array.emptyByteArray) finally out.close()
-    if (!fs.rename(tmp, marker)) {
-      fs.delete(tmp, false) // lost a race (single-writer contract violated) — don't leak the tmp
-      if (!fs.exists(marker))
-        throw new java.io.IOException(s"StreamingDedup: commit rename $tmp -> $marker failed")
-    }
+    // a lost publish race (false) means another writer committed this very
+    // batch — single-writer contract bent, but their data is equivalent
+    // (same deterministic pipeline), so skipping is correct either way
+    graft.sources.CommitProtocol.publishFile(fs, marker, Array.emptyByteArray)
+    ()
   }
 
   /** Run the ingest stream to completion (AvailableNow) and return the
@@ -152,10 +156,17 @@ object StreamingDedup {
         val deltaMarker = new Path(indexRoot, f"delta-$batchId%08d.committed")
         if (!fs.exists(deltaMarker)) { // exactly-once: marker absent → process
           val rows = batch.select(col(idCol), col(textCol)).localCheckpoint(true)
-          // within-batch exact dedup: min-id representative per canonical text
+          // within-batch exact dedup: min-id representative per canonical
+          // text. Null canonical text (fetch failures) gets NO grouping —
+          // the window would otherwise collapse all null-text docs into
+          // "duplicates" of one arbitrary unrelated doc; each stays its own
+          // representative (and, having no shingles, never index-matches)
+          val fp = md5(Dedup.canonical(col(textCol)))
           val withRep = rows
-            .withColumn("__fp", md5(Dedup.canonical(col(textCol))))
-            .withColumn("__rep", min(col(idCol)).over(Window.partitionBy(col("__fp"))))
+            .withColumn("__fp", fp)
+            .withColumn("__rep",
+              when(col("__fp").isNull, col(idCol))
+                .otherwise(min(col(idCol)).over(Window.partitionBy(col("__fp")))))
           val reps = withRep.filter(col(idCol) === col("__rep"))
             .select(col(idCol), col(textCol))
           val innerMatches = withRep.filter(col(idCol) =!= col("__rep"))

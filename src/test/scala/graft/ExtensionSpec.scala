@@ -167,15 +167,22 @@ class ExtensionSpec extends SparkSpec {
       TextAnalysis.piiCounts($"text").alias("c")).collect()
     assert(r(0).getString(0) ==
       "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IP> end")
-    assert(r(0).getStruct(1).toSeq == Seq(2, 1, 1)) // n_email, n_ipv4, n_phone
+    assert(r(0).getStruct(1).toSeq == Seq(2, 1, 1, 0)) // email, ipv4, intl, paren
     assert(r(1).getString(0) == "no pii here at all")
-    assert(r(1).getStruct(1).toSeq == Seq(0, 0, 0))
+    assert(r(1).getStruct(1).toSeq == Seq(0, 0, 0, 0))
     assert(r(2).isNullAt(0))
-    // 256.1.1.1 is not an IPv4; the trailing octets alone still are not
-    // (word boundary blocks a partial match inside 256)
-    val notIp = Seq("x 256.1.1.1 y").toDF("text")
-      .select(TextAnalysis.redactPii($"text")).head().getString(0)
-    assert(notIp == "x 256.1.1.1 y")
+    // precision-first: dates, large integers, numeric rows, and non-IPv4
+    // dotted numbers must SURVIVE the scrub untouched
+    val safe = Seq(
+      "released 2024-01-01 00:00:00 build 12345678",
+      "rows: 10 20 30 40 50 60",
+      "x 256.1.1.1 y",
+      "a (202) 555-0147 b" // paren area code IS a phone
+    ).toDF("text").select(TextAnalysis.redactPii($"text")).as[String].collect()
+    assert(safe(0) == "released 2024-01-01 00:00:00 build 12345678")
+    assert(safe(1) == "rows: 10 20 30 40 50 60")
+    assert(safe(2) == "x 256.1.1.1 y")
+    assert(safe(3) == "a <PHONE> b")
   }
 
   test("text analysis: token counts, ratios, language id") {

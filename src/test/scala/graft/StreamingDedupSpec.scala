@@ -106,6 +106,22 @@ class StreamingDedupSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("new_id", "corpus_id", "jaccard_est", "batch_id"))
   }
 
+  test("null-text documents are never cross-matched; each is admitted separately") {
+    val root = Files.createTempDirectory("sdedup_null").toString
+    StreamingDedup.bootstrapIndex(spark, corpus, s"$root/index")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(Seq((301L, null: String), (302L, null: String),
+      (303L, "a real document about entirely fresh things never indexed before")))
+    val out = StreamingDedup.runAvailableNow(spark,
+      mem.toDF().toDF("doc_id", "text"), s"$root/index", s"$root/matches",
+      s"$root/ckpt", threshold = 0.5)
+    // the two null-text docs share a null fingerprint but must NOT be
+    // reported as duplicates of each other
+    assert(out.isEmpty)
+    assert(StreamingDedup.currentIndex(spark, s"$root/index").count() == 5 + 3)
+  }
+
   test("signature-length mismatch with the bootstrap index fails fast") {
     val root = Files.createTempDirectory("sdedup3").toString
     StreamingDedup.bootstrapIndex(spark, corpus, s"$root/index", numHashes = 8)
