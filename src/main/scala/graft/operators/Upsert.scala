@@ -132,7 +132,11 @@ object Upsert {
     val target = graft.sources.SnapshotManifest.read(spark, tableRoot)
     val version = graft.sources.SnapshotManifest.commit(
       spark, tableRoot, merge(target, staged, pkCols))
-    (version, auditUpdatedToday(graft.sources.SnapshotManifest.read(spark, tableRoot)))
+    // pin the audit to the version we just committed, not to read(): a
+    // concurrent commit landing in between would make the audit describe a
+    // different snapshot than the returned version
+    (version, auditUpdatedToday(spark.read.parquet(
+      graft.sources.SnapshotManifest.snapshotFiles(spark, tableRoot, version): _*)))
   }
 
   /** Post-merge audit (`utils.py:293-295`): rows whose UPDATE_TIMESTAMP is

@@ -11,12 +11,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * {{{
   *   manifest-00000003.json   // snapshot 3: header + one data-file path/line
   *   manifest-00000002.json   // older snapshots stay readable until vacuum
-  *   data/v00000003/part-*.parquet   // immutable once committed
+  *   data/v00000003-1f3a9c2e/part-*.parquet   // immutable once committed;
+  *                                            // nonce-unique per attempt
   * }}}
   *
   * Commit protocol (the Delta/Iceberg log shape, minus the engine):
-  *   1. write the new snapshot's data files under a fresh `data/v<N>/` dir —
-  *      invisible to readers, who only follow manifests;
+  *   1. write the new snapshot's data files under a fresh, per-attempt
+  *      UNIQUE `data/v<N>-<nonce>/` dir — invisible to readers, who only
+  *      follow manifests, and never shared with any other attempt, so
+  *      concurrent writers cannot touch each other's staged files;
   *   2. write `.manifest-<N>.tmp` listing those files;
   *   3. rename it to `manifest-<N>.json` — rename-to-a-NEW-name of ONE
   *      small file, atomic on HDFS-like filesystems. The rename IS the
@@ -30,13 +33,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Readers list `manifest-*.json` and follow the highest version — no
   * pointer file to swap, so reads need no coordination. Version-numbered
-  * manifests also give single-table optimistic concurrency: two writers
-  * racing to commit N cannot both win the rename, and the loser fails loudly
-  * without corrupting anything.
+  * manifests give single-table optimistic concurrency: two writers racing
+  * to commit N stage into disjoint dirs and cannot both win the manifest
+  * rename; the loser fails loudly without corrupting anything (its staged
+  * dir is inert garbage until [[vacuum]] sweeps it). The loser must re-read
+  * the table and retry — blind retry at N+1 would silently discard the
+  * winner's changes (lost update) for these read-modify-write commits.
   *
   * Scope: snapshot tables (whole-table replace per commit — the MERGE and
   * compaction shapes). Data files are never renamed or deleted by a commit;
-  * superseded snapshots are reclaimed explicitly by [[vacuum]].
+  * superseded snapshots and abandoned staging dirs are reclaimed explicitly
+  * by [[vacuum]], which requires NO concurrent writers (it reclaims any
+  * data dir no surviving manifest references — an in-flight commit's
+  * staging included).
   */
 object SnapshotManifest {
 
@@ -87,32 +96,28 @@ object SnapshotManifest {
     spark.read.parquet(snapshotFiles(spark, root, v): _*)
   }
 
-  /** Commit `df` as the next snapshot. Single-writer-per-table contract for
-    * the data-dir staging (like every sink here); the final rename detects a
-    * lost race and fails WITHOUT corrupting either competing snapshot.
+  /** Commit `df` as the next snapshot. Concurrent writers are SAFE: each
+    * attempt stages into its own unique dir (no attempt can delete or list
+    * another's files — there is no shared staging path at all), and the
+    * manifest rename detects a lost race and fails WITHOUT corrupting
+    * either competing snapshot. The loser's staged dir is left for
+    * inspection and later [[vacuum]]. Losers must re-read and retry — see
+    * the class doc for why blind retry is wrong for read-modify-write.
     *
     * @return the committed version
     */
   def commit(spark: SparkSession, root: String, df: DataFrame): Long = {
     val (fs, rootPath) = fsOf(spark, root)
     val next = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
-    val dataDir = new Path(rootPath, new Path("data", dataDirName(next)))
-    // a dir for version `next` can be a previous CRASHED attempt (clear it
-    // so its files don't leak into this commit's manifest) — or a
-    // concurrent writer's already-COMMITTED data, which deleting would
-    // corrupt their live snapshot. Re-check the manifest at the last
-    // moment: committed → lose the race loudly, touching nothing.
-    if (fs.exists(dataDir)) {
-      if (fs.exists(new Path(rootPath, manifestName(next))))
-        throw new java.io.IOException(
-          s"commit: version $next already committed by a concurrent writer; nothing staged")
-      if (!fs.delete(dataDir, true))
-        throw new java.io.IOException(s"commit: cannot clear stale attempt $dataDir")
-    }
+    // unique per-attempt staging: the version prefix is advisory (for
+    // humans); the nonce is what makes racing attempts disjoint. A crashed
+    // or lost-race attempt leaves an unreferenced dir that vacuum sweeps.
+    val dirName = s"${dataDirName(next)}-${java.util.UUID.randomUUID.toString.take(8)}"
+    val dataDir = new Path(rootPath, new Path("data", dirName))
     df.write.parquet(dataDir.toString)
     val files = fs.listStatus(dataDir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"data/${dataDirName(next)}/${s.getPath.getName}")
+      .map(s => s"data/$dirName/${s.getPath.getName}")
       .sorted
     require(files.nonEmpty, s"commit: write produced no parquet files under $dataDir")
     val manifest = new Path(rootPath, manifestName(next))
@@ -124,7 +129,8 @@ object SnapshotManifest {
     if (!won)
       throw new java.io.IOException(
         s"commit: version $next already committed by a concurrent writer; " +
-          s"staged data left at $dataDir")
+          s"re-read the table and retry; staged data left at $dataDir " +
+          "(unreferenced — vacuum sweeps it)")
     next
   }
 
@@ -148,9 +154,13 @@ object SnapshotManifest {
       spark.read.parquet(files: _*).coalesce(targetFiles)))
   }
 
-  /** Delete manifests and data dirs superseded by the newest `keep`
-    * snapshots. Readers pinned to a vacuumed snapshot lose it — the same
-    * retention contract as any table format's vacuum.
+  /** Delete manifests superseded by the newest `keep` snapshots, then sweep
+    * every data dir no surviving manifest references — superseded snapshots,
+    * crashed attempts, and lost-race staging alike (reachability, not
+    * name-derived paths, decides: staging dirs are nonce-named). Readers
+    * pinned to a vacuumed snapshot lose it, and an IN-FLIGHT commit's
+    * staging would be swept — run vacuum with no concurrent writers (the
+    * same exclusivity every table format's vacuum retention demands).
     */
   def vacuum(spark: SparkSession, root: String, keep: Int = 1): Seq[Long] = {
     require(keep >= 1, "vacuum must keep at least the current snapshot")
@@ -159,31 +169,30 @@ object SnapshotManifest {
       case ManifestRe(v) if s.isFile => Some(v.toLong)
       case _ => None
     }).sorted
+    // an uncommitted table has nothing to vacuum — and sweeping here would
+    // eat a bootstrap commit's staging for no benefit
+    if (versions.isEmpty) return Seq.empty
     val doomed = versions.dropRight(keep)
+    // live set FIRST, from the manifests that will survive: any dir under
+    // data/ outside this set is unreachable garbage once the doomed
+    // manifests are gone
+    val keptDirs = versions.drop(doomed.length).flatMap(v =>
+      snapshotFiles(spark, root, v).map(f => new Path(f).getParent.getName)).toSet
     doomed.foreach { v =>
       // manifest FIRST: once it is gone the version no longer exists, and
-      // the data dir is invisible garbage — a reader can never observe a
-      // manifest whose files have been deleted from under it
+      // its data dir is invisible garbage — a reader can never observe a
+      // manifest whose files have been deleted from under it. A crash
+      // between this loop and the sweep below leaves only such garbage,
+      // which the NEXT vacuum's reachability sweep reclaims.
       if (!fs.delete(new Path(rootPath, manifestName(v)), false))
         throw new java.io.IOException(s"vacuum: cannot delete manifest for version $v")
-      val dataDir = new Path(rootPath, new Path("data", dataDirName(v)))
-      if (fs.exists(dataDir) && !fs.delete(dataDir, true))
-        throw new java.io.IOException(s"vacuum: cannot delete $dataDir")
     }
-    // sweep orphan data dirs below the retention floor (a crash between the
-    // two deletes above leaves one; without this it would leak forever,
-    // since its version is no longer listed)
-    val floor = versions.drop(doomed.length).headOption
     val dataRoot = new Path(rootPath, "data")
-    if (floor.isDefined && fs.exists(dataRoot)) {
-      val orphanRe = "v(\\d{8,})".r
+    if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot).foreach { s =>
-        s.getPath.getName match {
-          case orphanRe(v) if s.isDirectory && v.toLong < floor.get &&
-              !fs.exists(new Path(rootPath, manifestName(v.toLong))) =>
-            if (!fs.delete(s.getPath, true))
-              throw new java.io.IOException(s"vacuum: cannot delete orphan ${s.getPath}")
-          case _ => ()
+        if (s.isDirectory && !keptDirs.contains(s.getPath.getName)) {
+          if (!fs.delete(s.getPath, true))
+            throw new java.io.IOException(s"vacuum: cannot delete ${s.getPath}")
         }
       }
     }

@@ -137,17 +137,19 @@ object StreamingDedup {
     if (!fs.exists(new Path(indexRoot, "base")))
       throw new IllegalStateException(
         s"StreamingDedup: no bootstrap index at $indexDir/base — call bootstrapIndex first")
-    // fail fast on a signature-length mismatch: a wrong index would drop
-    // bands silently (null band hashes) long before the per-candidate
-    // guard inside incrementalNearDuplicates could fire
-    currentIndex(spark, indexDir)
+    // fail fast on a signature-length mismatch ANYWHERE in the index: a
+    // single sampled row would pass on a MIXED index (base built with one
+    // numHashes, a later delta with another) and then silently drop bands
+    // for the mismatched subset. Audit the DISTINCT lengths instead — a
+    // map-side-combined agg over the signature column only, and limit(3)
+    // bounds the driver collect even on a pathological index.
+    val sigLens = currentIndex(spark, indexDir)
       .select(size(col("__sig")).alias("n")).filter(col("n").isNotNull)
-      .limit(1).collect().headOption.foreach { r =>
-        require(r.getInt(0) == bands * rowsPerBand,
-          s"StreamingDedup: index signatures have length ${r.getInt(0)} but " +
-            s"bands*rowsPerBand = ${bands * rowsPerBand}; rebuild the index with " +
-            s"bootstrapIndex(..., numHashes = ${bands * rowsPerBand})")
-      }
+      .distinct().limit(3).collect().map(_.getInt(0)).toSeq.sorted
+    require(sigLens.isEmpty || sigLens == Seq(bands * rowsPerBand),
+      s"StreamingDedup: index signature lengths $sigLens != expected " +
+        s"bands*rowsPerBand = ${bands * rowsPerBand}; rebuild the index with " +
+        s"bootstrapIndex(..., numHashes = ${bands * rowsPerBand})")
     val query = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)

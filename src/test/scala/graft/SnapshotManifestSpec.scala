@@ -47,10 +47,16 @@ class SnapshotManifestSpec extends SparkSpec {
     assert(SnapshotManifest.currentVersion(spark, root).contains(0L))
     assert(SnapshotManifest.read(spark, root).as[(Long, String)].collect().toSeq ==
       Seq((1L, "keep")))
-    // and the next commit reclaims the version: stale attempt dir cleared,
-    // new snapshot becomes current
+    // the next commit wins the version WITHOUT touching the crashed
+    // attempt's staging (disjoint nonce dirs — nothing to clear)
     val v = SnapshotManifest.commit(spark, root, Seq((2L, "next")).toDF("id", "x"))
     assert(v == 1L)
+    assert(SnapshotManifest.read(spark, root).as[(Long, String)].collect().toSeq ==
+      Seq((2L, "next")))
+    assert(fs.exists(new Path(root, "data/v00000001"))) // crashed staging still inert
+    // vacuum reclaims the unreferenced crashed attempt by reachability
+    SnapshotManifest.vacuum(spark, root, keep = 2)
+    assert(!fs.exists(new Path(root, "data/v00000001")))
     assert(SnapshotManifest.read(spark, root).as[(Long, String)].collect().toSeq ==
       Seq((2L, "next")))
   }
@@ -91,21 +97,62 @@ class SnapshotManifestSpec extends SparkSpec {
     assert(SnapshotManifest.currentVersion(spark, root).contains(1L))
   }
 
-  test("vacuum drops superseded snapshots and crashed-vacuum orphans only") {
+  test("vacuum drops superseded snapshots and unreferenced dirs only") {
     val root = newRoot()
     (0 to 2).foreach(i => SnapshotManifest.commit(spark, root, Seq((i.toLong, "v")).toDF("id", "x")))
     val fs = hfs(root)
+    val dirOf = (v: Long) => new Path(SnapshotManifest.snapshotFiles(spark, root, v).head).getParent
+    val (d0, d1, d2) = (dirOf(0L), dirOf(1L), dirOf(2L))
     assert(SnapshotManifest.vacuum(spark, root, keep = 2) == Seq(0L))
     assert(!fs.exists(new Path(root, "manifest-00000000.json")))
-    assert(!fs.exists(new Path(root, "data/v00000000")))
-    assert(fs.exists(new Path(root, "data/v00000001"))) // kept
+    assert(!fs.exists(d0))
+    assert(fs.exists(d1) && fs.exists(d2)) // referenced by surviving manifests
     // crashed-vacuum orphan: data dir whose manifest is already gone
-    Seq((9L, "orphan")).toDF("id", "x").write.parquet(s"$root/data/v00000001b")
-    fs.rename(new Path(root, "data/v00000001b"), new Path(root, "data/v00000000"))
+    Seq((9L, "orphan")).toDF("id", "x").write.parquet(s"$root/data/v00000000-dead")
     assert(SnapshotManifest.vacuum(spark, root, keep = 2).isEmpty)
-    assert(!fs.exists(new Path(root, "data/v00000000"))) // swept by the floor rule
+    assert(!fs.exists(new Path(root, "data/v00000000-dead"))) // swept by reachability
+    assert(fs.exists(d1) && fs.exists(d2))
     assert(SnapshotManifest.read(spark, root).as[(Long, String)].collect().toSeq ==
       Seq((2L, "v")))
+    // vacuum on an uncommitted table is a no-op (never eats bootstrap staging)
+    val empty = newRoot()
+    Seq((1L, "staging")).toDF("id", "x").write.parquet(s"$empty/data/v00000000-aaaa")
+    assert(SnapshotManifest.vacuum(spark, empty).isEmpty)
+    assert(hfs(empty).exists(new Path(empty, "data/v00000000-aaaa")))
+  }
+
+  test("racing concurrent commits: one winner per version, no snapshot mixes files") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root, Seq((0L, "base")).toDF("id", "x"))
+    // Two writers commit DISTINGUISHABLE whole-table snapshots at once,
+    // repeatedly. The old shared-staging layout let a loser's cleanup
+    // delete a winner's in-progress files → a committed manifest over
+    // partial data; with per-attempt dirs every committed snapshot must
+    // read back as EXACTLY one writer's input.
+    (1 to 3).foreach { round =>
+      val attempts = Seq("a", "b").map { tag =>
+        Future(scala.util.Try(SnapshotManifest.commit(spark, root,
+          Seq((round.toLong, tag), (round.toLong + 100, tag)).toDF("id", "x"))))
+      }
+      val outcomes = Await.result(Future.sequence(attempts), 120.seconds)
+      assert(outcomes.exists(_.isSuccess)) // at least one writer always lands
+    }
+    // every committed snapshot is internally consistent: exactly one tag
+    val fs = hfs(root)
+    val latest = SnapshotManifest.currentVersion(spark, root).get
+    (0L to latest).foreach { v =>
+      val snap = spark.read.parquet(SnapshotManifest.snapshotFiles(spark, root, v): _*)
+      assert(snap.select($"x").distinct().count() == 1, s"version $v mixes writers")
+      assert(snap.count() == (if (v == 0L) 1 else 2), s"version $v lost rows")
+    }
+    // vacuum reclaims every losing attempt's staging, keeps the live snapshot
+    SnapshotManifest.vacuum(spark, root, keep = 1)
+    val dataDirs = fs.listStatus(new Path(root, "data")).filter(_.isDirectory)
+    assert(dataDirs.length == 1)
+    assert(SnapshotManifest.read(spark, root).count() == 2)
   }
 
   test("mergeAndCommit: manifest-backed MERGE, previous snapshot intact") {

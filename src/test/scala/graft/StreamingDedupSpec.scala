@@ -131,7 +131,29 @@ class StreamingDedupSpec extends SparkSpec {
       StreamingDedup.runAvailableNow(spark, mem.toDF().toDF("doc_id", "text"),
         s"$root/index", s"$root/matches", s"$root/ckpt") // wants 4*3 = 12
     }
-    assert(e.getMessage.contains("length 8"))
+    assert(e.getMessage.contains("(8)") && e.getMessage.contains("= 12"))
+  }
+
+  test("MIXED-length index (delta appended with a different numHashes) fails fast") {
+    // a single-row sample can land on a matching row and pass; the distinct-
+    // length audit must catch the mismatched SUBSET (the ADVICE race: base
+    // at 12 hashes, a later delta at 8 — its bands would silently drop)
+    val root = Files.createTempDirectory("sdedup5").toString
+    StreamingDedup.bootstrapIndex(spark, corpus, s"$root/index", numHashes = 12)
+    import graft.operators.Dedup
+    val rogue = Dedup.signatureIndex(
+      Seq((99L, "a rogue delta built with the wrong hash count")).toDF("doc_id", "text"),
+      "doc_id", "text", numHashes = 8)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rogue.write.parquet(s"$root/index/delta-00000000")
+    fs.create(new Path(s"$root/index/delta-00000000.committed"), true).close()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.runAvailableNow(spark, mem.toDF().toDF("doc_id", "text"),
+        s"$root/index", s"$root/matches", s"$root/ckpt")
+    }
+    assert(e.getMessage.contains("8") && e.getMessage.contains("12"))
   }
 
   test("running without a bootstrap index fails loudly") {
