@@ -99,9 +99,14 @@ object Similarity {
     java.lang.Long.parseLong(hex, 16).toDouble / (math.pow(16, 8) / 2) - 1.0
   }
 
-  /** Random-hyperplane LSH bucket id: `numPlanes` sign bits of ⟨v, r_p⟩.
-    * Plane vectors are literal arrays (driver-precomputed, broadcast with
-    * the plan); the per-row work is numPlanes dot products in codegen.
+  /** Random-hyperplane LSH bucket id: `numPlanes` sign bits of ⟨v, r_p⟩,
+    * computed by the native fused kernel
+    * ([[graft.functions.expressions.HyperplaneBuckets]] — one codegen'd
+    * loop, no per-plane intermediate arrays or interpreted lambdas). The
+    * plane matrix is driver-precomputed and rides the plan as one
+    * reference object. Arithmetic is bit-identical to
+    * [[hyperplaneBucketBuiltin]], the HOF cross-check twin (use the twin
+    * for non-float/double element types).
     *
     * @param maxDims plane length; vectors longer than this use only the
     *                first maxDims components for bucketing (still a valid
@@ -112,6 +117,18 @@ object Similarity {
     *                banding trick: candidates = union over bands)
     */
   def hyperplaneBucket(vec: Column, numPlanes: Int = 8, maxDims: Int = 1024,
+      band: Int = 0): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.HyperplaneBuckets(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
+        Array.tabulate(numPlanes, maxDims)((p0, d) =>
+          planeComponent(band * numPlanes + p0, d))))
+
+  /** Built-in-only formulation of [[hyperplaneBucket]] (`aggregate` over
+    * `zip_with` per plane) — kept as the differential cross-check twin for
+    * the native kernel and for element types it rejects.
+    */
+  def hyperplaneBucketBuiltin(vec: Column, numPlanes: Int = 8, maxDims: Int = 1024,
       band: Int = 0): Column = {
     val signs = (0 until numPlanes).map { p0 =>
       val p = band * numPlanes + p0
@@ -207,18 +224,47 @@ object Similarity {
   /** Nearest-centroid assignment by cosine (deterministic tie-break: lower
     * cell id; zero-norm/null vectors drop out). The shared step of IVF
     * indexing and Lloyd refinement.
+    *
+    * ROW-LOCAL by construction: the k centroids (a constant-sized table)
+    * become literal arrays, each corpus row evaluates k fused cosine
+    * kernels and picks the argmax inside one projection — no crossJoin row
+    * explosion, no per-id shuffle. The previous shape (crossJoin ×k + a
+    * per-id top-1) shuffled the whole corpus ONCE PER LLOYD PASS; this one
+    * makes a refinement pass scan + (cell,dim) partial-sum shuffle only,
+    * which is the cost profile that survives 100 TB. Semantics are
+    * bit-identical: same kernel, same operand order, max cosine with ties
+    * to the lower cell id, null/zero-norm rows dropped.
     */
   private def assignToCells(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosine(col(vecCol), col("__centroid")))
-    // null filter after ranking (desc ranks nulls last) — a pre-window
-    // filter would push into the join and double-evaluate the kernel
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cell_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .filter(col("__sim").isNotNull)
-      .select(col(idCol), col(vecCol), col("cell_id"))
+    // k centroid rows to the driver — the same constant the broadcast
+    // carried; a null centroid (an initial sample from a null vector) can
+    // never win (its cosine is null), so it is dropped up front
+    val cents: Array[(Int, Seq[Double])] = centroids
+      .select(col("cell_id"), col("__centroid")).collect()
+      .flatMap { r =>
+        Option(r.get(1)).map(v => (r.getInt(0),
+          v.asInstanceOf[scala.collection.Seq[Any]].map {
+            case f: Float => f.toDouble
+            case d: Double => d
+            case null => throw new IllegalArgumentException(
+              "assignToCells: centroid has null component")
+          }.toSeq))
+      }
+      .sortBy(_._1)
+    require(cents.nonEmpty, "assignToCells: no non-null centroids")
+    // struct (sim, -cell_id): array_max's lexicographic struct ordering
+    // then yields max sim, ties to the LOWEST cell id — exactly the window
+    // ordering (__sim desc, cell_id asc) this replaces
+    val scoredArr = array(cents.map { case (cellId, vec) =>
+      struct(cosine(col(vecCol), typedLit(vec)).alias("s"),
+        lit(-cellId).alias("negCell"))
+    }: _*)
+    val best = array_max(filter(scoredArr, e => e.getField("s").isNotNull))
+    corpus.select(col(idCol), col(vecCol), best.alias("__best"))
+      .filter(col("__best").isNotNull)
+      .select(col(idCol), col(vecCol),
+        (-col("__best").getField("negCell")).cast("int").alias("cell_id"))
   }
 
   /** Fixed-iteration Lloyd refinement of IVF centroids, deterministic and

@@ -171,6 +171,50 @@ class ExpressionSpec extends SparkSpec {
     assert(out(2L) == ((Seq("one"), Seq("one"))))
   }
 
+  test("native hyperplane bucketing matches the HOF twin across shapes and bands") {
+    // deterministic pseudo-random fixture: dims 0..67 (empty, shorter and
+    // longer than a plane slice boundary would care about), null ELEMENTS
+    // every 7th row, a NULL vector row; both formulations must agree
+    // bit-for-bit including the null-vec→0 and empty-vec→all-bits contracts
+    val rows = (0 until 60).map { i =>
+      val dim = i % 17 * 4 // 0, 4, ..., 64
+      val v =
+        if (i % 19 == 3) null
+        else Array.tabulate(dim) { j =>
+          if (i % 7 == 2 && j % 5 == 1) null
+          else java.lang.Float.valueOf(
+            (Similarity.planeComponent(i + 100, j) * 3).toFloat)
+        }
+      (i.toLong, v)
+    }
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => org.apache.spark.sql.Row(r._1, r._2)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+    Seq((6, 0), (6, 1), (4, 2), (1, 0)).foreach { case (planes, band) =>
+      val both = df.select($"id",
+        Similarity.hyperplaneBucket($"v", planes, maxDims = 64, band = band).alias("native"),
+        Similarity.hyperplaneBucketBuiltin($"v", planes, maxDims = 64, band = band).alias("builtin"))
+      both.collect().foreach { r =>
+        assert(!r.isNullAt(1) && !r.isNullAt(2),
+          s"bucket must never be null (planes=$planes band=$band id=${r.getLong(0)})")
+        assert(r.getLong(1) == r.getLong(2),
+          s"planes=$planes band=$band id=${r.getLong(0)}: " +
+            s"native=${r.getLong(1)} builtin=${r.getLong(2)}")
+      }
+    }
+    // empty vector: every plane dot is 0.0 → all numPlanes bits set
+    val emptyBucket = df.filter(size($"v") === 0)
+      .select(Similarity.hyperplaneBucket($"v", 6, 64).alias("b")).head().getLong(0)
+    assert(emptyBucket == 63L)
+    // null vector: bucket 0 (the composed form's otherwise(0) per plane)
+    val nullBucket = df.filter($"v".isNull)
+      .select(Similarity.hyperplaneBucket($"v", 6, 64).alias("b")).head().getLong(0)
+    assert(nullBucket == 0L)
+  }
+
   test("topk is SQL-callable via GraftExtensions") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
