@@ -63,8 +63,11 @@ object Bench {
     // tail, so the driver's parse succeeds again: totals + the slowest 10
     // (the queries a grader acts on), full per-query map via queries_file
     val slow = jsonMap(results.sortBy(-_._2).take(10).map(r => r._1 -> r._2))
+    // "slowest_queries", not "queries": the truncated record must not be
+    // shape-identical to the full one, or a consumer silently treats the
+    // 10-query subset as the whole map
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,""" +
-      s""""queries":$slow,"queries_truncated_to_slowest":10,"n_queries":${results.length},""" +
+      s""""slowest_queries":$slow,"n_queries":${results.length},""" +
       s""""queries_file":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }

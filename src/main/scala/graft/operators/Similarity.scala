@@ -240,16 +240,20 @@ object Similarity {
     // k centroid rows to the driver — the same constant the broadcast
     // carried; a null centroid (an initial sample from a null vector) can
     // never win (its cosine is null), so it is dropped up front
+    // a centroid containing a null COMPONENT is dropped too, matching the
+    // crossJoin-era semantics where its cosine was null and it never won —
+    // a corpus whose sample includes such a vector degrades, not crashes
     val cents: Array[(Int, Seq[Double])] = centroids
       .select(col("cell_id"), col("__centroid")).collect()
       .flatMap { r =>
-        Option(r.get(1)).map(v => (r.getInt(0),
-          v.asInstanceOf[scala.collection.Seq[Any]].map {
-            case f: Float => f.toDouble
-            case d: Double => d
-            case null => throw new IllegalArgumentException(
-              "assignToCells: centroid has null component")
-          }.toSeq))
+        Option(r.get(1)).map(v =>
+          (r.getInt(0), v.asInstanceOf[scala.collection.Seq[Any]]))
+      }
+      .collect { case (cellId, vec) if !vec.contains(null) =>
+        (cellId, vec.map {
+          case f: Float => f.toDouble
+          case d: Double => d
+        }.toSeq)
       }
       .sortBy(_._1)
     require(cents.nonEmpty, "assignToCells: no non-null centroids")

@@ -26,7 +26,13 @@ private[graft] object CommitProtocol {
     */
   def publishFile(fs: FileSystem, dest: Path, content: Array[Byte]): Boolean = {
     if (fs.exists(dest)) return false
-    val tmp = new Path(dest.getParent, "." + dest.getName + ".tmp")
+    // Per-attempt unique tmp name: two writers racing to publish the same
+    // dest must never share a tmp file, else writer A can rename a tmp that
+    // writer B just overwrote and "commit" B's content as its own (silent
+    // lost update). The rename-to-dest below remains the single commit
+    // point; the loser deletes only its own tmp.
+    val tmp = new Path(dest.getParent,
+      "." + dest.getName + "." + java.util.UUID.randomUUID().toString + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(content) finally out.close()
     if (fs.rename(tmp, dest)) true
