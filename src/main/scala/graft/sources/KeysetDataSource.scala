@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, Jac
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual}
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -27,11 +27,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - batch reads support filter pushdown on the sort field (`>=`/`>`): the
   *     watermark predicate is evaluated source-side, exactly where the
   *     reference pushes `where sort_key > last_seen` into the request URL
-  *   - `readStream` plans one micro-batch per new page; the streaming offset
-  *     is the page index — the durable form of the reference's
-  *     `last_sort_value` cursor. Combined with the idempotent PK merge sink
-  *     (graft.streaming.IncrementalLoad) this reproduces the
-  *     at-least-once + dedup = effectively-once contract (SURVEY §2.11)
+  *   - `readStream` makes the source a first-class `MicroBatchStream` whose
+  *     OFFSET IS THE SORT-KEY WATERMARK — the durable form of the
+  *     reference's `last_sort_value` cursor (`ct_utils.py:232-249`): a
+  *     checkpointed offset `{"last": v}` means "every row with sort key
+  *     <= v is consumed", so restart resumes from the value, not from a
+  *     file position, exactly like re-issuing `where sort_key > v`
+  *     against the REST cursor. `option("maxRowsPerTrigger", n)` bounds
+  *     each micro-batch (admission control, value-granular: rows sharing
+  *     the cut's sort value land in the same batch so the strict `>`
+  *     resume can never skip them). Combined with the idempotent PK merge
+  *     sink (graft.streaming.IncrementalLoad) this reproduces the
+  *     at-least-once + dedup = effectively-once contract (SURVEY §2.11).
+  *     Keyset streaming consumes rows in sort-key order, so a row whose
+  *     key is null — or one appended late with a key at or below the
+  *     consumed watermark — is by definition unreachable (the same
+  *     contract as the reference's cursor; batch reads still see them)
   *
   * Registered as `spark.read.format("graft-keyset")` via DataSourceRegister.
   */
@@ -140,49 +151,167 @@ case class KeysetWatermark(value: String, strict: Boolean) {
 class KeysetScan(schema: StructType, options: CaseInsensitiveStringMap,
     sortField: String, watermark: Option[KeysetWatermark]) extends Scan {
   private val dir = KeysetDataSource.pathOf(options)
+  private val maxRowsPerTrigger: Option[Long] =
+    Option(options.get("maxRowsPerTrigger")).map { v =>
+      val n = v.toLong
+      require(n > 0, s"maxRowsPerTrigger must be positive, got $n")
+      n
+    }
   override def readSchema(): StructType = schema
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       KeysetDataSource.pageFiles(dir)
-        .map(f => KeysetInputPartition(f.getAbsolutePath): InputPartition).toArray
+        .map(f => KeysetInputPartition(f.getAbsolutePath, watermark.toSeq, None): InputPartition)
+        .toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      new KeysetReaderFactory(schema, sortField, watermark)
+      new KeysetReaderFactory(schema, sortField)
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KeysetMicroBatchStream(dir, schema, sortField, watermark)
+    new KeysetMicroBatchStream(dir, schema, sortField, watermark, maxRowsPerTrigger)
 }
 
-case class KeysetInputPartition(path: String) extends InputPartition
-
-/** Streaming offset = count of pages consumed (the durable twin of the
-  * reference's `last_sort_value`, `ct_utils.py:232-249`).
+/** One page file, scanned with value bounds: every `lowers` watermark must
+  * accept the row's sort value, and — for streaming batches — the value must
+  * be `<= upperInclusive`. Bounds travel IN the partition (not the factory)
+  * so batch and streaming share one reader.
   */
-case class KeysetOffset(pageIdx: Int) extends Offset {
-  override def json(): String = pageIdx.toString
+case class KeysetInputPartition(path: String, lowers: Seq[KeysetWatermark],
+    upperInclusive: Option[String]) extends InputPartition
+
+/** Streaming offset = the sort-key watermark itself (the durable twin of the
+  * reference's `last_sort_value` cursor, `ct_utils.py:232-249`): `last = v`
+  * means every row with sort key <= v is consumed; the next batch reads
+  * `(last, end]`. `None` = nothing consumed yet.
+  */
+case class KeysetOffset(last: Option[String]) extends Offset {
+  override def json(): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    last match {
+      case Some(v) => node.put("last", v)
+      case None    => node.putNull("last")
+    }
+    m.writeValueAsString(node)
+  }
 }
 
+object KeysetOffset {
+  def fromJson(json: String): KeysetOffset = {
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val l = n.get("last")
+    KeysetOffset(if (l == null || l.isNull) None else Some(l.asText()))
+  }
+}
+
+/** Micro-batch keyset stream: offset = sort-key watermark, admission bounded
+  * by `maxRowsPerTrigger` (value-granular — the cut lands on a sort VALUE, so
+  * rows sharing it are admitted together and the strict-`>` resume is
+  * gap-free even with duplicate keys). Implements
+  * [[SupportsAdmissionControl]] (rate limiting under every trigger) and
+  * [[SupportsTriggerAvailableNow]] (the end offset is frozen at start, so a
+  * writer appending pages mid-run cannot keep the run alive forever).
+  *
+  * The driver-side page scan below is the offline stand-in for the REST
+  * server's cursor endpoint (which answers "values after X" natively); it
+  * parses each page file ONCE per (size, mtime) via a memoized per-file
+  * sorted value list, so steady-state triggers cost one directory listing
+  * plus the new pages' parse — not a re-read of consumed history.
+  */
 class KeysetMicroBatchStream(dir: String, schema: StructType,
-    sortField: String, watermark: Option[KeysetWatermark]) extends MicroBatchStream {
-  override def initialOffset(): Offset = KeysetOffset(0)
+    sortField: String, watermark: Option[KeysetWatermark],
+    maxRowsPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  // (path, length, mtime) -> sorted non-null sort values (one entry per row)
+  private val pageValueCache =
+    scala.collection.mutable.HashMap.empty[(String, Long, Long), Array[String]]
+  // end-offset cap frozen by prepareForTriggerAvailableNow
+  @volatile private var availableNowCap: Option[Option[String]] = None
+
+  private def sortValuesOf(f: java.io.File): Array[String] = synchronized {
+    pageValueCache.getOrElseUpdate((f.getAbsolutePath, f.length(), f.lastModified()), {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val src = scala.io.Source.fromFile(f)("UTF-8")
+      try src.getLines().filter(_.trim.nonEmpty).flatMap { line =>
+        val node = mapper.readTree(line).get(sortField)
+        if (node == null || node.isNull) None else Some(node.asText())
+      }.toArray.sorted
+      finally src.close()
+    })
+  }
+
+  /** Unconsumed, watermark-accepted sort values (one per row), ascending. */
+  private def pendingValues(after: Option[String]): Array[String] =
+    KeysetDataSource.pageFiles(dir).iterator
+      .flatMap(sortValuesOf)
+      .filter(v => after.forall(v > _) && watermark.forall(_.accepts(v)))
+      .toArray.sorted
+
+  override def initialOffset(): Offset = KeysetOffset(None)
+
+  override def deserializeOffset(json: String): Offset = KeysetOffset.fromJson(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+
   override def latestOffset(): Offset =
-    KeysetOffset(KeysetDataSource.pageFiles(dir).length)
-  override def deserializeOffset(json: String): Offset = KeysetOffset(json.toInt)
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startLast = start.asInstanceOf[KeysetOffset].last
+    val pending0 = pendingValues(startLast)
+    // AvailableNow: never advance past the end frozen at start
+    val pending = availableNowCap match {
+      case Some(cap) => pending0.filter(v => cap.exists(v <= _))
+      case None      => pending0
+    }
+    val admitted = limit match {
+      case r: ReadMaxRows if pending.length > r.maxRows() =>
+        // cut ON a value: everything <= it is admitted, so the batch may
+        // exceed maxRows by the cut value's duplicate count — the price of
+        // a resumable value-offset (identical to a keyset LIMIT page whose
+        // last key repeats)
+        Some(pending(r.maxRows().toInt - 1))
+      case _ => pending.lastOption
+    }
+    KeysetOffset(admitted.orElse(startLast))
+  }
+
+  override def reportLatestOffset(): Offset =
+    KeysetOffset(pendingValues(None).lastOption)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(pendingValues(None).lastOption)
+
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[KeysetOffset].pageIdx
-    val e = end.asInstanceOf[KeysetOffset].pageIdx
-    KeysetDataSource.pageFiles(dir).slice(s, e)
-      .map(f => KeysetInputPartition(f.getAbsolutePath): InputPartition).toArray
+    val lo = start.asInstanceOf[KeysetOffset].last
+    val hi = end.asInstanceOf[KeysetOffset].last
+    if (hi.isEmpty) return Array.empty
+    val lowers = watermark.toSeq ++ lo.map(KeysetWatermark(_, strict = true))
+    // prune pages with no row in (lo, hi] up front — consumed or future
+    // pages plan no partition at all
+    KeysetDataSource.pageFiles(dir)
+      .filter(f => sortValuesOf(f).exists(v =>
+        lowers.forall(_.accepts(v)) && hi.exists(v <= _)))
+      .map(f => KeysetInputPartition(f.getAbsolutePath, lowers, hi): InputPartition)
+      .toArray
   }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new KeysetReaderFactory(schema, sortField, watermark)
+    new KeysetReaderFactory(schema, sortField)
 }
 
-class KeysetReaderFactory(schema: StructType, sortField: String,
-    watermark: Option[KeysetWatermark]) extends PartitionReaderFactory {
+class KeysetReaderFactory(schema: StructType, sortField: String)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val path = partition.asInstanceOf[KeysetInputPartition].path
+    val kp = partition.asInstanceOf[KeysetInputPartition]
+    val path = kp.path
+    val lowers = kp.lowers
+    val upper = kp.upperInclusive
     new PartitionReader[InternalRow] {
       private val parser = new JacksonParser(schema,
         new JSONOptions(Map.empty[String, String], "UTC"), allowArrayAsStructs = true)
@@ -197,13 +326,16 @@ class KeysetReaderFactory(schema: StructType, sortField: String,
       override def next(): Boolean = {
         while (!batch.hasNext && lines.hasNext) {
           val parsed = parser.parse(lines.next(), createParser, UTF8String.fromString)
-          // source-side watermark filter (the pushed keyset predicate):
-          // strictness preserved, null sort values excluded (SQL semantics —
-          // the filter was dropped from the plan, nobody re-checks it)
+          // source-side bound filters (the pushed keyset predicate and/or the
+          // streaming batch's (start, end] value range): strictness
+          // preserved, null sort values excluded (SQL semantics — a pushed
+          // filter was dropped from the plan, nobody re-checks it)
           batch = parsed.iterator.filter { row =>
-            watermark.isEmpty || sortIdx < 0 || {
-              val v = row.getUTF8String(sortIdx)
-              watermark.get.accepts(if (v == null) null else v.toString)
+            (lowers.isEmpty && upper.isEmpty) || sortIdx < 0 || {
+              val u = row.getUTF8String(sortIdx)
+              val v = if (u == null) null else u.toString
+              lowers.forall(_.accepts(v)) &&
+                upper.forall(hi => v != null && v <= hi)
             }
           }
         }
