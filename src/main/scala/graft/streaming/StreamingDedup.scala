@@ -53,14 +53,16 @@ import graft.operators.Dedup
   * 100 TB shape: per batch, one index scan (columnar, signatures only) +
   * the banded equi-join of [[Dedup.incrementalNearDuplicates]] — linear in
   * the batch, never all-pairs against the corpus. The delta population
-  * grows by one small dir per batch; compact them periodically (stream
-  * stopped, single-writer: union the log into a fresh `base` — the same
-  * maintenance cadence as [[graft.sources.PartitionedSink.compact]]).
+  * grows by one small dir per batch; [[compactIndex]] folds the log back
+  * into a single generation-numbered base under the same marker protocol
+  * (stream stopped, single-writer — the same maintenance cadence as
+  * [[graft.sources.PartitionedSink.compact]]).
   */
 object StreamingDedup {
 
   private val DeltaMarkerRe = "(delta-\\d{8,})\\.committed".r
   private val MatchesMarkerRe = "(matches-\\d{8,})\\.committed".r
+  private val BaseMarkerRe = "base-(\\d{8,})\\.committed".r
 
   /** Materialize the bootstrap corpus index at `indexDir/base`.
     * `numHashes` MUST equal the `bands * rowsPerBand` later passed to
@@ -80,18 +82,113 @@ object StreamingDedup {
       case _ => None
     }).sortBy(_.getName)
 
-  /** The committed index: base + every delta whose commit marker exists.
-    * Listing is marker-driven — uncommitted or partially-written dirs are
-    * never read (a glob over the dir would read them: Spark's hidden-file
-    * filter applies to files UNDER each input path, not to glob-matched
-    * directories themselves).
+  /** Resolve the current base generation and the set of dir names it
+    * superseded: the highest committed `base-<gen>` marker wins (its content
+    * lists every dir folded into it — the previous base and the folded
+    * deltas); no marker means the bootstrap `base` (generation 0, committed
+    * by existence, supersedes nothing).
+    */
+  private def resolveBase(fs: FileSystem, root: Path): (Path, Set[String]) = {
+    val gens =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.flatMap(s => s.getPath.getName match {
+        case BaseMarkerRe(g) if s.isFile => Some(g.toLong)
+        case _ => None
+      })
+    if (gens.isEmpty) (new Path(root, "base"), Set.empty)
+    else {
+      val gen = gens.max
+      val marker = new Path(root, f"base-$gen%08d.committed")
+      val in = fs.open(marker)
+      val text = try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
+        new String(bytes.toByteArray, "UTF-8")
+      } finally in.close()
+      (new Path(root, f"base-$gen%08d"),
+        text.split('\n').map(_.trim).filter(_.nonEmpty).toSet)
+    }
+  }
+
+  /** The committed index: the current base generation + every delta whose
+    * commit marker exists and that the base has NOT folded in (a compaction
+    * that crashed between marker publish and sweep leaves folded deltas on
+    * disk — the superseded list in the base marker keeps them invisible, so
+    * the index never double-counts). Listing is marker-driven —
+    * uncommitted or partially-written dirs are never read (a glob over the
+    * dir would read them: Spark's hidden-file filter applies to files UNDER
+    * each input path, not to glob-matched directories themselves).
     */
   def currentIndex(spark: SparkSession, indexDir: String): DataFrame = {
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val paths = new Path(root, "base") +: committedDirs(fs, root, DeltaMarkerRe)
+    val (base, superseded) = resolveBase(fs, root)
+    val paths = base +:
+      committedDirs(fs, root, DeltaMarkerRe).filterNot(p => superseded.contains(p.getName))
     spark.read.parquet(paths.map(_.toString): _*)
   }
+
+  /** Fold the current base + committed deltas into a single new
+    * generation-numbered base, under the SAME atomic-publish protocol as
+    * every commit here: write `base-<gen+1>/`, publish
+    * `base-<gen+1>.committed` (content = superseded dir names) via
+    * single-file rename — THE commit point — then sweep the superseded
+    * dirs and their markers. A crash before the publish leaves the old
+    * index fully current (the new dir is invisible garbage the next
+    * compaction clears); a crash after it leaves a readable compacted
+    * index whose superseded-but-unswept dirs the next compaction sweeps.
+    *
+    * Single-writer maintenance op: run with the stream STOPPED (like every
+    * table format's compaction). After a compaction, replaying history
+    * wholesale under a FRESH checkpoint is no longer marker-deduped (the
+    * folded deltas' markers are gone) — restart with the original
+    * checkpoint, which never replays committed batches.
+    *
+    * @return the new base dir name, or None if there was nothing to fold
+    *         (leftover garbage from a crashed prior compaction is still
+    *         swept)
+    */
+  def compactIndex(spark: SparkSession, indexDir: String): Option[String] = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (base, superseded) = resolveBase(fs, root)
+    require(fs.exists(base), s"compactIndex: no committed base at $base")
+    // sweep leftovers of a crashed prior compaction first — their data is
+    // already folded into the current base
+    sweepSuperseded(fs, root, superseded)
+    val live = committedDirs(fs, root, DeltaMarkerRe)
+      .filterNot(p => superseded.contains(p.getName))
+    if (live.isEmpty) return None
+    val gen =
+      if (base.getName == "base") 0L else base.getName.stripPrefix("base-").toLong
+    val newBase = new Path(root, f"base-${gen + 1}%08d")
+    if (fs.exists(newBase) && !fs.delete(newBase, true))
+      throw new java.io.IOException(s"compactIndex: cannot clear stale attempt $newBase")
+    spark.read.parquet((base +: live).map(_.toString): _*)
+      .write.parquet(newBase.toString)
+    val newSuperseded = base.getName +: live.map(_.getName)
+    val marker = new Path(root, newBase.getName + ".committed")
+    if (!graft.sources.CommitProtocol.publishFile(fs, marker,
+        newSuperseded.mkString("", "\n", "\n").getBytes("UTF-8")))
+      throw new java.io.IOException(
+        s"compactIndex: $marker already exists — concurrent compaction? " +
+          "compactIndex is a single-writer op")
+    sweepSuperseded(fs, root, newSuperseded.toSet)
+    Some(newBase.getName)
+  }
+
+  /** Delete superseded dirs, their delta markers, and base markers older
+    * than the current generation. Idempotent — missing paths are fine.
+    */
+  private def sweepSuperseded(fs: FileSystem, root: Path, superseded: Set[String]): Unit =
+    superseded.foreach { name =>
+      val dir = new Path(root, name)
+      if (fs.exists(dir) && !fs.delete(dir, true))
+        throw new java.io.IOException(s"compactIndex sweep: cannot delete $dir")
+      val marker = new Path(root, name + ".committed")
+      if (fs.exists(marker) && !fs.delete(marker, false))
+        throw new java.io.IOException(s"compactIndex sweep: cannot delete $marker")
+    }
 
   /** Idempotent commit of `df` at `dest` with marker `dest.committed`:
     * marker present → SKIP (keep the committed data); marker absent → any
@@ -134,9 +231,9 @@ object StreamingDedup {
   ): DataFrame = {
     val indexRoot = new Path(indexDir)
     val fs = indexRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(indexRoot, "base")))
+    if (!fs.exists(resolveBase(fs, indexRoot)._1))
       throw new IllegalStateException(
-        s"StreamingDedup: no bootstrap index at $indexDir/base — call bootstrapIndex first")
+        s"StreamingDedup: no bootstrap index at $indexDir — call bootstrapIndex first")
     // fail fast on a signature-length mismatch ANYWHERE in the index: a
     // single sampled row would pass on a MIXED index (base built with one
     // numHashes, a later delta with another) and then silently drop bands

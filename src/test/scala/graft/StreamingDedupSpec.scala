@@ -156,6 +156,60 @@ class StreamingDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("8") && e.getMessage.contains("12"))
   }
 
+  test("compactIndex: atomic generation swap, stream continues, crashed sweep stays invisible") {
+    val root = Files.createTempDirectory("sdedup_compact").toString
+    val (indexDir, matchesDir) = (s"$root/index", s"$root/matches")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StreamingDedup.bootstrapIndex(spark, corpus, indexDir)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    def run() = StreamingDedup.runAvailableNow(spark,
+      mem.toDF().toDF("doc_id", "text"), indexDir, matchesDir, s"$root/ckpt",
+      threshold = 0.5)
+    mem.addData(batch0)
+    run()
+    def indexRows() = StreamingDedup.currentIndex(spark, indexDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val before = indexRows()
+    assert(before.length == 6 && fs.exists(new Path(indexDir, "delta-00000000")))
+
+    // compact: one new generation, identical contents, log swept
+    assert(StreamingDedup.compactIndex(spark, indexDir).contains("base-00000001"))
+    assert(indexRows() == before)
+    assert(fs.exists(new Path(indexDir, "base-00000001.committed")))
+    assert(!fs.exists(new Path(indexDir, "base")))
+    assert(!fs.exists(new Path(indexDir, "delta-00000000")))
+    assert(!fs.exists(new Path(indexDir, "delta-00000000.committed")))
+
+    // nothing left to fold
+    assert(StreamingDedup.compactIndex(spark, indexDir).isEmpty)
+
+    // the stream keeps running against the compacted base (same checkpoint):
+    // 201 matches 102 — a member that now lives only in base-00000001
+    mem.addData(batch1)
+    val m1 = run().select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(m1.contains((201L, 102L)) && m1.contains((202L, 201L)))
+    assert(indexRows() == before) // batch1 admitted nothing
+
+    // crash window: a compaction that published its marker but died before
+    // the sweep leaves folded dirs on disk — recreate that state for a dir
+    // the CURRENT base marker lists as superseded, with poisoned contents
+    import graft.operators.Dedup
+    Dedup.signatureIndex(Seq((999L, "poison row that must never be read"))
+        .toDF("doc_id", "text"), "doc_id", "text", 12)
+      .write.parquet(s"$indexDir/delta-00000000")
+    fs.create(new Path(s"$indexDir/delta-00000000.committed"), true).close()
+    assert(indexRows() == before, "superseded dir must stay invisible to readers")
+
+    // the next compaction sweeps the leftover and folds the live (empty)
+    // delta-00000001 into generation 2
+    assert(StreamingDedup.compactIndex(spark, indexDir).contains("base-00000002"))
+    assert(indexRows() == before)
+    assert(!fs.exists(new Path(indexDir, "delta-00000000")))
+    assert(!fs.exists(new Path(indexDir, "base-00000001")))
+    assert(!fs.exists(new Path(indexDir, "base-00000001.committed")))
+  }
+
   test("running without a bootstrap index fails loudly") {
     val root = Files.createTempDirectory("sdedup4").toString
     implicit val sqlCtx = spark.sqlContext
