@@ -144,36 +144,52 @@ object Similarity {
   }
 
   /** Approximate top-k: bucket-join candidates (same hyperplane bucket) then
-    * exact cosine re-scoring. Recall is tunable via numPlanes (fewer planes →
-    * bigger buckets → higher recall, more compute).
+    * exact cosine re-scoring. Recall is tunable on two axes: numPlanes
+    * (fewer planes → bigger buckets → higher recall, more compute) and
+    * `bands` — the standard LSH amplification: each band buckets the corpus
+    * with an INDEPENDENT plane set, candidates are the union over bands, so
+    * a true neighbor is missed only if it disagrees with the query in EVERY
+    * band (miss probability (1-p^r)^b instead of 1-p^r). The same trick
+    * [[graft.operators.Dedup]] applies to MinHash.
     *
-    * Per-query candidate cost is ~|C|/2^numPlanes — sublinear by a constant
-    * factor, which is the LSH contract. The failure mode at scale is a
-    * DEGENERATE bucket (e.g. a mass of near-identical embeddings landing in
-    * one bucket): `maxBucketSize` drops corpus buckets above the cap via a
-    * window count on the join's own key (no extra shuffle) — the same skew
-    * guard as [[embeddingNearDuplicates]]. Default = uncapped, preserving
-    * exact recall semantics; set it when the corpus distribution is
-    * untrusted.
+    * Per-query candidate cost is ~bands·|C|/2^numPlanes — sublinear by a
+    * constant factor, which is the LSH contract. The failure mode at scale
+    * is a DEGENERATE bucket (e.g. a mass of near-identical embeddings
+    * landing in one bucket): `maxBucketSize` drops corpus buckets above the
+    * cap via a window count on the join's own key (no extra shuffle) — the
+    * same skew guard as [[embeddingNearDuplicates]]. Default = uncapped,
+    * preserving exact recall semantics; set it when the corpus distribution
+    * is untrusted.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       queryIdCol: String = "query_id", idCol: String = "vec_id",
       vecCol: String = "embedding", numPlanes: Int = 6,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue, bands: Int = 1): DataFrame = {
     require(maxBucketSize >= 1, "maxBucketSize must be >= 1")
-    val q = queries.select(col(queryIdCol).alias("query_id"), col(vecCol).alias("__qv"),
-      hyperplaneBucket(col(vecCol), numPlanes).alias("__bucket"))
-    val c0 = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"),
-      hyperplaneBucket(col(vecCol), numPlanes).alias("__bucket"))
-    val c =
-      if (maxBucketSize == Int.MaxValue) c0
-      else c0
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__bucket"))))
-        .filter(col("__n") <= maxBucketSize)
-        .drop("__n")
-    val scored = q.join(c, Seq("__bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    require(bands >= 1, "bands must be >= 1")
+    val candidates = (0 until bands).map { b =>
+      val q = queries.select(col(queryIdCol).alias("query_id"), col(vecCol).alias("__qv"),
+        hyperplaneBucket(col(vecCol), numPlanes, band = b).alias("__bucket"))
+      val c0 = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"),
+        hyperplaneBucket(col(vecCol), numPlanes, band = b).alias("__bucket"))
+      val c =
+        if (maxBucketSize == Int.MaxValue) c0
+        else c0
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__bucket"))))
+          .filter(col("__n") <= maxBucketSize)
+          .drop("__n")
+      q.join(c, Seq("__bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("__qv"), col("neighbor_id"), col("__cv"))
+    }
+    // union-of-bands candidate set: distinct BEFORE scoring, so a pair seen
+    // in several bands is scored once and can't occupy several ranks
+    val uniq =
+      if (bands == 1) candidates.head
+      else candidates.reduce(_ unionByName _)
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(first(col("__qv")).alias("__qv"), first(col("__cv")).alias("__cv"))
+    val scored = uniq.withColumn("cosine", cosine(col("__qv"), col("__cv")))
     rankByCosine(scored, k)
   }
 

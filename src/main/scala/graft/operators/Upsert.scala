@@ -139,6 +139,31 @@ object Upsert {
       graft.sources.SnapshotManifest.snapshotFiles(spark, tableRoot, version): _*)))
   }
 
+  /** Write `df` as a PK-bucketed catalog table — the 100-TB merge lever
+    * SCALE.md names for q06: with the target bucketed (and sorted) by its
+    * PK, every subsequent [[mergeBucketedTarget]] reads the target
+    * pre-partitioned on the join key, so the merge's full-outer join
+    * shuffles ONLY the (much smaller) staged side; the target-side
+    * Exchange — the dominant cost, since the target is the big table —
+    * disappears (asserted in BucketingSpec).
+    */
+  def bucketTarget(df: DataFrame, table: String, pkCols: Seq[String],
+      buckets: Int): Unit = {
+    require(pkCols.nonEmpty, "at least one PK column required")
+    df.write.bucketBy(buckets, pkCols.head, pkCols.tail: _*)
+      .sortBy(pkCols.head, pkCols.tail: _*)
+      .mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+  }
+
+  /** [[merge]] against a PK-bucketed catalog table ([[bucketTarget]]): same
+    * semantics, shuffle-free on the target side. The staged side still
+    * shuffles — into the target's bucket partitioning — which is the
+    * correct asymmetry: staged is a delta, the target is the corpus.
+    */
+  def mergeBucketedTarget(spark: SparkSession, targetTable: String,
+      staged: DataFrame, pkCols: Seq[String]): DataFrame =
+    merge(spark.table(targetTable), staged, pkCols)
+
   /** Post-merge audit (`utils.py:293-295`): rows whose UPDATE_TIMESTAMP is
     * today. Filter + count — pushed to the scan where stats allow.
     */

@@ -157,14 +157,22 @@ object SnapshotManifest {
   /** Delete manifests superseded by the newest `keep` snapshots, then sweep
     * every data dir no surviving manifest references — superseded snapshots,
     * crashed attempts, and lost-race staging alike (reachability, not
-    * name-derived paths, decides: staging dirs are nonce-named). Readers
-    * pinned to a vacuumed snapshot lose it, and an IN-FLIGHT commit's
-    * staging would be swept — run vacuum with no concurrent writers (the
-    * same exclusivity every table format's vacuum retention demands).
+    * name-derived paths, decides: staging dirs are nonce-named).
+    *
+    * `minAgeMs` is the retention guard: manifests and data dirs modified
+    * within the last `minAgeMs` are left untouched, so a mis-timed vacuum
+    * cannot eat an IN-FLIGHT commit's staging (unreferenced only because
+    * its manifest hasn't published yet) or a snapshot a reader just pinned.
+    * The default keeps nothing back (`0` — the no-concurrent-writers
+    * regime); pass an age comfortably above your longest commit (the same
+    * retention contract as every table format's vacuum).
     */
-  def vacuum(spark: SparkSession, root: String, keep: Int = 1): Seq[Long] = {
+  def vacuum(spark: SparkSession, root: String, keep: Int = 1,
+      minAgeMs: Long = 0L): Seq[Long] = {
     require(keep >= 1, "vacuum must keep at least the current snapshot")
+    require(minAgeMs >= 0, "minAgeMs must be non-negative")
     val (fs, rootPath) = fsOf(spark, root)
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val versions = fs.listStatus(rootPath).toSeq.flatMap(s => s.getPath.getName match {
       case ManifestRe(v) if s.isFile => Some(v.toLong)
       case _ => None
@@ -172,11 +180,13 @@ object SnapshotManifest {
     // an uncommitted table has nothing to vacuum — and sweeping here would
     // eat a bootstrap commit's staging for no benefit
     if (versions.isEmpty) return Seq.empty
-    val doomed = versions.dropRight(keep)
-    // live set FIRST, from the manifests that will survive: any dir under
-    // data/ outside this set is unreachable garbage once the doomed
-    // manifests are gone
-    val keptDirs = versions.drop(doomed.length).flatMap(v =>
+    val doomed = versions.dropRight(keep).filter { v =>
+      fs.getFileStatus(new Path(rootPath, manifestName(v))).getModificationTime <= cutoff
+    }
+    // live set FIRST, from the manifests that will survive (everything not
+    // doomed — including too-young superseded ones): any dir under data/
+    // outside this set is unreachable garbage once the doomed manifests go
+    val keptDirs = versions.filterNot(doomed.contains).flatMap(v =>
       snapshotFiles(spark, root, v).map(f => new Path(f).getParent.getName)).toSet
     doomed.foreach { v =>
       // manifest FIRST: once it is gone the version no longer exists, and
@@ -190,7 +200,11 @@ object SnapshotManifest {
     val dataRoot = new Path(rootPath, "data")
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot).foreach { s =>
-        if (s.isDirectory && !keptDirs.contains(s.getPath.getName)) {
+        // age gate on the DIR's own mtime: an in-flight commit's staging is
+        // young by definition — reachability alone cannot distinguish it
+        // from a crashed attempt until its manifest publishes (or never does)
+        if (s.isDirectory && !keptDirs.contains(s.getPath.getName) &&
+            s.getModificationTime <= cutoff) {
           if (!fs.delete(s.getPath, true))
             throw new java.io.IOException(s"vacuum: cannot delete ${s.getPath}")
         }

@@ -150,6 +150,57 @@ class ExtensionSpec extends SparkSpec {
     assert(servedPq == inlinePq && servedPq.nonEmpty)
   }
 
+  test("recall floors: the ANN paths must find planted near-neighbor structure") {
+    // q90/q91/q92 gate DETERMINISM of the recall computation (a hash match
+    // replays bit-for-bit) — but a deterministic recall of 0 would still
+    // hash-match; these floors pin the approximation QUALITY itself. The
+    // raw fixture cannot carry an absolute floor: its embeddings are
+    // unstructured noise (same-label and cross-label mean cosine are both
+    // ~0; the true top-3 sits at cosine ~0.35), and no sublinear ANN
+    // recalls noise-level neighbors — so the floor corpus PLANTS the
+    // structure ANN exists to find: three deterministic near-duplicates
+    // (cosine ≈ 0.999) of every query vector. An operator regression that
+    // breaks bucketing/probing/ADC breaks planted recall with it.
+    val emb = Tables.load(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
+    val q = emb.filter($"vec_id" < 10).select($"vec_id".alias("query_id"), $"embedding")
+    val planted = (0 until 3).map { copy =>
+      emb.filter($"vec_id" < 10).select(
+        (lit(10000) + $"vec_id" * 3 + lit(copy)).alias("vec_id"),
+        transform($"embedding",
+          (x, i) => when(i === ($"vec_id" + copy) % 64, x * 1.3f).otherwise(x))
+          .cast("array<float>").alias("embedding"))
+    }
+    val corpus = (emb +: planted).reduce(_ unionByName _)
+    val exact = Similarity.bruteForceTopK(q, corpus, k = 3)
+    def meanRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(approx, exact, k = 3)
+        .agg(avg($"recall")).head().getDouble(0)
+    val measured = Seq(
+      ("pq", meanRecall(Similarity.pqTopK(q, corpus, k = 3, refineIters = 4)), 0.8),
+      ("ivf", meanRecall(Similarity.ivfTopK(q, corpus, k = 3,
+        cells = 16, nprobe = 4, refineIters = 4)), 0.8),
+      ("lsh", meanRecall(Similarity.lshTopK(q, corpus, k = 3,
+        numPlanes = 6, bands = 4)), 0.8))
+    val failing = measured.filter { case (_, v, floor) => v < floor }
+    assert(failing.isEmpty, s"mean planted recall@3 below floor: $measured")
+  }
+
+  test("multi-band lshTopK: candidate union over bands, each pair ranked once") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val q = emb.filter($"vec_id" < 10).select($"vec_id".alias("query_id"), $"embedding")
+    val single = Similarity.lshTopK(q, emb, k = 3, numPlanes = 6, bands = 1)
+    val multi = Similarity.lshTopK(q, emb, k = 3, numPlanes = 6, bands = 4)
+    // amplification can only widen the candidate set
+    assert(multi.count() >= single.count())
+    // a pair found by several bands must still occupy exactly one rank
+    val dup = multi.groupBy($"query_id", $"neighbor_id").count().filter($"count" > 1)
+    assert(dup.isEmpty)
+    // ranks stay dense 1..n per query
+    val ranks = multi.groupBy($"query_id")
+      .agg(collect_list($"rank").alias("r")).select($"r").as[Seq[Int]].collect()
+    assert(ranks.forall(r => r.sorted == (1 to r.length)))
+  }
+
   test("embeddingNearDuplicates finds the exact-dup vector pair") {
     val out = Similarity.embeddingNearDuplicates(vecs, threshold = 0.999, numPlanes = 2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -78,6 +78,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(user_id"), plan)
   }
 
+  test("NO query plans a single-partition window (sweep over the whole inventory)") {
+    // the regression class PrefixSum exists to prevent: a Window with an
+    // empty partition spec funnels the whole input through one task — fine
+    // at sf0.001, fatal at 100 TB. Physical-node inspection, not string
+    // matching: partitionSpec is checked on every WindowExec-family node.
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+      val bad = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
+      }
+      if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"single-partition windows found:\n${offenders.mkString("\n")}")
+  }
+
   test("q86: incremental dedup is equi-joins only (no product join against the corpus)") {
     val plan = planOf(Queries.q86IncrementalDedup(spark, sfDir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),

@@ -121,6 +121,31 @@ class SnapshotManifestSpec extends SparkSpec {
     assert(hfs(empty).exists(new Path(empty, "data/v00000000-aaaa")))
   }
 
+  test("vacuum minAgeMs: an in-flight commit's staging and young manifests survive") {
+    val root = newRoot()
+    (0 to 1).foreach(i => SnapshotManifest.commit(spark, root, Seq((i.toLong, "v")).toDF("id", "x")))
+    val fs = hfs(root)
+    // simulate an IN-FLIGHT commit: data staged (just now), manifest not yet
+    // published — unreferenced, exactly what a reachability-only sweep eats
+    val inflight = s"$root/data/v00000002-beef0001"
+    Seq((7L, "inflight")).toDF("id", "x").write.parquet(inflight)
+    // everything here is seconds old → an age-guarded vacuum touches nothing
+    assert(SnapshotManifest.vacuum(spark, root, keep = 1, minAgeMs = 3600000L).isEmpty)
+    assert(fs.exists(new Path(inflight)))
+    assert(fs.exists(new Path(root, "manifest-00000000.json")))
+    // the in-flight commit publishes (the racing writer's manifest) — then
+    // an immediate vacuum reclaims only the now-superseded history
+    val files = fs.listStatus(new Path(inflight))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"data/v00000002-beef0001/${s.getPath.getName}").sorted
+    graft.sources.CommitProtocol.publishFile(fs, new Path(root, "manifest-00000002.json"),
+      (s"version=2\n" + files.mkString("", "\n", "\n")).getBytes("UTF-8"))
+    assert(SnapshotManifest.vacuum(spark, root, keep = 1) == Seq(0L, 1L))
+    assert(fs.exists(new Path(inflight)), "committed snapshot's data must survive")
+    assert(SnapshotManifest.read(spark, root).as[(Long, String)].collect().toSeq ==
+      Seq((7L, "inflight")))
+  }
+
   test("racing concurrent commits: one winner per version, no snapshot mixes files") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
