@@ -122,6 +122,74 @@ object Oracles {
     * oracles (q90/q91/q92): assumes an `approx(query_id, neighbor_id)` CTE
     * is already defined.
     */
+  /** Shared refined-IVF replay (q92/q94): md5-ordered 16-centroid election →
+    * 4 Lloyd passes (DECIMAL-sum means — exact, order-independent, so both
+    * engines commit to the same bits) → final assignment → nprobe=4 probing
+    * → exact candidate re-score. Mirrors
+    * `Similarity.ivfAssignCells(cells = 16, refineIters = 4)` +
+    * `ivfTopKFromIndex(nprobe = 4)`, queries vec_id < 10. Ends at the
+    * `cands(query_id, neighbor_id, cosine)` CTE; callers append their tail.
+    */
+  private lazy val ivfRefinedCandsCte: String = {
+    def lloydIter(i: Int) =
+      s"""s$i AS (
+         |  SELECT e.vec_id, e.embedding, c.cell_id,
+         |    ${cosSql("e.embedding", "c.centroid")} AS sim
+         |  FROM embeddings e CROSS JOIN c$i c),
+         |a$i AS (
+         |  SELECT vec_id, embedding, cell_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, cell_id ASC) AS rn
+         |    FROM s$i WHERE sim IS NOT NULL)
+         |  WHERE rn = 1),
+         |m$i AS (
+         |  SELECT a.cell_id, t.d,
+         |    CAST(sum(CAST(CAST(a.embedding[t.d] AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE)
+         |      / count(*) AS val
+         |  FROM a$i a CROSS JOIN range(1, 65) t(d)
+         |  GROUP BY a.cell_id, t.d),
+         |c${i + 1} AS (
+         |  SELECT c.cell_id, CASE WHEN m.cell_id IS NULL THEN c.centroid ELSE m.lst END AS centroid
+         |  FROM c$i c LEFT JOIN (
+         |    SELECT cell_id, list(val ORDER BY d) AS lst FROM m$i GROUP BY cell_id) m
+         |    ON m.cell_id = c.cell_id)""".stripMargin
+    s"""WITH samp AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 104729 ASC,
+       |    vec_id ASC
+       |  LIMIT 16),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cell_id,
+       |    [CAST(embedding[d] AS DOUBLE) for d in range(1, 65)] AS centroid
+       |  FROM samp),
+       |${(0 until 4).map(lloydIter).mkString(",\n")},
+       |sF AS (
+       |  SELECT e.vec_id, e.embedding, c.cell_id,
+       |    ${cosSql("e.embedding", "c.centroid")} AS sim
+       |  FROM embeddings e CROSS JOIN c4 c),
+       |asg AS (
+       |  SELECT vec_id, embedding, cell_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, cell_id ASC) AS rn
+       |    FROM sF WHERE sim IS NOT NULL)
+       |  WHERE rn = 1),
+       |q0 AS (
+       |  SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell_id,
+       |    ${cosSql("e.embedding", "c.centroid")} AS sim
+       |  FROM embeddings e CROSS JOIN c4 c WHERE e.vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, qv, cell_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, cell_id ASC) AS rn
+       |    FROM q0 WHERE sim IS NOT NULL)
+       |  WHERE rn <= 4),
+       |cands AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ${cosSql("p.qv", "a.embedding")} AS cosine
+       |  FROM probes p JOIN asg a ON p.cell_id = a.cell_id
+       |  WHERE p.query_id <> a.vec_id)""".stripMargin
+  }
+
   private val exactRecallTail: String =
     s"""ex0 AS (
        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -1379,72 +1447,31 @@ object Oracles {
     // md5 order), FOUR Lloyd passes (cosine argmax assignment, DECIMAL-sum
     // per-dimension means, empty cells carry), nprobe=4 probing vs the
     // refined centroids, exact re-score, recall left join.
-    "q92_ivf_recall" -> {
-      def lloydIter(i: Int) =
-        s"""s$i AS (
-           |  SELECT e.vec_id, e.embedding, c.cell_id,
-           |    ${cosSql("e.embedding", "c.centroid")} AS sim
-           |  FROM embeddings e CROSS JOIN c$i c),
-           |a$i AS (
-           |  SELECT vec_id, embedding, cell_id FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY vec_id
-           |      ORDER BY sim DESC, cell_id ASC) AS rn
-           |    FROM s$i WHERE sim IS NOT NULL)
-           |  WHERE rn = 1),
-           |m$i AS (
-           |  SELECT a.cell_id, t.d,
-           |    CAST(sum(CAST(CAST(a.embedding[t.d] AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE)
-           |      / count(*) AS val
-           |  FROM a$i a CROSS JOIN range(1, 65) t(d)
-           |  GROUP BY a.cell_id, t.d),
-           |c${i + 1} AS (
-           |  SELECT c.cell_id, CASE WHEN m.cell_id IS NULL THEN c.centroid ELSE m.lst END AS centroid
-           |  FROM c$i c LEFT JOIN (
-           |    SELECT cell_id, list(val ORDER BY d) AS lst FROM m$i GROUP BY cell_id) m
-           |    ON m.cell_id = c.cell_id)""".stripMargin
-      s"""WITH samp AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 104729 ASC,
-         |    vec_id ASC
-         |  LIMIT 16),
-         |c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) AS cell_id,
-         |    [CAST(embedding[d] AS DOUBLE) for d in range(1, 65)] AS centroid
-         |  FROM samp),
-         |${(0 until 4).map(lloydIter).mkString(",\n")},
-         |sF AS (
-         |  SELECT e.vec_id, e.embedding, c.cell_id,
-         |    ${cosSql("e.embedding", "c.centroid")} AS sim
-         |  FROM embeddings e CROSS JOIN c4 c),
-         |asg AS (
-         |  SELECT vec_id, embedding, cell_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY sim DESC, cell_id ASC) AS rn
-         |    FROM sF WHERE sim IS NOT NULL)
-         |  WHERE rn = 1),
-         |q0 AS (
-         |  SELECT e.vec_id AS query_id, e.embedding AS qv, c.cell_id,
-         |    ${cosSql("e.embedding", "c.centroid")} AS sim
-         |  FROM embeddings e CROSS JOIN c4 c WHERE e.vec_id < 10),
-         |probes AS (
-         |  SELECT query_id, qv, cell_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, cell_id ASC) AS rn
-         |    FROM q0 WHERE sim IS NOT NULL)
-         |  WHERE rn <= 4),
-         |cands AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |    ${cosSql("p.qv", "a.embedding")} AS cosine
-         |  FROM probes p JOIN asg a ON p.cell_id = a.cell_id
-         |  WHERE p.query_id <> a.vec_id),
+    "q92_ivf_recall" ->
+      s"""$ivfRefinedCandsCte,
          |approx AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT query_id, neighbor_id,
          |      row_number() OVER (PARTITION BY query_id
          |        ORDER BY cosine DESC, neighbor_id ASC) AS rn
          |    FROM cands WHERE cosine IS NOT NULL) WHERE rn <= 3),
-         |$exactRecallTail""".stripMargin
-    },
+         |$exactRecallTail""".stripMargin,
+
+    // ANN serving path (q94): the Spark side builds the refined IVF index,
+    // persists BOTH frames to parquet, reloads them, and serves the query
+    // batch from the reloaded index. The oracle replays the inline pipeline
+    // — a hash match proves the parquet round-trip of float vectors and
+    // DECIMAL-mean double centroids is bit-exact (the deployment contract).
+    "q94_ivf_serve" ->
+      s"""$ivfRefinedCandsCte,
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM cands WHERE cosine IS NOT NULL)
+         |SELECT query_id, neighbor_id, rank, round(cosine, 8) AS cosine
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
 
     // PII redaction replay: the same ordered regex chain (patterns embedded
     // from TextAnalysis.PiiPatterns — single source of truth), counts taken

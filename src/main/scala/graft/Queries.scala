@@ -1434,6 +1434,34 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** ANN serving path — the materialized-index deployment shape
+    * (Similarity.ivfTopKFromIndex's doc): the refined IVF index (cell
+    * assignments + centroids, both plain DataFrames) is built ONCE,
+    * persisted to parquet, RELOADED, and a query batch is served from the
+    * reloaded frames. Same parameters as q92's inline pipeline, so the
+    * DuckDB oracle replays that pipeline — the hash match gates that the
+    * parquet round-trip of float vectors and DECIMAL-mean double centroids
+    * is bit-exact, which is what makes the build-once/serve-many split
+    * safe to deploy. At scale this is the shape that never rescans or
+    * reassigns the corpus per query batch.
+    */
+  def q94IvfServe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("embedding"))
+    val (assigned, centroids) =
+      Similarity.ivfAssignCells(emb, 16, refineIters = 4)
+    val idx = java.nio.file.Files.createTempDirectory("q94_ivf_index").toString
+    assigned.write.mode("overwrite").parquet(s"$idx/assigned")
+    centroids.write.mode("overwrite").parquet(s"$idx/centroids")
+    Similarity.ivfTopKFromIndex(queries,
+      spark.read.parquet(s"$idx/assigned"),
+      spark.read.parquet(s"$idx/centroids"),
+      k = 3, nprobe = 4)
+      .withColumn("cosine", round(col("cosine"), 8))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1531,6 +1559,7 @@ object Queries {
     "q90_ann_recall" -> (q90AnnRecall _),
     "q91_lsh_recall" -> (q91LshRecall _),
     "q92_ivf_recall" -> (q92IvfRecall _),
-    "q93_pii_redact" -> (q93PiiRedact _)
+    "q93_pii_redact" -> (q93PiiRedact _),
+    "q94_ivf_serve" -> (q94IvfServe _)
   )
 }

@@ -3,12 +3,21 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Skew-mitigation utilities (the 100 TB design point the builder prompt
-  * calls out; AQE's skew-join split handles sort-merge cases at runtime —
-  * this helper covers the planned-salting case, e.g. a hot key known in
-  * advance, and stays fully deterministic: the salt is a hash of stable
-  * columns, never `rand()`, so retried tasks and reruns produce identical
-  * partitioning).
+/** Skew-mitigation utilities — the 100 TB design point.
+  *
+  * WHEN AQE SUFFICES vs WHEN TO SALT (decision rule, asserted in PlanSpec's
+  * `skew=true` test): AQE's skew-join split (`OptimizeSkewedJoin`) detects
+  * an oversized shuffle partition AT RUNTIME and splits it across tasks —
+  * it handles the sort-merge/shuffle-hash equi-join case with zero code
+  * changes and should be the FIRST answer to skew. Reach for manual
+  * salting only where AQE cannot act: (a) skewed AGGREGATIONS (AQE splits
+  * join partitions, not groupBy state), (b) a hot key known in advance
+  * whose split must be deterministic across reruns (AQE's task splits
+  * depend on runtime block sizes), (c) joins AQE won't touch (broadcast
+  * side already chosen, or non-shuffle operators downstream that must see
+  * a stable partitioning). This helper covers the planned-salting case and
+  * stays fully deterministic: the salt is a hash of stable columns, never
+  * `rand()`, so retried tasks and reruns produce identical partitioning.
   *
   * Shape: the LARGE side gets `salt = pmod(hash(saltBy...), factor)`; the
   * SMALL side is exploded `factor`× (one copy per salt value); the join key

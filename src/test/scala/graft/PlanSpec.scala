@@ -78,6 +78,44 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(user_id"), plan)
   }
 
+  test("AQE skew-join splits the hot partition at runtime (the adaptive twin of q66's manual salt)") {
+    // q66 demonstrates DETERMINISTIC pre-planned salting; this pins the
+    // adaptive alternative on the same shape of input — a hot key holding
+    // most of the bytes — so the engine documents both skew answers and
+    // when each applies (see operators/Skew.scala's decision rule).
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{when, lpad, concat, lit}
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a shuffle join
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~90% of rows (padded to ~120 B each) share key 1 → one shuffle
+      // partition dwarfs the median and trips the runtime skew detector
+      val big = spark.range(0, 20000)
+        .select(when($"id" % 10 < 9, 1L).otherwise($"id").alias("k"),
+          lpad($"id".cast("string"), 100, "x").alias("pad"))
+      val dim = spark.range(0, 1000).select($"id".alias("k"),
+        concat(lit("name_"), $"id").alias("name"))
+      val joined = big.join(dim, Seq("k"))
+      // 18000 hot-key rows + the 100 cold keys (ids 9,19,..,999) that fall
+      // inside dim's 0..999 range. collect() (not count(), which plans a
+      // SEPARATE query execution) materializes THIS df's AQE final plan.
+      assert(joined.collect().length == 18100)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not flag the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("NO query plans a single-partition window (sweep over the whole inventory)") {
     // the regression class PrefixSum exists to prevent: a Window with an
     // empty partition spec funnels the whole input through one task — fine
