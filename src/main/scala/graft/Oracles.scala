@@ -1343,6 +1343,16 @@ object Oracles {
          |FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
 
+    // PQ serving path (q95): Spark persists the byte-code table to parquet,
+    // reloads it, and serves with the re-derived codebook; the oracle
+    // replays q87's inline pipeline — the hash match gates the byte-code
+    // round-trip (q94's twin for the PQ deployment).
+    "q95_pq_serve" ->
+      s"""WITH $pqRefinedCte
+         |SELECT query_id, neighbor_id, rank, round(score, 8) AS score
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
     // Two-stage ANN: the q87 byte-code shortlist (top-20 by ADC) re-scored
     // with exact cosine, top-3 by true similarity.
     "q89_pq_rerank" ->

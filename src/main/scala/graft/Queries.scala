@@ -1462,6 +1462,28 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** PQ serving path — q94's twin for the byte-code deployment: the corpus
+    * is PQ-encoded ONCE (m bytes per vector, 64× smaller than the float64
+    * it replaces), the code table persisted to parquet, RELOADED, and the
+    * query batch ADC-scored against the reloaded codes with the
+    * deterministically re-derived codebook (the documented serving
+    * contract: the codebook is a pure function of the corpus and params).
+    * Same parameters as q87's inline pipeline, so the oracle replays it —
+    * the hash match gates the byte-code parquet round-trip.
+    */
+  def q95PqServe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("embedding"))
+    val cb = Similarity.pqCodebook(emb, m = 8, k = 16, refineIters = 4)
+    val idx = java.nio.file.Files.createTempDirectory("q95_pq_codes").toString
+    Similarity.pqEncodeCorpus(emb, cb).write.mode("overwrite").parquet(s"$idx/codes")
+    Similarity.pqTopKFromCodes(queries,
+      spark.read.parquet(s"$idx/codes"), cb, k = 3)
+      .withColumn("score", round(col("score"), 8))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1560,6 +1582,7 @@ object Queries {
     "q91_lsh_recall" -> (q91LshRecall _),
     "q92_ivf_recall" -> (q92IvfRecall _),
     "q93_pii_redact" -> (q93PiiRedact _),
-    "q94_ivf_serve" -> (q94IvfServe _)
+    "q94_ivf_serve" -> (q94IvfServe _),
+    "q95_pq_serve" -> (q95PqServe _)
   )
 }
