@@ -1445,13 +1445,28 @@ object Queries {
     * safe to deploy. At scale this is the shape that never rescans or
     * reassigns the corpus per query batch.
     */
+  /** Per-JVM root for the serving queries' persisted index artifacts:
+    * deleted on JVM exit, so bench's 4 executions per query per round (and
+    * plan-only constructions in specs) don't strand corpus-sized dirs.
+    */
+  private lazy val serveIdxRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft_serve_idx")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+
   def q94IvfServe(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").alias("query_id"), col("embedding"))
     val (assigned, centroids) =
       Similarity.ivfAssignCells(emb, 16, refineIters = 4)
-    val idx = java.nio.file.Files.createTempDirectory("q94_ivf_index").toString
+    val idx = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q94").toString
     assigned.write.mode("overwrite").parquet(s"$idx/assigned")
     centroids.write.mode("overwrite").parquet(s"$idx/centroids")
     Similarity.ivfTopKFromIndex(queries,
@@ -1476,7 +1491,7 @@ object Queries {
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").alias("query_id"), col("embedding"))
     val cb = Similarity.pqCodebook(emb, m = 8, k = 16, refineIters = 4)
-    val idx = java.nio.file.Files.createTempDirectory("q95_pq_codes").toString
+    val idx = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q95").toString
     Similarity.pqEncodeCorpus(emb, cb).write.mode("overwrite").parquet(s"$idx/codes")
     Similarity.pqTopKFromCodes(queries,
       spark.read.parquet(s"$idx/codes"), cb, k = 3)

@@ -305,15 +305,20 @@ object Similarity {
     if (iters <= 0) return initial
     // centroids live as double arrays from here on (float→double is exact,
     // and the cosine kernel computes in double either way)
+    // a centroid containing a null COMPONENT degrades to an absent centroid
+    // (its cosine would be null — it can never attract a vector), the same
+    // contract as assignToCells: a corpus whose elected sample includes
+    // such a vector degrades, not crashes
     var cur: Array[(Int, Option[Array[Double]])] = initial
       .select(col("cell_id"), col("__centroid"))
       .collect()
       .map { r =>
-        val vec = Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[Any]].map {
-          case f: Float => f.toDouble
-          case d: Double => d
-          case null => throw new IllegalArgumentException("refineCentroids: null component")
-        }.toArray)
+        val vec = Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[Any]])
+          .filterNot(_.contains(null))
+          .map(_.map {
+            case f: Float => f.toDouble
+            case d: Double => d
+          }.toArray)
         (r.getInt(0), vec)
       }
       .sortBy(_._1)

@@ -136,7 +136,7 @@ class KeysetScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
       if (watermark.isEmpty || required.fieldNames.contains(sortField) ||
           !schema.fieldNames.contains(sortField)) required
       else StructType(required.fields :+ schema(sortField))
-    new KeysetScan(effective, options, sortField, watermark)
+    new KeysetScan(effective, schema, options, sortField, watermark)
   }
 }
 
@@ -148,7 +148,8 @@ case class KeysetWatermark(value: String, strict: Boolean) {
     v != null && (if (strict) v > value else v >= value)
 }
 
-class KeysetScan(schema: StructType, options: CaseInsensitiveStringMap,
+class KeysetScan(schema: StructType, fullSchema: StructType,
+    options: CaseInsensitiveStringMap,
     sortField: String, watermark: Option[KeysetWatermark]) extends Scan {
   private val dir = KeysetDataSource.pathOf(options)
   private val maxRowsPerTrigger: Option[Long] =
@@ -166,8 +167,28 @@ class KeysetScan(schema: StructType, options: CaseInsensitiveStringMap,
     override def createReaderFactory(): PartitionReaderFactory =
       new KeysetReaderFactory(schema, sortField)
   }
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new KeysetMicroBatchStream(dir, schema, sortField, watermark, maxRowsPerTrigger)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // offsets compare sort values as TEXT — correct for the reference's
+    // ISO-8601 cursor, silently wrong for numeric keys ("10" < "9" would
+    // permanently drop rows). Fail loudly instead of losing data.
+    if (fullSchema.fieldNames.contains(sortField)) {
+      val dt = fullSchema(sortField).dataType
+      require(dt == StringType,
+        s"graft-keyset streaming requires a STRING sort field: '$sortField' is " +
+          s"$dt, and the value offset orders lexicographically (the ISO-8601 " +
+          "keyset contract) — a numeric key would compare as text and " +
+          "silently lose rows")
+    }
+    // the stream's (start, end] row filter needs the sort field even when
+    // column pruning dropped it: re-add it to the READER schema only.
+    // readSchema() stays pruned — the reader's rows carry the extra field
+    // in trailing position, which the scan's output ordinals never touch.
+    val readerSchema =
+      if (schema.fieldNames.contains(sortField) ||
+          !fullSchema.fieldNames.contains(sortField)) schema
+      else StructType(schema.fields :+ fullSchema(sortField))
+    new KeysetMicroBatchStream(dir, readerSchema, sortField, watermark, maxRowsPerTrigger)
+  }
 }
 
 /** One page file, scanned with value bounds: every `lowers` watermark must
@@ -198,8 +219,13 @@ case class KeysetOffset(last: Option[String]) extends Offset {
 object KeysetOffset {
   def fromJson(json: String): KeysetOffset = {
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    // strict: an unrecognized shape (e.g. a legacy integer page-index
+    // checkpoint) must FAIL, not alias the "nothing consumed" offset —
+    // silently mapping it to None would replay the entire history
+    require(n != null && n.isObject && n.has("last"),
+      s"""not a keyset offset (expected {"last": <value|null>}): $json""")
     val l = n.get("last")
-    KeysetOffset(if (l == null || l.isNull) None else Some(l.asText()))
+    KeysetOffset(if (l.isNull) None else Some(l.asText()))
   }
 }
 
@@ -229,21 +255,37 @@ class KeysetMicroBatchStream(dir: String, schema: StructType,
   @volatile private var availableNowCap: Option[Option[String]] = None
 
   private def sortValuesOf(f: java.io.File): Array[String] = synchronized {
-    pageValueCache.getOrElseUpdate((f.getAbsolutePath, f.length(), f.lastModified()), {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val src = scala.io.Source.fromFile(f)("UTF-8")
-      try src.getLines().filter(_.trim.nonEmpty).flatMap { line =>
-        val node = mapper.readTree(line).get(sortField)
-        if (node == null || node.isNull) None else Some(node.asText())
-      }.toArray.sorted
-      finally src.close()
-    })
+    val key = (f.getAbsolutePath, f.length(), f.lastModified())
+    pageValueCache.get(key) match {
+      case Some(vs) => vs
+      case None =>
+        // a re-written page changes (length, mtime): evict the stale
+        // generation's array first, so the cache is bounded by the CURRENT
+        // page set, not by every generation ever observed
+        pageValueCache.filterInPlace { case ((p, _, _), _) => p != f.getAbsolutePath }
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val src = scala.io.Source.fromFile(f)("UTF-8")
+        val vs =
+          try src.getLines().filter(_.trim.nonEmpty).flatMap { line =>
+            val node = mapper.readTree(line).get(sortField)
+            if (node == null || node.isNull) None else Some(node.asText())
+          }.toArray.sorted
+          finally src.close()
+        pageValueCache.put(key, vs)
+        vs
+    }
   }
 
-  /** Unconsumed, watermark-accepted sort values (one per row), ascending. */
+  /** Unconsumed, watermark-accepted sort values (one per row), ascending.
+    * Pages whose cached max value is already consumed are skipped outright,
+    * so the per-trigger cost tracks the BACKLOG (plus one listing), not the
+    * total history.
+    */
   private def pendingValues(after: Option[String]): Array[String] =
     KeysetDataSource.pageFiles(dir).iterator
-      .flatMap(sortValuesOf)
+      .map(sortValuesOf)
+      .filter(vs => vs.nonEmpty && after.forall(vs.last > _))
+      .flatten
       .filter(v => after.forall(v > _) && watermark.forall(_.accepts(v)))
       .toArray.sorted
 

@@ -131,18 +131,24 @@ object StreamingDedup {
   /** Fold the current base + committed deltas into a single new
     * generation-numbered base, under the SAME atomic-publish protocol as
     * every commit here: write `base-<gen+1>/`, publish
-    * `base-<gen+1>.committed` (content = superseded dir names) via
+    * `base-<gen+1>.committed` (content = CUMULATIVE superseded dir names —
+    * this generation's folds plus every earlier generation's) via
     * single-file rename — THE commit point — then sweep the superseded
-    * dirs and their markers. A crash before the publish leaves the old
-    * index fully current (the new dir is invisible garbage the next
+    * DATA dirs and old base markers. A crash before the publish leaves the
+    * old index fully current (the new dir is invisible garbage the next
     * compaction clears); a crash after it leaves a readable compacted
     * index whose superseded-but-unswept dirs the next compaction sweeps.
     *
+    * Folded deltas' commit markers are KEPT as tombstones (empty files,
+    * one per historical batch): a batch whose delta was committed and then
+    * folded — but whose Spark offset-log entry never landed (the crash
+    * window between the two) — is REPLAYED on restart, and only its
+    * marker's existence stops it from re-appending its signatures on top
+    * of the compacted base. The cumulative superseded list is what keeps
+    * those tombstoned names invisible to readers across generations.
+    *
     * Single-writer maintenance op: run with the stream STOPPED (like every
-    * table format's compaction). After a compaction, replaying history
-    * wholesale under a FRESH checkpoint is no longer marker-deduped (the
-    * folded deltas' markers are gone) — restart with the original
-    * checkpoint, which never replays committed batches.
+    * table format's compaction).
     *
     * @return the new base dir name, or None if there was nothing to fold
     *         (leftover garbage from a crashed prior compaction is still
@@ -155,7 +161,7 @@ object StreamingDedup {
     require(fs.exists(base), s"compactIndex: no committed base at $base")
     // sweep leftovers of a crashed prior compaction first — their data is
     // already folded into the current base
-    sweepSuperseded(fs, root, superseded)
+    sweepSupersededData(fs, root, superseded)
     val live = committedDirs(fs, root, DeltaMarkerRe)
       .filterNot(p => superseded.contains(p.getName))
     if (live.isEmpty) return None
@@ -166,28 +172,33 @@ object StreamingDedup {
       throw new java.io.IOException(s"compactIndex: cannot clear stale attempt $newBase")
     spark.read.parquet((base +: live).map(_.toString): _*)
       .write.parquet(newBase.toString)
-    val newSuperseded = base.getName +: live.map(_.getName)
+    // cumulative: prior generations' folds stay superseded forever (their
+    // tombstone markers remain listable), plus the old base and this fold
+    val newSuperseded = (superseded ++ (base.getName +: live.map(_.getName))).toSeq.sorted
     val marker = new Path(root, newBase.getName + ".committed")
     if (!graft.sources.CommitProtocol.publishFile(fs, marker,
         newSuperseded.mkString("", "\n", "\n").getBytes("UTF-8")))
       throw new java.io.IOException(
         s"compactIndex: $marker already exists — concurrent compaction? " +
           "compactIndex is a single-writer op")
-    sweepSuperseded(fs, root, newSuperseded.toSet)
+    sweepSupersededData(fs, root, newSuperseded.toSet)
+    // the old base's marker is NOT a replay tombstone (no batch is keyed by
+    // it) — drop it so resolveBase never sees two generations claiming
+    // different superseded sets
+    val oldBaseMarker = new Path(root, base.getName + ".committed")
+    if (fs.exists(oldBaseMarker) && !fs.delete(oldBaseMarker, false))
+      throw new java.io.IOException(s"compactIndex: cannot delete $oldBaseMarker")
     Some(newBase.getName)
   }
 
-  /** Delete superseded dirs, their delta markers, and base markers older
-    * than the current generation. Idempotent — missing paths are fine.
+  /** Delete superseded DATA dirs only — folded deltas' marker files stay
+    * behind as replay tombstones. Idempotent — missing paths are fine.
     */
-  private def sweepSuperseded(fs: FileSystem, root: Path, superseded: Set[String]): Unit =
+  private def sweepSupersededData(fs: FileSystem, root: Path, superseded: Set[String]): Unit =
     superseded.foreach { name =>
       val dir = new Path(root, name)
       if (fs.exists(dir) && !fs.delete(dir, true))
         throw new java.io.IOException(s"compactIndex sweep: cannot delete $dir")
-      val marker = new Path(root, name + ".committed")
-      if (fs.exists(marker) && !fs.delete(marker, false))
-        throw new java.io.IOException(s"compactIndex sweep: cannot delete $marker")
     }
 
   /** Idempotent commit of `df` at `dest` with marker `dest.committed`:

@@ -61,6 +61,53 @@ class KeysetDataSourceSpec extends SparkSpec {
       assert(KeysetOffset.fromJson(KeysetOffset(Some(v)).json()) == KeysetOffset(Some(v)))
     }
     assert(KeysetOffset.fromJson(KeysetOffset(None).json()) == KeysetOffset(None))
+    // an unrecognized shape (e.g. a legacy integer page-index checkpoint)
+    // must fail loudly, not alias the "replay everything" initial offset
+    for (bad <- Seq("3", "[1]", "{\"page\":3}", "null")) {
+      val e = intercept[IllegalArgumentException](KeysetOffset.fromJson(bad))
+      assert(e.getMessage.contains("keyset offset"), s"$bad: ${e.getMessage}")
+    }
+  }
+
+  test("streaming refuses a non-string sort field (text ordering would lose rows)") {
+    val dir = Files.createTempDirectory("keyset_numeric_pages")
+    Files.writeString(dir.resolve("page_00.json"),
+      """{"id":"a","seq":9}
+        |{"id":"b","seq":10}
+        |""".stripMargin)
+    val ckpt = Files.createTempDirectory("keyset_numeric_ckpt").toString
+    val q = spark.readStream.format("graft-keyset")
+      .option("path", dir.toString).option("sortField", "seq").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val e = intercept[Exception](q.awaitTermination())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("STRING sort field")),
+      s"expected the sort-field type guard, got: ${messages(e)}")
+  }
+
+  test("streaming with the sort field pruned off still filters the batch range (no dupes)") {
+    val ckpt = Files.createTempDirectory("keyset_pruned_ckpt").toString
+    val stream = spark.readStream.format("graft-keyset").option("path", pagesDir)
+      .option("maxRowsPerTrigger", "3").load()
+      .select(col("id")) // projection drops lastModifiedAt from the plan
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => out.add(r.getString(0))); ()
+      }
+      .start()
+    q.awaitTermination()
+    val all = out.asScala.toSeq
+    assert(all.length == all.distinct.length, s"duplicate delivery: $all")
+    assert(all.sorted == Seq("o01", "o02", "o03", "o04", "o05", "o06", "o07"))
   }
 
   test("maxRowsPerTrigger bounds each micro-batch; union of batches = exactly the table") {

@@ -173,13 +173,17 @@ class StreamingDedupSpec extends SparkSpec {
     val before = indexRows()
     assert(before.length == 6 && fs.exists(new Path(indexDir, "delta-00000000")))
 
-    // compact: one new generation, identical contents, log swept
+    // compact: one new generation, identical contents, data log swept; the
+    // folded delta's MARKER stays behind as a replay tombstone (the crash
+    // window between a delta commit and Spark's offset-log write replays
+    // the batch — only the marker's existence stops a re-append)
     assert(StreamingDedup.compactIndex(spark, indexDir).contains("base-00000001"))
     assert(indexRows() == before)
     assert(fs.exists(new Path(indexDir, "base-00000001.committed")))
     assert(!fs.exists(new Path(indexDir, "base")))
     assert(!fs.exists(new Path(indexDir, "delta-00000000")))
-    assert(!fs.exists(new Path(indexDir, "delta-00000000.committed")))
+    assert(fs.exists(new Path(indexDir, "delta-00000000.committed")),
+      "folded delta marker must survive as a replay tombstone")
 
     // nothing left to fold
     assert(StreamingDedup.compactIndex(spark, indexDir).isEmpty)
@@ -202,12 +206,30 @@ class StreamingDedupSpec extends SparkSpec {
     assert(indexRows() == before, "superseded dir must stay invisible to readers")
 
     // the next compaction sweeps the leftover and folds the live (empty)
-    // delta-00000001 into generation 2
+    // delta-00000001 into generation 2; the CUMULATIVE superseded list
+    // keeps generation-1 folds invisible too
     assert(StreamingDedup.compactIndex(spark, indexDir).contains("base-00000002"))
     assert(indexRows() == before)
     assert(!fs.exists(new Path(indexDir, "delta-00000000")))
     assert(!fs.exists(new Path(indexDir, "base-00000001")))
-    assert(!fs.exists(new Path(indexDir, "base-00000001.committed")))
+    assert(!fs.exists(new Path(indexDir, "base-00000001.committed")),
+      "old base marker is not a tombstone — no batch is keyed by it")
+    assert(fs.exists(new Path(indexDir, "delta-00000000.committed")) &&
+      fs.exists(new Path(indexDir, "delta-00000001.committed")),
+      "every folded delta keeps its tombstone across generations")
+
+    // crash-window replay AFTER compaction: the source re-delivers the
+    // folded batches wholesale (fresh checkpoint = the at-least-once
+    // worst case). Tombstones make every replayed batch skip — the index
+    // must not grow a second copy of any folded signature.
+    val mem2 = MemoryStream[(Long, String)]
+    mem2.addData(batch0)
+    mem2.addData(batch1)
+    StreamingDedup.runAvailableNow(spark,
+      mem2.toDF().toDF("doc_id", "text"), indexDir, matchesDir,
+      s"$root/ckpt_replay", threshold = 0.5)
+    assert(indexRows() == before,
+      "replayed folded batches must not re-append their signatures")
   }
 
   test("running without a bootstrap index fails loudly") {
