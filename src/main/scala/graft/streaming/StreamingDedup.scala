@@ -191,6 +191,39 @@ object StreamingDedup {
     Some(newBase.getName)
   }
 
+  /** Remove folded deltas' replay tombstones for batch ids `<= upToBatchId`.
+    *
+    * Tombstones accumulate one empty file per historical batch — bounded
+    * but real listing cost at long horizons (a year of minute-batches is
+    * ~500k files). A tombstone is only needed while its batch can still
+    * REPLAY, i.e. while the stream's checkpoint might not have committed
+    * it: once the caller knows the checkpoint's offset log has committed
+    * past `upToBatchId` (the contract this op's caller asserts — same
+    * trust model as every checkpoint-retention knob), those batches can
+    * never re-run under the original checkpoint and their tombstones are
+    * dead weight. Only markers the current base has FOLDED are touched;
+    * live deltas' markers are load-bearing commits, never pruned. The
+    * base marker's superseded list keeps the pruned names — a list entry
+    * with no marker behind it is harmless to readers and to later sweeps.
+    *
+    * @return the pruned marker names
+    */
+  def pruneTombstones(spark: SparkSession, indexDir: String,
+      upToBatchId: Long): Seq[String] = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, superseded) = resolveBase(fs, root)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.flatMap(s => s.getPath.getName match {
+      case DeltaMarkerRe(d) if s.isFile && superseded.contains(d) &&
+          d.stripPrefix("delta-").toLong <= upToBatchId =>
+        if (!fs.delete(s.getPath, false))
+          throw new java.io.IOException(s"pruneTombstones: cannot delete ${s.getPath}")
+        Some(s.getPath.getName)
+      case _ => None
+    })
+  }
+
   /** Delete superseded DATA dirs only — folded deltas' marker files stay
     * behind as replay tombstones. Idempotent — missing paths are fine.
     */

@@ -230,6 +230,25 @@ class StreamingDedupSpec extends SparkSpec {
       s"$root/ckpt_replay", threshold = 0.5)
     assert(indexRows() == before,
       "replayed folded batches must not re-append their signatures")
+
+    // tombstone pruning: only FOLDED markers at or below the horizon go;
+    // live deltas' markers are commits and must survive any horizon.
+    // (ckpt_replay's replay batch committed as delta-00000000 again under
+    // the same names — markers unchanged, so the folded set is stable.)
+    mem.addData(Seq((301L, "fresh content that joins the corpus after the compactions")))
+    run() // live delta-00000002 under the original checkpoint
+    val live = new Path(indexDir, "delta-00000002.committed")
+    assert(fs.exists(live))
+    val pruned = StreamingDedup.pruneTombstones(spark, indexDir, upToBatchId = 0L)
+    assert(pruned == Seq("delta-00000000.committed"), s"got $pruned")
+    assert(!fs.exists(new Path(indexDir, "delta-00000000.committed")))
+    assert(fs.exists(new Path(indexDir, "delta-00000001.committed")),
+      "tombstone above the horizon must survive")
+    assert(fs.exists(live), "live delta marker must never be pruned")
+    // index contents unaffected; a later compaction still works
+    assert(indexRows().length == before.length + 1)
+    assert(StreamingDedup.compactIndex(spark, indexDir).contains("base-00000003"))
+    assert(indexRows().length == before.length + 1)
   }
 
   test("running without a bootstrap index fails loudly") {
