@@ -112,9 +112,10 @@ object Oracles {
     * each value is a dyadic rational (n/2^31 − 1), Double.toString round-
     * trips it, and DuckDB parses back the identical bits.
     */
-  private def planesLiteral(numPlanes: Int, dims: Int): String =
+  private def planesLiteral(numPlanes: Int, dims: Int, planeOffset: Int = 0): String =
     (0 until numPlanes).map { p =>
-      (0 until dims).map(d => graft.operators.Similarity.planeComponent(p, d).toString)
+      (0 until dims).map(d =>
+        graft.operators.Similarity.planeComponent(planeOffset + p, d).toString)
         .mkString("[", ", ", "]")
     }.mkString("[", ",\n    ", "]")
 
@@ -1444,6 +1445,44 @@ object Oracles {
          |    ${cosSql("q.embedding", "c.embedding")} AS cosine
          |  FROM bk q JOIN bk c USING (bucket)
          |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id ASC) AS rn
+         |    FROM cand WHERE cosine IS NOT NULL) WHERE rn <= 3),
+         |$exactRecallTail""".stripMargin
+    },
+
+    // Multi-band LSH recall (q96): band b buckets with the INDEPENDENT
+    // plane set b*numPlanes..(b+1)*numPlanes-1; candidates are the UNION of
+    // per-band bucket joins (deduped before scoring — a pair found by both
+    // bands occupies one rank). Replays Similarity.lshTopK(bands = 2).
+    "q96_lsh_multiband" -> {
+      def bucketExpr = (0 until 6).map { p =>
+        s"""(CASE WHEN list_sum([CAST(e.embedding[i] AS DOUBLE) * pl.p[${p + 1}][i]
+           |      for i in range(1, len(e.embedding) + 1)]) >= 0 THEN ${1L << p} ELSE 0 END)""".stripMargin
+      }.mkString("\n    + ")
+      s"""WITH pl0 AS (SELECT ${planesLiteral(6, 64, 0)} AS p),
+         |pl1 AS (SELECT ${planesLiteral(6, 64, 6)} AS p),
+         |bk0 AS (
+         |  SELECT e.vec_id, $bucketExpr AS bucket FROM embeddings e, pl0 pl),
+         |bk1 AS (
+         |  SELECT e.vec_id, $bucketExpr AS bucket FROM embeddings e, pl1 pl),
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM bk0 q JOIN bk0 c USING (bucket)
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |  UNION
+         |  SELECT q.vec_id, c.vec_id
+         |  FROM bk1 q JOIN bk1 c USING (bucket)
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |cand AS (
+         |  SELECT p.query_id, p.neighbor_id,
+         |    ${cosSql("qe.embedding", "ce.embedding")} AS cosine
+         |  FROM pairs p
+         |  JOIN embeddings qe ON qe.vec_id = p.query_id
+         |  JOIN embeddings ce ON ce.vec_id = p.neighbor_id),
          |approx AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT query_id, neighbor_id,

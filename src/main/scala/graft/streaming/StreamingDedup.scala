@@ -36,13 +36,16 @@ import graft.operators.Dedup
   * their marker) and then commits the delta — converging to the no-crash
   * state.
   *
-  * RESTART CONTRACT: markers are keyed by batchId, which Structured
-  * Streaming keeps stable only for the SAME checkpoint — restart with the
-  * original checkpointDir and the guarantee is unconditional (the same
-  * keying Delta's idempotent `txnAppId`/`txnVersion` sinks use). Starting
-  * over with a FRESH checkpoint is safe only if the source re-delivers
-  * identical batch boundaries; a source that re-batches differently would
-  * alias a processed batchId and skip unseen documents.
+  * RESTART CONTRACT: markers are keyed (txnAppId, batchId) — the same
+  * keying Delta's idempotent `txnAppId`/`txnVersion` sinks use. batchId is
+  * stable only for the SAME checkpoint, so restart with the original
+  * checkpointDir and the guarantee is unconditional. Every DISTINCT stream
+  * feeding one index must pass its own `txnAppId`, or its batch 0 aliases
+  * an earlier stream's batch 0 marker and is silently skipped. Starting
+  * over with a FRESH checkpoint under the same txnAppId is safe only if
+  * the source re-delivers identical batch boundaries; a source that
+  * re-batches differently would alias a processed batchId and skip unseen
+  * documents.
   *
   * Within a batch, exact duplicates (canonical text) collapse to the
   * min-id representative before the index probe; near-duplicates arriving
@@ -60,9 +63,31 @@ import graft.operators.Dedup
   */
 object StreamingDedup {
 
-  private val DeltaMarkerRe = "(delta-\\d{8,})\\.committed".r
-  private val MatchesMarkerRe = "(matches-\\d{8,})\\.committed".r
+  // optional [appId-] segment: markers are keyed (txnAppId, batchId) like
+  // Delta's idempotent txn sinks, so two DIFFERENT streams feeding one
+  // index (each with its own checkpoint, each starting at batchId 0) can
+  // never alias each other's commits
+  private val DeltaMarkerRe = "(delta-(?:[A-Za-z0-9_]+-)?\\d{8,})\\.committed".r
+  private val MatchesMarkerRe = "(matches-(?:[A-Za-z0-9_]+-)?\\d{8,})\\.committed".r
   private val BaseMarkerRe = "base-(\\d{8,})\\.committed".r
+
+  private def validateAppId(txnAppId: String): Unit =
+    require(txnAppId.isEmpty || txnAppId.matches("[A-Za-z0-9_]+"),
+      s"txnAppId must match [A-Za-z0-9_]+ (marker-name safety), got '$txnAppId'")
+
+  private def keyedName(prefix: String, txnAppId: String, batchId: Long): String =
+    if (txnAppId.isEmpty) f"$prefix-$batchId%08d"
+    else f"$prefix-$txnAppId-$batchId%08d"
+
+  /** Batch id of a (possibly app-qualified) delta/matches dir name. */
+  private def batchIdOf(name: String): Long =
+    name.substring(name.lastIndexOf('-') + 1).toLong
+
+  /** App id of a delta/matches dir name ("" for the unqualified form). */
+  private def appIdOf(name: String): String = {
+    val parts = name.split('-')
+    if (parts.length <= 2) "" else parts.slice(1, parts.length - 1).mkString("-")
+  }
 
   /** Materialize the bootstrap corpus index at `indexDir/base`.
     * `numHashes` MUST equal the `bands * rowsPerBand` later passed to
@@ -209,14 +234,18 @@ object StreamingDedup {
     * @return the pruned marker names
     */
   def pruneTombstones(spark: SparkSession, indexDir: String,
-      upToBatchId: Long): Seq[String] = {
+      upToBatchId: Long, txnAppId: String = ""): Seq[String] = {
+    validateAppId(txnAppId)
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (_, superseded) = resolveBase(fs, root)
     if (!fs.exists(root)) return Seq.empty
+    // the horizon is PER STREAM (per checkpoint): only the named app's
+    // folded markers are compared against it — another stream's batch 0
+    // may still be replayable even when this stream is far past 0
     fs.listStatus(root).toSeq.flatMap(s => s.getPath.getName match {
       case DeltaMarkerRe(d) if s.isFile && superseded.contains(d) &&
-          d.stripPrefix("delta-").toLong <= upToBatchId =>
+          appIdOf(d) == txnAppId && batchIdOf(d) <= upToBatchId =>
         if (!fs.delete(s.getPath, false))
           throw new java.io.IOException(s"pruneTombstones: cannot delete ${s.getPath}")
         Some(s.getPath.getName)
@@ -271,8 +300,15 @@ object StreamingDedup {
       threshold: Double = 0.7,
       bands: Int = 4,
       rowsPerBand: Int = 3,
-      maxBucketSize: Int = 1000
+      maxBucketSize: Int = 1000,
+      txnAppId: String = ""
   ): DataFrame = {
+    // markers are keyed (txnAppId, batchId): batchId alone is stable only
+    // within ONE checkpoint, so every DISTINCT stream feeding this index
+    // must pass its own txnAppId — otherwise its batch 0 aliases an earlier
+    // stream's batch 0 marker and is silently skipped (the same contract as
+    // Delta's txnAppId/txnVersion idempotent writes)
+    validateAppId(txnAppId)
     val indexRoot = new Path(indexDir)
     val fs = indexRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(resolveBase(fs, indexRoot)._1))
@@ -296,7 +332,8 @@ object StreamingDedup {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val deltaMarker = new Path(indexRoot, f"delta-$batchId%08d.committed")
+        val deltaMarker = new Path(indexRoot,
+          keyedName("delta", txnAppId, batchId) + ".committed")
         if (!fs.exists(deltaMarker)) { // exactly-once: marker absent → process
           val rows = batch.select(col(idCol), col(textCol)).localCheckpoint(true)
           // within-batch exact dedup: min-id representative per canonical
@@ -323,12 +360,12 @@ object StreamingDedup {
             .withColumn("batch_id", lit(batchId))
           // matches BEFORE the delta: the delta marker is the batch's commit,
           // so a crash between the two replays into a skip + delta commit
-          commitDir(matches, new Path(matchesDir, f"matches-$batchId%08d"), fs)
+          commitDir(matches, new Path(matchesDir, keyedName("matches", txnAppId, batchId)), fs)
           val newMembers = reps.join(
             idxMatches.select(col("new_id").alias(idCol)).distinct(),
             Seq(idCol), "left_anti")
           commitDir(Dedup.signatureIndex(newMembers, idCol, textCol, bands * rowsPerBand),
-            new Path(indexRoot, f"delta-$batchId%08d"), fs)
+            new Path(indexRoot, keyedName("delta", txnAppId, batchId)), fs)
         }
         ()
       }

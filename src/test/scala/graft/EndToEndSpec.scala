@@ -58,7 +58,34 @@ class EndToEndSpec extends SparkSpec {
     assert(SnapshotManifest.read(spark, s"$root/table")
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L))
 
-    // 3. maintenance: compact the snapshot, vacuum the superseded ones —
+    // 3. a SECOND crawl arrives through the DSv2 keyset source (the
+    //    REST-cursor stand-in, sort-key-watermark offsets): one dup of a
+    //    doc admitted in step 1, one novel
+    val pages = java.nio.file.Files.createTempDirectory("e2e_pages")
+    java.nio.file.Files.writeString(pages.resolve("page_00.json"),
+      """{"doc_id":20,"lastModifiedAt":"2024-02-01T00:00:00","text":"fresh material never seen before about distributed snapshot protocols"}
+        |{"doc_id":21,"lastModifiedAt":"2024-02-01T00:00:01","text":"a final novel document closing out the second crawl"}
+        |""".stripMargin)
+    val stream2 = spark.readStream.format("graft-keyset")
+      .option("path", pages.toString).option("sortField", "lastModifiedAt").load()
+      .select(col("doc_id"), col("text"))
+    // a DISTINCT stream (own checkpoint, batch ids restart at 0) needs its
+    // own txnAppId, or its batch 0 would alias crawl 1's batch-0 marker
+    val matches2 = StreamingDedup.runAvailableNow(spark, stream2,
+      s"$root/index", s"$root/matches2", s"$root/ckpt2", threshold = 0.5,
+      txnAppId = "crawl2")
+    assert(matches2.select("new_id", "corpus_id").as[(Long, Long)].collect().toSet ==
+      Set((20L, 11L))) // 20 duplicates step-1's admitted member; 21 is novel
+
+    // 4. index maintenance: fold the delta log into one base generation,
+    //    prune tombstones behind the committed horizon — dedup results
+    //    unchanged for the NEXT crawl
+    assert(StreamingDedup.compactIndex(spark, s"$root/index").contains("base-00000001"))
+    StreamingDedup.pruneTombstones(spark, s"$root/index", upToBatchId = 0L)
+    assert(StreamingDedup.currentIndex(spark, s"$root/index")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L, 21L))
+
+    // 5. maintenance: compact the snapshot, vacuum the superseded ones —
     //    the current snapshot stays readable throughout
     SnapshotManifest.compactSnapshot(spark, s"$root/table", targetBytes = 1L << 30)
     SnapshotManifest.vacuum(spark, s"$root/table", keep = 1)

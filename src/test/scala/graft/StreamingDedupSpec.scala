@@ -251,6 +251,36 @@ class StreamingDedupSpec extends SparkSpec {
     assert(indexRows().length == before.length + 1)
   }
 
+  test("distinct streams feeding one index: txnAppId prevents batch-id aliasing") {
+    val root = Files.createTempDirectory("sdedup_appid").toString
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StreamingDedup.bootstrapIndex(spark, corpus, s"$root/index")
+    implicit val sqlCtx = spark.sqlContext
+    def ingest(docs: Seq[(Long, String)], ckpt: String, appId: String) = {
+      val mem = MemoryStream[(Long, String)]
+      mem.addData(docs)
+      StreamingDedup.runAvailableNow(spark, mem.toDF().toDF("doc_id", "text"),
+        s"$root/index", s"$root/matches", s"$root/ckpt_$ckpt",
+        threshold = 0.5, txnAppId = appId)
+    }
+    def members() = StreamingDedup.currentIndex(spark, s"$root/index")
+      .select("doc_id").as[Long].collect().toSet
+    ingest(Seq((100L, "stream A's novel document about marker keyed commits")), "a", "")
+    assert(members().contains(100L))
+    // stream B, OWN checkpoint, no appId: its batch 0 finds stream A's
+    // delta-00000000 marker and is silently skipped — the documented hazard
+    ingest(Seq((200L, "stream B's different novel document lost to aliasing")), "b", "")
+    assert(!members().contains(200L), "aliasing hazard must reproduce without txnAppId")
+    // with its own txnAppId the same ingest commits under its own key
+    ingest(Seq((200L, "stream B's different novel document lost to aliasing")), "b2", "appB")
+    assert(members().contains(200L))
+    assert(fs.exists(new Path(s"$root/index", "delta-appB-00000000.committed")))
+    // invalid app ids are rejected before any work
+    val e = intercept[IllegalArgumentException](
+      ingest(Seq((300L, "x")), "c", "bad-id!"))
+    assert(e.getMessage.contains("txnAppId"))
+  }
+
   test("running without a bootstrap index fails loudly") {
     val root = Files.createTempDirectory("sdedup4").toString
     implicit val sqlCtx = spark.sqlContext
