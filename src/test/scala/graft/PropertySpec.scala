@@ -45,6 +45,17 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("keyset offset: json round-trip is identity over arbitrary unicode values") {
+    import graft.sources.KeysetOffset
+    val values = Gen.option(Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('"', '\\', '\n', '\t', '{', '}', ':', ','),
+      Gen.choose(' ', '퟿'))).map(_.mkString))
+    samples(values, 300).foreach { v =>
+      val off = KeysetOffset(v)
+      assert(KeysetOffset.fromJson(off.json()) == off, s"value: $v")
+    }
+  }
+
   test("U1-ish: merge PK-string parsing tolerates arbitrary whitespace") {
     samples(Gen.nonEmptyListOf(Gen.identifier.suchThat(_.nonEmpty)), 100).foreach { cols =>
       val joined = cols.mkString(" , ")
