@@ -179,15 +179,10 @@ class KeysetScan(schema: StructType, fullSchema: StructType,
           "keyset contract) — a numeric key would compare as text and " +
           "silently lose rows")
     }
-    // the stream's (start, end] row filter needs the sort field even when
-    // column pruning dropped it: re-add it to the READER schema only.
-    // readSchema() stays pruned — the reader's rows carry the extra field
-    // in trailing position, which the scan's output ordinals never touch.
-    val readerSchema =
-      if (schema.fieldNames.contains(sortField) ||
-          !fullSchema.fieldNames.contains(sortField)) schema
-      else StructType(schema.fields :+ fullSchema(sortField))
-    new KeysetMicroBatchStream(dir, readerSchema, sortField, watermark, maxRowsPerTrigger)
+    // no schema surgery for a pruned sort field: the reader falls back to
+    // extracting the sort value from the raw JSON line (KeysetReaderFactory),
+    // so reader rows always match readSchema() exactly
+    new KeysetMicroBatchStream(dir, schema, sortField, watermark, maxRowsPerTrigger)
   }
 }
 
@@ -360,6 +355,16 @@ class KeysetReaderFactory(schema: StructType, sortField: String)
       private val createParser = CreateJacksonParser.string _
       private val sortIdx =
         if (schema.fieldNames.contains(sortField)) schema.fieldIndex(sortField) else -1
+      // pruned-sort-field fallback: when bounds exist but the row schema
+      // lacks the sort field (column pruning on a streaming read), the
+      // value comes from the raw line — bounds must NEVER silently
+      // short-circuit, or a page straddling a batch cut double-delivers
+      private val rawMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      private def lineSortValue(line: String): String =
+        try {
+          val n = rawMapper.readTree(line).get(sortField)
+          if (n == null || n.isNull) null else n.asText()
+        } catch { case _: Exception => null }
       private val lines = scala.io.Source.fromFile(path)("UTF-8").getLines()
         .filter(_.trim.nonEmpty)
       private var batch: Iterator[InternalRow] = Iterator.empty
@@ -367,15 +372,19 @@ class KeysetReaderFactory(schema: StructType, sortField: String)
 
       override def next(): Boolean = {
         while (!batch.hasNext && lines.hasNext) {
-          val parsed = parser.parse(lines.next(), createParser, UTF8String.fromString)
+          val line = lines.next()
+          val parsed = parser.parse(line, createParser, UTF8String.fromString)
           // source-side bound filters (the pushed keyset predicate and/or the
           // streaming batch's (start, end] value range): strictness
           // preserved, null sort values excluded (SQL semantics — a pushed
           // filter was dropped from the plan, nobody re-checks it)
           batch = parsed.iterator.filter { row =>
-            (lowers.isEmpty && upper.isEmpty) || sortIdx < 0 || {
-              val u = row.getUTF8String(sortIdx)
-              val v = if (u == null) null else u.toString
+            (lowers.isEmpty && upper.isEmpty) || {
+              val v =
+                if (sortIdx >= 0) {
+                  val u = row.getUTF8String(sortIdx)
+                  if (u == null) null else u.toString
+                } else lineSortValue(line)
               lowers.forall(_.accepts(v)) &&
                 upper.forall(hi => v != null && v <= hi)
             }
