@@ -93,6 +93,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("topk(col, k[, descending])")
       }))
     e.injectFunction((
+      FunctionIdentifier("int8_quantize"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.Int8Quantize].getName, "int8_quantize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "int8_quantize(vec) takes one array argument")
+        graft.functions.expressions.Int8Quantize(args.head)
+      }))
+    e.injectFunction((
       FunctionIdentifier("graft_hash_id"),
       new ExpressionInfo(classOf[Sha1].getName, "graft_hash_id"),
       (args: Seq[Expression]) => {

@@ -597,8 +597,21 @@ object Similarity {
     * instead of round() because half-way rounding is engine-convention
     * territory while floor is IEEE-pinned (differential-test requirement).
     * Zero/empty vectors quantize to scale 0 and all-zero codes.
+    *
+    * Evaluated by the fused native kernel
+    * ([[graft.functions.expressions.Int8Quantize]] — one codegen'd
+    * two-pass loop, no intermediate arrays); [[quantizeInt8Builtin]] is the
+    * built-in-expression differential twin.
     */
-  def quantizeInt8(v: Column): Column = {
+  def quantizeInt8(v: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.Int8Quantize(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(v)))
+
+  /** Built-in-only formulation of [[quantizeInt8]] — the differential
+    * cross-check twin (three higher-order passes; same bits).
+    */
+  def quantizeInt8Builtin(v: Column): Column = {
     val mabs = array_max(transform(v, x => abs(x.cast("double"))))
     val scale = when(mabs.isNull || mabs === 0.0, lit(0.0)).otherwise(lit(127.0) / mabs)
     struct(

@@ -90,6 +90,45 @@ class ExpressionSpec extends SparkSpec {
     }
   }
 
+  test("native Int8Quantize matches the builtin three-pass formulation incl. edge cases") {
+    val cases = Seq(
+      (1L, Array[java.lang.Float](1.0f, -2.0f, 0.5f)),
+      (2L, Array[java.lang.Float](0.0f, 0.0f)),          // zero vector → scale 0
+      (3L, Array.empty[java.lang.Float]),                // empty → scale 0, []
+      (4L, null),                                        // null vector → struct(0.0, null)
+      (5L, Array[java.lang.Float](3.5f, null, -3.5f)),   // null ELEMENT skipped, null code
+      (6L, Array[java.lang.Float](-127.0f)),             // boundary: single negative max
+      (7L, Array[java.lang.Float](1e-30f, -1e30f))       // extreme magnitudes
+    ).toDF("id", "v")
+    // CODEGEN_ONLY: a Janino failure in the kernel must FAIL the test, not
+    // silently fall back to the interpreted path
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val rows =
+      try cases.select($"id",
+        Similarity.quantizeInt8($"v").alias("native"),
+        Similarity.quantizeInt8Builtin($"v").alias("builtin")).collect()
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    rows.foreach { r =>
+      val n = r.getStruct(1); val b = r.getStruct(2)
+      assert(n.getDouble(0) == b.getDouble(0), s"scale mismatch on id ${r.getLong(0)}: $n vs $b")
+      assert((n.isNullAt(1), b.isNullAt(1)) match {
+        case (true, true) => true
+        case (false, false) => n.getSeq[Any](1) == b.getSeq[Any](1)
+        case _ => false
+      }, s"codes mismatch on id ${r.getLong(0)}: $n vs $b")
+    }
+    // the round-trip contract survives the kernel swap
+    val emb = Tables.load(spark, sfDir, "embeddings").limit(50)
+    val rt = emb.select(Similarity.cosine($"embedding",
+      Similarity.dequantizeInt8(Similarity.quantizeInt8($"embedding"))).alias("c"))
+      .agg(org.apache.spark.sql.functions.min($"c")).head().getDouble(0)
+    assert(rt > 0.999, s"quantize/dequantize round-trip degraded: min cosine $rt")
+  }
+
   test("GraftExtensions registers SQL functions: cosine_similarity, graft_hash_id, text kernels") {
     // a fresh session over the shared context so withExtensions applies
     SparkSession.clearActiveSession()
