@@ -1445,24 +1445,6 @@ object Queries {
     * safe to deploy. At scale this is the shape that never rescans or
     * reassigns the corpus per query batch.
     */
-  /** ANN evaluation (multi-band LSH) — recall@3 of `lshTopK(bands = 2)`
-    * against exact brute force: the standard LSH amplification, candidates
-    * unioned over two independent plane sets and deduped before ranking.
-    * Promotes the `bands` parameter from spec coverage to the oracle gate:
-    * DuckDB replays both bands' bucketing from the embedded plane
-    * constants, the pair-union, the re-score, and the recall join.
-    */
-  def q96LshMultiband(spark: SparkSession, dir: String): DataFrame = {
-    val emb = t(spark, dir, "embeddings")
-    val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").alias("query_id"), col("embedding"))
-    val approx = graft.operators.Similarity.lshTopK(queries, emb, k = 3,
-      numPlanes = 6, bands = 2)
-    val exact = graft.operators.Similarity.bruteForceTopK(queries, emb, k = 3)
-    graft.operators.Similarity.recallAtK(approx, exact, k = 3)
-      .orderBy(col("query_id"))
-  }
-
   /** Per-JVM root for the serving queries' persisted index artifacts:
     * deleted on JVM exit, so bench's 4 executions per query per round (and
     * plan-only constructions in specs) don't strand corpus-sized dirs.
@@ -1515,6 +1497,24 @@ object Queries {
       spark.read.parquet(s"$idx/codes"), cb, k = 3)
       .withColumn("score", round(col("score"), 8))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** ANN evaluation (multi-band LSH) — recall@3 of `lshTopK(bands = 2)`
+    * against exact brute force: the standard LSH amplification, candidates
+    * unioned over two independent plane sets and deduped before ranking.
+    * Promotes the `bands` parameter from spec coverage to the oracle gate:
+    * DuckDB replays both bands' bucketing from the embedded plane
+    * constants, the pair-union, the re-score, and the recall join.
+    */
+  def q96LshMultiband(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("embedding"))
+    val approx = graft.operators.Similarity.lshTopK(queries, emb, k = 3,
+      numPlanes = 6, bands = 2)
+    val exact = graft.operators.Similarity.bruteForceTopK(queries, emb, k = 3)
+    graft.operators.Similarity.recallAtK(approx, exact, k = 3)
+      .orderBy(col("query_id"))
   }
 
   // ==========================================================================

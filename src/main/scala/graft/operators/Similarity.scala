@@ -601,7 +601,9 @@ object Similarity {
     * Evaluated by the fused native kernel
     * ([[graft.functions.expressions.Int8Quantize]] — one codegen'd
     * two-pass loop, no intermediate arrays); [[quantizeInt8Builtin]] is the
-    * built-in-expression differential twin.
+    * built-in-expression differential twin — use the twin for element
+    * types the kernel rejects (decimal arrays), same convention as
+    * [[hyperplaneBucketBuiltin]].
     */
   def quantizeInt8(v: Column): Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(

@@ -73,6 +73,18 @@ object KeysetDataSource {
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("page_") && f.getName.endsWith(".json"))
       .sortBy(_.getName).toSeq
+
+  /** Sort value of one raw JSON line (null for missing/null/unparseable) —
+    * the ONE extraction both the driver-side offset scan and the reader's
+    * pruned-sort-field fallback share, so their semantics can't diverge.
+    */
+  private[sources] def sortValueOf(
+      mapper: com.fasterxml.jackson.databind.ObjectMapper,
+      line: String, sortField: String): String =
+    try {
+      val n = mapper.readTree(line).get(sortField)
+      if (n == null || n.isNull) null else n.asText()
+    } catch { case _: Exception => null }
 }
 
 class KeysetTable(schema: StructType, options: CaseInsensitiveStringMap)
@@ -261,10 +273,9 @@ class KeysetMicroBatchStream(dir: String, schema: StructType,
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val src = scala.io.Source.fromFile(f)("UTF-8")
         val vs =
-          try src.getLines().filter(_.trim.nonEmpty).flatMap { line =>
-            val node = mapper.readTree(line).get(sortField)
-            if (node == null || node.isNull) None else Some(node.asText())
-          }.toArray.sorted
+          try src.getLines().filter(_.trim.nonEmpty)
+            .flatMap(l => Option(KeysetDataSource.sortValueOf(mapper, l, sortField)))
+            .toArray.sorted
           finally src.close()
         pageValueCache.put(key, vs)
         vs
@@ -357,14 +368,14 @@ class KeysetReaderFactory(schema: StructType, sortField: String)
         if (schema.fieldNames.contains(sortField)) schema.fieldIndex(sortField) else -1
       // pruned-sort-field fallback: when bounds exist but the row schema
       // lacks the sort field (column pruning on a streaming read), the
-      // value comes from the raw line — bounds must NEVER silently
-      // short-circuit, or a page straddling a batch cut double-delivers
+      // value comes from the raw line via the SHARED extraction
+      // (KeysetDataSource.sortValueOf) — bounds must NEVER silently
+      // short-circuit, or a page straddling a batch cut double-delivers.
+      // Cost: a second Jackson parse per line, only on this path — the
+      // price of keeping reader rows identical to readSchema()
       private val rawMapper = new com.fasterxml.jackson.databind.ObjectMapper()
       private def lineSortValue(line: String): String =
-        try {
-          val n = rawMapper.readTree(line).get(sortField)
-          if (n == null || n.isNull) null else n.asText()
-        } catch { case _: Exception => null }
+        KeysetDataSource.sortValueOf(rawMapper, line, sortField)
       private val lines = scala.io.Source.fromFile(path)("UTF-8").getLines()
         .filter(_.trim.nonEmpty)
       private var batch: Iterator[InternalRow] = Iterator.empty

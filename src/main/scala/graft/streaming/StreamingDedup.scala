@@ -371,7 +371,11 @@ object StreamingDedup {
       }
       .start()
     query.awaitTermination()
+    // THIS app's matches only: several txnAppIds may share one matchesDir
+    // (they already share the index), and batch_id alone collides across
+    // apps — returning another stream's rows would double-process them
     val matchDirs = committedDirs(fs, new Path(matchesDir), MatchesMarkerRe)
+      .filter(p => appIdOf(p.getName) == txnAppId)
     if (matchDirs.nonEmpty) spark.read.parquet(matchDirs.map(_.toString): _*)
     else {
       val idType = stream.schema(idCol).dataType

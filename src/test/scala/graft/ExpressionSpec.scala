@@ -100,11 +100,13 @@ class ExpressionSpec extends SparkSpec {
       (6L, Array[java.lang.Float](-127.0f)),             // boundary: single negative max
       (7L, Array[java.lang.Float](1e-30f, -1e30f))       // extreme magnitudes
     ).toDF("id", "v")
-    // CODEGEN_ONLY: a Janino failure in the kernel must FAIL the test, not
-    // silently fall back to the interpreted path
-    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
-    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
-    val rows =
+    // BOTH evaluation paths, differentially: CODEGEN_ONLY (a Janino failure
+    // in doGenCode must FAIL, not silently fall back) and NO_CODEGEN (the
+    // hand-written interpreted eval() is just as load-bearing — constant
+    // folding and post-fallback production paths run it)
+    def collectIn(mode: String) = {
+      val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
       try cases.select($"id",
         Similarity.quantizeInt8($"v").alias("native"),
         Similarity.quantizeInt8Builtin($"v").alias("builtin")).collect()
@@ -112,6 +114,8 @@ class ExpressionSpec extends SparkSpec {
         case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
         case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
       }
+    }
+    val rows = collectIn("CODEGEN_ONLY") ++ collectIn("NO_CODEGEN")
     rows.foreach { r =>
       val n = r.getStruct(1); val b = r.getStruct(2)
       assert(n.getDouble(0) == b.getDouble(0), s"scale mismatch on id ${r.getLong(0)}: $n vs $b")
@@ -161,6 +165,10 @@ class ExpressionSpec extends SparkSpec {
       assert(k.getLong(3) != 0L)
       assert(k.getString(4) == "en")
       assert(k.getInt(5) == 3)
+      val qz = ext.sql(
+        "SELECT int8_quantize(array(1.0D, -2.0D)) AS q").head().getStruct(0)
+      assert(qz.getDouble(0) == 63.5)
+      assert(qz.getSeq[Byte](1) == Seq(64.toByte, (-127).toByte))
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
