@@ -164,6 +164,61 @@ class KeysetDataSourceSpec extends SparkSpec {
     assert(runOnce().isEmpty, "third run with nothing new must deliver nothing")
   }
 
+  test("property: delivery = watermark-accepted non-null-key rows, exactly once, any paging/rate") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val nRows = 20 + rnd.nextInt(30)
+      val rows = (0 until nRows).map { i =>
+        // duplicate-heavy key space incl. occasional null keys (unreachable
+        // by a keyset cursor — the documented contract)
+        val key =
+          if (rnd.nextInt(10) == 0) null
+          else f"2024-01-${1 + rnd.nextInt(5)}%02dT0${rnd.nextInt(4)}:00:00"
+        (s"r$i", key)
+      }
+      val dir = Files.createTempDirectory(s"keyset_prop_$seed")
+      // arbitrary row→page placement: value offsets must not care
+      rows.groupBy(_ => rnd.nextInt(4)).foreach { case (p, rs) =>
+        Files.writeString(dir.resolve(f"page_0$p.json"),
+          rs.map { case (id, k) =>
+            val kj = if (k == null) "null" else s""""$k""""
+            s"""{"id":"$id","lastModifiedAt":$kj}"""
+          }.mkString("", "\n", "\n"))
+      }
+      val maxRows = 1 + rnd.nextInt(4)
+      val watermark = if (rnd.nextBoolean()) Some("2024-01-03T00:00:00") else None
+      val base = spark.readStream.format("graft-keyset")
+        .option("path", dir.toString).option("maxRowsPerTrigger", maxRows.toString)
+        .load()
+      val stream = watermark.fold(base)(w => base.filter(col("lastModifiedAt") >= w))
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory(s"keyset_prop_ckpt_$seed").toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          out.add(b.select("id").collect().map(_.getString(0)).toSeq); ()
+        }
+        .start()
+      q.awaitTermination()
+      val delivered = out.asScala.toSeq.flatten
+      val expected = rows.collect {
+        case (id, k) if k != null && watermark.forall(k >= _) => id
+      }
+      assert(delivered.sorted == expected.sorted,
+        s"seed=$seed maxRows=$maxRows wm=$watermark: " +
+          s"delivered ${delivered.sorted} != expected ${expected.sorted}")
+      assert(delivered.length == delivered.distinct.length,
+        s"seed=$seed: duplicate delivery")
+      // value-granular admission: a batch exceeds maxRows only by the cut
+      // value's tie count
+      val maxTies = rows.collect { case (_, k) if k != null => k }
+        .groupBy(identity).values.map(_.length).maxOption.getOrElse(0)
+      out.asScala.foreach(b =>
+        assert(b.length <= maxRows + maxTies,
+          s"seed=$seed: batch of ${b.length} exceeds maxRows=$maxRows + ties=$maxTies"))
+    }
+  }
+
   test("keyset stream drives StreamingDedup.runAvailableNow end-to-end") {
     import graft.streaming.StreamingDedup
     val pages = Files.createTempDirectory("keyset_dedup_pages")
