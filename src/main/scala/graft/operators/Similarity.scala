@@ -624,8 +624,17 @@ object Similarity {
       transform(v, x => floor(x.cast("double") * scale + 0.5).cast("byte")).alias("codes"))
   }
 
-  /** Dequantize int8 codes back to doubles (`x ≈ code / scale`). */
+  /** Dequantize int8 codes back to doubles (`x ≈ code / scale`) — native
+    * kernel ([[graft.functions.expressions.Int8Dequantize]]);
+    * [[dequantizeInt8Builtin]] is the differential twin.
+    */
   def dequantizeInt8(q: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.Int8Dequantize(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(q)))
+
+  /** Built-in-only formulation of [[dequantizeInt8]] (differential twin). */
+  def dequantizeInt8Builtin(q: Column): Column =
     when(q.getField("scale") === 0.0,
       transform(q.getField("codes"), _ => lit(0.0)))
       .otherwise(transform(q.getField("codes"),

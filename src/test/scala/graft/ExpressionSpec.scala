@@ -133,6 +133,43 @@ class ExpressionSpec extends SparkSpec {
     assert(rt > 0.999, s"quantize/dequantize round-trip degraded: min cosine $rt")
   }
 
+  test("native Int8Dequantize matches the builtin twin incl. its corner branches") {
+    import org.apache.spark.sql.functions.{array, expr, lit, struct}
+    // hand-built structs hit branches quantize never emits: scale 0 with
+    // non-null codes (incl. a null element), null scale, null codes
+    val cases = spark.range(1).select(
+      struct(lit(63.5).alias("scale"),
+        array(lit(64.toByte), lit(null).cast("byte"), lit(-127.toByte)).alias("codes"))
+        .alias("normal"),
+      struct(lit(0.0).alias("scale"),
+        array(lit(5.toByte), lit(null).cast("byte")).alias("codes")).alias("zeroScale"),
+      struct(lit(null).cast("double").alias("scale"),
+        array(lit(1.toByte)).alias("codes")).alias("nullScale"),
+      struct(lit(1.0).alias("scale"),
+        lit(null).cast("array<tinyint>").alias("codes")).alias("nullCodes"),
+      expr("CAST(null AS struct<scale: double, codes: array<tinyint>>)").alias("nullStruct"))
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      val r =
+        try cases.select(
+          cases.columns.toSeq.flatMap(c => Seq(
+            Similarity.dequantizeInt8(org.apache.spark.sql.functions.col(c)).alias(s"n_$c"),
+            Similarity.dequantizeInt8Builtin(org.apache.spark.sql.functions.col(c)).alias(s"b_$c"))): _*)
+          .head()
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+          case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+        }
+      cases.columns.indices.foreach { i =>
+        val (n, b) = (2 * i, 2 * i + 1)
+        val nv = if (r.isNullAt(n)) null else r.getSeq[Any](n)
+        val bv = if (r.isNullAt(b)) null else r.getSeq[Any](b)
+        assert(nv == bv, s"$mode ${cases.columns(i)}: native=$nv builtin=$bv")
+      }
+    }
+  }
+
   test("GraftExtensions registers SQL functions: cosine_similarity, graft_hash_id, text kernels") {
     // a fresh session over the shared context so withExtensions applies
     SparkSession.clearActiveSession()
