@@ -101,6 +101,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.expressions.Int8Quantize(args.head)
       }))
     e.injectFunction((
+      FunctionIdentifier("int8_dequantize"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.Int8Dequantize].getName, "int8_dequantize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          "int8_dequantize(q) takes one struct<scale, codes> argument")
+        graft.functions.expressions.Int8Dequantize(args.head)
+      }))
+    e.injectFunction((
       FunctionIdentifier("graft_hash_id"),
       new ExpressionInfo(classOf[Sha1].getName, "graft_hash_id"),
       (args: Seq[Expression]) => {

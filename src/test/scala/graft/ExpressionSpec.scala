@@ -206,6 +206,10 @@ class ExpressionSpec extends SparkSpec {
         "SELECT int8_quantize(array(1.0D, -2.0D)) AS q").head().getStruct(0)
       assert(qz.getDouble(0) == 63.5)
       assert(qz.getSeq[Byte](1) == Seq(64.toByte, (-127).toByte))
+      val dq = ext.sql(
+        "SELECT int8_dequantize(int8_quantize(array(1.0D, -2.0D))) AS d")
+        .head().getSeq[Double](0)
+      assert(dq == Seq(64.0 / 63.5, -2.0))
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
