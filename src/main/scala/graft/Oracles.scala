@@ -825,6 +825,20 @@ object Oracles {
         |GROUP BY band_id, lo, hi
         |ORDER BY band_id""".stripMargin,
 
+    // Banded large×large range join (q97): the banding is a pure plan
+    // transformation — results are the theta-join's, so the oracle is the
+    // same BETWEEN SQL as q52's.
+    "q97_banded_range_join" ->
+      """WITH bands AS (
+        |  SELECT i AS band_id, i * 10000.0 AS lo, (i + 1) * 10000.0 AS hi
+        |  FROM range(0, 12) t(i))
+        |SELECT band_id, lo, hi, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |FROM lineitem JOIN bands
+        |  ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY band_id, lo, hi
+        |ORDER BY band_id""".stripMargin,
+
     "q53_dedup_clusters" -> {
       val sigExprs = (0 until 12).map { i =>
         val (a, b) = graft.operators.Dedup.affineParams(i)

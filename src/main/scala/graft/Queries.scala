@@ -1517,6 +1517,27 @@ object Queries {
       .orderBy(col("query_id"))
   }
 
+  /** Range join, banded — the LARGE×LARGE form of q52: the same price-band
+    * classification, but with the interval join expressed as an equi-join
+    * on a derived band id ([[graft.operators.RangeJoin.bandedRange]]) so
+    * NEITHER side needs to broadcast. Identical results to the theta form
+    * (the oracle is the same BETWEEN SQL); what changes is the plan — a
+    * shuffle on band id instead of a broadcast nested loop, the shape that
+    * survives a billion-interval dimension. PlanSpec pins the absence of
+    * the theta shapes.
+    */
+  def q97BandedRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bands = (0 until 12).map(i => (i.toLong, i * 10000.0, (i + 1) * 10000.0))
+    val bandDf = spark.createDataFrame(bands).toDF("band_id", "lo", "hi")
+    graft.operators.RangeJoin.bandedRange(
+      t(spark, dir, "lineitem"), bandDf,
+      pointCol = "l_extendedprice", loCol = "lo", hiCol = "hi",
+      bandWidth = 10000.0)
+      .groupBy(col("band_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).alias("n"), dsum(col("l_extendedprice")).alias("total"))
+      .orderBy(col("band_id"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1617,6 +1638,7 @@ object Queries {
     "q93_pii_redact" -> (q93PiiRedact _),
     "q94_ivf_serve" -> (q94IvfServe _),
     "q95_pq_serve" -> (q95PqServe _),
-    "q96_lsh_multiband" -> (q96LshMultiband _)
+    "q96_lsh_multiband" -> (q96LshMultiband _),
+    "q97_banded_range_join" -> (q97BandedRangeJoin _)
   )
 }

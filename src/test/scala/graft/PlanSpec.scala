@@ -116,6 +116,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q97: banded range join is an equi-join — none of the theta shapes") {
+    val plan = planOf(Queries.q97BandedRangeJoin(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"banded range join degenerated into a theta join:\n$plan")
+  }
+
   test("NO query plans a single-partition window (sweep over the whole inventory)") {
     // the regression class PrefixSum exists to prevent: a Window with an
     // empty partition spec funnels the whole input through one task — fine
