@@ -12,6 +12,20 @@ object Oracles {
   private val canon = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   /** Planted near-duplicate corpus (must match Queries.docsWithPlantedDups). */
+  /** q52 and q97 are result-identical by design (banding is a plan
+    * transformation) — ONE oracle string serves both.
+    */
+  private val priceBandBetweenSql: String =
+    """WITH bands AS (
+      |  SELECT i AS band_id, i * 10000.0 AS lo, (i + 1) * 10000.0 AS hi
+      |  FROM range(0, 12) t(i))
+      |SELECT band_id, lo, hi, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+      |FROM lineitem JOIN bands
+      |  ON l_extendedprice >= lo AND l_extendedprice < hi
+      |GROUP BY band_id, lo, hi
+      |ORDER BY band_id""".stripMargin
+
   private val plantedDocs =
     """SELECT doc_id, text FROM documents
       |UNION ALL
@@ -814,30 +828,12 @@ object Oracles {
         |  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
 
-    "q52_range_join" ->
-      """WITH bands AS (
-        |  SELECT i AS band_id, i * 10000.0 AS lo, (i + 1) * 10000.0 AS hi
-        |  FROM range(0, 12) t(i))
-        |SELECT band_id, lo, hi, count(*) AS n,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total
-        |FROM lineitem JOIN bands
-        |  ON l_extendedprice >= lo AND l_extendedprice < hi
-        |GROUP BY band_id, lo, hi
-        |ORDER BY band_id""".stripMargin,
+    "q52_range_join" -> priceBandBetweenSql,
 
     // Banded large×large range join (q97): the banding is a pure plan
-    // transformation — results are the theta-join's, so the oracle is the
-    // same BETWEEN SQL as q52's.
-    "q97_banded_range_join" ->
-      """WITH bands AS (
-        |  SELECT i AS band_id, i * 10000.0 AS lo, (i + 1) * 10000.0 AS hi
-        |  FROM range(0, 12) t(i))
-        |SELECT band_id, lo, hi, count(*) AS n,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total
-        |FROM lineitem JOIN bands
-        |  ON l_extendedprice >= lo AND l_extendedprice < hi
-        |GROUP BY band_id, lo, hi
-        |ORDER BY band_id""".stripMargin,
+    // transformation — results are the theta-join's, so the SAME oracle
+    // string as q52 serves it.
+    "q97_banded_range_join" -> priceBandBetweenSql,
 
     "q53_dedup_clusters" -> {
       val sigExprs = (0 until 12).map { i =>

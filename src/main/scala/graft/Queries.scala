@@ -735,16 +735,24 @@ object Queries {
     * band table is tiny and broadcast, so the theta-join is a broadcast
     * nested loop over 12 rows per item, not a shuffle.
     */
-  def q52RangeJoin(spark: SparkSession, dir: String): DataFrame = {
-    val bands = (0 until 12).map(i => (i.toLong, i * 10000.0, (i + 1) * 10000.0))
-    val bandDf = spark.createDataFrame(bands).toDF("band_id", "lo", "hi")
-    t(spark, dir, "lineitem")
-      .join(broadcast(bandDf),
-        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
-      .groupBy(col("band_id"), col("lo"), col("hi"))
+  def q52RangeJoin(spark: SparkSession, dir: String): DataFrame =
+    priceBandSummary(
+      t(spark, dir, "lineitem").join(broadcast(priceBands(spark)),
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi")))
+
+  /** The 12 price bands q52/q97 share — ONE definition, so the two
+    * result-identical queries (and their shared oracle) cannot drift.
+    */
+  private def priceBands(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      (0 until 12).map(i => (i.toLong, i * 10000.0, (i + 1) * 10000.0)))
+      .toDF("band_id", "lo", "hi")
+
+  /** Shared q52/q97 aggregation tail over the joined (lineitem × band) rows. */
+  private def priceBandSummary(joined: DataFrame): DataFrame =
+    joined.groupBy(col("band_id"), col("lo"), col("hi"))
       .agg(count(lit(1)).alias("n"), dsum(col("l_extendedprice")).alias("total"))
       .orderBy(col("band_id"))
-  }
 
   /** Dedup clustering — connected components over the near-dup pair graph
     * (min-label propagation, O(diameter) shuffles): every document that has
@@ -1526,17 +1534,12 @@ object Queries {
     * survives a billion-interval dimension. PlanSpec pins the absence of
     * the theta shapes.
     */
-  def q97BandedRangeJoin(spark: SparkSession, dir: String): DataFrame = {
-    val bands = (0 until 12).map(i => (i.toLong, i * 10000.0, (i + 1) * 10000.0))
-    val bandDf = spark.createDataFrame(bands).toDF("band_id", "lo", "hi")
-    graft.operators.RangeJoin.bandedRange(
-      t(spark, dir, "lineitem"), bandDf,
-      pointCol = "l_extendedprice", loCol = "lo", hiCol = "hi",
-      bandWidth = 10000.0)
-      .groupBy(col("band_id"), col("lo"), col("hi"))
-      .agg(count(lit(1)).alias("n"), dsum(col("l_extendedprice")).alias("total"))
-      .orderBy(col("band_id"))
-  }
+  def q97BandedRangeJoin(spark: SparkSession, dir: String): DataFrame =
+    priceBandSummary(
+      graft.operators.RangeJoin.bandedRange(
+        t(spark, dir, "lineitem"), priceBands(spark),
+        pointCol = "l_extendedprice", loCol = "lo", hiCol = "hi",
+        bandWidth = 10000.0))
 
   // ==========================================================================
   // Registry

@@ -26,15 +26,20 @@ case class Int8Dequantize(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
+      // names checked as well as types/positions: the kernel reads the
+      // struct positionally, and the builtin differential twin reads it BY
+      // NAME — accepting name-mismatched structs here would let the two
+      // diverge on inputs only one of them admits
       case StructType(fields) if fields.length >= 2 &&
-          fields(0).dataType == DoubleType &&
+          fields(0).name == "scale" && fields(0).dataType == DoubleType &&
+          fields(1).name == "codes" &&
           fields(1).dataType.isInstanceOf[ArrayType] &&
           fields(1).dataType.asInstanceOf[ArrayType].elementType == ByteType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"int8_dequantize expects struct<scale: double, codes: array<tinyint>>, " +
-            s"got ${other.simpleString}")
+          s"int8_dequantize expects struct<scale: double, codes: array<tinyint>> " +
+            s"(field names included), got ${other.simpleString}")
     }
 
   override def nullable: Boolean = true

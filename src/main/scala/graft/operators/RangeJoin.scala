@@ -45,22 +45,50 @@ object RangeJoin {
   ): DataFrame = {
     require(bandWidth > 0, "bandWidth must be positive")
     require(maxBandsPerInterval >= 1, "maxBandsPerInterval must be >= 1")
+    require(!points.columns.contains("__band") && !intervals.columns.contains("__band"),
+      "bandedRange: inputs must not already have a __band column")
     val w = lit(bandWidth)
-    val p = points.withColumn("__band", floor(col(pointCol) / w).cast("long"))
-      .filter(col("__band").isNotNull) // null point matches nothing
+    // a point whose band index would leave long range can't be contained by
+    // any valid interval (their bands are guarded below) — null band drops it
+    val pBand = col(pointCol) / w
+    val p = points
+      .withColumn("__band",
+        when(abs(pBand) > MaxBandMagnitude, lit(null))
+          .otherwise(floor(pBand).cast("long")))
+      .filter(col("__band").isNotNull) // null/NaN/out-of-range point matches nothing
     val loBand = floor(col(loCol) / w).cast("long")
-    val hiBand = floor(col(hiCol) / w).cast("long")
+    // EXCLUSIVE upper band: the last band containing some p < hi. floor(hi/w)
+    // would over-count by one whole band whenever hi is an exact multiple of
+    // bandWidth — the recommended aligned configuration — doubling
+    // replication and tripping the cap a band early.
+    val hiBand = (ceil(col(hiCol) / w) - lit(1L)).cast("long")
     val nBands = hiBand - loBand + lit(1L)
+    // non-finite or astronomically-large bounds cannot be banded: the theta
+    // form would match (Spark orders NaN largest), so silence here would be
+    // a WRONG answer and ANSI floor/cast would die with an error naming
+    // neither the operator nor the row — fail loudly instead
+    val unbandable = isnan(col(loCol)) || isnan(col(hiCol)) ||
+      abs(col(loCol) / w) > MaxBandMagnitude || abs(col(hiCol) / w) > MaxBandMagnitude
     val iv = intervals
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) < col(hiCol))
-      .withColumn("__band", explode(when(nBands > maxBandsPerInterval,
-        // loud skew guard: a silent drop would be a wrong answer
-        raise_error(concat(lit(s"bandedRange: interval spans more than " +
-          s"$maxBandsPerInterval bands (widen bandWidth or raise the cap): lo="),
-          col(loCol), lit(" hi="), col(hiCol))).cast("array<bigint>"))
+      .withColumn("__band", explode(
+        when(unbandable,
+          raise_error(concat(lit("bandedRange: non-finite or out-of-range " +
+            "interval bound (NaN/Infinity cannot be banded): lo="),
+            col(loCol), lit(" hi="), col(hiCol))).cast("array<bigint>"))
+        .when(nBands > maxBandsPerInterval,
+          // loud skew guard: a silent drop would be a wrong answer
+          raise_error(concat(lit(s"bandedRange: interval spans more than " +
+            s"$maxBandsPerInterval bands (widen bandWidth or raise the cap): lo="),
+            col(loCol), lit(" hi="), col(hiCol))).cast("array<bigint>"))
         .otherwise(sequence(loBand, hiBand))))
     p.join(iv, Seq("__band"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__band")
   }
+
+  /** Band indices must stay well inside long range: floor/cast on a larger
+    * quotient would raise an operator-anonymous ANSI error first.
+    */
+  private val MaxBandMagnitude = 9.0e18
 }

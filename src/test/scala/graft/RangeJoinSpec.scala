@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** Banded large×large range join vs the theta form. */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.RangeJoin
+
+  test("bandedRange ≡ theta join across band widths, incl. boundary and null cases") {
+    val points = Seq(0.0, 0.5, 9.99, 10.0, 10.01, 25.0, 99.9, 100.0, -5.0, -0.1)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("pid", "v")
+      .unionByName(Seq((100L, Option.empty[Double])).toDF("pid", "v"))
+    val intervals = Seq(
+      (1L, 0.0, 10.0),      // aligned to band edges
+      (2L, 5.0, 15.0),      // straddles a boundary
+      (3L, 9.99, 10.01),    // tiny, crosses boundary
+      (4L, -10.0, 0.0),     // negative range
+      (5L, 20.0, 20.0),     // empty (lo == hi) — matches nothing
+      (6L, 50.0, 40.0)      // inverted — matches nothing
+    ).toDF("iid", "lo", "hi")
+    val theta = points.join(intervals,
+      col("v") >= col("lo") && col("v") < col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    for (w <- Seq(0.5, 1.0, 7.0, 10.0, 1000.0)) {
+      val banded = RangeJoin.bandedRange(points, intervals, "v", "lo", "hi", w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(banded == theta, s"bandWidth=$w: $banded != $theta")
+    }
+  }
+
+  test("bandedRange refuses non-finite interval bounds loudly (theta would match; silence = wrong answer)") {
+    val points = Seq((1L, 5.0)).toDF("pid", "v")
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    for (hi <- Seq(Double.NaN, Double.PositiveInfinity)) {
+      val bad = Seq((1L, 1.0, hi)).toDF("iid", "lo", "hi")
+      val e = intercept[Exception] {
+        RangeJoin.bandedRange(points, bad, "v", "lo", "hi", bandWidth = 1.0).count()
+      }
+      assert(messages(e).exists(_.contains("non-finite")), s"hi=$hi: ${messages(e)}")
+    }
+    // aligned intervals explode to exactly their own band — no off-by-one
+    val aligned = Seq((1L, 0.0, 10.0), (2L, 10.0, 20.0)).toDF("iid", "lo", "hi")
+    val n = RangeJoin.bandedRange(
+      points.limit(0), aligned, "v", "lo", "hi", bandWidth = 10.0,
+      maxBandsPerInterval = 1)
+    n.count() // cap=1 would raise if an aligned interval spanned 2 bands
+  }
+
+  test("bandedRange skew guard fails loudly on an interval spanning too many bands") {
+    val points = Seq((1L, 5.0)).toDF("pid", "v")
+    val wide = Seq((1L, 0.0, 1000.0)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      RangeJoin.bandedRange(points, wide, "v", "lo", "hi",
+        bandWidth = 1.0, maxBandsPerInterval = 10).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("bandedRange")), s"got: ${messages(e)}")
+  }
+}
