@@ -835,6 +835,25 @@ object Oracles {
     // string as q52 serves it.
     "q97_banded_range_join" -> priceBandBetweenSql,
 
+    // Banded interval-overlap join (q98): the banding + first-overlap-band
+    // dedup is a plan transformation — the oracle is the plain theta
+    // overlap join over the same derived intervals.
+    "q98_banded_overlap_join" ->
+      """WITH shipments AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS DOUBLE) AS s_lo,
+        |    CAST(datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS DOUBLE)
+        |      + 1.0 + CAST(l_quantity % 20 AS DOUBLE) AS s_hi
+        |  FROM lineitem),
+        |windows AS (
+        |  SELECT k AS win_id, k * 30.0 AS w_lo, k * 30.0 + 45.0 AS w_hi
+        |  FROM range(0, 86) t(k))
+        |SELECT win_id, count(*) AS n
+        |FROM shipments JOIN windows
+        |  ON s_lo < w_hi AND w_lo < s_hi
+        |GROUP BY win_id
+        |ORDER BY win_id""".stripMargin,
+
     "q53_dedup_clusters" -> {
       val sigExprs = (0 until 12).map { i =>
         val (a, b) = graft.operators.Dedup.affineParams(i)

@@ -1541,6 +1541,32 @@ object Queries {
         pointCol = "l_extendedprice", loCol = "lo", hiCol = "hi",
         bandWidth = 10000.0))
 
+  /** Interval-overlap join, banded (q97's sibling): shipment activity
+    * windows derived from lineitem (ship date + a quantity-derived
+    * duration, in days) joined to 45-day promo windows by INTERSECTION —
+    * `RangeJoin.bandedOverlap`, the large×large interval-overlap shape
+    * (both sides explode to covered bands, equi-join on band, exact
+    * overlap filter, first-overlap-band dedup). The oracle replays the
+    * plain theta overlap join — identical results by construction.
+    */
+  def q98BandedOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val shipments = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("double").alias("s_lo"),
+        (col("l_quantity") % 20).cast("double").alias("__dur"))
+      .withColumn("s_hi", col("s_lo") + lit(1.0) + col("__dur"))
+      .drop("__dur")
+    val windows = spark.createDataFrame(
+      (0 until 86).map(k => (k.toLong, k * 30.0, k * 30.0 + 45.0)))
+      .toDF("win_id", "w_lo", "w_hi")
+    graft.operators.RangeJoin.bandedOverlap(
+      shipments, windows, "s_lo", "s_hi", "w_lo", "w_hi", bandWidth = 30.0)
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).alias("n"))
+      .orderBy(col("win_id"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1642,6 +1668,7 @@ object Queries {
     "q94_ivf_serve" -> (q94IvfServe _),
     "q95_pq_serve" -> (q95PqServe _),
     "q96_lsh_multiband" -> (q96LshMultiband _),
-    "q97_banded_range_join" -> (q97BandedRangeJoin _)
+    "q97_banded_range_join" -> (q97BandedRangeJoin _),
+    "q98_banded_overlap_join" -> (q98BandedOverlapJoin _)
   )
 }

@@ -56,35 +56,81 @@ object RangeJoin {
         when(abs(pBand) > MaxBandMagnitude, lit(null))
           .otherwise(floor(pBand).cast("long")))
       .filter(col("__band").isNotNull) // null/NaN/out-of-range point matches nothing
-    val loBand = floor(col(loCol) / w).cast("long")
-    // EXCLUSIVE upper band: the last band containing some p < hi. floor(hi/w)
-    // would over-count by one whole band whenever hi is an exact multiple of
-    // bandWidth — the recommended aligned configuration — doubling
-    // replication and tripping the cap a band early.
-    val hiBand = (ceil(col(hiCol) / w) - lit(1L)).cast("long")
-    val nBands = hiBand - loBand + lit(1L)
-    // non-finite or astronomically-large bounds cannot be banded: the theta
-    // form would match (Spark orders NaN largest), so silence here would be
-    // a WRONG answer and ANSI floor/cast would die with an error naming
-    // neither the operator nor the row — fail loudly instead
-    val unbandable = isnan(col(loCol)) || isnan(col(hiCol)) ||
-      abs(col(loCol) / w) > MaxBandMagnitude || abs(col(hiCol) / w) > MaxBandMagnitude
-    val iv = intervals
-      .filter(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) < col(hiCol))
-      .withColumn("__band", explode(
-        when(unbandable,
-          raise_error(concat(lit("bandedRange: non-finite or out-of-range " +
-            "interval bound (NaN/Infinity cannot be banded): lo="),
-            col(loCol), lit(" hi="), col(hiCol))).cast("array<bigint>"))
-        .when(nBands > maxBandsPerInterval,
-          // loud skew guard: a silent drop would be a wrong answer
-          raise_error(concat(lit(s"bandedRange: interval spans more than " +
-            s"$maxBandsPerInterval bands (widen bandWidth or raise the cap): lo="),
-            col(loCol), lit(" hi="), col(hiCol))).cast("array<bigint>"))
-        .otherwise(sequence(loBand, hiBand))))
+    // shared banding with loud guards ([[bandsFor]]): invalid intervals
+    // yield an empty band array — explode drops them, matching the theta
+    // form's no-match; non-finite bounds and over-cap spans raise loudly
+    val iv = intervals.withColumn("__band",
+      explode(bandsFor(col(loCol), col(hiCol), w, maxBandsPerInterval, "bandedRange")))
     p.join(iv, Seq("__band"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__band")
+  }
+
+  /** Interval×interval OVERLAP join, banded — two large interval sets,
+    * pairs where `[lLo, lHi)` and `[rLo, rHi)` intersect
+    * (`lLo < rHi && rLo < lHi`), neither side broadcast.
+    *
+    * Both sides explode to the bands they cover and equi-join on band id.
+    * A pair sharing several bands must still appear ONCE: the dedup is the
+    * standard first-overlap-band trick — keep a pair only in the band of
+    * `greatest(lLo, rLo)` (the first point both cover), a pure filter
+    * instead of a distinct/shuffle. Same loud guards as [[bandedRange]].
+    *
+    * Ill-formed intervals (`lo >= hi`, i.e. EMPTY) match nothing — note
+    * this is STRICTER than the naive theta predicate, which happens to
+    * "match" an inverted interval that brackets the other side
+    * (`lLo < rHi && rLo < lHi` does not encode well-formedness).
+    */
+  def bandedOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      lLoCol: String, lHiCol: String,
+      rLoCol: String, rHiCol: String,
+      bandWidth: Double,
+      maxBandsPerInterval: Int = 1024
+  ): DataFrame = {
+    require(bandWidth > 0, "bandWidth must be positive")
+    require(maxBandsPerInterval >= 1, "maxBandsPerInterval must be >= 1")
+    require(!left.columns.contains("__band") && !right.columns.contains("__band"),
+      "bandedOverlap: inputs must not already have a __band column")
+    val w = lit(bandWidth)
+    val l = left.withColumn("__band",
+      explode(bandsFor(col(lLoCol), col(lHiCol), w, maxBandsPerInterval, "bandedOverlap")))
+    val r = right.withColumn("__band",
+      explode(bandsFor(col(rLoCol), col(rHiCol), w, maxBandsPerInterval, "bandedOverlap")))
+    l.join(r, Seq("__band"))
+      .filter(col(lLoCol) < col(rHiCol) && col(rLoCol) < col(lHiCol))
+      // once per pair: only the first band both intervals cover survives
+      .filter(col("__band") ===
+        floor(greatest(col(lLoCol), col(rLoCol)) / w).cast("long"))
+      .drop("__band")
+  }
+
+  /** Bands covered by `[lo, hi)` as an array expression, with the shared
+    * loud guards: invalid/null intervals → empty array (match nothing, like
+    * the theta form); non-finite or out-of-range bounds and band counts
+    * over the cap → raise_error naming the operator and the row.
+    */
+  private def bandsFor(lo: Column, hi: Column, w: Column,
+      maxBands: Int, op: String): Column = {
+    val loBand = floor(lo / w).cast("long")
+    // EXCLUSIVE upper band — the last band containing some p < hi:
+    // floor(hi/w) would over-count one whole band whenever hi is an exact
+    // multiple of bandWidth (the recommended aligned configuration)
+    val hiBand = (ceil(hi / w) - lit(1L)).cast("long")
+    val nBands = hiBand - loBand + lit(1L)
+    val unbandable = isnan(lo) || isnan(hi) ||
+      abs(lo / w) > MaxBandMagnitude || abs(hi / w) > MaxBandMagnitude
+    when(lo.isNull || hi.isNull || !(lo < hi), array().cast("array<bigint>"))
+      .when(unbandable,
+        raise_error(concat(lit(s"$op: non-finite or out-of-range interval " +
+          "bound (NaN/Infinity cannot be banded): lo="), lo, lit(" hi="), hi))
+          .cast("array<bigint>"))
+      .when(nBands > maxBands,
+        raise_error(concat(lit(s"$op: interval spans more than $maxBands " +
+          "bands (widen bandWidth or raise the cap): lo="), lo, lit(" hi="), hi))
+          .cast("array<bigint>"))
+      .otherwise(sequence(loBand, hiBand))
   }
 
   /** Band indices must stay well inside long range: floor/cast on a larger

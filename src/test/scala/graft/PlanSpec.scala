@@ -116,10 +116,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q97: banded range join is an equi-join — none of the theta shapes") {
-    val plan = planOf(Queries.q97BandedRangeJoin(spark, sfDir))
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
-      s"banded range join degenerated into a theta join:\n$plan")
+  test("q97/q98: banded range + overlap joins are equi-joins — none of the theta shapes") {
+    for ((name, df) <- Seq(
+        "q97" -> Queries.q97BandedRangeJoin(spark, sfDir),
+        "q98" -> Queries.q98BandedOverlapJoin(spark, sfDir))) {
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"$name degenerated into a theta join:\n$plan")
+    }
   }
 
   test("NO query plans a single-partition window (sweep over the whole inventory)") {

@@ -49,6 +49,31 @@ class RangeJoinSpec extends SparkSpec {
     n.count() // cap=1 would raise if an aligned interval spanned 2 bands
   }
 
+  test("bandedOverlap ≡ theta overlap join; each pair exactly once across band widths") {
+    val left = Seq(
+      (1L, 0.0, 10.0), (2L, 5.0, 35.0), (3L, 9.99, 10.01), (4L, -10.0, 0.0),
+      (5L, 20.0, 20.0), (6L, 50.0, 40.0), (7L, 100.0, 101.0)
+    ).toDF("lid", "l_lo", "l_hi")
+    val right = Seq(
+      (10L, 8.0, 12.0), (11L, 30.0, 60.0), (12L, -20.0, -5.0), (13L, 10.0, 20.0)
+    ).toDF("rid", "r_lo", "r_hi")
+    // theta over WELL-FORMED intervals: the naive overlap predicate would
+    // spuriously match the inverted (empty) interval 6 — bandedOverlap
+    // documents empty-matches-nothing, the stricter and correct contract
+    val theta = left.filter(col("l_lo") < col("l_hi"))
+      .join(right.filter(col("r_lo") < col("r_hi")),
+        col("l_lo") < col("r_hi") && col("r_lo") < col("l_hi"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    for (w <- Seq(1.0, 7.0, 10.0, 100.0)) {
+      val banded = RangeJoin.bandedOverlap(left, right,
+        "l_lo", "l_hi", "r_lo", "r_hi", w)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq
+      // sequence equality (not sets): a pair sharing several bands must
+      // appear exactly once — the first-overlap-band dedup
+      assert(banded.sorted == theta.sorted, s"bandWidth=$w: $banded != $theta")
+    }
+  }
+
   test("bandedRange skew guard fails loudly on an interval spanning too many bands") {
     val points = Seq((1L, 5.0)).toDF("pid", "v")
     val wide = Seq((1L, 0.0, 1000.0)).toDF("iid", "lo", "hi")
