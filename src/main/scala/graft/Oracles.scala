@@ -12,6 +12,11 @@ object Oracles {
   private val canon = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
   /** Planted near-duplicate corpus (must match Queries.docsWithPlantedDups). */
+  private val plantedDocs =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000, text || ' nearduplicate' FROM documents WHERE source = 'src0'""".stripMargin
+
   /** q52 and q97 are result-identical by design (banding is a plan
     * transformation) — ONE oracle string serves both.
     */
@@ -25,11 +30,6 @@ object Oracles {
       |  ON l_extendedprice >= lo AND l_extendedprice < hi
       |GROUP BY band_id, lo, hi
       |ORDER BY band_id""".stripMargin
-
-  private val plantedDocs =
-    """SELECT doc_id, text FROM documents
-      |UNION ALL
-      |SELECT doc_id + 100000, text || ' nearduplicate' FROM documents WHERE source = 'src0'""".stripMargin
 
   /** Exact cosine between two list columns — the same double-accumulation
     * shape the native kernel uses (see q27: bit-identical at full precision).

@@ -114,18 +114,27 @@ object RangeJoin {
   private def bandsFor(lo: Column, hi: Column, w: Column,
       maxBands: Int, op: String): Column = {
     val loBand = floor(lo / w).cast("long")
-    // EXCLUSIVE upper band — the last band containing some p < hi:
-    // floor(hi/w) would over-count one whole band whenever hi is an exact
-    // multiple of bandWidth (the recommended aligned configuration)
-    val hiBand = (ceil(hi / w) - lit(1L)).cast("long")
+    // INCLUSIVE upper band floor(hi/w), deliberately over-covering: for an
+    // aligned hi (exact multiple of bandWidth) it adds one band containing
+    // no matchable point, which the exact post-filter removes. The tighter
+    // `ceil(hi/w) - 1` is WRONG under IEEE-754: hi/w and a point's p/w can
+    // round to the same integer (e.g. w=0.1, hi=0.9000000000000001, p=0.9:
+    // both quotients are exactly 9.0), and the tight bound then excludes
+    // the band the matching point lands in — a silent missing row. Safe
+    // over-approximation is the only robust choice; the cost is ≤1 extra
+    // candidate band per interval.
+    val hiBand = floor(hi / w).cast("long")
     val nBands = hiBand - loBand + lit(1L)
     val unbandable = isnan(lo) || isnan(hi) ||
       abs(lo / w) > MaxBandMagnitude || abs(hi / w) > MaxBandMagnitude
-    when(lo.isNull || hi.isNull || !(lo < hi), array().cast("array<bigint>"))
-      .when(unbandable,
+    // unbandable FIRST: a NaN lo would otherwise be swallowed by the
+    // validity branch (Spark orders NaN largest, so NaN < hi is false) and
+    // break the documented loud contract for non-finite bounds
+    when(unbandable,
         raise_error(concat(lit(s"$op: non-finite or out-of-range interval " +
           "bound (NaN/Infinity cannot be banded): lo="), lo, lit(" hi="), hi))
           .cast("array<bigint>"))
+      .when(lo.isNull || hi.isNull || !(lo < hi), array().cast("array<bigint>"))
       .when(nBands > maxBands,
         raise_error(concat(lit(s"$op: interval spans more than $maxBands " +
           "bands (widen bandWidth or raise the cap): lo="), lo, lit(" hi="), hi))

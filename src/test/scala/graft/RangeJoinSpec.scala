@@ -2,10 +2,13 @@ package graft
 
 import org.apache.spark.sql.functions.col
 
-/** Banded large×large range join vs the theta form. */
+/** Banded large×large range/overlap joins vs their theta forms. */
 class RangeJoinSpec extends SparkSpec {
   import spark.implicits._
   import graft.operators.RangeJoin
+
+  private def messages(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
 
   test("bandedRange ≡ theta join across band widths, incl. boundary and null cases") {
     val points = Seq(0.0, 0.5, 9.99, 10.0, 10.01, 25.0, 99.9, 100.0, -5.0, -0.1)
@@ -30,23 +33,40 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("bandedRange: fp collapse of hi/w onto a point's band cannot drop the match") {
+    // the IEEE-754 hazard the inclusive upper band exists for: with w=0.1,
+    // both 0.9/0.1 and 0.9000000000000001/0.1 evaluate to exactly 9.0, so a
+    // "tight" exclusive band (ceil(hi/w)-1 = 8) would exclude the band the
+    // matching point 0.9 lands in — a silent missing row
+    val points = Seq((1L, 0.9)).toDF("pid", "v")
+    val intervals = Seq((1L, 0.8, 0.9000000000000001)).toDF("iid", "lo", "hi")
+    val banded = RangeJoin.bandedRange(points, intervals, "v", "lo", "hi", 0.1)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    assert(banded == Seq((1L, 1L)), s"fp-collapse match dropped: $banded")
+  }
+
   test("bandedRange refuses non-finite interval bounds loudly (theta would match; silence = wrong answer)") {
     val points = Seq((1L, 5.0)).toDF("pid", "v")
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    for (hi <- Seq(Double.NaN, Double.PositiveInfinity)) {
-      val bad = Seq((1L, 1.0, hi)).toDF("iid", "lo", "hi")
+    // NaN/Infinity on EITHER side must raise — a NaN lo would otherwise be
+    // silently swallowed by the validity filter (Spark orders NaN largest)
+    for ((lo, hi) <- Seq((1.0, Double.NaN), (1.0, Double.PositiveInfinity),
+        (Double.NaN, 5.0), (Double.NegativeInfinity, 5.0))) {
+      val bad = Seq((1L, lo, hi)).toDF("iid", "lo", "hi")
       val e = intercept[Exception] {
         RangeJoin.bandedRange(points, bad, "v", "lo", "hi", bandWidth = 1.0).count()
       }
-      assert(messages(e).exists(_.contains("non-finite")), s"hi=$hi: ${messages(e)}")
+      assert(messages(e).exists(_.contains("non-finite")),
+        s"lo=$lo hi=$hi: ${messages(e)}")
     }
-    // aligned intervals explode to exactly their own band — no off-by-one
+    // aligned intervals explode to at most lo-band + the over-covering
+    // hi-band (the documented ≤1-extra-band cost of the fp-safe inclusive
+    // bound); a REAL point keeps the plan from collapsing to empty
     val aligned = Seq((1L, 0.0, 10.0), (2L, 10.0, 20.0)).toDF("iid", "lo", "hi")
-    val n = RangeJoin.bandedRange(
-      points.limit(0), aligned, "v", "lo", "hi", bandWidth = 10.0,
-      maxBandsPerInterval = 1)
-    n.count() // cap=1 would raise if an aligned interval spanned 2 bands
+    val out = RangeJoin.bandedRange(
+      points, aligned, "v", "lo", "hi", bandWidth = 10.0,
+      maxBandsPerInterval = 2)
+      .select("pid", "iid").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L)), s"got $out") // cap=2 admits; results exact
   }
 
   test("bandedOverlap ≡ theta overlap join; each pair exactly once across band widths") {
@@ -81,8 +101,6 @@ class RangeJoinSpec extends SparkSpec {
       RangeJoin.bandedRange(points, wide, "v", "lo", "hi",
         bandWidth = 1.0, maxBandsPerInterval = 10).count()
     }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("bandedRange")), s"got: ${messages(e)}")
   }
 }
