@@ -24,6 +24,19 @@ private[graft] object CommitProtocol {
     *         exists (a concurrent or earlier publisher won — tmp is
     *         cleaned up, dest is untouched)
     */
+  /** Read a small commit file (manifest/marker) fully as UTF-8 — the read
+    * side of [[publishFile]], shared so marker/manifest parsing lives in
+    * one audited place.
+    */
+  def readFully(fs: FileSystem, path: Path): String = {
+    val in = fs.open(path)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
   def publishFile(fs: FileSystem, dest: Path, content: Array[Byte]): Boolean = {
     if (fs.exists(dest)) return false
     // Per-attempt unique tmp name: two writers racing to publish the same

@@ -77,14 +77,30 @@ object KeysetDataSource {
   /** Sort value of one raw JSON line (null for missing/null/unparseable) —
     * the ONE extraction both the driver-side offset scan and the reader's
     * pruned-sort-field fallback share, so their semantics can't diverge.
+    *
+    * A NUMERIC sort value fails loudly: value offsets compare as text
+    * (lexicographic — the ISO-8601 keyset contract), and "10" < "9" would
+    * silently and permanently drop rows. The schema-level guard in
+    * [[KeysetScan.toMicroBatchStream]] catches this only when the sort
+    * field is in the schema; this data-level check covers user schemas
+    * that omit it.
     */
   private[sources] def sortValueOf(
       mapper: com.fasterxml.jackson.databind.ObjectMapper,
       line: String, sortField: String): String =
     try {
       val n = mapper.readTree(line).get(sortField)
-      if (n == null || n.isNull) null else n.asText()
-    } catch { case _: Exception => null }
+      if (n == null || n.isNull) null
+      else if (n.isNumber) throw new IllegalArgumentException(
+        s"graft-keyset: sort field '$sortField' is numeric in the data — " +
+          "value offsets order lexicographically (the ISO-8601 keyset " +
+          "contract); a numeric key would compare as text and silently " +
+          "lose rows")
+      else n.asText()
+    } catch {
+      case e: IllegalArgumentException => throw e
+      case _: Exception => null
+    }
 }
 
 class KeysetTable(schema: StructType, options: CaseInsensitiveStringMap)
@@ -268,15 +284,40 @@ class KeysetMicroBatchStream(dir: String, schema: StructType,
       case None =>
         // a re-written page changes (length, mtime): evict the stale
         // generation's array first, so the cache is bounded by the CURRENT
-        // page set, not by every generation ever observed
+        // page set, not by every generation ever observed. (An in-place
+        // rewrite preserving BOTH byte length and mtime tick is not
+        // detectable this way — out of contract: keyset pages are
+        // immutable-once-written, like the REST responses they stand for.)
         pageValueCache.filterInPlace { case ((p, _, _), _) => p != f.getAbsolutePath }
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        var nLines = 0
         val src = scala.io.Source.fromFile(f)("UTF-8")
         val vs =
           try src.getLines().filter(_.trim.nonEmpty)
-            .flatMap(l => Option(KeysetDataSource.sortValueOf(mapper, l, sortField)))
+            .flatMap { l =>
+              nLines += 1
+              Option(KeysetDataSource.sortValueOf(mapper, l, sortField))
+            }
             .toArray.sorted
           finally src.close()
+        // a page with rows where the sort field is ABSENT from every one is
+        // a misconfiguration (wrong or case-mismatched sortField — Jackson
+        // lookup is case-sensitive), not data: every row would be silently
+        // unreachable forever. Fail loudly. Rows with an explicit null sort
+        // value stay in-contract (unreachable by the cursor) — only checked
+        // on the already-empty path, so the common case pays nothing.
+        if (nLines > 0 && vs.isEmpty) {
+          val src2 = scala.io.Source.fromFile(f)("UTF-8")
+          val anyFieldPresent =
+            try src2.getLines().filter(_.trim.nonEmpty).exists { l =>
+              try mapper.readTree(l).has(sortField)
+              catch { case _: Exception => false }
+            } finally src2.close()
+          if (!anyFieldPresent)
+            throw new IllegalArgumentException(
+              s"graft-keyset: sort field '$sortField' present in NO row of " +
+                s"$f ($nLines rows) — wrong or case-mismatched sortField?")
+        }
         pageValueCache.put(key, vs)
         vs
     }

@@ -77,12 +77,7 @@ object SnapshotManifest {
   def snapshotFiles(spark: SparkSession, root: String, version: Long): Seq[String] = {
     val (fs, rootPath) = fsOf(spark, root)
     val manifest = new Path(rootPath, manifestName(version))
-    val in = fs.open(manifest)
-    val text = try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
-      new String(bytes.toByteArray, "UTF-8")
-    } finally in.close()
+    val text = CommitProtocol.readFully(fs, manifest)
     val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
     require(lines.headOption.contains(s"version=$version"),
       s"corrupt manifest $manifest: bad header ${lines.headOption}")

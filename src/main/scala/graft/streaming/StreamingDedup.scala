@@ -79,14 +79,20 @@ object StreamingDedup {
     if (txnAppId.isEmpty) f"$prefix-$batchId%08d"
     else f"$prefix-$txnAppId-$batchId%08d"
 
+  // the ONE grammar for keyed dir names — builder (keyedName) and parser
+  // share it, so a format change cannot silently desynchronize the two
+  private val KeyedNameRe = "(?:delta|matches)-(?:([A-Za-z0-9_]+)-)?(\\d{8,})".r
+
   /** Batch id of a (possibly app-qualified) delta/matches dir name. */
-  private def batchIdOf(name: String): Long =
-    name.substring(name.lastIndexOf('-') + 1).toLong
+  private def batchIdOf(name: String): Long = name match {
+    case KeyedNameRe(_, batch) => batch.toLong
+    case _ => throw new IllegalArgumentException(s"not a keyed dir name: $name")
+  }
 
   /** App id of a delta/matches dir name ("" for the unqualified form). */
-  private def appIdOf(name: String): String = {
-    val parts = name.split('-')
-    if (parts.length <= 2) "" else parts.slice(1, parts.length - 1).mkString("-")
+  private def appIdOf(name: String): String = name match {
+    case KeyedNameRe(app, _) => Option(app).getOrElse("")
+    case _ => throw new IllegalArgumentException(s"not a keyed dir name: $name")
   }
 
   /** Materialize the bootstrap corpus index at `indexDir/base`.
@@ -123,13 +129,8 @@ object StreamingDedup {
     if (gens.isEmpty) (new Path(root, "base"), Set.empty)
     else {
       val gen = gens.max
-      val marker = new Path(root, f"base-$gen%08d.committed")
-      val in = fs.open(marker)
-      val text = try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 8192, false)
-        new String(bytes.toByteArray, "UTF-8")
-      } finally in.close()
+      val text = graft.sources.CommitProtocol.readFully(fs,
+        new Path(root, f"base-$gen%08d.committed"))
       (new Path(root, f"base-$gen%08d"),
         text.split('\n').map(_.trim).filter(_.nonEmpty).toSet)
     }
@@ -158,11 +159,14 @@ object StreamingDedup {
     * every commit here: write `base-<gen+1>/`, publish
     * `base-<gen+1>.committed` (content = CUMULATIVE superseded dir names —
     * this generation's folds plus every earlier generation's) via
-    * single-file rename — THE commit point — then sweep the superseded
-    * DATA dirs and old base markers. A crash before the publish leaves the
-    * old index fully current (the new dir is invisible garbage the next
-    * compaction clears); a crash after it leaves a readable compacted
-    * index whose superseded-but-unswept dirs the next compaction sweeps.
+    * single-file rename — THE commit point. Superseded DATA dirs are swept
+    * DEFERRED: each compaction's start-of-call sweep reclaims the dirs the
+    * PREVIOUS generation superseded, so an in-flight reader of the old
+    * generation gets a full compaction interval to finish (new readers
+    * never see superseded dirs — the marker list hides them immediately).
+    * A crash before the publish leaves the old index fully current (the
+    * new dir is invisible garbage the next compaction clears); a crash
+    * after it changes nothing — the sweep was deferred anyway.
     *
     * Folded deltas' commit markers are KEPT as tombstones (empty files,
     * one per historical batch): a batch whose delta was committed and then
@@ -206,7 +210,12 @@ object StreamingDedup {
       throw new java.io.IOException(
         s"compactIndex: $marker already exists — concurrent compaction? " +
           "compactIndex is a single-writer op")
-    sweepSupersededData(fs, root, newSuperseded.toSet)
+    // DEFERRED sweep: the dirs this generation superseded stay on disk until
+    // the NEXT compaction's start-of-call sweep. A reader that resolved the
+    // previous generation just before the marker published can still finish
+    // its scan — the same reader-retention concern vacuum's minAgeMs
+    // addresses, solved here by giving readers one full compaction interval
+    // (superseded dirs are invisible to every NEW resolveBase immediately).
     // the old base's marker is NOT a replay tombstone (no batch is keyed by
     // it) — drop it so resolveBase never sees two generations claiming
     // different superseded sets

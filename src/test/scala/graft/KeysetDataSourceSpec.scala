@@ -90,6 +90,53 @@ class KeysetDataSourceSpec extends SparkSpec {
       s"expected the sort-field type guard, got: ${messages(e)}")
   }
 
+  test("numeric sort keys fail loudly even when the user schema omits the sort field") {
+    // the schema-level STRING guard can't see a field the schema omits; the
+    // data-level check in the page scan must still refuse numeric keys
+    // (lexicographic "10" < "9" would silently lose rows forever)
+    val dir = Files.createTempDirectory("keyset_numeric_noschema")
+    Files.writeString(dir.resolve("page_00.json"),
+      """{"id":"a","seq":9}
+        |{"id":"b","seq":10}
+        |""".stripMargin)
+    val ckpt = Files.createTempDirectory("keyset_numeric_noschema_ckpt").toString
+    val q = spark.readStream.format("graft-keyset")
+      .schema("id STRING") // sort field NOT in the schema
+      .option("path", dir.toString).option("sortField", "seq").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val e = intercept[Exception](q.awaitTermination())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("numeric")),
+      s"expected the data-level numeric guard, got: ${messages(e)}")
+  }
+
+  test("a page where the sort field is absent from every row fails loudly (misconfiguration)") {
+    val dir = Files.createTempDirectory("keyset_misconfig")
+    Files.writeString(dir.resolve("page_00.json"),
+      """{"id":"a","lastmodifiedat":"2024-01-01T00:00:00"}
+        |{"id":"b","lastmodifiedat":"2024-01-02T00:00:00"}
+        |""".stripMargin) // note: case-mismatched key
+    val ckpt = Files.createTempDirectory("keyset_misconfig_ckpt").toString
+    val q = spark.readStream.format("graft-keyset")
+      .schema("id STRING")
+      .option("path", dir.toString).load() // default sortField lastModifiedAt
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val e = intercept[Exception](q.awaitTermination())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("NO row")),
+      s"expected the absent-field guard, got: ${messages(e)}")
+  }
+
   test("streaming with the sort field pruned off still filters the batch range (no dupes)") {
     val ckpt = Files.createTempDirectory("keyset_pruned_ckpt").toString
     val stream = spark.readStream.format("graft-keyset").option("path", pagesDir)

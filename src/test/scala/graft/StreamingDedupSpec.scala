@@ -173,20 +173,26 @@ class StreamingDedupSpec extends SparkSpec {
     val before = indexRows()
     assert(before.length == 6 && fs.exists(new Path(indexDir, "delta-00000000")))
 
-    // compact: one new generation, identical contents, data log swept; the
-    // folded delta's MARKER stays behind as a replay tombstone (the crash
-    // window between a delta commit and Spark's offset-log write replays
-    // the batch — only the marker's existence stops a re-append)
+    // compact: one new generation, identical contents. Superseded DATA dirs
+    // are swept DEFERRED (an in-flight reader of the old generation gets a
+    // full compaction interval), and the folded delta's MARKER stays behind
+    // as a replay tombstone (the crash window between a delta commit and
+    // Spark's offset-log write replays the batch — only the marker's
+    // existence stops a re-append)
     assert(StreamingDedup.compactIndex(spark, indexDir).contains("base-00000001"))
     assert(indexRows() == before)
     assert(fs.exists(new Path(indexDir, "base-00000001.committed")))
-    assert(!fs.exists(new Path(indexDir, "base")))
-    assert(!fs.exists(new Path(indexDir, "delta-00000000")))
+    assert(fs.exists(new Path(indexDir, "base")) &&
+      fs.exists(new Path(indexDir, "delta-00000000")),
+      "superseded data dirs are retained until the NEXT compaction")
     assert(fs.exists(new Path(indexDir, "delta-00000000.committed")),
       "folded delta marker must survive as a replay tombstone")
 
-    // nothing left to fold
+    // nothing left to fold — but the deferred sweep of generation 1's
+    // superseded dirs runs now
     assert(StreamingDedup.compactIndex(spark, indexDir).isEmpty)
+    assert(!fs.exists(new Path(indexDir, "base")))
+    assert(!fs.exists(new Path(indexDir, "delta-00000000")))
 
     // the stream keeps running against the compacted base (same checkpoint):
     // 201 matches 102 — a member that now lives only in base-00000001
@@ -205,13 +211,17 @@ class StreamingDedupSpec extends SparkSpec {
     fs.create(new Path(s"$indexDir/delta-00000000.committed"), true).close()
     assert(indexRows() == before, "superseded dir must stay invisible to readers")
 
-    // the next compaction sweeps the leftover and folds the live (empty)
+    // the next compaction sweeps the recreated leftover (start-of-call
+    // sweep of generation-1 folds) and folds the live (empty)
     // delta-00000001 into generation 2; the CUMULATIVE superseded list
-    // keeps generation-1 folds invisible too
+    // keeps generation-1 folds invisible too. base-00000001's DATA dir is
+    // deferred-retained; its marker goes immediately (markers are never
+    // read by in-flight scans)
     assert(StreamingDedup.compactIndex(spark, indexDir).contains("base-00000002"))
     assert(indexRows() == before)
     assert(!fs.exists(new Path(indexDir, "delta-00000000")))
-    assert(!fs.exists(new Path(indexDir, "base-00000001")))
+    assert(fs.exists(new Path(indexDir, "base-00000001")),
+      "just-superseded base data dir is deferred-retained")
     assert(!fs.exists(new Path(indexDir, "base-00000001.committed")),
       "old base marker is not a tombstone — no batch is keyed by it")
     assert(fs.exists(new Path(indexDir, "delta-00000000.committed")) &&
