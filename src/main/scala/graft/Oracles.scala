@@ -854,6 +854,36 @@ object Oracles {
         |GROUP BY win_id
         |ORDER BY win_id""".stripMargin,
 
+    // Substring-level exact dedup (q99): the same content-defined anchor
+    // arithmetic replayed in SQL — k=40 grams of the canonical text,
+    // md5-prefix '0' selection (1/16, alignment-independent), >=2 distinct
+    // docs per hash, islands merged at gap <= 40. sum() casts to BIGINT
+    // (DuckDB sums INTEGER into HUGEINT).
+    "q99_substring_dedup" ->
+      s"""WITH c AS (SELECT doc_id, $canon AS c FROM documents),
+         |g AS (SELECT doc_id, unnest(range(0, len(c) - 39)) AS off, c FROM c),
+         |a AS (
+         |  SELECT doc_id, off, md5(substr(c, off + 1, 40)) AS h FROM g
+         |  WHERE md5(substr(c, off + 1, 40)) LIKE '0%'),
+         |d AS (SELECT h FROM a GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |f AS (SELECT a.doc_id, a.off FROM a JOIN d USING (h)),
+         |isl AS (
+         |  SELECT doc_id, off,
+         |    CASE WHEN off - lag(off) OVER (PARTITION BY doc_id ORDER BY off) <= 40
+         |         THEN 0 ELSE 1 END AS brk
+         |  FROM f),
+         |isl2 AS (
+         |  SELECT doc_id, off,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY off) AS island
+         |  FROM isl),
+         |s AS (
+         |  SELECT doc_id, island, min(off) AS s0, max(off) + 40 AS s1
+         |  FROM isl2 GROUP BY doc_id, island)
+         |SELECT doc_id, count(*) AS n_dup_spans,
+         |  CAST(sum(s1 - s0) AS BIGINT) AS dup_chars
+         |FROM s GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
     "q53_dedup_clusters" -> {
       val sigExprs = (0 until 12).map { i =>
         val (a, b) = graft.operators.Dedup.affineParams(i)

@@ -1567,6 +1567,21 @@ object Queries {
       .orderBy(col("win_id"))
   }
 
+  /** Substring-level exact dedup — per-document profile of VERBATIM spans
+    * shared with other documents (`Dedup.substringDupSpans`: content-
+    * defined anchor grams, doc-frequency filter, island merge). The output
+    * is the per-doc span count and duplicated-char total — the signal a
+    * span-removal pass would act on. The oracle replays the identical
+    * anchor/island arithmetic in SQL.
+    */
+  def q99SubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.substringDupSpans(
+      t(spark, dir, "documents"), "doc_id", "text", k = 40)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).alias("n_dup_spans"),
+        sum(col("span_end") - col("span_start")).alias("dup_chars"))
+      .orderBy(col("doc_id"))
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1669,6 +1684,7 @@ object Queries {
     "q95_pq_serve" -> (q95PqServe _),
     "q96_lsh_multiband" -> (q96LshMultiband _),
     "q97_banded_range_join" -> (q97BandedRangeJoin _),
-    "q98_banded_overlap_join" -> (q98BandedOverlapJoin _)
+    "q98_banded_overlap_join" -> (q98BandedOverlapJoin _),
+    "q99_substring_dedup" -> (q99SubstringDedup _)
   )
 }

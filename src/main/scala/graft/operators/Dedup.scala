@@ -604,4 +604,72 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Exact substring-level dedup — the pass that removes VERBATIM character
+    * spans repeated across documents (boilerplate, licence blocks, quoted
+    * chain mail), where whole-document MinHash/SimHash sees two "different"
+    * documents. The literature shape is a corpus-wide suffix array; the
+    * Spark-first shape is content-defined ANCHORS:
+    *
+    *   - every k-char gram of the canonical text whose md5 starts with
+    *     `anchorHexPrefix` is an anchor — a deterministic 16^-len(prefix)
+    *     sample that is ALIGNMENT-INDEPENDENT (selection depends only on
+    *     gram content, so both copies of a duplicated span select the same
+    *     grams wherever the span lands in each document);
+    *   - an anchor hash occurring in ≥ `minDocFreq` DISTINCT documents
+    *     marks its gram's offset as duplicated;
+    *   - marked offsets gapped ≤ k chars merge into one span
+    *     `[span_start, span_end)` (gram overlap chains through a run).
+    *
+    * Sensitivity: a duplicated span of length L holds L-k+1 grams ⇒
+    * ~(L-k+1)/16^p anchors in expectation; spans ≫ k·16^p are caught with
+    * high probability, shorter ones are sampled (a miss UNDER-reports —
+    * conservative for a filter). At 100 TB, set a 2-hex prefix (1/256) to
+    * cut the anchor shuffle 16× at a ~256+k-char sensitivity floor.
+    *
+    * Plan shape: one codegen projection explodes offsets and keeps only
+    * anchors (~len/16^p rows per doc reach the exchange), one groupBy on
+    * the digest counts distinct docs, one LEFT SEMI join back on the same
+    * key — never a pair expansion, so a boilerplate gram in a million
+    * documents costs one counter row, not 10^12 pairs — then a
+    * doc-partitioned window merges islands.
+    *
+    * Returns one row per merged span: `(idCol, span_start, span_end)`,
+    * offsets into the CANONICAL text (0-based, end-exclusive).
+    */
+  def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 40, anchorHexPrefix: String = "0",
+      minDocFreq: Int = 2): DataFrame = {
+    require(k >= 1, s"gram length k must be >= 1, got $k")
+    require(anchorHexPrefix.matches("[0-9a-f]*"),
+      s"anchorHexPrefix must be lowercase hex (md5 alphabet), got '$anchorHexPrefix'")
+    require(minDocFreq >= 2,
+      s"minDocFreq must be >= 2 (cross-document dedup), got $minDocFreq")
+    val canon = docs
+      .select(col(idCol), canonical(col(textCol)).alias("__c"))
+      .filter(length(col("__c")) >= k)
+    val anchors = canon
+      .select(col(idCol), col("__c"),
+        explode(sequence(lit(0), length(col("__c")) - k)).alias("__off"))
+      .select(col(idCol), col("__off"),
+        md5(col("__c").substr(col("__off") + 1, lit(k))).alias("__h"))
+      .filter(if (anchorHexPrefix.isEmpty) lit(true)
+              else col("__h").startsWith(anchorHexPrefix))
+    val dupHashes = anchors
+      .groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).alias("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__h"))
+    val marked = anchors.join(dupHashes, Seq("__h"), "left_semi")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__off"))
+    marked
+      .withColumn("__brk",
+        when(col("__off") - lag(col("__off"), 1).over(byDoc) <= k, lit(0))
+          .otherwise(lit(1))) // first row per doc: lag null → otherwise → 1
+      .withColumn("__island", sum(col("__brk")).over(byDoc))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("__off")).alias("span_start"),
+        (max(col("__off")) + k).alias("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
 }

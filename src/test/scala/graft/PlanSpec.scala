@@ -144,6 +144,15 @@ class PlanSpec extends SparkSpec {
       s"single-partition windows found:\n${offenders.mkString("\n")}")
   }
 
+  test("q99: substring dedup is a semi-join on the anchor digest — no pair expansion") {
+    val plan = planOf(Queries.q99SubstringDedup(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"anchor join degenerated into a product join:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"duplicated-hash marking must be a LEFT SEMI join (one row per anchor, " +
+        s"never an all-pairs expansion):\n$plan")
+  }
+
   test("q86: incremental dedup is equi-joins only (no product join against the corpus)") {
     val plan = planOf(Queries.q86IncrementalDedup(spark, sfDir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Substring-level exact dedup ([[Dedup.substringDupSpans]]): content-
+  * defined anchors find verbatim cross-document spans wherever each copy
+  * lands (alignment independence — the property that separates this from
+  * stride sampling), exact mode (empty prefix) recovers tight span bounds,
+  * and within-document repetition alone never fires (cross-doc contract).
+  */
+class SubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic high-entropy shared payload: Scala's Random is a spec'd
+  // LCG, so the fixture is identical on every JVM. lowercase + digits only
+  // (already canonical: Dedup.canonical is then the identity).
+  private val sharedSpan: String =
+    new scala.util.Random(42).alphanumeric.map(_.toLower).take(400).mkString
+  private def filler(c: Char, n: Int): String = c.toString * n
+
+  test("a shared 400-char span is found at DIFFERENT offsets in each doc (alignment independence)") {
+    val docs = Seq(
+      (1L, filler('a', 57) + sharedSpan + filler('b', 80)),
+      (2L, filler('c', 213) + sharedSpan + filler('d', 10)),
+      (3L, filler('e', 500)) // unrelated; self-repetition only
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(docs, "doc_id", "text", k = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // every hit lies inside the planted copy's true bounds; both docs hit;
+    // the unrelated doc never appears (its repeated 'e' grams live in ONE doc)
+    val bounds = Map(1L -> (57, 57 + 400), 2L -> (213, 213 + 400))
+    assert(spans.nonEmpty && spans.forall { case (id, s0, s1) =>
+      bounds.get(id).exists { case (lo, hi) => s0 >= lo && s1 <= hi && s1 - s0 >= 40 }
+    }, s"spans outside planted bounds: ${spans.mkString(", ")}")
+    assert(spans.map(_._1).toSet == Set(1L, 2L))
+    // 1/16 anchor sampling over 361 grams: expected ~22 anchors, and the
+    // merged span(s) must cover most of the 400 chars (a coverage floor,
+    // not exact bounds — anchor-mode spans are a sample)
+    val covered = spans.filter(_._1 == 1L).map { case (_, s0, s1) => s1 - s0 }.sum
+    assert(covered >= 200, s"anchor-mode coverage too low: $covered of 400")
+  }
+
+  test("exact mode (empty prefix) recovers the planted span bounds exactly") {
+    val docs = Seq(
+      (1L, filler('a', 57) + sharedSpan + filler('b', 80)),
+      (2L, filler('c', 213) + sharedSpan + filler('d', 10))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(
+        docs, "doc_id", "text", k = 40, anchorHexPrefix = "")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // every gram fully inside the copy is duplicated; boundary grams mix in
+    // doc-unique filler, so the island is exactly the planted region
+    assert(spans == Set((1L, 57, 57 + 400), (2L, 213, 213 + 400)),
+      s"got $spans")
+  }
+
+  test("within-document repetition alone never fires; short and null docs are dropped") {
+    val docs = Seq(
+      (1L, filler('a', 300)),             // 260 identical grams, ONE doc
+      (2L, "short"),                      // < k
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    assert(Dedup.substringDupSpans(docs, "doc_id", "text", k = 40,
+      anchorHexPrefix = "").isEmpty)
+  }
+
+  test("canonicalization aligns case and whitespace variants before gram hashing") {
+    // same payload, one copy upper-cased with doubled spaces: canonical
+    // text is identical, so exact mode sees one duplicated region per doc
+    val plain = sharedSpan.take(100).replace("a", " a ")
+    val spaced = plain.toUpperCase.replace(" ", "  ")
+    val docs = Seq((1L, spaced), (2L, plain)).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(
+        docs, "doc_id", "text", k = 40, anchorHexPrefix = "")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val canonLen = plain.toLowerCase.replaceAll("\\s+", " ").trim.length
+    assert(spans == Set((1L, 0, canonLen), (2L, 0, canonLen)), s"got $spans")
+  }
+
+  test("argument guards: k, hex prefix alphabet, cross-doc minDocFreq") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Dedup.substringDupSpans(docs, "doc_id", "text", k = 0))
+    intercept[IllegalArgumentException](
+      Dedup.substringDupSpans(docs, "doc_id", "text", anchorHexPrefix = "G"))
+    intercept[IllegalArgumentException](
+      Dedup.substringDupSpans(docs, "doc_id", "text", minDocFreq = 1))
+  }
+}
