@@ -121,6 +121,32 @@ object Oracles {
     */
   private val pqRefinedCte: String = pqPipelineCte(4)
 
+  /** q99/q100 share the substring-dedup span pipeline: k=40 grams of the
+    * canonical text, md5-prefix '0' anchor selection (1/16, alignment-
+    * independent), >=2 distinct docs per hash, islands merged at gap <= 40.
+    * Ends at `s(doc_id, island, s0, s1)` (plus `c(doc_id, c)`).
+    */
+  private val substringSpanCte: String =
+    s"""c AS (SELECT doc_id, $canon AS c FROM documents),
+       |g AS (SELECT doc_id, unnest(range(0, len(c) - 39)) AS off, c FROM c),
+       |a AS (
+       |  SELECT doc_id, off, md5(substr(c, off + 1, 40)) AS h FROM g
+       |  WHERE md5(substr(c, off + 1, 40)) LIKE '0%'),
+       |d AS (SELECT h FROM a GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |f AS (SELECT a.doc_id, a.off FROM a JOIN d USING (h)),
+       |isl AS (
+       |  SELECT doc_id, off,
+       |    CASE WHEN off - lag(off) OVER (PARTITION BY doc_id ORDER BY off) <= 40
+       |         THEN 0 ELSE 1 END AS brk
+       |  FROM f),
+       |isl2 AS (
+       |  SELECT doc_id, off,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY off) AS island
+       |  FROM isl),
+       |s AS (
+       |  SELECT doc_id, island, min(off) AS s0, max(off) + 40 AS s1
+       |  FROM isl2 GROUP BY doc_id, island)""".stripMargin
+
   /** LSH hyperplane literals (q91): the same md5-derived constants the Spark
     * side precomputes on the driver, embedded as exact double literals —
     * each value is a dyadic rational (n/2^31 − 1), Double.toString round-
@@ -855,33 +881,44 @@ object Oracles {
         |ORDER BY win_id""".stripMargin,
 
     // Substring-level exact dedup (q99): the same content-defined anchor
-    // arithmetic replayed in SQL — k=40 grams of the canonical text,
-    // md5-prefix '0' selection (1/16, alignment-independent), >=2 distinct
-    // docs per hash, islands merged at gap <= 40. sum() casts to BIGINT
+    // arithmetic replayed in SQL (shared CTE below). sum() casts to BIGINT
     // (DuckDB sums INTEGER into HUGEINT).
     "q99_substring_dedup" ->
-      s"""WITH c AS (SELECT doc_id, $canon AS c FROM documents),
-         |g AS (SELECT doc_id, unnest(range(0, len(c) - 39)) AS off, c FROM c),
-         |a AS (
-         |  SELECT doc_id, off, md5(substr(c, off + 1, 40)) AS h FROM g
-         |  WHERE md5(substr(c, off + 1, 40)) LIKE '0%'),
-         |d AS (SELECT h FROM a GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-         |f AS (SELECT a.doc_id, a.off FROM a JOIN d USING (h)),
-         |isl AS (
-         |  SELECT doc_id, off,
-         |    CASE WHEN off - lag(off) OVER (PARTITION BY doc_id ORDER BY off) <= 40
-         |         THEN 0 ELSE 1 END AS brk
-         |  FROM f),
-         |isl2 AS (
-         |  SELECT doc_id, off,
-         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY off) AS island
-         |  FROM isl),
-         |s AS (
-         |  SELECT doc_id, island, min(off) AS s0, max(off) + 40 AS s1
-         |  FROM isl2 GROUP BY doc_id, island)
+      s"""WITH $substringSpanCte
          |SELECT doc_id, count(*) AS n_dup_spans,
          |  CAST(sum(s1 - s0) AS BIGINT) AS dup_chars
          |FROM s GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    // Span removal (q100): rebuild each document with its duplicated spans
+    // cut out — segments between consecutive spans string_agg'd in offset
+    // order, plus the tail after the last span; docs with no spans pass
+    // through. Mirrors Dedup.stripSpans' aggregate fold exactly (spans are
+    // island-merged, so non-overlapping — no clipping arithmetic needed).
+    "q100_strip_dup_spans" ->
+      s"""WITH $substringSpanCte,
+         |sp AS (
+         |  SELECT doc_id, s0, s1,
+         |    lag(s1) OVER (PARTITION BY doc_id ORDER BY s0) AS pe
+         |  FROM s),
+         |seg AS (
+         |  SELECT sp.doc_id, sp.s0,
+         |    substr(c.c, coalesce(pe, 0) + 1, sp.s0 - coalesce(pe, 0)) AS seg
+         |  FROM sp JOIN c ON c.doc_id = sp.doc_id),
+         |head AS (
+         |  SELECT doc_id, string_agg(seg, '' ORDER BY s0) AS h
+         |  FROM seg GROUP BY doc_id),
+         |tails AS (SELECT doc_id, max(s1) AS me FROM s GROUP BY doc_id),
+         |clean AS (
+         |  SELECT c.doc_id,
+         |    CASE WHEN h IS NULL THEN c.c
+         |         ELSE h || substr(c.c, me + 1, len(c.c) - me) END AS clean
+         |  FROM c
+         |  LEFT JOIN head ON head.doc_id = c.doc_id
+         |  LEFT JOIN tails ON tails.doc_id = c.doc_id)
+         |SELECT doc_id, md5(clean) AS clean_fp,
+         |  CAST(len(clean) AS BIGINT) AS clean_chars
+         |FROM clean
          |ORDER BY doc_id""".stripMargin,
 
     "q53_dedup_clusters" -> {

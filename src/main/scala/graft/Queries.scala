@@ -1582,6 +1582,21 @@ object Queries {
         sum(col("span_end") - col("span_start")).alias("dup_chars"))
       .orderBy(col("doc_id"))
 
+  /** Span removal — q99's ACTION half: the corpus with every detected
+    * duplicated span cut out (`Dedup.stripSpans`, a row-local aggregate
+    * fold after one join). Output fingerprints the cleaned text so the
+    * oracle gates the exact reconstruction, not just the lengths.
+    */
+  def q100StripDupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val spans = graft.operators.Dedup.substringDupSpans(
+      docs, "doc_id", "text", k = 40)
+    graft.operators.Dedup.stripSpans(docs, spans, "doc_id", "text")
+      .select(col("doc_id"), md5(col("clean_text")).alias("clean_fp"),
+        length(col("clean_text")).cast("long").alias("clean_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1685,6 +1700,7 @@ object Queries {
     "q96_lsh_multiband" -> (q96LshMultiband _),
     "q97_banded_range_join" -> (q97BandedRangeJoin _),
     "q98_banded_overlap_join" -> (q98BandedOverlapJoin _),
-    "q99_substring_dedup" -> (q99SubstringDedup _)
+    "q99_substring_dedup" -> (q99SubstringDedup _),
+    "q100_strip_dup_spans" -> (q100StripDupSpans _)
   )
 }

@@ -672,4 +672,51 @@ object Dedup {
         (max(col("__off")) + k).alias("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"))
   }
+
+  /** Apply span removal — the ACTION half of substring dedup: cut every
+    * `[span_start, span_end)` region (offsets into the CANONICAL text, as
+    * [[substringDupSpans]] emits) out of each document. Policy lives in
+    * the caller: pass the spans frame as-is to drop duplicated text
+    * everywhere, or pre-filter it (e.g. keep the min-id document's rows
+    * out of the frame) for a keep-one-copy corpus.
+    *
+    * Row-local after one join: spans collect to a per-doc sorted array
+    * (bounded by doc length / k — a handful of islands in practice), and
+    * the rebuild is a single `aggregate` fold over that array per row —
+    * no window, no extra shuffle. Overlapping or touching input spans are
+    * clipped in the fold (`stripSpans` never produces negative segments),
+    * so any span source is safe, not just island-merged ones.
+    *
+    * Returns every input document: `(idCol, clean_text, removed_chars)`,
+    * `clean_text` being the canonical text with spans cut (unchanged
+    * canonical text for documents with no spans).
+    */
+  def stripSpans(docs: DataFrame, spans: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val spanArr = spans
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").alias("s"), col("span_end").alias("e")))).alias("__spans"))
+    docs
+      .select(col(idCol), canonical(col(textCol)).alias("__c"))
+      .join(spanArr, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__spans").isNull, col("__c")).otherwise(
+          aggregate(col("__spans"),
+            struct(lit(0).alias("pos"), lit("").alias("acc")),
+            (acc, sp) => {
+              val segLen = greatest(sp.getField("s") - acc.getField("pos"), lit(0))
+              struct(
+                greatest(acc.getField("pos"), sp.getField("e")).alias("pos"),
+                concat(acc.getField("acc"),
+                  col("__c").substr(acc.getField("pos") + 1, segLen)).alias("acc"))
+            },
+            acc => concat(acc.getField("acc"),
+              col("__c").substr(acc.getField("pos") + 1,
+                length(col("__c")) - acc.getField("pos")))))
+          .alias("clean_text"),
+        col("__c"))
+      .select(col(idCol), col("clean_text"),
+        (length(col("__c")) - length(col("clean_text"))).alias("removed_chars"))
+  }
 }

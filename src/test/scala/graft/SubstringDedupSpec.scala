@@ -78,6 +78,34 @@ class SubstringDedupSpec extends SparkSpec {
     assert(spans == Set((1L, 0, canonLen), (2L, 0, canonLen)), s"got $spans")
   }
 
+  test("stripSpans cuts exactly the detected regions; span-free docs pass through canonical") {
+    val docs = Seq(
+      (1L, filler('a', 57) + sharedSpan + filler('b', 80)),
+      (2L, filler('c', 213) + sharedSpan + filler('d', 10)),
+      (3L, "No Spans  Here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(
+      docs, "doc_id", "text", k = 40, anchorHexPrefix = "")
+    val byId = Dedup.stripSpans(docs, spans, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    // exact-mode spans are the planted region exactly → clean = fillers only
+    assert(byId(1L) == (filler('a', 57) + filler('b', 80), 400))
+    assert(byId(2L) == (filler('c', 213) + filler('d', 10), 400))
+    assert(byId(3L) == ("no spans here", 0)) // canonicalized, untouched
+  }
+
+  test("stripSpans clips overlapping and touching spans; whole-doc span empties the text") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "0123456789")).toDF("doc_id", "text")
+    val spans = Seq(
+      (1L, 2, 5), (1L, 4, 7),  // overlap: cut [2,7) once
+      (2L, 0, 10)              // whole doc
+    ).toDF("doc_id", "span_start", "span_end")
+    val byId = Dedup.stripSpans(docs, spans, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(byId(1L) == ("abhij", 5))
+    assert(byId(2L) == ("", 10))
+  }
+
   test("argument guards: k, hex prefix alphabet, cross-doc minDocFreq") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](
