@@ -1101,6 +1101,30 @@ object Oracles {
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
 
+    // Target-mixture sampling (q101): the rate DERIVATION is replayed, not
+    // just the filter — per-lang counts, scale = min(n/w) (feasible corpus
+    // size), threshold = trunc(least(w*scale/n, 1)*10000), all DOUBLE in
+    // the same operation order as Sampling.toMixture (VALUES weights are
+    // CAST to DOUBLE: DuckDB would otherwise type 0.5 as DECIMAL and
+    // divide differently). Bucket filter = q54/q62's md5 idiom.
+    "q101_mixture_sample" ->
+      """WITH w(lang, w) AS (VALUES
+        |    ('en', CAST(0.5 AS DOUBLE)), ('zh', CAST(0.2 AS DOUBLE)),
+        |    ('de', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE))),
+        |n AS (
+        |  SELECT lang, count(*) AS n FROM documents
+        |  WHERE lang IN (SELECT lang FROM w) GROUP BY lang),
+        |s AS (SELECT min(n.n / w.w) AS s FROM n JOIN w USING (lang)),
+        |t AS (
+        |  SELECT w.lang,
+        |    CAST(trunc(least((w.w * s.s) / n.n, 1.0) * 10000) AS BIGINT) AS thr
+        |  FROM w JOIN n USING (lang) CROSS JOIN s)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN t ON d.lang = t.lang
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000
+        |  < t.thr
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q63_repetition" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split($canon, ' ')) AS token FROM documents),

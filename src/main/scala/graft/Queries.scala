@@ -1597,6 +1597,21 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Target-mixture sampling — `Sampling.toMixture` derives per-language
+    * rates for a 50/20/20/10 en/zh/de/fr corpus (es drops: no weight) and
+    * applies the content-hash filter. The oracle re-derives the identical
+    * rates in SQL (same count → min(n/w) scale → clamped threshold
+    * arithmetic, DOUBLE end to end) and replays the bucket filter, so the
+    * derivation itself is correctness-gated, not just the sampling.
+    */
+  def q101MixtureSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.toMixture(
+      t(spark, dir, "documents"), "lang",
+      Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.2, "fr" -> 0.1),
+      Seq(col("doc_id")))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1701,6 +1716,7 @@ object Queries {
     "q97_banded_range_join" -> (q97BandedRangeJoin _),
     "q98_banded_overlap_join" -> (q98BandedOverlapJoin _),
     "q99_substring_dedup" -> (q99SubstringDedup _),
-    "q100_strip_dup_spans" -> (q100StripDupSpans _)
+    "q100_strip_dup_spans" -> (q100StripDupSpans _),
+    "q101_mixture_sample" -> (q101MixtureSample _)
   )
 }

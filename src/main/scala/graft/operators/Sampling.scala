@@ -43,4 +43,46 @@ object Sampling {
       lit((defaultRate * 10000).toLong))
     df.filter(hashBucket(keys, 10000) < threshold)
   }
+
+  /** Sample DOWN to a target domain mixture — the data-mixing step of a
+    * corpus build: given target weights per stratum (summing to 1), derive
+    * the per-stratum Bernoulli rates that realize the LARGEST corpus
+    * honoring the mixture without upsampling, then apply them via
+    * [[stratified]] (content-hash filter: row-local, reproducible on any
+    * layout). The binding stratum (smallest `count/weight`) samples at
+    * rate 1; every other stratum downsamples proportionally; strata
+    * without a weight drop.
+    *
+    * The derivation needs one map-side-combined count per WEIGHTED stratum
+    * — a driver collect bounded by `weights.size` (domains/languages:
+    * small by contract), the same constant-bounded shape as the Lloyd
+    * centroid grids. A weighted stratum with zero rows fails loudly: the
+    * mixture is infeasible without upsampling, and silently returning an
+    * empty corpus (the limit of "honor the mixture") helps nobody.
+    *
+    * Realized proportions quantize at the 1/10000 bucket granularity of
+    * [[hashBucket]] — ±1e-4 of target, the documented contract.
+    */
+  def toMixture(df: DataFrame, strataCol: String, weights: Map[String, Double],
+      keys: Seq[Column]): DataFrame = {
+    require(weights.nonEmpty, "toMixture needs at least one target weight")
+    require(weights.values.forall(w => w > 0.0 && w <= 1.0),
+      s"weights must be in (0,1], got $weights")
+    val tot = weights.values.sum
+    require(math.abs(tot - 1.0) <= 1e-9, s"weights must sum to 1, got $tot")
+    val counts = df.filter(col(strataCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(strataCol)).agg(count(lit(1)).alias("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = weights.keySet -- counts.keySet
+    require(missing.isEmpty,
+      s"strata with a target weight but NO rows: ${missing.toSeq.sorted.mkString(", ")} " +
+        "— the mixture is infeasible without upsampling")
+    // feasible corpus size: the binding stratum is exhausted, none oversampled
+    val scale = weights.map { case (d, w) => counts(d).toDouble / w }.min
+    // fp guard: the binding stratum's w*(n/w)/n can land a ulp above 1
+    val rates = weights.map { case (d, w) =>
+      d -> math.min(1.0, w * scale / counts(d))
+    }
+    stratified(df, strataCol, rates, keys)
+  }
 }

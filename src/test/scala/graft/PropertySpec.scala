@@ -257,6 +257,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("toMixture: realized proportions hit the target within bucket granularity; binding stratum keeps all rows") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    import org.apache.spark.sql.functions.when
+    // skewed synthetic strata: a=6000, b=3000, c=900 rows; target 50/30/20.
+    // binding stratum = c (900/0.2 = 4500 < 6000/0.5, 3000/0.3) → c rate 1,
+    // feasible corpus 4500, expect ~2250/1350/900
+    val df = spark.range(0, 9900).select($"id",
+      when($"id" < 6000, "a").when($"id" < 9000, "b").otherwise("c").alias("st"))
+    val out = Sampling.toMixture(df, "st", Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), Seq($"id"))
+      .groupBy($"st").count().as[(String, Long)].collect().toMap
+    assert(out("c") == 900L, s"binding stratum must sample at rate 1: $out")
+    // hash buckets are uniform ±sampling noise; 1e-4 threshold quantization
+    // plus binomial noise at n≈2k ⇒ 5% tolerance
+    assert(math.abs(out("a") - 2250.0) / 2250.0 < 0.05, s"got $out")
+    assert(math.abs(out("b") - 1350.0) / 1350.0 < 0.05, s"got $out")
+    // reproducible on any layout: same rows after a repartition
+    val again = Sampling.toMixture(df.repartition(13), "st",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), Seq($"id"))
+      .select($"id").as[Long].collect().sorted
+    val first = Sampling.toMixture(df, "st",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), Seq($"id"))
+      .select($"id").as[Long].collect().sorted
+    assert(java.util.Arrays.equals(first, again))
+  }
+
+  test("toMixture guards: weights sum to 1, in (0,1], weighted stratum must have rows") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val df = Seq((1L, "en"), (2L, "de")).toDF("id", "st")
+    intercept[IllegalArgumentException](
+      Sampling.toMixture(df, "st", Map("en" -> 0.5, "de" -> 0.4), Seq($"id")))
+    intercept[IllegalArgumentException](
+      Sampling.toMixture(df, "st", Map("en" -> 1.5, "de" -> -0.5), Seq($"id")))
+    intercept[IllegalArgumentException](
+      Sampling.toMixture(df, "st", Map("en" -> 0.5, "fr" -> 0.5), Seq($"id")))
+  }
+
   test("PQ Lloyd refinement: total distortion is monotone non-increasing per pass") {
     import graft.operators.Similarity
     import spark.implicits._
