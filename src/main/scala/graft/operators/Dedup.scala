@@ -628,11 +628,13 @@ object Dedup {
     * cut the anchor shuffle 16× at a ~256+k-char sensitivity floor.
     *
     * Plan shape: one codegen projection explodes offsets and keeps only
-    * anchors (~len/16^p rows per doc reach the exchange), one groupBy on
-    * the digest counts distinct docs, one LEFT SEMI join back on the same
-    * key — never a pair expansion, so a boilerplate gram in a million
-    * documents costs one counter row, not 10^12 pairs — then a
-    * doc-partitioned window merges islands.
+    * anchors (~len/16^p rows per doc reach the exchange); the cross-doc
+    * mark is min(doc)≠max(doc) over a hash-partitioned window for the
+    * default `minDocFreq = 2` (one shuffle, constant window state, single
+    * evaluation of the md5 scan) and a countDistinct + LEFT SEMI join for
+    * higher thresholds — either way never a pair expansion, so a
+    * boilerplate gram in a million documents costs one group's scalars,
+    * not 10^12 pairs — then a doc-partitioned window merges islands.
     *
     * Returns one row per merged span: `(idCol, span_start, span_end)`,
     * offsets into the CANONICAL text (0-based, end-exclusive).
@@ -655,12 +657,27 @@ object Dedup {
         md5(col("__c").substr(col("__off") + 1, lit(k))).alias("__h"))
       .filter(if (anchorHexPrefix.isEmpty) lit(true)
               else col("__h").startsWith(anchorHexPrefix))
-    val dupHashes = anchors
-      .groupBy(col("__h"))
-      .agg(countDistinct(col(idCol)).alias("__df"))
-      .filter(col("__df") >= minDocFreq)
-      .select(col("__h"))
-    val marked = anchors.join(dupHashes, Seq("__h"), "left_semi")
+    val marked = if (minDocFreq == 2) {
+      // min(doc) ≠ max(doc) over a hash-partitioned window ⟺ ≥2 distinct
+      // docs — exact for the default threshold, and it folds the mark into
+      // ONE shuffle with no join and a SINGLE evaluation of the anchor
+      // lineage (the per-gram md5 scan is the operator's dominant cost; the
+      // agg+semi-join diamond below evaluates it twice). Window state is
+      // two scalars per hash group, never a per-row collection.
+      val byHash = Window.partitionBy(col("__h"))
+      anchors
+        .withColumn("__dmin", min(col(idCol)).over(byHash))
+        .withColumn("__dmax", max(col(idCol)).over(byHash))
+        .filter(col("__dmin") =!= col("__dmax"))
+        .drop("__dmin", "__dmax")
+    } else {
+      val dupHashes = anchors
+        .groupBy(col("__h"))
+        .agg(countDistinct(col(idCol)).alias("__df"))
+        .filter(col("__df") >= minDocFreq)
+        .select(col("__h"))
+      anchors.join(dupHashes, Seq("__h"), "left_semi")
+    }
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__off"))
     marked
       .withColumn("__brk",

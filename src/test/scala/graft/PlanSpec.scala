@@ -144,13 +144,15 @@ class PlanSpec extends SparkSpec {
       s"single-partition windows found:\n${offenders.mkString("\n")}")
   }
 
-  test("q99: substring dedup is a semi-join on the anchor digest — no pair expansion") {
+  test("q99: substring dedup marks duplicates without any join — no pair expansion") {
     val plan = planOf(Queries.q99SubstringDedup(spark, sfDir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
-      s"anchor join degenerated into a product join:\n$plan")
-    assert(plan.contains("LeftSemi"),
-      s"duplicated-hash marking must be a LEFT SEMI join (one row per anchor, " +
-        s"never an all-pairs expansion):\n$plan")
+      s"anchor marking degenerated into a product join:\n$plan")
+    // default minDocFreq=2 folds the cross-doc mark into a hash-partitioned
+    // window (min≠max): the md5 anchor scan — the dominant cost — must be
+    // evaluated ONCE, so the plan has no join at all
+    assert(!plan.contains("Join"),
+      s"default-threshold marking must be the single-pass window, not a join:\n$plan")
   }
 
   test("q86: incremental dedup is equi-joins only (no product join against the corpus)") {

@@ -78,6 +78,32 @@ class SubstringDedupSpec extends SparkSpec {
     assert(spans == Set((1L, 0, canonLen), (2L, 0, canonLen)), s"got $spans")
   }
 
+  test("minDocFreq=3 (semi-join path) agrees with the default window path on shared structure") {
+    // three docs share the span: both code paths must find it; at
+    // minDocFreq=3 a 2-doc-only span must NOT fire
+    val three = Seq(
+      (1L, filler('a', 50) + sharedSpan),
+      (2L, filler('c', 90) + sharedSpan),
+      (3L, sharedSpan + filler('e', 30))
+    ).toDF("doc_id", "text")
+    val at2 = Dedup.substringDupSpans(three, "doc_id", "text", k = 40,
+      anchorHexPrefix = "", minDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val at3 = Dedup.substringDupSpans(three, "doc_id", "text", k = 40,
+      anchorHexPrefix = "", minDocFreq = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(at2 == at3 && at3 == Set((1L, 50, 450), (2L, 90, 490), (3L, 0, 400)),
+      s"at2=$at2 at3=$at3")
+    // a span in only two docs drops at minDocFreq=3
+    val two = Seq(
+      (1L, filler('a', 50) + sharedSpan),
+      (2L, filler('c', 90) + sharedSpan),
+      (3L, filler('e', 500))
+    ).toDF("doc_id", "text")
+    assert(Dedup.substringDupSpans(two, "doc_id", "text", k = 40,
+      anchorHexPrefix = "", minDocFreq = 3).isEmpty)
+  }
+
   test("stripSpans cuts exactly the detected regions; span-free docs pass through canonical") {
     val docs = Seq(
       (1L, filler('a', 57) + sharedSpan + filler('b', 80)),
