@@ -1125,6 +1125,27 @@ object Oracles {
         |  < t.thr
         |ORDER BY d.doc_id""".stripMargin,
 
+    // Snapshot change feed (q102): the query commits v0 (keys %7<>0) and v1
+    // (keys %5<>0, +1.0 price where %3=0) through SnapshotManifest and
+    // diffs them; the oracle derives the identical feed by set arithmetic
+    // on the fixture. Updates emit pre+post image rows, Delta-CDF style.
+    "q102_snapshot_cdf" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p FROM orders)
+        |SELECT k AS o_orderkey, c AS o_custkey,
+        |  CASE WHEN k % 3 = 0 THEN p + 1.0 ELSE p END AS o_totalprice,
+        |  'insert' AS _change
+        |FROM base WHERE k % 7 = 0 AND k % 5 <> 0
+        |UNION ALL
+        |SELECT k, c, p, 'delete' FROM base WHERE k % 7 <> 0 AND k % 5 = 0
+        |UNION ALL
+        |SELECT k, c, p, 'update_preimage'
+        |FROM base WHERE k % 7 <> 0 AND k % 5 <> 0 AND k % 3 = 0
+        |UNION ALL
+        |SELECT k, c, p + 1.0, 'update_postimage'
+        |FROM base WHERE k % 7 <> 0 AND k % 5 <> 0 AND k % 3 = 0
+        |ORDER BY o_orderkey, _change""".stripMargin,
+
     "q63_repetition" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split($canon, ' ')) AS token FROM documents),

@@ -1612,6 +1612,31 @@ object Queries {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Snapshot change feed — two versions of an orders-derived table are
+    * committed through [[graft.sources.SnapshotManifest]] (v0 = keys not
+    * divisible by 7; v1 = keys not divisible by 5, prices bumped where
+    * divisible by 3), then `changesBetween(0, 1)` emits the row-level CDC
+    * feed: inserts (the %7 keys v0 lacked), deletes (the %5 keys v1
+    * dropped), and update pre/post image pairs (the surviving %3 keys).
+    * The oracle re-derives the same feed with set arithmetic directly on
+    * the fixture — the hash match gates the classification, the pre/post
+    * pairing, AND the parquet round-trip through the manifest table.
+    */
+  def q102SnapshotCdf(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q102").toString
+    graft.sources.SnapshotManifest.commit(spark, root,
+      orders.filter(col("o_orderkey") % 7 =!= 0))
+    graft.sources.SnapshotManifest.commit(spark, root,
+      orders.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice"))))
+    graft.sources.SnapshotManifest.changesBetween(spark, root, 0L, 1L, Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"), col("_change"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1717,6 +1742,7 @@ object Queries {
     "q98_banded_overlap_join" -> (q98BandedOverlapJoin _),
     "q99_substring_dedup" -> (q99SubstringDedup _),
     "q100_strip_dup_spans" -> (q100StripDupSpans _),
-    "q101_mixture_sample" -> (q101MixtureSample _)
+    "q101_mixture_sample" -> (q101MixtureSample _),
+    "q102_snapshot_cdf" -> (q102SnapshotCdf _)
   )
 }

@@ -91,6 +91,75 @@ object SnapshotManifest {
     spark.read.parquet(snapshotFiles(spark, root, v): _*)
   }
 
+  /** Time travel: read an explicit committed snapshot `version`. Every
+    * superseded version stays fully readable until [[vacuum]] reclaims it
+    * (data files are immutable and manifests are never rewritten), so this
+    * is a pure manifest lookup — no log replay, no reconstruction.
+    */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
+    spark.read.parquet(snapshotFiles(spark, root, version): _*)
+
+  /** Row-level change feed between two committed versions: what happened to
+    * the table keyed by `pk` going `fromVersion` → `toVersion`. Output is
+    * the table's columns plus `_change` ∈ {insert, delete, update_preimage,
+    * update_postimage} (updates emit BOTH rows, Delta-CDF style), so a
+    * downstream incremental consumer can apply the feed without re-reading
+    * either snapshot.
+    *
+    * Contract: each snapshot is PK-unique (the [[graft.operators.Upsert]]
+    * family's invariant). That makes the FILE-level prune sound: data files
+    * are immutable, so a file listed by both manifests contributes
+    * byte-identical rows to both sides and cannot produce a change — only
+    * files unique to one side are read at all. After compaction-only or
+    * metadata-only commits the diff therefore reads NOTHING, and at 100 TB
+    * the scan cost is proportional to the churned fraction of the table,
+    * not its size. The remainder is one null-safe full-outer join on `pk`
+    * (one shuffle per side); rewritten-but-unchanged rows (compaction) are
+    * detected by column comparison and dropped.
+    */
+  def changesBetween(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long, pk: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(pk.nonEmpty, "changesBetween: pk must name at least one column")
+    require(fromVersion <= toVersion,
+      s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
+    val oldFiles = snapshotFiles(spark, root, fromVersion)
+    val newFiles = snapshotFiles(spark, root, toVersion)
+    val shared = oldFiles.toSet intersect newFiles.toSet
+    val oldOnly = oldFiles.filterNot(shared)
+    val newOnly = newFiles.filterNot(shared)
+    // schema from the manifest's own files (either side works: one commit
+    // never changes both nothing and the schema)
+    val schemaSrc = spark.read.parquet((oldFiles ++ newFiles).distinct: _*)
+    val cols = schemaSrc.columns.toSeq
+    pk.foreach(c => require(cols.contains(c), s"changesBetween: pk column $c not in $cols"))
+    if (oldOnly.isEmpty && newOnly.isEmpty)
+      return schemaSrc.limit(0).withColumn("_change", lit(""))
+    def side(files: Seq[String]) =
+      if (files.isEmpty) schemaSrc.limit(0) else spark.read.parquet(files: _*)
+    val o = side(oldOnly).alias("o")
+    val n = side(newOnly).alias("n")
+    val joinCond = pk.map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _)
+    val joined = o.join(n, joinCond, "full_outer")
+    val oldAbsent = pk.map(c => col(s"o.$c").isNull).reduce(_ && _)
+    val newAbsent = pk.map(c => col(s"n.$c").isNull).reduce(_ && _)
+    val nonPk = cols.filterNot(pk.contains)
+    val differs =
+      if (nonPk.isEmpty) lit(false)
+      else nonPk.map(c => !(col(s"o.$c") <=> col(s"n.$c"))).reduce(_ || _)
+    def img(prefix: String) = struct(cols.map(c => col(s"$prefix.$c")): _*)
+    // drop unchanged rows (ones that merely moved files, e.g. compaction),
+    // then one codegen'd pass expands each survivor to its 1-2 feed rows
+    val feed = joined.filter(oldAbsent || newAbsent || differs).select(explode(
+      when(oldAbsent, array(struct(lit("insert").alias("_change"), img("n").alias("row"))))
+        .when(newAbsent, array(struct(lit("delete").alias("_change"), img("o").alias("row"))))
+        .otherwise(array(
+          struct(lit("update_preimage").alias("_change"), img("o").alias("row")),
+          struct(lit("update_postimage").alias("_change"), img("n").alias("row"))))
+    ).alias("e"))
+    feed.select(cols.map(c => col(s"e.row.$c")) :+ col("e._change").alias("_change"): _*)
+  }
+
   /** Commit `df` as the next snapshot. Concurrent writers are SAFE: each
     * attempt stages into its own unique dir (no attempt can delete or list
     * another's files — there is no shared staging path at all), and the

@@ -180,6 +180,48 @@ class SnapshotManifestSpec extends SparkSpec {
     assert(SnapshotManifest.read(spark, root).count() == 2)
   }
 
+  test("readVersion time-travels; changesBetween classifies the row-level feed") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "x", "v"))
+    SnapshotManifest.commit(spark, root,
+      Seq((2L, "b", 20.0), (3L, "c2", 30.0), (4L, "d", 40.0)).toDF("id", "x", "v"))
+    // time travel: v0 is untouched by the v1 commit
+    assert(SnapshotManifest.readVersion(spark, root, 0L)
+      .as[(Long, String, Double)].collect().sorted.toSeq ==
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+    val feed = SnapshotManifest.changesBetween(spark, root, 0L, 1L, Seq("id"))
+      .select($"id", $"x", $"_change").as[(Long, String, String)].collect().sorted.toSeq
+    assert(feed == Seq(
+      (1L, "a", "delete"),
+      (3L, "c", "update_preimage"), (3L, "c2", "update_postimage"),
+      (4L, "d", "insert")))
+    // self-diff: every file is shared → pruned to an empty feed, no scan
+    assert(SnapshotManifest.changesBetween(spark, root, 1L, 1L, Seq("id")).isEmpty)
+    // bad pk column fails loudly
+    intercept[IllegalArgumentException] {
+      SnapshotManifest.changesBetween(spark, root, 0L, 1L, Seq("nope"))
+    }
+  }
+
+  test("changesBetween across compaction: rewritten-but-unchanged rows emit nothing") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      spark.range(100).repartition(8).select($"id", ($"id" % 7).alias("g")))
+    assert(SnapshotManifest.compactSnapshot(spark, root).contains(1L))
+    // every row moved files; none changed → the feed is empty
+    assert(SnapshotManifest.changesBetween(spark, root, 0L, 1L, Seq("id")).isEmpty)
+    // metadata-only commit (manifest reuses v1's files, e.g. a retention
+    // bump): the file-level prune leaves NOTHING to read on either side
+    val fs = hfs(root)
+    val files = SnapshotManifest.snapshotFiles(spark, root, 1L)
+      .map(f => new Path(f).toString.stripPrefix(new Path(root).toString).stripPrefix("/"))
+    graft.sources.CommitProtocol.publishFile(fs, new Path(root, "manifest-00000002.json"),
+      ("version=2\n" + files.mkString("", "\n", "\n")).getBytes("UTF-8"))
+    val feed = SnapshotManifest.changesBetween(spark, root, 1L, 2L, Seq("id"))
+    assert(feed.isEmpty)
+  }
+
   test("mergeAndCommit: manifest-backed MERGE, previous snapshot intact") {
     val root = newRoot()
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
