@@ -1146,6 +1146,35 @@ object Oracles {
         |FROM base WHERE k % 7 <> 0 AND k % 5 <> 0 AND k % 3 = 0
         |ORDER BY o_orderkey, _change""".stripMargin,
 
+    // Bigram LM scoring (q103): replays TextAnalysis.bigramModel + lmScore —
+    // canonical tokens, adjacent pairs keyed w1||chr(31)||w2, pair counts,
+    // prefix mass (BEFORE pruning), minCount=2 prune, left-join scoring,
+    // integer mass sums. Docs with <2 tokens emit nothing on either side.
+    "q103_lm_score" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split($canon, ' '), t -> t <> '') AS toks
+         |  FROM documents),
+         |big AS (
+         |  SELECT doc_id,
+         |    unnest([toks[i] || chr(31) || toks[i+1]
+         |            for i in generate_series(1, len(toks) - 1)]) AS bg
+         |  FROM tok WHERE len(toks) >= 2),
+         |c12 AS (SELECT bg, count(*) AS c12 FROM big GROUP BY bg),
+         |c1 AS (
+         |  SELECT split_part(bg, chr(31), 1) AS w1, sum(c12) AS c1
+         |  FROM c12 GROUP BY 1),
+         |model AS (
+         |  SELECT bg, c12.c12, c1.c1
+         |  FROM c12 JOIN c1 ON split_part(c12.bg, chr(31), 1) = c1.w1
+         |  WHERE c12.c12 >= 2)
+         |SELECT b.doc_id, count(*) AS n_bigrams, count(m.c12) AS n_known,
+         |  CAST(sum(m.c12) AS BIGINT) AS sum_c12,
+         |  CAST(sum(m.c1) AS BIGINT) AS sum_c1
+         |FROM big b LEFT JOIN model m USING (bg)
+         |GROUP BY b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+
     "q63_repetition" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split($canon, ' ')) AS token FROM documents),

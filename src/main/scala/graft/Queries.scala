@@ -1637,6 +1637,24 @@ object Queries {
       .orderBy(col("o_orderkey"), col("_change"))
   }
 
+  /** Bigram-LM corpus-fit scoring — the CCNet/KenLM-style quality signal:
+    * a bigram model is TRAINED on the corpus (pair + prefix counts, rare
+    * pairs pruned at minCount=2 AFTER the denominator keeps full mass),
+    * then every document is SCORED against it. The gated columns are the
+    * exact integer mass statistics (known-pair counts and c12/c1 sums);
+    * the float `avg_logprob` perplexity signal rides on the same
+    * aggregation but stays out of the hash (ln is not bit-portable).
+    * The oracle replays tokenization, training, pruning, and scoring.
+    */
+  def q103LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val model = graft.operators.TextAnalysis.bigramModel(docs, "text", minCount = 2)
+    graft.operators.TextAnalysis.lmScore(docs, "doc_id", "text", model)
+      .select(col("doc_id"), col("n_bigrams"), col("n_known"),
+        col("sum_c12"), col("sum_c1"))
+      .orderBy(col("doc_id"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1743,6 +1761,7 @@ object Queries {
     "q99_substring_dedup" -> (q99SubstringDedup _),
     "q100_strip_dup_spans" -> (q100StripDupSpans _),
     "q101_mixture_sample" -> (q101MixtureSample _),
-    "q102_snapshot_cdf" -> (q102SnapshotCdf _)
+    "q102_snapshot_cdf" -> (q102SnapshotCdf _),
+    "q103_lm_score" -> (q103LmScore _)
   )
 }

@@ -271,6 +271,78 @@ object TextAnalysis {
     struct(counts: _*)
   }
 
+  // ---------------------------------------------------------------------------
+  // Bigram language model — the CCNet/KenLM-style corpus-fit quality signal:
+  // train n-gram statistics on a reference corpus, score each document by
+  // how typical its token transitions are. Low-probability (surprising)
+  // documents are boilerplate/garbled/foreign candidates.
+  // ---------------------------------------------------------------------------
+
+  /** Bigram separator: US control char — cannot occur in whitespace-split
+    * tokens, so `w1 + Sep + w2` is collision-free as a single join key
+    * (DuckDB twin: `chr(31)`).
+    */
+  val BigramSep = "\u001f"
+
+  /** Canonical token array: lowercase, whitespace-collapsed, empties out. */
+  private def canonTokens(text: Column): Column =
+    filter(split(trim(regexp_replace(lower(text), "\\s+", " ")), " "),
+      (t: Column) => t =!= lit(""))
+
+  /** Adjacent-pair keys (`w1<US>w2`) of each doc, exploded row-locally —
+    * empty output for texts with fewer than two tokens.
+    */
+  private def bigramsExploded(docs: DataFrame, idCols: Seq[Column], textCol: String): DataFrame =
+    docs.select(idCols :+ canonTokens(col(textCol)).alias("__graft_toks"): _*)
+      .filter(size(col("__graft_toks")) >= 2)
+      .select(idCols :+ explode(transform(
+        sequence(lit(0), size(col("__graft_toks")) - 2),
+        i => concat(element_at(col("__graft_toks"), i + 1), lit(BigramSep),
+          element_at(col("__graft_toks"), i + 2)))).alias("bg"): _*)
+
+  /** Train a bigram model over `docs(textCol)`: one row per surviving
+    * bigram — `(bg, w1, c12, c1)` with `c12` = corpus count of the pair and
+    * `c1` = corpus count of `w1` as a bigram prefix (the conditional's
+    * denominator: P(w2|w1) ≈ c12/c1).
+    *
+    * `minCount` prunes rare bigrams AFTER `c1` is computed (the denominator
+    * keeps full mass — standard LM pruning), which is the 100-TB lever: the
+    * model a scoring join must materialize shrinks to the head of the
+    * Zipf curve while scoring semantics degrade gracefully (pruned pairs
+    * score as unknown). Shape: one corpus scan, one map-side-combined
+    * shuffle on the pair key, then a rollup + join over DISTINCT bigrams
+    * (model-sized, not corpus-sized).
+    */
+  def bigramModel(docs: DataFrame, textCol: String, minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val c12 = bigramsExploded(docs, Seq.empty, textCol)
+      .groupBy(col("bg")).agg(count(lit(1)).alias("c12"))
+      .withColumn("w1", substring_index(col("bg"), BigramSep, 1))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).alias("c1"))
+    c12.join(c1, Seq("w1")).filter(col("c12") >= minCount)
+      .select(col("bg"), col("w1"), col("c12"), col("c1"))
+  }
+
+  /** Score each document against a trained [[bigramModel]]. Output per doc:
+    * `n_bigrams`, `n_known` (pairs the model retains), exact integer mass
+    * sums `sum_c12`/`sum_c1` (null when every pair is unknown — the
+    * engine-portable statistics), and `avg_logprob` = mean ln(c12/c1) over
+    * known pairs (the perplexity-style float signal; `exp(-avg_logprob)`
+    * is per-bigram perplexity). Shape: one corpus scan, one shuffle join
+    * on the pair key (AQE broadcasts pruned models that fit), one doc-key
+    * aggregation.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String, model: DataFrame): DataFrame =
+    bigramsExploded(docs, Seq(col(idCol)), textCol)
+      .join(model.select(col("bg"), col("c12"), col("c1")), Seq("bg"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).alias("n_bigrams"),
+        count(col("c12")).alias("n_known"),
+        sum(col("c12")).alias("sum_c12"),
+        sum(col("c1")).alias("sum_c1"),
+        avg(log(col("c12").cast("double") / col("c1").cast("double"))).alias("avg_logprob"))
+
   /** Full text profile in one projection. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -569,6 +569,47 @@ class ExtensionSpec extends SparkSpec {
     assert(d4(3)._4 == "t10 t11" && d4(3)._3 == 2L)
   }
 
+  test("bigramModel: pair counts, full-mass prefix denominator, minCount prune") {
+    val docs = Seq(
+      (1L, "the cat sat"),        // the>cat, cat>sat
+      (2L, "the cat ran"),        // the>cat, cat>ran
+      (3L, "THE  cat   sat"),     // canonicalization: same as doc 1
+      (4L, "solo")                // <2 tokens: contributes nothing
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.bigramModel(docs, "text", minCount = 2)
+      .select($"w1", $"bg", $"c12", $"c1").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).sorted
+    val S = TextAnalysis.BigramSep
+    // cat>ran (count 1) is pruned, but cat's prefix mass stays 3: the
+    // denominator keeps the full distribution after pruning
+    assert(m.toSeq == Seq((s"cat${S}sat", 2L, 3L), (s"the${S}cat", 3L, 3L)))
+  }
+
+  test("lmScore: known/unknown accounting and the perplexity signal") {
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran"),
+      (3L, "the cat sat"),
+      (4L, "dog dog")             // all pairs unknown to the pruned model
+    ).toDF("doc_id", "text")
+    val model = TextAnalysis.bigramModel(docs, "text", minCount = 2)
+    val out = TextAnalysis.lmScore(docs, "doc_id", "text", model)
+      .orderBy($"doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // corpus counts: the>cat=3 (c1 the=3), cat>sat=2, cat>ran=1 (c1 cat=3),
+    // dog>dog=1 (c1 dog=1); minCount=2 keeps the>cat and cat>sat only.
+    // doc 1: both pairs known → logprob = avg(ln(3/3), ln(2/3)) < 0
+    assert(byId(1L).getLong(1) == 2 && byId(1L).getLong(2) == 2)
+    assert(byId(1L).getLong(3) == 5 && byId(1L).getLong(4) == 6)
+    val lp = byId(1L).getDouble(5)
+    assert(math.abs(lp - (math.log(3.0 / 3) + math.log(2.0 / 3)) / 2) < 1e-12)
+    // doc 2: cat>ran was pruned → 1 known of 2, mass sums count known only
+    assert(byId(2L).getLong(1) == 2 && byId(2L).getLong(2) == 1)
+    assert(byId(2L).getLong(3) == 3 && byId(2L).getLong(4) == 3)
+    // doc 4: nothing known → null masses, null logprob
+    assert(byId(4L).getLong(2) == 0 && byId(4L).isNullAt(3) && byId(4L).isNullAt(5))
+  }
+
   test("repetition profile: counts and ratios on a hand-checked doc") {
     val df = Seq((1L, "a a a b"), (2L, "x y z w")).toDF("doc_id", "text")
     val out = TextAnalysis.repetitionProfile(df, "doc_id", "text")

@@ -155,6 +155,16 @@ class PlanSpec extends SparkSpec {
       s"default-threshold marking must be the single-pass window, not a join:\n$plan")
   }
 
+  test("q103: LM training + scoring are equi-joins with map-side partial counts") {
+    val plan = planOf(Queries.q103LmScore(spark, sfDir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"LM model/scoring join degenerated into a product join:\n$plan")
+    // pair counting must combine map-side: a partial count before the
+    // exchange on the bigram key (corpus-sized explode → model-sized shuffle)
+    assert(plan.contains("partial_count") || plan.contains("partial count") ||
+      plan.contains("Partial"), s"no map-side partial aggregation in:\n$plan")
+  }
+
   test("q86: incremental dedup is equi-joins only (no product join against the corpus)") {
     val plan = planOf(Queries.q86IncrementalDedup(spark, sfDir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
