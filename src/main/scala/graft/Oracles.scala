@@ -11,6 +11,52 @@ object Oracles {
 
   private val canon = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
+  /** One BPE pair-count CTE body over sequence CTE `src` (frequency-weighted
+    * adjacent pairs of the space-joined symbol sequences).
+    */
+  private def bpePairSql(src: String): String =
+    s"""SELECT pair, sum(f) AS cnt FROM (
+       |    SELECT f, unnest([t[i] || ' ' || t[i+1]
+       |                      for i in generate_series(1, len(t) - 1)]) AS pair
+       |    FROM (SELECT string_split(seq, ' ') AS t, f FROM $src))
+       |  GROUP BY pair""".stripMargin
+
+  /** Apply the merge held by 1-row CTE `m` to `seq`: padded literal replace
+    * (` a b ` → ` ab `), exactly Bpe.applyMerge.
+    */
+  private def bpeApplySql(m: String): String =
+    s"trim(replace(' ' || seq || ' ', " +
+      s"' ' || (SELECT pair FROM $m) || ' ', " +
+      s"' ' || (SELECT replace(pair, ' ', '') FROM $m) || ' '))"
+
+  /** The 3-iteration BPE training CTE chain shared by q106/q107: word
+    * frequencies → char sequences → (pairs, argmax, apply) × 3. Ends after
+    * `m2` with no trailing comma — append either the final SELECT (q106) or
+    * `,` + more CTEs (q107).
+    */
+  private val bpeTrainCtes: String = {
+    val header =
+      s"""WITH w AS (
+         |  SELECT tok AS word, count(*) AS f FROM (
+         |    SELECT unnest(list_filter(string_split($canon, ' '), t -> t <> '')) AS tok
+         |    FROM documents)
+         |  GROUP BY tok),
+         |s0 AS (
+         |  SELECT array_to_string([word[i] for i in generate_series(1, length(word))], ' ')
+         |    || ' </w>' AS seq, f FROM w),
+         |""".stripMargin
+    val iters = (0 until 3).map { i =>
+      val apply =
+        if (i < 2) s",\ns${i + 1} AS (SELECT ${bpeApplySql(s"m$i")} AS seq, f FROM s$i),\n"
+        else "\n"
+      s"""p$i AS (
+         |  ${bpePairSql(s"s$i")}),
+         |m$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1)"""
+        .stripMargin + apply
+    }.mkString
+    header + iters
+  }
+
   /** Planted near-duplicate corpus (must match Queries.docsWithPlantedDups). */
   private val plantedDocs =
     """SELECT doc_id, text FROM documents
@@ -1174,6 +1220,80 @@ object Oracles {
          |FROM big b LEFT JOIN model m USING (bg)
          |GROUP BY b.doc_id
          |ORDER BY b.doc_id""".stripMargin,
+
+    // Z-order cells (q104): replays Layout.bucketLong (shift-based buckets,
+    // s = max(0, ceilLog2(width) - bits) with ceilLog2 via length(bin(w-1)))
+    // and the Morton interleave (generated bit-op chain below) — all BIGINT
+    // shifts/masks, bit-portable by construction.
+    "q104_zorder_cells" -> {
+      val zterms = (0 until 8).map(i =>
+        s"(((ba >> $i) & 1) << ${2 * i}) | (((bb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH bounds AS (
+         |  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         |         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+         |  FROM lineitem),
+         |sh AS (
+         |  SELECT pmin, smin,
+         |    greatest(0, length(bin(pmax - pmin)) - 8) AS sa,
+         |    greatest(0, length(bin(smax - smin)) - 8) AS sb
+         |  FROM bounds),
+         |bk AS (
+         |  SELECT (l_partkey - pmin) >> sa AS ba,
+         |         (l_suppkey - smin) >> sb AS bb, l_quantity
+         |  FROM lineitem CROSS JOIN sh),
+         |z AS (SELECT ($zterms) AS zv, l_quantity FROM bk)
+         |SELECT zv >> 8 AS zcell, count(*) AS n,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+         |FROM z GROUP BY zcell
+         |ORDER BY zcell""".stripMargin
+    },
+
+    // Shard export (q105): replays Sampling.toShards' content-derived shard
+    // (q54/q62's md5-prefix bucket idiom, mod 16) and the per-shard rollups.
+    "q105_shard_export" ->
+      """WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 16
+        |      AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY shard
+        |ORDER BY shard""".stripMargin,
+
+    // BPE training (q106): replays Bpe.trainMerges' 3 iterations as chained
+    // CTEs — word frequencies, char+'</w>' sequences, frequency-weighted
+    // adjacent-pair counts, argmax with the count-desc/pair-asc tie-break,
+    // and the padded literal replace that applies each winning merge.
+    "q106_bpe_merges" -> (bpeTrainCtes +
+      """SELECT * FROM (
+        |  SELECT 0 AS rank, pair, CAST(cnt AS BIGINT) AS cnt FROM m0
+        |  UNION ALL SELECT 1, pair, CAST(cnt AS BIGINT) FROM m1
+        |  UNION ALL SELECT 2, pair, CAST(cnt AS BIGINT) FROM m2)
+        |ORDER BY rank""".stripMargin),
+
+    // BPE encoding (q107): the same trained merges applied to every word of
+    // every document (padded literal replace chain in rank order), then
+    // per-doc symbol totals and distinct-symbol counts.
+    "q107_bpe_encode" -> (bpeTrainCtes +
+      s""", d AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split($canon, ' '), t -> t <> '')) AS word
+         |  FROM documents),
+         |e0 AS (
+         |  SELECT doc_id,
+         |    array_to_string([word[i] for i in generate_series(1, length(word))], ' ')
+         |      || ' </w>' AS seq
+         |  FROM d),
+         |e1 AS (SELECT doc_id, ${bpeApplySql("m0")} AS seq FROM e0),
+         |e2 AS (SELECT doc_id, ${bpeApplySql("m1")} AS seq FROM e1),
+         |e3 AS (SELECT doc_id, ${bpeApplySql("m2")} AS seq FROM e2),
+         |sym AS (SELECT doc_id, unnest(string_split(seq, ' ')) AS s FROM e3)
+         |SELECT doc_id, count(*) AS n_bpe_tokens,
+         |  count(DISTINCT s) AS n_distinct_symbols
+         |FROM sym GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin),
 
     "q63_repetition" ->
       s"""WITH tok AS (

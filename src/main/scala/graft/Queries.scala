@@ -1655,6 +1655,79 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Z-order cell occupancy — the layout-clustering arithmetic
+    * ([[graft.operators.Layout]]) oracle-gated: both join keys bucketed by
+    * the shift rule over their actual bounds (a 4-number driver-side
+    * aggregate, the same constant cost [[graft.operators.Layout.zOrderBy]]
+    * pays), Morton-interleaved, and rolled up into coarse z-cells. The
+    * hash match pins the exact bit arithmetic (bucket shifts + interleave)
+    * that file pruning depends on; LayoutSpec separately proves the
+    * pruning effect on written files.
+    */
+  def q104ZorderCells(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val Array(b) = li.agg(
+      min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).collect()
+    val z = graft.operators.Layout.zValue(
+      graft.operators.Layout.bucketLong(col("l_partkey"), b.getLong(0), b.getLong(1), 8),
+      graft.operators.Layout.bucketLong(col("l_suppkey"), b.getLong(2), b.getLong(3), 8), 8)
+    li.select(z.alias("zv"), col("l_quantity"))
+      .groupBy(shiftright(col("zv"), 8).alias("zcell"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("l_quantity").cast("decimal(30,6)")).cast("double").alias("sum_qty"))
+      .orderBy(col("zcell"))
+  }
+
+  /** Deterministic shard export — `Sampling.toShards` assigns each document
+    * a content-derived shard (md5 bucket of doc_id) and the query gates the
+    * full assignment via per-shard integer rollups (count, id extrema,
+    * char mass). The oracle replays the md5 bucket arithmetic, so the hash
+    * match pins that every row lands in the same shard on any engine or
+    * layout — the reproducible-export contract.
+    */
+  def q105ShardExport(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.toShards(
+      t(spark, dir, "documents"), Seq(col("doc_id")), nShards = 16)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).alias("n"),
+        min(col("doc_id")).alias("min_id"), max(col("doc_id")).alias("max_id"),
+        sum(col("n_chars")).alias("sum_chars"))
+      .orderBy(col("shard"))
+
+  /** BPE vocabulary training — 3 merges trained distributed
+    * ([[graft.operators.Bpe.trainMerges]]): ONE corpus scan builds the
+    * word-frequency table; each merge iteration aggregates pair counts
+    * over DISTINCT words (vocabulary-sized) and collects a 1-row argmax.
+    * Output is the merge table (rank, pair, weighted count); the oracle
+    * replays all three iterations — tokenize, char-split, count, argmax
+    * with the count-desc/pair-asc tie-break, literal padded replace —
+    * as chained CTEs.
+    */
+  def q106BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val wf = graft.operators.Bpe.wordFreq(t(spark, dir, "documents"), "text")
+    val (merges, _) = graft.operators.Bpe.trainMerges(wf, 3)
+    spark.createDataFrame(merges).toDF("rank", "pair", "cnt")
+      .orderBy(col("rank"))
+  }
+
+  /** BPE encoding — the trained merges applied back to the corpus
+    * ([[graft.operators.Bpe.encode]]: a row-local literal-replace chain,
+    * merges embedded as plan literals, no shuffle). Gated per document:
+    * symbol count after merging and distinct-symbol count — the
+    * compression the vocabulary buys, exact.
+    */
+  def q107BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val (merges, _) = graft.operators.Bpe.trainMerges(
+      graft.operators.Bpe.wordFreq(docs, "text"), 3)
+    graft.operators.Bpe.encode(docs, "text", merges.map(_._2))
+      .select(col("doc_id"),
+        size(col("bpe_tokens")).cast("long").alias("n_bpe_tokens"),
+        size(array_distinct(col("bpe_tokens"))).cast("long").alias("n_distinct_symbols"))
+      .orderBy(col("doc_id"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1762,6 +1835,10 @@ object Queries {
     "q100_strip_dup_spans" -> (q100StripDupSpans _),
     "q101_mixture_sample" -> (q101MixtureSample _),
     "q102_snapshot_cdf" -> (q102SnapshotCdf _),
-    "q103_lm_score" -> (q103LmScore _)
+    "q103_lm_score" -> (q103LmScore _),
+    "q104_zorder_cells" -> (q104ZorderCells _),
+    "q105_shard_export" -> (q105ShardExport _),
+    "q106_bpe_merges" -> (q106BpeMerges _),
+    "q107_bpe_encode" -> (q107BpeEncode _)
   )
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) vocabulary training — the
+  * tokenizer-construction step of a training-data pipeline, in the
+  * scale-correct formulation: the corpus is scanned ONCE to build the
+  * word-frequency table, and every merge iteration runs over that
+  * DISTINCT-WORD table (vocabulary-sized, Zipf-bounded — millions of rows
+  * for a 100 TB corpus, not trillions), weighting pair counts by word
+  * frequency. Per iteration: one map-side-combined aggregation on the
+  * pair key plus a 1-row argmax collect; the corpus itself is never
+  * rescanned after the first pass.
+  *
+  * Word representation: space-joined characters plus a `</w>` end-of-word
+  * symbol (`"the" → "t h e </w>"`). A merge of pair `(a, b)` rewrites
+  * every non-overlapping ` a b ` occurrence to ` ab ` left-to-right —
+  * literal string replacement on the padded sequence, which any engine
+  * reproduces exactly (the padding spaces make token boundaries explicit,
+  * so a pair can never match inside a previously merged symbol).
+  */
+object Bpe {
+
+  val EndOfWord = "</w>"
+
+  /** Word-frequency table of a corpus: canonical tokens → count. The one
+    * corpus-sized aggregation in the whole trainer.
+    */
+  def wordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextAnalysis.canonicalTokens(col(textCol))).alias("word"))
+      .groupBy(col("word")).agg(count(lit(1)).alias("f"))
+
+  /** Chars-plus-marker sequence of one word (`"the" → "t h e </w>"`).
+    * split-by-empty-regex yields single chars; the filter guards the
+    * engine-quirk empty fragments.
+    */
+  private def charSeq(w: Column): Column =
+    concat(array_join(filter(split(w, ""), c => length(c) > 0), " "),
+      lit(" " + EndOfWord))
+
+  /** Initial char-sequence form: `(seq, f)` with seq = chars + `</w>`. */
+  def initialSeqs(wordFreq: DataFrame): DataFrame =
+    wordFreq.select(charSeq(col("word")).alias("seq"), col("f"))
+
+  /** Frequency-weighted adjacent-pair counts of the current sequences. */
+  def pairCounts(seqs: DataFrame): DataFrame = {
+    val toks = split(col("seq"), " ")
+    seqs.filter(size(toks) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+        .alias("pair"),
+        col("f"))
+      .groupBy(col("pair")).agg(sum(col("f")).alias("cnt"))
+  }
+
+  /** Apply one merge: every ` a b ` → ` ab `, literal and left-to-right. */
+  def applyMerge(seqs: DataFrame, pair: String): DataFrame = {
+    val merged = pair.replace(" ", "")
+    seqs.withColumn("seq",
+      trim(regexp_replace(concat(lit(" "), col("seq"), lit(" ")),
+        lit(java.util.regex.Pattern.quote(s" $pair ")),
+        lit(java.util.regex.Matcher.quoteReplacement(s" $merged ")))))
+  }
+
+  /** Train `k` merges. Returns (merge table `(rank, pair, cnt)`, final
+    * sequences). Ties break deterministically: highest count, then
+    * lexicographically smallest pair. Each iteration's argmax is a 1-row
+    * driver collect; the growing lineage is checkpoint-free because k is
+    * small by contract (vocab construction, not a fixpoint).
+    */
+  def trainMerges(wordFreq: DataFrame, k: Int): (Seq[(Int, String, Long)], DataFrame) = {
+    require(k >= 1 && k <= 64, s"k merges out of range: $k")
+    var seqs = initialSeqs(wordFreq)
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < k && !exhausted) {
+      val top = pairCounts(seqs)
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
+        merges += ((rank, pair, cnt))
+        seqs = applyMerge(seqs, pair)
+        rank += 1
+      }
+    }
+    (merges.result(), seqs)
+  }
+
+  /** Encode a corpus with a trained merge list: the same replace chain,
+    * row-local (no shuffle — merges broadcast as literals in the plan).
+    * Returns docs plus `bpe_tokens` (the symbol array per document's
+    * canonical words, merges applied in rank order).
+    */
+  def encode(docs: DataFrame, textCol: String, merges: Seq[String]): DataFrame = {
+    val mergedSeq = merges.foldLeft[Column => Column](charSeq _) { (f, pair) =>
+      val merged = pair.replace(" ", "")
+      w => trim(regexp_replace(concat(lit(" "), f(w), lit(" ")),
+        lit(java.util.regex.Pattern.quote(s" $pair ")),
+        lit(java.util.regex.Matcher.quoteReplacement(s" $merged "))))
+    }
+    docs.withColumn("bpe_tokens",
+      flatten(transform(TextAnalysis.canonicalTokens(col(textCol)),
+        w => split(mergedSeq(w), " "))))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout clustering for scan locality — the write-side half of the
+  * 100 TB story. Parquet scans prune with per-file (and per-row-group)
+  * min/max statistics; those statistics only help when the write CLUSTERS
+  * correlated values into the same files. Sorting by one column gives
+  * perfect pruning on that column and none on any other; a Z-ORDER
+  * (Morton) sort interleaves the bit patterns of several columns so every
+  * participating column's values stay locally clustered — the standard
+  * multi-dimensional layout (Delta OPTIMIZE ZORDER, Iceberg sort orders).
+  *
+  * Everything here is row-local arithmetic over built-in expressions (the
+  * interleave unrolls to a static bit-op tree — codegen'd, engine-portable)
+  * plus ONE `repartitionByRange` on the z-value: Spark's range partitioner
+  * samples boundaries, so output files are balanced even when the z-space
+  * is skewed. No window functions, no driver materialization beyond the
+  * 2-number bounds row per column.
+  */
+object Layout {
+
+  /** Bucket id in [0, 2^bits) for an INTEGRAL column with known inclusive
+    * bounds: `(c - min) >> s` where `s = max(0, ceilLog2(max-min+1) - bits)`
+    * — equal POWER-OF-TWO-width buckets, pure shift/subtract on BIGINT, so
+    * any engine reproduces it bit-for-bit (no division, no float rounding;
+    * the DuckDB twin derives s as `greatest(0, length(bin(max-min)) - bits)`).
+    * Values outside [min,max] clamp to the edge buckets. When the domain
+    * width is not a power of two the top buckets go unused — harmless for
+    * layout: cell GEOMETRY matters, not cell-id density.
+    */
+  def bucketLong(c: Column, min: Long, max: Long, bits: Int): Column = {
+    require(bits >= 1 && bits <= 20, s"bits must be in [1,20], got $bits")
+    require(max >= min, s"empty domain [$min,$max]")
+    val width = max - min + 1
+    val s =
+      if (width <= 1L) 0
+      else math.max(0, (64 - java.lang.Long.numberOfLeadingZeros(width - 1)) - bits)
+    val clamped = least(greatest(c.cast("long"), lit(min)), lit(max))
+    shiftright(clamped - min, s)
+  }
+
+  /** Morton/Z interleave of two bucket ids (each in [0, 2^bits)): bit i of
+    * `a` lands at position 2i, bit i of `b` at 2i+1. Statically unrolled —
+    * one codegen'd expression, no lambda, no loop at runtime.
+    */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 20, s"bits must be in [1,20], got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Cluster `df` for scans that filter on BOTH `colA` and `colB`: bucket
+    * each column over its actual min/max (computed in one tiny aggregation,
+    * broadcast back as a 1-row bounds dimension — the plan stays fully
+    * distributed), interleave to a z-value, then range-repartition and
+    * sort by it. Writing the result produces `numFiles`-balanced files
+    * whose per-file min/max boxes tile the (A,B) plane — a predicate on
+    * either column prunes most files, which a single-column sort cannot do
+    * for the second column. Returns the clustered frame with the z column
+    * dropped.
+    */
+  def zOrderBy(df: DataFrame, colA: String, colB: String,
+      bits: Int = 8, numFiles: Int = 64): DataFrame = {
+    val bounds = df.agg(
+      min(col(colA).cast("long")).alias("__amin"), max(col(colA).cast("long")).alias("__amax"),
+      min(col(colB).cast("long")).alias("__bmin"), max(col(colB).cast("long")).alias("__bmax"))
+    val Array(row) = bounds.collect() // 4 numbers — constant driver cost
+    require(!row.isNullAt(0) && !row.isNullAt(2), "zOrderBy: empty input or all-null keys")
+    val (amin, amax, bmin, bmax) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val z = zValue(
+      bucketLong(col(colA), amin, amax, bits),
+      bucketLong(col(colB), bmin, bmax, bits), bits)
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+  }
+}

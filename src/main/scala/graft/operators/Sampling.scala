@@ -85,4 +85,20 @@ object Sampling {
     }
     stratified(df, strataCol, rates, keys)
   }
+
+  /** Deterministic shard assignment for training-data export: `shard` =
+    * content hash of the key columns in [0, nShards). The assignment
+    * depends only on row content — re-running the export on a different
+    * cluster layout, partition count, or engine yields the SAME shards
+    * (the reproducibility contract training jobs need for resumable /
+    * auditable data loading). The frame comes back repartitioned BY the
+    * shard column, so `.write.partitionBy("shard")` emits each shard as
+    * one contiguous file set with no extra shuffle; one scan, one
+    * hash-partitioned exchange, regardless of corpus size.
+    */
+  def toShards(df: DataFrame, keys: Seq[Column], nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= (1 << 20), s"nShards out of range: $nShards")
+    df.withColumn("shard", hashBucket(keys, nShards))
+      .repartition(nShards, col("shard"))
+  }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** BPE trainer/encoder: the textbook low/lower/newest/widest example
+  * hand-checked end to end, plus the overlap and tie-break contracts.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the classic corpus: low×5, lower×2, newest×6, widest×3
+  private def corpus = Seq(
+    (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")),
+    (2L, (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+  ).toDF("doc_id", "text")
+
+  test("trainMerges reproduces the textbook merge sequence with tie-breaks") {
+    val (merges, _) = Bpe.trainMerges(Bpe.wordFreq(corpus, "text"), 3)
+    // counts: es=9, st=9, t</w>=9 → lexicographic tie-break picks 'e s';
+    // merging cascades: 'es t' then 'est </w>', each still at mass 9
+    assert(merges == Seq(
+      (0, "e s", 9L),
+      (1, "es t", 9L),
+      (2, "est </w>", 9L)))
+  }
+
+  test("encode applies merges in rank order; unknown words stay char-split") {
+    val (merges, _) = Bpe.trainMerges(Bpe.wordFreq(corpus, "text"), 3)
+    val enc = Bpe.encode(Seq((1L, "newest zap")).toDF("doc_id", "text"),
+      "text", merges.map(_._2))
+      .select($"bpe_tokens").as[Seq[String]].head()
+    assert(enc == Seq("n", "e", "w", "est</w>", "z", "a", "p", "</w>"))
+  }
+
+  test("merge replace is left-to-right non-overlapping (aaa under 'a a')") {
+    val enc = Bpe.encode(Seq((1L, "aaa")).toDF("doc_id", "text"),
+      "text", Seq("a a"))
+      .select($"bpe_tokens").as[Seq[String]].head()
+    assert(enc == Seq("aa", "a", "</w>"))
+  }
+
+  test("trainMerges stops early when no pairs remain") {
+    // single 1-char word: seq 'x </w>' has one pair, then none
+    val (merges, _) = Bpe.trainMerges(
+      Bpe.wordFreq(Seq((1L, "x x")).toDF("doc_id", "text"), "text"), 5)
+    assert(merges == Seq((0, "x </w>", 2L)))
+  }
+}

@@ -272,6 +272,27 @@ class ExtensionSpec extends SparkSpec {
     assert(picked.sameElements(repicked) && picked.nonEmpty && picked.length < df.count())
   }
 
+  test("toShards: layout-invariant assignment, partitionBy writes one dir per shard") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = graft.operators.Sampling.toShards(df, Seq($"doc_id"), 8)
+      .select($"doc_id", $"shard").as[(Long, Long)].collect().sorted
+    val b = graft.operators.Sampling.toShards(df.repartition(13), Seq($"doc_id"), 8)
+      .select($"doc_id", $"shard").as[(Long, Long)].collect().sorted
+    assert(a.sameElements(b), "shard assignment must not depend on input layout")
+    assert(a.map(_._2).distinct.length == 8, "every shard populated on this fixture")
+    // the export shape: partitionBy(shard) → one shard=K dir per shard,
+    // and reading back reproduces the exact assignment
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/out"
+    graft.operators.Sampling.toShards(df, Seq($"doc_id"), 8)
+      .write.partitionBy("shard").parquet(dir)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.toSeq == (0 until 8).map(i => s"shard=$i"))
+    val back = spark.read.parquet(dir).select($"doc_id", $"shard".cast("long"))
+      .as[(Long, Long)].collect().sorted
+    assert(back.sameElements(a))
+  }
+
   test("stratified sampling: missing stratum takes default rate 0") {
     val df = Seq((1L, "en"), (2L, "xx"), (3L, "en"), (4L, "xx")).toDF("id", "lang")
     val out = graft.operators.Sampling

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+/** Z-order layout: interleave/bucket arithmetic, and the actual pruning
+  * effect on written parquet files — the property the operator exists for.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bit patterns (hand-checked)") {
+    // a=0b101 even positions → 0b10001; b=0b011 odd positions → 0b01010
+    val out = spark.range(1)
+      .select(
+        Layout.zValue(lit(5L), lit(3L), 3).alias("z1"),
+        Layout.zValue(lit(0L), lit(0L), 3).alias("z2"),
+        Layout.zValue(lit(7L), lit(7L), 3).alias("z3"))
+      .head()
+    assert(out.getLong(0) == 27L) // 0b11011
+    assert(out.getLong(1) == 0L)
+    assert(out.getLong(2) == 63L) // all 6 low bits set
+  }
+
+  test("bucketLong: shift rule, power-of-two widths, clamping") {
+    val df = Seq(0L, 1L, 255L, 256L, 511L, 1000L, -5L).toDF("v")
+    // width 512 at 8 bits → s=1: bucket = v >> 1 (clamped into [0,511])
+    val got = df.select(Layout.bucketLong($"v", 0L, 511L, 8).alias("b"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(0L, 0L, 127L, 128L, 255L, 255L, 0L))
+    // width exactly 256 at 8 bits → identity
+    val id = Seq(10L, 42L).toDF("v")
+      .select(Layout.bucketLong($"v", 0L, 255L, 8)).as[Long].collect().toSeq
+    assert(id == Seq(10L, 42L))
+    // degenerate one-value domain → bucket 0
+    val one = Seq(7L).toDF("v")
+      .select(Layout.bucketLong($"v", 7L, 7L, 8)).as[Long].collect().toSeq
+    assert(one == Seq(0L))
+  }
+
+  test("zOrderBy written files prune on BOTH dimensions; x-sort cannot") {
+    // full 64×64 grid: every (x, y) once
+    val grid = spark.range(4096)
+      .select(($"id" % 64).alias("x"), floor($"id" / 64).alias("y"))
+    val dir = Files.createTempDirectory("graft_layout").toString
+
+    Layout.zOrderBy(grid, "x", "y", bits = 6, numFiles = 16)
+      .write.parquet(s"$dir/zorder")
+    grid.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.parquet(s"$dir/xsort")
+
+    // per-file bounding boxes — exactly the min/max stats a scan prunes with
+    def boxes(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().alias("f"))
+      .agg(min($"y").alias("ymin"), max($"y").alias("ymax"))
+      .select($"ymin", $"ymax").as[(Long, Long)].collect().toSeq
+    val zBoxes = boxes(s"$dir/zorder")
+    val xBoxes = boxes(s"$dir/xsort")
+    assert(zBoxes.size == 16 && xBoxes.size == 16)
+
+    // predicate y IN [0,7]: a y-band. Z-order tiles the plane, so only the
+    // bottom band of boxes intersects; an x-sorted layout gives every file
+    // the full y range — zero pruning on the second dimension.
+    def touching(bs: Seq[(Long, Long)]) = bs.count { case (lo, hi) => lo <= 7 && hi >= 0 }
+    assert(touching(xBoxes) == 16, s"x-sort should touch all files: $xBoxes")
+    assert(touching(zBoxes) <= 8,
+      s"z-order should prune most files for a y-band, touched ${touching(zBoxes)}: $zBoxes")
+  }
+}
