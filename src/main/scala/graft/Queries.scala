@@ -1721,10 +1721,16 @@ object Queries {
     val docs = t(spark, dir, "documents")
     val (merges, _) = graft.operators.Bpe.trainMerges(
       graft.operators.Bpe.wordFreq(docs, "text"), 3)
-    graft.operators.Bpe.encode(docs, "text", merges.map(_._2))
-      .select(col("doc_id"),
-        size(col("bpe_tokens")).cast("long").alias("n_bpe_tokens"),
-        size(array_distinct(col("bpe_tokens"))).cast("long").alias("n_distinct_symbols"))
+    // bulk-encoding shape: the merge chain runs once per DISTINCT word
+    // (encodeVocab), the corpus only pays a token→vocab equi-join
+    val words = docs.select(col("doc_id"),
+      explode(graft.operators.TextAnalysis.canonicalTokens(col("text"))).alias("word"))
+    val vocab = graft.operators.Bpe.encodeVocab(words.select(col("word")).distinct(), merges.map(_._2))
+    words.join(vocab, Seq("word"))
+      .select(col("doc_id"), explode(col("syms")).alias("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).alias("n_bpe_tokens"),
+        countDistinct(col("s")).alias("n_distinct_symbols"))
       .orderBy(col("doc_id"))
   }
 

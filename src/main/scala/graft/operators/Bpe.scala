@@ -90,10 +90,31 @@ object Bpe {
     (merges.result(), seqs)
   }
 
+  /** Merged symbol sequences for a table of DISTINCT words: `(word, syms)`
+    * with the merge list applied in rank order — row-local replace chain
+    * over the VOCABULARY, which is how corpus-scale encoding should run:
+    * the per-word merge work is paid once per distinct word (Zipf-bounded),
+    * and the corpus is touched only by a token→vocab equi-join (AQE
+    * broadcasts any real vocabulary). See q107 for the composed shape.
+    */
+  def encodeVocab(words: DataFrame, merges: Seq[String]): DataFrame = {
+    val seq0 = charSeq(col("word"))
+    val seqN = merges.foldLeft(seq0) { (s, pair) =>
+      val merged = pair.replace(" ", "")
+      trim(regexp_replace(concat(lit(" "), s, lit(" ")),
+        lit(java.util.regex.Pattern.quote(s" $pair ")),
+        lit(java.util.regex.Matcher.quoteReplacement(s" $merged "))))
+    }
+    words.select(col("word"), split(seqN, " ").alias("syms"))
+  }
+
   /** Encode a corpus with a trained merge list: the same replace chain,
     * row-local (no shuffle — merges broadcast as literals in the plan).
     * Returns docs plus `bpe_tokens` (the symbol array per document's
-    * canonical words, merges applied in rank order).
+    * canonical words, merges applied in rank order). Order-preserving and
+    * join-free — right for serving single documents; for BULK corpus
+    * encoding prefer [[encodeVocab]] + join, which pays the merge chain
+    * once per DISTINCT word instead of once per occurrence.
     */
   def encode(docs: DataFrame, textCol: String, merges: Seq[String]): DataFrame = {
     val mergedSeq = merges.foldLeft[Column => Column](charSeq _) { (f, pair) =>

@@ -135,14 +135,17 @@ object SnapshotManifest {
     pk.foreach(c => require(cols.contains(c), s"changesBetween: pk column $c not in $cols"))
     if (oldOnly.isEmpty && newOnly.isEmpty)
       return schemaSrc.limit(0).withColumn("_change", lit(""))
+    // presence markers, not pk-null checks: a legitimately NULL-keyed row
+    // (the `=` merge carve-outs tolerate them) must not read as "absent"
     def side(files: Seq[String]) =
-      if (files.isEmpty) schemaSrc.limit(0) else spark.read.parquet(files: _*)
+      (if (files.isEmpty) schemaSrc.limit(0) else spark.read.parquet(files: _*))
+        .withColumn("__graft_present", lit(1))
     val o = side(oldOnly).alias("o")
     val n = side(newOnly).alias("n")
     val joinCond = pk.map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _)
     val joined = o.join(n, joinCond, "full_outer")
-    val oldAbsent = pk.map(c => col(s"o.$c").isNull).reduce(_ && _)
-    val newAbsent = pk.map(c => col(s"n.$c").isNull).reduce(_ && _)
+    val oldAbsent = col("o.__graft_present").isNull
+    val newAbsent = col("n.__graft_present").isNull
     val nonPk = cols.filterNot(pk.contains)
     val differs =
       if (nonPk.isEmpty) lit(false)

@@ -40,6 +40,22 @@ class BpeSpec extends SparkSpec {
     assert(enc == Seq("aa", "a", "</w>"))
   }
 
+  test("encodeVocab is the differential twin of encode (same symbol multiset per doc)") {
+    val (merges, _) = Bpe.trainMerges(Bpe.wordFreq(corpus, "text"), 3)
+    val direct = Bpe.encode(corpus, "text", merges.map(_._2))
+      .select($"doc_id", explode($"bpe_tokens").alias("s"))
+      .groupBy($"doc_id", $"s").count()
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    val words = corpus.select($"doc_id",
+      explode(graft.operators.TextAnalysis.canonicalTokens($"text")).alias("word"))
+    val viaVocab = words
+      .join(Bpe.encodeVocab(words.select($"word").distinct(), merges.map(_._2)), Seq("word"))
+      .select($"doc_id", explode($"syms").alias("s"))
+      .groupBy($"doc_id", $"s").count()
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(direct == viaVocab && direct.nonEmpty)
+  }
+
   test("trainMerges stops early when no pairs remain") {
     // single 1-char word: seq 'x </w>' has one pair, then none
     val (merges, _) = Bpe.trainMerges(

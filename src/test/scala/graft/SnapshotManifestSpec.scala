@@ -204,6 +204,20 @@ class SnapshotManifestSpec extends SparkSpec {
     }
   }
 
+  test("changesBetween: NULL-keyed rows are matched by presence, not pk nullness") {
+    val root = newRoot()
+    // a null-PK row present and UNCHANGED in both versions must emit
+    // nothing (it is not "absent" on either side), even though every file
+    // is rewritten between the commits
+    SnapshotManifest.commit(spark, root,
+      Seq((Option(1L), "a"), (Option.empty[Long], "nullkey")).toDF("id", "x"))
+    SnapshotManifest.commit(spark, root,
+      Seq((Option(1L), "a2"), (Option.empty[Long], "nullkey")).toDF("id", "x"))
+    val feed = SnapshotManifest.changesBetween(spark, root, 0L, 1L, Seq("id"))
+      .select($"x", $"_change").as[(String, String)].collect().sorted.toSeq
+    assert(feed == Seq(("a", "update_preimage"), ("a2", "update_postimage")))
+  }
+
   test("changesBetween across compaction: rewritten-but-unchanged rows emit nothing") {
     val root = newRoot()
     SnapshotManifest.commit(spark, root,
