@@ -1295,6 +1295,43 @@ object Oracles {
          |FROM sym GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin),
 
+    // BM25 keyword extraction (q108): k1=1.2/b=0.75 folded into one exact
+    // integer ratio (num = 22·tf·S·(2N−2df+1), den = (10·tf·S+3·S+9·dl·N)·
+    // (2df+1)) so both engines divide identical int64s and the score double
+    // is bit-for-bit. Corpus stats over ALL docs; doc_id<100 trims output.
+    "q108_bm25_keywords" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split($canon, ' ')) AS token FROM documents)
+         |  WHERE token <> ''
+         |  GROUP BY doc_id, token),
+         |wl AS (
+         |  SELECT doc_id, token, tf,
+         |    sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
+         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |tot AS (
+         |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |         (SELECT sum(tf) FROM tf) AS s_tokens),
+         |s AS (
+         |  SELECT wl.doc_id, wl.token,
+         |    CAST(22 * wl.tf * tot.s_tokens
+         |         * (2 * tot.n_docs - 2 * dfq.df + 1) AS BIGINT) AS w_num,
+         |    CAST((10 * wl.tf * tot.s_tokens + 3 * tot.s_tokens
+         |          + 9 * wl.dl * tot.n_docs)
+         |         * (2 * dfq.df + 1) AS BIGINT) AS w_den
+         |  FROM wl JOIN dfq ON wl.token = dfq.token CROSS JOIN tot
+         |  WHERE wl.doc_id < 100),
+         |r AS (
+         |  SELECT doc_id, token, w_num, w_den,
+         |    CAST(w_num AS DOUBLE) / CAST(w_den AS DOUBLE) AS score,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY CAST(w_num AS DOUBLE) / CAST(w_den AS DOUBLE) DESC,
+         |               token) AS rk
+         |  FROM s)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, token, w_num, w_den, score
+         |FROM r WHERE rk <= 3
+         |ORDER BY doc_id, rk""".stripMargin,
+
     "q63_repetition" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split($canon, ' ')) AS token FROM documents),

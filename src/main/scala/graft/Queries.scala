@@ -1734,6 +1734,21 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 keyword extraction ([[graft.operators.TextAnalysis.bm25Keywords]]):
+    * top-3 BM25-weighted terms per document with the standard k1=1.2/b=0.75
+    * constants folded into one exact integer ratio — both engines divide the
+    * same two int64s, so the score double is bit-identical. Corpus stats
+    * (df, dl, N, S) are computed over the WHOLE corpus; the doc_id<100 cut
+    * only trims the reported rows (it pushes through the rank window on its
+    * partition key, so the window runs on the cut, not the corpus).
+    */
+  def q108Bm25Keywords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    graft.operators.TextAnalysis.bm25Keywords(docs, "doc_id", "text", k = 3)
+      .filter(col("doc_id") < 100)
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1845,6 +1860,7 @@ object Queries {
     "q104_zorder_cells" -> (q104ZorderCells _),
     "q105_shard_export" -> (q105ShardExport _),
     "q106_bpe_merges" -> (q106BpeMerges _),
-    "q107_bpe_encode" -> (q107BpeEncode _)
+    "q107_bpe_encode" -> (q107BpeEncode _),
+    "q108_bm25_keywords" -> (q108Bm25Keywords _)
   )
 }

@@ -343,6 +343,108 @@ object TextAnalysis {
         sum(col("c1")).alias("sum_c1"),
         avg(log(col("c12").cast("double") / col("c1").cast("double"))).alias("avg_logprob"))
 
+  // ---------------------------------------------------------------------------
+  // BM25 — the standard lexical relevance weighting (Robertson/Spärck Jones;
+  // the scoring function behind Lucene/Elasticsearch defaults). Two forms:
+  // a rational exact-integer keyword-extraction form (differential-testable
+  // bit-for-bit — the q108 gate) and the classic log-IDF retrieval scorer
+  // (the production serving path; ln() is not engine-portable at the ulp,
+  // so it is spec-tested rather than oracle-hashed).
+  // ---------------------------------------------------------------------------
+
+  /** Per-(doc, term) BM25 weights with `k1 = 1.2`, `b = 0.75` (the standard
+    * defaults), top `k` terms per document — BM25-saturated keyword
+    * extraction. Uses the EXP-IDF variant: the classic idf is
+    * `ln((N−df+½)/(df+½))`; this ranks terms by the ratio itself (monotone
+    * in the per-term comparison, and — unlike ln — exactly reproducible on
+    * any IEEE engine). With those constants the whole weight is one integer
+    * ratio:
+    *
+    *   num = 22·tf·S·(2N − 2df + 1)
+    *   den = (10·tf·S + 3·S + 9·dl·N)·(2df + 1)
+    *
+    * where `tf` = term count in doc, `dl` = doc token count, `df` = doc
+    * frequency, `N` = corpus doc count, `S` = corpus token count (so
+    * `avgdl = S/N` never appears as a rounded intermediate). `score` is the
+    * single division num/den — both engines divide the same two exact
+    * int64s, so the double is bit-identical. Integer envelope: num stays
+    * below 2^53 while `tf·S·N < 4·10^14` — a per-PARTITION corpus at 100 TB
+    * (and far beyond any test SF); whole-corpus scale serving uses
+    * [[bm25Score]].
+    *
+    * Shape: one corpus scan → (doc,term) count shuffle; `df` is a
+    * vocab-sized rollup of that table; `dl` a window over the same
+    * clustering; `N`,`S` one broadcast row. Same cost profile as TF-IDF
+    * (q76) — every corpus-sized shuffle is keyed, nothing quadratic.
+    */
+  def bm25Keywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = docs
+      .select(col(idCol), explode(canonicalTokens(col(textCol))).alias("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).alias("tf"))
+    val withDl = tf.withColumn("dl",
+      sum(col("tf")).over(org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).alias("df"))
+    val totals = docs.agg(count(lit(1)).alias("n_docs"))
+      .crossJoin(tf.agg(sum(col("tf")).alias("s_tokens")))
+    val scored = withDl
+      .join(dfreq, "token")
+      .crossJoin(broadcast(totals))
+      .withColumn("w_num",
+        lit(22L) * col("tf") * col("s_tokens") *
+          (lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)))
+      .withColumn("w_den",
+        (lit(10L) * col("tf") * col("s_tokens") + lit(3L) * col("s_tokens") +
+          lit(9L) * col("dl") * col("n_docs")) *
+          (lit(2L) * col("df") + lit(1L)))
+      .withColumn("score", col("w_num").cast("double") / col("w_den").cast("double"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("token").asc)
+    scored
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk").cast("long").alias("rk"), col("token"),
+        col("w_num"), col("w_den"), col("score"))
+  }
+
+  /** Classic BM25 retrieval scoring of a term set against the corpus —
+    * per-doc `Σ_t idf(t)·tfsat(t,d)` with the Lucene non-negative idf
+    * `ln(1 + (N−df+½)/(df+½))` and `tfsat = tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))`.
+    * This is the serving path (floats, ln) — keyword extraction and the
+    * oracle gate use [[bm25Keywords]]'s exact rational twin. Only docs
+    * containing ≥1 query term appear (score > 0). Shape: tf table
+    * semi-joined to the (broadcast) query-term list before any stats join,
+    * so the corpus-sized operand drops to matching (doc,term) rows first.
+    */
+  def bm25Score(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, b in [0,1]; got k1=$k1 b=$b")
+    val tf = docs
+      .select(col(idCol), explode(canonicalTokens(col(textCol))).alias("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).alias("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).alias("dl"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).alias("df"))
+    val totals = docs.agg(count(lit(1)).alias("n_docs"))
+      .crossJoin(dl.agg(avg(col("dl")).alias("avgdl")))
+    val hits = tf.filter(col("token").isInCollection(queryTerms))
+    hits
+      .join(dl, Seq(idCol))
+      .join(dfreq, "token")
+      .crossJoin(broadcast(totals))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("tfsat",
+        col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("idf") * col("tfsat")).alias("bm25"),
+        count(lit(1)).alias("n_matched_terms"))
+  }
+
   /** Full text profile in one projection. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
