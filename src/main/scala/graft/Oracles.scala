@@ -1332,6 +1332,47 @@ object Oracles {
          |FROM r WHERE rk <= 3
          |ORDER BY doc_id, rk""".stripMargin,
 
+    // Per-language quality-threshold curation (q109): exact per-group median
+    // via a (lang, score) value histogram + cumulative count (replaying
+    // Thresholds.groupQuantileDisc), then keep docs >= their language's cut.
+    // Scores replay q30's quality expression, DECIMAL(10,4)-cast so the
+    // threshold comparison is exact in both engines.
+    "q109_quality_threshold" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(
+        |      (CASE WHEN length(coalesce(text,'')) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+        |      (CASE WHEN (CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / length(text) END) <= 0.3
+        |         THEN 1.0 ELSE 0.0 END) * 0.3 +
+        |      (CASE WHEN (CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0
+        |         ELSE CAST(list_sum([length(t) for t in string_split_regex(trim(text), '\s+')]) AS DOUBLE)
+        |              / len(string_split_regex(trim(text), '\s+')) END) BETWEEN 2.5 AND 12.0
+        |         THEN 1.0 ELSE 0.0 END) * 0.3
+        |    AS DECIMAL(10,4)) AS q
+        |  FROM documents),
+        |hist AS (SELECT lang, q, count(*) AS cnt FROM scored GROUP BY lang, q),
+        |cum AS (
+        |  SELECT lang, q, cnt,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY q) AS cumc,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM hist),
+        |th AS (
+        |  SELECT lang, q AS threshold, CAST(n AS BIGINT) AS n_docs
+        |  FROM (SELECT *, CAST(greatest(1, ceil(0.5 * n)) AS BIGINT) AS k FROM cum)
+        |  WHERE cumc >= k AND cumc - cnt < k),
+        |kept AS (
+        |  SELECT s.lang, s.q FROM scored s
+        |  JOIN th ON s.lang = th.lang
+        |  WHERE s.q >= th.threshold)
+        |SELECT k.lang, th.n_docs, th.threshold,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  min(k.q) AS min_kept_q,
+        |  CAST(sum(k.q) AS DOUBLE) / count(*) AS mean_kept_q
+        |FROM kept k JOIN th ON k.lang = th.lang
+        |GROUP BY k.lang, th.n_docs, th.threshold
+        |ORDER BY k.lang""".stripMargin,
+
     "q63_repetition" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split($canon, ' ')) AS token FROM documents),

@@ -1749,6 +1749,31 @@ object Queries {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Per-language quality-threshold curation
+    * ([[graft.operators.Thresholds]]): score every doc (decimal-cast so
+    * both engines compare exact values), find each language's median score
+    * as an EXACT discrete quantile over a (lang, score) value histogram —
+    * two keyed aggregations, never a per-group corpus sort — then keep
+    * docs at-or-above their language's cut and report the per-language
+    * outcome. The FineWeb-style "top half per language" selection, exact.
+    */
+  def q109QualityThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).cast("decimal(10,4)").alias("q"))
+    graft.operators.Thresholds.keepAboveGroupQuantile(scored, "lang", "q", 0.5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).alias("n_kept"),
+        min(col("q")).alias("min_kept_q"),
+        (sum(col("q")).cast("double") / count(lit(1))).alias("mean_kept_q"))
+      .join(graft.operators.Thresholds.groupQuantileDisc(scored, "lang", "q", 0.5)
+              .select(col("lang"), col("threshold"), col("n").alias("n_docs")),
+            Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("threshold"), col("n_kept"),
+        col("min_kept_q"), col("mean_kept_q"))
+      .orderBy(col("lang"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1861,6 +1886,7 @@ object Queries {
     "q105_shard_export" -> (q105ShardExport _),
     "q106_bpe_merges" -> (q106BpeMerges _),
     "q107_bpe_encode" -> (q107BpeEncode _),
-    "q108_bm25_keywords" -> (q108Bm25Keywords _)
+    "q108_bm25_keywords" -> (q108Bm25Keywords _),
+    "q109_quality_threshold" -> (q109QualityThreshold _)
   )
 }

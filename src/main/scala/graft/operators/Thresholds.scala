@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-group exact quantile thresholds and threshold-keep filtering — the
+  * FineWeb/CCNet-style corpus-curation step "keep each language's top
+  * (1−q) fraction by quality score".
+  *
+  * Exact quantiles are usually priced as a per-group sort; this
+  * implementation instead aggregates a (group, score) value histogram —
+  * map-side-combined, so the shuffle carries one row per distinct
+  * (group, score), not per document — and finds the quantile by cumulative
+  * count over that histogram. For bounded-cardinality scores (rubric
+  * scores, rounded-decimal quality signals) the histogram is tiny
+  * regardless of corpus size, which makes the exact quantile as cheap as
+  * any approximate one; for a continuous score it degrades gracefully to
+  * one histogram row per distinct value (where `percentile_approx` is the
+  * honest 100-TB alternative — see [[groupQuantileApprox]]).
+  *
+  * Definition (percentile_disc, lower): the threshold for group g at
+  * fraction q is the score at ascending position `max(1, ceil(q·n_g))` —
+  * the smallest score v with `|{x ≤ v}| ≥ ceil(q·n_g)`. Value-based, so
+  * ties need no ordering beyond the score itself; both engines compute
+  * `ceil` on the same IEEE double product, so the cut row set is exact.
+  */
+object Thresholds {
+
+  /** Per-group discrete quantile: one row `(groupCol, threshold, n)` per
+    * group. `scoreCol` should be an exactly-comparable type (decimal, int,
+    * string) — float scores compare at the bit level, which is fine iff
+    * both producers compute them identically.
+    */
+  def groupQuantileDisc(df: DataFrame, groupCol: String, scoreCol: String,
+      q: Double): DataFrame = {
+    require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
+    val hist = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).alias("__cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    hist
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .withColumn("__k", greatest(lit(1L), ceil(lit(q) * col("__n"))))
+      // the first histogram bucket whose cumulative count crosses k
+      .filter(col("__cum") >= col("__k") && col("__cum") - col("__cnt") < col("__k"))
+      .select(col(groupCol), col(scoreCol).alias("threshold"),
+        col("__n").alias("n"))
+  }
+
+  /** Approximate sibling for continuous scores at scale: one aggregation,
+    * no histogram blow-up, `accuracy` trades memory for error exactly as
+    * `percentile_approx` documents. Not oracle-comparable (sketch-based);
+    * spec-gated only.
+    */
+  def groupQuantileApprox(df: DataFrame, groupCol: String, scoreCol: String,
+      q: Double, accuracy: Int = 10000): DataFrame = {
+    require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
+    df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(scoreCol), lit(q), lit(accuracy))
+             .alias("threshold"),
+           count(lit(1)).alias("n"))
+  }
+
+  /** Keep rows at-or-above their group's q-quantile score. The threshold
+    * table is group-cardinality-sized, so it broadcasts; the corpus-side
+    * plan is scan → broadcast-hash-join → filter, no corpus shuffle.
+    */
+  def keepAboveGroupQuantile(df: DataFrame, groupCol: String,
+      scoreCol: String, q: Double): DataFrame = {
+    val th = groupQuantileDisc(df, groupCol, scoreCol, q)
+      .select(col(groupCol), col("threshold"))
+    df.join(broadcast(th), Seq(groupCol))
+      .filter(col(scoreCol) >= col("threshold"))
+  }
+}
