@@ -1719,13 +1719,20 @@ object Queries {
     */
   def q107BpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val (merges, _) = graft.operators.Bpe.trainMerges(
-      graft.operators.Bpe.wordFreq(docs, "text"), 3)
+    // persist the word-frequency table: training reads it (cached on the
+    // first argmax job), and the vocab side of the final plan reads the
+    // SAME cache instead of re-tokenizing the corpus — so the corpus is
+    // tokenized once for training and once for the join's token side,
+    // nothing else. Vocab-sized (Zipf-bounded); re-invocations reuse the
+    // same CacheManager entry (identical canonical plan).
+    val wf = graft.operators.Bpe.wordFreq(docs, "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (merges, _) = graft.operators.Bpe.trainMerges(wf, 3)
     // bulk-encoding shape: the merge chain runs once per DISTINCT word
     // (encodeVocab), the corpus only pays a token→vocab equi-join
     val words = docs.select(col("doc_id"),
       explode(graft.operators.TextAnalysis.canonicalTokens(col("text"))).alias("word"))
-    val vocab = graft.operators.Bpe.encodeVocab(words.select(col("word")).distinct(), merges.map(_._2))
+    val vocab = graft.operators.Bpe.encodeVocab(wf.select(col("word")), merges.map(_._2))
     words.join(vocab, Seq("word"))
       .select(col("doc_id"), explode(col("syms")).alias("s"))
       .groupBy(col("doc_id"))
@@ -1761,14 +1768,11 @@ object Queries {
     val scored = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         TextAnalysis.qualityScore(col("text")).cast("decimal(10,4)").alias("q"))
-    graft.operators.Thresholds.keepAboveGroupQuantile(scored, "lang", "q", 0.5)
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).alias("n_kept"),
-        min(col("q")).alias("min_kept_q"),
-        (sum(col("q")).cast("double") / count(lit(1))).alias("mean_kept_q"))
-      .join(graft.operators.Thresholds.groupQuantileDisc(scored, "lang", "q", 0.5)
-              .select(col("lang"), col("threshold"), col("n").alias("n_docs")),
-            Seq("lang"))
+    // one corpus scan: the whole summary derives from the (lang, q)
+    // histogram — see Thresholds.groupQuantileSummary. The composed
+    // keepAboveGroupQuantile + groupQuantileDisc form prices the quality
+    // expression three times; ThresholdsSpec pins both paths equal.
+    graft.operators.Thresholds.groupQuantileSummary(scored, "lang", "q", 0.5)
       .select(col("lang"), col("n_docs"), col("threshold"), col("n_kept"),
         col("min_kept_q"), col("mean_kept_q"))
       .orderBy(col("lang"))

@@ -72,22 +72,35 @@ object Bpe {
     */
   def trainMerges(wordFreq: DataFrame, k: Int): (Seq[(Int, String, Long)], DataFrame) = {
     require(k >= 1 && k <= 64, s"k merges out of range: $k")
-    var seqs = initialSeqs(wordFreq)
-    val merges = Seq.newBuilder[(Int, String, Long)]
-    var rank = 0
-    var exhausted = false
-    while (rank < k && !exhausted) {
-      val top = pairCounts(seqs)
-        .orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
-        merges += ((rank, pair, cnt))
-        seqs = applyMerge(seqs, pair)
-        rank += 1
+    // Materialize the vocabulary-sized base ONCE. Without this, every
+    // iteration's argmax recomputes the whole input lineage — for a
+    // corpus-derived wordFreq that is a full corpus re-scan + re-tokenize
+    // PER MERGE (k+1 scans), not the advertised single pass. The cache is
+    // vocab-sized (Zipf-bounded) and released before returning.
+    val base = initialSeqs(wordFreq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var seqs = base
+      val merges = Seq.newBuilder[(Int, String, Long)]
+      var rank = 0
+      var exhausted = false
+      while (rank < k && !exhausted) {
+        val top = pairCounts(seqs)
+          .orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (pair, cnt) = (top(0).getString(0), top(0).getLong(1))
+          merges += ((rank, pair, cnt))
+          seqs = applyMerge(seqs, pair)
+          rank += 1
+        }
       }
-    }
-    (merges.result(), seqs)
+      val out = merges.result()
+      // the returned sequences are a FRESH lineage over the caller's
+      // wordFreq (initial seqs + the whole merge chain) so they remain
+      // valid after the training cache is released in the finally below
+      (out, out.foldLeft(initialSeqs(wordFreq))((df, m) => applyMerge(df, m._2)))
+    } finally base.unpersist(blocking = false)
   }
 
   /** Merged symbol sequences for a table of DISTINCT words: `(word, syms)`

@@ -63,6 +63,49 @@ object Thresholds {
            count(lit(1)).alias("n"))
   }
 
+  /** Curation summary per group — `(groupCol, n_docs, threshold, n_kept,
+    * min_kept_q, mean_kept_q)` — from ONE corpus aggregation. The naive
+    * form (filter to kept rows, re-aggregate) prices the score expression
+    * and the corpus scan twice (three times if the threshold is also
+    * reported); but every one of these statistics is a function of the
+    * (group, score) histogram alone, so this computes the histogram once
+    * and derives both the quantile cut and the kept-side stats from its
+    * handful of rows. The corpus is scanned exactly once; everything after
+    * the histogram aggregation is group×distinct-score-sized.
+    *
+    * Exactness: kept counts and score sums are tallied as `score·cnt` over
+    * whole histogram buckets — identical to summing per-row (the kept set
+    * is `score >= threshold`, a union of complete buckets). With a decimal
+    * `scoreCol` the sum is exact, so `mean_kept_q` matches a per-row
+    * aggregation bit-for-bit.
+    */
+  def groupQuantileSummary(df: DataFrame, groupCol: String, scoreCol: String,
+      q: Double): DataFrame = {
+    require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
+    val hist = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).alias("__cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    hist
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .withColumn("__k", greatest(lit(1L), ceil(lit(q) * col("__n"))))
+      .withColumn("threshold",
+        min(when(col("__cum") >= col("__k"), col(scoreCol))).over(wAll))
+      .groupBy(col(groupCol))
+      .agg(
+        first(col("__n")).alias("n_docs"),
+        first(col("threshold")).alias("threshold"),
+        sum(when(col(scoreCol) >= col("threshold"), col("__cnt"))
+          .otherwise(lit(0L))).alias("n_kept"),
+        min(when(col(scoreCol) >= col("threshold"), col(scoreCol)))
+          .alias("min_kept_q"),
+        (sum(when(col(scoreCol) >= col("threshold"),
+            col(scoreCol) * col("__cnt"))).cast("double") /
+          sum(when(col(scoreCol) >= col("threshold"), col("__cnt"))
+            .otherwise(lit(0L)))).alias("mean_kept_q"))
+  }
+
   /** Keep rows at-or-above their group's q-quantile score. The threshold
     * table is group-cardinality-sized, so it broadcasts; the corpus-side
     * plan is scan → broadcast-hash-join → filter, no corpus shuffle.

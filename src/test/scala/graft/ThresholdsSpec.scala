@@ -56,6 +56,44 @@ class ThresholdsSpec extends SparkSpec {
     assert(approx == exact)
   }
 
+  test("groupQuantileSummary equals the composed filter-then-aggregate path") {
+    // decimal scores so the mean comparison is exact, several tie shapes
+    val corpus = Seq(
+      ("a", "1.25"), ("a", "2.50"), ("a", "2.50"), ("a", "3.75"),
+      ("b", "10.00"), ("b", "20.00"),
+      ("c", "7.00")
+    ).toDF("g", "raw").select($"g", $"raw".cast("decimal(10,4)").alias("s"))
+    for (q <- Seq(0.25, 0.5, 0.75, 1.0)) {
+      val one = Thresholds.groupQuantileSummary(corpus, "g", "s", q)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDecimal(2), r.getLong(3), r.getDecimal(4),
+            r.getDouble(5)))).toMap
+      // same statistics via the composed path: filter to kept rows,
+      // re-aggregate, join the threshold back on
+      val composedAligned = Thresholds.keepAboveGroupQuantile(corpus, "g", "s", q)
+        .groupBy($"g")
+        .agg(count(lit(1)).alias("n_kept"), min($"s").alias("min_kept_q"),
+          (sum($"s").cast("double") / count(lit(1))).alias("mean_kept_q"))
+        .join(Thresholds.groupQuantileDisc(corpus, "g", "s", q)
+                .select($"g", $"threshold", $"n"), Seq("g"))
+        .select($"g", $"n", $"threshold", $"n_kept", $"min_kept_q", $"mean_kept_q")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDecimal(2), r.getLong(3), r.getDecimal(4),
+            r.getDouble(5)))).toMap
+      assert(one == composedAligned, s"q=$q one=$one composed=$composedAligned")
+    }
+  }
+
+  test("groupQuantileSummary is a single corpus aggregation (histogram-sized after)") {
+    // exactly ONE aggregate reads the input; everything downstream of the
+    // histogram is window+aggregate over histogram rows. Count the scan
+    // nodes: the composed path pays three, the summary exactly one.
+    val plan = Thresholds.groupQuantileSummary(df, "g", "s", 0.5)
+      .queryExecution.optimizedPlan.toString
+    val scans = "LocalRelation|LogicalRDD".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 input scan, got $scans in:\n$plan")
+  }
+
   test("quantile input guards") {
     intercept[IllegalArgumentException](Thresholds.groupQuantileDisc(df, "g", "s", 0.0))
     intercept[IllegalArgumentException](Thresholds.groupQuantileDisc(df, "g", "s", 1.5))
