@@ -152,6 +152,72 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Anchor `(off, md5)` pairs of every k-codepoint gram whose md5 hex
+    * starts with `prefix` — the substring-dedup front end
+    * ([[graft.operators.Dedup.substringDupSpans]]) in ONE pass over the
+    * UTF-8 bytes: the digest is reused across grams and fed a byte SLICE
+    * of the text (`update(bytes, from, len)`), so a gram costs exactly one
+    * md5 block computation — no substring copy, no hex-string encoding,
+    * no per-offset row. The builtin formulation
+    * (`explode(sequence(...))` + `md5(substr(...))` + `startsWith`) pays a
+    * k-char substring allocation, a 32-char hex encoding, and a generated
+    * ROW per gram, of which ~15/16 are then filtered away; fusing removes
+    * all three, and only anchor rows ever reach the downstream explode.
+    *
+    * Exactness: `substr` indexes by codepoint, and the UTF-8 encoding of a
+    * codepoint substring IS the corresponding byte slice, so hashing the
+    * slice is bit-identical to hashing the substring's `getBytes` — the
+    * DuckDB oracle's per-gram md5 replay keeps matching.
+    *
+    * Offsets are 0-based codepoint offsets; `h` is the full 16-byte digest
+    * (the downstream grouping key — full width so cross-document marking
+    * keeps md5's collision bound at 100 TB corpus scale, where a truncated
+    * 64-bit key would birthday-collide and false-mark).
+    */
+  def gramAnchors(text: UTF8String, k: Int, prefix: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val nBytes = bytes.length
+    val nChars = text.numChars()
+    if (nChars < k) return new GenericArrayData(Array.empty[Any])
+    // codepoint → byte-offset table, one linear pass
+    val starts = new Array[Int](nChars + 1)
+    var b = 0; var c = 0
+    while (b < nBytes) {
+      starts(c) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      c += 1
+    }
+    starts(nChars) = nBytes
+    // prefix nibble values (md5 hex alphabet, validated by the caller)
+    val pLen = prefix.numChars()
+    val pNib = new Array[Int](pLen)
+    val pStr = prefix.toString
+    var i = 0
+    while (i < pLen) { pNib(i) = Character.digit(pStr.charAt(i), 16); i += 1 }
+    val md = md5Local.get()
+    val buf = new Array[Byte](16)
+    val out = new java.util.ArrayList[Any]()
+    var off = 0
+    while (off + k <= nChars) {
+      md.reset()
+      md.update(bytes, starts(off), starts(off + k) - starts(off))
+      md.digest(buf, 0, 16)
+      var ok = true
+      var j = 0
+      while (ok && j < pLen) {
+        val nib = if ((j & 1) == 0) (buf(j >> 1) >> 4) & 0xf else buf(j >> 1) & 0xf
+        ok = nib == pNib(j)
+        j += 1
+      }
+      if (ok) {
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](off, java.util.Arrays.copyOf(buf, 16))))
+      }
+      off += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Distinct tokens of the canonical text, each hashed to 60 bits — the
     * SimHash front end, one pass.
     */
@@ -236,6 +302,38 @@ case class CanonicalTokens(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.expressions.Kernels.canonicalTokens($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Anchor `(off, h)` pairs of the k-codepoint grams whose md5 hex starts
+  * with `prefix` (null text → null). One fused pass; bit-identical to the
+  * builtin `explode`+`md5(substr)`+`startsWith` formulation
+  * ([[graft.operators.Dedup.gramAnchorsBuiltin]] is the differential twin).
+  */
+case class GramAnchors(child: Expression, k: Int, prefix: String)
+    extends UnaryExpression with StringInputCheck {
+  require(k >= 1, s"gram length k must be >= 1, got $k")
+  require(prefix.matches("[0-9a-f]*"),
+    s"prefix must be lowercase hex (md5 alphabet), got '$prefix'")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("off", IntegerType, nullable = false),
+      StructField("h", BinaryType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.gramAnchors(input.asInstanceOf[UTF8String], k,
+      UTF8String.fromString(prefix))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.expressions.Kernels.gramAnchors(
+         |  $c, $k, org.apache.spark.unsafe.types.UTF8String.fromString("$prefix"));
+         |""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -650,13 +650,18 @@ object Dedup {
     val canon = docs
       .select(col(idCol), canonical(col(textCol)).alias("__c"))
       .filter(length(col("__c")) >= k)
+    // fused anchor kernel: one pass per document computes every gram md5
+    // over a reused digest and returns ONLY the anchors, so the explode is
+    // anchor-sized (~len/16^p) instead of len rows of which 15/16 are
+    // filtered. gramAnchorsBuiltin is the differential twin.
     val anchors = canon
-      .select(col(idCol), col("__c"),
-        explode(sequence(lit(0), length(col("__c")) - k)).alias("__off"))
-      .select(col(idCol), col("__off"),
-        md5(col("__c").substr(col("__off") + 1, lit(k))).alias("__h"))
-      .filter(if (anchorHexPrefix.isEmpty) lit(true)
-              else col("__h").startsWith(anchorHexPrefix))
+      .select(col(idCol),
+        explode(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.expressions.GramAnchors(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("__c")),
+            k, anchorHexPrefix))).alias("__a"))
+      .select(col(idCol), col("__a").getField("off").alias("__off"),
+        col("__a").getField("h").alias("__h"))
     val marked = if (minDocFreq == 2) {
       // min(doc) ≠ max(doc) over a hash-partitioned window ⟺ ≥2 distinct
       // docs — exact for the default threshold, and it folds the mark into
@@ -689,6 +694,23 @@ object Dedup {
         (max(col("__off")) + k).alias("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"))
   }
+
+  /** Builtin-only twin of the fused anchor kernel — the original
+    * `explode(sequence)` + `md5(substr)` + `startsWith` formulation, which
+    * generates a row per gram and filters 15/16 of them away. Kept for
+    * differential testing ([[graft.functions.expressions.GramAnchors]]
+    * must emit the same (id, off, md5) set; the kernel's binary digest
+    * compares via `hex()`). Input: `(idCol, __c)` with canonical text.
+    */
+  def gramAnchorsBuiltin(canon: DataFrame, idCol: String, k: Int,
+      anchorHexPrefix: String): DataFrame =
+    canon
+      .select(col(idCol), col("__c"),
+        explode(sequence(lit(0), length(col("__c")) - k)).alias("__off"))
+      .select(col(idCol), col("__off"),
+        md5(col("__c").substr(col("__off") + 1, lit(k))).alias("__h"))
+      .filter(if (anchorHexPrefix.isEmpty) lit(true)
+              else col("__h").startsWith(anchorHexPrefix))
 
   /** Apply span removal — the ACTION half of substring dedup: cut every
     * `[span_start, span_end)` region (offsets into the CANONICAL text, as

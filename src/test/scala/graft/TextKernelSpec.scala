@@ -117,6 +117,33 @@ class TextKernelSpec extends SparkSpec {
     }
   }
 
+  test("GramAnchors matches the builtin explode+md5(substr) formulation") {
+    // multi-byte codepoints exercise the codepoint→byte offset table: the
+    // kernel hashes byte SLICES, the builtin hashes substring getBytes —
+    // they must agree on non-ASCII too
+    val texts = Seq(
+      "abcdefghij" * 20,
+      "päällekkäisyys — überlappende Zeichenketten, 重复的文本片段重复的文本片段",
+      ("şehir çarşı 汉字漢字 " * 30).trim,
+      "xy" // shorter than k → no grams
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (prefix <- Seq("", "0", "ab")) {
+      val canon = texts.select($"id",
+        Dedup.canonical($"text").alias("__c")).filter(length($"__c") >= 8)
+      val native = canon
+        .select($"id", explode(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.expressions.GramAnchors(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression($"__c"),
+            8, prefix))).alias("__a"))
+        .select($"id", $"__a.off".alias("off"), lower(hex($"__a.h")).alias("h"))
+        .as[(Long, Int, String)].collect().toSet
+      val builtin = Dedup.gramAnchorsBuiltin(canon, "id", 8, prefix)
+        .as[(Long, Int, String)].collect().toSet
+      assert(native == builtin, s"prefix='$prefix'")
+      assert(prefix != "" || native.nonEmpty) // exact mode must emit grams
+    }
+  }
+
   test("kernel null/empty contracts") {
     val r = edgeTexts.select(
       Dedup.shingles($"text").alias("sh"),
