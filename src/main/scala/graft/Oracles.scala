@@ -1373,6 +1373,66 @@ object Oracles {
         |GROUP BY k.lang, th.n_docs, th.threshold
         |ORDER BY k.lang""".stripMargin,
 
+    // End-to-end curation pipeline (q110): quality-cut (q109's histogram
+    // median) → exact dedup (q23's min-id-per-fingerprint, as a window so
+    // the text survives) → PII scrub (q93's staged redaction + counts) →
+    // per-language report. corpus_fp = bit_xor of each cleaned text's
+    // 60-bit md5 head — order-independent, gating exact reconstruction of
+    // every surviving byte in both engines.
+    "q110_curation_pipeline" -> {
+      val Seq((_, reEmail, tagEmail), (_, reIp, tagIp),
+        (_, reIntl, tagPhone), (_, reParen, _)) =
+        graft.operators.TextAnalysis.PiiPatterns
+      raw"""WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(
+        |      (CASE WHEN length(coalesce(text,'')) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4 +
+        |      (CASE WHEN (CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / length(text) END) <= 0.3
+        |         THEN 1.0 ELSE 0.0 END) * 0.3 +
+        |      (CASE WHEN (CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0
+        |         ELSE CAST(list_sum([length(t) for t in string_split_regex(trim(text), '\s+')]) AS DOUBLE)
+        |              / len(string_split_regex(trim(text), '\s+')) END) BETWEEN 2.5 AND 12.0
+        |         THEN 1.0 ELSE 0.0 END) * 0.3
+        |    AS DECIMAL(10,4)) AS q
+        |  FROM documents),
+        |hist AS (SELECT lang, q, count(*) AS cnt FROM scored GROUP BY lang, q),
+        |cum AS (
+        |  SELECT lang, q, cnt,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY q) AS cumc,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM hist),
+        |th AS (
+        |  SELECT lang, q AS threshold
+        |  FROM (SELECT *, CAST(greatest(1, ceil(0.5 * n)) AS BIGINT) AS k FROM cum)
+        |  WHERE cumc >= k AND cumc - cnt < k),
+        |kept AS (
+        |  SELECT s.doc_id, s.lang, s.text FROM scored s
+        |  JOIN th ON s.lang = th.lang WHERE s.q >= th.threshold),
+        |reps AS (
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY f) AS rep
+        |    FROM (SELECT *, md5($canon) AS f FROM kept))
+        |  WHERE doc_id = rep),
+        |s1 AS (SELECT doc_id, lang, text AS t0, regexp_replace(text, '$reEmail', '$tagEmail', 'g') AS t1 FROM reps),
+        |s2 AS (SELECT *, regexp_replace(t1, '$reIp', '$tagIp', 'g') AS t2 FROM s1),
+        |s3 AS (SELECT *, regexp_replace(t2, '$reIntl', '$tagPhone', 'g') AS t3 FROM s2),
+        |s4 AS (SELECT *, regexp_replace(t3, '$reParen', '$tagPhone', 'g') AS t4 FROM s3),
+        |fin AS (
+        |  SELECT lang, t4 AS clean_text,
+        |    len(regexp_extract_all(t0, '$reEmail')) + len(regexp_extract_all(t1, '$reIp')) +
+        |    len(regexp_extract_all(t2, '$reIntl')) + len(regexp_extract_all(t3, '$reParen')) AS pii,
+        |    len([t for t in string_split_regex(trim(t4), '\s+') if len(t) > 0]) AS toks
+        |  FROM s4)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(pii) AS BIGINT) AS n_pii,
+        |  bit_xor(CAST('0x' || substr(md5(clean_text), 1, 15) AS BIGINT)) AS corpus_fp
+        |FROM fin
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin
+    },
+
     "q63_repetition" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split($canon, ' ')) AS token FROM documents),

@@ -1778,6 +1778,61 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** End-to-end curation pipeline — the composition flagship: the
+    * FineWeb-style chain quality-cut → exact-dedup → PII-scrub → report,
+    * each stage one of this engine's oracle-gated operators, run as ONE
+    * declarative plan (no intermediate materialization — Catalyst sees the
+    * whole chain). Stages:
+    *
+    *   1. score + per-language median cut
+    *      ([[graft.operators.Thresholds.keepAboveGroupQuantile]] — the
+    *      threshold table broadcasts, the corpus takes scan→join→filter);
+    *   2. exact dedup among survivors: keep the min-doc_id representative
+    *      per canonical-text fingerprint (one hash-partitioned window on
+    *      the digest — the same single-shuffle shape as `Dedup.exact`, but
+    *      row-preserving so the pipeline keeps the text);
+    *   3. PII redaction + typed hit counts
+    *      ([[graft.operators.TextAnalysis.redactPii]]/`piiCounts` — one
+    *      row-local regexp chain, counts taken on the same staged text the
+    *      replacements see);
+    *   4. per-language report: doc count, total canonical tokens of the
+    *      CLEANED text, total PII hits removed, and an order-independent
+    *      corpus fingerprint (bit_xor of each cleaned text's 60-bit md5
+    *      head) gating the exact reconstruction of every surviving byte.
+    *
+    * Scale shape: two corpus-keyed exchanges total (the score histogram's
+    * map-side-combined agg + the dedup window's digest shuffle); the
+    * threshold join broadcasts; redaction and fingerprinting are row-local;
+    * the report is a group-sized aggregate.
+    */
+  def q110CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val scored = docs.select(col("doc_id"), col("lang"), col("text"),
+      TextAnalysis.qualityScore(col("text")).cast("decimal(10,4)").alias("q"))
+    val kept = graft.operators.Thresholds
+      .keepAboveGroupQuantile(scored, "lang", "q", 0.5)
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
+    val deduped = kept
+      .withColumn("__fp", md5(Dedup.canonical(col("text"))))
+      .withColumn("__rep", min(col("doc_id")).over(wFp))
+      .filter(col("doc_id") === col("__rep"))
+    val cleaned = deduped.select(col("doc_id"), col("lang"),
+      TextAnalysis.redactPii(col("text")).alias("clean_text"),
+      TextAnalysis.piiCounts(col("text")).alias("__pii"))
+    cleaned
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        sum(size(TextAnalysis.canonicalTokens(col("clean_text"))))
+          .alias("n_tokens"),
+        sum(col("__pii.n_email") + col("__pii.n_ipv4") +
+            col("__pii.n_phone_intl") + col("__pii.n_phone_paren"))
+          .alias("n_pii"),
+        expr("bit_xor(cast(conv(substring(md5(clean_text), 1, 15), 16, 10) as bigint))")
+          .alias("corpus_fp"))
+      .orderBy(col("lang"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1891,6 +1946,7 @@ object Queries {
     "q106_bpe_merges" -> (q106BpeMerges _),
     "q107_bpe_encode" -> (q107BpeEncode _),
     "q108_bm25_keywords" -> (q108Bm25Keywords _),
-    "q109_quality_threshold" -> (q109QualityThreshold _)
+    "q109_quality_threshold" -> (q109QualityThreshold _),
+    "q110_curation_pipeline" -> (q110CurationPipeline _)
   )
 }

@@ -144,6 +144,21 @@ class PlanSpec extends SparkSpec {
       s"single-partition windows found:\n${offenders.mkString("\n")}")
   }
 
+  test("q110: curation pipeline — broadcast threshold join, keyed dedup window, no products") {
+    val df = Queries.q110CurationPipeline(spark, sfDir)
+    val plan = planOf(df)
+    // the group-sized threshold table must broadcast onto the corpus —
+    // a sort-merge join here would shuffle the whole corpus on lang
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    // the dedup window partitions on the text digest (never empty spec —
+    // also enforced by the inventory-wide sweep, asserted here for locality)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty), plan)
+  }
+
   test("q99: substring dedup marks duplicates without any join — no pair expansion") {
     val plan = planOf(Queries.q99SubstringDedup(spark, sfDir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
