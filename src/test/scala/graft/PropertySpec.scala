@@ -105,6 +105,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("GramAnchors ≡ builtin explode+md5(substr) on arbitrary unicode-ish text") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import spark.implicits._
+    // mixed-width scripts stress the codepoint→byte offset table (the one
+    // place the kernel could diverge from substr's codepoint semantics)
+    val piece = Gen.oneOf(
+      Gen.alphaNumStr, Gen.oneOf("大家 好", "grüße", "北京 city", "  tab\t",
+        "a@b.c 10.0.0.1", "ёж λambda"),
+      Gen.listOfN(5, Gen.oneOf('一', 'ü', 'x', ' ', 'Ж')).map(_.mkString))
+    val text = for {
+      n <- Gen.choose(0, 12)
+      ps <- Gen.listOfN(n, piece)
+    } yield ps.mkString(" ")
+    val docs = samples(text, 150).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for ((k, prefix) <- Seq((5, ""), (5, "0"), (3, "ab"))) {
+      val canon = docs.select($"id", Dedup.canonical($"text").alias("__c"))
+        .filter(length($"__c") >= k)
+      val native = canon
+        .select($"id", explode(ColumnBridge.column(
+          graft.functions.expressions.GramAnchors(
+            ColumnBridge.expression($"__c"), k, prefix))).alias("__a"))
+        .select($"id", $"__a.off", lower(hex($"__a.h")))
+        .as[(Long, Int, String)].collect().toSet
+      val builtin = Dedup.gramAnchorsBuiltin(canon, "id", k, prefix)
+        .as[(Long, Int, String)].collect().toSet
+      assert(native == builtin, s"k=$k prefix='$prefix'")
+    }
+  }
+
   test("sampling: rate monotonicity (lower rate selects a subset) and bounds") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
