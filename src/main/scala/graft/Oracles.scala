@@ -1433,6 +1433,44 @@ object Oracles {
         |ORDER BY lang""".stripMargin
     },
 
+    // Incremental substring dedup (q111): batch anchors (odd docs + their
+    // even predecessor's appended text) semi-joined against the corpus
+    // (even docs) DISTINCT anchor-hash index, then the same island merge
+    // as q99. concat_ws skips a null donor in both engines.
+    "q111_incremental_spans" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |batch AS (
+         |  SELECT d.doc_id, concat_ws(' ', d.text, c.text) AS text
+         |  FROM documents d JOIN corpus c ON c.doc_id = d.doc_id - 1
+         |  WHERE d.doc_id % 2 = 1),
+         |cc AS (SELECT doc_id, $canon AS c FROM corpus),
+         |cg AS (SELECT doc_id, unnest(range(0, len(c) - 39)) AS off, c FROM cc),
+         |idx AS (
+         |  SELECT DISTINCT md5(substr(c, off + 1, 40)) AS h FROM cg
+         |  WHERE md5(substr(c, off + 1, 40)) LIKE '0%'),
+         |bc AS (SELECT doc_id, $canon AS c FROM batch),
+         |bg AS (SELECT doc_id, unnest(range(0, len(c) - 39)) AS off, c FROM bc),
+         |ba AS (
+         |  SELECT doc_id, off, md5(substr(c, off + 1, 40)) AS h FROM bg
+         |  WHERE md5(substr(c, off + 1, 40)) LIKE '0%'),
+         |f AS (SELECT ba.doc_id, ba.off FROM ba JOIN idx USING (h)),
+         |isl AS (
+         |  SELECT doc_id, off,
+         |    CASE WHEN off - lag(off) OVER (PARTITION BY doc_id ORDER BY off) <= 40
+         |         THEN 0 ELSE 1 END AS brk
+         |  FROM f),
+         |isl2 AS (
+         |  SELECT doc_id, off,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY off) AS island
+         |  FROM isl),
+         |s AS (
+         |  SELECT doc_id, island, min(off) AS s0, max(off) + 40 AS s1
+         |  FROM isl2 GROUP BY doc_id, island)
+         |SELECT doc_id, count(*) AS n_dup_spans,
+         |  CAST(sum(s1 - s0) AS BIGINT) AS dup_chars
+         |FROM s GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
     "q63_repetition" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split($canon, ' ')) AS token FROM documents),

@@ -1833,6 +1833,32 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Incremental substring dedup ([[graft.operators.Dedup.incrementalDupSpans]]):
+    * a new ingest batch is matched against the corpus [[graft.operators.Dedup.anchorIndex]]
+    * — linear in the batch, the corpus text never re-read. Fixture built
+    * deterministically from the documents table: corpus = even doc_ids;
+    * batch = each odd doc's own text with its even predecessor's full text
+    * appended (a planted corpus-duplicate region). Reported per batch doc:
+    * span count and duplicated chars — the planted region dominates, and
+    * any naturally shared boilerplate adds spans identically in both
+    * engines.
+    */
+  def q111IncrementalSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val donors = corpus.select((col("doc_id") + 1).alias("doc_id"),
+      col("text").alias("__donor"))
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+      .join(donors, Seq("doc_id"))
+      .select(col("doc_id"), concat_ws(" ", col("text"), col("__donor")).alias("text"))
+    val idx = Dedup.anchorIndex(corpus, "doc_id", "text", k = 40)
+    Dedup.incrementalDupSpans(batch, idx, "doc_id", "text", k = 40)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).alias("n_dup_spans"),
+        sum(col("span_end") - col("span_start")).alias("dup_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1947,6 +1973,7 @@ object Queries {
     "q107_bpe_encode" -> (q107BpeEncode _),
     "q108_bm25_keywords" -> (q108Bm25Keywords _),
     "q109_quality_threshold" -> (q109QualityThreshold _),
-    "q110_curation_pipeline" -> (q110CurationPipeline _)
+    "q110_curation_pipeline" -> (q110CurationPipeline _),
+    "q111_incremental_spans" -> (q111IncrementalSpans _)
   )
 }

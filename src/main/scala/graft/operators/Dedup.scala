@@ -647,21 +647,7 @@ object Dedup {
       s"anchorHexPrefix must be lowercase hex (md5 alphabet), got '$anchorHexPrefix'")
     require(minDocFreq >= 2,
       s"minDocFreq must be >= 2 (cross-document dedup), got $minDocFreq")
-    val canon = docs
-      .select(col(idCol), canonical(col(textCol)).alias("__c"))
-      .filter(length(col("__c")) >= k)
-    // fused anchor kernel: one pass per document computes every gram md5
-    // over a reused digest and returns ONLY the anchors, so the explode is
-    // anchor-sized (~len/16^p) instead of len rows of which 15/16 are
-    // filtered. gramAnchorsBuiltin is the differential twin.
-    val anchors = canon
-      .select(col(idCol),
-        explode(org.apache.spark.sql.graftbridge.ColumnBridge.column(
-          graft.functions.expressions.GramAnchors(
-            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("__c")),
-            k, anchorHexPrefix))).alias("__a"))
-      .select(col(idCol), col("__a").getField("off").alias("__off"),
-        col("__a").getField("h").alias("__h"))
+    val anchors = anchorRows(docs, idCol, textCol, k, anchorHexPrefix)
     val marked = if (minDocFreq == 2) {
       // min(doc) ≠ max(doc) over a hash-partitioned window ⟺ ≥2 distinct
       // docs — exact for the default threshold, and it folds the mark into
@@ -683,6 +669,35 @@ object Dedup {
         .select(col("__h"))
       anchors.join(dupHashes, Seq("__h"), "left_semi")
     }
+    mergeAnchorIslands(marked, idCol, k)
+  }
+
+  /** Anchor `(idCol, __off, __h)` rows of every k-gram whose md5 matches
+    * the hex prefix — the fused-kernel front end shared by
+    * [[substringDupSpans]], [[anchorIndex]] and [[incrementalDupSpans]]:
+    * one pass per document over a reused digest, and the explode is
+    * anchor-sized (~len/16^p), not gram-sized.
+    * [[gramAnchorsBuiltin]] is the differential twin.
+    */
+  private def anchorRows(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, anchorHexPrefix: String): DataFrame =
+    docs
+      .select(col(idCol), canonical(col(textCol)).alias("__c"))
+      .filter(length(col("__c")) >= k)
+      .select(col(idCol),
+        explode(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.expressions.GramAnchors(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("__c")),
+            k, anchorHexPrefix))).alias("__a"))
+      .select(col(idCol), col("__a").getField("off").alias("__off"),
+        col("__a").getField("h").alias("__h"))
+
+  /** Merge marked anchor offsets (gap ≤ k chains through a duplicated run)
+    * into `(idCol, span_start, span_end)` islands — the doc-partitioned
+    * back end shared by [[substringDupSpans]] and [[incrementalDupSpans]].
+    */
+  private def mergeAnchorIslands(marked: DataFrame, idCol: String,
+      k: Int): DataFrame = {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__off"))
     marked
       .withColumn("__brk",
@@ -693,6 +708,88 @@ object Dedup {
       .agg(min(col("__off")).alias("span_start"),
         (max(col("__off")) + k).alias("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Anchor-hash index of a corpus: the DISTINCT anchor digests — the
+    * artifact an incremental substring-dedup pipeline materializes once per
+    * corpus snapshot (16 bytes per distinct surviving gram,
+    * ~corpus_chars/16^p rows before dedup) and matches every new ingest
+    * batch against WITHOUT re-reading corpus text. Membership alone is the
+    * cross-document evidence, so the index needs no doc ids or offsets.
+    * Written `bucketBy`-partitioned on `h`, the per-batch semi-join stops
+    * shuffling the index side at all (the same lever BucketingSpec pins
+    * for the merge target).
+    */
+  def anchorIndex(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 40, anchorHexPrefix: String = "0"): DataFrame = {
+    require(k >= 1, s"gram length k must be >= 1, got $k")
+    require(anchorHexPrefix.matches("[0-9a-f]*"),
+      s"anchorHexPrefix must be lowercase hex (md5 alphabet), got '$anchorHexPrefix'")
+    anchorRows(docs, idCol, textCol, k, anchorHexPrefix)
+      .select(col("__h").alias("h")).distinct()
+  }
+
+  /** Incremental substring dedup: spans of NEW documents that duplicate
+    * EXISTING corpus content, via an [[anchorIndex]] — linear in the batch,
+    * the corpus never re-read (q86's continuous-ingest shape, at substring
+    * granularity). A batch anchor marks its offset iff its digest exists in
+    * the index; marked offsets island-merge exactly as in
+    * [[substringDupSpans]]. The detection contract follows the index's
+    * sampling: spans ≫ k·16^p are caught with high probability, and a miss
+    * UNDER-reports (conservative for a filter).
+    *
+    * Caller contract: the index must not contain the batch's own documents
+    * (re-ingesting an indexed document would self-match wall-to-wall).
+    *
+    * `bloomPrefilter` builds a bloom over the BATCH's anchor digests (the
+    * small side — one broadcast-sized aggregate) and prunes the index scan
+    * before the semi-join exchange: almost no index hash occurs in any
+    * given batch, so the index-side shuffle shrinks to ~matches + fpp.
+    * False positives are discarded by the exact semi-join that follows;
+    * exactness is untouched. Size `expectedItems` to the BATCH anchor
+    * count, not the index.
+    *
+    * @return one row per merged span: `(idCol, span_start, span_end)`,
+    *         offsets into the batch document's CANONICAL text
+    */
+  def incrementalDupSpans(newDocs: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, k: Int = 40,
+      anchorHexPrefix: String = "0",
+      bloomPrefilter: Option[BloomConfig] = None): DataFrame = {
+    require(k >= 1, s"gram length k must be >= 1, got $k")
+    require(anchorHexPrefix.matches("[0-9a-f]*"),
+      s"anchorHexPrefix must be lowercase hex (md5 alphabet), got '$anchorHexPrefix'")
+    val anchors = anchorRows(newDocs, idCol, textCol, k, anchorHexPrefix)
+    val idx0 = index.select(col("h").alias("__h"))
+    val idx = bloomPrefilter match {
+      case Some(cfg) =>
+        // same native BloomFilterAggregate/MightContain pair as
+        // `containment`, built over the batch side; the membership test on
+        // the index scan stays inside whole-stage codegen
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        val numBits = math.max(64L,
+          (-cfg.expectedItems * math.log(cfg.fpp) / (math.log(2) * math.log(2))).toLong)
+        val conf = newDocs.sparkSession.conf
+        val maxItems = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+        val maxBits = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+        require(cfg.expectedItems <= maxItems && numBits <= maxBits,
+          s"bloom prefilter needs $numBits bits for ${cfg.expectedItems} items, above the " +
+            "session's runtime-bloom ceiling; raise spark.sql.optimizer.runtime.bloomFilter." +
+            "maxNumItems/maxNumBits or shrink BloomConfig")
+        val bloomBin = anchors.select(ColumnBridge.column(
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            ColumnBridge.expression(xxhash64(col("__h"))),
+            Literal(cfg.expectedItems), Literal(numBits))
+            .toAggregateExpression()).alias("__bloom")).head().get(0)
+        if (bloomBin == null) idx0.limit(0) // no batch anchors: nothing joins
+        else idx0.filter(ColumnBridge.column(BloomFilterMightContain(
+          Literal(bloomBin, org.apache.spark.sql.types.BinaryType),
+          ColumnBridge.expression(xxhash64(col("__h"))))))
+      case None => idx0
+    }
+    val marked = anchors.join(idx, Seq("__h"), "left_semi")
+    mergeAnchorIslands(marked, idCol, k)
   }
 
   /** Builtin-only twin of the fused anchor kernel — the original

@@ -104,6 +104,55 @@ class SubstringDedupSpec extends SparkSpec {
       anchorHexPrefix = "", minDocFreq = 3).isEmpty)
   }
 
+  test("incrementalDupSpans finds corpus-duplicated regions; batch-only repetition never fires") {
+    val corpus = Seq(
+      (100L, filler('a', 60) + sharedSpan),
+      (101L, filler('b', 500))
+    ).toDF("doc_id", "text")
+    val idx = Dedup.anchorIndex(corpus, "doc_id", "text", k = 40,
+      anchorHexPrefix = "")
+    // doc 1 embeds the corpus span mid-document; docs 2+3 share a span
+    // with EACH OTHER but not with the corpus — incremental mode must stay
+    // silent on them (membership in the index is the only evidence)
+    val batchSpan = new scala.util.Random(7).alphanumeric.map(_.toLower)
+      .take(300).mkString
+    val batch = Seq(
+      (1L, filler('x', 33) + sharedSpan + filler('y', 20)),
+      (2L, filler('p', 45) + batchSpan),
+      (3L, batchSpan + filler('q', 80))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.incrementalDupSpans(batch, idx, "doc_id", "text",
+        k = 40, anchorHexPrefix = "")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set((1L, 33, 33 + 400)), s"got $spans")
+  }
+
+  test("incrementalDupSpans: bloom-prefiltered path is result-identical") {
+    val corpus = Seq(
+      (100L, filler('a', 60) + sharedSpan),
+      (101L, filler('b', 500))
+    ).toDF("doc_id", "text")
+    val idx = Dedup.anchorIndex(corpus, "doc_id", "text", k = 40,
+      anchorHexPrefix = "")
+    val batch = Seq(
+      (1L, filler('x', 33) + sharedSpan + filler('y', 20)),
+      (2L, filler('p', 45) + sharedSpan.take(200))
+    ).toDF("doc_id", "text")
+    def run(bloom: Option[Dedup.BloomConfig]) =
+      Dedup.incrementalDupSpans(batch, idx, "doc_id", "text", k = 40,
+        anchorHexPrefix = "", bloomPrefilter = bloom)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val plain = run(None)
+    val bloomed = run(Some(Dedup.BloomConfig(expectedItems = 10000L, fpp = 0.01)))
+    assert(plain == bloomed && plain.nonEmpty, s"plain=$plain bloomed=$bloomed")
+    // an empty batch (no anchors) with the bloom path returns no spans
+    // without error (null bloom aggregate → empty index)
+    val empty = Seq((9L, "tiny")).toDF("doc_id", "text")
+    assert(Dedup.incrementalDupSpans(empty, idx, "doc_id", "text", k = 40,
+      anchorHexPrefix = "",
+      bloomPrefilter = Some(Dedup.BloomConfig(10000L, 0.01))).isEmpty)
+  }
+
   test("stripSpans cuts exactly the detected regions; span-free docs pass through canonical") {
     val docs = Seq(
       (1L, filler('a', 57) + sharedSpan + filler('b', 80)),
