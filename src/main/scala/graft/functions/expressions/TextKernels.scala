@@ -174,7 +174,7 @@ object Kernels {
     * keeps md5's collision bound at 100 TB corpus scale, where a truncated
     * 64-bit key would birthday-collide and false-mark).
     */
-  def gramAnchors(text: UTF8String, k: Int, prefix: UTF8String): ArrayData = {
+  def gramAnchors(text: UTF8String, k: Int, pNib: Array[Int]): ArrayData = {
     val bytes = text.getBytes
     val nBytes = bytes.length
     val nChars = text.numChars()
@@ -188,12 +188,10 @@ object Kernels {
       c += 1
     }
     starts(nChars) = nBytes
-    // prefix nibble values (md5 hex alphabet, validated by the caller)
-    val pLen = prefix.numChars()
-    val pNib = new Array[Int](pLen)
-    val pStr = prefix.toString
-    var i = 0
-    while (i < pLen) { pNib(i) = Character.digit(pStr.charAt(i), 16); i += 1 }
+    // prefix nibbles are parsed ONCE at plan time (GramAnchors.prefixNibbles,
+    // shipped via addReferenceObj) — per-row parsing of a plan constant
+    // would be pure garbage on a corpus-scale scan
+    val pLen = pNib.length
     val md = md5Local.get()
     val buf = new Array[Byte](16)
     val out = new java.util.ArrayList[Any]()
@@ -315,8 +313,16 @@ case class CanonicalTokens(child: Expression)
 case class GramAnchors(child: Expression, k: Int, prefix: String)
     extends UnaryExpression with StringInputCheck {
   require(k >= 1, s"gram length k must be >= 1, got $k")
-  require(prefix.matches("[0-9a-f]*"),
-    s"prefix must be lowercase hex (md5 alphabet), got '$prefix'")
+  // md5 hex is 32 chars: a longer prefix can never match, and the nibble
+  // probe would read past the 16-byte digest — reject it loudly (the same
+  // guard every Dedup entry point applies)
+  require(prefix.length <= 32 && prefix.matches("[0-9a-f]*"),
+    s"prefix must be lowercase hex, at most 32 chars (md5 width), got '$prefix'")
+
+  // parsed once at construction; shipped to generated code as a reference
+  // object so neither eval path re-parses the plan constant per row
+  private val prefixNibbles: Array[Int] =
+    prefix.map(Character.digit(_, 16)).toArray
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -326,14 +332,13 @@ case class GramAnchors(child: Expression, k: Int, prefix: String)
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any =
-    Kernels.gramAnchors(input.asInstanceOf[UTF8String], k,
-      UTF8String.fromString(prefix))
+    Kernels.gramAnchors(input.asInstanceOf[UTF8String], k, prefixNibbles)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nibRef = ctx.addReferenceObj("gramAnchorNibbles", prefixNibbles, "int[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"""${ev.value} = graft.functions.expressions.Kernels.gramAnchors(
-         |  $c, $k, org.apache.spark.unsafe.types.UTF8String.fromString("$prefix"));
-         |""".stripMargin)
+      s"${ev.value} = graft.functions.expressions.Kernels.gramAnchors($c, $k, $nibRef);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -526,35 +526,9 @@ object Dedup {
     // occurrences, so its doc-freq count is unchanged; a dropped shingle
     // could never join anyway).
     val shC1 = bloomPrefilter match {
-      case Some(cfg) =>
-        // Native bloom path (the same BloomFilterAggregate/MightContain pair
-        // Spark's own runtime filters use) instead of a Scala UDF: the
-        // corpus-side membership test is the densest filter in the operator
-        // and must stay inside whole-stage codegen. Bits sized from fpp via
-        // the standard m = -n·ln(p)/ln(2)² formula.
-        import org.apache.spark.sql.graftbridge.ColumnBridge
-        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-        val numBits = math.max(64L,
-          (-cfg.expectedItems * math.log(cfg.fpp) / (math.log(2) * math.log(2))).toLong)
-        // BloomFilterAggregate silently clamps to the runtime-filter conf
-        // ceilings; a clamped filter's realized fpp balloons exactly at the
-        // probe-set scale the prefilter exists for — fail loudly instead.
-        val conf = corpus.sparkSession.conf
-        val maxItems = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
-        val maxBits = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
-        require(cfg.expectedItems <= maxItems && numBits <= maxBits,
-          s"bloom prefilter needs $numBits bits for ${cfg.expectedItems} items, above the " +
-            "session's runtime-bloom ceiling; raise spark.sql.optimizer.runtime.bloomFilter." +
-            "maxNumItems/maxNumBits or shrink BloomConfig")
-        val hashed = ColumnBridge.expression(xxhash64(col("__sh")))
-        val bloomBin = shPe.select(ColumnBridge.column(
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-            hashed, Literal(cfg.expectedItems), Literal(numBits))
-            .toAggregateExpression()).alias("__bloom")).head().get(0)
-        if (bloomBin == null) shC0 // no probe shingles: nothing can join anyway
-        else shC0.filter(ColumnBridge.column(BloomFilterMightContain(
-          Literal(bloomBin, org.apache.spark.sql.types.BinaryType),
-          ColumnBridge.expression(xxhash64(col("__sh"))))))
+      // bloom over the probe side ([[bloomPruned]]); an empty probe set can
+      // join nothing anyway, so the corpus passes through unfiltered
+      case Some(cfg) => bloomPruned(shC0, shPe, "__sh", cfg, onEmpty = shC0)
       case None => shC0
     }
     val shC = maxDocFreq match {
@@ -643,8 +617,8 @@ object Dedup {
       k: Int = 40, anchorHexPrefix: String = "0",
       minDocFreq: Int = 2): DataFrame = {
     require(k >= 1, s"gram length k must be >= 1, got $k")
-    require(anchorHexPrefix.matches("[0-9a-f]*"),
-      s"anchorHexPrefix must be lowercase hex (md5 alphabet), got '$anchorHexPrefix'")
+    require(anchorHexPrefix.length <= 32 && anchorHexPrefix.matches("[0-9a-f]*"),
+      s"anchorHexPrefix must be lowercase hex, at most 32 chars (md5 width), got '$anchorHexPrefix'")
     require(minDocFreq >= 2,
       s"minDocFreq must be >= 2 (cross-document dedup), got $minDocFreq")
     val anchors = anchorRows(docs, idCol, textCol, k, anchorHexPrefix)
@@ -719,14 +693,24 @@ object Dedup {
     * Written `bucketBy`-partitioned on `h`, the per-batch semi-join stops
     * shuffling the index side at all (the same lever BucketingSpec pins
     * for the merge target).
+    *
+    * The build parameters are stamped on the `h` column as field metadata
+    * (`graft_anchor_k` / `graft_anchor_prefix`, which survive a parquet
+    * round-trip): digests from different (k, prefix) can NEVER match, so
+    * [[incrementalDupSpans]] validates the stamp instead of silently
+    * reporting a clean batch against a mismatched index.
     */
   def anchorIndex(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 40, anchorHexPrefix: String = "0"): DataFrame = {
     require(k >= 1, s"gram length k must be >= 1, got $k")
-    require(anchorHexPrefix.matches("[0-9a-f]*"),
-      s"anchorHexPrefix must be lowercase hex (md5 alphabet), got '$anchorHexPrefix'")
+    require(anchorHexPrefix.length <= 32 && anchorHexPrefix.matches("[0-9a-f]*"),
+      s"anchorHexPrefix must be lowercase hex, at most 32 chars (md5 width), got '$anchorHexPrefix'")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("graft_anchor_k", k.toLong)
+      .putString("graft_anchor_prefix", anchorHexPrefix)
+      .build()
     anchorRows(docs, idCol, textCol, k, anchorHexPrefix)
-      .select(col("__h").alias("h")).distinct()
+      .select(col("__h").as("h", meta)).distinct()
   }
 
   /** Incremental substring dedup: spans of NEW documents that duplicate
@@ -739,7 +723,12 @@ object Dedup {
     * UNDER-reports (conservative for a filter).
     *
     * Caller contract: the index must not contain the batch's own documents
-    * (re-ingesting an indexed document would self-match wall-to-wall).
+    * (re-ingesting an indexed document would self-match wall-to-wall), and
+    * it must have been built with the SAME (k, anchorHexPrefix) — digests
+    * from different parameters never match, so a mismatch reads as a
+    * falsely clean batch. [[anchorIndex]] stamps its parameters as column
+    * metadata; when the stamp is present (it survives parquet) a mismatch
+    * fails fast here instead.
     *
     * `bloomPrefilter` builds a bloom over the BATCH's anchor digests (the
     * small side — one broadcast-sized aggregate) and prunes the index scan
@@ -757,39 +746,67 @@ object Dedup {
       anchorHexPrefix: String = "0",
       bloomPrefilter: Option[BloomConfig] = None): DataFrame = {
     require(k >= 1, s"gram length k must be >= 1, got $k")
-    require(anchorHexPrefix.matches("[0-9a-f]*"),
-      s"anchorHexPrefix must be lowercase hex (md5 alphabet), got '$anchorHexPrefix'")
+    require(anchorHexPrefix.length <= 32 && anchorHexPrefix.matches("[0-9a-f]*"),
+      s"anchorHexPrefix must be lowercase hex, at most 32 chars (md5 width), got '$anchorHexPrefix'")
+    index.schema.find(_.name == "h").map(_.metadata).foreach { m =>
+      if (m.contains("graft_anchor_k"))
+        require(m.getLong("graft_anchor_k") == k.toLong,
+          s"anchor index was built with k=${m.getLong("graft_anchor_k")} but the " +
+            s"query uses k=$k — digests can never match; rebuild or re-query " +
+            "with matching gram length")
+      if (m.contains("graft_anchor_prefix"))
+        require(m.getString("graft_anchor_prefix") == anchorHexPrefix,
+          s"anchor index was built with prefix='${m.getString("graft_anchor_prefix")}' " +
+            s"but the query uses prefix='$anchorHexPrefix' — the anchor samples " +
+            "differ; rebuild or re-query with the matching prefix")
+    }
     val anchors = anchorRows(newDocs, idCol, textCol, k, anchorHexPrefix)
     val idx0 = index.select(col("h").alias("__h"))
     val idx = bloomPrefilter match {
-      case Some(cfg) =>
-        // same native BloomFilterAggregate/MightContain pair as
-        // `containment`, built over the batch side; the membership test on
-        // the index scan stays inside whole-stage codegen
-        import org.apache.spark.sql.graftbridge.ColumnBridge
-        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-        val numBits = math.max(64L,
-          (-cfg.expectedItems * math.log(cfg.fpp) / (math.log(2) * math.log(2))).toLong)
-        val conf = newDocs.sparkSession.conf
-        val maxItems = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
-        val maxBits = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
-        require(cfg.expectedItems <= maxItems && numBits <= maxBits,
-          s"bloom prefilter needs $numBits bits for ${cfg.expectedItems} items, above the " +
-            "session's runtime-bloom ceiling; raise spark.sql.optimizer.runtime.bloomFilter." +
-            "maxNumItems/maxNumBits or shrink BloomConfig")
-        val bloomBin = anchors.select(ColumnBridge.column(
-          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-            ColumnBridge.expression(xxhash64(col("__h"))),
-            Literal(cfg.expectedItems), Literal(numBits))
-            .toAggregateExpression()).alias("__bloom")).head().get(0)
-        if (bloomBin == null) idx0.limit(0) // no batch anchors: nothing joins
-        else idx0.filter(ColumnBridge.column(BloomFilterMightContain(
-          Literal(bloomBin, org.apache.spark.sql.types.BinaryType),
-          ColumnBridge.expression(xxhash64(col("__h"))))))
+      // bloom over the batch side (the small one); empty batch → nothing
+      // can join, so the index prunes to empty without an aggregate result
+      case Some(cfg) => bloomPruned(idx0, anchors, "__h", cfg,
+        onEmpty = idx0.limit(0))
       case None => idx0
     }
     val marked = anchors.join(idx, Seq("__h"), "left_semi")
     mergeAnchorIslands(marked, idCol, k)
+  }
+
+  /** Shared broadcast-bloom prefilter ([[containment]] and
+    * [[incrementalDupSpans]]): build a bloom over `small`'s `keyCol` hashes
+    * (one aggregate job) and prune `big` to might-contain rows with the
+    * same native BloomFilterAggregate/MightContain pair Spark's runtime
+    * filters use — the membership test stays inside whole-stage codegen.
+    * Exactness is untouched: false positives die in the exact equi-join
+    * that follows, false negatives cannot occur. Returns `onEmpty` when
+    * the small side has no rows (null bloom). Fails loudly when the
+    * requested size exceeds the session's runtime-bloom ceilings —
+    * BloomFilterAggregate silently clamps, and a clamped filter's realized
+    * fpp balloons exactly at the scale the prefilter exists for.
+    */
+  private def bloomPruned(big: DataFrame, small: DataFrame, keyCol: String,
+      cfg: BloomConfig, onEmpty: => DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val numBits = math.max(64L,
+      (-cfg.expectedItems * math.log(cfg.fpp) / (math.log(2) * math.log(2))).toLong)
+    val conf = big.sparkSession.conf
+    val maxItems = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(cfg.expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom prefilter needs $numBits bits for ${cfg.expectedItems} items, above the " +
+        "session's runtime-bloom ceiling; raise spark.sql.optimizer.runtime.bloomFilter." +
+        "maxNumItems/maxNumBits or shrink BloomConfig")
+    val bloomBin = small.select(ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col(keyCol))),
+        Literal(cfg.expectedItems), Literal(numBits))
+        .toAggregateExpression()).alias("__bloom")).head().get(0)
+    if (bloomBin == null) onEmpty
+    else big.filter(ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBin, org.apache.spark.sql.types.BinaryType),
+      ColumnBridge.expression(xxhash64(col(keyCol))))))
   }
 
   /** Builtin-only twin of the fused anchor kernel — the original

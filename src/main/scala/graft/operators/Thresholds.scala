@@ -31,11 +31,18 @@ object Thresholds {
     * group. `scoreCol` should be an exactly-comparable type (decimal, int,
     * string) — float scores compare at the bit level, which is fine iff
     * both producers compute them identically.
+    *
+    * Null-score contract (every operator here): null scores are EXCLUDED —
+    * from the histogram, from `n`, and from the kept set. An unscored row
+    * can neither be kept nor shift the cut; leaving nulls in would also
+    * make the quantile engine-dependent (Spark windows order nulls first,
+    * DuckDB last), breaking the differential gate.
     */
   def groupQuantileDisc(df: DataFrame, groupCol: String, scoreCol: String,
       q: Double): DataFrame = {
     require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
-    val hist = df.groupBy(col(groupCol), col(scoreCol))
+    val hist = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreCol))
       .agg(count(lit(1)).alias("__cnt"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
     val wAll = Window.partitionBy(col(groupCol))
@@ -57,7 +64,10 @@ object Thresholds {
   def groupQuantileApprox(df: DataFrame, groupCol: String, scoreCol: String,
       q: Double, accuracy: Int = 10000): DataFrame = {
     require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
-    df.groupBy(col(groupCol))
+    // percentile_approx skips nulls on its own; the filter keeps `n`
+    // consistent with the exact sibling's null-score contract
+    df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(percentile_approx(col(scoreCol), lit(q), lit(accuracy))
              .alias("threshold"),
            count(lit(1)).alias("n"))
@@ -82,7 +92,8 @@ object Thresholds {
   def groupQuantileSummary(df: DataFrame, groupCol: String, scoreCol: String,
       q: Double): DataFrame = {
     require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
-    val hist = df.groupBy(col(groupCol), col(scoreCol))
+    val hist = df.filter(col(scoreCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreCol))
       .agg(count(lit(1)).alias("__cnt"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
     val wAll = Window.partitionBy(col(groupCol))

@@ -114,7 +114,7 @@ class PropertySpec extends SparkSpec {
     // place the kernel could diverge from substr's codepoint semantics)
     val piece = Gen.oneOf(
       Gen.alphaNumStr, Gen.oneOf("大家 好", "grüße", "北京 city", "  tab\t",
-        "a@b.c 10.0.0.1", "ёж λambda"),
+        "a@b.c 10.0.0.1", "ёж λambda", "🎉🚀 ok 🦄"),
       Gen.listOfN(5, Gen.oneOf('一', 'ü', 'x', ' ', 'Ж')).map(_.mkString))
     val text = for {
       n <- Gen.choose(0, 12)

@@ -153,6 +153,30 @@ class SubstringDedupSpec extends SparkSpec {
       bloomPrefilter = Some(Dedup.BloomConfig(10000L, 0.01))).isEmpty)
   }
 
+  test("anchorIndex stamps (k, prefix); a mismatched query fails fast, even after parquet") {
+    val corpus = Seq((100L, filler('a', 60) + sharedSpan)).toDF("doc_id", "text")
+    val batch = Seq((1L, filler('x', 33) + sharedSpan)).toDF("doc_id", "text")
+    val idx = Dedup.anchorIndex(corpus, "doc_id", "text", k = 40,
+      anchorHexPrefix = "")
+    val dir = java.nio.file.Files.createTempDirectory("graft-anchoridx").toString
+    idx.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    // matching parameters: the reloaded index serves the batch
+    val spans = Dedup.incrementalDupSpans(batch, reloaded, "doc_id", "text",
+      k = 40, anchorHexPrefix = "").collect()
+    assert(spans.nonEmpty)
+    // mismatched k or prefix would silently report a clean batch (digests
+    // can never match) — the metadata stamp survives parquet and fails fast
+    intercept[IllegalArgumentException](Dedup.incrementalDupSpans(
+      batch, reloaded, "doc_id", "text", k = 32, anchorHexPrefix = ""))
+    intercept[IllegalArgumentException](Dedup.incrementalDupSpans(
+      batch, reloaded, "doc_id", "text", k = 40, anchorHexPrefix = "0"))
+    // a bare-hash index without the stamp (legacy/external) still runs
+    val bare = reloaded.select(col("h").cast("binary").alias("h"))
+    assert(Dedup.incrementalDupSpans(batch, bare, "doc_id", "text",
+      k = 40, anchorHexPrefix = "").collect().nonEmpty)
+  }
+
   test("stripSpans cuts exactly the detected regions; span-free docs pass through canonical") {
     val docs = Seq(
       (1L, filler('a', 57) + sharedSpan + filler('b', 80)),

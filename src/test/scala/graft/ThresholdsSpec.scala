@@ -94,6 +94,41 @@ class ThresholdsSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 input scan, got $scans in:\n$plan")
   }
 
+  test("null scores are excluded everywhere; summary still equals the composed path") {
+    // group a: nulls mixed in; group b: one scored row; group c: ALL null —
+    // an unscored row can neither be kept nor shift the cut, and a group
+    // with no scores has no quantile (absent from every operator's output)
+    val corpus = Seq(
+      ("a", Some("1.00")), ("a", None), ("a", Some("2.00")), ("a", Some("3.00")),
+      ("b", None), ("b", Some("5.00")),
+      ("c", None)
+    ).toDF("g", "raw").select($"g", $"raw".cast("decimal(10,4)").alias("s"))
+    val th = Thresholds.groupQuantileDisc(corpus, "g", "s", 0.5)
+      .collect().map(r => r.getString(0) -> ((r.getDecimal(1).toPlainString, r.getLong(2)))).toMap
+    // a: 3 scored rows, k=2 → 2.00; b: 1 scored row → 5.00; c: absent
+    assert(th == Map("a" -> (("2.0000", 3L)), "b" -> (("5.0000", 1L))), th.toString)
+    val one = Thresholds.groupQuantileSummary(corpus, "g", "s", 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2), r.getLong(3), r.getDecimal(4),
+          r.getDouble(5)))).toMap
+    val composed = Thresholds.keepAboveGroupQuantile(corpus, "g", "s", 0.5)
+      .groupBy($"g")
+      .agg(count(lit(1)).alias("n_kept"), min($"s").alias("min_kept_q"),
+        (sum($"s").cast("double") / count(lit(1))).alias("mean_kept_q"))
+      .join(Thresholds.groupQuantileDisc(corpus, "g", "s", 0.5)
+              .select($"g", $"threshold", $"n"), Seq("g"))
+      .select($"g", $"n", $"threshold", $"n_kept", $"min_kept_q", $"mean_kept_q")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2), r.getLong(3), r.getDecimal(4),
+          r.getDouble(5)))).toMap
+    assert(one == composed && one.keySet == Set("a", "b"),
+      s"one=$one composed=$composed")
+    // approx sibling: same n under the same null contract
+    val approxN = Thresholds.groupQuantileApprox(corpus, "g", "s", 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(approxN == Map("a" -> 3L, "b" -> 1L), approxN.toString)
+  }
+
   test("quantile input guards") {
     intercept[IllegalArgumentException](Thresholds.groupQuantileDisc(df, "g", "s", 0.0))
     intercept[IllegalArgumentException](Thresholds.groupQuantileDisc(df, "g", "s", 1.5))
