@@ -1432,12 +1432,12 @@ object Queries {
         concat(col("text"),
           lit(" contact jane.doe@example.com or +1 (555) 123-4567 from 10.0.0.1")))
         .otherwise(col("text")))
-    val counts = TextAnalysis.piiCounts(col("__t0"))
+    val s = TextAnalysis.piiScrub(col("__t0"))
     planted.select(col("doc_id"),
-      TextAnalysis.redactPii(col("__t0")).alias("clean_text"),
-      counts.getField("n_email").cast("long").alias("n_email"),
-      counts.getField("n_ipv4").cast("long").alias("n_ipv4"),
-      (counts.getField("n_phone_intl") + counts.getField("n_phone_paren"))
+      s.getField("clean_text").alias("clean_text"),
+      s.getField("n_email").cast("long").alias("n_email"),
+      s.getField("n_ipv4").cast("long").alias("n_ipv4"),
+      (s.getField("n_phone_intl") + s.getField("n_phone_paren"))
         .cast("long").alias("n_phone"))
       .orderBy(col("doc_id"))
   }
@@ -1816,18 +1816,22 @@ object Queries {
       .withColumn("__fp", md5(Dedup.canonical(col("text"))))
       .withColumn("__rep", min(col("doc_id")).over(wFp))
       .filter(col("doc_id") === col("__rep"))
-    val cleaned = deduped.select(col("doc_id"), col("lang"),
-      TextAnalysis.redactPii(col("text")).alias("clean_text"),
-      TextAnalysis.piiCounts(col("text")).alias("__pii"))
+    // fused scrub kernel: replacement + staged counts in one pass per
+    // pattern (half the regex passes of the redactPii+piiCounts pair)
+    val cleaned = deduped
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.piiScrub(col("text")).alias("__s"))
+      .select(col("doc_id"), col("lang"),
+        col("__s.clean_text").alias("clean_text"),
+        (col("__s.n_email") + col("__s.n_ipv4") +
+          col("__s.n_phone_intl") + col("__s.n_phone_paren")).alias("__hits"))
     cleaned
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).alias("n_docs"),
         sum(size(TextAnalysis.canonicalTokens(col("clean_text"))))
           .alias("n_tokens"),
-        sum(col("__pii.n_email") + col("__pii.n_ipv4") +
-            col("__pii.n_phone_intl") + col("__pii.n_phone_paren"))
-          .alias("n_pii"),
+        sum(col("__hits")).alias("n_pii"),
         expr("bit_xor(cast(conv(substring(md5(clean_text), 1, 15), 16, 10) as bigint))")
           .alias("corpus_fp"))
       .orderBy(col("lang"))

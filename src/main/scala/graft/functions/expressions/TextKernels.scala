@@ -216,6 +216,63 @@ object Kernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** PII patterns for corpus scrubbing, ordered (applied first to last —
+    * email before phone so an address's digits are already gone when the
+    * phone pattern runs). Restricted to the regex subset Java regex and
+    * RE2 evaluate identically — no lookaround, no backreferences, explicit
+    * character classes — so any engine replays the redaction bit-for-bit.
+    * Canonical home is here (the kernel needs them at class-load);
+    * [[graft.operators.TextAnalysis.PiiPatterns]] re-exports.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("ipv4", """\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b""", "<IP>"),
+    ("phone_intl", """\+[0-9]{1,3}[\s\-]?\(?[0-9]{1,4}\)?[\s\-]?[0-9]{2,4}[\s\-]?[0-9]{2,6}""", "<PHONE>"),
+    ("phone_paren", """\([0-9]{2,4}\)[\s\-]?[0-9]{2,4}[\s\-]?[0-9]{2,6}""", "<PHONE>"))
+
+  private lazy val piiCompiled: Array[java.util.regex.Pattern] =
+    PiiPatterns.map(p => java.util.regex.Pattern.compile(p._2)).toArray
+  // tags are literal (no $ or \), quoted anyway so the kernel can never
+  // diverge from regexp_replace's literal-tag behavior
+  private lazy val piiTags: Array[String] =
+    PiiPatterns.map(p => java.util.regex.Matcher.quoteReplacement(p._3)).toArray
+
+  /** Output shape of [[piiScrub]]: the cleaned text plus one staged count
+    * per pattern — field names match `piiCounts`' aliases.
+    */
+  val PiiScrubType: StructType = StructType(
+    StructField("clean_text", StringType, nullable = false) +:
+      PiiPatterns.map(p => StructField(s"n_${p._1}", IntegerType, nullable = false)))
+
+  /** Fused PII scrub: every pattern's replacement AND its staged hit count
+    * in one matcher pass per pattern — 4 passes total where the builtin
+    * `redactPii` + `piiCounts` pair costs 8 (4 replaces + 4 counts over
+    * progressively rebuilt stage prefixes). Counts are taken on the SAME
+    * staged text the replacement consumes (count = number of replacements
+    * made), bit-identical to the builtin twins and the DuckDB oracle's
+    * staged `regexp_replace`/`regexp_extract_all` replay.
+    */
+  def piiScrub(text: UTF8String): Any = {
+    var s = text.toString
+    val n = piiCompiled.length
+    val out = new Array[Any](n + 1)
+    var i = 0
+    while (i < n) {
+      val m = piiCompiled(i).matcher(s)
+      var cnt = 0
+      if (m.find()) {
+        val sb = new java.lang.StringBuffer
+        do { cnt += 1; m.appendReplacement(sb, piiTags(i)) } while (m.find())
+        m.appendTail(sb)
+        s = sb.toString
+      }
+      out(i + 1) = cnt
+      i += 1
+    }
+    out(0) = UTF8String.fromString(s)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
   /** Distinct tokens of the canonical text, each hashed to 60 bits — the
     * SimHash front end, one pass.
     */
@@ -339,6 +396,28 @@ case class GramAnchors(child: Expression, k: Int, prefix: String)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.expressions.Kernels.gramAnchors($c, $k, $nibRef);")
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused PII scrub (null text → null): struct of the cleaned text plus one
+  * staged hit count per pattern — one matcher pass per pattern, replacement
+  * and count together. Differential twins:
+  * [[graft.operators.TextAnalysis.redactPii]] / `piiCounts`.
+  */
+case class PiiScrub(child: Expression)
+    extends UnaryExpression with StringInputCheck {
+
+  override def dataType: DataType = Kernels.PiiScrubType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.piiScrub(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (InternalRow) graft.functions.expressions.Kernels.piiScrub($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

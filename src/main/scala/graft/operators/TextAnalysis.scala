@@ -243,11 +243,20 @@ object TextAnalysis {
     * at corpus scale. Bare national numbers (`555-123-4567`) are a
     * documented miss, not a latent false-positive class.
     */
-  val PiiPatterns: Seq[(String, String, String)] = Seq(
-    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
-    ("ipv4", """\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b""", "<IP>"),
-    ("phone_intl", """\+[0-9]{1,3}[\s\-]?\(?[0-9]{1,4}\)?[\s\-]?[0-9]{2,4}[\s\-]?[0-9]{2,6}""", "<PHONE>"),
-    ("phone_paren", """\([0-9]{2,4}\)[\s\-]?[0-9]{2,4}[\s\-]?[0-9]{2,6}""", "<PHONE>"))
+  val PiiPatterns: Seq[(String, String, String)] =
+    graft.functions.expressions.Kernels.PiiPatterns
+
+  /** Fused scrub ([[graft.functions.expressions.PiiScrub]]): one struct
+    * `(clean_text, n_email, n_ipv4, n_phone_intl, n_phone_paren)` with one
+    * matcher pass per pattern computing the replacement AND its staged
+    * count together — half the regex passes of the
+    * [[redactPii]]+[[piiCounts]] pair, which stays as the builtin
+    * differential twin.
+    */
+  def piiScrub(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.expressions.PiiScrub(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
   /** Redact PII in place: each pattern replaced by its typed tag. One
     * projection, row-local, codegen'd `regexp_replace` chain — a 100 TB

@@ -144,6 +144,39 @@ class TextKernelSpec extends SparkSpec {
     }
   }
 
+  test("PiiScrub matches the redactPii + piiCounts builtin pair") {
+    import graft.operators.TextAnalysis
+    val planted = Seq(
+      Some("contact jane.doe@example.com or +1 (555) 123-4567 from 10.0.0.1"),
+      Some("two mails a@b.co c@d.org, ip 255.255.255.255, (030) 1234 5678"),
+      Some("no pii here, just 2024-01-01 and v1.2.3 and 999999999999"),
+      Some("edge: +49 30 123456 then @ alone then 1.2.3.4.5 run-on"),
+      Some(""),
+      None
+    ).toDF("text")
+    for (df <- Seq(planted, fixtureTexts)) {
+      val s = TextAnalysis.piiScrub($"text")
+      val c = TextAnalysis.piiCounts($"text")
+      val rows = df.select(
+        s.getField("clean_text").alias("k_clean"),
+        TextAnalysis.redactPii($"text").alias("b_clean"),
+        s.getField("n_email"), c.getField("n_email"),
+        s.getField("n_ipv4"), c.getField("n_ipv4"),
+        s.getField("n_phone_intl"), c.getField("n_phone_intl"),
+        s.getField("n_phone_paren"), c.getField("n_phone_paren"),
+        $"text").collect()
+      rows.foreach { r =>
+        for (base <- Seq(0, 2, 4, 6, 8)) {
+          assert(r.isNullAt(base) == r.isNullAt(base + 1),
+            s"null mismatch field $base for text=${r.get(10)}")
+          if (!r.isNullAt(base))
+            assert(r.get(base) == r.get(base + 1),
+              s"field $base for text=${r.get(10)}: ${r.get(base)} != ${r.get(base + 1)}")
+        }
+      }
+    }
+  }
+
   test("kernel null/empty contracts") {
     val r = edgeTexts.select(
       Dedup.shingles($"text").alias("sh"),
