@@ -17,8 +17,9 @@ import graft.functions.expressions.{CanonicalTokens, CosineSimilarity, HashedTok
   *     (`utils.py:46-55`): sha1 hex, null/empty → null, as pure Catalyst
   *     nodes so SQL callers get the same null semantics as the Column API
   *   - `word_shingles(text[, n])`, `minhash_sig(shingles, k)`,
-  *     `hashed_tokens(text)`, `graft_simhash(text)`, `text_profile(text)`
-  *     — the fused text-dedup/profile kernels
+  *     `hashed_tokens(text)`, `graft_simhash(text)`, `text_profile(text)`,
+  *     `gram_anchors(text, k[, hexPrefix])`, `pii_scrub(text)`
+  *     — the fused text-dedup/profile/scrub kernels
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -108,6 +109,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1,
           "int8_dequantize(q) takes one struct<scale, codes> argument")
         graft.functions.expressions.Int8Dequantize(args.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("gram_anchors"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.GramAnchors].getName, "gram_anchors"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, kArg) =>
+          graft.functions.expressions.GramAnchors(t, litInt(kArg, "k"), "0")
+        case Seq(t, kArg, Literal(p: org.apache.spark.unsafe.types.UTF8String, _: StringType)) =>
+          graft.functions.expressions.GramAnchors(t, litInt(kArg, "k"), p.toString)
+        case _ => throw new IllegalArgumentException(
+          "gram_anchors(text, k[, hexPrefix]) — prefix must be a string literal")
+      }))
+    e.injectFunction((
+      FunctionIdentifier("pii_scrub"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.PiiScrub].getName, "pii_scrub"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "pii_scrub(text) takes one argument")
+        graft.functions.expressions.PiiScrub(args.head)
       }))
     e.injectFunction((
       FunctionIdentifier("graft_hash_id"),

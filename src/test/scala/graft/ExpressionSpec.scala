@@ -210,6 +210,18 @@ class ExpressionSpec extends SparkSpec {
         "SELECT int8_dequantize(int8_quantize(array(1.0D, -2.0D))) AS d")
         .head().getSeq[Double](0)
       assert(dq == Seq(64.0 / 63.5, -2.0))
+      // gram_anchors: exact mode emits every gram with its digest;
+      // default prefix samples. pii_scrub: clean text + staged counts.
+      val ga = ext.sql(
+        """SELECT size(gram_anchors('abcdef', 3, '')) AS n_exact,
+          |       gram_anchors('abcdef', 3, '')[0].off AS off0,
+          |       hex(gram_anchors('abcdef', 3, '')[0].h) = upper(md5('abc')) AS h_ok,
+          |       pii_scrub('mail a@b.co from 10.0.0.1').clean_text AS clean,
+          |       pii_scrub('mail a@b.co from 10.0.0.1').n_email AS ne,
+          |       pii_scrub('mail a@b.co from 10.0.0.1').n_ipv4 AS ni""".stripMargin).head()
+      assert(ga.getInt(0) == 4 && ga.getInt(1) == 0 && ga.getBoolean(2))
+      assert(ga.getString(3) == "mail <EMAIL> from <IP>")
+      assert(ga.getInt(4) == 1 && ga.getInt(5) == 1)
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
