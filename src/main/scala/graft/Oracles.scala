@@ -92,14 +92,15 @@ object Oracles {
     * ranking. Mirrors `Similarity.pqCodebook(refineIters = iters)` +
     * `pqTopK`; m=8 subspaces × 16 centroids × 8 dims, queries vec_id < 10.
     */
-  private def pqPipelineCte(iters: Int): String = {
+  private def pqPipelineCte(iters: Int, sampName: String = "samp",
+      codesOnly: Boolean = false): String = {
     val head =
-      """samp AS (
+      s"""$sampName AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 104729 ASC,
         |    vec_id ASC
         |  LIMIT 16),
-        |cbl AS (SELECT list(embedding ORDER BY vec_id) AS cbs FROM samp),
+        |cbl AS (SELECT list(embedding ORDER BY vec_id) AS cbs FROM $sampName),
         |cb0 AS (
         |  SELECT t.s, u.j,
         |    [CAST(cbl.cbs[u.j + 1][8*t.s + d] AS DOUBLE) for d in range(1, 9)] AS subv
@@ -137,29 +138,40 @@ object Oracles {
            |    ON m.s = c.s AND m.j = c.j)""".stripMargin
       ).mkString(",\n")
     }
-    val tail =
+    val codesTail =
       s"""${distCte("csub", s"cb$iters")},
          |codes AS (
          |  SELECT vec_id, list(j ORDER BY s) AS codes FROM (
          |    SELECT vec_id, s, j,
          |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS rn
          |    FROM csub) WHERE rn = 1 GROUP BY vec_id),
-         |qtab AS (SELECT vec_id AS query_id, s, j, dist FROM csub WHERE vec_id < 10),
-         |pairscore AS (
-         |  SELECT qt.query_id, c.vec_id AS neighbor_id,
-         |    list_sum(list(qt.dist ORDER BY qt.s)) AS score
-         |  FROM codes c
-         |  CROSS JOIN range(0, 8) t(s)
-         |  JOIN qtab qt ON qt.s = t.s AND qt.j = c.codes[t.s + 1]
-         |  WHERE qt.query_id <> c.vec_id
-         |  GROUP BY qt.query_id, c.vec_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, score,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score ASC, neighbor_id ASC) AS rank
-         |  FROM pairscore)""".stripMargin
-    (Seq(head) ++ iterCtes ++ Seq(tail)).mkString(",\n")
+         |qtab AS (SELECT vec_id AS query_id, s, j, dist FROM csub WHERE vec_id < 10)""".stripMargin
+    val rankTail =
+      """pairscore AS (
+        |  SELECT qt.query_id, c.vec_id AS neighbor_id,
+        |    list_sum(list(qt.dist ORDER BY qt.s)) AS score
+        |  FROM codes c
+        |  CROSS JOIN range(0, 8) t(s)
+        |  JOIN qtab qt ON qt.s = t.s AND qt.j = c.codes[t.s + 1]
+        |  WHERE qt.query_id <> c.vec_id
+        |  GROUP BY qt.query_id, c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score ASC, neighbor_id ASC) AS rank
+        |  FROM pairscore)""".stripMargin
+    (Seq(head) ++ iterCtes ++ Seq(codesTail) ++
+      (if (codesOnly) Nil else Seq(rankTail))).mkString(",\n")
   }
+
+  /** PQ codebook + byte codes + query ADC tables only (ends at
+    * `codes`/`qtab`) — the composable half of [[pqPipelineCte]] for
+    * pipelines that score a RESTRICTED candidate set (q112's IVF-PQ).
+    * `sampName` de-collides the sample CTE when composed with the IVF
+    * replay, which has its own `samp`.
+    */
+  private def pqCodesCte(iters: Int, sampName: String): String =
+    pqPipelineCte(iters, sampName, codesOnly = true)
 
   /** The PQ replay every PQ query gates on: 4 Lloyd refinement passes
     * (picked by measurement — recall@3 at sf0.01 doubles vs the raw
@@ -215,9 +227,11 @@ object Oracles {
     * → exact candidate re-score. Mirrors
     * `Similarity.ivfAssignCells(cells = 16, refineIters = 4)` +
     * `ivfTopKFromIndex(nprobe = 4)`, queries vec_id < 10. Ends at the
-    * `cands(query_id, neighbor_id, cosine)` CTE; callers append their tail.
+    * `asg(vec_id, embedding, cell_id)` + `probes(query_id, qv, cell_id)`
+    * CTEs; callers append their scoring tail (exact cosine for q92/q94,
+    * ADC byte codes for q112).
     */
-  private lazy val ivfRefinedCandsCte: String = {
+  private lazy val ivfRefinedIndexCte: String = {
     def lloydIter(i: Int) =
       s"""s$i AS (
          |  SELECT e.vec_id, e.embedding, c.cell_id,
@@ -269,13 +283,18 @@ object Oracles {
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |      ORDER BY sim DESC, cell_id ASC) AS rn
        |    FROM q0 WHERE sim IS NOT NULL)
-       |  WHERE rn <= 4),
+       |  WHERE rn <= 4)""".stripMargin
+  }
+
+  /** [[ivfRefinedIndexCte]] + exact cosine over the probed cells' members
+    * (q92/q94's tail). */
+  private lazy val ivfRefinedCandsCte: String =
+    s"""$ivfRefinedIndexCte,
        |cands AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |    ${cosSql("p.qv", "a.embedding")} AS cosine
        |  FROM probes p JOIN asg a ON p.cell_id = a.cell_id
        |  WHERE p.query_id <> a.vec_id)""".stripMargin
-  }
 
   private val exactRecallTail: String =
     s"""ex0 AS (
@@ -1971,6 +1990,31 @@ object Oracles {
          |        ORDER BY cosine DESC, neighbor_id ASC) AS rn
          |    FROM cands WHERE cosine IS NOT NULL) WHERE rn <= 3),
          |$exactRecallTail""".stripMargin,
+
+    // IVF-PQ composed ANN (q112): the IVF replay's cells + probes
+    // restrict; the PQ replay's byte codes + query ADC tables score; rank
+    // ascending. The PQ sample CTE is renamed (psamp) to compose with the
+    // IVF replay's own sample.
+    "q112_ivfpq_topk" ->
+      s"""$ivfRefinedIndexCte,
+         |${pqCodesCte(4, "psamp")},
+         |pairscore AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    list_sum(list(qt.dist ORDER BY qt.s)) AS score
+         |  FROM probes p
+         |  JOIN asg a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+         |  JOIN codes c ON c.vec_id = a.vec_id
+         |  CROSS JOIN range(0, 8) t(s)
+         |  JOIN qtab qt ON qt.query_id = p.query_id AND qt.s = t.s AND qt.j = c.codes[t.s + 1]
+         |  GROUP BY p.query_id, a.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score ASC, neighbor_id ASC) AS rank
+         |  FROM pairscore)
+         |SELECT query_id, neighbor_id, rank, round(score, 8) AS score
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
 
     // ANN serving path (q94): the Spark side builds the refined IVF index,
     // persists BOTH frames to parquet, reloads them, and serves the query

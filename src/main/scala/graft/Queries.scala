@@ -1863,6 +1863,23 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** IVF-PQ composed ANN ([[graft.operators.Similarity.ivfPqTopK]]): coarse
+    * cell probing restricts the corpus, ADC byte codes score the survivors
+    * — the inverted-file + product-quantization serving shape. Same refined
+    * parameters as q92 (IVF side) and q87 (PQ side), so the oracle composes
+    * the two existing replays: 4-pass Lloyd cells + probes, 4-pass PQ
+    * codebook + codes, ADC restricted to probed cells, rank ascending.
+    */
+  def q112IvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("embedding"))
+    graft.operators.Similarity.ivfPqTopK(queries, emb, k = 3,
+      cells = 16, nprobe = 4, m = 8, numCentroids = 16, refineIters = 4)
+      .withColumn("score", round(col("score"), 8))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1978,6 +1995,7 @@ object Queries {
     "q108_bm25_keywords" -> (q108Bm25Keywords _),
     "q109_quality_threshold" -> (q109QualityThreshold _),
     "q110_curation_pipeline" -> (q110CurationPipeline _),
-    "q111_incremental_spans" -> (q111IncrementalSpans _)
+    "q111_incremental_spans" -> (q111IncrementalSpans _),
+    "q112_ivfpq_topk" -> (q112IvfPqTopK _)
   )
 }

@@ -533,6 +533,82 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
   }
 
+  /** IVF-PQ: coarse IVF cell restriction + PQ byte-code ADC scoring within
+    * the probed cells — the standard inverted-file-with-product-quantization
+    * serving composition, from this engine's existing parts: cells come
+    * from [[ivfAssignCells]], codes from the same fused PQ kernels. Builds
+    * both index artifacts inline; a serving deployment materializes
+    * `(codedCells, centroids)` + the codebook ONCE and calls
+    * [[ivfPqTopKFromIndex]] per query batch.
+    *
+    * This is the raw-vector variant (codes encode the vectors themselves,
+    * one ADC table per query); the classical residual refinement (encode
+    * `v − centroid(cell)`, one table per probed cell) is the known
+    * accuracy lever and costs nprobe× the table builds — left out until a
+    * recall gate demands it.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      cells: Int = 16, nprobe: Int = 4, m: Int = 8, numCentroids: Int = 16,
+      queryIdCol: String = "query_id", idCol: String = "vec_id",
+      vecCol: String = "embedding", refineIters: Int = 0): DataFrame = {
+    val (assigned, centroids) = ivfAssignCells(corpus, cells, idCol, vecCol, refineIters)
+    val cb = pqCodebook(corpus, m, numCentroids, idCol, vecCol, refineIters)
+    ivfPqTopKFromIndex(queries, pqEncodeCells(assigned, cb, idCol, vecCol),
+      centroids, cb, k, nprobe, queryIdCol, vecCol)
+  }
+
+  /** Cell-tagged PQ code table `(cell_id, neighbor_id, __codes)` — the
+    * IVF-PQ serving artifact: m bytes per vector AND cell-prunable, so a
+    * probed query batch reads only its cells' code partitions (partition
+    * the parquet by `cell_id` at write time).
+    */
+  def pqEncodeCells(assigned: DataFrame, cb: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    assigned.select(col("cell_id"), col(idCol).alias("neighbor_id"),
+      ColumnBridge.column(graft.functions.expressions.PqEncode(
+        ColumnBridge.expression(col(vecCol)), cb)).alias("__codes"))
+  }
+
+  /** IVF-PQ served from materialized artifacts ([[pqEncodeCells]] +
+    * [[ivfAssignCells]]'s centroids + the deterministic codebook): probe
+    * the `nprobe` nearest cells per query (k-row centroid broadcast), then
+    * ADC-score ONLY those cells' byte codes — the per-batch corpus operand
+    * is the coded cell table, raw vectors never touched, and the cell join
+    * is the only corpus-sized operation.
+    */
+  def ivfPqTopKFromIndex(queries: DataFrame, codedCells: DataFrame,
+      centroids: DataFrame, cb: Array[Array[Array[Double]]], k: Int,
+      nprobe: Int = 4, queryIdCol: String = "query_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val qCells = queries
+      .select(col(queryIdCol).alias("query_id"), col(vecCol).alias("__qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col("__qv"), col("__centroid")))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("cell_id").asc)
+    val probes = qCells.withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nprobe)
+      .filter(col("__sim").isNotNull)
+      // the ADC table is built AFTER the probe window so the window rows
+      // stay slim; nprobe table builds per query are m·k L2 sums — noise
+      .select(col("query_id"), col("cell_id"),
+        ColumnBridge.column(graft.functions.expressions.PqDistTable(
+          ColumnBridge.expression(col("__qv")), cb)).alias("__tab"))
+    val scored = probes.join(codedCells, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", ColumnBridge.column(graft.functions.expressions.PqAdcScore(
+        ColumnBridge.expression(col("__tab")), ColumnBridge.expression(col("__codes")))))
+      .filter(col("score").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").asc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
   /** PQ with exact re-ranking — the standard two-stage ANN deployment:
     * [[pqTopK]] shortlists `candidates` neighbors per query from the byte
     * codes (m lookups/pair over the whole corpus), then only the shortlist

@@ -180,7 +180,9 @@ class ExtensionSpec extends SparkSpec {
       ("ivf", meanRecall(Similarity.ivfTopK(q, corpus, k = 3,
         cells = 16, nprobe = 4, refineIters = 4)), 0.8),
       ("lsh", meanRecall(Similarity.lshTopK(q, corpus, k = 3,
-        numPlanes = 6, bands = 4)), 0.8))
+        numPlanes = 6, bands = 4)), 0.8),
+      ("ivfpq", meanRecall(Similarity.ivfPqTopK(q, corpus, k = 3,
+        cells = 16, nprobe = 4, refineIters = 4)), 0.8))
     val failing = measured.filter { case (_, v, floor) => v < floor }
     assert(failing.isEmpty, s"mean planted recall@3 below floor: $measured")
   }

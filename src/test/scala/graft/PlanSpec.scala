@@ -229,13 +229,14 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"redaction should only exchange for the final sort:\n$plan")
   }
 
-  test("q91/q92/q94/q95/q96: recall + serving pipelines — no CartesianProduct") {
+  test("q91/q92/q94/q95/q96/q112: recall + serving pipelines — no CartesianProduct") {
     for ((name, df) <- Seq(
         "q91" -> Queries.q91LshRecall(spark, sfDir),
         "q92" -> Queries.q92IvfRecall(spark, sfDir),
         "q94" -> Queries.q94IvfServe(spark, sfDir),
         "q95" -> Queries.q95PqServe(spark, sfDir),
-        "q96" -> Queries.q96LshMultiband(spark, sfDir))) {
+        "q96" -> Queries.q96LshMultiband(spark, sfDir),
+        "q112" -> Queries.q112IvfPqTopK(spark, sfDir))) {
       val plan = planOf(df)
       // BroadcastNestedLoopJoin appears by design (brute-force exact side +
       // broadcast centroid probing); what must never appear is an unplanned
