@@ -2016,6 +2016,19 @@ object Oracles {
          |FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin,
 
+    // Manifest-stats data skipping (q113): the Spark side commits orders
+    // range-clustered with per-file stats and answers through the pruned
+    // scan; the oracle is the same filter + aggregate over the raw fixture
+    // — any wrongly skipped file shifts n/sum/min/max.
+    "q113_stats_pruned_read" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 500 AND 2500 AND o_totalprice > 1000.0
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // ANN serving path (q94): the Spark side builds the refined IVF index,
     // persists BOTH frames to parquet, reloads them, and serves the query
     // batch from the reloaded index. The oracle replays the inline pipeline

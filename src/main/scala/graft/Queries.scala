@@ -1880,6 +1880,32 @@ object Queries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Manifest-stats data skipping ([[graft.sources.SnapshotManifest.readWhere]]):
+    * orders are committed range-clustered by key with per-file min/max
+    * stats in the manifest, then a narrow key range + price floor is
+    * answered by scanning ONLY the files whose stat ranges admit a match
+    * (ManifestStatsSpec proves the skip; at this fixture's 8 range-files a
+    * 2000-wide key range reads ~1-2). The oracle runs the same filter +
+    * aggregate over the raw fixture, so the gate covers the commit → stats
+    * → prune → scan → re-filter path end to end: a single wrongly pruned
+    * file shifts every aggregate.
+    */
+  def q113StatsPrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q113").toString
+    graft.sources.SnapshotManifest.commit(spark, root,
+      orders.repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus"))
+    val pred = col("o_orderkey").between(500, 2500) && col("o_totalprice") > 1000.0
+    graft.sources.SnapshotManifest.readWhere(spark, root, pred)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("sum_price"),
+        min(col("o_orderkey")).alias("min_key"),
+        max(col("o_orderkey")).alias("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1996,6 +2022,7 @@ object Queries {
     "q109_quality_threshold" -> (q109QualityThreshold _),
     "q110_curation_pipeline" -> (q110CurationPipeline _),
     "q111_incremental_spans" -> (q111IncrementalSpans _),
-    "q112_ivfpq_topk" -> (q112IvfPqTopK _)
+    "q112_ivfpq_topk" -> (q112IvfPqTopK _),
+    "q113_stats_pruned_read" -> (q113StatsPrunedRead _)
   )
 }

@@ -73,7 +73,10 @@ object SnapshotManifest {
     if (versions.isEmpty) None else Some(versions.max)
   }
 
-  /** Data-file paths (absolute) of snapshot `version`. */
+  /** Data-file paths (absolute) of snapshot `version`. Manifest file lines
+    * are `relpath` optionally followed by TAB + per-file stats JSON
+    * ([[ManifestStats]]); this accessor strips the stats.
+    */
   def snapshotFiles(spark: SparkSession, root: String, version: Long): Seq[String] = {
     val (fs, rootPath) = fsOf(spark, root)
     val manifest = new Path(rootPath, manifestName(version))
@@ -81,7 +84,24 @@ object SnapshotManifest {
     val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
     require(lines.headOption.contains(s"version=$version"),
       s"corrupt manifest $manifest: bad header ${lines.headOption}")
-    lines.tail.map(rel => new Path(rootPath, rel).toString).toSeq
+    lines.tail.map(rel => new Path(rootPath, rel.split('\t').head).toString).toSeq
+  }
+
+  /** Per-file stats of snapshot `version`, keyed by file NAME — empty for
+    * files committed without stats (pre-stats manifests read fine: every
+    * file simply survives pruning).
+    */
+  def snapshotFileStats(spark: SparkSession, root: String,
+      version: Long): Map[String, ManifestStats.FileStats] = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val text = CommitProtocol.readFully(fs, new Path(rootPath, manifestName(version)))
+    text.split('\n').map(_.trim).filter(_.nonEmpty).drop(1).flatMap { line =>
+      line.split('\t') match {
+        case Array(rel, json) =>
+          Some(new Path(rel).getName -> ManifestStats.fromJson(json))
+        case _ => None
+      }
+    }.toMap
   }
 
   /** Read the current snapshot (empty-schema error if the table has none). */
@@ -89,6 +109,42 @@ object SnapshotManifest {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"SnapshotManifest.read: no committed snapshot under $root"))
     spark.read.parquet(snapshotFiles(spark, root, v): _*)
+  }
+
+  /** Data-skipping read: files of the current snapshot whose manifest
+    * stats admit a `predicate` match, scanned and re-filtered row-by-row
+    * with the same predicate — always equal to `read(...).filter(predicate)`,
+    * the stats only decide which files Spark never lists in the scan at
+    * all. At 100 TB with a range-clustered layout ([[graft.operators.Layout]]
+    * or `repartitionByRange` at commit), a narrow range touches a handful
+    * of files; the prune decision itself is one driver-side manifest read,
+    * no per-file footer round-trips. Conservative everywhere: stats-less
+    * files, unrecognized predicate shapes, and type mismatches all stay in
+    * the scan (see [[ManifestStats.mayMatch]]).
+    */
+  def readWhere(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"SnapshotManifest.readWhere: no committed snapshot under $root"))
+    val all = snapshotFiles(spark, root, v)
+    val full = spark.read.parquet(all: _*)
+    val pred = ManifestStats.resolvePredicate(spark, full.schema, predicate)
+    val kept = ManifestStats.prune(all, snapshotFileStats(spark, root, v), pred)
+    if (kept.isEmpty)
+      // schema must come from the table even when every file is pruned
+      full.limit(0).filter(predicate)
+    else spark.read.parquet(kept: _*).filter(predicate)
+  }
+
+  /** The file list [[readWhere]] would scan for `predicate` at `version` —
+    * exposed so callers (and specs) can observe the skipping itself.
+    */
+  def prunedFiles(spark: SparkSession, root: String, version: Long,
+      predicate: org.apache.spark.sql.Column): Seq[String] = {
+    val files = snapshotFiles(spark, root, version)
+    val schema = spark.read.parquet(files: _*).schema
+    ManifestStats.prune(files, snapshotFileStats(spark, root, version),
+      ManifestStats.resolvePredicate(spark, schema, predicate))
   }
 
   /** Time travel: read an explicit committed snapshot `version`. Every
@@ -173,7 +229,17 @@ object SnapshotManifest {
     *
     * @return the committed version
     */
-  def commit(spark: SparkSession, root: String, df: DataFrame): Long = {
+  def commit(spark: SparkSession, root: String, df: DataFrame): Long =
+    commit(spark, root, df, Nil)
+
+  /** [[commit]] that additionally records per-file min/max/null-count
+    * stats for `statsCols` in the manifest ([[ManifestStats]]) — one extra
+    * aggregation over the freshly written (page-cache-hot) files. Readers
+    * exploit them through [[readWhere]]; stats-less and stats-ful commits
+    * interleave freely in one table.
+    */
+  def commit(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String]): Long = {
     val (fs, rootPath) = fsOf(spark, root)
     val next = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
     // unique per-attempt staging: the version prefix is advisory (for
@@ -182,17 +248,29 @@ object SnapshotManifest {
     val dirName = s"${dataDirName(next)}-${java.util.UUID.randomUUID.toString.take(8)}"
     val dataDir = new Path(rootPath, new Path("data", dirName))
     df.write.parquet(dataDir.toString)
+    val stats =
+      if (statsCols.isEmpty) Map.empty[String, ManifestStats.FileStats]
+      else ManifestStats.collect(spark.read.parquet(dataDir.toString), statsCols)
     val files = fs.listStatus(dataDir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"data/$dirName/${s.getPath.getName}")
       .sorted
     require(files.nonEmpty, s"commit: write produced no parquet files under $dataDir")
+    // a ZERO-ROW part file produces no aggregation group: record it as
+    // rows=0 (prunable by construction) rather than stats-less (never
+    // pruned) — the empty file can satisfy no predicate
+    val emptyStats = ManifestStats.FileStats(0L,
+      statsCols.map(_ -> ManifestStats.ColStats(None, None, 0L)).toMap)
+    val lines = files.map { f =>
+      if (statsCols.isEmpty) f
+      else f + "\t" + ManifestStats.toJson(stats.getOrElse(new Path(f).getName, emptyStats))
+    }
     val manifest = new Path(rootPath, manifestName(next))
     // THE commit point: one atomic file publish. False = a concurrent
     // writer committed this version first — fail loudly, leave their
     // snapshot intact, and surface our staged data for inspection.
     val won = CommitProtocol.publishFile(fs, manifest,
-      (s"version=$next\n" + files.mkString("", "\n", "\n")).getBytes("UTF-8"))
+      (s"version=$next\n" + lines.mkString("", "\n", "\n")).getBytes("UTF-8"))
     if (!won)
       throw new java.io.IOException(
         s"commit: version $next already committed by a concurrent writer; " +
