@@ -33,6 +33,11 @@ object Sessions {
       // Buffers are ≤ k elements, so thousands of entries are cheap.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.sql.session.timeZone", "UTC")
+      // plain (un-adjusted) parquet timestamps read as TIMESTAMP, not
+      // TIMESTAMP_NTZ: the engine's temporal operators (unix_micros as-of
+      // arithmetic, RANGE frames) are defined over the instant type, and
+      // with a UTC session the wall-clock values are identical either way
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft"): SparkSession = {
