@@ -231,12 +231,21 @@ object Oracles {
     * CTEs; callers append their scoring tail (exact cosine for q92/q94,
     * ADC byte codes for q112).
     */
-  private lazy val ivfRefinedIndexCte: String = {
+  private lazy val ivfRefinedIndexCte: String = ivfRefinedIndexCteFor("embeddings")
+
+  /** [[ivfRefinedIndexCte]] parameterized by the TRAINING corpus (the table
+    * expression centroids are sampled from and Lloyd-refined over) — final
+    * assignment (`asg`) and probing stay over ALL of `embeddings`, which is
+    * exactly the incremental-maintenance contract (q114/q115): frozen
+    * centroids from the bootstrap corpus, appended vectors assigned to
+    * them verbatim.
+    */
+  private def ivfRefinedIndexCteFor(train: String): String = {
     def lloydIter(i: Int) =
       s"""s$i AS (
          |  SELECT e.vec_id, e.embedding, c.cell_id,
          |    ${cosSql("e.embedding", "c.centroid")} AS sim
-         |  FROM embeddings e CROSS JOIN c$i c),
+         |  FROM $train e CROSS JOIN c$i c),
          |a$i AS (
          |  SELECT vec_id, embedding, cell_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -255,7 +264,7 @@ object Oracles {
          |    SELECT cell_id, list(val ORDER BY d) AS lst FROM m$i GROUP BY cell_id) m
          |    ON m.cell_id = c.cell_id)""".stripMargin
     s"""WITH samp AS (
-       |  SELECT vec_id, embedding FROM embeddings
+       |  SELECT vec_id, embedding FROM $train
        |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 104729 ASC,
        |    vec_id ASC
        |  LIMIT 16),
@@ -2034,6 +2043,43 @@ object Oracles {
     // batch from the reloaded index. The oracle replays the inline pipeline
     // — a hash match proves the parquet round-trip of float vectors and
     // DECIMAL-mean double centroids is bit-exact (the deployment contract).
+    // Incremental IVF maintenance (q114): centroids trained on the even-id
+    // half only (sample + 4 Lloyd passes over that half), final assignment
+    // over ALL vectors — the frozen-centroid append contract. Serving tail
+    // identical to q94.
+    "q114_incremental_ann" -> {
+      val train = "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0)"
+      s"""${ivfRefinedIndexCteFor(train)},
+         |cands AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    ${cosSql("p.qv", "a.embedding")} AS cosine
+         |  FROM probes p JOIN asg a ON p.cell_id = a.cell_id
+         |  WHERE p.query_id <> a.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM cands WHERE cosine IS NOT NULL)
+         |SELECT query_id, neighbor_id, rank, round(cosine, 8) AS cosine
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // IVF drift monitor (q115): per-cell occupancy + DECIMAL-sum mean
+    // cosine of every vector to its (frozen, half-trained) centroid.
+    "q115_ivf_cell_stats" -> {
+      val train = "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0)"
+      s"""${ivfRefinedIndexCteFor(train)},
+         |sc AS (
+         |  SELECT a.cell_id, ${cosSql("a.embedding", "c.centroid")} AS cos
+         |  FROM asg a JOIN c4 c ON c.cell_id = a.cell_id)
+         |SELECT cell_id, count(*) AS n_vectors,
+         |  round(CAST(sum(CAST(cos AS DECIMAL(30,6))) AS DOUBLE) / count(cos), 8)
+         |    AS mean_cos
+         |FROM sc GROUP BY cell_id
+         |ORDER BY cell_id""".stripMargin
+    },
+
     "q94_ivf_serve" ->
       s"""$ivfRefinedCandsCte,
          |ranked AS (

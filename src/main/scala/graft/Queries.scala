@@ -1906,6 +1906,49 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Incremental IVF maintenance ([[graft.operators.Similarity.ivfAssignWith]]
+    * — the batch core of [[graft.streaming.StreamingAnnIngest]]): centroids
+    * are trained (sampled + 4 Lloyd passes) on the EVEN-id half of the
+    * corpus only, the odd half is appended by frozen-centroid assignment,
+    * and the union serves queries. The oracle replays centroid training on
+    * the same half and assigns all — gating that append-without-rebuild
+    * produces the exact index a from-scratch assignment against those
+    * centroids would.
+    */
+  def q114IncrementalAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val appended = emb.filter(col("vec_id") % 2 === 1)
+    val (assignedBase, centroids) =
+      graft.operators.Similarity.ivfAssignCells(base, 16, refineIters = 4)
+    val assignedNew = graft.operators.Similarity.ivfAssignWith(appended, centroids)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("embedding"))
+    graft.operators.Similarity.ivfTopKFromIndex(queries,
+      assignedBase.unionByName(assignedNew), centroids, k = 3, nprobe = 4)
+      .withColumn("cosine", round(col("cosine"), 8))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF drift monitor ([[graft.operators.Similarity.ivfCellStats]]) over
+    * the incrementally-maintained index of q114: per-cell occupancy and
+    * mean cosine-to-centroid (DECIMAL-sum mean — order-independent, so
+    * DuckDB commits to the same bits). The signal that tells an operator
+    * when frozen centroids have drifted from the appended mass.
+    */
+  def q115IvfCellStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val appended = emb.filter(col("vec_id") % 2 === 1)
+    val (assignedBase, centroids) =
+      graft.operators.Similarity.ivfAssignCells(base, 16, refineIters = 4)
+    val idx = assignedBase.unionByName(
+      graft.operators.Similarity.ivfAssignWith(appended, centroids))
+    graft.operators.Similarity.ivfCellStats(idx, centroids)
+      .withColumn("mean_cos", round(col("mean_cos"), 8))
+      .orderBy(col("cell_id"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2023,6 +2066,8 @@ object Queries {
     "q110_curation_pipeline" -> (q110CurationPipeline _),
     "q111_incremental_spans" -> (q111IncrementalSpans _),
     "q112_ivfpq_topk" -> (q112IvfPqTopK _),
-    "q113_stats_pruned_read" -> (q113StatsPrunedRead _)
+    "q113_stats_pruned_read" -> (q113StatsPrunedRead _),
+    "q114_incremental_ann" -> (q114IncrementalAnn _),
+    "q115_ivf_cell_stats" -> (q115IvfCellStats _)
   )
 }

@@ -237,6 +237,40 @@ object Similarity {
     (assignToCells(corpus, centroids, idCol, vecCol), centroids)
   }
 
+  /** Assign a NEW batch of vectors to an EXISTING (frozen) centroid table —
+    * the incremental-maintenance half of IVF: an index built once by
+    * [[ivfAssignCells]] absorbs appended corpus batches without recomputing
+    * centroids (no Lloyd pass, no resampling — the serving contract stays
+    * bit-stable while the corpus grows). Same semantics as the bootstrap
+    * assignment: max cosine, ties to the lower cell id, null/zero-norm
+    * vectors drop out. Monitor [[ivfCellStats]] for drift; when appended
+    * mass degrades per-cell cohesion, rebuild with [[ivfAssignCells]].
+    * Row-local per batch row (centroids are literals) — no shuffle at all.
+    */
+  def ivfAssignWith(batch: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignToCells(batch, centroids, idCol, vecCol)
+
+  /** Per-cell occupancy + cohesion of an IVF index — the drift monitor for
+    * incrementally-maintained indexes ([[ivfAssignWith]] /
+    * [[graft.streaming.StreamingAnnIngest]]): `n_vectors` exposes cell
+    * imbalance (one cell absorbing appended mass → probe cost skews),
+    * `mean_cos` exposes cohesion decay (appended vectors far from their
+    * frozen centroid → recall decays; falling mean = rebuild signal).
+    * The mean goes through DECIMAL(30,6) sums — exact, order-independent,
+    * engine-replayable, like every distributed mean here. One scan + one
+    * map-side-combined aggregation on the (small) cell-id key space.
+    */
+  def ivfCellStats(assigned: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assigned.join(broadcast(centroids.select(col("cell_id"), col("__centroid"))),
+        Seq("cell_id"))
+      .withColumn("__cos", cosine(col(vecCol), col("__centroid")))
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).alias("n_vectors"),
+        (sum(col("__cos").cast("decimal(30,6)")).cast("double") /
+          count(col("__cos"))).alias("mean_cos"))
+
   /** Nearest-centroid assignment by cosine (deterministic tie-break: lower
     * cell id; zero-norm/null vectors drop out). The shared step of IVF
     * indexing and Lloyd refinement.

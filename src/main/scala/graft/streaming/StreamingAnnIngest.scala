@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Similarity
+
+/** Streaming ANN index maintenance — the continuous-ingest loop for an IVF
+  * index: bootstrap once ([[Similarity.ivfAssignCells]] — deterministic
+  * sampling + optional Lloyd refinement), then absorb each micro-batch of
+  * new embeddings by assigning it to the FROZEN centroid table
+  * ([[Similarity.ivfAssignWith]] — row-local, no shuffle) and appending the
+  * assignment as a marker-committed delta. Serving
+  * ([[Similarity.ivfTopKFromIndex]]) reads base + committed deltas, so new
+  * vectors become searchable at batch granularity without ever rebuilding
+  * the index.
+  *
+  * Index layout under `indexDir` (the [[MarkerLog]] base+delta protocol,
+  * shared with [[StreamingDedup]] — same crash/replay/compaction
+  * reasoning):
+  * {{{
+  *   indexDir/centroids/               // frozen centroid table (bootstrap)
+  *   indexDir/base/                    // bootstrap corpus assignment
+  *   indexDir/delta-[app-]00000000/    // batch 0's assigned vectors
+  *   indexDir/delta-[app-]00000000.committed
+  * }}}
+  * foreachBatch is at-least-once; a replayed batch finds its marker and
+  * skips, so the index grows EXACTLY-ONCE across restarts (markers keyed
+  * (txnAppId, batchId) — see [[StreamingDedup]]'s restart contract, which
+  * applies verbatim). Exact duplicate rows WITHIN a batch (an overlap
+  * re-read) collapse via distinct; vector ids must otherwise be unique
+  * across the stream — the standard append-only corpus contract.
+  *
+  * Centroids are FROZEN by design: assignment stays bit-stable as the
+  * corpus grows (a Lloyd pass over base+deltas would silently re-cell
+  * already-served vectors). The cost is drift — appended mass may fit the
+  * frozen cells poorly. [[cellStats]] is the monitor: falling `mean_cos`
+  * or a cell absorbing disproportionate `n_vectors` is the rebuild signal
+  * (re-bootstrap with fresh centroids, then replay or re-assign).
+  *
+  * 100 TB shape: per batch, zero shuffles (centroid literals evaluate
+  * row-local) and one small parquet append; serving's only corpus-sized
+  * operation is the cell-id equi-join against probed cells. The delta
+  * population grows by one dir per batch; [[compactIndex]] folds the log
+  * back into a single generation (stream stopped, single-writer).
+  */
+object StreamingAnnIngest {
+  import MarkerLog.{keyedName, validateAppId}
+
+  /** Build the index at `indexDir`: frozen centroids + the bootstrap
+    * corpus assignment (generation-0 base).
+    */
+  def bootstrapIndex(spark: SparkSession, corpus: DataFrame, indexDir: String,
+      cells: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      refineIters: Int = 0): Unit = {
+    val (assigned, centroids) =
+      Similarity.ivfAssignCells(corpus, cells, idCol, vecCol, refineIters)
+    centroids.write.parquet(new Path(indexDir, "centroids").toString)
+    assigned.write.parquet(new Path(indexDir, "base").toString)
+  }
+
+  /** The frozen centroid table written at bootstrap. */
+  def centroids(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(new Path(indexDir, "centroids").toString)
+
+  /** The committed assignment: base generation + unsuperseded committed
+    * deltas (marker-driven listing — see [[MarkerLog.currentPaths]]).
+    */
+  def currentIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(MarkerLog.currentPaths(fs, root, "delta").map(_.toString): _*)
+  }
+
+  /** Ingest the stream to completion (AvailableNow): each batch is
+    * assigned to the frozen centroids and committed as one delta.
+    * Restart-safe via (txnAppId, batchId) markers — re-run with the same
+    * checkpoint and committed batches are skipped.
+    */
+  def runAvailableNow(
+      spark: SparkSession,
+      stream: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      txnAppId: String = ""
+  ): Unit = {
+    validateAppId(txnAppId)
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root, "centroids")) ||
+        !fs.exists(MarkerLog.resolveBase(fs, root)._1))
+      throw new IllegalStateException(
+        s"StreamingAnnIngest: no bootstrap index at $indexDir — call bootstrapIndex first")
+    // loaded ONCE per run, not per batch: the centroid table is frozen and
+    // tiny (it becomes row-local literals inside ivfAssignWith anyway)
+    val cents = centroids(spark, indexDir).localCheckpoint(true)
+    val query = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new Path(root,
+          keyedName("delta", txnAppId, batchId) + ".committed")
+        if (!fs.exists(marker)) { // exactly-once: marker absent → process
+          // distinct absorbs exact duplicate rows from an overlap re-read;
+          // ids are otherwise unique across the stream by contract (two
+          // DIFFERENT vectors under one id are that contract broken, not
+          // data this operator can arbitrate)
+          val rows = batch.select(col(idCol), col(vecCol)).distinct()
+          MarkerLog.commitDir(Similarity.ivfAssignWith(rows, cents, idCol, vecCol),
+            new Path(root, keyedName("delta", txnAppId, batchId)), fs)
+        }
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  /** Serve a query batch from the committed index — base + every delta
+    * ingested so far, probed and scored exactly like the bootstrap-only
+    * index ([[Similarity.ivfTopKFromIndex]]).
+    */
+  def serveTopK(spark: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int, nprobe: Int = 4, queryIdCol: String = "query_id",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.ivfTopKFromIndex(queries, currentIndex(spark, indexDir),
+      centroids(spark, indexDir), k, nprobe, queryIdCol, idCol, vecCol)
+
+  /** Drift monitor over the committed index — see
+    * [[Similarity.ivfCellStats]].
+    */
+  def cellStats(spark: SparkSession, indexDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    Similarity.ivfCellStats(currentIndex(spark, indexDir),
+      centroids(spark, indexDir), idCol, vecCol)
+
+  /** Fold base + committed deltas into a new single generation — the
+    * [[MarkerLog.compact]] protocol (stream stopped, single-writer).
+    */
+  def compactIndex(spark: SparkSession, indexDir: String): Option[String] =
+    MarkerLog.compact(spark, new Path(indexDir), "delta")
+
+  /** Prune folded deltas' replay tombstones for batches the checkpoint has
+    * durably committed past — see [[StreamingDedup.pruneTombstones]].
+    */
+  def pruneTombstones(spark: SparkSession, indexDir: String,
+      upToBatchId: Long, txnAppId: String = ""): Seq[String] =
+    MarkerLog.pruneTombstones(spark, new Path(indexDir), "delta", upToBatchId, txnAppId)
+}

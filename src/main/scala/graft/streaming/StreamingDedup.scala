@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -62,38 +62,15 @@ import graft.operators.Dedup
   * [[graft.sources.PartitionedSink.compact]]).
   */
 object StreamingDedup {
+  import MarkerLog.{appIdOf, keyedName, validateAppId}
 
-  // optional [appId-] segment: markers are keyed (txnAppId, batchId) like
-  // Delta's idempotent txn sinks, so two DIFFERENT streams feeding one
-  // index (each with its own checkpoint, each starting at batchId 0) can
-  // never alias each other's commits
-  private val DeltaMarkerRe = "(delta-(?:[A-Za-z0-9_]+-)?\\d{8,})\\.committed".r
-  private val MatchesMarkerRe = "(matches-(?:[A-Za-z0-9_]+-)?\\d{8,})\\.committed".r
-  private val BaseMarkerRe = "base-(\\d{8,})\\.committed".r
-
-  private def validateAppId(txnAppId: String): Unit =
-    require(txnAppId.isEmpty || txnAppId.matches("[A-Za-z0-9_]+"),
-      s"txnAppId must match [A-Za-z0-9_]+ (marker-name safety), got '$txnAppId'")
-
-  private def keyedName(prefix: String, txnAppId: String, batchId: Long): String =
-    if (txnAppId.isEmpty) f"$prefix-$batchId%08d"
-    else f"$prefix-$txnAppId-$batchId%08d"
-
-  // the ONE grammar for keyed dir names — builder (keyedName) and parser
-  // share it, so a format change cannot silently desynchronize the two
-  private val KeyedNameRe = "(?:delta|matches)-(?:([A-Za-z0-9_]+)-)?(\\d{8,})".r
-
-  /** Batch id of a (possibly app-qualified) delta/matches dir name. */
-  private def batchIdOf(name: String): Long = name match {
-    case KeyedNameRe(_, batch) => batch.toLong
-    case _ => throw new IllegalArgumentException(s"not a keyed dir name: $name")
-  }
-
-  /** App id of a delta/matches dir name ("" for the unqualified form). */
-  private def appIdOf(name: String): String = name match {
-    case KeyedNameRe(app, _) => Option(app).getOrElse("")
-    case _ => throw new IllegalArgumentException(s"not a keyed dir name: $name")
-  }
+  // commit machinery lives in MarkerLog (shared with StreamingAnnIngest) —
+  // markers are keyed (txnAppId, batchId) like Delta's idempotent txn
+  // sinks, so two DIFFERENT streams feeding one index (each with its own
+  // checkpoint, each starting at batchId 0) can never alias each other's
+  // commits
+  private val DeltaMarkerRe = MarkerLog.markerRe("delta")
+  private val MatchesMarkerRe = MarkerLog.markerRe("matches")
 
   /** Materialize the bootstrap corpus index at `indexDir/base`.
     * `numHashes` MUST equal the `bands * rowsPerBand` later passed to
@@ -106,52 +83,14 @@ object StreamingDedup {
     Dedup.signatureIndex(corpus, idCol, textCol, numHashes)
       .write.parquet(new Path(indexDir, "base").toString)
 
-  private def committedDirs(fs: FileSystem, dir: Path, re: scala.util.matching.Regex): Seq[Path] =
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).toSeq.flatMap(s => s.getPath.getName match {
-      case re(d) if s.isFile => Some(new Path(dir, d))
-      case _ => None
-    }).sortBy(_.getName)
-
-  /** Resolve the current base generation and the set of dir names it
-    * superseded: the highest committed `base-<gen>` marker wins (its content
-    * lists every dir folded into it — the previous base and the folded
-    * deltas); no marker means the bootstrap `base` (generation 0, committed
-    * by existence, supersedes nothing).
-    */
-  private def resolveBase(fs: FileSystem, root: Path): (Path, Set[String]) = {
-    val gens =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.flatMap(s => s.getPath.getName match {
-        case BaseMarkerRe(g) if s.isFile => Some(g.toLong)
-        case _ => None
-      })
-    if (gens.isEmpty) (new Path(root, "base"), Set.empty)
-    else {
-      val gen = gens.max
-      val text = graft.sources.CommitProtocol.readFully(fs,
-        new Path(root, f"base-$gen%08d.committed"))
-      (new Path(root, f"base-$gen%08d"),
-        text.split('\n').map(_.trim).filter(_.nonEmpty).toSet)
-    }
-  }
-
   /** The committed index: the current base generation + every delta whose
-    * commit marker exists and that the base has NOT folded in (a compaction
-    * that crashed between marker publish and sweep leaves folded deltas on
-    * disk — the superseded list in the base marker keeps them invisible, so
-    * the index never double-counts). Listing is marker-driven —
-    * uncommitted or partially-written dirs are never read (a glob over the
-    * dir would read them: Spark's hidden-file filter applies to files UNDER
-    * each input path, not to glob-matched directories themselves).
+    * commit marker exists and that the base has NOT folded in — see
+    * [[MarkerLog.currentPaths]] for why listing is marker-driven.
     */
   def currentIndex(spark: SparkSession, indexDir: String): DataFrame = {
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (base, superseded) = resolveBase(fs, root)
-    val paths = base +:
-      committedDirs(fs, root, DeltaMarkerRe).filterNot(p => superseded.contains(p.getName))
-    spark.read.parquet(paths.map(_.toString): _*)
+    spark.read.parquet(MarkerLog.currentPaths(fs, root, "delta").map(_.toString): _*)
   }
 
   /** Fold the current base + committed deltas into a single new
@@ -183,47 +122,8 @@ object StreamingDedup {
     *         (leftover garbage from a crashed prior compaction is still
     *         swept)
     */
-  def compactIndex(spark: SparkSession, indexDir: String): Option[String] = {
-    val root = new Path(indexDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (base, superseded) = resolveBase(fs, root)
-    require(fs.exists(base), s"compactIndex: no committed base at $base")
-    // sweep leftovers of a crashed prior compaction first — their data is
-    // already folded into the current base
-    sweepSupersededData(fs, root, superseded)
-    val live = committedDirs(fs, root, DeltaMarkerRe)
-      .filterNot(p => superseded.contains(p.getName))
-    if (live.isEmpty) return None
-    val gen =
-      if (base.getName == "base") 0L else base.getName.stripPrefix("base-").toLong
-    val newBase = new Path(root, f"base-${gen + 1}%08d")
-    if (fs.exists(newBase) && !fs.delete(newBase, true))
-      throw new java.io.IOException(s"compactIndex: cannot clear stale attempt $newBase")
-    spark.read.parquet((base +: live).map(_.toString): _*)
-      .write.parquet(newBase.toString)
-    // cumulative: prior generations' folds stay superseded forever (their
-    // tombstone markers remain listable), plus the old base and this fold
-    val newSuperseded = (superseded ++ (base.getName +: live.map(_.getName))).toSeq.sorted
-    val marker = new Path(root, newBase.getName + ".committed")
-    if (!graft.sources.CommitProtocol.publishFile(fs, marker,
-        newSuperseded.mkString("", "\n", "\n").getBytes("UTF-8")))
-      throw new java.io.IOException(
-        s"compactIndex: $marker already exists — concurrent compaction? " +
-          "compactIndex is a single-writer op")
-    // DEFERRED sweep: the dirs this generation superseded stay on disk until
-    // the NEXT compaction's start-of-call sweep. A reader that resolved the
-    // previous generation just before the marker published can still finish
-    // its scan — the same reader-retention concern vacuum's minAgeMs
-    // addresses, solved here by giving readers one full compaction interval
-    // (superseded dirs are invisible to every NEW resolveBase immediately).
-    // the old base's marker is NOT a replay tombstone (no batch is keyed by
-    // it) — drop it so resolveBase never sees two generations claiming
-    // different superseded sets
-    val oldBaseMarker = new Path(root, base.getName + ".committed")
-    if (fs.exists(oldBaseMarker) && !fs.delete(oldBaseMarker, false))
-      throw new java.io.IOException(s"compactIndex: cannot delete $oldBaseMarker")
-    Some(newBase.getName)
-  }
+  def compactIndex(spark: SparkSession, indexDir: String): Option[String] =
+    MarkerLog.compact(spark, new Path(indexDir), "delta")
 
   /** Remove folded deltas' replay tombstones for batch ids `<= upToBatchId`.
     *
@@ -243,52 +143,8 @@ object StreamingDedup {
     * @return the pruned marker names
     */
   def pruneTombstones(spark: SparkSession, indexDir: String,
-      upToBatchId: Long, txnAppId: String = ""): Seq[String] = {
-    validateAppId(txnAppId)
-    val root = new Path(indexDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (_, superseded) = resolveBase(fs, root)
-    if (!fs.exists(root)) return Seq.empty
-    // the horizon is PER STREAM (per checkpoint): only the named app's
-    // folded markers are compared against it — another stream's batch 0
-    // may still be replayable even when this stream is far past 0
-    fs.listStatus(root).toSeq.flatMap(s => s.getPath.getName match {
-      case DeltaMarkerRe(d) if s.isFile && superseded.contains(d) &&
-          appIdOf(d) == txnAppId && batchIdOf(d) <= upToBatchId =>
-        if (!fs.delete(s.getPath, false))
-          throw new java.io.IOException(s"pruneTombstones: cannot delete ${s.getPath}")
-        Some(s.getPath.getName)
-      case _ => None
-    })
-  }
-
-  /** Delete superseded DATA dirs only — folded deltas' marker files stay
-    * behind as replay tombstones. Idempotent — missing paths are fine.
-    */
-  private def sweepSupersededData(fs: FileSystem, root: Path, superseded: Set[String]): Unit =
-    superseded.foreach { name =>
-      val dir = new Path(root, name)
-      if (fs.exists(dir) && !fs.delete(dir, true))
-        throw new java.io.IOException(s"compactIndex sweep: cannot delete $dir")
-    }
-
-  /** Idempotent commit of `df` at `dest` with marker `dest.committed`:
-    * marker present → SKIP (keep the committed data); marker absent → any
-    * stale dir is a crashed attempt, deleted and rewritten, then the
-    * marker is created via single-file rename.
-    */
-  private def commitDir(df: DataFrame, dest: Path, fs: FileSystem): Unit = {
-    val marker = new Path(dest.getParent, dest.getName + ".committed")
-    if (fs.exists(marker)) return
-    if (fs.exists(dest) && !fs.delete(dest, true))
-      throw new java.io.IOException(s"StreamingDedup: cannot clear stale attempt $dest")
-    df.write.parquet(dest.toString)
-    // a lost publish race (false) means another writer committed this very
-    // batch — single-writer contract bent, but their data is equivalent
-    // (same deterministic pipeline), so skipping is correct either way
-    graft.sources.CommitProtocol.publishFile(fs, marker, Array.emptyByteArray)
-    ()
-  }
+      upToBatchId: Long, txnAppId: String = ""): Seq[String] =
+    MarkerLog.pruneTombstones(spark, new Path(indexDir), "delta", upToBatchId, txnAppId)
 
   /** Run the ingest stream to completion (AvailableNow) and return the
     * accumulated matches `(new_id, corpus_id, jaccard_est, batch_id)` —
@@ -320,7 +176,7 @@ object StreamingDedup {
     validateAppId(txnAppId)
     val indexRoot = new Path(indexDir)
     val fs = indexRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(resolveBase(fs, indexRoot)._1))
+    if (!fs.exists(MarkerLog.resolveBase(fs, indexRoot)._1))
       throw new IllegalStateException(
         s"StreamingDedup: no bootstrap index at $indexDir — call bootstrapIndex first")
     // fail fast on a signature-length mismatch ANYWHERE in the index: a
@@ -369,11 +225,11 @@ object StreamingDedup {
             .withColumn("batch_id", lit(batchId))
           // matches BEFORE the delta: the delta marker is the batch's commit,
           // so a crash between the two replays into a skip + delta commit
-          commitDir(matches, new Path(matchesDir, keyedName("matches", txnAppId, batchId)), fs)
+          MarkerLog.commitDir(matches, new Path(matchesDir, keyedName("matches", txnAppId, batchId)), fs)
           val newMembers = reps.join(
             idxMatches.select(col("new_id").alias(idCol)).distinct(),
             Seq(idCol), "left_anti")
-          commitDir(Dedup.signatureIndex(newMembers, idCol, textCol, bands * rowsPerBand),
+          MarkerLog.commitDir(Dedup.signatureIndex(newMembers, idCol, textCol, bands * rowsPerBand),
             new Path(indexRoot, keyedName("delta", txnAppId, batchId)), fs)
         }
         ()
@@ -383,7 +239,7 @@ object StreamingDedup {
     // THIS app's matches only: several txnAppIds may share one matchesDir
     // (they already share the index), and batch_id alone collides across
     // apps — returning another stream's rows would double-process them
-    val matchDirs = committedDirs(fs, new Path(matchesDir), MatchesMarkerRe)
+    val matchDirs = MarkerLog.committedDirs(fs, new Path(matchesDir), MatchesMarkerRe)
       .filter(p => appIdOf(p.getName) == txnAppId)
     if (matchDirs.nonEmpty) spark.read.parquet(matchDirs.map(_.toString): _*)
     else {

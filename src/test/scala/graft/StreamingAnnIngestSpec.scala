@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.streaming.StreamingAnnIngest
+
+/** Streaming IVF index maintenance end-to-end: exactly-once delta commits
+  * across a forced restart, serving parity with the equivalent batch
+  * pipeline (bootstrap assignment ∪ frozen-centroid append), crash-window
+  * invisibility of uncommitted deltas, compaction, and the drift monitor.
+  */
+class StreamingAnnIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two clear directions in 3-D so cell structure is stable under any
+  // deterministic centroid election
+  private val corpus = Seq(
+    (1L, Array(1.0, 0.05, 0.0)),
+    (2L, Array(0.9, 0.1, 0.0)),
+    (3L, Array(0.0, 0.1, 1.0)),
+    (4L, Array(0.05, 0.0, 0.95))
+  ).toDF("vec_id", "embedding")
+
+  private val batch0 = Seq(
+    (101L, Array(0.95, 0.02, 0.1)),
+    (101L, Array(0.95, 0.02, 0.1)), // exact duplicate row (overlap re-read)
+    (102L, Array(0.02, 0.05, 0.9)))
+  private val batch1 = Seq(
+    (201L, Array(0.85, 0.2, 0.05)))
+
+  private def ingest(mem: MemoryStream[(Long, Array[Double])],
+      indexDir: String, ckpt: String): Unit =
+    StreamingAnnIngest.runAvailableNow(spark,
+      mem.toDF().toDF("vec_id", "embedding"), indexDir, ckpt)
+
+  test("exactly-once ingest, batch-parity serving, crash window, compaction, drift stats") {
+    val root = Files.createTempDirectory("sann").toString
+    val indexDir = s"$root/index"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StreamingAnnIngest.bootstrapIndex(spark, corpus, indexDir, cells = 2, refineIters = 1)
+    assert(StreamingAnnIngest.currentIndex(spark, indexDir).count() == 4)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Double])]
+    mem.addData(batch0)
+    ingest(mem, indexDir, s"$root/ckpt1")
+    // duplicate row collapsed by distinct, both ids admitted
+    assert(StreamingAnnIngest.currentIndex(spark, indexDir).count() == 6)
+    assert(spark.read.parquet(s"$indexDir/delta-00000000").count() == 2)
+
+    mem.addData(batch1)
+    ingest(mem, indexDir, s"$root/ckpt1")
+    assert(StreamingAnnIngest.currentIndex(spark, indexDir).count() == 7)
+
+    // serving parity with the equivalent batch pipeline: bootstrap
+    // assignment ∪ frozen-centroid append of everything streamed
+    val queries = Seq((1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.0, 0.0, 1.0)))
+      .toDF("query_id", "embedding")
+    val served = StreamingAnnIngest.serveTopK(spark, indexDir, queries, k = 3, nprobe = 1)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val cents = StreamingAnnIngest.centroids(spark, indexDir)
+    // dedup in Spark (structural array equality), mirroring the ingest path —
+    // Scala's .distinct on Array-bearing tuples compares by reference
+    val appended = (batch0 ++ batch1).toDF("vec_id", "embedding").distinct()
+    val batchTwin = Similarity.ivfTopKFromIndex(queries,
+      spark.read.parquet(s"$indexDir/base")
+        .unionByName(Similarity.ivfAssignWith(appended, cents)),
+      cents, k = 3, nprobe = 1)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(served == batchTwin && served.nonEmpty)
+
+    // replay the whole source under a fresh checkpoint: markers skip both
+    // batches, nothing double-appends
+    val mem2 = MemoryStream[(Long, Array[Double])]
+    mem2.addData(batch0)
+    ingest(mem2, indexDir, s"$root/ckpt2")
+    mem2.addData(batch1)
+    ingest(mem2, indexDir, s"$root/ckpt2")
+    assert(StreamingAnnIngest.currentIndex(spark, indexDir).count() == 7)
+
+    // crash window: marker deleted (commit never happened) → the delta dir
+    // is invisible to readers; a replay rewrites and recommits it
+    assert(fs.delete(new Path(indexDir, "delta-00000001.committed"), false))
+    assert(StreamingAnnIngest.currentIndex(spark, indexDir).count() == 6)
+    val mem3 = MemoryStream[(Long, Array[Double])]
+    mem3.addData(batch0)
+    ingest(mem3, indexDir, s"$root/ckpt3")
+    mem3.addData(batch1)
+    ingest(mem3, indexDir, s"$root/ckpt3")
+    assert(StreamingAnnIngest.currentIndex(spark, indexDir).count() == 7)
+
+    // drift monitor: occupancy sums to the index size, cohesion in (0, 1]
+    val stats = StreamingAnnIngest.cellStats(spark, indexDir)
+      .select("cell_id", "n_vectors", "mean_cos").as[(Int, Long, Double)].collect()
+    assert(stats.map(_._2).sum == 7)
+    assert(stats.forall(s => s._3 > 0.0 && s._3 <= 1.0))
+
+    // compaction folds base + deltas into one generation; serving unchanged
+    assert(StreamingAnnIngest.compactIndex(spark, indexDir).contains("base-00000001"))
+    assert(StreamingAnnIngest.currentIndex(spark, indexDir).count() == 7)
+    val servedAfter = StreamingAnnIngest.serveTopK(spark, indexDir, queries, k = 3, nprobe = 1)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(servedAfter == served)
+  }
+
+  test("runAvailableNow without a bootstrap index fails fast") {
+    val root = Files.createTempDirectory("sann2").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Double])]
+    mem.addData(batch0)
+    val e = intercept[IllegalStateException] {
+      ingest(mem, s"$root/missing", s"$root/ckpt")
+    }
+    assert(e.getMessage.contains("bootstrapIndex"))
+  }
+}
