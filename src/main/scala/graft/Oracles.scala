@@ -2080,6 +2080,33 @@ object Oracles {
          |ORDER BY cell_id""".stripMargin
     },
 
+    // Incremental rollup (q116) / additive rollup (q117): the oracle
+    // aggregates the FINAL source state (v1 = %4!=2 survivors with %4==1
+    // prices doubled) from scratch; the Spark side reaches it by
+    // incremental refresh off the change feed.
+    "q116_incremental_rollup" ->
+      """WITH cur AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 4 = 1 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 4 <> 2)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(p AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  max(p) AS max_price
+        |FROM cur GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q117_additive_rollup" ->
+      """WITH cur AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 4 = 1 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 4 <> 2)
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(p AS DECIMAL(30,6))) AS DOUBLE) AS sum_o_totalprice
+        |FROM cur GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     "q94_ivf_serve" ->
       s"""$ivfRefinedCandsCte,
          |ranked AS (

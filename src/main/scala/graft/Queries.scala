@@ -1949,6 +1949,64 @@ object Queries {
       .orderBy(col("cell_id"))
   }
 
+  /** Incremental materialized rollup
+    * ([[graft.operators.IncrementalRollup.refresh]]): an aggregate table
+    * over a churning snapshot source (inserts + price updates + deletes
+    * between versions) maintained by touched-group recompute off the
+    * change feed — never a full rebuild. `max_price` is the non-algebraic
+    * witness: a delete can shrink it, which no delta arithmetic can
+    * produce. The oracle aggregates the final source state from scratch —
+    * the hash match gates that incremental == full.
+    */
+  def q116IncrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q116").toString
+    val (src, roll) = (s"$root/src", s"$root/rollup")
+    // v0 → v1 churn: %4==3 rows are inserts, %4==2 rows are deletes,
+    // %4==1 rows double their price (updates)
+    val v0 = orders.filter(col("o_orderkey") % 4 =!= 3)
+    val v1 = orders.filter(col("o_orderkey") % 4 =!= 2)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 4 === 1, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+    val aggs = Seq(
+      count(lit(1)).alias("n"),
+      sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("sum_price"),
+      max(col("o_totalprice")).alias("max_price"))
+    graft.sources.SnapshotManifest.commit(spark, src, v0)
+    graft.operators.IncrementalRollup.refresh(spark, src, roll,
+      Seq("o_orderkey"), Seq("o_orderstatus"), aggs)
+    graft.sources.SnapshotManifest.commit(spark, src, v1)
+    graft.operators.IncrementalRollup.refresh(spark, src, roll,
+      Seq("o_orderkey"), Seq("o_orderstatus"), aggs)
+    graft.operators.IncrementalRollup.read(spark, roll).orderBy(col("o_orderstatus"))
+  }
+
+  /** Additive rollup fast path
+    * ([[graft.operators.IncrementalRollup.refreshAdditive]]): the same
+    * churn as q116 absorbed as signed DECIMAL deltas off the change feed —
+    * the source is never rescanned after the initial build. Same
+    * from-scratch oracle shape: delta arithmetic must land on the exact
+    * bits a full aggregation produces.
+    */
+  def q117AdditiveRollup(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q117").toString
+    val (src, roll) = (s"$root/src", s"$root/rollup")
+    val v0 = orders.filter(col("o_orderkey") % 4 =!= 3)
+    val v1 = orders.filter(col("o_orderkey") % 4 =!= 2)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 4 === 1, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+    graft.sources.SnapshotManifest.commit(spark, src, v0)
+    graft.operators.IncrementalRollup.refreshAdditive(spark, src, roll,
+      Seq("o_orderkey"), Seq("o_orderstatus"), Seq("o_totalprice"))
+    graft.sources.SnapshotManifest.commit(spark, src, v1)
+    graft.operators.IncrementalRollup.refreshAdditive(spark, src, roll,
+      Seq("o_orderkey"), Seq("o_orderstatus"), Seq("o_totalprice"))
+    graft.operators.IncrementalRollup.read(spark, roll).orderBy(col("o_orderstatus"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2068,6 +2126,8 @@ object Queries {
     "q112_ivfpq_topk" -> (q112IvfPqTopK _),
     "q113_stats_pruned_read" -> (q113StatsPrunedRead _),
     "q114_incremental_ann" -> (q114IncrementalAnn _),
-    "q115_ivf_cell_stats" -> (q115IvfCellStats _)
+    "q115_ivf_cell_stats" -> (q115IvfCellStats _),
+    "q116_incremental_rollup" -> (q116IncrementalRollup _),
+    "q117_additive_rollup" -> (q117AdditiveRollup _)
   )
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotManifest
+
+/** Incremental materialized-rollup maintenance over [[SnapshotManifest]]
+  * tables — the warehouse pattern behind every "aggregate table refreshed
+  * after each load" job in the reference (its nightly pandas rebuilds,
+  * e.g. `sql_utils.py:60-78`'s aggregate loads), re-expressed so the
+  * refresh cost tracks the CHURN, not the table:
+  *
+  *   - the rollup is itself a snapshot table: `groupKeys ++ agg columns ++
+  *     __src_version` (the source version the row set reflects — riding in
+  *     the table keeps refresh state transactional with the data: a crash
+  *     between "compute" and "commit" leaves the previous generation fully
+  *     current, and there is no side-channel state file to desync)
+  *   - [[refresh]] diffs the source between the last-reflected and current
+  *     versions ([[SnapshotManifest.changesBetween]] — file-level pruned,
+  *     reads only churned files), finds the TOUCHED groups (any group a
+  *     feed row's pre- or post-image lands in), recomputes ONLY those
+  *     groups from the current snapshot, and stitches them onto the
+  *     untouched rollup rows. ANY aggregate works — min/max/distinct/
+  *     percentile — because touched groups recompute from source truth;
+  *     a group whose rows all vanished drops out naturally.
+  *   - [[refreshAdditive]] is the zero-source-scan fast path for purely
+  *     additive aggregates (SUM/COUNT): feed rows apply as signed deltas
+  *     (insert/post-image +, delete/pre-image −), so the refresh never
+  *     touches the source table at all — the 100 TB lever when the rollup
+  *     is sums over a churning fact table.
+  *
+  * 100 TB shape: changesBetween scans only files unique to one manifest
+  * side; the touched-group recompute is a semi-join (broadcastable — the
+  * touched-key set is churn-sized) + one partial-final aggregation; the
+  * rollup rewrite is |groups|-sized, orders of magnitude under the fact
+  * table. Refreshes are idempotent: re-running against the same source
+  * version is a no-op (version equality short-circuits before any scan).
+  */
+object IncrementalRollup {
+
+  private val VersionCol = "__src_version"
+
+  /** The current rollup contents (without bookkeeping columns). */
+  def read(spark: SparkSession, rollupRoot: String): DataFrame =
+    SnapshotManifest.read(spark, rollupRoot).drop(VersionCol)
+
+  /** Source version the rollup currently reflects, if it exists. */
+  def reflectedVersion(spark: SparkSession, rollupRoot: String): Option[Long] =
+    SnapshotManifest.currentVersion(spark, rollupRoot).map { _ =>
+      SnapshotManifest.read(spark, rollupRoot)
+        .select(max(col(VersionCol))).head.getLong(0)
+    }
+
+  /** Bring the rollup at `rollupRoot` up to date with the source snapshot
+    * table at `sourceRoot`.
+    *
+    * @param sourcePk  row identity of the SOURCE table (changesBetween's
+    *                  contract: each snapshot is pk-unique)
+    * @param groupKeys rollup grouping columns
+    * @param aggs      aliased aggregate columns (e.g. `sum($"x").as("sum_x")`)
+    *                  — applied identically on full build and touched-group
+    *                  recompute, so any deterministic aggregate is legal
+    * @return the committed rollup version (current version when already
+    *         up to date)
+    */
+  def refresh(spark: SparkSession, sourceRoot: String, rollupRoot: String,
+      sourcePk: Seq[String], groupKeys: Seq[String], aggs: Seq[Column]): Long = {
+    require(groupKeys.nonEmpty, "refresh: groupKeys must name at least one column")
+    require(aggs.nonEmpty, "refresh: aggs must name at least one aggregate")
+    val srcV = SnapshotManifest.currentVersion(spark, sourceRoot).getOrElse(
+      throw new IllegalStateException(s"refresh: no committed source snapshot under $sourceRoot"))
+    def aggregate(rows: DataFrame): DataFrame =
+      rows.groupBy(groupKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    reflectedVersion(spark, rollupRoot) match {
+      case None =>
+        SnapshotManifest.commit(spark, rollupRoot,
+          aggregate(SnapshotManifest.read(spark, sourceRoot))
+            .withColumn(VersionCol, lit(srcV)))
+      case Some(lastV) if lastV == srcV =>
+        SnapshotManifest.currentVersion(spark, rollupRoot).get // already current
+      case Some(lastV) =>
+        val feed = SnapshotManifest.changesBetween(spark, sourceRoot, lastV, srcV, sourcePk)
+        // any group a change row's pre- OR post-image lands in is stale: a
+        // row moving between groups invalidates both
+        val touched = feed.select(groupKeys.map(col): _*).distinct()
+        val source = SnapshotManifest.readVersion(spark, sourceRoot, srcV)
+        val keyCond = (l: String, r: String) =>
+          groupKeys.map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
+        // churn-sized key set: broadcast both the semi (source side) and the
+        // anti (rollup side) so neither big table shuffles for membership
+        val recomputed = aggregate(
+          source.alias("s").join(broadcast(touched.alias("t")), keyCond("s", "t"), "left_semi"))
+        val untouched = SnapshotManifest.read(spark, rollupRoot).drop(VersionCol)
+          .alias("r").join(broadcast(touched.alias("t")), keyCond("r", "t"), "left_anti")
+        SnapshotManifest.commit(spark, rollupRoot,
+          untouched.unionByName(recomputed).withColumn(VersionCol, lit(srcV)))
+    }
+  }
+
+  /** Additive-only refresh: maintain `sum_<m>` per measure plus `n_rows`,
+    * applying the change feed as signed deltas — the source table itself is
+    * NEVER scanned after the initial build. Sums ride DECIMAL(30,6) (exact,
+    * order-independent — a delta stream must not accumulate float error) and
+    * surface as doubles. Groups whose row count reaches zero drop out.
+    * Null measures contribute nothing to their sum (SQL SUM semantics) but
+    * do count toward `n_rows`.
+    */
+  def refreshAdditive(spark: SparkSession, sourceRoot: String, rollupRoot: String,
+      sourcePk: Seq[String], groupKeys: Seq[String], measures: Seq[String]): Long = {
+    require(groupKeys.nonEmpty, "refreshAdditive: groupKeys must name at least one column")
+    val srcV = SnapshotManifest.currentVersion(spark, sourceRoot).getOrElse(
+      throw new IllegalStateException(
+        s"refreshAdditive: no committed source snapshot under $sourceRoot"))
+    def sums(rows: DataFrame, sign: Column, rowWeight: Column): DataFrame =
+      rows.groupBy(groupKeys.map(col): _*).agg(
+        sum(rowWeight).alias("n_rows"),
+        measures.map(m =>
+          sum(when(col(m).isNotNull, sign * col(m).cast("decimal(30,6)"))
+            .otherwise(lit(null))).alias(s"__d_$m")): _*)
+    def finish(df: DataFrame): DataFrame =
+      df.select(groupKeys.map(col) ++ (col("n_rows") +:
+        measures.map(m => col(s"__d_$m").cast("double").alias(s"sum_$m"))): _*)
+    reflectedVersion(spark, rollupRoot) match {
+      case None =>
+        SnapshotManifest.commit(spark, rollupRoot,
+          finish(sums(SnapshotManifest.read(spark, sourceRoot), lit(1), lit(1L)))
+            .withColumn(VersionCol, lit(srcV)))
+      case Some(lastV) if lastV == srcV =>
+        SnapshotManifest.currentVersion(spark, rollupRoot).get
+      case Some(lastV) =>
+        val feed = SnapshotManifest.changesBetween(spark, sourceRoot, lastV, srcV, sourcePk)
+        val signed = feed.withColumn("__sign",
+          when(col("_change").isin("insert", "update_postimage"), lit(1))
+            .otherwise(lit(-1)))
+        val delta = sums(signed, col("__sign"), col("__sign").cast("long"))
+        val rollup = SnapshotManifest.read(spark, rollupRoot).drop(VersionCol)
+        val keyCond = groupKeys.map(k => col(s"r.$k") <=> col(s"d.$k")).reduce(_ && _)
+        // full outer: new groups appear (rollup side absent), dead groups
+        // drop (count reaches 0), existing groups add their delta. Sums
+        // re-enter DECIMAL for the addition — the doubles they surface as
+        // are exact images of 6-dp decimals, so the round-trip is lossless.
+        val merged = rollup.alias("r").join(delta.alias("d"), keyCond, "full_outer")
+          .select(groupKeys.map(k => coalesce(col(s"r.$k"), col(s"d.$k")).alias(k)) ++
+            ((coalesce(col("r.n_rows"), lit(0L)) + coalesce(col("d.n_rows"), lit(0L)))
+              .alias("n_rows") +:
+              measures.map(m =>
+                when(coalesce(col(s"r.sum_$m"), col(s"d.__d_$m").cast("double")).isNull, lit(null))
+                  .otherwise(
+                    (coalesce(col(s"r.sum_$m").cast("decimal(30,6)"), lit(0).cast("decimal(30,6)")) +
+                      coalesce(col(s"d.__d_$m"), lit(0).cast("decimal(30,6)")))
+                      .cast("double")).alias(s"sum_$m"))): _*)
+          .filter(col("n_rows") > 0)
+        SnapshotManifest.commit(spark, rollupRoot,
+          merged.withColumn(VersionCol, lit(srcV)))
+    }
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.IncrementalRollup
+import graft.sources.SnapshotManifest
+
+/** Incremental rollup maintenance: a touched-group refresh (any aggregate,
+  * deletes and group moves included) and the additive delta-only path must
+  * both converge to exactly what a from-scratch aggregation of the current
+  * snapshot produces.
+  */
+class IncrementalRollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def v0 = Seq(
+    (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0),
+    (4L, "b", 7.0), (5L, "c", 100.0), (6L, null.asInstanceOf[String], 1.0)
+  ).toDF("id", "grp", "x")
+
+  // vs v0: insert 7 (new group d), update 2 (price change), update 3
+  // (MOVES b → a), delete 5 (group c vanishes entirely), null-key group
+  // gains a row
+  private def v1 = Seq(
+    (1L, "a", 10.0), (2L, "a", 25.0), (3L, "a", 5.0),
+    (4L, "b", 7.0), (6L, null.asInstanceOf[String], 1.0),
+    (7L, "d", 50.0), (8L, null.asInstanceOf[String], 2.0)
+  ).toDF("id", "grp", "x")
+
+  private def fullAgg(df: DataFrame): Set[(String, Long, Double, Double)] =
+    df.groupBy($"grp").agg(
+      count(lit(1)).alias("n"),
+      sum($"x".cast("decimal(30,6)")).cast("double").alias("sum_x"),
+      max($"x").alias("max_x"))
+      .as[(String, Long, Double, Double)].collect().toSet
+
+  test("touched-group refresh matches from-scratch aggregation across churn") {
+    val root = Files.createTempDirectory("irollup").toString
+    val (src, roll) = (s"$root/src", s"$root/rollup")
+    val aggs = Seq(
+      count(lit(1)).alias("n"),
+      sum($"x".cast("decimal(30,6)")).cast("double").alias("sum_x"),
+      max($"x").alias("max_x"))
+
+    SnapshotManifest.commit(spark, src, v0)
+    IncrementalRollup.refresh(spark, src, roll, Seq("id"), Seq("grp"), aggs)
+    assert(IncrementalRollup.read(spark, roll)
+      .as[(String, Long, Double, Double)].collect().toSet == fullAgg(v0))
+    assert(IncrementalRollup.reflectedVersion(spark, roll).contains(0L))
+
+    // refresh against an unchanged source is a no-op (no new commit)
+    val rv = SnapshotManifest.currentVersion(spark, roll).get
+    assert(IncrementalRollup.refresh(spark, src, roll, Seq("id"), Seq("grp"), aggs) == rv)
+    assert(SnapshotManifest.currentVersion(spark, roll).contains(rv))
+
+    SnapshotManifest.commit(spark, src, v1)
+    IncrementalRollup.refresh(spark, src, roll, Seq("id"), Seq("grp"), aggs)
+    // deletes shrink max_x (non-algebraic), moved row counts once in its
+    // new group, vanished group c is gone, null group is a real group
+    assert(IncrementalRollup.read(spark, roll)
+      .as[(String, Long, Double, Double)].collect().toSet == fullAgg(v1))
+    assert(IncrementalRollup.reflectedVersion(spark, roll).contains(1L))
+  }
+
+  test("additive refresh applies the change feed as signed deltas, never rescanning the source") {
+    val root = Files.createTempDirectory("irollup2").toString
+    val (src, roll) = (s"$root/src", s"$root/rollup")
+    def expected(df: DataFrame) = df.groupBy($"grp").agg(
+      count(lit(1)).alias("n_rows"),
+      sum($"x".cast("decimal(30,6)")).cast("double").alias("sum_x"))
+      .as[(String, Long, Double)].collect().toSet
+
+    SnapshotManifest.commit(spark, src, v0)
+    IncrementalRollup.refreshAdditive(spark, src, roll, Seq("id"), Seq("grp"), Seq("x"))
+    assert(IncrementalRollup.read(spark, roll)
+      .as[(String, Long, Double)].collect().toSet == expected(v0))
+
+    SnapshotManifest.commit(spark, src, v1)
+    IncrementalRollup.refreshAdditive(spark, src, roll, Seq("id"), Seq("grp"), Seq("x"))
+    assert(IncrementalRollup.read(spark, roll)
+      .as[(String, Long, Double)].collect().toSet == expected(v1))
+    assert(IncrementalRollup.reflectedVersion(spark, roll).contains(1L))
+  }
+
+  test("refresh without a committed source fails fast") {
+    val root = Files.createTempDirectory("irollup3").toString
+    val e = intercept[IllegalStateException] {
+      IncrementalRollup.refresh(spark, s"$root/missing", s"$root/rollup",
+        Seq("id"), Seq("grp"), Seq(count(lit(1)).alias("n")))
+    }
+    assert(e.getMessage.contains("no committed source snapshot"))
+  }
+}
