@@ -1962,10 +1962,13 @@ object Queries {
     val orders = t(spark, dir, "orders")
     val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q116").toString
     val (src, roll) = (s"$root/src", s"$root/rollup")
+    // only the churn-relevant columns enter the snapshot table: at scale
+    // the source is the curated fact table, not a full-width staging copy
+    val base = orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     // v0 → v1 churn: %4==3 rows are inserts, %4==2 rows are deletes,
     // %4==1 rows double their price (updates)
-    val v0 = orders.filter(col("o_orderkey") % 4 =!= 3)
-    val v1 = orders.filter(col("o_orderkey") % 4 =!= 2)
+    val v0 = base.filter(col("o_orderkey") % 4 =!= 3)
+    val v1 = base.filter(col("o_orderkey") % 4 =!= 2)
       .withColumn("o_totalprice",
         when(col("o_orderkey") % 4 === 1, col("o_totalprice") * 2)
           .otherwise(col("o_totalprice")))
@@ -1993,8 +1996,9 @@ object Queries {
     val orders = t(spark, dir, "orders")
     val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q117").toString
     val (src, roll) = (s"$root/src", s"$root/rollup")
-    val v0 = orders.filter(col("o_orderkey") % 4 =!= 3)
-    val v1 = orders.filter(col("o_orderkey") % 4 =!= 2)
+    val base = orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val v0 = base.filter(col("o_orderkey") % 4 =!= 3)
+    val v1 = base.filter(col("o_orderkey") % 4 =!= 2)
       .withColumn("o_totalprice",
         when(col("o_orderkey") % 4 === 1, col("o_totalprice") * 2)
           .otherwise(col("o_totalprice")))

@@ -45,11 +45,18 @@ object IncrementalRollup {
   def read(spark: SparkSession, rollupRoot: String): DataFrame =
     SnapshotManifest.read(spark, rollupRoot).drop(VersionCol)
 
-  /** Source version the rollup currently reflects, if it exists. */
+  /** Source version the rollup currently reflects, if it is known. Every
+    * committed row carries the same stamp, so ONE row answers (no full
+    * scan). None when the rollup doesn't exist OR is empty (an empty
+    * source at build time leaves no row to carry the stamp) — both fall
+    * back to the full-build path, which is correct and idempotent either
+    * way.
+    */
   def reflectedVersion(spark: SparkSession, rollupRoot: String): Option[Long] =
-    SnapshotManifest.currentVersion(spark, rollupRoot).map { _ =>
+    SnapshotManifest.currentVersion(spark, rollupRoot).flatMap { _ =>
       SnapshotManifest.read(spark, rollupRoot)
-        .select(max(col(VersionCol))).head.getLong(0)
+        .select(col(VersionCol)).limit(1).collect()
+        .headOption.map(_.getLong(0))
     }
 
   /** Bring the rollup at `rollupRoot` up to date with the source snapshot
@@ -80,22 +87,34 @@ object IncrementalRollup {
       case Some(lastV) if lastV == srcV =>
         SnapshotManifest.currentVersion(spark, rollupRoot).get // already current
       case Some(lastV) =>
-        val feed = SnapshotManifest.changesBetween(spark, sourceRoot, lastV, srcV, sourcePk)
-        // any group a change row's pre- OR post-image lands in is stale: a
-        // row moving between groups invalidates both
-        val touched = feed.select(groupKeys.map(col): _*).distinct()
-        val source = SnapshotManifest.readVersion(spark, sourceRoot, srcV)
-        val keyCond = (l: String, r: String) =>
-          groupKeys.map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
-        // churn-sized key set: broadcast both the semi (source side) and the
-        // anti (rollup side) so neither big table shuffles for membership
-        val recomputed = aggregate(
-          source.alias("s").join(broadcast(touched.alias("t")), keyCond("s", "t"), "left_semi"))
-        val untouched = SnapshotManifest.read(spark, rollupRoot).drop(VersionCol)
-          .alias("r").join(broadcast(touched.alias("t")), keyCond("r", "t"), "left_anti")
         SnapshotManifest.commit(spark, rollupRoot,
-          untouched.unionByName(recomputed).withColumn(VersionCol, lit(srcV)))
+          incrementalMerge(spark, sourceRoot, rollupRoot, sourcePk, groupKeys,
+            aggs, lastV, srcV).withColumn(VersionCol, lit(srcV)))
     }
+  }
+
+  /** The incremental-refresh frame [[refresh]] commits (exposed for plan
+    * assertions): untouched rollup rows stitched onto recomputed touched
+    * groups.
+    */
+  private[graft] def incrementalMerge(spark: SparkSession, sourceRoot: String,
+      rollupRoot: String, sourcePk: Seq[String], groupKeys: Seq[String],
+      aggs: Seq[Column], lastV: Long, srcV: Long): DataFrame = {
+    val feed = SnapshotManifest.changesBetween(spark, sourceRoot, lastV, srcV, sourcePk)
+    // any group a change row's pre- OR post-image lands in is stale: a
+    // row moving between groups invalidates both
+    val touched = feed.select(groupKeys.map(col): _*).distinct()
+    val source = SnapshotManifest.readVersion(spark, sourceRoot, srcV)
+    val keyCond = (l: String, r: String) =>
+      groupKeys.map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
+    // churn-sized key set: broadcast both the semi (source side) and the
+    // anti (rollup side) so neither big table shuffles for membership
+    val recomputed = source.alias("s")
+      .join(broadcast(touched.alias("t")), keyCond("s", "t"), "left_semi")
+      .groupBy(groupKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val untouched = SnapshotManifest.read(spark, rollupRoot).drop(VersionCol)
+      .alias("r").join(broadcast(touched.alias("t")), keyCond("r", "t"), "left_anti")
+    untouched.unionByName(recomputed)
   }
 
   /** Additive-only refresh: maintain `sum_<m>` per measure plus `n_rows`,

@@ -94,6 +94,42 @@ class EndToEndSpec extends SparkSpec {
     assert(fin.columns.contains("text"))
   }
 
+  test("embedding flow: keyset-fed stream → ANN ingest → serve → compact") {
+    import graft.streaming.StreamingAnnIngest
+    val root = java.nio.file.Files.createTempDirectory("e2e_ann").toString
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)),
+      (3L, Array(0.9, 0.1)), (4L, Array(0.1, 0.9))
+    ).toDF("vec_id", "embedding")
+    StreamingAnnIngest.bootstrapIndex(spark, corpus, s"$root/index",
+      cells = 2, refineIters = 1)
+
+    // new embeddings arrive through the DSv2 keyset source (the REST-cursor
+    // stand-in) — the same source contract the document crawl uses
+    val pages = java.nio.file.Files.createTempDirectory("e2e_ann_pages")
+    java.nio.file.Files.writeString(pages.resolve("page_00.json"),
+      """{"vec_id":10,"lastModifiedAt":"2024-03-01T00:00:00","embedding":[0.95,0.05]}
+        |{"vec_id":11,"lastModifiedAt":"2024-03-01T00:00:01","embedding":[0.05,0.95]}
+        |""".stripMargin)
+    val stream = spark.readStream.format("graft-keyset")
+      .option("path", pages.toString).option("sortField", "lastModifiedAt").load()
+      .select(col("vec_id"), col("embedding"))
+    StreamingAnnIngest.runAvailableNow(spark, stream, s"$root/index", s"$root/ckpt")
+    assert(StreamingAnnIngest.currentIndex(spark, s"$root/index").count() == 6)
+
+    // the freshly streamed vector is immediately servable
+    val queries = Seq((100L, Array(1.0, 0.0))).toDF("query_id", "embedding")
+    def top2 = StreamingAnnIngest.serveTopK(spark, s"$root/index", queries,
+      k = 2, nprobe = 1)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSet
+    assert(top2 == Set((1, 1L), (2, 10L)))
+
+    // maintenance folds the delta log; serving is unchanged
+    assert(StreamingAnnIngest.compactIndex(spark, s"$root/index")
+      .contains("base-00000001"))
+    assert(top2 == Set((1, 1L), (2, 10L)))
+  }
+
   test("keyset → normalize → merge → alert gate → sink → audit") {
     val pagesDir = "/root/repo/src/test/resources/json/pages"
 

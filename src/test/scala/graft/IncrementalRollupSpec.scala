@@ -83,6 +83,23 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(IncrementalRollup.reflectedVersion(spark, roll).contains(1L))
   }
 
+  test("empty initial source: the stamp-less rollup falls back to a full build once data arrives") {
+    val root = Files.createTempDirectory("irollup4").toString
+    val (src, roll) = (s"$root/src", s"$root/rollup")
+    val aggs = Seq(count(lit(1)).alias("n"),
+      sum($"x".cast("decimal(30,6)")).cast("double").alias("sum_x"),
+      max($"x").alias("max_x"))
+    SnapshotManifest.commit(spark, src, v0.limit(0))
+    IncrementalRollup.refresh(spark, src, roll, Seq("id"), Seq("grp"), aggs)
+    assert(IncrementalRollup.read(spark, roll).count() == 0)
+    assert(IncrementalRollup.reflectedVersion(spark, roll).isEmpty) // no row carries the stamp
+    SnapshotManifest.commit(spark, src, v1)
+    IncrementalRollup.refresh(spark, src, roll, Seq("id"), Seq("grp"), aggs)
+    assert(IncrementalRollup.read(spark, roll)
+      .as[(String, Long, Double, Double)].collect().toSet == fullAgg(v1))
+    assert(IncrementalRollup.reflectedVersion(spark, roll).contains(1L))
+  }
+
   test("refresh without a committed source fails fast") {
     val root = Files.createTempDirectory("irollup3").toString
     val e = intercept[IllegalStateException] {

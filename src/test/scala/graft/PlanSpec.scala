@@ -268,6 +268,42 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"chunking should only exchange for the final sort:\n$plan")
   }
 
+  test("incremental rollup refresh: membership joins broadcast, never sort-merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("planroll").toString
+    val (src, roll) = (s"$root/src", s"$root/roll")
+    val aggs = Seq(count(lit(1)).alias("n"),
+      sum($"x".cast("decimal(30,6)")).cast("double").alias("sum_x"))
+    graft.sources.SnapshotManifest.commit(spark, src,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "grp", "x"))
+    graft.operators.IncrementalRollup.refresh(spark, src, roll, Seq("id"), Seq("grp"), aggs)
+    graft.sources.SnapshotManifest.commit(spark, src,
+      Seq((1L, "a", 1.0), (2L, "b", 3.0), (3L, "c", 4.0)).toDF("id", "grp", "x"))
+    val plan = planOf(graft.operators.IncrementalRollup.incrementalMerge(
+      spark, src, roll, Seq("id"), Seq("grp"), aggs, 0L, 1L))
+    // the churn-sized touched-key set is the broadcast side of BOTH
+    // membership joins — the source and the rollup must never shuffle or
+    // sort-merge just to learn which of their groups are stale
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")), plan)
+    // the only sort-merge allowed is changesBetween's FullOuter pk diff
+    // (full-outer has no broadcast form; its inputs are churned files, not
+    // the table) — membership must never fall back to it
+    assert(!plan.linesIterator.exists(l => l.contains("SortMergeJoin") &&
+      (l.contains("LeftSemi") || l.contains("LeftAnti"))), plan)
+  }
+
+  test("ANN frozen-centroid append is row-local: zero exchanges in the assignment plan") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val (_, cents) = graft.operators.Similarity.ivfAssignCells(emb, 8)
+    val plan = planOf(graft.operators.Similarity.ivfAssignWith(emb, cents))
+    assert(!plan.contains("Exchange"),
+      s"frozen-centroid assignment should not shuffle:\n$plan")
+  }
+
   test("with extensions: q10's row_number window rewrites to the topk aggregate") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
