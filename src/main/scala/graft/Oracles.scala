@@ -2107,6 +2107,45 @@ object Oracles {
         |FROM cur GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Fuzzy record linkage (q118): blocking (canonical prefix + reversed
+    // prefix), cross-pass pair dedup, normalized levenshtein, threshold —
+    // the full FuzzyMatch pipeline replayed. The length-difference
+    // prefilter is implied by the threshold (distance >= |len diff|) and
+    // needs no mirror.
+    "q118_fuzzy_match" ->
+      """WITH base AS (
+        |  SELECT p_partkey,
+        |    concat(p_name, ' ', substr(md5(CAST(p_partkey AS VARCHAR)), 1, 8)) AS name
+        |  FROM part WHERE p_partkey < 2000),
+        |all_names AS (
+        |  SELECT p_partkey AS id, name FROM base
+        |  UNION ALL
+        |  SELECT p_partkey + 10000000 AS id,
+        |    concat(substr(name, 1, 5), substr(name, 7)) AS name
+        |  FROM base WHERE p_partkey % 5 = 2),
+        |canon AS (
+        |  SELECT id, regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS c
+        |  FROM all_names
+        |  WHERE length(regexp_replace(lower(name), '[^a-z0-9]', '', 'g')) > 0),
+        |keys AS (
+        |  SELECT id, c, concat('p|', substr(c, 1, 4)) AS k FROM canon
+        |  UNION ALL
+        |  SELECT id, c, concat('s|', substr(reverse(c), 1, 4)) AS k FROM canon),
+        |blocks AS (SELECT k FROM keys GROUP BY k HAVING count(*) BETWEEN 2 AND 100000),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.c AS ca, b.c AS cb
+        |  FROM keys a JOIN keys b ON a.k = b.k AND a.id < b.id
+        |  JOIN blocks bl ON bl.k = a.k),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    CASE WHEN length(ca) = 0 AND length(cb) = 0 THEN 1.0
+        |         ELSE 1.0 - CAST(levenshtein(ca, cb) AS DOUBLE)
+        |              / greatest(length(ca), length(cb)) END AS similarity
+        |  FROM pairs)
+        |SELECT id_a, id_b, round(similarity, 8) AS similarity
+        |FROM scored WHERE similarity >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q94_ivf_serve" ->
       s"""$ivfRefinedCandsCte,
          |ranked AS (

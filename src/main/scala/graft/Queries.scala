@@ -2011,6 +2011,33 @@ object Queries {
     graft.operators.IncrementalRollup.read(spark, roll).orderBy(col("o_orderstatus"))
   }
 
+  /** Fuzzy record linkage ([[graft.operators.FuzzyMatch.fuzzyDuplicates]]):
+    * a deterministically-dirtied twin of the part-name table (every
+    * `%5==2` name loses its 6th character) matched back against the clean
+    * names — prefix+suffix blocking, canonical levenshtein similarity,
+    * threshold 0.8. The oracle replays blocking, pairing, and scoring
+    * verbatim; organically-similar part names that clear the threshold
+    * count too, on both sides.
+    */
+  def q118FuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    // the fixture's p_name pool is tiny (64 distinct values), so a
+    // deterministic md5 tail gives every entity a distinguishable name —
+    // the same engine-portable hash every dedup query uses
+    val part = t(spark, dir, "part").filter(col("p_partkey") < 2000)
+      .select(col("p_partkey"),
+        concat(col("p_name"), lit(" "),
+          substring(md5(col("p_partkey").cast("string")), 1, 8)).alias("name"))
+    val clean = part.select(col("p_partkey").alias("id"), col("name"))
+    val dirty = part.filter(col("p_partkey") % 5 === 2)
+      .select((col("p_partkey") + 10000000L).alias("id"),
+        concat(substring(col("name"), 1, 5), substring(col("name"), 7, 100000))
+          .alias("name"))
+    graft.operators.FuzzyMatch.fuzzyDuplicates(clean.unionByName(dirty),
+      "id", "name", threshold = 0.9, maxBlockSize = 100000)
+      .withColumn("similarity", round(col("similarity"), 8))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2132,6 +2159,7 @@ object Queries {
     "q114_incremental_ann" -> (q114IncrementalAnn _),
     "q115_ivf_cell_stats" -> (q115IvfCellStats _),
     "q116_incremental_rollup" -> (q116IncrementalRollup _),
-    "q117_additive_rollup" -> (q117AdditiveRollup _)
+    "q117_additive_rollup" -> (q117AdditiveRollup _),
+    "q118_fuzzy_match" -> (q118FuzzyMatch _)
   )
 }

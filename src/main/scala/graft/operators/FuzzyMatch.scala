@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Record linkage / fuzzy entity matching — blocked candidate generation +
+  * edit-distance scoring: the classic BI master-data problem ("are these
+  * two customer/part names the same entity?") and, for corpus curation,
+  * near-duplicate short strings (titles, authors, product names) where
+  * shingle MinHash ([[Dedup]]) is too coarse.
+  *
+  * Shape, in the dedup family's mold (never all-pairs):
+  *   1. canonicalize names (lowercase, alphanumeric only);
+  *   2. BLOCK on two keys per record — canonical prefix and canonical
+  *      suffix (reverse-prefix) — so a single edit anywhere in the string
+  *      leaves at least one key intact (an interior edit preserves both, a
+  *      head edit the suffix key, a tail edit the prefix key); only records
+  *      sharing a key become candidates: one shuffle on the block key,
+  *      pairs expanded map-side after the aggregation, oversized blocks
+  *      (degenerate common names) dropped by `maxBlockSize` — the
+  *      O(block²) skew guard, as in
+  *      [[Dedup.lshCandidatePairsFromShingles]];
+  *   3. score survivors with normalized edit similarity
+  *      `1 − levenshtein/max(len)` and keep pairs at/above `threshold`
+  *      (a cheap length-difference bound prunes first: distance ≥
+  *      |len_a − len_b|, so the full DP never runs on hopeless pairs).
+  *
+  * Cluster the emitted pairs with [[Dedup.clusters]] for entity
+  * resolution, exactly like the other pair producers here.
+  */
+object FuzzyMatch {
+
+  /** Canonical matching form: lowercase, alphanumerics only. Blocking and
+    * scoring both operate on this — punctuation/spacing/case never split a
+    * block or tax the score.
+    */
+  def canonicalName(name: Column): Column =
+    regexp_replace(lower(name), "[^a-z0-9]", "")
+
+  /** Normalized edit similarity in [0, 1]: `1 − levenshtein/max(len)`.
+    * Null on either side → null (SQL comparison semantics); two empty
+    * strings → 1.0 (identical).
+    */
+  def editSimilarity(a: Column, b: Column): Column =
+    when(a.isNull || b.isNull, lit(null).cast("double"))
+      .when(length(a) === 0 && length(b) === 0, lit(1.0))
+      .otherwise(lit(1.0) - levenshtein(a, b).cast("double") /
+        greatest(length(a), length(b)).cast("double"))
+
+  /** Candidate pairs `(id_a, id_b, __ca, __cb)` via prefix+suffix blocking
+    * — oriented `id_a < id_b`, de-duplicated across the two key passes,
+    * canonical names carried so scoring needs no join back. Rows whose
+    * canonical name is empty never block (nothing to match on). Blocks
+    * larger than `maxBlockSize` are dropped — the boilerplate-key guard;
+    * size the cap to the worst tolerable block² (as with every bucketed
+    * candidate generator here).
+    */
+  def blockedCandidatePairs(df: DataFrame, idCol: String, nameCol: String,
+      prefixLen: Int = 4, maxBlockSize: Int = 1000): DataFrame = {
+    require(prefixLen >= 1, "prefixLen must be >= 1")
+    require(maxBlockSize >= 2, "maxBlockSize must be >= 2")
+    val rows = df
+      .select(col(idCol).alias("__id"), canonicalName(col(nameCol)).alias("__c"))
+      .filter(col("__c").isNotNull && length(col("__c")) > 0)
+    val keyed = rows.select(col("__id"), col("__c"), explode(array(
+      concat_ws("|", lit("p"), substring(col("__c"), 1, prefixLen)),
+      concat_ws("|", lit("s"), substring(reverse(col("__c")), 1, prefixLen))
+    )).alias("__k"))
+    val ids = col("__m")
+    keyed.groupBy(col("__k"))
+      .agg(collect_list(struct(col("__id").alias("id"), col("__c").alias("c"))).alias("__m"))
+      .filter(size(ids) >= 2 && size(ids) <= maxBlockSize)
+      .select(explode(flatten(transform(ids, a =>
+        filter(transform(ids, b => struct(
+          a.getField("id").alias("id_a"), b.getField("id").alias("id_b"),
+          a.getField("c").alias("c_a"), b.getField("c").alias("c_b"))),
+          p => p.getField("id_a") < p.getField("id_b"))))).alias("p"))
+      .select(col("p.id_a").alias("id_a"), col("p.id_b").alias("id_b"),
+        col("p.c_a").alias("__ca"), col("p.c_b").alias("__cb"))
+      .distinct()
+  }
+
+  /** Fuzzy duplicate pairs `(id_a, id_b, similarity)` at/above `threshold`.
+    * The length-difference prefilter is semantics-free (edit distance is
+    * bounded below by the length difference, so every pruned pair would
+    * have failed the threshold anyway) — it exists to keep the levenshtein
+    * DP off obviously-hopeless candidates.
+    */
+  def fuzzyDuplicates(df: DataFrame, idCol: String, nameCol: String,
+      threshold: Double = 0.85, prefixLen: Int = 4,
+      maxBlockSize: Int = 1000): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val la = length(col("__ca")).cast("double")
+    val lb = length(col("__cb")).cast("double")
+    blockedCandidatePairs(df, idCol, nameCol, prefixLen, maxBlockSize)
+      .filter(abs(la - lb) <= lit(1.0 - threshold) * greatest(la, lb))
+      .withColumn("similarity", editSimilarity(col("__ca"), col("__cb")))
+      .filter(col("similarity") >= threshold)
+      .select(col("id_a"), col("id_b"), col("similarity"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, FuzzyMatch}
+
+/** Fuzzy record linkage: canonical edit similarity, prefix+suffix blocking
+  * (an edit anywhere still pairs), block-size skew guard, and cluster
+  * composition with the shared pair machinery.
+  */
+class FuzzyMatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("editSimilarity: normalized levenshtein with null/empty contract") {
+    val rows = Seq(
+      ("kitten", "sitting"),
+      ("same", "same"),
+      (null.asInstanceOf[String], "x"),
+      ("", "")
+    ).toDF("a", "b")
+      .select(FuzzyMatch.editSimilarity(col("a"), col("b")).alias("s"))
+      .as[Option[Double]].collect()
+    assert(math.abs(rows(0).get - (1.0 - 3.0 / 7.0)) < 1e-12)
+    assert(rows(1).contains(1.0))
+    assert(rows(2).isEmpty)
+    assert(rows(3).contains(1.0))
+  }
+
+  test("blocking: an edit anywhere in the string still produces the pair, exactly once") {
+    val df = Seq(
+      (1L, "Johnathan Smith"),   // clean
+      (2L, "Jonathan Smith"),    // head-region edit (within prefix 4) → suffix key pairs it
+      (3L, "Johnathan Smyth"),   // tail edit → prefix key pairs it
+      (4L, "Johnathan Smiths"),  // interior/tail append → both keys pair it (dedup to one row)
+      (5L, "completely unrelated name")
+    ).toDF("id", "name")
+    val pairs = FuzzyMatch.blockedCandidatePairs(df, "id", "name")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    // dedup across the two key passes: no pair appears twice
+    val all = FuzzyMatch.blockedCandidatePairs(df, "id", "name")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(all.length == all.toSet.size)
+  }
+
+  test("fuzzyDuplicates: threshold filters, similarity matches the definition") {
+    val df = Seq(
+      (1L, "ACME Corp."),
+      (2L, "acme corp"),     // identical canonical → 1.0
+      (3L, "ACME Corpse"),   // 1 edit on "acmecorp(se)"
+      (4L, "Widget Works")
+    ).toDF("id", "name")
+    val out = FuzzyMatch.fuzzyDuplicates(df, "id", "name", threshold = 0.7)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(out((1L, 2L)) == 1.0)
+    // acmecorp vs acmecorpse: lev 2, maxlen 10
+    assert(math.abs(out((1L, 3L)) - 0.8) < 1e-12)
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("maxBlockSize drops degenerate blocks (the boilerplate guard)") {
+    val common = (1L to 50L).map(i => (i, s"shared prefix name $i"))
+    val df = common.toDF("id", "name")
+    val capped = FuzzyMatch.blockedCandidatePairs(df, "id", "name", maxBlockSize = 10)
+    // the prefix block holds all 50 → dropped; suffix keys differ per row
+    assert(capped.count() == 0)
+    val uncapped = FuzzyMatch.blockedCandidatePairs(df, "id", "name", maxBlockSize = 1000)
+    assert(uncapped.count() > 0)
+  }
+
+  test("pairs compose with Dedup.clusters for entity resolution") {
+    val df = Seq(
+      (1L, "Data Systems Inc"), (2L, "Data Systems Inc."), (3L, "Dato Systems Inc"),
+      (10L, "Other Business LLC")
+    ).toDF("id", "name")
+    val pairs = FuzzyMatch.fuzzyDuplicates(df, "id", "name", threshold = 0.85)
+    val clusters = Dedup.clusters(pairs.select(col("id_a"), col("id_b")))
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(2L) == 1L && clusters(3L) == 1L) // min-id representative
+    assert(!clusters.contains(10L))
+  }
+
+  private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = rows.map(r => ((r._1, r._2), r._3)).toMap
+  }
+}
