@@ -2146,6 +2146,18 @@ object Oracles {
         |FROM scored WHERE similarity >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Exact distinct rollup (q119): the oracle aggregates the final churn
+    // state from scratch — touched-group recompute must land on it.
+    "q119_distinct_rollup" ->
+      """WITH cur AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 4 = 1 THEN o_custkey + 1000000
+        |         ELSE o_custkey END AS ck
+        |  FROM orders WHERE o_orderkey % 4 <> 2)
+        |SELECT o_orderstatus, count(DISTINCT ck) AS n_cust, count(*) AS n
+        |FROM cur GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     "q94_ivf_serve" ->
       s"""$ivfRefinedCandsCte,
          |ranked AS (

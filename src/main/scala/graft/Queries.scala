@@ -2011,6 +2011,38 @@ object Queries {
     graft.operators.IncrementalRollup.read(spark, roll).orderBy(col("o_orderstatus"))
   }
 
+  /** Exact distinct-count rollup under churn
+    * ([[graft.operators.IncrementalRollup.refresh]] with `countDistinct` —
+    * the second non-algebraic witness after q116's max): deletes and
+    * key-rewriting updates change per-group distinct counts in ways no
+    * delta can express, so only touched-group recompute is correct. (The
+    * mergeable approximate form is
+    * [[graft.operators.IncrementalRollup.refreshDistinctSketch]] —
+    * spec-gated, since DuckDB cannot replay DataSketches HLL bits.)
+    */
+  def q119DistinctRollup(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q119").toString
+    val (src, roll) = (s"$root/src", s"$root/rollup")
+    val base = orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+    // churn: %4==3 inserts, %4==2 deletes, %4==1 rewrites the DISTINCT key
+    val v0 = base.filter(col("o_orderkey") % 4 =!= 3)
+    val v1 = base.filter(col("o_orderkey") % 4 =!= 2)
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 4 === 1, col("o_custkey") + 1000000L)
+          .otherwise(col("o_custkey")))
+    val aggs = Seq(
+      countDistinct(col("o_custkey")).alias("n_cust"),
+      count(lit(1)).alias("n"))
+    graft.sources.SnapshotManifest.commit(spark, src, v0)
+    graft.operators.IncrementalRollup.refresh(spark, src, roll,
+      Seq("o_orderkey"), Seq("o_orderstatus"), aggs)
+    graft.sources.SnapshotManifest.commit(spark, src, v1)
+    graft.operators.IncrementalRollup.refresh(spark, src, roll,
+      Seq("o_orderkey"), Seq("o_orderstatus"), aggs)
+    graft.operators.IncrementalRollup.read(spark, roll).orderBy(col("o_orderstatus"))
+  }
+
   /** Fuzzy record linkage ([[graft.operators.FuzzyMatch.fuzzyDuplicates]]):
     * a deterministically-dirtied twin of the part-name table (every
     * `%5==2` name loses its 6th character) matched back against the clean
@@ -2160,6 +2192,7 @@ object Queries {
     "q115_ivf_cell_stats" -> (q115IvfCellStats _),
     "q116_incremental_rollup" -> (q116IncrementalRollup _),
     "q117_additive_rollup" -> (q117AdditiveRollup _),
-    "q118_fuzzy_match" -> (q118FuzzyMatch _)
+    "q118_fuzzy_match" -> (q118FuzzyMatch _),
+    "q119_distinct_rollup" -> (q119DistinctRollup _)
   )
 }

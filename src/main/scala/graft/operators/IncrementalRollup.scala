@@ -117,6 +117,82 @@ object IncrementalRollup {
     untouched.unionByName(recomputed)
   }
 
+  /** Approx-distinct rollup: per group, an HLL sketch of `distinctCol`
+    * (DataSketches `hll_sketch_agg`, `lgConfigK` buckets) maintained
+    * mergeable-union style. Sketches admit inserts but not retractions,
+    * so the refresh is HYBRID per group:
+    *   - groups touched ONLY by inserts: `hll_union(old sketch, sketch of
+    *     the inserted rows)` — no source scan, the append-heavy fast path
+    *     (at 100 TB this is the usual case: fact tables append);
+    *   - groups touched by any delete/update: recomputed from the current
+    *     snapshot (the same touched-group machinery as [[refresh]]);
+    *   - untouched groups carry their sketch unchanged.
+    * Read estimates via [[readDistinctCounts]]. The estimate is a pure
+    * function of the SET of sketched values (HLL registers are max-based,
+    * LIST/SET modes count coupons), so incremental maintenance and a
+    * from-scratch rebuild agree exactly — the spec pins that.
+    */
+  def refreshDistinctSketch(spark: SparkSession, sourceRoot: String,
+      rollupRoot: String, sourcePk: Seq[String], groupKeys: Seq[String],
+      distinctCol: String, lgConfigK: Int = 12): Long = {
+    require(groupKeys.nonEmpty, "refreshDistinctSketch: groupKeys must name at least one column")
+    val srcV = SnapshotManifest.currentVersion(spark, sourceRoot).getOrElse(
+      throw new IllegalStateException(
+        s"refreshDistinctSketch: no committed source snapshot under $sourceRoot"))
+    // surface the sketch's input-type contract HERE, not as an analysis
+    // error three plans deep inside a refresh
+    val dt = SnapshotManifest.read(spark, sourceRoot).schema(distinctCol).dataType
+    require(Set("integer", "long", "string", "binary").contains(dt.typeName),
+      s"refreshDistinctSketch: hll_sketch_agg supports int/bigint/string/binary; " +
+        s"'$distinctCol' is ${dt.typeName} — cast it in the source (pick the form " +
+        "that defines value identity)")
+    def build(rows: DataFrame): DataFrame =
+      rows.groupBy(groupKeys.map(col): _*)
+        .agg(hll_sketch_agg(col(distinctCol), lit(lgConfigK)).alias("distinct_sketch"))
+    reflectedVersion(spark, rollupRoot) match {
+      case None =>
+        SnapshotManifest.commit(spark, rollupRoot,
+          build(SnapshotManifest.read(spark, sourceRoot)).withColumn(VersionCol, lit(srcV)))
+      case Some(lastV) if lastV == srcV =>
+        SnapshotManifest.currentVersion(spark, rollupRoot).get
+      case Some(lastV) =>
+        val feed = SnapshotManifest.changesBetween(spark, sourceRoot, lastV, srcV, sourcePk)
+          .localCheckpoint(true) // consumed thrice below; the feed is churn-sized
+        val keyCond = (l: String, r: String) =>
+          groupKeys.map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
+        // a group with ANY non-insert change needs source truth (no
+        // retraction from a sketch); insert-only groups union
+        val dirty = feed.filter(col("_change") =!= "insert")
+          .select(groupKeys.map(col): _*).distinct()
+        val inserts = feed.filter(col("_change") === "insert")
+          .alias("i").join(broadcast(dirty.alias("t")), keyCond("i", "t"), "left_anti")
+        val recomputed = build(
+          SnapshotManifest.readVersion(spark, sourceRoot, srcV).alias("s")
+            .join(broadcast(dirty.alias("t")), keyCond("s", "t"), "left_semi"))
+        val rollup = SnapshotManifest.read(spark, rollupRoot).drop(VersionCol)
+          .alias("r").join(broadcast(dirty.alias("t")), keyCond("r", "t"), "left_anti")
+        val insSketch = build(inserts)
+        val unioned = rollup.alias("r")
+          .join(insSketch.alias("d"),
+            groupKeys.map(k => col(s"r.$k") <=> col(s"d.$k")).reduce(_ && _), "full_outer")
+          .select(groupKeys.map(k => coalesce(col(s"r.$k"), col(s"d.$k")).alias(k)) :+
+            when(col("r.distinct_sketch").isNull, col("d.distinct_sketch"))
+              .when(col("d.distinct_sketch").isNull, col("r.distinct_sketch"))
+              .otherwise(hll_union(col("r.distinct_sketch"), col("d.distinct_sketch")))
+              .alias("distinct_sketch"): _*)
+        SnapshotManifest.commit(spark, rollupRoot,
+          unioned.unionByName(recomputed).withColumn(VersionCol, lit(srcV)))
+    }
+  }
+
+  /** Per-group approximate distinct counts from a
+    * [[refreshDistinctSketch]] rollup.
+    */
+  def readDistinctCounts(spark: SparkSession, rollupRoot: String): DataFrame =
+    read(spark, rollupRoot)
+      .withColumn("approx_distinct", hll_sketch_estimate(col("distinct_sketch")))
+      .drop("distinct_sketch")
+
   /** Additive-only refresh: maintain `sum_<m>` per measure plus `n_rows`,
     * applying the change feed as signed deltas — the source table itself is
     * NEVER scanned after the initial build. Sums ride DECIMAL(30,6) (exact,
