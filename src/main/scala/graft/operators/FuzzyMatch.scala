@@ -12,13 +12,19 @@ import org.apache.spark.sql.functions._
   * Shape, in the dedup family's mold (never all-pairs):
   *   1. canonicalize names (lowercase, alphanumeric only);
   *   2. BLOCK on two keys per record — canonical prefix and canonical
-  *      suffix (reverse-prefix) — so a single edit anywhere in the string
-  *      leaves at least one key intact (an interior edit preserves both, a
-  *      head edit the suffix key, a tail edit the prefix key); only records
-  *      sharing a key become candidates: one shuffle on the block key,
-  *      pairs expanded map-side after the aggregation, oversized blocks
-  *      (degenerate common names) dropped by `maxBlockSize` — the
-  *      O(block²) skew guard, as in
+  *      suffix (reverse-prefix); for strings at least `2·prefixLen` long
+  *      the two windows are disjoint, so a single edit hits at most one
+  *      and the other key stays intact. Shorter strings (where the
+  *      windows would overlap and one edit could corrupt both) get their
+  *      DELETION NEIGHBORHOOD as extra keys (SymSpell-style: the string
+  *      plus every 1-deletion variant) — two short strings within edit
+  *      distance 1 always share a variant. Together: ANY pair within
+  *      edit distance 1 is guaranteed a candidate at every length;
+  *      multi-edit pairs rely on an intact prefix or suffix window.
+  *      Only records sharing a key become candidates: one shuffle on the
+  *      block key, pairs expanded map-side after the aggregation,
+  *      oversized blocks (degenerate common names) dropped by
+  *      `maxBlockSize` — the O(block²) skew guard, as in
   *      [[Dedup.lshCandidatePairsFromShingles]];
   *   3. score survivors with normalized edit similarity
   *      `1 − levenshtein/max(len)` and keep pairs at/above `threshold`
@@ -62,10 +68,23 @@ object FuzzyMatch {
     val rows = df
       .select(col(idCol).alias("__id"), canonicalName(col(nameCol)).alias("__c"))
       .filter(col("__c").isNotNull && length(col("__c")) > 0)
-    val keyed = rows.select(col("__id"), col("__c"), explode(array(
-      concat_ws("|", lit("p"), substring(col("__c"), 1, prefixLen)),
-      concat_ws("|", lit("s"), substring(reverse(col("__c")), 1, prefixLen))
-    )).alias("__k"))
+    val c = col("__c")
+    val windowKeys = array(
+      concat_ws("|", lit("p"), substring(c, 1, prefixLen)),
+      concat_ws("|", lit("s"), substring(reverse(c), 1, prefixLen)))
+    // deletion neighborhood for short strings (the string itself at i=0,
+    // the 1-deletion variants at i=1..len): bounded — only strings of at
+    // most 2·prefixLen+1 chars emit it, ≤ 2·prefixLen+2 keys each. The
+    // +1 covers the cross-class deletion pair (a 2·prefixLen+2-char
+    // string pairs with its 1-shorter twin through prefix/suffix — see
+    // the class doc; everything shorter pairs through here)
+    val delKeys = transform(sequence(lit(0), length(c)), i =>
+      when(i === 0, concat(lit("d|"), c))
+        .otherwise(concat(lit("d|"),
+          c.substr(lit(1), i - 1), c.substr(i + 1, length(c)))))
+    val keys = when(length(c) <= 2 * prefixLen + 1,
+      concat(windowKeys, delKeys)).otherwise(windowKeys)
+    val keyed = rows.select(col("__id"), c, explode(keys).alias("__k"))
     val ids = col("__m")
     keyed.groupBy(col("__k"))
       .agg(collect_list(struct(col("__id").alias("id"), col("__c").alias("c"))).alias("__m"))
@@ -81,10 +100,12 @@ object FuzzyMatch {
   }
 
   /** Fuzzy duplicate pairs `(id_a, id_b, similarity)` at/above `threshold`.
-    * The length-difference prefilter is semantics-free (edit distance is
-    * bounded below by the length difference, so every pruned pair would
-    * have failed the threshold anyway) — it exists to keep the levenshtein
-    * DP off obviously-hopeless candidates.
+    * The length-difference prefilter is semantics-free: it evaluates the
+    * pair's BEST-POSSIBLE similarity (edit distance is bounded below by
+    * the length difference) with the SAME arithmetic as the final score,
+    * so a pair exactly at the threshold passes both identically — no
+    * float-rounding gap between the bound and the filter. It exists to
+    * keep the levenshtein DP off obviously-hopeless candidates.
     */
   def fuzzyDuplicates(df: DataFrame, idCol: String, nameCol: String,
       threshold: Double = 0.85, prefixLen: Int = 4,
@@ -93,7 +114,7 @@ object FuzzyMatch {
     val la = length(col("__ca")).cast("double")
     val lb = length(col("__cb")).cast("double")
     blockedCandidatePairs(df, idCol, nameCol, prefixLen, maxBlockSize)
-      .filter(abs(la - lb) <= lit(1.0 - threshold) * greatest(la, lb))
+      .filter(lit(1.0) - abs(la - lb) / greatest(la, lb) >= threshold)
       .withColumn("similarity", editSimilarity(col("__ca"), col("__cb")))
       .filter(col("similarity") >= threshold)
       .select(col("id_a"), col("id_b"), col("similarity"))

@@ -41,9 +41,21 @@ object IncrementalRollup {
 
   private val VersionCol = "__src_version"
 
-  /** The current rollup contents (without bookkeeping columns). */
-  def read(spark: SparkSession, rollupRoot: String): DataFrame =
-    SnapshotManifest.read(spark, rollupRoot).drop(VersionCol)
+  /** The current rollup contents — every `__`-prefixed bookkeeping column
+    * (the reflected-version stamp, additive non-null counts) dropped.
+    */
+  def read(spark: SparkSession, rollupRoot: String): DataFrame = {
+    val df = SnapshotManifest.read(spark, rollupRoot)
+    df.drop(df.columns.filter(_.startsWith("__")).toIndexedSeq: _*)
+  }
+
+  /** The reflected version of `lastV` is usable for an incremental diff
+    * only while the source still has its manifest — a vacuumed from-version
+    * falls back to a full rebuild (correct at any time; the incremental
+    * path is an optimization, never a semantic dependency).
+    */
+  private def canDiffFrom(spark: SparkSession, sourceRoot: String, lastV: Long): Boolean =
+    SnapshotManifest.hasVersion(spark, sourceRoot, lastV)
 
   /** Source version the rollup currently reflects, if it is known. Every
     * committed row carries the same stamp, so ONE row answers (no full
@@ -72,46 +84,66 @@ object IncrementalRollup {
     *         up to date)
     */
   def refresh(spark: SparkSession, sourceRoot: String, rollupRoot: String,
-      sourcePk: Seq[String], groupKeys: Seq[String], aggs: Seq[Column]): Long = {
-    require(groupKeys.nonEmpty, "refresh: groupKeys must name at least one column")
+      sourcePk: Seq[String], groupKeys: Seq[String], aggs: Seq[Column]): Long =
+    refreshBy(spark, sourceRoot, rollupRoot, sourcePk,
+      groupKeys.map(k => k -> col(k)), aggs)
+
+  /** [[refresh]] with DERIVED group keys — each `(name, expr)` is computed
+    * from the source row (e.g. `"day" -> to_date($"ts")`, or a literal for
+    * a global rollup). The change feed carries every source column, so the
+    * same expressions evaluate on pre- and post-images to find touched
+    * groups.
+    */
+  def refreshBy(spark: SparkSession, sourceRoot: String, rollupRoot: String,
+      sourcePk: Seq[String], groupExprs: Seq[(String, Column)],
+      aggs: Seq[Column]): Long = {
+    require(groupExprs.nonEmpty, "refresh: groupExprs must name at least one key")
     require(aggs.nonEmpty, "refresh: aggs must name at least one aggregate")
     val srcV = SnapshotManifest.currentVersion(spark, sourceRoot).getOrElse(
       throw new IllegalStateException(s"refresh: no committed source snapshot under $sourceRoot"))
-    def aggregate(rows: DataFrame): DataFrame =
-      rows.groupBy(groupKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     reflectedVersion(spark, rollupRoot) match {
-      case None =>
-        SnapshotManifest.commit(spark, rollupRoot,
-          aggregate(SnapshotManifest.read(spark, sourceRoot))
-            .withColumn(VersionCol, lit(srcV)))
       case Some(lastV) if lastV == srcV =>
         SnapshotManifest.currentVersion(spark, rollupRoot).get // already current
-      case Some(lastV) =>
+      case Some(lastV) if canDiffFrom(spark, sourceRoot, lastV) =>
         SnapshotManifest.commit(spark, rollupRoot,
-          incrementalMerge(spark, sourceRoot, rollupRoot, sourcePk, groupKeys,
+          incrementalMerge(spark, sourceRoot, rollupRoot, sourcePk, groupExprs,
             aggs, lastV, srcV).withColumn(VersionCol, lit(srcV)))
+      case _ => // no rollup yet, or the from-version was vacuumed → full build
+        SnapshotManifest.commit(spark, rollupRoot,
+          aggregateBy(SnapshotManifest.read(spark, sourceRoot), groupExprs, aggs)
+            .withColumn(VersionCol, lit(srcV)))
     }
   }
 
-  /** The incremental-refresh frame [[refresh]] commits (exposed for plan
+  private def withKeys(rows: DataFrame, groupExprs: Seq[(String, Column)]): DataFrame =
+    groupExprs.foldLeft(rows) { case (d, (n, e)) => d.withColumn(n, e) }
+
+  private def aggregateBy(rows: DataFrame, groupExprs: Seq[(String, Column)],
+      aggs: Seq[Column]): DataFrame =
+    withKeys(rows, groupExprs)
+      .groupBy(groupExprs.map(g => col(g._1)): _*).agg(aggs.head, aggs.tail: _*)
+
+  /** The incremental-refresh frame [[refreshBy]] commits (exposed for plan
     * assertions): untouched rollup rows stitched onto recomputed touched
     * groups.
     */
   private[graft] def incrementalMerge(spark: SparkSession, sourceRoot: String,
-      rollupRoot: String, sourcePk: Seq[String], groupKeys: Seq[String],
+      rollupRoot: String, sourcePk: Seq[String], groupExprs: Seq[(String, Column)],
       aggs: Seq[Column], lastV: Long, srcV: Long): DataFrame = {
+    val names = groupExprs.map(_._1)
     val feed = SnapshotManifest.changesBetween(spark, sourceRoot, lastV, srcV, sourcePk)
     // any group a change row's pre- OR post-image lands in is stale: a
     // row moving between groups invalidates both
-    val touched = feed.select(groupKeys.map(col): _*).distinct()
+    val touched = withKeys(feed, groupExprs).select(names.map(col): _*).distinct()
     val source = SnapshotManifest.readVersion(spark, sourceRoot, srcV)
     val keyCond = (l: String, r: String) =>
-      groupKeys.map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
+      names.map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
     // churn-sized key set: broadcast both the semi (source side) and the
     // anti (rollup side) so neither big table shuffles for membership
-    val recomputed = source.alias("s")
-      .join(broadcast(touched.alias("t")), keyCond("s", "t"), "left_semi")
-      .groupBy(groupKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val recomputed = aggregateBy(
+      withKeys(source, groupExprs).alias("s")
+        .join(broadcast(touched.alias("t")), keyCond("s", "t"), "left_semi"),
+      groupExprs.map(g => g._1 -> col(g._1)), aggs)
     val untouched = SnapshotManifest.read(spark, rollupRoot).drop(VersionCol)
       .alias("r").join(broadcast(touched.alias("t")), keyCond("r", "t"), "left_anti")
     untouched.unionByName(recomputed)
@@ -150,11 +182,15 @@ object IncrementalRollup {
       rows.groupBy(groupKeys.map(col): _*)
         .agg(hll_sketch_agg(col(distinctCol), lit(lgConfigK)).alias("distinct_sketch"))
     reflectedVersion(spark, rollupRoot) match {
+      case Some(lastV) if lastV == srcV =>
+        SnapshotManifest.currentVersion(spark, rollupRoot).get
       case None =>
         SnapshotManifest.commit(spark, rollupRoot,
           build(SnapshotManifest.read(spark, sourceRoot)).withColumn(VersionCol, lit(srcV)))
-      case Some(lastV) if lastV == srcV =>
-        SnapshotManifest.currentVersion(spark, rollupRoot).get
+      case Some(lastV) if !canDiffFrom(spark, sourceRoot, lastV) =>
+        // the from-version was vacuumed → full rebuild (always correct)
+        SnapshotManifest.commit(spark, rollupRoot,
+          build(SnapshotManifest.read(spark, sourceRoot)).withColumn(VersionCol, lit(srcV)))
       case Some(lastV) =>
         val feed = SnapshotManifest.changesBetween(spark, sourceRoot, lastV, srcV, sourcePk)
           .localCheckpoint(true) // consumed thrice below; the feed is churn-sized
@@ -199,7 +235,10 @@ object IncrementalRollup {
     * order-independent — a delta stream must not accumulate float error) and
     * surface as doubles. Groups whose row count reaches zero drop out.
     * Null measures contribute nothing to their sum (SQL SUM semantics) but
-    * do count toward `n_rows`.
+    * do count toward `n_rows`; a per-measure non-null count rides along as
+    * a `__`-prefixed bookkeeping column so a sum whose surviving inputs are
+    * all null lands on NULL (SQL SUM), not 0 — deltas alone cannot tell
+    * "sums to zero" from "nothing left to sum".
     */
   def refreshAdditive(spark: SparkSession, sourceRoot: String, rollupRoot: String,
       sourcePk: Seq[String], groupKeys: Seq[String], measures: Seq[String]): Long = {
@@ -207,23 +246,25 @@ object IncrementalRollup {
     val srcV = SnapshotManifest.currentVersion(spark, sourceRoot).getOrElse(
       throw new IllegalStateException(
         s"refreshAdditive: no committed source snapshot under $sourceRoot"))
+    val dec = "decimal(30,6)"
     def sums(rows: DataFrame, sign: Column, rowWeight: Column): DataFrame =
       rows.groupBy(groupKeys.map(col): _*).agg(
         sum(rowWeight).alias("n_rows"),
-        measures.map(m =>
-          sum(when(col(m).isNotNull, sign * col(m).cast("decimal(30,6)"))
-            .otherwise(lit(null))).alias(s"__d_$m")): _*)
+        measures.flatMap(m => Seq(
+          sum(when(col(m).isNotNull, sign * col(m).cast(dec))
+            .otherwise(lit(null))).alias(s"__d_$m"),
+          sum(when(col(m).isNotNull, sign.cast("long")).otherwise(lit(0L)))
+            .alias(s"__dn_$m"))): _*)
     def finish(df: DataFrame): DataFrame =
       df.select(groupKeys.map(col) ++ (col("n_rows") +:
-        measures.map(m => col(s"__d_$m").cast("double").alias(s"sum_$m"))): _*)
+        measures.flatMap(m => Seq(
+          when(col(s"__dn_$m") === 0, lit(null))
+            .otherwise(col(s"__d_$m").cast("double")).alias(s"sum_$m"),
+          col(s"__dn_$m").alias(s"__nn_$m")))): _*)
     reflectedVersion(spark, rollupRoot) match {
-      case None =>
-        SnapshotManifest.commit(spark, rollupRoot,
-          finish(sums(SnapshotManifest.read(spark, sourceRoot), lit(1), lit(1L)))
-            .withColumn(VersionCol, lit(srcV)))
       case Some(lastV) if lastV == srcV =>
         SnapshotManifest.currentVersion(spark, rollupRoot).get
-      case Some(lastV) =>
+      case Some(lastV) if canDiffFrom(spark, sourceRoot, lastV) =>
         val feed = SnapshotManifest.changesBetween(spark, sourceRoot, lastV, srcV, sourcePk)
         val signed = feed.withColumn("__sign",
           when(col("_change").isin("insert", "update_postimage"), lit(1))
@@ -235,19 +276,30 @@ object IncrementalRollup {
         // drop (count reaches 0), existing groups add their delta. Sums
         // re-enter DECIMAL for the addition — the doubles they surface as
         // are exact images of 6-dp decimals, so the round-trip is lossless.
+        // NULL-vs-0: the merged non-null count decides, exactly as SQL SUM
+        // over the surviving rows would.
         val merged = rollup.alias("r").join(delta.alias("d"), keyCond, "full_outer")
           .select(groupKeys.map(k => coalesce(col(s"r.$k"), col(s"d.$k")).alias(k)) ++
             ((coalesce(col("r.n_rows"), lit(0L)) + coalesce(col("d.n_rows"), lit(0L)))
               .alias("n_rows") +:
-              measures.map(m =>
-                when(coalesce(col(s"r.sum_$m"), col(s"d.__d_$m").cast("double")).isNull, lit(null))
-                  .otherwise(
-                    (coalesce(col(s"r.sum_$m").cast("decimal(30,6)"), lit(0).cast("decimal(30,6)")) +
-                      coalesce(col(s"d.__d_$m"), lit(0).cast("decimal(30,6)")))
-                      .cast("double")).alias(s"sum_$m"))): _*)
+              measures.flatMap { m =>
+                val nn = coalesce(col(s"r.__nn_$m"), lit(0L)) +
+                  coalesce(col(s"d.__dn_$m"), lit(0L))
+                Seq(
+                  when(nn === 0, lit(null))
+                    .otherwise(
+                      (coalesce(col(s"r.sum_$m").cast(dec), lit(0).cast(dec)) +
+                        coalesce(col(s"d.__d_$m"), lit(0).cast(dec)))
+                        .cast("double")).alias(s"sum_$m"),
+                  nn.alias(s"__nn_$m"))
+              }): _*)
           .filter(col("n_rows") > 0)
         SnapshotManifest.commit(spark, rollupRoot,
           merged.withColumn(VersionCol, lit(srcV)))
+      case _ => // no rollup yet, or the from-version was vacuumed → full build
+        SnapshotManifest.commit(spark, rollupRoot,
+          finish(sums(SnapshotManifest.read(spark, sourceRoot), lit(1), lit(1L)))
+            .withColumn(VersionCol, lit(srcV)))
     }
   }
 }

@@ -147,6 +147,15 @@ object SnapshotManifest {
       ManifestStats.resolvePredicate(spark, schema, predicate))
   }
 
+  /** Whether `version`'s manifest is still present (i.e. not vacuumed) —
+    * the probe an incremental consumer runs before diffing FROM that
+    * version ([[changesBetween]] on a reclaimed manifest throws).
+    */
+  def hasVersion(spark: SparkSession, root: String, version: Long): Boolean = {
+    val (fs, rootPath) = fsOf(spark, root)
+    fs.exists(new Path(rootPath, manifestName(version)))
+  }
+
   /** Time travel: read an explicit committed snapshot `version`. Every
     * superseded version stays fully readable until [[vacuum]] reclaims it
     * (data files are immutable and manifests are never rewritten), so this

@@ -85,10 +85,34 @@ class EndToEndSpec extends SparkSpec {
     assert(StreamingDedup.currentIndex(spark, s"$root/index")
       .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L, 21L))
 
-    // 5. maintenance: compact the snapshot, vacuum the superseded ones —
-    //    the current snapshot stays readable throughout
-    SnapshotManifest.compactSnapshot(spark, s"$root/table", targetBytes = 1L << 30)
+    // 5. a downstream aggregate table tracks the corpus incrementally: the
+    //    refresh after each merge commit reads only the churn
+    import graft.operators.IncrementalRollup
+    val aggs = Seq(count(lit(1)).alias("n_docs"),
+      max(length(col("text"))).alias("max_len"))
+    IncrementalRollup.refreshBy(spark, s"$root/table", s"$root/rollup",
+      Seq("doc_id"), Seq("corpus" -> lit("all")), aggs) // global group via a derived key
+    def rollupRows = IncrementalRollup.read(spark, s"$root/rollup")
+      .select("n_docs").as[Long].collect().toSeq
+    assert(rollupRows == Seq(3L))
+
+    // 6. rollup resilience across maintenance:
+    //    (a) a rewrite-only commit (same rows, new files) refreshes as a
+    //        no-churn incremental pass — the file-level diff finds nothing
+    SnapshotManifest.commit(spark, s"$root/table",
+      SnapshotManifest.read(spark, s"$root/table"))
+    IncrementalRollup.refreshBy(spark, s"$root/table", s"$root/rollup",
+      Seq("doc_id"), Seq("corpus" -> lit("all")), aggs)
+    assert(rollupRows == Seq(3L))
+    //    (b) vacuum that erases the rollup's reflected from-version forces
+    //        the next refresh into the full-rebuild fallback (before the
+    //        guard this threw FileNotFoundException from changesBetween)
+    SnapshotManifest.commit(spark, s"$root/table",
+      SnapshotManifest.read(spark, s"$root/table"))
     SnapshotManifest.vacuum(spark, s"$root/table", keep = 1)
+    IncrementalRollup.refreshBy(spark, s"$root/table", s"$root/rollup",
+      Seq("doc_id"), Seq("corpus" -> lit("all")), aggs)
+    assert(rollupRows == Seq(3L))
     val fin = SnapshotManifest.read(spark, s"$root/table")
     assert(fin.count() == 3)
     assert(fin.columns.contains("text"))

@@ -58,6 +58,35 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("a pair exactly AT the threshold survives the length prefilter") {
+    // canonical lengths 10 vs 9, one deletion: similarity = 1 - 1/10 = 0.9
+    // exactly; a bound computed as (1-t)*maxLen would lose it to float
+    // rounding (1.0 - 0.9 = 0.09999999999999998)
+    val df = Seq((1L, "abcdefghij"), (2L, "abcdefghi")).toDF("id", "name")
+    val out = FuzzyMatch.fuzzyDuplicates(df, "id", "name", threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    assert(out.head._3 == 0.9)
+  }
+
+  test("short names: a single edit ANYWHERE is still a candidate (deletion-neighborhood keys)") {
+    // length 7 < 2*prefixLen: a substitution at position 4 corrupts BOTH
+    // the prefix-4 and suffix-4 windows — only the deletion neighborhood
+    // can pair these
+    val df = Seq(
+      (1L, "abcdefg"), (2L, "abcxefg"),  // substitution mid-overlap
+      (3L, "pqrstuv"), (4L, "pqrstv"),   // deletion, lengths 7/6
+      (5L, "zz")                          // unrelated
+    ).toDF("id", "name")
+    val pairs = FuzzyMatch.blockedCandidatePairs(df, "id", "name")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((3L, 4L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    val scored = FuzzyMatch.fuzzyDuplicates(df, "id", "name", threshold = 0.85)
+      .as[(Long, Long, Double)].collect().toMap2
+    assert(math.abs(scored((1L, 2L)) - (1.0 - 1.0 / 7.0)) < 1e-12)
+  }
+
   test("maxBlockSize drops degenerate blocks (the boilerplate guard)") {
     val common = (1L to 50L).map(i => (i, s"shared prefix name $i"))
     val df = common.toDF("id", "name")

@@ -132,6 +132,39 @@ class IncrementalRollupSpec extends SparkSpec {
       .as[(String, Long)].collect().toSet == incr)
   }
 
+  test("additive refresh: deleting a group's last non-null measure yields NULL, not 0 (SQL SUM)") {
+    val root = Files.createTempDirectory("irollup6").toString
+    val (src, roll) = (s"$root/src", s"$root/rollup")
+    val w0 = Seq((1L, "g", Some(5.0)), (2L, "g", None), (3L, "h", Some(2.0)))
+      .toDF("id", "grp", "x")
+    val w1 = Seq((2L, "g", None: Option[Double]), (3L, "h", Some(2.0)))
+      .toDF("id", "grp", "x")
+    SnapshotManifest.commit(spark, src, w0)
+    IncrementalRollup.refreshAdditive(spark, src, roll, Seq("id"), Seq("grp"), Seq("x"))
+    SnapshotManifest.commit(spark, src, w1)
+    IncrementalRollup.refreshAdditive(spark, src, roll, Seq("id"), Seq("grp"), Seq("x"))
+    val out = IncrementalRollup.read(spark, roll)
+      .as[(String, Long, Option[Double])].collect().toSet
+    // group g survives (one null-measure row) but its sum is NULL — deltas
+    // alone cannot distinguish "sums to zero" from "nothing left to sum"
+    assert(out == Set(("g", 1L, None), ("h", 1L, Some(2.0))))
+  }
+
+  test("vacuumed from-version: refresh falls back to a full rebuild instead of throwing") {
+    val root = Files.createTempDirectory("irollup7").toString
+    val (src, roll) = (s"$root/src", s"$root/rollup")
+    val aggs = Seq(count(lit(1)).alias("n"),
+      sum($"x".cast("decimal(30,6)")).cast("double").alias("sum_x"),
+      max($"x").alias("max_x"))
+    SnapshotManifest.commit(spark, src, v0)
+    IncrementalRollup.refresh(spark, src, roll, Seq("id"), Seq("grp"), aggs)
+    SnapshotManifest.commit(spark, src, v1)
+    SnapshotManifest.vacuum(spark, src, keep = 1) // erases v0's manifest
+    IncrementalRollup.refresh(spark, src, roll, Seq("id"), Seq("grp"), aggs)
+    assert(IncrementalRollup.read(spark, roll)
+      .as[(String, Long, Double, Double)].collect().toSet == fullAgg(v1))
+  }
+
   test("refresh without a committed source fails fast") {
     val root = Files.createTempDirectory("irollup3").toString
     val e = intercept[IllegalStateException] {

@@ -281,7 +281,8 @@ class PlanSpec extends SparkSpec {
     graft.sources.SnapshotManifest.commit(spark, src,
       Seq((1L, "a", 1.0), (2L, "b", 3.0), (3L, "c", 4.0)).toDF("id", "grp", "x"))
     val plan = planOf(graft.operators.IncrementalRollup.incrementalMerge(
-      spark, src, roll, Seq("id"), Seq("grp"), aggs, 0L, 1L))
+      spark, src, roll, Seq("id"),
+      Seq("grp" -> org.apache.spark.sql.functions.col("grp")), aggs, 0L, 1L))
     // the churn-sized touched-key set is the broadcast side of BOTH
     // membership joins — the source and the rollup must never shuffle or
     // sort-merge just to learn which of their groups are stale
