@@ -50,7 +50,11 @@ object Bench {
     val qsCold = jsonMap(results.map(r => r._1 -> r._3))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val totalCold = if (results.nonEmpty) results.map(_._3).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"queries":$qs,"queries_cold":$qsCold,"sf":"$sfDir"}"""
+    // the inventory GROWS across rounds, so the total alone reads as a
+    // regression when queries were added — mean per query is the
+    // comparable cross-round number
+    val mean = if (results.nonEmpty) total / results.length else 0.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"mean_per_query":$mean,"queries":$qs,"queries_cold":$qsCold,"sf":"$sfDir"}"""
     // persist the FULL record to a file: the driver keeps only the last
     // ~2000 chars of stdout, and a 90+-query map is ~8 KB — r04/r05 both
     // recorded `parsed: null` because the one big line never fit the tail.
@@ -67,7 +71,7 @@ object Bench {
     // shape-identical to the full one, or a consumer silently treats the
     // 10-query subset as the whole map
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,""" +
-      s""""slowest_queries":$slow,"n_queries":${results.length},""" +
+      s""""mean_per_query":$mean,"slowest_queries":$slow,"n_queries":${results.length},""" +
       s""""queries_file":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
