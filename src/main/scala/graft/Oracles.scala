@@ -93,10 +93,10 @@ object Oracles {
     * `pqTopK`; m=8 subspaces × 16 centroids × 8 dims, queries vec_id < 10.
     */
   private def pqPipelineCte(iters: Int, sampName: String = "samp",
-      codesOnly: Boolean = false): String = {
+      codesOnly: Boolean = false, train: String = "embeddings"): String = {
     val head =
       s"""$sampName AS (
-        |  SELECT vec_id, embedding FROM embeddings
+        |  SELECT vec_id, embedding FROM $train
         |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 104729 ASC,
         |    vec_id ASC
         |  LIMIT 16),
@@ -107,17 +107,17 @@ object Oracles {
         |  FROM cbl, range(0, 8) t(s), range(0, 16) u(j))""".stripMargin
     // per-(vector, subspace, centroid) L2² against codebook `cb` — the same
     // fixed-order accumulation PqOps.encode/distTable use
-    def distCte(name: String, cb: String) =
+    def distCte(name: String, cb: String, src: String) =
       s"""$name AS (
          |  SELECT e.vec_id, c.s, c.j,
          |    list_sum([
          |      (CAST(e.embedding[8*c.s + d] AS DOUBLE) - c.subv[d])
          |      * (CAST(e.embedding[8*c.s + d] AS DOUBLE) - c.subv[d])
          |      for d in range(1, 9)]) AS dist
-         |  FROM embeddings e CROSS JOIN $cb c)""".stripMargin
+         |  FROM $src e CROSS JOIN $cb c)""".stripMargin
     val iterCtes = (0 until iters).map { i =>
       Seq(
-        distCte(s"dist$i", s"cb$i"),
+        distCte(s"dist$i", s"cb$i", train),
         s"""asg$i AS (
            |  SELECT vec_id, s, j FROM (
            |    SELECT vec_id, s, j,
@@ -128,7 +128,7 @@ object Oracles {
            |    CAST(sum(CAST(CAST(e.embedding[8*a.s + t.d] AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE)
            |      / count(*) AS val
            |  FROM asg$i a
-           |  JOIN embeddings e USING (vec_id)
+           |  JOIN $train e USING (vec_id)
            |  CROSS JOIN range(1, 9) t(d)
            |  GROUP BY a.s, a.j, t.d)""".stripMargin,
         s"""cb${i + 1} AS (
@@ -139,7 +139,7 @@ object Oracles {
       ).mkString(",\n")
     }
     val codesTail =
-      s"""${distCte("csub", s"cb$iters")},
+      s"""${distCte("csub", s"cb$iters", "embeddings")},
          |codes AS (
          |  SELECT vec_id, list(j ORDER BY s) AS codes FROM (
          |    SELECT vec_id, s, j,
@@ -2004,6 +2004,32 @@ object Oracles {
     // restrict; the PQ replay's byte codes + query ADC tables score; rank
     // ascending. The PQ sample CTE is renamed (psamp) to compose with the
     // IVF replay's own sample.
+    // Incremental IVF-PQ (q120): both replays train on the even-id half
+    // (the frozen bootstrap artifacts); assignment, encoding, probing, and
+    // ADC scoring run over ALL vectors — q112's serving tail verbatim.
+    "q120_incremental_ivfpq" -> {
+      val train = "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0)"
+      s"""${ivfRefinedIndexCteFor(train)},
+         |${pqPipelineCte(4, "psamp", codesOnly = true, train = train)},
+         |pairscore AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    list_sum(list(qt.dist ORDER BY qt.s)) AS score
+         |  FROM probes p
+         |  JOIN asg a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+         |  JOIN codes c ON c.vec_id = a.vec_id
+         |  CROSS JOIN range(0, 8) t(s)
+         |  JOIN qtab qt ON qt.query_id = p.query_id AND qt.s = t.s AND qt.j = c.codes[t.s + 1]
+         |  GROUP BY p.query_id, a.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score ASC, neighbor_id ASC) AS rank
+         |  FROM pairscore)
+         |SELECT query_id, neighbor_id, rank, round(score, 8) AS score
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
     "q112_ivfpq_topk" ->
       s"""$ivfRefinedIndexCte,
          |${pqCodesCte(4, "psamp")},

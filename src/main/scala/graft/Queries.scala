@@ -2043,6 +2043,33 @@ object Queries {
     graft.operators.IncrementalRollup.read(spark, roll).orderBy(col("o_orderstatus"))
   }
 
+  /** Incremental IVF-PQ maintenance (the byte-code twin of q114 — the
+    * batch core of [[graft.streaming.StreamingAnnIngest]]'s coded path):
+    * centroids AND codebook train on the even-id half only; the odd half
+    * appends by frozen-centroid assignment + frozen-codebook encoding; the
+    * unioned coded cells serve ADC top-k. The oracle trains both replays
+    * on the half corpus and encodes/serves everything — gating that the
+    * append path's codes and scores are byte-identical to a from-scratch
+    * encode against the same frozen artifacts.
+    */
+  def q120IncrementalIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val appended = emb.filter(col("vec_id") % 2 === 1)
+    val (assignedBase, centroids) =
+      graft.operators.Similarity.ivfAssignCells(base, 16, refineIters = 4)
+    val cb = graft.operators.Similarity.pqCodebook(base, m = 8, k = 16, refineIters = 4)
+    val coded = graft.operators.Similarity.pqEncodeCells(assignedBase, cb)
+      .unionByName(graft.operators.Similarity.pqEncodeCells(
+        graft.operators.Similarity.ivfAssignWith(appended, centroids), cb))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").alias("query_id"), col("embedding"))
+    graft.operators.Similarity.ivfPqTopKFromIndex(queries, coded, centroids, cb,
+      k = 3, nprobe = 4)
+      .withColumn("score", round(col("score"), 8))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Fuzzy record linkage ([[graft.operators.FuzzyMatch.fuzzyDuplicates]]):
     * a deterministically-dirtied twin of the part-name table (every
     * `%5==2` name loses its 6th character) matched back against the clean
@@ -2193,6 +2220,7 @@ object Queries {
     "q116_incremental_rollup" -> (q116IncrementalRollup _),
     "q117_additive_rollup" -> (q117AdditiveRollup _),
     "q118_fuzzy_match" -> (q118FuzzyMatch _),
-    "q119_distinct_rollup" -> (q119DistinctRollup _)
+    "q119_distinct_rollup" -> (q119DistinctRollup _),
+    "q120_incremental_ivfpq" -> (q120IncrementalIvfPq _)
   )
 }

@@ -138,6 +138,106 @@ object StreamingAnnIngest {
     Similarity.ivfCellStats(currentIndex(spark, indexDir),
       centroids(spark, indexDir), idCol, vecCol)
 
+  // =========================================================================
+  // Byte-code (IVF-PQ) variant: deltas carry m-byte PQ codes instead of raw
+  // vectors — the serving-memory shape for 100 TB corpora (the coded cell
+  // table is ~dim·8/m times smaller than the float vectors it replaces).
+  // Centroids AND codebook are frozen at bootstrap; both persist so restart
+  // serves/ingests with the exact trained artifacts, never a re-derivation.
+  // =========================================================================
+
+  /** Bootstrap the coded index: frozen IVF centroids + frozen PQ codebook
+    * + the coded bootstrap assignment as the base generation.
+    */
+  def bootstrapCodedIndex(spark: SparkSession, corpus: DataFrame, indexDir: String,
+      cells: Int, m: Int, numCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      refineIters: Int = 0): Unit = {
+    val (assigned, centroids) =
+      Similarity.ivfAssignCells(corpus, cells, idCol, vecCol, refineIters)
+    val cb = Similarity.pqCodebook(corpus, m, numCentroids, idCol, vecCol, refineIters)
+    centroids.write.parquet(new Path(indexDir, "centroids").toString)
+    writeCodebook(spark, cb, new Path(indexDir, "codebook").toString)
+    Similarity.pqEncodeCells(assigned, cb, idCol, vecCol)
+      .write.parquet(new Path(indexDir, "base").toString)
+  }
+
+  /** The frozen PQ codebook written at bootstrap, reconstructed exactly
+    * (doubles round-trip parquet bit-for-bit).
+    */
+  def codebook(spark: SparkSession, indexDir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(new Path(indexDir, "codebook").toString)
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val cb = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { case (s, j, v) => cb(s)(j) = v }
+    cb.map(_.toArray)
+  }
+
+  private def writeCodebook(spark: SparkSession,
+      cb: Array[Array[Array[Double]]], dir: String): Unit = {
+    import spark.implicits._
+    cb.zipWithIndex.flatMap { case (sub, s) =>
+      sub.zipWithIndex.map { case (v, j) => (s, j, v.toSeq) }
+    }.toSeq.toDF("s", "j", "centroid").coalesce(1).write.parquet(dir)
+  }
+
+  /** Coded twin of [[runAvailableNow]]: each batch is assigned to the
+    * frozen centroids, PQ-encoded with the frozen codebook (both row-local
+    * — zero shuffles per batch), and committed as one coded delta. Same
+    * marker/restart contract.
+    */
+  def runAvailableNowCoded(
+      spark: SparkSession,
+      stream: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      txnAppId: String = ""
+  ): Unit = {
+    validateAppId(txnAppId)
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root, "centroids")) || !fs.exists(new Path(root, "codebook")) ||
+        !fs.exists(MarkerLog.resolveBase(fs, root)._1))
+      throw new IllegalStateException(
+        s"StreamingAnnIngest: no coded bootstrap index at $indexDir — call bootstrapCodedIndex first")
+    val cents = centroids(spark, indexDir).localCheckpoint(true)
+    val cb = codebook(spark, indexDir)
+    val query = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new Path(root,
+          keyedName("delta", txnAppId, batchId) + ".committed")
+        if (!fs.exists(marker)) {
+          val rows = batch.select(col(idCol), col(vecCol)).distinct()
+          MarkerLog.commitDir(
+            Similarity.pqEncodeCells(
+              Similarity.ivfAssignWith(rows, cents, idCol, vecCol), cb, idCol, vecCol),
+            new Path(root, keyedName("delta", txnAppId, batchId)), fs)
+        }
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  /** Serve ADC top-k from the committed coded index — base + every coded
+    * delta, probed and byte-scored like the bootstrap-only index
+    * ([[Similarity.ivfPqTopKFromIndex]]).
+    */
+  def serveCodedTopK(spark: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int, nprobe: Int = 4, queryIdCol: String = "query_id",
+      vecCol: String = "embedding"): DataFrame =
+    Similarity.ivfPqTopKFromIndex(queries, currentIndex(spark, indexDir),
+      centroids(spark, indexDir), codebook(spark, indexDir), k, nprobe,
+      queryIdCol, vecCol)
+
   /** Fold base + committed deltas into a new single generation — the
     * [[MarkerLog.compact]] protocol (stream stopped, single-writer).
     */

@@ -106,6 +106,52 @@ class StreamingAnnIngestSpec extends SparkSpec {
     assert(servedAfter == served)
   }
 
+  test("coded ingest: frozen codebook round-trips exactly; serving matches the batch twin; replay skips") {
+    val root = Files.createTempDirectory("sannc").toString
+    val indexDir = s"$root/index"
+    // dim 3 isn't divisible by typical m; use dim-4 vectors, m=2 subspaces
+    val corpus4 = Seq(
+      (1L, Array(1.0, 0.05, 0.0, 0.1)), (2L, Array(0.0, 0.1, 1.0, 0.05)),
+      (3L, Array(0.9, 0.1, 0.05, 0.0)), (4L, Array(0.05, 0.0, 0.95, 0.1))
+    ).toDF("vec_id", "embedding")
+    StreamingAnnIngest.bootstrapCodedIndex(spark, corpus4, indexDir,
+      cells = 2, m = 2, numCentroids = 3, refineIters = 1)
+    // the persisted codebook reconstructs bit-for-bit
+    val cb = StreamingAnnIngest.codebook(spark, indexDir)
+    val cbDirect = Similarity.pqCodebook(corpus4, m = 2, k = 3, refineIters = 1)
+    assert(cb.length == cbDirect.length &&
+      cb.flatten.flatten.toSeq == cbDirect.flatten.flatten.toSeq)
+
+    implicit val sqlCtx = spark.sqlContext
+    val appended = Seq((10L, Array(0.95, 0.02, 0.1, 0.05)),
+      (11L, Array(0.02, 0.05, 0.9, 0.0)))
+    val mem = MemoryStream[(Long, Array[Double])]
+    mem.addData(appended)
+    StreamingAnnIngest.runAvailableNowCoded(spark,
+      mem.toDF().toDF("vec_id", "embedding"), indexDir, s"$root/ckpt1")
+    assert(StreamingAnnIngest.currentIndex(spark, indexDir).count() == 6)
+
+    val queries = Seq((100L, Array(1.0, 0.0, 0.0, 0.0))).toDF("query_id", "embedding")
+    val served = StreamingAnnIngest.serveCodedTopK(spark, indexDir, queries,
+      k = 3, nprobe = 1)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val cents = StreamingAnnIngest.centroids(spark, indexDir)
+    val codedTwin = Similarity.ivfPqTopKFromIndex(queries,
+      spark.read.parquet(s"$indexDir/base").unionByName(
+        Similarity.pqEncodeCells(
+          Similarity.ivfAssignWith(appended.toDF("vec_id", "embedding"), cents), cb)),
+      cents, cb, k = 3, nprobe = 1)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(served == codedTwin && served.nonEmpty)
+
+    // wholesale replay under a fresh checkpoint: the marker skips batch 0
+    val mem2 = MemoryStream[(Long, Array[Double])]
+    mem2.addData(appended)
+    StreamingAnnIngest.runAvailableNowCoded(spark,
+      mem2.toDF().toDF("vec_id", "embedding"), indexDir, s"$root/ckpt2")
+    assert(StreamingAnnIngest.currentIndex(spark, indexDir).count() == 6)
+  }
+
   test("runAvailableNow without a bootstrap index fails fast") {
     val root = Files.createTempDirectory("sann2").toString
     implicit val sqlCtx = spark.sqlContext
