@@ -82,8 +82,12 @@ object FuzzyMatch {
       when(i === 0, concat(lit("d|"), c))
         .otherwise(concat(lit("d|"),
           c.substr(lit(1), i - 1), c.substr(i + 1, length(c)))))
-    val keys = when(length(c) <= 2 * prefixLen + 1,
-      concat(windowKeys, delKeys)).otherwise(windowKeys)
+    // array_distinct: repeated characters make several deletions collapse
+    // to the SAME variant ('aaaa' → 'aaa' four times); duplicate keys would
+    // inflate block counts toward maxBlockSize (dropping genuine pairs)
+    // and multiply the map-side pair expansion
+    val keys = array_distinct(when(length(c) <= 2 * prefixLen + 1,
+      concat(windowKeys, delKeys)).otherwise(windowKeys))
     val keyed = rows.select(col("__id"), c, explode(keys).alias("__k"))
     val ids = col("__m")
     keyed.groupBy(col("__k"))

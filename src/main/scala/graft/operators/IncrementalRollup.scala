@@ -41,12 +41,14 @@ object IncrementalRollup {
 
   private val VersionCol = "__src_version"
 
-  /** The current rollup contents — every `__`-prefixed bookkeeping column
-    * (the reflected-version stamp, additive non-null counts) dropped.
+  /** The current rollup contents — the operator's OWN bookkeeping columns
+    * (the reflected-version stamp, additive `__nn_` non-null counts)
+    * dropped; user columns keep whatever names they have.
     */
   def read(spark: SparkSession, rollupRoot: String): DataFrame = {
     val df = SnapshotManifest.read(spark, rollupRoot)
-    df.drop(df.columns.filter(_.startsWith("__")).toIndexedSeq: _*)
+    df.drop(df.columns.filter(c =>
+      c == VersionCol || c.startsWith("__nn_")).toIndexedSeq: _*)
   }
 
   /** The reflected version of `lastV` is usable for an incremental diff
@@ -101,6 +103,19 @@ object IncrementalRollup {
     require(aggs.nonEmpty, "refresh: aggs must name at least one aggregate")
     val srcV = SnapshotManifest.currentVersion(spark, sourceRoot).getOrElse(
       throw new IllegalStateException(s"refresh: no committed source snapshot under $sourceRoot"))
+    // a DERIVED key reusing a source column's name would silently overwrite
+    // that column before aggregation (withColumn semantics) — only the
+    // identity mapping (refresh()'s own k -> col(k)) may share a name
+    val srcCols = SnapshotManifest.read(spark, sourceRoot).columns.toSet
+    // identity via the Column's public rendering (col("k").toString == "k"):
+    // the unresolved expressions carry call-site Origins that defeat both
+    // == and semanticEquals
+    groupExprs.foreach { case (n, e) =>
+      require(!srcCols.contains(n) || e.toString == col(n).toString,
+        s"refreshBy: derived group key '$n' collides with a source column — " +
+          "a non-identity expression under that name would overwrite the " +
+          "column every aggregate reads; pick a fresh key name")
+    }
     reflectedVersion(spark, rollupRoot) match {
       case Some(lastV) if lastV == srcV =>
         SnapshotManifest.currentVersion(spark, rollupRoot).get // already current
@@ -261,10 +276,17 @@ object IncrementalRollup {
           when(col(s"__dn_$m") === 0, lit(null))
             .otherwise(col(s"__d_$m").cast("double")).alias(s"sum_$m"),
           col(s"__dn_$m").alias(s"__nn_$m")))): _*)
+    // a rollup written before the __nn_ bookkeeping existed can't merge
+    // incrementally (the delta arithmetic needs the non-null counts) —
+    // rebuild it once instead of wedging every future refresh
+    val hasNnCols = SnapshotManifest.currentVersion(spark, rollupRoot).exists { _ =>
+      val cols = SnapshotManifest.read(spark, rollupRoot).columns.toSet
+      measures.forall(m => cols.contains(s"__nn_$m"))
+    }
     reflectedVersion(spark, rollupRoot) match {
-      case Some(lastV) if lastV == srcV =>
+      case Some(lastV) if lastV == srcV && hasNnCols =>
         SnapshotManifest.currentVersion(spark, rollupRoot).get
-      case Some(lastV) if canDiffFrom(spark, sourceRoot, lastV) =>
+      case Some(lastV) if hasNnCols && canDiffFrom(spark, sourceRoot, lastV) =>
         val feed = SnapshotManifest.changesBetween(spark, sourceRoot, lastV, srcV, sourcePk)
         val signed = feed.withColumn("__sign",
           when(col("_change").isin("insert", "update_postimage"), lit(1))

@@ -77,7 +77,9 @@ object StreamingAnnIngest {
   /** Ingest the stream to completion (AvailableNow): each batch is
     * assigned to the frozen centroids and committed as one delta.
     * Restart-safe via (txnAppId, batchId) markers — re-run with the same
-    * checkpoint and committed batches are skipped.
+    * checkpoint and committed batches are skipped. Refuses a CODED index
+    * (a raw-vector delta in a coded log would silently vanish from ADC
+    * serving) — use [[runAvailableNowCoded]] there.
     */
   def runAvailableNow(
       spark: SparkSession,
@@ -87,17 +89,42 @@ object StreamingAnnIngest {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       txnAppId: String = ""
-  ): Unit = {
+  ): Unit =
+    runIngest(spark, stream, indexDir, checkpointDir, idCol, vecCol, txnAppId,
+      coded = false) { (rows, cents, _) =>
+      Similarity.ivfAssignWith(rows, cents, idCol, vecCol)
+    }
+
+  /** The one ingest loop both delta flavors share: guard the index shape,
+    * load the frozen artifacts once, then per batch — marker check,
+    * distinct (overlap re-reads), transform, marker-commit. The raw and
+    * coded paths differ ONLY in the transform and in which artifacts must
+    * exist, so the restart/exactly-once contract lives exactly once.
+    */
+  private def runIngest(spark: SparkSession, stream: DataFrame, indexDir: String,
+      checkpointDir: String, idCol: String, vecCol: String, txnAppId: String,
+      coded: Boolean)(
+      transform: (DataFrame, DataFrame, Option[Array[Array[Array[Double]]]]) => DataFrame): Unit = {
     validateAppId(txnAppId)
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasCodebook = fs.exists(new Path(root, "codebook"))
     if (!fs.exists(new Path(root, "centroids")) ||
-        !fs.exists(MarkerLog.resolveBase(fs, root)._1))
+        !fs.exists(MarkerLog.resolveBase(fs, root)._1) || (coded && !hasCodebook))
       throw new IllegalStateException(
-        s"StreamingAnnIngest: no bootstrap index at $indexDir — call bootstrapIndex first")
-    // loaded ONCE per run, not per batch: the centroid table is frozen and
-    // tiny (it becomes row-local literals inside ivfAssignWith anyway)
+        s"StreamingAnnIngest: no ${if (coded) "coded " else ""}bootstrap index at " +
+          s"$indexDir — call bootstrap${if (coded) "Coded" else ""}Index first")
+    // a codebook marks the index as byte-coded: mixing raw-vector deltas
+    // into it would type-skew the log and silently drop those vectors from
+    // ADC serving — fail loudly instead
+    if (!coded && hasCodebook)
+      throw new IllegalStateException(
+        s"StreamingAnnIngest: $indexDir is a CODED index (codebook present) — " +
+          "use runAvailableNowCoded")
+    // loaded ONCE per run, not per batch: the artifacts are frozen and tiny
+    // (both become row-local literals inside the transform anyway)
     val cents = centroids(spark, indexDir).localCheckpoint(true)
+    val cb = if (coded) Some(codebook(spark, indexDir)) else None
     val query = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -111,7 +138,7 @@ object StreamingAnnIngest {
           // DIFFERENT vectors under one id are that contract broken, not
           // data this operator can arbitrate)
           val rows = batch.select(col(idCol), col(vecCol)).distinct()
-          MarkerLog.commitDir(Similarity.ivfAssignWith(rows, cents, idCol, vecCol),
+          MarkerLog.commitDir(transform(rows, cents, cb),
             new Path(root, keyedName("delta", txnAppId, batchId)), fs)
         }
         ()
@@ -126,9 +153,16 @@ object StreamingAnnIngest {
     */
   def serveTopK(spark: SparkSession, indexDir: String, queries: DataFrame,
       k: Int, nprobe: Int = 4, queryIdCol: String = "query_id",
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(root, "codebook")))
+      throw new IllegalStateException(
+        s"StreamingAnnIngest: $indexDir is a CODED index (codebook present) — " +
+          "use serveCodedTopK")
     Similarity.ivfTopKFromIndex(queries, currentIndex(spark, indexDir),
       centroids(spark, indexDir), k, nprobe, queryIdCol, idCol, vecCol)
+  }
 
   /** Drift monitor over the committed index — see
     * [[Similarity.ivfCellStats]].
@@ -187,7 +221,7 @@ object StreamingAnnIngest {
   /** Coded twin of [[runAvailableNow]]: each batch is assigned to the
     * frozen centroids, PQ-encoded with the frozen codebook (both row-local
     * — zero shuffles per batch), and committed as one coded delta. Same
-    * marker/restart contract.
+    * marker/restart contract ([[runIngest]]).
     */
   def runAvailableNowCoded(
       spark: SparkSession,
@@ -197,35 +231,12 @@ object StreamingAnnIngest {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       txnAppId: String = ""
-  ): Unit = {
-    validateAppId(txnAppId)
-    val root = new Path(indexDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(root, "centroids")) || !fs.exists(new Path(root, "codebook")) ||
-        !fs.exists(MarkerLog.resolveBase(fs, root)._1))
-      throw new IllegalStateException(
-        s"StreamingAnnIngest: no coded bootstrap index at $indexDir — call bootstrapCodedIndex first")
-    val cents = centroids(spark, indexDir).localCheckpoint(true)
-    val cb = codebook(spark, indexDir)
-    val query = stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = new Path(root,
-          keyedName("delta", txnAppId, batchId) + ".committed")
-        if (!fs.exists(marker)) {
-          val rows = batch.select(col(idCol), col(vecCol)).distinct()
-          MarkerLog.commitDir(
-            Similarity.pqEncodeCells(
-              Similarity.ivfAssignWith(rows, cents, idCol, vecCol), cb, idCol, vecCol),
-            new Path(root, keyedName("delta", txnAppId, batchId)), fs)
-        }
-        ()
-      }
-      .start()
-    query.awaitTermination()
-  }
+  ): Unit =
+    runIngest(spark, stream, indexDir, checkpointDir, idCol, vecCol, txnAppId,
+      coded = true) { (rows, cents, cb) =>
+      Similarity.pqEncodeCells(
+        Similarity.ivfAssignWith(rows, cents, idCol, vecCol), cb.get, idCol, vecCol)
+    }
 
   /** Serve ADC top-k from the committed coded index — base + every coded
     * delta, probed and byte-scored like the bootstrap-only index

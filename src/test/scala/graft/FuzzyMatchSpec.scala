@@ -87,6 +87,17 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(math.abs(scored((1L, 2L)) - (1.0 - 1.0 / 7.0)) < 1e-12)
   }
 
+  test("repeated-character names emit each deletion variant once (no block-count inflation)") {
+    // 'aaaaaaaa' (len 8, short class): all 8 deletions collapse to ONE
+    // variant — without dedup the d-block would count 8 members per record
+    // and trip maxBlockSize on far fewer distinct records than intended
+    val df = (1L to 5L).map(i => (i, "aaaaaaaa")).toDF("id", "name")
+    val perKey = FuzzyMatch.blockedCandidatePairs(df, "id", "name", maxBlockSize = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // 5 identical records → C(5,2) = 10 pairs, none lost to inflated counts
+    assert(perKey.size == 10)
+  }
+
   test("maxBlockSize drops degenerate blocks (the boilerplate guard)") {
     val common = (1L to 50L).map(i => (i, s"shared prefix name $i"))
     val df = common.toDF("id", "name")

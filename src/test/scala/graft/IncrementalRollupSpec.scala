@@ -165,6 +165,35 @@ class IncrementalRollupSpec extends SparkSpec {
       .as[(String, Long, Double, Double)].collect().toSet == fullAgg(v1))
   }
 
+  test("additive refresh of a pre-__nn rollup rebuilds instead of wedging on missing columns") {
+    val root = Files.createTempDirectory("irollup8").toString
+    val (src, roll) = (s"$root/src", s"$root/rollup")
+    SnapshotManifest.commit(spark, src, v0)
+    // a rollup written by the pre-bookkeeping format: no __nn_x column
+    SnapshotManifest.commit(spark, roll,
+      v0.groupBy($"grp").agg(count(lit(1)).alias("n_rows"),
+        sum($"x".cast("decimal(30,6)")).cast("double").alias("sum_x"))
+        .withColumn("__src_version", lit(0L)))
+    SnapshotManifest.commit(spark, src, v1)
+    IncrementalRollup.refreshAdditive(spark, src, roll, Seq("id"), Seq("grp"), Seq("x"))
+    val expected = v1.groupBy($"grp").agg(count(lit(1)).alias("n_rows"),
+      sum($"x".cast("decimal(30,6)")).cast("double").alias("sum_x"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(IncrementalRollup.read(spark, roll)
+      .as[(String, Long, Double)].collect().toSet == expected)
+  }
+
+  test("refreshBy rejects a derived key that shadows a source column") {
+    val root = Files.createTempDirectory("irollup9").toString
+    SnapshotManifest.commit(spark, s"$root/src", v0)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalRollup.refreshBy(spark, s"$root/src", s"$root/rollup",
+        Seq("id"), Seq("x" -> upper($"grp")),
+        Seq(sum($"x".cast("decimal(30,6)")).cast("double").alias("sum_x")))
+    }
+    assert(e.getMessage.contains("collides with a source column"))
+  }
+
   test("refresh without a committed source fails fast") {
     val root = Files.createTempDirectory("irollup3").toString
     val e = intercept[IllegalStateException] {

@@ -152,6 +152,27 @@ class StreamingAnnIngestSpec extends SparkSpec {
     assert(StreamingAnnIngest.currentIndex(spark, indexDir).count() == 6)
   }
 
+  test("mixing raw ingest/serving into a CODED index fails fast (no silent type skew)") {
+    val root = Files.createTempDirectory("sannm").toString
+    val indexDir = s"$root/index"
+    val corpus4 = Seq(
+      (1L, Array(1.0, 0.05, 0.0, 0.1)), (2L, Array(0.0, 0.1, 1.0, 0.05)),
+      (3L, Array(0.9, 0.1, 0.05, 0.0)), (4L, Array(0.05, 0.0, 0.95, 0.1))
+    ).toDF("vec_id", "embedding")
+    StreamingAnnIngest.bootstrapCodedIndex(spark, corpus4, indexDir,
+      cells = 2, m = 2, numCentroids = 3)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Double])]
+    mem.addData(Seq((10L, Array(0.5, 0.5, 0.5, 0.5))))
+    val e1 = intercept[IllegalStateException] { ingest(mem, indexDir, s"$root/ckpt") }
+    assert(e1.getMessage.contains("CODED"))
+    val queries = Seq((100L, Array(1.0, 0.0, 0.0, 0.0))).toDF("query_id", "embedding")
+    val e2 = intercept[IllegalStateException] {
+      StreamingAnnIngest.serveTopK(spark, indexDir, queries, k = 1)
+    }
+    assert(e2.getMessage.contains("serveCodedTopK"))
+  }
+
   test("runAvailableNow without a bootstrap index fails fast") {
     val root = Files.createTempDirectory("sann2").toString
     implicit val sqlCtx = spark.sqlContext
