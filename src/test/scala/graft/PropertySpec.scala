@@ -358,4 +358,76 @@ class PropertySpec extends SparkSpec {
     }
     assert(byIter.last < byIter.head, s"refinement never helped: $byIter")
   }
+
+  test("fuzzy blocking: EVERY single-edit pair is a candidate, at every string length") {
+    import spark.implicits._
+    // random canonical-alphabet strings + one random edit each — the
+    // blocking guarantee (prefix/suffix windows for long strings, deletion
+    // neighborhood for short ones, window keys across the length boundary)
+    // must produce every planted pair regardless of edit position
+    val alpha = Gen.choose('a', 'z')
+    val strGen = for {
+      len <- Gen.choose(1, 24)
+      cs <- Gen.listOfN(len, alpha)
+    } yield cs.mkString
+    val editGen = for {
+      s <- strGen
+      op <- Gen.choose(0, 2)
+      pos <- Gen.choose(0, math.max(0, s.length - 1))
+      ch <- alpha
+    } yield {
+      val edited = op match {
+        case 0 => s.substring(0, pos) + ch + s.substring(pos) // insert
+        case 1 if s.length > 1 => s.substring(0, pos) + s.substring(pos + 1) // delete
+        case _ => s.substring(0, pos) + ch + s.substring(pos + 1) // substitute
+      }
+      (s, edited)
+    }
+    val cases = samples(editGen, 120).zipWithIndex
+      .filter { case ((a, b), _) => a != b } // substitution may pick the same char
+    val rows = cases.flatMap { case ((a, b), i) =>
+      Seq((i.toLong * 2, a, i), (i.toLong * 2 + 1, b, i))
+    }.toDF("id", "name", "case_id")
+    val pairs = graft.operators.FuzzyMatch.blockedCandidatePairs(
+      rows, "id", "name", maxBlockSize = 100000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val missing = cases.filter { case (_, i) =>
+      !pairs.contains((i.toLong * 2, i.toLong * 2 + 1))
+    }
+    assert(missing.isEmpty,
+      s"single-edit pairs not blocked together: ${missing.take(5).map(_._1)}")
+  }
+
+  test("incremental rollup: random churn converges to the from-scratch aggregation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.IncrementalRollup
+    import graft.sources.SnapshotManifest
+    val grpGen = Gen.oneOf("a", "b", "c", "d")
+    val rowGen = for { g <- grpGen; x <- Gen.choose(-50, 50) } yield (g, x.toDouble)
+    (0 until 3).foreach { trial =>
+      val root = java.nio.file.Files.createTempDirectory(s"proproll$trial").toString
+      val v0rows = samples(rowGen, 40).zipWithIndex.map { case ((g, x), i) => (i.toLong, g, x) }
+      // churn: drop ids ≡ 0 (mod 3), rewrite ids ≡ 1 (group move + value),
+      // insert a fresh tail
+      val v1rows = v0rows.filter(_._1 % 3 != 0).map {
+        case (id, g, x) if id % 3 == 1 => (id, if (g == "a") "b" else "a", x + 7.5)
+        case r => r
+      } ++ samples(rowGen, 10).zipWithIndex.map { case ((g, x), i) => (1000L + i, g, x) }
+      val aggs = Seq(count(lit(1)).alias("n"),
+        sum($"x".cast("decimal(30,6)")).cast("double").alias("sum_x"),
+        min($"x").alias("min_x"))
+      val (src, roll) = (s"$root/src", s"$root/roll")
+      SnapshotManifest.commit(spark, src, v0rows.toDF("id", "grp", "x"))
+      IncrementalRollup.refresh(spark, src, roll, Seq("id"), Seq("grp"), aggs)
+      SnapshotManifest.commit(spark, src, v1rows.toDF("id", "grp", "x"))
+      IncrementalRollup.refresh(spark, src, roll, Seq("id"), Seq("grp"), aggs)
+      val expected = v1rows.toDF("id", "grp", "x")
+        .groupBy($"grp").agg(aggs.head, aggs.tail: _*)
+        .as[(String, Long, Double, Double)].collect().toSet
+      val got = IncrementalRollup.read(spark, roll)
+        .as[(String, Long, Double, Double)].collect().toSet
+      assert(got == expected, s"trial $trial diverged")
+    }
+  }
 }
