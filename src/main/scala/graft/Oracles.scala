@@ -2184,6 +2184,16 @@ object Oracles {
         |FROM cur GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Copy-on-write delete (q121): aggregate of the complement.
+    "q121_cow_delete" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderkey NOT BETWEEN 1000 AND 2000
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     "q94_ivf_serve" ->
       s"""$ivfRefinedCandsCte,
          |ranked AS (

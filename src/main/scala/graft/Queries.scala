@@ -2097,6 +2097,31 @@ object Queries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Copy-on-write DELETE ([[graft.sources.SnapshotManifest.deleteWhere]]):
+    * a range-clustered snapshot table drops a key range by rewriting ONLY
+    * the files whose stats admit a match (file reuse asserted in
+    * SnapshotManifestSpec; vacuum reclaims the old bytes — the compliance
+    * purge). The oracle aggregates the complement from the raw fixture:
+    * any wrongly-kept or wrongly-deleted row shifts the counts.
+    */
+  def q121CowDelete(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q121").toString
+    graft.sources.SnapshotManifest.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.deleteWhere(spark, root,
+      col("o_orderkey").between(1000, 2000), Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("sum_price"),
+        min(col("o_orderkey")).alias("min_key"),
+        max(col("o_orderkey")).alias("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2221,6 +2246,7 @@ object Queries {
     "q117_additive_rollup" -> (q117AdditiveRollup _),
     "q118_fuzzy_match" -> (q118FuzzyMatch _),
     "q119_distinct_rollup" -> (q119DistinctRollup _),
-    "q120_incremental_ivfpq" -> (q120IncrementalIvfPq _)
+    "q120_incremental_ivfpq" -> (q120IncrementalIvfPq _),
+    "q121_cow_delete" -> (q121CowDelete _)
   )
 }

@@ -156,6 +156,70 @@ object SnapshotManifest {
     fs.exists(new Path(rootPath, manifestName(version)))
   }
 
+  /** File-level copy-on-write DELETE: commit a new snapshot without the
+    * rows matching `predicate`, rewriting ONLY the files whose manifest
+    * stats admit a match — every other file is reused byte-for-byte (its
+    * manifest line, stats included, carries over verbatim). At 100 TB with
+    * a range-clustered layout, deleting one key touches the handful of
+    * files whose range contains it, not the table; the prune decision is
+    * one driver-side manifest read. SQL DELETE null semantics: a row where
+    * the predicate evaluates NULL is NOT deleted.
+    *
+    * The deleted rows remain readable in SUPERSEDED versions until
+    * [[vacuum]] reclaims them — a compliance purge ("this key must be
+    * unreadable NOW") is `deleteWhere` + `vacuum(keep = 1)`.
+    *
+    * `statsCols` stats are recorded for the REWRITTEN files (kept files
+    * keep whatever stats they had); pass the same columns the table
+    * commits with so pruning keeps working after the delete.
+    *
+    * @return the committed version (the CURRENT version unchanged if no
+    *         file could contain a match — a no-op delete commits nothing)
+    */
+  def deleteWhere(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val (fs, rootPath) = fsOf(spark, root)
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"deleteWhere: no committed snapshot under $root"))
+    val affected = prunedFiles(spark, root, v, predicate).toSet
+    if (affected.isEmpty) return v // no file can contain a match
+    // kept manifest lines carry over verbatim (path AND stats)
+    val text = CommitProtocol.readFully(fs, new Path(rootPath, manifestName(v)))
+    val keptLines = text.split('\n').map(_.trim).filter(_.nonEmpty).drop(1)
+      .filterNot(line =>
+        affected.contains(new Path(rootPath, line.split('\t').head).toString))
+    val next = v + 1
+    val dirName = s"${dataDirName(next)}-${java.util.UUID.randomUUID.toString.take(8)}"
+    val dataDir = new Path(rootPath, new Path("data", dirName))
+    spark.read.parquet(affected.toSeq: _*)
+      .filter(not(coalesce(predicate, lit(false))))
+      .write.parquet(dataDir.toString)
+    val stats =
+      if (statsCols.isEmpty) Map.empty[String, ManifestStats.FileStats]
+      else ManifestStats.collect(spark.read.parquet(dataDir.toString), statsCols)
+    val emptyStats = ManifestStats.FileStats(0L,
+      statsCols.map(_ -> ManifestStats.ColStats(None, None, 0L)).toMap)
+    val newLines = fs.listStatus(dataDir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"data/$dirName/${s.getPath.getName}")
+      .sorted
+      .map { f =>
+        if (statsCols.isEmpty) f
+        else f + "\t" + ManifestStats.toJson(stats.getOrElse(new Path(f).getName, emptyStats))
+      }
+    val manifest = new Path(rootPath, manifestName(next))
+    val won = CommitProtocol.publishFile(fs, manifest,
+      (s"version=$next\n" + (keptLines ++ newLines).mkString("", "\n", "\n")).getBytes("UTF-8"))
+    if (!won)
+      throw new java.io.IOException(
+        s"deleteWhere: version $next already committed by a concurrent writer; " +
+          s"re-read the table and retry; staged data left at $dataDir " +
+          "(unreferenced — vacuum sweeps it)")
+    next
+  }
+
   /** Time travel: read an explicit committed snapshot `version`. Every
     * superseded version stays fully readable until [[vacuum]] reclaims it
     * (data files are immutable and manifests are never rewritten), so this
@@ -340,8 +404,14 @@ object SnapshotManifest {
     // live set FIRST, from the manifests that will survive (everything not
     // doomed — including too-young superseded ones): any dir under data/
     // outside this set is unreachable garbage once the doomed manifests go
-    val keptDirs = versions.filterNot(doomed.contains).flatMap(v =>
-      snapshotFiles(spark, root, v).map(f => new Path(f).getParent.getName)).toSet
+    // (dirName, fileName) keys, not path strings: listStatus returns
+    // scheme-qualified paths (file:/...) while manifest-derived paths are
+    // scheme-less — string comparison would mark EVERY file unreferenced
+    val keptFiles = versions.filterNot(doomed.contains).flatMap(v =>
+      snapshotFiles(spark, root, v).map { f =>
+        val p = new Path(f); (p.getParent.getName, p.getName)
+      }).toSet
+    val keptDirs = keptFiles.map(_._1)
     doomed.foreach { v =>
       // manifest FIRST: once it is gone the version no longer exists, and
       // its data dir is invisible garbage — a reader can never observe a
@@ -361,6 +431,22 @@ object SnapshotManifest {
             s.getModificationTime <= cutoff) {
           if (!fs.delete(s.getPath, true))
             throw new java.io.IOException(s"vacuum: cannot delete ${s.getPath}")
+        } else if (s.isDirectory && keptDirs.contains(s.getPath.getName)) {
+          // FILE-level sweep inside referenced dirs: [[deleteWhere]] shares
+          // files across versions, so a kept dir can hold parquet files no
+          // surviving manifest references (a rewritten file's old copy —
+          // exactly the bytes a compliance purge must reclaim). Committed
+          // dirs are immutable-once-published, so an unreferenced parquet
+          // file here is never an in-flight write; the age gate still
+          // applies for symmetry with the dir sweep.
+          fs.listStatus(s.getPath).foreach { f =>
+            if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+                !keptFiles.contains((s.getPath.getName, f.getPath.getName)) &&
+                f.getModificationTime <= cutoff) {
+              if (!fs.delete(f.getPath, false))
+                throw new java.io.IOException(s"vacuum: cannot delete ${f.getPath}")
+            }
+          }
         }
       }
     }

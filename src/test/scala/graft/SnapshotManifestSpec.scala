@@ -180,6 +180,74 @@ class SnapshotManifestSpec extends SparkSpec {
     assert(SnapshotManifest.read(spark, root).count() == 2)
   }
 
+  test("deleteWhere: copy-on-write — only stats-affected files rewrite, kept lines carry verbatim") {
+    val root = newRoot()
+    // range-clustered commit with stats: keys 1-100 over 4 files
+    val rows = (1L to 100L).map(i => (i, s"payload_$i")).toDF("id", "x")
+    SnapshotManifest.commit(spark, root,
+      rows.repartitionByRange(4, $"id"), Seq("id"))
+    val v0Files = SnapshotManifest.snapshotFiles(spark, root, 0L).toSet
+
+    val v1 = SnapshotManifest.deleteWhere(spark, root,
+      $"id".between(10, 15), Seq("id"))
+    assert(v1 == 1L)
+    val v1Files = SnapshotManifest.snapshotFiles(spark, root, 1L).toSet
+    // most of v0's files are REUSED byte-for-byte (same absolute paths)
+    val shared = v0Files intersect v1Files
+    assert(shared.nonEmpty, "no file reuse — delete rewrote everything")
+    assert((v1Files -- v0Files).nonEmpty, "no rewritten file appeared")
+    // rows gone from the current snapshot, intact in the superseded one
+    assert(SnapshotManifest.read(spark, root)
+      .filter($"id".between(10, 15)).count() == 0)
+    assert(SnapshotManifest.read(spark, root).count() == 94)
+    assert(SnapshotManifest.readVersion(spark, root, 0L)
+      .filter($"id".between(10, 15)).count() == 6)
+    // stats survive for kept files AND are recorded for rewritten ones:
+    // a narrow read still prunes to fewer files than the table holds
+    val pruned = SnapshotManifest.prunedFiles(spark, root, 1L, $"id" === 99L)
+    assert(pruned.size < v1Files.size)
+    // no-op delete (nothing can match) commits nothing
+    assert(SnapshotManifest.deleteWhere(spark, root, $"id" > 1000L, Seq("id")) == 1L)
+    assert(SnapshotManifest.currentVersion(spark, root).contains(1L))
+  }
+
+  test("deleteWhere: NULL predicate rows are kept (SQL DELETE semantics)") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      Seq((1L, Some(5.0)), (2L, None), (3L, Some(50.0))).toDF("id", "score"))
+    SnapshotManifest.deleteWhere(spark, root, $"score" > 10.0)
+    assert(SnapshotManifest.read(spark, root)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("purge: deleteWhere + vacuum reclaims the rewritten file's old bytes inside a shared dir") {
+    val root = newRoot()
+    val fs = hfs(root)
+    SnapshotManifest.commit(spark, root,
+      (1L to 100L).map(i => (i, s"secret_$i")).toDF("id", "x")
+        .repartitionByRange(4, $"id"), Seq("id"))
+    val v0Files = SnapshotManifest.snapshotFiles(spark, root, 0L).toSet
+    SnapshotManifest.deleteWhere(spark, root, $"id".between(10, 15), Seq("id"))
+    val v1Files = SnapshotManifest.snapshotFiles(spark, root, 1L).toSet
+    val dereferenced = v0Files -- v1Files
+    assert(dereferenced.nonEmpty)
+    dereferenced.foreach(f => assert(fs.exists(new Path(f)))) // bytes still there pre-vacuum
+    SnapshotManifest.vacuum(spark, root, keep = 1)
+    // the old copies (the purged rows' bytes) are gone, the shared files
+    // the current manifest references are not
+    dereferenced.foreach(f => assert(!fs.exists(new Path(f)), s"purged bytes survive: $f"))
+    v1Files.foreach(f => assert(fs.exists(new Path(f)), s"live file vacuumed: $f"))
+    assert(SnapshotManifest.read(spark, root).count() == 94)
+  }
+
+  test("deleteWhere removing every row leaves a readable empty snapshot") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "x"))
+    SnapshotManifest.deleteWhere(spark, root, lit(true))
+    assert(SnapshotManifest.read(spark, root).count() == 0)
+    assert(SnapshotManifest.read(spark, root).columns.toSeq == Seq("id", "x"))
+  }
+
   test("readVersion time-travels; changesBetween classifies the row-level feed") {
     val root = newRoot()
     SnapshotManifest.commit(spark, root,
