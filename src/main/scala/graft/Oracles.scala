@@ -2194,6 +2194,20 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Copy-on-write update (q122): the same CASE applied to the fixture.
+    "q122_cow_update" ->
+      """WITH cur AS (
+        |  SELECT
+        |    CASE WHEN o_orderkey BETWEEN 1000 AND 2000 THEN 'D'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey BETWEEN 1000 AND 2000 THEN o_totalprice * 0.5
+        |         ELSE o_totalprice END AS p
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(p AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        |FROM cur GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     "q94_ivf_serve" ->
       s"""$ivfRefinedCandsCte,
          |ranked AS (

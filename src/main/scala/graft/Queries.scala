@@ -2122,6 +2122,31 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Copy-on-write UPDATE ([[graft.sources.SnapshotManifest.updateWhere]]):
+    * q121's twin — a key range gets its price discounted and status
+    * rewritten in place, rewriting only the stats-affected files. SET
+    * expressions evaluate on the pre-update row (SQL UPDATE); the oracle
+    * applies the same CASE to the raw fixture.
+    */
+  def q122CowUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q122").toString
+    graft.sources.SnapshotManifest.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.updateWhere(spark, root,
+      col("o_orderkey").between(1000, 2000),
+      Map("o_totalprice" -> (col("o_totalprice") * 0.5),
+        "o_orderstatus" -> lit("D")),
+      Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2247,6 +2272,7 @@ object Queries {
     "q118_fuzzy_match" -> (q118FuzzyMatch _),
     "q119_distinct_rollup" -> (q119DistinctRollup _),
     "q120_incremental_ivfpq" -> (q120IncrementalIvfPq _),
-    "q121_cow_delete" -> (q121CowDelete _)
+    "q121_cow_delete" -> (q121CowDelete _),
+    "q122_cow_update" -> (q122CowUpdate _)
   )
 }

@@ -180,9 +180,49 @@ object SnapshotManifest {
       predicate: org.apache.spark.sql.Column,
       statsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
+    rewriteWhere(spark, root, predicate, statsCols, "deleteWhere",
+      _.filter(not(coalesce(predicate, lit(false)))))
+  }
+
+  /** Copy-on-write UPDATE — [[deleteWhere]]'s twin: rows matching
+    * `predicate` get each `assignments` column replaced by its expression
+    * (evaluated on the pre-update row, like SQL UPDATE SET); everything
+    * else — rows in affected files that don't match, and every
+    * unaffected file byte-for-byte — is untouched. NULL-predicate rows
+    * are not updated. Same stats-pruned rewrite, manifest-line reuse,
+    * and no-op short-circuit as delete.
+    */
+  def updateWhere(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(assignments.nonEmpty, "updateWhere: no SET assignments")
+    val hit = coalesce(predicate, lit(false))
+    rewriteWhere(spark, root, predicate, statsCols, "updateWhere", { df =>
+      val cols = df.columns.toSeq
+      assignments.keys.foreach(c => require(cols.contains(c),
+        s"updateWhere: SET column '$c' not in ${cols.mkString(", ")}"))
+      // all assignments evaluate against the PRE-update row (SQL UPDATE):
+      // one select, no chained withColumn ordering hazard
+      df.select(cols.map { c =>
+        assignments.get(c)
+          .map(e => when(hit, e).otherwise(col(c)).alias(c))
+          .getOrElse(col(c))
+      }: _*)
+    })
+  }
+
+  /** The shared copy-on-write rewrite under [[deleteWhere]]/[[updateWhere]]:
+    * stats-prune the affected files, apply `transform` to their rows,
+    * commit kept manifest lines (verbatim) + the rewritten files.
+    */
+  private def rewriteWhere(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column, statsCols: Seq[String],
+      op: String, transform: DataFrame => DataFrame): Long = {
     val (fs, rootPath) = fsOf(spark, root)
     val v = currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"deleteWhere: no committed snapshot under $root"))
+      throw new IllegalStateException(s"$op: no committed snapshot under $root"))
     val affected = prunedFiles(spark, root, v, predicate).toSet
     if (affected.isEmpty) return v // no file can contain a match
     // kept manifest lines carry over verbatim (path AND stats)
@@ -193,8 +233,7 @@ object SnapshotManifest {
     val next = v + 1
     val dirName = s"${dataDirName(next)}-${java.util.UUID.randomUUID.toString.take(8)}"
     val dataDir = new Path(rootPath, new Path("data", dirName))
-    spark.read.parquet(affected.toSeq: _*)
-      .filter(not(coalesce(predicate, lit(false))))
+    transform(spark.read.parquet(affected.toSeq: _*))
       .write.parquet(dataDir.toString)
     val stats =
       if (statsCols.isEmpty) Map.empty[String, ManifestStats.FileStats]
@@ -214,7 +253,7 @@ object SnapshotManifest {
       (s"version=$next\n" + (keptLines ++ newLines).mkString("", "\n", "\n")).getBytes("UTF-8"))
     if (!won)
       throw new java.io.IOException(
-        s"deleteWhere: version $next already committed by a concurrent writer; " +
+        s"$op: version $next already committed by a concurrent writer; " +
           s"re-read the table and retry; staged data left at $dataDir " +
           "(unreferenced — vacuum sweeps it)")
     next

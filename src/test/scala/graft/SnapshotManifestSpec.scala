@@ -240,6 +240,31 @@ class SnapshotManifestSpec extends SparkSpec {
     assert(SnapshotManifest.read(spark, root).count() == 94)
   }
 
+  test("updateWhere: SET evaluates on the pre-update row; non-matching rows and files untouched") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      (1L to 100L).map(i => (i, i * 10.0, s"r$i")).toDF("id", "price", "tag")
+        .repartitionByRange(4, $"id"), Seq("id"))
+    val v0Files = SnapshotManifest.snapshotFiles(spark, root, 0L).toSet
+    val v1 = SnapshotManifest.updateWhere(spark, root, $"id".between(10, 12),
+      Map("price" -> ($"price" * 2), "tag" -> concat($"tag", lit("_x"))), Seq("id"))
+    assert(v1 == 1L)
+    // file reuse as with delete
+    val v1Files = SnapshotManifest.snapshotFiles(spark, root, 1L).toSet
+    assert((v0Files intersect v1Files).nonEmpty && (v1Files -- v0Files).nonEmpty)
+    val out = SnapshotManifest.read(spark, root)
+      .filter($"id".between(9, 13)).orderBy($"id")
+      .as[(Long, Double, String)].collect().toSeq
+    assert(out == Seq((9L, 90.0, "r9"), (10L, 200.0, "r10_x"), (11L, 220.0, "r11_x"),
+      (12L, 240.0, "r12_x"), (13L, 130.0, "r13")))
+    assert(SnapshotManifest.read(spark, root).count() == 100)
+    // unknown SET column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      SnapshotManifest.updateWhere(spark, root, $"id" === 1L, Map("nope" -> lit(1)))
+    }
+    assert(e.getMessage.contains("SET column"))
+  }
+
   test("deleteWhere removing every row leaves a readable empty snapshot") {
     val root = newRoot()
     SnapshotManifest.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "x"))
