@@ -204,10 +204,15 @@ object SnapshotManifest {
       assignments.keys.foreach(c => require(cols.contains(c),
         s"updateWhere: SET column '$c' not in ${cols.mkString(", ")}"))
       // all assignments evaluate against the PRE-update row (SQL UPDATE):
-      // one select, no chained withColumn ordering hazard
+      // one select, no chained withColumn ordering hazard. Cast back to the
+      // column's ORIGINAL type: a widening assignment (decimal*double,
+      // int+long) would otherwise write rewritten files whose parquet
+      // schema diverges from the verbatim-kept files and corrupt the
+      // mixed-file read; incompatible assignments fail analysis loudly.
       df.select(cols.map { c =>
         assignments.get(c)
-          .map(e => when(hit, e).otherwise(col(c)).alias(c))
+          .map(e => when(hit, e).otherwise(col(c))
+            .cast(df.schema(c).dataType).alias(c))
           .getOrElse(col(c))
       }: _*)
     })
@@ -215,7 +220,10 @@ object SnapshotManifest {
 
   /** The shared copy-on-write rewrite under [[deleteWhere]]/[[updateWhere]]:
     * stats-prune the affected files, apply `transform` to their rows,
-    * commit kept manifest lines (verbatim) + the rewritten files.
+    * commit kept manifest lines (verbatim) + the rewritten files. ONE
+    * manifest read answers files, stats, and kept lines; the predicate
+    * schema resolves from a single file (every file of a snapshot shares
+    * it) — at 100k files the driver never lists the unaffected ones.
     */
   private def rewriteWhere(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column, statsCols: Seq[String],
@@ -223,32 +231,66 @@ object SnapshotManifest {
     val (fs, rootPath) = fsOf(spark, root)
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$op: no committed snapshot under $root"))
-    val affected = prunedFiles(spark, root, v, predicate).toSet
+    val text = CommitProtocol.readFully(fs, new Path(rootPath, manifestName(v)))
+    val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
+    require(lines.headOption.contains(s"version=$v"),
+      s"corrupt manifest for version $v: bad header ${lines.headOption}")
+    val body = lines.tail.toSeq
+    if (body.isEmpty) return v
+    def fileOf(line: String) = new Path(rootPath, line.split('\t').head).toString
+    val files = body.map(fileOf)
+    val statsByName = body.flatMap(_.split('\t') match {
+      case Array(rel, json) =>
+        Some(new Path(rel).getName -> ManifestStats.fromJson(json))
+      case _ => None
+    }).toMap
+    val schema = spark.read.parquet(files.head).schema
+    val affected = ManifestStats.prune(files, statsByName,
+      ManifestStats.resolvePredicate(spark, schema, predicate)).toSet
     if (affected.isEmpty) return v // no file can contain a match
     // kept manifest lines carry over verbatim (path AND stats)
-    val text = CommitProtocol.readFully(fs, new Path(rootPath, manifestName(v)))
-    val keptLines = text.split('\n').map(_.trim).filter(_.nonEmpty).drop(1)
-      .filterNot(line =>
-        affected.contains(new Path(rootPath, line.split('\t').head).toString))
-    val next = v + 1
+    val keptLines = body.filterNot(line => affected.contains(fileOf(line)))
+    stageAndPublish(spark, fs, rootPath, v + 1,
+      transform(spark.read.parquet(affected.toSeq: _*)), statsCols, keptLines,
+      op, requireFiles = false)
+  }
+
+  /** Stage `df` into a fresh uniquely-nonced data dir for version `next`,
+    * collect optional per-file stats, and atomically publish the manifest
+    * (`keptLines` verbatim + the new file lines) — the ONE publish path
+    * [[commit]], [[deleteWhere]], and [[updateWhere]] all go through.
+    */
+  private def stageAndPublish(spark: SparkSession, fs: FileSystem, rootPath: Path,
+      next: Long, df: DataFrame, statsCols: Seq[String], keptLines: Seq[String],
+      op: String, requireFiles: Boolean): Long = {
+    // unique per-attempt staging: the version prefix is advisory (for
+    // humans); the nonce is what makes racing attempts disjoint. A crashed
+    // or lost-race attempt leaves an unreferenced dir that vacuum sweeps.
     val dirName = s"${dataDirName(next)}-${java.util.UUID.randomUUID.toString.take(8)}"
     val dataDir = new Path(rootPath, new Path("data", dirName))
-    transform(spark.read.parquet(affected.toSeq: _*))
-      .write.parquet(dataDir.toString)
+    df.write.parquet(dataDir.toString)
     val stats =
       if (statsCols.isEmpty) Map.empty[String, ManifestStats.FileStats]
       else ManifestStats.collect(spark.read.parquet(dataDir.toString), statsCols)
-    val emptyStats = ManifestStats.FileStats(0L,
-      statsCols.map(_ -> ManifestStats.ColStats(None, None, 0L)).toMap)
-    val newLines = fs.listStatus(dataDir)
+    val files = fs.listStatus(dataDir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"data/$dirName/${s.getPath.getName}")
       .sorted
-      .map { f =>
-        if (statsCols.isEmpty) f
-        else f + "\t" + ManifestStats.toJson(stats.getOrElse(new Path(f).getName, emptyStats))
-      }
+    if (requireFiles)
+      require(files.nonEmpty, s"$op: write produced no parquet files under $dataDir")
+    // a ZERO-ROW part file produces no aggregation group: record it as
+    // rows=0 (prunable by construction) rather than stats-less (never
+    // pruned) — the empty file can satisfy no predicate
+    val emptyStats = ManifestStats.FileStats(0L,
+      statsCols.map(_ -> ManifestStats.ColStats(None, None, 0L)).toMap)
+    val newLines = files.map { f =>
+      if (statsCols.isEmpty) f
+      else f + "\t" + ManifestStats.toJson(stats.getOrElse(new Path(f).getName, emptyStats))
+    }
     val manifest = new Path(rootPath, manifestName(next))
+    // THE commit point: one atomic file publish. False = a concurrent
+    // writer committed this version first — fail loudly, leave their
+    // snapshot intact, and surface our staged data for inspection.
     val won = CommitProtocol.publishFile(fs, manifest,
       (s"version=$next\n" + (keptLines ++ newLines).mkString("", "\n", "\n")).getBytes("UTF-8"))
     if (!won)
@@ -354,41 +396,8 @@ object SnapshotManifest {
       statsCols: Seq[String]): Long = {
     val (fs, rootPath) = fsOf(spark, root)
     val next = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
-    // unique per-attempt staging: the version prefix is advisory (for
-    // humans); the nonce is what makes racing attempts disjoint. A crashed
-    // or lost-race attempt leaves an unreferenced dir that vacuum sweeps.
-    val dirName = s"${dataDirName(next)}-${java.util.UUID.randomUUID.toString.take(8)}"
-    val dataDir = new Path(rootPath, new Path("data", dirName))
-    df.write.parquet(dataDir.toString)
-    val stats =
-      if (statsCols.isEmpty) Map.empty[String, ManifestStats.FileStats]
-      else ManifestStats.collect(spark.read.parquet(dataDir.toString), statsCols)
-    val files = fs.listStatus(dataDir)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"data/$dirName/${s.getPath.getName}")
-      .sorted
-    require(files.nonEmpty, s"commit: write produced no parquet files under $dataDir")
-    // a ZERO-ROW part file produces no aggregation group: record it as
-    // rows=0 (prunable by construction) rather than stats-less (never
-    // pruned) — the empty file can satisfy no predicate
-    val emptyStats = ManifestStats.FileStats(0L,
-      statsCols.map(_ -> ManifestStats.ColStats(None, None, 0L)).toMap)
-    val lines = files.map { f =>
-      if (statsCols.isEmpty) f
-      else f + "\t" + ManifestStats.toJson(stats.getOrElse(new Path(f).getName, emptyStats))
-    }
-    val manifest = new Path(rootPath, manifestName(next))
-    // THE commit point: one atomic file publish. False = a concurrent
-    // writer committed this version first — fail loudly, leave their
-    // snapshot intact, and surface our staged data for inspection.
-    val won = CommitProtocol.publishFile(fs, manifest,
-      (s"version=$next\n" + lines.mkString("", "\n", "\n")).getBytes("UTF-8"))
-    if (!won)
-      throw new java.io.IOException(
-        s"commit: version $next already committed by a concurrent writer; " +
-          s"re-read the table and retry; staged data left at $dataDir " +
-          "(unreferenced — vacuum sweeps it)")
-    next
+    stageAndPublish(spark, fs, rootPath, next, df, statsCols, Nil,
+      "commit", requireFiles = true)
   }
 
   /** Compact the current snapshot into ~`targetBytes` files as a NEW

@@ -10,8 +10,9 @@ import graft.sources.SqlScript
   */
 class PropertySpec extends SparkSpec {
 
-  private def samples[A](g: Gen[A], n: Int = 200): Seq[A] =
-    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)))
+  private def samples[A](g: Gen[A], n: Int = 200, seedBase: Long = 0L): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seedBase + i.toLong)))
 
   test("C2 deployment: never runs when both flags off; env-unset runs iff any flag on") {
     val envs = Gen.option(Gen.oneOf("prod", "dev", "staging", "", "PROD"))
@@ -373,13 +374,16 @@ class PropertySpec extends SparkSpec {
     val editGen = for {
       s <- strGen
       op <- Gen.choose(0, 2)
-      pos <- Gen.choose(0, math.max(0, s.length - 1))
+      // inserts may land AT the end (pos = len) — the append case perturbs
+      // the suffix window most; delete/substitute clamp to an existing char
+      pos <- Gen.choose(0, s.length)
       ch <- alpha
     } yield {
+      val cp = math.min(pos, s.length - 1)
       val edited = op match {
         case 0 => s.substring(0, pos) + ch + s.substring(pos) // insert
-        case 1 if s.length > 1 => s.substring(0, pos) + s.substring(pos + 1) // delete
-        case _ => s.substring(0, pos) + ch + s.substring(pos + 1) // substitute
+        case 1 if s.length > 1 => s.substring(0, cp) + s.substring(cp + 1) // delete
+        case _ => s.substring(0, cp) + ch + s.substring(cp + 1) // substitute
       }
       (s, edited)
     }
@@ -407,13 +411,15 @@ class PropertySpec extends SparkSpec {
     val rowGen = for { g <- grpGen; x <- Gen.choose(-50, 50) } yield (g, x.toDouble)
     (0 until 3).foreach { trial =>
       val root = java.nio.file.Files.createTempDirectory(s"proproll$trial").toString
-      val v0rows = samples(rowGen, 40).zipWithIndex.map { case ((g, x), i) => (i.toLong, g, x) }
+      val v0rows = samples(rowGen, 40, seedBase = trial * 1000L)
+        .zipWithIndex.map { case ((g, x), i) => (i.toLong, g, x) }
       // churn: drop ids ≡ 0 (mod 3), rewrite ids ≡ 1 (group move + value),
       // insert a fresh tail
       val v1rows = v0rows.filter(_._1 % 3 != 0).map {
         case (id, g, x) if id % 3 == 1 => (id, if (g == "a") "b" else "a", x + 7.5)
         case r => r
-      } ++ samples(rowGen, 10).zipWithIndex.map { case ((g, x), i) => (1000L + i, g, x) }
+      } ++ samples(rowGen, 10, seedBase = trial * 1000L + 500L)
+        .zipWithIndex.map { case ((g, x), i) => (1000L + i, g, x) }
       val aggs = Seq(count(lit(1)).alias("n"),
         sum($"x".cast("decimal(30,6)")).cast("double").alias("sum_x"),
         min($"x").alias("min_x"))
