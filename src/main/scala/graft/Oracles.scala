@@ -1396,7 +1396,7 @@ object Oracles {
         |SELECT k.lang, th.n_docs, th.threshold,
         |  CAST(count(*) AS BIGINT) AS n_kept,
         |  min(k.q) AS min_kept_q,
-        |  CAST(sum(k.q) AS DOUBLE) / count(*) AS mean_kept_q
+        |  round(CAST(sum(k.q) AS DOUBLE) / count(*), 8) AS mean_kept_q
         |FROM kept k JOIN th ON k.lang = th.lang
         |GROUP BY k.lang, th.n_docs, th.threshold
         |ORDER BY k.lang""".stripMargin,

@@ -87,7 +87,12 @@ object Thresholds {
     * whole histogram buckets — identical to summing per-row (the kept set
     * is `score >= threshold`, a union of complete buckets). With a decimal
     * `scoreCol` the sum is exact, so `mean_kept_q` matches a per-row
-    * aggregation bit-for-bit.
+    * aggregation bit-for-bit. The mean is reported `round(·, 8)`: the
+    * DECIMAL→DOUBLE cast before the divide is correctly rounded in Spark
+    * but integer-scaled (can land 1 ulp off) in other engines, so the raw
+    * quotient is not a cross-engine-stable hash input; 8 digits is beyond
+    * any real curation decision and pins the bits (same canonicalization
+    * as the recall/score reports elsewhere in this engine).
     */
   def groupQuantileSummary(df: DataFrame, groupCol: String, scoreCol: String,
       q: Double): DataFrame = {
@@ -111,10 +116,10 @@ object Thresholds {
           .otherwise(lit(0L))).alias("n_kept"),
         min(when(col(scoreCol) >= col("threshold"), col(scoreCol)))
           .alias("min_kept_q"),
-        (sum(when(col(scoreCol) >= col("threshold"),
+        round(sum(when(col(scoreCol) >= col("threshold"),
             col(scoreCol) * col("__cnt"))).cast("double") /
           sum(when(col(scoreCol) >= col("threshold"), col("__cnt"))
-            .otherwise(lit(0L)))).alias("mean_kept_q"))
+            .otherwise(lit(0L))), 8).alias("mean_kept_q"))
   }
 
   /** Keep rows at-or-above their group's q-quantile score. The threshold

@@ -73,7 +73,7 @@ class ThresholdsSpec extends SparkSpec {
       val composedAligned = Thresholds.keepAboveGroupQuantile(corpus, "g", "s", q)
         .groupBy($"g")
         .agg(count(lit(1)).alias("n_kept"), min($"s").alias("min_kept_q"),
-          (sum($"s").cast("double") / count(lit(1))).alias("mean_kept_q"))
+          round(sum($"s").cast("double") / count(lit(1)), 8).alias("mean_kept_q"))
         .join(Thresholds.groupQuantileDisc(corpus, "g", "s", q)
                 .select($"g", $"threshold", $"n"), Seq("g"))
         .select($"g", $"n", $"threshold", $"n_kept", $"min_kept_q", $"mean_kept_q")
@@ -114,7 +114,7 @@ class ThresholdsSpec extends SparkSpec {
     val composed = Thresholds.keepAboveGroupQuantile(corpus, "g", "s", 0.5)
       .groupBy($"g")
       .agg(count(lit(1)).alias("n_kept"), min($"s").alias("min_kept_q"),
-        (sum($"s").cast("double") / count(lit(1))).alias("mean_kept_q"))
+        round(sum($"s").cast("double") / count(lit(1)), 8).alias("mean_kept_q"))
       .join(Thresholds.groupQuantileDisc(corpus, "g", "s", 0.5)
               .select($"g", $"threshold", $"n"), Seq("g"))
       .select($"g", $"n", $"threshold", $"n_kept", $"min_kept_q", $"mean_kept_q")
