@@ -42,13 +42,13 @@ object IncrementalRollup {
   private val VersionCol = "__src_version"
 
   /** The current rollup contents — the operator's OWN bookkeeping columns
-    * (the reflected-version stamp, additive `__nn_` non-null counts)
-    * dropped; user columns keep whatever names they have.
+    * (the reflected-version stamp, additive `__nn_` non-null counts and
+    * `__s_` exact decimal sums) dropped; user columns keep whatever names
+    * they have.
     */
   def read(spark: SparkSession, rollupRoot: String): DataFrame = {
     val df = SnapshotManifest.read(spark, rollupRoot)
-    df.drop(df.columns.filter(c =>
-      c == VersionCol || c.startsWith("__nn_")).toIndexedSeq: _*)
+    df.drop(df.columns.filter(_.startsWith("__")).toIndexedSeq: _*)
   }
 
   /** The reflected version of `lastV` is usable for an incremental diff
@@ -247,12 +247,20 @@ object IncrementalRollup {
   /** Additive-only refresh: maintain `sum_<m>` per measure plus `n_rows`,
     * applying the change feed as signed deltas — the source table itself is
     * NEVER scanned after the initial build. Sums ride DECIMAL(30,6) (exact,
-    * order-independent — a delta stream must not accumulate float error) and
-    * surface as doubles. Groups whose row count reaches zero drop out.
+    * order-independent — a delta stream must not accumulate float error)
+    * end to end: the STORED bookkeeping column `__s_<m>` is the exact
+    * decimal running sum, and the user-facing `sum_<m>` double is a derived
+    * view of it recomputed at every commit. Deriving (rather than storing
+    * only the double and re-entering decimal on the next merge) matters
+    * past |sum| ≈ 2^53/10^6: beyond that a double cannot carry six decimal
+    * places, so a double round-trip would absorb a rounding residue into
+    * every subsequent refresh — the exact column makes an arbitrarily long
+    * refresh chain bit-equal to a from-scratch aggregation. Groups whose
+    * row count reaches zero drop out.
     * Null measures contribute nothing to their sum (SQL SUM semantics) but
     * do count toward `n_rows`; a per-measure non-null count rides along as
-    * a `__`-prefixed bookkeeping column so a sum whose surviving inputs are
-    * all null lands on NULL (SQL SUM), not 0 — deltas alone cannot tell
+    * a `__nn_`-prefixed bookkeeping column so a sum whose surviving inputs
+    * are all null lands on NULL (SQL SUM), not 0 — deltas alone cannot tell
     * "sums to zero" from "nothing left to sum".
     */
   def refreshAdditive(spark: SparkSession, sourceRoot: String, rollupRoot: String,
@@ -272,21 +280,26 @@ object IncrementalRollup {
             .alias(s"__dn_$m"))): _*)
     def finish(df: DataFrame): DataFrame =
       df.select(groupKeys.map(col) ++ (col("n_rows") +:
-        measures.flatMap(m => Seq(
-          when(col(s"__dn_$m") === 0, lit(null))
-            .otherwise(col(s"__d_$m").cast("double")).alias(s"sum_$m"),
-          col(s"__dn_$m").alias(s"__nn_$m")))): _*)
-    // a rollup written before the __nn_ bookkeeping existed can't merge
-    // incrementally (the delta arithmetic needs the non-null counts) —
-    // rebuild it once instead of wedging every future refresh
-    val hasNnCols = SnapshotManifest.currentVersion(spark, rollupRoot).exists { _ =>
+        measures.flatMap { m =>
+          val s = coalesce(col(s"__d_$m"), lit(0).cast(dec)).cast(dec)
+          Seq(
+            when(col(s"__dn_$m") === 0, lit(null))
+              .otherwise(s.cast("double")).alias(s"sum_$m"),
+            s.alias(s"__s_$m"),
+            col(s"__dn_$m").alias(s"__nn_$m"))
+        }): _*)
+    // a rollup written before the __s_/__nn_ bookkeeping existed can't
+    // merge incrementally (the delta arithmetic needs the exact sums and
+    // non-null counts) — rebuild it once instead of wedging every future
+    // refresh
+    val hasBookkeeping = SnapshotManifest.currentVersion(spark, rollupRoot).exists { _ =>
       val cols = SnapshotManifest.read(spark, rollupRoot).columns.toSet
-      measures.forall(m => cols.contains(s"__nn_$m"))
+      measures.forall(m => cols.contains(s"__nn_$m") && cols.contains(s"__s_$m"))
     }
     reflectedVersion(spark, rollupRoot) match {
-      case Some(lastV) if lastV == srcV && hasNnCols =>
+      case Some(lastV) if lastV == srcV && hasBookkeeping =>
         SnapshotManifest.currentVersion(spark, rollupRoot).get
-      case Some(lastV) if hasNnCols && canDiffFrom(spark, sourceRoot, lastV) =>
+      case Some(lastV) if hasBookkeeping && canDiffFrom(spark, sourceRoot, lastV) =>
         val feed = SnapshotManifest.changesBetween(spark, sourceRoot, lastV, srcV, sourcePk)
         val signed = feed.withColumn("__sign",
           when(col("_change").isin("insert", "update_postimage"), lit(1))
@@ -295,11 +308,12 @@ object IncrementalRollup {
         val rollup = SnapshotManifest.read(spark, rollupRoot).drop(VersionCol)
         val keyCond = groupKeys.map(k => col(s"r.$k") <=> col(s"d.$k")).reduce(_ && _)
         // full outer: new groups appear (rollup side absent), dead groups
-        // drop (count reaches 0), existing groups add their delta. Sums
-        // re-enter DECIMAL for the addition — the doubles they surface as
-        // are exact images of 6-dp decimals, so the round-trip is lossless.
-        // NULL-vs-0: the merged non-null count decides, exactly as SQL SUM
-        // over the surviving rows would.
+        // drop (count reaches 0), existing groups add their delta. The
+        // addition runs entirely on the stored exact decimals (__s_ +
+        // feed delta) — the surfaced double is a derived view, never an
+        // input, so no refresh ever re-enters decimal through a lossy
+        // double. NULL-vs-0: the merged non-null count decides, exactly as
+        // SQL SUM over the surviving rows would.
         val merged = rollup.alias("r").join(delta.alias("d"), keyCond, "full_outer")
           .select(groupKeys.map(k => coalesce(col(s"r.$k"), col(s"d.$k")).alias(k)) ++
             ((coalesce(col("r.n_rows"), lit(0L)) + coalesce(col("d.n_rows"), lit(0L)))
@@ -307,12 +321,12 @@ object IncrementalRollup {
               measures.flatMap { m =>
                 val nn = coalesce(col(s"r.__nn_$m"), lit(0L)) +
                   coalesce(col(s"d.__dn_$m"), lit(0L))
+                val s = (coalesce(col(s"r.__s_$m"), lit(0).cast(dec)) +
+                  coalesce(col(s"d.__d_$m"), lit(0).cast(dec))).cast(dec)
                 Seq(
                   when(nn === 0, lit(null))
-                    .otherwise(
-                      (coalesce(col(s"r.sum_$m").cast(dec), lit(0).cast(dec)) +
-                        coalesce(col(s"d.__d_$m"), lit(0).cast(dec)))
-                        .cast("double")).alias(s"sum_$m"),
+                    .otherwise(s.cast("double")).alias(s"sum_$m"),
+                  s.alias(s"__s_$m"),
                   nn.alias(s"__nn_$m"))
               }): _*)
           .filter(col("n_rows") > 0)

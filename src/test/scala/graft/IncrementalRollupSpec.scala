@@ -150,6 +150,48 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(out == Set(("g", 1L, None), ("h", 1L, Some(2.0))))
   }
 
+  test("additive refresh chain past 2^53/1e6 stays exact (decimal bookkeeping, not a double round-trip)") {
+    // sums above ~9.007e9 cannot carry six decimal places in a double
+    // (ulp at 1.6e10 is ~3.8e-6), so bookkeeping that round-tripped the
+    // running sum through the surfaced double would absorb a residue on
+    // every refresh; the stored __s_ decimal must keep the chain equal to
+    // a from-scratch aggregation bit for bit
+    val root = Files.createTempDirectory("irollup11").toString
+    val (src, roll) = (s"$root/src", s"$root/rollup")
+    def mk(rows: Seq[(Long, String, String)]) =
+      rows.toDF("id", "grp", "xs")
+        .select($"id", $"grp", $"xs".cast("decimal(30,6)").alias("x"))
+    val s0 = mk(Seq((1L, "g", "16000000000.000001"), (2L, "g", "0.000002"),
+      (3L, "h", "1.500000")))
+    val s1 = mk(Seq((1L, "g", "16000000000.000001"), (2L, "g", "0.000003"),
+      (3L, "h", "1.500000"), (4L, "g", "0.000001")))
+    val s2 = mk(Seq((1L, "g", "16000000000.000001"), (2L, "g", "0.000003"),
+      (4L, "g", "0.000001"), (5L, "g", "7000000000.000005")))
+    SnapshotManifest.commit(spark, src, s0)
+    IncrementalRollup.refreshAdditive(spark, src, roll, Seq("id"), Seq("grp"), Seq("x"))
+    SnapshotManifest.commit(spark, src, s1)
+    IncrementalRollup.refreshAdditive(spark, src, roll, Seq("id"), Seq("grp"), Seq("x"))
+    SnapshotManifest.commit(spark, src, s2)
+    IncrementalRollup.refreshAdditive(spark, src, roll, Seq("id"), Seq("grp"), Seq("x"))
+    // internal exact sum after the chain == from-scratch decimal aggregation
+    val chained = SnapshotManifest.read(spark, roll)
+      .select($"grp", $"__s_x".cast("string"))
+      .as[(String, String)].collect().toMap
+    val scratch = s2.groupBy($"grp")
+      .agg(sum($"x").cast("decimal(30,6)").cast("string").alias("s"))
+      .as[(String, String)].collect().toMap
+    assert(chained == scratch, s"chained=$chained scratch=$scratch")
+    assert(chained("g") == "23000000000.000010")
+    // the surfaced double view is the cast of that same exact decimal
+    val view = IncrementalRollup.read(spark, roll)
+      .as[(String, Long, Double)].collect().toSet
+    val viewScratch = s2.groupBy($"grp").agg(
+      count(lit(1)).alias("n_rows"),
+      sum($"x").cast("decimal(30,6)").cast("double").alias("sum_x"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(view == viewScratch, s"view=$view scratch=$viewScratch")
+  }
+
   test("vacuumed from-version: refresh falls back to a full rebuild instead of throwing") {
     val root = Files.createTempDirectory("irollup7").toString
     val (src, roll) = (s"$root/src", s"$root/rollup")
