@@ -19,12 +19,25 @@ object Retry {
       maxAttempts: Int = 6,
       backoff: Int => FiniteDuration = linearBackoff(),
       sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)
+  )(thunk: => A): A =
+    retryWhen(NonFatal(_), maxAttempts, backoff, sleep)(thunk)
+
+  /** [[retry]] gated on a predicate: only failures `shouldRetry` admits are
+    * retried — anything else (and any fatal error) propagates immediately.
+    * The shape a commit-race loop needs: a lost optimistic-concurrency race
+    * is worth retrying, a broken frame is not.
+    */
+  def retryWhen[A](
+      shouldRetry: Throwable => Boolean,
+      maxAttempts: Int = 6,
+      backoff: Int => FiniteDuration = linearBackoff(),
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)
   )(thunk: => A): A = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     @tailrec def loop(attempt: Int): A = {
       val res =
         try Right(thunk)
-        catch { case NonFatal(e) => Left(e) }
+        catch { case NonFatal(e) if shouldRetry(e) => Left(e) }
       res match {
         case Right(a) => a
         case Left(e) if attempt + 1 >= maxAttempts => throw e

@@ -3,6 +3,21 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import scala.concurrent.duration._
+
+import graft.core.Retry
+
+/** A snapshot commit lost the optimistic-concurrency race: another writer
+  * published this version first. The losing attempt corrupted nothing (its
+  * staged data dir is unreferenced garbage until [[SnapshotManifest.vacuum]]
+  * sweeps it) and the table now holds the WINNER's snapshot — so the correct
+  * response is re-read-and-retry, which [[SnapshotManifest.commitWithRetry]]
+  * and the DML `*WithRetry` twins automate. An `IOException` subclass so
+  * pre-existing callers that matched on IOException still do.
+  */
+class ConcurrentCommitException(message: String)
+  extends java.io.IOException(message)
+
 /** Versioned snapshot-manifest table — the object-store-safe commit protocol
   * that upgrades the rename-swap sinks ([[graft.operators.Upsert.mergeAndSwap]],
   * [[PartitionedSink.compact]]) to an ATOMIC single-operation commit.
@@ -294,7 +309,7 @@ object SnapshotManifest {
     val won = CommitProtocol.publishFile(fs, manifest,
       (s"version=$next\n" + (keptLines ++ newLines).mkString("", "\n", "\n")).getBytes("UTF-8"))
     if (!won)
-      throw new java.io.IOException(
+      throw new ConcurrentCommitException(
         s"$op: version $next already committed by a concurrent writer; " +
           s"re-read the table and retry; staged data left at $dataDir " +
           "(unreferenced — vacuum sweeps it)")
@@ -399,6 +414,56 @@ object SnapshotManifest {
     stageAndPublish(spark, fs, rootPath, next, df, statsCols, Nil,
       "commit", requireFiles = true)
   }
+
+  /** [[commit]] wrapped in a bounded lost-race retry loop — the first-class
+    * form of the "loser must re-read and retry" contract for the common
+    * multi-writer warehouse (many pipelines committing into one table).
+    *
+    * `df` is BY-NAME and re-evaluated on every attempt: derive it from
+    * `SnapshotManifest.read(spark, root)` (or any read of current table
+    * state) inside the expression, so a retry recomputes the frame against
+    * the table AS THE WINNER LEFT IT — replaying a frame captured before
+    * the race would silently discard the winner's changes (the lost-update
+    * hazard the class doc describes). Only [[ConcurrentCommitException]] is
+    * retried; a broken frame (analysis error, bad data) propagates on the
+    * first attempt. Each lost attempt's staged dir is inert garbage for
+    * [[vacuum]], exactly as with a hand-rolled loop.
+    */
+  def commitWithRetry(spark: SparkSession, root: String, df: => DataFrame,
+      statsCols: Seq[String] = Nil, maxAttempts: Int = 5,
+      backoff: Int => FiniteDuration = Retry.linearBackoff(1.second),
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Long =
+    Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
+      maxAttempts, backoff, sleep)(commit(spark, root, df, statsCols))
+
+  /** [[deleteWhere]] with the same bounded lost-race retry as
+    * [[commitWithRetry]]. Safe to re-run as-is: every attempt re-reads the
+    * CURRENT version internally, so a retry deletes from the table as the
+    * winning writer left it, and `predicate` describes the rows to delete
+    * regardless of which snapshot they sit in.
+    */
+  def deleteWhereWithRetry(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column, statsCols: Seq[String] = Nil,
+      maxAttempts: Int = 5,
+      backoff: Int => FiniteDuration = Retry.linearBackoff(1.second),
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Long =
+    Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
+      maxAttempts, backoff, sleep)(
+      deleteWhere(spark, root, predicate, statsCols))
+
+  /** [[updateWhere]] with the same bounded lost-race retry as
+    * [[commitWithRetry]]; re-running re-reads the current version, so
+    * assignments evaluate against the winner's rows.
+    */
+  def updateWhereWithRetry(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      statsCols: Seq[String] = Nil, maxAttempts: Int = 5,
+      backoff: Int => FiniteDuration = Retry.linearBackoff(1.second),
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Long =
+    Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
+      maxAttempts, backoff, sleep)(
+      updateWhere(spark, root, predicate, assignments, statsCols))
 
   /** Compact the current snapshot into ~`targetBytes` files as a NEW
     * snapshot — same maintenance op as [[PartitionedSink.compact]], but the

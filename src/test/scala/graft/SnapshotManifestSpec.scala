@@ -180,6 +180,75 @@ class SnapshotManifestSpec extends SparkSpec {
     assert(SnapshotManifest.read(spark, root).count() == 2)
   }
 
+  test("commitWithRetry: two deliberate racers both land, serialized, loser recomputes") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root, Seq((0L, "base")).toDF("id", "x"))
+    // both writers read-modify-write: append one row to the CURRENT table.
+    // The latch releases both first attempts together, and staging a
+    // parquet write takes far longer than the subsequent currentVersion
+    // read — so both attempts target the same version and exactly one
+    // loses, retries, and recomputes against the winner's snapshot.
+    val firstAttempts = new java.util.concurrent.CountDownLatch(2)
+    val evals = new java.util.concurrent.atomic.AtomicInteger(0)
+    def appendRow(tag: Long) = SnapshotManifest.commitWithRetry(spark, root, {
+      evals.incrementAndGet()
+      val out = SnapshotManifest.read(spark, root)
+        .unionByName(Seq((tag, s"w$tag")).toDF("id", "x"))
+      firstAttempts.countDown()
+      firstAttempts.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      out
+    }, maxAttempts = 5, backoff = _ => Duration.Zero, sleep = _ => ())
+    val done = Await.result(Future.sequence(Seq(
+      Future(appendRow(1L)), Future(appendRow(2L)))), 120.seconds)
+    // serialized: versions 1 and 2, one per writer, in either order
+    assert(done.toSet == Set(1L, 2L), done.toString)
+    // the final table integrates BOTH writers — the loser's recompute saw
+    // the winner's row (a replayed pre-race frame would have dropped it)
+    assert(SnapshotManifest.read(spark, root).as[(Long, String)].collect().toSet ==
+      Set((0L, "base"), (1L, "w1"), (2L, "w2")))
+    // 2 first attempts + exactly 1 losing retry
+    assert(evals.get == 3, s"expected 3 frame evaluations, got ${evals.get}")
+  }
+
+  test("commitWithRetry: non-race failures propagate immediately, no retry") {
+    val root = newRoot()
+    val evals = new java.util.concurrent.atomic.AtomicInteger(0)
+    val e = intercept[IllegalStateException] {
+      SnapshotManifest.commitWithRetry(spark, root, {
+        evals.incrementAndGet()
+        throw new IllegalStateException("broken frame")
+      }, maxAttempts = 5, backoff = _ => scala.concurrent.duration.Duration.Zero,
+        sleep = _ => ())
+    }
+    assert(e.getMessage == "broken frame" && evals.get == 1)
+  }
+
+  test("racing DML twins: deleteWhereWithRetry + updateWhereWithRetry serialize, both effects land") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = newRoot()
+    val rows = (1L to 40L).map(i => (i, i * 10.0)).toDF("id", "x")
+    SnapshotManifest.commit(spark, root,
+      rows.repartitionByRange(4, $"id"), Seq("id"))
+    // launched together: each op re-reads the current version on entry, so
+    // whichever loses the manifest race retries against the other's result
+    val ops = Seq(
+      Future(SnapshotManifest.deleteWhereWithRetry(spark, root,
+        $"id".between(1, 5), Seq("id"),
+        backoff = _ => Duration.Zero, sleep = _ => ())),
+      Future(SnapshotManifest.updateWhereWithRetry(spark, root,
+        $"id".between(31, 40), Map("x" -> lit(-1.0)), Seq("id"),
+        backoff = _ => Duration.Zero, sleep = _ => ())))
+    Await.result(Future.sequence(ops), 120.seconds)
+    val out = SnapshotManifest.read(spark, root).as[(Long, Double)].collect().toSet
+    val expected = (6L to 40L).map(i => (i, if (i >= 31) -1.0 else i * 10.0)).toSet
+    assert(out == expected)
+  }
+
   test("deleteWhere: copy-on-write — only stats-affected files rewrite, kept lines carry verbatim") {
     val root = newRoot()
     // range-clustered commit with stats: keys 1-100 over 4 files
