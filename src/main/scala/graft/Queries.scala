@@ -2074,7 +2074,7 @@ object Queries {
     * a deterministically-dirtied twin of the part-name table (every
     * `%5==2` name loses its 6th character) matched back against the clean
     * names — prefix+suffix blocking, canonical levenshtein similarity,
-    * threshold 0.8. The oracle replays blocking, pairing, and scoring
+    * threshold 0.9. The oracle replays blocking, pairing, and scoring
     * verbatim; organically-similar part names that clear the threshold
     * count too, on both sides.
     */
@@ -2091,7 +2091,15 @@ object Queries {
       .select((col("p_partkey") + 10000000L).alias("id"),
         concat(substring(col("name"), 1, 5), substring(col("name"), 7, 100000))
           .alias("name"))
-    graft.operators.FuzzyMatch.fuzzyDuplicates(clean.unionByName(dirty),
+    // the oracle mirrors ONLY the prefix/suffix blocking keys; a canonical
+    // name of <= 9 chars would also emit FuzzyMatch's deletion-neighborhood
+    // keys and silently diverge the candidate sets — assert_true turns a
+    // fixture drift into a loud query failure instead (in-plan, no extra job)
+    val guarded = clean.unionByName(dirty).filter(assert_true(
+      length(graft.operators.FuzzyMatch.canonicalName(col("name"))) > 9,
+      lit("q118: canonical name <= 9 chars — oracle lacks deletion-neighborhood keys")
+    ).isNull)
+    graft.operators.FuzzyMatch.fuzzyDuplicates(guarded,
       "id", "name", threshold = 0.9, maxBlockSize = 100000)
       .withColumn("similarity", round(col("similarity"), 8))
       .orderBy(col("id_a"), col("id_b"))

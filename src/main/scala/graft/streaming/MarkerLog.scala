@@ -35,14 +35,26 @@ private[graft] object MarkerLog {
     require(txnAppId.isEmpty || txnAppId.matches("[A-Za-z0-9_]+"),
       s"txnAppId must match [A-Za-z0-9_]+ (marker-name safety), got '$txnAppId'")
 
-  def keyedName(prefix: String, txnAppId: String, batchId: Long): String =
+  // KeyedNameRe parses keyed dir names back with a dash-free alphabetic
+  // prefix; a prefix like "my-delta" or "delta2" would build (keyedName)
+  // and list (markerRe) fine but mis-parse in batchIdOf/appIdOf — enforce
+  // the grammar at both entry points so builder and parser cannot drift
+  private def validatePrefix(prefix: String): Unit =
+    require(prefix.matches("[A-Za-z]+"),
+      s"delta prefix must match [A-Za-z]+ (keyed-name grammar), got '$prefix'")
+
+  def keyedName(prefix: String, txnAppId: String, batchId: Long): String = {
+    validatePrefix(prefix)
     if (txnAppId.isEmpty) f"$prefix-$batchId%08d"
     else f"$prefix-$txnAppId-$batchId%08d"
+  }
 
   /** Marker regex for `prefix`-keyed delta dirs (captures the dir name). */
-  def markerRe(prefix: String): scala.util.matching.Regex =
+  def markerRe(prefix: String): scala.util.matching.Regex = {
+    validatePrefix(prefix)
     ("(" + java.util.regex.Pattern.quote(prefix) +
       "(?:-[A-Za-z0-9_]+)?-\\d{8,})\\.committed").r
+  }
 
   private val BaseMarkerRe = "base-(\\d{8,})\\.committed".r
 
@@ -164,8 +176,23 @@ private[graft] object MarkerLog {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (base, superseded) = resolveBase(fs, root)
     require(fs.exists(base), s"compact: no committed base at $base")
-    // sweep leftovers of a crashed prior compaction first — their data is
-    // already folded into the current base
+    // start-of-call cleanup, part 1: a crash between a prior compaction's
+    // marker publish and its old-base-marker delete leaves a STALE
+    // lower-generation base marker. Reads stay correct (resolveBase takes
+    // the max) but the "one generation visible" invariant breaks and the
+    // marker would otherwise linger forever — sweep every base marker
+    // below the current generation now
+    val gens = fs.listStatus(root).toSeq.flatMap(s => s.getPath.getName match {
+      case BaseMarkerRe(g) if s.isFile => Some(g.toLong)
+      case _ => None
+    })
+    if (gens.nonEmpty) gens.filter(_ < gens.max).foreach { g =>
+      val stale = new Path(root, f"base-$g%08d.committed")
+      if (!fs.delete(stale, false))
+        throw new java.io.IOException(s"compact: cannot delete stale base marker $stale")
+    }
+    // part 2: sweep leftovers of a crashed prior compaction — their data
+    // is already folded into the current base
     sweepSupersededData(fs, root, superseded)
     val live = committedDirs(fs, root, markerRe(deltaPrefix))
       .filterNot(p => superseded.contains(p.getName))

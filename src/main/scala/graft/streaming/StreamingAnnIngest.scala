@@ -51,14 +51,63 @@ object StreamingAnnIngest {
 
   /** Build the index at `indexDir`: frozen centroids + the bootstrap
     * corpus assignment (generation-0 base).
+    *
+    * Crash contract: `base/` is written LAST, staged and renamed into
+    * place, so its existence is the bootstrap's commit point (matching
+    * [[MarkerLog]]'s "generation 0 committed by existence"). A crash
+    * mid-bootstrap leaves no base → every reader/ingest refuses with
+    * "call bootstrapIndex first", and RE-RUNNING the bootstrap recovers:
+    * partial artifacts (centroids/codebook without a base) are cleared
+    * and rewritten. A COMPLETED bootstrap is never overwritten — rebuild
+    * or clear the dir explicitly.
     */
   def bootstrapIndex(spark: SparkSession, corpus: DataFrame, indexDir: String,
       cells: Int, idCol: String = "vec_id", vecCol: String = "embedding",
       refineIters: Int = 0): Unit = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    clearCrashedBootstrap(fs, root)
     val (assigned, centroids) =
       Similarity.ivfAssignCells(corpus, cells, idCol, vecCol, refineIters)
     centroids.write.parquet(new Path(indexDir, "centroids").toString)
-    assigned.write.parquet(new Path(indexDir, "base").toString)
+    publishBase(assigned, root, fs)
+  }
+
+  /** Re-running a bootstrap whose previous attempt crashed must recover,
+    * not trip over the partial artifacts: base absent (written last) means
+    * nothing is committed, so centroids/codebook/staging are crashed-
+    * attempt garbage — cleared here. Base PRESENT is a live index: fail
+    * loudly rather than silently clobber what a stream may be serving.
+    */
+  private def clearCrashedBootstrap(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Unit = {
+    if (fs.exists(new Path(root, "base")))
+      throw new IllegalStateException(
+        s"StreamingAnnIngest: $root already holds a bootstrapped index — " +
+          "bootstrap never overwrites a live index; use rebuild, or clear " +
+          "the directory explicitly")
+    Seq("centroids", "codebook", BaseStaging).foreach { n =>
+      val p = new Path(root, n)
+      if (fs.exists(p) && !fs.delete(p, true))
+        throw new java.io.IOException(
+          s"StreamingAnnIngest: cannot clear crashed bootstrap artifact $p")
+    }
+  }
+
+  private val BaseStaging = ".bootstrap-base-tmp"
+
+  /** Stage the base assignment and rename it into place — the bootstrap's
+    * single commit point (dir rename is atomic on HDFS-like filesystems;
+    * on object stores run bootstrap under the same no-concurrent-reader
+    * regime as any one-time build job).
+    */
+  private def publishBase(df: DataFrame, root: Path,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val tmp = new Path(root, BaseStaging)
+    df.write.parquet(tmp.toString)
+    if (!fs.rename(tmp, new Path(root, "base")))
+      throw new java.io.IOException(
+        s"StreamingAnnIngest: cannot publish bootstrap base under $root")
   }
 
   /** The frozen centroid table written at bootstrap. */
@@ -181,19 +230,23 @@ object StreamingAnnIngest {
   // =========================================================================
 
   /** Bootstrap the coded index: frozen IVF centroids + frozen PQ codebook
-    * + the coded bootstrap assignment as the base generation.
+    * + the coded bootstrap assignment as the base generation. Same crash
+    * contract as [[bootstrapIndex]]: base is staged and published last, a
+    * crashed attempt re-runs cleanly, a live index is never overwritten.
     */
   def bootstrapCodedIndex(spark: SparkSession, corpus: DataFrame, indexDir: String,
       cells: Int, m: Int, numCentroids: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       refineIters: Int = 0): Unit = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    clearCrashedBootstrap(fs, root)
     val (assigned, centroids) =
       Similarity.ivfAssignCells(corpus, cells, idCol, vecCol, refineIters)
     val cb = Similarity.pqCodebook(corpus, m, numCentroids, idCol, vecCol, refineIters)
     centroids.write.parquet(new Path(indexDir, "centroids").toString)
     writeCodebook(spark, cb, new Path(indexDir, "codebook").toString)
-    Similarity.pqEncodeCells(assigned, cb, idCol, vecCol)
-      .write.parquet(new Path(indexDir, "base").toString)
+    publishBase(Similarity.pqEncodeCells(assigned, cb, idCol, vecCol), root, fs)
   }
 
   /** The frozen PQ codebook written at bootstrap, reconstructed exactly

@@ -183,4 +183,23 @@ class StreamingAnnIngestSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("bootstrapIndex"))
   }
+
+  test("crashed bootstrap recovers on re-run; a completed index is never overwritten") {
+    val root = Files.createTempDirectory("sann3").toString
+    val indexDir = s"$root/index"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash after the centroids write and mid-base-staging:
+    // centroids + staging exist, base (the commit point, written last) does
+    // not — previously the re-run died on the already-existing centroids dir
+    corpus.limit(1).write.parquet(s"$indexDir/centroids")
+    corpus.limit(1).write.parquet(s"$indexDir/.bootstrap-base-tmp")
+    StreamingAnnIngest.bootstrapIndex(spark, corpus, indexDir, cells = 2, refineIters = 1)
+    assert(StreamingAnnIngest.currentIndex(spark, indexDir).count() == 4)
+    assert(!fs.exists(new Path(indexDir, ".bootstrap-base-tmp")))
+    // a COMPLETED bootstrap refuses to be clobbered
+    val e = intercept[IllegalStateException] {
+      StreamingAnnIngest.bootstrapIndex(spark, corpus, indexDir, cells = 2)
+    }
+    assert(e.getMessage.contains("never overwrites"))
+  }
 }

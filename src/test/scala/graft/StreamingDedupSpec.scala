@@ -301,4 +301,36 @@ class StreamingDedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("bootstrapIndex"))
   }
+
+  test("compact sweeps a stale lower-generation base marker left by a crash") {
+    import graft.streaming.MarkerLog
+    import graft.sources.CommitProtocol
+    val root = new Path(Files.createTempDirectory("mlog1").toString)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((1L, "a")).toDF("id", "x").write.parquet(new Path(root, "base").toString)
+    MarkerLog.commitDir(Seq((2L, "b")).toDF("id", "x"),
+      new Path(root, MarkerLog.keyedName("delta", "", 0L)), fs)
+    assert(MarkerLog.compact(spark, root, "delta").contains("base-00000001"))
+    // crash simulation: a prior compaction published its new generation but
+    // died before deleting the old base marker — resurrect one by hand.
+    // resolveBase still reads generation 1 (max wins), but the stale marker
+    // would otherwise linger forever
+    CommitProtocol.publishFile(fs, new Path(root, "base-00000000.committed"),
+      "never-read\n".getBytes("UTF-8"))
+    // even a nothing-to-fold compact performs the start-of-call sweep
+    assert(MarkerLog.compact(spark, root, "delta").isEmpty)
+    assert(!fs.exists(new Path(root, "base-00000000.committed")))
+    assert(fs.exists(new Path(root, "base-00000001.committed")))
+    assert(spark.read.parquet(
+      MarkerLog.currentPaths(fs, root, "delta").map(_.toString): _*).count() == 2)
+  }
+
+  test("keyed-name grammar: prefixes with dashes or digits are rejected at build AND parse entry") {
+    import graft.streaming.MarkerLog
+    val e1 = intercept[IllegalArgumentException](
+      MarkerLog.keyedName("my-delta", "", 0L))
+    assert(e1.getMessage.contains("prefix"))
+    val e2 = intercept[IllegalArgumentException](MarkerLog.markerRe("delta2"))
+    assert(e2.getMessage.contains("prefix"))
+  }
 }
