@@ -172,7 +172,26 @@ private[graft] object MarkerLog {
     *         (leftover garbage from a crashed prior compaction is still
     *         swept)
     */
-  def compact(spark: SparkSession, root: Path, deltaPrefix: String): Option[String] = {
+  def compact(spark: SparkSession, root: Path, deltaPrefix: String): Option[String] =
+    foldGeneration(spark, root, deltaPrefix, requireDeltas = true)((df, _) => df)
+
+  /** Generation number of a base dir name ("base" is generation 0). */
+  def generationOf(baseName: String): Long =
+    if (baseName == "base") 0L else baseName.stripPrefix("base-").toLong
+
+  /** The generation-fold core under [[compact]] and index-rebuild ops:
+    * fold the current base + committed deltas through `build` into a new
+    * generation-numbered base, atomically published by its marker.
+    * `build(data, newGen)` returns the new base's contents and may stage
+    * generation-suffixed SIDECAR artifacts (e.g. an ANN rebuild's new
+    * centroid table) before the marker publishes — a crash leaves them as
+    * invisible garbage exactly like the unpublished base dir itself.
+    * `requireDeltas = false` folds even a delta-less log (a rebuild is
+    * worth committing with nothing to fold; a plain compaction is not).
+    */
+  private[graft] def foldGeneration(spark: SparkSession, root: Path,
+      deltaPrefix: String, requireDeltas: Boolean)(
+      build: (DataFrame, Long) => DataFrame): Option[String] = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (base, superseded) = resolveBase(fs, root)
     require(fs.exists(base), s"compact: no committed base at $base")
@@ -196,13 +215,12 @@ private[graft] object MarkerLog {
     sweepSupersededData(fs, root, superseded)
     val live = committedDirs(fs, root, markerRe(deltaPrefix))
       .filterNot(p => superseded.contains(p.getName))
-    if (live.isEmpty) return None
-    val gen =
-      if (base.getName == "base") 0L else base.getName.stripPrefix("base-").toLong
+    if (requireDeltas && live.isEmpty) return None
+    val gen = generationOf(base.getName)
     val newBase = new Path(root, f"base-${gen + 1}%08d")
     if (fs.exists(newBase) && !fs.delete(newBase, true))
       throw new java.io.IOException(s"compact: cannot clear stale attempt $newBase")
-    spark.read.parquet((base +: live).map(_.toString): _*)
+    build(spark.read.parquet((base +: live).map(_.toString): _*), gen + 1)
       .write.parquet(newBase.toString)
     // cumulative: prior generations' folds stay superseded forever (their
     // tombstone markers remain listable), plus the old base and this fold

@@ -37,8 +37,11 @@ import graft.operators.Similarity
   * corpus grows (a Lloyd pass over base+deltas would silently re-cell
   * already-served vectors). The cost is drift — appended mass may fit the
   * frozen cells poorly. [[cellStats]] is the monitor: falling `mean_cos`
-  * or a cell absorbing disproportionate `n_vectors` is the rebuild signal
-  * (re-bootstrap with fresh centroids, then replay or re-assign).
+  * or a cell absorbing disproportionate `n_vectors` is the rebuild signal,
+  * answered by [[rebuild]] (raw) / [[rebuildCoded]] (coded): retrain
+  * centroids (+codebook), re-assign everything, publish as a new
+  * generation under the same atomic marker swap as [[compactIndex]] —
+  * the stream resumes on the new generation with its checkpoint intact.
   *
   * 100 TB shape: per batch, zero shuffles (centroid literals evaluate
   * row-local) and one small parquet append; serving's only corpus-sized
@@ -110,9 +113,64 @@ object StreamingAnnIngest {
         s"StreamingAnnIngest: cannot publish bootstrap base under $root")
   }
 
-  /** The frozen centroid table written at bootstrap. */
-  def centroids(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(new Path(indexDir, "centroids").toString)
+  /** The frozen centroid table of the CURRENT generation: the bootstrap's
+    * `centroids/` until a [[rebuild]] commits a generation-numbered
+    * successor (`centroids-<gen>/`), after which the highest one at or
+    * below the current base generation wins — a plain [[compactIndex]]
+    * bumps the base generation without retraining, so resolution is
+    * "highest at-or-below", not "exact".
+    */
+  def centroids(spark: SparkSession, indexDir: String): DataFrame = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(resolveArtifact(fs, root, "centroids").getOrElse(
+      throw new IllegalStateException(
+        s"StreamingAnnIngest: no centroid table under $indexDir")).toString)
+  }
+
+  private def artifactRe(name: String) =
+    (java.util.regex.Pattern.quote(name) + "-(\\d{8,})").r
+
+  /** Resolve artifact `name` ("centroids"/"codebook") for the current base
+    * generation: the highest `name-<g>` dir with `g` at or below the base
+    * generation, else the plain bootstrap dir, else None. Dirs ABOVE the
+    * base generation are crashed rebuild staging — never resolved.
+    */
+  private def resolveArtifact(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      name: String): Option[Path] = {
+    if (!fs.exists(root)) return None
+    val gen = MarkerLog.generationOf(MarkerLog.resolveBase(fs, root)._1.getName)
+    val re = artifactRe(name)
+    val gens = fs.listStatus(root).toSeq.flatMap(s => s.getPath.getName match {
+      case re(g) if s.isDirectory && g.toLong <= gen => Some(g.toLong)
+      case _ => None
+    })
+    if (gens.nonEmpty) Some(new Path(root, f"$name-${gens.max}%08d"))
+    else Some(new Path(root, name)).filter(fs.exists)
+  }
+
+  /** Deferred sweep of superseded/crashed artifact dirs — the sidecar twin
+    * of [[MarkerLog.compact]]'s data sweep, run at the START of each
+    * rebuild so in-flight readers of the previous generation get a full
+    * rebuild interval to finish.
+    */
+  private def sweepStaleArtifacts(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Unit =
+    Seq("centroids", "codebook").foreach { name =>
+      val resolved = resolveArtifact(fs, root, name)
+      val doomed = fs.listStatus(root).toSeq.filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory &&
+          (n == name ||
+            n.matches(java.util.regex.Pattern.quote(name) + "-\\d{8,}")) &&
+          !resolved.map(_.getName).contains(n)
+      }
+      doomed.foreach { s =>
+        if (!fs.delete(s.getPath, true))
+          throw new java.io.IOException(
+            s"StreamingAnnIngest: cannot sweep stale artifact ${s.getPath}")
+      }
+    }
 
   /** The committed assignment: base generation + unsuperseded committed
     * deltas (marker-driven listing — see [[MarkerLog.currentPaths]]).
@@ -157,8 +215,8 @@ object StreamingAnnIngest {
     validateAppId(txnAppId)
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasCodebook = fs.exists(new Path(root, "codebook"))
-    if (!fs.exists(new Path(root, "centroids")) ||
+    val hasCodebook = resolveArtifact(fs, root, "codebook").isDefined
+    if (resolveArtifact(fs, root, "centroids").isEmpty ||
         !fs.exists(MarkerLog.resolveBase(fs, root)._1) || (coded && !hasCodebook))
       throw new IllegalStateException(
         s"StreamingAnnIngest: no ${if (coded) "coded " else ""}bootstrap index at " +
@@ -205,7 +263,7 @@ object StreamingAnnIngest {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(root, "codebook")))
+    if (resolveArtifact(fs, root, "codebook").isDefined)
       throw new IllegalStateException(
         s"StreamingAnnIngest: $indexDir is a CODED index (codebook present) — " +
           "use serveCodedTopK")
@@ -253,7 +311,12 @@ object StreamingAnnIngest {
     * (doubles round-trip parquet bit-for-bit).
     */
   def codebook(spark: SparkSession, indexDir: String): Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(new Path(indexDir, "codebook").toString)
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = resolveArtifact(fs, root, "codebook").getOrElse(
+      throw new IllegalStateException(
+        s"StreamingAnnIngest: no codebook under $indexDir"))
+    val rows = spark.read.parquet(dir.toString)
       .collect().map(r => (r.getInt(0), r.getInt(1),
         r.getSeq[Double](2).toArray))
     val m = rows.map(_._1).max + 1
@@ -263,13 +326,17 @@ object StreamingAnnIngest {
     cb.map(_.toArray)
   }
 
-  private def writeCodebook(spark: SparkSession,
-      cb: Array[Array[Array[Double]]], dir: String): Unit = {
+  private def codebookFrame(spark: SparkSession,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
     import spark.implicits._
     cb.zipWithIndex.flatMap { case (sub, s) =>
       sub.zipWithIndex.map { case (v, j) => (s, j, v.toSeq) }
-    }.toSeq.toDF("s", "j", "centroid").coalesce(1).write.parquet(dir)
+    }.toSeq.toDF("s", "j", "centroid").coalesce(1)
   }
+
+  private def writeCodebook(spark: SparkSession,
+      cb: Array[Array[Array[Double]]], dir: String): Unit =
+    codebookFrame(spark, cb).write.parquet(dir)
 
   /** Coded twin of [[runAvailableNow]]: each batch is assigned to the
     * frozen centroids, PQ-encoded with the frozen codebook (both row-local
@@ -307,6 +374,89 @@ object StreamingAnnIngest {
     */
   def compactIndex(spark: SparkSession, indexDir: String): Option[String] =
     MarkerLog.compact(spark, new Path(indexDir), "delta")
+
+  /** Rebuild the RAW index in place: retrain centroids from the vectors the
+    * committed index holds (base + every committed delta — the raw index IS
+    * the corpus), re-assign everything, and publish assignment + new
+    * centroid table (`centroids-<gen>/`) as one new generation. The marker
+    * publish is the single commit point — a crash leaves the old
+    * generation fully served and the half-built artifacts as invisible
+    * garbage the next rebuild sweeps. Folded deltas' markers stay as
+    * replay tombstones, so the stream RESUMES on the rebuilt index with
+    * its checkpoint intact (re-delivered batches skip; new batches assign
+    * against the new centroids — [[centroids]] resolves per generation).
+    *
+    * Single-writer maintenance op: run with the stream STOPPED, like
+    * [[compactIndex]]. Deterministic end to end (the [[Similarity
+    * .ivfAssignCells]] election), so rebuilding equals a fresh bootstrap
+    * of the same vectors — the spec pins that.
+    *
+    * @return the new base generation's dir name
+    */
+  def rebuild(spark: SparkSession, indexDir: String, cells: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      refineIters: Int = 0): String = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (resolveArtifact(fs, root, "codebook").isDefined)
+      throw new IllegalStateException(
+        s"StreamingAnnIngest: $indexDir is a CODED index (codebook present) — " +
+          "use rebuildCoded")
+    sweepStaleArtifacts(fs, root)
+    MarkerLog.foldGeneration(spark, root, "delta", requireDeltas = false) {
+      (data, newGen) =>
+        val (assigned, cents) = Similarity.ivfAssignCells(
+          data.select(col(idCol), col(vecCol)), cells, idCol, vecCol, refineIters)
+        stageArtifact(fs, root, "centroids", newGen, cents)
+        assigned
+    }.get // requireDeltas=false: a rebuild always commits
+  }
+
+  /** Rebuild the CODED index: PQ codes are lossy, so the committed index
+    * cannot reproduce the raw vectors — the caller supplies `corpus`, the
+    * raw source of truth, which must cover EXACTLY the indexed ids
+    * (checked; a drifted corpus would silently rebuild a different index).
+    * Retrains centroids AND codebook, re-encodes everything, and publishes
+    * code table + `centroids-<gen>/` + `codebook-<gen>/` as one new
+    * generation under the same crash/replay contract as [[rebuild]].
+    */
+  def rebuildCoded(spark: SparkSession, corpus: DataFrame, indexDir: String,
+      cells: Int, m: Int, numCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      refineIters: Int = 0): String = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (resolveArtifact(fs, root, "codebook").isEmpty)
+      throw new IllegalStateException(
+        s"StreamingAnnIngest: $indexDir is a RAW index (no codebook) — use rebuild")
+    sweepStaleArtifacts(fs, root)
+    MarkerLog.foldGeneration(spark, root, "delta", requireDeltas = false) {
+      (data, newGen) =>
+        val idxIds = data.select(col("neighbor_id").alias("__id"))
+        val corpIds = corpus.select(col(idCol).alias("__id"))
+        require(idxIds.exceptAll(corpIds).isEmpty && corpIds.exceptAll(idxIds).isEmpty,
+          "rebuildCoded: corpus must cover exactly the indexed ids — " +
+            "codes are lossy, so the raw corpus is the rebuild's source of truth")
+        val (assigned, cents) = Similarity.ivfAssignCells(
+          corpus.select(col(idCol), col(vecCol)), cells, idCol, vecCol, refineIters)
+        val cb = Similarity.pqCodebook(corpus, m, numCentroids, idCol, vecCol, refineIters)
+        stageArtifact(fs, root, "centroids", newGen, cents)
+        stageArtifact(fs, root, "codebook", newGen, codebookFrame(spark, cb))
+        Similarity.pqEncodeCells(assigned, cb, idCol, vecCol)
+    }.get
+  }
+
+  /** Stage a generation-numbered sidecar artifact before the fold's marker
+    * publish — clearing any same-name crashed attempt first.
+    */
+  private def stageArtifact(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      name: String, gen: Long, df: DataFrame): Unit = {
+    val dir = new Path(root, f"$name-$gen%08d")
+    if (fs.exists(dir) && !fs.delete(dir, true))
+      throw new java.io.IOException(
+        s"StreamingAnnIngest: cannot clear stale artifact attempt $dir")
+    df.write.parquet(dir.toString)
+  }
 
   /** Prune folded deltas' replay tombstones for batches the checkpoint has
     * durably committed past — see [[StreamingDedup.pruneTombstones]].

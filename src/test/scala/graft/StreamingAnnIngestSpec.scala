@@ -184,6 +184,110 @@ class StreamingAnnIngestSpec extends SparkSpec {
     assert(e.getMessage.contains("bootstrapIndex"))
   }
 
+  test("rebuild: retrain from the committed index equals a fresh bootstrap; stream resumes on the new generation") {
+    val root = Files.createTempDirectory("sannr").toString
+    val indexDir = s"$root/index"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StreamingAnnIngest.bootstrapIndex(spark, corpus, indexDir, cells = 2, refineIters = 1)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Double])]
+    mem.addData(batch0)
+    ingest(mem, indexDir, s"$root/ckpt1")
+    assert(StreamingAnnIngest.currentIndex(spark, indexDir).count() == 6)
+
+    // the drift answer: retrain on ALL committed vectors, swap generations
+    assert(StreamingAnnIngest.rebuild(spark, indexDir, cells = 2, refineIters = 1)
+      == "base-00000001")
+    assert(StreamingAnnIngest.currentIndex(spark, indexDir).count() == 6)
+    assert(fs.exists(new Path(indexDir, "centroids-00000001")))
+
+    // parity: a fresh bootstrap over the same 6 vectors serves identically
+    // (the deterministic centroid election sees the same rows)
+    val full = corpus.unionByName(batch0.toDF("vec_id", "embedding")).distinct()
+    val freshDir = s"$root/fresh"
+    StreamingAnnIngest.bootstrapIndex(spark, full, freshDir, cells = 2, refineIters = 1)
+    val queries = Seq((1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.0, 0.0, 1.0)))
+      .toDF("query_id", "embedding")
+    def serve(dir: String) =
+      StreamingAnnIngest.serveTopK(spark, dir, queries, k = 3, nprobe = 1)
+        .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val rebuilt = serve(indexDir)
+    assert(rebuilt == serve(freshDir) && rebuilt.nonEmpty)
+    assert(StreamingAnnIngest.centroids(spark, indexDir)
+      .collect().map(_.toString).sorted.toSeq ==
+      StreamingAnnIngest.centroids(spark, freshDir)
+        .collect().map(_.toString).sorted.toSeq)
+
+    // the SAME checkpoint resumes: the next batch assigns against the NEW
+    // centroids and the index keeps growing
+    mem.addData(batch1)
+    ingest(mem, indexDir, s"$root/ckpt1")
+    assert(StreamingAnnIngest.currentIndex(spark, indexDir).count() == 7)
+    // folded batches stay skipped under a wholesale replay (tombstones)
+    val mem2 = MemoryStream[(Long, Array[Double])]
+    mem2.addData(batch0)
+    ingest(mem2, indexDir, s"$root/ckpt2")
+    mem2.addData(batch1)
+    ingest(mem2, indexDir, s"$root/ckpt2")
+    assert(StreamingAnnIngest.currentIndex(spark, indexDir).count() == 7)
+
+    // a second rebuild sweeps the superseded artifacts (deferred one
+    // interval: the PREVIOUS generation's table survives for in-flight
+    // readers; the one before it goes)
+    assert(StreamingAnnIngest.rebuild(spark, indexDir, cells = 2, refineIters = 1)
+      == "base-00000002")
+    assert(!fs.exists(new Path(indexDir, "centroids")))
+    assert(fs.exists(new Path(indexDir, "centroids-00000001")))
+    assert(fs.exists(new Path(indexDir, "centroids-00000002")))
+    assert(StreamingAnnIngest.currentIndex(spark, indexDir).count() == 7)
+
+    // wrong-flavor guard
+    val e = intercept[IllegalStateException](StreamingAnnIngest.rebuildCoded(
+      spark, full, indexDir, cells = 2, m = 1, numCentroids = 2))
+    assert(e.getMessage.contains("RAW"))
+  }
+
+  test("rebuildCoded: retrain from the raw corpus equals a fresh coded bootstrap; corpus drift rejected") {
+    val root = Files.createTempDirectory("sanncr").toString
+    val indexDir = s"$root/index"
+    val corpus4 = Seq(
+      (1L, Array(1.0, 0.05, 0.0, 0.1)), (2L, Array(0.0, 0.1, 1.0, 0.05)),
+      (3L, Array(0.9, 0.1, 0.05, 0.0)), (4L, Array(0.05, 0.0, 0.95, 0.1))
+    ).toDF("vec_id", "embedding")
+    StreamingAnnIngest.bootstrapCodedIndex(spark, corpus4, indexDir,
+      cells = 2, m = 2, numCentroids = 3, refineIters = 1)
+    implicit val sqlCtx = spark.sqlContext
+    val appended = Seq((10L, Array(0.95, 0.02, 0.1, 0.05)),
+      (11L, Array(0.02, 0.05, 0.9, 0.0)))
+    val mem = MemoryStream[(Long, Array[Double])]
+    mem.addData(appended)
+    StreamingAnnIngest.runAvailableNowCoded(spark,
+      mem.toDF().toDF("vec_id", "embedding"), indexDir, s"$root/ckpt1")
+    assert(StreamingAnnIngest.currentIndex(spark, indexDir).count() == 6)
+
+    // codes are lossy → a drifted corpus is rejected before any retraining
+    val e = intercept[IllegalArgumentException](StreamingAnnIngest.rebuildCoded(
+      spark, corpus4, indexDir, cells = 2, m = 2, numCentroids = 3))
+    assert(e.getMessage.contains("source of truth"))
+
+    val full4 = corpus4.unionByName(appended.toDF("vec_id", "embedding")).distinct()
+    assert(StreamingAnnIngest.rebuildCoded(spark, full4, indexDir,
+      cells = 2, m = 2, numCentroids = 3, refineIters = 1) == "base-00000001")
+    // parity with a fresh coded bootstrap of the same corpus
+    val freshDir = s"$root/fresh"
+    StreamingAnnIngest.bootstrapCodedIndex(spark, full4, freshDir,
+      cells = 2, m = 2, numCentroids = 3, refineIters = 1)
+    val queries = Seq((100L, Array(1.0, 0.0, 0.0, 0.0))).toDF("query_id", "embedding")
+    def serve(dir: String) =
+      StreamingAnnIngest.serveCodedTopK(spark, dir, queries, k = 3, nprobe = 1)
+        .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val rebuilt = serve(indexDir)
+    assert(rebuilt == serve(freshDir) && rebuilt.nonEmpty)
+    // the rebuilt generation's codebook equals the fresh training
+    assert(StreamingAnnIngest.codebook(spark, indexDir).flatten.flatten.toSeq ==
+      StreamingAnnIngest.codebook(spark, freshDir).flatten.flatten.toSeq)
+  }
+
   test("crashed bootstrap recovers on re-run; a completed index is never overwritten") {
     val root = Files.createTempDirectory("sann3").toString
     val indexDir = s"$root/index"
