@@ -2194,6 +2194,29 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Copy-on-write merge (q123): MERGE ≡ staged ∪ (target ANTI JOIN
+    // staged) here — matched rows take staged values wholesale (PKs are
+    // equal by the join and there is no INSERT_TIMESTAMP column).
+    "q123_cow_merge" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |staged AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 1100
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey BETWEEN 3000 AND 3050),
+        |merged AS (
+        |  SELECT * FROM staged
+        |  UNION ALL
+        |  SELECT t.* FROM target t ANTI JOIN staged s ON t.o_orderkey = s.o_orderkey)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // Copy-on-write update (q122): the same CASE applied to the fixture.
     "q122_cow_update" ->
       """WITH cur AS (

@@ -2155,6 +2155,40 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** File-pruned copy-on-write MERGE ([[graft.operators.Upsert.mergeWhere]]):
+    * the DML triad's third leg after q121 (DELETE) and q122 (UPDATE). A
+    * range-clustered snapshot table absorbs a narrow-key staged batch —
+    * price rewrites for an existing key range plus brand-new keys — by
+    * rewriting ONLY the files whose stats admit a staged key (manifest-line
+    * reuse asserted in UpsertSpec). The oracle replays ANSI MERGE on the
+    * raw fixture as staged ∪ (target ANTI JOIN staged): matched rows take
+    * staged values wholesale here (no PK drift — equality — and no
+    * INSERT_TIMESTAMP column), so the two forms coincide.
+    */
+  def q123CowMerge(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q123").toString
+    graft.sources.SnapshotManifest.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey"))
+    val staged = orders.filter(col("o_orderkey").between(1000, 1100))
+      .select(col("o_orderkey"), lit("U").alias("o_orderstatus"),
+        (col("o_totalprice") * 2).alias("o_totalprice"))
+      .unionByName(orders.filter(col("o_orderkey").between(3000, 3050))
+        .select((col("o_orderkey") + 10000000L).alias("o_orderkey"),
+          lit("N").alias("o_orderstatus"), col("o_totalprice")))
+    graft.operators.Upsert.mergeWhere(spark, root, staged,
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("sum_price"),
+        min(col("o_orderkey")).alias("min_key"),
+        max(col("o_orderkey")).alias("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2281,6 +2315,7 @@ object Queries {
     "q119_distinct_rollup" -> (q119DistinctRollup _),
     "q120_incremental_ivfpq" -> (q120IncrementalIvfPq _),
     "q121_cow_delete" -> (q121CowDelete _),
-    "q122_cow_update" -> (q122CowUpdate _)
+    "q122_cow_update" -> (q122CowUpdate _),
+    "q123_cow_merge" -> (q123CowMerge _)
   )
 }

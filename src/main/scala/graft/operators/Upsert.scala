@@ -139,6 +139,113 @@ object Upsert {
       graft.sources.SnapshotManifest.snapshotFiles(spark, tableRoot, version): _*)))
   }
 
+  /** File-pruned copy-on-write MERGE — [[mergeAndCommit]]'s fast path for
+    * narrow-key staged batches, completing the snapshot-table DML triad
+    * with [[graft.sources.SnapshotManifest.deleteWhere]]/`updateWhere`:
+    * instead of rewriting the whole table, only the files whose manifest
+    * stats ADMIT one of the staged PK values are merged and rewritten;
+    * every other file's manifest line (path AND stats) carries over
+    * verbatim. Staged rows matching no admitted file are pure inserts and
+    * land in the rewritten output. Same [[merge]] semantics — matched rows
+    * take staged values except PKs and `INSERT_TIMESTAMP`, null PKs never
+    * match (pure inserts) — so `mergeWhere` ≡ `merge` over the whole
+    * table, file pruning only decides which bytes are rewritten.
+    *
+    * The prune predicate comes from the staged batch itself: the distinct
+    * non-null PK tuples are collected when there are at most
+    * `maxKeySetSize` of them (churn-bounded — staged is the delta) and
+    * become per-column `IN` lists (a conservative cross-product superset
+    * for composite PKs — sound: a file holding a matching row admits each
+    * key component independently); above the cap, one aggregation yields
+    * per-column min/max and the predicate degrades to a range conjunction
+    * (still sound, coarser). At 100 TB with a PK-range-clustered layout
+    * ([[graft.operators.Layout]] or `repartitionByRange` at commit), a
+    * narrow-key merge rewrites a handful of files and the decision is one
+    * driver-side manifest read.
+    *
+    * Output columns are cast back to the TARGET's types: a widening staged
+    * column would otherwise write parquet files whose schema diverges from
+    * the verbatim-kept files and corrupt the mixed-file read (the same
+    * hazard `updateWhere` documents).
+    *
+    * @return the committed version (the current version unchanged when
+    *         `staged` is empty — a no-op merge commits nothing)
+    */
+  def mergeWhere(spark: SparkSession, tableRoot: String, staged: DataFrame,
+      pkCols: Seq[String], statsCols: Seq[String] = Nil,
+      maxKeySetSize: Int = 100000): Long = {
+    import graft.sources.{ManifestStats, SnapshotManifest}
+    require(pkCols.nonEmpty, "at least one PK column required")
+    require(maxKeySetSize >= 1, "maxKeySetSize must be >= 1")
+    val pk = pkCols.map(_.trim)
+    val v = SnapshotManifest.currentVersion(spark, tableRoot).getOrElse(
+      throw new IllegalStateException(s"mergeWhere: no committed snapshot under $tableRoot"))
+    if (staged.isEmpty) return v
+    val body = SnapshotManifest.manifestBody(spark, tableRoot, v)
+    if (body.isEmpty)
+      // degenerate current snapshot with zero data files (everything was
+      // deleted): the merge is just the staged rows
+      return SnapshotManifest.publishVersion(spark, tableRoot, v + 1, staged,
+        statsCols, Nil, "mergeWhere")
+    val files = body.map(SnapshotManifest.bodyFile(tableRoot, _))
+    val targetSchema = spark.read.parquet(files.head).schema
+    pk.foreach(c => require(targetSchema.fieldNames.contains(c),
+      s"mergeWhere: PK column $c not in target schema ${targetSchema.fieldNames.mkString(", ")}"))
+    // distinct non-null staged key tuples, capped: tuples with ANY null
+    // component can never match under `=` (they are pure inserts), so they
+    // contribute nothing to the prune predicate
+    val keyDf = staged.select(pk.map(col): _*).na.drop("any", pk).distinct()
+    val keyRows = keyDf.limit(maxKeySetSize + 1).collect()
+    val keyPred =
+      if (keyRows.isEmpty) None // all staged rows are null-key inserts
+      else if (keyRows.length <= maxKeySetSize)
+        Some(pk.zipWithIndex.map { case (c, i) =>
+          col(c).isin(keyRows.map(_.get(i)).distinct.toSeq: _*)
+        }.reduce(_ && _))
+      else {
+        // over the cap: one aggregation, per-column range conjunction
+        val aggs = pk.flatMap(c =>
+          Seq(min(col(c)).alias(s"__mn_$c"), max(col(c)).alias(s"__mx_$c")))
+        val b = keyDf.agg(aggs.head, aggs.tail: _*).head()
+        Some(pk.zipWithIndex.map { case (c, i) =>
+          col(c) >= lit(b.get(2 * i)) && col(c) <= lit(b.get(2 * i + 1))
+        }.reduce(_ && _))
+      }
+    val affected = keyPred match {
+      case Some(p) => ManifestStats.prune(files, SnapshotManifest.bodyStats(body),
+        ManifestStats.resolvePredicate(spark, targetSchema, p)).toSet
+      case None => Set.empty[String]
+    }
+    val targetAffected =
+      if (affected.isEmpty) spark.read.parquet(files.head).limit(0)
+      else spark.read.parquet(affected.toSeq: _*)
+    val merged = merge(targetAffected, staged, pk)
+    val aligned = merged.select(targetSchema.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).alias(f.name)): _*)
+    val keptLines = body.filterNot(line =>
+      affected.contains(SnapshotManifest.bodyFile(tableRoot, line)))
+    SnapshotManifest.publishVersion(spark, tableRoot, v + 1, aligned,
+      statsCols, keptLines, "mergeWhere")
+  }
+
+  /** [[mergeWhere]] with the same bounded lost-race retry as
+    * `SnapshotManifest.commitWithRetry`: every attempt re-reads the current
+    * version internally, so a retry merges into the table as the winning
+    * writer left it — and MERGE is idempotent-by-key, so re-applying the
+    * same staged batch is safe.
+    */
+  def mergeWhereWithRetry(spark: SparkSession, tableRoot: String,
+      staged: DataFrame, pkCols: Seq[String], statsCols: Seq[String] = Nil,
+      maxKeySetSize: Int = 100000, maxAttempts: Int = 5,
+      backoff: Int => scala.concurrent.duration.FiniteDuration =
+        graft.core.Retry.linearBackoff(scala.concurrent.duration.DurationInt(1).second),
+      sleep: scala.concurrent.duration.FiniteDuration => Unit =
+        d => Thread.sleep(d.toMillis)): Long =
+    graft.core.Retry.retryWhen(
+      _.isInstanceOf[graft.sources.ConcurrentCommitException],
+      maxAttempts, backoff, sleep)(
+      mergeWhere(spark, tableRoot, staged, pkCols, statsCols, maxKeySetSize))
+
   /** Write `df` as a PK-bucketed catalog table — the 100-TB merge lever
     * SCALE.md names for q06: with the target bucketed (and sorted) by its
     * PK, every subsequent [[mergeBucketedTarget]] reads the target

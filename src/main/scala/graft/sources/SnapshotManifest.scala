@@ -233,6 +233,48 @@ object SnapshotManifest {
     })
   }
 
+  /** Raw manifest BODY lines of `version` — `relpath` optionally followed
+    * by TAB + stats JSON, verbatim as committed. The carrier for manifest-
+    * line reuse: a copy-on-write commit copies kept lines unchanged (path
+    * AND stats), so unaffected files keep their pruning power for free.
+    */
+  private[graft] def manifestBody(spark: SparkSession, root: String,
+      version: Long): Seq[String] = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val text = CommitProtocol.readFully(fs, new Path(rootPath, manifestName(version)))
+    val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
+    require(lines.headOption.contains(s"version=$version"),
+      s"corrupt manifest for version $version: bad header ${lines.headOption}")
+    lines.tail.toSeq
+  }
+
+  /** Absolute data-file path of one manifest body line. */
+  private[graft] def bodyFile(root: String, line: String): String =
+    new Path(new Path(root), line.split('\t').head).toString
+
+  /** Per-file stats parsed out of manifest body lines, keyed by file name
+    * (stats-less lines simply don't appear — they never prune).
+    */
+  private[graft] def bodyStats(body: Seq[String]): Map[String, ManifestStats.FileStats] =
+    body.flatMap(_.split('\t') match {
+      case Array(rel, json) =>
+        Some(new Path(rel).getName -> ManifestStats.fromJson(json))
+      case _ => None
+    }).toMap
+
+  /** Stage `df` and atomically publish it as version `next` together with
+    * `keptLines` carried verbatim — the copy-on-write commit entry point
+    * for operators OUTSIDE this object ([[graft.operators.Upsert.mergeWhere]]);
+    * [[deleteWhere]]/[[updateWhere]] go through the same path internally.
+    */
+  private[graft] def publishVersion(spark: SparkSession, root: String,
+      next: Long, df: DataFrame, statsCols: Seq[String],
+      keptLines: Seq[String], op: String): Long = {
+    val (fs, rootPath) = fsOf(spark, root)
+    stageAndPublish(spark, fs, rootPath, next, df, statsCols, keptLines,
+      op, requireFiles = false)
+  }
+
   /** The shared copy-on-write rewrite under [[deleteWhere]]/[[updateWhere]]:
     * stats-prune the affected files, apply `transform` to their rows,
     * commit kept manifest lines (verbatim) + the rewritten files. ONE
@@ -243,31 +285,19 @@ object SnapshotManifest {
   private def rewriteWhere(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column, statsCols: Seq[String],
       op: String, transform: DataFrame => DataFrame): Long = {
-    val (fs, rootPath) = fsOf(spark, root)
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$op: no committed snapshot under $root"))
-    val text = CommitProtocol.readFully(fs, new Path(rootPath, manifestName(v)))
-    val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
-    require(lines.headOption.contains(s"version=$v"),
-      s"corrupt manifest for version $v: bad header ${lines.headOption}")
-    val body = lines.tail.toSeq
+    val body = manifestBody(spark, root, v)
     if (body.isEmpty) return v
-    def fileOf(line: String) = new Path(rootPath, line.split('\t').head).toString
-    val files = body.map(fileOf)
-    val statsByName = body.flatMap(_.split('\t') match {
-      case Array(rel, json) =>
-        Some(new Path(rel).getName -> ManifestStats.fromJson(json))
-      case _ => None
-    }).toMap
+    val files = body.map(bodyFile(root, _))
     val schema = spark.read.parquet(files.head).schema
-    val affected = ManifestStats.prune(files, statsByName,
+    val affected = ManifestStats.prune(files, bodyStats(body),
       ManifestStats.resolvePredicate(spark, schema, predicate)).toSet
     if (affected.isEmpty) return v // no file can contain a match
     // kept manifest lines carry over verbatim (path AND stats)
-    val keptLines = body.filterNot(line => affected.contains(fileOf(line)))
-    stageAndPublish(spark, fs, rootPath, v + 1,
-      transform(spark.read.parquet(affected.toSeq: _*)), statsCols, keptLines,
-      op, requireFiles = false)
+    val keptLines = body.filterNot(line => affected.contains(bodyFile(root, line)))
+    publishVersion(spark, root, v + 1,
+      transform(spark.read.parquet(affected.toSeq: _*)), statsCols, keptLines, op)
   }
 
   /** Stage `df` into a fresh uniquely-nonced data dir for version `next`,

@@ -100,4 +100,134 @@ class UpsertSpec extends SparkSpec {
       .unionByName(Seq(1).toDF("x").select(current_timestamp().alias(Upsert.UpdateTs)))
     assert(Upsert.auditUpdatedToday(merged) == 1L)
   }
+
+  // -----------------------------------------------------------------------
+  // mergeWhere: file-pruned copy-on-write MERGE on a snapshot table
+  // -----------------------------------------------------------------------
+
+  import graft.sources.SnapshotManifest
+
+  /** 0..199 range-clustered into 8 files with id stats — each file covers a
+    * disjoint 25-key range, so a narrow staged batch admits few files.
+    */
+  private def rangeTable(): String = {
+    val root = java.nio.file.Files.createTempDirectory("mergewhere").toString
+    val df = spark.range(0, 200).toDF("id")
+      .withColumn("grp", (col("id") % 4).cast("int"))
+      .withColumn("v", (col("id") * 10).cast("long"))
+      .repartitionByRange(8, col("id"))
+    SnapshotManifest.commit(spark, root, df, Seq("id"))
+    root
+  }
+
+  test("mergeWhere rewrites only stats-admitted files; kept manifest lines verbatim") {
+    val root = rangeTable()
+    val bodyBefore = SnapshotManifest.manifestBody(spark, root, 0L)
+    val staged = Seq((10L, 7, -1L), (12L, 7, -2L), (500L, 9, -3L))
+      .toDF("id", "grp", "v") // two updates in one key range + one new key
+    val v1 = Upsert.mergeWhere(spark, root, staged, Seq("id"), Seq("id"))
+    assert(v1 == 1L)
+    val bodyAfter = SnapshotManifest.manifestBody(spark, root, 1L)
+    val keptVerbatim = bodyBefore.toSet intersect bodyAfter.toSet
+    // 8 near-equal ranges over 0..199: ids 10 and 12 live in ONE file; 500
+    // is outside every range. Exactly one old file rewritten, 7 verbatim.
+    assert(keptVerbatim.size == 7, s"expected 7 verbatim lines, got ${keptVerbatim.size}")
+    // result ≡ whole-table merge
+    val expect = Upsert.merge(
+      spark.read.parquet(SnapshotManifest.snapshotFiles(spark, root, 0L): _*),
+      staged, Seq("id"))
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    assert(got.filter(col("id") === 10L).head().getAs[Long]("v") == -1L)
+    assert(got.filter(col("id") === 500L).count() == 1L)
+    assert(got.count() == 201L)
+  }
+
+  test("mergeWhere over-cap key set degrades to the min/max range predicate, same result") {
+    val root = rangeTable()
+    val staged = Seq((10L, 7, -1L), (12L, 7, -2L)).toDF("id", "grp", "v")
+    val v1 = Upsert.mergeWhere(spark, root, staged, Seq("id"), Seq("id"),
+      maxKeySetSize = 1) // force the fallback
+    assert(v1 == 1L)
+    // keys 10 and 12 are 2 apart — the [10,12] range still admits one file
+    val keptVerbatim = SnapshotManifest.manifestBody(spark, root, 0L).toSet intersect
+      SnapshotManifest.manifestBody(spark, root, 1L).toSet
+    assert(keptVerbatim.size == 7)
+    assert(SnapshotManifest.read(spark, root).filter(col("id") === 12L)
+      .head().getAs[Long]("v") == -2L)
+  }
+
+  test("mergeWhere null-PK staged rows are pure inserts (no file rewritten)") {
+    val root = rangeTable()
+    val staged = Seq((null.asInstanceOf[java.lang.Long], 7, -1L))
+      .toDF("id", "grp", "v")
+    val v1 = Upsert.mergeWhere(spark, root, staged, Seq("id"), Seq("id"))
+    assert(v1 == 1L)
+    // every old line carried verbatim; the insert landed in a new file
+    val keptVerbatim = SnapshotManifest.manifestBody(spark, root, 0L).toSet intersect
+      SnapshotManifest.manifestBody(spark, root, 1L).toSet
+    assert(keptVerbatim.size == 8)
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.count() == 201L)
+    assert(got.filter(col("id").isNull).count() == 1L)
+  }
+
+  test("mergeWhere empty staged batch is a no-op commit") {
+    val root = rangeTable()
+    val staged = spark.range(0).toDF("id")
+      .withColumn("grp", lit(0)).withColumn("v", lit(0L))
+    assert(Upsert.mergeWhere(spark, root, staged, Seq("id")) == 0L)
+    assert(SnapshotManifest.currentVersion(spark, root).contains(0L))
+  }
+
+  test("mergeWhere widening staged column is cast back to the target type (mixed-file schema)") {
+    val root = rangeTable()
+    // v arrives as int (narrower) — output must stay long to match kept files
+    val staged = Seq((10L, 7, 42)).toDF("id", "grp", "v")
+    Upsert.mergeWhere(spark, root, staged, Seq("id"), Seq("id"))
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    assert(got.filter(col("id") === 10L).head().getAs[Long]("v") == 42L)
+  }
+
+  test("mergeWhere composite PK prunes on the per-column IN conjunction") {
+    val root = java.nio.file.Files.createTempDirectory("mergewhere_ck").toString
+    val df = spark.range(0, 100).toDF("id")
+      .withColumn("k2", (col("id") % 10).cast("int"))
+      .withColumn("v", col("id") * 2)
+      .repartitionByRange(4, col("id"))
+    SnapshotManifest.commit(spark, root, df, Seq("id", "k2"))
+    val staged = Seq((7L, 7, -7L), (93L, 3, -93L)).toDF("id", "k2", "v")
+    Upsert.mergeWhere(spark, root, staged, Seq("id", "k2"), Seq("id", "k2"))
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.count() == 100L)
+    assert(got.filter(col("id") === 7L).head().getAs[Long]("v") == -7L)
+    assert(got.filter(col("id") === 93L).head().getAs[Long]("v") == -93L)
+    // two staged keys in two different quarter-ranges: 2 files rewritten
+    val keptVerbatim = SnapshotManifest.manifestBody(spark, root, 0L).toSet intersect
+      SnapshotManifest.manifestBody(spark, root, 1L).toSet
+    assert(keptVerbatim.size == 2)
+  }
+
+  test("mergeWhereWithRetry: two racing mergers both land, table integrates both") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = rangeTable()
+    val s1 = Seq((10L, 7, -1L)).toDF("id", "grp", "v")
+    val s2 = Seq((150L, 7, -2L)).toDF("id", "grp", "v")
+    // launched together: each attempt re-reads the current version on
+    // entry, so whichever loses the manifest race retries against the
+    // winner's snapshot (MERGE is idempotent-by-key, so the replay is safe)
+    val done = Await.result(Future.sequence(Seq(
+      Future(Upsert.mergeWhereWithRetry(spark, root, s1, Seq("id"), Seq("id"),
+        backoff = _ => Duration.Zero, sleep = _ => ())),
+      Future(Upsert.mergeWhereWithRetry(spark, root, s2, Seq("id"), Seq("id"),
+        backoff = _ => Duration.Zero, sleep = _ => ())))), 120.seconds)
+    assert(done.toSet == Set(1L, 2L), done.toString)
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.count() == 200L)
+    assert(got.filter(col("id") === 10L).head().getAs[Long]("v") == -1L)
+    assert(got.filter(col("id") === 150L).head().getAs[Long]("v") == -2L)
+  }
 }
