@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   *      plus every 1-deletion variant) — two short strings within edit
   *      distance 1 always share a variant. Together: ANY pair within
   *      edit distance 1 is guaranteed a candidate at every length;
-  *      multi-edit pairs rely on an intact prefix or suffix window.
+  *      multi-edit pairs rely on an intact prefix or suffix window — or,
+  *      with `gramKeys > 0`, on bottom-k MinHash gram keys that catch
+  *      the both-windows-hit case with measured (FuzzyMatchSpec)
+  *      probability.
   *      Only records sharing a key become candidates: one shuffle on the
   *      block key, pairs expanded map-side after the aggregation,
   *      oversized blocks (degenerate common names) dropped by
@@ -60,11 +63,27 @@ object FuzzyMatch {
     * larger than `maxBlockSize` are dropped — the boilerplate-key guard;
     * size the cap to the worst tolerable block² (as with every bucketed
     * candidate generator here).
+    *
+    * `gramKeys > 0` adds a THIRD key family for multi-edit recall: the
+    * `gramKeys` character `prefixLen`-grams with the smallest `xxhash64`
+    * (a bottom-k MinHash over the gram set — [[Dedup]]'s sketch, at
+    * character granularity). The window keys guarantee edit distance 1;
+    * a 2-edit pair that hits BOTH windows still shares most of its gram
+    * set (each edit destroys at most `prefixLen` grams), so with high
+    * probability one of the bottom-k grams survives on both sides and
+    * they land in a common `g|` block. Probabilistic by design — the
+    * measured floor on a planted 2-edit corpus lives in FuzzyMatchSpec —
+    * and linear in cost: ≤ `gramKeys` extra keys per record, same single
+    * shuffle, same `maxBlockSize` skew guard (a boilerplate gram shared
+    * by everything lands in an oversized block and is dropped, exactly
+    * like a degenerate prefix).
     */
   def blockedCandidatePairs(df: DataFrame, idCol: String, nameCol: String,
-      prefixLen: Int = 4, maxBlockSize: Int = 1000): DataFrame = {
+      prefixLen: Int = 4, maxBlockSize: Int = 1000,
+      gramKeys: Int = 0): DataFrame = {
     require(prefixLen >= 1, "prefixLen must be >= 1")
     require(maxBlockSize >= 2, "maxBlockSize must be >= 2")
+    require(gramKeys >= 0, "gramKeys must be >= 0")
     val rows = df
       .select(col(idCol).alias("__id"), canonicalName(col(nameCol)).alias("__c"))
       .filter(col("__c").isNotNull && length(col("__c")) > 0)
@@ -82,12 +101,31 @@ object FuzzyMatch {
       when(i === 0, concat(lit("d|"), c))
         .otherwise(concat(lit("d|"),
           c.substr(lit(1), i - 1), c.substr(i + 1, length(c)))))
+    // bottom-k min-hash grams (empty when off, or when the string is too
+    // short to have a full gram — the deletion neighborhood owns that
+    // regime). NOTE the length guard also keeps `sequence` ascending:
+    // sequence(1, 0) would DESCEND.
+    val minhashGramKeys =
+      if (gramKeys == 0) array().cast("array<string>")
+      else when(length(c) >= prefixLen, {
+        val grams = array_distinct(transform(
+          sequence(lit(1), length(c) - prefixLen + 1),
+          i => c.substr(i, lit(prefixLen))))
+        // array_sort on (hash, gram) structs orders by hash first; the
+        // gram tiebreak makes key choice deterministic under collisions
+        val byHash = array_sort(transform(grams,
+          g => struct(xxhash64(g).alias("h"), g.alias("g"))))
+        transform(slice(byHash, 1, gramKeys),
+          s => concat(lit("g|"), s.getField("g")))
+      }).otherwise(array().cast("array<string>"))
     // array_distinct: repeated characters make several deletions collapse
     // to the SAME variant ('aaaa' → 'aaa' four times); duplicate keys would
     // inflate block counts toward maxBlockSize (dropping genuine pairs)
     // and multiply the map-side pair expansion
-    val keys = array_distinct(when(length(c) <= 2 * prefixLen + 1,
-      concat(windowKeys, delKeys)).otherwise(windowKeys))
+    val keys = array_distinct(concat(
+      when(length(c) <= 2 * prefixLen + 1,
+        concat(windowKeys, delKeys)).otherwise(windowKeys),
+      minhashGramKeys))
     val keyed = rows.select(col("__id"), c, explode(keys).alias("__k"))
     val ids = col("__m")
     keyed.groupBy(col("__k"))
@@ -113,11 +151,11 @@ object FuzzyMatch {
     */
   def fuzzyDuplicates(df: DataFrame, idCol: String, nameCol: String,
       threshold: Double = 0.85, prefixLen: Int = 4,
-      maxBlockSize: Int = 1000): DataFrame = {
+      maxBlockSize: Int = 1000, gramKeys: Int = 0): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
     val la = length(col("__ca")).cast("double")
     val lb = length(col("__cb")).cast("double")
-    blockedCandidatePairs(df, idCol, nameCol, prefixLen, maxBlockSize)
+    blockedCandidatePairs(df, idCol, nameCol, prefixLen, maxBlockSize, gramKeys)
       .filter(lit(1.0) - abs(la - lb) / greatest(la, lb) >= threshold)
       .withColumn("similarity", editSimilarity(col("__ca"), col("__cb")))
       .filter(col("similarity") >= threshold)

@@ -108,6 +108,64 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(uncapped.count() > 0)
   }
 
+  test("2-edit recall: bottom-k gram keys recover pairs hitting BOTH windows (measured floor)") {
+    // the adversarial 2-edit shape: one substitution inside the prefix-4
+    // window AND one inside the suffix-4 window — both window keys differ,
+    // so the guaranteed-at-distance-1 blocking is structurally blind here.
+    // Names are md5-derived (deterministic, low cross-record gram sharing);
+    // canonical form == the name itself (lowercase alphanumeric).
+    def h(i: Int) = java.util.UUID.nameUUIDFromBytes(
+      s"rec$i".getBytes("UTF-8")).toString.replace("-", "")
+    val n = 200
+    val rows = (1 to n).flatMap { i =>
+      val base = "rec" + h(i) // 35 chars
+      val cs = base.toCharArray
+      cs(1) = 'x'                 // prefix-window edit ('e' -> 'x')
+      cs(cs.length - 2) = 'x'     // suffix-window edit (hex digit -> 'x')
+      Seq((i.toLong, base), (i.toLong + 100000L, new String(cs)))
+    }
+    val df = rows.toDF("id", "name")
+    val truePairs = (1 to n).map(i => (i.toLong, i.toLong + 100000L)).toSet
+    def recall(gramKeys: Int): Double =
+      FuzzyMatch.blockedCandidatePairs(df, "id", "name", gramKeys = gramKeys)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        .intersect(truePairs).size / n.toDouble
+    // window keys alone CANNOT pair these — the gap this key family closes
+    assert(recall(0) == 0.0)
+    // measured on this fixed corpus (xxhash64 is deterministic): the floors
+    // are the DOCUMENTED distance-2 recall contract for gramKeys = 2 / 4
+    val r2 = recall(2)
+    val r4 = recall(4)
+    assert(r2 >= 0.75, s"gramKeys=2 distance-2 recall $r2 below floor 0.75")
+    assert(r4 >= 0.90, s"gramKeys=4 distance-2 recall $r4 below floor 0.90")
+    assert(r4 >= r2)
+    // end-to-end: the recovered pairs survive scoring (2 edits on 35 chars
+    // = 1 - 2/35 ≈ 0.943)
+    val scored = FuzzyMatch.fuzzyDuplicates(df, "id", "name",
+      threshold = 0.9, gramKeys = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(scored.intersect(truePairs).size / n.toDouble >= 0.90)
+  }
+
+  test("gramKeys leaves distance-1 guarantees and block capping intact") {
+    // same fixtures as the distance-1 tests, gram keys ON: nothing lost
+    val df = Seq(
+      (1L, "Johnathan Smith"), (2L, "Jonathan Smith"),
+      (3L, "abcdefg"), (4L, "abcxefg"), // short class: deletion neighborhood
+      (5L, "zz")
+    ).toDF("id", "name")
+    val pairs = FuzzyMatch.blockedCandidatePairs(df, "id", "name", gramKeys = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length == pairs.toSet.size) // still deduped across families
+    assert(pairs.toSet.contains((1L, 2L)) && pairs.toSet.contains((3L, 4L)))
+    // the cap applies to gram blocks exactly as to window blocks: 50
+    // records sharing every gram form only oversized blocks — all dropped
+    val common = (1L to 50L).map(i => (i, "identical company name")).toDF("id", "name")
+    val capped = FuzzyMatch.blockedCandidatePairs(common, "id", "name",
+      maxBlockSize = 10, gramKeys = 2)
+    assert(capped.count() == 0)
+  }
+
   test("pairs compose with Dedup.clusters for entity resolution") {
     val df = Seq(
       (1L, "Data Systems Inc"), (2L, "Data Systems Inc."), (3L, "Dato Systems Inc"),
