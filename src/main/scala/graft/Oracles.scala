@@ -2194,6 +2194,25 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Approx quantile (q124): on this bounded-cardinality fixture the
+    // sketch answer equals the exact discrete quantile (rank error ≤ 3,
+    // bucket margins ≥ 16 — see the query doc), so the oracle is plain
+    // exact-histogram arithmetic, the same shape as q109's threshold CTE.
+    "q124_approx_quantile" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority, CAST(o_orderkey % 7 AS INT) AS score FROM orders),
+        |h AS (SELECT o_orderpriority, score, count(*) AS c FROM s GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT o_orderpriority, score, c,
+        |    sum(c) OVER (PARTITION BY o_orderpriority ORDER BY score) AS cumc,
+        |    sum(c) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM h)
+        |SELECT o_orderpriority, CAST(score AS BIGINT) AS threshold,
+        |  CAST(n AS BIGINT) AS n
+        |FROM (SELECT *, CAST(greatest(1, ceil(0.65 * n)) AS BIGINT) AS k FROM cum)
+        |WHERE cumc >= k AND cumc - c < k
+        |ORDER BY o_orderpriority""".stripMargin,
+
     // Copy-on-write merge (q123): MERGE ≡ staged ∪ (target ANTI JOIN
     // staged) here — matched rows take staged values wholesale (PKs are
     // equal by the join and there is no INSERT_TIMESTAMP column).

@@ -2189,6 +2189,29 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Approximate per-group quantile, ORACLE-GATED
+    * ([[graft.operators.Thresholds.groupQuantileApprox]] — the declared
+    * 100-TB path for continuous scores): `percentile_approx` is
+    * sketch-based and not normally cross-engine comparable, but on a
+    * bounded-cardinality score its rank error (≤ n/accuracy: ≤ 3 ranks at
+    * sf0.1, accuracy 10000) cannot leave the exact quantile's histogram
+    * bucket when that bucket is fat — here the rank ceil(0.65·n) sits ≥ 16
+    * ranks from its bucket's edges for every group at sf0.001/0.01/0.1
+    * (measured), so the sketch answer provably EQUALS the exact discrete
+    * quantile and DuckDB replays it with plain histogram arithmetic. Same
+    * one-aggregation shape as production; only the fixture is engineered.
+    */
+  def q124ApproxQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        pmod(col("o_orderkey"), lit(7)).cast("int").alias("score"))
+    graft.operators.Thresholds.groupQuantileApprox(
+        scored, "o_orderpriority", "score", 0.65, accuracy = 10000)
+      .select(col("o_orderpriority"),
+        col("threshold").cast("long").alias("threshold"), col("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2316,6 +2339,7 @@ object Queries {
     "q120_incremental_ivfpq" -> (q120IncrementalIvfPq _),
     "q121_cow_delete" -> (q121CowDelete _),
     "q122_cow_update" -> (q122CowUpdate _),
-    "q123_cow_merge" -> (q123CowMerge _)
+    "q123_cow_merge" -> (q123CowMerge _),
+    "q124_approx_quantile" -> (q124ApproxQuantile _)
   )
 }
