@@ -500,9 +500,17 @@ object SnapshotManifest {
     * swap is the manifest commit: readers of the old snapshot are never
     * disturbed, and a crash at any point leaves it current. No-op (None)
     * when the file count is already at target.
+    *
+    * Stats are PRESERVED across compaction: by default (`statsCols = None`)
+    * the columns recorded in the current manifest are re-collected for the
+    * compacted files, so a table's pruning power survives its maintenance
+    * (losing it silently would turn every post-compaction [[readWhere]]
+    * into a full scan). Pass `Some(cols)` to change the stats set, or
+    * `Some(Nil)` to drop stats deliberately.
     */
   def compactSnapshot(spark: SparkSession, root: String,
-      targetBytes: Long = 128L * 1024 * 1024): Option[Long] = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      statsCols: Option[Seq[String]] = None): Option[Long] = {
     require(targetBytes > 0, "targetBytes must be positive")
     val (fs, _) = fsOf(spark, root)
     val v = currentVersion(spark, root).getOrElse(
@@ -511,9 +519,28 @@ object SnapshotManifest {
     val totalBytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
     val targetFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     if (files.length <= targetFiles) None
-    else Some(commit(spark, root,
-      spark.read.parquet(files: _*).coalesce(targetFiles)))
+    else {
+      val cols = statsCols.getOrElse(snapshotFileStats(spark, root, v)
+        .values.flatMap(_.cols.keys).toSeq.distinct.sorted)
+      Some(commit(spark, root,
+        spark.read.parquet(files: _*).coalesce(targetFiles), cols))
+    }
   }
+
+  /** [[compactSnapshot]] with the bounded lost-race retry of the other
+    * maintenance/DML entry points. Safe to replay wholesale: every attempt
+    * re-reads the CURRENT version (file list, byte total, no-op check, and
+    * inherited stats columns alike), so a retry compacts the table as the
+    * winning writer left it.
+    */
+  def compactSnapshotWithRetry(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      statsCols: Option[Seq[String]] = None, maxAttempts: Int = 5,
+      backoff: Int => FiniteDuration = Retry.linearBackoff(1.second),
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Option[Long] =
+    Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
+      maxAttempts, backoff, sleep)(
+      compactSnapshot(spark, root, targetBytes, statsCols))
 
   /** Delete manifests superseded by the newest `keep` snapshots, then sweep
     * every data dir no surviving manifest references — superseded snapshots,

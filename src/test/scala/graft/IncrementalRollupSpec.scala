@@ -260,6 +260,31 @@ class IncrementalRollupSpec extends SparkSpec {
       SnapshotManifest.snapshotFiles(spark, src, 1L).toSet).nonEmpty)
   }
 
+  test("mergeWhere synergy: a refresh after a file-pruned MERGE integrates updates and inserts") {
+    val root = Files.createTempDirectory("irollup11").toString
+    val (src, roll) = (s"$root/src", s"$root/rollup")
+    val aggs = Seq(count(lit(1)).alias("n"),
+      sum($"x".cast("decimal(30,6)")).cast("double").alias("sum_x"))
+    val rows = (1L to 100L).map(i => (i, if (i % 2 == 0) "even" else "odd", i.toDouble))
+      .toDF("id", "grp", "x")
+    SnapshotManifest.commit(spark, src, rows.repartitionByRange(4, $"id"), Seq("id"))
+    IncrementalRollup.refresh(spark, src, roll, Seq("id"), Seq("grp"), aggs)
+    // narrow-key MERGE: update two rows in one range, insert one new key
+    val staged = Seq((10L, "even", 1000.0), (11L, "odd", 2000.0),
+      (500L, "new", 7.0)).toDF("id", "grp", "x")
+    graft.operators.Upsert.mergeWhere(spark, src, staged, Seq("id"), Seq("id"))
+    IncrementalRollup.refresh(spark, src, roll, Seq("id"), Seq("grp"), aggs)
+    val merged = graft.operators.Upsert.merge(rows, staged, Seq("id"))
+    val expected = merged.groupBy($"grp").agg(aggs.head, aggs.tail: _*)
+      .as[(String, Long, Double)].collect().toSet
+    assert(IncrementalRollup.read(spark, roll)
+      .as[(String, Long, Double)].collect().toSet == expected)
+    // file-pruned: the two source versions share files, so the change feed
+    // diffed only the rewritten/new ones
+    assert((SnapshotManifest.snapshotFiles(spark, src, 0L).toSet intersect
+      SnapshotManifest.snapshotFiles(spark, src, 1L).toSet).nonEmpty)
+  }
+
   test("refresh without a committed source fails fast") {
     val root = Files.createTempDirectory("irollup3").toString
     val e = intercept[IllegalStateException] {

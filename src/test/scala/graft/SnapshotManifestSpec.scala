@@ -97,6 +97,32 @@ class SnapshotManifestSpec extends SparkSpec {
     assert(SnapshotManifest.currentVersion(spark, root).contains(1L))
   }
 
+  test("compactSnapshot preserves manifest stats — pruning survives maintenance") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      spark.range(1000).select($"id", ($"id" * 2).alias("v"))
+        .repartitionByRange(8, $"id"),
+      Seq("id"))
+    // before: a narrow range prunes to 1 of 8 files
+    assert(SnapshotManifest.prunedFiles(spark, root, 0L, $"id" === 10L).size == 1)
+    val v = SnapshotManifest.compactSnapshot(spark, root)
+    assert(v.contains(1L))
+    val stats = SnapshotManifest.snapshotFileStats(spark, root, 1L)
+    assert(stats.nonEmpty && stats.values.forall(_.cols.contains("id")),
+      "inherited stats columns re-collected for compacted files")
+    // pruning still works off the fresh stats: an out-of-range point
+    // provably matches no file, whatever the compacted layout
+    assert(SnapshotManifest.prunedFiles(spark, root, 1L, $"id" === -5L).isEmpty)
+    assert(SnapshotManifest.readWhere(spark, root, $"id" === 10L).count() == 1L)
+    // explicit opt-out drops stats
+    SnapshotManifest.commit(spark, root,
+      spark.range(100).toDF("id").repartition(4), Seq("id"))
+    val v2 = SnapshotManifest.compactSnapshot(spark, root,
+      targetBytes = Long.MaxValue, statsCols = Some(Nil))
+    assert(v2.isDefined)
+    assert(SnapshotManifest.snapshotFileStats(spark, root, v2.get).isEmpty)
+  }
+
   test("vacuum drops superseded snapshots and unreferenced dirs only") {
     val root = newRoot()
     (0 to 2).foreach(i => SnapshotManifest.commit(spark, root, Seq((i.toLong, "v")).toDF("id", "x")))
