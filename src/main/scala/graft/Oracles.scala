@@ -2194,6 +2194,30 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Streaming upsert (q125): the converged table is order-independent
+    // (disjoint batch key ranges), so the oracle is the net effect — CASE
+    // rewrites for the two update ranges plus the inserted range.
+    "q125_streaming_upsert" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey BETWEEN 1000 AND 1100 THEN 'U'
+        |         WHEN o_orderkey BETWEEN 2000 AND 2100 THEN 'V'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey BETWEEN 1000 AND 1100 THEN o_totalprice * 2
+        |         WHEN o_orderkey BETWEEN 2000 AND 2100 THEN o_totalprice * 3
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey BETWEEN 3000 AND 3050)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // Approx quantile (q124): on this bounded-cardinality fixture the
     // sketch answer equals the exact discrete quantile (rank error ≤ 3,
     // bucket margins ≥ 16 — see the query doc), so the oracle is plain

@@ -2212,6 +2212,51 @@ object Queries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Streaming upsert into a snapshot table
+    * ([[graft.streaming.StreamingUpsert]]): a real AvailableNow stream
+    * (file source, one file per trigger → three distinct micro-batches)
+    * lands two disjoint-range update batches and one insert batch through
+    * the file-pruned MERGE, then the FINAL table is aggregated. Batch
+    * key ranges are disjoint, so the converged state is independent of
+    * the file source's batch order; the oracle replays the net effect as
+    * plain CASE arithmetic + UNION on the raw fixture. Duplicate
+    * deliveries inside a batch resolve to the freshest `ts` row
+    * (deterministic within-batch dedup).
+    */
+  def q125StreamingUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q125").toString
+    val table = s"$root/table"
+    graft.sources.SnapshotManifest.commit(spark, table,
+      orders.repartitionByRange(8, col("o_orderkey")), Seq("o_orderkey"))
+    // three staged batches, one parquet file each (disjoint key ranges)
+    val stagedDir = s"$root/staged"
+    def stage(df: DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(stagedDir)
+    stage(orders.filter(col("o_orderkey").between(1000, 1100))
+      .select(col("o_orderkey"), lit("U").alias("o_orderstatus"),
+        (col("o_totalprice") * 2).alias("o_totalprice"), lit(1L).alias("ts")))
+    stage(orders.filter(col("o_orderkey").between(2000, 2100))
+      .select(col("o_orderkey"), lit("V").alias("o_orderstatus"),
+        (col("o_totalprice") * 3).alias("o_totalprice"), lit(2L).alias("ts")))
+    stage(orders.filter(col("o_orderkey").between(3000, 3050))
+      .select((col("o_orderkey") + 10000000L).alias("o_orderkey"),
+        lit("N").alias("o_orderstatus"), col("o_totalprice"),
+        lit(3L).alias("ts")))
+    val stagedSchema = spark.read.parquet(stagedDir).schema
+    val stream = spark.readStream.schema(stagedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+    graft.streaming.StreamingUpsert.runAvailableNow(spark, stream, table,
+      Seq("o_orderkey"), "ts", s"$root/ckpt", statsCols = Seq("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("sum_price"),
+        min(col("o_orderkey")).alias("min_key"),
+        max(col("o_orderkey")).alias("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2340,6 +2385,7 @@ object Queries {
     "q121_cow_delete" -> (q121CowDelete _),
     "q122_cow_update" -> (q122CowUpdate _),
     "q123_cow_merge" -> (q123CowMerge _),
-    "q124_approx_quantile" -> (q124ApproxQuantile _)
+    "q124_approx_quantile" -> (q124ApproxQuantile _),
+    "q125_streaming_upsert" -> (q125StreamingUpsert _)
   )
 }
