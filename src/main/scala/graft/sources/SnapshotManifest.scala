@@ -383,18 +383,29 @@ object SnapshotManifest {
     val shared = oldFiles.toSet intersect newFiles.toSet
     val oldOnly = oldFiles.filterNot(shared)
     val newOnly = newFiles.filterNot(shared)
-    // schema from the manifest's own files (either side works: one commit
-    // never changes both nothing and the schema)
-    val schemaSrc = spark.read.parquet((oldFiles ++ newFiles).distinct: _*)
+    // UNION schema across both versions (mergeSchema): a schema-evolving
+    // commit (column added or dropped between the versions) must not make
+    // the diff unreadable. Each side is aligned to the union below —
+    // absent columns read as typed nulls, so an added column registers as
+    // null→value updates (the Delta-CDF convention) rather than an
+    // analysis error.
+    val schemaSrc = spark.read.option("mergeSchema", "true")
+      .parquet((oldFiles ++ newFiles).distinct: _*)
     val cols = schemaSrc.columns.toSeq
     pk.foreach(c => require(cols.contains(c), s"changesBetween: pk column $c not in $cols"))
     if (oldOnly.isEmpty && newOnly.isEmpty)
       return schemaSrc.limit(0).withColumn("_change", lit(""))
     // presence markers, not pk-null checks: a legitimately NULL-keyed row
     // (the `=` merge carve-outs tolerate them) must not read as "absent"
-    def side(files: Seq[String]) =
-      (if (files.isEmpty) schemaSrc.limit(0) else spark.read.parquet(files: _*))
+    def side(files: Seq[String]) = {
+      val raw =
+        if (files.isEmpty) schemaSrc.limit(0)
+        else spark.read.option("mergeSchema", "true").parquet(files: _*)
+      raw.select(cols.map(c =>
+        if (raw.columns.contains(c)) col(s"`$c`")
+        else lit(null).cast(schemaSrc.schema(c).dataType).alias(c)): _*)
         .withColumn("__graft_present", lit(1))
+    }
     val o = side(oldOnly).alias("o")
     val n = side(newOnly).alias("n")
     val joinCond = pk.map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _)

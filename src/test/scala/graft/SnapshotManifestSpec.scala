@@ -406,6 +406,26 @@ class SnapshotManifestSpec extends SparkSpec {
     assert(feed == Seq(("a", "update_preimage"), ("a2", "update_postimage")))
   }
 
+  test("changesBetween across a schema-evolving commit: added column reads as null→value updates") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "x"))
+    // the next commit adds a column y (whole-table replace, new schema)
+    SnapshotManifest.commit(spark, root,
+      Seq((1L, "a", 10L), (2L, "b2", 20L)).toDF("id", "x", "y"))
+    val feed = SnapshotManifest.changesBetween(spark, root, 0L, 1L, Seq("id"))
+      .select($"id", $"x", $"y", $"_change")
+      .as[(Long, String, Option[Long], String)].collect().toSet
+    // every row changed (y: null → value); preimages carry y = null
+    assert(feed == Set(
+      (1L, "a", None, "update_preimage"), (1L, "a", Some(10L), "update_postimage"),
+      (2L, "b", None, "update_preimage"), (2L, "b2", Some(20L), "update_postimage")))
+    // and the reverse direction (column dropped) aligns the same way
+    SnapshotManifest.commit(spark, root, Seq((1L, "a")).toDF("id", "x"))
+    val drop = SnapshotManifest.changesBetween(spark, root, 1L, 2L, Seq("id"))
+      .select($"id", $"_change").as[(Long, String)].collect().toSet
+    assert(drop.contains((2L, "delete")) && drop.contains((1L, "update_preimage")))
+  }
+
   test("changesBetween across compaction: rewritten-but-unchanged rows emit nothing") {
     val root = newRoot()
     SnapshotManifest.commit(spark, root,
