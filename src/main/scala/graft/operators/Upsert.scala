@@ -180,52 +180,59 @@ object Upsert {
     val pk = pkCols.map(_.trim)
     val v = SnapshotManifest.currentVersion(spark, tableRoot).getOrElse(
       throw new IllegalStateException(s"mergeWhere: no committed snapshot under $tableRoot"))
-    if (staged.isEmpty) return v
-    val body = SnapshotManifest.manifestBody(spark, tableRoot, v)
-    if (body.isEmpty)
-      // degenerate current snapshot with zero data files (everything was
-      // deleted): the merge is just the staged rows
-      return SnapshotManifest.publishVersion(spark, tableRoot, v + 1, staged,
-        statsCols, Nil, "mergeWhere")
-    val files = body.map(SnapshotManifest.bodyFile(tableRoot, _))
-    val targetSchema = spark.read.parquet(files.head).schema
-    pk.foreach(c => require(targetSchema.fieldNames.contains(c),
-      s"mergeWhere: PK column $c not in target schema ${targetSchema.fieldNames.mkString(", ")}"))
-    // distinct non-null staged key tuples, capped: tuples with ANY null
-    // component can never match under `=` (they are pure inserts), so they
-    // contribute nothing to the prune predicate
-    val keyDf = staged.select(pk.map(col): _*).na.drop("any", pk).distinct()
-    val keyRows = keyDf.limit(maxKeySetSize + 1).collect()
-    val keyPred =
-      if (keyRows.isEmpty) None // all staged rows are null-key inserts
-      else if (keyRows.length <= maxKeySetSize)
-        Some(pk.zipWithIndex.map { case (c, i) =>
-          col(c).isin(keyRows.map(_.get(i)).distinct.toSeq: _*)
-        }.reduce(_ && _))
-      else {
-        // over the cap: one aggregation, per-column range conjunction
-        val aggs = pk.flatMap(c =>
-          Seq(min(col(c)).alias(s"__mn_$c"), max(col(c)).alias(s"__mx_$c")))
-        val b = keyDf.agg(aggs.head, aggs.tail: _*).head()
-        Some(pk.zipWithIndex.map { case (c, i) =>
-          col(c) >= lit(b.get(2 * i)) && col(c) <= lit(b.get(2 * i + 1))
-        }.reduce(_ && _))
+    // the staged frame feeds THREE actions (emptiness probe, key-set
+    // collect, merge write): persist pins one evaluation — a heavy staged
+    // expression prices once, and a non-deterministic source cannot hand
+    // the prune and the merge different rows
+    val stagedP = staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (stagedP.isEmpty) return v
+      val body = SnapshotManifest.manifestBody(spark, tableRoot, v)
+      if (body.isEmpty)
+        // degenerate current snapshot with zero data files (everything was
+        // deleted): the merge is just the staged rows
+        return SnapshotManifest.publishVersion(spark, tableRoot, v + 1, stagedP,
+          statsCols, Nil, "mergeWhere")
+      val files = body.map(SnapshotManifest.bodyFile(tableRoot, _))
+      val targetSchema = spark.read.parquet(files.head).schema
+      pk.foreach(c => require(targetSchema.fieldNames.contains(c),
+        s"mergeWhere: PK column $c not in target schema ${targetSchema.fieldNames.mkString(", ")}"))
+      // distinct non-null staged key tuples, capped: tuples with ANY null
+      // component can never match under `=` (they are pure inserts), so they
+      // contribute nothing to the prune predicate
+      val keyDf = stagedP.select(pk.map(col): _*).na.drop("any", pk).distinct()
+      val keyRows = keyDf.limit(maxKeySetSize + 1).collect()
+      val keyPred =
+        if (keyRows.isEmpty) None // all staged rows are null-key inserts
+        else if (keyRows.length <= maxKeySetSize)
+          Some(pk.zipWithIndex.map { case (c, i) =>
+            col(c).isin(keyRows.map(_.get(i)).distinct.toSeq: _*)
+          }.reduce(_ && _))
+        else {
+          // over the cap: one aggregation, per-column range conjunction
+          val aggs = pk.flatMap(c =>
+            Seq(min(col(c)).alias(s"__mn_$c"), max(col(c)).alias(s"__mx_$c")))
+          val b = keyDf.agg(aggs.head, aggs.tail: _*).head()
+          Some(pk.zipWithIndex.map { case (c, i) =>
+            col(c) >= lit(b.get(2 * i)) && col(c) <= lit(b.get(2 * i + 1))
+          }.reduce(_ && _))
+        }
+      val affected = keyPred match {
+        case Some(p) => ManifestStats.prune(files, SnapshotManifest.bodyStats(body),
+          ManifestStats.resolvePredicate(spark, targetSchema, p)).toSet
+        case None => Set.empty[String]
       }
-    val affected = keyPred match {
-      case Some(p) => ManifestStats.prune(files, SnapshotManifest.bodyStats(body),
-        ManifestStats.resolvePredicate(spark, targetSchema, p)).toSet
-      case None => Set.empty[String]
-    }
-    val targetAffected =
-      if (affected.isEmpty) spark.read.parquet(files.head).limit(0)
-      else spark.read.parquet(affected.toSeq: _*)
-    val merged = merge(targetAffected, staged, pk)
-    val aligned = merged.select(targetSchema.fields.toSeq.map(f =>
-      col(f.name).cast(f.dataType).alias(f.name)): _*)
-    val keptLines = body.filterNot(line =>
-      affected.contains(SnapshotManifest.bodyFile(tableRoot, line)))
-    SnapshotManifest.publishVersion(spark, tableRoot, v + 1, aligned,
-      statsCols, keptLines, "mergeWhere")
+      val targetAffected =
+        if (affected.isEmpty) spark.read.parquet(files.head).limit(0)
+        else spark.read.parquet(affected.toSeq: _*)
+      val merged = merge(targetAffected, stagedP, pk)
+      val aligned = merged.select(targetSchema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).alias(f.name)): _*)
+      val keptLines = body.filterNot(line =>
+        affected.contains(SnapshotManifest.bodyFile(tableRoot, line)))
+      SnapshotManifest.publishVersion(spark, tableRoot, v + 1, aligned,
+        statsCols, keptLines, "mergeWhere")
+    } finally stagedP.unpersist(false)
   }
 
   /** [[mergeWhere]] with the same bounded lost-race retry as

@@ -436,4 +436,45 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"trial $trial diverged")
     }
   }
+
+  test("mergeWhere ≡ whole-table merge for arbitrary staged batches (prune soundness)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.SnapshotManifest
+    import graft.operators.Upsert
+    // key pools: inside the target range, outside it (pure inserts), and
+    // null (never-matching inserts); caps exercise the IN path AND the
+    // min/max fallback; statsCols = Nil exercises "stats-less files always
+    // rewrite"
+    val genCase = for {
+      nT <- Gen.choose(1, 50)
+      tKeys0 <- Gen.listOfN(nT, Gen.choose(0L, 80L))
+      nS <- Gen.choose(0, 20)
+      sKeys0 <- Gen.listOfN(nS, Gen.frequency(
+        5 -> Gen.choose(0L, 80L).map(Option(_)),
+        2 -> Gen.choose(200L, 220L).map(Option(_)),
+        1 -> Gen.const(Option.empty[Long])))
+      cap <- Gen.oneOf(1, 3, 100000)
+      withStats <- Gen.oneOf(true, false)
+    } yield (tKeys0.distinct, sKeys0.distinct, cap, withStats)
+    samples(genCase, n = 8, seedBase = 4242L).zipWithIndex.foreach {
+      case ((tKeys, sKeys, cap, withStats), trial) =>
+        val root = java.nio.file.Files.createTempDirectory(s"mw_prop$trial").toString
+        val target = tKeys.map(k => (Option(k), s"t$k", k * 1.0)).toDF("id", "x", "v")
+        val staged = sKeys.map(k => (k, s"s${k.getOrElse(-1L)}", 7.0)).toDF("id", "x", "v")
+        SnapshotManifest.commit(spark, root,
+          target.repartitionByRange(3, $"id"),
+          if (withStats) Seq("id") else Nil)
+        Upsert.mergeWhere(spark, root, staged, Seq("id"),
+          if (withStats) Seq("id") else Nil, maxKeySetSize = cap)
+        val expected = Upsert.merge(target, staged, Seq("id"))
+          .as[(Option[Long], String, Double)].collect()
+          .sortBy(r => (r._1.getOrElse(Long.MinValue), r._2))
+        val got = SnapshotManifest.read(spark, root)
+          .as[(Option[Long], String, Double)].collect()
+          .sortBy(r => (r._1.getOrElse(Long.MinValue), r._2))
+        assert(got.toSeq == expected.toSeq,
+          s"trial $trial (cap=$cap stats=$withStats) diverged")
+    }
+  }
 }
