@@ -2194,6 +2194,17 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Z-order optimize (q126): the rewrite must be a pure re-layout —
+    // the aggregate equals the raw fixture's.
+    "q126_zorder_optimize" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(o_custkey AS DECIMAL(30,6))) AS DOUBLE) AS sum_cust,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // Streaming upsert (q125): the converged table is order-independent
     // (disjoint batch key ranges), so the oracle is the net effect — CASE
     // rewrites for the two update ranges plus the inserted range.

@@ -2257,6 +2257,34 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** OPTIMIZE ZORDER on a snapshot table
+    * ([[graft.operators.Layout.optimizeSnapshot]]): a hash-scattered
+    * commit is rewritten clustered on `(o_custkey, o_orderkey)` as a new
+    * atomic version, then aggregated. The oracle is the raw fixture's
+    * aggregate — any row lost, duplicated, or mutated by the z-order
+    * range-shuffle rewrite shifts it. The pruning-improvement half of the
+    * contract (a point query admits fewer files after) is spec-gated in
+    * LayoutSpec, where file boxes are observable.
+    */
+  def q126ZorderOptimize(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q126").toString
+    graft.sources.SnapshotManifest.commit(spark, root,
+      orders.repartition(8, col("o_orderkey")), Seq("o_orderkey"))
+    graft.operators.Layout.optimizeSnapshot(spark, root,
+      "o_custkey", "o_orderkey", bits = 8, numFiles = 8)
+    graft.sources.SnapshotManifest.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("sum_price"),
+        sum(col("o_custkey").cast("decimal(30,6)")).cast("double").alias("sum_cust"),
+        min(col("o_orderkey")).alias("min_key"),
+        max(col("o_orderkey")).alias("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2386,6 +2414,7 @@ object Queries {
     "q122_cow_update" -> (q122CowUpdate _),
     "q123_cow_merge" -> (q123CowMerge _),
     "q124_approx_quantile" -> (q124ApproxQuantile _),
-    "q125_streaming_upsert" -> (q125StreamingUpsert _)
+    "q125_streaming_upsert" -> (q125StreamingUpsert _),
+    "q126_zorder_optimize" -> (q126ZorderOptimize _)
   )
 }

@@ -80,4 +80,37 @@ object Layout {
       .sortWithinPartitions(col("__graft_z"))
       .drop("__graft_z")
   }
+
+  /** OPTIMIZE ZORDER for a [[graft.sources.SnapshotManifest]] table — the
+    * Delta/Iceberg maintenance verb on this engine's commit protocol:
+    * rewrite the CURRENT snapshot clustered by [[zOrderBy]] over
+    * `(colA, colB)` and commit it atomically as a new version, with
+    * manifest stats re-collected for the z-order columns (plus whatever
+    * the table already recorded), so [[graft.sources.SnapshotManifest
+    * .readWhere]] prunes on BOTH axes afterward. Readers of the old
+    * snapshot are never disturbed; [[graft.sources.SnapshotManifest
+    * .vacuum]] reclaims it later. Data is byte-identical up to row order
+    * — and [[graft.sources.SnapshotManifest.changesBetween]] across the
+    * optimize therefore emits NOTHING beyond file moves (its unchanged-
+    * row detection drops rewritten-but-identical rows).
+    *
+    * The rewrite prices one full table scan + one range shuffle on the
+    * z-value — the standard OPTIMIZE cost, run at maintenance cadence;
+    * every later narrow scan on either column repays it.
+    *
+    * @return the committed version
+    */
+  def optimizeSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
+      colA: String, colB: String, bits: Int = 8, numFiles: Int = 64,
+      extraStatsCols: Seq[String] = Nil): Long = {
+    import graft.sources.SnapshotManifest
+    val v = SnapshotManifest.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"optimizeSnapshot: no committed snapshot under $root"))
+    val inherited = SnapshotManifest.snapshotFileStats(spark, root, v)
+      .values.flatMap(_.cols.keys).toSeq
+    val statsCols = (inherited ++ Seq(colA, colB) ++ extraStatsCols).distinct.sorted
+    SnapshotManifest.commit(spark, root,
+      zOrderBy(SnapshotManifest.read(spark, root), colA, colB, bits, numFiles),
+      statsCols)
+  }
 }

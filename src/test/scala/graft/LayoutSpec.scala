@@ -67,4 +67,32 @@ class LayoutSpec extends SparkSpec {
     assert(touching(zBoxes) <= 8,
       s"z-order should prune most files for a y-band, touched ${touching(zBoxes)}: $zBoxes")
   }
+
+  test("optimizeSnapshot: atomic z-order rewrite, stats on both axes, silent change feed") {
+    import graft.sources.SnapshotManifest
+    import graft.operators.Layout
+    val root = java.nio.file.Files.createTempDirectory("optz").toString
+    // hash-scattered layout: every file spans the whole (x, y) plane, so a
+    // point query on either axis prunes NOTHING
+    val rows = (0L until 4096L).map(i => (i, i % 64, (i / 64) % 64, s"p$i"))
+      .toDF("id", "x", "y", "payload")
+    SnapshotManifest.commit(spark, root, rows.repartition(16, $"id"), Seq("x", "y"))
+    val before = SnapshotManifest.prunedFiles(spark, root, 0L,
+      $"y".between(10, 12)).size
+    assert(before == 16, s"scattered layout should admit every file, got $before")
+    val v = Layout.optimizeSnapshot(spark, root, "x", "y", bits = 6, numFiles = 16)
+    assert(v == 1L)
+    // pruning now bites on the SECOND axis too
+    val after = SnapshotManifest.prunedFiles(spark, root, 1L,
+      $"y".between(10, 12)).size
+    assert(after <= 8, s"z-ordered layout should prune a y-band, admitted $after")
+    // data identical up to order; the feed sees only file moves → empty
+    val got = SnapshotManifest.read(spark, root)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == rows.as[(Long, Long, Long, String)].collect().toSet)
+    assert(SnapshotManifest.changesBetween(spark, root, 0L, 1L, Seq("id")).isEmpty)
+    // inherited + z-order stats both present
+    val stats = SnapshotManifest.snapshotFileStats(spark, root, 1L)
+    assert(stats.values.forall(s => s.cols.contains("x") && s.cols.contains("y")))
+  }
 }
