@@ -437,6 +437,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mayMatch soundness fuzz: a pruned file contains no row matching the predicate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.ManifestStats
+    // one "file" of random (a: int-with-nulls, s: string-with-nulls) rows;
+    // stats collected through the real write-side path
+    val genRow = for {
+      a <- Gen.frequency(8 -> Gen.choose(-20, 120).map(Option(_)),
+        1 -> Gen.const(Option.empty[Int]))
+      s <- Gen.frequency(6 -> Gen.alphaLowerStr.map(x => Option(x.take(6))),
+        1 -> Gen.const(Option.empty[String]))
+    } yield (a, s)
+    val genLitA = Gen.choose(-40, 160)
+    val genLitS = Gen.oneOf("", "a", "abc", "zz", "m", "qqqq")
+    def genLeaf: Gen[org.apache.spark.sql.Column] = Gen.oneOf(
+      genLitA.map(v => col("a") === lit(v)),
+      genLitA.map(v => col("a") < lit(v)),
+      genLitA.map(v => col("a") <= lit(v)),
+      genLitA.map(v => col("a") > lit(v)),
+      genLitA.map(v => col("a") >= lit(v)),
+      Gen.listOfN(3, genLitA).map(vs => col("a").isin(vs: _*)),
+      Gen.const(col("a").isNull), Gen.const(col("a").isNotNull),
+      genLitS.map(v => col("s") === lit(v)),
+      genLitS.map(v => col("s") < lit(v)),
+      genLitS.map(v => col("s") > lit(v)),
+      genLitS.map(v => col("s").startsWith(v)),
+      Gen.const(col("s").isNull), Gen.const(col("s").isNotNull))
+    def genPred(depth: Int): Gen[org.apache.spark.sql.Column] =
+      if (depth <= 0) genLeaf
+      else Gen.frequency(
+        2 -> genLeaf,
+        1 -> (for { l <- genPred(depth - 1); r <- genPred(depth - 1) } yield l && r),
+        1 -> (for { l <- genPred(depth - 1); r <- genPred(depth - 1) } yield l || r))
+    (0 until 3).foreach { ds =>
+      val rows = samples(genRow, n = 30, seedBase = 900L + ds * 100L)
+      val dir = java.nio.file.Files.createTempDirectory(s"maymatch$ds").toString + "/f"
+      rows.toDF("a", "s").coalesce(1).write.parquet(dir)
+      val read = spark.read.parquet(dir)
+      val stats = ManifestStats.collect(read, Seq("a", "s"))
+      assert(stats.size == 1)
+      val fileStats = stats.values.head
+      var pruned = 0
+      samples(genPred(2), n = 120, seedBase = 7000L + ds).foreach { p =>
+        val resolved = ManifestStats.resolvePredicate(spark, read.schema, p)
+        if (!ManifestStats.mayMatch(resolved, fileStats)) {
+          pruned += 1
+          // soundness: the pruned file must contain NO matching row
+          if (pruned <= 15) // bound the Spark-job cost; prunes are uniform
+            assert(read.filter(p).isEmpty,
+              s"UNSOUND prune: $resolved dropped a file with matches")
+        }
+      }
+      assert(pruned >= 3, s"vacuous fuzz on dataset $ds: no predicate pruned")
+    }
+  }
+
   test("mergeWhere ≡ whole-table merge for arbitrary staged batches (prune soundness)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
