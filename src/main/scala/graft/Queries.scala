@@ -2274,7 +2274,7 @@ object Queries {
     graft.sources.SnapshotManifest.commit(spark, root,
       orders.repartition(8, col("o_orderkey")), Seq("o_orderkey"))
     graft.operators.Layout.optimizeSnapshot(spark, root,
-      "o_custkey", "o_orderkey", bits = 8, numFiles = 8)
+      Seq("o_custkey", "o_orderkey"), bits = 8, numFiles = 8)
     graft.sources.SnapshotManifest.read(spark, root)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).alias("n"),

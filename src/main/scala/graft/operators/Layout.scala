@@ -54,6 +54,49 @@ object Layout {
     }
   }
 
+  /** Morton/Z interleave of N bucket ids (each in [0, 2^bits)): bit i of
+    * column j lands at position `i·n + j` — the k-dimensional
+    * generalization of [[zValue]], still a statically-unrolled codegen'd
+    * bit-op tree. `n·bits` must fit a signed long (≤ 63 bits).
+    */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, s"zValueN needs >= 2 columns, got ${cols.size}")
+    require(bits >= 1 && bits <= 20, s"bits must be in [1,20], got $bits")
+    require(cols.size * bits <= 63,
+      s"${cols.size} cols x $bits bits exceeds a signed long")
+    val n = cols.size
+    cols.zipWithIndex.foldLeft(lit(0L)) { case (acc0, (c, j)) =>
+      (0 until bits).foldLeft(acc0) { (acc, i) =>
+        acc.bitwiseOR(shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j))
+      }
+    }
+  }
+
+  /** N-column [[zOrderBy]]: bucket every column over its actual min/max
+    * (ONE aggregation for all bounds), interleave with [[zValueN]], then
+    * range-repartition and sort. Two columns delegate to the same math as
+    * [[zOrderBy]]; more columns trade per-column resolution for breadth
+    * exactly as Delta's multi-column ZORDER does.
+    */
+  def zOrderByN(df: DataFrame, zCols: Seq[String], bits: Int = 8,
+      numFiles: Int = 64): DataFrame = {
+    require(zCols.size >= 2, "zOrderByN needs at least 2 columns")
+    require(zCols.distinct.size == zCols.size, s"duplicate z-order column in $zCols")
+    val aggs = zCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c).cast("long")).alias(s"__mn$i"),
+        max(col(c).cast("long")).alias(s"__mx$i"))
+    }
+    val Array(row) = df.agg(aggs.head, aggs.tail: _*).collect() // 2N numbers
+    val buckets = zCols.zipWithIndex.map { case (c, i) =>
+      require(!row.isNullAt(2 * i), s"zOrderByN: empty input or all-null $c")
+      bucketLong(col(c), row.getLong(2 * i), row.getLong(2 * i + 1), bits)
+    }
+    df.withColumn("__graft_z", zValueN(buckets, bits))
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+  }
+
   /** Cluster `df` for scans that filter on BOTH `colA` and `colB`: bucket
     * each column over its actual min/max (computed in one tiny aggregation,
     * broadcast back as a 1-row bounds dimension — the plan stays fully
@@ -101,16 +144,16 @@ object Layout {
     * @return the committed version
     */
   def optimizeSnapshot(spark: org.apache.spark.sql.SparkSession, root: String,
-      colA: String, colB: String, bits: Int = 8, numFiles: Int = 64,
+      zCols: Seq[String], bits: Int = 8, numFiles: Int = 64,
       extraStatsCols: Seq[String] = Nil): Long = {
     import graft.sources.SnapshotManifest
     val v = SnapshotManifest.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"optimizeSnapshot: no committed snapshot under $root"))
     val inherited = SnapshotManifest.snapshotFileStats(spark, root, v)
       .values.flatMap(_.cols.keys).toSeq
-    val statsCols = (inherited ++ Seq(colA, colB) ++ extraStatsCols).distinct.sorted
+    val statsCols = (inherited ++ zCols ++ extraStatsCols).distinct.sorted
     SnapshotManifest.commit(spark, root,
-      zOrderBy(SnapshotManifest.read(spark, root), colA, colB, bits, numFiles),
+      zOrderByN(SnapshotManifest.read(spark, root), zCols, bits, numFiles),
       statsCols)
   }
 }

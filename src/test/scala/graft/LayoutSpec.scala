@@ -68,6 +68,42 @@ class LayoutSpec extends SparkSpec {
       s"z-order should prune most files for a y-band, touched ${touching(zBoxes)}: $zBoxes")
   }
 
+  test("zValueN: 2-column form coincides with zValue; 3-column interleave round-trips") {
+    import graft.operators.Layout
+    val df = Seq((5L, 9L, 3L)).toDF("a", "b", "c")
+    val (two, twoN) = df.select(
+      Layout.zValue($"a", $"b", 4).alias("z"),
+      Layout.zValueN(Seq($"a", $"b"), 4).alias("zn"))
+      .as[(Long, Long)].head()
+    assert(two == twoN)
+    // 3 columns, bits=2: a=0b01, b=0b11, c=0b10 → bit layout i*3+j
+    val z3 = Seq((1L, 3L, 2L)).toDF("a", "b", "c")
+      .select(Layout.zValueN(Seq($"a", $"b", $"c"), 2)).as[Long].head()
+    // expected: a bits (1,0) at pos 0,3; b bits (1,1) at pos 1,4; c (0,1) at pos 2,5
+    assert(z3 == ((1L << 0) | (1L << 1) | (0L << 2) | (0L << 3) | (1L << 4) | (1L << 5)))
+  }
+
+  test("zOrderByN: three-column layout prunes on EVERY axis") {
+    import graft.operators.Layout
+    val rows = (0L until 4096L).map(i => (i % 16, (i / 16) % 16, i / 256, i))
+      .toDF("x", "y", "w", "id")
+    val dir = java.nio.file.Files.createTempDirectory("z3").toString + "/t"
+    Layout.zOrderByN(rows, Seq("x", "y", "w"), bits = 4, numFiles = 16)
+      .write.parquet(dir)
+    val read = spark.read.parquet(dir)
+    def touched(c: String, v: Long): Long = {
+      val boxes = read.groupBy(input_file_name().alias("f"))
+        .agg(min(col(c)).alias("mn"), max(col(c)).alias("mx"))
+        .as[(String, Long, Long)].collect()
+      boxes.count { case (_, mn, mx) => mn <= v && v <= mx }
+    }
+    // every axis prunes: a point on any single column touches a strict
+    // minority of the 16 files (an unclustered layout touches all 16)
+    assert(touched("x", 3) <= 8, s"x point touched ${touched("x", 3)}")
+    assert(touched("y", 3) <= 8, s"y point touched ${touched("y", 3)}")
+    assert(touched("w", 3) <= 8, s"w point touched ${touched("w", 3)}")
+  }
+
   test("optimizeSnapshot: atomic z-order rewrite, stats on both axes, silent change feed") {
     import graft.sources.SnapshotManifest
     import graft.operators.Layout
@@ -80,7 +116,7 @@ class LayoutSpec extends SparkSpec {
     val before = SnapshotManifest.prunedFiles(spark, root, 0L,
       $"y".between(10, 12)).size
     assert(before == 16, s"scattered layout should admit every file, got $before")
-    val v = Layout.optimizeSnapshot(spark, root, "x", "y", bits = 6, numFiles = 16)
+    val v = Layout.optimizeSnapshot(spark, root, Seq("x", "y"), bits = 6, numFiles = 16)
     assert(v == 1L)
     // pruning now bites on the SECOND axis too
     val after = SnapshotManifest.prunedFiles(spark, root, 1L,
