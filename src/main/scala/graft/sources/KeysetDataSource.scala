@@ -7,10 +7,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JSONOptions, JacksonParser}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull}
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -114,11 +115,13 @@ class KeysetTable(schema: StructType, options: CaseInsensitiveStringMap)
 }
 
 class KeysetScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private val sortField = Option(options.get("sortField")).getOrElse("lastModifiedAt")
   private var watermark: Option[KeysetWatermark] = None
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = schema
+  private var pushedAgg: Option[Aggregation] = None
 
   /** Column pruning (the DSv2 twin of parquet's ReadSchema): the JSON
     * parser is handed only the required fields, so unrequested fields are
@@ -131,21 +134,27 @@ class KeysetScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Accept >= / > on the sort field — the keyset watermark — source-side.
-    * Accepted filters are FULLY pushed (Spark drops them from the plan), so
-    * the reader must honour strictness and SQL null semantics exactly;
-    * multiple accepted filters keep the most restrictive bound.
+  /** Accept >= / > / IS NOT NULL on the sort field — the keyset watermark —
+    * source-side. Accepted filters are FULLY pushed (Spark drops them from
+    * the plan), so the reader must honour strictness and SQL null semantics
+    * exactly; multiple accepted filters keep the most restrictive bound.
+    * `IsNotNull(sortField)` — which the optimizer infers next to every
+    * comparison — maps onto the non-strict `>= ""` watermark (every
+    * non-null string is >= the empty string), so a watermark query leaves
+    * NO post-scan filter behind and stays eligible for aggregate pushdown.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
       case GreaterThanOrEqual(a, _: String) if a == sortField => true
       case GreaterThan(a, _: String) if a == sortField => true
+      case IsNotNull(a) if a == sortField => true
       case _ => false
     }
     pushed = accepted
     accepted.foreach {
       case GreaterThanOrEqual(_, v: String) => tighten(KeysetWatermark(v, strict = false))
       case GreaterThan(_, v: String)        => tighten(KeysetWatermark(v, strict = true))
+      case IsNotNull(_)                      => tighten(KeysetWatermark("", strict = false))
       case _                                 => ()
     }
     rejected // Spark still applies these
@@ -159,12 +168,121 @@ class KeysetScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = {
-    val effective =
-      if (watermark.isEmpty || required.fieldNames.contains(sortField) ||
-          !schema.fieldNames.contains(sortField)) required
-      else StructType(required.fields :+ schema(sortField))
-    new KeysetScan(effective, schema, options, sortField, watermark)
+  /** Aggregate pushdown — the delta-load watermark probe (`MAX(sortField)`,
+    * reference `utils.py` watermark read / SURVEY A1) answered source-side:
+    * each page partition emits ONE row of per-page partials instead of its
+    * rows, the exact shape a REST cursor backend answers with a server-side
+    * `max` endpoint. PARTIAL pushdown (`supportCompletePushDown` = false):
+    * Spark re-aggregates the per-page rows (max-of-maxes, sum-of-counts),
+    * so multi-page parallelism is preserved and correctness never depends
+    * on this source seeing all pages in one partition. Accepted only for
+    * ungrouped `MAX(sortField)` / `COUNT(*)` combinations over a STRING
+    * sort field — everything else stays in the plan untouched.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions().nonEmpty) return false
+    if (aggregation.aggregateExpressions().isEmpty) return false
+    val sortIsString = schema.fieldNames.contains(sortField) &&
+      schema(sortField).dataType == StringType
+    val ok = aggregation.aggregateExpressions().forall {
+      case m: Max => sortIsString && (m.column() match {
+        case nr: NamedReference => nr.fieldNames().toSeq == Seq(sortField)
+        case _ => false
+      })
+      case _: CountStar => true
+      case _ => false
+    }
+    if (ok) pushedAgg = Some(aggregation)
+    ok
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) =>
+      new KeysetAggScan(KeysetDataSource.pathOf(options), sortField, watermark,
+        agg.aggregateExpressions().toSeq.map {
+          case _: Max => KeysetAggScan.MaxSort
+          case _: CountStar => KeysetAggScan.Count
+          case other => throw new IllegalStateException(s"unexpected pushed agg $other")
+        })
+    case None =>
+      val effective =
+        if (watermark.isEmpty || required.fieldNames.contains(sortField) ||
+            !schema.fieldNames.contains(sortField)) required
+        else StructType(required.fields :+ schema(sortField))
+      new KeysetScan(effective, schema, options, sortField, watermark)
+  }
+}
+
+/** Batch scan for a pushed-down ungrouped aggregation: one output row per
+  * page partition carrying that page's partials in `aggs` order. Rows and
+  * filters follow the SAME acceptance rule as the row scan (pushed
+  * watermark bounds, null sort values excluded by a bound, counted
+  * otherwise), so pushing the aggregate can never change the answer.
+  */
+class KeysetAggScan(dir: String, sortField: String,
+    watermark: Option[KeysetWatermark], aggs: Seq[KeysetAggScan.AggKind])
+    extends Scan {
+  import KeysetAggScan._
+  override def readSchema(): StructType =
+    StructType(aggs.zipWithIndex.map {
+      case (MaxSort, i) => org.apache.spark.sql.types.StructField(
+        s"_agg$i", StringType, nullable = true)
+      case (Count, i) => org.apache.spark.sql.types.StructField(
+        s"_agg$i", org.apache.spark.sql.types.LongType, nullable = false)
+    })
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      KeysetDataSource.pageFiles(dir)
+        .map(f => KeysetInputPartition(f.getAbsolutePath, watermark.toSeq, None): InputPartition)
+        .toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new KeysetAggReaderFactory(sortField, aggs)
+  }
+}
+
+object KeysetAggScan {
+  sealed trait AggKind
+  case object MaxSort extends AggKind
+  case object Count extends AggKind
+}
+
+class KeysetAggReaderFactory(sortField: String, aggs: Seq[KeysetAggScan.AggKind])
+    extends PartitionReaderFactory {
+  import KeysetAggScan._
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val kp = partition.asInstanceOf[KeysetInputPartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (done) return false
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        var maxV: String = null
+        var count = 0L
+        val src = scala.io.Source.fromFile(kp.path)("UTF-8")
+        try src.getLines().filter(_.trim.nonEmpty).foreach { line =>
+          val v = KeysetDataSource.sortValueOf(mapper, line, sortField)
+          // same acceptance as the row reader: a pushed bound excludes
+          // null sort values (SQL comparison semantics); no bound = every
+          // row counts, nulls contribute nothing to MAX
+          if (kp.lowers.isEmpty || kp.lowers.forall(_.accepts(v))) {
+            count += 1
+            if (v != null && (maxV == null || v > maxV)) maxV = v
+          }
+        } finally src.close()
+        val values: Seq[Any] = aggs.map {
+          case MaxSort => if (maxV == null) null else UTF8String.fromString(maxV)
+          case Count => count
+        }
+        row = InternalRow.fromSeq(values)
+        done = true
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
   }
 }
 

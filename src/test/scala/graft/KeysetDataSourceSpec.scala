@@ -25,6 +25,49 @@ class KeysetDataSourceSpec extends SparkSpec {
     assert(explained.contains("graft") || df.count() == 4) // plan renders DSv2 scan
   }
 
+  test("watermark probe pushes MAX/COUNT into the source (SupportsPushDownAggregates)") {
+    // AdaptiveSparkPlanExec hides its input plan from collect — the plan
+    // STRING is the reliable probe for the scan implementation in use
+    def aggScanOf(df: org.apache.spark.sql.DataFrame): Option[Unit] =
+      if (df.queryExecution.executedPlan.toString.contains("KeysetAggScan"))
+        Some(()) else None
+    val base = spark.read.format("graft-keyset").option("path", pagesDir).load()
+    // ground truth from the plain row scan
+    val (expMax, expCnt) = base.agg(max($"lastModifiedAt"), count(lit(1)))
+      .as[(String, Long)].head()
+    // MAX + COUNT(*) together: pushed as per-page partials
+    val probe = base.agg(max($"lastModifiedAt").alias("w"), count(lit(1)).alias("n"))
+    assert(aggScanOf(probe).isDefined, "aggregation was not pushed to the source")
+    assert(probe.as[(String, Long)].head() == ((expMax, expCnt)))
+    // composed with the pushed watermark filter: bounds apply BEFORE the agg
+    val filtered = base.filter($"lastModifiedAt" > "2024-01-02T00:00:00")
+    val (fMax, fCnt) = filtered.agg(max($"lastModifiedAt"), count(lit(1)))
+      .as[(String, Long)].head()
+    val probeF = filtered.agg(max($"lastModifiedAt"), count(lit(1)))
+    assert(aggScanOf(probeF).isDefined)
+    assert(probeF.as[(String, Long)].head() == ((fMax, fCnt)))
+    // NOT pushed: grouped aggs, other functions, non-sort-field MAX —
+    // the row scan answers and results still match
+    val grouped = base.groupBy($"channel").agg(count(lit(1)))
+    assert(aggScanOf(grouped).isEmpty)
+    val otherMax = base.agg(max($"id"))
+    assert(aggScanOf(otherMax).isEmpty)
+  }
+
+  test("IS NOT NULL on the sort field is fully pushed with exact null semantics") {
+    val files = new java.io.File(pagesDir).listFiles()
+      .filter(f => f.getName.startsWith("page_") && f.getName.endsWith(".json"))
+      .map(_.getAbsolutePath).sorted
+    val truth = spark.read.json(files: _*)
+      .filter(col("lastModifiedAt").isNotNull).count()
+    val base = spark.read.format("graft-keyset").option("path", pagesDir).load()
+    val q = base.filter(col("lastModifiedAt").isNotNull)
+    assert(q.count() == truth)
+    // fully pushed: no Filter node survives above the scan
+    assert(!q.queryExecution.executedPlan.toString.contains("Filter ("),
+      q.queryExecution.executedPlan.toString)
+  }
+
   test("strict > watermark excludes the boundary row; >= includes it") {
     val base = spark.read.format("graft-keyset").option("path", pagesDir).load()
     val boundary = base.select(col("lastModifiedAt")).na.drop()
