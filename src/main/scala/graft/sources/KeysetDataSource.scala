@@ -296,8 +296,30 @@ case class KeysetWatermark(value: String, strict: Boolean) {
 
 class KeysetScan(schema: StructType, fullSchema: StructType,
     options: CaseInsensitiveStringMap,
-    sortField: String, watermark: Option[KeysetWatermark]) extends Scan {
+    sortField: String, watermark: Option[KeysetWatermark])
+    extends Scan with SupportsReportStatistics {
   private val dir = KeysetDataSource.pathOf(options)
+
+  /** Real size/row statistics from the page files (JSON bytes as the size
+    * proxy, newline count as rows). Without this a DSv2 relation reports
+    * "unknown = huge" and a keyset-backed dimension NEVER broadcasts; with
+    * it, Catalyst's broadcast threshold sees the actual few-KB pages and
+    * plans the join like any small dimension. One driver-side listing +
+    * line count, memoized per scan.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val (bytes, rows) = {
+      val files = KeysetDataSource.pageFiles(dir)
+      val b = files.map(_.length()).sum
+      val r = files.map { f =>
+        val src = scala.io.Source.fromFile(f)("UTF-8")
+        try src.getLines().count(_.trim.nonEmpty) finally src.close()
+      }.sum
+      (b, r.toLong)
+    }
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  }
   private val maxRowsPerTrigger: Option[Long] =
     Option(options.get("maxRowsPerTrigger")).map { v =>
       val n = v.toLong

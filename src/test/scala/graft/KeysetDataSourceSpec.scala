@@ -54,6 +54,19 @@ class KeysetDataSourceSpec extends SparkSpec {
     assert(aggScanOf(otherMax).isEmpty)
   }
 
+  test("reported statistics let a keyset-backed dimension broadcast (SupportsReportStatistics)") {
+    val dim = spark.read.format("graft-keyset").option("path", pagesDir).load()
+      .select(col("id").cast("string").alias("k"), col("lastModifiedAt"))
+    val fact = spark.range(100000).toDF("n")
+      .withColumn("k", (col("n") % 7).cast("string"))
+    val j = fact.join(dim, "k")
+    // static planning (pre-AQE) already picks the broadcast join: without
+    // reported stats a DSv2 relation is "unknown = huge" and only a
+    // runtime AQE demotion could rescue it
+    assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      j.queryExecution.executedPlan.toString.take(1500))
+  }
+
   test("IS NOT NULL on the sort field is fully pushed with exact null semantics") {
     val files = new java.io.File(pagesDir).listFiles()
       .filter(f => f.getName.startsWith("page_") && f.getName.endsWith(".json"))
