@@ -2194,6 +2194,15 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Keyset aggregate pushdown (q127): the same MAX/COUNT over the raw
+    // pages; timestampformat disabled keeps the sort key a STRING so both
+    // engines take the lexicographic max (the ISO-8601 keyset contract).
+    "q127_keyset_agg_pushdown" ->
+      """SELECT max(lastModifiedAt) AS watermark, count(*) AS n_rows
+        |FROM read_json('/root/repo/src/test/resources/json/pages/page_*.json',
+        |  format='newline_delimited', union_by_name=true,
+        |  timestampformat='disabled_xx')""".stripMargin,
+
     // Z-order optimize (q126): the rewrite must be a pure re-layout —
     // the aggregate equals the raw fixture's.
     "q126_zorder_optimize" ->

@@ -2285,6 +2285,20 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Keyset watermark probe THROUGH the DSv2 aggregate pushdown
+    * ([[graft.sources.KeysetDataSource]], SupportsPushDownAggregates):
+    * `MAX(sort key)` + `COUNT(*)` over the page fixture answer as one
+    * partial row per page, re-aggregated by Spark — the source-side form
+    * of the reference's delta-load watermark read. The oracle replays the
+    * same aggregation over the raw JSON pages (strings stay strings —
+    * lexicographic MAX is the ISO-8601 keyset contract on both engines).
+    */
+  def q127KeysetAggPushdown(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-keyset")
+      .option("path", "/root/repo/src/test/resources/json/pages").load()
+      .agg(max(col("lastModifiedAt")).alias("watermark"),
+        count(lit(1)).alias("n_rows"))
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2415,6 +2429,7 @@ object Queries {
     "q123_cow_merge" -> (q123CowMerge _),
     "q124_approx_quantile" -> (q124ApproxQuantile _),
     "q125_streaming_upsert" -> (q125StreamingUpsert _),
-    "q126_zorder_optimize" -> (q126ZorderOptimize _)
+    "q126_zorder_optimize" -> (q126ZorderOptimize _),
+    "q127_keyset_agg_pushdown" -> (q127KeysetAggPushdown _)
   )
 }
