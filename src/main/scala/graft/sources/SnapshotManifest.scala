@@ -18,6 +18,13 @@ import graft.core.Retry
 class ConcurrentCommitException(message: String)
   extends java.io.IOException(message)
 
+/** A quality-gated commit ([[SnapshotManifest.commitChecked]]) found failing
+  * checks: nothing was written and the table keeps its current snapshot.
+  * The message carries the per-check report (name, metric, threshold).
+  */
+class QualityGateException(message: String)
+  extends IllegalStateException(message)
+
 /** Versioned snapshot-manifest table — the object-store-safe commit protocol
   * that upgrades the rename-swap sinks ([[graft.operators.Upsert.mergeAndSwap]],
   * [[PartitionedSink.compact]]) to an ATOMIC single-operation commit.
@@ -454,6 +461,35 @@ object SnapshotManifest {
     val next = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
     stageAndPublish(spark, fs, rootPath, next, df, statsCols, Nil,
       "commit", requireFiles = true)
+  }
+
+  /** [[commit]] gated by declarative quality expectations — CHECK
+    * constraints at the publication boundary (Delta's table constraints /
+    * dbt-test-before-swap, on this engine's commit protocol): the staged
+    * frame is validated with [[graft.schema.QualityChecks.run]] (ALL
+    * checks in one scan + one 1-row aggregation) BEFORE anything is
+    * written; a failing check aborts with the full per-check report in
+    * the exception and the table keeps its current snapshot. The frame is
+    * persisted across the check scan and the write, so validation and
+    * committed bytes come from ONE evaluation — a non-deterministic input
+    * cannot pass the gate and commit different rows.
+    */
+  def commitChecked(spark: SparkSession, root: String, df: DataFrame,
+      checks: Seq[graft.schema.QualityChecks.Check],
+      statsCols: Seq[String] = Nil): Long = {
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val report = graft.schema.QualityChecks.run(pinned, checks).collect()
+      val failed = report.filterNot(_.getAs[Boolean]("passed"))
+      if (failed.nonEmpty)
+        throw new QualityGateException(
+          s"commitChecked: ${failed.length}/${report.length} checks failed, " +
+            s"nothing committed under $root — " +
+            failed.map(r => s"${r.getAs[String]("check_name")} " +
+              f"(metric ${r.getAs[Double]("metric")}%.6f > " +
+              f"threshold ${r.getAs[Double]("threshold")}%.6f)").mkString("; "))
+      commit(spark, root, pinned, statsCols)
+    } finally pinned.unpersist(false)
   }
 
   /** [[commit]] wrapped in a bounded lost-race retry loop — the first-class

@@ -368,6 +368,34 @@ class SnapshotManifestSpec extends SparkSpec {
     assert(SnapshotManifest.read(spark, root).columns.toSeq == Seq("id", "x"))
   }
 
+  test("commitChecked: failing checks abort with the report; passing checks publish") {
+    import graft.schema.QualityChecks._
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root, Seq((1L, "base")).toDF("id", "x"))
+    // staged batch with a null PK and a duplicate — both gates trip
+    val bad = Seq((Option(2L), "a"), (Option(2L), "b"), (Option.empty[Long], "c"))
+      .toDF("id", "x")
+    val e = intercept[graft.sources.QualityGateException] {
+      SnapshotManifest.commitChecked(spark, root, bad,
+        Seq(NotNull("id"), Unique(Seq("id"))))
+    }
+    assert(e.getMessage.contains("not_null_id") && e.getMessage.contains("unique_id"))
+    assert(e.getMessage.contains("nothing committed"))
+    // table untouched
+    assert(SnapshotManifest.currentVersion(spark, root).contains(0L))
+    assert(SnapshotManifest.read(spark, root).count() == 1L)
+    // clean batch publishes; tolerance thresholds respected
+    val ok = Seq((Option(2L), "a"), (Option(3L), "b"), (Option.empty[Long], "c"))
+      .toDF("id", "x")
+    // Unique counts the null-keyed row against distinct (doc'd contract),
+    // so the tolerance covers it alongside the null-fraction allowance
+    val v = SnapshotManifest.commitChecked(spark, root, ok,
+      Seq(NotNull("id", maxNullFrac = 0.5), Unique(Seq("id"), maxDupFrac = 0.4)),
+      Seq("id"))
+    assert(v == 1L)
+    assert(SnapshotManifest.read(spark, root).count() == 3L)
+  }
+
   test("readVersion time-travels; changesBetween classifies the row-level feed") {
     val root = newRoot()
     SnapshotManifest.commit(spark, root,
