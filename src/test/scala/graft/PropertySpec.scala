@@ -437,6 +437,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("change feed reconstructs the target: old + feed = new, for arbitrary commits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.SnapshotManifest
+    // random PK-unique v0; v1 = random subset deleted, random subset
+    // updated, random new keys inserted (committed as a whole-table
+    // replace). The feed between them must reconstruct v1 from v0 exactly.
+    val genCase = for {
+      keys0 <- Gen.listOfN(40, Gen.choose(0L, 60L)).map(_.distinct)
+      dels <- Gen.someOf(keys0)
+      upds <- Gen.someOf(keys0)
+      ins <- Gen.listOfN(8, Gen.choose(100L, 130L)).map(_.distinct)
+    } yield (keys0, dels.toSet, upds.toSet -- dels.toSet, ins)
+    samples(genCase, n = 5, seedBase = 777L).zipWithIndex.foreach {
+      case ((keys0, dels, upds, ins), trial) =>
+        val root = java.nio.file.Files.createTempDirectory(s"cdf_prop$trial").toString
+        val v0 = keys0.map(k => (k, s"v$k", k * 1.0)).toDF("id", "x", "v")
+        val v1rows = keys0.filterNot(dels.contains).map { k =>
+          if (upds.contains(k)) (k, s"u$k", k * 2.0) else (k, s"v$k", k * 1.0)
+        } ++ ins.map(k => (k, s"i$k", k * 3.0))
+        val v1 = v1rows.toDF("id", "x", "v")
+        SnapshotManifest.commit(spark, root, v0.repartitionByRange(3, $"id"))
+        SnapshotManifest.commit(spark, root, v1.repartitionByRange(3, $"id"))
+        val feed = SnapshotManifest.changesBetween(spark, root, 0L, 1L, Seq("id"))
+        val removeIds = feed.filter($"_change".isin("delete", "update_preimage"))
+          .select($"id").as[Long].collect().toSet
+        val addRows = feed.filter($"_change".isin("insert", "update_postimage"))
+          .select($"id", $"x", $"v").as[(Long, String, Double)].collect()
+        val reconstructed = (v0.as[(Long, String, Double)].collect()
+          .filterNot(r => removeIds.contains(r._1)) ++ addRows).toSet
+        assert(reconstructed == v1.as[(Long, String, Double)].collect().toSet,
+          s"trial $trial: feed does not reconstruct the target")
+        // feed classification is exact, not just net-effect-equivalent
+        val byChange = feed.groupBy($"_change").count()
+          .as[(String, Long)].collect().toMap
+        assert(byChange.getOrElse("delete", 0L) == dels.size.toLong)
+        assert(byChange.getOrElse("insert", 0L) == ins.size.toLong)
+        assert(byChange.getOrElse("update_preimage", 0L) == upds.size.toLong)
+        assert(byChange.getOrElse("update_preimage", 0L) ==
+          byChange.getOrElse("update_postimage", 0L))
+    }
+  }
+
   test("mayMatch soundness fuzz: a pruned file contains no row matching the predicate") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
