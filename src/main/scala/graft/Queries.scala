@@ -2299,6 +2299,26 @@ object Queries {
       .agg(max(col("lastModifiedAt")).alias("watermark"),
         count(lit(1)).alias("n_rows"))
 
+  /** Best-copy dedup selection ([[graft.operators.Dedup
+    * .clusterRepresentatives]]): the planted-duplicate clusters of q53,
+    * but the KEPT copy is the highest-scoring member (score = text
+    * length; the planted twin carries a 14-char suffix, so it BEATS its
+    * original — deliberately the opposite of the min-id convention,
+    * proving the policy drives the choice). Singletons map to
+    * themselves. The oracle replays the full chain: shingle → MinHash →
+    * LSH bands → Jaccard verify → recursive-CTE components → per-cluster
+    * argmax with the same (score desc, id asc) order.
+    */
+  def q128ClusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithPlantedDups(spark, dir)
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+      threshold = 0.7, bands = 4, rowsPerBand = 3)
+    Dedup.clusterRepresentatives(
+        docs.withColumn("score", length(col("text"))), pairs, "doc_id", "score")
+      .filter(col("doc_id") =!= col("representative")) // the interesting rows
+      .orderBy(col("doc_id"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2430,6 +2450,7 @@ object Queries {
     "q124_approx_quantile" -> (q124ApproxQuantile _),
     "q125_streaming_upsert" -> (q125StreamingUpsert _),
     "q126_zorder_optimize" -> (q126ZorderOptimize _),
-    "q127_keyset_agg_pushdown" -> (q127KeysetAggPushdown _)
+    "q127_keyset_agg_pushdown" -> (q127KeysetAggPushdown _),
+    "q128_cluster_keep_best" -> (q128ClusterKeepBest _)
   )
 }

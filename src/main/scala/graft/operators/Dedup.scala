@@ -251,6 +251,53 @@ object Dedup {
       maxRounds: Int = 50, smallGraphMaxEdges: Long = 2000000L): (DataFrame, Boolean) =
     clustersImpl(pairs, idA, idB, maxRounds, smallGraphMaxEdges)
 
+  /** Best-copy selection per duplicate cluster — the curation policy on
+    * top of [[clusters]]: every record (clustered or singleton) maps to
+    * its cluster's REPRESENTATIVE, the member with the highest `scoreCol`
+    * (quality score, length, recency — caller's choice), ties to the
+    * smallest id. [[clusters]]' min-id convention answers "which cluster";
+    * this answers "which COPY to keep" — FineWeb-style dedup keeps the
+    * best-quality duplicate, not the lowest-numbered one.
+    *
+    * Output: one row per record — `(<idCol>, cluster_id, representative)`.
+    * Singletons are their own cluster and representative (their id cannot
+    * collide with a real cluster_id: cluster labels are member ids, and
+    * ids are unique). Cost beyond [[clusters]]: one id-keyed join of the
+    * pair graph's labels onto the records and a cluster-count-sized
+    * argmax aggregation — nothing touches record payloads.
+    */
+  def clusterRepresentatives(records: DataFrame, pairs: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val comp = clusters(pairs)
+    val scored = records.select(col(idCol).alias("__id"),
+      col(scoreCol).alias("__score"))
+    val withCluster = scored.join(comp, scored("__id") === comp("id"), "left")
+      .select(col("__id"),
+        coalesce(col("cluster_id"), col("__id")).alias("__cluster"),
+        col("__score"))
+    // argmax(score) with min-id tiebreak, as one order-insensitive agg:
+    // min over (−score, id) structs compares fields left to right
+    val best = withCluster.groupBy(col("__cluster"))
+      .agg(min(struct((col("__score") * -1).alias("s"),
+        col("__id").alias("i"))).alias("__b"))
+      .select(col("__cluster"), col("__b.i").alias("representative"))
+    withCluster.join(best, "__cluster")
+      .select(col("__id").alias(idCol), col("__cluster").alias("cluster_id"),
+        col("representative"))
+  }
+
+  /** Filter `records` to each cluster's best copy ([[clusterRepresentatives]]
+    * policy): the one-call "dedup, keep the best" — singletons always
+    * survive, every duplicate cluster keeps exactly its representative.
+    */
+  def keepBestPerCluster(records: DataFrame, pairs: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val keep = clusterRepresentatives(records, pairs, idCol, scoreCol)
+      .filter(col(idCol) === col("representative"))
+      .select(col(idCol).alias("__keep_id"))
+    records.join(keep, records(idCol) === col("__keep_id"), "left_semi")
+  }
+
   /** Driver-side union-find (path-halving; smaller id becomes the root, so
     * roots are component minima — identical labels to the distributed
     * fixpoint). Used below the size gate, where a handful of propagation

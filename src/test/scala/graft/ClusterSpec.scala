@@ -48,6 +48,24 @@ class ClusterSpec extends SparkSpec {
     assert(sFast == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
+  test("clusterRepresentatives: argmax score wins, ties to min id, singletons self-map") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val records = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 7.0), // cluster {1,2,3}: 2 has top score
+      (10L, 4.0), (11L, 4.0),          // cluster {10,11}: tie → min id 10
+      (99L, 1.0)                        // singleton
+    ).toDF("id", "score")
+    val reps = Dedup.clusterRepresentatives(records, pairs, "id", "score")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(reps(1L) == ((1L, 2L)) && reps(2L) == ((1L, 2L)) && reps(3L) == ((1L, 2L)))
+    assert(reps(10L) == ((10L, 10L)) && reps(11L) == ((10L, 10L)))
+    assert(reps(99L) == ((99L, 99L)))
+    val kept = Dedup.keepBestPerCluster(records, pairs, "id", "score")
+      .select(col("id")).as[Long].collect().toSet
+    assert(kept == Set(2L, 10L, 99L))
+  }
+
   test("isolated pair stays its own cluster; ids appear exactly once") {
     val pairs = Seq((5L, 6L), (6L, 5L), (5L, 6L)).toDF("id_a", "id_b")
     val out = Dedup.clusters(pairs).as[(Long, Long)].collect().sortBy(_._1)
