@@ -276,9 +276,16 @@ object Dedup {
         coalesce(col("cluster_id"), col("__id")).alias("__cluster"),
         col("__score"))
     // argmax(score) with min-id tiebreak, as one order-insensitive agg:
-    // min over (−score, id) structs compares fields left to right
+    // min over (−score, id) structs compares fields left to right. A NULL
+    // score must lose to every real score (SQL aggregates ignore nulls;
+    // struct ordering would instead sort the null field FIRST and elect
+    // the unscored copy) — map it to NaN, which Spark's ordering places
+    // ABOVE +Infinity, i.e. the worst possible sort key. All-null
+    // clusters degrade to the min-id convention.
+    val sortKey = when(col("__score").isNull, lit(Double.NaN))
+      .otherwise(col("__score").cast("double") * -1)
     val best = withCluster.groupBy(col("__cluster"))
-      .agg(min(struct((col("__score") * -1).alias("s"),
+      .agg(min(struct(sortKey.alias("s"),
         col("__id").alias("i"))).alias("__b"))
       .select(col("__cluster"), col("__b.i").alias("representative"))
     withCluster.join(best, "__cluster")

@@ -48,7 +48,10 @@ object IncrementalRollup {
     */
   def read(spark: SparkSession, rollupRoot: String): DataFrame = {
     val df = SnapshotManifest.read(spark, rollupRoot)
-    df.drop(df.columns.filter(_.startsWith("__")).toIndexedSeq: _*)
+    // only the operator's OWN bookkeeping prefixes — a blanket __ filter
+    // would swallow user columns that legitimately start with __
+    df.drop(df.columns.filter(c => c == VersionCol ||
+      c.startsWith("__nn_") || c.startsWith("__s_")).toIndexedSeq: _*)
   }
 
   /** The reflected version of `lastV` is usable for an incremental diff

@@ -108,21 +108,8 @@ object Layout {
     * dropped.
     */
   def zOrderBy(df: DataFrame, colA: String, colB: String,
-      bits: Int = 8, numFiles: Int = 64): DataFrame = {
-    val bounds = df.agg(
-      min(col(colA).cast("long")).alias("__amin"), max(col(colA).cast("long")).alias("__amax"),
-      min(col(colB).cast("long")).alias("__bmin"), max(col(colB).cast("long")).alias("__bmax"))
-    val Array(row) = bounds.collect() // 4 numbers — constant driver cost
-    require(!row.isNullAt(0) && !row.isNullAt(2), "zOrderBy: empty input or all-null keys")
-    val (amin, amax, bmin, bmax) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
-    val z = zValue(
-      bucketLong(col(colA), amin, amax, bits),
-      bucketLong(col(colB), bmin, bmax, bits), bits)
-    df.withColumn("__graft_z", z)
-      .repartitionByRange(numFiles, col("__graft_z"))
-      .sortWithinPartitions(col("__graft_z"))
-      .drop("__graft_z")
-  }
+      bits: Int = 8, numFiles: Int = 64): DataFrame =
+    zOrderByN(df, Seq(colA, colB), bits, numFiles)
 
   /** OPTIMIZE ZORDER for a [[graft.sources.SnapshotManifest]] table — the
     * Delta/Iceberg maintenance verb on this engine's commit protocol:

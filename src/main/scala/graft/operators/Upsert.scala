@@ -188,11 +188,33 @@ object Upsert {
     try {
       if (stagedP.isEmpty) return v
       val body = SnapshotManifest.manifestBody(spark, tableRoot, v)
-      if (body.isEmpty)
+      if (body.isEmpty) {
         // degenerate current snapshot with zero data files (everything was
-        // deleted): the merge is just the staged rows
-        return SnapshotManifest.publishVersion(spark, tableRoot, v + 1, stagedP,
-          statsCols, Nil, "mergeWhere")
+        // deleted): the merge is just the staged rows — but still ALIGNED
+        // to the TABLE's schema, recovered from the most recent version
+        // that had files (publishing the staged frame verbatim would graft
+        // its bookkeeping columns/types — e.g. a stream's ts column — into
+        // the table). Only a table whose every retained version is empty
+        // (unreachable through this API: the bootstrap commit requires
+        // files) falls back to the staged schema.
+        val tableSchema = Iterator.range(v - 1, -1L, -1L)
+          .filter(SnapshotManifest.hasVersion(spark, tableRoot, _))
+          .map(SnapshotManifest.manifestBody(spark, tableRoot, _))
+          .collectFirst { case b if b.nonEmpty =>
+            spark.read.parquet(SnapshotManifest.bodyFile(tableRoot, b.head)).schema
+          }
+        val alignedStaged = tableSchema match {
+          case Some(ts) =>
+            ts.fieldNames.foreach(c => require(stagedP.columns.contains(c) ||
+              !pk.contains(c), s"mergeWhere: PK column $c not in staged schema"))
+            stagedP.select(ts.fields.toSeq.map(f =>
+              (if (stagedP.columns.contains(f.name)) col(f.name)
+               else lit(null)).cast(f.dataType).alias(f.name)): _*)
+          case None => stagedP
+        }
+        return SnapshotManifest.publishVersion(spark, tableRoot, v + 1,
+          alignedStaged, statsCols, Nil, "mergeWhere")
+      }
       val files = body.map(SnapshotManifest.bodyFile(tableRoot, _))
       val targetSchema = spark.read.parquet(files.head).schema
       pk.foreach(c => require(targetSchema.fieldNames.contains(c),

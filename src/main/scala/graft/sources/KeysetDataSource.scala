@@ -143,11 +143,18 @@ class KeysetScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
     * non-null string is >= the empty string), so a watermark query leaves
     * NO post-scan filter behind and stays eligible for aggregate pushdown.
     */
+  // IsNotNull is only safe to absorb when the sort field is a STRING (the
+  // >=/> cases are implicitly guarded by their `_: String` value match): a
+  // timestamp-typed sort field would otherwise gain a ">= \"\"" watermark
+  // whose reader-side string extraction breaks on the non-string column
+  private def sortIsStringTyped: Boolean =
+    schema.fieldNames.contains(sortField) && schema(sortField).dataType == StringType
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
       case GreaterThanOrEqual(a, _: String) if a == sortField => true
       case GreaterThan(a, _: String) if a == sortField => true
-      case IsNotNull(a) if a == sortField => true
+      case IsNotNull(a) if a == sortField && sortIsStringTyped => true
       case _ => false
     }
     pushed = accepted
@@ -307,18 +314,23 @@ class KeysetScan(schema: StructType, fullSchema: StructType,
     * plans the join like any small dimension. One driver-side listing +
     * line count, memoized per scan.
     */
+  // memoized on the SCAN (not inside the Statistics object, which Spark
+  // may request repeatedly during planning): one listing + line count per
+  // scan lifetime
+  private lazy val scanStats: (Long, Long) = {
+    val files = KeysetDataSource.pageFiles(dir)
+    val b = files.map(_.length()).sum
+    val r = files.map { f =>
+      val src = scala.io.Source.fromFile(f)("UTF-8")
+      try src.getLines().count(_.trim.nonEmpty) finally src.close()
+    }.sum
+    (b, r.toLong)
+  }
   override def estimateStatistics(): Statistics = new Statistics {
-    private lazy val (bytes, rows) = {
-      val files = KeysetDataSource.pageFiles(dir)
-      val b = files.map(_.length()).sum
-      val r = files.map { f =>
-        val src = scala.io.Source.fromFile(f)("UTF-8")
-        try src.getLines().count(_.trim.nonEmpty) finally src.close()
-      }.sum
-      (b, r.toLong)
-    }
-    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(scanStats._1)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(scanStats._2)
   }
   private val maxRowsPerTrigger: Option[Long] =
     Option(options.get("maxRowsPerTrigger")).map { v =>

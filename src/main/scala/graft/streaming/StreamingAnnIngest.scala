@@ -84,7 +84,11 @@ object StreamingAnnIngest {
     */
   private def clearCrashedBootstrap(fs: org.apache.hadoop.fs.FileSystem,
       root: Path): Unit = {
-    if (fs.exists(new Path(root, "base")))
+    // liveness = the RESOLVED base, not the literal "base" dir: after a
+    // generation fold the plain dir is swept and the live base is
+    // base-<gen>/ — testing only "base" would misclassify a folded live
+    // index as crashed garbage and destroy it
+    if (fs.exists(root) && fs.exists(MarkerLog.resolveBase(fs, root)._1))
       throw new IllegalStateException(
         s"StreamingAnnIngest: $root already holds a bootstrapped index — " +
           "bootstrap never overwrites a live index; use rebuild, or clear " +
@@ -371,9 +375,18 @@ object StreamingAnnIngest {
 
   /** Fold base + committed deltas into a new single generation — the
     * [[MarkerLog.compact]] protocol (stream stopped, single-writer).
+    * Stale artifact staging is swept FIRST, while the base generation is
+    * still the old one: a crashed rebuild's `centroids-<gen+1>` orphan is
+    * unresolvable now, but would become the resolved artifact the moment
+    * this fold bumps the base generation past it — silently serving
+    * centroids the committed assignment was never built against.
     */
-  def compactIndex(spark: SparkSession, indexDir: String): Option[String] =
-    MarkerLog.compact(spark, new Path(indexDir), "delta")
+  def compactIndex(spark: SparkSession, indexDir: String): Option[String] = {
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sweepStaleArtifacts(fs, root)
+    MarkerLog.compact(spark, root, "delta")
+  }
 
   /** Rebuild the RAW index in place: retrain centroids from the vectors the
     * committed index holds (base + every committed delta — the raw index IS

@@ -66,6 +66,19 @@ class ClusterSpec extends SparkSpec {
     assert(kept == Set(2L, 10L, 99L))
   }
 
+  test("clusterRepresentatives: a NULL score loses to every real score (SQL aggregate convention)") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val records = Seq(
+      (1L, Option.empty[Double]), (2L, Option(9.0)), // scored copy must win
+      (5L, Option.empty[Double]), (6L, Option.empty[Double]) // all-null → min id
+    ).toDF("id", "score")
+    val reps = Dedup.clusterRepresentatives(records, pairs, "id", "score")
+      .select(col("id"), col("representative")).as[(Long, Long)].collect().toMap
+    assert(reps(1L) == 2L && reps(2L) == 2L)
+    assert(reps(5L) == 5L && reps(6L) == 5L)
+  }
+
   test("isolated pair stays its own cluster; ids appear exactly once") {
     val pairs = Seq((5L, 6L), (6L, 5L), (5L, 6L)).toDF("id_a", "id_b")
     val out = Dedup.clusters(pairs).as[(Long, Long)].collect().sortBy(_._1)

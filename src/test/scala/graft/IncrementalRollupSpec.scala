@@ -285,6 +285,20 @@ class IncrementalRollupSpec extends SparkSpec {
       SnapshotManifest.snapshotFiles(spark, src, 1L).toSet).nonEmpty)
   }
 
+  test("read preserves user columns that legitimately start with __") {
+    val root = Files.createTempDirectory("irollup12").toString
+    val (src, roll) = (s"$root/src", s"$root/rollup")
+    val rows = Seq((1L, "east", 5.0), (2L, "west", 7.0))
+      .toDF("id", "__region", "x") // adversarial user name
+    SnapshotManifest.commit(spark, src, rows)
+    IncrementalRollup.refresh(spark, src, roll, Seq("id"), Seq("__region"),
+      Seq(count(lit(1)).alias("n")))
+    val got = IncrementalRollup.read(spark, roll)
+    assert(got.columns.contains("__region"),
+      s"user __region dropped: ${got.columns.mkString(",")}")
+    assert(got.as[(String, Long)].collect().toSet == Set(("east", 1L), ("west", 1L)))
+  }
+
   test("refresh without a committed source fails fast") {
     val root = Files.createTempDirectory("irollup3").toString
     val e = intercept[IllegalStateException] {

@@ -81,6 +81,24 @@ class KeysetDataSourceSpec extends SparkSpec {
       q.queryExecution.executedPlan.toString)
   }
 
+  test("IS NOT NULL on a NON-STRING sort field is NOT absorbed (stays a plan filter, answers correctly)") {
+    import org.apache.spark.sql.types._
+    // user-supplied schema types the sort field as timestamp: the string
+    // watermark machinery must not claim the null guard
+    val ts = StructType(Seq(StructField("id", StringType),
+      StructField("lastModifiedAt", TimestampType)))
+    val df = spark.read.format("graft-keyset").schema(ts)
+      .option("path", pagesDir).load()
+      .filter(col("lastModifiedAt").isNotNull)
+    val truth = spark.read.json(new java.io.File(pagesDir).listFiles()
+        .filter(f => f.getName.startsWith("page_") && f.getName.endsWith(".json"))
+        .map(_.getAbsolutePath).sorted: _*)
+      .filter(col("lastModifiedAt").isNotNull).count()
+    assert(df.count() == truth)
+    assert(df.queryExecution.executedPlan.toString.contains("Filter"),
+      "null guard must remain in the plan for a non-string sort field")
+  }
+
   test("strict > watermark excludes the boundary row; >= includes it") {
     val base = spark.read.format("graft-keyset").option("path", pagesDir).load()
     val boundary = base.select(col("lastModifiedAt")).na.drop()

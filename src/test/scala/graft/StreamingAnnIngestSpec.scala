@@ -306,4 +306,57 @@ class StreamingAnnIngestSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("never overwrites"))
   }
+
+  test("bootstrap refuses a GENERATION-FOLDED live index (liveness = resolved base)") {
+    val root = Files.createTempDirectory("sann4").toString
+    val indexDir = s"$root/index"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StreamingAnnIngest.bootstrapIndex(spark, corpus, indexDir, cells = 2, refineIters = 1)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Double])]
+    mem.addData(batch0)
+    ingest(mem, indexDir, s"$root/ck")
+    // two folds: the second one's deferred sweep deletes the plain base dir
+    assert(StreamingAnnIngest.compactIndex(spark, indexDir).contains("base-00000001"))
+    // second stream needs its OWN txnAppId — its batch 0 would otherwise
+    // alias the first checkpoint's batch-0 marker and be skipped
+    val mem2 = MemoryStream[(Long, Array[Double])]
+    mem2.addData(batch1)
+    StreamingAnnIngest.runAvailableNow(spark,
+      mem2.toDF().toDF("vec_id", "embedding"), indexDir, s"$root/ck2",
+      txnAppId = "second")
+    assert(StreamingAnnIngest.compactIndex(spark, indexDir).contains("base-00000002"))
+    assert(!fs.exists(new Path(indexDir, "base")), "plain base swept by the second fold")
+    // the index is LIVE (served through base-00000002): bootstrap must
+    // refuse, not classify it as crashed garbage and destroy it
+    val e = intercept[IllegalStateException] {
+      StreamingAnnIngest.bootstrapIndex(spark, corpus, indexDir, cells = 2)
+    }
+    assert(e.getMessage.contains("never overwrites"))
+    // 4 bootstrap + 2 from batch0 (dup row collapsed) + 1 from batch1
+    assert(StreamingAnnIngest.currentIndex(spark, indexDir).count() == 7)
+  }
+
+  test("compactIndex sweeps a crashed rebuild's orphaned artifacts before bumping the generation") {
+    val root = Files.createTempDirectory("sann5").toString
+    val indexDir = s"$root/index"
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StreamingAnnIngest.bootstrapIndex(spark, corpus, indexDir, cells = 2, refineIters = 1)
+    val before = StreamingAnnIngest.centroids(spark, indexDir)
+      .collect().map(_.toString).sorted.toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Double])]
+    mem.addData(batch0)
+    ingest(mem, indexDir, s"$root/ck")
+    // crashed rebuild: centroids-00000001 staged, marker never published
+    corpus.limit(1).write.parquet(s"$indexDir/centroids-00000001")
+    // a plain compact bumps the base generation to 1 — without the sweep,
+    // the orphan would suddenly resolve as the live centroid table
+    assert(StreamingAnnIngest.compactIndex(spark, indexDir).contains("base-00000001"))
+    assert(!fs.exists(new Path(indexDir, "centroids-00000001")),
+      "orphaned rebuild staging swept before the generation bump")
+    val after = StreamingAnnIngest.centroids(spark, indexDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "compaction must not change the served centroids")
+  }
 }

@@ -190,6 +190,20 @@ class UpsertSpec extends SparkSpec {
     assert(got.filter(col("id") === 10L).head().getAs[Long]("v") == 42L)
   }
 
+  test("mergeWhere into an emptied table keeps the TABLE schema (no staged-column graft)") {
+    val root = rangeTable()
+    // empty the table: the current snapshot has zero data files
+    SnapshotManifest.deleteWhere(spark, root, lit(true), Seq("id"))
+    assert(SnapshotManifest.read(spark, root).count() == 0L)
+    // staged carries a stream-style bookkeeping column and a narrower type
+    val staged = Seq((10L, 7, 42, 99L)).toDF("id", "grp", "v", "ts")
+    Upsert.mergeWhere(spark, root, staged, Seq("id"), Seq("id"))
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.columns.toSeq == Seq("id", "grp", "v"), "ts must not graft into the table")
+    assert(got.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    assert(got.head().getAs[Long]("v") == 42L)
+  }
+
   test("mergeWhere composite PK prunes on the per-column IN conjunction") {
     val root = java.nio.file.Files.createTempDirectory("mergewhere_ck").toString
     val df = spark.range(0, 100).toDF("id")
