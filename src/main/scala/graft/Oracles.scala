@@ -2334,6 +2334,17 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Merge-on-read delete (q129): same complement as a CoW delete — the
+    // deletion vector is invisible to the result by contract.
+    "q129_mor_delete" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderkey NOT BETWEEN 4000 AND 5000
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // Copy-on-write update (q122): the same CASE applied to the fixture.
     "q122_cow_update" ->
       """WITH cur AS (

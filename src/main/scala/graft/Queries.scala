@@ -2319,6 +2319,31 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Merge-on-read DELETE ([[graft.sources.SnapshotManifest
+    * .deleteWhereMoR]]): q121's deferred twin — the same range vanishes,
+    * but via a deletion-vector sidecar with ZERO data-file rewrites
+    * (byte sharing asserted in DeletionVectorSpec); the aggregate runs on
+    * the DV-applied read path, so any row the anti-join fails to remove
+    * (or wrongly removes) shifts the oracle's complement counts.
+    */
+  def q129MorDelete(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q129").toString
+    graft.sources.SnapshotManifest.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.deleteWhereMoR(spark, root,
+      col("o_orderkey").between(4000, 5000))
+    graft.sources.SnapshotManifest.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("sum_price"),
+        min(col("o_orderkey")).alias("min_key"),
+        max(col("o_orderkey")).alias("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2451,6 +2476,7 @@ object Queries {
     "q125_streaming_upsert" -> (q125StreamingUpsert _),
     "q126_zorder_optimize" -> (q126ZorderOptimize _),
     "q127_keyset_agg_pushdown" -> (q127KeysetAggPushdown _),
-    "q128_cluster_keep_best" -> (q128ClusterKeepBest _)
+    "q128_cluster_keep_best" -> (q128ClusterKeepBest _),
+    "q129_mor_delete" -> (q129MorDelete _)
   )
 }

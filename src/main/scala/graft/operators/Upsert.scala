@@ -244,9 +244,13 @@ object Upsert {
           ManifestStats.resolvePredicate(spark, targetSchema, p)).toSet
         case None => Set.empty[String]
       }
+      // affected files read with their deletion vectors APPLIED — a
+      // MoR-deleted row must not resurrect through the merge rewrite
       val targetAffected =
         if (affected.isEmpty) spark.read.parquet(files.head).limit(0)
-        else spark.read.parquet(affected.toSeq: _*)
+        else SnapshotManifest.readEntries(spark, tableRoot,
+          body.map(SnapshotManifest.parseLine).zip(files)
+            .collect { case (e, f) if affected(f) => e })
       val merged = merge(targetAffected, stagedP, pk)
       val aligned = merged.select(targetSchema.fields.toSeq.map(f =>
         col(f.name).cast(f.dataType).alias(f.name)): _*)

@@ -95,42 +95,83 @@ object SnapshotManifest {
     if (versions.isEmpty) None else Some(versions.max)
   }
 
-  /** Data-file paths (absolute) of snapshot `version`. Manifest file lines
-    * are `relpath` optionally followed by TAB + per-file stats JSON
-    * ([[ManifestStats]]); this accessor strips the stats.
+  /** One parsed manifest body line: `rel[\tstats-json][\tdv=rel]`. The DV
+    * field references a DELETION-VECTOR parquet (`file_name`, `row_index`
+    * rows) that [[readEntries]] anti-joins away at read time — the
+    * merge-on-read DELETE ([[deleteWhereMoR]]); field order after `rel` is
+    * free, fields are recognized by shape (`dv=` prefix vs stats JSON).
     */
-  def snapshotFiles(spark: SparkSession, root: String, version: Long): Seq[String] = {
-    val (fs, rootPath) = fsOf(spark, root)
-    val manifest = new Path(rootPath, manifestName(version))
-    val text = CommitProtocol.readFully(fs, manifest)
-    val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
-    require(lines.headOption.contains(s"version=$version"),
-      s"corrupt manifest $manifest: bad header ${lines.headOption}")
-    lines.tail.map(rel => new Path(rootPath, rel.split('\t').head).toString).toSeq
+  private[graft] final case class ManifestEntry(rel: String,
+      stats: Option[String], dvRel: Option[String]) {
+    def render: String =
+      rel + stats.map("\t" + _).getOrElse("") + dvRel.map("\tdv=" + _).getOrElse("")
+    /** Line identity for file-level diffing: a data file whose DV changed
+      * contributes DIFFERENT rows even though its bytes are shared.
+      */
+    def unit: (String, Option[String]) = (rel, dvRel)
   }
+
+  private[graft] def parseLine(line: String): ManifestEntry = {
+    val fields = line.split('\t')
+    val (dvs, rest) = fields.tail.partition(_.startsWith("dv="))
+    ManifestEntry(fields.head, rest.headOption, dvs.headOption.map(_.stripPrefix("dv=")))
+  }
+
+  /** Data-file paths (absolute) of snapshot `version` — DV sidecars are
+    * NOT included (they are not data). Manifest file lines are
+    * `relpath` optionally followed by TAB + per-file stats JSON
+    * ([[ManifestStats]]) and/or a `dv=` reference; this accessor strips
+    * everything but the data path.
+    */
+  def snapshotFiles(spark: SparkSession, root: String, version: Long): Seq[String] =
+    manifestBody(spark, root, version).map(l => bodyFile(root, l))
 
   /** Per-file stats of snapshot `version`, keyed by file NAME — empty for
     * files committed without stats (pre-stats manifests read fine: every
-    * file simply survives pruning).
+    * file simply survives pruning). For DV'd files the stats describe the
+    * PRE-deletion rows — a conservative superset, sound for pruning
+    * (bounds can only be wider than the surviving rows').
     */
   def snapshotFileStats(spark: SparkSession, root: String,
-      version: Long): Map[String, ManifestStats.FileStats] = {
-    val (fs, rootPath) = fsOf(spark, root)
-    val text = CommitProtocol.readFully(fs, new Path(rootPath, manifestName(version)))
-    text.split('\n').map(_.trim).filter(_.nonEmpty).drop(1).flatMap { line =>
-      line.split('\t') match {
-        case Array(rel, json) =>
-          Some(new Path(rel).getName -> ManifestStats.fromJson(json))
-        case _ => None
-      }
-    }.toMap
+      version: Long): Map[String, ManifestStats.FileStats] =
+    bodyStats(manifestBody(spark, root, version))
+
+  /** DV-aware read of a set of manifest entries: data files scanned as
+    * usual; files carrying a `dv=` reference get their deleted
+    * `(file_name, row_index)` rows anti-joined away. The no-DV fast path
+    * is a plain parquet scan — zero overhead until the first MoR delete.
+    */
+  private[graft] def readEntries(spark: SparkSession, root: String,
+      entries: Seq[ManifestEntry]): DataFrame = {
+    val rootPath = new Path(root)
+    val files = entries.map(e => new Path(rootPath, e.rel).toString)
+    val dvFiles = entries.flatMap(_.dvRel).distinct
+      .map(r => new Path(rootPath, r).toString)
+    val base = spark.read.parquet(files: _*)
+    if (dvFiles.isEmpty) base
+    else {
+      import org.apache.spark.sql.functions.{col, element_at, split => fsplit}
+      // deleted-row sets are churn-sized next to the table: broadcast the
+      // anti-join so the corpus side never shuffles
+      val dv = org.apache.spark.sql.functions.broadcast(
+        spark.read.parquet(dvFiles: _*)
+          .select(col("file_name").alias("__dv_f"), col("row_index").alias("__dv_r"))
+          .distinct())
+      val withMeta = base
+        .withColumn("__graft_f", element_at(fsplit(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__graft_r", col("_metadata.row_index"))
+      withMeta.join(dv,
+          withMeta("__graft_f") === dv("__dv_f") && withMeta("__graft_r") === dv("__dv_r"),
+          "left_anti")
+        .drop("__graft_f", "__graft_r")
+    }
   }
 
   /** Read the current snapshot (empty-schema error if the table has none). */
   def read(spark: SparkSession, root: String): DataFrame = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"SnapshotManifest.read: no committed snapshot under $root"))
-    spark.read.parquet(snapshotFiles(spark, root, v): _*)
+    readEntries(spark, root, manifestBody(spark, root, v).map(parseLine))
   }
 
   /** Data-skipping read: files of the current snapshot whose manifest
@@ -148,14 +189,17 @@ object SnapshotManifest {
       predicate: org.apache.spark.sql.Column): DataFrame = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"SnapshotManifest.readWhere: no committed snapshot under $root"))
-    val all = snapshotFiles(spark, root, v)
+    val body = manifestBody(spark, root, v)
+    val entries = body.map(parseLine)
+    val all = body.map(l => bodyFile(root, l))
     val full = spark.read.parquet(all: _*)
     val pred = ManifestStats.resolvePredicate(spark, full.schema, predicate)
-    val kept = ManifestStats.prune(all, snapshotFileStats(spark, root, v), pred)
-    if (kept.isEmpty)
+    val kept = ManifestStats.prune(all, bodyStats(body), pred).toSet
+    val keptEntries = entries.zip(all).collect { case (e, f) if kept(f) => e }
+    if (keptEntries.isEmpty)
       // schema must come from the table even when every file is pruned
       full.limit(0).filter(predicate)
-    else spark.read.parquet(kept: _*).filter(predicate)
+    else readEntries(spark, root, keptEntries).filter(predicate)
   }
 
   /** The file list [[readWhere]] would scan for `predicate` at `version` —
@@ -263,11 +307,8 @@ object SnapshotManifest {
     * (stats-less lines simply don't appear — they never prune).
     */
   private[graft] def bodyStats(body: Seq[String]): Map[String, ManifestStats.FileStats] =
-    body.flatMap(_.split('\t') match {
-      case Array(rel, json) =>
-        Some(new Path(rel).getName -> ManifestStats.fromJson(json))
-      case _ => None
-    }).toMap
+    body.map(parseLine).flatMap(e =>
+      e.stats.map(json => new Path(e.rel).getName -> ManifestStats.fromJson(json))).toMap
 
   /** Stage `df` and atomically publish it as version `next` together with
     * `keptLines` carried verbatim — the copy-on-write commit entry point
@@ -280,6 +321,117 @@ object SnapshotManifest {
     val (fs, rootPath) = fsOf(spark, root)
     stageAndPublish(spark, fs, rootPath, next, df, statsCols, keptLines,
       op, requireFiles = false)
+  }
+
+  /** MERGE-ON-READ DELETE — [[deleteWhere]]'s deferred twin (Delta/Iceberg
+    * deletion vectors, on this engine's manifest): instead of rewriting
+    * the affected data files, the matching rows' `(file_name, row_index)`
+    * positions are written to a small DV sidecar parquet and each
+    * affected file's manifest line gains a `dv=` reference — the data
+    * bytes are untouched and every reader ([[read]], [[readWhere]],
+    * [[changesBetween]], the DML rewrites, [[graft.operators.Upsert
+    * .mergeWhere]]) anti-joins the DV away. Cost: one scan of the
+    * stats-admitted files + a DV write proportional to the MATCHES —
+    * high-frequency small deletes stop paying a full file rewrite each
+    * (the CoW pain point at 100 TB); reads on DV'd files pay a broadcast
+    * anti-join until [[foldDeletes]] or any CoW rewrite of the file
+    * materializes the deletions. A file already carrying a DV gets a
+    * MERGED sidecar (old ∪ new positions — one `dv=` ref per line).
+    *
+    * Same SQL DELETE semantics as [[deleteWhere]] (NULL-predicate rows
+    * kept), same no-op short-circuit, same atomic manifest publish; the
+    * deleted rows stay readable in superseded versions until [[vacuum]]
+    * (which treats live DV sidecars as reachable).
+    *
+    * @return the committed version (unchanged if nothing matched)
+    */
+  def deleteWhereMoR(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, split => fsplit}
+    val (fs, rootPath) = fsOf(spark, root)
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"deleteWhereMoR: no committed snapshot under $root"))
+    val body = manifestBody(spark, root, v)
+    if (body.isEmpty) return v
+    val entries = body.map(parseLine)
+    val files = body.map(bodyFile(root, _))
+    val schema = spark.read.parquet(files.head).schema
+    val affected = ManifestStats.prune(files, bodyStats(body),
+      ManifestStats.resolvePredicate(spark, schema, predicate)).toSet
+    if (affected.isEmpty) return v
+    val affectedEntries = entries.zip(files).collect { case (e, f) if affected(f) => e }
+    // row positions attach on the RAW scan (the _metadata pseudo-column
+    // resolves only against the file source relation); the old sidecars'
+    // positions are anti-joined away by hand so already-deleted rows can't
+    // match again
+    val oldDvFiles = affectedEntries.flatMap(_.dvRel).distinct
+      .map(r => new Path(rootPath, r).toString)
+    val oldPositions: Array[(String, Long)] =
+      if (oldDvFiles.isEmpty) Array.empty
+      else spark.read.parquet(oldDvFiles: _*)
+        .select(col("file_name"), col("row_index")).distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    val withPos = spark.read
+      .parquet(affectedEntries.map(e => new Path(rootPath, e.rel).toString): _*)
+      .withColumn("__graft_f", element_at(fsplit(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__graft_r", col("_metadata.row_index"))
+    val alive =
+      if (oldPositions.isEmpty) withPos
+      else {
+        import spark.implicits._
+        val dv = org.apache.spark.sql.functions.broadcast(
+          oldPositions.toSeq.toDF("__dv_f", "__dv_r"))
+        withPos.join(dv, withPos("__graft_f") === dv("__dv_f") &&
+          withPos("__graft_r") === dv("__dv_r"), "left_anti")
+      }
+    val newMatches = alive.filter(coalesce(predicate, lit(false)))
+      .select(col("__graft_f"), col("__graft_r"))
+      .collect().map(r => (r.getString(0), r.getLong(1))) // churn-bounded
+    if (newMatches.isEmpty) return v
+    val dvLocal = (newMatches ++ oldPositions).distinct
+    val dvdName = s"${dataDirName(v + 1)}-dv-${java.util.UUID.randomUUID.toString.take(8)}"
+    val dvDir = new Path(rootPath, new Path("data", dvdName))
+    import spark.implicits._
+    dvLocal.toSeq.toDF("file_name", "row_index")
+      .coalesce(1).write.parquet(dvDir.toString)
+    val dvFile = fs.listStatus(dvDir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"data/$dvdName/${s.getPath.getName}").head
+    // only files that actually HOLD a deleted position get the reference;
+    // admitted-but-untouched files keep their lines verbatim
+    val dvByFile = dvLocal.map(_._1).toSet
+    val newLines = entries.zip(files).map { case (e, f) =>
+      if (affected(f) && dvByFile.contains(new Path(e.rel).getName))
+        e.copy(dvRel = Some(dvFile)).render
+      else e.render
+    }
+    val manifest = new Path(rootPath, manifestName(v + 1))
+    val won = CommitProtocol.publishFile(fs, manifest,
+      (s"version=${v + 1}\n" + newLines.mkString("", "\n", "\n")).getBytes("UTF-8"))
+    if (!won)
+      throw new ConcurrentCommitException(
+        s"deleteWhereMoR: version ${v + 1} already committed by a concurrent " +
+          s"writer; re-read the table and retry; staged DV left at $dvDir")
+    v + 1
+  }
+
+  /** Materialize every outstanding deletion vector as a copy-on-write
+    * rewrite of just the DV'd files — the maintenance verb that ends the
+    * read-side anti-join ([[deleteWhereMoR]]'s fold step, Delta's PURGE).
+    * Kept lines carry verbatim; no-op (current version) when no file
+    * carries a DV. `statsCols` as in [[deleteWhere]].
+    */
+  def foldDeletes(spark: SparkSession, root: String,
+      statsCols: Seq[String] = Nil): Long = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"foldDeletes: no committed snapshot under $root"))
+    val body = manifestBody(spark, root, v)
+    val entries = body.map(parseLine)
+    val dvd = entries.filter(_.dvRel.isDefined)
+    if (dvd.isEmpty) return v
+    val keptLines = entries.filter(_.dvRel.isEmpty).map(_.render)
+    publishVersion(spark, root, v + 1,
+      readEntries(spark, root, dvd), statsCols, keptLines, "foldDeletes")
   }
 
   /** The shared copy-on-write rewrite under [[deleteWhere]]/[[updateWhere]]:
@@ -301,10 +453,14 @@ object SnapshotManifest {
     val affected = ManifestStats.prune(files, bodyStats(body),
       ManifestStats.resolvePredicate(spark, schema, predicate)).toSet
     if (affected.isEmpty) return v // no file can contain a match
-    // kept manifest lines carry over verbatim (path AND stats)
+    // kept manifest lines carry over verbatim (path, stats AND any dv ref)
     val keptLines = body.filterNot(line => affected.contains(bodyFile(root, line)))
+    // affected files read with their DVs APPLIED (already-MoR-deleted rows
+    // must not resurrect); the rewrite output is DV-free by construction
+    val affectedEntries = body.map(parseLine)
+      .zip(files).collect { case (e, f) if affected(f) => e }
     publishVersion(spark, root, v + 1,
-      transform(spark.read.parquet(affected.toSeq: _*)), statsCols, keptLines, op)
+      transform(readEntries(spark, root, affectedEntries)), statsCols, keptLines, op)
   }
 
   /** Stage `df` into a fresh uniquely-nonced data dir for version `next`,
@@ -359,7 +515,7 @@ object SnapshotManifest {
     * is a pure manifest lookup — no log replay, no reconstruction.
     */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
-    spark.read.parquet(snapshotFiles(spark, root, version): _*)
+    readEntries(spark, root, manifestBody(spark, root, version).map(parseLine))
 
   /** Row-level change feed between two committed versions: what happened to
     * the table keyed by `pk` going `fromVersion` → `toVersion`. Output is
@@ -385,11 +541,16 @@ object SnapshotManifest {
     require(pk.nonEmpty, "changesBetween: pk must name at least one column")
     require(fromVersion <= toVersion,
       s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
-    val oldFiles = snapshotFiles(spark, root, fromVersion)
-    val newFiles = snapshotFiles(spark, root, toVersion)
-    val shared = oldFiles.toSet intersect newFiles.toSet
-    val oldOnly = oldFiles.filterNot(shared)
-    val newOnly = newFiles.filterNot(shared)
+    val oldEntries = manifestBody(spark, root, fromVersion).map(parseLine)
+    val newEntries = manifestBody(spark, root, toVersion).map(parseLine)
+    val oldFiles = oldEntries.map(e => new Path(new Path(root), e.rel).toString)
+    val newFiles = newEntries.map(e => new Path(new Path(root), e.rel).toString)
+    // shared = same data file AND same deletion vector: a file whose DV
+    // changed between the versions contributes different ROWS and must be
+    // diffed even though its data bytes are shared
+    val shared = oldEntries.map(_.unit).toSet intersect newEntries.map(_.unit).toSet
+    val oldOnly = oldEntries.filterNot(e => shared(e.unit))
+    val newOnly = newEntries.filterNot(e => shared(e.unit))
     // UNION schema across both versions (mergeSchema): a schema-evolving
     // commit (column added or dropped between the versions) must not make
     // the diff unreadable. Each side is aligned to the union below —
@@ -403,11 +564,14 @@ object SnapshotManifest {
     if (oldOnly.isEmpty && newOnly.isEmpty)
       return schemaSrc.limit(0).withColumn("_change", lit(""))
     // presence markers, not pk-null checks: a legitimately NULL-keyed row
-    // (the `=` merge carve-outs tolerate them) must not read as "absent"
-    def side(files: Seq[String]) = {
+    // (the `=` merge carve-outs tolerate them) must not read as "absent".
+    // Sides read DV-APPLIED (a MoR-deleted row is absent from its side,
+    // so a DV-only change on a shared data file emits plain deletes);
+    // one version's files share a schema, so per-side mergeSchema is moot
+    def side(entries: Seq[ManifestEntry]) = {
       val raw =
-        if (files.isEmpty) schemaSrc.limit(0)
-        else spark.read.option("mergeSchema", "true").parquet(files: _*)
+        if (entries.isEmpty) schemaSrc.limit(0)
+        else readEntries(spark, root, entries)
       raw.select(cols.map(c =>
         if (raw.columns.contains(c)) col(s"`$c`")
         else lit(null).cast(schemaSrc.schema(c).dataType).alias(c)): _*)
@@ -569,8 +733,10 @@ object SnapshotManifest {
     else {
       val cols = statsCols.getOrElse(snapshotFileStats(spark, root, v)
         .values.flatMap(_.cols.keys).toSeq.distinct.sorted)
+      // DV-applied read: compacting a MoR-deleted table materializes the
+      // deletions instead of resurrecting the rows; output carries no DVs
       Some(commit(spark, root,
-        spark.read.parquet(files: _*).coalesce(targetFiles), cols))
+        readVersion(spark, root, v).coalesce(targetFiles), cols))
     }
   }
 
@@ -623,10 +789,13 @@ object SnapshotManifest {
     // outside this set is unreachable garbage once the doomed manifests go
     // (dirName, fileName) keys, not path strings: listStatus returns
     // scheme-qualified paths (file:/...) while manifest-derived paths are
-    // scheme-less — string comparison would mark EVERY file unreferenced
+    // scheme-less — string comparison would mark EVERY file unreferenced.
+    // DELETION-VECTOR sidecars are reachable files too: sweeping a live
+    // DV would silently RESURRECT its deleted rows
     val keptFiles = versions.filterNot(doomed.contains).flatMap(v =>
-      snapshotFiles(spark, root, v).map { f =>
-        val p = new Path(f); (p.getParent.getName, p.getName)
+      manifestBody(spark, root, v).map(parseLine).flatMap(e =>
+        e.rel +: e.dvRel.toSeq).map { rel =>
+        val p = new Path(rel); (p.getParent.getName, p.getName)
       }).toSet
     val keptDirs = keptFiles.map(_._1)
     doomed.foreach { v =>

@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotManifest
+import graft.operators.Upsert
+
+/** Merge-on-read DELETE (deletion vectors): data bytes untouched, every
+  * reader applies the sidecar, folds/rewrites materialize it, vacuum
+  * treats live sidecars as reachable.
+  */
+class DeletionVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newTable(): String = {
+    val root = Files.createTempDirectory("dv").toString + "/t"
+    SnapshotManifest.commit(spark, root,
+      spark.range(0, 200).toDF("id").withColumn("v", $"id" * 10)
+        .repartitionByRange(8, $"id"),
+      Seq("id"))
+    root
+  }
+  private def hfs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("MoR delete: rows vanish with ZERO data-file rewrites; all read paths agree") {
+    val root = newTable()
+    val v0Files = SnapshotManifest.snapshotFiles(spark, root, 0L)
+    val v1 = SnapshotManifest.deleteWhereMoR(spark, root, $"id".between(10, 20))
+    assert(v1 == 1L)
+    // the data files are SHARED byte-for-byte — only the manifest changed
+    assert(SnapshotManifest.snapshotFiles(spark, root, 1L) == v0Files)
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.count() == 189L)
+    assert(got.filter($"id".between(10, 20)).count() == 0L)
+    // pruned read path applies the DV too
+    assert(SnapshotManifest.readWhere(spark, root, $"id" === 15L).count() == 0L)
+    assert(SnapshotManifest.readWhere(spark, root, $"id" === 50L).count() == 1L)
+    // time travel: the pre-delete snapshot still has the rows
+    assert(SnapshotManifest.readVersion(spark, root, 0L).count() == 200L)
+    // SQL DELETE null semantics + no-op short-circuit
+    assert(SnapshotManifest.deleteWhereMoR(spark, root, $"id" === -1L) == 1L)
+  }
+
+  test("second MoR delete merges sidecars (one dv ref per line); DV'd rows never match twice") {
+    val root = newTable()
+    SnapshotManifest.deleteWhereMoR(spark, root, $"id".between(10, 12))
+    val v2 = SnapshotManifest.deleteWhereMoR(spark, root, $"id".between(11, 14))
+    assert(v2 == 2L)
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.count() == 195L && got.filter($"id".between(10, 14)).count() == 0L)
+    // every line carries at most one dv reference
+    SnapshotManifest.manifestBody(spark, root, 2L).foreach { line =>
+      assert(line.split('\t').count(_.startsWith("dv=")) <= 1, line)
+    }
+  }
+
+  test("CoW rewrite of a DV'd file applies the vector and drops the reference") {
+    val root = newTable()
+    SnapshotManifest.deleteWhereMoR(spark, root, $"id".between(10, 12))
+    // update hits the same file range: the rewrite must not resurrect 10-12
+    SnapshotManifest.updateWhere(spark, root, $"id".between(13, 15),
+      Map("v" -> lit(-1L)), Seq("id"))
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.filter($"id".between(10, 12)).count() == 0L)
+    assert(got.filter($"v" === -1L).count() == 3L)
+    assert(got.count() == 197L)
+    // the rewritten file's line lost its dv ref; no line in the new
+    // manifest references a DV for the rewritten range
+    val body = SnapshotManifest.manifestBody(spark, root,
+      SnapshotManifest.currentVersion(spark, root).get)
+    assert(!body.exists(_.contains("dv=")),
+      s"dv ref should be gone after the CoW rewrite: $body")
+  }
+
+  test("mergeWhere into a MoR-deleted range does not resurrect rows") {
+    val root = newTable()
+    SnapshotManifest.deleteWhereMoR(spark, root, $"id".between(10, 15))
+    val staged = Seq((12L, -7L)).toDF("id", "v")
+    Upsert.mergeWhere(spark, root, staged, Seq("id"), Seq("id"))
+    val got = SnapshotManifest.read(spark, root)
+    // 12 re-inserted by the merge; 10,11,13,14,15 stay deleted
+    assert(got.filter($"id" === 12L).head().getAs[Long]("v") == -7L)
+    assert(got.filter($"id".between(10, 15)).count() == 1L)
+    assert(got.count() == 195L)
+  }
+
+  test("changesBetween across a MoR delete emits plain deletes off shared bytes") {
+    val root = newTable()
+    SnapshotManifest.deleteWhereMoR(spark, root, $"id".between(10, 12))
+    val feed = SnapshotManifest.changesBetween(spark, root, 0L, 1L, Seq("id"))
+      .select($"id", $"_change").as[(Long, String)].collect().toSet
+    assert(feed == Set((10L, "delete"), (11L, "delete"), (12L, "delete")))
+  }
+
+  test("foldDeletes materializes the vectors; vacuum then reclaims the sidecar") {
+    val root = newTable()
+    SnapshotManifest.deleteWhereMoR(spark, root, $"id".between(10, 12))
+    val bodyBefore = SnapshotManifest.manifestBody(spark, root, 1L)
+    val dvRel = bodyBefore.flatMap(l => l.split('\t').find(_.startsWith("dv=")))
+      .head.stripPrefix("dv=")
+    val fs = hfs(root)
+    assert(fs.exists(new Path(root, dvRel)))
+    val v2 = SnapshotManifest.foldDeletes(spark, root, Seq("id"))
+    assert(v2 == 2L)
+    val body2 = SnapshotManifest.manifestBody(spark, root, 2L)
+    assert(!body2.exists(_.contains("dv=")))
+    // only DV'd files rewrote: un-DV'd lines carry verbatim
+    assert((bodyBefore.filterNot(_.contains("dv=")).toSet intersect body2.toSet).nonEmpty)
+    assert(SnapshotManifest.read(spark, root).count() == 197L)
+    // vacuum with only the folded version kept reclaims the sidecar
+    SnapshotManifest.vacuum(spark, root, keep = 1)
+    assert(!fs.exists(new Path(root, dvRel)), "superseded DV sidecar reclaimed")
+    assert(SnapshotManifest.read(spark, root).count() == 197L)
+    // idempotent: nothing left to fold
+    assert(SnapshotManifest.foldDeletes(spark, root) == 2L)
+  }
+
+  test("vacuum keeps a LIVE sidecar (reachability includes dv refs)") {
+    val root = newTable()
+    SnapshotManifest.deleteWhereMoR(spark, root, $"id".between(10, 12))
+    val dvRel = SnapshotManifest.manifestBody(spark, root, 1L)
+      .flatMap(l => l.split('\t').find(_.startsWith("dv="))).head.stripPrefix("dv=")
+    SnapshotManifest.vacuum(spark, root, keep = 1) // v0 superseded
+    val fs = hfs(root)
+    assert(fs.exists(new Path(root, dvRel)), "live DV must survive vacuum")
+    assert(SnapshotManifest.read(spark, root).count() == 197L)
+  }
+
+  test("compactSnapshot on a DV'd table materializes deletions") {
+    val root = newTable()
+    SnapshotManifest.deleteWhereMoR(spark, root, $"id".between(10, 12))
+    val v = SnapshotManifest.compactSnapshot(spark, root)
+    assert(v.isDefined)
+    assert(!SnapshotManifest.manifestBody(spark, root, v.get).exists(_.contains("dv=")))
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.count() == 197L && got.filter($"id".between(10, 12)).count() == 0L)
+  }
+}
