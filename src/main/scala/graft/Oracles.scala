@@ -2345,6 +2345,20 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Merge-on-read update (q130): mask + append must equal the CASE.
+    "q130_mor_update" ->
+      """WITH cur AS (
+        |  SELECT
+        |    CASE WHEN o_orderkey BETWEEN 4000 AND 5000 THEN 'M'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey BETWEEN 4000 AND 5000 THEN o_totalprice * 0.25
+        |         ELSE o_totalprice END AS p
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(p AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        |FROM cur GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // Copy-on-write update (q122): the same CASE applied to the fixture.
     "q122_cow_update" ->
       """WITH cur AS (

@@ -2344,6 +2344,31 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Merge-on-read UPDATE ([[graft.sources.SnapshotManifest
+    * .updateWhereMoR]]): q122's deferred twin — positions masked by a
+    * deletion vector, post-images appended, no data-file rewrite. The
+    * aggregate runs on the DV-applied read (mask + append both in the
+    * path); the oracle applies the same CASE to the raw fixture.
+    */
+  def q130MorUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q130").toString
+    graft.sources.SnapshotManifest.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.updateWhereMoR(spark, root,
+      col("o_orderkey").between(4000, 5000),
+      Map("o_totalprice" -> (col("o_totalprice") * 0.25),
+        "o_orderstatus" -> lit("M")),
+      Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2477,6 +2502,7 @@ object Queries {
     "q126_zorder_optimize" -> (q126ZorderOptimize _),
     "q127_keyset_agg_pushdown" -> (q127KeysetAggPushdown _),
     "q128_cluster_keep_best" -> (q128ClusterKeepBest _),
-    "q129_mor_delete" -> (q129MorDelete _)
+    "q129_mor_delete" -> (q129MorDelete _),
+    "q130_mor_update" -> (q130MorUpdate _)
   )
 }

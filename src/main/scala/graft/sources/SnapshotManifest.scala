@@ -415,6 +415,119 @@ object SnapshotManifest {
     v + 1
   }
 
+  /** MERGE-ON-READ UPDATE — [[deleteWhereMoR]] + post-image append (the
+    * Delta MoR-update shape): matching rows' positions go to the deletion
+    * vector AND their updated images (same SQL UPDATE semantics as
+    * [[updateWhere]]: `assignments` evaluate on the pre-update row, cast
+    * back to the column's original type) are appended as NEW data files.
+    * Cost ∝ matches, not affected-file bytes; readers see the update
+    * immediately through the same DV anti-join + the appended files.
+    * [[foldDeletes]]/CoW rewrites/compaction materialize as usual.
+    *
+    * @return the committed version (unchanged if nothing matched)
+    */
+  def updateWhereMoR(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      statsCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, when, split => fsplit}
+    require(assignments.nonEmpty, "updateWhereMoR: no SET assignments")
+    val (fs, rootPath) = fsOf(spark, root)
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"updateWhereMoR: no committed snapshot under $root"))
+    val body = manifestBody(spark, root, v)
+    if (body.isEmpty) return v
+    val entries = body.map(parseLine)
+    val files = body.map(bodyFile(root, _))
+    val schema = spark.read.parquet(files.head).schema
+    assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"updateWhereMoR: SET column '$c' not in ${schema.fieldNames.mkString(", ")}"))
+    val affected = ManifestStats.prune(files, bodyStats(body),
+      ManifestStats.resolvePredicate(spark, schema, predicate)).toSet
+    if (affected.isEmpty) return v
+    val affectedEntries = entries.zip(files).collect { case (e, f) if affected(f) => e }
+    val oldDvFiles = affectedEntries.flatMap(_.dvRel).distinct
+      .map(r => new Path(rootPath, r).toString)
+    val oldPositions: Array[(String, Long)] =
+      if (oldDvFiles.isEmpty) Array.empty
+      else spark.read.parquet(oldDvFiles: _*)
+        .select(col("file_name"), col("row_index")).distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    val withPos = spark.read
+      .parquet(affectedEntries.map(e => new Path(rootPath, e.rel).toString): _*)
+      .withColumn("__graft_f", element_at(fsplit(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__graft_r", col("_metadata.row_index"))
+    val alive =
+      if (oldPositions.isEmpty) withPos
+      else {
+        import spark.implicits._
+        val dv = org.apache.spark.sql.functions.broadcast(
+          oldPositions.toSeq.toDF("__dv_f", "__dv_r"))
+        withPos.join(dv, withPos("__graft_f") === dv("__dv_f") &&
+          withPos("__graft_r") === dv("__dv_r"), "left_anti")
+      }
+    val matched = alive.filter(coalesce(predicate, lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newPositions = matched.select(col("__graft_f"), col("__graft_r"))
+        .collect().map(r => (r.getString(0), r.getLong(1))) // churn-bounded
+      if (newPositions.isEmpty) return v
+      // post-images: assignments on the PRE-update row, original types kept
+      val postImages = matched.select(schema.fieldNames.toSeq.map { c =>
+        assignments.get(c)
+          .map(e => e.cast(schema(c).dataType).alias(c))
+          .getOrElse(col(s"`$c`"))
+      }: _*)
+      val (dataDir, appendLines) =
+        writeDataFiles(spark, fs, rootPath, v + 1, postImages, statsCols)
+      val dvLocal = (newPositions ++ oldPositions).distinct
+      val dvdName = s"${dataDirName(v + 1)}-dv-${java.util.UUID.randomUUID.toString.take(8)}"
+      val dvDir = new Path(rootPath, new Path("data", dvdName))
+      import spark.implicits._
+      dvLocal.toSeq.toDF("file_name", "row_index")
+        .coalesce(1).write.parquet(dvDir.toString)
+      val dvFile = fs.listStatus(dvDir)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => s"data/$dvdName/${s.getPath.getName}").head
+      val dvByFile = dvLocal.map(_._1).toSet
+      val taggedLines = entries.zip(files).map { case (e, f) =>
+        if (affected(f) && dvByFile.contains(new Path(e.rel).getName))
+          e.copy(dvRel = Some(dvFile)).render
+        else e.render
+      }
+      val manifest = new Path(rootPath, manifestName(v + 1))
+      val won = CommitProtocol.publishFile(fs, manifest,
+        (s"version=${v + 1}\n" + (taggedLines ++ appendLines).mkString("", "\n", "\n"))
+          .getBytes("UTF-8"))
+      if (!won)
+        throw new ConcurrentCommitException(
+          s"updateWhereMoR: version ${v + 1} already committed by a concurrent " +
+            s"writer; re-read the table and retry; staged data left at $dataDir, $dvDir")
+      v + 1
+    } finally matched.unpersist(false)
+  }
+
+  /** [[deleteWhereMoR]] / [[updateWhereMoR]] with the bounded lost-race
+    * retry of the other DML twins: every attempt re-reads the current
+    * version, so a retry masks rows in the table as the winner left it.
+    */
+  def deleteWhereMoRWithRetry(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column, maxAttempts: Int = 5,
+      backoff: Int => FiniteDuration = Retry.linearBackoff(1.second),
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Long =
+    Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
+      maxAttempts, backoff, sleep)(deleteWhereMoR(spark, root, predicate))
+
+  def updateWhereMoRWithRetry(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      statsCols: Seq[String] = Nil, maxAttempts: Int = 5,
+      backoff: Int => FiniteDuration = Retry.linearBackoff(1.second),
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Long =
+    Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
+      maxAttempts, backoff, sleep)(
+      updateWhereMoR(spark, root, predicate, assignments, statsCols))
+
   /** Materialize every outstanding deletion vector as a copy-on-write
     * rewrite of just the DV'd files — the maintenance verb that ends the
     * read-side anti-join ([[deleteWhereMoR]]'s fold step, Delta's PURGE).
@@ -468,9 +581,13 @@ object SnapshotManifest {
     * (`keptLines` verbatim + the new file lines) — the ONE publish path
     * [[commit]], [[deleteWhere]], and [[updateWhere]] all go through.
     */
-  private def stageAndPublish(spark: SparkSession, fs: FileSystem, rootPath: Path,
-      next: Long, df: DataFrame, statsCols: Seq[String], keptLines: Seq[String],
-      op: String, requireFiles: Boolean): Long = {
+  /** Write `df` into a fresh uniquely-nonced data dir for version `next`
+    * and return (dir, manifest lines incl. optional stats) — the shared
+    * staging step under [[stageAndPublish]] and [[updateWhereMoR]]'s
+    * post-image append. Nothing is visible until a manifest references it.
+    */
+  private def writeDataFiles(spark: SparkSession, fs: FileSystem, rootPath: Path,
+      next: Long, df: DataFrame, statsCols: Seq[String]): (Path, Seq[String]) = {
     // unique per-attempt staging: the version prefix is advisory (for
     // humans); the nonce is what makes racing attempts disjoint. A crashed
     // or lost-race attempt leaves an unreferenced dir that vacuum sweeps.
@@ -484,17 +601,24 @@ object SnapshotManifest {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"data/$dirName/${s.getPath.getName}")
       .sorted
-    if (requireFiles)
-      require(files.nonEmpty, s"$op: write produced no parquet files under $dataDir")
     // a ZERO-ROW part file produces no aggregation group: record it as
     // rows=0 (prunable by construction) rather than stats-less (never
     // pruned) — the empty file can satisfy no predicate
     val emptyStats = ManifestStats.FileStats(0L,
       statsCols.map(_ -> ManifestStats.ColStats(None, None, 0L)).toMap)
-    val newLines = files.map { f =>
+    val lines = files.map { f =>
       if (statsCols.isEmpty) f
       else f + "\t" + ManifestStats.toJson(stats.getOrElse(new Path(f).getName, emptyStats))
-    }
+    }.toSeq
+    (dataDir, lines)
+  }
+
+  private def stageAndPublish(spark: SparkSession, fs: FileSystem, rootPath: Path,
+      next: Long, df: DataFrame, statsCols: Seq[String], keptLines: Seq[String],
+      op: String, requireFiles: Boolean): Long = {
+    val (dataDir, newLines) = writeDataFiles(spark, fs, rootPath, next, df, statsCols)
+    if (requireFiles)
+      require(newLines.nonEmpty, s"$op: write produced no parquet files under $dataDir")
     val manifest = new Path(rootPath, manifestName(next))
     // THE commit point: one atomic file publish. False = a concurrent
     // writer committed this version first — fail loudly, leave their

@@ -128,6 +128,47 @@ class DeletionVectorSpec extends SparkSpec {
     assert(SnapshotManifest.read(spark, root).count() == 197L)
   }
 
+  test("MoR update: positions masked + post-images appended; no data-file rewrite") {
+    val root = newTable()
+    val v0Files = SnapshotManifest.snapshotFiles(spark, root, 0L).toSet
+    val v1 = SnapshotManifest.updateWhereMoR(spark, root, $"id".between(10, 12),
+      Map("v" -> ($"v" * -1)), Seq("id"))
+    assert(v1 == 1L)
+    // every original data file carries over byte-for-byte; only APPENDED
+    // post-image files are new
+    val v1Files = SnapshotManifest.snapshotFiles(spark, root, 1L).toSet
+    assert(v0Files.subsetOf(v1Files))
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.count() == 200L)
+    assert(got.filter($"id".between(10, 12)).select($"v").as[Long].collect().toSet ==
+      Set(-100L, -110L, -120L))
+    assert(got.filter($"id" === 13L).head().getAs[Long]("v") == 130L) // untouched
+    // SQL UPDATE semantics: assignments on the PRE-update row
+    val v2 = SnapshotManifest.updateWhereMoR(spark, root, $"id" === 10L,
+      Map("v" -> ($"v" - 1)), Seq("id"))
+    assert(v2 == 2L)
+    assert(SnapshotManifest.read(spark, root)
+      .filter($"id" === 10L).head().getAs[Long]("v") == -101L)
+    assert(SnapshotManifest.read(spark, root).count() == 200L)
+    // fold materializes everything; totals preserved
+    SnapshotManifest.foldDeletes(spark, root, Seq("id"))
+    val folded = SnapshotManifest.read(spark, root)
+    assert(folded.count() == 200L)
+    assert(folded.filter($"id" === 10L).head().getAs[Long]("v") == -101L)
+    assert(!SnapshotManifest.manifestBody(spark, root,
+      SnapshotManifest.currentVersion(spark, root).get).exists(_.contains("dv=")))
+  }
+
+  test("MoR update then MoR delete compose; retry twins land on a quiet table") {
+    val root = newTable()
+    SnapshotManifest.updateWhereMoRWithRetry(spark, root, $"id" === 5L,
+      Map("v" -> lit(-5L)), Seq("id"))
+    SnapshotManifest.deleteWhereMoRWithRetry(spark, root, $"id" === 5L)
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.filter($"id" === 5L).count() == 0L)
+    assert(got.count() == 199L)
+  }
+
   test("compactSnapshot on a DV'd table materializes deletions") {
     val root = newTable()
     SnapshotManifest.deleteWhereMoR(spark, root, $"id".between(10, 12))
