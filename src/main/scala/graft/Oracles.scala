@@ -2345,6 +2345,27 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Merge-on-read merge (q131): q123's oracle form on MoR ranges.
+    "q131_mor_merge" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |staged AS (
+        |  SELECT o_orderkey, 'R' AS o_orderstatus, o_totalprice * 3 AS o_totalprice
+        |  FROM orders WHERE o_orderkey BETWEEN 6000 AND 6100
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000 AS o_orderkey, 'S' AS o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey BETWEEN 7000 AND 7050),
+        |merged AS (
+        |  SELECT * FROM staged
+        |  UNION ALL
+        |  SELECT t.* FROM target t ANTI JOIN staged s ON t.o_orderkey = s.o_orderkey)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // Merge-on-read update (q130): mask + append must equal the CASE.
     "q130_mor_update" ->
       """WITH cur AS (

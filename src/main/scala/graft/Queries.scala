@@ -2369,6 +2369,36 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Merge-on-read MERGE ([[graft.operators.Upsert.mergeWhereMoR]]):
+    * q123's deferred twin — matched rows masked by deletion vector, merge
+    * output appended, zero data-file rewrites (byte sharing asserted in
+    * DeletionVectorSpec). Same oracle form as q123: MERGE ≡ staged ∪
+    * (target ANTI JOIN staged) on this column set.
+    */
+  def q131MorMerge(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q131").toString
+    graft.sources.SnapshotManifest.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey"))
+    val staged = orders.filter(col("o_orderkey").between(6000, 6100))
+      .select(col("o_orderkey"), lit("R").alias("o_orderstatus"),
+        (col("o_totalprice") * 3).alias("o_totalprice"))
+      .unionByName(orders.filter(col("o_orderkey").between(7000, 7050))
+        .select((col("o_orderkey") + 20000000L).alias("o_orderkey"),
+          lit("S").alias("o_orderstatus"), col("o_totalprice")))
+    graft.operators.Upsert.mergeWhereMoR(spark, root, staged,
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("sum_price"),
+        min(col("o_orderkey")).alias("min_key"),
+        max(col("o_orderkey")).alias("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2503,6 +2533,7 @@ object Queries {
     "q127_keyset_agg_pushdown" -> (q127KeysetAggPushdown _),
     "q128_cluster_keep_best" -> (q128ClusterKeepBest _),
     "q129_mor_delete" -> (q129MorDelete _),
-    "q130_mor_update" -> (q130MorUpdate _)
+    "q130_mor_update" -> (q130MorUpdate _),
+    "q131_mor_merge" -> (q131MorMerge _)
   )
 }

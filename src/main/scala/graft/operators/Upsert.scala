@@ -219,26 +219,7 @@ object Upsert {
       val targetSchema = spark.read.parquet(files.head).schema
       pk.foreach(c => require(targetSchema.fieldNames.contains(c),
         s"mergeWhere: PK column $c not in target schema ${targetSchema.fieldNames.mkString(", ")}"))
-      // distinct non-null staged key tuples, capped: tuples with ANY null
-      // component can never match under `=` (they are pure inserts), so they
-      // contribute nothing to the prune predicate
-      val keyDf = stagedP.select(pk.map(col): _*).na.drop("any", pk).distinct()
-      val keyRows = keyDf.limit(maxKeySetSize + 1).collect()
-      val keyPred =
-        if (keyRows.isEmpty) None // all staged rows are null-key inserts
-        else if (keyRows.length <= maxKeySetSize)
-          Some(pk.zipWithIndex.map { case (c, i) =>
-            col(c).isin(keyRows.map(_.get(i)).distinct.toSeq: _*)
-          }.reduce(_ && _))
-        else {
-          // over the cap: one aggregation, per-column range conjunction
-          val aggs = pk.flatMap(c =>
-            Seq(min(col(c)).alias(s"__mn_$c"), max(col(c)).alias(s"__mx_$c")))
-          val b = keyDf.agg(aggs.head, aggs.tail: _*).head()
-          Some(pk.zipWithIndex.map { case (c, i) =>
-            col(c) >= lit(b.get(2 * i)) && col(c) <= lit(b.get(2 * i + 1))
-          }.reduce(_ && _))
-        }
+      val keyPred = stagedKeyPredicate(stagedP, pk, maxKeySetSize)
       val affected = keyPred match {
         case Some(p) => ManifestStats.prune(files, SnapshotManifest.bodyStats(body),
           ManifestStats.resolvePredicate(spark, targetSchema, p)).toSet
@@ -260,6 +241,127 @@ object Upsert {
         statsCols, keptLines, "mergeWhere")
     } finally stagedP.unpersist(false)
   }
+
+  /** The staged batch's prune predicate — distinct non-null key tuples as
+    * per-column IN lists when churn-bounded (a conservative cross-product
+    * superset for composite PKs), one min/max aggregation and a range
+    * conjunction above the cap. None = no non-null staged key exists
+    * (every staged row is a pure insert). Tuples with ANY null component
+    * can never match under `=`, so they contribute nothing.
+    */
+  private def stagedKeyPredicate(staged: DataFrame, pk: Seq[String],
+      maxKeySetSize: Int): Option[Column] = {
+    val keyDf = staged.select(pk.map(col): _*).na.drop("any", pk).distinct()
+    val keyRows = keyDf.limit(maxKeySetSize + 1).collect()
+    if (keyRows.isEmpty) None
+    else if (keyRows.length <= maxKeySetSize)
+      Some(pk.zipWithIndex.map { case (c, i) =>
+        col(c).isin(keyRows.map(_.get(i)).distinct.toSeq: _*)
+      }.reduce(_ && _))
+    else {
+      val aggs = pk.flatMap(c =>
+        Seq(min(col(c)).alias(s"__mn_$c"), max(col(c)).alias(s"__mx_$c")))
+      val b = keyDf.agg(aggs.head, aggs.tail: _*).head()
+      Some(pk.zipWithIndex.map { case (c, i) =>
+        col(c) >= lit(b.get(2 * i)) && col(c) <= lit(b.get(2 * i + 1))
+      }.reduce(_ && _))
+    }
+  }
+
+  /** MERGE-ON-READ MERGE — [[mergeWhere]]'s deferred twin on the deletion-
+    * vector machinery ([[graft.sources.SnapshotManifest.deleteWhereMoR]]):
+    * matched target rows are MASKED by position in a DV sidecar and the
+    * merge output (matched rows with staged values + staged-only inserts)
+    * is APPENDED as new files — NO data file is rewritten at all, so a
+    * narrow-key upsert costs O(staged + admitted-file scan + churn), the
+    * cheapest per-batch shape for continuous ingestion
+    * ([[graft.streaming.StreamingUpsert]] `mor = true`). Reads pay the
+    * broadcast anti-join on masked files until [[graft.sources
+    * .SnapshotManifest.foldDeletes]] / compaction materializes.
+    * Semantics ≡ [[mergeWhere]] ≡ whole-table [[merge]].
+    */
+  def mergeWhereMoR(spark: SparkSession, tableRoot: String, staged: DataFrame,
+      pkCols: Seq[String], statsCols: Seq[String] = Nil,
+      maxKeySetSize: Int = 100000): Long = {
+    import graft.sources.{ManifestStats, SnapshotManifest}
+    require(pkCols.nonEmpty, "at least one PK column required")
+    require(maxKeySetSize >= 1, "maxKeySetSize must be >= 1")
+    val pk = pkCols.map(_.trim)
+    val v = SnapshotManifest.currentVersion(spark, tableRoot).getOrElse(
+      throw new IllegalStateException(s"mergeWhereMoR: no committed snapshot under $tableRoot"))
+    val stagedP = staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (stagedP.isEmpty) return v
+      val body = SnapshotManifest.manifestBody(spark, tableRoot, v)
+      if (body.isEmpty)
+        // nothing to mask — identical to the copy-on-write form
+        return mergeWhere(spark, tableRoot, stagedP, pk, statsCols, maxKeySetSize)
+      val entries = body.map(SnapshotManifest.parseLine)
+      val files = body.map(SnapshotManifest.bodyFile(tableRoot, _))
+      val targetSchema = spark.read.parquet(files.head).schema
+      pk.foreach(c => require(targetSchema.fieldNames.contains(c),
+        s"mergeWhereMoR: PK column $c not in target schema ${targetSchema.fieldNames.mkString(", ")}"))
+      val affected = stagedKeyPredicate(stagedP, pk, maxKeySetSize) match {
+        case Some(p) => ManifestStats.prune(files, SnapshotManifest.bodyStats(body),
+          ManifestStats.resolvePredicate(spark, targetSchema, p)).toSet
+        case None => Set.empty[String]
+      }
+      val affectedEntries = entries.zip(files).collect { case (e, f) if affected(f) => e }
+      def aligned(df: DataFrame): DataFrame =
+        df.select(targetSchema.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).alias(f.name)): _*)
+      val emptyTarget = spark.read.parquet(files.head).limit(0)
+      if (affectedEntries.isEmpty)
+        // no file can hold a staged key: every staged row is an insert
+        return SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
+          body, aligned(merge(emptyTarget, stagedP, pk)), statsCols, "mergeWhereMoR")
+      val alive = SnapshotManifest.readEntriesWithPositions(spark, tableRoot, affectedEntries)
+      val matchedTarget = alive.join(
+          broadcast(stagedP.select(pk.map(c => col(c).alias(s"__k_$c")): _*).distinct()),
+          pk.map(c => col(c) === col(s"__k_$c")).reduce(_ && _), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val positions = matchedTarget
+          .select(col("__graft_f"), col("__graft_r"))
+          .collect().map(r => (r.getString(0), r.getLong(1))) // churn-bounded
+        val mergedAppend =
+          if (positions.isEmpty) merge(emptyTarget, stagedP, pk)
+          else merge(matchedTarget.drop("__graft_f", "__graft_r"), stagedP, pk)
+        if (positions.isEmpty)
+          return SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
+            body, aligned(mergedAppend), statsCols, "mergeWhereMoR")
+        val dvLocal = (positions ++
+          SnapshotManifest.entryDvPositions(spark, tableRoot, affectedEntries)).distinct
+        val dvFile = SnapshotManifest.writeDvSidecar(spark, tableRoot, v + 1,
+          dvLocal.toIndexedSeq)
+        val dvByFile = dvLocal.map(_._1).toSet
+        val lines = entries.zip(files).map { case (e, f) =>
+          if (affected(f) && dvByFile.contains(
+              new org.apache.hadoop.fs.Path(e.rel).getName))
+            e.copy(dvRel = Some(dvFile)).render
+          else e.render
+        }
+        SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
+          lines, aligned(mergedAppend), statsCols, "mergeWhereMoR")
+      } finally matchedTarget.unpersist(false)
+    } finally stagedP.unpersist(false)
+  }
+
+  /** [[mergeWhereMoR]] with the bounded lost-race retry — safe for the
+    * same reason as [[mergeWhereWithRetry]] (re-read per attempt, MERGE
+    * idempotent by key).
+    */
+  def mergeWhereMoRWithRetry(spark: SparkSession, tableRoot: String,
+      staged: DataFrame, pkCols: Seq[String], statsCols: Seq[String] = Nil,
+      maxKeySetSize: Int = 100000, maxAttempts: Int = 5,
+      backoff: Int => scala.concurrent.duration.FiniteDuration =
+        graft.core.Retry.linearBackoff(scala.concurrent.duration.DurationInt(1).second),
+      sleep: scala.concurrent.duration.FiniteDuration => Unit =
+        d => Thread.sleep(d.toMillis)): Long =
+    graft.core.Retry.retryWhen(
+      _.isInstanceOf[graft.sources.ConcurrentCommitException],
+      maxAttempts, backoff, sleep)(
+      mergeWhereMoR(spark, tableRoot, staged, pkCols, statsCols, maxKeySetSize))
 
   /** [[mergeWhere]] with the same bounded lost-race retry as
     * `SnapshotManifest.commitWithRetry`: every attempt re-reads the current

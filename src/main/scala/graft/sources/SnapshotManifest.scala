@@ -167,6 +167,81 @@ object SnapshotManifest {
     }
   }
 
+  /** [[readEntries]] keeping row positions: the ALIVE rows (old DVs
+    * applied) of `entries`, with `__graft_f` (file name) and `__graft_r`
+    * (row index) attached — the input every MoR masking verb
+    * ([[deleteWhereMoR]], [[updateWhereMoR]], [[graft.operators.Upsert
+    * .mergeWhereMoR]]) computes its positions from.
+    */
+  private[graft] def readEntriesWithPositions(spark: SparkSession, root: String,
+      entries: Seq[ManifestEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split => fsplit}
+    val rootPath = new Path(root)
+    val dvFiles = entries.flatMap(_.dvRel).distinct
+      .map(r => new Path(rootPath, r).toString)
+    val withPos = spark.read
+      .parquet(entries.map(e => new Path(rootPath, e.rel).toString): _*)
+      .withColumn("__graft_f", element_at(fsplit(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__graft_r", col("_metadata.row_index"))
+    if (dvFiles.isEmpty) withPos
+    else {
+      val dv = org.apache.spark.sql.functions.broadcast(
+        spark.read.parquet(dvFiles: _*)
+          .select(col("file_name").alias("__dv_f"), col("row_index").alias("__dv_r"))
+          .distinct())
+      withPos.join(dv, withPos("__graft_f") === dv("__dv_f") &&
+        withPos("__graft_r") === dv("__dv_r"), "left_anti")
+    }
+  }
+
+  /** Existing DV positions of `entries`, collected (churn-bounded). */
+  private[graft] def entryDvPositions(spark: SparkSession, root: String,
+      entries: Seq[ManifestEntry]): Array[(String, Long)] = {
+    import org.apache.spark.sql.functions.col
+    val dvFiles = entries.flatMap(_.dvRel).distinct
+      .map(r => new Path(new Path(root), r).toString)
+    if (dvFiles.isEmpty) Array.empty
+    else spark.read.parquet(dvFiles: _*)
+      .select(col("file_name"), col("row_index")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  /** Write `positions` as one DV sidecar parquet for version `next` and
+    * return its manifest-relative path (invisible until referenced).
+    */
+  private[graft] def writeDvSidecar(spark: SparkSession, root: String,
+      next: Long, positions: Seq[(String, Long)]): String = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val dvdName = s"${dataDirName(next)}-dv-${java.util.UUID.randomUUID.toString.take(8)}"
+    val dvDir = new Path(rootPath, new Path("data", dvdName))
+    import spark.implicits._
+    positions.toDF("file_name", "row_index").coalesce(1).write.parquet(dvDir.toString)
+    fs.listStatus(dvDir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"data/$dvdName/${s.getPath.getName}").head
+  }
+
+  /** Atomically publish version `next` = `lines` (already rendered, DV
+    * tags included) + fresh data files for `appendDf` — the MoR publish
+    * path (masked lines + appended post-images/inserts in one manifest).
+    */
+  private[graft] def publishWithAppend(spark: SparkSession, root: String,
+      next: Long, lines: Seq[String], appendDf: DataFrame,
+      statsCols: Seq[String], op: String): Long = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val (dataDir, appendLines) =
+      writeDataFiles(spark, fs, rootPath, next, appendDf, statsCols)
+    val manifest = new Path(rootPath, manifestName(next))
+    val won = CommitProtocol.publishFile(fs, manifest,
+      (s"version=$next\n" + (lines ++ appendLines).mkString("", "\n", "\n"))
+        .getBytes("UTF-8"))
+    if (!won)
+      throw new ConcurrentCommitException(
+        s"$op: version $next already committed by a concurrent writer; " +
+          s"re-read the table and retry; staged data left at $dataDir")
+    next
+  }
+
   /** Read the current snapshot (empty-schema error if the table has none). */
   def read(spark: SparkSession, root: String): DataFrame = {
     val v = currentVersion(spark, root).getOrElse(

@@ -71,7 +71,8 @@ object StreamingUpsert {
       tsCol: String,
       checkpointDir: String,
       statsCols: Seq[String] = Nil,
-      maxKeySetSize: Int = 100000
+      maxKeySetSize: Int = 100000,
+      mor: Boolean = false
   ): DataFrame = {
     require(pkCols.nonEmpty, "at least one PK column required")
     require(SnapshotManifest.currentVersion(spark, tableRoot).isDefined,
@@ -80,10 +81,19 @@ object StreamingUpsert {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // at-least-once delivery → idempotent application: dedup to the
-        // freshest row per PK (deterministic tiebreak), then keyed MERGE
+        // freshest row per PK (deterministic tiebreak), then keyed MERGE.
+        // mor = true lands each batch MERGE-ON-READ (positions masked,
+        // merge output appended — zero file rewrites per batch, the
+        // cheapest continuous-ingest shape; run foldDeletes/compaction at
+        // maintenance cadence); mor = false rewrites the admitted files
+        // copy-on-write per batch
         val freshest = graft.operators.AlertGate.latestPerKeyAgg(batch, pkCols, tsCol)
-        Upsert.mergeWhereWithRetry(spark, tableRoot, freshest, pkCols,
-          statsCols, maxKeySetSize)
+        if (mor)
+          Upsert.mergeWhereMoRWithRetry(spark, tableRoot, freshest, pkCols,
+            statsCols, maxKeySetSize)
+        else
+          Upsert.mergeWhereWithRetry(spark, tableRoot, freshest, pkCols,
+            statsCols, maxKeySetSize)
         ()
       }
       .option("checkpointLocation", checkpointDir)

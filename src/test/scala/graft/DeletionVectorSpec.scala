@@ -169,6 +169,65 @@ class DeletionVectorSpec extends SparkSpec {
     assert(got.count() == 199L)
   }
 
+  test("MoR merge ≡ whole-table merge; no file rewrites, updates masked + appended") {
+    val root = newTable()
+    val v0Files = SnapshotManifest.snapshotFiles(spark, root, 0L).toSet
+    val target = SnapshotManifest.read(spark, root)
+    val staged = Seq((10L, -1L), (11L, -2L), (500L, 7L)).toDF("id", "v")
+    val expect = Upsert.merge(target, staged, Seq("id"))
+      .as[(Long, Long)].collect().toSet
+    val v1 = Upsert.mergeWhereMoR(spark, root, staged, Seq("id"), Seq("id"))
+    assert(v1 == 1L)
+    // every original data file carries byte-for-byte; appended files only
+    assert(v0Files.subsetOf(SnapshotManifest.snapshotFiles(spark, root, 1L).toSet))
+    val got = SnapshotManifest.read(spark, root).as[(Long, Long)].collect().toSet
+    assert(got == expect)
+    assert(got.contains((10L, -1L)) && got.contains((500L, 7L)))
+    assert(SnapshotManifest.read(spark, root).count() == 201L)
+    // chained MoR merge over already-masked keys converges (re-mask append)
+    val staged2 = Seq((10L, -9L)).toDF("id", "v")
+    Upsert.mergeWhereMoR(spark, root, staged2, Seq("id"), Seq("id"))
+    val got2 = SnapshotManifest.read(spark, root)
+    assert(got2.filter($"id" === 10L).head().getAs[Long]("v") == -9L)
+    assert(got2.count() == 201L)
+    // fold materializes — content unchanged
+    SnapshotManifest.foldDeletes(spark, root, Seq("id"))
+    assert(SnapshotManifest.read(spark, root).as[(Long, Long)].collect().toSet ==
+      got2.as[(Long, Long)].collect().toSet)
+  }
+
+  test("MoR merge: all-new keys append without masking; all-null-key staged inserts") {
+    val root = newTable()
+    val staged = Seq((Option(900L), 1L), (Option.empty[Long], 2L)).toDF("id", "v")
+    val v1 = Upsert.mergeWhereMoR(spark, root, staged, Seq("id"), Seq("id"))
+    assert(v1 == 1L)
+    assert(!SnapshotManifest.manifestBody(spark, root, 1L).exists(_.contains("dv=")))
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.count() == 202L)
+    assert(got.filter($"id".isNull).count() == 1L)
+  }
+
+  test("streaming upsert in MoR mode: batches land without file rewrites, state converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = newTable()
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    mem.addData(Seq((10L, -1L, 1L), (900L, 5L, 1L)))
+    mem.addData(Seq((11L, -2L, 2L)))
+    val out = graft.streaming.StreamingUpsert.runAvailableNow(spark,
+      mem.toDF().toDF("id", "v", "ts"), root, Seq("id"), "ts",
+      java.nio.file.Files.createTempDirectory("supsert_mor").toString,
+      statsCols = Seq("id"), mor = true)
+    assert(out.count() == 201L)
+    assert(out.filter($"id" === 10L).head().getAs[Long]("v") == -1L)
+    assert(out.filter($"id" === 11L).head().getAs[Long]("v") == -2L)
+    assert(out.filter($"id" === 900L).head().getAs[Long]("v") == 5L)
+    // v0's files were never rewritten across the whole run
+    val cur = SnapshotManifest.currentVersion(spark, root).get
+    assert(SnapshotManifest.snapshotFiles(spark, root, 0L).toSet
+      .subsetOf(SnapshotManifest.snapshotFiles(spark, root, cur).toSet))
+  }
+
   test("compactSnapshot on a DV'd table materializes deletions") {
     val root = newTable()
     SnapshotManifest.deleteWhereMoR(spark, root, $"id".between(10, 12))
