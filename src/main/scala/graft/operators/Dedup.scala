@@ -275,19 +275,19 @@ object Dedup {
       .select(col("__id"),
         coalesce(col("cluster_id"), col("__id")).alias("__cluster"),
         col("__score"))
-    // argmax(score) with min-id tiebreak, as one order-insensitive agg:
-    // min over (−score, id) structs compares fields left to right. A NULL
-    // score must lose to every real score (SQL aggregates ignore nulls;
-    // struct ordering would instead sort the null field FIRST and elect
-    // the unscored copy) — map it to NaN, which Spark's ordering places
-    // ABOVE +Infinity, i.e. the worst possible sort key. All-null
-    // clusters degrade to the min-id convention.
-    val sortKey = when(col("__score").isNull, lit(Double.NaN))
-      .otherwise(col("__score").cast("double") * -1)
-    val best = withCluster.groupBy(col("__cluster"))
-      .agg(min(struct(sortKey.alias("s"),
-        col("__id").alias("i"))).alias("__b"))
-      .select(col("__cluster"), col("__b.i").alias("representative"))
+    // argmax(score) with min-id tiebreak, EXACT for any orderable score
+    // type (no double cast — a 2^53+1 long or high-precision decimal
+    // elects correctly): max(score) ignores nulls (SQL aggregate
+    // convention — an unscored copy can never win; an all-null cluster's
+    // max is null and the null-safe filter below degrades it to min-id),
+    // then the smallest id among the max-scored members. Both aggregates
+    // and the join are cluster-count-sized.
+    val maxScore = withCluster.groupBy(col("__cluster"))
+      .agg(max(col("__score")).alias("__m"))
+    val best = withCluster.join(maxScore, "__cluster")
+      .filter(col("__score") <=> col("__m"))
+      .groupBy(col("__cluster"))
+      .agg(min(col("__id")).alias("representative"))
     withCluster.join(best, "__cluster")
       .select(col("__id").alias(idCol), col("__cluster").alias("cluster_id"),
         col("representative"))

@@ -197,8 +197,10 @@ object Upsert {
         // the table). Only a table whose every retained version is empty
         // (unreachable through this API: the bootstrap commit requires
         // files) falls back to the staged schema.
-        val tableSchema = Iterator.range(v - 1, -1L, -1L)
-          .filter(SnapshotManifest.hasVersion(spark, tableRoot, _))
+        // one directory listing yields the retained versions — never a
+        // per-version existence probe (a long-lived table can be at v≈1e5)
+        val tableSchema = SnapshotManifest.listVersions(spark, tableRoot)
+          .filter(_ < v).reverseIterator
           .map(SnapshotManifest.manifestBody(spark, tableRoot, _))
           .collectFirst { case b if b.nonEmpty =>
             spark.read.parquet(SnapshotManifest.bodyFile(tableRoot, b.head)).schema
@@ -315,34 +317,29 @@ object Upsert {
         // no file can hold a staged key: every staged row is an insert
         return SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
           body, aligned(merge(emptyTarget, stagedP, pk)), statsCols, "mergeWhereMoR")
-      val alive = SnapshotManifest.readEntriesWithPositions(spark, tableRoot, affectedEntries)
+      val oldPositions =
+        SnapshotManifest.entryDvPositions(spark, tableRoot, affectedEntries)
+      val (alive, fCol, rCol) = SnapshotManifest.readEntriesWithPositions(
+        spark, tableRoot, affectedEntries, oldPositions)
       val matchedTarget = alive.join(
           broadcast(stagedP.select(pk.map(c => col(c).alias(s"__k_$c")): _*).distinct()),
           pk.map(c => col(c) === col(s"__k_$c")).reduce(_ && _), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val positions = matchedTarget
-          .select(col("__graft_f"), col("__graft_r"))
+          .select(col(fCol), col(rCol))
           .collect().map(r => (r.getString(0), r.getLong(1))) // churn-bounded
         val mergedAppend =
           if (positions.isEmpty) merge(emptyTarget, stagedP, pk)
-          else merge(matchedTarget.drop("__graft_f", "__graft_r"), stagedP, pk)
+          else merge(matchedTarget.drop(fCol, rCol), stagedP, pk)
         if (positions.isEmpty)
           return SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
             body, aligned(mergedAppend), statsCols, "mergeWhereMoR")
-        val dvLocal = (positions ++
-          SnapshotManifest.entryDvPositions(spark, tableRoot, affectedEntries)).distinct
-        val dvFile = SnapshotManifest.writeDvSidecar(spark, tableRoot, v + 1,
-          dvLocal.toIndexedSeq)
-        val dvByFile = dvLocal.map(_._1).toSet
-        val lines = entries.zip(files).map { case (e, f) =>
-          if (affected(f) && dvByFile.contains(
-              new org.apache.hadoop.fs.Path(e.rel).getName))
-            e.copy(dvRel = Some(dvFile)).render
-          else e.render
-        }
+        val dvLocal = (positions ++ oldPositions).distinct.toIndexedSeq
+        val dvFile = SnapshotManifest.writeDvSidecar(spark, tableRoot, v + 1, dvLocal)
         SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
-          lines, aligned(mergedAppend), statsCols, "mergeWhereMoR")
+          SnapshotManifest.dvTagLines(tableRoot, body, affected, dvLocal, dvFile),
+          aligned(mergedAppend), statsCols, "mergeWhereMoR")
       } finally matchedTarget.unpersist(false)
     } finally stagedP.unpersist(false)
   }

@@ -84,16 +84,21 @@ object SnapshotManifest {
   private def manifestName(v: Long) = f"manifest-$v%08d.json"
   private def dataDirName(v: Long) = f"v$v%08d"
 
-  /** Highest committed snapshot version, or None for an empty/new table. */
-  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+  /** All retained (not-yet-vacuumed) snapshot versions, ascending — ONE
+    * directory listing, however many versions exist.
+    */
+  private[graft] def listVersions(spark: SparkSession, root: String): Seq[Long] = {
     val (fs, rootPath) = fsOf(spark, root)
-    if (!fs.exists(rootPath)) return None
-    val versions = fs.listStatus(rootPath).toSeq.flatMap(s => s.getPath.getName match {
+    if (!fs.exists(rootPath)) return Seq.empty
+    fs.listStatus(rootPath).toSeq.flatMap(s => s.getPath.getName match {
       case ManifestRe(v) if s.isFile => Some(v.toLong)
       case _ => None
-    })
-    if (versions.isEmpty) None else Some(versions.max)
+    }).sorted
   }
+
+  /** Highest committed snapshot version, or None for an empty/new table. */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] =
+    listVersions(spark, root).lastOption
 
   /** One parsed manifest body line: `rel[\tstats-json][\tdv=rel]`. The DV
     * field references a DELETION-VECTOR parquet (`file_name`, `row_index`
@@ -141,57 +146,95 @@ object SnapshotManifest {
     * `(file_name, row_index)` rows anti-joined away. The no-DV fast path
     * is a plain parquet scan — zero overhead until the first MoR delete.
     */
+  /** A column name not colliding with any of `taken` — position/bookkeeping
+    * columns must never shadow a USER column that legitimately carries the
+    * default name (the adversarial-name class `IncrementalRollup.read`
+    * guards against).
+    */
+  private def freshName(base: String, taken: Seq[String]): String = {
+    var n = base
+    while (taken.contains(n)) n += "_"
+    n
+  }
+
   private[graft] def readEntries(spark: SparkSession, root: String,
       entries: Seq[ManifestEntry]): DataFrame = {
     val rootPath = new Path(root)
-    val files = entries.map(e => new Path(rootPath, e.rel).toString)
     val dvFiles = entries.flatMap(_.dvRel).distinct
-      .map(r => new Path(rootPath, r).toString)
-    val base = spark.read.parquet(files: _*)
-    if (dvFiles.isEmpty) base
+    if (dvFiles.isEmpty)
+      spark.read.parquet(entries.map(e => new Path(rootPath, e.rel).toString): _*)
     else {
-      import org.apache.spark.sql.functions.{col, element_at, split => fsplit}
-      // deleted-row sets are churn-sized next to the table: broadcast the
-      // anti-join so the corpus side never shuffles
-      val dv = org.apache.spark.sql.functions.broadcast(
-        spark.read.parquet(dvFiles: _*)
-          .select(col("file_name").alias("__dv_f"), col("row_index").alias("__dv_r"))
-          .distinct())
-      val withMeta = base
-        .withColumn("__graft_f", element_at(fsplit(col("_metadata.file_path"), "/"), -1))
-        .withColumn("__graft_r", col("_metadata.row_index"))
-      withMeta.join(dv,
-          withMeta("__graft_f") === dv("__dv_f") && withMeta("__graft_r") === dv("__dv_r"),
-          "left_anti")
-        .drop("__graft_f", "__graft_r")
+      val positions = entryDvPositions(spark, root, entries)
+      val (withPos, fCol, rCol) = readEntriesWithPositions(spark, root, entries, positions)
+      withPos.drop(fCol, rCol)
     }
   }
 
-  /** [[readEntries]] keeping row positions: the ALIVE rows (old DVs
-    * applied) of `entries`, with `__graft_f` (file name) and `__graft_r`
-    * (row index) attached — the input every MoR masking verb
-    * ([[deleteWhereMoR]], [[updateWhereMoR]], [[graft.operators.Upsert
-    * .mergeWhereMoR]]) computes its positions from.
+  /** [[readEntries]] keeping row positions: the ALIVE rows of `entries`
+    * (the caller-collected `oldPositions` anti-joined away — collected
+    * ONCE via [[entryDvPositions]] so the sidecars are read a single
+    * time), with file-name and row-index columns attached under
+    * COLLISION-FREE names, returned alongside the frame. The input every
+    * MoR masking verb ([[deleteWhereMoR]], [[updateWhereMoR]],
+    * [[graft.operators.Upsert.mergeWhereMoR]]) computes its positions
+    * from.
     */
   private[graft] def readEntriesWithPositions(spark: SparkSession, root: String,
-      entries: Seq[ManifestEntry]): DataFrame = {
+      entries: Seq[ManifestEntry], oldPositions: Array[(String, Long)])
+      : (DataFrame, String, String) = {
     import org.apache.spark.sql.functions.{col, element_at, split => fsplit}
     val rootPath = new Path(root)
-    val dvFiles = entries.flatMap(_.dvRel).distinct
-      .map(r => new Path(rootPath, r).toString)
-    val withPos = spark.read
+    val base = spark.read
       .parquet(entries.map(e => new Path(rootPath, e.rel).toString): _*)
-      .withColumn("__graft_f", element_at(fsplit(col("_metadata.file_path"), "/"), -1))
-      .withColumn("__graft_r", col("_metadata.row_index"))
-    if (dvFiles.isEmpty) withPos
+    val fCol = freshName("__graft_f", base.columns.toSeq)
+    val rCol = freshName("__graft_r", base.columns.toSeq :+ fCol)
+    val withPos = base
+      .withColumn(fCol, element_at(fsplit(col("_metadata.file_path"), "/"), -1))
+      .withColumn(rCol, col("_metadata.row_index"))
+    if (oldPositions.isEmpty) (withPos, fCol, rCol)
     else {
+      import spark.implicits._
+      // deleted-row sets are churn-sized next to the table: broadcast the
+      // anti-join so the corpus side never shuffles
       val dv = org.apache.spark.sql.functions.broadcast(
-        spark.read.parquet(dvFiles: _*)
-          .select(col("file_name").alias("__dv_f"), col("row_index").alias("__dv_r"))
-          .distinct())
-      withPos.join(dv, withPos("__graft_f") === dv("__dv_f") &&
-        withPos("__graft_r") === dv("__dv_r"), "left_anti")
+        oldPositions.toSeq.toDF("__dv_f", "__dv_r"))
+      (withPos.join(dv, withPos(fCol) === dv("__dv_f") &&
+        withPos(rCol) === dv("__dv_r"), "left_anti"), fCol, rCol)
     }
+  }
+
+  /** Tag the affected, position-holding lines with the new DV sidecar —
+    * the shared manifest-rewrite step of every MoR verb; untouched lines
+    * render verbatim.
+    */
+  private[graft] def dvTagLines(root: String, body: Seq[String],
+      affected: Set[String], dvPositions: Seq[(String, Long)],
+      dvFile: String): Seq[String] = {
+    val dvByFile = dvPositions.map(_._1).toSet
+    body.map { line =>
+      val e = parseLine(line)
+      if (affected(bodyFile(root, line)) &&
+          dvByFile.contains(new Path(e.rel).getName))
+        e.copy(dvRel = Some(dvFile)).render
+      else e.render
+    }
+  }
+
+  /** Atomically publish version `next` with exactly `lines` — the
+    * append-free MoR publish ([[deleteWhereMoR]]'s commit point).
+    */
+  private[graft] def publishLines(spark: SparkSession, root: String,
+      next: Long, lines: Seq[String], op: String): Long = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val manifest = new Path(rootPath, manifestName(next))
+    val won = CommitProtocol.publishFile(fs, manifest,
+      (s"version=$next\n" + lines.mkString("", "\n", "\n")).getBytes("UTF-8"))
+    if (!won)
+      throw new ConcurrentCommitException(
+        s"$op: version $next already committed by a concurrent writer; " +
+          "re-read the table and retry (staged sidecars are unreferenced " +
+          "garbage for vacuum)")
+    next
   }
 
   /** Existing DV positions of `entries`, collected (churn-bounded). */
@@ -422,72 +465,31 @@ object SnapshotManifest {
     */
   def deleteWhereMoR(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, split => fsplit}
-    val (fs, rootPath) = fsOf(spark, root)
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"deleteWhereMoR: no committed snapshot under $root"))
     val body = manifestBody(spark, root, v)
     if (body.isEmpty) return v
-    val entries = body.map(parseLine)
     val files = body.map(bodyFile(root, _))
     val schema = spark.read.parquet(files.head).schema
     val affected = ManifestStats.prune(files, bodyStats(body),
       ManifestStats.resolvePredicate(spark, schema, predicate)).toSet
     if (affected.isEmpty) return v
-    val affectedEntries = entries.zip(files).collect { case (e, f) if affected(f) => e }
-    // row positions attach on the RAW scan (the _metadata pseudo-column
-    // resolves only against the file source relation); the old sidecars'
-    // positions are anti-joined away by hand so already-deleted rows can't
-    // match again
-    val oldDvFiles = affectedEntries.flatMap(_.dvRel).distinct
-      .map(r => new Path(rootPath, r).toString)
-    val oldPositions: Array[(String, Long)] =
-      if (oldDvFiles.isEmpty) Array.empty
-      else spark.read.parquet(oldDvFiles: _*)
-        .select(col("file_name"), col("row_index")).distinct()
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-    val withPos = spark.read
-      .parquet(affectedEntries.map(e => new Path(rootPath, e.rel).toString): _*)
-      .withColumn("__graft_f", element_at(fsplit(col("_metadata.file_path"), "/"), -1))
-      .withColumn("__graft_r", col("_metadata.row_index"))
-    val alive =
-      if (oldPositions.isEmpty) withPos
-      else {
-        import spark.implicits._
-        val dv = org.apache.spark.sql.functions.broadcast(
-          oldPositions.toSeq.toDF("__dv_f", "__dv_r"))
-        withPos.join(dv, withPos("__graft_f") === dv("__dv_f") &&
-          withPos("__graft_r") === dv("__dv_r"), "left_anti")
-      }
+    val affectedEntries = body.map(parseLine)
+      .zip(files).collect { case (e, f) if affected(f) => e }
+    // positions attach on the raw scan; the old sidecars — read ONCE — are
+    // anti-joined away so already-deleted rows can't match again
+    val oldPositions = entryDvPositions(spark, root, affectedEntries)
+    val (alive, fCol, rCol) =
+      readEntriesWithPositions(spark, root, affectedEntries, oldPositions)
     val newMatches = alive.filter(coalesce(predicate, lit(false)))
-      .select(col("__graft_f"), col("__graft_r"))
+      .select(col(fCol), col(rCol))
       .collect().map(r => (r.getString(0), r.getLong(1))) // churn-bounded
     if (newMatches.isEmpty) return v
-    val dvLocal = (newMatches ++ oldPositions).distinct
-    val dvdName = s"${dataDirName(v + 1)}-dv-${java.util.UUID.randomUUID.toString.take(8)}"
-    val dvDir = new Path(rootPath, new Path("data", dvdName))
-    import spark.implicits._
-    dvLocal.toSeq.toDF("file_name", "row_index")
-      .coalesce(1).write.parquet(dvDir.toString)
-    val dvFile = fs.listStatus(dvDir)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"data/$dvdName/${s.getPath.getName}").head
-    // only files that actually HOLD a deleted position get the reference;
-    // admitted-but-untouched files keep their lines verbatim
-    val dvByFile = dvLocal.map(_._1).toSet
-    val newLines = entries.zip(files).map { case (e, f) =>
-      if (affected(f) && dvByFile.contains(new Path(e.rel).getName))
-        e.copy(dvRel = Some(dvFile)).render
-      else e.render
-    }
-    val manifest = new Path(rootPath, manifestName(v + 1))
-    val won = CommitProtocol.publishFile(fs, manifest,
-      (s"version=${v + 1}\n" + newLines.mkString("", "\n", "\n")).getBytes("UTF-8"))
-    if (!won)
-      throw new ConcurrentCommitException(
-        s"deleteWhereMoR: version ${v + 1} already committed by a concurrent " +
-          s"writer; re-read the table and retry; staged DV left at $dvDir")
-    v + 1
+    val dvLocal = (newMatches ++ oldPositions).distinct.toIndexedSeq
+    val dvFile = writeDvSidecar(spark, root, v + 1, dvLocal)
+    publishLines(spark, root, v + 1,
+      dvTagLines(root, body, affected, dvLocal, dvFile), "deleteWhereMoR")
   }
 
   /** MERGE-ON-READ UPDATE — [[deleteWhereMoR]] + post-image append (the
@@ -505,14 +507,12 @@ object SnapshotManifest {
       predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column],
       statsCols: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, when, split => fsplit}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     require(assignments.nonEmpty, "updateWhereMoR: no SET assignments")
-    val (fs, rootPath) = fsOf(spark, root)
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"updateWhereMoR: no committed snapshot under $root"))
     val body = manifestBody(spark, root, v)
     if (body.isEmpty) return v
-    val entries = body.map(parseLine)
     val files = body.map(bodyFile(root, _))
     val schema = spark.read.parquet(files.head).schema
     assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
@@ -520,31 +520,15 @@ object SnapshotManifest {
     val affected = ManifestStats.prune(files, bodyStats(body),
       ManifestStats.resolvePredicate(spark, schema, predicate)).toSet
     if (affected.isEmpty) return v
-    val affectedEntries = entries.zip(files).collect { case (e, f) if affected(f) => e }
-    val oldDvFiles = affectedEntries.flatMap(_.dvRel).distinct
-      .map(r => new Path(rootPath, r).toString)
-    val oldPositions: Array[(String, Long)] =
-      if (oldDvFiles.isEmpty) Array.empty
-      else spark.read.parquet(oldDvFiles: _*)
-        .select(col("file_name"), col("row_index")).distinct()
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-    val withPos = spark.read
-      .parquet(affectedEntries.map(e => new Path(rootPath, e.rel).toString): _*)
-      .withColumn("__graft_f", element_at(fsplit(col("_metadata.file_path"), "/"), -1))
-      .withColumn("__graft_r", col("_metadata.row_index"))
-    val alive =
-      if (oldPositions.isEmpty) withPos
-      else {
-        import spark.implicits._
-        val dv = org.apache.spark.sql.functions.broadcast(
-          oldPositions.toSeq.toDF("__dv_f", "__dv_r"))
-        withPos.join(dv, withPos("__graft_f") === dv("__dv_f") &&
-          withPos("__graft_r") === dv("__dv_r"), "left_anti")
-      }
+    val affectedEntries = body.map(parseLine)
+      .zip(files).collect { case (e, f) if affected(f) => e }
+    val oldPositions = entryDvPositions(spark, root, affectedEntries)
+    val (alive, fCol, rCol) =
+      readEntriesWithPositions(spark, root, affectedEntries, oldPositions)
     val matched = alive.filter(coalesce(predicate, lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val newPositions = matched.select(col("__graft_f"), col("__graft_r"))
+      val newPositions = matched.select(col(fCol), col(rCol))
         .collect().map(r => (r.getString(0), r.getLong(1))) // churn-bounded
       if (newPositions.isEmpty) return v
       // post-images: assignments on the PRE-update row, original types kept
@@ -553,32 +537,11 @@ object SnapshotManifest {
           .map(e => e.cast(schema(c).dataType).alias(c))
           .getOrElse(col(s"`$c`"))
       }: _*)
-      val (dataDir, appendLines) =
-        writeDataFiles(spark, fs, rootPath, v + 1, postImages, statsCols)
-      val dvLocal = (newPositions ++ oldPositions).distinct
-      val dvdName = s"${dataDirName(v + 1)}-dv-${java.util.UUID.randomUUID.toString.take(8)}"
-      val dvDir = new Path(rootPath, new Path("data", dvdName))
-      import spark.implicits._
-      dvLocal.toSeq.toDF("file_name", "row_index")
-        .coalesce(1).write.parquet(dvDir.toString)
-      val dvFile = fs.listStatus(dvDir)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(s => s"data/$dvdName/${s.getPath.getName}").head
-      val dvByFile = dvLocal.map(_._1).toSet
-      val taggedLines = entries.zip(files).map { case (e, f) =>
-        if (affected(f) && dvByFile.contains(new Path(e.rel).getName))
-          e.copy(dvRel = Some(dvFile)).render
-        else e.render
-      }
-      val manifest = new Path(rootPath, manifestName(v + 1))
-      val won = CommitProtocol.publishFile(fs, manifest,
-        (s"version=${v + 1}\n" + (taggedLines ++ appendLines).mkString("", "\n", "\n"))
-          .getBytes("UTF-8"))
-      if (!won)
-        throw new ConcurrentCommitException(
-          s"updateWhereMoR: version ${v + 1} already committed by a concurrent " +
-            s"writer; re-read the table and retry; staged data left at $dataDir, $dvDir")
-      v + 1
+      val dvLocal = (newPositions ++ oldPositions).distinct.toIndexedSeq
+      val dvFile = writeDvSidecar(spark, root, v + 1, dvLocal)
+      publishWithAppend(spark, root, v + 1,
+        dvTagLines(root, body, affected, dvLocal, dvFile), postImages,
+        statsCols, "updateWhereMoR")
     } finally matched.unpersist(false)
   }
 
@@ -607,19 +570,24 @@ object SnapshotManifest {
     * rewrite of just the DV'd files — the maintenance verb that ends the
     * read-side anti-join ([[deleteWhereMoR]]'s fold step, Delta's PURGE).
     * Kept lines carry verbatim; no-op (current version) when no file
-    * carries a DV. `statsCols` as in [[deleteWhere]].
+    * carries a DV. Stats are INHERITED by default (`None` — the columns
+    * the current manifest records, as [[compactSnapshot]] does), so
+    * routine maintenance never silently strips pruning power; pass
+    * `Some(cols)` to change the set or `Some(Nil)` to drop stats.
     */
   def foldDeletes(spark: SparkSession, root: String,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Option[Seq[String]] = None): Long = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"foldDeletes: no committed snapshot under $root"))
     val body = manifestBody(spark, root, v)
     val entries = body.map(parseLine)
     val dvd = entries.filter(_.dvRel.isDefined)
     if (dvd.isEmpty) return v
+    val cols = statsCols.getOrElse(bodyStats(body)
+      .values.flatMap(_.cols.keys).toSeq.distinct.sorted)
     val keptLines = entries.filter(_.dvRel.isEmpty).map(_.render)
     publishVersion(spark, root, v + 1,
-      readEntries(spark, root, dvd), statsCols, keptLines, "foldDeletes")
+      readEntries(spark, root, dvd), cols, keptLines, "foldDeletes")
   }
 
   /** The shared copy-on-write rewrite under [[deleteWhere]]/[[updateWhere]]:
@@ -973,10 +941,7 @@ object SnapshotManifest {
     require(minAgeMs >= 0, "minAgeMs must be non-negative")
     val (fs, rootPath) = fsOf(spark, root)
     val cutoff = System.currentTimeMillis() - minAgeMs
-    val versions = fs.listStatus(rootPath).toSeq.flatMap(s => s.getPath.getName match {
-      case ManifestRe(v) if s.isFile => Some(v.toLong)
-      case _ => None
-    }).sorted
+    val versions = listVersions(spark, root)
     // an uncommitted table has nothing to vacuum — and sweeping here would
     // eat a bootstrap commit's staging for no benefit
     if (versions.isEmpty) return Seq.empty

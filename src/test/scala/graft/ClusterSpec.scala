@@ -66,6 +66,17 @@ class ClusterSpec extends SparkSpec {
     assert(kept == Set(2L, 10L, 99L))
   }
 
+  test("clusterRepresentatives: long scores past 2^53 elect exactly (no double collapse)") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    // adjacent longs that collapse to the SAME double: exact comparison
+    // must elect id 1 (the strictly higher score), not the id tiebreak
+    val records = Seq((1L, (1L << 53) + 1L), (2L, 1L << 53)).toDF("id", "score")
+    val reps = Dedup.clusterRepresentatives(records, pairs, "id", "score")
+      .select(col("id"), col("representative")).as[(Long, Long)].collect().toMap
+    assert(reps(1L) == 1L && reps(2L) == 1L)
+  }
+
   test("clusterRepresentatives: a NULL score loses to every real score (SQL aggregate convention)") {
     import org.apache.spark.sql.functions.col
     val pairs = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")

@@ -102,7 +102,7 @@ class DeletionVectorSpec extends SparkSpec {
       .head.stripPrefix("dv=")
     val fs = hfs(root)
     assert(fs.exists(new Path(root, dvRel)))
-    val v2 = SnapshotManifest.foldDeletes(spark, root, Seq("id"))
+    val v2 = SnapshotManifest.foldDeletes(spark, root)
     assert(v2 == 2L)
     val body2 = SnapshotManifest.manifestBody(spark, root, 2L)
     assert(!body2.exists(_.contains("dv=")))
@@ -115,6 +115,35 @@ class DeletionVectorSpec extends SparkSpec {
     assert(SnapshotManifest.read(spark, root).count() == 197L)
     // idempotent: nothing left to fold
     assert(SnapshotManifest.foldDeletes(spark, root) == 2L)
+    // inherited stats: the rewritten files still carry id stats, so
+    // routine maintenance never silently strips pruning power
+    val stats2 = SnapshotManifest.snapshotFileStats(spark, root, 2L)
+    assert(stats2.nonEmpty && stats2.values.forall(_.cols.contains("id")))
+    assert(SnapshotManifest.prunedFiles(spark, root, 2L, $"id" === -5L).isEmpty)
+  }
+
+  test("user columns named like the position bookkeeping survive MoR (collision-free names)") {
+    val root = Files.createTempDirectory("dv_adv").toString + "/t"
+    SnapshotManifest.commit(spark, root,
+      spark.range(0, 50).toDF("id").withColumn("__graft_f", $"id" * 2)
+        .withColumn("__graft_r", $"id" * 3).repartitionByRange(4, $"id"),
+      Seq("id"))
+    SnapshotManifest.deleteWhereMoR(spark, root, $"id" === 10L)
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.columns.toSeq.sorted == Seq("__graft_f", "__graft_r", "id"))
+    assert(got.count() == 49L)
+    assert(got.filter($"id" === 20L).head().getAs[Long]("__graft_f") == 40L)
+    // the MoR verbs work too — positions pick fresh names internally
+    SnapshotManifest.updateWhereMoR(spark, root, $"id" === 20L,
+      Map("__graft_f" -> lit(-1L)), Seq("id"))
+    assert(SnapshotManifest.read(spark, root)
+      .filter($"id" === 20L).head().getAs[Long]("__graft_f") == -1L)
+    Upsert.mergeWhereMoR(spark, root,
+      Seq((21L, -2L, -3L)).toDF("id", "__graft_f", "__graft_r"),
+      Seq("id"), Seq("id"))
+    val after = SnapshotManifest.read(spark, root)
+    assert(after.filter($"id" === 21L).head().getAs[Long]("__graft_f") == -2L)
+    assert(after.count() == 49L)
   }
 
   test("vacuum keeps a LIVE sidecar (reachability includes dv refs)") {
@@ -151,7 +180,7 @@ class DeletionVectorSpec extends SparkSpec {
       .filter($"id" === 10L).head().getAs[Long]("v") == -101L)
     assert(SnapshotManifest.read(spark, root).count() == 200L)
     // fold materializes everything; totals preserved
-    SnapshotManifest.foldDeletes(spark, root, Seq("id"))
+    SnapshotManifest.foldDeletes(spark, root)
     val folded = SnapshotManifest.read(spark, root)
     assert(folded.count() == 200L)
     assert(folded.filter($"id" === 10L).head().getAs[Long]("v") == -101L)
@@ -191,7 +220,7 @@ class DeletionVectorSpec extends SparkSpec {
     assert(got2.filter($"id" === 10L).head().getAs[Long]("v") == -9L)
     assert(got2.count() == 201L)
     // fold materializes — content unchanged
-    SnapshotManifest.foldDeletes(spark, root, Seq("id"))
+    SnapshotManifest.foldDeletes(spark, root)
     assert(SnapshotManifest.read(spark, root).as[(Long, Long)].collect().toSet ==
       got2.as[(Long, Long)].collect().toSet)
   }
