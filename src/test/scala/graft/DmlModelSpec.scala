@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.sources.SnapshotManifest
+import graft.operators.Upsert
+
+/** Model-based DML fuzz: random interleavings of every table verb — CoW
+  * and MoR delete/update/merge, fold, compaction, vacuum — applied to BOTH
+  * the snapshot table and an in-memory reference model, compared after
+  * every step. Pairwise specs pin each verb; this hunts the INTERACTION
+  * bugs (a DV surviving a rewrite, a fold resurrecting a row, a merge
+  * missing a masked position) across arbitrary histories.
+  */
+class DmlModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private sealed trait Op
+  private case class CowDelete(lo: Long, hi: Long) extends Op
+  private case class MorDelete(lo: Long, hi: Long) extends Op
+  private case class CowUpdate(lo: Long, hi: Long, d: Long) extends Op
+  private case class MorUpdate(lo: Long, hi: Long, d: Long) extends Op
+  private case class CowMerge(rows: List[(Long, Long)]) extends Op
+  private case class MorMerge(rows: List[(Long, Long)]) extends Op
+  private case object Fold extends Op
+  private case object Compact extends Op
+  private case object Vacuum extends Op
+
+  private val genRange = for {
+    lo <- Gen.choose(0L, 90L); w <- Gen.choose(0L, 15L)
+  } yield (lo, lo + w)
+  private val genOp: Gen[Op] = Gen.frequency(
+    2 -> genRange.map { case (l, h) => CowDelete(l, h) },
+    3 -> genRange.map { case (l, h) => MorDelete(l, h) },
+    2 -> (for { (l, h) <- genRange; d <- Gen.choose(1L, 9L) } yield CowUpdate(l, h, d)),
+    3 -> (for { (l, h) <- genRange; d <- Gen.choose(1L, 9L) } yield MorUpdate(l, h, d)),
+    2 -> Gen.listOfN(4, for { k <- Gen.choose(0L, 120L); v <- Gen.choose(-99L, 99L) }
+      yield (k, v)).map(rs => CowMerge(rs.distinctBy(_._1))),
+    3 -> Gen.listOfN(4, for { k <- Gen.choose(0L, 120L); v <- Gen.choose(-99L, 99L) }
+      yield (k, v)).map(rs => MorMerge(rs.distinctBy(_._1))),
+    2 -> Gen.const(Fold),
+    1 -> Gen.const(Compact),
+    1 -> Gen.const(Vacuum))
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(seed + i)))
+
+  test("any interleaving of CoW/MoR verbs + maintenance matches the in-memory model") {
+    (0 until 3).foreach { trial =>
+      val root = Files.createTempDirectory(s"dmlmodel$trial").toString + "/t"
+      SnapshotManifest.commit(spark, root,
+        (0L until 100L).map(i => (i, i * 10L)).toDF("id", "v")
+          .repartitionByRange(4, $"id"),
+        Seq("id"))
+      val model = scala.collection.mutable.Map[Long, Long](
+        (0L until 100L).map(i => i -> i * 10L): _*)
+      val ops = samples(genOp, 10, 5000L + trial * 100L)
+      ops.zipWithIndex.foreach { case (op, step) =>
+        op match {
+          case CowDelete(lo, hi) =>
+            SnapshotManifest.deleteWhere(spark, root, $"id".between(lo, hi), Seq("id"))
+            model.keys.filter(k => k >= lo && k <= hi).toSeq.foreach(model.remove)
+          case MorDelete(lo, hi) =>
+            SnapshotManifest.deleteWhereMoR(spark, root, $"id".between(lo, hi))
+            model.keys.filter(k => k >= lo && k <= hi).toSeq.foreach(model.remove)
+          case CowUpdate(lo, hi, d) =>
+            SnapshotManifest.updateWhere(spark, root, $"id".between(lo, hi),
+              Map("v" -> ($"v" + d)), Seq("id"))
+            model.keys.filter(k => k >= lo && k <= hi).toSeq
+              .foreach(k => model(k) = model(k) + d)
+          case MorUpdate(lo, hi, d) =>
+            SnapshotManifest.updateWhereMoR(spark, root, $"id".between(lo, hi),
+              Map("v" -> ($"v" + d)), Seq("id"))
+            model.keys.filter(k => k >= lo && k <= hi).toSeq
+              .foreach(k => model(k) = model(k) + d)
+          case CowMerge(rows) =>
+            Upsert.mergeWhere(spark, root, rows.toDF("id", "v"), Seq("id"), Seq("id"))
+            rows.foreach { case (k, v) => model(k) = v }
+          case MorMerge(rows) =>
+            Upsert.mergeWhereMoR(spark, root, rows.toDF("id", "v"), Seq("id"), Seq("id"))
+            rows.foreach { case (k, v) => model(k) = v }
+          case Fold =>
+            SnapshotManifest.foldDeletes(spark, root)
+          case Compact =>
+            SnapshotManifest.compactSnapshot(spark, root)
+          case Vacuum =>
+            SnapshotManifest.vacuum(spark, root, keep = 1)
+        }
+        val got = SnapshotManifest.read(spark, root)
+          .as[(Long, Long)].collect().toMap
+        assert(got == model.toMap,
+          s"trial $trial diverged after step $step ($op): " +
+            s"extra=${(got.keySet -- model.keySet).take(5)} " +
+            s"missing=${(model.keySet -- got.keySet).take(5)} " +
+            s"wrong=${got.collect { case (k, v) if model.get(k).exists(_ != v) => k }.take(5)}")
+      }
+    }
+  }
+}
