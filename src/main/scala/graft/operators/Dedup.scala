@@ -276,15 +276,24 @@ object Dedup {
         coalesce(col("cluster_id"), col("__id")).alias("__cluster"),
         col("__score"))
     // argmax(score) with min-id tiebreak, EXACT for any orderable score
-    // type (no double cast — a 2^53+1 long or high-precision decimal
-    // elects correctly): max(score) ignores nulls (SQL aggregate
+    // type under the TYPE'S OWN ordering (no double cast — a 2^53+1 long
+    // or high-precision decimal elects correctly; string scores compare
+    // lexicographically): max(score) ignores nulls (SQL aggregate
     // convention — an unscored copy can never win; an all-null cluster's
     // max is null and the null-safe filter below degrades it to min-id),
     // then the smallest id among the max-scored members. Both aggregates
-    // and the join are cluster-count-sized.
-    val maxScore = withCluster.groupBy(col("__cluster"))
+    // and the join are cluster-count-sized. Float/double NaN would sort
+    // ABOVE +Infinity and win every election — normalize it to null
+    // (worst) first.
+    val cleanScore = withCluster.schema("__score").dataType match {
+      case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+        when(isnan(col("__score")), lit(null)).otherwise(col("__score"))
+      case _ => col("__score")
+    }
+    val cleaned = withCluster.withColumn("__score", cleanScore)
+    val maxScore = cleaned.groupBy(col("__cluster"))
       .agg(max(col("__score")).alias("__m"))
-    val best = withCluster.join(maxScore, "__cluster")
+    val best = cleaned.join(maxScore, "__cluster")
       .filter(col("__score") <=> col("__m"))
       .groupBy(col("__cluster"))
       .agg(min(col("__id")).alias("representative"))

@@ -36,6 +36,16 @@ object Upsert {
   def parsePkColumns(pkColumns: String): Seq[String] =
     pkColumns.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** A column name not colliding with any of `taken` — bookkeeping columns
+    * must never shadow a user column that happens to carry the default
+    * name.
+    */
+  private def freshName(base: String, taken: Seq[String]): String = {
+    var n = base
+    while (taken.contains(n)) n += "_"
+    n
+  }
+
   /** Set-based MERGE: returns the merged table as a DataFrame.
     *
     * Matched rows take staged values for every column except `pkCols` and
@@ -47,14 +57,18 @@ object Upsert {
     val pk = pkCols.map(_.trim)
     // presence markers make match/staged-only/target-only unambiguous even
     // when PK columns themselves contain nulls (which never match, as in the
-    // reference's generated `=` MERGE condition)
-    val t = target.withColumn("__t_present", lit(true)).alias("t")
-    val s = staged.withColumn("__s_present", lit(true)).alias("s")
+    // reference's generated `=` MERGE condition); marker names are chosen
+    // collision-free so a user column literally named __t_present survives
+    val taken = target.columns.toSeq ++ staged.columns.toSeq
+    val tMark = freshName("__t_present", taken)
+    val sMark = freshName("__s_present", taken :+ tMark)
+    val t = target.withColumn(tMark, lit(true)).alias("t")
+    val s = staged.withColumn(sMark, lit(true)).alias("s")
     val joined =
       t.join(s, pk.map(c => col(s"t.`$c`") === col(s"s.`$c`")).reduce(_ && _), "full_outer")
 
-    val matched = col("t.__t_present").isNotNull && col("s.__s_present").isNotNull
-    val stagedOnly = col("t.__t_present").isNull
+    val matched = col(s"t.`$tMark`").isNotNull && col(s"s.`$sMark`").isNotNull
+    val stagedOnly = col(s"t.`$tMark`").isNull
 
     val outCols: Seq[Column] = target.columns.toSeq.map { c =>
       val tc = col(s"t.`$c`")
@@ -321,9 +335,13 @@ object Upsert {
         SnapshotManifest.entryDvPositions(spark, tableRoot, affectedEntries)
       val (alive, fCol, rCol) = SnapshotManifest.readEntriesWithPositions(
         spark, tableRoot, affectedEntries, oldPositions)
+      // staged-key aliases chosen collision-free against the target's
+      // columns (same adversarial-name guard as the position columns)
+      var kp = "__k_"
+      while (pk.exists(c => alive.columns.contains(kp + c))) kp += "_"
       val matchedTarget = alive.join(
-          broadcast(stagedP.select(pk.map(c => col(c).alias(s"__k_$c")): _*).distinct()),
-          pk.map(c => col(c) === col(s"__k_$c")).reduce(_ && _), "left_semi")
+          broadcast(stagedP.select(pk.map(c => col(c).alias(s"$kp$c")): _*).distinct()),
+          pk.map(c => col(c) === col(s"$kp$c")).reduce(_ && _), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val positions = matchedTarget
@@ -338,7 +356,7 @@ object Upsert {
         val dvLocal = (positions ++ oldPositions).distinct.toIndexedSeq
         val dvFile = SnapshotManifest.writeDvSidecar(spark, tableRoot, v + 1, dvLocal)
         SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
-          SnapshotManifest.dvTagLines(tableRoot, body, affected, dvLocal, dvFile),
+          SnapshotManifest.dvTagLines(entries.zip(files), affected, dvLocal, dvFile),
           aligned(mergedAppend), statsCols, "mergeWhereMoR")
       } finally matchedTarget.unpersist(false)
     } finally stagedP.unpersist(false)

@@ -159,14 +159,31 @@ object SnapshotManifest {
 
   private[graft] def readEntries(spark: SparkSession, root: String,
       entries: Seq[ManifestEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split => fsplit}
     val rootPath = new Path(root)
     val dvFiles = entries.flatMap(_.dvRel).distinct
-    if (dvFiles.isEmpty)
-      spark.read.parquet(entries.map(e => new Path(rootPath, e.rel).toString): _*)
+      .map(r => new Path(rootPath, r).toString)
+    val base = spark.read.parquet(entries.map(e => new Path(rootPath, e.rel).toString): _*)
+    if (dvFiles.isEmpty) base
     else {
-      val positions = entryDvPositions(spark, root, entries)
-      val (withPos, fCol, rCol) = readEntriesWithPositions(spark, root, entries, positions)
-      withPos.drop(fCol, rCol)
+      // LAZY sidecar read: the DV parquet stays executor-side inside the
+      // broadcast exchange — constructing this frame never runs a driver
+      // job (the MoR WRITE verbs, which need driver position sets anyway,
+      // use readEntriesWithPositions instead). Deleted-row sets are
+      // churn-sized next to the table, so the broadcast keeps the corpus
+      // side shuffle-free.
+      val fCol = freshName("__graft_f", base.columns.toSeq)
+      val rCol = freshName("__graft_r", base.columns.toSeq :+ fCol)
+      val dv = org.apache.spark.sql.functions.broadcast(
+        spark.read.parquet(dvFiles: _*)
+          .select(col("file_name").alias("__dv_f"), col("row_index").alias("__dv_r"))
+          .distinct())
+      val withMeta = base
+        .withColumn(fCol, element_at(fsplit(col("_metadata.file_path"), "/"), -1))
+        .withColumn(rCol, col("_metadata.row_index"))
+      withMeta.join(dv, withMeta(fCol) === dv("__dv_f") &&
+          withMeta(rCol) === dv("__dv_r"), "left_anti")
+        .drop(fCol, rCol)
     }
   }
 
@@ -205,16 +222,15 @@ object SnapshotManifest {
 
   /** Tag the affected, position-holding lines with the new DV sidecar —
     * the shared manifest-rewrite step of every MoR verb; untouched lines
-    * render verbatim.
+    * render verbatim. Takes the ALREADY-parsed (entry, absolute file)
+    * pairs every caller holds — no second body parse.
     */
-  private[graft] def dvTagLines(root: String, body: Seq[String],
+  private[graft] def dvTagLines(entriesWithFiles: Seq[(ManifestEntry, String)],
       affected: Set[String], dvPositions: Seq[(String, Long)],
       dvFile: String): Seq[String] = {
     val dvByFile = dvPositions.map(_._1).toSet
-    body.map { line =>
-      val e = parseLine(line)
-      if (affected(bodyFile(root, line)) &&
-          dvByFile.contains(new Path(e.rel).getName))
+    entriesWithFiles.map { case (e, f) =>
+      if (affected(f) && dvByFile.contains(new Path(e.rel).getName))
         e.copy(dvRel = Some(dvFile)).render
       else e.render
     }
@@ -475,8 +491,8 @@ object SnapshotManifest {
     val affected = ManifestStats.prune(files, bodyStats(body),
       ManifestStats.resolvePredicate(spark, schema, predicate)).toSet
     if (affected.isEmpty) return v
-    val affectedEntries = body.map(parseLine)
-      .zip(files).collect { case (e, f) if affected(f) => e }
+    val entriesWithFiles = body.map(parseLine).zip(files)
+    val affectedEntries = entriesWithFiles.collect { case (e, f) if affected(f) => e }
     // positions attach on the raw scan; the old sidecars — read ONCE — are
     // anti-joined away so already-deleted rows can't match again
     val oldPositions = entryDvPositions(spark, root, affectedEntries)
@@ -489,7 +505,7 @@ object SnapshotManifest {
     val dvLocal = (newMatches ++ oldPositions).distinct.toIndexedSeq
     val dvFile = writeDvSidecar(spark, root, v + 1, dvLocal)
     publishLines(spark, root, v + 1,
-      dvTagLines(root, body, affected, dvLocal, dvFile), "deleteWhereMoR")
+      dvTagLines(entriesWithFiles, affected, dvLocal, dvFile), "deleteWhereMoR")
   }
 
   /** MERGE-ON-READ UPDATE — [[deleteWhereMoR]] + post-image append (the
@@ -520,8 +536,8 @@ object SnapshotManifest {
     val affected = ManifestStats.prune(files, bodyStats(body),
       ManifestStats.resolvePredicate(spark, schema, predicate)).toSet
     if (affected.isEmpty) return v
-    val affectedEntries = body.map(parseLine)
-      .zip(files).collect { case (e, f) if affected(f) => e }
+    val entriesWithFiles = body.map(parseLine).zip(files)
+    val affectedEntries = entriesWithFiles.collect { case (e, f) if affected(f) => e }
     val oldPositions = entryDvPositions(spark, root, affectedEntries)
     val (alive, fCol, rCol) =
       readEntriesWithPositions(spark, root, affectedEntries, oldPositions)
@@ -540,7 +556,7 @@ object SnapshotManifest {
       val dvLocal = (newPositions ++ oldPositions).distinct.toIndexedSeq
       val dvFile = writeDvSidecar(spark, root, v + 1, dvLocal)
       publishWithAppend(spark, root, v + 1,
-        dvTagLines(root, body, affected, dvLocal, dvFile), postImages,
+        dvTagLines(entriesWithFiles, affected, dvLocal, dvFile), postImages,
         statsCols, "updateWhereMoR")
     } finally matched.unpersist(false)
   }

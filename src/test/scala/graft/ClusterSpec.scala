@@ -69,12 +69,23 @@ class ClusterSpec extends SparkSpec {
   test("clusterRepresentatives: long scores past 2^53 elect exactly (no double collapse)") {
     import org.apache.spark.sql.functions.col
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
-    // adjacent longs that collapse to the SAME double: exact comparison
-    // must elect id 1 (the strictly higher score), not the id tiebreak
-    val records = Seq((1L, (1L << 53) + 1L), (2L, 1L << 53)).toDF("id", "score")
+    // adjacent longs that collapse to the SAME double, with the strictly
+    // HIGHER score on the LARGER id: a double-collapsing implementation
+    // would fall to the min-id tiebreak and elect id 1 — exact comparison
+    // must elect id 2
+    val records = Seq((1L, 1L << 53), (2L, (1L << 53) + 1L)).toDF("id", "score")
     val reps = Dedup.clusterRepresentatives(records, pairs, "id", "score")
       .select(col("id"), col("representative")).as[(Long, Long)].collect().toMap
-    assert(reps(1L) == 1L && reps(2L) == 1L)
+    assert(reps(1L) == 2L && reps(2L) == 2L)
+  }
+
+  test("clusterRepresentatives: NaN scores lose like nulls; float/double exactness") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val records = Seq((1L, Double.NaN), (2L, 5.0)).toDF("id", "score")
+    val reps = Dedup.clusterRepresentatives(records, pairs, "id", "score")
+      .select(col("id"), col("representative")).as[(Long, Long)].collect().toMap
+    assert(reps(1L) == 2L && reps(2L) == 2L, "NaN must not be elected best")
   }
 
   test("clusterRepresentatives: a NULL score loses to every real score (SQL aggregate convention)") {
