@@ -2345,6 +2345,39 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Table lifecycle (q132): the net effect of merge → MoR update → MoR
+    // delete → fold → zorder → vacuum, in plain SQL. Order of application
+    // matters: the merge's key rewrites happen BEFORE the custkey purge.
+    "q132_table_lifecycle" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |staged AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 1100
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+        |    'N' AS o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey BETWEEN 3000 AND 3050),
+        |merged AS (
+        |  SELECT * FROM staged
+        |  UNION ALL
+        |  SELECT t.* FROM target t ANTI JOIN staged s ON t.o_orderkey = s.o_orderkey),
+        |updated AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey BETWEEN 2000 AND 2100 THEN o_totalprice * 0.5
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM merged),
+        |purged AS (
+        |  SELECT * FROM updated WHERE o_custkey NOT BETWEEN 100 AND 200)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(o_custkey AS DECIMAL(30,6))) AS DOUBLE) AS sum_cust,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM purged
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // Merge-on-read merge (q131): q123's oracle form on MoR ranges.
     "q131_mor_merge" ->
       """WITH target AS (

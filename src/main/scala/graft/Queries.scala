@@ -2399,6 +2399,52 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Table-lifecycle capstone: the full maintenance story on ONE table,
+    * end to end — bootstrap → file-pruned CoW MERGE → merge-on-read
+    * UPDATE → merge-on-read DELETE (the GDPR purge shape) → foldDeletes
+    * (materialize) → OPTIMIZE ZORDER → vacuum(keep=1) → aggregate. Every
+    * verb is individually oracle-gated (q123/q129/q130/q126); this row
+    * gates their COMPOSITION — any interaction bug between masking,
+    * folding, re-clustering, and reclamation shifts the net-effect
+    * aggregate the oracle computes in plain SQL.
+    */
+  def q132TableLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q132").toString
+    graft.sources.SnapshotManifest.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice")).repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey"))
+    // 1. CoW MERGE: price rewrite for one range + new keys
+    val staged = orders.filter(col("o_orderkey").between(1000, 1100))
+      .select(col("o_orderkey"), col("o_custkey"), lit("U").alias("o_orderstatus"),
+        (col("o_totalprice") * 2).alias("o_totalprice"))
+      .unionByName(orders.filter(col("o_orderkey").between(3000, 3050))
+        .select((col("o_orderkey") + 10000000L).alias("o_orderkey"),
+          col("o_custkey"), lit("N").alias("o_orderstatus"), col("o_totalprice")))
+    graft.operators.Upsert.mergeWhere(spark, root, staged,
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    // 2. MoR UPDATE on another range
+    graft.sources.SnapshotManifest.updateWhereMoR(spark, root,
+      col("o_orderkey").between(2000, 2100),
+      Map("o_totalprice" -> (col("o_totalprice") * 0.5)), Seq("o_orderkey"))
+    // 3. MoR DELETE (purge a customer-key band), then materialize + reclaim
+    graft.sources.SnapshotManifest.deleteWhereMoR(spark, root,
+      col("o_custkey").between(100, 200))
+    graft.sources.SnapshotManifest.foldDeletes(spark, root)
+    graft.operators.Layout.optimizeSnapshot(spark, root,
+      Seq("o_custkey", "o_orderkey"), bits = 8, numFiles = 8)
+    graft.sources.SnapshotManifest.vacuum(spark, root, keep = 1)
+    graft.sources.SnapshotManifest.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("sum_price"),
+        sum(col("o_custkey").cast("decimal(30,6)")).cast("double").alias("sum_cust"),
+        min(col("o_orderkey")).alias("min_key"),
+        max(col("o_orderkey")).alias("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2534,6 +2580,7 @@ object Queries {
     "q128_cluster_keep_best" -> (q128ClusterKeepBest _),
     "q129_mor_delete" -> (q129MorDelete _),
     "q130_mor_update" -> (q130MorUpdate _),
-    "q131_mor_merge" -> (q131MorMerge _)
+    "q131_mor_merge" -> (q131MorMerge _),
+    "q132_table_lifecycle" -> (q132TableLifecycle _)
   )
 }
