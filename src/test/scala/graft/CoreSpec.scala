@@ -103,4 +103,14 @@ class CoreSpec extends SparkSpec {
       "SELECT count(*) AS n FROM t_sqlscript WHERE id > {min_id}", Map("min_id" -> 1))
     assert(df.head().getLong(0) == 1L)
   }
+
+  test("query and oracle inventories are key-consistent") {
+    // every driver-checked query has a DuckDB twin and vice versa — a typo
+    // in either map silently downgrades the correctness gate; if a future
+    // non-SQL-expressible row legitimately omits its oracle, list it here
+    // explicitly rather than relaxing the assert
+    val q = graft.Queries.all.keySet
+    val o = graft.Oracles.all.keySet
+    assert(q == o, s"query-only: ${(q -- o).toSeq.sorted}; oracle-only: ${(o -- q).toSeq.sorted}")
+  }
 }
