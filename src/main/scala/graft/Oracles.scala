@@ -1089,6 +1089,66 @@ object Oracles {
          |ORDER BY w.doc_id""".stripMargin
     },
 
+    // Keep-best curation (q133): q128's component+argmax machinery, then
+    // FILTER to representatives and aggregate per language (planted twins
+    // inherit their original's lang via the base-id join).
+    "q133_keep_best_curation" -> {
+      val sigExprs = (0 until 12).map { i =>
+        val (a, b) = graft.operators.Dedup.affineParams(i)
+        s"list_min([(CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) * $a + $b) % ${graft.operators.Dedup.MinhashP} for s in shingles])"
+      }.mkString("[", ", ", "]")
+      val bandHash =
+        "md5(CAST(sig[3*b + 1] AS VARCHAR) || '|' || CAST(sig[3*b + 2] AS VARCHAR) || '|' || CAST(sig[3*b + 3] AS VARCHAR))"
+      s"""WITH RECURSIVE ${shinglesCte(plantedDocs)},
+         |sig AS (SELECT doc_id, shingles, $sigExprs AS sig FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b AS band_id, $bandHash AS band_hash
+         |  FROM sig, range(0, 4) t(b)
+         |  WHERE $bandHash IS NOT NULL),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band_id, band_hash)
+         |  WHERE a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT id_a, id_b,
+         |    len(list_intersect(sa.shingles, sb.shingles)) AS ilen,
+         |    len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS ulen
+         |  FROM pairs
+         |  JOIN sh sa ON sa.doc_id = id_a
+         |  JOIN sh sb ON sb.doc_id = id_b),
+         |verified AS (
+         |  SELECT id_a, id_b FROM j
+         |  WHERE (CASE WHEN ulen = 0 THEN 0.0 ELSE CAST(ilen AS DOUBLE) / ulen END) >= 0.7),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified
+         |  UNION
+         |  SELECT id_b, id_a FROM verified),
+         |reach(id, lbl) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id),
+         |comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+         |alldocs AS (SELECT doc_id, length(text) AS score FROM ($plantedDocs)),
+         |withc AS (
+         |  SELECT a.doc_id, coalesce(c.cluster_id, a.doc_id) AS cluster_id, a.score
+         |  FROM alldocs a LEFT JOIN comp c USING (doc_id)),
+         |best AS (
+         |  SELECT cluster_id, doc_id AS representative FROM (
+         |    SELECT cluster_id, doc_id,
+         |      row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn
+         |    FROM withc) WHERE rn = 1),
+         |kept AS (
+         |  SELECT w.doc_id, w.score FROM withc w
+         |  JOIN best b USING (cluster_id)
+         |  WHERE w.doc_id = b.representative)
+         |SELECT d.lang, count(*) AS n_kept, CAST(sum(k.score) AS BIGINT) AS sum_len
+         |FROM kept k
+         |JOIN documents d ON d.doc_id =
+         |  CASE WHEN k.doc_id >= 100000 THEN k.doc_id - 100000 ELSE k.doc_id END
+         |GROUP BY d.lang
+         |ORDER BY d.lang""".stripMargin
+    },
+
     "q54_hash_sample" ->
       """SELECT l_returnflag, count(*) AS n_sampled,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty

@@ -2445,6 +2445,26 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Keep-best dedup as a CURATION step ([[graft.operators.Dedup
+    * .keepBestPerCluster]]): the planted-dup corpus is deduplicated
+    * keeping each cluster's LONGEST copy (so the suffixed twins win over
+    * their originals), then the survivors aggregate per language — the
+    * one-call form of FineWeb's "drop duplicates, keep the best copy".
+    * q128 gates the representative MAPPING; this row gates the survivor
+    * FILTER and its composition with the corpus columns.
+    */
+  def q133KeepBestCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithPlantedDups(spark, dir)
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+      threshold = 0.7, bands = 4, rowsPerBand = 3)
+    graft.operators.Dedup.keepBestPerCluster(
+        docs.withColumn("score", length(col("text"))), pairs, "doc_id", "score")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).alias("n_kept"),
+        sum(col("score")).alias("sum_len"))
+      .orderBy(col("lang"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2581,6 +2601,7 @@ object Queries {
     "q129_mor_delete" -> (q129MorDelete _),
     "q130_mor_update" -> (q130MorUpdate _),
     "q131_mor_merge" -> (q131MorMerge _),
-    "q132_table_lifecycle" -> (q132TableLifecycle _)
+    "q132_table_lifecycle" -> (q132TableLifecycle _),
+    "q133_keep_best_curation" -> (q133KeepBestCuration _)
   )
 }
