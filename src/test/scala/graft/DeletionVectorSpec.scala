@@ -257,6 +257,46 @@ class DeletionVectorSpec extends SparkSpec {
       .subsetOf(SnapshotManifest.snapshotFiles(spark, root, cur).toSet))
   }
 
+  test("racing MoR delete and CoW update serialize through the retry twins; both effects land") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = newTable()
+    val done = Await.result(Future.sequence(Seq(
+      Future(SnapshotManifest.deleteWhereMoRWithRetry(spark, root,
+        $"id".between(10, 12),
+        backoff = _ => Duration.Zero, sleep = _ => ())),
+      Future(SnapshotManifest.updateWhereWithRetry(spark, root,
+        $"id".between(50, 52), Map("v" -> lit(-1L)), Seq("id"),
+        backoff = _ => Duration.Zero, sleep = _ => ())))), 120.seconds)
+    assert(done.toSet == Set(1L, 2L), done.toString)
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.filter($"id".between(10, 12)).count() == 0L)
+    assert(got.filter($"v" === -1L).count() == 3L)
+    assert(got.count() == 197L)
+  }
+
+  test("streaming MoR upsert: wholesale replay converges (at-least-once worst case)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = newTable()
+    implicit val sqlCtx = spark.sqlContext
+    def runBatches(ck: String): org.apache.spark.sql.DataFrame = {
+      val mem = MemoryStream[(Long, Long, Long)]
+      mem.addData(Seq((10L, -1L, 1L)))
+      mem.addData(Seq((900L, 5L, 2L)))
+      graft.streaming.StreamingUpsert.runAvailableNow(spark,
+        mem.toDF().toDF("id", "v", "ts"), root, Seq("id"), "ts", ck,
+        statsCols = Seq("id"), mor = true)
+    }
+    runBatches(Files.createTempDirectory("mor_ck1").toString)
+    // fresh checkpoint = every batch re-delivers: re-masking + re-append
+    // must converge to the identical table, nothing duplicated
+    val out = runBatches(Files.createTempDirectory("mor_ck2").toString)
+    assert(out.count() == 201L)
+    assert(out.filter($"id" === 10L).head().getAs[Long]("v") == -1L)
+    assert(out.filter($"id" === 900L).count() == 1L)
+  }
+
   test("compactSnapshot on a DV'd table materializes deletions") {
     val root = newTable()
     SnapshotManifest.deleteWhereMoR(spark, root, $"id".between(10, 12))
