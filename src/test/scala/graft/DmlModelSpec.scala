@@ -26,6 +26,7 @@ class DmlModelSpec extends SparkSpec {
   private case object Fold extends Op
   private case object Compact extends Op
   private case object Vacuum extends Op
+  private case object Optimize extends Op
 
   private val genRange = for {
     lo <- Gen.choose(0L, 90L); w <- Gen.choose(0L, 15L)
@@ -41,7 +42,8 @@ class DmlModelSpec extends SparkSpec {
       yield (k, v)).map(rs => MorMerge(rs.distinctBy(_._1))),
     2 -> Gen.const(Fold),
     1 -> Gen.const(Compact),
-    1 -> Gen.const(Vacuum))
+    1 -> Gen.const(Vacuum),
+    1 -> Gen.const(Optimize))
 
   private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
     (0 until n).flatMap(i =>
@@ -87,6 +89,11 @@ class DmlModelSpec extends SparkSpec {
             SnapshotManifest.compactSnapshot(spark, root)
           case Vacuum =>
             SnapshotManifest.vacuum(spark, root, keep = 1)
+          case Optimize if model.nonEmpty =>
+            // z-order rewrite reads DV-APPLIED and must be content-neutral
+            graft.operators.Layout.optimizeSnapshot(spark, root,
+              Seq("id", "v"), bits = 4, numFiles = 4)
+          case Optimize => () // empty table: nothing to cluster
         }
         val got = SnapshotManifest.read(spark, root)
           .as[(Long, Long)].collect().toMap
