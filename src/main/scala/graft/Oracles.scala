@@ -1478,7 +1478,10 @@ object Oracles {
     // via a (lang, score) value histogram + cumulative count (replaying
     // Thresholds.groupQuantileDisc), then keep docs >= their language's cut.
     // Scores replay q30's quality expression, DECIMAL(10,4)-cast so the
-    // threshold comparison is exact in both engines.
+    // threshold comparison is exact in both engines. The kept-score mean is
+    // reported as the exact (sum_kept_q, n_kept) ratio pair — no double
+    // quotient anywhere in the output (a double quotient hash-diverged
+    // across DuckDB versions in rounds 7 and 8, even rounded to 8 digits).
     "q109_quality_threshold" ->
       """WITH scored AS (
         |  SELECT doc_id, lang,
@@ -1510,7 +1513,7 @@ object Oracles {
         |SELECT k.lang, th.n_docs, th.threshold,
         |  CAST(count(*) AS BIGINT) AS n_kept,
         |  min(k.q) AS min_kept_q,
-        |  round(CAST(sum(k.q) AS DOUBLE) / count(*), 8) AS mean_kept_q
+        |  CAST(sum(k.q) AS DECIMAL(30,4)) AS sum_kept_q
         |FROM kept k JOIN th ON k.lang = th.lang
         |GROUP BY k.lang, th.n_docs, th.threshold
         |ORDER BY k.lang""".stripMargin,

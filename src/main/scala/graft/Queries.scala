@@ -1763,6 +1763,12 @@ object Queries {
     * two keyed aggregations, never a per-group corpus sort — then keep
     * docs at-or-above their language's cut and report the per-language
     * outcome. The FineWeb-style "top half per language" selection, exact.
+    *
+    * The kept-score mean is reported as the exact ratio pair
+    * `(sum_kept_q DECIMAL, n_kept BIGINT)` — every column stays in an
+    * exactly-representable domain. A double quotient (even rounded) is
+    * engine-dependent at the last ulp and can never be a stable
+    * differential-hash input.
     */
   def q109QualityThreshold(spark: SparkSession, dir: String): DataFrame = {
     val scored = t(spark, dir, "documents")
@@ -1774,7 +1780,7 @@ object Queries {
     // expression three times; ThresholdsSpec pins both paths equal.
     graft.operators.Thresholds.groupQuantileSummary(scored, "lang", "q", 0.5)
       .select(col("lang"), col("n_docs"), col("threshold"), col("n_kept"),
-        col("min_kept_q"), col("mean_kept_q"))
+        col("min_kept_q"), col("sum_kept_q").cast("decimal(30,4)").alias("sum_kept_q"))
       .orderBy(col("lang"))
   }
 

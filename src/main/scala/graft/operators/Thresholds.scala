@@ -74,7 +74,7 @@ object Thresholds {
   }
 
   /** Curation summary per group — `(groupCol, n_docs, threshold, n_kept,
-    * min_kept_q, mean_kept_q)` — from ONE corpus aggregation. The naive
+    * min_kept_q, sum_kept_q)` — from ONE corpus aggregation. The naive
     * form (filter to kept rows, re-aggregate) prices the score expression
     * and the corpus scan twice (three times if the threshold is also
     * reported); but every one of these statistics is a function of the
@@ -86,13 +86,16 @@ object Thresholds {
     * Exactness: kept counts and score sums are tallied as `score·cnt` over
     * whole histogram buckets — identical to summing per-row (the kept set
     * is `score >= threshold`, a union of complete buckets). With a decimal
-    * `scoreCol` the sum is exact, so `mean_kept_q` matches a per-row
-    * aggregation bit-for-bit. The mean is reported `round(·, 8)`: the
-    * DECIMAL→DOUBLE cast before the divide is correctly rounded in Spark
-    * but integer-scaled (can land 1 ulp off) in other engines, so the raw
-    * quotient is not a cross-engine-stable hash input; 8 digits is beyond
-    * any real curation decision and pins the bits (same canonicalization
-    * as the recall/score reports elsewhere in this engine).
+    * `scoreCol` the sum is exact, so `sum_kept_q` matches a per-row
+    * aggregation bit-for-bit. The mean of the kept scores is deliberately
+    * NOT reported as a value: `sum_kept_q / n_kept` is a quotient, and a
+    * double quotient is engine-dependent at the last ulp (Spark divides
+    * the correctly-rounded DECIMAL→DOUBLE cast; other engines integer-
+    * scale then `rint`), so no rounding of it can be a stable differential
+    * input — two rounds of gate history (exact cast in r7, `round(·,8)` in
+    * r8) proved that empirically. Callers wanting the mean compute
+    * `sum_kept_q / n_kept` themselves: the pair IS the exact
+    * numerator/denominator representation of the mean.
     */
   def groupQuantileSummary(df: DataFrame, groupCol: String, scoreCol: String,
       q: Double): DataFrame = {
@@ -116,10 +119,8 @@ object Thresholds {
           .otherwise(lit(0L))).alias("n_kept"),
         min(when(col(scoreCol) >= col("threshold"), col(scoreCol)))
           .alias("min_kept_q"),
-        round(sum(when(col(scoreCol) >= col("threshold"),
-            col(scoreCol) * col("__cnt"))).cast("double") /
-          sum(when(col(scoreCol) >= col("threshold"), col("__cnt"))
-            .otherwise(lit(0L))), 8).alias("mean_kept_q"))
+        sum(when(col(scoreCol) >= col("threshold"),
+            col(scoreCol) * col("__cnt"))).alias("sum_kept_q"))
   }
 
   /** Keep rows at-or-above their group's q-quantile score. The threshold

@@ -65,21 +65,23 @@ class ThresholdsSpec extends SparkSpec {
     ).toDF("g", "raw").select($"g", $"raw".cast("decimal(10,4)").alias("s"))
     for (q <- Seq(0.25, 0.5, 0.75, 1.0)) {
       val one = Thresholds.groupQuantileSummary(corpus, "g", "s", q)
+        .withColumn("sum_kept_q", $"sum_kept_q".cast("decimal(30,4)"))
         .collect().map(r => r.getString(0) ->
           ((r.getLong(1), r.getDecimal(2), r.getLong(3), r.getDecimal(4),
-            r.getDouble(5)))).toMap
+            r.getDecimal(5)))).toMap
       // same statistics via the composed path: filter to kept rows,
-      // re-aggregate, join the threshold back on
+      // re-aggregate (a genuine per-row sum — whole-bucket score·cnt
+      // tallies must match it exactly), join the threshold back on
       val composedAligned = Thresholds.keepAboveGroupQuantile(corpus, "g", "s", q)
         .groupBy($"g")
         .agg(count(lit(1)).alias("n_kept"), min($"s").alias("min_kept_q"),
-          round(sum($"s").cast("double") / count(lit(1)), 8).alias("mean_kept_q"))
+          sum($"s").cast("decimal(30,4)").alias("sum_kept_q"))
         .join(Thresholds.groupQuantileDisc(corpus, "g", "s", q)
                 .select($"g", $"threshold", $"n"), Seq("g"))
-        .select($"g", $"n", $"threshold", $"n_kept", $"min_kept_q", $"mean_kept_q")
+        .select($"g", $"n", $"threshold", $"n_kept", $"min_kept_q", $"sum_kept_q")
         .collect().map(r => r.getString(0) ->
           ((r.getLong(1), r.getDecimal(2), r.getLong(3), r.getDecimal(4),
-            r.getDouble(5)))).toMap
+            r.getDecimal(5)))).toMap
       assert(one == composedAligned, s"q=$q one=$one composed=$composedAligned")
     }
   }
@@ -108,19 +110,20 @@ class ThresholdsSpec extends SparkSpec {
     // a: 3 scored rows, k=2 → 2.00; b: 1 scored row → 5.00; c: absent
     assert(th == Map("a" -> (("2.0000", 3L)), "b" -> (("5.0000", 1L))), th.toString)
     val one = Thresholds.groupQuantileSummary(corpus, "g", "s", 0.5)
+      .withColumn("sum_kept_q", $"sum_kept_q".cast("decimal(30,4)"))
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getDecimal(2), r.getLong(3), r.getDecimal(4),
-          r.getDouble(5)))).toMap
+          r.getDecimal(5)))).toMap
     val composed = Thresholds.keepAboveGroupQuantile(corpus, "g", "s", 0.5)
       .groupBy($"g")
       .agg(count(lit(1)).alias("n_kept"), min($"s").alias("min_kept_q"),
-        round(sum($"s").cast("double") / count(lit(1)), 8).alias("mean_kept_q"))
+        sum($"s").cast("decimal(30,4)").alias("sum_kept_q"))
       .join(Thresholds.groupQuantileDisc(corpus, "g", "s", 0.5)
               .select($"g", $"threshold", $"n"), Seq("g"))
-      .select($"g", $"n", $"threshold", $"n_kept", $"min_kept_q", $"mean_kept_q")
+      .select($"g", $"n", $"threshold", $"n_kept", $"min_kept_q", $"sum_kept_q")
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getDecimal(2), r.getLong(3), r.getDecimal(4),
-          r.getDouble(5)))).toMap
+          r.getDecimal(5)))).toMap
     assert(one == composed && one.keySet == Set("a", "b"),
       s"one=$one composed=$composed")
     // approx sibling: same n under the same null contract
