@@ -336,7 +336,7 @@ object Oracles {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -569,7 +569,7 @@ object Oracles {
          |  JOIN sh sa ON sa.doc_id = id_a
          |  JOIN sh sb ON sb.doc_id = id_b)
          |SELECT id_a, id_b,
-         |  round(CASE WHEN ulen = 0 THEN 0.0 ELSE CAST(ilen AS DOUBLE) / ulen END, 6) AS jaccard
+         |  CASE WHEN ulen = 0 THEN 0.0 ELSE CAST(ilen AS DOUBLE) / ulen END AS jaccard
          |FROM j
          |WHERE (CASE WHEN ulen = 0 THEN 0.0 ELSE CAST(ilen AS DOUBLE) / ulen END) >= 0.7
          |ORDER BY id_a, id_b""".stripMargin
@@ -649,11 +649,11 @@ object Oracles {
          |SELECT doc_id,
          |  len(string_split_regex(trim(text), '\s+')) AS n_tokens_ws,
          |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
-         |  round(CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
-         |    ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
-         |  round(CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0
+         |  CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+         |    ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / length(text) END AS punct_ratio,
+         |  CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0
          |    ELSE CAST(list_sum([length(t) for t in string_split_regex(trim(text), '\s+')]) AS DOUBLE)
-         |         / len(string_split_regex(trim(text), '\s+')) END, 6) AS mean_word_len,
+         |         / len(string_split_regex(trim(text), '\s+')) END AS mean_word_len,
          |  CASE WHEN $best <= 0 THEN 'und'
          |       WHEN de_hits = $best THEN 'de'
          |       WHEN en_hits = $best THEN 'en'
@@ -681,7 +681,7 @@ object Oracles {
         |  FROM documents)
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN q >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  CAST(sum(q) AS DOUBLE) / count(*) AS mean_quality
+        |  CAST(sum(q) AS DECIMAL(30,4)) AS sum_q
         |FROM scored
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
@@ -745,14 +745,11 @@ object Oracles {
         |ORDER BY status, priority""".stripMargin,
 
     "q38_stats" ->
-      """WITH s AS (
-        |  SELECT event_type, count(*) AS n,
-        |    CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS sxx
-        |  FROM events GROUP BY event_type)
-        |SELECT event_type, n, sx / n AS mean,
-        |  (sxx - sx * sx / n) / (n - 1) AS variance
-        |FROM s ORDER BY event_type""".stripMargin,
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sum_x,
+        |  CAST(sum(CAST(value * value AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sum_xx
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q39_set_ops" ->
       """WITH c96 AS (SELECT o_custkey FROM orders
@@ -1629,10 +1626,10 @@ object Oracles {
          |    CAST(max(n) AS BIGINT) AS max_n
          |  FROM per_token GROUP BY doc_id)
          |SELECT doc_id, n_tokens, n_distinct,
-         |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_ratio,
-         |  round(CAST(max_n AS DOUBLE) / n_tokens, 6) AS top_token_share
+         |  1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_ratio,
+         |  CAST(max_n AS DOUBLE) / n_tokens AS top_token_share
          |FROM per_doc
-         |WHERE round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) >= 0.5
+         |WHERE 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens >= 0.5
          |ORDER BY doc_id""".stripMargin,
 
     "q64_quantize" ->
@@ -1644,7 +1641,7 @@ object Oracles {
         |  SELECT vec_id, embedding,
         |    CASE WHEN mabs IS NULL OR mabs = 0 THEN 0.0 ELSE 127.0 / mabs END AS scale
         |  FROM m)
-        |SELECT vec_id, round(scale, 6) AS scale,
+        |SELECT vec_id, scale,
         |  array_to_string(
         |    [CAST(CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS TINYINT) AS VARCHAR)
         |     for x in embedding], ',') AS codes
@@ -1658,7 +1655,7 @@ object Oracles {
          |corpus AS (SELECT doc_id, shingles FROM sh WHERE doc_id < 100000),
          |j AS (
          |  SELECT p.probe_id, c.doc_id,
-         |    round(CAST(len(list_intersect(c.shingles, p.psh)) AS DOUBLE) / len(p.psh), 6)
+         |    CAST(len(list_intersect(c.shingles, p.psh)) AS DOUBLE) / len(p.psh)
          |      AS containment
          |  FROM corpus c CROSS JOIN probes p)
          |SELECT probe_id, doc_id, containment FROM j
@@ -1934,9 +1931,9 @@ object Oracles {
          |  WHERE n.doc_id >= 100000 AND c.doc_id < 100000 AND h.band_id IS NULL),
          |est AS (
          |  SELECT new_id, corpus_id,
-         |    round(CAST(list_sum(
+         |    CAST(list_sum(
          |      [CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END for i in range(1, 13)])
-         |      AS DOUBLE) / 12, 6) AS jaccard_est
+         |      AS DOUBLE) / 12 AS jaccard_est
          |  FROM cands
          |  JOIN sig sa ON sa.doc_id = new_id
          |  JOIN sig sb ON sb.doc_id = corpus_id)
@@ -2217,8 +2214,7 @@ object Oracles {
          |  SELECT a.cell_id, ${cosSql("a.embedding", "c.centroid")} AS cos
          |  FROM asg a JOIN c4 c ON c.cell_id = a.cell_id)
          |SELECT cell_id, count(*) AS n_vectors,
-         |  round(CAST(sum(CAST(cos AS DECIMAL(30,6))) AS DOUBLE) / count(cos), 8)
-         |    AS mean_cos
+         |  CAST(sum(CAST(cos AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sum_cos
          |FROM sc GROUP BY cell_id
          |ORDER BY cell_id""".stripMargin
     },
@@ -2285,7 +2281,7 @@ object Oracles {
         |         ELSE 1.0 - CAST(levenshtein(ca, cb) AS DOUBLE)
         |              / greatest(length(ca), length(cb)) END AS similarity
         |  FROM pairs)
-        |SELECT id_a, id_b, round(similarity, 8) AS similarity
+        |SELECT id_a, id_b, similarity
         |FROM scored WHERE similarity >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
 

@@ -36,6 +36,13 @@ object Queries {
 
   /** A5/A1/P8/F8 — grouped aggregation with post-agg filter (TPC-H Q1 shape).
     * One shuffle (partial aggs map-side); scan prunes to 7 columns.
+    *
+    * avg_qty is a BIGINT-sum / count quotient (quantities are integral):
+    * int64→double conversion is hardware-specified correct rounding in
+    * every engine, and one IEEE division of those exact operands is
+    * correctly rounded — bit-stable. A DECIMAL→DOUBLE cast in the dividend
+    * would NOT be (engine-library territory; the proven q109 failure
+    * class), which is why the integral sum is taken as a long.
     */
   def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
@@ -45,8 +52,8 @@ object Queries {
         dsum(col("l_quantity")).alias("sum_qty"),
         dsum(col("l_extendedprice")).alias("sum_base_price"),
         dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).alias("sum_disc_price"),
-        (sum(col("l_quantity").cast("decimal(30,6)")).cast("double") /
-          count(lit(1))).alias("avg_qty"),
+        (sum(col("l_quantity").cast("long")).cast("double") /
+          count(lit(1)).cast("double")).alias("avg_qty"),
         count(lit(1)).alias("count_order"))
       .filter(col("count_order") > 100)
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -370,9 +377,12 @@ object Queries {
     * Recovers exactly the planted (id, id+100000) pairs.
     */
   def q25NearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    // jaccard is |∩|/|∪| — ONE IEEE division of exact counts, bit-stable
+    // as-is; a round() canonicalization would ADD risk (dyadic-denominator
+    // ratios land on exact decimal midpoints, where engines' rounding
+    // conventions legitimately differ)
     Dedup.nearDuplicates(docsWithPlantedDups(spark, dir), "doc_id", "text",
       threshold = 0.7, bands = 4, rowsPerBand = 3)
-      .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy(col("id_a"), col("id_b"))
 
   /** Dedup/SimHash — 60-bit fingerprint per document (bit-vote pipeline). */
@@ -416,15 +426,21 @@ object Queries {
       col("doc_id"),
       TextAnalysis.tokenCountWhitespace(col("text")).cast("long").alias("n_tokens_ws"),
       TextAnalysis.tokenCountBpe(col("text")).cast("long").alias("n_tokens_bpe"),
-      round(TextAnalysis.punctRatio(col("text")), 6).alias("punct_ratio"),
-      round(TextAnalysis.meanWordLength(col("text")), 6).alias("mean_word_len"),
+      // raw single-division ratios of exact integer counts: bit-stable
+      // without (and safer than) a round() canonicalization
+      TextAnalysis.punctRatio(col("text")).alias("punct_ratio"),
+      TextAnalysis.meanWordLength(col("text")).alias("mean_word_len"),
       TextAnalysis.langId(col("text")).alias("lang_pred"),
       md5(Dedup.canonical(col("text"))).alias("fingerprint"))
       .orderBy(col("doc_id"))
   }
 
   /** Text quality — corpus quality report grouped by language: docs kept by
-    * the quality gate, mean quality score.
+    * the quality gate, and the exact (sum_q, n_docs) ratio pair for the
+    * mean score. A DECIMAL-sum-cast-to-double divided by a count is the
+    * exact derivation that hash-diverged across DuckDB versions in q109
+    * (rounds 7-8), so the sum stays DECIMAL and the mean is the caller's
+    * one-line division.
     */
   def q30QualityByLang(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
@@ -434,7 +450,7 @@ object Queries {
       .agg(
         count(lit(1)).alias("n_docs"),
         sum(when(col("q") >= 0.7, 1L).otherwise(0L)).alias("n_kept"),
-        (sum(col("q")).cast("double") / count(lit(1))).alias("mean_quality"))
+        sum(col("q")).cast("decimal(30,4)").alias("sum_q"))
       .orderBy(col("lang"))
 
   /** Multimodal — binary asset plumbing: documents as opaque payloads with
@@ -527,10 +543,13 @@ object Queries {
         col("n"), col("total"))
       .orderBy(col("status"), col("priority"))
 
-  /** A-family — exact moment statistics per group: mean and sample variance
-    * derived from DECIMAL-exact Σx and Σx² (order-independent), finalized in
-    * double — deterministic across engines, unlike native stddev/var aggs
-    * whose summation order varies.
+  /** A-family — exact moment statistics per group: the sufficient
+    * statistics (n, Σx, Σxx) as DECIMAL-exact, order-independent sums.
+    * Mean and sample variance are the caller's one-line divisions
+    * (`Σx/n`, `(Σxx − Σx²/n)/(n−1)`): dividing engine-side would put a
+    * double quotient over a DECIMAL→DOUBLE cast in the output — the exact
+    * derivation that hash-diverged across DuckDB versions in q109 — while
+    * the decimal sums themselves are bit-free exact values.
     */
   def q38Stats(spark: SparkSession, dir: String): DataFrame = {
     val x = col("value")
@@ -538,13 +557,8 @@ object Queries {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).alias("n"),
-        sum(x.cast("decimal(30,6)")).cast("double").alias("sum_x"),
-        sum((x * x).cast("decimal(30,6)")).cast("double").alias("sum_xx"))
-      .select(
-        col("event_type"), col("n"),
-        (col("sum_x") / col("n")).alias("mean"),
-        ((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1))
-          .alias("variance"))
+        sum(x.cast("decimal(30,6)")).cast("decimal(38,6)").alias("sum_x"),
+        sum((x * x).cast("decimal(30,6)")).cast("decimal(38,6)").alias("sum_xx"))
       .orderBy(col("event_type"))
   }
 
@@ -925,7 +939,9 @@ object Queries {
     t(spark, dir, "embeddings")
       .filter(col("vec_id") < 100)
       .select(col("vec_id"),
-        round(q.getField("scale"), 6).alias("scale"),
+        // scale = 127/max|x|: max is a selection of a raw stored double and
+        // the division is one IEEE op — bit-stable raw, so no round()
+        q.getField("scale").alias("scale"),
         array_join(q.getField("codes").cast("array<string>"), ",").alias("codes"))
       .orderBy(col("vec_id"))
   }
@@ -1950,8 +1966,10 @@ object Queries {
       graft.operators.Similarity.ivfAssignCells(base, 16, refineIters = 4)
     val idx = assignedBase.unionByName(
       graft.operators.Similarity.ivfAssignWith(appended, centroids))
+    // hash the exact (sum_cos, n_vectors) ratio pair, not the double mean
+    // (monitoring callers read mean_cos; the differential gate must not)
     graft.operators.Similarity.ivfCellStats(idx, centroids)
-      .withColumn("mean_cos", round(col("mean_cos"), 8))
+      .select(col("cell_id"), col("n_vectors"), col("sum_cos"))
       .orderBy(col("cell_id"))
   }
 
@@ -2107,7 +2125,8 @@ object Queries {
     ).isNull)
     graft.operators.FuzzyMatch.fuzzyDuplicates(guarded,
       "id", "name", threshold = 0.9, maxBlockSize = 100000)
-      .withColumn("similarity", round(col("similarity"), 8))
+      // similarity = 1 − lev/max(len): exact ints, one division, one
+      // subtraction — a fixed IEEE DAG both engines replay bit-identically
       .orderBy(col("id_a"), col("id_b"))
   }
 

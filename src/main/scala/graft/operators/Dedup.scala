@@ -534,7 +534,7 @@ object Dedup {
             size(col("__sb")).cast("string"),
             lit(s" != bands*rowsPerBand (${bands * rowsPerBand}); rebuild the index " +
               "with signatureIndex(..., numHashes = bands*rowsPerBand)"))).cast("double"))
-          .otherwise(round(jaccardEstimateFromSignatures(col("__sa"), col("__sb")), 6)))
+          .otherwise(jaccardEstimateFromSignatures(col("__sa"), col("__sb"))))
       .filter(col("jaccard_est") >= threshold)
       .select(col("new_id"), col("corpus_id"), col("jaccard_est"))
   }
@@ -609,7 +609,8 @@ object Dedup {
       .agg(count(lit(1)).alias("__n_common"))
       .join(broadcast(probeSizes), Seq("probe_id"))
       .withColumn("containment",
-        round(col("__n_common").cast("double") / col("__n_probe"), 6))
+        // one IEEE division of exact counts — bit-stable raw, no round()
+        col("__n_common").cast("double") / col("__n_probe"))
       .filter(col("containment") >= minContainment)
       .select(col("probe_id"), col("doc_id"), col("containment"))
   }

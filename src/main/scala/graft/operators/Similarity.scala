@@ -268,6 +268,11 @@ object Similarity {
       .withColumn("__cos", cosine(col(vecCol), col("__centroid")))
       .groupBy(col("cell_id"))
       .agg(count(lit(1)).alias("n_vectors"),
+        // exact decimal sum (order-independent) is the differential-stable
+        // representation; mean_cos is the monitoring convenience derived
+        // from it (a double quotient — fine to read, not to hash)
+        sum(col("__cos").cast("decimal(30,6)")).cast("decimal(38,6)")
+          .alias("sum_cos"),
         (sum(col("__cos").cast("decimal(30,6)")).cast("double") /
           count(col("__cos"))).alias("mean_cos"))
 

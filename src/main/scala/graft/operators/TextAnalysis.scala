@@ -178,9 +178,12 @@ object TextAnalysis {
         col(idCol),
         col("n_tokens"),
         col("n_distinct"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+        // raw fixed IEEE DAG over exact counts (one division [+ one
+        // subtraction]) — bit-stable across engines; round() would add
+        // decimal-midpoint divergence risk, not remove it
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
           .alias("dup_token_ratio"),
-        round(col("__max_n").cast("double") / col("n_tokens"), 6)
+        (col("__max_n").cast("double") / col("n_tokens"))
           .alias("top_token_share"))
   }
 
@@ -461,8 +464,8 @@ object TextAnalysis {
       col(idCol),
       tokenCountWhitespace(t).alias("n_tokens_ws"),
       tokenCountBpe(t).alias("n_tokens_bpe"),
-      round(punctRatio(t), 6).alias("punct_ratio"),
-      round(meanWordLength(t), 6).alias("mean_word_len"),
+      punctRatio(t).alias("punct_ratio"),
+      meanWordLength(t).alias("mean_word_len"),
       langId(t).alias("lang_pred"),
       rollingFingerprint(t).alias("fingerprint"))
   }
