@@ -82,14 +82,16 @@ object Layout {
       numFiles: Int = 64): DataFrame = {
     require(zCols.size >= 2, "zOrderByN needs at least 2 columns")
     require(zCols.distinct.size == zCols.size, s"duplicate z-order column in $zCols")
+    // backticked refs: a z-column NAME containing a dot must resolve as a
+    // top-level column, not parse as a nested-field path
     val aggs = zCols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(col(c).cast("long")).alias(s"__mn$i"),
-        max(col(c).cast("long")).alias(s"__mx$i"))
+      Seq(min(col(s"`$c`").cast("long")).alias(s"__mn$i"),
+        max(col(s"`$c`").cast("long")).alias(s"__mx$i"))
     }
     val Array(row) = df.agg(aggs.head, aggs.tail: _*).collect() // 2N numbers
     val buckets = zCols.zipWithIndex.map { case (c, i) =>
       require(!row.isNullAt(2 * i), s"zOrderByN: empty input or all-null $c")
-      bucketLong(col(c), row.getLong(2 * i), row.getLong(2 * i + 1), bits)
+      bucketLong(col(s"`$c`"), row.getLong(2 * i), row.getLong(2 * i + 1), bits)
     }
     df.withColumn("__graft_z", zValueN(buckets, bits))
       .repartitionByRange(numFiles, col("__graft_z"))

@@ -224,7 +224,7 @@ object Upsert {
             ts.fieldNames.foreach(c => require(stagedP.columns.contains(c) ||
               !pk.contains(c), s"mergeWhere: PK column $c not in staged schema"))
             stagedP.select(ts.fields.toSeq.map(f =>
-              (if (stagedP.columns.contains(f.name)) col(f.name)
+              (if (stagedP.columns.contains(f.name)) col(s"`${f.name}`")
                else lit(null)).cast(f.dataType).alias(f.name)): _*)
           case None => stagedP
         }
@@ -249,8 +249,10 @@ object Upsert {
           body.map(SnapshotManifest.parseLine).zip(files)
             .collect { case (e, f) if affected(f) => e })
       val merged = merge(targetAffected, stagedP, pk)
+      // backticked refs: a column NAME containing a dot must resolve as a
+      // top-level column, not parse as a nested-field path
       val aligned = merged.select(targetSchema.fields.toSeq.map(f =>
-        col(f.name).cast(f.dataType).alias(f.name)): _*)
+        col(s"`${f.name}`").cast(f.dataType).alias(f.name)): _*)
       val keptLines = body.filterNot(line =>
         affected.contains(SnapshotManifest.bodyFile(tableRoot, line)))
       SnapshotManifest.publishVersion(spark, tableRoot, v + 1, aligned,
@@ -292,16 +294,23 @@ object Upsert {
     * narrow-key upsert costs O(staged + admitted-file scan + churn), the
     * cheapest per-batch shape for continuous ingestion
     * ([[graft.streaming.StreamingUpsert]] `mor = true`). Reads pay the
-    * broadcast anti-join on masked files until [[graft.sources
+    * DV anti-join (broadcast while the sidecar is small, shuffle past the
+    * byte threshold) on masked files until [[graft.sources
     * .SnapshotManifest.foldDeletes]] / compaction materializes.
-    * Semantics ≡ [[mergeWhere]] ≡ whole-table [[merge]].
+    * Semantics ≡ [[mergeWhere]] ≡ whole-table [[merge]]. Positions stay
+    * distributed end-to-end; a merged DV past `maxDvPositions` degrades
+    * loudly to [[mergeWhere]] (the CoW rewrite handles fat churn
+    * correctly — masking it would tax every later read).
     */
   def mergeWhereMoR(spark: SparkSession, tableRoot: String, staged: DataFrame,
       pkCols: Seq[String], statsCols: Seq[String] = Nil,
-      maxKeySetSize: Int = 100000): Long = {
+      maxKeySetSize: Int = 100000,
+      maxDvPositions: Long = graft.sources.SnapshotManifest.DefaultMaxDvPositions)
+      : Long = {
     import graft.sources.{ManifestStats, SnapshotManifest}
     require(pkCols.nonEmpty, "at least one PK column required")
     require(maxKeySetSize >= 1, "maxKeySetSize must be >= 1")
+    require(maxDvPositions >= 1, "maxDvPositions must be >= 1")
     val pk = pkCols.map(_.trim)
     val v = SnapshotManifest.currentVersion(spark, tableRoot).getOrElse(
       throw new IllegalStateException(s"mergeWhereMoR: no committed snapshot under $tableRoot"))
@@ -325,16 +334,16 @@ object Upsert {
       val affectedEntries = entries.zip(files).collect { case (e, f) if affected(f) => e }
       def aligned(df: DataFrame): DataFrame =
         df.select(targetSchema.fields.toSeq.map(f =>
-          col(f.name).cast(f.dataType).alias(f.name)): _*)
+          col(s"`${f.name}`").cast(f.dataType).alias(f.name)): _*)
       val emptyTarget = spark.read.parquet(files.head).limit(0)
       if (affectedEntries.isEmpty)
         // no file can hold a staged key: every staged row is an insert
         return SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
           body, aligned(merge(emptyTarget, stagedP, pk)), statsCols, "mergeWhereMoR")
-      val oldPositions =
-        SnapshotManifest.entryDvPositions(spark, tableRoot, affectedEntries)
+      val oldDv =
+        SnapshotManifest.entryDvPositionsDf(spark, tableRoot, affectedEntries)
       val (alive, fCol, rCol) = SnapshotManifest.readEntriesWithPositions(
-        spark, tableRoot, affectedEntries, oldPositions)
+        spark, tableRoot, affectedEntries, oldDv)
       // staged-key aliases chosen collision-free against the target's
       // columns (same adversarial-name guard as the position columns)
       var kp = "__k_"
@@ -344,20 +353,38 @@ object Upsert {
           pk.map(c => col(c) === col(s"$kp$c")).reduce(_ && _), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val positions = matchedTarget
-          .select(col(fCol), col(rCol))
-          .collect().map(r => (r.getString(0), r.getLong(1))) // churn-bounded
-        val mergedAppend =
-          if (positions.isEmpty) merge(emptyTarget, stagedP, pk)
-          else merge(matchedTarget.drop(fCol, rCol), stagedP, pk)
-        if (positions.isEmpty)
+        // positions stay DISTRIBUTED: old ∪ new = union+distinct in the
+        // cluster, the sidecar is written by a Spark job, and the driver
+        // sees only the count and the affected-file-bounded basename set
+        // (same pipeline as SnapshotManifest.deleteWhereMoR)
+        if (matchedTarget.isEmpty)
           return SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
-            body, aligned(mergedAppend), statsCols, "mergeWhereMoR")
-        val dvLocal = (positions ++ oldPositions).distinct.toIndexedSeq
-        val dvFile = SnapshotManifest.writeDvSidecar(spark, tableRoot, v + 1, dvLocal)
-        SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
-          SnapshotManifest.dvTagLines(entries.zip(files), affected, dvLocal, dvFile),
-          aligned(mergedAppend), statsCols, "mergeWhereMoR")
+            body, aligned(merge(emptyTarget, stagedP, pk)), statsCols,
+            "mergeWhereMoR")
+        val newPositions = matchedTarget
+          .select(col(fCol).alias("file_name"), col(rCol).alias("row_index"))
+        val dvDf = oldDv.map(newPositions.unionByName(_)).getOrElse(newPositions)
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val nDv = dvDf.count()
+          if (nDv > maxDvPositions) {
+            graft.core.Logging.logger().warn(
+              s"mergeWhereMoR: merged deletion vector would hold $nDv " +
+                s"positions (> maxDvPositions=$maxDvPositions) — degrading " +
+                "to the copy-on-write merge (mergeWhere)")
+            return mergeWhere(spark, tableRoot, stagedP, pk, statsCols,
+              maxKeySetSize)
+          }
+          val mergedAppend = merge(matchedTarget.drop(fCol, rCol), stagedP, pk)
+          val dvFileNames = dvDf.select(col("file_name")).distinct()
+            .collect().map(_.getString(0)).toSet // bounded by affected files
+          val dvFile = SnapshotManifest.writeDvSidecar(spark, tableRoot, v + 1, dvDf)
+          SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
+            SnapshotManifest.dvTagLines(entries.zip(files), affected,
+              dvFileNames, dvFile),
+            aligned(mergedAppend), statsCols, "mergeWhereMoR")
+        } finally dvDf.unpersist(false)
       } finally matchedTarget.unpersist(false)
     } finally stagedP.unpersist(false)
   }
@@ -372,11 +399,14 @@ object Upsert {
       backoff: Int => scala.concurrent.duration.FiniteDuration =
         graft.core.Retry.linearBackoff(scala.concurrent.duration.DurationInt(1).second),
       sleep: scala.concurrent.duration.FiniteDuration => Unit =
-        d => Thread.sleep(d.toMillis)): Long =
+        d => Thread.sleep(d.toMillis),
+      maxDvPositions: Long = graft.sources.SnapshotManifest.DefaultMaxDvPositions)
+      : Long =
     graft.core.Retry.retryWhen(
       _.isInstanceOf[graft.sources.ConcurrentCommitException],
       maxAttempts, backoff, sleep)(
-      mergeWhereMoR(spark, tableRoot, staged, pkCols, statsCols, maxKeySetSize))
+      mergeWhereMoR(spark, tableRoot, staged, pkCols, statsCols, maxKeySetSize,
+        maxDvPositions))
 
   /** [[mergeWhere]] with the same bounded lost-race retry as
     * `SnapshotManifest.commitWithRetry`: every attempt re-reads the current

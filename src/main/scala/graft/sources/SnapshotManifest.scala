@@ -157,6 +157,37 @@ object SnapshotManifest {
     n
   }
 
+  /** Parquet-byte threshold below which a DV sidecar is BROADCAST into the
+    * read-side anti-join (the shuffle-free shape for the overwhelmingly
+    * common churn-sized DV); at or above it the anti-join runs as a plain
+    * shuffle join — a fat DV replicated to every executor would cost more
+    * memory than the exchange it avoids. Overridable per session via
+    * `graft.dv.broadcastBytes`.
+    */
+  private[graft] val DvBroadcastBytesDefault: Long = 32L * 1024 * 1024
+
+  /** Default position cap for every MoR masking verb: past it the verb
+    * degrades loudly to its copy-on-write twin. 10M positions ≈ a
+    * ~100 MB in-memory set on the read side — the point where masking
+    * stops being cheaper than rewriting the affected files once.
+    */
+  val DefaultMaxDvPositions: Long = 10L * 1000 * 1000
+
+  private[graft] def dvBroadcastBytes(spark: SparkSession): Long =
+    spark.conf.getOption("graft.dv.broadcastBytes").map(_.toLong)
+      .getOrElse(DvBroadcastBytesDefault)
+
+  /** Total on-disk bytes of the DV sidecars referenced by `entries` — a
+    * constant-per-sidecar driver status call, the signal that picks the
+    * read-side join strategy.
+    */
+  private[graft] def dvSidecarBytes(spark: SparkSession, root: String,
+      entries: Seq[ManifestEntry]): Long = {
+    val (fs, rootPath) = fsOf(spark, root)
+    entries.flatMap(_.dvRel).distinct
+      .map(r => fs.getFileStatus(new Path(rootPath, r)).getLen).sum
+  }
+
   private[graft] def readEntries(spark: SparkSession, root: String,
       entries: Seq[ManifestEntry]): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, split => fsplit}
@@ -166,18 +197,20 @@ object SnapshotManifest {
     val base = spark.read.parquet(entries.map(e => new Path(rootPath, e.rel).toString): _*)
     if (dvFiles.isEmpty) base
     else {
-      // LAZY sidecar read: the DV parquet stays executor-side inside the
-      // broadcast exchange — constructing this frame never runs a driver
-      // job (the MoR WRITE verbs, which need driver position sets anyway,
-      // use readEntriesWithPositions instead). Deleted-row sets are
-      // churn-sized next to the table, so the broadcast keeps the corpus
-      // side shuffle-free.
+      // LAZY sidecar read: the DV parquet stays executor-side —
+      // constructing this frame never runs a driver job. Strategy by
+      // sidecar size: churn-sized DVs broadcast (corpus side stays
+      // shuffle-free); a DV past the byte threshold joins as a plain
+      // shuffle instead of replicating to every executor.
       val fCol = freshName("__graft_f", base.columns.toSeq)
       val rCol = freshName("__graft_r", base.columns.toSeq :+ fCol)
-      val dv = org.apache.spark.sql.functions.broadcast(
-        spark.read.parquet(dvFiles: _*)
-          .select(col("file_name").alias("__dv_f"), col("row_index").alias("__dv_r"))
-          .distinct())
+      val dvRaw = spark.read.parquet(dvFiles: _*)
+        .select(col("file_name").alias("__dv_f"), col("row_index").alias("__dv_r"))
+        .distinct()
+      val dv =
+        if (dvSidecarBytes(spark, root, entries) < dvBroadcastBytes(spark))
+          org.apache.spark.sql.functions.broadcast(dvRaw)
+        else dvRaw
       val withMeta = base
         .withColumn(fCol, element_at(fsplit(col("_metadata.file_path"), "/"), -1))
         .withColumn(rCol, col("_metadata.row_index"))
@@ -188,16 +221,17 @@ object SnapshotManifest {
   }
 
   /** [[readEntries]] keeping row positions: the ALIVE rows of `entries`
-    * (the caller-collected `oldPositions` anti-joined away — collected
-    * ONCE via [[entryDvPositions]] so the sidecars are read a single
-    * time), with file-name and row-index columns attached under
-    * COLLISION-FREE names, returned alongside the frame. The input every
-    * MoR masking verb ([[deleteWhereMoR]], [[updateWhereMoR]],
+    * (`oldDv` — the lazily-read prior sidecars, see [[entryDvPositionsDf]]
+    * — anti-joined away), with file-name and row-index columns attached
+    * under COLLISION-FREE names, returned alongside the frame. The input
+    * every MoR masking verb ([[deleteWhereMoR]], [[updateWhereMoR]],
     * [[graft.operators.Upsert.mergeWhereMoR]]) computes its positions
-    * from.
+    * from. Positions are never materialized on the driver: the prior DV
+    * stays a DataFrame, joined broadcast or shuffle by sidecar size
+    * (same policy as [[readEntries]]).
     */
   private[graft] def readEntriesWithPositions(spark: SparkSession, root: String,
-      entries: Seq[ManifestEntry], oldPositions: Array[(String, Long)])
+      entries: Seq[ManifestEntry], oldDv: Option[DataFrame])
       : (DataFrame, String, String) = {
     import org.apache.spark.sql.functions.{col, element_at, split => fsplit}
     val rootPath = new Path(root)
@@ -208,29 +242,42 @@ object SnapshotManifest {
     val withPos = base
       .withColumn(fCol, element_at(fsplit(col("_metadata.file_path"), "/"), -1))
       .withColumn(rCol, col("_metadata.row_index"))
-    if (oldPositions.isEmpty) (withPos, fCol, rCol)
-    else {
-      import spark.implicits._
-      // deleted-row sets are churn-sized next to the table: broadcast the
-      // anti-join so the corpus side never shuffles
-      val dv = org.apache.spark.sql.functions.broadcast(
-        oldPositions.toSeq.toDF("__dv_f", "__dv_r"))
-      (withPos.join(dv, withPos(fCol) === dv("__dv_f") &&
-        withPos(rCol) === dv("__dv_r"), "left_anti"), fCol, rCol)
+    oldDv match {
+      case None => (withPos, fCol, rCol)
+      case Some(dv0) =>
+        val small = dvSidecarBytes(spark, root, entries) < dvBroadcastBytes(spark)
+        val dv = dv0.select(col("file_name").alias("__dv_f"),
+          col("row_index").alias("__dv_r"))
+        val dvSided =
+          if (small) org.apache.spark.sql.functions.broadcast(dv) else dv
+        (withPos.join(dvSided, withPos(fCol) === dvSided("__dv_f") &&
+          withPos(rCol) === dvSided("__dv_r"), "left_anti"), fCol, rCol)
     }
   }
 
   /** Tag the affected, position-holding lines with the new DV sidecar —
     * the shared manifest-rewrite step of every MoR verb; untouched lines
     * render verbatim. Takes the ALREADY-parsed (entry, absolute file)
-    * pairs every caller holds — no second body parse.
+    * pairs every caller holds — no second body parse. `dvFileNames` is
+    * the (affected-file-bounded) set of data-file BASENAMES the sidecar
+    * holds positions for.
+    *
+    * DV identity is keyed by basename, so basenames must be unique across
+    * the whole manifest — Spark part-file UUIDs guarantee it in practice,
+    * but a violation would cross-mask rows between files, so it is
+    * ASSERTED here (driver-side, manifest already in memory) rather than
+    * trusted.
     */
   private[graft] def dvTagLines(entriesWithFiles: Seq[(ManifestEntry, String)],
-      affected: Set[String], dvPositions: Seq[(String, Long)],
+      affected: Set[String], dvFileNames: Set[String],
       dvFile: String): Seq[String] = {
-    val dvByFile = dvPositions.map(_._1).toSet
+    val dupNames = entriesWithFiles.map(e => new Path(e._1.rel).getName)
+      .groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    require(dupNames.isEmpty,
+      s"deletion-vector tagging requires manifest-wide unique file " +
+        s"basenames; duplicated: ${dupNames.take(3).mkString(", ")}")
     entriesWithFiles.map { case (e, f) =>
-      if (affected(f) && dvByFile.contains(new Path(e.rel).getName))
+      if (affected(f) && dvFileNames.contains(new Path(e.rel).getName))
         e.copy(dvRel = Some(dvFile)).render
       else e.render
     }
@@ -253,28 +300,37 @@ object SnapshotManifest {
     next
   }
 
-  /** Existing DV positions of `entries`, collected (churn-bounded). */
-  private[graft] def entryDvPositions(spark: SparkSession, root: String,
-      entries: Seq[ManifestEntry]): Array[(String, Long)] = {
+  /** Existing DV positions of `entries` as a LAZY `(file_name, row_index)`
+    * frame — never collected; None when no entry carries a sidecar. The
+    * write-side counterpart of [[readEntries]]'s sidecar read.
+    */
+  private[graft] def entryDvPositionsDf(spark: SparkSession, root: String,
+      entries: Seq[ManifestEntry]): Option[DataFrame] = {
     import org.apache.spark.sql.functions.col
     val dvFiles = entries.flatMap(_.dvRel).distinct
       .map(r => new Path(new Path(root), r).toString)
-    if (dvFiles.isEmpty) Array.empty
-    else spark.read.parquet(dvFiles: _*)
-      .select(col("file_name"), col("row_index")).distinct()
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (dvFiles.isEmpty) None
+    else Some(spark.read.parquet(dvFiles: _*)
+      .select(col("file_name"), col("row_index")).distinct())
   }
 
-  /** Write `positions` as one DV sidecar parquet for version `next` and
-    * return its manifest-relative path (invisible until referenced).
+  /** Write the `(file_name, row_index)` frame as one DV sidecar parquet
+    * for version `next` and return its manifest-relative path (invisible
+    * until referenced). The write is a CLUSTER job — the driver never
+    * holds the positions; `coalesce(1)` funnels them through one executor
+    * task (parquet writes stream row groups, so task memory stays bounded)
+    * because the manifest's `dv=` field references a single file and the
+    * read side prices a single-file scan fine at the [[deleteWhereMoR]]
+    * `maxDvPositions`-bounded sizes.
     */
   private[graft] def writeDvSidecar(spark: SparkSession, root: String,
-      next: Long, positions: Seq[(String, Long)]): String = {
+      next: Long, positions: DataFrame): String = {
+    import org.apache.spark.sql.functions.col
     val (fs, rootPath) = fsOf(spark, root)
     val dvdName = s"${dataDirName(next)}-dv-${java.util.UUID.randomUUID.toString.take(8)}"
     val dvDir = new Path(rootPath, new Path("data", dvdName))
-    import spark.implicits._
-    positions.toDF("file_name", "row_index").coalesce(1).write.parquet(dvDir.toString)
+    positions.select(col("file_name"), col("row_index"))
+      .coalesce(1).write.parquet(dvDir.toString)
     fs.listStatus(dvDir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"data/$dvdName/${s.getPath.getName}").head
@@ -477,11 +533,23 @@ object SnapshotManifest {
     * deleted rows stay readable in superseded versions until [[vacuum]]
     * (which treats live DV sidecars as reachable).
     *
+    * The position pipeline is DISTRIBUTED end-to-end: matches and prior
+    * sidecars stay DataFrames (old ∪ new = union+distinct in the
+    * cluster), the merged sidecar is written by a Spark job, and the
+    * driver only ever sees two scalars (the position count, the
+    * affected-file-bounded basename set). `maxDvPositions` bounds the
+    * MASKED regime: past it the verb degrades LOUDLY to the CoW twin
+    * ([[deleteWhere]]) — a predicate matching that much of the table
+    * should rewrite files once, not tax every subsequent read with a
+    * fat anti-join.
+    *
     * @return the committed version (unchanged if nothing matched)
     */
   def deleteWhereMoR(spark: SparkSession, root: String,
-      predicate: org.apache.spark.sql.Column): Long = {
+      predicate: org.apache.spark.sql.Column,
+      maxDvPositions: Long = DefaultMaxDvPositions): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
+    require(maxDvPositions >= 1, "maxDvPositions must be >= 1")
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"deleteWhereMoR: no committed snapshot under $root"))
     val body = manifestBody(spark, root, v)
@@ -495,17 +563,34 @@ object SnapshotManifest {
     val affectedEntries = entriesWithFiles.collect { case (e, f) if affected(f) => e }
     // positions attach on the raw scan; the old sidecars — read ONCE — are
     // anti-joined away so already-deleted rows can't match again
-    val oldPositions = entryDvPositions(spark, root, affectedEntries)
+    val oldDv = entryDvPositionsDf(spark, root, affectedEntries)
     val (alive, fCol, rCol) =
-      readEntriesWithPositions(spark, root, affectedEntries, oldPositions)
+      readEntriesWithPositions(spark, root, affectedEntries, oldDv)
     val newMatches = alive.filter(coalesce(predicate, lit(false)))
-      .select(col(fCol), col(rCol))
-      .collect().map(r => (r.getString(0), r.getLong(1))) // churn-bounded
-    if (newMatches.isEmpty) return v
-    val dvLocal = (newMatches ++ oldPositions).distinct.toIndexedSeq
-    val dvFile = writeDvSidecar(spark, root, v + 1, dvLocal)
-    publishLines(spark, root, v + 1,
-      dvTagLines(entriesWithFiles, affected, dvLocal, dvFile), "deleteWhereMoR")
+      .select(col(fCol).alias("file_name"), col(rCol).alias("row_index"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (newMatches.isEmpty) return v
+      val dvDf = oldDv.map(newMatches.unionByName(_)).getOrElse(newMatches)
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nDv = dvDf.count()
+        if (nDv > maxDvPositions) {
+          graft.core.Logging.logger().warn(
+            s"deleteWhereMoR: merged deletion vector would hold $nDv positions " +
+              s"(> maxDvPositions=$maxDvPositions) — degrading to the " +
+              "copy-on-write rewrite (deleteWhere)")
+          return deleteWhere(spark, root, predicate)
+        }
+        val dvFileNames = dvDf.select(col("file_name")).distinct()
+          .collect().map(_.getString(0)).toSet // bounded by affected files
+        val dvFile = writeDvSidecar(spark, root, v + 1, dvDf)
+        publishLines(spark, root, v + 1,
+          dvTagLines(entriesWithFiles, affected, dvFileNames, dvFile),
+          "deleteWhereMoR")
+      } finally dvDf.unpersist(false)
+    } finally newMatches.unpersist(false)
   }
 
   /** MERGE-ON-READ UPDATE — [[deleteWhereMoR]] + post-image append (the
@@ -516,15 +601,20 @@ object SnapshotManifest {
     * Cost ∝ matches, not affected-file bytes; readers see the update
     * immediately through the same DV anti-join + the appended files.
     * [[foldDeletes]]/CoW rewrites/compaction materialize as usual.
+    * Positions stay distributed exactly as in [[deleteWhereMoR]], with
+    * the same `maxDvPositions` loud degrade to the CoW twin
+    * ([[updateWhere]]).
     *
     * @return the committed version (unchanged if nothing matched)
     */
   def updateWhereMoR(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column],
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil,
+      maxDvPositions: Long = DefaultMaxDvPositions): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     require(assignments.nonEmpty, "updateWhereMoR: no SET assignments")
+    require(maxDvPositions >= 1, "maxDvPositions must be >= 1")
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"updateWhereMoR: no committed snapshot under $root"))
     val body = manifestBody(spark, root, v)
@@ -538,26 +628,40 @@ object SnapshotManifest {
     if (affected.isEmpty) return v
     val entriesWithFiles = body.map(parseLine).zip(files)
     val affectedEntries = entriesWithFiles.collect { case (e, f) if affected(f) => e }
-    val oldPositions = entryDvPositions(spark, root, affectedEntries)
+    val oldDv = entryDvPositionsDf(spark, root, affectedEntries)
     val (alive, fCol, rCol) =
-      readEntriesWithPositions(spark, root, affectedEntries, oldPositions)
+      readEntriesWithPositions(spark, root, affectedEntries, oldDv)
     val matched = alive.filter(coalesce(predicate, lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val newPositions = matched.select(col(fCol), col(rCol))
-        .collect().map(r => (r.getString(0), r.getLong(1))) // churn-bounded
-      if (newPositions.isEmpty) return v
+      if (matched.isEmpty) return v
       // post-images: assignments on the PRE-update row, original types kept
       val postImages = matched.select(schema.fieldNames.toSeq.map { c =>
         assignments.get(c)
           .map(e => e.cast(schema(c).dataType).alias(c))
           .getOrElse(col(s"`$c`"))
       }: _*)
-      val dvLocal = (newPositions ++ oldPositions).distinct.toIndexedSeq
-      val dvFile = writeDvSidecar(spark, root, v + 1, dvLocal)
-      publishWithAppend(spark, root, v + 1,
-        dvTagLines(entriesWithFiles, affected, dvLocal, dvFile), postImages,
-        statsCols, "updateWhereMoR")
+      val newPositions = matched
+        .select(col(fCol).alias("file_name"), col(rCol).alias("row_index"))
+      val dvDf = oldDv.map(newPositions.unionByName(_)).getOrElse(newPositions)
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nDv = dvDf.count()
+        if (nDv > maxDvPositions) {
+          graft.core.Logging.logger().warn(
+            s"updateWhereMoR: merged deletion vector would hold $nDv positions " +
+              s"(> maxDvPositions=$maxDvPositions) — degrading to the " +
+              "copy-on-write rewrite (updateWhere)")
+          return updateWhere(spark, root, predicate, assignments, statsCols)
+        }
+        val dvFileNames = dvDf.select(col("file_name")).distinct()
+          .collect().map(_.getString(0)).toSet // bounded by affected files
+        val dvFile = writeDvSidecar(spark, root, v + 1, dvDf)
+        publishWithAppend(spark, root, v + 1,
+          dvTagLines(entriesWithFiles, affected, dvFileNames, dvFile), postImages,
+          statsCols, "updateWhereMoR")
+      } finally dvDf.unpersist(false)
     } finally matched.unpersist(false)
   }
 
@@ -568,19 +672,23 @@ object SnapshotManifest {
   def deleteWhereMoRWithRetry(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column, maxAttempts: Int = 5,
       backoff: Int => FiniteDuration = Retry.linearBackoff(1.second),
-      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Long =
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis),
+      maxDvPositions: Long = DefaultMaxDvPositions): Long =
     Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
-      maxAttempts, backoff, sleep)(deleteWhereMoR(spark, root, predicate))
+      maxAttempts, backoff, sleep)(
+      deleteWhereMoR(spark, root, predicate, maxDvPositions))
 
   def updateWhereMoRWithRetry(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column],
       statsCols: Seq[String] = Nil, maxAttempts: Int = 5,
       backoff: Int => FiniteDuration = Retry.linearBackoff(1.second),
-      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Long =
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis),
+      maxDvPositions: Long = DefaultMaxDvPositions): Long =
     Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
       maxAttempts, backoff, sleep)(
-      updateWhereMoR(spark, root, predicate, assignments, statsCols))
+      updateWhereMoR(spark, root, predicate, assignments, statsCols,
+        maxDvPositions))
 
   /** Materialize every outstanding deletion vector as a copy-on-write
     * rewrite of just the DV'd files — the maintenance verb that ends the

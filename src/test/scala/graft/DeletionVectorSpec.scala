@@ -306,4 +306,76 @@ class DeletionVectorSpec extends SparkSpec {
     val got = SnapshotManifest.read(spark, root)
     assert(got.count() == 197L && got.filter($"id".between(10, 12)).count() == 0L)
   }
+
+  test("fat-predicate MoR delete degrades loudly to the CoW rewrite past maxDvPositions") {
+    val root = newTable()
+    // 51 matches > cap 10 → deleteWhere path: rows gone, NO dv refs, and
+    // the affected files are REWRITTEN (not shared)
+    val v0Files = SnapshotManifest.snapshotFiles(spark, root, 0L).toSet
+    val v1 = SnapshotManifest.deleteWhereMoR(spark, root,
+      $"id".between(0, 50), maxDvPositions = 10)
+    assert(v1 == 1L)
+    assert(!SnapshotManifest.manifestBody(spark, root, 1L).exists(_.contains("dv=")))
+    assert(SnapshotManifest.snapshotFiles(spark, root, 1L).toSet != v0Files)
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.count() == 149L && got.filter($"id" <= 50).count() == 0L)
+    // and the cap composes with an EXISTING vector: a narrow MoR delete
+    // first, then a fat one — the merged size trips the cap, the CoW
+    // rewrite applies the old vector too (nothing resurrects)
+    val root2 = newTable()
+    SnapshotManifest.deleteWhereMoR(spark, root2, $"id" === 199L)
+    SnapshotManifest.deleteWhereMoR(spark, root2,
+      $"id".between(0, 50), maxDvPositions = 10)
+    val got2 = SnapshotManifest.read(spark, root2)
+    assert(got2.count() == 148L)
+    assert(got2.filter($"id" === 199L || $"id" <= 50).count() == 0L)
+  }
+
+  test("fat MoR update and merge degrade to their CoW twins past maxDvPositions") {
+    val root = newTable()
+    val v1 = SnapshotManifest.updateWhereMoR(spark, root, $"id".between(0, 50),
+      Map("v" -> ($"v" * -1)), Seq("id"), maxDvPositions = 10)
+    assert(v1 == 1L)
+    assert(!SnapshotManifest.manifestBody(spark, root, 1L).exists(_.contains("dv=")))
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.count() == 200L)
+    assert(got.filter($"id" === 20L).head().getAs[Long]("v") == -200L)
+
+    val root2 = newTable()
+    val staged = spark.range(0, 40).toDF("id").withColumn("v", lit(-7L))
+    val v2 = Upsert.mergeWhereMoR(spark, root2, staged, Seq("id"), Seq("id"),
+      maxDvPositions = 10)
+    assert(v2 == 1L)
+    assert(!SnapshotManifest.manifestBody(spark, root2, 1L).exists(_.contains("dv=")))
+    val got2 = SnapshotManifest.read(spark, root2)
+    assert(got2.count() == 200L)
+    assert(got2.filter($"v" === -7L).count() == 40L)
+  }
+
+  test("DV read anti-join: broadcast while the sidecar is small, shuffle past the byte threshold") {
+    val root = newTable()
+    SnapshotManifest.deleteWhereMoR(spark, root, $"id".between(10, 20))
+    def plan(): String =
+      SnapshotManifest.read(spark, root).queryExecution.executedPlan.toString
+    // default threshold (32 MB): the churn-sized sidecar broadcasts
+    val small = plan()
+    assert(small.contains("BroadcastHashJoin"), small)
+    // force the fat-DV regime: 1-byte threshold drops OUR broadcast hint,
+    // and (since the test sidecar is physically tiny) autoBroadcast=-1
+    // stands in for Catalyst's own size estimate rejecting a fat build
+    // side — the strategy a real multi-GB sidecar would get
+    spark.conf.set("graft.dv.broadcastBytes", "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fat = plan()
+      assert(!fat.contains("BroadcastHashJoin"), fat)
+      assert(fat.contains("SortMergeJoin") || fat.contains("ShuffledHashJoin"), fat)
+      // results identical either way
+      assert(SnapshotManifest.read(spark, root).count() == 189L)
+    } finally {
+      spark.conf.unset("graft.dv.broadcastBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    assert(SnapshotManifest.read(spark, root).count() == 189L)
+  }
 }
