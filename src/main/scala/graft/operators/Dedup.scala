@@ -262,15 +262,23 @@ object Dedup {
     * Output: one row per record — `(<idCol>, cluster_id, representative)`.
     * Singletons are their own cluster and representative (their id cannot
     * collide with a real cluster_id: cluster labels are member ids, and
-    * ids are unique). Cost beyond [[clusters]]: one id-keyed join of the
-    * pair graph's labels onto the records and a cluster-count-sized
+    * ids are unique). A NULL-id record cannot appear in the pair graph
+    * (pairs carry real ids) and has no joinable identity, so it passes
+    * through as an anonymous singleton — `(null, null, null)` here, kept
+    * verbatim by [[keepBestPerCluster]] — rather than silently vanishing
+    * in the cluster join. Cost beyond [[clusters]]: one id-keyed join of
+    * the pair graph's labels onto the records and a cluster-count-sized
     * argmax aggregation — nothing touches record payloads.
     */
   def clusterRepresentatives(records: DataFrame, pairs: DataFrame,
       idCol: String, scoreCol: String): DataFrame = {
     val comp = clusters(pairs)
-    val scored = records.select(col(idCol).alias("__id"),
+    val scoredAll = records.select(col(idCol).alias("__id"),
       col(scoreCol).alias("__score"))
+    val nullRows = scoredAll.filter(col("__id").isNull)
+      .select(col("__id").alias(idCol), col("__id").alias("cluster_id"),
+        col("__id").alias("representative"))
+    val scored = scoredAll.filter(col("__id").isNotNull)
     val withCluster = scored.join(comp, scored("__id") === comp("id"), "left")
       .select(col("__id"),
         coalesce(col("cluster_id"), col("__id")).alias("__cluster"),
@@ -300,18 +308,23 @@ object Dedup {
     withCluster.join(best, "__cluster")
       .select(col("__id").alias(idCol), col("__cluster").alias("cluster_id"),
         col("representative"))
+      .unionByName(nullRows)
   }
 
   /** Filter `records` to each cluster's best copy ([[clusterRepresentatives]]
     * policy): the one-call "dedup, keep the best" — singletons always
     * survive, every duplicate cluster keeps exactly its representative.
+    * NULL-id records are anonymous singletons (no joinable identity, can
+    * never pair) and survive verbatim.
     */
   def keepBestPerCluster(records: DataFrame, pairs: DataFrame,
       idCol: String, scoreCol: String): DataFrame = {
     val keep = clusterRepresentatives(records, pairs, idCol, scoreCol)
       .filter(col(idCol) === col("representative"))
       .select(col(idCol).alias("__keep_id"))
-    records.join(keep, records(idCol) === col("__keep_id"), "left_semi")
+    records.filter(col(idCol).isNotNull)
+      .join(keep, records(idCol) === col("__keep_id"), "left_semi")
+      .unionByName(records.filter(col(idCol).isNull))
   }
 
   /** Driver-side union-find (path-halving; smaller id becomes the root, so

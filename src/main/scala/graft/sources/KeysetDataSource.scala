@@ -240,10 +240,18 @@ class KeysetAggScan(dir: String, sortField: String,
         s"_agg$i", org.apache.spark.sql.types.LongType, nullable = false)
     })
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      KeysetDataSource.pageFiles(dir)
+    override def planInputPartitions(): Array[InputPartition] = {
+      val pages = KeysetDataSource.pageFiles(dir)
+      // zero pages must still answer: COUNT(*) over an empty source is 0,
+      // not NULL (Spark's partial-agg rewrite sums the per-page counts —
+      // no partial rows would sum to NULL). One synthetic empty-page
+      // partition yields the (null max, 0 count) identity partial.
+      if (pages.isEmpty)
+        Array(KeysetInputPartition("", watermark.toSeq, None): InputPartition)
+      else pages
         .map(f => KeysetInputPartition(f.getAbsolutePath, watermark.toSeq, None): InputPartition)
         .toArray
+    }
     override def createReaderFactory(): PartitionReaderFactory =
       new KeysetAggReaderFactory(sortField, aggs)
   }
@@ -268,17 +276,21 @@ class KeysetAggReaderFactory(sortField: String, aggs: Seq[KeysetAggScan.AggKind]
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         var maxV: String = null
         var count = 0L
-        val src = scala.io.Source.fromFile(kp.path)("UTF-8")
-        try src.getLines().filter(_.trim.nonEmpty).foreach { line =>
-          val v = KeysetDataSource.sortValueOf(mapper, line, sortField)
-          // same acceptance as the row reader: a pushed bound excludes
-          // null sort values (SQL comparison semantics); no bound = every
-          // row counts, nulls contribute nothing to MAX
-          if (kp.lowers.isEmpty || kp.lowers.forall(_.accepts(v))) {
-            count += 1
-            if (v != null && (maxV == null || v > maxV)) maxV = v
-          }
-        } finally src.close()
+        // empty path = the synthetic empty-source partition: emit the
+        // (null, 0) identity partial without touching the filesystem
+        if (kp.path.nonEmpty) {
+          val src = scala.io.Source.fromFile(kp.path)("UTF-8")
+          try src.getLines().filter(_.trim.nonEmpty).foreach { line =>
+            val v = KeysetDataSource.sortValueOf(mapper, line, sortField)
+            // same acceptance as the row reader: a pushed bound excludes
+            // null sort values (SQL comparison semantics); no bound = every
+            // row counts, nulls contribute nothing to MAX
+            if (kp.lowers.isEmpty || kp.lowers.forall(_.accepts(v))) {
+              count += 1
+              if (v != null && (maxV == null || v > maxV)) maxV = v
+            }
+          } finally src.close()
+        }
         val values: Seq[Any] = aggs.map {
           case MaxSort => if (maxV == null) null else UTF8String.fromString(maxV)
           case Count => count

@@ -101,6 +101,26 @@ class ClusterSpec extends SparkSpec {
     assert(reps(5L) == 5L && reps(6L) == 5L)
   }
 
+  test("NULL-id records pass through keep-best as anonymous singletons") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val records = Seq(
+      (Option(1L), 5.0), (Option(2L), 9.0),  // cluster: 2 wins
+      (Option.empty[Long], 3.0),             // null id: must survive
+      (Option.empty[Long], 1.0)              // ... each one independently
+    ).toDF("id", "score")
+    val reps = Dedup.clusterRepresentatives(records, pairs, "id", "score")
+    assert(reps.count() == 4L, "null-id rows must not vanish")
+    assert(reps.filter(col("id").isNull).count() == 2L)
+    assert(reps.filter(col("id").isNull)
+      .filter(col("cluster_id").isNotNull || col("representative").isNotNull)
+      .count() == 0L)
+    val kept = Dedup.keepBestPerCluster(records, pairs, "id", "score")
+    assert(kept.count() == 3L) // representative 2 + both null-id singletons
+    assert(kept.filter(col("id").isNull).count() == 2L)
+    assert(kept.filter(col("id") === 2L).count() == 1L)
+  }
+
   test("isolated pair stays its own cluster; ids appear exactly once") {
     val pairs = Seq((5L, 6L), (6L, 5L), (5L, 6L)).toDF("id_a", "id_b")
     val out = Dedup.clusters(pairs).as[(Long, Long)].collect().sortBy(_._1)

@@ -52,6 +52,16 @@ class KeysetDataSourceSpec extends SparkSpec {
     assert(aggScanOf(grouped).isEmpty)
     val otherMax = base.agg(max($"id"))
     assert(aggScanOf(otherMax).isEmpty)
+    // EMPTY page directory: zero page partitions must still answer
+    // COUNT(*) = 0 / MAX = null (a no-partial-rows plan would re-aggregate
+    // to NULL count) — one synthetic identity-partial partition
+    val emptyDir = Files.createTempDirectory("keyset_empty").toString
+    val empty = spark.read.format("graft-keyset").option("path", emptyDir)
+      .schema("id LONG, lastModifiedAt STRING").load()
+    val probeE = empty.agg(max($"lastModifiedAt").alias("w"), count(lit(1)).alias("n"))
+    assert(probeE.queryExecution.executedPlan.toString.contains("KeysetAggScan"))
+    val (eMax, eCnt) = probeE.as[(Option[String], Long)].head()
+    assert(eMax.isEmpty && eCnt == 0L)
   }
 
   test("reported statistics let a keyset-backed dimension broadcast (SupportsReportStatistics)") {
