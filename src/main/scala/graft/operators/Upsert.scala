@@ -212,13 +212,16 @@ object Upsert {
         // (unreachable through this API: the bootstrap commit requires
         // files) falls back to the staged schema.
         // one directory listing yields the retained versions — never a
-        // per-version existence probe (a long-lived table can be at v≈1e5)
-        val tableSchema = SnapshotManifest.listVersions(spark, tableRoot)
-          .filter(_ < v).reverseIterator
-          .map(SnapshotManifest.manifestBody(spark, tableRoot, _))
-          .collectFirst { case b if b.nonEmpty =>
-            spark.read.parquet(SnapshotManifest.bodyFile(tableRoot, b.head)).schema
-          }
+        // per-version existence probe (a long-lived table can be at v≈1e5).
+        // A RECORDED schema (addColumns) on the current version is the
+        // table's declared shape and wins over file inference.
+        val tableSchema = SnapshotManifest.manifestSchema(spark, tableRoot, v)
+          .orElse(SnapshotManifest.listVersions(spark, tableRoot)
+            .filter(_ < v).reverseIterator
+            .map(SnapshotManifest.manifestBody(spark, tableRoot, _))
+            .collectFirst { case b if b.nonEmpty =>
+              spark.read.parquet(SnapshotManifest.bodyFile(tableRoot, b.head)).schema
+            })
         val alignedStaged = tableSchema match {
           case Some(ts) =>
             ts.fieldNames.foreach(c => require(stagedP.columns.contains(c) ||
@@ -232,9 +235,16 @@ object Upsert {
           alignedStaged, statsCols, Nil, "mergeWhere")
       }
       val files = body.map(SnapshotManifest.bodyFile(tableRoot, _))
-      val targetSchema = spark.read.parquet(files.head).schema
+      val declared = SnapshotManifest.manifestSchema(spark, tableRoot, v)
+      val targetSchema = declared.getOrElse(spark.read.parquet(files.head).schema)
       pk.foreach(c => require(targetSchema.fieldNames.contains(c),
         s"mergeWhere: PK column $c not in target schema ${targetSchema.fieldNames.mkString(", ")}"))
+      // NOTE on evolution: merge() itself already implements ANSI MERGE
+      // schema drift — a staged frame missing a (possibly just-added)
+      // target column keeps the target value on match and inserts null,
+      // and staged extras are dropped by the aligned select. No staged
+      // realignment is needed here; only the TARGET read must follow the
+      // declared schema.
       val keyPred = stagedKeyPredicate(stagedP, pk, maxKeySetSize)
       val affected = keyPred match {
         case Some(p) => ManifestStats.prune(files, SnapshotManifest.bodyStats(body),
@@ -244,10 +254,13 @@ object Upsert {
       // affected files read with their deletion vectors APPLIED — a
       // MoR-deleted row must not resurrect through the merge rewrite
       val targetAffected =
-        if (affected.isEmpty) spark.read.parquet(files.head).limit(0)
+        if (affected.isEmpty)
+          declared.map(s => spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+            .getOrElse(spark.read.parquet(files.head).limit(0))
         else SnapshotManifest.readEntries(spark, tableRoot,
           body.map(SnapshotManifest.parseLine).zip(files)
-            .collect { case (e, f) if affected(f) => e })
+            .collect { case (e, f) if affected(f) => e }, declared)
       val merged = merge(targetAffected, stagedP, pk)
       // backticked refs: a column NAME containing a dot must resolve as a
       // top-level column, not parse as a nested-field path
@@ -323,9 +336,12 @@ object Upsert {
         return mergeWhere(spark, tableRoot, stagedP, pk, statsCols, maxKeySetSize)
       val entries = body.map(SnapshotManifest.parseLine)
       val files = body.map(SnapshotManifest.bodyFile(tableRoot, _))
-      val targetSchema = spark.read.parquet(files.head).schema
+      val declared = SnapshotManifest.manifestSchema(spark, tableRoot, v)
+      val targetSchema = declared.getOrElse(spark.read.parquet(files.head).schema)
       pk.foreach(c => require(targetSchema.fieldNames.contains(c),
         s"mergeWhereMoR: PK column $c not in target schema ${targetSchema.fieldNames.mkString(", ")}"))
+      // staged realignment is NOT needed for evolution — merge() handles
+      // staged-narrower-than-target natively (see mergeWhere)
       val affected = stagedKeyPredicate(stagedP, pk, maxKeySetSize) match {
         case Some(p) => ManifestStats.prune(files, SnapshotManifest.bodyStats(body),
           ManifestStats.resolvePredicate(spark, targetSchema, p)).toSet
@@ -335,7 +351,9 @@ object Upsert {
       def aligned(df: DataFrame): DataFrame =
         df.select(targetSchema.fields.toSeq.map(f =>
           col(s"`${f.name}`").cast(f.dataType).alias(f.name)): _*)
-      val emptyTarget = spark.read.parquet(files.head).limit(0)
+      val emptyTarget = declared.map(s => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+        .getOrElse(spark.read.parquet(files.head).limit(0))
       if (affectedEntries.isEmpty)
         // no file can hold a staged key: every staged row is an insert
         return SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
@@ -343,7 +361,7 @@ object Upsert {
       val oldDv =
         SnapshotManifest.entryDvPositionsDf(spark, tableRoot, affectedEntries)
       val (alive, fCol, rCol) = SnapshotManifest.readEntriesWithPositions(
-        spark, tableRoot, affectedEntries, oldDv)
+        spark, tableRoot, affectedEntries, oldDv, declared)
       // staged-key aliases chosen collision-free against the target's
       // columns (same adversarial-name guard as the position columns)
       var kp = "__k_"

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import scala.concurrent.duration._
 
@@ -189,12 +190,18 @@ object SnapshotManifest {
   }
 
   private[graft] def readEntries(spark: SparkSession, root: String,
-      entries: Seq[ManifestEntry]): DataFrame = {
+      entries: Seq[ManifestEntry],
+      declaredSchema: Option[StructType] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, split => fsplit}
     val rootPath = new Path(root)
     val dvFiles = entries.flatMap(_.dvRel).distinct
       .map(r => new Path(rootPath, r).toString)
-    val base = spark.read.parquet(entries.map(e => new Path(rootPath, e.rel).toString): _*)
+    // a RECORDED schema ([[addColumns]]) overrides file inference: columns
+    // a pre-widening file lacks read as typed nulls (standard parquet
+    // missing-column fill under an explicit read schema) — and the scan
+    // never pays per-file footer merging
+    val reader = declaredSchema.map(spark.read.schema).getOrElse(spark.read)
+    val base = reader.parquet(entries.map(e => new Path(rootPath, e.rel).toString): _*)
     if (dvFiles.isEmpty) base
     else {
       // LAZY sidecar read: the DV parquet stays executor-side —
@@ -231,11 +238,13 @@ object SnapshotManifest {
     * (same policy as [[readEntries]]).
     */
   private[graft] def readEntriesWithPositions(spark: SparkSession, root: String,
-      entries: Seq[ManifestEntry], oldDv: Option[DataFrame])
+      entries: Seq[ManifestEntry], oldDv: Option[DataFrame],
+      declaredSchema: Option[StructType] = None)
       : (DataFrame, String, String) = {
     import org.apache.spark.sql.functions.{col, element_at, split => fsplit}
     val rootPath = new Path(root)
-    val base = spark.read
+    val reader = declaredSchema.map(spark.read.schema).getOrElse(spark.read)
+    val base = reader
       .parquet(entries.map(e => new Path(rootPath, e.rel).toString): _*)
     val fCol = freshName("__graft_f", base.columns.toSeq)
     val rCol = freshName("__graft_r", base.columns.toSeq :+ fCol)
@@ -283,6 +292,15 @@ object SnapshotManifest {
     }
   }
 
+  /** The header lines every CONTENT verb's publish must start with: the
+    * version tag plus the previous version's recorded schema (if any) —
+    * DML and maintenance mutate rows, never the table's declared shape,
+    * so an [[addColumns]] widening survives them.
+    */
+  private def carriedHeader(spark: SparkSession, root: String, next: Long): String =
+    s"version=$next\n" + (if (next == 0) ""
+      else manifestSchemaLine(spark, root, next - 1).map(_ + "\n").getOrElse(""))
+
   /** Atomically publish version `next` with exactly `lines` — the
     * append-free MoR publish ([[deleteWhereMoR]]'s commit point).
     */
@@ -291,7 +309,8 @@ object SnapshotManifest {
     val (fs, rootPath) = fsOf(spark, root)
     val manifest = new Path(rootPath, manifestName(next))
     val won = CommitProtocol.publishFile(fs, manifest,
-      (s"version=$next\n" + lines.mkString("", "\n", "\n")).getBytes("UTF-8"))
+      (carriedHeader(spark, root, next) + lines.mkString("", "\n", "\n"))
+        .getBytes("UTF-8"))
     if (!won)
       throw new ConcurrentCommitException(
         s"$op: version $next already committed by a concurrent writer; " +
@@ -348,7 +367,8 @@ object SnapshotManifest {
       writeDataFiles(spark, fs, rootPath, next, appendDf, statsCols)
     val manifest = new Path(rootPath, manifestName(next))
     val won = CommitProtocol.publishFile(fs, manifest,
-      (s"version=$next\n" + (lines ++ appendLines).mkString("", "\n", "\n"))
+      (carriedHeader(spark, root, next) +
+        (lines ++ appendLines).mkString("", "\n", "\n"))
         .getBytes("UTF-8"))
     if (!won)
       throw new ConcurrentCommitException(
@@ -361,7 +381,8 @@ object SnapshotManifest {
   def read(spark: SparkSession, root: String): DataFrame = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"SnapshotManifest.read: no committed snapshot under $root"))
-    readEntries(spark, root, manifestBody(spark, root, v).map(parseLine))
+    readEntries(spark, root, manifestBody(spark, root, v).map(parseLine),
+      manifestSchema(spark, root, v))
   }
 
   /** Data-skipping read: files of the current snapshot whose manifest
@@ -382,14 +403,15 @@ object SnapshotManifest {
     val body = manifestBody(spark, root, v)
     val entries = body.map(parseLine)
     val all = body.map(l => bodyFile(root, l))
-    val full = spark.read.parquet(all: _*)
+    val declared = manifestSchema(spark, root, v)
+    val full = declared.map(spark.read.schema).getOrElse(spark.read).parquet(all: _*)
     val pred = ManifestStats.resolvePredicate(spark, full.schema, predicate)
     val kept = ManifestStats.prune(all, bodyStats(body), pred).toSet
     val keptEntries = entries.zip(all).collect { case (e, f) if kept(f) => e }
     if (keptEntries.isEmpty)
       // schema must come from the table even when every file is pruned
       full.limit(0).filter(predicate)
-    else readEntries(spark, root, keptEntries).filter(predicate)
+    else readEntries(spark, root, keptEntries, declared).filter(predicate)
   }
 
   /** The file list [[readWhere]] would scan for `predicate` at `version` —
@@ -486,8 +508,40 @@ object SnapshotManifest {
     val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
     require(lines.headOption.contains(s"version=$version"),
       s"corrupt manifest for version $version: bad header ${lines.headOption}")
-    lines.tail.toSeq
+    // `schema=` is a HEADER field ([[addColumns]]), not a file entry
+    lines.tail.toSeq.filterNot(_.startsWith("schema="))
   }
+
+  /** The `schema=` header line of `version`'s manifest, verbatim —
+    * present only after a metadata-level schema change ([[addColumns]]);
+    * absent manifests derive their schema from the data files.
+    */
+  private[graft] def manifestSchemaLine(spark: SparkSession, root: String,
+      version: Long): Option[String] = {
+    val (fs, rootPath) = fsOf(spark, root)
+    CommitProtocol.readFully(fs, new Path(rootPath, manifestName(version)))
+      .split('\n').map(_.trim).find(_.startsWith("schema="))
+  }
+
+  /** The RECORDED table schema of `version`, if any — the source of truth
+    * once [[addColumns]] has widened the table beyond what any single
+    * data file carries. O(1) driver metadata; never lists or footers the
+    * data files.
+    */
+  def manifestSchema(spark: SparkSession, root: String,
+      version: Long): Option[StructType] =
+    manifestSchemaLine(spark, root, version).map(l =>
+      org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("schema="))
+        .asInstanceOf[StructType])
+
+  /** The table schema at `version`: recorded ([[manifestSchema]]) if
+    * present, else inferred from one data file (every file of an
+    * un-evolved snapshot shares it).
+    */
+  private[graft] def tableSchemaAt(spark: SparkSession, root: String,
+      version: Long, firstFile: => String): StructType =
+    manifestSchema(spark, root, version)
+      .getOrElse(spark.read.parquet(firstFile).schema)
 
   /** Absolute data-file path of one manifest body line. */
   private[graft] def bodyFile(root: String, line: String): String =
@@ -510,7 +564,7 @@ object SnapshotManifest {
       keptLines: Seq[String], op: String): Long = {
     val (fs, rootPath) = fsOf(spark, root)
     stageAndPublish(spark, fs, rootPath, next, df, statsCols, keptLines,
-      op, requireFiles = false)
+      op, requireFiles = false, carrySchema = true)
   }
 
   /** MERGE-ON-READ DELETE — [[deleteWhere]]'s deferred twin (Delta/Iceberg
@@ -555,7 +609,8 @@ object SnapshotManifest {
     val body = manifestBody(spark, root, v)
     if (body.isEmpty) return v
     val files = body.map(bodyFile(root, _))
-    val schema = spark.read.parquet(files.head).schema
+    val declared = manifestSchema(spark, root, v)
+    val schema = declared.getOrElse(spark.read.parquet(files.head).schema)
     val affected = ManifestStats.prune(files, bodyStats(body),
       ManifestStats.resolvePredicate(spark, schema, predicate)).toSet
     if (affected.isEmpty) return v
@@ -565,7 +620,7 @@ object SnapshotManifest {
     // anti-joined away so already-deleted rows can't match again
     val oldDv = entryDvPositionsDf(spark, root, affectedEntries)
     val (alive, fCol, rCol) =
-      readEntriesWithPositions(spark, root, affectedEntries, oldDv)
+      readEntriesWithPositions(spark, root, affectedEntries, oldDv, declared)
     val newMatches = alive.filter(coalesce(predicate, lit(false)))
       .select(col(fCol).alias("file_name"), col(rCol).alias("row_index"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -620,7 +675,8 @@ object SnapshotManifest {
     val body = manifestBody(spark, root, v)
     if (body.isEmpty) return v
     val files = body.map(bodyFile(root, _))
-    val schema = spark.read.parquet(files.head).schema
+    val declared = manifestSchema(spark, root, v)
+    val schema = declared.getOrElse(spark.read.parquet(files.head).schema)
     assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"updateWhereMoR: SET column '$c' not in ${schema.fieldNames.mkString(", ")}"))
     val affected = ManifestStats.prune(files, bodyStats(body),
@@ -630,7 +686,7 @@ object SnapshotManifest {
     val affectedEntries = entriesWithFiles.collect { case (e, f) if affected(f) => e }
     val oldDv = entryDvPositionsDf(spark, root, affectedEntries)
     val (alive, fCol, rCol) =
-      readEntriesWithPositions(spark, root, affectedEntries, oldDv)
+      readEntriesWithPositions(spark, root, affectedEntries, oldDv, declared)
     val matched = alive.filter(coalesce(predicate, lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -711,8 +767,76 @@ object SnapshotManifest {
       .values.flatMap(_.cols.keys).toSeq.distinct.sorted)
     val keptLines = entries.filter(_.dvRel.isEmpty).map(_.render)
     publishVersion(spark, root, v + 1,
-      readEntries(spark, root, dvd), cols, keptLines, "foldDeletes")
+      readEntries(spark, root, dvd, manifestSchema(spark, root, v)),
+      cols, keptLines, "foldDeletes")
   }
+
+  /** METADATA-ONLY widening schema evolution (Delta's ALTER TABLE ADD
+    * COLUMNS, on this engine's manifest): publish a new version whose
+    * body lines — paths, stats, DV refs — carry over VERBATIM and whose
+    * header records the widened schema. No data file is read, written,
+    * or listed; the commit is one atomic manifest publish of
+    * driver-resident metadata, the same cost at 100 rows as at 100 TB.
+    *
+    * Afterwards every reader ([[read]], [[readVersion]], [[readWhere]],
+    * [[changesBetween]]) scans under the RECORDED schema, so
+    * pre-widening files answer the new columns as typed nulls (parquet
+    * missing-column fill), and every content verb — DML, MoR, fold,
+    * compaction, OPTIMIZE — carries the recorded schema forward; rows
+    * written after the widening (a [[graft.operators.Upsert.mergeWhere]]
+    * staged batch, [[updateWhere]] post-images) carry the new columns
+    * physically. [[graft.schema.SchemaAudit]]'s widen audit (E1) is the
+    * natural driver: audit finds the missing/narrow column, this verb
+    * declares it, the next merge populates it.
+    *
+    * New columns must be nullable (existing rows have no values) and
+    * must not collide case-insensitively with existing ones. A full
+    * [[commit]] (truncate-and-load) REPLACES the table, schema included
+    * — its df defines the shape anew.
+    */
+  def addColumns(spark: SparkSession, root: String,
+      newCols: Seq[StructField]): Long = {
+    require(newCols.nonEmpty, "addColumns: no columns given")
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"addColumns: no committed snapshot under $root"))
+    val body = manifestBody(spark, root, v)
+    val cur = manifestSchema(spark, root, v).getOrElse {
+      require(body.nonEmpty,
+        "addColumns: table has no data files and no recorded schema to widen")
+      spark.read.parquet(bodyFile(root, body.head)).schema
+    }
+    newCols.foreach { f =>
+      require(f.nullable,
+        s"addColumns: new column '${f.name}' must be nullable — existing rows have no values for it")
+      require(!cur.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"addColumns: column '${f.name}' already exists")
+    }
+    require(newCols.map(_.name.toLowerCase).distinct.size == newCols.size,
+      s"addColumns: duplicate new column names in ${newCols.map(_.name)}")
+    val widened = StructType(cur.fields ++ newCols)
+    val (fs, rootPath) = fsOf(spark, root)
+    val manifest = new Path(rootPath, manifestName(v + 1))
+    val won = CommitProtocol.publishFile(fs, manifest,
+      (s"version=${v + 1}\nschema=${widened.json}\n" +
+        body.mkString("", "\n", "\n")).getBytes("UTF-8"))
+    if (!won)
+      throw new ConcurrentCommitException(
+        s"addColumns: version ${v + 1} already committed by a concurrent " +
+          "writer; re-read the table and retry")
+    v + 1
+  }
+
+  /** [[addColumns]] with the bounded lost-race retry of the DML twins:
+    * each attempt re-reads the current schema, so a retry widens the
+    * table as the winning writer left it (and fails loudly if the winner
+    * already added a same-named column).
+    */
+  def addColumnsWithRetry(spark: SparkSession, root: String,
+      newCols: Seq[StructField], maxAttempts: Int = 5,
+      backoff: Int => FiniteDuration = Retry.linearBackoff(1.second),
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Long =
+    Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
+      maxAttempts, backoff, sleep)(addColumns(spark, root, newCols))
 
   /** The shared copy-on-write rewrite under [[deleteWhere]]/[[updateWhere]]:
     * stats-prune the affected files, apply `transform` to their rows,
@@ -729,7 +853,8 @@ object SnapshotManifest {
     val body = manifestBody(spark, root, v)
     if (body.isEmpty) return v
     val files = body.map(bodyFile(root, _))
-    val schema = spark.read.parquet(files.head).schema
+    val declared = manifestSchema(spark, root, v)
+    val schema = declared.getOrElse(spark.read.parquet(files.head).schema)
     val affected = ManifestStats.prune(files, bodyStats(body),
       ManifestStats.resolvePredicate(spark, schema, predicate)).toSet
     if (affected.isEmpty) return v // no file can contain a match
@@ -740,7 +865,8 @@ object SnapshotManifest {
     val affectedEntries = body.map(parseLine)
       .zip(files).collect { case (e, f) if affected(f) => e }
     publishVersion(spark, root, v + 1,
-      transform(readEntries(spark, root, affectedEntries)), statsCols, keptLines, op)
+      transform(readEntries(spark, root, affectedEntries, declared)),
+      statsCols, keptLines, op)
   }
 
   /** Stage `df` into a fresh uniquely-nonced data dir for version `next`,
@@ -782,16 +908,21 @@ object SnapshotManifest {
 
   private def stageAndPublish(spark: SparkSession, fs: FileSystem, rootPath: Path,
       next: Long, df: DataFrame, statsCols: Seq[String], keptLines: Seq[String],
-      op: String, requireFiles: Boolean): Long = {
+      op: String, requireFiles: Boolean, carrySchema: Boolean = false): Long = {
     val (dataDir, newLines) = writeDataFiles(spark, fs, rootPath, next, df, statsCols)
     if (requireFiles)
       require(newLines.nonEmpty, s"$op: write produced no parquet files under $dataDir")
     val manifest = new Path(rootPath, manifestName(next))
+    // header: a CONTENT verb (carrySchema) keeps the recorded schema; a
+    // full commit replaces the table, schema included (the df defines it)
+    val header =
+      if (carrySchema) carriedHeader(spark, rootPath.toString, next)
+      else s"version=$next\n"
     // THE commit point: one atomic file publish. False = a concurrent
     // writer committed this version first — fail loudly, leave their
     // snapshot intact, and surface our staged data for inspection.
     val won = CommitProtocol.publishFile(fs, manifest,
-      (s"version=$next\n" + (keptLines ++ newLines).mkString("", "\n", "\n")).getBytes("UTF-8"))
+      (header + (keptLines ++ newLines).mkString("", "\n", "\n")).getBytes("UTF-8"))
     if (!won)
       throw new ConcurrentCommitException(
         s"$op: version $next already committed by a concurrent writer; " +
@@ -806,7 +937,8 @@ object SnapshotManifest {
     * is a pure manifest lookup — no log replay, no reconstruction.
     */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
-    readEntries(spark, root, manifestBody(spark, root, version).map(parseLine))
+    readEntries(spark, root, manifestBody(spark, root, version).map(parseLine),
+      manifestSchema(spark, root, version))
 
   /** Row-level change feed between two committed versions: what happened to
     * the table keyed by `pk` going `fromVersion` → `toVersion`. Output is
@@ -848,9 +980,19 @@ object SnapshotManifest {
     // absent columns read as typed nulls, so an added column registers as
     // null→value updates (the Delta-CDF convention) rather than an
     // analysis error.
-    val schemaSrc = spark.read.option("mergeSchema", "true")
+    val schemaSrc0 = spark.read.option("mergeSchema", "true")
       .parquet((oldFiles ++ newFiles).distinct: _*)
-    val cols = schemaSrc.columns.toSeq
+    // RECORDED schemas widen the union too: a metadata-only addColumns
+    // declares a column no data file carries yet — the feed must still
+    // expose it (as typed nulls) so a consumer's schema tracks the table's
+    val recordedExtra = Seq(fromVersion, toVersion)
+      .flatMap(manifestSchema(spark, root, _)).flatMap(_.fields)
+      .filterNot(f => schemaSrc0.columns.contains(f.name))
+      .groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name)
+    val unionSchema = StructType(schemaSrc0.schema.fields ++ recordedExtra)
+    val schemaSrc = recordedExtra.foldLeft(schemaSrc0)((df, f) =>
+      df.withColumn(f.name, lit(null).cast(f.dataType)))
+    val cols = unionSchema.fieldNames.toSeq
     pk.foreach(c => require(cols.contains(c), s"changesBetween: pk column $c not in $cols"))
     if (oldOnly.isEmpty && newOnly.isEmpty)
       return schemaSrc.limit(0).withColumn("_change", lit(""))
@@ -859,17 +1001,17 @@ object SnapshotManifest {
     // Sides read DV-APPLIED (a MoR-deleted row is absent from its side,
     // so a DV-only change on a shared data file emits plain deletes);
     // one version's files share a schema, so per-side mergeSchema is moot
-    def side(entries: Seq[ManifestEntry]) = {
+    def side(entries: Seq[ManifestEntry], version: Long) = {
       val raw =
         if (entries.isEmpty) schemaSrc.limit(0)
-        else readEntries(spark, root, entries)
+        else readEntries(spark, root, entries, manifestSchema(spark, root, version))
       raw.select(cols.map(c =>
         if (raw.columns.contains(c)) col(s"`$c`")
-        else lit(null).cast(schemaSrc.schema(c).dataType).alias(c)): _*)
+        else lit(null).cast(unionSchema(c).dataType).alias(c)): _*)
         .withColumn("__graft_present", lit(1))
     }
-    val o = side(oldOnly).alias("o")
-    val n = side(newOnly).alias("n")
+    val o = side(oldOnly, fromVersion).alias("o")
+    val n = side(newOnly, toVersion).alias("n")
     val joinCond = pk.map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _)
     val joined = o.join(n, joinCond, "full_outer")
     val oldAbsent = col("o.__graft_present").isNull

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField}
+import graft.sources.SnapshotManifest
+import graft.operators.Upsert
+import graft.schema.SchemaAudit
+
+/** Metadata-only widening schema evolution (`SnapshotManifest.addColumns`):
+  * no data file is touched, readers answer the new column as typed nulls,
+  * every content verb carries the recorded schema forward, and later
+  * merges populate the column physically.
+  */
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newTable(): String = {
+    val root = Files.createTempDirectory("evo").toString + "/t"
+    SnapshotManifest.commit(spark, root,
+      spark.range(0, 100).toDF("id").withColumn("v", $"id" * 10)
+        .repartitionByRange(4, $"id"),
+      Seq("id"))
+    root
+  }
+
+  test("addColumns is metadata-only: files verbatim, new column reads as nulls") {
+    val root = newTable()
+    val v0Body = SnapshotManifest.manifestBody(spark, root, 0L)
+    val v1 = SnapshotManifest.addColumns(spark, root,
+      Seq(StructField("note", StringType, nullable = true)))
+    assert(v1 == 1L)
+    // body lines — paths AND stats — carry over verbatim; no data write
+    assert(SnapshotManifest.manifestBody(spark, root, 1L) == v0Body)
+    assert(SnapshotManifest.manifestSchema(spark, root, 1L).isDefined)
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.columns.toSeq == Seq("id", "v", "note"))
+    assert(got.count() == 100L && got.filter($"note".isNotNull).count() == 0L)
+    // time travel: the pre-widening snapshot keeps its original shape
+    assert(SnapshotManifest.readVersion(spark, root, 0L).columns.toSeq == Seq("id", "v"))
+    // the metadata-only diff reads nothing and emits nothing — but its
+    // schema already exposes the declared column
+    val cdf = SnapshotManifest.changesBetween(spark, root, 0L, 1L, Seq("id"))
+    assert(cdf.count() == 0L)
+    assert(cdf.columns.contains("note"))
+    // stats-skipping still prunes on the ORIGINAL column
+    assert(SnapshotManifest.readWhere(spark, root, $"id" === 5L).count() == 1L)
+    // and a predicate on the DECLARED column resolves (conservatively
+    // unpruned — no file has stats for it)
+    assert(SnapshotManifest.readWhere(spark, root, $"note".isNull).count() == 100L)
+  }
+
+  test("addColumns guards: non-nullable, duplicate, case-insensitive collision") {
+    val root = newTable()
+    intercept[IllegalArgumentException] {
+      SnapshotManifest.addColumns(spark, root,
+        Seq(StructField("note", StringType, nullable = false)))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotManifest.addColumns(spark, root,
+        Seq(StructField("V", LongType, nullable = true))) // collides with v
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotManifest.addColumns(spark, root, Seq(
+        StructField("a", LongType, nullable = true),
+        StructField("A", StringType, nullable = true)))
+    }
+  }
+
+  test("merge after addColumns populates the new column; old rows stay null") {
+    val root = newTable()
+    SnapshotManifest.addColumns(spark, root,
+      Seq(StructField("note", StringType, nullable = true)))
+    // commit v+2 WITH the new column: staged batch updates one row and
+    // inserts one, both carrying note
+    val staged = Seq((5L, -50L, "updated"), (500L, 1L, "fresh"))
+      .toDF("id", "v", "note")
+    val v2 = Upsert.mergeWhere(spark, root, staged, Seq("id"), Seq("id"))
+    assert(v2 == 2L)
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.count() == 101L)
+    assert(got.filter($"id" === 5L).head().getAs[String]("note") == "updated")
+    assert(got.filter($"id" === 500L).head().getAs[String]("note") == "fresh")
+    assert(got.filter($"note".isNull).count() == 99L)
+    // a LEGACY staged batch (predating the widening) still merges: the
+    // matched row KEEPS its note (ANSI MERGE sets only staged columns)
+    val legacy = Seq((5L, -51L)).toDF("id", "v")
+    Upsert.mergeWhere(spark, root, legacy, Seq("id"), Seq("id"))
+    val after = SnapshotManifest.read(spark, root)
+    assert(after.filter($"id" === 5L).head().getAs[Long]("v") == -51L)
+    assert(after.filter($"id" === 5L).head().getAs[String]("note") == "updated")
+    // change feed across the widening+merge exposes the new column
+    val cdf = SnapshotManifest.changesBetween(spark, root, 0L, 2L, Seq("id"))
+    assert(cdf.columns.contains("note"))
+    assert(cdf.filter($"_change" === "insert" && $"id" === 500L).count() == 1L)
+  }
+
+  test("every content verb carries the recorded schema forward") {
+    val root = newTable()
+    SnapshotManifest.addColumns(spark, root,
+      Seq(StructField("note", StringType, nullable = true)))
+    // MoR delete → schema survives
+    SnapshotManifest.deleteWhereMoR(spark, root, $"id" === 7L)
+    assert(SnapshotManifest.manifestSchema(spark, root,
+      SnapshotManifest.currentVersion(spark, root).get).isDefined)
+    assert(SnapshotManifest.read(spark, root).columns.contains("note"))
+    // CoW update → schema survives AND the rewritten file carries the
+    // column physically (it read under the declared schema)
+    SnapshotManifest.updateWhere(spark, root, $"id" === 8L, Map("v" -> lit(-8L)), Seq("id"))
+    assert(SnapshotManifest.read(spark, root).columns.contains("note"))
+    // fold → schema survives, deletions materialized
+    SnapshotManifest.foldDeletes(spark, root)
+    val folded = SnapshotManifest.read(spark, root)
+    assert(folded.columns.contains("note"))
+    assert(folded.count() == 99L && folded.filter($"id" === 7L).count() == 0L)
+    assert(folded.filter($"id" === 8L).head().getAs[Long]("v") == -8L)
+    // a full truncate-and-load commit REPLACES the table, schema included
+    SnapshotManifest.commit(spark, root, Seq((1L, 2L)).toDF("id", "v"), Seq("id"))
+    val replaced = SnapshotManifest.read(spark, root)
+    assert(replaced.columns.toSeq == Seq("id", "v"))
+    assert(SnapshotManifest.manifestSchema(spark, root,
+      SnapshotManifest.currentVersion(spark, root).get).isEmpty)
+  }
+
+  test("E3 schema diff drives the widening (audit -> addColumns composition)") {
+    val root = newTable()
+    val incoming = Seq((0L, 0L, "x")).toDF("id", "v", "note").schema
+    val current = SnapshotManifest.read(spark, root).schema
+    val adds = SchemaAudit.schemaDiff("t", current, incoming)
+      .filter(_.change == "added")
+      .map(c => StructField(c.column, incoming(c.column).dataType, nullable = true))
+    assert(adds.map(_.name) == Seq("note"))
+    SnapshotManifest.addColumnsWithRetry(spark, root, adds)
+    assert(SnapshotManifest.read(spark, root).columns.contains("note"))
+  }
+}
