@@ -1146,6 +1146,27 @@ object Oracles {
          |ORDER BY d.lang""".stripMargin
     },
 
+    // Metadata-only schema evolution (q134): the oracle replays the FINAL
+    // table state from the raw fixture — keys 500-999 deleted (MoR), keys
+    // ≡3 (mod 10) merged with doubled price + a tier computed from the
+    // ORIGINAL price (the staged batch evaluated it pre-merge), everyone
+    // else untouched with a NULL tier (the declared-but-unfilled column).
+    "q134_schema_evolution" ->
+      """WITH cur AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS p,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN
+        |      (CASE WHEN o_totalprice >= 100000 THEN 'high' ELSE 'std' END)
+        |    END AS tier
+        |  FROM orders WHERE o_orderkey NOT BETWEEN 500 AND 999)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN tier IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tiered,
+        |  CAST(sum(CASE WHEN tier = 'high' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(sum(CAST(p AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        |FROM cur GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     "q54_hash_sample" ->
       """SELECT l_returnflag, count(*) AS n_sampled,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty

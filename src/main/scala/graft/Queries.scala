@@ -2490,6 +2490,49 @@ object Queries {
       .orderBy(col("lang"))
   }
 
+  /** Metadata-only schema evolution
+    * ([[graft.sources.SnapshotManifest.addColumns]]), oracle-gated as a
+    * composition: bootstrap a snapshot table from orders, DECLARE a new
+    * `o_tier` column (one atomic manifest publish — zero data files
+    * touched), populate it for a key slice via the file-pruned MERGE
+    * (doubling those rows' prices so the merge itself is visible), MoR-
+    * delete a band (proving the recorded schema survives every content
+    * verb), then report per status: row count, tier fill counts, exact
+    * price sum. The oracle replays the final state from the raw fixture —
+    * any row whose tier/price/survival diverges shifts a count or the
+    * decimal sum.
+    */
+  def q134SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q134").toString
+    graft.sources.SnapshotManifest.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.addColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("o_tier",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    // staged batch carries the NEW column: tier for every key ≡ 3 (mod 10),
+    // price doubled (×2 is exact in binary — differential-safe)
+    val staged = orders.filter(col("o_orderkey") % 10 === 3)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") * 2).alias("o_totalprice"),
+        when(col("o_totalprice") >= 100000.0, lit("high")).otherwise(lit("std"))
+          .alias("o_tier"))
+    graft.operators.Upsert.mergeWhere(spark, root, staged,
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    // a content verb AFTER the widening: the recorded schema must survive
+    graft.sources.SnapshotManifest.deleteWhereMoR(spark, root,
+      col("o_orderkey").between(500, 999))
+    graft.sources.SnapshotManifest.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n"),
+        sum(when(col("o_tier").isNotNull, 1L).otherwise(0L)).alias("n_tiered"),
+        sum(when(col("o_tier") === "high", 1L).otherwise(0L)).alias("n_high"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2627,6 +2670,7 @@ object Queries {
     "q130_mor_update" -> (q130MorUpdate _),
     "q131_mor_merge" -> (q131MorMerge _),
     "q132_table_lifecycle" -> (q132TableLifecycle _),
-    "q133_keep_best_curation" -> (q133KeepBestCuration _)
+    "q133_keep_best_curation" -> (q133KeepBestCuration _),
+    "q134_schema_evolution" -> (q134SchemaEvolution _)
   )
 }
