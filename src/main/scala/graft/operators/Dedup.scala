@@ -275,10 +275,17 @@ object Dedup {
     val comp = clusters(pairs)
     val scoredAll = records.select(col(idCol).alias("__id"),
       col(scoreCol).alias("__score"))
-    val nullRows = scoredAll.filter(col("__id").isNull)
-      .select(col("__id").alias(idCol), col("__id").alias("cluster_id"),
-        col("__id").alias("representative"))
-    val scored = scoredAll.filter(col("__id").isNotNull)
+    // null-id branches only exist when the schema ADMITS null ids — a
+    // non-nullable id column must not pay extra evaluations of the
+    // (possibly expensive) records plan for provably-empty branches
+    val idNullable = records.schema(idCol).nullable
+    val nullRows =
+      if (!idNullable) None
+      else Some(scoredAll.filter(col("__id").isNull)
+        .select(col("__id").alias(idCol), col("__id").alias("cluster_id"),
+          col("__id").alias("representative")))
+    val scored =
+      if (idNullable) scoredAll.filter(col("__id").isNotNull) else scoredAll
     val withCluster = scored.join(comp, scored("__id") === comp("id"), "left")
       .select(col("__id"),
         coalesce(col("cluster_id"), col("__id")).alias("__cluster"),
@@ -305,10 +312,10 @@ object Dedup {
       .filter(col("__score") <=> col("__m"))
       .groupBy(col("__cluster"))
       .agg(min(col("__id")).alias("representative"))
-    withCluster.join(best, "__cluster")
+    val main = withCluster.join(best, "__cluster")
       .select(col("__id").alias(idCol), col("__cluster").alias("cluster_id"),
         col("representative"))
-      .unionByName(nullRows)
+    nullRows.map(main.unionByName(_)).getOrElse(main)
   }
 
   /** Filter `records` to each cluster's best copy ([[clusterRepresentatives]]
@@ -322,9 +329,13 @@ object Dedup {
     val keep = clusterRepresentatives(records, pairs, idCol, scoreCol)
       .filter(col(idCol) === col("representative"))
       .select(col(idCol).alias("__keep_id"))
-    records.filter(col(idCol).isNotNull)
-      .join(keep, records(idCol) === col("__keep_id"), "left_semi")
-      .unionByName(records.filter(col(idCol).isNull))
+    if (!records.schema(idCol).nullable)
+      // non-nullable id: no null branch to preserve, one semi-join
+      records.join(keep, records(idCol) === col("__keep_id"), "left_semi")
+    else
+      records.filter(col(idCol).isNotNull)
+        .join(keep, records(idCol) === col("__keep_id"), "left_semi")
+        .unionByName(records.filter(col(idCol).isNull))
   }
 
   /** Driver-side union-find (path-halving; smaller id becomes the root, so

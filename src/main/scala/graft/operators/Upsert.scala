@@ -201,7 +201,7 @@ object Upsert {
     val stagedP = staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (stagedP.isEmpty) return v
-      val body = SnapshotManifest.manifestBody(spark, tableRoot, v)
+      val (body, declared0) = SnapshotManifest.manifestParts(spark, tableRoot, v)
       if (body.isEmpty) {
         // degenerate current snapshot with zero data files (everything was
         // deleted): the merge is just the staged rows — but still ALIGNED
@@ -215,7 +215,7 @@ object Upsert {
         // per-version existence probe (a long-lived table can be at v≈1e5).
         // A RECORDED schema (addColumns) on the current version is the
         // table's declared shape and wins over file inference.
-        val tableSchema = SnapshotManifest.manifestSchema(spark, tableRoot, v)
+        val tableSchema = declared0
           .orElse(SnapshotManifest.listVersions(spark, tableRoot)
             .filter(_ < v).reverseIterator
             .map(SnapshotManifest.manifestBody(spark, tableRoot, _))
@@ -232,10 +232,10 @@ object Upsert {
           case None => stagedP
         }
         return SnapshotManifest.publishVersion(spark, tableRoot, v + 1,
-          alignedStaged, statsCols, Nil, "mergeWhere")
+          alignedStaged, statsCols, Nil, "mergeWhere", declared0)
       }
       val files = body.map(SnapshotManifest.bodyFile(tableRoot, _))
-      val declared = SnapshotManifest.manifestSchema(spark, tableRoot, v)
+      val declared = declared0
       val targetSchema = declared.getOrElse(spark.read.parquet(files.head).schema)
       pk.foreach(c => require(targetSchema.fieldNames.contains(c),
         s"mergeWhere: PK column $c not in target schema ${targetSchema.fieldNames.mkString(", ")}"))
@@ -269,7 +269,7 @@ object Upsert {
       val keptLines = body.filterNot(line =>
         affected.contains(SnapshotManifest.bodyFile(tableRoot, line)))
       SnapshotManifest.publishVersion(spark, tableRoot, v + 1, aligned,
-        statsCols, keptLines, "mergeWhere")
+        statsCols, keptLines, "mergeWhere", declared)
     } finally stagedP.unpersist(false)
   }
 
@@ -330,13 +330,12 @@ object Upsert {
     val stagedP = staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (stagedP.isEmpty) return v
-      val body = SnapshotManifest.manifestBody(spark, tableRoot, v)
+      val (body, declared) = SnapshotManifest.manifestParts(spark, tableRoot, v)
       if (body.isEmpty)
         // nothing to mask — identical to the copy-on-write form
         return mergeWhere(spark, tableRoot, stagedP, pk, statsCols, maxKeySetSize)
       val entries = body.map(SnapshotManifest.parseLine)
       val files = body.map(SnapshotManifest.bodyFile(tableRoot, _))
-      val declared = SnapshotManifest.manifestSchema(spark, tableRoot, v)
       val targetSchema = declared.getOrElse(spark.read.parquet(files.head).schema)
       pk.foreach(c => require(targetSchema.fieldNames.contains(c),
         s"mergeWhereMoR: PK column $c not in target schema ${targetSchema.fieldNames.mkString(", ")}"))
@@ -357,7 +356,8 @@ object Upsert {
       if (affectedEntries.isEmpty)
         // no file can hold a staged key: every staged row is an insert
         return SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
-          body, aligned(merge(emptyTarget, stagedP, pk)), statsCols, "mergeWhereMoR")
+          body, aligned(merge(emptyTarget, stagedP, pk)), statsCols,
+          "mergeWhereMoR", declared)
       val oldDv =
         SnapshotManifest.entryDvPositionsDf(spark, tableRoot, affectedEntries)
       val (alive, fCol, rCol) = SnapshotManifest.readEntriesWithPositions(
@@ -371,38 +371,38 @@ object Upsert {
           pk.map(c => col(c) === col(s"$kp$c")).reduce(_ && _), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // positions stay DISTRIBUTED: old ∪ new = union+distinct in the
-        // cluster, the sidecar is written by a Spark job, and the driver
-        // sees only the count and the affected-file-bounded basename set
-        // (same pipeline as SnapshotManifest.deleteWhereMoR)
+        // positions stay DISTRIBUTED: old and new are disjoint by
+        // construction (`alive` anti-joined the old sidecars away), so
+        // the merged size is the exact sum — the cap decides before any
+        // union work, the union needs no distinct shuffle, and the
+        // sidecar is written by a Spark job; the driver sees only counts
+        // and the sidecar-mentioned basename set (same pipeline as
+        // SnapshotManifest.deleteWhereMoR)
         if (matchedTarget.isEmpty)
           return SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
             body, aligned(merge(emptyTarget, stagedP, pk)), statsCols,
-            "mergeWhereMoR")
+            "mergeWhereMoR", declared)
         val newPositions = matchedTarget
           .select(col(fCol).alias("file_name"), col(rCol).alias("row_index"))
+        val nNew = newPositions.count()
+        val nOld = oldDv.map(_.count()).getOrElse(0L)
+        if (nNew + nOld > maxDvPositions) {
+          graft.core.Logging.logger().warn(
+            s"mergeWhereMoR: merged deletion vector would hold ${nNew + nOld} " +
+              s"positions (> maxDvPositions=$maxDvPositions) — degrading " +
+              "to the copy-on-write merge (mergeWhere)")
+          return mergeWhere(spark, tableRoot, stagedP, pk, statsCols,
+            maxKeySetSize)
+        }
         val dvDf = oldDv.map(newPositions.unionByName(_)).getOrElse(newPositions)
-          .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val nDv = dvDf.count()
-          if (nDv > maxDvPositions) {
-            graft.core.Logging.logger().warn(
-              s"mergeWhereMoR: merged deletion vector would hold $nDv " +
-                s"positions (> maxDvPositions=$maxDvPositions) — degrading " +
-                "to the copy-on-write merge (mergeWhere)")
-            return mergeWhere(spark, tableRoot, stagedP, pk, statsCols,
-              maxKeySetSize)
-          }
-          val mergedAppend = merge(matchedTarget.drop(fCol, rCol), stagedP, pk)
-          val dvFileNames = dvDf.select(col("file_name")).distinct()
-            .collect().map(_.getString(0)).toSet // bounded by affected files
-          val dvFile = SnapshotManifest.writeDvSidecar(spark, tableRoot, v + 1, dvDf)
-          SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
-            SnapshotManifest.dvTagLines(entries.zip(files), affected,
-              dvFileNames, dvFile),
-            aligned(mergedAppend), statsCols, "mergeWhereMoR")
-        } finally dvDf.unpersist(false)
+        val mergedAppend = merge(matchedTarget.drop(fCol, rCol), stagedP, pk)
+        val dvFileNames = dvDf.select(col("file_name")).distinct()
+          .collect().map(_.getString(0)).toSet // affected ∪ sidecar-sharing files
+        val dvFile = SnapshotManifest.writeDvSidecar(spark, tableRoot, v + 1, dvDf)
+        SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
+          SnapshotManifest.dvTagLines(entries.zip(files), affected,
+            dvFileNames, dvFile),
+          aligned(mergedAppend), statsCols, "mergeWhereMoR", declared)
       } finally matchedTarget.unpersist(false)
     } finally stagedP.unpersist(false)
   }

@@ -158,14 +158,23 @@ object SnapshotManifest {
     n
   }
 
-  /** Parquet-byte threshold below which a DV sidecar is BROADCAST into the
+  /** IN-MEMORY byte budget below which a DV sidecar is BROADCAST into the
     * read-side anti-join (the shuffle-free shape for the overwhelmingly
-    * common churn-sized DV); at or above it the anti-join runs as a plain
+    * common churn-sized DV); past it the anti-join runs as a plain
     * shuffle join — a fat DV replicated to every executor would cost more
     * memory than the exchange it avoids. Overridable per session via
     * `graft.dv.broadcastBytes`.
     */
   private[graft] val DvBroadcastBytesDefault: Long = 32L * 1024 * 1024
+
+  /** On-disk→in-memory expansion estimate for DV sidecars: parquet
+    * dictionary/RLE crushes (few-distinct file_name, near-sequential
+    * row_index) rows to a few bytes each while a broadcast hash relation
+    * pays ~40+ B, so the file-size signal must be scaled before comparing
+    * against the memory budget — a near-cap DV would otherwise still
+    * broadcast.
+    */
+  private[graft] val DvMemoryExpansion: Long = 8L
 
   /** Default position cap for every MoR masking verb: past it the verb
     * degrades loudly to its copy-on-write twin. 10M positions ≈ a
@@ -175,8 +184,12 @@ object SnapshotManifest {
   val DefaultMaxDvPositions: Long = 10L * 1000 * 1000
 
   private[graft] def dvBroadcastBytes(spark: SparkSession): Long =
-    spark.conf.getOption("graft.dv.broadcastBytes").map(_.toLong)
-      .getOrElse(DvBroadcastBytesDefault)
+    spark.conf.getOption("graft.dv.broadcastBytes").map(v =>
+      try v.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft.dv.broadcastBytes must be a plain byte count, got '$v'")
+      }).getOrElse(DvBroadcastBytesDefault)
 
   /** Total on-disk bytes of the DV sidecars referenced by `entries` — a
     * constant-per-sidecar driver status call, the signal that picks the
@@ -188,6 +201,14 @@ object SnapshotManifest {
     entries.flatMap(_.dvRel).distinct
       .map(r => fs.getFileStatus(new Path(rootPath, r)).getLen).sum
   }
+
+  /** Broadcast the DV anti-join iff the sidecar's ESTIMATED in-memory
+    * size (on-disk bytes × [[DvMemoryExpansion]]) fits the budget.
+    */
+  private[graft] def dvShouldBroadcast(spark: SparkSession, root: String,
+      entries: Seq[ManifestEntry]): Boolean =
+    dvSidecarBytes(spark, root, entries) * DvMemoryExpansion <
+      dvBroadcastBytes(spark)
 
   private[graft] def readEntries(spark: SparkSession, root: String,
       entries: Seq[ManifestEntry],
@@ -215,7 +236,7 @@ object SnapshotManifest {
         .select(col("file_name").alias("__dv_f"), col("row_index").alias("__dv_r"))
         .distinct()
       val dv =
-        if (dvSidecarBytes(spark, root, entries) < dvBroadcastBytes(spark))
+        if (dvShouldBroadcast(spark, root, entries))
           org.apache.spark.sql.functions.broadcast(dvRaw)
         else dvRaw
       val withMeta = base
@@ -254,7 +275,7 @@ object SnapshotManifest {
     oldDv match {
       case None => (withPos, fCol, rCol)
       case Some(dv0) =>
-        val small = dvSidecarBytes(spark, root, entries) < dvBroadcastBytes(spark)
+        val small = dvShouldBroadcast(spark, root, entries)
         val dv = dv0.select(col("file_name").alias("__dv_f"),
           col("row_index").alias("__dv_r"))
         val dvSided =
@@ -292,24 +313,26 @@ object SnapshotManifest {
     }
   }
 
-  /** The header lines every CONTENT verb's publish must start with: the
-    * version tag plus the previous version's recorded schema (if any) —
-    * DML and maintenance mutate rows, never the table's declared shape,
-    * so an [[addColumns]] widening survives them.
+  /** The header every publish starts with: the version tag plus the
+    * table's recorded schema (if any) — content verbs pass the schema
+    * they already read so an [[addColumns]] widening survives them
+    * without a second manifest fetch; a full commit passes None (its df
+    * defines the shape anew).
     */
-  private def carriedHeader(spark: SparkSession, root: String, next: Long): String =
-    s"version=$next\n" + (if (next == 0) ""
-      else manifestSchemaLine(spark, root, next - 1).map(_ + "\n").getOrElse(""))
+  private def headerFor(next: Long, declared: Option[StructType]): String =
+    s"version=$next\n" +
+      declared.map(s => s"schema=${s.json}\n").getOrElse("")
 
   /** Atomically publish version `next` with exactly `lines` — the
     * append-free MoR publish ([[deleteWhereMoR]]'s commit point).
     */
   private[graft] def publishLines(spark: SparkSession, root: String,
-      next: Long, lines: Seq[String], op: String): Long = {
+      next: Long, lines: Seq[String], op: String,
+      declared: Option[StructType]): Long = {
     val (fs, rootPath) = fsOf(spark, root)
     val manifest = new Path(rootPath, manifestName(next))
     val won = CommitProtocol.publishFile(fs, manifest,
-      (carriedHeader(spark, root, next) + lines.mkString("", "\n", "\n"))
+      (headerFor(next, declared) + lines.mkString("", "\n", "\n"))
         .getBytes("UTF-8"))
     if (!won)
       throw new ConcurrentCommitException(
@@ -361,13 +384,14 @@ object SnapshotManifest {
     */
   private[graft] def publishWithAppend(spark: SparkSession, root: String,
       next: Long, lines: Seq[String], appendDf: DataFrame,
-      statsCols: Seq[String], op: String): Long = {
+      statsCols: Seq[String], op: String,
+      declared: Option[StructType]): Long = {
     val (fs, rootPath) = fsOf(spark, root)
     val (dataDir, appendLines) =
       writeDataFiles(spark, fs, rootPath, next, appendDf, statsCols)
     val manifest = new Path(rootPath, manifestName(next))
     val won = CommitProtocol.publishFile(fs, manifest,
-      (carriedHeader(spark, root, next) +
+      (headerFor(next, declared) +
         (lines ++ appendLines).mkString("", "\n", "\n"))
         .getBytes("UTF-8"))
     if (!won)
@@ -381,8 +405,8 @@ object SnapshotManifest {
   def read(spark: SparkSession, root: String): DataFrame = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"SnapshotManifest.read: no committed snapshot under $root"))
-    readEntries(spark, root, manifestBody(spark, root, v).map(parseLine),
-      manifestSchema(spark, root, v))
+    val (body, declared) = manifestParts(spark, root, v)
+    readEntries(spark, root, body.map(parseLine), declared)
   }
 
   /** Data-skipping read: files of the current snapshot whose manifest
@@ -400,10 +424,9 @@ object SnapshotManifest {
       predicate: org.apache.spark.sql.Column): DataFrame = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"SnapshotManifest.readWhere: no committed snapshot under $root"))
-    val body = manifestBody(spark, root, v)
+    val (body, declared) = manifestParts(spark, root, v)
     val entries = body.map(parseLine)
     val all = body.map(l => bodyFile(root, l))
-    val declared = manifestSchema(spark, root, v)
     val full = declared.map(spark.read.schema).getOrElse(spark.read).parquet(all: _*)
     val pred = ManifestStats.resolvePredicate(spark, full.schema, predicate)
     val kept = ManifestStats.prune(all, bodyStats(body), pred).toSet
@@ -501,27 +524,27 @@ object SnapshotManifest {
     * line reuse: a copy-on-write commit copies kept lines unchanged (path
     * AND stats), so unaffected files keep their pruning power for free.
     */
-  private[graft] def manifestBody(spark: SparkSession, root: String,
-      version: Long): Seq[String] = {
+  /** ONE manifest read yielding both the body lines (schema header
+    * stripped) and the recorded schema, so a DML verb never re-fetches
+    * the same file — on an object store each read is a remote GET.
+    */
+  private[graft] def manifestParts(spark: SparkSession, root: String,
+      version: Long): (Seq[String], Option[StructType]) = {
     val (fs, rootPath) = fsOf(spark, root)
     val text = CommitProtocol.readFully(fs, new Path(rootPath, manifestName(version)))
     val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
     require(lines.headOption.contains(s"version=$version"),
       s"corrupt manifest for version $version: bad header ${lines.headOption}")
     // `schema=` is a HEADER field ([[addColumns]]), not a file entry
-    lines.tail.toSeq.filterNot(_.startsWith("schema="))
+    val (schemaLines, body) = lines.tail.toSeq.partition(_.startsWith("schema="))
+    (body, schemaLines.headOption.map(l =>
+      org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("schema="))
+        .asInstanceOf[StructType]))
   }
 
-  /** The `schema=` header line of `version`'s manifest, verbatim —
-    * present only after a metadata-level schema change ([[addColumns]]);
-    * absent manifests derive their schema from the data files.
-    */
-  private[graft] def manifestSchemaLine(spark: SparkSession, root: String,
-      version: Long): Option[String] = {
-    val (fs, rootPath) = fsOf(spark, root)
-    CommitProtocol.readFully(fs, new Path(rootPath, manifestName(version)))
-      .split('\n').map(_.trim).find(_.startsWith("schema="))
-  }
+  private[graft] def manifestBody(spark: SparkSession, root: String,
+      version: Long): Seq[String] =
+    manifestParts(spark, root, version)._1
 
   /** The RECORDED table schema of `version`, if any — the source of truth
     * once [[addColumns]] has widened the table beyond what any single
@@ -530,18 +553,8 @@ object SnapshotManifest {
     */
   def manifestSchema(spark: SparkSession, root: String,
       version: Long): Option[StructType] =
-    manifestSchemaLine(spark, root, version).map(l =>
-      org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("schema="))
-        .asInstanceOf[StructType])
+    manifestParts(spark, root, version)._2
 
-  /** The table schema at `version`: recorded ([[manifestSchema]]) if
-    * present, else inferred from one data file (every file of an
-    * un-evolved snapshot shares it).
-    */
-  private[graft] def tableSchemaAt(spark: SparkSession, root: String,
-      version: Long, firstFile: => String): StructType =
-    manifestSchema(spark, root, version)
-      .getOrElse(spark.read.parquet(firstFile).schema)
 
   /** Absolute data-file path of one manifest body line. */
   private[graft] def bodyFile(root: String, line: String): String =
@@ -561,10 +574,11 @@ object SnapshotManifest {
     */
   private[graft] def publishVersion(spark: SparkSession, root: String,
       next: Long, df: DataFrame, statsCols: Seq[String],
-      keptLines: Seq[String], op: String): Long = {
+      keptLines: Seq[String], op: String,
+      declared: Option[StructType] = None): Long = {
     val (fs, rootPath) = fsOf(spark, root)
     stageAndPublish(spark, fs, rootPath, next, df, statsCols, keptLines,
-      op, requireFiles = false, carrySchema = true)
+      op, requireFiles = false, declared = declared)
   }
 
   /** MERGE-ON-READ DELETE — [[deleteWhere]]'s deferred twin (Delta/Iceberg
@@ -606,10 +620,9 @@ object SnapshotManifest {
     require(maxDvPositions >= 1, "maxDvPositions must be >= 1")
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"deleteWhereMoR: no committed snapshot under $root"))
-    val body = manifestBody(spark, root, v)
+    val (body, declared) = manifestParts(spark, root, v)
     if (body.isEmpty) return v
     val files = body.map(bodyFile(root, _))
-    val declared = manifestSchema(spark, root, v)
     val schema = declared.getOrElse(spark.read.parquet(files.head).schema)
     val affected = ManifestStats.prune(files, bodyStats(body),
       ManifestStats.resolvePredicate(spark, schema, predicate)).toSet
@@ -625,26 +638,30 @@ object SnapshotManifest {
       .select(col(fCol).alias("file_name"), col(rCol).alias("row_index"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (newMatches.isEmpty) return v
+      val nNew = newMatches.count()
+      if (nNew == 0) return v
+      // old and new are DISJOINT by construction (`alive` already
+      // anti-joined the old sidecars away) and each side is unique
+      // (physical positions / a distinct sidecar read), so the merged
+      // size is the exact SUM — the cap decides BEFORE any union work,
+      // and the union itself needs no distinct shuffle
+      val nOld = oldDv.map(_.count()).getOrElse(0L)
+      if (nNew + nOld > maxDvPositions) {
+        graft.core.Logging.logger().warn(
+          s"deleteWhereMoR: merged deletion vector would hold ${nNew + nOld} " +
+            s"positions (> maxDvPositions=$maxDvPositions) — degrading to " +
+            "the copy-on-write rewrite (deleteWhere)")
+        return deleteWhere(spark, root, predicate)
+      }
       val dvDf = oldDv.map(newMatches.unionByName(_)).getOrElse(newMatches)
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val nDv = dvDf.count()
-        if (nDv > maxDvPositions) {
-          graft.core.Logging.logger().warn(
-            s"deleteWhereMoR: merged deletion vector would hold $nDv positions " +
-              s"(> maxDvPositions=$maxDvPositions) — degrading to the " +
-              "copy-on-write rewrite (deleteWhere)")
-          return deleteWhere(spark, root, predicate)
-        }
-        val dvFileNames = dvDf.select(col("file_name")).distinct()
-          .collect().map(_.getString(0)).toSet // bounded by affected files
-        val dvFile = writeDvSidecar(spark, root, v + 1, dvDf)
-        publishLines(spark, root, v + 1,
-          dvTagLines(entriesWithFiles, affected, dvFileNames, dvFile),
-          "deleteWhereMoR")
-      } finally dvDf.unpersist(false)
+      // bounded by the files the sidecars mention: the affected set plus
+      // any file still sharing an old sidecar with one of them
+      val dvFileNames = dvDf.select(col("file_name")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val dvFile = writeDvSidecar(spark, root, v + 1, dvDf)
+      publishLines(spark, root, v + 1,
+        dvTagLines(entriesWithFiles, affected, dvFileNames, dvFile),
+        "deleteWhereMoR", declared)
     } finally newMatches.unpersist(false)
   }
 
@@ -672,10 +689,9 @@ object SnapshotManifest {
     require(maxDvPositions >= 1, "maxDvPositions must be >= 1")
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"updateWhereMoR: no committed snapshot under $root"))
-    val body = manifestBody(spark, root, v)
+    val (body, declared) = manifestParts(spark, root, v)
     if (body.isEmpty) return v
     val files = body.map(bodyFile(root, _))
-    val declared = manifestSchema(spark, root, v)
     val schema = declared.getOrElse(spark.read.parquet(files.head).schema)
     assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"updateWhereMoR: SET column '$c' not in ${schema.fieldNames.mkString(", ")}"))
@@ -699,25 +715,24 @@ object SnapshotManifest {
       }: _*)
       val newPositions = matched
         .select(col(fCol).alias("file_name"), col(rCol).alias("row_index"))
+      // disjoint-by-construction sizing, no distinct shuffle — see
+      // deleteWhereMoR
+      val nNew = newPositions.count()
+      val nOld = oldDv.map(_.count()).getOrElse(0L)
+      if (nNew + nOld > maxDvPositions) {
+        graft.core.Logging.logger().warn(
+          s"updateWhereMoR: merged deletion vector would hold ${nNew + nOld} " +
+            s"positions (> maxDvPositions=$maxDvPositions) — degrading to " +
+            "the copy-on-write rewrite (updateWhere)")
+        return updateWhere(spark, root, predicate, assignments, statsCols)
+      }
       val dvDf = oldDv.map(newPositions.unionByName(_)).getOrElse(newPositions)
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val nDv = dvDf.count()
-        if (nDv > maxDvPositions) {
-          graft.core.Logging.logger().warn(
-            s"updateWhereMoR: merged deletion vector would hold $nDv positions " +
-              s"(> maxDvPositions=$maxDvPositions) — degrading to the " +
-              "copy-on-write rewrite (updateWhere)")
-          return updateWhere(spark, root, predicate, assignments, statsCols)
-        }
-        val dvFileNames = dvDf.select(col("file_name")).distinct()
-          .collect().map(_.getString(0)).toSet // bounded by affected files
-        val dvFile = writeDvSidecar(spark, root, v + 1, dvDf)
-        publishWithAppend(spark, root, v + 1,
-          dvTagLines(entriesWithFiles, affected, dvFileNames, dvFile), postImages,
-          statsCols, "updateWhereMoR")
-      } finally dvDf.unpersist(false)
+      val dvFileNames = dvDf.select(col("file_name")).distinct()
+        .collect().map(_.getString(0)).toSet // affected ∪ sidecar-sharing files
+      val dvFile = writeDvSidecar(spark, root, v + 1, dvDf)
+      publishWithAppend(spark, root, v + 1,
+        dvTagLines(entriesWithFiles, affected, dvFileNames, dvFile), postImages,
+        statsCols, "updateWhereMoR", declared)
     } finally matched.unpersist(false)
   }
 
@@ -759,7 +774,7 @@ object SnapshotManifest {
       statsCols: Option[Seq[String]] = None): Long = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"foldDeletes: no committed snapshot under $root"))
-    val body = manifestBody(spark, root, v)
+    val (body, declared) = manifestParts(spark, root, v)
     val entries = body.map(parseLine)
     val dvd = entries.filter(_.dvRel.isDefined)
     if (dvd.isEmpty) return v
@@ -767,8 +782,8 @@ object SnapshotManifest {
       .values.flatMap(_.cols.keys).toSeq.distinct.sorted)
     val keptLines = entries.filter(_.dvRel.isEmpty).map(_.render)
     publishVersion(spark, root, v + 1,
-      readEntries(spark, root, dvd, manifestSchema(spark, root, v)),
-      cols, keptLines, "foldDeletes")
+      readEntries(spark, root, dvd, declared),
+      cols, keptLines, "foldDeletes", declared)
   }
 
   /** METADATA-ONLY widening schema evolution (Delta's ALTER TABLE ADD
@@ -799,8 +814,8 @@ object SnapshotManifest {
     require(newCols.nonEmpty, "addColumns: no columns given")
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"addColumns: no committed snapshot under $root"))
-    val body = manifestBody(spark, root, v)
-    val cur = manifestSchema(spark, root, v).getOrElse {
+    val (body, recorded) = manifestParts(spark, root, v)
+    val cur = recorded.getOrElse {
       require(body.nonEmpty,
         "addColumns: table has no data files and no recorded schema to widen")
       spark.read.parquet(bodyFile(root, body.head)).schema
@@ -850,10 +865,9 @@ object SnapshotManifest {
       op: String, transform: DataFrame => DataFrame): Long = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$op: no committed snapshot under $root"))
-    val body = manifestBody(spark, root, v)
+    val (body, declared) = manifestParts(spark, root, v)
     if (body.isEmpty) return v
     val files = body.map(bodyFile(root, _))
-    val declared = manifestSchema(spark, root, v)
     val schema = declared.getOrElse(spark.read.parquet(files.head).schema)
     val affected = ManifestStats.prune(files, bodyStats(body),
       ManifestStats.resolvePredicate(spark, schema, predicate)).toSet
@@ -866,7 +880,7 @@ object SnapshotManifest {
       .zip(files).collect { case (e, f) if affected(f) => e }
     publishVersion(spark, root, v + 1,
       transform(readEntries(spark, root, affectedEntries, declared)),
-      statsCols, keptLines, op)
+      statsCols, keptLines, op, declared)
   }
 
   /** Stage `df` into a fresh uniquely-nonced data dir for version `next`,
@@ -908,16 +922,15 @@ object SnapshotManifest {
 
   private def stageAndPublish(spark: SparkSession, fs: FileSystem, rootPath: Path,
       next: Long, df: DataFrame, statsCols: Seq[String], keptLines: Seq[String],
-      op: String, requireFiles: Boolean, carrySchema: Boolean = false): Long = {
+      op: String, requireFiles: Boolean,
+      declared: Option[StructType] = None): Long = {
     val (dataDir, newLines) = writeDataFiles(spark, fs, rootPath, next, df, statsCols)
     if (requireFiles)
       require(newLines.nonEmpty, s"$op: write produced no parquet files under $dataDir")
     val manifest = new Path(rootPath, manifestName(next))
-    // header: a CONTENT verb (carrySchema) keeps the recorded schema; a
-    // full commit replaces the table, schema included (the df defines it)
-    val header =
-      if (carrySchema) carriedHeader(spark, rootPath.toString, next)
-      else s"version=$next\n"
+    // header: a CONTENT verb passes the recorded schema it already read;
+    // a full commit passes None (the df defines the table's shape anew)
+    val header = headerFor(next, declared)
     // THE commit point: one atomic file publish. False = a concurrent
     // writer committed this version first — fail loudly, leave their
     // snapshot intact, and surface our staged data for inspection.
@@ -936,9 +949,10 @@ object SnapshotManifest {
     * (data files are immutable and manifests are never rewritten), so this
     * is a pure manifest lookup — no log replay, no reconstruction.
     */
-  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
-    readEntries(spark, root, manifestBody(spark, root, version).map(parseLine),
-      manifestSchema(spark, root, version))
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val (body, declared) = manifestParts(spark, root, version)
+    readEntries(spark, root, body.map(parseLine), declared)
+  }
 
   /** Row-level change feed between two committed versions: what happened to
     * the table keyed by `pk` going `fromVersion` → `toVersion`. Output is
