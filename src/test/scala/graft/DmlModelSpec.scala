@@ -105,4 +105,105 @@ class DmlModelSpec extends SparkSpec {
       }
     }
   }
+
+  test("addColumns interleaves with every DML verb; the declared column tracks the model") {
+    // schema evolution lands mid-history: before it the table is (id, v);
+    // after it (id, v, note) where merges may or may not carry note.
+    // Hunts the interaction bugs of the RECORDED schema: a verb dropping
+    // the schema header, a CoW rewrite losing the column, a post-image
+    // select missing it, a legacy merge nulling populated notes.
+    (0 until 2).foreach { trial =>
+      val root = Files.createTempDirectory(s"evomodel$trial").toString + "/t"
+      SnapshotManifest.commit(spark, root,
+        (0L until 100L).map(i => (i, i * 10L)).toDF("id", "v")
+          .repartitionByRange(4, $"id"),
+        Seq("id"))
+      // model: id -> (v, note)
+      val model = scala.collection.mutable.Map[Long, (Long, Option[Long])](
+        (0L until 100L).map(i => i -> ((i * 10L, Option.empty[Long]))): _*)
+      var evolved = false
+      val ops = samples(genOp, 12, 9100L + trial * 100L)
+      ops.zipWithIndex.foreach { case (op, step) =>
+        // deterministically evolve a third of the way through the history
+        if (step == 4) {
+          SnapshotManifest.addColumns(spark, root, Seq(
+            org.apache.spark.sql.types.StructField("note",
+              org.apache.spark.sql.types.LongType, nullable = true)))
+          evolved = true
+        }
+        op match {
+          case CowDelete(lo, hi) =>
+            SnapshotManifest.deleteWhere(spark, root, $"id".between(lo, hi), Seq("id"))
+            model.keys.filter(k => k >= lo && k <= hi).toSeq.foreach(model.remove)
+          case MorDelete(lo, hi) =>
+            SnapshotManifest.deleteWhereMoR(spark, root, $"id".between(lo, hi))
+            model.keys.filter(k => k >= lo && k <= hi).toSeq.foreach(model.remove)
+          case CowUpdate(lo, hi, d) =>
+            SnapshotManifest.updateWhere(spark, root, $"id".between(lo, hi),
+              Map("v" -> ($"v" + d)), Seq("id"))
+            model.keys.filter(k => k >= lo && k <= hi).toSeq
+              .foreach(k => model(k) = (model(k)._1 + d, model(k)._2))
+          case MorUpdate(lo, hi, d) =>
+            SnapshotManifest.updateWhereMoR(spark, root, $"id".between(lo, hi),
+              Map("v" -> ($"v" + d)), Seq("id"))
+            model.keys.filter(k => k >= lo && k <= hi).toSeq
+              .foreach(k => model(k) = (model(k)._1 + d, model(k)._2))
+          case CowMerge(rows) =>
+            if (evolved && step % 2 == 0) {
+              // staged batch CARRIES the new column (note = v)
+              Upsert.mergeWhere(spark, root,
+                rows.map { case (k, v) => (k, v, v) }.toDF("id", "v", "note"),
+                Seq("id"), Seq("id"))
+              rows.foreach { case (k, v) => model(k) = (v, Some(v)) }
+            } else {
+              // legacy batch: matched rows must KEEP their note (ANSI
+              // MERGE sets only staged columns), inserts get null
+              Upsert.mergeWhere(spark, root, rows.toDF("id", "v"),
+                Seq("id"), Seq("id"))
+              rows.foreach { case (k, v) =>
+                model(k) = (v, model.get(k).flatMap(_._2)) }
+            }
+          case MorMerge(rows) =>
+            if (evolved && step % 2 == 1) {
+              Upsert.mergeWhereMoR(spark, root,
+                rows.map { case (k, v) => (k, v, v) }.toDF("id", "v", "note"),
+                Seq("id"), Seq("id"))
+              rows.foreach { case (k, v) => model(k) = (v, Some(v)) }
+            } else {
+              Upsert.mergeWhereMoR(spark, root, rows.toDF("id", "v"),
+                Seq("id"), Seq("id"))
+              rows.foreach { case (k, v) =>
+                model(k) = (v, model.get(k).flatMap(_._2)) }
+            }
+          case Fold =>
+            SnapshotManifest.foldDeletes(spark, root)
+          case Compact =>
+            SnapshotManifest.compactSnapshot(spark, root)
+          case Vacuum =>
+            SnapshotManifest.vacuum(spark, root, keep = 1)
+          case Optimize if model.nonEmpty =>
+            graft.operators.Layout.optimizeSnapshot(spark, root,
+              Seq("id", "v"), bits = 4, numFiles = 4)
+          case Optimize => ()
+        }
+        if (!evolved) {
+          val got = SnapshotManifest.read(spark, root)
+            .as[(Long, Long)].collect().toMap
+          assert(got == model.toMap.map { case (k, (v, _)) => k -> v },
+            s"evo trial $trial diverged pre-evolution after step $step ($op)")
+        } else {
+          val df = SnapshotManifest.read(spark, root)
+          assert(df.columns.toSeq == Seq("id", "v", "note"),
+            s"evo trial $trial: schema lost after step $step ($op): ${df.columns.toSeq}")
+          val got = df.as[(Long, Long, Option[Long])].collect()
+            .map(r => r._1 -> ((r._2, r._3))).toMap
+          assert(got == model.toMap,
+            s"evo trial $trial diverged after step $step ($op): " +
+              s"extra=${(got.keySet -- model.keySet).take(5)} " +
+              s"missing=${(model.keySet -- got.keySet).take(5)} " +
+              s"wrong=${got.collect { case (k, v) if model.get(k).exists(_ != v) => (k, v, model(k)) }.take(3)}")
+        }
+      }
+    }
+  }
 }
