@@ -427,13 +427,25 @@ object SnapshotManifest {
     val (body, declared) = manifestParts(spark, root, v)
     val entries = body.map(parseLine)
     val all = body.map(l => bodyFile(root, l))
-    val full = declared.map(spark.read.schema).getOrElse(spark.read).parquet(all: _*)
-    val pred = ManifestStats.resolvePredicate(spark, full.schema, predicate)
+    // with a RECORDED schema the prune decision needs no file contact at
+    // all (at 100k files, constructing a reader over every path pays a
+    // full listing just to learn a schema the manifest already states);
+    // un-evolved tables infer from ONE file — every file of a snapshot
+    // shares its schema
+    val schema = declared.getOrElse {
+      if (all.isEmpty) throw new IllegalStateException(
+        s"SnapshotManifest.readWhere: snapshot $v of $root has no data " +
+          "files and no recorded schema")
+      spark.read.parquet(all.head).schema
+    }
+    val pred = ManifestStats.resolvePredicate(spark, schema, predicate)
     val kept = ManifestStats.prune(all, bodyStats(body), pred).toSet
     val keptEntries = entries.zip(all).collect { case (e, f) if kept(f) => e }
     if (keptEntries.isEmpty)
       // schema must come from the table even when every file is pruned
-      full.limit(0).filter(predicate)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .filter(predicate)
     else readEntries(spark, root, keptEntries, declared).filter(predicate)
   }
 
