@@ -819,7 +819,12 @@ object SnapshotManifest {
     * New columns must be nullable (existing rows have no values) and
     * must not collide case-insensitively with existing ones. A full
     * [[commit]] (truncate-and-load) REPLACES the table, schema included
-    * — its df defines the shape anew.
+    * — its df defines the shape anew. The same holds coherently for the
+    * full-rewrite maintenance verbs ([[compactSnapshot]],
+    * [[graft.operators.Layout.optimizeSnapshot]]): they read under the
+    * recorded schema, so their output files carry the declared columns
+    * PHYSICALLY — after which the header is genuinely unnecessary and is
+    * dropped (file inference answers the full schema again).
     */
   def addColumns(spark: SparkSession, root: String,
       newCols: Seq[StructField]): Long = {

@@ -122,6 +122,24 @@ class SchemaEvolutionSpec extends SparkSpec {
       SnapshotManifest.currentVersion(spark, root).get).isEmpty)
   }
 
+  test("full-rewrite maintenance materializes declared columns and retires the header") {
+    val root = newTable()
+    SnapshotManifest.addColumns(spark, root,
+      Seq(StructField("note", StringType, nullable = true)))
+    Upsert.mergeWhere(spark, root,
+      Seq((5L, -50L, "x")).toDF("id", "v", "note"), Seq("id"), Seq("id"))
+    // compaction reads under the recorded schema → its output files carry
+    // note PHYSICALLY, so the header is no longer needed and is dropped
+    val v = SnapshotManifest.compactSnapshot(spark, root,
+      targetBytes = 1024L * 1024 * 1024)
+    assert(v.isDefined)
+    assert(SnapshotManifest.manifestSchema(spark, root, v.get).isEmpty)
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.columns.toSeq == Seq("id", "v", "note"))
+    assert(got.filter($"id" === 5L).head().getAs[String]("note") == "x")
+    assert(got.filter($"note".isNull).count() == 99L)
+  }
+
   test("E3 schema diff drives the widening (audit -> addColumns composition)") {
     val root = newTable()
     val incoming = Seq((0L, 0L, "x")).toDF("id", "v", "note").schema
