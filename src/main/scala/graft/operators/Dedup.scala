@@ -277,8 +277,12 @@ object Dedup {
       col(scoreCol).alias("__score"))
     // null-id branches only exist when the schema ADMITS null ids — a
     // non-nullable id column must not pay extra evaluations of the
-    // (possibly expensive) records plan for provably-empty branches
-    val idNullable = records.schema(idCol).nullable
+    // (possibly expensive) records plan for provably-empty branches.
+    // Resolution is case-INSENSITIVE (matching col()'s default analyzer
+    // behavior); an unresolvable name stays conservative — col() will
+    // raise the real error downstream
+    val idNullable = records.schema.fields
+      .find(_.name.equalsIgnoreCase(idCol)).forall(_.nullable)
     val nullRows =
       if (!idNullable) None
       else Some(scoredAll.filter(col("__id").isNull)
@@ -329,7 +333,9 @@ object Dedup {
     val keep = clusterRepresentatives(records, pairs, idCol, scoreCol)
       .filter(col(idCol) === col("representative"))
       .select(col(idCol).alias("__keep_id"))
-    if (!records.schema(idCol).nullable)
+    val idNullable = records.schema.fields
+      .find(_.name.equalsIgnoreCase(idCol)).forall(_.nullable)
+    if (!idNullable)
       // non-nullable id: no null branch to preserve, one semi-join
       records.join(keep, records(idCol) === col("__keep_id"), "left_semi")
     else

@@ -201,7 +201,7 @@ object Upsert {
     val stagedP = staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (stagedP.isEmpty) return v
-      val (body, declared0) = SnapshotManifest.manifestParts(spark, tableRoot, v)
+      val (body, declared) = SnapshotManifest.manifestParts(spark, tableRoot, v)
       if (body.isEmpty) {
         // degenerate current snapshot with zero data files (everything was
         // deleted): the merge is just the staged rows — but still ALIGNED
@@ -215,7 +215,7 @@ object Upsert {
         // per-version existence probe (a long-lived table can be at v≈1e5).
         // A RECORDED schema (addColumns) on the current version is the
         // table's declared shape and wins over file inference.
-        val tableSchema = declared0
+        val tableSchema = declared
           .orElse(SnapshotManifest.listVersions(spark, tableRoot)
             .filter(_ < v).reverseIterator
             .map(SnapshotManifest.manifestBody(spark, tableRoot, _))
@@ -232,10 +232,9 @@ object Upsert {
           case None => stagedP
         }
         return SnapshotManifest.publishVersion(spark, tableRoot, v + 1,
-          alignedStaged, statsCols, Nil, "mergeWhere", declared0)
+          alignedStaged, statsCols, Nil, "mergeWhere", declared)
       }
       val files = body.map(SnapshotManifest.bodyFile(tableRoot, _))
-      val declared = declared0
       val targetSchema = declared.getOrElse(spark.read.parquet(files.head).schema)
       pk.foreach(c => require(targetSchema.fieldNames.contains(c),
         s"mergeWhere: PK column $c not in target schema ${targetSchema.fieldNames.mkString(", ")}"))
@@ -360,6 +359,7 @@ object Upsert {
           "mergeWhereMoR", declared)
       val oldDv =
         SnapshotManifest.entryDvPositionsDf(spark, tableRoot, affectedEntries)
+          .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val (alive, fCol, rCol) = SnapshotManifest.readEntriesWithPositions(
         spark, tableRoot, affectedEntries, oldDv, declared)
       // staged-key aliases chosen collision-free against the target's
@@ -403,7 +403,10 @@ object Upsert {
           SnapshotManifest.dvTagLines(entries.zip(files), affected,
             dvFileNames, dvFile),
           aligned(mergedAppend), statsCols, "mergeWhereMoR", declared)
-      } finally matchedTarget.unpersist(false)
+      } finally {
+        matchedTarget.unpersist(false)
+        oldDv.foreach(_.unpersist(false))
+      }
     } finally stagedP.unpersist(false)
   }
 

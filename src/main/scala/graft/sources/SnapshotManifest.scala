@@ -587,7 +587,7 @@ object SnapshotManifest {
   private[graft] def publishVersion(spark: SparkSession, root: String,
       next: Long, df: DataFrame, statsCols: Seq[String],
       keptLines: Seq[String], op: String,
-      declared: Option[StructType] = None): Long = {
+      declared: Option[StructType]): Long = {
     val (fs, rootPath) = fsOf(spark, root)
     stageAndPublish(spark, fs, rootPath, next, df, statsCols, keptLines,
       op, requireFiles = false, declared = declared)
@@ -643,7 +643,11 @@ object SnapshotManifest {
     val affectedEntries = entriesWithFiles.collect { case (e, f) if affected(f) => e }
     // positions attach on the raw scan; the old sidecars — read ONCE — are
     // anti-joined away so already-deleted rows can't match again
+    // the old sidecar frame feeds FOUR consumers (the alive anti-join,
+    // the size count, the basename collect, the sidecar write) — persist
+    // pins one materialization of its scan+distinct
     val oldDv = entryDvPositionsDf(spark, root, affectedEntries)
+      .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val (alive, fCol, rCol) =
       readEntriesWithPositions(spark, root, affectedEntries, oldDv, declared)
     val newMatches = alive.filter(coalesce(predicate, lit(false)))
@@ -674,7 +678,10 @@ object SnapshotManifest {
       publishLines(spark, root, v + 1,
         dvTagLines(entriesWithFiles, affected, dvFileNames, dvFile),
         "deleteWhereMoR", declared)
-    } finally newMatches.unpersist(false)
+    } finally {
+      newMatches.unpersist(false)
+      oldDv.foreach(_.unpersist(false))
+    }
   }
 
   /** MERGE-ON-READ UPDATE — [[deleteWhereMoR]] + post-image append (the
@@ -713,6 +720,7 @@ object SnapshotManifest {
     val entriesWithFiles = body.map(parseLine).zip(files)
     val affectedEntries = entriesWithFiles.collect { case (e, f) if affected(f) => e }
     val oldDv = entryDvPositionsDf(spark, root, affectedEntries)
+      .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val (alive, fCol, rCol) =
       readEntriesWithPositions(spark, root, affectedEntries, oldDv, declared)
     val matched = alive.filter(coalesce(predicate, lit(false)))
@@ -745,7 +753,10 @@ object SnapshotManifest {
       publishWithAppend(spark, root, v + 1,
         dvTagLines(entriesWithFiles, affected, dvFileNames, dvFile), postImages,
         statsCols, "updateWhereMoR", declared)
-    } finally matched.unpersist(false)
+    } finally {
+      matched.unpersist(false)
+      oldDv.foreach(_.unpersist(false))
+    }
   }
 
   /** [[deleteWhereMoR]] / [[updateWhereMoR]] with the bounded lost-race
@@ -940,7 +951,7 @@ object SnapshotManifest {
   private def stageAndPublish(spark: SparkSession, fs: FileSystem, rootPath: Path,
       next: Long, df: DataFrame, statsCols: Seq[String], keptLines: Seq[String],
       op: String, requireFiles: Boolean,
-      declared: Option[StructType] = None): Long = {
+      declared: Option[StructType]): Long = {
     val (dataDir, newLines) = writeDataFiles(spark, fs, rootPath, next, df, statsCols)
     if (requireFiles)
       require(newLines.nonEmpty, s"$op: write produced no parquet files under $dataDir")
@@ -995,8 +1006,11 @@ object SnapshotManifest {
     require(pk.nonEmpty, "changesBetween: pk must name at least one column")
     require(fromVersion <= toVersion,
       s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
-    val oldEntries = manifestBody(spark, root, fromVersion).map(parseLine)
-    val newEntries = manifestBody(spark, root, toVersion).map(parseLine)
+    // ONE manifest fetch per version: body + recorded schema together
+    val (fromBody, fromSchema) = manifestParts(spark, root, fromVersion)
+    val (toBody, toSchema) = manifestParts(spark, root, toVersion)
+    val oldEntries = fromBody.map(parseLine)
+    val newEntries = toBody.map(parseLine)
     val oldFiles = oldEntries.map(e => new Path(new Path(root), e.rel).toString)
     val newFiles = newEntries.map(e => new Path(new Path(root), e.rel).toString)
     // shared = same data file AND same deletion vector: a file whose DV
@@ -1016,8 +1030,7 @@ object SnapshotManifest {
     // RECORDED schemas widen the union too: a metadata-only addColumns
     // declares a column no data file carries yet — the feed must still
     // expose it (as typed nulls) so a consumer's schema tracks the table's
-    val recordedExtra = Seq(fromVersion, toVersion)
-      .flatMap(manifestSchema(spark, root, _)).flatMap(_.fields)
+    val recordedExtra = (fromSchema.toSeq ++ toSchema.toSeq).flatMap(_.fields)
       .filterNot(f => schemaSrc0.columns.contains(f.name))
       .groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name)
     val unionSchema = StructType(schemaSrc0.schema.fields ++ recordedExtra)
@@ -1032,17 +1045,17 @@ object SnapshotManifest {
     // Sides read DV-APPLIED (a MoR-deleted row is absent from its side,
     // so a DV-only change on a shared data file emits plain deletes);
     // one version's files share a schema, so per-side mergeSchema is moot
-    def side(entries: Seq[ManifestEntry], version: Long) = {
+    def side(entries: Seq[ManifestEntry], declared: Option[StructType]) = {
       val raw =
         if (entries.isEmpty) schemaSrc.limit(0)
-        else readEntries(spark, root, entries, manifestSchema(spark, root, version))
+        else readEntries(spark, root, entries, declared)
       raw.select(cols.map(c =>
         if (raw.columns.contains(c)) col(s"`$c`")
         else lit(null).cast(unionSchema(c).dataType).alias(c)): _*)
         .withColumn("__graft_present", lit(1))
     }
-    val o = side(oldOnly, fromVersion).alias("o")
-    val n = side(newOnly, toVersion).alias("n")
+    val o = side(oldOnly, fromSchema).alias("o")
+    val n = side(newOnly, toSchema).alias("n")
     val joinCond = pk.map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _)
     val joined = o.join(n, joinCond, "full_outer")
     val oldAbsent = col("o.__graft_present").isNull
@@ -1088,7 +1101,7 @@ object SnapshotManifest {
     val (fs, rootPath) = fsOf(spark, root)
     val next = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
     stageAndPublish(spark, fs, rootPath, next, df, statsCols, Nil,
-      "commit", requireFiles = true)
+      "commit", requireFiles = true, declared = None)
   }
 
   /** [[commit]] gated by declarative quality expectations — CHECK
