@@ -140,6 +140,38 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(got.filter($"note".isNull).count() == 99L)
   }
 
+  test("incremental rollup refresh crosses an addColumns boundary") {
+    import graft.operators.IncrementalRollup
+    val base = Files.createTempDirectory("evoroll").toString
+    val (src, roll) = (s"$base/src", s"$base/rollup")
+    val aggs = Seq(count(lit(1)).alias("n"),
+      sum($"v".cast("decimal(30,6)")).cast("decimal(38,6)").alias("sum_v"))
+    SnapshotManifest.commit(spark, src,
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L)).toDF("id", "grp", "v"),
+      Seq("id"))
+    IncrementalRollup.refresh(spark, src, roll, Seq("id"), Seq("grp"), aggs)
+    // the source widens mid-stream; the rollup's aggregates don't touch
+    // the new column, so refresh off the widened change feed must still
+    // land on the from-scratch answer
+    SnapshotManifest.addColumns(spark, src,
+      Seq(StructField("note", StringType, nullable = true)))
+    Upsert.mergeWhere(spark, src,
+      Seq((2L, "a", -5L, "x"), (4L, "b", 40L, "y")).toDF("id", "grp", "v", "note"),
+      Seq("id"), Seq("id"))
+    IncrementalRollup.refresh(spark, src, roll, Seq("id"), Seq("grp"), aggs)
+    val got = IncrementalRollup.read(spark, roll)
+      .select($"grp", $"n", $"sum_v").as[(String, Long, BigDecimal)]
+      .collect().map(r => r._1 -> ((r._2, r._3.toLong))).toMap
+    assert(got == Map("a" -> ((2L, 5L)), "b" -> ((2L, 70L))), got.toString)
+    // and a rollup over the DECLARED column works once it has data
+    val roll2 = s"$base/rollup2"
+    IncrementalRollup.refresh(spark, src, roll2, Seq("id"), Seq("grp"),
+      Seq(sum(when($"note".isNotNull, 1L).otherwise(0L)).alias("n_noted")))
+    val noted = IncrementalRollup.read(spark, roll2)
+      .select($"grp", $"n_noted").as[(String, Long)].collect().toMap
+    assert(noted == Map("a" -> 1L, "b" -> 1L), noted.toString)
+  }
+
   test("E3 schema diff drives the widening (audit -> addColumns composition)") {
     val root = newTable()
     val incoming = Seq((0L, 0L, "x")).toDF("id", "v", "note").schema
