@@ -172,6 +172,41 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(noted == Map("a" -> 1L, "b" -> 1L), noted.toString)
   }
 
+  test("streaming upsert rides across an addColumns widening mid-stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingUpsert
+    val root = newTable()
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("evo_ck").toString
+    // batch 0: legacy-shaped stream lands before the widening
+    val legacy = MemoryStream[(Long, Long, Long)]
+    legacy.addData(Seq((5L, -50L, 1L)))
+    StreamingUpsert.runAvailableNow(spark,
+      legacy.toDF().toDF("id", "v", "ts"), root, Seq("id"), "ts",
+      s"$ckpt/a", statsCols = Seq("id"))
+    // the table widens; a NEW stream shape carries the declared column
+    SnapshotManifest.addColumns(spark, root,
+      Seq(StructField("note", StringType, nullable = true)))
+    val noted = MemoryStream[(Long, Long, String, Long)]
+    noted.addData(Seq((6L, -60L, "n6", 2L), (500L, 1L, "fresh", 2L)))
+    StreamingUpsert.runAvailableNow(spark,
+      noted.toDF().toDF("id", "v", "note", "ts"), root, Seq("id"), "ts",
+      s"$ckpt/b", statsCols = Seq("id"))
+    // and a LEGACY-shaped batch after the widening keeps notes intact
+    val legacy2 = MemoryStream[(Long, Long, Long)]
+    legacy2.addData(Seq((6L, -61L, 3L)))
+    StreamingUpsert.runAvailableNow(spark,
+      legacy2.toDF().toDF("id", "v", "ts"), root, Seq("id"), "ts",
+      s"$ckpt/c", statsCols = Seq("id"))
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.count() == 101L)
+    assert(got.filter($"id" === 5L).head().getAs[Long]("v") == -50L)
+    assert(got.filter($"id" === 6L).head().getAs[Long]("v") == -61L)
+    assert(got.filter($"id" === 6L).head().getAs[String]("note") == "n6")
+    assert(got.filter($"id" === 500L).head().getAs[String]("note") == "fresh")
+    assert(got.filter($"note".isNotNull).count() == 2L)
+  }
+
   test("E3 schema diff drives the widening (audit -> addColumns composition)") {
     val root = newTable()
     val incoming = Seq((0L, 0L, "x")).toDF("id", "v", "note").schema
