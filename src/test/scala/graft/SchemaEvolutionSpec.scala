@@ -207,6 +207,29 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(got.filter($"note".isNotNull).count() == 2L)
   }
 
+  test("racing addColumns: losers retry onto the winner's schema; same-name collision is loud") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = newTable()
+    // two writers race DIFFERENT columns: each retries past the lost race
+    // and re-widens the winner's schema — both columns land
+    val fa = Future(SnapshotManifest.addColumnsWithRetry(spark, root,
+      Seq(StructField("nota", StringType, nullable = true))))
+    val fb = Future(SnapshotManifest.addColumnsWithRetry(spark, root,
+      Seq(StructField("notb", LongType, nullable = true))))
+    Await.result(fa, 2.minutes); Await.result(fb, 2.minutes)
+    val cols = SnapshotManifest.read(spark, root).columns.toSeq
+    assert(cols.contains("nota") && cols.contains("notb"), cols.toString)
+    assert(SnapshotManifest.currentVersion(spark, root).contains(2L))
+    // a retry that finds the winner already added the SAME name fails
+    // loudly (require), never double-declares
+    intercept[IllegalArgumentException] {
+      SnapshotManifest.addColumnsWithRetry(spark, root,
+        Seq(StructField("nota", StringType, nullable = true)))
+    }
+  }
+
   test("E3 schema diff drives the widening (audit -> addColumns composition)") {
     val root = newTable()
     val incoming = Seq((0L, 0L, "x")).toDF("id", "v", "note").schema
