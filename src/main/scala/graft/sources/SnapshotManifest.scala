@@ -1019,23 +1019,44 @@ object SnapshotManifest {
     val shared = oldEntries.map(_.unit).toSet intersect newEntries.map(_.unit).toSet
     val oldOnly = oldEntries.filterNot(e => shared(e.unit))
     val newOnly = newEntries.filterNot(e => shared(e.unit))
-    // UNION schema across both versions (mergeSchema): a schema-evolving
-    // commit (column added or dropped between the versions) must not make
-    // the diff unreadable. Each side is aligned to the union below —
-    // absent columns read as typed nulls, so an added column registers as
-    // null→value updates (the Delta-CDF convention) rather than an
-    // analysis error.
-    val schemaSrc0 = spark.read.option("mergeSchema", "true")
-      .parquet((oldFiles ++ newFiles).distinct: _*)
-    // RECORDED schemas widen the union too: a metadata-only addColumns
-    // declares a column no data file carries yet — the feed must still
-    // expose it (as typed nulls) so a consumer's schema tracks the table's
-    val recordedExtra = (fromSchema.toSeq ++ toSchema.toSeq).flatMap(_.fields)
-      .filterNot(f => schemaSrc0.columns.contains(f.name))
-      .groupBy(_.name).map(_._2.head).toSeq.sortBy(_.name)
-    val unionSchema = StructType(schemaSrc0.schema.fields ++ recordedExtra)
-    val schemaSrc = recordedExtra.foldLeft(schemaSrc0)((df, f) =>
-      df.withColumn(f.name, lit(null).cast(f.dataType)))
+    // UNION schema across both versions: a schema-evolving commit (column
+    // added or dropped between the versions) must not make the diff
+    // unreadable. Each side is aligned to the union below — absent columns
+    // read as typed nulls, so an added column registers as null→value
+    // updates (the Delta-CDF convention) rather than an analysis error.
+    //
+    // Derivation cost: every file of a snapshot shares its schema, so each
+    // side's schema is its RECORDED header or ONE footer read — never a
+    // mergeSchema sweep of both versions' full file lists (at 100k files
+    // that was 100k footer round-trips per incremental refresh, and
+    // parquet's merge refuses even int→bigint anyway). A same-name/
+    // different-type collision (a retyping full commit) reconciles to
+    // Catalyst's tightest common type; irreconcilable types fail loudly
+    // with the column named.
+    val sideFrom = fromSchema.orElse(
+      oldFiles.headOption.map(f => spark.read.parquet(f).schema))
+    val sideTo = toSchema.orElse(
+      newFiles.headOption.map(f => spark.read.parquet(f).schema))
+    val fromFields = sideFrom.map(_.fields.toSeq).getOrElse(Nil)
+    val toFields = sideTo.map(_.fields.toSeq).getOrElse(Nil)
+    val reconciled = fromFields.map { f =>
+      toFields.find(_.name == f.name) match {
+        case Some(t) if t.dataType != f.dataType =>
+          val wide = org.apache.spark.sql.catalyst.analysis.TypeCoercion
+            .findTightestCommonType(f.dataType, t.dataType)
+            .getOrElse(throw new IllegalStateException(
+              s"changesBetween: column '${f.name}' was retyped between " +
+                s"versions ($fromVersion: ${f.dataType.simpleString} → " +
+                s"$toVersion: ${t.dataType.simpleString}) with no common " +
+                "type — diff the versions separately"))
+          StructField(f.name, wide, f.nullable || t.nullable)
+        case _ => f
+      }
+    }
+    val unionSchema = StructType(reconciled ++
+      toFields.filterNot(t => fromFields.exists(_.name == t.name)))
+    val schemaSrc = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], unionSchema)
     val cols = unionSchema.fieldNames.toSeq
     pk.foreach(c => require(cols.contains(c), s"changesBetween: pk column $c not in $cols"))
     if (oldOnly.isEmpty && newOnly.isEmpty)

@@ -454,6 +454,23 @@ class SnapshotManifestSpec extends SparkSpec {
     assert(drop.contains((2L, "delete")) && drop.contains((1L, "update_preimage")))
   }
 
+  test("changesBetween across a RETYPED column reconciles to the tightest common type") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      Seq((1L, 10), (2L, 20)).toDF("id", "y")) // y: int
+    SnapshotManifest.commit(spark, root,
+      Seq((1L, 10L), (2L, 21L)).toDF("id", "y")) // y: bigint (widened)
+    val feed = SnapshotManifest.changesBetween(spark, root, 0L, 1L, Seq("id"))
+    // union schema reconciles int→bigint (parquet mergeSchema would have
+    // REFUSED this); unchanged row 1 drops out, row 2's change survives
+    assert(feed.schema("y").dataType ==
+      org.apache.spark.sql.types.LongType, feed.schema.simpleString)
+    val rows = feed.select($"id", $"y", $"_change")
+      .as[(Long, Long, String)].collect().toSet
+    assert(rows == Set((2L, 20L, "update_preimage"), (2L, 21L, "update_postimage")),
+      rows.toString)
+  }
+
   test("changesBetween across compaction: rewritten-but-unchanged rows emit nothing") {
     val root = newRoot()
     SnapshotManifest.commit(spark, root,
