@@ -138,11 +138,14 @@ object Layout {
     import graft.sources.SnapshotManifest
     val v = SnapshotManifest.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"optimizeSnapshot: no committed snapshot under $root"))
-    val inherited = SnapshotManifest.snapshotFileStats(spark, root, v)
+    // ONE manifest read answers stats, entries, and the declared schema
+    val (body, declared) = SnapshotManifest.manifestParts(spark, root, v)
+    val inherited = SnapshotManifest.bodyStats(body)
       .values.flatMap(_.cols.keys).toSeq
     val statsCols = (inherited ++ zCols ++ extraStatsCols).distinct.sorted
     SnapshotManifest.commit(spark, root,
-      zOrderByN(SnapshotManifest.read(spark, root), zCols, bits, numFiles),
+      zOrderByN(SnapshotManifest.readEntries(spark, root,
+        body.map(SnapshotManifest.parseLine), declared), zCols, bits, numFiles),
       statsCols)
   }
 }

@@ -454,9 +454,11 @@ object SnapshotManifest {
     */
   def prunedFiles(spark: SparkSession, root: String, version: Long,
       predicate: org.apache.spark.sql.Column): Seq[String] = {
-    val files = snapshotFiles(spark, root, version)
-    val schema = spark.read.parquet(files: _*).schema
-    ManifestStats.prune(files, snapshotFileStats(spark, root, version),
+    val (body, declared) = manifestParts(spark, root, version)
+    val files = body.map(bodyFile(root, _))
+    // recorded schema or ONE footer — never a reader over the full list
+    val schema = declared.getOrElse(spark.read.parquet(files.head).schema)
+    ManifestStats.prune(files, bodyStats(body),
       ManifestStats.resolvePredicate(spark, schema, predicate))
   }
 
@@ -1224,17 +1226,22 @@ object SnapshotManifest {
     val (fs, _) = fsOf(spark, root)
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"compactSnapshot: no committed snapshot under $root"))
-    val files = snapshotFiles(spark, root, v)
+    // ONE manifest read answers files, stats, and the declared schema
+    val (body, declared) = manifestParts(spark, root, v)
+    val files = body.map(bodyFile(root, _))
     val totalBytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
     val targetFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     if (files.length <= targetFiles) None
     else {
-      val cols = statsCols.getOrElse(snapshotFileStats(spark, root, v)
+      val cols = statsCols.getOrElse(bodyStats(body)
         .values.flatMap(_.cols.keys).toSeq.distinct.sorted)
       // DV-applied read: compacting a MoR-deleted table materializes the
       // deletions instead of resurrecting the rows; output carries no DVs
+      // (and, read under the declared schema, materializes any addColumns
+      // widening into the compacted files)
       Some(commit(spark, root,
-        readVersion(spark, root, v).coalesce(targetFiles), cols))
+        readEntries(spark, root, body.map(parseLine), declared)
+          .coalesce(targetFiles), cols))
     }
   }
 
