@@ -140,12 +140,13 @@ object Layout {
       throw new IllegalStateException(s"optimizeSnapshot: no committed snapshot under $root"))
     // ONE manifest read answers stats, entries, and the declared schema
     val (body, declared) = SnapshotManifest.manifestParts(spark, root, v)
-    val inherited = SnapshotManifest.bodyStats(body)
+    val entries = body.map(SnapshotManifest.parseLine)
+    val inherited = SnapshotManifest.bodyStatsOf(entries)
       .values.flatMap(_.cols.keys).toSeq
     val statsCols = (inherited ++ zCols ++ extraStatsCols).distinct.sorted
     SnapshotManifest.commit(spark, root,
-      zOrderByN(SnapshotManifest.readEntries(spark, root,
-        body.map(SnapshotManifest.parseLine), declared), zCols, bits, numFiles),
+      zOrderByN(SnapshotManifest.readEntries(spark, root, entries, declared),
+        zCols, bits, numFiles),
       statsCols)
   }
 }

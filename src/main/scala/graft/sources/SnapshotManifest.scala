@@ -455,10 +455,12 @@ object SnapshotManifest {
   def prunedFiles(spark: SparkSession, root: String, version: Long,
       predicate: org.apache.spark.sql.Column): Seq[String] = {
     val (body, declared) = manifestParts(spark, root, version)
-    val files = body.map(bodyFile(root, _))
+    if (body.isEmpty) return Nil // nothing to prune, no schema needed
+    val entries = body.map(parseLine)
+    val files = entries.map(e => new Path(new Path(root), e.rel).toString)
     // recorded schema or ONE footer — never a reader over the full list
     val schema = declared.getOrElse(spark.read.parquet(files.head).schema)
-    ManifestStats.prune(files, bodyStats(body),
+    ManifestStats.prune(files, bodyStatsOf(entries),
       ManifestStats.resolvePredicate(spark, schema, predicate))
   }
 
@@ -578,7 +580,14 @@ object SnapshotManifest {
     * (stats-less lines simply don't appear — they never prune).
     */
   private[graft] def bodyStats(body: Seq[String]): Map[String, ManifestStats.FileStats] =
-    body.map(parseLine).flatMap(e =>
+    bodyStatsOf(body.map(parseLine))
+
+  /** [[bodyStats]] over ALREADY-parsed entries — callers holding the parse
+    * must not pay it twice (200k line parses on a 100k-file manifest).
+    */
+  private[graft] def bodyStatsOf(entries: Seq[ManifestEntry])
+      : Map[String, ManifestStats.FileStats] =
+    entries.flatMap(e =>
       e.stats.map(json => new Path(e.rel).getName -> ManifestStats.fromJson(json))).toMap
 
   /** Stage `df` and atomically publish it as version `next` together with
@@ -1062,7 +1071,7 @@ object SnapshotManifest {
     val cols = unionSchema.fieldNames.toSeq
     pk.foreach(c => require(cols.contains(c), s"changesBetween: pk column $c not in $cols"))
     if (oldOnly.isEmpty && newOnly.isEmpty)
-      return schemaSrc.limit(0).withColumn("_change", lit(""))
+      return schemaSrc.withColumn("_change", lit(""))
     // presence markers, not pk-null checks: a legitimately NULL-keyed row
     // (the `=` merge carve-outs tolerate them) must not read as "absent".
     // Sides read DV-APPLIED (a MoR-deleted row is absent from its side,
@@ -1070,15 +1079,17 @@ object SnapshotManifest {
     // one version's files share a schema, so per-side mergeSchema is moot
     def side(entries: Seq[ManifestEntry], declared: Option[StructType]) = {
       val raw =
-        if (entries.isEmpty) schemaSrc.limit(0)
+        if (entries.isEmpty) schemaSrc
         else readEntries(spark, root, entries, declared)
       raw.select(cols.map(c =>
         if (raw.columns.contains(c)) col(s"`$c`")
         else lit(null).cast(unionSchema(c).dataType).alias(c)): _*)
         .withColumn("__graft_present", lit(1))
     }
-    val o = side(oldOnly, fromSchema).alias("o")
-    val n = side(newOnly, toSchema).alias("n")
+    // the side schema just resolved for the union (recorded OR the one
+    // footer read) pins the scan too — no second footer inference
+    val o = side(oldOnly, sideFrom).alias("o")
+    val n = side(newOnly, sideTo).alias("n")
     val joinCond = pk.map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _)
     val joined = o.join(n, joinCond, "full_outer")
     val oldAbsent = col("o.__graft_present").isNull
@@ -1233,14 +1244,15 @@ object SnapshotManifest {
     val targetFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     if (files.length <= targetFiles) None
     else {
-      val cols = statsCols.getOrElse(bodyStats(body)
+      val entries = body.map(parseLine)
+      val cols = statsCols.getOrElse(bodyStatsOf(entries)
         .values.flatMap(_.cols.keys).toSeq.distinct.sorted)
       // DV-applied read: compacting a MoR-deleted table materializes the
       // deletions instead of resurrecting the rows; output carries no DVs
       // (and, read under the declared schema, materializes any addColumns
       // widening into the compacted files)
       Some(commit(spark, root,
-        readEntries(spark, root, body.map(parseLine), declared)
+        readEntries(spark, root, entries, declared)
           .coalesce(targetFiles), cols))
     }
   }
