@@ -1167,6 +1167,16 @@ object Oracles {
         |FROM cur GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // RESTORE TO VERSION (q135): the restore undoes every DML in the
+    // sequence, so the oracle is the raw fixture aggregate verbatim.
+    "q135_restore" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     "q54_hash_sample" ->
       """SELECT l_returnflag, count(*) AS n_sampled,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty

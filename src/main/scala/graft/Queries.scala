@@ -2533,6 +2533,42 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** RESTORE TO VERSION ([[graft.sources.SnapshotManifest.restoreVersion]])
+    * as an oracle-gated composition: bootstrap from orders, run a bad DML
+    * sequence (MoR delete + CoW update + file-pruned merge), then RESTORE
+    * the bootstrap version — one metadata-only publish — and report the
+    * table. The oracle is the RAW fixture aggregate: any row the restore
+    * failed to resurrect, any clobbered value it failed to revert, and any
+    * merge insert it failed to drop shifts a count or the exact sum.
+    */
+  def q135Restore(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q135").toString
+    graft.sources.SnapshotManifest.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey"))
+    // the bad sequence a production operator would want undone
+    graft.sources.SnapshotManifest.deleteWhereMoR(spark, root,
+      col("o_orderkey").between(100, 900))
+    graft.sources.SnapshotManifest.updateWhere(spark, root,
+      col("o_orderkey") % 7 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") * 0.0)), Seq("o_orderkey"))
+    graft.operators.Upsert.mergeWhere(spark, root,
+      orders.filter(col("o_orderkey") < 50)
+        .select((col("o_orderkey") + 20000000L).alias("o_orderkey"),
+          lit("Z").alias("o_orderstatus"), col("o_totalprice")),
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.restoreVersion(spark, root, 0L)
+    graft.sources.SnapshotManifest.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("sum_price"),
+        min(col("o_orderkey")).alias("min_key"),
+        max(col("o_orderkey")).alias("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2671,6 +2707,7 @@ object Queries {
     "q131_mor_merge" -> (q131MorMerge _),
     "q132_table_lifecycle" -> (q132TableLifecycle _),
     "q133_keep_best_curation" -> (q133KeepBestCuration _),
-    "q134_schema_evolution" -> (q134SchemaEvolution _)
+    "q134_schema_evolution" -> (q134SchemaEvolution _),
+    "q135_restore" -> (q135Restore _)
   )
 }

@@ -880,6 +880,39 @@ object SnapshotManifest {
     v + 1
   }
 
+  /** RESTORE TO VERSION (Delta's RESTORE, on this engine's manifest): make
+    * `toVersion`'s content current again by publishing a NEW version whose
+    * body — paths, stats, deletion-vector refs — and recorded schema are
+    * `toVersion`'s, verbatim. Pure metadata: no data file is read or
+    * written, the same cost at any table size; the undo for a bad DML,
+    * compaction, or merge. History is preserved (the bad versions stay
+    * time-travelable until [[vacuum]]), the restored manifest makes the
+    * old files reachable again for vacuum's sweep, and
+    * [[changesBetween]](bad, restored) emits exactly the inverse feed.
+    * Restoring a vacuumed version fails loudly ([[hasVersion]] probes).
+    */
+  def restoreVersion(spark: SparkSession, root: String, toVersion: Long): Long = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"restoreVersion: no committed snapshot under $root"))
+    require(hasVersion(spark, root, toVersion),
+      s"restoreVersion: version $toVersion of $root does not exist (never " +
+        "committed, or reclaimed by vacuum)")
+    if (v == toVersion) return v
+    val (body, schema) = manifestParts(spark, root, toVersion)
+    publishLines(spark, root, v + 1, body, "restoreVersion", schema)
+  }
+
+  /** [[restoreVersion]] with the bounded lost-race retry: each attempt
+    * re-reads the current version, so a retry restores ON TOP of whatever
+    * the racing writer committed (last-restore-wins, like any DML).
+    */
+  def restoreVersionWithRetry(spark: SparkSession, root: String,
+      toVersion: Long, maxAttempts: Int = 5,
+      backoff: Int => FiniteDuration = Retry.linearBackoff(1.second),
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Long =
+    Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
+      maxAttempts, backoff, sleep)(restoreVersion(spark, root, toVersion))
+
   /** [[addColumns]] with the bounded lost-race retry of the DML twins:
     * each attempt re-reads the current schema, so a retry widens the
     * table as the winning writer left it (and fails loudly if the winner

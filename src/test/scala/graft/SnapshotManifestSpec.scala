@@ -454,6 +454,53 @@ class SnapshotManifestSpec extends SparkSpec {
     assert(drop.contains((2L, "delete")) && drop.contains((1L, "update_preimage")))
   }
 
+  test("restoreVersion: metadata-only undo, inverse change feed, vacuum-safe") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      spark.range(0, 100).toDF("id").withColumn("v", $"id" * 10)
+        .repartitionByRange(4, $"id"),
+      Seq("id"))
+    // a bad DML sequence: MoR delete + CoW update
+    SnapshotManifest.deleteWhereMoR(spark, root, $"id".between(10, 20))
+    SnapshotManifest.updateWhere(spark, root, $"id" === 50L,
+      Map("v" -> lit(-1L)), Seq("id"))
+    assert(SnapshotManifest.read(spark, root).count() == 89L)
+    // restore: pure metadata, v0's files (and absent DVs) verbatim
+    val v0Files = SnapshotManifest.snapshotFiles(spark, root, 0L)
+    val r = SnapshotManifest.restoreVersion(spark, root, 0L)
+    assert(r == 3L)
+    assert(SnapshotManifest.snapshotFiles(spark, root, r) == v0Files)
+    val got = SnapshotManifest.read(spark, root)
+    assert(got.count() == 100L)
+    assert(got.filter($"id" === 50L).head().getAs[Long]("v") == 500L)
+    // the feed across (bad → restored) is exactly the inverse: the deleted
+    // band resurrects as inserts, the clobbered row reverts
+    val feed = SnapshotManifest.changesBetween(spark, root, 2L, 3L, Seq("id"))
+    assert(feed.filter($"_change" === "insert").count() == 11L)
+    assert(feed.filter($"_change" === "update_postimage" && $"id" === 50L)
+      .head().getAs[Long]("v") == 500L)
+    // restoring the current version is a no-op; a nonexistent one is loud
+    assert(SnapshotManifest.restoreVersion(spark, root, 3L) == 3L)
+    intercept[IllegalArgumentException] {
+      SnapshotManifest.restoreVersion(spark, root, 99L)
+    }
+    // vacuum keeps the restored content reachable, drops the bad history
+    SnapshotManifest.vacuum(spark, root, keep = 1)
+    assert(SnapshotManifest.read(spark, root).count() == 100L)
+    intercept[IllegalArgumentException] {
+      SnapshotManifest.restoreVersion(spark, root, 1L) // vacuumed
+    }
+    // restore carries a recorded schema too
+    SnapshotManifest.addColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val withNote = SnapshotManifest.currentVersion(spark, root).get
+    SnapshotManifest.deleteWhere(spark, root, $"id" < 50L, Seq("id"))
+    SnapshotManifest.restoreVersionWithRetry(spark, root, withNote)
+    val restored = SnapshotManifest.read(spark, root)
+    assert(restored.count() == 100L && restored.columns.contains("note"))
+  }
+
   test("changesBetween across a RETYPED column reconciles to the tightest common type") {
     val root = newRoot()
     SnapshotManifest.commit(spark, root,
