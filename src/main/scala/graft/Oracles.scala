@@ -1177,6 +1177,50 @@ object Oracles {
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Change-data feed (q136): replay each commit's churn from the raw
+    // fixture — commit 1 updates every key ≡0 (mod 7) to ×2 (pre+post
+    // images), commit 2 deletes the 100-499 band at its POST-update
+    // prices, commit 3 inserts the shifted keys-under-50 batch.
+    "q136_change_feed" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |feed AS (
+        |  SELECT 1 AS commit_version, 'update_preimage' AS change,
+        |    o_totalprice AS p FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 1, 'update_postimage', o_totalprice * 2
+        |    FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 2, 'delete',
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END
+        |    FROM base WHERE o_orderkey BETWEEN 100 AND 499
+        |  UNION ALL
+        |  SELECT 3, 'insert', o_totalprice FROM base WHERE o_orderkey < 50)
+        |SELECT CAST(commit_version AS BIGINT) AS commit_version, change,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(p AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        |FROM feed GROUP BY commit_version, change
+        |ORDER BY commit_version, change""".stripMargin,
+
+    // Shallow clone (q137): the 'src' side must equal the raw fixture
+    // (clone DML leaked nothing); the 'clone' side replays the clone's
+    // divergence — ×2 on keys ≡0 (mod 5), the 1000-1999 band deleted,
+    // the shifted 'Z' insert batch added.
+    "q137_clone" ->
+      """WITH sides AS (
+        |  SELECT 'src' AS side, o_orderstatus, o_totalprice AS p FROM orders
+        |  UNION ALL
+        |  SELECT 'clone', o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END
+        |    FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 1999
+        |  UNION ALL
+        |  SELECT 'clone', 'Z', o_totalprice FROM orders WHERE o_orderkey < 40)
+        |SELECT side, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(p AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        |FROM sides GROUP BY side, o_orderstatus
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
     "q54_hash_sample" ->
       """SELECT l_returnflag, count(*) AS n_sampled,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty

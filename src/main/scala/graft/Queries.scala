@@ -2569,6 +2569,79 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Materialized change-data feed ([[graft.sources.ChangeFeed]]),
+    * oracle-gated end to end: bootstrap a snapshot table from orders, run
+    * a three-commit DML sequence (exact ×2 price update, band delete,
+    * out-of-range insert merge), materialize the per-commit feed, and
+    * aggregate the FEED itself by commit and change kind. The oracle
+    * replays each commit's churn from the raw fixture — a missing image,
+    * a leaked unchanged row, or a wrong pre/post value shifts a count or
+    * an exact sum. (×2 is exact in binary, so pre/post prices stay
+    * differential-safe doubles.)
+    */
+  def q136ChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q136").toString
+    graft.sources.SnapshotManifest.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.updateWhere(spark, root,
+      col("o_orderkey") % 7 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") * 2)), Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.deleteWhere(spark, root,
+      col("o_orderkey").between(100, 499), Seq("o_orderkey"))
+    graft.operators.Upsert.mergeWhere(spark, root,
+      orders.filter(col("o_orderkey") < 50)
+        .select((col("o_orderkey") + 30000000L).alias("o_orderkey"),
+          lit("Z").alias("o_orderstatus"), col("o_totalprice")),
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    graft.sources.ChangeFeed.materializeNew(spark, root, Seq("o_orderkey"))
+    graft.sources.ChangeFeed.feed(spark, root)
+      .groupBy(col("_commit_version").alias("commit_version"),
+        col("_change").alias("change"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("sum_price"))
+      .orderBy(col("commit_version"), col("change"))
+  }
+
+  /** Shallow clone ([[graft.sources.SnapshotManifest.cloneTable]]),
+    * oracle-gated as an ISOLATION proof: bootstrap a source table from
+    * orders, clone it (metadata-only), run a DML sequence on the CLONE
+    * (×2 update on a key slice, band delete, tagged insert merge), then
+    * report both sides labeled. The 'src' rows gate that the source still
+    * matches the raw fixture (clone writes leaked nothing); the 'clone'
+    * rows gate that the clone's divergence — computed over the SHARED
+    * source bytes — replays exactly.
+    */
+  def q137Clone(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val src = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q137s").toString
+    val dst = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q137d").toString
+    graft.sources.SnapshotManifest.commit(spark, src,
+      orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.cloneTable(spark, src, dst)
+    graft.sources.SnapshotManifest.updateWhere(spark, dst,
+      col("o_orderkey") % 5 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") * 2)), Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.deleteWhere(spark, dst,
+      col("o_orderkey").between(1000, 1999), Seq("o_orderkey"))
+    graft.operators.Upsert.mergeWhere(spark, dst,
+      orders.filter(col("o_orderkey") < 40)
+        .select((col("o_orderkey") + 40000000L).alias("o_orderkey"),
+          lit("Z").alias("o_orderstatus"), col("o_totalprice")),
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    def agg(df: DataFrame, side: String) = df
+      .groupBy(lit(side).alias("side"), col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("sum_price"))
+    agg(graft.sources.SnapshotManifest.read(spark, src), "src")
+      .unionByName(agg(graft.sources.SnapshotManifest.read(spark, dst), "clone"))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2708,6 +2781,8 @@ object Queries {
     "q132_table_lifecycle" -> (q132TableLifecycle _),
     "q133_keep_best_curation" -> (q133KeepBestCuration _),
     "q134_schema_evolution" -> (q134SchemaEvolution _),
-    "q135_restore" -> (q135Restore _)
+    "q135_restore" -> (q135Restore _),
+    "q136_change_feed" -> (q136ChangeFeed _),
+    "q137_clone" -> (q137Clone _)
   )
 }

@@ -925,6 +925,59 @@ object SnapshotManifest {
     Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
       maxAttempts, backoff, sleep)(addColumns(spark, root, newCols))
 
+  /** SHALLOW CLONE (Delta's CLONE, on this engine's manifest): bootstrap
+    * `dstRoot` as a NEW table whose version-0 body references `srcRoot`'s
+    * data files — and their deletion-vector sidecars — by absolute
+    * qualified path. Pure metadata: zero data bytes copied, one manifest
+    * publish, the same cost at 100 rows as at 100 TB. The clone is the
+    * instant dev/test/experiment copy: DML on it writes NEW files under
+    * `dstRoot` while untouched lines keep pointing at the shared source
+    * bytes, so the clone diverges at churn cost, never at table cost.
+    *
+    * Isolation guarantees, by construction rather than by runtime checks:
+    *  - writes to the clone never touch the source ([[rewriteWhere]]
+    *    carries kept lines verbatim; new files stage under `dstRoot`);
+    *  - [[vacuum]] on the clone only ever deletes under `dstRoot/data`, so
+    *    shared source bytes are never reclaimed from the clone side;
+    *  - [[vacuum]] on the SOURCE cannot see the clone's manifests — a
+    *    source vacuum that drops the cloned version's files breaks the
+    *    clone (exactly Delta's documented shallow-clone hazard). Deep-copy
+    *    the clone first ([[compactSnapshot]] rewrites every referenced
+    *    byte under `dstRoot`, severing the share) if the source's
+    *    retention cannot be trusted to outlive it.
+    *
+    * The source's recorded schema (an [[addColumns]] widening) carries
+    * into the clone's header verbatim. Source and destination must live
+    * on the same filesystem (the manifest stores one path, not a remote
+    * handle). `version` defaults to the source's current snapshot.
+    */
+  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String,
+      version: Option[Long] = None): Long = {
+    val (srcFs, srcPath) = fsOf(spark, srcRoot)
+    val v = version.getOrElse(currentVersion(spark, srcRoot).getOrElse(
+      throw new IllegalStateException(
+        s"cloneTable: no committed snapshot under $srcRoot")))
+    require(hasVersion(spark, srcRoot, v),
+      s"cloneTable: version $v of $srcRoot does not exist (never committed, " +
+        "or reclaimed by vacuum)")
+    require(currentVersion(spark, dstRoot).isEmpty,
+      s"cloneTable: destination $dstRoot already has committed snapshots — " +
+        "clone bootstraps a NEW table")
+    val qualifiedSrc = srcFs.makeQualified(srcPath)
+    val (dstFs, dstPath) = fsOf(spark, dstRoot)
+    require(dstFs.makeQualified(dstPath).toUri.getScheme ==
+        qualifiedSrc.toUri.getScheme,
+      s"cloneTable: source and destination must share a filesystem " +
+        s"(${qualifiedSrc.toUri.getScheme} vs " +
+        s"${dstFs.makeQualified(dstPath).toUri.getScheme})")
+    val (body, schema) = manifestParts(spark, srcRoot, v)
+    val absLines = body.map(parseLine).map { e =>
+      e.copy(rel = new Path(qualifiedSrc, e.rel).toString,
+        dvRel = e.dvRel.map(r => new Path(qualifiedSrc, r).toString)).render
+    }
+    publishLines(spark, dstRoot, 0L, absLines, "cloneTable", schema)
+  }
+
   /** The shared copy-on-write rewrite under [[deleteWhere]]/[[updateWhere]]:
     * stats-prune the affected files, apply `transform` to their rows,
     * commit kept manifest lines (verbatim) + the rewritten files. ONE

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.{ChangeFeed, SnapshotManifest}
+
+/** Materialized change-data feed: per-commit catch-up, idempotence,
+  * empty-commit markers, bounded batch reads, the streaming tail, and
+  * feed retention.
+  */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot() = Files.createTempDirectory("cdf").toString
+
+  /** Collected feed rows as a comparable set (id, x, change, version). */
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, String, Long)] =
+    df.select(col("id"), col("x"), col("_change"), col("_commit_version"))
+      .as[(Long, String, String, Long)].collect().toSet
+
+  /** A table with four commits: bootstrap, update, delete, insert-merge. */
+  private def build4(root: String): Unit = {
+    SnapshotManifest.commit(spark, root,
+      (0L until 20L).map(i => (i, s"v$i")).toDF("id", "x"), Seq("id"))
+    SnapshotManifest.updateWhere(spark, root, col("id") === 3L,
+      Map("x" -> lit("patched")), Seq("id"))
+    SnapshotManifest.deleteWhere(spark, root, col("id") >= 18L, Seq("id"))
+    graft.operators.Upsert.mergeWhere(spark, root,
+      Seq((100L, "new")).toDF("id", "x"), Seq("id"), Seq("id"))
+  }
+
+  test("materializeNew covers every commit boundary; feed equals the per-commit diffs") {
+    val root = newRoot()
+    build4(root)
+    val done = ChangeFeed.materializeNew(spark, root, Seq("id"))
+    assert(done == Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    val expected = done.flatMap { case (f, t) =>
+      rows(SnapshotManifest.changesBetween(spark, root, f, t, Seq("id"))
+        .withColumn("_commit_version", lit(t)))
+    }.toSet
+    assert(rows(ChangeFeed.feed(spark, root)) == expected)
+    // the feed carries exactly the churn: 1 update (2 images) + 2 deletes + 1 insert
+    assert(expected.toSeq.map(_._3).groupBy(identity).view.mapValues(_.size).toMap ==
+      Map("update_preimage" -> 1, "update_postimage" -> 1,
+        "delete" -> 2, "insert" -> 1))
+  }
+
+  test("catch-up is idempotent and versioned bounds prune the batch read") {
+    val root = newRoot()
+    build4(root)
+    assert(ChangeFeed.materializeNew(spark, root, Seq("id")).size == 3)
+    assert(ChangeFeed.materializeNew(spark, root, Seq("id")).isEmpty)
+    val all = rows(ChangeFeed.feed(spark, root))
+    val late = rows(ChangeFeed.feed(spark, root, sinceVersion = Some(2L)))
+    assert(late == all.filter(_._4 > 2L))
+    val early = rows(ChangeFeed.feed(spark, root, untilVersion = Some(1L)))
+    assert(early == all.filter(_._4 <= 1L))
+  }
+
+  test("metadata-only commits materialize as empty readable markers") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "x"), Seq("id"))
+    // restore-to-self-content via a no-change restore is a no-op publish,
+    // so force a metadata-only boundary with addColumns instead
+    SnapshotManifest.addColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("y",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    assert(ChangeFeed.materializeNew(spark, root, Seq("id")) == Seq((0L, 1L)))
+    val feed = ChangeFeed.feed(spark, root)
+    assert(feed.count() == 0)
+    // the marker still reads under the feed schema (no inference failure)
+    assert(feed.columns.contains("_change") && feed.columns.contains("_commit_version"))
+  }
+
+  test("streaming tail sees the whole materialized feed exactly once") {
+    val root = newRoot()
+    build4(root)
+    ChangeFeed.materializeNew(spark, root, Seq("id"))
+    val q = ChangeFeed.stream(spark, root).writeStream
+      .format("memory").queryName("cdf_tail")
+      .option("checkpointLocation", Files.createTempDirectory("cdfchk").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = rows(spark.table("cdf_tail"))
+    assert(streamed == rows(ChangeFeed.feed(spark, root)))
+  }
+
+  test("vacuumFeed reclaims old ranges and leaves the rest readable") {
+    val root = newRoot()
+    build4(root)
+    ChangeFeed.materializeNew(spark, root, Seq("id"))
+    val all = rows(ChangeFeed.feed(spark, root))
+    assert(ChangeFeed.vacuumFeed(spark, root, beforeVersion = 2L) ==
+      Seq((0L, 1L), (1L, 2L)))
+    assert(rows(ChangeFeed.feed(spark, root)) == all.filter(_._4 > 2L))
+    assert(ChangeFeed.materializedRanges(spark, root) == Seq((2L, 3L)))
+  }
+}
