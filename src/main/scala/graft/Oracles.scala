@@ -1221,6 +1221,13 @@ object Oracles {
         |FROM sides GROUP BY side, o_orderstatus
         |ORDER BY side, o_orderstatus""".stripMargin,
 
+    // Bloom-indexed point lookup (q138): blooms only skip row groups —
+    // results must equal the raw-fixture lookup exactly.
+    "q138_bloom_lookup" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey IN (1, 7, 32, 33, 1000, 4999, 12345, 29989)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q54_hash_sample" ->
       """SELECT l_returnflag, count(*) AS n_sampled,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty

@@ -2642,6 +2642,29 @@ object Queries {
       .orderBy(col("side"), col("o_orderstatus"))
   }
 
+  /** Bloom-indexed point lookup ([[graft.sources.SnapshotManifest]]'s
+    * `bloomCols` table property): commit orders HASH-partitioned on the
+    * key — the layout where every file's min/max range spans the whole
+    * key space, so stats prune nothing and only the parquet-native bloom
+    * filters discriminate at the row-group level — then look up a fixed
+    * key set through [[graft.sources.SnapshotManifest.readWhere]]. The
+    * oracle is the same lookup on the raw fixture: blooms must never
+    * change results (no false negatives), only skip row groups.
+    * BloomFilterSpec pins the index mechanics (written, discriminating,
+    * surviving every rewrite verb).
+    */
+  def q138BloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q138").toString
+    graft.sources.SnapshotManifest.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartition(8, col("o_orderkey")),
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.readWhere(spark, root,
+      col("o_orderkey").isin(1L, 7L, 32L, 33L, 1000L, 4999L, 12345L, 29989L))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2783,6 +2806,7 @@ object Queries {
     "q134_schema_evolution" -> (q134SchemaEvolution _),
     "q135_restore" -> (q135Restore _),
     "q136_change_feed" -> (q136ChangeFeed _),
-    "q137_clone" -> (q137Clone _)
+    "q137_clone" -> (q137Clone _),
+    "q138_bloom_lookup" -> (q138BloomLookup _)
   )
 }

@@ -139,14 +139,15 @@ object Layout {
     val v = SnapshotManifest.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"optimizeSnapshot: no committed snapshot under $root"))
     // ONE manifest read answers stats, entries, and the declared schema
-    val (body, declared) = SnapshotManifest.manifestParts(spark, root, v)
+    val (body, meta) = SnapshotManifest.manifestParts(spark, root, v)
     val entries = body.map(SnapshotManifest.parseLine)
     val inherited = SnapshotManifest.bodyStatsOf(entries)
       .values.flatMap(_.cols.keys).toSeq
     val statsCols = (inherited ++ zCols ++ extraStatsCols).distinct.sorted
+    // the bloom property survives OPTIMIZE, like stats do
     SnapshotManifest.commit(spark, root,
-      zOrderByN(SnapshotManifest.readEntries(spark, root, entries, declared),
+      zOrderByN(SnapshotManifest.readEntries(spark, root, entries, meta.schema),
         zCols, bits, numFiles),
-      statsCols)
+      statsCols, meta.bloomCols)
   }
 }

@@ -201,7 +201,7 @@ object Upsert {
     val stagedP = staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (stagedP.isEmpty) return v
-      val (body, declared) = SnapshotManifest.manifestParts(spark, tableRoot, v)
+      val (body, meta) = SnapshotManifest.manifestParts(spark, tableRoot, v)
       if (body.isEmpty) {
         // degenerate current snapshot with zero data files (everything was
         // deleted): the merge is just the staged rows — but still ALIGNED
@@ -215,7 +215,7 @@ object Upsert {
         // per-version existence probe (a long-lived table can be at v≈1e5).
         // A RECORDED schema (addColumns) on the current version is the
         // table's declared shape and wins over file inference.
-        val tableSchema = declared
+        val tableSchema = meta.schema
           .orElse(SnapshotManifest.listVersions(spark, tableRoot)
             .filter(_ < v).reverseIterator
             .map(SnapshotManifest.manifestBody(spark, tableRoot, _))
@@ -232,10 +232,10 @@ object Upsert {
           case None => stagedP
         }
         return SnapshotManifest.publishVersion(spark, tableRoot, v + 1,
-          alignedStaged, statsCols, Nil, "mergeWhere", declared)
+          alignedStaged, statsCols, Nil, "mergeWhere", meta)
       }
       val files = body.map(SnapshotManifest.bodyFile(tableRoot, _))
-      val targetSchema = declared.getOrElse(spark.read.parquet(files.head).schema)
+      val targetSchema = meta.schema.getOrElse(spark.read.parquet(files.head).schema)
       pk.foreach(c => require(targetSchema.fieldNames.contains(c),
         s"mergeWhere: PK column $c not in target schema ${targetSchema.fieldNames.mkString(", ")}"))
       // NOTE on evolution: merge() itself already implements ANSI MERGE
@@ -254,12 +254,12 @@ object Upsert {
       // MoR-deleted row must not resurrect through the merge rewrite
       val targetAffected =
         if (affected.isEmpty)
-          declared.map(s => spark.createDataFrame(
+          meta.schema.map(s => spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
             .getOrElse(spark.read.parquet(files.head).limit(0))
         else SnapshotManifest.readEntries(spark, tableRoot,
           body.map(SnapshotManifest.parseLine).zip(files)
-            .collect { case (e, f) if affected(f) => e }, declared)
+            .collect { case (e, f) if affected(f) => e }, meta.schema)
       val merged = merge(targetAffected, stagedP, pk)
       // backticked refs: a column NAME containing a dot must resolve as a
       // top-level column, not parse as a nested-field path
@@ -268,7 +268,7 @@ object Upsert {
       val keptLines = body.filterNot(line =>
         affected.contains(SnapshotManifest.bodyFile(tableRoot, line)))
       SnapshotManifest.publishVersion(spark, tableRoot, v + 1, aligned,
-        statsCols, keptLines, "mergeWhere", declared)
+        statsCols, keptLines, "mergeWhere", meta)
     } finally stagedP.unpersist(false)
   }
 
@@ -329,13 +329,13 @@ object Upsert {
     val stagedP = staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (stagedP.isEmpty) return v
-      val (body, declared) = SnapshotManifest.manifestParts(spark, tableRoot, v)
+      val (body, meta) = SnapshotManifest.manifestParts(spark, tableRoot, v)
       if (body.isEmpty)
         // nothing to mask — identical to the copy-on-write form
         return mergeWhere(spark, tableRoot, stagedP, pk, statsCols, maxKeySetSize)
       val entries = body.map(SnapshotManifest.parseLine)
       val files = body.map(SnapshotManifest.bodyFile(tableRoot, _))
-      val targetSchema = declared.getOrElse(spark.read.parquet(files.head).schema)
+      val targetSchema = meta.schema.getOrElse(spark.read.parquet(files.head).schema)
       pk.foreach(c => require(targetSchema.fieldNames.contains(c),
         s"mergeWhereMoR: PK column $c not in target schema ${targetSchema.fieldNames.mkString(", ")}"))
       // staged realignment is NOT needed for evolution — merge() handles
@@ -349,19 +349,19 @@ object Upsert {
       def aligned(df: DataFrame): DataFrame =
         df.select(targetSchema.fields.toSeq.map(f =>
           col(s"`${f.name}`").cast(f.dataType).alias(f.name)): _*)
-      val emptyTarget = declared.map(s => spark.createDataFrame(
+      val emptyTarget = meta.schema.map(s => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
         .getOrElse(spark.read.parquet(files.head).limit(0))
       if (affectedEntries.isEmpty)
         // no file can hold a staged key: every staged row is an insert
         return SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
           body, aligned(merge(emptyTarget, stagedP, pk)), statsCols,
-          "mergeWhereMoR", declared)
+          "mergeWhereMoR", meta)
       val oldDv =
         SnapshotManifest.entryDvPositionsDf(spark, tableRoot, affectedEntries)
           .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val (alive, fCol, rCol) = SnapshotManifest.readEntriesWithPositions(
-        spark, tableRoot, affectedEntries, oldDv, declared)
+        spark, tableRoot, affectedEntries, oldDv, meta.schema)
       // staged-key aliases chosen collision-free against the target's
       // columns (same adversarial-name guard as the position columns)
       var kp = "__k_"
@@ -381,7 +381,7 @@ object Upsert {
         if (matchedTarget.isEmpty)
           return SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
             body, aligned(merge(emptyTarget, stagedP, pk)), statsCols,
-            "mergeWhereMoR", declared)
+            "mergeWhereMoR", meta)
         val newPositions = matchedTarget
           .select(col(fCol).alias("file_name"), col(rCol).alias("row_index"))
         val nNew = newPositions.count()
@@ -402,7 +402,7 @@ object Upsert {
         SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
           SnapshotManifest.dvTagLines(entries.zip(files), affected,
             dvFileNames, dvFile),
-          aligned(mergedAppend), statsCols, "mergeWhereMoR", declared)
+          aligned(mergedAppend), statsCols, "mergeWhereMoR", meta)
       } finally {
         matchedTarget.unpersist(false)
         oldDv.foreach(_.unpersist(false))

@@ -123,8 +123,8 @@ object ChangeFeed {
     val v = SnapshotManifest.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(
         s"ChangeFeed.feedSchema: no committed snapshot under $root"))
-    val (body, declared) = SnapshotManifest.manifestParts(spark, root, v)
-    val table = declared.getOrElse {
+    val (body, meta) = SnapshotManifest.manifestParts(spark, root, v)
+    val table = meta.schema.getOrElse {
       require(body.nonEmpty, s"ChangeFeed.feedSchema: snapshot $v of $root " +
         "has no data files and no recorded schema")
       spark.read.parquet(SnapshotManifest.bodyFile(root, body.head)).schema

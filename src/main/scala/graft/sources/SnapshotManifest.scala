@@ -313,26 +313,56 @@ object SnapshotManifest {
     }
   }
 
-  /** The header every publish starts with: the version tag plus the
-    * table's recorded schema (if any) — content verbs pass the schema
-    * they already read so an [[addColumns]] widening survives them
-    * without a second manifest fetch; a full commit passes None (its df
-    * defines the shape anew).
+  /** Table-level metadata carried in the manifest HEADER, beside the
+    * version tag: the recorded schema (an [[addColumns]] widening) and
+    * the bloom-indexed columns (point-lookup pruning, see [[commit]]'s
+    * `bloomCols`). Content verbs read it once and carry it forward
+    * verbatim (schema possibly widened), so a property survives every
+    * DML/maintenance rewrite; a full [[commit]] defines it anew.
     */
-  private def headerFor(next: Long, declared: Option[StructType]): String =
+  private[graft] final case class TableMeta(schema: Option[StructType],
+      bloomCols: Seq[String])
+
+  private[graft] object TableMeta {
+    val empty: TableMeta = TableMeta(None, Nil)
+  }
+
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def bloomJson(cols: Seq[String]): String = {
+    val arr = jsonMapper.createArrayNode()
+    cols.foreach(arr.add)
+    jsonMapper.writeValueAsString(arr)
+  }
+
+  private def bloomFromJson(s: String): Seq[String] = {
+    val n = jsonMapper.readTree(s)
+    require(n.isArray, s"corrupt bloom header: $s")
+    (0 until n.size).map(i => n.get(i).asText())
+  }
+
+  /** The header every publish starts with: the version tag plus the
+    * table's recorded metadata — content verbs pass the meta they
+    * already read so an [[addColumns]] widening or a bloom property
+    * survives them without a second manifest fetch; a full commit
+    * passes a fresh meta (its df defines the shape anew).
+    */
+  private def headerFor(next: Long, meta: TableMeta): String =
     s"version=$next\n" +
-      declared.map(s => s"schema=${s.json}\n").getOrElse("")
+      meta.schema.map(s => s"schema=${s.json}\n").getOrElse("") +
+      (if (meta.bloomCols.isEmpty) ""
+       else s"bloom=${bloomJson(meta.bloomCols)}\n")
 
   /** Atomically publish version `next` with exactly `lines` — the
     * append-free MoR publish ([[deleteWhereMoR]]'s commit point).
     */
   private[graft] def publishLines(spark: SparkSession, root: String,
       next: Long, lines: Seq[String], op: String,
-      declared: Option[StructType]): Long = {
+      meta: TableMeta): Long = {
     val (fs, rootPath) = fsOf(spark, root)
     val manifest = new Path(rootPath, manifestName(next))
     val won = CommitProtocol.publishFile(fs, manifest,
-      (headerFor(next, declared) + lines.mkString("", "\n", "\n"))
+      (headerFor(next, meta) + lines.mkString("", "\n", "\n"))
         .getBytes("UTF-8"))
     if (!won)
       throw new ConcurrentCommitException(
@@ -385,13 +415,14 @@ object SnapshotManifest {
   private[graft] def publishWithAppend(spark: SparkSession, root: String,
       next: Long, lines: Seq[String], appendDf: DataFrame,
       statsCols: Seq[String], op: String,
-      declared: Option[StructType]): Long = {
+      meta: TableMeta): Long = {
     val (fs, rootPath) = fsOf(spark, root)
     val (dataDir, appendLines) =
-      writeDataFiles(spark, fs, rootPath, next, appendDf, statsCols)
+      writeDataFiles(spark, fs, rootPath, next, appendDf, statsCols,
+        meta.bloomCols)
     val manifest = new Path(rootPath, manifestName(next))
     val won = CommitProtocol.publishFile(fs, manifest,
-      (headerFor(next, declared) +
+      (headerFor(next, meta) +
         (lines ++ appendLines).mkString("", "\n", "\n"))
         .getBytes("UTF-8"))
     if (!won)
@@ -405,8 +436,8 @@ object SnapshotManifest {
   def read(spark: SparkSession, root: String): DataFrame = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"SnapshotManifest.read: no committed snapshot under $root"))
-    val (body, declared) = manifestParts(spark, root, v)
-    readEntries(spark, root, body.map(parseLine), declared)
+    val (body, meta) = manifestParts(spark, root, v)
+    readEntries(spark, root, body.map(parseLine), meta.schema)
   }
 
   /** Data-skipping read: files of the current snapshot whose manifest
@@ -424,7 +455,7 @@ object SnapshotManifest {
       predicate: org.apache.spark.sql.Column): DataFrame = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"SnapshotManifest.readWhere: no committed snapshot under $root"))
-    val (body, declared) = manifestParts(spark, root, v)
+    val (body, meta) = manifestParts(spark, root, v)
     val entries = body.map(parseLine)
     val all = body.map(l => bodyFile(root, l))
     // with a RECORDED schema the prune decision needs no file contact at
@@ -432,7 +463,7 @@ object SnapshotManifest {
     // full listing just to learn a schema the manifest already states);
     // un-evolved tables infer from ONE file — every file of a snapshot
     // shares its schema
-    val schema = declared.getOrElse {
+    val schema = meta.schema.getOrElse {
       if (all.isEmpty) throw new IllegalStateException(
         s"SnapshotManifest.readWhere: snapshot $v of $root has no data " +
           "files and no recorded schema")
@@ -446,7 +477,7 @@ object SnapshotManifest {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .filter(predicate)
-    else readEntries(spark, root, keptEntries, declared).filter(predicate)
+    else readEntries(spark, root, keptEntries, meta.schema).filter(predicate)
   }
 
   /** The file list [[readWhere]] would scan for `predicate` at `version` —
@@ -454,12 +485,12 @@ object SnapshotManifest {
     */
   def prunedFiles(spark: SparkSession, root: String, version: Long,
       predicate: org.apache.spark.sql.Column): Seq[String] = {
-    val (body, declared) = manifestParts(spark, root, version)
+    val (body, meta) = manifestParts(spark, root, version)
     if (body.isEmpty) return Nil // nothing to prune, no schema needed
     val entries = body.map(parseLine)
     val files = entries.map(e => new Path(new Path(root), e.rel).toString)
     // recorded schema or ONE footer — never a reader over the full list
-    val schema = declared.getOrElse(spark.read.parquet(files.head).schema)
+    val schema = meta.schema.getOrElse(spark.read.parquet(files.head).schema)
     ManifestStats.prune(files, bodyStatsOf(entries),
       ManifestStats.resolvePredicate(spark, schema, predicate))
   }
@@ -545,17 +576,22 @@ object SnapshotManifest {
     * the same file — on an object store each read is a remote GET.
     */
   private[graft] def manifestParts(spark: SparkSession, root: String,
-      version: Long): (Seq[String], Option[StructType]) = {
+      version: Long): (Seq[String], TableMeta) = {
     val (fs, rootPath) = fsOf(spark, root)
     val text = CommitProtocol.readFully(fs, new Path(rootPath, manifestName(version)))
     val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
     require(lines.headOption.contains(s"version=$version"),
       s"corrupt manifest for version $version: bad header ${lines.headOption}")
-    // `schema=` is a HEADER field ([[addColumns]]), not a file entry
-    val (schemaLines, body) = lines.tail.toSeq.partition(_.startsWith("schema="))
-    (body, schemaLines.headOption.map(l =>
-      org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("schema="))
-        .asInstanceOf[StructType]))
+    // `schema=` / `bloom=` are HEADER fields ([[addColumns]],
+    // [[setBloomCols]]), not file entries
+    val (schemaLines, rest) = lines.tail.toSeq.partition(_.startsWith("schema="))
+    val (bloomLines, body) = rest.partition(_.startsWith("bloom="))
+    (body, TableMeta(
+      schemaLines.headOption.map(l =>
+        org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("schema="))
+          .asInstanceOf[StructType]),
+      bloomLines.headOption.map(l => bloomFromJson(l.stripPrefix("bloom=")))
+        .getOrElse(Nil)))
   }
 
   private[graft] def manifestBody(spark: SparkSession, root: String,
@@ -569,7 +605,13 @@ object SnapshotManifest {
     */
   def manifestSchema(spark: SparkSession, root: String,
       version: Long): Option[StructType] =
-    manifestParts(spark, root, version)._2
+    manifestParts(spark, root, version)._2.schema
+
+  /** The bloom-indexed columns recorded for `version` (empty when the
+    * table carries no bloom property) — O(1) driver metadata.
+    */
+  def bloomCols(spark: SparkSession, root: String, version: Long): Seq[String] =
+    manifestParts(spark, root, version)._2.bloomCols
 
 
   /** Absolute data-file path of one manifest body line. */
@@ -598,10 +640,10 @@ object SnapshotManifest {
   private[graft] def publishVersion(spark: SparkSession, root: String,
       next: Long, df: DataFrame, statsCols: Seq[String],
       keptLines: Seq[String], op: String,
-      declared: Option[StructType]): Long = {
+      meta: TableMeta): Long = {
     val (fs, rootPath) = fsOf(spark, root)
     stageAndPublish(spark, fs, rootPath, next, df, statsCols, keptLines,
-      op, requireFiles = false, declared = declared)
+      op, requireFiles = false, meta = meta)
   }
 
   /** MERGE-ON-READ DELETE — [[deleteWhere]]'s deferred twin (Delta/Iceberg
@@ -643,10 +685,10 @@ object SnapshotManifest {
     require(maxDvPositions >= 1, "maxDvPositions must be >= 1")
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"deleteWhereMoR: no committed snapshot under $root"))
-    val (body, declared) = manifestParts(spark, root, v)
+    val (body, meta) = manifestParts(spark, root, v)
     if (body.isEmpty) return v
     val files = body.map(bodyFile(root, _))
-    val schema = declared.getOrElse(spark.read.parquet(files.head).schema)
+    val schema = meta.schema.getOrElse(spark.read.parquet(files.head).schema)
     val affected = ManifestStats.prune(files, bodyStats(body),
       ManifestStats.resolvePredicate(spark, schema, predicate)).toSet
     if (affected.isEmpty) return v
@@ -660,7 +702,7 @@ object SnapshotManifest {
     val oldDv = entryDvPositionsDf(spark, root, affectedEntries)
       .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val (alive, fCol, rCol) =
-      readEntriesWithPositions(spark, root, affectedEntries, oldDv, declared)
+      readEntriesWithPositions(spark, root, affectedEntries, oldDv, meta.schema)
     val newMatches = alive.filter(coalesce(predicate, lit(false)))
       .select(col(fCol).alias("file_name"), col(rCol).alias("row_index"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -688,7 +730,7 @@ object SnapshotManifest {
       val dvFile = writeDvSidecar(spark, root, v + 1, dvDf)
       publishLines(spark, root, v + 1,
         dvTagLines(entriesWithFiles, affected, dvFileNames, dvFile),
-        "deleteWhereMoR", declared)
+        "deleteWhereMoR", meta)
     } finally {
       newMatches.unpersist(false)
       oldDv.foreach(_.unpersist(false))
@@ -719,10 +761,10 @@ object SnapshotManifest {
     require(maxDvPositions >= 1, "maxDvPositions must be >= 1")
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"updateWhereMoR: no committed snapshot under $root"))
-    val (body, declared) = manifestParts(spark, root, v)
+    val (body, meta) = manifestParts(spark, root, v)
     if (body.isEmpty) return v
     val files = body.map(bodyFile(root, _))
-    val schema = declared.getOrElse(spark.read.parquet(files.head).schema)
+    val schema = meta.schema.getOrElse(spark.read.parquet(files.head).schema)
     assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"updateWhereMoR: SET column '$c' not in ${schema.fieldNames.mkString(", ")}"))
     val affected = ManifestStats.prune(files, bodyStats(body),
@@ -733,7 +775,7 @@ object SnapshotManifest {
     val oldDv = entryDvPositionsDf(spark, root, affectedEntries)
       .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val (alive, fCol, rCol) =
-      readEntriesWithPositions(spark, root, affectedEntries, oldDv, declared)
+      readEntriesWithPositions(spark, root, affectedEntries, oldDv, meta.schema)
     val matched = alive.filter(coalesce(predicate, lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -763,7 +805,7 @@ object SnapshotManifest {
       val dvFile = writeDvSidecar(spark, root, v + 1, dvDf)
       publishWithAppend(spark, root, v + 1,
         dvTagLines(entriesWithFiles, affected, dvFileNames, dvFile), postImages,
-        statsCols, "updateWhereMoR", declared)
+        statsCols, "updateWhereMoR", meta)
     } finally {
       matched.unpersist(false)
       oldDv.foreach(_.unpersist(false))
@@ -808,7 +850,7 @@ object SnapshotManifest {
       statsCols: Option[Seq[String]] = None): Long = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"foldDeletes: no committed snapshot under $root"))
-    val (body, declared) = manifestParts(spark, root, v)
+    val (body, meta) = manifestParts(spark, root, v)
     val entries = body.map(parseLine)
     val dvd = entries.filter(_.dvRel.isDefined)
     if (dvd.isEmpty) return v
@@ -816,8 +858,8 @@ object SnapshotManifest {
       .values.flatMap(_.cols.keys).toSeq.distinct.sorted)
     val keptLines = entries.filter(_.dvRel.isEmpty).map(_.render)
     publishVersion(spark, root, v + 1,
-      readEntries(spark, root, dvd, declared),
-      cols, keptLines, "foldDeletes", declared)
+      readEntries(spark, root, dvd, meta.schema),
+      cols, keptLines, "foldDeletes", meta)
   }
 
   /** METADATA-ONLY widening schema evolution (Delta's ALTER TABLE ADD
@@ -853,8 +895,8 @@ object SnapshotManifest {
     require(newCols.nonEmpty, "addColumns: no columns given")
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"addColumns: no committed snapshot under $root"))
-    val (body, recorded) = manifestParts(spark, root, v)
-    val cur = recorded.getOrElse {
+    val (body, meta) = manifestParts(spark, root, v)
+    val cur = meta.schema.getOrElse {
       require(body.nonEmpty,
         "addColumns: table has no data files and no recorded schema to widen")
       spark.read.parquet(bodyFile(root, body.head)).schema
@@ -868,16 +910,26 @@ object SnapshotManifest {
     require(newCols.map(_.name.toLowerCase).distinct.size == newCols.size,
       s"addColumns: duplicate new column names in ${newCols.map(_.name)}")
     val widened = StructType(cur.fields ++ newCols)
-    val (fs, rootPath) = fsOf(spark, root)
-    val manifest = new Path(rootPath, manifestName(v + 1))
-    val won = CommitProtocol.publishFile(fs, manifest,
-      (s"version=${v + 1}\nschema=${widened.json}\n" +
-        body.mkString("", "\n", "\n")).getBytes("UTF-8"))
-    if (!won)
-      throw new ConcurrentCommitException(
-        s"addColumns: version ${v + 1} already committed by a concurrent " +
-          "writer; re-read the table and retry")
-    v + 1
+    publishLines(spark, root, v + 1, body, "addColumns",
+      meta.copy(schema = Some(widened)))
+  }
+
+  /** Declare (or clear) the table's bloom-indexed columns — a
+    * metadata-only property publish, [[addColumns]]'s sibling. Files
+    * written AFTER this carry parquet-native bloom filters for `cols`
+    * (see [[commit]]'s `bloomCols`); existing files gain them on their
+    * next rewrite ([[compactSnapshot]], any CoW DML touching them). The
+    * property then survives every content verb until a full [[commit]]
+    * redefines the table.
+    */
+  def setBloomCols(spark: SparkSession, root: String,
+      cols: Seq[String]): Long = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"setBloomCols: no committed snapshot under $root"))
+    val (body, meta) = manifestParts(spark, root, v)
+    if (meta.bloomCols == cols) return v
+    publishLines(spark, root, v + 1, body, "setBloomCols",
+      meta.copy(bloomCols = cols))
   }
 
   /** RESTORE TO VERSION (Delta's RESTORE, on this engine's manifest): make
@@ -898,8 +950,8 @@ object SnapshotManifest {
       s"restoreVersion: version $toVersion of $root does not exist (never " +
         "committed, or reclaimed by vacuum)")
     if (v == toVersion) return v
-    val (body, schema) = manifestParts(spark, root, toVersion)
-    publishLines(spark, root, v + 1, body, "restoreVersion", schema)
+    val (body, meta) = manifestParts(spark, root, toVersion)
+    publishLines(spark, root, v + 1, body, "restoreVersion", meta)
   }
 
   /** [[restoreVersion]] with the bounded lost-race retry: each attempt
@@ -970,12 +1022,12 @@ object SnapshotManifest {
       s"cloneTable: source and destination must share a filesystem " +
         s"(${qualifiedSrc.toUri.getScheme} vs " +
         s"${dstFs.makeQualified(dstPath).toUri.getScheme})")
-    val (body, schema) = manifestParts(spark, srcRoot, v)
+    val (body, meta) = manifestParts(spark, srcRoot, v)
     val absLines = body.map(parseLine).map { e =>
       e.copy(rel = new Path(qualifiedSrc, e.rel).toString,
         dvRel = e.dvRel.map(r => new Path(qualifiedSrc, r).toString)).render
     }
-    publishLines(spark, dstRoot, 0L, absLines, "cloneTable", schema)
+    publishLines(spark, dstRoot, 0L, absLines, "cloneTable", meta)
   }
 
   /** The shared copy-on-write rewrite under [[deleteWhere]]/[[updateWhere]]:
@@ -990,10 +1042,10 @@ object SnapshotManifest {
       op: String, transform: DataFrame => DataFrame): Long = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$op: no committed snapshot under $root"))
-    val (body, declared) = manifestParts(spark, root, v)
+    val (body, meta) = manifestParts(spark, root, v)
     if (body.isEmpty) return v
     val files = body.map(bodyFile(root, _))
-    val schema = declared.getOrElse(spark.read.parquet(files.head).schema)
+    val schema = meta.schema.getOrElse(spark.read.parquet(files.head).schema)
     val affected = ManifestStats.prune(files, bodyStats(body),
       ManifestStats.resolvePredicate(spark, schema, predicate)).toSet
     if (affected.isEmpty) return v // no file can contain a match
@@ -1004,8 +1056,8 @@ object SnapshotManifest {
     val affectedEntries = body.map(parseLine)
       .zip(files).collect { case (e, f) if affected(f) => e }
     publishVersion(spark, root, v + 1,
-      transform(readEntries(spark, root, affectedEntries, declared)),
-      statsCols, keptLines, op, declared)
+      transform(readEntries(spark, root, affectedEntries, meta.schema)),
+      statsCols, keptLines, op, meta)
   }
 
   /** Stage `df` into a fresh uniquely-nonced data dir for version `next`,
@@ -1019,13 +1071,25 @@ object SnapshotManifest {
     * post-image append. Nothing is visible until a manifest references it.
     */
   private def writeDataFiles(spark: SparkSession, fs: FileSystem, rootPath: Path,
-      next: Long, df: DataFrame, statsCols: Seq[String]): (Path, Seq[String]) = {
+      next: Long, df: DataFrame, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil): (Path, Seq[String]) = {
     // unique per-attempt staging: the version prefix is advisory (for
     // humans); the nonce is what makes racing attempts disjoint. A crashed
     // or lost-race attempt leaves an unreferenced dir that vacuum sweeps.
     val dirName = s"${dataDirName(next)}-${java.util.UUID.randomUUID.toString.take(8)}"
     val dataDir = new Path(rootPath, new Path("data", dirName))
-    df.write.parquet(dataDir.toString)
+    // parquet-NATIVE bloom filters per row group for the table's
+    // bloom-indexed columns: the codegen'd scan path prunes row groups on
+    // pushed equality predicates with zero reader changes here (parquet-mr
+    // evaluates stats → dictionary → bloom per row group). Adaptive sizing
+    // keys each filter to the row group's observed NDV instead of the 1 MB
+    // worst-case default — the difference between a useful index and a
+    // storage tax at 100k files.
+    val writer = bloomCols.foldLeft(
+      if (bloomCols.isEmpty) df.write
+      else df.write.option("parquet.bloom.filter.adaptive.enabled", "true")
+    )((w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    writer.parquet(dataDir.toString)
     val stats =
       if (statsCols.isEmpty) Map.empty[String, ManifestStats.FileStats]
       else ManifestStats.collect(spark.read.parquet(dataDir.toString), statsCols)
@@ -1048,14 +1112,15 @@ object SnapshotManifest {
   private def stageAndPublish(spark: SparkSession, fs: FileSystem, rootPath: Path,
       next: Long, df: DataFrame, statsCols: Seq[String], keptLines: Seq[String],
       op: String, requireFiles: Boolean,
-      declared: Option[StructType]): Long = {
-    val (dataDir, newLines) = writeDataFiles(spark, fs, rootPath, next, df, statsCols)
+      meta: TableMeta): Long = {
+    val (dataDir, newLines) = writeDataFiles(spark, fs, rootPath, next, df,
+      statsCols, meta.bloomCols)
     if (requireFiles)
       require(newLines.nonEmpty, s"$op: write produced no parquet files under $dataDir")
     val manifest = new Path(rootPath, manifestName(next))
-    // header: a CONTENT verb passes the recorded schema it already read;
-    // a full commit passes None (the df defines the table's shape anew)
-    val header = headerFor(next, declared)
+    // header: a CONTENT verb passes the recorded meta it already read;
+    // a full commit passes a fresh one (the df defines the shape anew)
+    val header = headerFor(next, meta)
     // THE commit point: one atomic file publish. False = a concurrent
     // writer committed this version first — fail loudly, leave their
     // snapshot intact, and surface our staged data for inspection.
@@ -1075,8 +1140,8 @@ object SnapshotManifest {
     * is a pure manifest lookup — no log replay, no reconstruction.
     */
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val (body, declared) = manifestParts(spark, root, version)
-    readEntries(spark, root, body.map(parseLine), declared)
+    val (body, meta) = manifestParts(spark, root, version)
+    readEntries(spark, root, body.map(parseLine), meta.schema)
   }
 
   /** Row-level change feed between two committed versions: what happened to
@@ -1104,8 +1169,9 @@ object SnapshotManifest {
     require(fromVersion <= toVersion,
       s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
     // ONE manifest fetch per version: body + recorded schema together
-    val (fromBody, fromSchema) = manifestParts(spark, root, fromVersion)
-    val (toBody, toSchema) = manifestParts(spark, root, toVersion)
+    val (fromBody, fromMeta) = manifestParts(spark, root, fromVersion)
+    val (toBody, toMeta) = manifestParts(spark, root, toVersion)
+    val (fromSchema0, toSchema0) = (fromMeta.schema, toMeta.schema)
     val oldEntries = fromBody.map(parseLine)
     val newEntries = toBody.map(parseLine)
     val oldFiles = oldEntries.map(e => new Path(new Path(root), e.rel).toString)
@@ -1130,9 +1196,9 @@ object SnapshotManifest {
     // different-type collision (a retyping full commit) reconciles to
     // Catalyst's tightest common type; irreconcilable types fail loudly
     // with the column named.
-    val sideFrom = fromSchema.orElse(
+    val sideFrom = fromSchema0.orElse(
       oldFiles.headOption.map(f => spark.read.parquet(f).schema))
-    val sideTo = toSchema.orElse(
+    val sideTo = toSchema0.orElse(
       newFiles.headOption.map(f => spark.read.parquet(f).schema))
     val fromFields = sideFrom.map(_.fields.toSeq).getOrElse(Nil)
     val toFields = sideTo.map(_.fields.toSeq).getOrElse(Nil)
@@ -1217,11 +1283,28 @@ object SnapshotManifest {
     * interleave freely in one table.
     */
   def commit(spark: SparkSession, root: String, df: DataFrame,
-      statsCols: Seq[String]): Long = {
+      statsCols: Seq[String]): Long =
+    commit(spark, root, df, statsCols, Nil)
+
+  /** [[commit]] that additionally records `bloomCols` as the table's
+    * bloom-indexed columns: every data file this and subsequent verbs
+    * write carries parquet-native bloom filters for them (adaptive-sized
+    * per row group), and the codegen'd scan prunes row groups on pushed
+    * equality predicates automatically. Blooms answer the lookup
+    * manifest min/max stats cannot: a point predicate on a
+    * HIGH-CARDINALITY, unclustered column (`id = X` on a table laid out
+    * by date), where every file's range admits the value but almost no
+    * row group actually holds it. The property is table metadata — DML
+    * rewrites, MoR appends, compaction, and OPTIMIZE all preserve it
+    * ([[bloomCols]] reads it back; [[setBloomCols]] changes it without a
+    * rewrite).
+    */
+  def commit(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String], bloomCols: Seq[String]): Long = {
     val (fs, rootPath) = fsOf(spark, root)
     val next = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
     stageAndPublish(spark, fs, rootPath, next, df, statsCols, Nil,
-      "commit", requireFiles = true, declared = None)
+      "commit", requireFiles = true, meta = TableMeta(None, bloomCols))
   }
 
   /** [[commit]] gated by declarative quality expectations — CHECK
@@ -1324,7 +1407,7 @@ object SnapshotManifest {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"compactSnapshot: no committed snapshot under $root"))
     // ONE manifest read answers files, stats, and the declared schema
-    val (body, declared) = manifestParts(spark, root, v)
+    val (body, meta) = manifestParts(spark, root, v)
     val files = body.map(bodyFile(root, _))
     val totalBytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
     val targetFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
@@ -1336,10 +1419,12 @@ object SnapshotManifest {
       // DV-applied read: compacting a MoR-deleted table materializes the
       // deletions instead of resurrecting the rows; output carries no DVs
       // (and, read under the declared schema, materializes any addColumns
-      // widening into the compacted files)
+      // widening into the compacted files). The bloom property SURVIVES
+      // compaction — maintenance must not silently strip the point-lookup
+      // index any more than it strips stats.
       Some(commit(spark, root,
-        readEntries(spark, root, entries, declared)
-          .coalesce(targetFiles), cols))
+        readEntries(spark, root, entries, meta.schema)
+          .coalesce(targetFiles), cols, meta.bloomCols))
     }
   }
 
