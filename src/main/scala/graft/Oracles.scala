@@ -1228,6 +1228,33 @@ object Oracles {
         |WHERE o_orderkey IN (1, 7, 32, 33, 1000, 4999, 12345, 29989)
         |ORDER BY o_orderkey""".stripMargin,
 
+    // Metadata aggregates (q139): count/min/max of orders after a CoW
+    // delete (keys < 500) and a MoR delete (keys ≡0 mod 10).
+    "q139_metadata_agg" ->
+      """SELECT count(*) AS n, min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderkey >= 500 AND o_orderkey % 10 <> 0""".stripMargin,
+
+    // Feed-driven replication (q140): the replayed final state, expected
+    // on BOTH sides — replica divergence from its source is the failure.
+    "q140_replication" ->
+      """WITH fin AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey NOT BETWEEN 200 AND 599
+        |  UNION ALL
+        |  SELECT 'Z', o_totalprice FROM orders WHERE o_orderkey < 30),
+        |sides AS (
+        |  SELECT 'replica' AS side, o_orderstatus, p FROM fin
+        |  UNION ALL
+        |  SELECT 'src', o_orderstatus, p FROM fin)
+        |SELECT side, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(p AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        |FROM sides GROUP BY side, o_orderstatus
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
     "q54_hash_sample" ->
       """SELECT l_returnflag, count(*) AS n_sampled,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty

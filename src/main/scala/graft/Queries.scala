@@ -2665,6 +2665,79 @@ object Queries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** O(manifest) metadata aggregates
+    * ([[graft.sources.SnapshotManifest.countRows]]/[[graft.sources
+    * .SnapshotManifest.minMax]]): COUNT(*)/MIN/MAX answered from the
+    * per-file stats the manifest records — no file listed or read for
+    * stats-complete DV-free files; a CoW delete keeps the fold exact via
+    * rewritten-file stats, and a MoR delete forces a scan of just the
+    * DV'd files. The oracle replays the post-DML table from the raw
+    * fixture; any miscounted mask or stale bound shifts the row.
+    * MetadataAggSpec proves the metadata-only path by answering after
+    * the data files are physically destroyed.
+    */
+  def q139MetadataAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q139").toString
+    graft.sources.SnapshotManifest.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.deleteWhere(spark, root,
+      col("o_orderkey") < 500, Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.deleteWhereMoR(spark, root,
+      col("o_orderkey") % 10 === 0)
+    val n = graft.sources.SnapshotManifest.countRows(spark, root)
+    val (mn, mx) = graft.sources.SnapshotManifest.minMax(spark, root, "o_orderkey")
+    Seq((n, mn.get.asInstanceOf[BigDecimal].toLong,
+      mx.get.asInstanceOf[BigDecimal].toLong))
+      .toDF("n", "min_key", "max_key")
+  }
+
+  /** Feed-driven table replication ([[graft.sources.ChangeFeed
+    * .replicateAvailableNow]]): bootstrap a source from orders, run a
+    * three-commit DML sequence, materialize the feed, zero-copy-clone the
+    * replica at the feed's start version, then stream the feed into it
+    * (last-state-per-key collapse → one file-pruned MERGE + one keyed
+    * anti-join DELETE per batch). Output is both sides labeled; the
+    * oracle replays the final state once and expects it twice — a
+    * replica that missed a delete, doubled an insert, or applied images
+    * out of order diverges from its own source.
+    */
+  def q140Replication(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val src = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q140s").toString
+    val dst = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q140d").toString
+    graft.sources.SnapshotManifest.commit(spark, src,
+      orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.updateWhere(spark, src,
+      col("o_orderkey") % 7 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") * 2)), Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.deleteWhere(spark, src,
+      col("o_orderkey").between(200, 599), Seq("o_orderkey"))
+    graft.operators.Upsert.mergeWhere(spark, src,
+      orders.filter(col("o_orderkey") < 30)
+        .select((col("o_orderkey") + 50000000L).alias("o_orderkey"),
+          lit("Z").alias("o_orderstatus"), col("o_totalprice")),
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    graft.sources.ChangeFeed.materializeNew(spark, src, Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.cloneTable(spark, src, dst, version = Some(0L))
+    val replica = graft.sources.ChangeFeed.replicateAvailableNow(spark, src, dst,
+      Seq("o_orderkey"),
+      java.nio.file.Files.createTempDirectory(serveIdxRoot, "q140c").toString,
+      statsCols = Seq("o_orderkey"))
+    def agg(df: DataFrame, side: String) = df
+      .groupBy(lit(side).alias("side"), col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("sum_price"))
+    agg(replica, "replica")
+      .unionByName(agg(graft.sources.SnapshotManifest.read(spark, src), "src"))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2807,6 +2880,8 @@ object Queries {
     "q135_restore" -> (q135Restore _),
     "q136_change_feed" -> (q136ChangeFeed _),
     "q137_clone" -> (q137Clone _),
-    "q138_bloom_lookup" -> (q138BloomLookup _)
+    "q138_bloom_lookup" -> (q138BloomLookup _),
+    "q139_metadata_agg" -> (q139MetadataAgg _),
+    "q140_replication" -> (q140Replication _)
   )
 }

@@ -314,6 +314,89 @@ object Upsert {
     * loudly to [[mergeWhere]] (the CoW rewrite handles fat churn
     * correctly — masking it would tax every later read).
     */
+  /** File-pruned keyed DELETE — [[mergeWhere]]'s inverse (Delta's MERGE
+    * … WHEN MATCHED THEN DELETE): rows of the snapshot table whose PK
+    * tuple appears in `keys` are removed; only files whose manifest
+    * stats ADMIT a key are rewritten (target anti-join keys), everything
+    * else carries verbatim. The prune uses the same churn-bounded keyset
+    * predicate as [[mergeWhere]] — above `maxKeySetSize` it degrades to
+    * a min/max range conjunction, which stays SOUND because pruning only
+    * selects candidate files; the anti-join decides row fates, so
+    * correctness never depends on the collected key set. SQL `IN`
+    * semantics: null-component key tuples match nothing and are dropped
+    * from `keys` up front. Idempotent by construction (deleting absent
+    * keys is a no-op), so it composes with at-least-once delivery — the
+    * delete arm of a change-feed consumer
+    * ([[graft.sources.ChangeFeed]] replication).
+    *
+    * @return the committed version (unchanged when `keys` is empty or no
+    *         file can hold a key)
+    */
+  def deleteKeys(spark: SparkSession, tableRoot: String, keys: DataFrame,
+      pkCols: Seq[String], statsCols: Seq[String] = Nil,
+      maxKeySetSize: Int = 100000): Long = {
+    import graft.sources.{ManifestStats, SnapshotManifest}
+    require(pkCols.nonEmpty, "at least one PK column required")
+    require(maxKeySetSize >= 1, "maxKeySetSize must be >= 1")
+    val pk = pkCols.map(_.trim)
+    pk.foreach(c => require(keys.columns.contains(c),
+      s"deleteKeys: PK column $c not in keys frame ${keys.columns.mkString(", ")}"))
+    val v = SnapshotManifest.currentVersion(spark, tableRoot).getOrElse(
+      throw new IllegalStateException(s"deleteKeys: no committed snapshot under $tableRoot"))
+    val keysP = keys.select(pk.map(c => col(s"`$c`")): _*)
+      .na.drop("any", pk).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (keysP.isEmpty) return v
+      val (body, meta) = SnapshotManifest.manifestParts(spark, tableRoot, v)
+      if (body.isEmpty) return v
+      val files = body.map(SnapshotManifest.bodyFile(tableRoot, _))
+      val targetSchema = meta.schema.getOrElse(spark.read.parquet(files.head).schema)
+      pk.foreach(c => require(targetSchema.fieldNames.contains(c),
+        s"deleteKeys: PK column $c not in target schema ${targetSchema.fieldNames.mkString(", ")}"))
+      val affected = stagedKeyPredicate(keysP, pk, maxKeySetSize) match {
+        case Some(p) => ManifestStats.prune(files, SnapshotManifest.bodyStats(body),
+          ManifestStats.resolvePredicate(spark, targetSchema, p)).toSet
+        case None => Set.empty[String]
+      }
+      if (affected.isEmpty) return v
+      val keptLines = body.filterNot(line =>
+        affected.contains(SnapshotManifest.bodyFile(tableRoot, line)))
+      // DV-applied read (MoR-deleted rows must not resurrect); keys join
+      // BROADCAST — the frame is churn-sized by contract, and the anti-join
+      // keeps the corpus side shuffle-free
+      val target = SnapshotManifest.readEntries(spark, tableRoot,
+        body.map(SnapshotManifest.parseLine).zip(files)
+          .collect { case (e, f) if affected(f) => e }, meta.schema)
+      var kp = "__dk_"
+      while (pk.exists(c => target.columns.contains(kp + c))) kp += "_"
+      val keyed = broadcast(keysP.select(pk.map(c =>
+        col(s"`$c`").alias(s"$kp$c")): _*))
+      val survivors = target.join(keyed,
+          pk.map(c => col(s"`$c`") === col(s"$kp$c")).reduce(_ && _), "left_anti")
+        .select(targetSchema.fields.toSeq.map(f =>
+          col(s"`${f.name}`").cast(f.dataType).alias(f.name)): _*)
+      SnapshotManifest.publishVersion(spark, tableRoot, v + 1, survivors,
+        statsCols, keptLines, "deleteKeys", meta)
+    } finally keysP.unpersist(false)
+  }
+
+  /** [[deleteKeys]] with the bounded lost-race retry of the other DML
+    * twins — replayable as-is (idempotent keyed delete, re-read per
+    * attempt).
+    */
+  def deleteKeysWithRetry(spark: SparkSession, tableRoot: String,
+      keys: DataFrame, pkCols: Seq[String], statsCols: Seq[String] = Nil,
+      maxKeySetSize: Int = 100000, maxAttempts: Int = 5,
+      backoff: Int => scala.concurrent.duration.FiniteDuration =
+        graft.core.Retry.linearBackoff(scala.concurrent.duration.DurationInt(1).second),
+      sleep: scala.concurrent.duration.FiniteDuration => Unit =
+        d => Thread.sleep(d.toMillis)): Long =
+    graft.core.Retry.retryWhen(
+      _.isInstanceOf[graft.sources.ConcurrentCommitException],
+      maxAttempts, backoff, sleep)(
+      deleteKeys(spark, tableRoot, keys, pkCols, statsCols, maxKeySetSize))
+
   def mergeWhereMoR(spark: SparkSession, tableRoot: String, staged: DataFrame,
       pkCols: Seq[String], statsCols: Seq[String] = Nil,
       maxKeySetSize: Int = 100000,

@@ -174,6 +174,77 @@ object ChangeFeed {
       .parquet(new Path(rootPath, "_cdf").toString + "/*")
   }
 
+  /** Replicate a table through its materialized feed: run [[stream]] to
+    * completion (AvailableNow) and apply every change to the snapshot
+    * table at `dstRoot` — the feed-driven table copy that keeps a replica
+    * converged at CHURN cost (the feed is churn-proportional; each batch
+    * lands file-pruned). The replica must be bootstrapped to the source's
+    * state as of the feed's first covered version
+    * ([[SnapshotManifest.cloneTable]] of that version is the natural
+    * zero-copy bootstrap).
+    *
+    * Application is ORDER-COLLAPSED per batch: for every PK the batch's
+    * LAST state wins — ranked by `(_commit_version, change-kind)`, where
+    * a delete outranks the images of its own commit's predecessors —
+    * then one file-pruned MERGE lands the surviving upserts
+    * ([[graft.operators.Upsert.mergeWhere]]) and one keyed anti-join
+    * delete removes the deleted PKs
+    * ([[graft.operators.Upsert.deleteKeys]]). Both arms are idempotent
+    * and both retry lost manifest races, so the at-least-once foreachBatch
+    * contract yields an effectively-once replica; a batch boundary
+    * splitting a commit exposes a transient intermediate state that the
+    * next batch converges away (the standard file-source caveat —
+    * [[materialize]]'s atomic publish keeps whole commits together
+    * whenever the trigger's file budget does).
+    *
+    * Null-PK rows replicate through the merge arm only ([[graft.operators
+    * .Upsert.deleteKeys]] follows SQL `IN` semantics); feeds over the
+    * [[graft.operators.Upsert]] family's PK-unique tables are the
+    * intended regime.
+    *
+    * @return the replica's final state
+    */
+  def replicateAvailableNow(spark: SparkSession, srcRoot: String,
+      dstRoot: String, pk: Seq[String], checkpointDir: String,
+      statsCols: Seq[String] = Nil, maxKeySetSize: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.functions.{when => fwhen}
+    require(pk.nonEmpty, "replicateAvailableNow: pk must name at least one column")
+    require(SnapshotManifest.currentVersion(spark, dstRoot).isDefined,
+      s"replicateAvailableNow: no committed snapshot under $dstRoot — " +
+        "bootstrap the replica (cloneTable of the feed's from-version) first")
+    val q = stream(spark, srcRoot).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val feedCols = Seq("_change", "_commit_version")
+        val dataCols = batch.columns.filterNot(feedCols.contains).toSeq
+        // last-state-per-key: images of later commits win; within one
+        // commit a delete is the key's only row, pre/post images rank
+        // below any later state
+        val rank = fwhen(col("_change") === "delete", 2)
+          .when(col("_change").isin("insert", "update_postimage"), 2)
+          .otherwise(1) // update_preimage — never a key's final state
+        val ranked = batch.withColumn("__cf_rank", rank)
+          .withColumn("__cf_ord",
+            col("_commit_version") * 4 + col("__cf_rank"))
+        val last = graft.operators.AlertGate.latestPerKeyAgg(
+          ranked, pk, "__cf_ord")
+        val upserts = last.filter(col("_change")
+            .isin("insert", "update_postimage"))
+          .select(dataCols.map(c => col(s"`$c`")): _*)
+        val deletes = last.filter(col("_change") === "delete")
+          .select(pk.map(c => col(s"`$c`")): _*)
+        graft.operators.Upsert.mergeWhereWithRetry(spark, dstRoot, upserts,
+          pk, statsCols, maxKeySetSize)
+        graft.operators.Upsert.deleteKeysWithRetry(spark, dstRoot, deletes,
+          pk, statsCols, maxKeySetSize)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    SnapshotManifest.read(spark, dstRoot)
+  }
+
   /** Reclaim feed directories whose `to`-version is ≤ `beforeVersion` —
     * the feed's own retention sweep (the table's [[SnapshotManifest
     * .vacuum]] never touches `_cdf`). Also sweeps crashed staging dirs

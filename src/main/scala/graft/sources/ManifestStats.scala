@@ -115,9 +115,11 @@ object ManifestStats {
 
   /** Normalize an aggregated bound into the stats domain: BigDecimal for
     * anything numeric, String for strings. Non-finite doubles have no
-    * decimal encoding — drop that bound (None), never guess.
+    * decimal encoding — drop that bound (None), never guess. Shared with
+    * [[SnapshotManifest.minMax]], whose scan-fallback bounds must land in
+    * the same comparison domain as the recorded ones.
     */
-  private def toStatValue(v: Any): Option[Any] = v match {
+  private[graft] def toStatValue(v: Any): Option[Any] = v match {
     case null => None
     case s: String => Some(s)
     case d: Double => if (java.lang.Double.isFinite(d)) Some(BigDecimal(d.toString)) else None

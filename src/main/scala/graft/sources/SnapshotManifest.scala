@@ -495,6 +495,119 @@ object SnapshotManifest {
       ManifestStats.resolvePredicate(spark, schema, predicate))
   }
 
+  /** O(manifest) COUNT(*): the current snapshot's row count answered from
+    * the per-file stats the manifest already records — pure driver
+    * metadata, no file listed or read, the same cost at 100 rows as at
+    * 100 TB with 100k files (where even parquet's footer-count shortcut
+    * pays 100k remote GETs). Files the metadata cannot answer exactly —
+    * committed without stats, or carrying a deletion vector (the DV masks
+    * an unknown number of the recorded rows) — are counted by a scan of
+    * JUST those files; a stats-maintained, recently-folded table answers
+    * entirely from metadata.
+    */
+  def countRows(spark: SparkSession, root: String): Long = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"countRows: no committed snapshot under $root"))
+    val (body, meta) = manifestParts(spark, root, v)
+    if (body.isEmpty) return 0L
+    val entries = body.map(parseLine)
+    val stats = bodyStatsOf(entries)
+    val (exact, scanned) = entries.partition(e =>
+      e.dvRel.isEmpty && stats.contains(new Path(e.rel).getName))
+    val metaCount = exact.map(e => stats(new Path(e.rel).getName).rows).sum
+    val scanCount =
+      if (scanned.isEmpty) 0L
+      else readEntries(spark, root, scanned, meta.schema).count()
+    metaCount + scanCount
+  }
+
+  /** O(manifest) MIN/MAX of `column`: bounds folded from per-file stats
+    * where they are EXACT, a scan of only the files they cannot answer.
+    * A DV'd file's recorded bounds describe its pre-deletion rows — the
+    * extreme row may be exactly the deleted one — so DV'd files are
+    * scanned, as are stats-less files. Numeric and string columns fold
+    * from metadata (their stats domain IS the value domain); date/
+    * timestamp/boolean stats are recorded in a transformed comparison
+    * domain, so those columns fall back to a plain scan aggregate —
+    * correct, just not metadata-answered. NULLs never contribute (SQL
+    * MIN/MAX semantics); (None, None) for an empty or all-null table.
+    * Bounds return in [[ManifestStats]]' canonical domain: BigDecimal
+    * for numerics, String for strings. With a RECORDED schema
+    * ([[addColumns]]) the metadata fold touches no file at all; without
+    * one, a single footer read resolves the column's type first.
+    */
+  def minMax(spark: SparkSession, root: String,
+      column: String): (Option[Any], Option[Any]) = {
+    import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"minMax: no committed snapshot under $root"))
+    val (body, meta) = manifestParts(spark, root, v)
+    if (body.isEmpty) return (None, None)
+    val entries = body.map(parseLine)
+    val schema = meta.schema.getOrElse(
+      spark.read.parquet(bodyFile(root, body.head)).schema)
+    val field = schema.fields.find(_.name.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(
+        s"minMax: column $column not in ${schema.fieldNames.mkString(", ")}"))
+    val foldable = field.dataType match {
+      case _: NumericType | StringType => true
+      case _ => false
+    }
+    val stats = bodyStatsOf(entries)
+    def exactBounds(e: ManifestEntry): Option[ManifestStats.ColStats] =
+      stats.get(new Path(e.rel).getName)
+        .filter(_ => foldable && e.dvRel.isEmpty)
+        .flatMap { fs =>
+          fs.cols.get(field.name).filter(cs =>
+            // all-null files contribute nothing but are still EXACT;
+            // otherwise both bounds must be present to fold
+            cs.nulls == fs.rows || (cs.min.isDefined && cs.max.isDefined))
+        }
+    val (answered, scanned) = entries.partition(e => exactBounds(e).isDefined)
+    val folded = answered.flatMap(exactBounds)
+      .filter(cs => cs.min.isDefined) // skip all-null files
+    def ord(a: Any, b: Any): Int = (a, b) match {
+      case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+      case (x: String, y: String) => ManifestStats.codePointCompare(x, y)
+      case _ => throw new IllegalStateException(
+        s"minMax: incomparable recorded bounds ($a vs $b)")
+    }
+    val metaMin = folded.flatMap(_.min).reduceOption((a, b) => if (ord(a, b) <= 0) a else b)
+    val metaMax = folded.flatMap(_.max).reduceOption((a, b) => if (ord(a, b) >= 0) a else b)
+    // a non-foldable type (date/timestamp/bool/etc) has NO metadata bounds
+    // to fold with — return the scan aggregate in the column's native type
+    if (!foldable) {
+      if (scanned.isEmpty) return (None, None)
+      val r = readEntries(spark, root, scanned, meta.schema)
+        .agg(fmin(col(s"`${field.name}`")), fmax(col(s"`${field.name}`"))).head()
+      return (Option(r.get(0)), Option(r.get(1)))
+    }
+    // scan bounds normalize through the SAME canonicalizer as recorded
+    // stats (ManifestStats.toStatValue) so the fold compares one domain
+    // a non-finite float extreme has no canonical form — fail loudly
+    // rather than silently report the next-best bound
+    def canonLoud(x: Any): Option[Any] = Option(x).map(vv =>
+      ManifestStats.toStatValue(vv).getOrElse(throw new IllegalStateException(
+        s"minMax: non-finite extreme $vv for ${field.name} — NaN/Inf " +
+          "bounds are outside the stats domain; aggregate with a scan")))
+    val (scanMin, scanMax) =
+      if (scanned.isEmpty) (None, None)
+      else {
+        val r = readEntries(spark, root, scanned, meta.schema)
+          .agg(fmin(col(s"`${field.name}`")), fmax(col(s"`${field.name}`"))).head()
+        (canonLoud(r.get(0)), canonLoud(r.get(1)))
+      }
+    def pick(m: Option[Any], s: Option[Any], keepMin: Boolean): Option[Any] =
+      (m, s) match {
+        case (Some(a), Some(b)) =>
+          Some(if ((ord(a, b) <= 0) == keepMin) a else b)
+        case (a, b) => a.orElse(b)
+      }
+    (pick(metaMin, scanMin, keepMin = true),
+      pick(metaMax, scanMax, keepMin = false))
+  }
+
   /** Whether `version`'s manifest is still present (i.e. not vacuumed) —
     * the probe an incremental consumer runs before diffing FROM that
     * version ([[changesBetween]] on a reclaimed manifest throws).

@@ -87,6 +87,38 @@ class ChangeFeedSpec extends SparkSpec {
     assert(streamed == rows(ChangeFeed.feed(spark, root)))
   }
 
+  test("replication: clone-bootstrapped replica converges through the feed, deletes included") {
+    val root = newRoot(); val replicaRoot = newRoot()
+    build4(root)
+    ChangeFeed.materializeNew(spark, root, Seq("id"))
+    SnapshotManifest.cloneTable(spark, root, replicaRoot, version = Some(0L))
+    val replica = ChangeFeed.replicateAvailableNow(spark, root, replicaRoot,
+      Seq("id"), Files.createTempDirectory("replchk").toString,
+      statsCols = Seq("id"))
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("x")).as[(Long, String)].collect().toSet
+    assert(state(replica) == state(SnapshotManifest.read(spark, root)))
+    // the source saw a delete (ids >= 18) — the replica must NOT have them
+    assert(!state(replica).exists(t => t._1 >= 18L && t._1 < 100L))
+  }
+
+  test("replication is restart-safe: a second run with a fresh checkpoint re-converges") {
+    val root = newRoot(); val replicaRoot = newRoot()
+    build4(root)
+    ChangeFeed.materializeNew(spark, root, Seq("id"))
+    SnapshotManifest.cloneTable(spark, root, replicaRoot, version = Some(0L))
+    ChangeFeed.replicateAvailableNow(spark, root, replicaRoot, Seq("id"),
+      Files.createTempDirectory("replchk").toString, statsCols = Seq("id"))
+    // fresh checkpoint = full feed replay: idempotent arms must converge
+    // to the same state, not double-apply
+    val again = ChangeFeed.replicateAvailableNow(spark, root, replicaRoot,
+      Seq("id"), Files.createTempDirectory("replchk").toString,
+      statsCols = Seq("id"))
+    assert(again.select(col("id"), col("x")).as[(Long, String)].collect().toSet ==
+      SnapshotManifest.read(spark, root)
+        .select(col("id"), col("x")).as[(Long, String)].collect().toSet)
+  }
+
   test("vacuumFeed reclaims old ranges and leaves the rest readable") {
     val root = newRoot()
     build4(root)
