@@ -2728,7 +2728,7 @@ object Queries {
     val replica = graft.sources.ChangeFeed.replicateAvailableNow(spark, src, dst,
       Seq("o_orderkey"),
       java.nio.file.Files.createTempDirectory(serveIdxRoot, "q140c").toString,
-      statsCols = Seq("o_orderkey"))
+      statsCols = Seq("o_orderkey"), fromVersion = Some(0L))
     def agg(df: DataFrame, side: String) = df
       .groupBy(lit(side).alias("side"), col("o_orderstatus"))
       .agg(count(lit(1)).alias("n"),

@@ -56,13 +56,28 @@ object ChangeFeed {
     }).sortBy(_._2)
   }
 
-  /** Persist the feed of `fromVersion → toVersion` under `root/_cdf`.
+  /** Persist the feed of one COMMIT STEP `fromVersion → toVersion` under
+    * `root/_cdf`. The two versions must be ADJACENT retained versions —
+    * coarse ranges are rejected, because they would (a) collapse
+    * intermediate images (an insert-then-update reads as one insert) and
+    * (b) overlap the per-commit ranges [[materializeNew]] publishes,
+    * double-counting every covered commit in [[feed]]. After a vacuum,
+    * "adjacent" means consecutive in the RETAINED version list (the
+    * reclaimed commits' changes are gone either way; the step diff over
+    * the survivors is the remaining truth).
     *
     * @return true if this call published the range; false if it was
     *         already materialized (idempotent catch-up / lost race)
     */
   def materialize(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long, pk: Seq[String]): Boolean = {
+    val versions = SnapshotManifest.listVersions(spark, root)
+    val adjacent = versions.zip(versions.drop(1)).contains((fromVersion, toVersion))
+    require(adjacent,
+      s"ChangeFeed.materialize: ($fromVersion, $toVersion) is not an " +
+        s"adjacent retained version pair of $root (retained: " +
+        s"${versions.mkString(", ")}) — the feed is per-commit; use " +
+        "materializeNew for catch-up")
     val (fs, rootPath) = fsOf(spark, root)
     val dest = new Path(rootPath, new Path("_cdf", dirName(fromVersion, toVersion)))
     if (fs.exists(dest)) return false
@@ -134,19 +149,49 @@ object ChangeFeed {
       StructField("_commit_version", LongType, nullable = false))
   }
 
+  /** The selected ranges for `(since, until]`, VALIDATED complete: the
+    * chain must be internally contiguous, start at `since` (when given),
+    * and reach `until` (when given). A gap — an unmaterialized commit, or
+    * a [[vacuumFeed]] that outran this consumer — throws instead of
+    * silently returning partial changes a downstream would apply as if
+    * whole (Delta CDF's out-of-retention error, same contract).
+    */
+  private def coveredRanges(spark: SparkSession, root: String,
+      since: Option[Long], until: Option[Long]): Seq[(Long, Long)] = {
+    val ranges = materializedRanges(spark, root)
+      .filter { case (f, t) =>
+        since.forall(f >= _) && until.forall(t <= _) }
+    def fail(what: String) = throw new IllegalStateException(
+      s"ChangeFeed: feed coverage for (${since.getOrElse("begin")}, " +
+        s"${until.getOrElse("end")}] is incomplete — $what. Materialize the " +
+        "missing commits (materializeNew) or, if vacuumFeed reclaimed them, " +
+        "re-bootstrap the consumer from a snapshot.")
+    ranges.zip(ranges.drop(1)).foreach { case ((_, t1), (f2, _)) =>
+      if (f2 != t1) fail(s"gap between commit $t1 and commit $f2") }
+    since.foreach(s => if (ranges.nonEmpty && ranges.head._1 != s)
+      fail(s"first materialized range starts at ${ranges.head._1}, not $s"))
+    since.foreach(s => if (ranges.isEmpty &&
+        SnapshotManifest.currentVersion(spark, root).exists(_ > s))
+      fail(s"nothing materialized past $s"))
+    until.foreach(u => if (ranges.nonEmpty && ranges.last._2 != u)
+      fail(s"last materialized range ends at ${ranges.last._2}, not $u"))
+    ranges
+  }
+
   /** Batch-read the materialized feed, optionally bounded to commits in
     * `(sinceVersion, untilVersion]` — the incremental consumer's "changes
-    * since my watermark" read, a plain pruned parquet scan. Commits
-    * materialized under different schema widths merge by name (an
-    * [[SnapshotManifest.addColumns]] widening adds nullable columns;
-    * parquet's by-name merge handles exactly that shape).
+    * since my watermark" read, a plain pruned parquet scan. Coverage is
+    * VALIDATED, not assumed: a gap (unmaterialized commit, feed retention
+    * that outran the consumer) throws instead of silently feeding partial
+    * changes downstream. Commits materialized under different schema
+    * widths merge by name (an [[SnapshotManifest.addColumns]] widening
+    * adds nullable columns; parquet's by-name merge handles exactly that
+    * shape).
     */
   def feed(spark: SparkSession, root: String,
       sinceVersion: Option[Long] = None,
       untilVersion: Option[Long] = None): DataFrame = {
-    val ranges = materializedRanges(spark, root)
-      .filter { case (f, t) =>
-        sinceVersion.forall(f >= _) && untilVersion.forall(t <= _) }
+    val ranges = coveredRanges(spark, root, sinceVersion, untilVersion)
     if (ranges.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -181,7 +226,10 @@ object ChangeFeed {
     * lands file-pruned). The replica must be bootstrapped to the source's
     * state as of the feed's first covered version
     * ([[SnapshotManifest.cloneTable]] of that version is the natural
-    * zero-copy bootstrap).
+    * zero-copy bootstrap); pass that version as `fromVersion` and the
+    * feed's COVERAGE is verified before anything applies — a gap
+    * (unmaterialized commit, feed retention that outran this replica)
+    * fails loudly instead of converging to a wrong-but-plausible state.
     *
     * Application is ORDER-COLLAPSED per batch: for every PK the batch's
     * LAST state wins — ranked by `(_commit_version, change-kind)`, where
@@ -206,25 +254,28 @@ object ChangeFeed {
     */
   def replicateAvailableNow(spark: SparkSession, srcRoot: String,
       dstRoot: String, pk: Seq[String], checkpointDir: String,
-      statsCols: Seq[String] = Nil, maxKeySetSize: Int = 100000): DataFrame = {
+      statsCols: Seq[String] = Nil, maxKeySetSize: Int = 100000,
+      fromVersion: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{when => fwhen}
     require(pk.nonEmpty, "replicateAvailableNow: pk must name at least one column")
     require(SnapshotManifest.currentVersion(spark, dstRoot).isDefined,
       s"replicateAvailableNow: no committed snapshot under $dstRoot — " +
         "bootstrap the replica (cloneTable of the feed's from-version) first")
+    // a gapped feed converges to a WRONG state that looks right — verify
+    // coverage from the replica's bootstrap version (when stated) through
+    // the source's current version BEFORE applying anything
+    coveredRanges(spark, srcRoot, fromVersion,
+      SnapshotManifest.currentVersion(spark, srcRoot))
     val q = stream(spark, srcRoot).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val feedCols = Seq("_change", "_commit_version")
         val dataCols = batch.columns.filterNot(feedCols.contains).toSeq
         // last-state-per-key: images of later commits win; within one
-        // commit a delete is the key's only row, pre/post images rank
-        // below any later state
-        val rank = fwhen(col("_change") === "delete", 2)
-          .when(col("_change").isin("insert", "update_postimage"), 2)
-          .otherwise(1) // update_preimage — never a key's final state
-        val ranked = batch.withColumn("__cf_rank", rank)
-          .withColumn("__cf_ord",
-            col("_commit_version") * 4 + col("__cf_rank"))
+        // commit, update_preimage is the ONLY non-final state (a key's
+        // commit emits delete, insert, or pre+post — never two finals)
+        val rank = fwhen(col("_change") === "update_preimage", 0).otherwise(1)
+        val ranked = batch.withColumn("__cf_ord",
+          col("_commit_version") * 2 + rank)
         val last = graft.operators.AlertGate.latestPerKeyAgg(
           ranked, pk, "__cf_ord")
         val upserts = last.filter(col("_change")

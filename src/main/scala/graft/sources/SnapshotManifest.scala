@@ -532,9 +532,11 @@ object SnapshotManifest {
     * correct, just not metadata-answered. NULLs never contribute (SQL
     * MIN/MAX semantics); (None, None) for an empty or all-null table.
     * Bounds return in [[ManifestStats]]' canonical domain: BigDecimal
-    * for numerics, String for strings. With a RECORDED schema
-    * ([[addColumns]]) the metadata fold touches no file at all; without
-    * one, a single footer read resolves the column's type first.
+    * for numerics, String for strings — except a NON-FINITE float
+    * extreme (NaN/±Infinity has no decimal form), which returns as a raw
+    * Double under Spark's total order (NaN greatest). With a RECORDED
+    * schema ([[addColumns]]) the metadata fold touches no file at all;
+    * without one, a single footer read resolves the column's type first.
     */
   def minMax(spark: SparkSession, root: String,
       column: String): (Option[Any], Option[Any]) = {
@@ -555,48 +557,62 @@ object SnapshotManifest {
       case _ => false
     }
     val stats = bodyStatsOf(entries)
-    def exactBounds(e: ManifestEntry): Option[ManifestStats.ColStats] =
-      stats.get(new Path(e.rel).getName)
-        .filter(_ => foldable && e.dvRel.isEmpty)
-        .flatMap { fs =>
-          fs.cols.get(field.name).filter(cs =>
-            // all-null files contribute nothing but are still EXACT;
-            // otherwise both bounds must be present to fold
-            cs.nulls == fs.rows || (cs.min.isDefined && cs.max.isDefined))
-        }
-    val (answered, scanned) = entries.partition(e => exactBounds(e).isDefined)
-    val folded = answered.flatMap(exactBounds)
+    // ONE pass: each entry's exact bounds, or its membership in the scan set
+    val withBounds: Seq[(ManifestEntry, Option[ManifestStats.ColStats])] =
+      entries.map { e =>
+        e -> stats.get(new Path(e.rel).getName)
+          .filter(_ => foldable && e.dvRel.isEmpty)
+          .flatMap { fs =>
+            fs.cols.get(field.name).filter(cs =>
+              // all-null files contribute nothing but are still EXACT;
+              // otherwise both bounds must be present to fold
+              cs.nulls == fs.rows || (cs.min.isDefined && cs.max.isDefined))
+          }
+      }
+    val scanned = withBounds.collect { case (e, None) => e }
+    val folded = withBounds.flatMap(_._2)
       .filter(cs => cs.min.isDefined) // skip all-null files
+    // comparison across the fold domain, extended for NON-FINITE float
+    // extremes (no decimal form; they arrive from the scan side as raw
+    // doubles): Spark's total order -- NaN greatest, plus/minus Inf
+    // beyond every finite value
     def ord(a: Any, b: Any): Int = (a, b) match {
       case (x: BigDecimal, y: BigDecimal) => x.compare(y)
       case (x: String, y: String) => ManifestStats.codePointCompare(x, y)
+      case (x: java.lang.Double, y: java.lang.Double) =>
+        java.lang.Double.compare(x, y)
+      case (x: java.lang.Double, _: BigDecimal) =>
+        if (x.isNaN || x > 0) 1 else -1
+      case (_: BigDecimal, y: java.lang.Double) =>
+        if (y.isNaN || y > 0) -1 else 1
       case _ => throw new IllegalStateException(
-        s"minMax: incomparable recorded bounds ($a vs $b)")
+        s"minMax: incomparable bounds ($a vs $b)")
     }
     val metaMin = folded.flatMap(_.min).reduceOption((a, b) => if (ord(a, b) <= 0) a else b)
     val metaMax = folded.flatMap(_.max).reduceOption((a, b) => if (ord(a, b) >= 0) a else b)
     // a non-foldable type (date/timestamp/bool/etc) has NO metadata bounds
-    // to fold with — return the scan aggregate in the column's native type
+    // to fold with -- return the scan aggregate in the column's native type
     if (!foldable) {
       if (scanned.isEmpty) return (None, None)
       val r = readEntries(spark, root, scanned, meta.schema)
         .agg(fmin(col(s"`${field.name}`")), fmax(col(s"`${field.name}`"))).head()
       return (Option(r.get(0)), Option(r.get(1)))
     }
-    // scan bounds normalize through the SAME canonicalizer as recorded
-    // stats (ManifestStats.toStatValue) so the fold compares one domain
-    // a non-finite float extreme has no canonical form — fail loudly
-    // rather than silently report the next-best bound
-    def canonLoud(x: Any): Option[Any] = Option(x).map(vv =>
-      ManifestStats.toStatValue(vv).getOrElse(throw new IllegalStateException(
-        s"minMax: non-finite extreme $vv for ${field.name} — NaN/Inf " +
-          "bounds are outside the stats domain; aggregate with a scan")))
+    // scan bounds canonicalize like recorded stats; a NON-FINITE float
+    // extreme stays a raw Double (SQL MAX over a column holding Infinity
+    // IS Infinity -- returning it beats refusing to answer)
+    def canonScan(x: Any): Option[Any] = Option(x).map {
+      case d: java.lang.Double if !java.lang.Double.isFinite(d) => d
+      case f: java.lang.Float if !java.lang.Float.isFinite(f) =>
+        java.lang.Double.valueOf(f.doubleValue)
+      case vv => ManifestStats.toStatValue(vv).get // finite => always Some
+    }
     val (scanMin, scanMax) =
       if (scanned.isEmpty) (None, None)
       else {
         val r = readEntries(spark, root, scanned, meta.schema)
           .agg(fmin(col(s"`${field.name}`")), fmax(col(s"`${field.name}`"))).head()
-        (canonLoud(r.get(0)), canonLoud(r.get(1)))
+        (canonScan(r.get(0)), canonScan(r.get(1)))
       }
     def pick(m: Option[Any], s: Option[Any], keepMin: Boolean): Option[Any] =
       (m, s) match {
@@ -1041,6 +1057,13 @@ object SnapshotManifest {
       throw new IllegalStateException(s"setBloomCols: no committed snapshot under $root"))
     val (body, meta) = manifestParts(spark, root, v)
     if (meta.bloomCols == cols) return v
+    // same fail-fast as commit's bloomCols: a misspelled column would
+    // publish fine and then silently never index (one footer read when
+    // the table has no recorded schema — a rare maintenance verb)
+    val schema = meta.schema.orElse(body.headOption.map(l =>
+      spark.read.parquet(bodyFile(root, l)).schema))
+    schema.foreach(s => cols.foreach(c => require(s.fieldNames.contains(c),
+      s"setBloomCols: column $c not in schema ${s.fieldNames.mkString(", ")}")))
     publishLines(spark, root, v + 1, body, "setBloomCols",
       meta.copy(bloomCols = cols))
   }
@@ -1130,11 +1153,14 @@ object SnapshotManifest {
         "clone bootstraps a NEW table")
     val qualifiedSrc = srcFs.makeQualified(srcPath)
     val (dstFs, dstPath) = fsOf(spark, dstRoot)
-    require(dstFs.makeQualified(dstPath).toUri.getScheme ==
-        qualifiedSrc.toUri.getScheme,
+    val qualifiedDst = dstFs.makeQualified(dstPath)
+    // scheme AND authority: hdfs://nn1 vs hdfs://nn2 share a scheme but
+    // not a filesystem — verbs resolving referenced paths against the
+    // clone's FS handle would throw Wrong FS long after the clone "worked"
+    def fsId(u: java.net.URI) = (u.getScheme, Option(u.getAuthority).getOrElse(""))
+    require(fsId(qualifiedDst.toUri) == fsId(qualifiedSrc.toUri),
       s"cloneTable: source and destination must share a filesystem " +
-        s"(${qualifiedSrc.toUri.getScheme} vs " +
-        s"${dstFs.makeQualified(dstPath).toUri.getScheme})")
+        s"(${qualifiedSrc.toUri} vs ${qualifiedDst.toUri})")
     val (body, meta) = manifestParts(spark, srcRoot, v)
     val absLines = body.map(parseLine).map { e =>
       e.copy(rel = new Path(qualifiedSrc, e.rel).toString,
@@ -1414,6 +1440,11 @@ object SnapshotManifest {
     */
   def commit(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String], bloomCols: Seq[String]): Long = {
+    // fail fast on a misspelled bloom column — the parquet writer option
+    // would silently match nothing and the table would "have" an index
+    // that never prunes (the same contract as ManifestStats.collect)
+    bloomCols.foreach(c => require(df.columns.contains(c),
+      s"commit: bloom column $c not in schema ${df.columns.mkString(", ")}"))
     val (fs, rootPath) = fsOf(spark, root)
     val next = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
     stageAndPublish(spark, fs, rootPath, next, df, statsCols, Nil,

@@ -94,7 +94,7 @@ class ChangeFeedSpec extends SparkSpec {
     SnapshotManifest.cloneTable(spark, root, replicaRoot, version = Some(0L))
     val replica = ChangeFeed.replicateAvailableNow(spark, root, replicaRoot,
       Seq("id"), Files.createTempDirectory("replchk").toString,
-      statsCols = Seq("id"))
+      statsCols = Seq("id"), fromVersion = Some(0L))
     def state(df: org.apache.spark.sql.DataFrame) =
       df.select(col("id"), col("x")).as[(Long, String)].collect().toSet
     assert(state(replica) == state(SnapshotManifest.read(spark, root)))
@@ -108,12 +108,13 @@ class ChangeFeedSpec extends SparkSpec {
     ChangeFeed.materializeNew(spark, root, Seq("id"))
     SnapshotManifest.cloneTable(spark, root, replicaRoot, version = Some(0L))
     ChangeFeed.replicateAvailableNow(spark, root, replicaRoot, Seq("id"),
-      Files.createTempDirectory("replchk").toString, statsCols = Seq("id"))
+      Files.createTempDirectory("replchk").toString, statsCols = Seq("id"),
+      fromVersion = Some(0L))
     // fresh checkpoint = full feed replay: idempotent arms must converge
     // to the same state, not double-apply
     val again = ChangeFeed.replicateAvailableNow(spark, root, replicaRoot,
       Seq("id"), Files.createTempDirectory("replchk").toString,
-      statsCols = Seq("id"))
+      statsCols = Seq("id"), fromVersion = Some(0L))
     assert(again.select(col("id"), col("x")).as[(Long, String)].collect().toSet ==
       SnapshotManifest.read(spark, root)
         .select(col("id"), col("x")).as[(Long, String)].collect().toSet)
@@ -128,5 +129,38 @@ class ChangeFeedSpec extends SparkSpec {
       Seq((0L, 1L), (1L, 2L)))
     assert(rows(ChangeFeed.feed(spark, root)) == all.filter(_._4 > 2L))
     assert(ChangeFeed.materializedRanges(spark, root) == Seq((2L, 3L)))
+  }
+
+  test("coverage gaps fail loudly instead of feeding partial changes") {
+    val root = newRoot()
+    build4(root)
+    ChangeFeed.materializeNew(spark, root, Seq("id"))
+    ChangeFeed.vacuumFeed(spark, root, beforeVersion = 2L)
+    // a consumer whose watermark predates feed retention must NOT get a
+    // silently partial answer
+    intercept[IllegalStateException] {
+      ChangeFeed.feed(spark, root, sinceVersion = Some(0L))
+    }
+    // nor must a replica bootstrapped at the vacuumed version converge
+    val replicaRoot = newRoot()
+    SnapshotManifest.cloneTable(spark, root, replicaRoot, version = Some(0L))
+    intercept[IllegalStateException] {
+      ChangeFeed.replicateAvailableNow(spark, root, replicaRoot, Seq("id"),
+        Files.createTempDirectory("replchk").toString, fromVersion = Some(0L))
+    }
+    // the surviving suffix still reads when asked for honestly
+    assert(rows(ChangeFeed.feed(spark, root, sinceVersion = Some(2L)))
+      .forall(_._4 == 3L))
+  }
+
+  test("coarse ranges are rejected: the feed is strictly per-commit") {
+    val root = newRoot()
+    build4(root)
+    intercept[IllegalArgumentException] {
+      ChangeFeed.materialize(spark, root, 0L, 3L, Seq("id"))
+    }
+    // adjacency is judged over RETAINED versions: after vacuuming the
+    // middle commits, the surviving pair is a valid step
+    ChangeFeed.materializeNew(spark, root, Seq("id"))
   }
 }

@@ -102,6 +102,21 @@ class MetadataAggSpec extends SparkSpec {
     assert(SnapshotManifest.minMax(spark, root2, "id") == (None, None))
   }
 
+  test("non-finite float extremes return as raw doubles under Spark's total order") {
+    val root = newRoot()
+    // stats-less commit → the whole column resolves through the scan path
+    SnapshotManifest.commit(spark, root,
+      Seq(1.0, 2.5, Double.PositiveInfinity, -3.0).toDF("x"))
+    val (mn, mx) = SnapshotManifest.minMax(spark, root, "x")
+    assert(mn.contains(BigDecimal(-3.0)))
+    assert(mx.contains(Double.PositiveInfinity))
+    // mixed: a statted finite file folds against a scanned infinite one
+    graft.operators.Upsert.mergeWhere(spark, root,
+      Seq(100.0).toDF("x"), Seq("x"), statsCols = Seq("x"))
+    val (mn2, mx2) = SnapshotManifest.minMax(spark, root, "x")
+    assert(mn2.contains(BigDecimal(-3.0)) && mx2.contains(Double.PositiveInfinity))
+  }
+
   test("unknown column fails loudly") {
     val root = newRoot()
     SnapshotManifest.commit(spark, root, spark.range(5L).toDF("id"))
