@@ -133,6 +133,27 @@ object IncrementalRollup {
     }
   }
 
+  /** The change rows for `(lastV, srcV]`: the MATERIALIZED feed when it
+    * covers the span ([[graft.sources.ChangeFeed]] — many consumers then
+    * share ONE persisted diff instead of each re-running the version
+    * diff), [[SnapshotManifest.changesBetween]] otherwise. The per-commit
+    * feed may carry intermediate images a collapsed diff would drop
+    * (insert-then-delete inside the span); every consumer here is
+    * invariant to them — touched-group detection only widens (correctly),
+    * additive deltas telescope, and the sketch path treats any delete as
+    * a recompute trigger.
+    */
+  private def changeRows(spark: SparkSession, sourceRoot: String,
+      sourcePk: Seq[String], lastV: Long, srcV: Long): DataFrame = {
+    val materialized =
+      try Some(graft.sources.ChangeFeed.feed(spark, sourceRoot,
+        sinceVersion = Some(lastV), untilVersion = Some(srcV))
+        .drop("_commit_version"))
+      catch { case _: IllegalStateException => None } // gap/absent → compute
+    materialized.getOrElse(
+      SnapshotManifest.changesBetween(spark, sourceRoot, lastV, srcV, sourcePk))
+  }
+
   private def withKeys(rows: DataFrame, groupExprs: Seq[(String, Column)]): DataFrame =
     groupExprs.foldLeft(rows) { case (d, (n, e)) => d.withColumn(n, e) }
 
@@ -149,7 +170,7 @@ object IncrementalRollup {
       rollupRoot: String, sourcePk: Seq[String], groupExprs: Seq[(String, Column)],
       aggs: Seq[Column], lastV: Long, srcV: Long): DataFrame = {
     val names = groupExprs.map(_._1)
-    val feed = SnapshotManifest.changesBetween(spark, sourceRoot, lastV, srcV, sourcePk)
+    val feed = changeRows(spark, sourceRoot, sourcePk, lastV, srcV)
     // any group a change row's pre- OR post-image lands in is stale: a
     // row moving between groups invalidates both
     val touched = withKeys(feed, groupExprs).select(names.map(col): _*).distinct()
@@ -210,7 +231,7 @@ object IncrementalRollup {
         SnapshotManifest.commit(spark, rollupRoot,
           build(SnapshotManifest.read(spark, sourceRoot)).withColumn(VersionCol, lit(srcV)))
       case Some(lastV) =>
-        val feed = SnapshotManifest.changesBetween(spark, sourceRoot, lastV, srcV, sourcePk)
+        val feed = changeRows(spark, sourceRoot, sourcePk, lastV, srcV)
           .localCheckpoint(true) // consumed thrice below; the feed is churn-sized
         val keyCond = (l: String, r: String) =>
           groupKeys.map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
@@ -303,7 +324,7 @@ object IncrementalRollup {
       case Some(lastV) if lastV == srcV && hasBookkeeping =>
         SnapshotManifest.currentVersion(spark, rollupRoot).get
       case Some(lastV) if hasBookkeeping && canDiffFrom(spark, sourceRoot, lastV) =>
-        val feed = SnapshotManifest.changesBetween(spark, sourceRoot, lastV, srcV, sourcePk)
+        val feed = changeRows(spark, sourceRoot, sourcePk, lastV, srcV)
         val signed = feed.withColumn("__sign",
           when(col("_change").isin("insert", "update_postimage"), lit(1))
             .otherwise(lit(-1)))

@@ -101,6 +101,33 @@ object SnapshotManifest {
   def currentVersion(spark: SparkSession, root: String): Option[Long] =
     listVersions(spark, root).lastOption
 
+  /** The snapshot that was current AS OF `timestampMs` (Delta's TIMESTAMP
+    * AS OF): the highest retained version whose manifest published at or
+    * before that instant — manifests are write-once, so their mtime IS
+    * the publish time. One directory listing + one status call per
+    * retained version (driver metadata). None when the table's first
+    * commit postdates the timestamp; vacuumed versions are gone here as
+    * everywhere (pin retention to the time-travel window you need).
+    * Clock caveat, shared with every mtime-based table format: the
+    * filesystem's clock orders the commits, not the caller's.
+    */
+  def versionAsOf(spark: SparkSession, root: String,
+      timestampMs: Long): Option[Long] = {
+    val (fs, rootPath) = fsOf(spark, root)
+    listVersions(spark, root).reverseIterator.find(v =>
+      fs.getFileStatus(new Path(rootPath, manifestName(v)))
+        .getModificationTime <= timestampMs)
+  }
+
+  /** [[readVersion]] at [[versionAsOf]] `timestampMs` — timestamp-based
+    * time travel. Throws when no retained version is that old.
+    */
+  def readAsOf(spark: SparkSession, root: String, timestampMs: Long): DataFrame =
+    readVersion(spark, root, versionAsOf(spark, root, timestampMs).getOrElse(
+      throw new IllegalStateException(
+        s"readAsOf: no retained snapshot of $root as of $timestampMs — " +
+          "the first retained commit is newer (or the table is empty)")))
+
   /** One parsed manifest body line: `rel[\tstats-json][\tdv=rel]`. The DV
     * field references a DELETION-VECTOR parquet (`file_name`, `row_index`
     * rows) that [[readEntries]] anti-joins away at read time — the
@@ -1602,23 +1629,72 @@ object SnapshotManifest {
     */
   def vacuum(spark: SparkSession, root: String, keep: Int = 1,
       minAgeMs: Long = 0L): Seq[Long] = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val plan = vacuumPlan(spark, root, keep, minAgeMs)
+    plan.versions.foreach { v =>
+      // manifest FIRST: once it is gone the version no longer exists, and
+      // its data dir is invisible garbage -- a reader can never observe a
+      // manifest whose files have been deleted from under it. A crash
+      // mid-plan leaves only such garbage, which the NEXT vacuum's
+      // reachability sweep reclaims.
+      if (!fs.delete(new Path(rootPath, manifestName(v)), false))
+        throw new java.io.IOException(s"vacuum: cannot delete manifest for version $v")
+    }
+    plan.dataDirs.foreach { d =>
+      if (!fs.delete(new Path(d), true))
+        throw new java.io.IOException(s"vacuum: cannot delete $d")
+    }
+    plan.dataFiles.foreach { f =>
+      if (!fs.delete(new Path(f), false))
+        throw new java.io.IOException(s"vacuum: cannot delete $f")
+    }
+    plan.versions
+  }
+
+  /** What a [[vacuum]] with the same arguments would reclaim. */
+  final case class VacuumPlan(versions: Seq[Long], dataDirs: Seq[String],
+      dataFiles: Seq[String]) {
+    def isEmpty: Boolean = versions.isEmpty && dataDirs.isEmpty && dataFiles.isEmpty
+  }
+
+  /** DRY-RUN [[vacuum]]: the exact manifests, unreferenced data dirs, and
+    * superseded in-dir files the same-argument vacuum would delete, with
+    * nothing touched -- the operator's look-before-you-reclaim (and the
+    * input to a "how many bytes does retention hold" report). Subject to
+    * the usual dry-run caveat: concurrent commits between preview and
+    * vacuum can change the plan.
+    */
+  def vacuumPreview(spark: SparkSession, root: String, keep: Int = 1,
+      minAgeMs: Long = 0L): VacuumPlan =
+    vacuumPlan(spark, root, keep, minAgeMs)
+
+  /** The shared reachability planner under [[vacuum]]/[[vacuumPreview]]:
+    * doomed = superseded manifests older than the age guard; then any
+    * data dir no surviving manifest references, and any unreferenced
+    * parquet file inside referenced dirs ([[deleteWhere]] shares files
+    * across versions, so a kept dir can hold a rewritten file's old
+    * copy). The age gate also protects in-flight staging (unreferenced
+    * only because its manifest has not published yet).
+    */
+  private def vacuumPlan(spark: SparkSession, root: String, keep: Int,
+      minAgeMs: Long): VacuumPlan = {
     require(keep >= 1, "vacuum must keep at least the current snapshot")
     require(minAgeMs >= 0, "minAgeMs must be non-negative")
     val (fs, rootPath) = fsOf(spark, root)
     val cutoff = System.currentTimeMillis() - minAgeMs
     val versions = listVersions(spark, root)
-    // an uncommitted table has nothing to vacuum — and sweeping here would
+    // an uncommitted table has nothing to vacuum -- and sweeping here would
     // eat a bootstrap commit's staging for no benefit
-    if (versions.isEmpty) return Seq.empty
+    if (versions.isEmpty) return VacuumPlan(Nil, Nil, Nil)
     val doomed = versions.dropRight(keep).filter { v =>
       fs.getFileStatus(new Path(rootPath, manifestName(v))).getModificationTime <= cutoff
     }
     // live set FIRST, from the manifests that will survive (everything not
-    // doomed — including too-young superseded ones): any dir under data/
+    // doomed -- including too-young superseded ones): any dir under data/
     // outside this set is unreachable garbage once the doomed manifests go
     // (dirName, fileName) keys, not path strings: listStatus returns
     // scheme-qualified paths (file:/...) while manifest-derived paths are
-    // scheme-less — string comparison would mark EVERY file unreferenced.
+    // scheme-less -- string comparison would mark EVERY file unreferenced.
     // DELETION-VECTOR sidecars are reachable files too: sweeping a live
     // DV would silently RESURRECT its deleted rows
     val keptFiles = versions.filterNot(doomed.contains).flatMap(v =>
@@ -1627,29 +1703,21 @@ object SnapshotManifest {
         val p = new Path(rel); (p.getParent.getName, p.getName)
       }).toSet
     val keptDirs = keptFiles.map(_._1)
-    doomed.foreach { v =>
-      // manifest FIRST: once it is gone the version no longer exists, and
-      // its data dir is invisible garbage — a reader can never observe a
-      // manifest whose files have been deleted from under it. A crash
-      // between this loop and the sweep below leaves only such garbage,
-      // which the NEXT vacuum's reachability sweep reclaims.
-      if (!fs.delete(new Path(rootPath, manifestName(v)), false))
-        throw new java.io.IOException(s"vacuum: cannot delete manifest for version $v")
-    }
+    val dirs = Seq.newBuilder[String]
+    val files = Seq.newBuilder[String]
     val dataRoot = new Path(rootPath, "data")
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot).foreach { s =>
         // age gate on the DIR's own mtime: an in-flight commit's staging is
-        // young by definition — reachability alone cannot distinguish it
+        // young by definition -- reachability alone cannot distinguish it
         // from a crashed attempt until its manifest publishes (or never does)
         if (s.isDirectory && !keptDirs.contains(s.getPath.getName) &&
             s.getModificationTime <= cutoff) {
-          if (!fs.delete(s.getPath, true))
-            throw new java.io.IOException(s"vacuum: cannot delete ${s.getPath}")
+          dirs += s.getPath.toString
         } else if (s.isDirectory && keptDirs.contains(s.getPath.getName)) {
           // FILE-level sweep inside referenced dirs: [[deleteWhere]] shares
           // files across versions, so a kept dir can hold parquet files no
-          // surviving manifest references (a rewritten file's old copy —
+          // surviving manifest references (a rewritten file's old copy --
           // exactly the bytes a compliance purge must reclaim). Committed
           // dirs are immutable-once-published, so an unreferenced parquet
           // file here is never an in-flight write; the age gate still
@@ -1658,13 +1726,12 @@ object SnapshotManifest {
             if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
                 !keptFiles.contains((s.getPath.getName, f.getPath.getName)) &&
                 f.getModificationTime <= cutoff) {
-              if (!fs.delete(f.getPath, false))
-                throw new java.io.IOException(s"vacuum: cannot delete ${f.getPath}")
+              files += f.getPath.toString
             }
           }
         }
       }
     }
-    doomed
+    VacuumPlan(doomed, dirs.result(), files.result())
   }
 }

@@ -83,6 +83,42 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(IncrementalRollup.reflectedVersion(spark, roll).contains(1L))
   }
 
+  test("refresh over a MATERIALIZED feed (per-commit images) matches from-scratch") {
+    val root = Files.createTempDirectory("irollup").toString
+    val (src, roll) = (s"$root/src", s"$root/rollup")
+    val aggs = Seq(
+      count(lit(1)).alias("n"),
+      sum($"x".cast("decimal(30,6)")).cast("double").alias("sum_x"),
+      max($"x").alias("max_x"))
+    SnapshotManifest.commit(spark, src, v0)
+    IncrementalRollup.refresh(spark, src, roll, Seq("id"), Seq("grp"), aggs)
+    // TWO commits since the last refresh, feed materialized per commit:
+    // the refresh consumes the persisted per-commit images (intermediate
+    // pre/post rows included) instead of recomputing the collapsed diff
+    SnapshotManifest.commit(spark, src, v1)
+    SnapshotManifest.deleteWhere(spark, src, $"id" === 7L, Seq("id"))
+    graft.sources.ChangeFeed.materializeNew(spark, src, Seq("id"))
+    IncrementalRollup.refresh(spark, src, roll, Seq("id"), Seq("grp"), aggs)
+    assert(IncrementalRollup.read(spark, roll)
+      .as[(String, Long, Double, Double)].collect().toSet ==
+      fullAgg(v1.filter($"id" =!= 7L)))
+    // additive twin over the same materialized feed
+    val roll2 = s"$root/rollup2"
+    SnapshotManifest.commit(spark, src, v0) // v3: back to v0 content
+    graft.sources.ChangeFeed.materializeNew(spark, src, Seq("id"))
+    IncrementalRollup.refreshAdditive(spark, src, roll2, Seq("id"), Seq("grp"), Seq("x"))
+    SnapshotManifest.commit(spark, src, v1)
+    graft.sources.ChangeFeed.materializeNew(spark, src, Seq("id"))
+    IncrementalRollup.refreshAdditive(spark, src, roll2, Seq("id"), Seq("grp"), Seq("x"))
+    val got = IncrementalRollup.read(spark, roll2)
+      .select($"grp", $"n_rows", $"sum_x")
+      .as[(String, Long, Double)].collect().toSet
+    val want = v1.groupBy($"grp").agg(count(lit(1)).alias("n_rows"),
+      sum($"x".cast("decimal(30,6)")).cast("double").alias("sum_x"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == want)
+  }
+
   test("empty initial source: the stamp-less rollup falls back to a full build once data arrives") {
     val root = Files.createTempDirectory("irollup4").toString
     val (src, roll) = (s"$root/src", s"$root/rollup")

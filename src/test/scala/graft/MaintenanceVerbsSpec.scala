@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotManifest
+
+/** Timestamp time travel and the vacuum dry-run. */
+class MaintenanceVerbsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot() = Files.createTempDirectory("maint").toString
+
+  test("readAsOf answers the snapshot current at the timestamp") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root, Seq((1L, "a")).toDF("id", "x"))
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    SnapshotManifest.commit(spark, root, Seq((1L, "b")).toDF("id", "x"))
+    assert(SnapshotManifest.versionAsOf(spark, root, between).contains(0L))
+    assert(SnapshotManifest.readAsOf(spark, root, between)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    assert(SnapshotManifest.readAsOf(spark, root, System.currentTimeMillis())
+      .as[(Long, String)].collect().toSeq == Seq((1L, "b")))
+    // predating the first commit: no version, loud read
+    assert(SnapshotManifest.versionAsOf(spark, root, between - 60000).isEmpty)
+    intercept[IllegalStateException] {
+      SnapshotManifest.readAsOf(spark, root, between - 60000)
+    }
+  }
+
+  test("vacuumPreview names exactly what vacuum then deletes, touching nothing") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      (1L to 100L).toDF("id").repartitionByRange(2, col("id")), Seq("id"))
+    SnapshotManifest.deleteWhere(spark, root, col("id") < 10L, Seq("id"))
+    SnapshotManifest.deleteWhere(spark, root, col("id") < 20L, Seq("id"))
+    val plan = SnapshotManifest.vacuumPreview(spark, root, keep = 1)
+    assert(plan.versions == Seq(0L, 1L))
+    assert(!plan.isEmpty)
+    // preview touched nothing: every named path still exists
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (plan.dataDirs ++ plan.dataFiles).foreach(p =>
+      assert(fs.exists(new Path(p)), s"preview deleted $p"))
+    assert(SnapshotManifest.hasVersion(spark, root, 0L))
+    // the real vacuum reclaims exactly the plan
+    assert(SnapshotManifest.vacuum(spark, root, keep = 1) == plan.versions)
+    (plan.dataDirs ++ plan.dataFiles).foreach(p =>
+      assert(!fs.exists(new Path(p)), s"vacuum left $p"))
+    assert(!SnapshotManifest.hasVersion(spark, root, 0L))
+    assert(SnapshotManifest.read(spark, root).count() == 81L)
+    // an already-clean table previews empty
+    assert(SnapshotManifest.vacuumPreview(spark, root, keep = 1).isEmpty)
+  }
+}
