@@ -78,6 +78,16 @@ object ChangeFeed {
         s"adjacent retained version pair of $root (retained: " +
         s"${versions.mkString(", ")}) — the feed is per-commit; use " +
         "materializeNew for catch-up")
+    materializeStep(spark, root, fromVersion, toVersion, pk)
+  }
+
+  /** [[materialize]] after adjacency is already established — the shared
+    * step under the public verb and [[materializeNew]]'s catch-up, which
+    * derives its pairs from one version listing instead of re-listing
+    * per step (N+1 LIST round-trips on an object store otherwise).
+    */
+  private def materializeStep(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long, pk: Seq[String]): Boolean = {
     val (fs, rootPath) = fsOf(spark, root)
     val dest = new Path(rootPath, new Path("_cdf", dirName(fromVersion, toVersion)))
     if (fs.exists(dest)) return false
@@ -127,7 +137,7 @@ object ChangeFeed {
     if (versions.size < 2) return Seq.empty
     val done = materializedRanges(spark, root).map(_._2).toSet
     versions.zip(versions.tail).collect {
-      case (f, t) if !done(t) && materialize(spark, root, f, t, pk) => (f, t)
+      case (f, t) if !done(t) && materializeStep(spark, root, f, t, pk) => (f, t)
     }
   }
 
@@ -170,11 +180,24 @@ object ChangeFeed {
       if (f2 != t1) fail(s"gap between commit $t1 and commit $f2") }
     since.foreach(s => if (ranges.nonEmpty && ranges.head._1 != s)
       fail(s"first materialized range starts at ${ranges.head._1}, not $s"))
-    since.foreach(s => if (ranges.isEmpty &&
-        SnapshotManifest.currentVersion(spark, root).exists(_ > s))
-      fail(s"nothing materialized past $s"))
     until.foreach(u => if (ranges.nonEmpty && ranges.last._2 != u)
       fail(s"last materialized range ends at ${ranges.last._2}, not $u"))
+    // empty selection: sound ONLY when the asked window is provably empty
+    // of commits — a bounded window whose changes were reclaimed must not
+    // read as "no changes" (the symmetric hazard for both bounds)
+    if (ranges.isEmpty) {
+      lazy val versions = SnapshotManifest.listVersions(spark, root)
+      val emptyWindow = (since, until) match {
+        case (Some(s), Some(u)) => s >= u
+        case (Some(s), None) => !versions.lastOption.exists(_ > s)
+        case (None, Some(u)) =>
+          // provable only when history is complete from the bootstrap
+          // (version 0 retained) and no commit boundary lands in (0, u]
+          versions.headOption.contains(0L) && !versions.exists(v => v > 0 && v <= u)
+        case (None, None) => true // "whole available feed" of nothing
+      }
+      if (!emptyWindow) fail("nothing materialized in the window")
+    }
     ranges
   }
 
@@ -217,6 +240,39 @@ object ChangeFeed {
     spark.readStream
       .schema(feedSchema(spark, root))
       .parquet(new Path(rootPath, "_cdf").toString + "/*")
+  }
+
+  private def watermarkFile(dstRoot: String): Path =
+    new Path(new Path(dstRoot), "_replication_watermark")
+
+  /** The highest source commit version this replica has fully applied —
+    * advanced by [[replicateAvailableNow]] after every batch, and the
+    * reason a replica can keep validating feed coverage after
+    * [[vacuumFeed]] reclaims ranges it already consumed: validation runs
+    * from max(bootstrap version, this watermark), not from the bootstrap
+    * forever. May LAG the checkpoint by one crash window (the marker
+    * writes after the batch applies); a lagging watermark only makes
+    * validation stricter, never silently weaker.
+    */
+  def replicaWatermark(spark: SparkSession, dstRoot: String): Option[Long] = {
+    val (fs, _) = fsOf(spark, dstRoot)
+    val p = watermarkFile(dstRoot)
+    if (!fs.exists(p)) None
+    else Some(CommitProtocol.readFully(fs, p).trim.toLong)
+  }
+
+  private def advanceWatermark(spark: SparkSession, dstRoot: String,
+      v: Long): Unit = {
+    val (fs, _) = fsOf(spark, dstRoot)
+    if (replicaWatermark(spark, dstRoot).forall(_ < v)) {
+      val p = watermarkFile(dstRoot)
+      val tmp = new Path(p.getParent,
+        "." + p.getName + "." + java.util.UUID.randomUUID.toString + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(p, false) // replace: monotonic marker, last-writer-wins
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    }
   }
 
   /** Replicate a table through its materialized feed: run [[stream]] to
@@ -262,10 +318,15 @@ object ChangeFeed {
       s"replicateAvailableNow: no committed snapshot under $dstRoot — " +
         "bootstrap the replica (cloneTable of the feed's from-version) first")
     // a gapped feed converges to a WRONG state that looks right — verify
-    // coverage from the replica's bootstrap version (when stated) through
-    // the source's current version BEFORE applying anything
-    coveredRanges(spark, srcRoot, fromVersion,
-      SnapshotManifest.currentVersion(spark, srcRoot))
+    // coverage BEFORE applying anything, from wherever this replica
+    // actually stands: the recorded watermark when it has consumed past
+    // the bootstrap (already-applied ranges may legitimately be
+    // vacuumed), else the stated bootstrap version
+    val srcCurrent = SnapshotManifest.currentVersion(spark, srcRoot)
+    val effectiveFrom = (fromVersion.toSeq ++
+      replicaWatermark(spark, dstRoot).toSeq).maxOption
+    if (!effectiveFrom.exists(ef => srcCurrent.forall(_ <= ef)))
+      coveredRanges(spark, srcRoot, effectiveFrom, srcCurrent)
     val q = stream(spark, srcRoot).writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val feedCols = Seq("_change", "_commit_version")
@@ -287,6 +348,12 @@ object ChangeFeed {
           pk, statsCols, maxKeySetSize)
         graft.operators.Upsert.deleteKeysWithRetry(spark, dstRoot, deletes,
           pk, statsCols, maxKeySetSize)
+        // watermark AFTER both arms: a crash in between replays the batch
+        // (idempotent), and a lagging watermark only tightens validation
+        val applied = batch.agg(
+          org.apache.spark.sql.functions.max(col("_commit_version"))).head()
+        if (!applied.isNullAt(0))
+          advanceWatermark(spark, dstRoot, applied.getLong(0))
         ()
       }
       .option("checkpointLocation", checkpointDir)

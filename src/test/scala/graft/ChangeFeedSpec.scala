@@ -159,8 +159,50 @@ class ChangeFeedSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ChangeFeed.materialize(spark, root, 0L, 3L, Seq("id"))
     }
-    // adjacency is judged over RETAINED versions: after vacuuming the
-    // middle commits, the surviving pair is a valid step
+    // adjacency is judged over RETAINED versions: vacuum away v0, and
+    // (1,2) is a valid step while the reclaimed (0,1) no longer is
+    SnapshotManifest.vacuum(spark, root, keep = 3)
+    intercept[IllegalArgumentException] {
+      ChangeFeed.materialize(spark, root, 0L, 1L, Seq("id"))
+    }
+    assert(ChangeFeed.materialize(spark, root, 1L, 2L, Seq("id")))
+    assert(ChangeFeed.materializeNew(spark, root, Seq("id")) == Seq((2L, 3L)))
+  }
+
+  test("replication resumes past vacuumed feed ranges via its watermark") {
+    val root = newRoot(); val replicaRoot = newRoot()
+    build4(root)
     ChangeFeed.materializeNew(spark, root, Seq("id"))
+    SnapshotManifest.cloneTable(spark, root, replicaRoot, version = Some(0L))
+    val chk = Files.createTempDirectory("replchk").toString
+    ChangeFeed.replicateAvailableNow(spark, root, replicaRoot, Seq("id"),
+      chk, statsCols = Seq("id"), fromVersion = Some(0L))
+    assert(ChangeFeed.replicaWatermark(spark, replicaRoot).contains(3L))
+    // consumed ranges get reclaimed; new churn arrives
+    ChangeFeed.vacuumFeed(spark, root, beforeVersion = 3L)
+    SnapshotManifest.deleteWhere(spark, root, col("id") === 5L, Seq("id"))
+    ChangeFeed.materializeNew(spark, root, Seq("id"))
+    // the SAME call (bootstrap fromVersion and all) must still catch up:
+    // validation runs from the watermark, not the bootstrap forever
+    val replica = ChangeFeed.replicateAvailableNow(spark, root, replicaRoot,
+      Seq("id"), chk, statsCols = Seq("id"), fromVersion = Some(0L))
+    assert(replica.select(col("id"), col("x")).as[(Long, String)].collect().toSet ==
+      SnapshotManifest.read(spark, root)
+        .select(col("id"), col("x")).as[(Long, String)].collect().toSet)
+    assert(ChangeFeed.replicaWatermark(spark, replicaRoot).contains(4L))
+  }
+
+  test("an until-bounded read over reclaimed coverage fails instead of reading empty") {
+    val root = newRoot()
+    build4(root)
+    ChangeFeed.materializeNew(spark, root, Seq("id"))
+    ChangeFeed.vacuumFeed(spark, root, beforeVersion = 2L)
+    // '(begin, 2]' had changes; they were reclaimed — must not read as none
+    intercept[IllegalStateException] {
+      ChangeFeed.feed(spark, root, untilVersion = Some(2L))
+    }
+    // an honestly-empty window still answers empty
+    assert(ChangeFeed.feed(spark, root,
+      sinceVersion = Some(3L), untilVersion = Some(3L)).count() == 0)
   }
 }

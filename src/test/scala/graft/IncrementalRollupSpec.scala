@@ -102,21 +102,42 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(IncrementalRollup.read(spark, roll)
       .as[(String, Long, Double, Double)].collect().toSet ==
       fullAgg(v1.filter($"id" =!= 7L)))
-    // additive twin over the same materialized feed
+    // additive twin over a MULTI-COMMIT span: key 7 is inserted (v4) and
+    // deleted again (v5) INSIDE the span — the per-commit feed carries
+    // both images where a collapsed diff would show nothing; the signed
+    // deltas must telescope to zero for it
     val roll2 = s"$root/rollup2"
     SnapshotManifest.commit(spark, src, v0) // v3: back to v0 content
     graft.sources.ChangeFeed.materializeNew(spark, src, Seq("id"))
     IncrementalRollup.refreshAdditive(spark, src, roll2, Seq("id"), Seq("grp"), Seq("x"))
-    SnapshotManifest.commit(spark, src, v1)
+    SnapshotManifest.commit(spark, src, v1) // v4 (inserts id 7, group d)
+    SnapshotManifest.deleteWhere(spark, src, $"id" === 7L, Seq("id")) // v5
     graft.sources.ChangeFeed.materializeNew(spark, src, Seq("id"))
     IncrementalRollup.refreshAdditive(spark, src, roll2, Seq("id"), Seq("grp"), Seq("x"))
     val got = IncrementalRollup.read(spark, roll2)
       .select($"grp", $"n_rows", $"sum_x")
       .as[(String, Long, Double)].collect().toSet
-    val want = v1.groupBy($"grp").agg(count(lit(1)).alias("n_rows"),
-      sum($"x".cast("decimal(30,6)")).cast("double").alias("sum_x"))
+    val want = v1.filter($"id" =!= 7L).groupBy($"grp")
+      .agg(count(lit(1)).alias("n_rows"),
+        sum($"x".cast("decimal(30,6)")).cast("double").alias("sum_x"))
       .as[(String, Long, Double)].collect().toSet
     assert(got == want)
+    // sketch twin over the same materialized multi-commit span: estimates
+    // must equal a from-scratch rebuild of the current snapshot
+    val roll3 = s"$root/rollup3"
+    val roll3Scratch = s"$root/rollup3s"
+    IncrementalRollup.refreshDistinctSketch(spark, src, roll3,
+      Seq("id"), Seq("grp"), "id")
+    SnapshotManifest.commit(spark, src, v0) // v6: churn again
+    graft.sources.ChangeFeed.materializeNew(spark, src, Seq("id"))
+    IncrementalRollup.refreshDistinctSketch(spark, src, roll3,
+      Seq("id"), Seq("grp"), "id")
+    IncrementalRollup.refreshDistinctSketch(spark, src, roll3Scratch,
+      Seq("id"), Seq("grp"), "id")
+    def counts(r: String) = IncrementalRollup.readDistinctCounts(spark, r)
+      .select($"grp", $"approx_distinct".cast("long"))
+      .as[(String, Long)].collect().toSet
+    assert(counts(roll3) == counts(roll3Scratch))
   }
 
   test("empty initial source: the stamp-less rollup falls back to a full build once data arrives") {
