@@ -1255,6 +1255,31 @@ object Oracles {
         |FROM sides GROUP BY side, o_orderstatus
         |ORDER BY side, o_orderstatus""".stripMargin,
 
+    // Auto-materialized change feed (q141): commit 2 updates keys ≡0
+    // (mod 9) to ×2, commit 3 deletes the 300-699 band at post-update
+    // prices, commit 4 inserts the shifted keys-under-25 batch (commit 1
+    // is the pk declaration — metadata-only, empty feed).
+    "q141_auto_cdf" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |feed AS (
+        |  SELECT 2 AS commit_version, 'update_preimage' AS change,
+        |    o_totalprice AS p FROM base WHERE o_orderkey % 9 = 0
+        |  UNION ALL
+        |  SELECT 2, 'update_postimage', o_totalprice * 2
+        |    FROM base WHERE o_orderkey % 9 = 0
+        |  UNION ALL
+        |  SELECT 3, 'delete',
+        |    CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END
+        |    FROM base WHERE o_orderkey BETWEEN 300 AND 699
+        |  UNION ALL
+        |  SELECT 4, 'insert', o_totalprice FROM base WHERE o_orderkey < 25)
+        |SELECT CAST(commit_version AS BIGINT) AS commit_version, change,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(p AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        |FROM feed GROUP BY commit_version, change
+        |ORDER BY commit_version, change""".stripMargin,
+
     "q54_hash_sample" ->
       """SELECT l_returnflag, count(*) AS n_sampled,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty

@@ -2738,6 +2738,44 @@ object Queries {
       .orderBy(col("side"), col("o_orderstatus"))
   }
 
+  /** Declared-PK + auto-materialized change feed
+    * ([[graft.sources.SnapshotManifest.setPrimaryKey]] +
+    * `graft.cdf.auto`): bootstrap orders, declare the key ONCE, switch
+    * auto-materialization on, run a three-verb DML sequence with NO
+    * explicit feed call anywhere — every commit boundary self-covers at
+    * publish time — then aggregate the validated feed. The oracle
+    * replays each commit's churn; a missed boundary fails the
+    * coverage-validated read outright, a wrong image shifts a sum.
+    */
+  def q141AutoCdf(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q141").toString
+    graft.sources.SnapshotManifest.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey"))
+    graft.sources.SnapshotManifest.setPrimaryKey(spark, root, Seq("o_orderkey"))
+    spark.conf.set("graft.cdf.auto", "true")
+    try {
+      graft.sources.SnapshotManifest.updateWhere(spark, root,
+        col("o_orderkey") % 9 === 0,
+        Map("o_totalprice" -> (col("o_totalprice") * 2)), Seq("o_orderkey"))
+      graft.sources.SnapshotManifest.deleteWhere(spark, root,
+        col("o_orderkey").between(300, 699), Seq("o_orderkey"))
+      graft.operators.Upsert.mergeWhere(spark, root,
+        orders.filter(col("o_orderkey") < 25)
+          .select((col("o_orderkey") + 60000000L).alias("o_orderkey"),
+            lit("Z").alias("o_orderstatus"), col("o_totalprice")),
+        Seq("o_orderkey"), Seq("o_orderkey"))
+    } finally spark.conf.unset("graft.cdf.auto")
+    graft.sources.ChangeFeed.feed(spark, root, sinceVersion = Some(1L))
+      .groupBy(col("_commit_version").alias("commit_version"),
+        col("_change").alias("change"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("sum_price"))
+      .orderBy(col("commit_version"), col("change"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2882,6 +2920,7 @@ object Queries {
     "q137_clone" -> (q137Clone _),
     "q138_bloom_lookup" -> (q138BloomLookup _),
     "q139_metadata_agg" -> (q139MetadataAgg _),
-    "q140_replication" -> (q140Replication _)
+    "q140_replication" -> (q140Replication _),
+    "q141_auto_cdf" -> (q141AutoCdf _)
   )
 }

@@ -131,6 +131,20 @@ object ChangeFeed {
     *
     * @return the ranges materialized by THIS call, ascending
     */
+  /** [[materializeNew]] keyed by the table's DECLARED primary key
+    * ([[SnapshotManifest.setPrimaryKey]]).
+    */
+  def materializeNew(spark: SparkSession, root: String): Seq[(Long, Long)] = {
+    val v = SnapshotManifest.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"ChangeFeed.materializeNew: no committed snapshot under $root"))
+    val pk = SnapshotManifest.primaryKey(spark, root, v)
+    require(pk.nonEmpty,
+      s"ChangeFeed.materializeNew: no primary key declared for $root — " +
+        "setPrimaryKey once, or pass pk explicitly")
+    materializeNew(spark, root, pk)
+  }
+
   def materializeNew(spark: SparkSession, root: String,
       pk: Seq[String]): Seq[(Long, Long)] = {
     val versions = SnapshotManifest.listVersions(spark, root)

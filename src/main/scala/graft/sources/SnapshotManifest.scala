@@ -341,17 +341,19 @@ object SnapshotManifest {
   }
 
   /** Table-level metadata carried in the manifest HEADER, beside the
-    * version tag: the recorded schema (an [[addColumns]] widening) and
-    * the bloom-indexed columns (point-lookup pruning, see [[commit]]'s
-    * `bloomCols`). Content verbs read it once and carry it forward
+    * version tag: the recorded schema (an [[addColumns]] widening), the
+    * bloom-indexed columns (point-lookup pruning, see [[commit]]'s
+    * `bloomCols`), and the declared primary key ([[setPrimaryKey]] — the
+    * row identity the pk-less [[changesBetween]]/feed overloads
+    * default to). Content verbs read it once and carry it forward
     * verbatim (schema possibly widened), so a property survives every
     * DML/maintenance rewrite; a full [[commit]] defines it anew.
     */
   private[graft] final case class TableMeta(schema: Option[StructType],
-      bloomCols: Seq[String])
+      bloomCols: Seq[String], pk: Seq[String] = Nil)
 
   private[graft] object TableMeta {
-    val empty: TableMeta = TableMeta(None, Nil)
+    val empty: TableMeta = TableMeta(None, Nil, Nil)
   }
 
   private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -378,7 +380,8 @@ object SnapshotManifest {
     s"version=$next\n" +
       meta.schema.map(s => s"schema=${s.json}\n").getOrElse("") +
       (if (meta.bloomCols.isEmpty) ""
-       else s"bloom=${bloomJson(meta.bloomCols)}\n")
+       else s"bloom=${bloomJson(meta.bloomCols)}\n") +
+      (if (meta.pk.isEmpty) "" else s"pk=${bloomJson(meta.pk)}\n")
 
   /** Atomically publish version `next` with exactly `lines` — the
     * append-free MoR publish ([[deleteWhereMoR]]'s commit point).
@@ -396,8 +399,30 @@ object SnapshotManifest {
         s"$op: version $next already committed by a concurrent writer; " +
           "re-read the table and retry (staged sidecars are unreferenced " +
           "garbage for vacuum)")
+    maybeAutoCdf(spark, root, meta)
     next
   }
+
+  /** CONF-GATED feed auto-materialization (`graft.cdf.auto` = true):
+    * after a successful publish of a table with a DECLARED primary key
+    * ([[setPrimaryKey]]), catch the materialized feed up to the new
+    * version — every commit boundary gets covered without an external
+    * scheduler, which is what keeps [[graft.sources.ChangeFeed]]'s
+    * coverage validation permanently green for downstream consumers.
+    * Post-commit and BEST-EFFORT: a failure logs and leaves the repair
+    * to the next boundary (the catch-up is gap-healing by design) —
+    * the commit itself has already published.
+    */
+  private def maybeAutoCdf(spark: SparkSession, root: String,
+      meta: TableMeta): Unit =
+    if (meta.pk.nonEmpty &&
+        spark.conf.getOption("graft.cdf.auto").exists(_.equalsIgnoreCase("true")))
+      try { ChangeFeed.materializeNew(spark, root, meta.pk); () }
+      catch { case scala.util.control.NonFatal(e) =>
+        graft.core.Logging.logger().warn(
+          s"auto change-feed materialization failed for $root (the commit " +
+            s"already published; the next catch-up repairs): ${e.getMessage}")
+      }
 
   /** Existing DV positions of `entries` as a LAZY `(file_name, row_index)`
     * frame — never collected; None when no entry carries a sidecar. The
@@ -456,6 +481,7 @@ object SnapshotManifest {
       throw new ConcurrentCommitException(
         s"$op: version $next already committed by a concurrent writer; " +
           s"re-read the table and retry; staged data left at $dataDir")
+    maybeAutoCdf(spark, root, meta)
     next
   }
 
@@ -738,15 +764,18 @@ object SnapshotManifest {
     val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
     require(lines.headOption.contains(s"version=$version"),
       s"corrupt manifest for version $version: bad header ${lines.headOption}")
-    // `schema=` / `bloom=` are HEADER fields ([[addColumns]],
-    // [[setBloomCols]]), not file entries
+    // `schema=` / `bloom=` / `pk=` are HEADER fields ([[addColumns]],
+    // [[setBloomCols]], [[setPrimaryKey]]), not file entries
     val (schemaLines, rest) = lines.tail.toSeq.partition(_.startsWith("schema="))
-    val (bloomLines, body) = rest.partition(_.startsWith("bloom="))
+    val (bloomLines, rest2) = rest.partition(_.startsWith("bloom="))
+    val (pkLines, body) = rest2.partition(_.startsWith("pk="))
     (body, TableMeta(
       schemaLines.headOption.map(l =>
         org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("schema="))
           .asInstanceOf[StructType]),
       bloomLines.headOption.map(l => bloomFromJson(l.stripPrefix("bloom=")))
+        .getOrElse(Nil),
+      pkLines.headOption.map(l => bloomFromJson(l.stripPrefix("pk=")))
         .getOrElse(Nil)))
   }
 
@@ -1070,6 +1099,37 @@ object SnapshotManifest {
       meta.copy(schema = Some(widened)))
   }
 
+  /** Declare (or clear) the table's PRIMARY KEY — a metadata-only
+    * property publish like [[setBloomCols]]. The declared pk is the row
+    * identity the pk-less [[changesBetween]] overload and
+    * [[graft.sources.ChangeFeed]]'s table-driven catch-up default to,
+    * and what makes CONF-GATED auto-materialization possible at all
+    * (`graft.cdf.auto` — the commit paths cannot guess a row identity).
+    * Declaring a pk asserts the [[graft.operators.Upsert]] family's
+    * invariant: each snapshot is pk-unique. It is NOT validated per
+    * commit (that would price a distinct scan into every publish);
+    * [[commitChecked]] with a uniqueness check is the enforcing form.
+    */
+  def setPrimaryKey(spark: SparkSession, root: String,
+      pk: Seq[String]): Long = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"setPrimaryKey: no committed snapshot under $root"))
+    val (body, meta) = manifestParts(spark, root, v)
+    if (meta.pk == pk) return v
+    val schema = meta.schema.orElse(body.headOption.map(l =>
+      spark.read.parquet(bodyFile(root, l)).schema))
+    schema.foreach(s => pk.foreach(c => require(s.fieldNames.contains(c),
+      s"setPrimaryKey: column $c not in schema ${s.fieldNames.mkString(", ")}")))
+    publishLines(spark, root, v + 1, body, "setPrimaryKey",
+      meta.copy(pk = pk))
+  }
+
+  /** The declared primary key of `version` (empty when none) — O(1)
+    * driver metadata.
+    */
+  def primaryKey(spark: SparkSession, root: String, version: Long): Seq[String] =
+    manifestParts(spark, root, version)._2.pk
+
   /** Declare (or clear) the table's bloom-indexed columns — a
     * metadata-only property publish, [[addColumns]]'s sibling. Files
     * written AFTER this carry parquet-native bloom filters for `cols`
@@ -1297,6 +1357,7 @@ object SnapshotManifest {
         s"$op: version $next already committed by a concurrent writer; " +
           s"re-read the table and retry; staged data left at $dataDir " +
           "(unreferenced — vacuum sweeps it)")
+    maybeAutoCdf(spark, rootPath.toString, meta)
     next
   }
 
@@ -1328,6 +1389,19 @@ object SnapshotManifest {
     * (one shuffle per side); rewritten-but-unchanged rows (compaction) are
     * detected by column comparison and dropped.
     */
+  /** [[changesBetween]] keyed by the table's DECLARED primary key
+    * ([[setPrimaryKey]]) — the row identity travels with the table, not
+    * with every call site.
+    */
+  def changesBetween(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    val pk = manifestParts(spark, root, toVersion)._2.pk
+    require(pk.nonEmpty,
+      s"changesBetween: no primary key declared for $root — " +
+        "setPrimaryKey once, or pass pk explicitly")
+    changesBetween(spark, root, fromVersion, toVersion, pk)
+  }
+
   def changesBetween(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long, pk: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{ChangeFeed, SnapshotManifest}
+
+/** Declared primary key: the table-level row identity, the pk-less
+  * diff/feed overloads, and conf-gated feed auto-materialization.
+  */
+class PrimaryKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot() = Files.createTempDirectory("pk").toString
+
+  test("setPrimaryKey validates, persists across DML, and drives the pk-less overloads") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      (1L to 50L).map(i => (i, s"v$i")).toDF("id", "x"), Seq("id"))
+    intercept[IllegalArgumentException] {
+      SnapshotManifest.setPrimaryKey(spark, root, Seq("nope"))
+    }
+    // no declaration yet: the pk-less forms fail with guidance
+    intercept[IllegalArgumentException] {
+      SnapshotManifest.changesBetween(spark, root, 0L, 0L)
+    }
+    val v1 = SnapshotManifest.setPrimaryKey(spark, root, Seq("id"))
+    assert(SnapshotManifest.primaryKey(spark, root, v1) == Seq("id"))
+    // the property survives a DML rewrite
+    val v2 = SnapshotManifest.deleteWhere(spark, root, col("id") > 40L, Seq("id"))
+    assert(SnapshotManifest.primaryKey(spark, root, v2) == Seq("id"))
+    // pk-less diff == explicit-pk diff
+    val a = SnapshotManifest.changesBetween(spark, root, v1, v2)
+      .select(col("id"), col("_change")).as[(Long, String)].collect().toSet
+    val b = SnapshotManifest.changesBetween(spark, root, v1, v2, Seq("id"))
+      .select(col("id"), col("_change")).as[(Long, String)].collect().toSet
+    assert(a == b && a.nonEmpty)
+    // idempotent re-declare is a no-op publish
+    assert(SnapshotManifest.setPrimaryKey(spark, root, Seq("id")) == v2)
+  }
+
+  test("graft.cdf.auto: every commit boundary of a pk-declared table self-materializes") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      (1L to 30L).map(i => (i, s"v$i")).toDF("id", "x"), Seq("id"))
+    SnapshotManifest.setPrimaryKey(spark, root, Seq("id"))
+    spark.conf.set("graft.cdf.auto", "true")
+    try {
+      SnapshotManifest.updateWhere(spark, root, col("id") === 3L,
+        Map("x" -> lit("patched")), Seq("id"))
+      SnapshotManifest.deleteWhereMoR(spark, root, col("id") > 25L)
+      graft.operators.Upsert.mergeWhere(spark, root,
+        Seq((100L, "new")).toDF("id", "x"), Seq("id"), Seq("id"))
+      // no explicit materialize call anywhere — coverage is complete
+      val cur = SnapshotManifest.currentVersion(spark, root).get
+      val ranges = ChangeFeed.materializedRanges(spark, root)
+      assert(ranges.map(_._2) == (1L to cur).toSeq, s"ranges were $ranges")
+      // and the validated feed reads whole
+      val feed = ChangeFeed.feed(spark, root, sinceVersion = Some(1L))
+      assert(feed.filter(col("_change") === "insert").count() == 1L)
+    } finally spark.conf.unset("graft.cdf.auto")
+    // conf off: a further DML does NOT self-materialize
+    SnapshotManifest.deleteWhere(spark, root, col("id") === 1L, Seq("id"))
+    val cur2 = SnapshotManifest.currentVersion(spark, root).get
+    assert(!ChangeFeed.materializedRanges(spark, root).exists(_._2 == cur2))
+  }
+}
