@@ -1280,6 +1280,14 @@ object Oracles {
         |FROM feed GROUP BY commit_version, change
         |ORDER BY commit_version, change""".stripMargin,
 
+    // ANALYZE retrofit (q142): plain aggregates of the raw fixture —
+    // the Spark side answers them from retrofitted manifest stats.
+    "q142_analyze" ->
+      """SELECT count(*) AS n, min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key, min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
+
     "q54_hash_sample" ->
       """SELECT l_returnflag, count(*) AS n_sampled,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty

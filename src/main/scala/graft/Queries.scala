@@ -2776,6 +2776,32 @@ object Queries {
       .orderBy(col("commit_version"), col("change"))
   }
 
+  /** ANALYZE retrofit ([[graft.sources.SnapshotManifest.analyzeTable]]):
+    * bootstrap orders STATS-LESS (zero pruning power), run one
+    * metadata-only ANALYZE — no data file touched — then answer count
+    * and bounds through the metadata aggregates. The oracle replays the
+    * plain aggregates; a stats row that misdescribes its file shifts a
+    * bound or the count. The min/max prices are raw stored doubles
+    * (selection, not arithmetic — differential-safe).
+    */
+  def q142Analyze(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q142").toString
+    graft.sources.SnapshotManifest.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey")))
+    graft.sources.SnapshotManifest.analyzeTable(spark, root,
+      Seq("o_orderkey", "o_totalprice"))
+    val n = graft.sources.SnapshotManifest.countRows(spark, root)
+    val (mnK, mxK) = graft.sources.SnapshotManifest.minMax(spark, root, "o_orderkey")
+    val (mnP, mxP) = graft.sources.SnapshotManifest.minMax(spark, root, "o_totalprice")
+    def asL(v: Option[Any]) = v.get.asInstanceOf[BigDecimal].toLong
+    def asD(v: Option[Any]) = v.get.asInstanceOf[BigDecimal].toDouble
+    Seq((n, asL(mnK), asL(mxK), asD(mnP), asD(mxP)))
+      .toDF("n", "min_key", "max_key", "min_price", "max_price")
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2921,6 +2947,7 @@ object Queries {
     "q138_bloom_lookup" -> (q138BloomLookup _),
     "q139_metadata_agg" -> (q139MetadataAgg _),
     "q140_replication" -> (q140Replication _),
-    "q141_auto_cdf" -> (q141AutoCdf _)
+    "q141_auto_cdf" -> (q141AutoCdf _),
+    "q142_analyze" -> (q142Analyze _)
   )
 }

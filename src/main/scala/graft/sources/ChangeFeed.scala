@@ -322,6 +322,21 @@ object ChangeFeed {
     *
     * @return the replica's final state
     */
+  /** [[replicateAvailableNow]] keyed by the source's DECLARED primary
+    * key ([[SnapshotManifest.setPrimaryKey]]).
+    */
+  def replicateAvailableNow(spark: SparkSession, srcRoot: String,
+      dstRoot: String, checkpointDir: String): DataFrame = {
+    val v = SnapshotManifest.currentVersion(spark, srcRoot).getOrElse(
+      throw new IllegalStateException(
+        s"replicateAvailableNow: no committed snapshot under $srcRoot"))
+    val pk = SnapshotManifest.primaryKey(spark, srcRoot, v)
+    require(pk.nonEmpty,
+      s"replicateAvailableNow: no primary key declared for $srcRoot — " +
+        "setPrimaryKey once, or pass pk explicitly")
+    replicateAvailableNow(spark, srcRoot, dstRoot, pk, checkpointDir)
+  }
+
   def replicateAvailableNow(spark: SparkSession, srcRoot: String,
       dstRoot: String, pk: Seq[String], checkpointDir: String,
       statsCols: Seq[String] = Nil, maxKeySetSize: Int = 100000,

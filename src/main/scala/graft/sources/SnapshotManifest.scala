@@ -1099,6 +1099,72 @@ object SnapshotManifest {
       meta.copy(schema = Some(widened)))
   }
 
+  /** ANALYZE TABLE, on this engine's manifest: (re)compute per-file
+    * stats for `statsCols` and publish a stats-ENRICHED manifest — no
+    * data file is written, moved, or rewritten; the cost is one
+    * read-only aggregation over exactly the files that need stats. The
+    * retrofit for pruning power lost to stats-less writes (a
+    * `statsCols = Nil` commit, a merge append without stats) or never
+    * collected for a later-interesting column: after it, [[readWhere]]'s
+    * skipping and the metadata aggregates ([[countRows]]/[[minMax]])
+    * answer for those files too.
+    *
+    * Per-file semantics match commit-time stats exactly: the scan is
+    * RAW (deletion vectors NOT applied — recorded stats always describe
+    * the pre-deletion rows, the documented conservative contract), and
+    * stats for columns a pre-widening file lacks record all-null (the
+    * declared-schema read fills them). Files already carrying stats for
+    * every requested column keep their line verbatim (`force = true`
+    * recomputes them); existing stats for OTHER columns merge, never
+    * drop. Bloom filters are data-file-resident and cannot be
+    * retrofitted here — [[compactSnapshot]]/OPTIMIZE rewrite files with
+    * blooms once the property is declared.
+    *
+    * @return the committed version (unchanged when every file already
+    *         carries the requested stats)
+    */
+  def analyzeTable(spark: SparkSession, root: String,
+      statsCols: Seq[String], force: Boolean = false): Long = {
+    require(statsCols.nonEmpty, "analyzeTable: no stats columns given")
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"analyzeTable: no committed snapshot under $root"))
+    val (body, meta) = manifestParts(spark, root, v)
+    if (body.isEmpty) return v
+    val entries = body.map(parseLine)
+    val schema = meta.schema.getOrElse(
+      spark.read.parquet(bodyFile(root, body.head)).schema)
+    val resolved = statsCols.map(c =>
+      schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"analyzeTable: column $c not in ${schema.fieldNames.mkString(", ")}"))
+        .name)
+    val existing = bodyStatsOf(entries)
+    def name(e: ManifestEntry) = new Path(e.rel).getName
+    val targets = entries.filter(e => force ||
+      !existing.get(name(e)).exists(fs => resolved.forall(fs.cols.contains)))
+    if (targets.isEmpty) return v
+    val reader = meta.schema.map(spark.read.schema).getOrElse(spark.read)
+    val fresh = ManifestStats.collect(
+      reader.parquet(targets.map(e => bodyFile(root, e.render)): _*), resolved)
+    // a scanned file absent from the aggregation is EMPTY — record rows=0
+    // (prunable by construction), same as commit-time staging does
+    val emptyStats = ManifestStats.FileStats(0L,
+      resolved.map(_ -> ManifestStats.ColStats(None, None, 0L)).toMap)
+    val targetSet = targets.map(name).toSet
+    val lines = entries.map { e =>
+      if (!targetSet.contains(name(e))) e.render
+      else {
+        val computed = fresh.getOrElse(name(e), emptyStats)
+        val merged = existing.get(name(e)) match {
+          case Some(old) => computed.copy(cols = old.cols ++ computed.cols)
+          case None => computed
+        }
+        e.copy(stats = Some(ManifestStats.toJson(merged))).render
+      }
+    }
+    publishLines(spark, root, v + 1, lines, "analyzeTable", meta)
+  }
+
   /** Declare (or clear) the table's PRIMARY KEY — a metadata-only
     * property publish like [[setBloomCols]]. The declared pk is the row
     * identity the pk-less [[changesBetween]] overload and

@@ -117,6 +117,54 @@ class MetadataAggSpec extends SparkSpec {
     assert(mn2.contains(BigDecimal(-3.0)) && mx2.contains(Double.PositiveInfinity))
   }
 
+  test("analyzeTable retrofits stats without touching data; metadata aggs then answer") {
+    val root = newRoot()
+    // stats-LESS bootstrap + a stats-less append: pruning power is zero
+    SnapshotManifest.commit(spark, root,
+      (1L to 400L).map(i => (i, i * 2.0)).toDF("id", "x")
+        .repartitionByRange(2, col("id")))
+    graft.operators.Upsert.mergeWhere(spark, root,
+      Seq((9999L, 5.0)).toDF("id", "x"), Seq("id"), statsCols = Nil)
+    val filesBefore = SnapshotManifest.snapshotFiles(spark, root,
+      SnapshotManifest.currentVersion(spark, root).get)
+    val v = SnapshotManifest.analyzeTable(spark, root, Seq("id", "x"))
+    // metadata-only: the same data files, byte for byte
+    assert(SnapshotManifest.snapshotFiles(spark, root, v) == filesBefore)
+    // stats now answer: countRows/minMax fold from metadata (prove it by
+    // destroying the data — only metadata can still respond)
+    SnapshotManifest.addColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    destroyDataFiles(root)
+    assert(SnapshotManifest.countRows(spark, root) == 401L)
+    val (mn, mx) = SnapshotManifest.minMax(spark, root, "id")
+    assert(mn.contains(BigDecimal(1)) && mx.contains(BigDecimal(9999)))
+    // already-analyzed: a second call is a no-op (no new version)
+    assert(SnapshotManifest.analyzeTable(spark, root, Seq("id")) ==
+      SnapshotManifest.currentVersion(spark, root).get)
+  }
+
+  test("analyzeTable merges new columns into existing stats and fills widened columns as all-null") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      (1L to 50L).map(i => (i, s"n$i")).toDF("id", "name"), Seq("id"))
+    // widen, then analyze the NEW column: old stats (id) must survive,
+    // the widened column records all-null for pre-widening files
+    SnapshotManifest.addColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    SnapshotManifest.analyzeTable(spark, root, Seq("score"))
+    val v = SnapshotManifest.currentVersion(spark, root).get
+    val stats = SnapshotManifest.snapshotFileStats(spark, root, v)
+    assert(stats.nonEmpty)
+    stats.values.foreach { fs =>
+      assert(fs.cols.contains("id"), "pre-existing id stats dropped")
+      val sc = fs.cols("score")
+      assert(sc.min.isEmpty && sc.nulls == fs.rows, "widened col should be all-null")
+    }
+    assert(SnapshotManifest.minMax(spark, root, "score") == (None, None))
+  }
+
   test("unknown column fails loudly") {
     val root = newRoot()
     SnapshotManifest.commit(spark, root, spark.range(5L).toDF("id"))
