@@ -131,24 +131,28 @@ object ChangeFeed {
     *
     * @return the ranges materialized by THIS call, ascending
     */
-  /** [[materializeNew]] keyed by the table's DECLARED primary key
-    * ([[SnapshotManifest.setPrimaryKey]]).
-    */
-  def materializeNew(spark: SparkSession, root: String): Seq[(Long, Long)] = {
-    val v = SnapshotManifest.currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(
-        s"ChangeFeed.materializeNew: no committed snapshot under $root"))
-    val pk = SnapshotManifest.primaryKey(spark, root, v)
-    require(pk.nonEmpty,
-      s"ChangeFeed.materializeNew: no primary key declared for $root — " +
-        "setPrimaryKey once, or pass pk explicitly")
-    materializeNew(spark, root, pk)
-  }
-
   def materializeNew(spark: SparkSession, root: String,
-      pk: Seq[String]): Seq[(Long, Long)] = {
+      pk: Seq[String]): Seq[(Long, Long)] =
+    materializeNewResolved(spark, root, Some(pk))
+
+  /** [[materializeNew]] keyed by the table's DECLARED primary key
+    * ([[SnapshotManifest.setPrimaryKey]]) — resolved from the version
+    * listing the catch-up performs anyway (no extra round-trips).
+    */
+  def materializeNew(spark: SparkSession, root: String): Seq[(Long, Long)] =
+    materializeNewResolved(spark, root, None)
+
+  private def materializeNewResolved(spark: SparkSession, root: String,
+      pkOpt: Option[Seq[String]]): Seq[(Long, Long)] = {
     val versions = SnapshotManifest.listVersions(spark, root)
     if (versions.size < 2) return Seq.empty
+    val pk = pkOpt.getOrElse {
+      val declared = SnapshotManifest.primaryKey(spark, root, versions.last)
+      require(declared.nonEmpty,
+        s"ChangeFeed.materializeNew: no primary key declared for $root — " +
+          "setPrimaryKey once, or pass pk explicitly")
+      declared
+    }
     val done = materializedRanges(spark, root).map(_._2).toSet
     versions.zip(versions.tail).collect {
       case (f, t) if !done(t) && materializeStep(spark, root, f, t, pk) => (f, t)
@@ -322,21 +326,6 @@ object ChangeFeed {
     *
     * @return the replica's final state
     */
-  /** [[replicateAvailableNow]] keyed by the source's DECLARED primary
-    * key ([[SnapshotManifest.setPrimaryKey]]).
-    */
-  def replicateAvailableNow(spark: SparkSession, srcRoot: String,
-      dstRoot: String, checkpointDir: String): DataFrame = {
-    val v = SnapshotManifest.currentVersion(spark, srcRoot).getOrElse(
-      throw new IllegalStateException(
-        s"replicateAvailableNow: no committed snapshot under $srcRoot"))
-    val pk = SnapshotManifest.primaryKey(spark, srcRoot, v)
-    require(pk.nonEmpty,
-      s"replicateAvailableNow: no primary key declared for $srcRoot — " +
-        "setPrimaryKey once, or pass pk explicitly")
-    replicateAvailableNow(spark, srcRoot, dstRoot, pk, checkpointDir)
-  }
-
   def replicateAvailableNow(spark: SparkSession, srcRoot: String,
       dstRoot: String, pk: Seq[String], checkpointDir: String,
       statsCols: Seq[String] = Nil, maxKeySetSize: Int = 100000,
@@ -390,6 +379,22 @@ object ChangeFeed {
       .start()
     q.awaitTermination()
     SnapshotManifest.read(spark, dstRoot)
+  }
+
+  /** [[replicateAvailableNow]] keyed by the source's DECLARED primary
+    * key ([[SnapshotManifest.setPrimaryKey]]) — one extra metadata read,
+    * once per stream run.
+    */
+  def replicateAvailableNow(spark: SparkSession, srcRoot: String,
+      dstRoot: String, checkpointDir: String): DataFrame = {
+    val v = SnapshotManifest.currentVersion(spark, srcRoot).getOrElse(
+      throw new IllegalStateException(
+        s"replicateAvailableNow: no committed snapshot under $srcRoot"))
+    val pk = SnapshotManifest.primaryKey(spark, srcRoot, v)
+    require(pk.nonEmpty,
+      s"replicateAvailableNow: no primary key declared for $srcRoot — " +
+        "setPrimaryKey once, or pass pk explicitly")
+    replicateAvailableNow(spark, srcRoot, dstRoot, pk, checkpointDir)
   }
 
   /** Reclaim feed directories whose `to`-version is ≤ `beforeVersion` —

@@ -347,7 +347,10 @@ object SnapshotManifest {
     * row identity the pk-less [[changesBetween]]/feed overloads
     * default to). Content verbs read it once and carry it forward
     * verbatim (schema possibly widened), so a property survives every
-    * DML/maintenance rewrite; a full [[commit]] defines it anew.
+    * DML/maintenance rewrite. A full [[commit]] resets the SCHEMA (the
+    * new frame defines the shape; its files carry it) but CARRIES the
+    * declared properties (pk, bloom) — dropping them loudly only when
+    * the new frame lacks their columns.
     */
   private[graft] final case class TableMeta(schema: Option[StructType],
       bloomCols: Seq[String], pk: Seq[String] = Nil)
@@ -1140,6 +1143,14 @@ object SnapshotManifest {
         .name)
     val existing = bodyStatsOf(entries)
     def name(e: ManifestEntry) = new Path(e.rel).getName
+    // stats key by BASENAME (ManifestStats.collect's _metadata grouping),
+    // so a basename collision across data dirs would bake one file's
+    // stats onto another — assert uniqueness, same as the DV tagging path
+    val dupNames = entries.map(name).groupBy(identity)
+      .collect { case (n, g) if g.size > 1 => n }
+    require(dupNames.isEmpty,
+      s"analyzeTable requires manifest-wide unique file basenames; " +
+        s"duplicated: ${dupNames.take(3).mkString(", ")}")
     val targets = entries.filter(e => force ||
       !existing.get(name(e)).exists(fs => resolved.forall(fs.cols.contains)))
     if (targets.isEmpty) return v
@@ -1201,8 +1212,8 @@ object SnapshotManifest {
     * written AFTER this carry parquet-native bloom filters for `cols`
     * (see [[commit]]'s `bloomCols`); existing files gain them on their
     * next rewrite ([[compactSnapshot]], any CoW DML touching them). The
-    * property then survives every content verb until a full [[commit]]
-    * redefines the table.
+    * property then survives every content verb, full commits included
+    * (dropped loudly only if a full commit's frame lacks the columns).
     */
   def setBloomCols(spark: SparkSession, root: String,
       cols: Seq[String]): Long = {
@@ -1455,28 +1466,35 @@ object SnapshotManifest {
     * (one shuffle per side); rewritten-but-unchanged rows (compaction) are
     * detected by column comparison and dropped.
     */
+  def changesBetween(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long, pk: Seq[String]): DataFrame =
+    changesBetweenResolved(spark, root, fromVersion, toVersion, Some(pk))
+
   /** [[changesBetween]] keyed by the table's DECLARED primary key
     * ([[setPrimaryKey]]) — the row identity travels with the table, not
-    * with every call site.
+    * with every call site. The pk resolves from the to-version manifest
+    * the diff reads anyway (no extra fetch).
     */
   def changesBetween(spark: SparkSession, root: String,
-      fromVersion: Long, toVersion: Long): DataFrame = {
-    val pk = manifestParts(spark, root, toVersion)._2.pk
-    require(pk.nonEmpty,
-      s"changesBetween: no primary key declared for $root — " +
-        "setPrimaryKey once, or pass pk explicitly")
-    changesBetween(spark, root, fromVersion, toVersion, pk)
-  }
+      fromVersion: Long, toVersion: Long): DataFrame =
+    changesBetweenResolved(spark, root, fromVersion, toVersion, None)
 
-  def changesBetween(spark: SparkSession, root: String,
-      fromVersion: Long, toVersion: Long, pk: Seq[String]): DataFrame = {
+  private def changesBetweenResolved(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long, pkOpt: Option[Seq[String]]): DataFrame = {
     import org.apache.spark.sql.functions._
-    require(pk.nonEmpty, "changesBetween: pk must name at least one column")
+    pkOpt.foreach(p => require(p.nonEmpty,
+      "changesBetween: pk must name at least one column"))
     require(fromVersion <= toVersion,
       s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
     // ONE manifest fetch per version: body + recorded schema together
     val (fromBody, fromMeta) = manifestParts(spark, root, fromVersion)
     val (toBody, toMeta) = manifestParts(spark, root, toVersion)
+    val pk = pkOpt.getOrElse {
+      require(toMeta.pk.nonEmpty,
+        s"changesBetween: no primary key declared for $root — " +
+          "setPrimaryKey once, or pass pk explicitly")
+      toMeta.pk
+    }
     val (fromSchema0, toSchema0) = (fromMeta.schema, toMeta.schema)
     val oldEntries = fromBody.map(parseLine)
     val newEntries = toBody.map(parseLine)
@@ -1613,9 +1631,31 @@ object SnapshotManifest {
     bloomCols.foreach(c => require(df.columns.contains(c),
       s"commit: bloom column $c not in schema ${df.columns.mkString(", ")}"))
     val (fs, rootPath) = fsOf(spark, root)
-    val next = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
+    val cur = currentVersion(spark, root)
+    val next = cur.map(_ + 1).getOrElse(0L)
+    // DECLARED table properties PERSIST across a full commit (the
+    // overwrite pipeline must not silently sever downstream feed
+    // coverage or strip the point-lookup index — the same contract as
+    // every table format's table properties); the recorded SCHEMA does
+    // reset (the new frame defines the shape, its files carry it). A
+    // carried property whose columns the new frame lacks is dropped
+    // LOUDLY; an explicit bloomCols argument overrides the carried set.
+    val prior = cur.map(v => manifestParts(spark, root, v)._2)
+      .getOrElse(TableMeta.empty)
+    def carried(cols: Seq[String], what: String): Seq[String] =
+      if (cols.forall(df.columns.contains)) cols
+      else {
+        graft.core.Logging.logger().warn(
+          s"commit: dropping declared $what columns ${cols.mkString(", ")} " +
+            s"for $root — the committed frame lacks " +
+            cols.filterNot(df.columns.contains).mkString(", "))
+        Nil
+      }
+    val blooms =
+      if (bloomCols.nonEmpty) bloomCols else carried(prior.bloomCols, "bloom")
     stageAndPublish(spark, fs, rootPath, next, df, statsCols, Nil,
-      "commit", requireFiles = true, meta = TableMeta(None, bloomCols))
+      "commit", requireFiles = true,
+      meta = TableMeta(None, blooms, carried(prior.pk, "primary-key")))
   }
 
   /** [[commit]] gated by declarative quality expectations — CHECK

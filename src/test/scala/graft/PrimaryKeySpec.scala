@@ -38,6 +38,42 @@ class PrimaryKeySpec extends SparkSpec {
     assert(SnapshotManifest.setPrimaryKey(spark, root, Seq("id")) == v2)
   }
 
+  test("pk-less feed entry points read the declared key; declared properties survive full commits") {
+    val src = newRoot(); val dst = newRoot()
+    SnapshotManifest.commit(spark, src,
+      (1L to 40L).map(i => (i, s"v$i")).toDF("id", "x"), Seq("id"))
+    SnapshotManifest.deleteWhere(spark, src, col("id") > 35L, Seq("id"))
+    // two versions, no declared key: the pk-less catch-up fails with guidance
+    intercept[IllegalArgumentException] {
+      ChangeFeed.materializeNew(spark, src)
+    }
+    SnapshotManifest.setPrimaryKey(spark, src, Seq("id"))
+    // a FULL commit (overwrite) must carry the declared key forward
+    SnapshotManifest.commit(spark, src,
+      (1L to 20L).map(i => (i, s"w$i")).toDF("id", "x"), Seq("id"))
+    val cur = SnapshotManifest.currentVersion(spark, src).get
+    assert(SnapshotManifest.primaryKey(spark, src, cur) == Seq("id"))
+    // pk-less catch-up + pk-less replication now both work end to end
+    assert(ChangeFeed.materializeNew(spark, src).nonEmpty)
+    SnapshotManifest.cloneTable(spark, src, dst, version = Some(0L))
+    val replica = ChangeFeed.replicateAvailableNow(spark, src, dst,
+      Files.createTempDirectory("pkrepl").toString)
+    assert(replica.select(col("id"), col("x")).as[(Long, String)].collect().toSet ==
+      SnapshotManifest.read(spark, src)
+        .select(col("id"), col("x")).as[(Long, String)].collect().toSet)
+    // bloom property also persists across a full commit — and drops
+    // loudly (to none) when the new frame lacks the column
+    val b = newRoot()
+    SnapshotManifest.commit(spark, b,
+      (1L to 10L).toDF("id"), Seq("id"), Seq("id"))
+    SnapshotManifest.commit(spark, b, (1L to 5L).toDF("id"), Seq("id"))
+    assert(SnapshotManifest.bloomCols(spark, b,
+      SnapshotManifest.currentVersion(spark, b).get) == Seq("id"))
+    SnapshotManifest.commit(spark, b, Seq("a", "b").toDF("other"))
+    assert(SnapshotManifest.bloomCols(spark, b,
+      SnapshotManifest.currentVersion(spark, b).get).isEmpty)
+  }
+
   test("graft.cdf.auto: every commit boundary of a pk-declared table self-materializes") {
     val root = newRoot()
     SnapshotManifest.commit(spark, root,
