@@ -86,6 +86,10 @@ class PrimaryKeySpec extends SparkSpec {
       SnapshotManifest.deleteWhereMoR(spark, root, col("id") > 25L)
       graft.operators.Upsert.mergeWhere(spark, root,
         Seq((100L, "new")).toDF("id", "x"), Seq("id"), Seq("id"))
+      // a FULL commit is a boundary too: the carried pk keeps auto-CDF
+      // firing across the overwrite
+      SnapshotManifest.commit(spark, root,
+        (1L to 10L).map(i => (i, s"w$i")).toDF("id", "x"), Seq("id"))
       // no explicit materialize call anywhere — coverage is complete
       val cur = SnapshotManifest.currentVersion(spark, root).get
       val ranges = ChangeFeed.materializedRanges(spark, root)
