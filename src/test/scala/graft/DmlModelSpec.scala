@@ -27,6 +27,13 @@ class DmlModelSpec extends SparkSpec {
   private case object Compact extends Op
   private case object Vacuum extends Op
   private case object Optimize extends Op
+  // content-neutral metadata verbs: stats retrofit and the declared
+  // properties — fuzzed so the TableMeta carry holds under ARBITRARY
+  // interleavings (a rewrite verb dropping pk/bloom, an analyze
+  // publishing stale lines, a compaction losing a property)
+  private case object Analyze extends Op
+  private case object SetPk extends Op
+  private case object SetBloom extends Op
 
   private val genRange = for {
     lo <- Gen.choose(0L, 90L); w <- Gen.choose(0L, 15L)
@@ -43,7 +50,10 @@ class DmlModelSpec extends SparkSpec {
     2 -> Gen.const(Fold),
     1 -> Gen.const(Compact),
     1 -> Gen.const(Vacuum),
-    1 -> Gen.const(Optimize))
+    1 -> Gen.const(Optimize),
+    1 -> Gen.const(Analyze),
+    1 -> Gen.const(SetPk),
+    1 -> Gen.const(SetBloom))
 
   private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
     (0 until n).flatMap(i =>
@@ -58,6 +68,8 @@ class DmlModelSpec extends SparkSpec {
         Seq("id"))
       val model = scala.collection.mutable.Map[Long, Long](
         (0L until 100L).map(i => i -> i * 10L): _*)
+      var pkSet = false
+      var bloomSet = false
       val ops = samples(genOp, 10, 5000L + trial * 100L)
       ops.zipWithIndex.foreach { case (op, step) =>
         op match {
@@ -94,6 +106,12 @@ class DmlModelSpec extends SparkSpec {
             graft.operators.Layout.optimizeSnapshot(spark, root,
               Seq("id", "v"), bits = 4, numFiles = 4)
           case Optimize => () // empty table: nothing to cluster
+          case Analyze =>
+            SnapshotManifest.analyzeTable(spark, root, Seq("id", "v"))
+          case SetPk =>
+            SnapshotManifest.setPrimaryKey(spark, root, Seq("id")); pkSet = true
+          case SetBloom =>
+            SnapshotManifest.setBloomCols(spark, root, Seq("id")); bloomSet = true
         }
         val got = SnapshotManifest.read(spark, root)
           .as[(Long, Long)].collect().toMap
@@ -102,6 +120,14 @@ class DmlModelSpec extends SparkSpec {
             s"extra=${(got.keySet -- model.keySet).take(5)} " +
             s"missing=${(model.keySet -- got.keySet).take(5)} " +
             s"wrong=${got.collect { case (k, v) if model.get(k).exists(_ != v) => k }.take(5)}")
+        // declared properties must survive whatever verb just ran
+        val curV = SnapshotManifest.currentVersion(spark, root).get
+        assert(SnapshotManifest.primaryKey(spark, root, curV) ==
+          (if (pkSet) Seq("id") else Nil),
+          s"trial $trial step $step ($op): pk property lost")
+        assert(SnapshotManifest.bloomCols(spark, root, curV) ==
+          (if (bloomSet) Seq("id") else Nil),
+          s"trial $trial step $step ($op): bloom property lost")
       }
     }
   }
@@ -185,6 +211,13 @@ class DmlModelSpec extends SparkSpec {
             graft.operators.Layout.optimizeSnapshot(spark, root,
               Seq("id", "v"), bits = 4, numFiles = 4)
           case Optimize => ()
+          // content-neutral metadata verbs: the recorded schema must
+          // survive them exactly as it survives the DML verbs
+          case Analyze =>
+            SnapshotManifest.analyzeTable(spark, root,
+              if (evolved) Seq("id", "v", "note") else Seq("id", "v"))
+          case SetPk => SnapshotManifest.setPrimaryKey(spark, root, Seq("id"))
+          case SetBloom => SnapshotManifest.setBloomCols(spark, root, Seq("id"))
         }
         if (!evolved) {
           val got = SnapshotManifest.read(spark, root)
