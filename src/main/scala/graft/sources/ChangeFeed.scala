@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -38,16 +38,11 @@ object ChangeFeed {
     */
   private val DirRe = "c(\\d{8,})-(\\d{8,})".r
 
-  private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
-    val p = new Path(root)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
-
   private def dirName(from: Long, to: Long) = f"c$from%08d-$to%08d"
 
   /** Materialized `(from, to)` ranges under `root/_cdf`, ascending by `to`. */
   def materializedRanges(spark: SparkSession, root: String): Seq[(Long, Long)] = {
-    val (fs, rootPath) = fsOf(spark, root)
+    val (fs, rootPath) = SnapshotManifest.fsOf(spark, root)
     val cdf = new Path(rootPath, "_cdf")
     if (!fs.exists(cdf)) return Seq.empty
     fs.listStatus(cdf).toSeq.flatMap(s => s.getPath.getName match {
@@ -88,7 +83,7 @@ object ChangeFeed {
     */
   private def materializeStep(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long, pk: Seq[String]): Boolean = {
-    val (fs, rootPath) = fsOf(spark, root)
+    val (fs, rootPath) = SnapshotManifest.fsOf(spark, root)
     val dest = new Path(rootPath, new Path("_cdf", dirName(fromVersion, toVersion)))
     if (fs.exists(dest)) return false
     val feed = SnapshotManifest.changesBetween(spark, root, fromVersion, toVersion, pk)
@@ -105,14 +100,9 @@ object ChangeFeed {
       spark.createDataFrame(
         spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
         feed.schema).write.mode("append").parquet(stage.toString)
-    fs.mkdirs(dest.getParent)
-    if (fs.rename(stage, dest)) true
-    else {
-      fs.delete(stage, true) // lost the race — the winner's feed is identical
-      if (fs.exists(dest)) false
-      else throw new java.io.IOException(
-        s"ChangeFeed.materialize: rename $stage -> $dest failed and $dest does not exist")
-    }
+    // atomic publish through the shared protocol — a lost race is fine,
+    // the winner's feed is identical
+    CommitProtocol.publishDir(fs, stage, dest)
   }
 
   /** Catch the feed up to the table's current version: one
@@ -253,7 +243,7 @@ object ChangeFeed {
     * standard file-source contract.
     */
   def stream(spark: SparkSession, root: String): DataFrame = {
-    val (fs, rootPath) = fsOf(spark, root)
+    val (fs, rootPath) = SnapshotManifest.fsOf(spark, root)
     fs.mkdirs(new Path(rootPath, "_cdf")) // glob parent must exist at start
     spark.readStream
       .schema(feedSchema(spark, root))
@@ -273,7 +263,7 @@ object ChangeFeed {
     * validation stricter, never silently weaker.
     */
   def replicaWatermark(spark: SparkSession, dstRoot: String): Option[Long] = {
-    val (fs, _) = fsOf(spark, dstRoot)
+    val (fs, _) = SnapshotManifest.fsOf(spark, dstRoot)
     val p = watermarkFile(dstRoot)
     if (!fs.exists(p)) None
     else Some(CommitProtocol.readFully(fs, p).trim.toLong)
@@ -281,16 +271,10 @@ object ChangeFeed {
 
   private def advanceWatermark(spark: SparkSession, dstRoot: String,
       v: Long): Unit = {
-    val (fs, _) = fsOf(spark, dstRoot)
-    if (replicaWatermark(spark, dstRoot).forall(_ < v)) {
-      val p = watermarkFile(dstRoot)
-      val tmp = new Path(p.getParent,
-        "." + p.getName + "." + java.util.UUID.randomUUID.toString + ".tmp")
-      val out = fs.create(tmp, true)
-      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-      fs.delete(p, false) // replace: monotonic marker, last-writer-wins
-      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
-    }
+    val (fs, _) = SnapshotManifest.fsOf(spark, dstRoot)
+    if (replicaWatermark(spark, dstRoot).forall(_ < v))
+      CommitProtocol.overwriteFile(fs, watermarkFile(dstRoot),
+        v.toString.getBytes("UTF-8"))
   }
 
   /** Replicate a table through its materialized feed: run [[stream]] to
@@ -404,7 +388,7 @@ object ChangeFeed {
     */
   def vacuumFeed(spark: SparkSession, root: String, beforeVersion: Long,
       staleStageMs: Long = 24L * 3600 * 1000): Seq[(Long, Long)] = {
-    val (fs, rootPath) = fsOf(spark, root)
+    val (fs, rootPath) = SnapshotManifest.fsOf(spark, root)
     val doomed = materializedRanges(spark, root).filter(_._2 <= beforeVersion)
     doomed.foreach { case (f, t) =>
       val p = new Path(rootPath, new Path("_cdf", dirName(f, t)))

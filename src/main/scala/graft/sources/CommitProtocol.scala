@@ -37,6 +37,44 @@ private[graft] object CommitProtocol {
     } finally in.close()
   }
 
+  /** Publish a fully-staged DIRECTORY at `dest` via atomic rename — the
+    * directory-shaped sibling of [[publishFile]] (a multi-file payload,
+    * e.g. a change-feed commit's parquet, that a listing must see whole
+    * or not at all). The caller stages into its own unique dir; the
+    * loser's staging is deleted here. Same object-store caveat as the
+    * class doc: no atomic dir rename there — use a manifest-of-files
+    * scheme instead.
+    *
+    * @return true if this call created `dest`; false if it already
+    *         exists (concurrent/earlier publisher won — stage cleaned up)
+    */
+  def publishDir(fs: FileSystem, stage: Path, dest: Path): Boolean = {
+    fs.mkdirs(dest.getParent)
+    if (fs.rename(stage, dest)) true
+    else {
+      fs.delete(stage, true)
+      if (fs.exists(dest)) false
+      else throw new java.io.IOException(
+        s"publishDir: rename $stage -> $dest failed and $dest does not exist")
+    }
+  }
+
+  /** Overwrite a small single-value MARKER at `path` (tmp-write + replace)
+    * — for monotonic last-writer-wins state like a consumer watermark,
+    * NOT for commits: unlike [[publishFile]] there is no once-only
+    * guarantee, and a crash between delete and rename leaves the marker
+    * absent (callers must treat a missing marker as "start over", which
+    * for a monotonic watermark only makes them stricter).
+    */
+  def overwriteFile(fs: FileSystem, path: Path, content: Array[Byte]): Unit = {
+    val tmp = new Path(path.getParent,
+      "." + path.getName + "." + java.util.UUID.randomUUID().toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content) finally out.close()
+    fs.delete(path, false)
+    if (!fs.rename(tmp, path)) fs.delete(tmp, false) // racer won; theirs stands
+  }
+
   def publishFile(fs: FileSystem, dest: Path, content: Array[Byte]): Boolean = {
     if (fs.exists(dest)) return false
     // Per-attempt unique tmp name: two writers racing to publish the same

@@ -77,7 +77,7 @@ object SnapshotManifest {
   // permanently wedge commits on the apparent version collision
   private val ManifestRe = "manifest-(\\d{8,})\\.json".r
 
-  private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
+  private[sources] def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
@@ -361,15 +361,15 @@ object SnapshotManifest {
 
   private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def bloomJson(cols: Seq[String]): String = {
+  private def colsJson(cols: Seq[String]): String = {
     val arr = jsonMapper.createArrayNode()
     cols.foreach(arr.add)
     jsonMapper.writeValueAsString(arr)
   }
 
-  private def bloomFromJson(s: String): Seq[String] = {
+  private def colsFromJson(s: String): Seq[String] = {
     val n = jsonMapper.readTree(s)
-    require(n.isArray, s"corrupt bloom header: $s")
+    require(n.isArray, s"corrupt column-list header: $s")
     (0 until n.size).map(i => n.get(i).asText())
   }
 
@@ -383,8 +383,8 @@ object SnapshotManifest {
     s"version=$next\n" +
       meta.schema.map(s => s"schema=${s.json}\n").getOrElse("") +
       (if (meta.bloomCols.isEmpty) ""
-       else s"bloom=${bloomJson(meta.bloomCols)}\n") +
-      (if (meta.pk.isEmpty) "" else s"pk=${bloomJson(meta.pk)}\n")
+       else s"bloom=${colsJson(meta.bloomCols)}\n") +
+      (if (meta.pk.isEmpty) "" else s"pk=${colsJson(meta.pk)}\n")
 
   /** Atomically publish version `next` with exactly `lines` — the
     * append-free MoR publish ([[deleteWhereMoR]]'s commit point).
@@ -776,9 +776,9 @@ object SnapshotManifest {
       schemaLines.headOption.map(l =>
         org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("schema="))
           .asInstanceOf[StructType]),
-      bloomLines.headOption.map(l => bloomFromJson(l.stripPrefix("bloom=")))
+      bloomLines.headOption.map(l => colsFromJson(l.stripPrefix("bloom=")))
         .getOrElse(Nil),
-      pkLines.headOption.map(l => bloomFromJson(l.stripPrefix("pk=")))
+      pkLines.headOption.map(l => colsFromJson(l.stripPrefix("pk=")))
         .getOrElse(Nil)))
   }
 
@@ -1156,7 +1156,8 @@ object SnapshotManifest {
     if (targets.isEmpty) return v
     val reader = meta.schema.map(spark.read.schema).getOrElse(spark.read)
     val fresh = ManifestStats.collect(
-      reader.parquet(targets.map(e => bodyFile(root, e.render)): _*), resolved)
+      reader.parquet(targets.map(e =>
+        new Path(new Path(root), e.rel).toString): _*), resolved)
     // a scanned file absent from the aggregation is EMPTY — record rows=0
     // (prunable by construction), same as commit-time staging does
     val emptyStats = ManifestStats.FileStats(0L,
