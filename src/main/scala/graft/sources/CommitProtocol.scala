@@ -50,12 +50,22 @@ private[graft] object CommitProtocol {
     */
   def publishDir(fs: FileSystem, stage: Path, dest: Path): Boolean = {
     fs.mkdirs(dest.getParent)
-    if (fs.rename(stage, dest)) true
-    else {
+    if (fs.exists(dest)) { fs.delete(stage, true); return false }
+    if (!fs.rename(stage, dest)) {
       fs.delete(stage, true)
       if (fs.exists(dest)) false
       else throw new java.io.IOException(
         s"publishDir: rename $stage -> $dest failed and $dest does not exist")
+    } else {
+      // Hadoop/POSIX rename gotcha: dir-onto-EXISTING-dir "succeeds" by
+      // moving the source INSIDE the destination. If our stage landed
+      // nested, a racer published dest first — remove our payload and
+      // report the loss, or the winner's dir would carry a duplicate
+      // feed as a stray subtree. Stage names are UUIDs, so the nested
+      // probe cannot collide with real payload.
+      val nested = new Path(dest, stage.getName)
+      if (fs.exists(nested)) { fs.delete(nested, true); false }
+      else true
     }
   }
 

@@ -120,6 +120,26 @@ class ChangeFeedSpec extends SparkSpec {
         .select(col("id"), col("x")).as[(Long, String)].collect().toSet)
   }
 
+  test("racing materializers: exactly one publishes, the feed stays single") {
+    val root = newRoot()
+    build4(root)
+    import java.util.concurrent.{Callable, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val tasks = (1 to 2).map(_ => new Callable[Boolean] {
+        def call(): Boolean = ChangeFeed.materialize(spark, root, 0L, 1L, Seq("id"))
+      })
+      val results = pool.invokeAll(java.util.Arrays.asList(tasks: _*))
+      val published = (0 until 2).count(i => results.get(i).get())
+      // dest-exists fast path or publishDir's lost-race cleanup: either
+      // way exactly one winner, no duplicate directory, no torn feed
+      assert(published == 1)
+      assert(ChangeFeed.materializedRanges(spark, root) == Seq((0L, 1L)))
+      assert(ChangeFeed.feed(spark, root, untilVersion = Some(1L)).count() ==
+        SnapshotManifest.changesBetween(spark, root, 0L, 1L, Seq("id")).count())
+    } finally pool.shutdown()
+  }
+
   test("vacuumFeed reclaims old ranges and leaves the rest readable") {
     val root = newRoot()
     build4(root)
