@@ -3,14 +3,17 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** The one atomic-publish primitive every commit path here builds on:
-  * write a dot-prefixed temp FILE, rename it to its final name. The
-  * rename-to-a-new-name is atomic on HDFS-like filesystems (single
-  * namenode op). On object stores, Hadoop-style `rename` is a client-side
-  * copy+delete and is NOT a conditional put — running these protocols
-  * there requires a store-side conditional-write primitive (S3
-  * If-None-Match, GCS preconditions) in place of the rename; the
-  * single-small-FILE shape is what makes that swap possible at all
-  * (directory renames have no such equivalent).
+  * write a dot-prefixed temp FILE, then land it at its final name by a
+  * per-filesystem conditional primitive — rename on HDFS-like stores
+  * (atomic namenode op that FAILS on an existing destination), link(2)
+  * on local filesystems (POSIX rename silently REPLACES an existing
+  * file, so rename alone is not conditional there; the hardlink is).
+  * On object stores, Hadoop-style `rename` is a client-side copy+delete
+  * and is NOT a conditional put — running these protocols there
+  * requires a store-side conditional-write primitive (S3 If-None-Match,
+  * GCS preconditions) in place of the rename; the single-small-FILE
+  * shape is what makes that swap possible at all (directory renames
+  * have no such equivalent).
   *
   * Used by [[SnapshotManifest]] (manifest files) and
   * [[graft.streaming.StreamingDedup]] (commit markers) so the race/crash
@@ -90,13 +93,29 @@ private[graft] object CommitProtocol {
     // Per-attempt unique tmp name: two writers racing to publish the same
     // dest must never share a tmp file, else writer A can rename a tmp that
     // writer B just overwrote and "commit" B's content as its own (silent
-    // lost update). The rename-to-dest below remains the single commit
-    // point; the loser deletes only its own tmp.
+    // lost update). The commit point below is the single decider; the
+    // loser deletes only its own tmp.
     val tmp = new Path(dest.getParent,
       "." + dest.getName + "." + java.util.UUID.randomUUID().toString + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(content) finally out.close()
-    if (fs.rename(tmp, dest)) true
+    if (fs.getScheme == "file") {
+      // POSIX commit point: rename(2) silently REPLACES an existing
+      // destination file, so on a local filesystem two racers passing the
+      // exists-check would BOTH "win" (the second clobbering the first's
+      // committed bytes — a lost update with no error). link(2) is the
+      // atomic fail-if-exists primitive: exactly one link lands.
+      val toLocal = (p: Path) =>
+        java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(toLocal(dest), toLocal(tmp))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false); false
+      }
+    } else if (fs.rename(tmp, dest)) true // HDFS-like: fails on existing dest
     else {
       fs.delete(tmp, false) // lost the race — don't leak the temp file
       if (fs.exists(dest)) false
