@@ -1208,6 +1208,33 @@ object SnapshotManifest {
   def primaryKey(spark: SparkSession, root: String, version: Long): Seq[String] =
     manifestParts(spark, root, version)._2.pk
 
+  /** [[setPrimaryKey]] / [[setBloomCols]] / [[analyzeTable]] with the
+    * bounded lost-race retry of the other metadata twins — each attempt
+    * re-reads the current version, so a retry declares/retrofits on top
+    * of whatever the racing writer committed.
+    */
+  def setPrimaryKeyWithRetry(spark: SparkSession, root: String,
+      pk: Seq[String], maxAttempts: Int = 5,
+      backoff: Int => FiniteDuration = Retry.linearBackoff(1.second),
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Long =
+    Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
+      maxAttempts, backoff, sleep)(setPrimaryKey(spark, root, pk))
+
+  def setBloomColsWithRetry(spark: SparkSession, root: String,
+      cols: Seq[String], maxAttempts: Int = 5,
+      backoff: Int => FiniteDuration = Retry.linearBackoff(1.second),
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Long =
+    Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
+      maxAttempts, backoff, sleep)(setBloomCols(spark, root, cols))
+
+  def analyzeTableWithRetry(spark: SparkSession, root: String,
+      statsCols: Seq[String], force: Boolean = false, maxAttempts: Int = 5,
+      backoff: Int => FiniteDuration = Retry.linearBackoff(1.second),
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Long =
+    Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
+      maxAttempts, backoff, sleep)(
+      analyzeTable(spark, root, statsCols, force))
+
   /** Declare (or clear) the table's bloom-indexed columns — a
     * metadata-only property publish, [[addColumns]]'s sibling. Files
     * written AFTER this carry parquet-native bloom filters for `cols`

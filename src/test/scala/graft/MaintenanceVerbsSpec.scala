@@ -30,6 +30,21 @@ class MaintenanceVerbsSpec extends SparkSpec {
     }
   }
 
+  test("metadata retry twins compose like the DML twins (shared Retry core)") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      (1L to 20L).map(i => (i, i * 1.5)).toDF("id", "x"))
+    // the twins wrap the same retryWhen(ConcurrentCommitException) core
+    // the racer-proven DML twins use; this pins the wiring end to end
+    SnapshotManifest.setPrimaryKeyWithRetry(spark, root, Seq("id"))
+    SnapshotManifest.setBloomColsWithRetry(spark, root, Seq("id"))
+    SnapshotManifest.analyzeTableWithRetry(spark, root, Seq("id", "x"))
+    val v = SnapshotManifest.currentVersion(spark, root).get
+    assert(SnapshotManifest.primaryKey(spark, root, v) == Seq("id"))
+    assert(SnapshotManifest.bloomCols(spark, root, v) == Seq("id"))
+    assert(SnapshotManifest.countRows(spark, root) == 20L)
+  }
+
   test("vacuumPreview names exactly what vacuum then deletes, touching nothing") {
     val root = newRoot()
     SnapshotManifest.commit(spark, root,
