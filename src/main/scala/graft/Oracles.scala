@@ -11,6 +11,25 @@ object Oracles {
 
   private val canon = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
 
+  /** Integer-decis quality score (mirrors
+    * [[graft.operators.TextAnalysis.qualityDecis]]): every sub-predicate an
+    * integer cross-comparison, so the score never touches a float — the
+    * only cross-engine-hash-stable form (CAST(double AS DECIMAL) rounds
+    * shortest-repr HALF_UP in Spark but binary-expansion in DuckDB; r9
+    * q30/q38/q109/q115 diverged exactly there). Null text → '' for the
+    * length/punct bands; the words band is false for null/empty text in
+    * both engines (n_words=1 with sum_len=0 fails 5·n ≤ 2·sum).
+    */
+  private val qualityDecisSql: String =
+    raw"""(CASE WHEN length(coalesce(text,'')) BETWEEN 50 AND 20000 THEN 4 ELSE 0 END) +
+       |      (CASE WHEN len(regexp_extract_all(coalesce(text,''), '[!-/:-@\[-`{-~]')) * 10
+       |                   <= length(coalesce(text,'')) * 3 THEN 3 ELSE 0 END) +
+       |      (CASE WHEN 5 * len(string_split_regex(trim(coalesce(text,'')), '\s+'))
+       |                   <= 2 * list_sum([length(t) for t in string_split_regex(trim(coalesce(text,'')), '\s+')])
+       |              AND list_sum([length(t) for t in string_split_regex(trim(coalesce(text,'')), '\s+')])
+       |                   <= 12 * len(string_split_regex(trim(coalesce(text,'')), '\s+'))
+       |            THEN 3 ELSE 0 END)""".stripMargin
+
   /** One BPE pair-count CTE body over sequence CTE `src` (frequency-weighted
     * adjacent pairs of the space-joined symbol sequences).
     */
@@ -666,22 +685,13 @@ object Oracles {
     },
 
     "q30_quality_by_lang" ->
-      """WITH scored AS (
+      s"""WITH scored AS (
         |  SELECT lang,
-        |    CAST(
-        |      (CASE WHEN length(coalesce(text,'')) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4 +
-        |      (CASE WHEN (CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
-        |         ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / length(text) END) <= 0.3
-        |         THEN 1.0 ELSE 0.0 END) * 0.3 +
-        |      (CASE WHEN (CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0
-        |         ELSE CAST(list_sum([length(t) for t in string_split_regex(trim(text), '\s+')]) AS DOUBLE)
-        |              / len(string_split_regex(trim(text), '\s+')) END) BETWEEN 2.5 AND 12.0
-        |         THEN 1.0 ELSE 0.0 END) * 0.3
-        |    AS DECIMAL(10,4)) AS q
+        |    $qualityDecisSql AS q
         |  FROM documents)
         |SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN q >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  CAST(sum(q) AS DECIMAL(30,4)) AS sum_q
+        |  CAST(sum(CASE WHEN q >= 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(q) AS BIGINT) AS sum_q_decis
         |FROM scored
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
@@ -744,10 +754,13 @@ object Oracles {
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
 
+    // q38: floor(x·1e6) is a fixed IEEE DAG over the raw parquet double —
+    // bit-identical in every engine, unlike CAST(double AS DECIMAL) whose
+    // rounding of scale-6 midpoints is engine-dependent (r9 divergence).
     "q38_stats" ->
       """SELECT event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sum_x,
-        |  CAST(sum(CAST(value * value AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sum_xx
+        |  CAST(sum(CAST(floor(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_x_micro,
+        |  CAST(sum(CAST(floor(value * value * 1e6) AS BIGINT)) AS BIGINT) AS sum_xx_micro
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
@@ -1357,21 +1370,12 @@ object Oracles {
          |         WHEN es_hits = $best THEN 'es'
          |         WHEN fr_hits = $best THEN 'fr'
          |         ELSE 'zh' END AS lang_pred,
-         |    CAST(CAST(
-         |      (CASE WHEN length(coalesce(text,'')) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4 +
-         |      (CASE WHEN (CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
-         |         ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / length(text) END) <= 0.3
-         |         THEN 1.0 ELSE 0.0 END) * 0.3 +
-         |      (CASE WHEN (CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0
-         |         ELSE CAST(list_sum([length(t) for t in string_split_regex(trim(text), '\s+')]) AS DOUBLE)
-         |              / len(string_split_regex(trim(text), '\s+')) END) BETWEEN 2.5 AND 12.0
-         |         THEN 1.0 ELSE 0.0 END) * 0.3
-         |      AS DECIMAL(10,4)) AS DOUBLE) AS quality,
+         |    $qualityDecisSql AS quality,
          |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
          |    md5($canon) AS fp
          |  FROM hits),
          |filtered AS (
-         |  SELECT * FROM scored WHERE quality >= 0.7 AND lang_pred <> 'und'),
+         |  SELECT * FROM scored WHERE quality >= 7 AND lang_pred <> 'und'),
          |deduped AS (
          |  SELECT * FROM (
          |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
@@ -1616,24 +1620,13 @@ object Oracles {
     // Per-language quality-threshold curation (q109): exact per-group median
     // via a (lang, score) value histogram + cumulative count (replaying
     // Thresholds.groupQuantileDisc), then keep docs >= their language's cut.
-    // Scores replay q30's quality expression, DECIMAL(10,4)-cast so the
-    // threshold comparison is exact in both engines. The kept-score mean is
-    // reported as the exact (sum_kept_q, n_kept) ratio pair — no double
-    // quotient anywhere in the output (a double quotient hash-diverged
-    // across DuckDB versions in rounds 7 and 8, even rounded to 8 digits).
+    // Scores are the INTEGER-decis rubric (qualityDecisSql): after three
+    // rounds of decimal-cast divergence (r7 quotient, r8 round(·,8), r9
+    // CAST(double AS DECIMAL)), every gated column here is an integer.
     "q109_quality_threshold" ->
-      """WITH scored AS (
+      s"""WITH scored AS (
         |  SELECT doc_id, lang,
-        |    CAST(
-        |      (CASE WHEN length(coalesce(text,'')) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4 +
-        |      (CASE WHEN (CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
-        |         ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / length(text) END) <= 0.3
-        |         THEN 1.0 ELSE 0.0 END) * 0.3 +
-        |      (CASE WHEN (CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0
-        |         ELSE CAST(list_sum([length(t) for t in string_split_regex(trim(text), '\s+')]) AS DOUBLE)
-        |              / len(string_split_regex(trim(text), '\s+')) END) BETWEEN 2.5 AND 12.0
-        |         THEN 1.0 ELSE 0.0 END) * 0.3
-        |    AS DECIMAL(10,4)) AS q
+        |    $qualityDecisSql AS q
         |  FROM documents),
         |hist AS (SELECT lang, q, count(*) AS cnt FROM scored GROUP BY lang, q),
         |cum AS (
@@ -1652,7 +1645,7 @@ object Oracles {
         |SELECT k.lang, th.n_docs, th.threshold,
         |  CAST(count(*) AS BIGINT) AS n_kept,
         |  min(k.q) AS min_kept_q,
-        |  CAST(sum(k.q) AS DECIMAL(30,4)) AS sum_kept_q
+        |  CAST(sum(k.q) AS BIGINT) AS sum_kept_q
         |FROM kept k JOIN th ON k.lang = th.lang
         |GROUP BY k.lang, th.n_docs, th.threshold
         |ORDER BY k.lang""".stripMargin,
@@ -1669,16 +1662,7 @@ object Oracles {
         graft.operators.TextAnalysis.PiiPatterns
       raw"""WITH scored AS (
         |  SELECT doc_id, lang, text,
-        |    CAST(
-        |      (CASE WHEN length(coalesce(text,'')) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4 +
-        |      (CASE WHEN (CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
-        |         ELSE CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE) / length(text) END) <= 0.3
-        |         THEN 1.0 ELSE 0.0 END) * 0.3 +
-        |      (CASE WHEN (CASE WHEN len(string_split_regex(trim(text), '\s+')) = 0 THEN 0.0
-        |         ELSE CAST(list_sum([length(t) for t in string_split_regex(trim(text), '\s+')]) AS DOUBLE)
-        |              / len(string_split_regex(trim(text), '\s+')) END) BETWEEN 2.5 AND 12.0
-        |         THEN 1.0 ELSE 0.0 END) * 0.3
-        |    AS DECIMAL(10,4)) AS q
+        |    $qualityDecisSql AS q
         |  FROM documents),
         |hist AS (SELECT lang, q, count(*) AS cnt FROM scored GROUP BY lang, q),
         |cum AS (
@@ -2347,17 +2331,17 @@ object Oracles {
          |ORDER BY query_id, rank""".stripMargin
     },
 
-    // IVF drift monitor (q115): per-cell occupancy + DECIMAL-sum mean
-    // cosine of every vector to its (frozen, half-trained) centroid.
+    // IVF drift monitor (q115): per-cell occupancy + the BIGINT sum of the
+    // member vec_ids — an exact integer witness of cell membership (any
+    // vector landing in a different cell shifts two cells' sums). Cohesion
+    // (sum_cos) is a float derivative and lives outside the differential
+    // hash (tolerance-gated in ThresholdsSpec) — the r9 lesson.
     "q115_ivf_cell_stats" -> {
       val train = "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0)"
-      s"""${ivfRefinedIndexCteFor(train)},
-         |sc AS (
-         |  SELECT a.cell_id, ${cosSql("a.embedding", "c.centroid")} AS cos
-         |  FROM asg a JOIN c4 c ON c.cell_id = a.cell_id)
+      s"""${ivfRefinedIndexCteFor(train)}
          |SELECT cell_id, count(*) AS n_vectors,
-         |  CAST(sum(CAST(cos AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sum_cos
-         |FROM sc GROUP BY cell_id
+         |  CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+         |FROM asg GROUP BY cell_id
          |ORDER BY cell_id""".stripMargin
     },
 

@@ -436,21 +436,22 @@ object Queries {
   }
 
   /** Text quality — corpus quality report grouped by language: docs kept by
-    * the quality gate, and the exact (sum_q, n_docs) ratio pair for the
-    * mean score. A DECIMAL-sum-cast-to-double divided by a count is the
-    * exact derivation that hash-diverged across DuckDB versions in q109
-    * (rounds 7-8), so the sum stays DECIMAL and the mean is the caller's
-    * one-line division.
+    * the quality gate, and the exact (sum_q_decis, n_docs) ratio pair for
+    * the mean score. The score is [[TextAnalysis.qualityDecis]] — integer
+    * decis end-to-end, because even CAST(double AS DECIMAL) proved
+    * engine-dependent (Spark rounds the shortest decimal repr HALF_UP,
+    * DuckDB rounds the exact binary expansion — the r9 q30/q38/q109/q115
+    * divergence). No float exists anywhere in this derivation; the mean in
+    * [0,1] is the caller's `sum_q_decis / (10·n_docs)`.
     */
   def q30QualityByLang(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(col("lang"),
-        TextAnalysis.qualityScore(col("text")).cast("decimal(10,4)").alias("q"))
+      .select(col("lang"), TextAnalysis.qualityDecis(col("text")).alias("q"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).alias("n_docs"),
-        sum(when(col("q") >= 0.7, 1L).otherwise(0L)).alias("n_kept"),
-        sum(col("q")).cast("decimal(30,4)").alias("sum_q"))
+        sum(when(col("q") >= 7, 1L).otherwise(0L)).alias("n_kept"),
+        sum(col("q").cast("long")).alias("sum_q_decis"))
       .orderBy(col("lang"))
 
   /** Multimodal — binary asset plumbing: documents as opaque payloads with
@@ -544,12 +545,15 @@ object Queries {
       .orderBy(col("status"), col("priority"))
 
   /** A-family — exact moment statistics per group: the sufficient
-    * statistics (n, Σx, Σxx) as DECIMAL-exact, order-independent sums.
-    * Mean and sample variance are the caller's one-line divisions
-    * (`Σx/n`, `(Σxx − Σx²/n)/(n−1)`): dividing engine-side would put a
-    * double quotient over a DECIMAL→DOUBLE cast in the output — the exact
-    * derivation that hash-diverged across DuckDB versions in q109 — while
-    * the decimal sums themselves are bit-free exact values.
+    * statistics (n, Σ⌊x·10⁶⌋, Σ⌊x²·10⁶⌋) as BIGINT, order-independent
+    * sums. `floor(x · 1e6)` is a fixed IEEE DAG over the raw parquet
+    * double (multiply by an exactly-representable constant, floor) —
+    * bit-identical in every engine — where the previous
+    * `CAST(x AS DECIMAL)` form was NOT: Spark rounds the double's shortest
+    * decimal repr HALF_UP, DuckDB rounds the exact binary expansion, and
+    * scale-6 midpoints diverged (r9 q38). Mean and sample variance are the
+    * caller's one-line divisions of the micro-scaled sums; headroom:
+    * |x| ≤ ~10³ here, so Σx²·10⁶ stays under 2⁶³ beyond sf100.
     */
   def q38Stats(spark: SparkSession, dir: String): DataFrame = {
     val x = col("value")
@@ -557,8 +561,8 @@ object Queries {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).alias("n"),
-        sum(x.cast("decimal(30,6)")).cast("decimal(38,6)").alias("sum_x"),
-        sum((x * x).cast("decimal(30,6)")).cast("decimal(38,6)").alias("sum_xx"))
+        sum(floor(x * lit(1e6)).cast("long")).alias("sum_x_micro"),
+        sum(floor(x * x * lit(1e6)).cast("long")).alias("sum_xx_micro"))
       .orderBy(col("event_type"))
   }
 
@@ -843,13 +847,16 @@ object Queries {
     */
   def q58CorpusSelect(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
+    // quality is the integer-decis rubric (quality ≥ 7 ⟺ score ≥ 0.7):
+    // ranking and filtering on decis is order-identical to the double
+    // score and cross-engine exact (no float in any gated column)
     val scored = docs.select(
       col("doc_id"), col("text"),
       TextAnalysis.langId(col("text")).alias("lang_pred"),
-      round(TextAnalysis.qualityScore(col("text")), 4).alias("quality"),
+      TextAnalysis.qualityDecis(col("text")).alias("quality"),
       TextAnalysis.tokenCountWhitespace(col("text")).cast("long").alias("n_tokens"),
       md5(Dedup.canonical(col("text"))).alias("__fp"))
-      .filter(col("quality") >= 0.7 && col("lang_pred") =!= "und")
+      .filter(col("quality") >= 7 && col("lang_pred") =!= "und")
     // exact dedup: keep the min doc_id per fingerprint (one shuffle)
     val wDedup = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
     val deduped = scored
@@ -1773,30 +1780,28 @@ object Queries {
   }
 
   /** Per-language quality-threshold curation
-    * ([[graft.operators.Thresholds]]): score every doc (decimal-cast so
-    * both engines compare exact values), find each language's median score
-    * as an EXACT discrete quantile over a (lang, score) value histogram —
-    * two keyed aggregations, never a per-group corpus sort — then keep
-    * docs at-or-above their language's cut and report the per-language
-    * outcome. The FineWeb-style "top half per language" selection, exact.
-    *
-    * The kept-score mean is reported as the exact ratio pair
-    * `(sum_kept_q DECIMAL, n_kept BIGINT)` — every column stays in an
-    * exactly-representable domain. A double quotient (even rounded) is
-    * engine-dependent at the last ulp and can never be a stable
-    * differential-hash input.
+    * ([[graft.operators.Thresholds]]): score every doc with the
+    * integer-decis quality rubric ([[TextAnalysis.qualityDecis]] — the
+    * only cross-engine-exact representation; its decimal-cast ancestor
+    * diverged in r7–r9), find each language's median score as an EXACT
+    * discrete quantile over a (lang, score) value histogram — two keyed
+    * aggregations, never a per-group corpus sort — then keep docs
+    * at-or-above their language's cut and report the per-language outcome.
+    * The FineWeb-style "top half per language" selection, exact: every
+    * output column is an integer. The kept-score mean in [0,1] is the
+    * caller's `sum_kept_q / (10·n_kept)`.
     */
   def q109QualityThreshold(spark: SparkSession, dir: String): DataFrame = {
     val scored = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        TextAnalysis.qualityScore(col("text")).cast("decimal(10,4)").alias("q"))
+        TextAnalysis.qualityDecis(col("text")).alias("q"))
     // one corpus scan: the whole summary derives from the (lang, q)
     // histogram — see Thresholds.groupQuantileSummary. The composed
     // keepAboveGroupQuantile + groupQuantileDisc form prices the quality
     // expression three times; ThresholdsSpec pins both paths equal.
     graft.operators.Thresholds.groupQuantileSummary(scored, "lang", "q", 0.5)
       .select(col("lang"), col("n_docs"), col("threshold"), col("n_kept"),
-        col("min_kept_q"), col("sum_kept_q").cast("decimal(30,4)").alias("sum_kept_q"))
+        col("min_kept_q"), col("sum_kept_q").cast("long").alias("sum_kept_q"))
       .orderBy(col("lang"))
   }
 
@@ -1830,7 +1835,7 @@ object Queries {
   def q110CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val scored = docs.select(col("doc_id"), col("lang"), col("text"),
-      TextAnalysis.qualityScore(col("text")).cast("decimal(10,4)").alias("q"))
+      TextAnalysis.qualityDecis(col("text")).alias("q"))
     val kept = graft.operators.Thresholds
       .keepAboveGroupQuantile(scored, "lang", "q", 0.5)
     val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("__fp"))
@@ -1953,10 +1958,13 @@ object Queries {
   }
 
   /** IVF drift monitor ([[graft.operators.Similarity.ivfCellStats]]) over
-    * the incrementally-maintained index of q114: per-cell occupancy and
-    * mean cosine-to-centroid (DECIMAL-sum mean — order-independent, so
-    * DuckDB commits to the same bits). The signal that tells an operator
-    * when frozen centroids have drifted from the appended mass.
+    * the incrementally-maintained index of q114: per-cell occupancy plus
+    * `sum_vec_id`, a BIGINT witness of the EXACT cell membership (any
+    * vector landing in a different cell shifts two cells' sums). The
+    * float cohesion signal (sum_cos/mean_cos) stays in the operator for
+    * monitoring callers and is tolerance-gated in ThresholdsSpec — a
+    * double crossing into DECIMAL proved engine-dependent (r9), so no
+    * float derivative belongs in a differential hash.
     */
   def q115IvfCellStats(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
@@ -1966,10 +1974,9 @@ object Queries {
       graft.operators.Similarity.ivfAssignCells(base, 16, refineIters = 4)
     val idx = assignedBase.unionByName(
       graft.operators.Similarity.ivfAssignWith(appended, centroids))
-    // hash the exact (sum_cos, n_vectors) ratio pair, not the double mean
-    // (monitoring callers read mean_cos; the differential gate must not)
+    // integer columns only — Catalyst prunes the cosine subtree entirely
     graft.operators.Similarity.ivfCellStats(idx, centroids)
-      .select(col("cell_id"), col("n_vectors"), col("sum_cos"))
+      .select(col("cell_id"), col("n_vectors"), col("sum_vec_id"))
       .orderBy(col("cell_id"))
   }
 

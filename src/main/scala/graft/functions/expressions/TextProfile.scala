@@ -23,6 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - punct_ratio / mean_word_len: null text → 0.0
   *   - lang_pred: null text → "und"
   *   - fingerprint (md5 of canonical text): null text → null
+  *   - n_chars / punct_count / sum_word_len: null text → 0
   *
   * The struct itself is never null, so consumers project fields without an
   * outer null branch; whole-stage codegen CSEs the single kernel call across
@@ -60,16 +61,16 @@ case class TextProfile(child: Expression,
   /** The full kernel; public because generated code calls it. */
   def kernel(text: UTF8String): InternalRow = {
     if (text == null)
-      return new GenericInternalRow(Array[Any](null, null, 0.0, 0.0, und, null))
+      return new GenericInternalRow(
+        Array[Any](null, null, 0.0, 0.0, und, null, 0, 0, 0L))
     val s = text.toString
     val trimmed = TextProfile.stripSpaces(s)
     val wsTokens = TextProfile.wsPattern.split(trimmed, -1)
     val nWs = wsTokens.length
     val nBpe = TextProfile.countMatches(TextProfile.bpePattern, s)
     val nChars = s.codePointCount(0, s.length)
-    val punct =
-      if (nChars == 0) 0.0
-      else TextProfile.countMatches(TextProfile.punctPattern, s).toDouble / nChars
+    val punctCnt = TextProfile.countMatches(TextProfile.punctPattern, s)
+    val punct = if (nChars == 0) 0.0 else punctCnt.toDouble / nChars
     var sumLen = 0L
     var i = 0
     while (i < nWs) { sumLen += wsTokens(i).codePointCount(0, wsTokens(i).length); i += 1 }
@@ -96,7 +97,8 @@ case class TextProfile(child: Expression,
       li += 1
     }
     val fp = UTF8String.fromString(TextProfile.md5Hex(Kernels.canonical(text)))
-    new GenericInternalRow(Array[Any](nWs, nBpe, punct, mwl, bestLang, fp))
+    new GenericInternalRow(
+      Array[Any](nWs, nBpe, punct, mwl, bestLang, fp, nChars, punctCnt, sumLen))
   }
 
   override def eval(input: InternalRow): Any =
@@ -125,7 +127,13 @@ object TextProfile {
     StructField("punct_ratio", DoubleType, nullable = false),
     StructField("mean_word_len", DoubleType, nullable = false),
     StructField("lang_pred", StringType, nullable = false),
-    StructField("fingerprint", StringType, nullable = true)))
+    StructField("fingerprint", StringType, nullable = true),
+    // raw integer tallies (null text → 0): the exactly-comparable inputs
+    // the integer-decis quality gate derives from — no float ever needs to
+    // enter a differential hash when consumers compare these cross-wise
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("punct_count", IntegerType, nullable = false),
+    StructField("sum_word_len", LongType, nullable = false)))
 
   /** Mirrors [[graft.operators.TextAnalysis.StopwordProfiles]]. */
   val DefaultProfiles: Seq[(String, Seq[String])] = Seq(

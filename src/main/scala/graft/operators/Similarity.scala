@@ -268,9 +268,13 @@ object Similarity {
       .withColumn("__cos", cosine(col(vecCol), col("__centroid")))
       .groupBy(col("cell_id"))
       .agg(count(lit(1)).alias("n_vectors"),
-        // exact decimal sum (order-independent) is the differential-stable
-        // representation; mean_cos is the monitoring convenience derived
-        // from it (a double quotient — fine to read, not to hash)
+        // exact BIGINT membership witness: any vector moving cells shifts
+        // two cells' id-sums — integer, so differential-hash safe, unlike
+        // ANY float derivative (even CAST(double AS DECIMAL) diverges
+        // across engines at scale midpoints — the r9 q115 lesson)
+        sum(col(idCol).cast("long")).alias("sum_vec_id"),
+        // float cohesion signals for monitoring callers — never hashed;
+        // tolerance-gated in ThresholdsSpec
         sum(col("__cos").cast("decimal(30,6)")).cast("decimal(38,6)")
           .alias("sum_cos"),
         (sum(col("__cos").cast("decimal(30,6)")).cast("double") /

@@ -78,6 +78,11 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]: length band + punct band + mean-word
     * band (a C4-style heuristic filter, expressed as one expression).
+    *
+    * Monitoring/caller convenience only — a double crossing into any exact
+    * type (DECIMAL cast, round) is engine-dependent at scale midpoints, so
+    * differential gates and thresholds must use [[qualityDecis]], the
+    * integer form of the same rubric (decis = 10 × score, exactly).
     */
   def qualityScore(text: Column): Column = {
     val nChars = length(coalesce(text, lit("")))
@@ -86,6 +91,54 @@ object TextAnalysis {
     val mwl = meanWordLength(text)
     val wordsOk = when(mwl >= 2.5 && mwl <= 12.0, 1.0).otherwise(0.0)
     lengthOk * lit(0.4) + punctOk * lit(0.3) + wordsOk * lit(0.3)
+  }
+
+  /** Integer-decis quality score in {0, 3, 4, 6, 7, 10} — the same rubric
+    * as [[qualityScore]] scaled by 10 into INT, with every sub-predicate an
+    * integer CROSS-comparison so no float exists anywhere in the
+    * derivation:
+    *   - length band  (+4): 50 ≤ n_chars ≤ 20000
+    *   - punct band   (+3): punct_ratio ≤ 0.3   ⟺  punct_count·10 ≤ n_chars·3
+    *   - words band   (+3): 2.5 ≤ mean_word_len ≤ 12
+    *                        ⟺  n_words ≥ 1 ∧ n_words·5 ≤ sum_word_len·2
+    *                           ∧ sum_word_len ≤ n_words·12
+    * The cross-multiplied forms are exactly equivalent to the double
+    * comparisons (rationals with denominators ≤ doc length are spaced far
+    * wider than an ulp around the band edges) AND every engine computes
+    * identical integers — so decis sums/thresholds are differential-hash
+    * stable where any double→DECIMAL cast of the score is not (the proven
+    * q30/q109 divergence class; see COVERAGE.md stability audit).
+    *
+    * Null text scores like empty text minus the words band: length 0,
+    * punct vacuously ok → 3.
+    */
+  def qualityDecis(text: Column): Column = {
+    val p = profileStruct(text)
+    val nChars = p.getField("n_chars")
+    val punctCnt = p.getField("punct_count")
+    val nWords = coalesce(p.getField("n_tokens_ws"), lit(0))
+    val sumLen = p.getField("sum_word_len")
+    val lengthOk = when(nChars >= 50 && nChars <= 20000, 4).otherwise(0)
+    val punctOk = when(punctCnt * 10 <= nChars * 3, 3).otherwise(0)
+    val wordsOk = when(nWords >= 1 &&
+        nWords * 5 <= sumLen * 2 && sumLen <= nWords * 12, 3).otherwise(0)
+    lengthOk + punctOk + wordsOk
+  }
+
+  /** Builtin twin of [[qualityDecis]] (differential testing). */
+  def qualityDecisBuiltin(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val nChars = length(t)
+    val punctCnt = size(regexp_extract_all(t, lit(PunctClass), lit(0)))
+    val tokens = split(trim(t), "\\s+")
+    val nWords = when(text.isNull, 0).otherwise(size(tokens))
+    val sumLen = when(text.isNull, 0L)
+      .otherwise(aggregate(tokens, lit(0L), (acc, tok) => acc + length(tok)))
+    val lengthOk = when(nChars >= 50 && nChars <= 20000, 4).otherwise(0)
+    val punctOk = when(punctCnt * 10 <= nChars * 3, 3).otherwise(0)
+    val wordsOk = when(nWords >= 1 &&
+        nWords * 5 <= sumLen * 2 && sumLen <= nWords * 12, 3).otherwise(0)
+    lengthOk + punctOk + wordsOk
   }
 
   /** Tiny per-language stopword profiles for the n-gram/stopword language-ID

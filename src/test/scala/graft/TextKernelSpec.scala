@@ -117,6 +117,23 @@ class TextKernelSpec extends SparkSpec {
     }
   }
 
+  test("qualityDecis: kernel-field form matches builtin twin and the double rubric") {
+    import graft.operators.TextAnalysis
+    for (df <- Seq(edgeTexts, fixtureTexts)) {
+      val rows = df.select(
+        TextAnalysis.qualityDecis($"text").alias("decis"),
+        TextAnalysis.qualityDecisBuiltin($"text").alias("decis_b"),
+        TextAnalysis.qualityScore($"text").alias("score")).collect()
+      rows.foreach { r =>
+        assert(!r.isNullAt(0) && !r.isNullAt(1))
+        assert(r.getInt(0) == r.getInt(1), s"decis twins diverge: $r")
+        // decis IS 10× the double rubric (the scores land on exact tenths)
+        assert(r.getInt(0) == Math.round(r.getDouble(2) * 10).toInt,
+          s"decis vs double rubric: $r")
+      }
+    }
+  }
+
   test("GramAnchors matches the builtin explode+md5(substr) formulation") {
     // multi-byte codepoints exercise the codepoint→byte offset table: the
     // kernel hashes byte SLICES, the builtin hashes substring getBytes —
