@@ -73,6 +73,18 @@ object ChangeFeed {
         s"adjacent retained version pair of $root (retained: " +
         s"${versions.mkString(", ")}) — the feed is per-commit; use " +
         "materializeNew for catch-up")
+    // adjacency in the RETAINED list is not enough after a table vacuum:
+    // (6,8) is adjacent once 7 is reclaimed, but if c6-7 is already
+    // materialized, publishing c6-8 beside it double-covers 6→7 and wedges
+    // coverage validation for every window (same guard as materializeNew)
+    val overlapping = materializedRanges(spark, root).filter { case (f, t) =>
+      !(f == fromVersion && t == toVersion) && f < toVersion && fromVersion < t }
+    require(overlapping.isEmpty,
+      s"ChangeFeed.materialize: ($fromVersion, $toVersion) overlaps " +
+        s"already-materialized range(s) ${overlapping.mkString(", ")} — a " +
+        "vacuum reclaimed a version inside existing coverage; these changes " +
+        "cannot be re-served as a step (vacuumFeed the stale ranges first " +
+        "if you intend a coarse re-materialization)")
     materializeStep(spark, root, fromVersion, toVersion, pk)
   }
 
@@ -143,9 +155,20 @@ object ChangeFeed {
           "setPrimaryKey once, or pass pk explicitly")
       declared
     }
-    val done = materializedRanges(spark, root).map(_._2).toSet
+    val doneRanges = materializedRanges(spark, root)
+    val done = doneRanges.map(_._2).toSet
+    // A table vacuum BETWEEN catch-ups can reclaim a version that is the
+    // 'to' of an already-materialized range: with (6,7) materialized and 7
+    // vacuumed, the retained adjacency derives (6,8) — publishing c6-8
+    // NEXT TO c6-7 would double-cover 6→7 and wedge coveredRanges'
+    // contiguity check for every window. Skip pairs whose from-version is
+    // already inside materialized coverage; the 7→8 changes are genuinely
+    // unservable as a step (7 can no longer be diffed) and consumers past
+    // the hole keep working because coverage validates per-window.
+    val maxDone = doneRanges.map(_._2).maxOption.getOrElse(Long.MinValue)
     versions.zip(versions.tail).collect {
-      case (f, t) if !done(t) && materializeStep(spark, root, f, t, pk) => (f, t)
+      case (f, t) if !done(t) && f >= maxDone &&
+        materializeStep(spark, root, f, t, pk) => (f, t)
     }
   }
 
@@ -247,6 +270,13 @@ object ChangeFeed {
     fs.mkdirs(new Path(rootPath, "_cdf")) // glob parent must exist at start
     spark.readStream
       .schema(feedSchema(spark, root))
+      // the file source's 7-day default maxFileAge would silently IGNORE
+      // newly-listed feed files older than (newest seen − 7d) — e.g. after
+      // extended consumer downtime — and nothing downstream validates the
+      // gap (coverage checks run in replicateAvailableNow at start, not in
+      // the raw stream). The _cdf dir is bounded by vacuumFeed, so age-based
+      // trimming buys nothing here: disable it outright.
+      .option("maxFileAge", "36500d")
       .parquet(new Path(rootPath, "_cdf").toString + "/*")
   }
 
@@ -323,10 +353,17 @@ object ChangeFeed {
     // coverage BEFORE applying anything, from wherever this replica
     // actually stands: the recorded watermark when it has consumed past
     // the bootstrap (already-applied ranges may legitimately be
-    // vacuumed), else the stated bootstrap version
+    // vacuumed), else the stated bootstrap version. A FIRST run with
+    // neither (the declared-PK overload's path) must not validate with
+    // since=None — that checks only internal contiguity, so a vacuumFeed
+    // that reclaimed early ranges would pass and the replica would
+    // silently converge wrong. Anchor it at the source's earliest
+    // retained version, the only provably-complete starting point; a
+    // replica bootstrapped later than that must say so via fromVersion.
     val srcCurrent = SnapshotManifest.currentVersion(spark, srcRoot)
     val effectiveFrom = (fromVersion.toSeq ++
       replicaWatermark(spark, dstRoot).toSeq).maxOption
+      .orElse(SnapshotManifest.listVersions(spark, srcRoot).headOption)
     if (!effectiveFrom.exists(ef => srcCurrent.forall(_ <= ef)))
       coveredRanges(spark, srcRoot, effectiveFrom, srcCurrent)
     val q = stream(spark, srcRoot).writeStream

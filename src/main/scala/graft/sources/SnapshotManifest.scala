@@ -1554,8 +1554,13 @@ object SnapshotManifest {
       newFiles.headOption.map(f => spark.read.parquet(f).schema))
     val fromFields = sideFrom.map(_.fields.toSeq).getOrElse(Nil)
     val toFields = sideTo.map(_.fields.toSeq).getOrElse(Nil)
+    // fields match by name CASE-INSENSITIVELY (the engine's resolution
+    // everywhere else): a full commit changing only a column's case must
+    // reconcile to one field — two casings in the union schema would make
+    // the o.<col>/n.<col> resolution below ambiguous. The to-side casing
+    // wins (it is the table's current shape).
     val reconciled = fromFields.map { f =>
-      toFields.find(_.name == f.name) match {
+      toFields.find(_.name.equalsIgnoreCase(f.name)) match {
         case Some(t) if t.dataType != f.dataType =>
           val wide = org.apache.spark.sql.catalyst.analysis.TypeCoercion
             .findTightestCommonType(f.dataType, t.dataType)
@@ -1564,16 +1569,18 @@ object SnapshotManifest {
                 s"versions ($fromVersion: ${f.dataType.simpleString} → " +
                 s"$toVersion: ${t.dataType.simpleString}) with no common " +
                 "type — diff the versions separately"))
-          StructField(f.name, wide, f.nullable || t.nullable)
-        case _ => f
+          StructField(t.name, wide, f.nullable || t.nullable)
+        case Some(t) => StructField(t.name, f.dataType, f.nullable)
+        case None => f
       }
     }
     val unionSchema = StructType(reconciled ++
-      toFields.filterNot(t => fromFields.exists(_.name == t.name)))
+      toFields.filterNot(t => fromFields.exists(_.name.equalsIgnoreCase(t.name))))
     val schemaSrc = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], unionSchema)
     val cols = unionSchema.fieldNames.toSeq
-    pk.foreach(c => require(cols.contains(c), s"changesBetween: pk column $c not in $cols"))
+    pk.foreach(c => require(cols.exists(_.equalsIgnoreCase(c)),
+      s"changesBetween: pk column $c not in $cols"))
     if (oldOnly.isEmpty && newOnly.isEmpty)
       return schemaSrc.withColumn("_change", lit(""))
     // presence markers, not pk-null checks: a legitimately NULL-keyed row
@@ -1586,7 +1593,10 @@ object SnapshotManifest {
         if (entries.isEmpty) schemaSrc
         else readEntries(spark, root, entries, declared)
       raw.select(cols.map(c =>
-        if (raw.columns.contains(c)) col(s"`$c`")
+        // case-insensitive presence probe (col() resolution already is):
+        // a from-side file storing 'value' must satisfy a 'Value' union
+        // column, not read as typed null
+        if (raw.columns.exists(_.equalsIgnoreCase(c))) col(s"`$c`").alias(c)
         else lit(null).cast(unionSchema(c).dataType).alias(c)): _*)
         .withColumn("__graft_present", lit(1))
     }
@@ -1656,7 +1666,10 @@ object SnapshotManifest {
     // fail fast on a misspelled bloom column — the parquet writer option
     // would silently match nothing and the table would "have" an index
     // that never prunes (the same contract as ManifestStats.collect)
-    bloomCols.foreach(c => require(df.columns.contains(c),
+    // case-insensitive, like every other verb's column resolution
+    // (analyzeTable, minMax, addColumns) — a frame differing only in
+    // column case must not silently drop a declared index or pk
+    bloomCols.foreach(c => require(df.columns.exists(_.equalsIgnoreCase(c)),
       s"commit: bloom column $c not in schema ${df.columns.mkString(", ")}"))
     val (fs, rootPath) = fsOf(spark, root)
     val cur = currentVersion(spark, root)
@@ -1670,15 +1683,17 @@ object SnapshotManifest {
     // LOUDLY; an explicit bloomCols argument overrides the carried set.
     val prior = cur.map(v => manifestParts(spark, root, v)._2)
       .getOrElse(TableMeta.empty)
-    def carried(cols: Seq[String], what: String): Seq[String] =
-      if (cols.forall(df.columns.contains)) cols
+    def carried(cols: Seq[String], what: String): Seq[String] = {
+      def has(c: String) = df.columns.exists(_.equalsIgnoreCase(c))
+      if (cols.forall(has)) cols
       else {
         graft.core.Logging.logger().warn(
           s"commit: dropping declared $what columns ${cols.mkString(", ")} " +
             s"for $root — the committed frame lacks " +
-            cols.filterNot(df.columns.contains).mkString(", "))
+            cols.filterNot(has).mkString(", "))
         Nil
       }
+    }
     val blooms =
       if (bloomCols.nonEmpty) bloomCols else carried(prior.bloomCols, "bloom")
     stageAndPublish(spark, fs, rootPath, next, df, statsCols, Nil,

@@ -212,6 +212,62 @@ class ChangeFeedSpec extends SparkSpec {
     assert(ChangeFeed.replicaWatermark(spark, replicaRoot).contains(4L))
   }
 
+  test("a version hole inside materialized coverage never publishes an overlapping range") {
+    val root = newRoot()
+    build4(root)                                        // versions 0..3
+    ChangeFeed.materializeNew(spark, root, Seq("id"))   // (0,1),(1,2),(2,3)
+    SnapshotManifest.deleteWhere(spark, root, col("id") === 5L, Seq("id")) // v4
+    // reclaim version 3's manifest, leaving 2 and 4 retained — the hole an
+    // age-guarded vacuum can open when a later stats retrofit refreshed an
+    // OLDER manifest's mtime (doomed-by-age is not a strict prefix then)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(rootPath, "manifest-00000003.json"), false))
+    // retained adjacency now derives (2,4); publishing c2-4 BESIDE c2-3
+    // would double-cover 2→3 and wedge coveredRanges for every window
+    assert(ChangeFeed.materializeNew(spark, root, Seq("id")).isEmpty)
+    assert(ChangeFeed.materializedRanges(spark, root) ==
+      Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    // the intact prefix keeps serving its consumers
+    assert(rows(ChangeFeed.feed(spark, root, untilVersion = Some(3L))).nonEmpty)
+    // the manual verb refuses the overlap loudly too
+    intercept[IllegalArgumentException] {
+      ChangeFeed.materialize(spark, root, 2L, 4L, Seq("id"))
+    }
+    // retiring the stale coverage makes the coarse step legal again
+    ChangeFeed.vacuumFeed(spark, root, beforeVersion = 3L)
+    assert(ChangeFeed.materialize(spark, root, 2L, 4L, Seq("id")))
+    assert(rows(ChangeFeed.feed(spark, root, sinceVersion = Some(2L)))
+      .forall(_._4 == 4L))
+  }
+
+  test("an unanchored first replication refuses a feed whose early ranges were reclaimed") {
+    val root = newRoot(); val replicaRoot = newRoot()
+    build4(root)
+    ChangeFeed.materializeNew(spark, root, Seq("id"))
+    ChangeFeed.vacuumFeed(spark, root, beforeVersion = 2L)
+    SnapshotManifest.cloneTable(spark, root, replicaRoot, version = Some(0L))
+    // no fromVersion, no watermark: validation must anchor at the source's
+    // earliest retained version — a with-since=None check would see only
+    // internal contiguity, pass, and converge the replica WRONG
+    intercept[IllegalStateException] {
+      ChangeFeed.replicateAvailableNow(spark, root, replicaRoot, Seq("id"),
+        Files.createTempDirectory("replchk").toString)
+    }
+    // with coverage intact from the earliest retained version, the
+    // unanchored first run converges
+    val root2 = newRoot(); val replica2 = newRoot()
+    build4(root2)
+    ChangeFeed.materializeNew(spark, root2, Seq("id"))
+    SnapshotManifest.cloneTable(spark, root2, replica2, version = Some(0L))
+    val out = ChangeFeed.replicateAvailableNow(spark, root2, replica2,
+      Seq("id"), Files.createTempDirectory("replchk").toString)
+    assert(out.select(col("id"), col("x")).as[(Long, String)].collect().toSet ==
+      SnapshotManifest.read(spark, root2)
+        .select(col("id"), col("x")).as[(Long, String)].collect().toSet)
+  }
+
   test("an until-bounded read over reclaimed coverage fails instead of reading empty") {
     val root = newRoot()
     build4(root)

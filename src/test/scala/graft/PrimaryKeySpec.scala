@@ -38,6 +38,35 @@ class PrimaryKeySpec extends SparkSpec {
     assert(SnapshotManifest.setPrimaryKey(spark, root, Seq("id")) == v2)
   }
 
+  test("carried properties and version diffs resolve columns case-insensitively") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      (1L to 20L).map(i => (i, s"v$i")).toDF("id", "x"), Seq("id"))
+    SnapshotManifest.setPrimaryKey(spark, root, Seq("id"))
+    SnapshotManifest.setBloomCols(spark, root, Seq("id"))
+    // a full commit whose frame differs only in column CASE must CARRY the
+    // declared pk/bloom — dropping them (the old case-sensitive probe)
+    // silently severs auto-CDF coverage and the point-lookup index
+    val v = SnapshotManifest.commit(spark, root,
+      (1L to 25L).map(i => (i, s"w$i")).toDF("ID", "X"), Seq("ID"))
+    assert(SnapshotManifest.primaryKey(spark, root, v) == Seq("id"))
+    assert(SnapshotManifest.bloomCols(spark, root, v) == Seq("id"))
+    // the cross-case diff reconciles to ONE field per name (to-side casing
+    // wins) instead of an ambiguous two-casing union schema
+    val feed = SnapshotManifest.changesBetween(spark, root, v - 1, v, Seq("id"))
+    assert(feed.columns.count(_.equalsIgnoreCase("x")) == 1)
+    assert(feed.columns.contains("X") && feed.columns.contains("ID"))
+    val byKind = feed.groupBy(col("_change")).count()
+      .as[(String, Long)].collect().toMap
+    // every surviving row's x changed (v→w): 20 update pairs + 5 inserts
+    assert(byKind == Map("update_preimage" -> 20L,
+      "update_postimage" -> 20L, "insert" -> 5L))
+    // the old side's values flow through the case-changed union column —
+    // a case-sensitive presence probe would have nulled all preimages
+    assert(feed.filter(col("_change") === "update_preimage" &&
+      col("X").startsWith("v")).count() == 20L)
+  }
+
   test("pk-less feed entry points read the declared key; declared properties survive full commits") {
     val src = newRoot(); val dst = newRoot()
     SnapshotManifest.commit(spark, src,
