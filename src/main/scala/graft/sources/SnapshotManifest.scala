@@ -395,8 +395,7 @@ object SnapshotManifest {
     val (fs, rootPath) = fsOf(spark, root)
     val manifest = new Path(rootPath, manifestName(next))
     val won = CommitProtocol.publishFile(fs, manifest,
-      (headerFor(next, meta) + lines.mkString("", "\n", "\n"))
-        .getBytes("UTF-8"))
+      manifestText(spark, root, next, meta, lines).getBytes("UTF-8"))
     if (!won)
       throw new ConcurrentCommitException(
         s"$op: version $next already committed by a concurrent writer; " +
@@ -477,8 +476,7 @@ object SnapshotManifest {
         meta.bloomCols)
     val manifest = new Path(rootPath, manifestName(next))
     val won = CommitProtocol.publishFile(fs, manifest,
-      (headerFor(next, meta) +
-        (lines ++ appendLines).mkString("", "\n", "\n"))
+      manifestText(spark, root, next, meta, lines ++ appendLines)
         .getBytes("UTF-8"))
     if (!won)
       throw new ConcurrentCommitException(
@@ -760,26 +758,114 @@ object SnapshotManifest {
     * stripped) and the recorded schema, so a DML verb never re-fetches
     * the same file — on an object store each read is a remote GET.
     */
+  /** Raw manifest reads performed (test instrumentation for the
+    * checkpoint-bounded read guarantee — a read of any version must
+    * resolve through at most `checkpointInterval` manifests).
+    */
+  private[graft] val manifestReadCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** First TAB field of a rendered body line = the entry's file path (the
+    * delta-encoding key: one line per live file, replaced wholesale when
+    * its stats or DV tag change).
+    */
+  private def relOf(line: String): String = line.split('\t').head
+
+  /** Commits write FULL manifests every this-many versions (and always for
+    * version 0); in between they may write churn-sized DELTAS against the
+    * previous version. Bounds both the resolution chain a read walks and
+    * how many pre-checkpoint manifests a vacuum may need to rewrite.
+    */
+  private[graft] def checkpointInterval(spark: SparkSession): Int =
+    spark.conf.getOption("graft.manifest.checkpointInterval")
+      .map(_.toInt).getOrElse(10)
+
+  /** The immediate `base=` pointer of a manifest, if it is delta-form —
+    * one raw read, no resolution (vacuum's chain guard).
+    */
+  private def manifestBase(spark: SparkSession, root: String,
+      version: Long): Option[Long] = {
+    val (fs, rootPath) = fsOf(spark, root)
+    CommitProtocol.readFully(fs, new Path(rootPath, manifestName(version)))
+      .split('\n').find(_.startsWith("base=")).map(_.stripPrefix("base=").trim.toLong)
+  }
+
   private[graft] def manifestParts(spark: SparkSession, root: String,
       version: Long): (Seq[String], TableMeta) = {
     val (fs, rootPath) = fsOf(spark, root)
+    manifestReadCount.incrementAndGet()
     val text = CommitProtocol.readFully(fs, new Path(rootPath, manifestName(version)))
     val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
     require(lines.headOption.contains(s"version=$version"),
       s"corrupt manifest for version $version: bad header ${lines.headOption}")
-    // `schema=` / `bloom=` / `pk=` are HEADER fields ([[addColumns]],
-    // [[setBloomCols]], [[setPrimaryKey]]), not file entries
+    // `schema=` / `bloom=` / `pk=` / `base=` are HEADER fields
+    // ([[addColumns]], [[setBloomCols]], [[setPrimaryKey]], delta form)
     val (schemaLines, rest) = lines.tail.toSeq.partition(_.startsWith("schema="))
     val (bloomLines, rest2) = rest.partition(_.startsWith("bloom="))
-    val (pkLines, body) = rest2.partition(_.startsWith("pk="))
-    (body, TableMeta(
+    val (pkLines, rest3) = rest2.partition(_.startsWith("pk="))
+    val (baseLines, rawBody) = rest3.partition(_.startsWith("base="))
+    val meta = TableMeta(
       schemaLines.headOption.map(l =>
         org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("schema="))
           .asInstanceOf[StructType]),
       bloomLines.headOption.map(l => colsFromJson(l.stripPrefix("bloom=")))
         .getOrElse(Nil),
       pkLines.headOption.map(l => colsFromJson(l.stripPrefix("pk=")))
-        .getOrElse(Nil)))
+        .getOrElse(Nil))
+    val body = baseLines.headOption match {
+      case None => rawBody
+      case Some(bl) =>
+        // DELTA manifest: body = base version's RESOLVED body, minus `-`
+        // rels, with `+` lines put in place (replacing a changed entry's
+        // line, appending a new one). Meta never chains — every manifest
+        // carries its full header. Chain depth < checkpointInterval by
+        // construction; the base manifest survives vacuum until every
+        // retained dependent is rewritten full ([[vacuum]]'s chain guard).
+        val base = bl.stripPrefix("base=").trim.toLong
+        val (baseBody, _) = manifestParts(spark, root, base)
+        val acc = new java.util.LinkedHashMap[String, String]()
+        baseBody.foreach(l => acc.put(relOf(l), l))
+        rawBody.foreach { l =>
+          if (l.startsWith("-\t")) acc.remove(l.stripPrefix("-\t"))
+          else if (l.startsWith("+\t")) {
+            val e = l.stripPrefix("+\t"); acc.put(relOf(e), e)
+          } else throw new IllegalStateException(
+            s"corrupt delta manifest for version $version: body line " +
+              s"without +/- op: ${l.take(80)}")
+        }
+        import scala.jdk.CollectionConverters._
+        acc.values.asScala.toSeq
+    }
+    (body, meta)
+  }
+
+  /** Render the manifest content for version `next` whose RESOLVED body is
+    * `fullLines`: churn-sized DELTA against the previous version when that
+    * is strictly smaller, FULL at every [[checkpointInterval]] boundary
+    * (the checkpoint that bounds read chains) and for version 0. The
+    * Delta-log/Iceberg shape: without it, a 10⁵-file table re-writes — and
+    * a metadata-only verb re-parses — one multi-hundred-MB file list per
+    * commit; with it, commits write O(churn) lines and reads resolve
+    * through at most one checkpoint + interval-1 tails.
+    */
+  private def manifestText(spark: SparkSession, root: String, next: Long,
+      meta: TableMeta, fullLines: Seq[String]): String = {
+    val header = headerFor(next, meta)
+    def full = header + fullLines.mkString("", "\n", "\n")
+    val interval = checkpointInterval(spark)
+    if (next == 0 || interval <= 1 || next % interval == 0) return full
+    val base = next - 1
+    val prior =
+      try manifestParts(spark, root, base)._1
+      catch { case scala.util.control.NonFatal(_) => return full }
+    val priorByRel = prior.map(l => relOf(l) -> l)
+    val priorMap = priorByRel.toMap
+    val fullRels = fullLines.iterator.map(relOf).toSet
+    val removed = priorByRel.collect { case (r, _) if !fullRels(r) => s"-\t$r" }
+    val added = fullLines.filter(l => !priorMap.get(relOf(l)).contains(l))
+      .map(l => s"+\t$l")
+    val ops = removed ++ added
+    if (ops.size >= fullLines.size) full
+    else header + (s"base=$base" +: ops).mkString("", "\n", "\n")
   }
 
   private[graft] def manifestBody(spark: SparkSession, root: String,
@@ -1449,14 +1535,14 @@ object SnapshotManifest {
     if (requireFiles)
       require(newLines.nonEmpty, s"$op: write produced no parquet files under $dataDir")
     val manifest = new Path(rootPath, manifestName(next))
-    // header: a CONTENT verb passes the recorded meta it already read;
-    // a full commit passes a fresh one (the df defines the shape anew)
-    val header = headerFor(next, meta)
     // THE commit point: one atomic file publish. False = a concurrent
     // writer committed this version first — fail loudly, leave their
     // snapshot intact, and surface our staged data for inspection.
+    // Content is delta-encoded against the previous version when smaller
+    // (checkpointed every interval) — see [[manifestText]].
     val won = CommitProtocol.publishFile(fs, manifest,
-      (header + (keptLines ++ newLines).mkString("", "\n", "\n")).getBytes("UTF-8"))
+      manifestText(spark, rootPath.toString, next, meta, keptLines ++ newLines)
+        .getBytes("UTF-8"))
     if (!won)
       throw new ConcurrentCommitException(
         s"$op: version $next already committed by a concurrent writer; " +
@@ -1854,6 +1940,25 @@ object SnapshotManifest {
       minAgeMs: Long = 0L): Seq[Long] = {
     val (fs, rootPath) = fsOf(spark, root)
     val plan = vacuumPlan(spark, root, keep, minAgeMs)
+    // Delta manifests chain to earlier versions (base=): a RETAINED
+    // manifest whose base is about to be reclaimed must be rewritten as a
+    // full (checkpoint) manifest FIRST — resolved while its chain still
+    // exists — or the retained version becomes unreadable. Ascending order
+    // re-anchors later deltas onto the rewritten survivor; at most
+    // checkpointInterval-1 manifests ever need this. The rewrite replaces
+    // a write-once file (its mtime — the as-of publish instant — updates),
+    // the same operator-owned mutation window a vacuum already is.
+    val doomedSet = plan.versions.toSet
+    if (doomedSet.nonEmpty) {
+      listVersions(spark, root).filterNot(doomedSet).foreach { v =>
+        if (manifestBase(spark, root, v).exists(doomedSet)) {
+          val (body, meta) = manifestParts(spark, root, v)
+          CommitProtocol.overwriteFile(fs, new Path(rootPath, manifestName(v)),
+            (headerFor(v, meta) + body.mkString("", "\n", "\n"))
+              .getBytes("UTF-8"))
+        }
+      }
+    }
     plan.versions.foreach { v =>
       // manifest FIRST: once it is gone the version no longer exists, and
       // its data dir is invisible garbage -- a reader can never observe a

@@ -213,6 +213,11 @@ class ChangeFeedSpec extends SparkSpec {
   }
 
   test("a version hole inside materialized coverage never publishes an overlapping range") {
+    // full manifests throughout: deleting a middle manifest below must
+    // simulate a vacuumed version, not sever a delta chain (vacuum's own
+    // chain guard handles that case — see SnapshotManifestSpec)
+    spark.conf.set("graft.manifest.checkpointInterval", "1")
+    try {
     val root = newRoot()
     build4(root)                                        // versions 0..3
     ChangeFeed.materializeNew(spark, root, Seq("id"))   // (0,1),(1,2),(2,3)
@@ -240,6 +245,7 @@ class ChangeFeedSpec extends SparkSpec {
     assert(ChangeFeed.materialize(spark, root, 2L, 4L, Seq("id")))
     assert(rows(ChangeFeed.feed(spark, root, sinceVersion = Some(2L)))
       .forall(_._4 == 4L))
+    } finally spark.conf.unset("graft.manifest.checkpointInterval")
   }
 
   test("an unanchored first replication refuses a feed whose early ranges were reclaimed") {

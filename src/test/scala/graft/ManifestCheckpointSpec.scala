@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.sources.{CommitProtocol, SnapshotManifest}
+
+/** Delta manifests + checkpoint cadence: commits write churn-sized deltas
+  * against the previous version, full (checkpoint) manifests land every
+  * `graft.manifest.checkpointInterval` versions, reads resolve through a
+  * bounded chain, and vacuum rewrites retained deltas to full before
+  * reclaiming their base. The 100-TB posture: a 10⁵-file table must not
+  * re-write — nor a metadata verb re-parse — one giant file list per
+  * commit.
+  */
+class ManifestCheckpointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot() = Files.createTempDirectory("ckpt").toString
+
+  private def rawManifest(root: String, v: Long): String = {
+    val p = new Path(root, f"manifest-$v%08d.json")
+    CommitProtocol.readFully(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  test("1k files across 50 versions: deltas are churn-sized, reads resolve via checkpoint + bounded tail") {
+    val root = newRoot()
+    // v0: a checkpoint-sized table — 1000 single-row files with id stats
+    SnapshotManifest.commit(spark, root,
+      spark.range(0, 1000).toDF("id").withColumn("x", concat(lit("v"), col("id")))
+        .repartitionByRange(1000, col("id")),
+      Seq("id"))
+    assert(SnapshotManifest.snapshotFiles(spark, root, 0L).size == 1000)
+    // 49 single-key churn commits → 50 versions
+    (1L to 49L).foreach { i =>
+      graft.operators.Upsert.mergeWhere(spark, root,
+        Seq((i, s"w$i")).toDF("id", "x"), Seq("id"), Seq("id"))
+    }
+    assert(SnapshotManifest.currentVersion(spark, root).contains(49L))
+    // non-checkpoint manifests are CHURN-sized (a one-file rewrite is a
+    // `-` + two `+` lines + headers), not 1000-line re-lists
+    val delta = rawManifest(root, 49L)
+    assert(delta.contains("base=48"))
+    assert(delta.linesIterator.size < 10,
+      s"delta manifest should be churn-sized, got ${delta.linesIterator.size} lines")
+    // checkpoint cadence: every interval-th version is FULL (chain anchor)
+    Seq(0L, 10L, 20L, 30L, 40L).foreach { v =>
+      assert(!rawManifest(root, v).contains("base="), s"version $v must be a checkpoint")
+    }
+    assert(rawManifest(root, 40L).linesIterator.size >= 1000)
+    // a read of the current version walks at most checkpoint + tail
+    SnapshotManifest.manifestReadCount.set(0L)
+    val body = SnapshotManifest.manifestBody(spark, root, 49L)
+    assert(SnapshotManifest.manifestReadCount.get() <= 10L,
+      s"read resolved through ${SnapshotManifest.manifestReadCount.get()} manifests")
+    assert(body.size == 1000)
+    // and the resolved state is exactly the churned table
+    val got = SnapshotManifest.read(spark, root)
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 1000)
+    (1L to 49L).foreach(i => assert(got(i) == s"w$i"))
+    assert(got(0L) == "v0" && got(999L) == "v999")
+    // cross the v50 checkpoint boundary, then verify a metadata-only verb
+    // stays O(1) on the wide table: declaring a pk writes a base pointer +
+    // headers, not a thousand-line copy
+    graft.operators.Upsert.mergeWhere(spark, root,
+      Seq((0L, "w0")).toDF("id", "x"), Seq("id"), Seq("id"))
+    assert(!rawManifest(root, 50L).contains("base="), "v50 is a checkpoint")
+    SnapshotManifest.setPrimaryKey(spark, root, Seq("id"))
+    val metaOnly = rawManifest(root, 51L)
+    assert(metaOnly.contains("base=50") && metaOnly.linesIterator.size < 5)
+  }
+
+  test("vacuum rewrites retained deltas to full before reclaiming their base") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      spark.range(0, 50).toDF("id").withColumn("x", lit("a"))
+        .repartitionByRange(5, col("id")), Seq("id"))
+    (1L to 6L).foreach { i =>
+      graft.operators.Upsert.mergeWhere(spark, root,
+        Seq((i, s"w$i")).toDF("id", "x"), Seq("id"), Seq("id"))
+    }
+    // versions 0..6; v1..v6 are deltas chaining back to the v0 checkpoint
+    assert(rawManifest(root, 5L).contains("base=4"))
+    val expected = SnapshotManifest.read(spark, root)
+      .as[(Long, String)].collect().toSet
+    // vacuum reclaims 0..3 — the bases of the retained 4..6 chain. The
+    // chain guard must rewrite v4 (and only what is needed) to full form
+    // BEFORE deletion, keeping every retained version readable.
+    assert(SnapshotManifest.vacuum(spark, root, keep = 3) == Seq(0L, 1L, 2L, 3L))
+    assert(!rawManifest(root, 4L).contains("base="), "v4 must be checkpointed")
+    assert(rawManifest(root, 5L).contains("base=4"), "v5 keeps its (now-anchored) delta form")
+    Seq(4L, 5L, 6L).foreach { v =>
+      assert(SnapshotManifest.readVersion(spark, root, v).count() == 50L)
+    }
+    assert(SnapshotManifest.read(spark, root)
+      .as[(Long, String)].collect().toSet == expected)
+    // life goes on: the next commit deltas against the surviving chain
+    graft.operators.Upsert.mergeWhere(spark, root,
+      Seq((7L, "w7")).toDF("id", "x"), Seq("id"), Seq("id"))
+    assert(SnapshotManifest.read(spark, root)
+      .filter(col("id") === 7L).as[(Long, String)].head()._2 == "w7")
+  }
+
+  test("interval=1 disables deltas entirely; resolution is format-compatible either way") {
+    val root = newRoot()
+    def baseCommit() = SnapshotManifest.commit(spark, root,
+      spark.range(0, 40).toDF("id").withColumn("x", lit("a"))
+        .repartitionByRange(4, col("id")), Seq("id"))
+    spark.conf.set("graft.manifest.checkpointInterval", "1")
+    try {
+      baseCommit()
+      graft.operators.Upsert.mergeWhere(spark, root,
+        Seq((1L, "a2")).toDF("id", "x"), Seq("id"), Seq("id"))
+      assert(!rawManifest(root, 1L).contains("base="))
+    } finally spark.conf.unset("graft.manifest.checkpointInterval")
+    // flip the conf mid-table: new commits delta against the full history
+    graft.operators.Upsert.mergeWhere(spark, root,
+      Seq((2L, "b2")).toDF("id", "x"), Seq("id"), Seq("id"))
+    assert(rawManifest(root, 2L).contains("base=1"))
+    val got = SnapshotManifest.read(spark, root).as[(Long, String)].collect().toMap
+    assert(got.size == 40 && got(1L) == "a2" && got(2L) == "b2" && got(3L) == "a")
+    // a delta never beats full on a tiny table: the size heuristic falls
+    // back to full form when the churn touches most of the body
+    val tiny = newRoot()
+    SnapshotManifest.commit(spark, tiny, Seq((1L, "a")).toDF("id", "x"), Seq("id"))
+    graft.operators.Upsert.mergeWhere(spark, tiny,
+      Seq((1L, "a2")).toDF("id", "x"), Seq("id"), Seq("id"))
+    assert(!rawManifest(tiny, 1L).contains("base="))
+  }
+}
