@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.net.URI
-import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.util.concurrent.ConcurrentLinkedQueue
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -58,16 +56,12 @@ object SlackSink {
       if (url.startsWith("memory://")) {
         it.foreach(r => if (!r.isNullAt(0)) memorySink.add(r.getString(0)))
       } else {
-        val client = HttpClient.newHttpClient() // one client per partition
+        // the shared engine transport (one JVM-wide client; executors in
+        // local mode share it, a cluster gets one per executor JVM)
         it.foreach { r =>
           if (!r.isNullAt(0)) {
-            try {
-              val req = HttpRequest.newBuilder(URI.create(url))
-                .header("Content-Type", "application/json")
-                .POST(HttpRequest.BodyPublishers.ofString(payload(r.getString(0))))
-                .build()
-              client.send(req, HttpResponse.BodyHandlers.discarding())
-            } catch {
+            try graft.sources.HttpTransport.postJson(url, payload(r.getString(0)))
+            catch {
               case e: Exception =>
                 // reference contract: log the failure, keep going (utils.py:153-156)
                 System.err.println(s"[slack-sink] delivery failed: ${e.getMessage}")

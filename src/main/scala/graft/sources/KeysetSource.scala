@@ -150,6 +150,47 @@ object KeysetSource {
     }
   }
 
+  /** The REAL transport for the [[Fetcher]] seam: keyset page GET against a
+    * REST endpoint (the reference's paged `requests.get` loop,
+    * `ct_utils.py:183-263`), with the engine's C3 retry on transient
+    * failures. Each page is
+    * `GET endpoint?limit=N&sort=<sortField> asc[&where=<sortField> > "cursor"]`
+    * with a bearer token from `token` (one OAuth2 exchange per load run —
+    * [[HttpTransport.bearerToken]] composes the thunk; the reference's
+    * client-credentials dance, `ct_utils.py:40-51`). The response's
+    * `results` array yields the records; the cursor advances to the last
+    * record's `sortField`; a short page ends the loop.
+    */
+  def httpFetcher(
+      endpoint: String,
+      token: () => String,
+      sortField: String = "lastModifiedAt",
+      resultsField: String = "results",
+      extraParams: Map[String, String] = Map.empty,
+      maxAttempts: Int = 6,
+      backoffBase: scala.concurrent.duration.FiniteDuration =
+        scala.concurrent.duration.DurationInt(10).seconds,
+      sleep: scala.concurrent.duration.FiniteDuration => Unit =
+        d => Thread.sleep(d.toMillis)
+  ): Fetcher = {
+    lazy val bearer = token() // one token per load run, like the reference
+    val enc = (s: String) =>
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    (cursor: Option[String], pageSize: Int) => {
+      val params = Map(
+        "limit" -> pageSize.toString,
+        "sort" -> s"$sortField asc") ++
+        cursor.map(c => "where" -> s"""$sortField > "$c"""") ++ extraParams
+      val url = endpoint + "?" +
+        params.map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+      val body = HttpTransport.withRetry(maxAttempts, backoffBase, sleep)(
+        HttpTransport.get(url, Map("Authorization" -> s"Bearer $bearer")))
+      val recs = HttpTransport.parseRecords(body, resultsField, sortField)
+      Page(recs.map(_._1),
+        if (recs.size < pageSize) None else recs.last._2)
+    }
+  }
+
   /** Fixture-backed offset fetcher over the same `page_*.json` files the
     * keyset fetcher replays: all records flattened in file order, served as
     * `(offset, limit)` slices.

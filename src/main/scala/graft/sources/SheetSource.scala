@@ -71,4 +71,45 @@ object SheetSource {
     val values = Retry.retry(maxAttempts, Retry.linearBackoff(backoffBase), sleep)(fetch())
     fromValues(spark, values)
   }
+
+  /** The REAL transport for the pluggable `fetch` seam: OAuth2 token dance
+    * (POST `tokenForm` to `tokenUrl`, e.g. a refresh_token grant — the
+    * reference's `gs_utils.py:33-47`) followed by the values-range GET
+    * (`gs_utils.py:54-56`), parsed from the `{"values": [[...]]}` response.
+    * Returned as a thunk so [[load]]'s retry wraps the WHOLE dance — an
+    * expired token on attempt N re-exchanges on attempt N+1.
+    *
+    * `apiBase` defaults to the public Sheets v4 endpoint; tests point it at
+    * an in-process loopback server (HttpTransportSpec).
+    */
+  def httpFetch(
+      spreadsheetId: String,
+      range: String,
+      tokenUrl: String,
+      tokenForm: Map[String, String],
+      apiBase: String = "https://sheets.googleapis.com/v4"
+  ): () => Seq[Seq[String]] = () => {
+    val token = HttpTransport.bearerToken(tokenUrl, tokenForm)
+    val enc = (s: String) =>
+      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    val body = HttpTransport.get(
+      s"$apiBase/spreadsheets/${enc(spreadsheetId)}/values/${enc(range)}",
+      Map("Authorization" -> s"Bearer $token"))
+    HttpTransport.parseStringTable(body, "values")
+  }
+
+  /** [[load]] over [[httpFetch]] — the one-call live form. */
+  def loadHttp(
+      spark: SparkSession,
+      spreadsheetId: String,
+      range: String,
+      tokenUrl: String,
+      tokenForm: Map[String, String],
+      apiBase: String = "https://sheets.googleapis.com/v4",
+      maxAttempts: Int = 6,
+      backoffBase: FiniteDuration = 10.seconds,
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)
+  ): DataFrame =
+    load(spark, httpFetch(spreadsheetId, range, tokenUrl, tokenForm, apiBase),
+      maxAttempts, backoffBase, sleep)
 }

@@ -1,0 +1,136 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+import graft.sources.{HttpTransport, KeysetSource, SheetSource}
+
+/** The real HTTP transport behind the live-connector seams, exercised
+  * against an in-process loopback server — no external network: the OAuth
+  * token dance + Sheets values fetch, the keyset page GET loop with cursor
+  * advancement, transient-retry semantics, and the Slack webhook POST.
+  */
+class HttpTransportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  /** Start a loopback server, run `f` against its base URL, always stop. */
+  private def withServer(routes: (String, HttpExchange => Unit)*)(f: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    routes.foreach { case (path, h) =>
+      server.createContext(path, (ex: HttpExchange) => h(ex))
+    }
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("sheet source end-to-end: token exchange, bearer-authorized values GET, header promotion") {
+    var tokenForm: String = null
+    var authHeader: String = null
+    withServer(
+      "/token" -> { ex =>
+        tokenForm = readBody(ex)
+        respond(ex, 200, """{"access_token": "tok-123", "expires_in": 3600}""")
+      },
+      "/v4/spreadsheets" -> { ex =>
+        authHeader = ex.getRequestHeaders.getFirst("Authorization")
+        respond(ex, 200,
+          """{"values": [["campaign", "budget"], ["summer", "1200"], ["winter"]]}""")
+      }) { base =>
+      val df = SheetSource.loadHttp(spark, "sheet-1", "Tab!A1:B3",
+        tokenUrl = s"$base/token",
+        tokenForm = Map("grant_type" -> "refresh_token", "refresh_token" -> "rt-9"),
+        apiBase = s"$base/v4")
+      assert(tokenForm.contains("grant_type=refresh_token") &&
+        tokenForm.contains("refresh_token=rt-9"))
+      assert(authHeader == "Bearer tok-123")
+      // header promoted, ragged row null-padded — fromValues semantics
+      assert(df.columns.toSeq == Seq("campaign", "budget"))
+      assert(df.as[(String, Option[String])].collect().toSet ==
+        Set(("summer", Some("1200")), ("winter", None)))
+    }
+  }
+
+  test("transient failures retry through the whole dance; 4xx fails fast") {
+    val hits = new AtomicInteger
+    withServer(
+      "/token" -> (respond(_, 200, """{"access_token": "t"}""")),
+      "/v4/spreadsheets" -> { ex =>
+        if (hits.incrementAndGet() < 3) respond(ex, 503, "busy")
+        else respond(ex, 200, """{"values": [["h"], ["v"]]}""")
+      }) { base =>
+      val df = SheetSource.loadHttp(spark, "s", "r",
+        tokenUrl = s"$base/token", tokenForm = Map.empty,
+        apiBase = s"$base/v4", sleep = _ => ())
+      assert(hits.get() == 3 && df.count() == 1)
+    }
+    // a 4xx is a caller bug: no retry, loud failure
+    val clientErrs = new AtomicInteger
+    withServer("/nope" -> { ex =>
+      clientErrs.incrementAndGet(); respond(ex, 404, "missing") }) { base =>
+      val e = intercept[HttpTransport.HttpStatusException] {
+        HttpTransport.withRetry(sleep = _ => ())(HttpTransport.get(s"$base/nope"))
+      }
+      assert(e.status == 404 && clientErrs.get() == 1)
+    }
+  }
+
+  test("keyset page GET: cursor advances through the where clause, short page terminates") {
+    val records = (1 to 25).map(i =>
+      (f"2024-01-$i%02dT00:00:00", s"""{"id": $i, "lastModifiedAt": "2024-01-$i%02dT00:00:00"}"""))
+    val wheres = scala.collection.mutable.ArrayBuffer[String]()
+    withServer(
+      "/token" -> (respond(_, 200, """{"access_token": "kt"}""")),
+      "/items" -> { ex =>
+        val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        val params = q.split('&').map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+        }.toMap
+        assert(ex.getRequestHeaders.getFirst("Authorization") == "Bearer kt")
+        assert(params("sort") == "lastModifiedAt asc")
+        val limit = params("limit").toInt
+        val after = params.get("where").map { w =>
+          wheres += w
+          w.stripPrefix("lastModifiedAt > \"").stripSuffix("\"")
+        }
+        val page = records.filter(r => after.forall(r._1 > _)).take(limit)
+        respond(ex, 200, page.map(_._2).mkString("""{"results": [""", ",", "]}"))
+      }) { base =>
+      val fetcher = KeysetSource.httpFetcher(s"$base/items",
+        token = () => HttpTransport.bearerToken(s"$base/token", Map.empty),
+        sleep = _ => ())
+      val df = KeysetSource.load(spark, fetcher,
+        startWatermark = Some("2024-01-05T00:00:00"), pageSize = 10)
+      // watermark excludes ids 1..5; pages of 10 + short page terminate
+      assert(df.select(col("id")).as[Long].collect().toSet == (6L to 25L).toSet)
+      // first page's where IS the start watermark; later wheres advance
+      assert(wheres.head == "lastModifiedAt > \"2024-01-05T00:00:00\"")
+      assert(wheres.size == 2 || wheres.size == 3) // 10 + 10 + short
+    }
+  }
+
+  test("slack webhook POST delivers each message through the shared transport") {
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    withServer("/hook" -> { ex =>
+      got.add(readBody(ex)); respond(ex, 200, "ok") }) { base =>
+      val n = graft.operators.SlackSink.send(
+        Seq("alert one", "alert \"two\"").toDF("message"), s"$base/hook")
+      assert(n == 2)
+      val bodies = got.toArray(Array.empty[String]).toSet
+      assert(bodies == Set("""{"text": "alert one"}""",
+        """{"text": "alert \"two\""}"""))
+    }
+  }
+}
