@@ -103,6 +103,68 @@ object Bpe {
     } finally base.unpersist(blocking = false)
   }
 
+  /** Batched trainer — the 32k-merge-vocab scale form. [[trainMerges]]
+    * prices one pair-count JOB per merge (fine for the gated k=3 form,
+    * 32k sequential jobs for a production vocabulary); this variant prices
+    * one job per BATCH: each iteration aggregates pair counts once, ranks
+    * `(cnt desc, pair asc)`, and accepts the longest RANK-PREFIX of pairs
+    * whose symbols are mutually disjoint (≤ `maxBatch`), merging them all
+    * before the next count.
+    *
+    * Equivalence contract: within an accepted prefix, merges touch
+    * disjoint symbols, so their applications commute and none changes
+    * another's count — the batch is exactly the sequence the one-merge
+    * trainer would pick UNLESS a merge in the prefix CREATES a new pair
+    * outranking a later prefix member (`x ab` born from `a b` can carry up
+    * to the merged pair's mass). The prefix CUT at the first conflicting
+    * candidate keeps cascades sequential (the textbook `e s → es t →
+    * est </w>` chain batches as three singleton batches), and `maxBatch=1`
+    * reproduces [[trainMerges]] exactly; larger batches are the standard
+    * fast-BPE cost/fidelity trade, and BpeSpec pins both the equivalence
+    * cases and the contract.
+    *
+    * Lineage is truncated per batch (`localCheckpoint`), so a 32k-merge
+    * run holds a ≤`maxBatch`-deep replace plan instead of a 32k-deep one.
+    */
+  def trainMergesBatched(wordFreq: DataFrame, k: Int, maxBatch: Int = 256):
+      (Seq[(Int, String, Long)], DataFrame) = {
+    require(k >= 1 && k <= 65536, s"k merges out of range: $k")
+    require(maxBatch >= 1, s"maxBatch must be >= 1: $maxBatch")
+    var seqs = initialSeqs(wordFreq).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < k && !exhausted) {
+      val want = math.min(maxBatch, k - rank)
+      val cands = pairCounts(seqs)
+        .orderBy(col("cnt").desc, col("pair").asc).limit(want).collect()
+      if (cands.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.HashSet[String]()
+        val batch = Seq.newBuilder[(String, Long)]
+        var cut = false
+        cands.foreach { r =>
+          if (!cut) {
+            val pair = r.getString(0)
+            val syms = pair.split(' ')
+            if (syms.exists(used)) cut = true
+            else { syms.foreach(used += _); batch += ((pair, r.getLong(1))) }
+          }
+        }
+        val accepted = batch.result()
+        accepted.foreach { case (pair, cnt) =>
+          merges += ((rank, pair, cnt)); rank += 1
+        }
+        // disjoint symbols ⇒ the replaces commute; fold + checkpoint keeps
+        // the plan batch-deep and frees the previous batch's blocks
+        val next = accepted.foldLeft(seqs)((df, m) => applyMerge(df, m._1))
+          .localCheckpoint()
+        seqs = next
+      }
+    }
+    (merges.result(), seqs)
+  }
+
   /** Merged symbol sequences for a table of DISTINCT words: `(word, syms)`
     * with the merge list applied in rank order — row-local replace chain
     * over the VOCABULARY, which is how corpus-scale encoding should run:

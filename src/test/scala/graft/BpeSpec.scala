@@ -56,6 +56,43 @@ class BpeSpec extends SparkSpec {
     assert(direct == viaVocab && direct.nonEmpty)
   }
 
+  test("batched trainer: maxBatch=1 reproduces the sequential trainer exactly") {
+    val wf = Bpe.wordFreq(corpus, "text")
+    val (seq3, _) = Bpe.trainMerges(wf, 3)
+    val (bat3, seqs) = Bpe.trainMergesBatched(wf, 3, maxBatch = 1)
+    assert(bat3 == seq3)
+    // the cascade fixture also pins the PREFIX-CUT under a big batch: each
+    // merge creates the next pair, so every batch degrades to a singleton
+    // and the batched result stays sequential-exact
+    val (bat3wide, _) = Bpe.trainMergesBatched(wf, 3, maxBatch = 64)
+    assert(bat3wide == seq3)
+    // returned sequences reflect all merges (est</w> collapsed)
+    assert(seqs.filter(col("seq").contains("est</w>")).count() == 2)
+  }
+
+  test("batched trainer merges a disjoint top prefix in one job, sequential-equal") {
+    // two independent high-mass pairs: 'a b' spread across two word
+    // families (so its successor pairs split below 'c d') and 'c d' in a
+    // third — the top-2 candidates are symbol-disjoint, one batch takes
+    // both, and the result equals the two-job sequential pick
+    val docs = Seq(
+      (1L, (Seq.fill(5)("abx") ++ Seq.fill(4)("aby")).mkString(" ")),
+      (2L, Seq.fill(7)("cd").mkString(" "))).toDF("doc_id", "text")
+    val wf = Bpe.wordFreq(docs, "text")
+    val (seq2, _) = Bpe.trainMerges(wf, 2)
+    val (bat2, _) = Bpe.trainMergesBatched(wf, 2, maxBatch = 8)
+    assert(bat2 == seq2)
+    assert(bat2.map(_._2) == Seq("a b", "c d"))
+    // and the batched merge list encodes losslessly like any merge list
+    val words = docs.select(
+      explode(graft.operators.TextAnalysis.canonicalTokens($"text")).alias("word"))
+      .distinct()
+    val rebuilt = Bpe.encodeVocab(words, bat2.map(_._2))
+      .select($"word", array_join($"syms", "").alias("joined"))
+      .as[(String, String)].collect()
+    rebuilt.foreach { case (w, j) => assert(j == w + Bpe.EndOfWord) }
+  }
+
   test("trainMerges stops early when no pairs remain") {
     // single 1-char word: seq 'x </w>' has one pair, then none
     val (merges, _) = Bpe.trainMerges(
