@@ -73,19 +73,29 @@ private[graft] object CommitProtocol {
   }
 
   /** Overwrite a small single-value MARKER at `path` (tmp-write + replace)
-    * — for monotonic last-writer-wins state like a consumer watermark,
-    * NOT for commits: unlike [[publishFile]] there is no once-only
-    * guarantee, and a crash between delete and rename leaves the marker
-    * absent (callers must treat a missing marker as "start over", which
-    * for a monotonic watermark only makes them stricter).
+    * — for monotonic last-writer-wins state like a consumer watermark or
+    * vacuum's delta-manifest checkpoint rewrite, NOT for commits: unlike
+    * [[publishFile]] there is no once-only guarantee.
+    *
+    * Rename is tried FIRST: on POSIX file:// filesystems rename(2)
+    * silently REPLACES an existing file (the same property the
+    * publishFile link(2) guard exists to defeat — here it is exactly
+    * what we want: an ATOMIC replace, so a concurrent reader sees old or
+    * new bytes, never a missing file). Stores whose rename refuses an
+    * existing destination (HDFS) fall back to delete-then-rename, whose
+    * absent-file window a crash can expose — callers must treat a missing
+    * marker as "start over", which for a monotonic watermark only makes
+    * them stricter, and for the vacuum rewrite retries idempotently.
     */
   def overwriteFile(fs: FileSystem, path: Path, content: Array[Byte]): Unit = {
     val tmp = new Path(path.getParent,
       "." + path.getName + "." + java.util.UUID.randomUUID().toString + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(content) finally out.close()
-    fs.delete(path, false)
-    if (!fs.rename(tmp, path)) fs.delete(tmp, false) // racer won; theirs stands
+    if (!fs.rename(tmp, path)) {
+      fs.delete(path, false)
+      if (!fs.rename(tmp, path)) fs.delete(tmp, false) // racer won; theirs stands
+    }
   }
 
   def publishFile(fs: FileSystem, dest: Path, content: Array[Byte]): Boolean = {
