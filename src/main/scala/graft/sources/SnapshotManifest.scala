@@ -789,7 +789,38 @@ object SnapshotManifest {
       .split('\n').find(_.startsWith("base=")).map(_.stripPrefix("base=").trim.toLong)
   }
 
+  /** Driver-side resolved-parts cache, validated per hit against the
+    * manifest file's (mtime, length) — manifests are write-once except
+    * vacuum's chain-guard rewrite, and BOTH mutations change the length
+    * (delta → full) so a stale entry can never be served. Bounds the cost
+    * of chain resolution (each level hits the cache once warm) and of the
+    * several manifestParts calls a verb makes per commit; at the 100-TB
+    * design point it is what keeps a 10⁵-line checkpoint from being
+    * re-parsed on every read of every version that chains to it.
+    */
+  private val partsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (Long, Long, Seq[String], TableMeta)](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, Seq[String], TableMeta)]): Boolean =
+        size() > 256
+    })
+
   private[graft] def manifestParts(spark: SparkSession, root: String,
+      version: Long): (Seq[String], TableMeta) = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val path = new Path(rootPath, manifestName(version))
+    val st = fs.getFileStatus(path)
+    val key = s"$root#$version"
+    val hit = partsCache.get(key)
+    if (hit != null && hit._1 == st.getModificationTime && hit._2 == st.getLen)
+      return (hit._3, hit._4)
+    val out = manifestPartsUncached(spark, root, version)
+    partsCache.put(key, (st.getModificationTime, st.getLen, out._1, out._2))
+    out
+  }
+
+  private def manifestPartsUncached(spark: SparkSession, root: String,
       version: Long): (Seq[String], TableMeta) = {
     val (fs, rootPath) = fsOf(spark, root)
     manifestReadCount.incrementAndGet()
