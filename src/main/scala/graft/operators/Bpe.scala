@@ -155,11 +155,15 @@ object Bpe {
         accepted.foreach { case (pair, cnt) =>
           merges += ((rank, pair, cnt)); rank += 1
         }
-        // disjoint symbols ⇒ the replaces commute; fold + checkpoint keeps
-        // the plan batch-deep and frees the previous batch's blocks
-        val next = accepted.foldLeft(seqs)((df, m) => applyMerge(df, m._1))
+        // disjoint symbols ⇒ the replaces commute; fold + EAGER checkpoint
+        // keeps the plan batch-deep. The superseded checkpoint's blocks
+        // are released EXPLICITLY — relying on GC-driven cleanup would
+        // accumulate one vocabulary-sized copy per batch (~k/maxBatch
+        // copies on exactly the production-vocab runs this variant is for)
+        val prev = seqs
+        seqs = accepted.foldLeft(seqs)((df, m) => applyMerge(df, m._1))
           .localCheckpoint()
-        seqs = next
+        prev.unpersist(blocking = false)
       }
     }
     (merges.result(), seqs)

@@ -161,13 +161,17 @@ object ChangeFeed {
     // 'to' of an already-materialized range: with (6,7) materialized and 7
     // vacuumed, the retained adjacency derives (6,8) — publishing c6-8
     // NEXT TO c6-7 would double-cover 6→7 and wedge coveredRanges'
-    // contiguity check for every window. Skip pairs whose from-version is
-    // already inside materialized coverage; the 7→8 changes are genuinely
-    // unservable as a step (7 can no longer be diffed) and consumers past
-    // the hole keep working because coverage validates per-window.
-    val maxDone = doneRanges.map(_._2).maxOption.getOrElse(Long.MinValue)
+    // contiguity check for every window. Skip exactly the pairs whose
+    // COVERAGE INTERVAL overlaps an existing range (the same test the
+    // manual verb applies): those changes are genuinely unservable as a
+    // step, and consumers past the hole keep working because coverage
+    // validates per-window. A pair in a genuine un-materialized GAP
+    // overlaps nothing and still repairs — the "missed calls are repaired
+    // here, not lost" contract.
+    def overlapsDone(f: Long, t: Long) = doneRanges.exists { case (mf, mt) =>
+      !(mf == f && mt == t) && mf < t && f < mt }
     versions.zip(versions.tail).collect {
-      case (f, t) if !done(t) && f >= maxDone &&
+      case (f, t) if !done(t) && !overlapsDone(f, t) &&
         materializeStep(spark, root, f, t, pk) => (f, t)
     }
   }

@@ -160,6 +160,15 @@ object KeysetSource {
     * client-credentials dance, `ct_utils.py:40-51`). The response's
     * `results` array yields the records; the cursor advances to the last
     * record's `sortField`; a short page ends the loop.
+    *
+    * Boundary-tie caveat (inherent to strict-`>` keyset cursors over a
+    * NON-UNIQUE sort key): records sharing the exact boundary timestamp
+    * split across a page edge are excluded by the next page's `>` cursor.
+    * The engine's standing mitigation is the OVERLAP watermark
+    * ([[watermark]] backs the start cursor up `overlapSeconds` for exactly
+    * this class, and the PK merge dedups the re-read rows); endpoints
+    * whose timestamps are coarse enough to span whole pages should page on
+    * a composite unique sort key instead.
     */
   def httpFetcher(
       endpoint: String,
@@ -186,8 +195,20 @@ object KeysetSource {
       val body = HttpTransport.withRetry(maxAttempts, backoffBase, sleep)(
         HttpTransport.get(url, Map("Authorization" -> s"Bearer $bearer")))
       val recs = HttpTransport.parseRecords(body, resultsField, sortField)
-      Page(recs.map(_._1),
-        if (recs.size < pageSize) None else recs.last._2)
+      if (recs.size < pageSize) Page(recs.map(_._1), None)
+      else recs.last._2 match {
+        case some @ Some(_) => Page(recs.map(_._1), some)
+        // a FULL page whose last record lacks the sort value cannot
+        // advance the cursor — ending the loop here would silently
+        // truncate the load (every later page never fetched), so fail
+        // loudly instead: either the endpoint ignored the sort param or
+        // the sortField name is wrong
+        case None => throw new IllegalStateException(
+          s"keyset page from $endpoint returned a full page whose last " +
+            s"record has no '$sortField' — cannot advance the cursor; " +
+            "check the sortField/endpoint (continuing would silently " +
+            "drop all remaining pages)")
+      }
     }
   }
 

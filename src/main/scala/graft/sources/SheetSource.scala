@@ -98,7 +98,13 @@ object SheetSource {
     HttpTransport.parseStringTable(body, "values")
   }
 
-  /** [[load]] over [[httpFetch]] — the one-call live form. */
+  /** [[load]] over [[httpFetch]] — the one-call live form. Unlike the
+    * generic [[load]] (whose opaque thunk retries everything), this path
+    * KNOWS its failures: only transient ones
+    * ([[HttpTransport.isTransient]] — IO, 5xx, 429) retry; a 4xx (bad
+    * credentials, wrong spreadsheet id) or a malformed response is a
+    * caller bug and fails fast instead of burning the full backoff ladder.
+    */
   def loadHttp(
       spark: SparkSession,
       spreadsheetId: String,
@@ -109,7 +115,9 @@ object SheetSource {
       maxAttempts: Int = 6,
       backoffBase: FiniteDuration = 10.seconds,
       sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)
-  ): DataFrame =
-    load(spark, httpFetch(spreadsheetId, range, tokenUrl, tokenForm, apiBase),
-      maxAttempts, backoffBase, sleep)
+  ): DataFrame = {
+    val fetch = httpFetch(spreadsheetId, range, tokenUrl, tokenForm, apiBase)
+    fromValues(spark, Retry.retryWhen(HttpTransport.isTransient,
+      maxAttempts, Retry.linearBackoff(backoffBase), sleep)(fetch()))
+  }
 }

@@ -780,44 +780,87 @@ object SnapshotManifest {
       .map(_.toInt).getOrElse(10)
 
   /** The immediate `base=` pointer of a manifest, if it is delta-form —
-    * one raw read, no resolution (vacuum's chain guard).
+    * a HEADER-bounded probe, never a full read (vacuum's chain guard runs
+    * this per retained version; reading a 10⁵-line checkpoint end-to-end
+    * just to learn it has no base would make every vacuum O(total manifest
+    * bytes)). `base=` always precedes body lines, so the scan stops at the
+    * first non-header line.
     */
   private def manifestBase(spark: SparkSession, root: String,
       version: Long): Option[Long] = {
     val (fs, rootPath) = fsOf(spark, root)
-    CommitProtocol.readFully(fs, new Path(rootPath, manifestName(version)))
-      .split('\n').find(_.startsWith("base=")).map(_.stripPrefix("base=").trim.toLong)
+    val in = fs.open(new Path(rootPath, manifestName(version)))
+    try {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8"))
+      var line = r.readLine()
+      while (line != null) {
+        val t = line.trim
+        if (t.startsWith("base=")) return Some(t.stripPrefix("base=").toLong)
+        // past the header (version=/schema=/bloom=/pk=) with no base ⇒ full
+        if (t.nonEmpty && !t.startsWith("version=") && !t.startsWith("schema=") &&
+            !t.startsWith("bloom=") && !t.startsWith("pk=")) return None
+        line = r.readLine()
+      }
+      None
+    } finally in.close()
   }
 
   /** Driver-side resolved-parts cache, validated per hit against the
     * manifest file's (mtime, length) — manifests are write-once except
-    * vacuum's chain-guard rewrite, and BOTH mutations change the length
-    * (delta → full) so a stale entry can never be served. Bounds the cost
-    * of chain resolution (each level hits the cache once warm) and of the
+    * vacuum's chain-guard rewrite, and that mutation always changes the
+    * length (delta → full; its mtime is deliberately preserved for
+    * time-travel) so a stale entry can never be served. Bounds the cost of
+    * chain resolution (each level hits the cache once warm) and of the
     * several manifestParts calls a verb makes per commit; at the 100-TB
     * design point it is what keeps a 10⁵-line checkpoint from being
     * re-parsed on every read of every version that chains to it.
+    *
+    * Budgeted by TOTAL CACHED BODY LINES, not entry count — 256 resolved
+    * 10⁵-line bodies would pin gigabytes of driver heap. Keys are the
+    * canonical `Path` form so read verbs (caller string) and publish paths
+    * (rootPath.toString) share entries.
     */
-  private val partsCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, (Long, Long, Seq[String], TableMeta)](
-        64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (Long, Long, Seq[String], TableMeta)]): Boolean =
-        size() > 256
-    })
+  private object PartsCache {
+    private val MaxTotalLines = 500000L
+    private val map =
+      new java.util.LinkedHashMap[String, (Long, Long, Seq[String], TableMeta)](
+        64, 0.75f, true)
+    private var totalLines = 0L
+    private def weight(body: Seq[String]): Long = math.max(body.size.toLong, 1L)
+    def get(key: String, mtime: Long, len: Long): Option[(Seq[String], TableMeta)] =
+      synchronized {
+        Option(map.get(key)).collect {
+          case (m, l, body, meta) if m == mtime && l == len => (body, meta)
+        }
+      }
+    def put(key: String, mtime: Long, len: Long, body: Seq[String],
+        meta: TableMeta): Unit = synchronized {
+      val w = weight(body)
+      if (w > MaxTotalLines) return // one body past the whole budget: skip
+      Option(map.remove(key)).foreach(old => totalLines -= weight(old._3))
+      map.put(key, (mtime, len, body, meta))
+      totalLines += w
+      val it = map.entrySet().iterator()
+      while (totalLines > MaxTotalLines && it.hasNext) {
+        val e = it.next()
+        totalLines -= weight(e.getValue._3)
+        it.remove()
+      }
+    }
+  }
 
   private[graft] def manifestParts(spark: SparkSession, root: String,
       version: Long): (Seq[String], TableMeta) = {
     val (fs, rootPath) = fsOf(spark, root)
     val path = new Path(rootPath, manifestName(version))
     val st = fs.getFileStatus(path)
-    val key = s"$root#$version"
-    val hit = partsCache.get(key)
-    if (hit != null && hit._1 == st.getModificationTime && hit._2 == st.getLen)
-      return (hit._3, hit._4)
-    val out = manifestPartsUncached(spark, root, version)
-    partsCache.put(key, (st.getModificationTime, st.getLen, out._1, out._2))
-    out
+    val key = s"${rootPath.toString}#$version"
+    PartsCache.get(key, st.getModificationTime, st.getLen).getOrElse {
+      val out = manifestPartsUncached(spark, root, version)
+      PartsCache.put(key, st.getModificationTime, st.getLen, out._1, out._2)
+      out
+    }
   }
 
   private def manifestPartsUncached(spark: SparkSession, root: String,
@@ -1811,11 +1854,18 @@ object SnapshotManifest {
         Nil
       }
     }
-    val blooms =
-      if (bloomCols.nonEmpty) bloomCols else carried(prior.bloomCols, "bloom")
+    // re-declare under the FRAME's casing: the parquet per-column bloom
+    // option (`parquet.bloom.filter.enabled#<col>`) matches by exact path
+    // string, so carrying a case-mismatched name through would write NO
+    // filter while the manifest claims an index — the silent no-op the
+    // validation above exists to prevent
+    def frameCased(cols: Seq[String]): Seq[String] =
+      cols.map(c => df.columns.find(_.equalsIgnoreCase(c)).getOrElse(c))
+    val blooms = frameCased(
+      if (bloomCols.nonEmpty) bloomCols else carried(prior.bloomCols, "bloom"))
     stageAndPublish(spark, fs, rootPath, next, df, statsCols, Nil,
       "commit", requireFiles = true,
-      meta = TableMeta(None, blooms, carried(prior.pk, "primary-key")))
+      meta = TableMeta(None, blooms, frameCased(carried(prior.pk, "primary-key"))))
   }
 
   /** [[commit]] gated by declarative quality expectations — CHECK
@@ -1984,9 +2034,16 @@ object SnapshotManifest {
       listVersions(spark, root).filterNot(doomedSet).foreach { v =>
         if (manifestBase(spark, root, v).exists(doomedSet)) {
           val (body, meta) = manifestParts(spark, root, v)
-          CommitProtocol.overwriteFile(fs, new Path(rootPath, manifestName(v)),
+          val mf = new Path(rootPath, manifestName(v))
+          // preserve the PUBLISH instant: versionAsOf/readAsOf time-travel
+          // resolves versions by manifest mtime, so the rewrite must not
+          // make a retained version look published at vacuum time (which
+          // would orphan its whole original as-of window)
+          val publishedAt = fs.getFileStatus(mf).getModificationTime
+          CommitProtocol.overwriteFile(fs, mf,
             (headerFor(v, meta) + body.mkString("", "\n", "\n"))
               .getBytes("UTF-8"))
+          fs.setTimes(mf, publishedAt, -1)
         }
       }
     }

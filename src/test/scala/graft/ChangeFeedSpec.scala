@@ -248,6 +248,20 @@ class ChangeFeedSpec extends SparkSpec {
     } finally spark.conf.unset("graft.manifest.checkpointInterval")
   }
 
+  test("catch-up repairs a genuine gap even below the max materialized range") {
+    val root = newRoot()
+    build4(root)
+    // out-of-order manual materialization leaves a real hole at (1,2) —
+    // repair must not be confused with the vacuum-overlap skip (the
+    // 'missed calls are repaired here, not lost' contract)
+    assert(ChangeFeed.materialize(spark, root, 0L, 1L, Seq("id")))
+    assert(ChangeFeed.materialize(spark, root, 2L, 3L, Seq("id")))
+    assert(ChangeFeed.materializeNew(spark, root, Seq("id")) == Seq((1L, 2L)))
+    assert(ChangeFeed.materializedRanges(spark, root) ==
+      Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    assert(rows(ChangeFeed.feed(spark, root)).nonEmpty)
+  }
+
   test("an unanchored first replication refuses a feed whose early ranges were reclaimed") {
     val root = newRoot(); val replicaRoot = newRoot()
     build4(root)

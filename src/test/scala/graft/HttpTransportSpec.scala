@@ -121,6 +121,23 @@ class HttpTransportSpec extends SparkSpec {
     }
   }
 
+  test("a full page without a usable sort value fails loudly instead of truncating the load") {
+    withServer(
+      "/items" -> { ex =>
+        // a FULL page (== limit) whose records lack the sort field: ending
+        // the loop here would silently drop every remaining page
+        respond(ex, 200, (1 to 3).map(i => s"""{"id": $i}""")
+          .mkString("""{"results": [""", ",", "]}"))
+      }) { base =>
+      val fetcher = KeysetSource.httpFetcher(s"$base/items",
+        token = () => "t", sleep = _ => ())
+      val e = intercept[IllegalStateException] {
+        KeysetSource.load(spark, fetcher, pageSize = 3)
+      }
+      assert(e.getMessage.contains("cannot advance the cursor"))
+    }
+  }
+
   test("slack webhook POST delivers each message through the shared transport") {
     val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     withServer("/hook" -> { ex =>

@@ -87,8 +87,14 @@ class ManifestCheckpointSpec extends SparkSpec {
     // vacuum reclaims 0..3 — the bases of the retained 4..6 chain. The
     // chain guard must rewrite v4 (and only what is needed) to full form
     // BEFORE deletion, keeping every retained version readable.
+    val fsPath = new Path(root, f"manifest-${4L}%08d.json")
+    val hfs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val publishedAt = hfs.getFileStatus(fsPath).getModificationTime
     assert(SnapshotManifest.vacuum(spark, root, keep = 3) == Seq(0L, 1L, 2L, 3L))
     assert(!rawManifest(root, 4L).contains("base="), "v4 must be checkpointed")
+    // the rewrite preserves the PUBLISH instant — versionAsOf time-travel
+    // resolves by manifest mtime, so v4's original as-of window survives
+    assert(hfs.getFileStatus(fsPath).getModificationTime == publishedAt)
     assert(rawManifest(root, 5L).contains("base=4"), "v5 keeps its (now-anchored) delta form")
     Seq(4L, 5L, 6L).foreach { v =>
       assert(SnapshotManifest.readVersion(spark, root, v).count() == 50L)

@@ -49,8 +49,12 @@ class PrimaryKeySpec extends SparkSpec {
     // silently severs auto-CDF coverage and the point-lookup index
     val v = SnapshotManifest.commit(spark, root,
       (1L to 25L).map(i => (i, s"w$i")).toDF("ID", "X"), Seq("ID"))
-    assert(SnapshotManifest.primaryKey(spark, root, v) == Seq("id"))
-    assert(SnapshotManifest.bloomCols(spark, root, v) == Seq("id"))
+    // carried properties are RE-DECLARED under the frame's casing: the
+    // parquet per-column bloom option matches by exact path, so keeping
+    // the old-case name would write files with no filter while the
+    // manifest claims an index
+    assert(SnapshotManifest.primaryKey(spark, root, v) == Seq("ID"))
+    assert(SnapshotManifest.bloomCols(spark, root, v) == Seq("ID"))
     // the cross-case diff reconciles to ONE field per name (to-side casing
     // wins) instead of an ambiguous two-casing union schema
     val feed = SnapshotManifest.changesBetween(spark, root, v - 1, v, Seq("id"))
