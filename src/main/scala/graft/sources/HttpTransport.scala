@@ -26,12 +26,29 @@ object HttpTransport {
       extends RuntimeException(
         s"HTTP $status from $url: ${body.take(200)}")
 
-  /** Retry transient failures only: connection-level IO errors, 5xx, 429. */
+  /** Retry transient failures only: connection-level IO errors, 5xx, 429.
+    * Jackson's parse exceptions EXTEND IOException but are caller bugs
+    * (a 200 with a malformed body re-reads the same bytes forever) —
+    * excluded explicitly so the fail-fast contract holds.
+    */
   def isTransient(t: Throwable): Boolean = t match {
     case HttpStatusException(s, _, _) => s >= 500 || s == 429
+    case _: com.fasterxml.jackson.core.JacksonException => false
     case _: java.io.IOException => true
     case _ => false
   }
+
+  /** Percent-encode a QUERY component (form encoding: space → '+'). */
+  def encodeQuery(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+
+  /** Percent-encode a PATH segment: like [[encodeQuery]] but space must be
+    * %20 — '+' in a URI path is a literal plus, so form encoding there
+    * targets the wrong resource (a sheet tab named "My Sheet" becomes
+    * "My+Sheet").
+    */
+  def encodePathSegment(s: String): String =
+    encodeQuery(s).replace("+", "%20")
 
   private lazy val client: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(10))
@@ -72,8 +89,7 @@ object HttpTransport {
       headers: Map[String, String] = Map.empty,
       timeout: FiniteDuration = 30.seconds): String = {
     val body = form.map { case (k, v) =>
-      java.net.URLEncoder.encode(k, StandardCharsets.UTF_8) + "=" +
-        java.net.URLEncoder.encode(v, StandardCharsets.UTF_8)
+      encodeQuery(k) + "=" + encodeQuery(v)
     }.mkString("&")
     execute(builder(url,
       headers + ("Content-Type" -> "application/x-www-form-urlencoded"), timeout)

@@ -183,13 +183,17 @@ object KeysetSource {
         d => Thread.sleep(d.toMillis)
   ): Fetcher = {
     lazy val bearer = token() // one token per load run, like the reference
-    val enc = (s: String) =>
-      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    val enc = HttpTransport.encodeQuery _
+    // the cursor value lands inside a double-quoted predicate: escape the
+    // quote and backslash so a string sort value containing either cannot
+    // truncate or re-shape the where clause
+    def quoted(c: String) =
+      "\"" + c.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     (cursor: Option[String], pageSize: Int) => {
       val params = Map(
         "limit" -> pageSize.toString,
         "sort" -> s"$sortField asc") ++
-        cursor.map(c => "where" -> s"""$sortField > "$c"""") ++ extraParams
+        cursor.map(c => "where" -> s"$sortField > ${quoted(c)}") ++ extraParams
       val url = endpoint + "?" +
         params.map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
       val body = HttpTransport.withRetry(maxAttempts, backoffBase, sleep)(

@@ -90,8 +90,9 @@ object SheetSource {
       apiBase: String = "https://sheets.googleapis.com/v4"
   ): () => Seq[Seq[String]] = () => {
     val token = HttpTransport.bearerToken(tokenUrl, tokenForm)
-    val enc = (s: String) =>
-      java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+    // PATH-segment encoding ('%20', never '+'): tab names with spaces —
+    // "My Sheet!A1:B3" — are the common case
+    val enc = HttpTransport.encodePathSegment _
     val body = HttpTransport.get(
       s"$apiBase/spreadsheets/${enc(spreadsheetId)}/values/${enc(range)}",
       Map("Authorization" -> s"Bearer $token"))
@@ -117,7 +118,15 @@ object SheetSource {
       sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)
   ): DataFrame = {
     val fetch = httpFetch(spreadsheetId, range, tokenUrl, tokenForm, apiBase)
-    fromValues(spark, Retry.retryWhen(HttpTransport.isTransient,
+    // 401 also retries: the retry wraps the WHOLE dance, so a bearer token
+    // that expired between the exchange and the GET re-exchanges on the
+    // next attempt. Other 4xx (bad grant, wrong id) and malformed bodies
+    // stay fail-fast.
+    def retriable(t: Throwable): Boolean = t match {
+      case HttpTransport.HttpStatusException(401, _, _) => true
+      case other => HttpTransport.isTransient(other)
+    }
+    fromValues(spark, Retry.retryWhen(retriable,
       maxAttempts, Retry.linearBackoff(backoffBase), sleep)(fetch()))
   }
 }

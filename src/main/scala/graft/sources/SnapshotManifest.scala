@@ -401,6 +401,7 @@ object SnapshotManifest {
         s"$op: version $next already committed by a concurrent writer; " +
           "re-read the table and retry (staged sidecars are unreferenced " +
           "garbage for vacuum)")
+    PartsCache.invalidate(s"${rootPath.toString}#$next")
     maybeAutoCdf(spark, root, meta)
     next
   }
@@ -482,6 +483,7 @@ object SnapshotManifest {
       throw new ConcurrentCommitException(
         s"$op: version $next already committed by a concurrent writer; " +
           s"re-read the table and retry; staged data left at $dataDir")
+    PartsCache.invalidate(s"${rootPath.toString}#$next")
     maybeAutoCdf(spark, root, meta)
     next
   }
@@ -834,6 +836,15 @@ object SnapshotManifest {
           case (m, l, body, meta) if m == mtime && l == len => (body, meta)
         }
       }
+    /** Drop a key on fresh publish: a drop-and-recreate of the same root
+      * can coincidentally reproduce a version's (mtime, length) on coarse
+      * clocks, and the in-process publish is the one place that KNOWS the
+      * file just changed identity (cross-process recreation remains
+      * guarded by the status check alone).
+      */
+    def invalidate(key: String): Unit = synchronized {
+      Option(map.remove(key)).foreach(old => totalLines -= weight(old._3))
+    }
     def put(key: String, mtime: Long, len: Long, body: Seq[String],
         meta: TableMeta): Unit = synchronized {
       val w = weight(body)
@@ -1622,6 +1633,7 @@ object SnapshotManifest {
         s"$op: version $next already committed by a concurrent writer; " +
           s"re-read the table and retry; staged data left at $dataDir " +
           "(unreferenced — vacuum sweeps it)")
+    PartsCache.invalidate(s"${rootPath.toString}#$next")
     maybeAutoCdf(spark, rootPath.toString, meta)
     next
   }

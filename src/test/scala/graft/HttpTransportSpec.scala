@@ -39,6 +39,7 @@ class HttpTransportSpec extends SparkSpec {
   test("sheet source end-to-end: token exchange, bearer-authorized values GET, header promotion") {
     var tokenForm: String = null
     var authHeader: String = null
+    var rawPath: String = null
     withServer(
       "/token" -> { ex =>
         tokenForm = readBody(ex)
@@ -46,20 +47,57 @@ class HttpTransportSpec extends SparkSpec {
       },
       "/v4/spreadsheets" -> { ex =>
         authHeader = ex.getRequestHeaders.getFirst("Authorization")
+        rawPath = ex.getRequestURI.getRawPath
         respond(ex, 200,
           """{"values": [["campaign", "budget"], ["summer", "1200"], ["winter"]]}""")
       }) { base =>
-      val df = SheetSource.loadHttp(spark, "sheet-1", "Tab!A1:B3",
+      val df = SheetSource.loadHttp(spark, "sheet-1", "My Tab!A1:B3",
         tokenUrl = s"$base/token",
         tokenForm = Map("grant_type" -> "refresh_token", "refresh_token" -> "rt-9"),
         apiBase = s"$base/v4")
       assert(tokenForm.contains("grant_type=refresh_token") &&
         tokenForm.contains("refresh_token=rt-9"))
       assert(authHeader == "Bearer tok-123")
+      // PATH-segment encoding: a tab name with a space must travel as %20
+      // ('+' in a URI path is a literal plus — the wrong resource)
+      assert(rawPath.contains("My%20Tab") && !rawPath.contains("+"), rawPath)
       // header promoted, ragged row null-padded — fromValues semantics
       assert(df.columns.toSeq == Seq("campaign", "budget"))
       assert(df.as[(String, Option[String])].collect().toSet ==
         Set(("summer", Some("1200")), ("winter", None)))
+    }
+  }
+
+  test("an expired bearer re-exchanges through the whole-dance 401 retry; malformed 200 bodies fail fast") {
+    val tokens = new AtomicInteger
+    withServer(
+      "/token" -> { ex =>
+        respond(ex, 200, s"""{"access_token": "tok-${tokens.incrementAndGet()}"}""")
+      },
+      "/v4/spreadsheets" -> { ex =>
+        if (ex.getRequestHeaders.getFirst("Authorization") == "Bearer tok-1")
+          respond(ex, 401, "expired")
+        else respond(ex, 200, """{"values": [["h"], ["v"]]}""")
+      }) { base =>
+      val df = SheetSource.loadHttp(spark, "s", "r",
+        tokenUrl = s"$base/token", tokenForm = Map.empty,
+        apiBase = s"$base/v4", sleep = _ => ())
+      assert(tokens.get() == 2, "401 must re-run the token exchange")
+      assert(df.count() == 1)
+    }
+    // a 200 whose body is not JSON is a caller/endpoint bug: Jackson's
+    // IOException subtypes are excluded from the transient class — one
+    // attempt, loud failure, no backoff ladder
+    val hits = new AtomicInteger
+    withServer(
+      "/token" -> (respond(_, 200, """{"access_token": "t"}""")),
+      "/v4/spreadsheets" -> { ex =>
+        hits.incrementAndGet(); respond(ex, 200, "<html>oops</html>") }) { base =>
+      intercept[Exception] {
+        SheetSource.loadHttp(spark, "s", "r", tokenUrl = s"$base/token",
+          tokenForm = Map.empty, apiBase = s"$base/v4", sleep = _ => ())
+      }
+      assert(hits.get() == 1, s"malformed body retried ${hits.get()} times")
     }
   }
 
@@ -118,6 +156,30 @@ class HttpTransportSpec extends SparkSpec {
       // first page's where IS the start watermark; later wheres advance
       assert(wheres.head == "lastModifiedAt > \"2024-01-05T00:00:00\"")
       assert(wheres.size == 2 || wheres.size == 3) // 10 + 10 + short
+    }
+  }
+
+  test("a cursor containing quotes travels escaped inside the where clause") {
+    val wheres = scala.collection.mutable.ArrayBuffer[String]()
+    val page1 = Seq(
+      """{"id": 1, "k": "plain"}""",
+      """{"id": 2, "k": "ACME \"West\" \\ Corp"}""")
+    val reqs = new AtomicInteger
+    withServer("/items" -> { ex =>
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      q.split('&').map(_.split("=", 2)).collect {
+        case Array("where", v) =>
+          wheres += java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+      }
+      val body = if (reqs.incrementAndGet() == 1) page1 else Nil
+      respond(ex, 200, body.mkString("""{"results": [""", ",", "]}"))
+    }) { base =>
+      val fetcher = KeysetSource.httpFetcher(s"$base/items",
+        token = () => "t", sortField = "k", sleep = _ => ())
+      KeysetSource.load(spark, fetcher, startWatermark = None, pageSize = 2)
+      // page 2's cursor is page 1's last k — quote and backslash escaped,
+      // so the predicate cannot truncate or re-shape
+      assert(wheres.exists(_ == """k > "ACME \"West\" \\ Corp""""), wheres)
     }
   }
 
