@@ -1301,6 +1301,37 @@ object Oracles {
         |  max(o_totalprice) AS max_price
         |FROM orders""".stripMargin,
 
+    // Delta-manifest chain (q143): replay both labeled states from the raw
+    // fixture — `asof` = v3 (×2 update on keys 1-399, the 400-799 CoW and
+    // 800-1199 MoR bands deleted), `head` additionally carries the shifted
+    // 'D' insert batch and the ×2 update on keys 1200-1599. n_delta = 4 is
+    // the cadence witness (versions 1,2,3,5 delta; version 4 checkpoint).
+    "q143_delta_manifest" ->
+      """WITH st_asof AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS s,
+        |    CASE WHEN o_orderkey BETWEEN 1 AND 399 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey NOT BETWEEN 400 AND 1199
+        |), st_head AS (
+        |  SELECT k, s, CASE WHEN k BETWEEN 1200 AND 1599 THEN p * 2 ELSE p END AS p
+        |  FROM st_asof
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000, 'D', o_totalprice FROM orders
+        |  WHERE o_orderkey < 32
+        |)
+        |SELECT phase, o_orderstatus, n, sum_price, min_key, max_key,
+        |  CAST(4 AS BIGINT) AS n_delta
+        |FROM (
+        |  SELECT 'asof' AS phase, s AS o_orderstatus, count(*) AS n,
+        |    CAST(sum(CAST(p AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |    min(k) AS min_key, max(k) AS max_key
+        |  FROM st_asof GROUP BY s
+        |  UNION ALL
+        |  SELECT 'head', s, count(*),
+        |    CAST(sum(CAST(p AS DECIMAL(30,6))) AS DOUBLE), min(k), max(k)
+        |  FROM st_head GROUP BY s)
+        |ORDER BY phase, o_orderstatus""".stripMargin,
+
     "q54_hash_sample" ->
       """SELECT l_returnflag, count(*) AS n_sampled,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty

@@ -2809,6 +2809,62 @@ object Queries {
       .toDF("n", "min_key", "max_key", "min_price", "max_price")
   }
 
+  /** Delta-manifest chain read ([[graft.sources.SnapshotManifest]] under a
+    * checkpoint cadence): bootstrap an 8-file range-clustered table from
+    * orders at `graft.manifest.checkpointInterval = 4`, run five
+    * narrow-band commits whose churn is file-pruned — versions 1-3 and 5
+    * publish churn-sized DELTA manifests, version 4 is the full
+    * checkpoint — then report TWO reads: `asof` = version 3, resolving
+    * through the three-delta chain back to the v0 full manifest, and
+    * `head` = the current version, resolving through the v4 checkpoint.
+    * The oracle replays both states from the raw fixture — a mis-applied
+    * delta op (a dropped remove, a stale line surviving a replace) shifts
+    * a count, a key bound, or the exact price sum of a labeled phase —
+    * and the constant `n_delta` witness pins that the cadence actually
+    * wrote 4 delta manifests (always-full rendering would pass the
+    * content compare vacuously).
+    */
+  def q143DeltaManifest(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q143").toString
+    val S = graft.sources.SnapshotManifest
+    val prev = spark.conf.getOption("graft.manifest.checkpointInterval")
+    spark.conf.set("graft.manifest.checkpointInterval", "4")
+    try {
+      S.commit(spark, root,
+        orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderkey")),
+        Seq("o_orderkey"))
+      S.updateWhere(spark, root, col("o_orderkey").between(1, 399),
+        Map("o_totalprice" -> (col("o_totalprice") * 2)), Seq("o_orderkey"))
+      S.deleteWhere(spark, root, col("o_orderkey").between(400, 799),
+        Seq("o_orderkey"))
+      S.deleteWhereMoR(spark, root, col("o_orderkey").between(800, 1199))
+      graft.operators.Upsert.mergeWhere(spark, root,
+        orders.filter(col("o_orderkey") < 32)
+          .select((col("o_orderkey") + 50000000L).alias("o_orderkey"),
+            lit("D").alias("o_orderstatus"), col("o_totalprice")),
+        Seq("o_orderkey"), Seq("o_orderkey"))
+      S.updateWhere(spark, root, col("o_orderkey").between(1200, 1599),
+        Map("o_totalprice" -> (col("o_totalprice") * 2)), Seq("o_orderkey"))
+      val nDelta = (1L to 5L).count(v => S.manifestIsDelta(spark, root, v))
+      def phaseAgg(df: DataFrame, phase: String): DataFrame = df
+        .groupBy(lit(phase).alias("phase"), col("o_orderstatus"))
+        .agg(count(lit(1)).alias("n"),
+          sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")
+            .alias("sum_price"),
+          min(col("o_orderkey")).alias("min_key"),
+          max(col("o_orderkey")).alias("max_key"))
+      phaseAgg(S.readVersion(spark, root, 3L), "asof")
+        .unionByName(phaseAgg(S.read(spark, root), "head"))
+        .withColumn("n_delta", lit(nDelta.toLong))
+        .orderBy(col("phase"), col("o_orderstatus"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.manifest.checkpointInterval", v)
+      case None => spark.conf.unset("graft.manifest.checkpointInterval")
+    }
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -2955,6 +3011,7 @@ object Queries {
     "q139_metadata_agg" -> (q139MetadataAgg _),
     "q140_replication" -> (q140Replication _),
     "q141_auto_cdf" -> (q141AutoCdf _),
-    "q142_analyze" -> (q142Analyze _)
+    "q142_analyze" -> (q142Analyze _),
+    "q143_delta_manifest" -> (q143DeltaManifest _)
   )
 }

@@ -788,6 +788,13 @@ object SnapshotManifest {
     * bytes)). `base=` always precedes body lines, so the scan stops at the
     * first non-header line.
     */
+  /** Whether `version`'s manifest is delta-form (header-probe only) —
+    * the cadence witness a caller can gate on without parsing bodies.
+    */
+  private[graft] def manifestIsDelta(spark: SparkSession, root: String,
+      version: Long): Boolean =
+    manifestBase(spark, root, version).isDefined
+
   private def manifestBase(spark: SparkSession, root: String,
       version: Long): Option[Long] = {
     val (fs, rootPath) = fsOf(spark, root)

@@ -61,6 +61,12 @@ class DmlModelSpec extends SparkSpec {
 
   test("any interleaving of CoW/MoR verbs + maintenance matches the in-memory model") {
     (0 until 3).foreach { trial =>
+      // vary the manifest cadence per trial: 1 = every manifest full (the
+      // pre-delta behavior), 2/3 = most commits write churn-sized deltas —
+      // so every interleaving ALSO fuzzes chain resolution, the vacuum
+      // chain guard, and delta rendering across verbs
+      spark.conf.set("graft.manifest.checkpointInterval", (trial + 1).toString)
+      try {
       val root = Files.createTempDirectory(s"dmlmodel$trial").toString + "/t"
       SnapshotManifest.commit(spark, root,
         (0L until 100L).map(i => (i, i * 10L)).toDF("id", "v")
@@ -70,6 +76,10 @@ class DmlModelSpec extends SparkSpec {
         (0L until 100L).map(i => i -> i * 10L): _*)
       var pkSet = false
       var bloomSet = false
+      // (version, expected content) after each step — replayed at the end
+      // as time-travel reads resolving through whatever delta chains the
+      // history produced. Vacuum clears it (old versions are reclaimed).
+      val hist = scala.collection.mutable.ArrayBuffer[(Long, Map[Long, Long])]()
       val ops = samples(genOp, 10, 5000L + trial * 100L)
       ops.zipWithIndex.foreach { case (op, step) =>
         op match {
@@ -101,6 +111,7 @@ class DmlModelSpec extends SparkSpec {
             SnapshotManifest.compactSnapshot(spark, root)
           case Vacuum =>
             SnapshotManifest.vacuum(spark, root, keep = 1)
+            hist.clear() // reclaimed versions are no longer readable
           case Optimize if model.nonEmpty =>
             // z-order rewrite reads DV-APPLIED and must be content-neutral
             graft.operators.Layout.optimizeSnapshot(spark, root,
@@ -128,7 +139,19 @@ class DmlModelSpec extends SparkSpec {
         assert(SnapshotManifest.bloomCols(spark, root, curV) ==
           (if (bloomSet) Seq("id") else Nil),
           s"trial $trial step $step ($op): bloom property lost")
+        hist += ((curV, model.toMap))
       }
+      // time-travel replay: every retained historical version must read
+      // back to the content the model had at that step — exercising delta
+      // resolution from an arbitrary chain position, not just the head
+      hist.foreach { case (v, want) =>
+        val got = SnapshotManifest.readVersion(spark, root, v)
+          .select($"id", $"v").as[(Long, Long)].collect().toMap
+        assert(got == want,
+          s"trial $trial: version $v read back ${got.size} rows != model " +
+            s"${want.size} (interval ${trial + 1})")
+      }
+      } finally spark.conf.unset("graft.manifest.checkpointInterval")
     }
   }
 
