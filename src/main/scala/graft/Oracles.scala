@@ -1332,6 +1332,32 @@ object Oracles {
         |  FROM st_head GROUP BY s)
         |ORDER BY phase, o_orderstatus""".stripMargin,
 
+    // Partitioned metadata-only DELETE (q144): the engine drops whole
+    // P-partition files from the manifest without data I/O (required
+    // in-query); the oracle is simply the complement aggregate — integer
+    // witnesses only.
+    "q144_partitioned_delete" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // Multi-writer append (q145): base + two appended slices reassemble
+    // the full fixture with the middle slice's custkey shifted — a
+    // dropped, doubled, or mis-sliced append shifts the integer sums.
+    "q145_append_rows" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CASE WHEN o_orderkey > 10000 AND o_orderkey <= 20000
+        |                THEN o_custkey + 1000000 ELSE o_custkey END) AS BIGINT)
+        |    AS sum_cust,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     "q54_hash_sample" ->
       """SELECT l_returnflag, count(*) AS n_sampled,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty

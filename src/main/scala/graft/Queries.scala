@@ -2865,6 +2865,76 @@ object Queries {
     }
   }
 
+  /** Declared partition columns ([[graft.sources.SnapshotManifest
+    * .setPartitionColumns]]) + METADATA-ONLY partition DELETE: the table
+    * commits partitioned by `o_orderstatus` (every data file single-valued
+    * in it, recorded as min==max manifest stats), then `DELETE WHERE
+    * o_orderstatus = 'P'` drops the P-files' manifest lines with ZERO data
+    * I/O — Delta's "drop partition", constant cost at any table size. The
+    * metadata-only property is REQUIRED in-query (no staging dir may
+    * appear — a silent fallback to rewrite is a build break, not a perf
+    * note); the oracle aggregates the complement from the raw fixture, so
+    * any wrongly-dropped or wrongly-kept file shifts the integer counts.
+    */
+  def q144PartitionedDelete(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q144").toString
+    val S = graft.sources.SnapshotManifest
+    S.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus")),
+      Seq("o_orderkey"), Nil, Seq("o_orderstatus"))
+    def dataDirCount: Int = {
+      val p = new org.apache.hadoop.fs.Path(root, "data")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).count(_.isDirectory)
+    }
+    val before = dataDirCount
+    S.deleteWhere(spark, root, col("o_orderstatus") === "P", Seq("o_orderkey"))
+    require(dataDirCount == before,
+      "q144: partition delete wrote data — the metadata-only path regressed")
+    S.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_custkey")).alias("sum_cust"),
+        min(col("o_orderkey")).alias("min_key"),
+        max(col("o_orderkey")).alias("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Multi-writer APPEND ([[graft.sources.SnapshotManifest.appendRows]] /
+    * `appendRowsWithRetry`): two appends land on a committed base without
+    * reading or rewriting a byte of it — existing manifest lines carry
+    * verbatim, cost is O(new rows) at any table size, and the retry form
+    * rebases a lost race by re-publishing the same staged files. The
+    * middle slice appends with a shifted `o_custkey` so a dropped,
+    * doubled, or mis-sliced append shifts the oracle's integer sums;
+    * the version arithmetic (exactly one commit per append) is REQUIRED
+    * in-query.
+    */
+  def q145AppendRows(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q145").toString
+    val S = graft.sources.SnapshotManifest
+    val base = orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    S.commit(spark, root, base.filter(col("o_orderkey") <= 10000),
+      Seq("o_orderkey"))
+    S.appendRows(spark, root,
+      base.filter(col("o_orderkey") > 10000 && col("o_orderkey") <= 20000)
+        .withColumn("o_custkey", col("o_custkey") + 1000000L),
+      Seq("o_orderkey"))
+    S.appendRowsWithRetry(spark, root,
+      base.filter(col("o_orderkey") > 20000), Seq("o_orderkey"))
+    require(S.currentVersion(spark, root).contains(2L),
+      "q145: each append must publish exactly one version")
+    S.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_custkey")).alias("sum_cust"),
+        min(col("o_orderkey")).alias("min_key"),
+        max(col("o_orderkey")).alias("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -3012,6 +3082,8 @@ object Queries {
     "q140_replication" -> (q140Replication _),
     "q141_auto_cdf" -> (q141AutoCdf _),
     "q142_analyze" -> (q142Analyze _),
-    "q143_delta_manifest" -> (q143DeltaManifest _)
+    "q143_delta_manifest" -> (q143DeltaManifest _),
+    "q144_partitioned_delete" -> (q144PartitionedDelete _),
+    "q145_append_rows" -> (q145AppendRows _)
   )
 }

@@ -318,6 +318,132 @@ object ManifestStats {
     }
   }
 
+  /** [[mayMatch]]'s dual: do the stats PROVE every row of the file
+    * evaluates `pred` to TRUE (not null, not false)? The enabler of
+    * metadata-only DELETE ([[SnapshotManifest.deleteWhere]] drops a
+    * proven file's manifest line without reading a byte — the "drop a
+    * partition" path at 100 TB): when the proof holds, deleting the
+    * file's rows means deleting the file. Sound for DV-carrying files
+    * too — their live rows are a SUBSET of the rows the (pre-deletion)
+    * stats describe, and a subset of all-matching rows all match.
+    *
+    * Conservative in the opposite direction from [[mayMatch]]: default
+    * FALSE on anything unprovable — missing stats, incomparable types,
+    * unrecognized shapes, or any null among the rows for a comparison
+    * predicate (a null-evaluating row is NOT deleted under SQL DELETE
+    * semantics, so it anchors the file). A zero-row file is vacuously
+    * proven by any predicate — dropping an empty file is always sound.
+    */
+  def mustMatch(pred: Expression, fs: FileStats): Boolean = {
+    if (fs.rows == 0L) return true
+    def stats(name: String): Option[ColStats] =
+      fs.cols.get(name).orElse(
+        fs.cols.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v })
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: AttributeReference => Some(a.name)
+      case c: Cast if exactWidening(c.child.dataType, c.dataType) => attrName(c.child)
+      case _ => None
+    }
+    def litValue(e: Expression): Option[Any] = e match {
+      case Literal(v, dt) => Some(fromLiteral(v, dt))
+      case _ if e.deterministic && e.foldable &&
+          !e.exists(_.isInstanceOf[UnresolvedAttribute]) =>
+        scala.util.Try(fromLiteral(e.eval(null), e.dataType)).toOption
+      case _ => None
+    }
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: BigDecimal, y: BigDecimal) => Some(x.compare(y))
+      case (x: String, y: String) => Some(codePointCompare(x, y))
+      case _ => None
+    }
+    // every row provably satisfies (col op v): no nulls (a null row
+    // evaluates the comparison to null — unprovable by definition) and
+    // BOTH bounds present and inside the proving region
+    def rangeProof(name: String, v: Any, op: String): Boolean = stats(name) match {
+      case None => false
+      case Some(cs) =>
+        if (cs.nulls > 0) return false
+        (cs.min, cs.max) match {
+          case (Some(mn), Some(mx)) => op match {
+            case "=" => cmp(mn, v).contains(0) && cmp(mx, v).contains(0)
+            case "<" => cmp(mx, v).exists(_ < 0)
+            case "<=" => cmp(mx, v).exists(_ <= 0)
+            case ">" => cmp(mn, v).exists(_ > 0)
+            case ">=" => cmp(mn, v).exists(_ >= 0)
+          }
+          case _ => false
+        }
+    }
+    def binary(l: Expression, r: Expression, op: String, flipped: String): Boolean =
+      (attrName(l), litValue(r), attrName(r), litValue(l)) match {
+        case (Some(_), Some(null), _, _) => false
+        case (_, _, Some(_), Some(null)) => false
+        case (Some(n), Some(v), _, _) => rangeProof(n, v, op)
+        case (_, _, Some(n), Some(v)) => rangeProof(n, v, flipped)
+        case _ => false
+      }
+    pred match {
+      case And(l, r) => mustMatch(l, fs) && mustMatch(r, fs)
+      // sufficient, not complete: a disjunction can cover a file without
+      // either arm covering it alone — that file is simply rewritten
+      case Or(l, r) => mustMatch(l, fs) || mustMatch(r, fs)
+      case Literal(v, BooleanType) => v == true
+      case EqualTo(l, r) => binary(l, r, "=", "=")
+      case LessThan(l, r) => binary(l, r, "<", ">")
+      case LessThanOrEqual(l, r) => binary(l, r, "<=", ">=")
+      case GreaterThan(l, r) => binary(l, r, ">", "<")
+      case GreaterThanOrEqual(l, r) => binary(l, r, ">=", "<=")
+      case EqualNullSafe(l, r) =>
+        (attrName(l), litValue(r), attrName(r), litValue(l)) match {
+          case (Some(n), Some(null), _, _) => stats(n).exists(_.nulls == fs.rows)
+          case (_, _, Some(n), Some(null)) => stats(n).exists(_.nulls == fs.rows)
+          case _ => binary(l, r, "=", "=") // no nulls ⇒ <=> coincides with =
+        }
+      case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+        // provable only single-valued: min==max==some member
+        attrName(a).exists(n => list.exists(l => litValue(l) match {
+          case Some(null) => false
+          case Some(v) => rangeProof(n, v, "=")
+          case None => false
+        }))
+      case IsNull(a) =>
+        attrName(a).exists(n => stats(n).exists(_.nulls == fs.rows))
+      case IsNotNull(a) =>
+        attrName(a).exists(n => stats(n).exists(_.nulls == 0L))
+      case StartsWith(a, Literal(p, StringType)) if p != null =>
+        attrName(a).exists(n => stats(n) match {
+          case Some(cs) if cs.nulls == 0L =>
+            val prefix = p.toString
+            (cs.min, cs.max) match {
+              case (Some(mn), Some(mx)) =>
+                // all values in [prefix, nextPrefix(prefix)): min >= prefix
+                // and max below the exclusive upper (absent upper = all
+                // strings from prefix up match)
+                cmp(mn, prefix).exists(_ >= 0) &&
+                  nextPrefix(prefix).forall(up => cmp(mx, up).exists(_ < 0))
+              case _ => false
+            }
+          case _ => false
+        })
+      case Not(IsNull(a)) => mustMatch(IsNotNull(a), fs)
+      case Not(IsNotNull(a)) => mustMatch(IsNull(a), fs)
+      case _ => false // unrecognized shape — never drop a file on a guess
+    }
+  }
+
+  /** Files of `fileStats` whose stats PROVE every live row matches `pred`
+    * ([[mustMatch]]) — the set a DELETE may drop from the manifest without
+    * any data I/O. Stats-less files are never proven. Always a subset of
+    * what [[prune]] keeps.
+    */
+  def pruneProven(files: Seq[String], fileStats: Map[String, FileStats],
+      pred: Expression): Seq[String] =
+    files.filter { f =>
+      val name = new org.apache.hadoop.fs.Path(f).getName
+      fileStats.get(name).exists(fs => mustMatch(pred, fs))
+    }
+
   /** Is `from` → `to` an exact value-preserving numeric widening (every
     * value maps to the SAME number)? int→float and long→double are NOT
     * (24/53-bit mantissas round); date→timestamp is not (different unit).

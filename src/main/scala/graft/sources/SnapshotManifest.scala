@@ -241,6 +241,16 @@ object SnapshotManifest {
       entries: Seq[ManifestEntry],
       declaredSchema: Option[StructType] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, split => fsplit}
+    // a fully-emptied snapshot (e.g. a metadata-only deleteWhere that
+    // dropped every file) still reads — as an empty frame of the recorded
+    // schema; without one there is genuinely no shape to answer with
+    if (entries.isEmpty)
+      return declaredSchema match {
+        case Some(s) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        case None => throw new IllegalStateException(
+          "readEntries: snapshot has no data files and no recorded schema")
+      }
     val rootPath = new Path(root)
     val dvFiles = entries.flatMap(_.dvRel).distinct
       .map(r => new Path(rootPath, r).toString)
@@ -353,10 +363,11 @@ object SnapshotManifest {
     * the new frame lacks their columns.
     */
   private[graft] final case class TableMeta(schema: Option[StructType],
-      bloomCols: Seq[String], pk: Seq[String] = Nil)
+      bloomCols: Seq[String], pk: Seq[String] = Nil,
+      partitionCols: Seq[String] = Nil)
 
   private[graft] object TableMeta {
-    val empty: TableMeta = TableMeta(None, Nil, Nil)
+    val empty: TableMeta = TableMeta(None, Nil, Nil, Nil)
   }
 
   private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -384,7 +395,9 @@ object SnapshotManifest {
       meta.schema.map(s => s"schema=${s.json}\n").getOrElse("") +
       (if (meta.bloomCols.isEmpty) ""
        else s"bloom=${colsJson(meta.bloomCols)}\n") +
-      (if (meta.pk.isEmpty) "" else s"pk=${colsJson(meta.pk)}\n")
+      (if (meta.pk.isEmpty) "" else s"pk=${colsJson(meta.pk)}\n") +
+      (if (meta.partitionCols.isEmpty) ""
+       else s"partition=${colsJson(meta.partitionCols)}\n")
 
   /** Atomically publish version `next` with exactly `lines` — the
     * append-free MoR publish ([[deleteWhereMoR]]'s commit point).
@@ -473,8 +486,7 @@ object SnapshotManifest {
       meta: TableMeta): Long = {
     val (fs, rootPath) = fsOf(spark, root)
     val (dataDir, appendLines) =
-      writeDataFiles(spark, fs, rootPath, next, appendDf, statsCols,
-        meta.bloomCols)
+      writeDataFiles(spark, fs, rootPath, next, appendDf, statsCols, meta)
     val manifest = new Path(rootPath, manifestName(next))
     val won = CommitProtocol.publishFile(fs, manifest,
       manifestText(spark, root, next, meta, lines ++ appendLines)
@@ -706,6 +718,13 @@ object SnapshotManifest {
     * keep whatever stats they had); pass the same columns the table
     * commits with so pruning keeps working after the delete.
     *
+    * Files whose stats PROVE every live row matches
+    * ([[ManifestStats.mustMatch]] — e.g. a single-valued partition file
+    * under [[setPartitionColumns]], or a whole date range below a purge
+    * cutoff) are deleted by dropping their manifest line with ZERO data
+    * I/O; when every candidate is proven, the entire delete is a
+    * metadata-only commit ("drop partition" at any scale).
+    *
     * @return the committed version (the CURRENT version unchanged if no
     *         file could contain a match — a no-op delete commits nothing)
     */
@@ -714,7 +733,7 @@ object SnapshotManifest {
       statsCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     rewriteWhere(spark, root, predicate, statsCols, "deleteWhere",
-      _.filter(not(coalesce(predicate, lit(false)))))
+      _.filter(not(coalesce(predicate, lit(false)))), dropProven = true)
   }
 
   /** Copy-on-write UPDATE — [[deleteWhere]]'s twin: rows matching
@@ -889,12 +908,14 @@ object SnapshotManifest {
     val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
     require(lines.headOption.contains(s"version=$version"),
       s"corrupt manifest for version $version: bad header ${lines.headOption}")
-    // `schema=` / `bloom=` / `pk=` / `base=` are HEADER fields
-    // ([[addColumns]], [[setBloomCols]], [[setPrimaryKey]], delta form)
+    // `schema=` / `bloom=` / `pk=` / `partition=` / `base=` are HEADER
+    // fields ([[addColumns]], [[setBloomCols]], [[setPrimaryKey]],
+    // [[setPartitionColumns]], delta form)
     val (schemaLines, rest) = lines.tail.toSeq.partition(_.startsWith("schema="))
     val (bloomLines, rest2) = rest.partition(_.startsWith("bloom="))
     val (pkLines, rest3) = rest2.partition(_.startsWith("pk="))
-    val (baseLines, rawBody) = rest3.partition(_.startsWith("base="))
+    val (partLines, rest4) = rest3.partition(_.startsWith("partition="))
+    val (baseLines, rawBody) = rest4.partition(_.startsWith("base="))
     val meta = TableMeta(
       schemaLines.headOption.map(l =>
         org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("schema="))
@@ -902,6 +923,8 @@ object SnapshotManifest {
       bloomLines.headOption.map(l => colsFromJson(l.stripPrefix("bloom=")))
         .getOrElse(Nil),
       pkLines.headOption.map(l => colsFromJson(l.stripPrefix("pk=")))
+        .getOrElse(Nil),
+      partLines.headOption.map(l => colsFromJson(l.stripPrefix("partition=")))
         .getOrElse(Nil))
     val body = baseLines.headOption match {
       case None => rawBody
@@ -1438,6 +1461,62 @@ object SnapshotManifest {
       meta.copy(bloomCols = cols))
   }
 
+  /** Declare (or clear) the table's PARTITION columns — a metadata-only
+    * property publish, [[setBloomCols]]'s sibling. Every data file written
+    * AFTER this (full commits, CoW rewrites, MoR appends, compaction) is
+    * clustered to hold exactly ONE value-tuple of `cols` and records it as
+    * single-valued (min==max) manifest stats, which makes [[readWhere]]
+    * pruning on partition predicates EXACT and [[deleteWhere]] on them
+    * METADATA-ONLY (the "drop a partition" path — constant cost at any
+    * table size). Existing files keep their layout and stay fully
+    * readable — partition values live IN the data (the Hive-style dirs
+    * are write-side mechanics only), so declaring late costs nothing and
+    * pays off as files churn; [[compactSnapshot]] re-lays everything at
+    * once. Pick low-cardinality columns (language, date bucket, source):
+    * the write clusters with one hash shuffle on `cols`, and a
+    * high-cardinality or heavily-skewed choice concentrates that shuffle
+    * exactly as it would any groupBy.
+    */
+  def setPartitionColumns(spark: SparkSession, root: String,
+      cols: Seq[String]): Long = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"setPartitionColumns: no committed snapshot under $root"))
+    val (body, meta) = manifestParts(spark, root, v)
+    if (meta.partitionCols == cols) return v
+    val schema = meta.schema.orElse(body.headOption.map(l =>
+      spark.read.parquet(bodyFile(root, l)).schema))
+    schema.foreach { s =>
+      cols.foreach { c =>
+        val f = s.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"setPartitionColumns: column $c not in schema " +
+              s.fieldNames.mkString(", ")))
+        // partition pruning proofs live in manifest stats — a type stats
+        // cannot encode cannot partition
+        require(ManifestStats.supportsStats(f.dataType),
+          s"setPartitionColumns: column $c has unsupported type " +
+            f.dataType.simpleString)
+      }
+    }
+    publishLines(spark, root, v + 1, body, "setPartitionColumns",
+      meta.copy(partitionCols = cols))
+  }
+
+  /** The declared partition columns of `version` (empty when none) — O(1)
+    * driver metadata.
+    */
+  def partitionColumns(spark: SparkSession, root: String,
+      version: Long): Seq[String] =
+    manifestParts(spark, root, version)._2.partitionCols
+
+  def setPartitionColumnsWithRetry(spark: SparkSession, root: String,
+      cols: Seq[String], maxAttempts: Int = 5,
+      backoff: Int => FiniteDuration = Retry.linearBackoff(1.second),
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Long =
+    Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
+      maxAttempts, backoff, sleep)(setPartitionColumns(spark, root, cols))
+
   /** RESTORE TO VERSION (Delta's RESTORE, on this engine's manifest): make
     * `toVersion`'s content current again by publishing a NEW version whose
     * body — paths, stats, deletion-vector refs — and recorded schema are
@@ -1548,18 +1627,43 @@ object SnapshotManifest {
     */
   private def rewriteWhere(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column, statsCols: Seq[String],
-      op: String, transform: DataFrame => DataFrame): Long = {
+      op: String, transform: DataFrame => DataFrame,
+      dropProven: Boolean = false): Long = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$op: no committed snapshot under $root"))
     val (body, meta) = manifestParts(spark, root, v)
     if (body.isEmpty) return v
     val files = body.map(bodyFile(root, _))
     val schema = meta.schema.getOrElse(spark.read.parquet(files.head).schema)
-    val affected = ManifestStats.prune(files, bodyStats(body),
-      ManifestStats.resolvePredicate(spark, schema, predicate)).toSet
-    if (affected.isEmpty) return v // no file can contain a match
+    val stats = bodyStats(body)
+    val resolved = ManifestStats.resolvePredicate(spark, schema, predicate)
+    // DELETE-only fast path: a file whose stats PROVE every live row
+    // matches ([[ManifestStats.mustMatch]]) is deleted by DROPPING its
+    // manifest line — no byte of it is read or rewritten. With a
+    // partition-clustered layout ([[setPartitionColumns]] makes every
+    // file single-valued in the partition columns) this is Delta's
+    // "DELETE WHERE partition = x" metadata-only drop: the same cost at
+    // 100 rows as at 100 TB. Sound for DV'd files (live rows are a
+    // subset of the rows the stats describe).
+    val dropped: Set[String] =
+      if (!dropProven) Set.empty
+      else ManifestStats.pruneProven(files, stats, resolved).toSet
+    val affected = ManifestStats.prune(files, stats, resolved).toSet -- dropped
+    if (affected.isEmpty && dropped.isEmpty) return v // no file can match
     // kept manifest lines carry over verbatim (path, stats AND any dv ref)
-    val keptLines = body.filterNot(line => affected.contains(bodyFile(root, line)))
+    val keptLines = body.filterNot { line =>
+      val f = bodyFile(root, line); affected.contains(f) || dropped.contains(f)
+    }
+    if (affected.isEmpty) {
+      // every candidate file was proven whole-match: METADATA-ONLY commit.
+      // A delete that empties the table records the (already-resolved)
+      // schema so the empty snapshot stays readable.
+      val outMeta =
+        if (keptLines.isEmpty && meta.schema.isEmpty)
+          meta.copy(schema = Some(schema))
+        else meta
+      return publishLines(spark, root, v + 1, keptLines, op, outMeta)
+    }
     // affected files read with their DVs APPLIED (already-MoR-deleted rows
     // must not resurrect); the rewrite output is DV-free by construction
     val affectedEntries = body.map(parseLine)
@@ -1581,12 +1685,46 @@ object SnapshotManifest {
     */
   private def writeDataFiles(spark: SparkSession, fs: FileSystem, rootPath: Path,
       next: Long, df: DataFrame, statsCols: Seq[String],
-      bloomCols: Seq[String] = Nil): (Path, Seq[String]) = {
+      meta: TableMeta = TableMeta.empty): (Path, Seq[String]) = {
+    import org.apache.spark.sql.functions.col
+    val bloomCols = meta.bloomCols
     // unique per-attempt staging: the version prefix is advisory (for
     // humans); the nonce is what makes racing attempts disjoint. A crashed
     // or lost-race attempt leaves an unreferenced dir that vacuum sweeps.
     val dirName = s"${dataDirName(next)}-${java.util.UUID.randomUUID.toString.take(8)}"
     val dataDir = new Path(rootPath, new Path("data", dirName))
+    // DECLARED partitioning ([[setPartitionColumns]]): cluster so every
+    // data file holds exactly ONE partition-value tuple — one hash shuffle
+    // on the partition columns, then the standard `partitionBy` writer
+    // split. Unlike Hive/Delta the partition columns are NOT stripped from
+    // the data (the `partitionBy` targets are throwaway DUPLICATE tag
+    // columns), so the file-list read path needs no basePath/discovery
+    // machinery and mixed partitioned/unpartitioned history reads
+    // uniformly. The payoff is in the manifest: each file's stats are
+    // single-valued (min==max) in every partition column, which makes
+    // [[readWhere]] pruning exact and [[deleteWhere]] metadata-only on
+    // partition predicates. Frames that LACK a partition column (a
+    // pre-evolution MoR append) degrade loudly to an unclustered write —
+    // correctness never depends on the layout.
+    val pcols = meta.partitionCols
+      .flatMap(c => df.columns.find(_.equalsIgnoreCase(c)))
+    val partitioned = pcols.size == meta.partitionCols.size && pcols.nonEmpty
+    if (meta.partitionCols.nonEmpty && !partitioned)
+      graft.core.Logging.logger().warn(
+        s"writeDataFiles: frame lacks declared partition column(s) " +
+          s"${meta.partitionCols.mkString(", ")} — writing unclustered " +
+          "(files stay readable; they just cannot be partition-pruned)")
+    val tags = if (!partitioned) Nil else {
+      val taken = scala.collection.mutable.ArrayBuffer(df.columns.toSeq: _*)
+      pcols.zipWithIndex.map { case (c, i) =>
+        val t = freshName(s"__gp_$i", taken.toSeq); taken += t; (c, t)
+      }
+    }
+    val toWrite =
+      if (!partitioned) df
+      else tags.foldLeft(df.repartition(pcols.map(col): _*)) {
+        case (d, (c, t)) => d.withColumn(t, col(s"`$c`"))
+      }
     // parquet-NATIVE bloom filters per row group for the table's
     // bloom-indexed columns: the codegen'd scan path prunes row groups on
     // pushed equality predicates with zero reader changes here (parquet-mr
@@ -1594,25 +1732,64 @@ object SnapshotManifest {
     // keys each filter to the row group's observed NDV instead of the 1 MB
     // worst-case default — the difference between a useful index and a
     // storage tax at 100k files.
-    val writer = bloomCols.foldLeft(
-      if (bloomCols.isEmpty) df.write
-      else df.write.option("parquet.bloom.filter.adaptive.enabled", "true")
+    val writer0 = bloomCols.foldLeft(
+      if (bloomCols.isEmpty) toWrite.write
+      else toWrite.write.option("parquet.bloom.filter.adaptive.enabled", "true")
     )((w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    val writer = if (partitioned) writer0.partitionBy(tags.map(_._2): _*) else writer0
     writer.parquet(dataDir.toString)
+    // partitioned writes nest files under tag dirs — list recursively and
+    // keep paths manifest-relative. CRITICAL: `partitionBy` names every
+    // file a task writes `part-<taskid>-<jobuuid>...` — IDENTICALLY across
+    // the partition dirs that task holds — while manifest stats and DV
+    // identity key on BASENAME (asserted manifest-wide unique in
+    // [[dvTagLines]]). A collision would silently cross-assign one file's
+    // stats/deletion-vector to another, so partitioned staging SALTS each
+    // basename unique before anything records it. The rename loop is
+    // O(files of THIS commit) driver-side metadata calls against a staging
+    // dir no reader can see yet — the same order as the listing itself,
+    // churn-proportional, never table-proportional.
+    val dataDirQ = fs.makeQualified(dataDir).toString
+    val staged = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[Path]
+      val it = fs.listFiles(dataDir, true)
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet")) acc += s.getPath
+      }
+      acc.toSeq
+    }
+    val finalPaths =
+      if (!partitioned) staged
+      else staged.map { p =>
+        val salted = new Path(p.getParent,
+          s"${java.util.UUID.randomUUID.toString.take(8)}-${p.getName}")
+        if (!fs.rename(p, salted)) throw new IllegalStateException(
+          s"writeDataFiles: failed to uniquify staged file $p")
+        salted
+      }
+    val files = finalPaths.map { p =>
+      val suffix = fs.makeQualified(p).toString.stripPrefix(dataDirQ).stripPrefix("/")
+      s"data/$dirName/$suffix"
+    }.sorted
+    // partition columns join the stats set automatically — the recorded
+    // min==max per file IS the partition value; without it the clustering
+    // would buy nothing. Collected AFTER the salting rename (stats key on
+    // the final basenames).
+    val effStatsCols = (statsCols ++
+      (if (partitioned) pcols.filterNot(p => statsCols.exists(_.equalsIgnoreCase(p)))
+       else Nil)).distinct
     val stats =
-      if (statsCols.isEmpty) Map.empty[String, ManifestStats.FileStats]
-      else ManifestStats.collect(spark.read.parquet(dataDir.toString), statsCols)
-    val files = fs.listStatus(dataDir)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"data/$dirName/${s.getPath.getName}")
-      .sorted
+      if (effStatsCols.isEmpty) Map.empty[String, ManifestStats.FileStats]
+      else ManifestStats.collect(
+        spark.read.parquet(dataDir.toString).drop(tags.map(_._2): _*), effStatsCols)
     // a ZERO-ROW part file produces no aggregation group: record it as
     // rows=0 (prunable by construction) rather than stats-less (never
     // pruned) — the empty file can satisfy no predicate
     val emptyStats = ManifestStats.FileStats(0L,
-      statsCols.map(_ -> ManifestStats.ColStats(None, None, 0L)).toMap)
+      effStatsCols.map(_ -> ManifestStats.ColStats(None, None, 0L)).toMap)
     val lines = files.map { f =>
-      if (statsCols.isEmpty) f
+      if (effStatsCols.isEmpty) f
       else f + "\t" + ManifestStats.toJson(stats.getOrElse(new Path(f).getName, emptyStats))
     }.toSeq
     (dataDir, lines)
@@ -1623,7 +1800,7 @@ object SnapshotManifest {
       op: String, requireFiles: Boolean,
       meta: TableMeta): Long = {
     val (dataDir, newLines) = writeDataFiles(spark, fs, rootPath, next, df,
-      statsCols, meta.bloomCols)
+      statsCols, meta)
     if (requireFiles)
       require(newLines.nonEmpty, s"$op: write produced no parquet files under $dataDir")
     val manifest = new Path(rootPath, manifestName(next))
@@ -1841,7 +2018,21 @@ object SnapshotManifest {
     * rewrite).
     */
   def commit(spark: SparkSession, root: String, df: DataFrame,
-      statsCols: Seq[String], bloomCols: Seq[String]): Long = {
+      statsCols: Seq[String], bloomCols: Seq[String]): Long =
+    commit(spark, root, df, statsCols, bloomCols, Nil)
+
+  /** [[commit]] that additionally declares `partitionCols` as the table's
+    * partition columns from THIS version on (the creation-time form of
+    * [[setPartitionColumns]] — a new table gets its clustered layout from
+    * version 0, no separate declare step): this commit's files and every
+    * subsequent verb's are clustered one-partition-tuple-per-file, giving
+    * exact [[readWhere]] pruning and metadata-only [[deleteWhere]] on
+    * partition predicates. Like `bloomCols`, an explicit argument
+    * overrides the carried declaration; Nil carries the prior one.
+    */
+  def commit(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String], bloomCols: Seq[String],
+      partitionCols: Seq[String]): Long = {
     // fail fast on a misspelled bloom column — the parquet writer option
     // would silently match nothing and the table would "have" an index
     // that never prunes (the same contract as ManifestStats.collect)
@@ -1850,6 +2041,13 @@ object SnapshotManifest {
     // column case must not silently drop a declared index or pk
     bloomCols.foreach(c => require(df.columns.exists(_.equalsIgnoreCase(c)),
       s"commit: bloom column $c not in schema ${df.columns.mkString(", ")}"))
+    partitionCols.foreach { c =>
+      val f = df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"commit: partition column $c not in schema ${df.columns.mkString(", ")}"))
+      require(ManifestStats.supportsStats(f.dataType),
+        s"commit: partition column $c has unsupported type ${f.dataType.simpleString}")
+    }
     val (fs, rootPath) = fsOf(spark, root)
     val cur = currentVersion(spark, root)
     val next = cur.map(_ + 1).getOrElse(0L)
@@ -1882,9 +2080,13 @@ object SnapshotManifest {
       cols.map(c => df.columns.find(_.equalsIgnoreCase(c)).getOrElse(c))
     val blooms = frameCased(
       if (bloomCols.nonEmpty) bloomCols else carried(prior.bloomCols, "bloom"))
+    val parts = frameCased(
+      if (partitionCols.nonEmpty) partitionCols
+      else carried(prior.partitionCols, "partition"))
     stageAndPublish(spark, fs, rootPath, next, df, statsCols, Nil,
       "commit", requireFiles = true,
-      meta = TableMeta(None, blooms, frameCased(carried(prior.pk, "primary-key"))))
+      meta = TableMeta(None, blooms, frameCased(carried(prior.pk, "primary-key")),
+        parts))
   }
 
   /** [[commit]] gated by declarative quality expectations — CHECK
@@ -1936,6 +2138,114 @@ object SnapshotManifest {
       sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Long =
     Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
       maxAttempts, backoff, sleep)(commit(spark, root, df, statsCols))
+
+  /** APPEND `df`'s rows to the current snapshot: existing manifest lines
+    * carry over verbatim (paths, stats, DV refs — nothing is read or
+    * rewritten), new data files are staged and the union publishes as one
+    * atomic commit. The cheapest write verb and the natural sink shape for
+    * incremental loads: cost is O(new rows), independent of table size.
+    * Appends are the one DML whose intent commutes with ANY concurrent
+    * commit, which is what makes [[appendRowsWithRetry]]'s staged-reuse
+    * rebase sound.
+    *
+    * Strict schema contract: the append frame must carry exactly the
+    * table's columns (any order, case-insensitive) with identical types —
+    * a silent subset would read back as nulls and a widened type would
+    * fork the parquet schema across files. Evolve with [[addColumns]]
+    * first, then append.
+    */
+  def appendRows(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String] = Nil): Long = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"appendRows: no committed snapshot under $root — create the " +
+          "table with commit(...) first"))
+    val (body, meta) = manifestParts(spark, root, v)
+    requireAppendCompatible(spark, root, body, meta, df, "appendRows")
+    publishWithAppend(spark, root, v + 1, body, df, statsCols,
+      "appendRows", meta)
+  }
+
+  /** [[appendRows]] with a bounded lost-race retry that NEVER rewrites the
+    * staged data: the rows are written once, and a lost race re-publishes
+    * the SAME staged files on top of the winner's manifest (appended rows
+    * commute with any concurrent commit, so the rebase is a manifest-line
+    * union — milliseconds, not a re-shuffle of the append). This is the
+    * multi-writer ingest shape at 100 TB: N pipelines appending
+    * concurrently each pay their own data write exactly once, and
+    * conflicts cost one manifest round-trip. The one exception: if the
+    * winner changed the table's METADATA (recorded schema, partition
+    * columns, bloom set), the staged layout may no longer conform, so the
+    * append re-stages from `df` against the new metadata (the abandoned
+    * dir is unreferenced vacuum garbage) — correctness never depends on
+    * the fast path.
+    */
+  def appendRowsWithRetry(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String] = Nil, maxAttempts: Int = 5,
+      backoff: Int => FiniteDuration = Retry.linearBackoff(1.second),
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Long = {
+    val (fs, rootPath) = fsOf(spark, root)
+    var staged: Option[(TableMeta, Seq[String])] = None
+    Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
+      maxAttempts, backoff, sleep) {
+      val v = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"appendRowsWithRetry: no committed snapshot under $root — " +
+            "create the table with commit(...) first"))
+      val (body, meta) = manifestParts(spark, root, v)
+      requireAppendCompatible(spark, root, body, meta, df, "appendRowsWithRetry")
+      val lines = staged match {
+        case Some((m, l)) if m.schema == meta.schema &&
+            m.partitionCols == meta.partitionCols &&
+            m.bloomCols == meta.bloomCols => l
+        case prior =>
+          prior.foreach { _ =>
+            graft.core.Logging.logger().warn(
+              "appendRowsWithRetry: table metadata changed under a lost " +
+                s"race on $root — re-staging the append (the prior staged " +
+                "dir is unreferenced garbage for vacuum)")
+          }
+          val (_, l) = writeDataFiles(spark, fs, rootPath, v + 1, df,
+            statsCols, meta)
+          staged = Some((meta, l))
+          l
+      }
+      publishLines(spark, root, v + 1, body ++ lines, "appendRowsWithRetry",
+        meta)
+    }
+  }
+
+  /** The [[appendRows]] schema gate: the frame must carry exactly the
+    * table's columns (case-insensitive, any order) with identical types.
+    * Resolved from the recorded schema when one exists, else ONE data-file
+    * footer; an empty schema-less table accepts any frame (the append
+    * defines the shape, like a first commit).
+    */
+  private def requireAppendCompatible(spark: SparkSession, root: String,
+      body: Seq[String], meta: TableMeta, df: DataFrame, op: String): Unit = {
+    val tableSchema = meta.schema.orElse(body.headOption.map(l =>
+      spark.read.parquet(bodyFile(root, l)).schema))
+    tableSchema.foreach { s =>
+      val have = df.schema.fields
+        .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
+      s.fields.foreach { f =>
+        have.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
+          case Some(dt) => require(dt == f.dataType,
+            s"$op: column ${f.name} type mismatch — table " +
+              s"${f.dataType.simpleString}, append ${dt.simpleString} " +
+              "(widen with addColumns/commit, never a mixed append)")
+          case None => throw new IllegalArgumentException(
+            s"$op: append frame lacks table column ${f.name} — a silent " +
+              "null fill is a data bug; select it explicitly (as null " +
+              "if intended)")
+        }
+      }
+      df.schema.fields.foreach(f =>
+        require(s.fields.exists(_.name.equalsIgnoreCase(f.name)),
+          s"$op: append column ${f.name} not in table schema " +
+            s"${s.fieldNames.mkString(", ")} — declare it first with addColumns"))
+    }
+  }
 
   /** [[deleteWhere]] with the same bounded lost-race retry as
     * [[commitWithRetry]]. Safe to re-run as-is: every attempt re-reads the
@@ -2132,10 +2442,21 @@ object SnapshotManifest {
     // scheme-less -- string comparison would mark EVERY file unreferenced.
     // DELETION-VECTOR sidecars are reachable files too: sweeping a live
     // DV would silently RESURRECT its deleted rows
+    // the dir key is the component DIRECTLY under data/ — NOT the file's
+    // immediate parent: partitioned staging nests files under Hive-style
+    // tag dirs (data/<dir>/__gp_0=en/f.parquet), and keying on the
+    // immediate parent would leave the real data dir out of the live set —
+    // vacuum would sweep a LIVE dir once it aged past the gate
+    def dataDirComponent(p: Path): String = {
+      var cur = p
+      while (cur.getParent != null && cur.getParent.getName != "data")
+        cur = cur.getParent
+      cur.getName
+    }
     val keptFiles = versions.filterNot(doomed.contains).flatMap(v =>
       manifestBody(spark, root, v).map(parseLine).flatMap(e =>
         e.rel +: e.dvRel.toSeq).map { rel =>
-        val p = new Path(rel); (p.getParent.getName, p.getName)
+        val p = new Path(rel); (dataDirComponent(p), p.getName)
       }).toSet
     val keptDirs = keptFiles.map(_._1)
     val dirs = Seq.newBuilder[String]
@@ -2157,7 +2478,10 @@ object SnapshotManifest {
           // dirs are immutable-once-published, so an unreferenced parquet
           // file here is never an in-flight write; the age gate still
           // applies for symmetry with the dir sweep.
-          fs.listStatus(s.getPath).foreach { f =>
+          // recursive: a partitioned dir nests its parquet under tag dirs
+          val it = fs.listFiles(s.getPath, true)
+          while (it.hasNext) {
+            val f = it.next()
             if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
                 !keptFiles.contains((s.getPath.getName, f.getPath.getName)) &&
                 f.getModificationTime <= cutoff) {
