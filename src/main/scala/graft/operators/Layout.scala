@@ -79,8 +79,20 @@ object Layout {
     * exactly as Delta's multi-column ZORDER does.
     */
   def zOrderByN(df: DataFrame, zCols: Seq[String], bits: Int = 8,
-      numFiles: Int = 64): DataFrame = {
-    require(zCols.size >= 2, "zOrderByN needs at least 2 columns")
+      numFiles: Int = 64): DataFrame =
+    df.withColumn("__graft_z", zValueFor(df, zCols, bits))
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+
+  /** The z-value EXPRESSION for `df` over `zCols` (bounds resolved by one
+    * 2N-number aggregation over the actual data) — the reusable half of
+    * [[zOrderByN]], for callers that must arrange the clustering
+    * themselves (a partition-declared table sorts by this WITHIN its
+    * partition clustering rather than range-partitioning the whole frame).
+    */
+  def zValueFor(df: DataFrame, zCols: Seq[String], bits: Int = 8): Column = {
+    require(zCols.size >= 2, "zValueFor needs at least 2 columns")
     require(zCols.distinct.size == zCols.size, s"duplicate z-order column in $zCols")
     // backticked refs: a z-column NAME containing a dot must resolve as a
     // top-level column, not parse as a nested-field path
@@ -90,13 +102,10 @@ object Layout {
     }
     val Array(row) = df.agg(aggs.head, aggs.tail: _*).collect() // 2N numbers
     val buckets = zCols.zipWithIndex.map { case (c, i) =>
-      require(!row.isNullAt(2 * i), s"zOrderByN: empty input or all-null $c")
+      require(!row.isNullAt(2 * i), s"zValueFor: empty input or all-null $c")
       bucketLong(col(s"`$c`"), row.getLong(2 * i), row.getLong(2 * i + 1), bits)
     }
-    df.withColumn("__graft_z", zValueN(buckets, bits))
-      .repartitionByRange(numFiles, col("__graft_z"))
-      .sortWithinPartitions(col("__graft_z"))
-      .drop("__graft_z")
+    zValueN(buckets, bits)
   }
 
   /** Cluster `df` for scans that filter on BOTH `colA` and `colB`: bucket
@@ -144,10 +153,17 @@ object Layout {
     val inherited = SnapshotManifest.bodyStatsOf(entries)
       .values.flatMap(_.cols.keys).toSeq
     val statsCols = (inherited ++ zCols ++ extraStatsCols).distinct.sorted
+    val base = SnapshotManifest.readEntries(spark, root, entries, meta.schema)
+    // PARTITION-DECLARED tables keep their partition clustering (the file
+    // split IS the first pruning axis); the z-order applies WITHIN each
+    // partition via the reserved sort marker, so row groups inside a
+    // partition's file stay tightly boxed on the z columns. Unpartitioned
+    // tables range-partition the whole frame by z-value as before.
+    val frame =
+      if (meta.partitionCols.isEmpty) zOrderByN(base, zCols, bits, numFiles)
+      else base.withColumn(SnapshotManifest.ClusterSortCol,
+        zValueFor(base, zCols, bits))
     // the bloom property survives OPTIMIZE, like stats do
-    SnapshotManifest.commit(spark, root,
-      zOrderByN(SnapshotManifest.readEntries(spark, root, entries, meta.schema),
-        zCols, bits, numFiles),
-      statsCols, meta.bloomCols)
+    SnapshotManifest.commit(spark, root, frame, statsCols, meta.bloomCols)
   }
 }

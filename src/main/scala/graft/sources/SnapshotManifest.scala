@@ -362,6 +362,16 @@ object SnapshotManifest {
     * declared properties (pk, bloom) — dropping them loudly only when
     * the new frame lacks their columns.
     */
+  /** RESERVED column name: a frame committed to a PARTITION-DECLARED table
+    * may carry its intra-partition sort key under this name — the
+    * clustering shuffle re-orders rows, so a pre-arranged layout (OPTIMIZE
+    * ZORDER) must travel WITH the frame to survive it. [[writeDataFiles]]
+    * sorts each partition's rows by it and strips it before writing; it is
+    * never data. ([[graft.operators.Layout.optimizeSnapshot]] is the
+    * sanctioned producer.)
+    */
+  private[graft] val ClusterSortCol = "__graft_cluster_sort"
+
   private[graft] final case class TableMeta(schema: Option[StructType],
       bloomCols: Seq[String], pk: Seq[String] = Nil,
       partitionCols: Seq[String] = Nil)
@@ -1706,6 +1716,7 @@ object SnapshotManifest {
     // partition predicates. Frames that LACK a partition column (a
     // pre-evolution MoR append) degrade loudly to an unclustered write —
     // correctness never depends on the layout.
+    val sortMarker = df.columns.find(_ == ClusterSortCol)
     val pcols = meta.partitionCols
       .flatMap(c => df.columns.find(_.equalsIgnoreCase(c)))
     val partitioned = pcols.size == meta.partitionCols.size && pcols.nonEmpty
@@ -1720,11 +1731,22 @@ object SnapshotManifest {
         val t = freshName(s"__gp_$i", taken.toSeq); taken += t; (c, t)
       }
     }
-    val toWrite =
+    val clustered =
       if (!partitioned) df
-      else tags.foldLeft(df.repartition(pcols.map(col): _*)) {
-        case (d, (c, t)) => d.withColumn(t, col(s"`$c`"))
+      else {
+        val shuffled = df.repartition(pcols.map(col): _*)
+        // the RESERVED intra-partition sort marker ([[ClusterSortCol]]):
+        // a caller that wants rows ORDERED inside each partition's file
+        // (OPTIMIZE ZORDER within partitions — tight row-group stats)
+        // attaches its sort key under this name; the clustering shuffle
+        // would otherwise destroy any pre-arranged order
+        val sorted = sortMarker
+          .map(m => shuffled.sortWithinPartitions(col(s"`$m`")))
+          .getOrElse(shuffled)
+        tags.foldLeft(sorted) { case (d, (c, t)) => d.withColumn(t, col(s"`$c`")) }
       }
+    // the marker is write-side metadata, never data
+    val toWrite = sortMarker.map(clustered.drop).getOrElse(clustered)
     // parquet-NATIVE bloom filters per row group for the table's
     // bloom-indexed columns: the codegen'd scan path prunes row groups on
     // pushed equality predicates with zero reader changes here (parquet-mr

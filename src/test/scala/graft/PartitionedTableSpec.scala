@@ -199,6 +199,36 @@ class PartitionedTableSpec extends SparkSpec {
     }
   }
 
+  test("OPTIMIZE ZORDER composes with declared partitioning: z-sort within partition files") {
+    val root = newRoot()
+    // a == b == id in [0,255] at bits=8 makes the z-value strictly
+    // increasing in id — intra-file sortedness is then observable as
+    // sorted ids
+    val df = spark.range(0, 256).toDF("id")
+      .withColumn("a", col("id")).withColumn("b", col("id"))
+      .withColumn("grp", (col("id") % 2).cast("long"))
+      .orderBy(rand(7)) // scrambled input: the sort must come from OPTIMIZE
+    SnapshotManifest.commit(spark, root, df, Seq("a"), Nil, Seq("grp"))
+    graft.operators.Layout.optimizeSnapshot(spark, root, Seq("a", "b"), bits = 8)
+    val v = SnapshotManifest.currentVersion(spark, root).get
+    assert(SnapshotManifest.partitionColumns(spark, root, v) == Seq("grp"))
+    val files = SnapshotManifest.snapshotFiles(spark, root, v)
+    files.foreach { f =>
+      val rows = spark.read.parquet(f)
+      // the reserved marker never lands in the data
+      assert(!rows.columns.contains("__graft_cluster_sort"))
+      // still one partition value per file
+      assert(rows.select("grp").distinct().count() == 1)
+      // and rows inside the file are z-sorted (here: sorted by id)
+      val ids = rows.select("id").collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted),
+        s"file $f not z-sorted within its partition")
+    }
+    // content untouched by the re-layout
+    assert(SnapshotManifest.read(spark, root).agg(sum("id")).head().getLong(0)
+      == (0L until 256L).sum)
+  }
+
   test("vacuum understands nested partitioned layouts: live dirs survive, superseded files reclaim") {
     val root = newRoot()
     SnapshotManifest.commit(spark, root, sample(90), Seq("score"), Nil, Seq("lang"))
