@@ -161,8 +161,8 @@ object Layout {
     // tables range-partition the whole frame by z-value as before.
     val frame =
       if (meta.partitionCols.isEmpty) zOrderByN(base, zCols, bits, numFiles)
-      else base.withColumn(SnapshotManifest.ClusterSortCol,
-        zValueFor(base, zCols, bits))
+      else base.select(col("*"),
+        SnapshotManifest.clusterSortMarker(zValueFor(base, zCols, bits)))
     // the bloom property survives OPTIMIZE, like stats do
     SnapshotManifest.commit(spark, root, frame, statsCols, meta.bloomCols)
   }

@@ -265,10 +265,17 @@ object Upsert {
       // top-level column, not parse as a nested-field path
       val aligned = merged.select(targetSchema.fields.toSeq.map(f =>
         col(s"`${f.name}`").cast(f.dataType).alias(f.name)): _*)
-      val keptLines = body.filterNot(line =>
-        affected.contains(SnapshotManifest.bodyFile(tableRoot, line)))
-      SnapshotManifest.publishVersion(spark, tableRoot, v + 1, aligned,
-        statsCols, keptLines, "mergeWhere", meta)
+      val removedLines = body.filter(line =>
+        affected.contains(SnapshotManifest.bodyFile(tableRoot, line))).toSet
+      // rebase-aware publish: a lost race against a writer whose files are
+      // disjoint from the merge's affected set AND whose new lines provably
+      // hold none of the staged PKs re-publishes the staged rewrite in one
+      // manifest round-trip (keyPred None = every staged key is null — a
+      // pure insert that commutes with anything, so `false` proves it)
+      SnapshotManifest.publishVersionRebased(spark, tableRoot, v + 1, aligned,
+        statsCols, body, removedLines, "mergeWhere", meta,
+        ManifestStats.resolvePredicate(spark, targetSchema,
+          keyPred.getOrElse(lit(false))))
     } finally stagedP.unpersist(false)
   }
 

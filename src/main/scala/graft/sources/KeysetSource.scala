@@ -184,16 +184,29 @@ object KeysetSource {
   ): Fetcher = {
     lazy val bearer = token() // one token per load run, like the reference
     val enc = HttpTransport.encodeQuery _
+    // limit/sort ARE the pagination protocol — a caller override would
+    // silently break cursor advancement (and a caller "where" must AND
+    // with the cursor predicate below, never replace it: a replaced
+    // cursor re-fetches page 1 forever)
+    Seq("limit", "sort").foreach(k => require(!extraParams.contains(k),
+      s"httpFetcher: extraParams may not override the pagination param '$k'"))
+    val callerWhere = extraParams.get("where")
+    val staticParams = extraParams - "where"
     // the cursor value lands inside a double-quoted predicate: escape the
     // quote and backslash so a string sort value containing either cannot
     // truncate or re-shape the where clause
     def quoted(c: String) =
       "\"" + c.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     (cursor: Option[String], pageSize: Int) => {
+      val cursorClause = cursor.map(c => s"$sortField > ${quoted(c)}")
+      val where = (callerWhere, cursorClause) match {
+        case (Some(w), Some(c)) => Some(s"($w) and ($c)")
+        case (a, b) => a.orElse(b)
+      }
       val params = Map(
         "limit" -> pageSize.toString,
         "sort" -> s"$sortField asc") ++
-        cursor.map(c => "where" -> s"$sortField > ${quoted(c)}") ++ extraParams
+        where.map("where" -> _) ++ staticParams
       val url = endpoint + "?" +
         params.map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
       val body = HttpTransport.withRetry(maxAttempts, backoffBase, sleep)(

@@ -195,6 +195,8 @@ object ManifestStats {
     * (Spark's default resolution).
     */
   def mayMatch(pred: Expression, fs: FileStats): Boolean = {
+    // a zero-row file provably yields no matching row for ANY predicate
+    if (fs.rows == 0L) return false
     def stats(name: String): Option[ColStats] =
       fs.cols.get(name).orElse(
         fs.cols.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v })
@@ -331,11 +333,15 @@ object ManifestStats {
     * FALSE on anything unprovable — missing stats, incomparable types,
     * unrecognized shapes, or any null among the rows for a comparison
     * predicate (a null-evaluating row is NOT deleted under SQL DELETE
-    * semantics, so it anchors the file). A zero-row file is vacuously
-    * proven by any predicate — dropping an empty file is always sound.
+    * semantics, so it anchors the file). A zero-row file is NOT proven:
+    * vacuous truth would be sound to act on (dropping an empty file loses
+    * nothing) but would make [[SnapshotManifest.deleteWhere]] publish a
+    * new version for a predicate that matched NOTHING — violating its
+    * "no-op delete commits nothing" contract. Empty-file cleanup belongs
+    * to compaction, not DELETE.
     */
   def mustMatch(pred: Expression, fs: FileStats): Boolean = {
-    if (fs.rows == 0L) return true
+    if (fs.rows == 0L) return false
     def stats(name: String): Option[ColStats] =
       fs.cols.get(name).orElse(
         fs.cols.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v })

@@ -76,6 +76,7 @@ object SnapshotManifest {
   // exact {8} would make such versions invisible to currentVersion and
   // permanently wedge commits on the apparent version collision
   private val ManifestRe = "manifest-(\\d{8,})\\.json".r
+  private val RewriteRe = "manifest-(\\d{8,})\\.json\\.rewrite-(\\d+)".r
 
   private[sources] def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
@@ -83,7 +84,36 @@ object SnapshotManifest {
   }
 
   private def manifestName(v: Long) = f"manifest-$v%08d.json"
+  private def rewriteName(v: Long, publishedAt: Long) =
+    f"manifest-$v%08d.json.rewrite-$publishedAt%d"
   private def dataDirName(v: Long) = f"v$v%08d"
+
+  /** Complete a chain-guard rewrite swap that crashed between the
+    * manifest delete and the sidecar rename ([[vacuum]]'s delta→full
+    * rewrite): the deterministic `manifest-N.json.rewrite-<publishedAt>`
+    * sidecar IS the durable copy of the retained version through that
+    * window, so recovery is rename-into-place + restoring the recorded
+    * publish instant (time travel resolves by mtime). A sidecar whose
+    * manifest still exists is stale (crash BEFORE the swap started, or a
+    * completed swap on a replacing-rename store) — the original delta is
+    * intact and the next vacuum redoes the rewrite, so it is just
+    * deleted. Idempotent and multi-caller-safe: every step is a rename
+    * whose loser observes the winner's completed state.
+    */
+  private def recoverManifestRewrites(fs: FileSystem, rootPath: Path): Unit = {
+    if (!fs.exists(rootPath)) return
+    fs.listStatus(rootPath).foreach { s =>
+      s.getPath.getName match {
+        case RewriteRe(v, publishedAt) if s.isFile =>
+          val mf = new Path(rootPath, manifestName(v.toLong))
+          if (!fs.exists(mf)) {
+            if (fs.rename(s.getPath, mf))
+              fs.setTimes(mf, publishedAt.toLong, -1)
+          } else fs.delete(s.getPath, false)
+        case _ => ()
+      }
+    }
+  }
 
   /** All retained (not-yet-vacuumed) snapshot versions, ascending — ONE
     * directory listing, however many versions exist.
@@ -93,8 +123,13 @@ object SnapshotManifest {
     if (!fs.exists(rootPath)) return Seq.empty
     fs.listStatus(rootPath).toSeq.flatMap(s => s.getPath.getName match {
       case ManifestRe(v) if s.isFile => Some(v.toLong)
+      // a mid-swap chain-guard rewrite (manifest deleted, sidecar durable)
+      // still IS a retained version — [[manifestParts]] completes the swap
+      // on first read, so listing it keeps currentVersion/time-travel
+      // correct through the crash window
+      case RewriteRe(v, _) if s.isFile => Some(v.toLong)
       case _ => None
-    }).sorted
+    }).distinct.sorted
   }
 
   /** Highest committed snapshot version, or None for an empty/new table. */
@@ -369,8 +404,22 @@ object SnapshotManifest {
     * sorts each partition's rows by it and strips it before writing; it is
     * never data. ([[graft.operators.Layout.optimizeSnapshot]] is the
     * sanctioned producer.)
+    *
+    * Sanction is the column-METADATA tag [[ClusterSortMetaKey]], not the
+    * name alone: a USER column that merely collides with the reserved
+    * name (data round-tripped from another system) is rejected loudly —
+    * never silently dropped (the round-8 adversarial-name rule).
     */
   private[graft] val ClusterSortCol = "__graft_cluster_sort"
+  private[graft] val ClusterSortMetaKey = "graft.clusterSort"
+
+  /** The metadata-tagged form a sanctioned producer attaches the marker
+    * with — the only shape [[writeDataFiles]] honors.
+    */
+  private[graft] def clusterSortMarker(value: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    value.as(ClusterSortCol, new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean(ClusterSortMetaKey, true).build())
 
   private[graft] final case class TableMeta(schema: Option[StructType],
       bloomCols: Seq[String], pk: Seq[String] = Nil,
@@ -824,6 +873,14 @@ object SnapshotManifest {
       version: Long): Boolean =
     manifestBase(spark, root, version).isDefined
 
+  /** Every header key [[headerFor]] can emit — the single source of truth
+    * for "is this line still header?" scans. Extend HERE when adding a
+    * table property, or delta-manifest resolution silently breaks for
+    * tables carrying it (see [[manifestBase]]).
+    */
+  private val HeaderKeys =
+    Seq("version=", "schema=", "bloom=", "pk=", "partition=")
+
   private def manifestBase(spark: SparkSession, root: String,
       version: Long): Option[Long] = {
     val (fs, rootPath) = fsOf(spark, root)
@@ -835,9 +892,12 @@ object SnapshotManifest {
       while (line != null) {
         val t = line.trim
         if (t.startsWith("base=")) return Some(t.stripPrefix("base=").toLong)
-        // past the header (version=/schema=/bloom=/pk=) with no base ⇒ full
-        if (t.nonEmpty && !t.startsWith("version=") && !t.startsWith("schema=") &&
-            !t.startsWith("bloom=") && !t.startsWith("pk=")) return None
+        // past the header with no base ⇒ full. MUST recognize every
+        // header key [[headerFor]] can emit: omitting one (the r10
+        // partition= regression) misclassifies every delta of a table
+        // carrying that property as full, so vacuum's chain guard never
+        // rewrites it and deletes its base out from under it.
+        if (t.nonEmpty && !HeaderKeys.exists(t.startsWith)) return None
         line = r.readLine()
       }
       None
@@ -901,7 +961,15 @@ object SnapshotManifest {
       version: Long): (Seq[String], TableMeta) = {
     val (fs, rootPath) = fsOf(spark, root)
     val path = new Path(rootPath, manifestName(version))
-    val st = fs.getFileStatus(path)
+    val st =
+      try fs.getFileStatus(path)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          // a chain-guard rewrite crashed mid-swap: the durable sidecar
+          // holds this version — complete the swap and read normally
+          recoverManifestRewrites(fs, rootPath)
+          fs.getFileStatus(path)
+      }
     val key = s"${rootPath.toString}#$version"
     PartsCache.get(key, st.getModificationTime, st.getLen).getOrElse {
       val out = manifestPartsUncached(spark, root, version)
@@ -1635,6 +1703,85 @@ object SnapshotManifest {
     * schema resolves from a single file (every file of a snapshot shares
     * it) — at 100k files the driver never lists the unaffected ones.
     */
+  /** Publish a copy-on-write rewrite — `baseBody` minus `removedLines`
+    * plus the staged `newLines` — REBASING onto a concurrent winner when
+    * provably sound instead of discarding the staged work. Optimistic
+    * concurrency in the Delta mold: N pipelines running DML against
+    * DISJOINT file sets (the common shape — per-partition backfills) each
+    * stage their rewrite exactly once, and a lost race costs one manifest
+    * round-trip, not a re-read + re-write of the churn.
+    *
+    * The rebase is taken only when the serial order (winner, then this
+    * verb) provably produces the same table:
+    *   - the winner's METADATA equals ours (a schema/partition/pk/bloom
+    *     change may invalidate the staged layout);
+    *   - every line we REMOVE is still in the winner's body verbatim
+    *     (path + stats + dv ref — any touch means our staged rewrite was
+    *     computed from superseded rows);
+    *   - every line the winner ADDED or CHANGED carries stats that PROVE
+    *     our predicate matches none of its rows ([[ManifestStats
+    *     .mayMatch]] false — a stats-less line is conservatively a
+    *     conflict). Otherwise a rebased DELETE/UPDATE/MERGE would skip
+    *     rows a serial re-run would have processed.
+    *
+    * Anything unprovable rethrows [[ConcurrentCommitException]] for the
+    * caller's full re-run (the `*WithRetry` wrappers) — correctness never
+    * depends on the fast path.
+    */
+  private def publishRebased(spark: SparkSession, root: String, op: String,
+      baseVersion: Long, baseBody: Seq[String], baseMeta: TableMeta,
+      removedLines: Set[String], newLines: Seq[String],
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression,
+      maxRebases: Int = 5): Long = {
+    val baseSet = baseBody.toSet
+    var v = baseVersion
+    var body = baseBody
+    var attempts = 0
+    while (true) {
+      val kept = body.filterNot(removedLines)
+      try return publishLines(spark, root, v + 1, kept ++ newLines, op, baseMeta)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > maxRebases) throw e
+          val wv = currentVersion(spark, root).getOrElse(throw e)
+          val (wBody, wMeta) = manifestParts(spark, root, wv)
+          val wSet = wBody.toSet
+          val sound = wMeta == baseMeta &&
+            removedLines.forall(wSet.contains) &&
+            wBody.filterNot(baseSet).forall { line =>
+              parseLine(line).stats.exists(json =>
+                !ManifestStats.mayMatch(resolved, ManifestStats.fromJson(json)))
+            }
+          if (!sound) throw e
+          graft.core.Logging.logger().info(
+            s"$op: lost the race for version ${v + 1} on $root — winner is " +
+              s"file-disjoint and predicate-disjoint, rebasing the staged " +
+              s"rewrite onto version $wv")
+          v = wv
+          body = wBody
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** [[publishVersion]]'s rebase-aware twin: stage `df` once, then publish
+    * through [[publishRebased]] — the keyed-MERGE commit point
+    * ([[graft.operators.Upsert.mergeWhere]]), whose conflict predicate is
+    * the staged batch's PK-prune predicate.
+    */
+  private[graft] def publishVersionRebased(spark: SparkSession, root: String,
+      next: Long, df: DataFrame, statsCols: Seq[String],
+      baseBody: Seq[String], removedLines: Set[String], op: String,
+      meta: TableMeta,
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val (_, newLines) = writeDataFiles(spark, fs, rootPath, next, df,
+      statsCols, meta)
+    publishRebased(spark, root, op, next - 1, baseBody, meta, removedLines,
+      newLines, resolved)
+  }
+
   private def rewriteWhere(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column, statsCols: Seq[String],
       op: String, transform: DataFrame => DataFrame,
@@ -1660,27 +1807,36 @@ object SnapshotManifest {
       else ManifestStats.pruneProven(files, stats, resolved).toSet
     val affected = ManifestStats.prune(files, stats, resolved).toSet -- dropped
     if (affected.isEmpty && dropped.isEmpty) return v // no file can match
-    // kept manifest lines carry over verbatim (path, stats AND any dv ref)
-    val keptLines = body.filterNot { line =>
+    // removed manifest lines; everything else carries over verbatim
+    // (path, stats AND any dv ref)
+    val removedLines = body.filter { line =>
       val f = bodyFile(root, line); affected.contains(f) || dropped.contains(f)
-    }
+    }.toSet
     if (affected.isEmpty) {
       // every candidate file was proven whole-match: METADATA-ONLY commit.
       // A delete that empties the table records the (already-resolved)
       // schema so the empty snapshot stays readable.
+      val keptLines = body.filterNot(removedLines)
       val outMeta =
         if (keptLines.isEmpty && meta.schema.isEmpty)
           meta.copy(schema = Some(schema))
         else meta
-      return publishLines(spark, root, v + 1, keptLines, op, outMeta)
+      return publishRebased(spark, root, op, v, body, outMeta,
+        removedLines, Nil, resolved)
     }
     // affected files read with their DVs APPLIED (already-MoR-deleted rows
     // must not resurrect); the rewrite output is DV-free by construction
     val affectedEntries = body.map(parseLine)
       .zip(files).collect { case (e, f) if affected(f) => e }
-    publishVersion(spark, root, v + 1,
+    // stage ONCE, then publish with the file-disjoint rebase: a lost race
+    // against a non-conflicting writer re-publishes these exact staged
+    // files instead of re-reading and re-writing the churn
+    val (fsW, rootPathW) = fsOf(spark, root)
+    val (_, newLines) = writeDataFiles(spark, fsW, rootPathW, v + 1,
       transform(readEntries(spark, root, affectedEntries, meta.schema)),
-      statsCols, keptLines, op, meta)
+      statsCols, meta)
+    publishRebased(spark, root, op, v, body, meta, removedLines, newLines,
+      resolved)
   }
 
   /** Stage `df` into a fresh uniquely-nonced data dir for version `next`,
@@ -1716,7 +1872,15 @@ object SnapshotManifest {
     // partition predicates. Frames that LACK a partition column (a
     // pre-evolution MoR append) degrade loudly to an unclustered write —
     // correctness never depends on the layout.
-    val sortMarker = df.columns.find(_ == ClusterSortCol)
+    val sortMarker = df.schema.fields.find(_.name == ClusterSortCol) match {
+      case Some(f) if f.metadata.contains(ClusterSortMetaKey) => Some(f.name)
+      case Some(_) => throw new IllegalArgumentException(
+        s"writeDataFiles: column name $ClusterSortCol is RESERVED for the " +
+          "engine's intra-partition sort marker and this frame's column is " +
+          "not engine-tagged — rename the column (a silent drop or a silent " +
+          "re-sort would both be data bugs)")
+      case None => None
+    }
     val pcols = meta.partitionCols
       .flatMap(c => df.columns.find(_.equalsIgnoreCase(c)))
     val partitioned = pcols.size == meta.partitionCols.size && pcols.nonEmpty
@@ -2274,6 +2438,11 @@ object SnapshotManifest {
     * CURRENT version internally, so a retry deletes from the table as the
     * winning writer left it, and `predicate` describes the rows to delete
     * regardless of which snapshot they sit in.
+    *
+    * NOTE the verb itself already absorbs FILE-DISJOINT races without
+    * redoing any data work ([[publishRebased]]); this wrapper is the
+    * fallback for genuine conflicts — overlapping files, unprovable
+    * predicate disjointness, metadata changes.
     */
   def deleteWhereWithRetry(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column, statsCols: Seq[String] = Nil,
@@ -2371,6 +2540,9 @@ object SnapshotManifest {
   def vacuum(spark: SparkSession, root: String, keep: Int = 1,
       minAgeMs: Long = 0L): Seq[Long] = {
     val (fs, rootPath) = fsOf(spark, root)
+    // complete any rewrite swap a crashed prior vacuum left mid-flight
+    // BEFORE planning, so the plan sees every retained version's manifest
+    recoverManifestRewrites(fs, rootPath)
     val plan = vacuumPlan(spark, root, keep, minAgeMs)
     // Delta manifests chain to earlier versions (base=): a RETAINED
     // manifest whose base is about to be reclaimed must be rewritten as a
@@ -2391,9 +2563,24 @@ object SnapshotManifest {
           // make a retained version look published at vacuum time (which
           // would orphan its whole original as-of window)
           val publishedAt = fs.getFileStatus(mf).getModificationTime
-          CommitProtocol.overwriteFile(fs, mf,
+          // Crash-recoverable swap: a RETAINED manifest must never have an
+          // absent-file window with no durable copy (overwriteFile's
+          // delete-then-rename fallback has exactly that window — fine for
+          // the restart-from-scratch markers it serves, silent version
+          // loss here). The deterministic sidecar IS the durable copy:
+          // once it exists, every crash point is recoverable by
+          // [[recoverManifestRewrites]].
+          val side = new Path(rootPath, rewriteName(v, publishedAt))
+          CommitProtocol.overwriteFile(fs, side,
             (headerFor(v, meta) + body.mkString("", "\n", "\n"))
               .getBytes("UTF-8"))
+          if (!fs.rename(side, mf)) { // POSIX rename replaces; HDFS refuses
+            fs.delete(mf, false)
+            if (!fs.rename(side, mf))
+              throw new java.io.IOException(
+                s"vacuum: cannot swap rewritten manifest for version $v — " +
+                  s"durable copy left at $side (recovered on next vacuum/read)")
+          }
           fs.setTimes(mf, publishedAt, -1)
         }
       }

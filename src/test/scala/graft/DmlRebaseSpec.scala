@@ -1,0 +1,177 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{Callable, CountDownLatch, Executors, TimeUnit}
+import org.apache.spark.sql.functions._
+import graft.sources.{ConcurrentCommitException, ManifestStats, SnapshotManifest}
+
+/** Optimistic concurrency for the copy-on-write DML verbs: a lost race
+  * against a FILE-DISJOINT, PREDICATE-DISJOINT winner re-publishes the
+  * already-staged rewrite (one manifest round-trip — the multi-writer
+  * per-partition-backfill shape at 100 TB), and anything unprovable falls
+  * back loudly to the full re-run the `*WithRetry` wrappers own. The
+  * deterministic cases drive the publish seam directly: commit a winner
+  * BETWEEN the verb's read and its publish, then assert rebase vs refusal.
+  */
+class DmlRebaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot() = Files.createTempDirectory("rebase").toString
+
+  /** 200 rows in 10 range-disjoint files of 20, id stats recorded. */
+  private def freshTable(): String = {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      spark.range(0, 200).toDF("id").withColumn("x", concat(lit("v"), col("id")))
+        .repartitionByRange(10, col("id")), Seq("id"))
+    root
+  }
+
+  private def ids(root: String): Set[Long] =
+    SnapshotManifest.read(spark, root).select("id").as[Long].collect().toSet
+
+  test("two racing deletes on disjoint files both land WITHOUT a retry wrapper") {
+    val root = freshTable()
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      def racer(pred: org.apache.spark.sql.Column) = pool.submit(new Callable[Long] {
+        def call(): Long = { start.await(); SnapshotManifest.deleteWhere(spark, root, pred, Seq("id")) }
+      })
+      // each predicate lives inside ONE file ([0,19] and [100,119]) — the
+      // loser's staged rewrite is provably compatible with the winner
+      val a = racer(col("id") < 5L)
+      val b = racer(col("id") >= 100L && col("id") < 105L)
+      start.countDown()
+      val (va, vb) = (a.get(60, TimeUnit.SECONDS), b.get(60, TimeUnit.SECONDS))
+      assert(Set(va, vb) == Set(1L, 2L), s"both deletes must commit: $va, $vb")
+      assert(ids(root) == ((5L until 100L) ++ (105L until 200L)).toSet)
+    } finally pool.shutdownNow()
+  }
+
+  test("deterministic rebase: a file-disjoint winner landing mid-verb costs one manifest round-trip") {
+    val root = freshTable()
+    val (body, meta) = SnapshotManifest.manifestParts(spark, root, 0L)
+    val schema = SnapshotManifest.read(spark, root).schema
+    // the verb-under-test read v0 and staged a rewrite of the [0,19] file
+    val myFile = body.find(l =>
+      SnapshotManifest.bodyStats(Seq(l)).values.head
+        .cols("id").min.contains(BigDecimal(0))).get
+    val replacement = spark.range(5, 20).toDF("id")
+      .withColumn("x", concat(lit("v"), col("id")))
+    // ... and a WINNER commits first: an append of id∈[900,910) WITH stats
+    SnapshotManifest.appendRows(spark, root,
+      spark.range(900, 910).toDF("id").withColumn("x", lit("w")), Seq("id"))
+    // the rebase must land at v2 without touching the staged frame again
+    val v = SnapshotManifest.publishVersionRebased(spark, root, 1L,
+      replacement, Seq("id"), body, Set(myFile), "deleteWhere", meta,
+      ManifestStats.resolvePredicate(spark, schema, col("id") < 5L))
+    assert(v == 2L)
+    assert(ids(root) == ((5L until 200L) ++ (900L until 910L)).toSet)
+  }
+
+  test("refusal: a winner whose new rows MAY match the predicate forces the full re-run") {
+    val root = freshTable()
+    val (body, meta) = SnapshotManifest.manifestParts(spark, root, 0L)
+    val schema = SnapshotManifest.read(spark, root).schema
+    val myFile = body.head
+    // winner appends rows INSIDE the delete predicate's range — a rebased
+    // delete would silently skip them (lost delete)
+    SnapshotManifest.appendRows(spark, root,
+      spark.range(1, 3).toDF("id").withColumn("x", lit("w")), Seq("id"))
+    intercept[ConcurrentCommitException] {
+      SnapshotManifest.publishVersionRebased(spark, root, 1L,
+        spark.range(5, 20).toDF("id").withColumn("x", lit("r")),
+        Seq("id"), body, Set(myFile), "deleteWhere", meta,
+        ManifestStats.resolvePredicate(spark, schema, col("id") < 5L))
+    }
+  }
+
+  test("refusal: stats-less winner lines, a touched file, or changed metadata are all conflicts") {
+    val root = freshTable()
+    val (body, meta) = SnapshotManifest.manifestParts(spark, root, 0L)
+    val schema = SnapshotManifest.read(spark, root).schema
+    val myFile = body.find(l =>
+      SnapshotManifest.bodyStats(Seq(l)).values.head
+        .cols("id").min.contains(BigDecimal(0))).get
+    def attempt(): Long = SnapshotManifest.publishVersionRebased(spark, root,
+      SnapshotManifest.currentVersion(spark, root).get, // stale base on purpose
+      spark.range(5, 20).toDF("id").withColumn("x", lit("r")),
+      Seq("id"), body, Set(myFile), "deleteWhere", meta,
+      ManifestStats.resolvePredicate(spark, schema, col("id") < 5L))
+    // (a) winner appended WITHOUT stats: disjointness unprovable
+    val r1 = freshTable()
+    val (b1, m1) = SnapshotManifest.manifestParts(spark, r1, 0L)
+    SnapshotManifest.appendRows(spark, r1,
+      spark.range(900, 905).toDF("id").withColumn("x", lit("w")))
+    intercept[ConcurrentCommitException] {
+      SnapshotManifest.publishVersionRebased(spark, r1, 1L,
+        spark.range(5, 20).toDF("id").withColumn("x", lit("r")),
+        Seq("id"), b1, Set(b1.head), "deleteWhere", m1,
+        ManifestStats.resolvePredicate(spark, schema, col("id") < 5L))
+    }
+    // (b) winner REWROTE the very file this verb is replacing
+    SnapshotManifest.deleteWhere(spark, root, col("id") === 1L, Seq("id"))
+    intercept[ConcurrentCommitException] { attempt() }
+    // (c) fresh table, winner changed table METADATA (schema evolution)
+    val r2 = freshTable()
+    val (b2, m2) = SnapshotManifest.manifestParts(spark, r2, 0L)
+    SnapshotManifest.addColumns(spark, r2,
+      Seq(org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.StringType)))
+    intercept[ConcurrentCommitException] {
+      SnapshotManifest.publishVersionRebased(spark, r2, 1L,
+        spark.range(5, 20).toDF("id").withColumn("x", lit("r")),
+        Seq("id"), b2, Set(b2.head), "deleteWhere", m2,
+        ManifestStats.resolvePredicate(spark, schema, col("id") < 5L))
+    }
+  }
+
+  test("racing disjoint-key merges both land without a retry wrapper; serial content") {
+    val root = freshTable()
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      def racer(df: org.apache.spark.sql.DataFrame) = pool.submit(new Callable[Long] {
+        def call(): Long = {
+          start.await()
+          graft.operators.Upsert.mergeWhere(spark, root, df, Seq("id"), Seq("id"))
+        }
+      })
+      val a = racer(Seq((0L, "A0"), (1L, "A1")).toDF("id", "x"))
+      val b = racer(Seq((150L, "B0"), (151L, "B1")).toDF("id", "x"))
+      start.countDown()
+      val (va, vb) = (a.get(60, TimeUnit.SECONDS), b.get(60, TimeUnit.SECONDS))
+      assert(Set(va, vb) == Set(1L, 2L), s"both merges must commit: $va, $vb")
+      val got = SnapshotManifest.read(spark, root)
+        .as[(Long, String)].collect().toMap
+      assert(got.size == 200)
+      assert(got(0L) == "A0" && got(1L) == "A1")
+      assert(got(150L) == "B0" && got(151L) == "B1")
+      assert(got(2L) == "v2" && got(199L) == "v199")
+    } finally pool.shutdownNow()
+  }
+
+  test("overlapping deletes under the retry wrapper stay serializable") {
+    val root = freshTable()
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      def racer(pred: org.apache.spark.sql.Column) = pool.submit(new Callable[Long] {
+        def call(): Long = {
+          start.await()
+          SnapshotManifest.deleteWhereWithRetry(spark, root, pred, Seq("id"),
+            backoff = _ => scala.concurrent.duration.Duration.Zero, sleep = _ => ())
+        }
+      })
+      // both predicates hit the SAME [0,19] file — rebase is unsound for
+      // the loser (its staged rewrite still CONTAINS the winner's targets),
+      // so the wrapper's full re-run must produce the serial result
+      val a = racer(col("id") < 5L)
+      val b = racer(col("id") >= 3L && col("id") < 8L)
+      start.countDown()
+      a.get(60, TimeUnit.SECONDS); b.get(60, TimeUnit.SECONDS)
+      assert(ids(root) == (8L until 200L).toSet)
+    } finally pool.shutdownNow()
+  }
+}

@@ -183,6 +183,52 @@ class HttpTransportSpec extends SparkSpec {
     }
   }
 
+  test("a caller 'where' filter ANDs with the keyset cursor instead of replacing it") {
+    // the r10 regression: Map ++ extraParams let a static caller filter
+    // OVERWRITE the cursor predicate, so every page re-fetched page 1 —
+    // an infinite loop of identical records
+    val records = (1 to 5).map(i =>
+      s"""{"id": $i, "lastModifiedAt": "2024-01-0${i}T00:00:00", "status": "active"}""")
+    val wheres = scala.collection.mutable.ArrayBuffer[String]()
+    withServer("/items" -> { ex =>
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val params = q.split('&').map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+      }.toMap
+      params.get("where").foreach(wheres += _)
+      // honor only the cursor half; the static filter matches everything
+      val after = params.get("where")
+        .flatMap("""lastModifiedAt > "([^"]+)"""".r.findFirstMatchIn(_))
+        .map(_.group(1))
+      val page = records.filter { r =>
+        val ts = """"lastModifiedAt": "([^"]+)"""".r.findFirstMatchIn(r).get.group(1)
+        after.forall(ts > _)
+      }.take(params("limit").toInt)
+      respond(ex, 200, page.mkString("""{"results": [""", ",", "]}"))
+    }) { base =>
+      val fetcher = KeysetSource.httpFetcher(s"$base/items",
+        token = () => "t",
+        extraParams = Map("where" -> """status = "active"""", "expand" -> "x"),
+        sleep = _ => ())
+      val df = KeysetSource.load(spark, fetcher, startWatermark = None,
+        pageSize = 2)
+      assert(df.select(col("id")).as[Long].collect().toSet == (1L to 5L).toSet)
+      // every page (the load always seeds the fallback-watermark cursor):
+      // static filter AND cursor — and the cursor ADVANCES, proving the
+      // static filter never replaced it
+      assert(wheres.size >= 3 && wheres.forall(w =>
+        w.startsWith("""(status = "active") and (lastModifiedAt > """)), wheres)
+      assert(wheres.distinct.size == wheres.size,
+        s"cursor must advance every page: $wheres")
+      // pagination params can never be overridden
+      val e = intercept[IllegalArgumentException] {
+        KeysetSource.httpFetcher(s"$base/items", token = () => "t",
+          extraParams = Map("limit" -> "999"))
+      }
+      assert(e.getMessage.contains("limit"))
+    }
+  }
+
   test("a full page without a usable sort value fails loudly instead of truncating the load") {
     withServer(
       "/items" -> { ex =>

@@ -108,6 +108,67 @@ class ManifestCheckpointSpec extends SparkSpec {
       .filter(col("id") === 7L).as[(Long, String)].head()._2 == "w7")
   }
 
+  test("partition-declared tables chain deltas too: partition= is a header key, vacuum's guard still rewrites") {
+    val root = newRoot()
+    // the r10 regression: the delta header carries partition= BEFORE
+    // base=, and manifestBase's header scan stopped there — every delta of
+    // a partitioned table was misread as FULL, so vacuum never rewrote a
+    // retained delta and deleted its base out from under it
+    // grp aligned with id RANGES so a single-key merge rewrites one file
+    // (id%4 would overlap every file's id range → full-body rewrites →
+    // the size heuristic would emit full manifests, not deltas)
+    SnapshotManifest.commit(spark, root,
+      spark.range(0, 40).toDF("id").withColumn("x", lit("a"))
+        .withColumn("grp", floor(col("id") / 10L)), Seq("id"), Nil, Seq("grp"))
+    (1L to 4L).foreach { i =>
+      graft.operators.Upsert.mergeWhere(spark, root,
+        Seq((i, s"w$i", i / 10L)).toDF("id", "x", "grp"), Seq("id"), Seq("id"))
+    }
+    assert(rawManifest(root, 3L).contains("base=2"))
+    assert(SnapshotManifest.manifestIsDelta(spark, root, 3L),
+      "a partitioned table's delta must be RECOGNIZED as one")
+    val expected = SnapshotManifest.read(spark, root)
+      .select(col("id"), col("x")).as[(Long, String)].collect().toSet
+    assert(SnapshotManifest.vacuum(spark, root, keep = 2) == Seq(0L, 1L, 2L))
+    assert(!rawManifest(root, 3L).contains("base="),
+      "v3 must be checkpointed by the chain guard before its base died")
+    assert(SnapshotManifest.read(spark, root)
+      .select(col("id"), col("x")).as[(Long, String)].collect().toSet == expected)
+    assert(SnapshotManifest.partitionColumns(spark, root, 4L) == Seq("grp"))
+  }
+
+  test("a chain-guard swap interrupted mid-flight recovers from the durable sidecar") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      spark.range(0, 30).toDF("id").withColumn("x", lit("a"))
+        .repartitionByRange(3, col("id")), Seq("id"))
+    graft.operators.Upsert.mergeWhere(spark, root,
+      Seq((1L, "b")).toDF("id", "x"), Seq("id"), Seq("id"))
+    val expected = SnapshotManifest.read(spark, root)
+      .as[(Long, String)].collect().toSet
+    // simulate the crash window of the delta→full rewrite: the manifest is
+    // deleted, the deterministic sidecar holds the version's full text
+    val mf = new Path(root, f"manifest-${1L}%08d.json")
+    val hfs = mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val publishedAt = hfs.getFileStatus(mf).getModificationTime
+    val side = new Path(root, f"manifest-${1L}%08d.json.rewrite-$publishedAt%d")
+    assert(hfs.rename(mf, side))
+    // the version is still listed, the first read completes the swap, and
+    // the publish instant (time-travel's mtime key) survives recovery
+    assert(SnapshotManifest.currentVersion(spark, root).contains(1L))
+    assert(SnapshotManifest.read(spark, root)
+      .as[(Long, String)].collect().toSet == expected)
+    assert(hfs.exists(mf) && !hfs.exists(side))
+    assert(hfs.getFileStatus(mf).getModificationTime == publishedAt)
+    // a STALE sidecar (manifest present) is swept by the next vacuum
+    val stale = new Path(root, f"manifest-${1L}%08d.json.rewrite-12345")
+    val out = hfs.create(stale, true); out.write("junk".getBytes("UTF-8")); out.close()
+    SnapshotManifest.vacuum(spark, root, keep = 10)
+    assert(!hfs.exists(stale))
+    assert(SnapshotManifest.read(spark, root)
+      .as[(Long, String)].collect().toSet == expected)
+  }
+
   test("interval=1 disables deltas entirely; resolution is format-compatible either way") {
     val root = newRoot()
     def baseCommit() = SnapshotManifest.commit(spark, root,

@@ -187,8 +187,11 @@ class PartitionedTableSpec extends SparkSpec {
     assert(!must(col("day") === 5L && col("lang") === "en", single),
       "stats-less column can never prove")
     assert(must(col("day") === 5L || col("lang") === "en", single))
-    // an EMPTY file is vacuously proven by anything
-    assert(must(col("lang") === "zz", empty))
+    // an EMPTY file proves NOTHING (vacuous truth would make deleteWhere
+    // publish a spurious version for a predicate matching no rows) and
+    // provably matches nothing
+    assert(!must(col("lang") === "zz", empty))
+    assert(!ManifestStats.mayMatch(p(col("lang") === "zz"), empty))
     // never prove on a guess: unrecognized shapes
     assert(!must(length(col("lang")) > 0, single))
     // proofs always imply mayMatch keeps the file (subset sanity)
@@ -227,6 +230,16 @@ class PartitionedTableSpec extends SparkSpec {
     // content untouched by the re-layout
     assert(SnapshotManifest.read(spark, root).agg(sum("id")).head().getLong(0)
       == (0L until 256L).sum)
+  }
+
+  test("a USER column colliding with the reserved sort-marker name is rejected, never silently dropped") {
+    val root = newRoot()
+    val df = spark.range(3).toDF("id")
+      .withColumn("__graft_cluster_sort", col("id") * 2L)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotManifest.commit(spark, root, df)
+    }
+    assert(e.getMessage.contains("RESERVED"))
   }
 
   test("vacuum understands nested partitioned layouts: live dirs survive, superseded files reclaim") {
