@@ -1348,6 +1348,24 @@ object Oracles {
     // Multi-writer append (q145): base + two appended slices reassemble
     // the full fixture with the middle slice's custkey shifted — a
     // dropped, doubled, or mis-sliced append shifts the integer sums.
+    // Purge propagation (q146): survivors = orders minus the purged
+    // customer class, with the pre-purge update (keys ≡0 mod 11 → ×3)
+    // applied; replica and source must agree exactly.
+    "q146_purge_propagation" ->
+      """WITH fin AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 3
+        |         ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_custkey % 13 <> 0),
+        |sides AS (
+        |  SELECT 'replica' AS side, o_orderstatus, p FROM fin
+        |  UNION ALL
+        |  SELECT 'src', o_orderstatus, p FROM fin)
+        |SELECT side, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(p AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        |FROM sides GROUP BY side, o_orderstatus
+        |ORDER BY side, o_orderstatus""".stripMargin,
+
     "q145_append_rows" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CASE WHEN o_orderkey > 10000 AND o_orderkey <= 20000

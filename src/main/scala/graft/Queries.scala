@@ -2935,6 +2935,79 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Compliance purge propagated through replication — the "forget these
+    * keys EVERYWHERE" lifecycle as ONE composition over the engine's own
+    * verbs: churn a replicated source, sync the replica off the
+    * materialized change feed, PURGE a customer class at the source
+    * ([[graft.sources.SnapshotManifest.deleteWhere]] — the CoW compliance
+    * delete), let the purge ride the feed to the replica, then reclaim
+    * history (`vacuum`) and consumed feed ranges (`vacuumFeed`) so the
+    * purged bytes are GONE, not merely superseded. In-query REQUIREs make
+    * the compliance contract build-breaking, not just wrong-numbered: the
+    * replica holds ZERO purged keys, replica ≡ source exactly
+    * (both-direction EXCEPT empty), and post-vacuum the source retains a
+    * single version. The gated output is the per-status survivor report
+    * from BOTH sides.
+    *
+    * Scale shape: every step is churn-proportional (feed batches land as
+    * one file-pruned MERGE + one keyed anti-join DELETE; the purge
+    * rewrites only stats-admitted files; vacuum is manifest-driven
+    * reachability) — the composition would run at 100 TB with the same
+    * plans.
+    */
+  def q146PurgePropagation(spark: SparkSession, dir: String): DataFrame = {
+    val S = graft.sources.SnapshotManifest
+    val orders = t(spark, dir, "orders")
+    val src = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q146s").toString
+    val dst = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q146d").toString
+    val ckpt = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q146c").toString
+    S.commit(spark, src,
+      orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey", "o_custkey"))
+    // churn before the first sync: one price-tripling update commit
+    S.updateWhere(spark, src, col("o_orderkey") % 11 === 0,
+      Map("o_totalprice" -> (col("o_totalprice") * 3)),
+      Seq("o_orderkey", "o_custkey"))
+    graft.sources.ChangeFeed.materializeNew(spark, src, Seq("o_orderkey"))
+    S.cloneTable(spark, src, dst, version = Some(0L))
+    graft.sources.ChangeFeed.replicateAvailableNow(spark, src, dst,
+      Seq("o_orderkey"), ckpt, statsCols = Seq("o_orderkey", "o_custkey"),
+      fromVersion = Some(0L))
+    // THE PURGE: forget every customer in the class, at the source
+    S.deleteWhere(spark, src, col("o_custkey") % 13 === 0,
+      Seq("o_orderkey", "o_custkey"))
+    graft.sources.ChangeFeed.materializeNew(spark, src, Seq("o_orderkey"))
+    // second sync continues from the recorded consumed watermark
+    val replica = graft.sources.ChangeFeed.replicateAvailableNow(spark, src,
+      dst, Seq("o_orderkey"), ckpt,
+      statsCols = Seq("o_orderkey", "o_custkey"))
+    // compliance contract, build-breaking:
+    require(replica.filter(col("o_custkey") % 13 === 0).isEmpty,
+      "q146: replica retains purged keys — the purge did not propagate")
+    val srcNow = S.read(spark, src)
+    require(replica.exceptAll(srcNow).isEmpty &&
+        srcNow.exceptAll(replica).isEmpty,
+      "q146: replica diverged from source after purge propagation")
+    // make the purge durable at the source: one retained version, and the
+    // consumed feed ranges are reclaimed
+    S.vacuum(spark, src, keep = 1)
+    require(S.listVersions(spark, src).size == 1,
+      "q146: vacuum must leave exactly the purged snapshot")
+    graft.sources.ChangeFeed.vacuumFeed(spark, src,
+      S.currentVersion(spark, src).get)
+    require(S.read(spark, src).filter(col("o_custkey") % 13 === 0).isEmpty,
+      "q146: purged keys resurfaced after vacuum")
+    def side(df: DataFrame, s: String) = df
+      .groupBy(lit(s).alias("side"), col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")
+          .alias("sum_price"))
+    side(replica, "replica").unionByName(side(S.read(spark, src), "src"))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -3084,6 +3157,7 @@ object Queries {
     "q142_analyze" -> (q142Analyze _),
     "q143_delta_manifest" -> (q143DeltaManifest _),
     "q144_partitioned_delete" -> (q144PartitionedDelete _),
-    "q145_append_rows" -> (q145AppendRows _)
+    "q145_append_rows" -> (q145AppendRows _),
+    "q146_purge_propagation" -> (q146PurgePropagation _)
   )
 }

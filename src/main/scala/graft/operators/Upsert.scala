@@ -430,9 +430,15 @@ object Upsert {
         s"mergeWhereMoR: PK column $c not in target schema ${targetSchema.fieldNames.mkString(", ")}"))
       // staged realignment is NOT needed for evolution — merge() handles
       // staged-narrower-than-target natively (see mergeWhere)
-      val affected = stagedKeyPredicate(stagedP, pk, maxKeySetSize) match {
-        case Some(p) => ManifestStats.prune(files, SnapshotManifest.bodyStats(body),
-          ManifestStats.resolvePredicate(spark, targetSchema, p)).toSet
+      val keyPred = stagedKeyPredicate(stagedP, pk, maxKeySetSize)
+      // the rebase conflict predicate: winner lines that may hold a staged
+      // key are conflicts; `false` (no non-null staged key) conflicts with
+      // nothing — a pure insert commutes like an append
+      val resolvedKey = ManifestStats.resolvePredicate(spark, targetSchema,
+        keyPred.getOrElse(lit(false)))
+      val affected = keyPred match {
+        case Some(_) => ManifestStats.prune(files,
+          SnapshotManifest.bodyStats(body), resolvedKey).toSet
         case None => Set.empty[String]
       }
       val affectedEntries = entries.zip(files).collect { case (e, f) if affected(f) => e }
@@ -444,9 +450,10 @@ object Upsert {
         .getOrElse(spark.read.parquet(files.head).limit(0))
       if (affectedEntries.isEmpty)
         // no file can hold a staged key: every staged row is an insert
-        return SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
-          body, aligned(merge(emptyTarget, stagedP, pk)), statsCols,
-          "mergeWhereMoR", meta)
+        return SnapshotManifest.publishRetaggedRebased(spark, tableRoot,
+          "mergeWhereMoR", v, body, meta, Map.empty,
+          Some(aligned(merge(emptyTarget, stagedP, pk))), statsCols,
+          resolvedKey)
       val oldDv =
         SnapshotManifest.entryDvPositionsDf(spark, tableRoot, affectedEntries)
           .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -469,9 +476,10 @@ object Upsert {
         // and the sidecar-mentioned basename set (same pipeline as
         // SnapshotManifest.deleteWhereMoR)
         if (matchedTarget.isEmpty)
-          return SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
-            body, aligned(merge(emptyTarget, stagedP, pk)), statsCols,
-            "mergeWhereMoR", meta)
+          return SnapshotManifest.publishRetaggedRebased(spark, tableRoot,
+            "mergeWhereMoR", v, body, meta, Map.empty,
+            Some(aligned(merge(emptyTarget, stagedP, pk))), statsCols,
+            resolvedKey)
         val newPositions = matchedTarget
           .select(col(fCol).alias("file_name"), col(rCol).alias("row_index"))
         val nNew = newPositions.count()
@@ -489,10 +497,11 @@ object Upsert {
         val dvFileNames = dvDf.select(col("file_name")).distinct()
           .collect().map(_.getString(0)).toSet // affected ∪ sidecar-sharing files
         val dvFile = SnapshotManifest.writeDvSidecar(spark, tableRoot, v + 1, dvDf)
-        SnapshotManifest.publishWithAppend(spark, tableRoot, v + 1,
-          SnapshotManifest.dvTagLines(entries.zip(files), affected,
+        SnapshotManifest.publishRetaggedRebased(spark, tableRoot,
+          "mergeWhereMoR", v, body, meta,
+          SnapshotManifest.retagMap(body, entries.zip(files), affected,
             dvFileNames, dvFile),
-          aligned(mergedAppend), statsCols, "mergeWhereMoR", meta)
+          Some(aligned(mergedAppend)), statsCols, resolvedKey)
       } finally {
         matchedTarget.unpersist(false)
         oldDv.foreach(_.unpersist(false))

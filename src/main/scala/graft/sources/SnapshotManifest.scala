@@ -385,6 +385,25 @@ object SnapshotManifest {
     }
   }
 
+  /** [[dvTagLines]] as a RAW-line → tagged-line map — the rebase-friendly
+    * form ([[publishRetaggedRebased]] re-applies it onto a winner's body,
+    * so keys must be the manifest's literal lines, not re-renders).
+    */
+  private[graft] def retagMap(body: Seq[String],
+      entriesWithFiles: Seq[(ManifestEntry, String)], affected: Set[String],
+      dvFileNames: Set[String], dvFile: String): Map[String, String] = {
+    val dupNames = entriesWithFiles.map(e => new Path(e._1.rel).getName)
+      .groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    require(dupNames.isEmpty,
+      s"deletion-vector tagging requires manifest-wide unique file " +
+        s"basenames; duplicated: ${dupNames.take(3).mkString(", ")}")
+    body.zip(entriesWithFiles).collect {
+      case (raw, (e, f))
+          if affected(f) && dvFileNames.contains(new Path(e.rel).getName) =>
+        raw -> e.copy(dvRel = Some(dvFile)).render
+    }.toMap
+  }
+
   /** Table-level metadata carried in the manifest HEADER, beside the
     * version tag: the recorded schema (an [[addColumns]] widening), the
     * bloom-indexed columns (point-lookup pruning, see [[commit]]'s
@@ -1156,8 +1175,8 @@ object SnapshotManifest {
     if (body.isEmpty) return v
     val files = body.map(bodyFile(root, _))
     val schema = meta.schema.getOrElse(spark.read.parquet(files.head).schema)
-    val affected = ManifestStats.prune(files, bodyStats(body),
-      ManifestStats.resolvePredicate(spark, schema, predicate)).toSet
+    val resolved = ManifestStats.resolvePredicate(spark, schema, predicate)
+    val affected = ManifestStats.prune(files, bodyStats(body), resolved).toSet
     if (affected.isEmpty) return v
     val entriesWithFiles = body.map(parseLine).zip(files)
     val affectedEntries = entriesWithFiles.collect { case (e, f) if affected(f) => e }
@@ -1195,9 +1214,9 @@ object SnapshotManifest {
       val dvFileNames = dvDf.select(col("file_name")).distinct()
         .collect().map(_.getString(0)).toSet
       val dvFile = writeDvSidecar(spark, root, v + 1, dvDf)
-      publishLines(spark, root, v + 1,
-        dvTagLines(entriesWithFiles, affected, dvFileNames, dvFile),
-        "deleteWhereMoR", meta)
+      publishRetaggedRebased(spark, root, "deleteWhereMoR", v, body, meta,
+        retagMap(body, entriesWithFiles, affected, dvFileNames, dvFile),
+        None, Nil, resolved)
     } finally {
       newMatches.unpersist(false)
       oldDv.foreach(_.unpersist(false))
@@ -1234,8 +1253,8 @@ object SnapshotManifest {
     val schema = meta.schema.getOrElse(spark.read.parquet(files.head).schema)
     assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"updateWhereMoR: SET column '$c' not in ${schema.fieldNames.mkString(", ")}"))
-    val affected = ManifestStats.prune(files, bodyStats(body),
-      ManifestStats.resolvePredicate(spark, schema, predicate)).toSet
+    val resolved = ManifestStats.resolvePredicate(spark, schema, predicate)
+    val affected = ManifestStats.prune(files, bodyStats(body), resolved).toSet
     if (affected.isEmpty) return v
     val entriesWithFiles = body.map(parseLine).zip(files)
     val affectedEntries = entriesWithFiles.collect { case (e, f) if affected(f) => e }
@@ -1270,9 +1289,9 @@ object SnapshotManifest {
       val dvFileNames = dvDf.select(col("file_name")).distinct()
         .collect().map(_.getString(0)).toSet // affected ∪ sidecar-sharing files
       val dvFile = writeDvSidecar(spark, root, v + 1, dvDf)
-      publishWithAppend(spark, root, v + 1,
-        dvTagLines(entriesWithFiles, affected, dvFileNames, dvFile), postImages,
-        statsCols, "updateWhereMoR", meta)
+      publishRetaggedRebased(spark, root, "updateWhereMoR", v, body, meta,
+        retagMap(body, entriesWithFiles, affected, dvFileNames, dvFile),
+        Some(postImages), statsCols, resolved)
     } finally {
       matched.unpersist(false)
       oldDv.foreach(_.unpersist(false))
@@ -1758,6 +1777,63 @@ object SnapshotManifest {
             s"$op: lost the race for version ${v + 1} on $root — winner is " +
               s"file-disjoint and predicate-disjoint, rebasing the staged " +
               s"rewrite onto version $wv")
+          v = wv
+          body = wBody
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The merge-on-read commit point with the same file-disjoint rebase as
+    * [[publishRebased]]: the MoR verbs MUTATE lines (a new `dv=` ref on
+    * each affected file) rather than remove+add, so the rebase carries the
+    * winner's body and re-applies the `retag` map (old raw line →
+    * dv-tagged line). Sound under the same gates — the winner's metadata
+    * is unchanged, every retagged line's OLD form is still in the winner's
+    * body verbatim (a fold/rewrite of an affected file invalidates the
+    * staged positions), and the winner's added/changed lines are
+    * stats-proven disjoint from the predicate (else the mask would miss
+    * rows a serial re-run had masked). The optional `appendDf`
+    * ([[updateWhereMoR]]'s post-images) stages exactly once.
+    */
+  private[graft] def publishRetaggedRebased(spark: SparkSession, root: String,
+      op: String, baseVersion: Long, baseBody: Seq[String], meta: TableMeta,
+      retag: Map[String, String], appendDf: Option[DataFrame],
+      statsCols: Seq[String],
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression,
+      maxRebases: Int = 5): Long = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val staged = appendDf match {
+      case Some(df) =>
+        writeDataFiles(spark, fs, rootPath, baseVersion + 1, df, statsCols,
+          meta)._2
+      case None => Nil
+    }
+    val baseSet = baseBody.toSet
+    var v = baseVersion
+    var body = baseBody
+    var attempts = 0
+    while (true) {
+      val lines = body.map(l => retag.getOrElse(l, l)) ++ staged
+      try return publishLines(spark, root, v + 1, lines, op, meta)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > maxRebases) throw e
+          val wv = currentVersion(spark, root).getOrElse(throw e)
+          val (wBody, wMeta) = manifestParts(spark, root, wv)
+          val wSet = wBody.toSet
+          val sound = wMeta == meta &&
+            retag.keys.forall(wSet.contains) &&
+            wBody.filterNot(baseSet).forall { line =>
+              parseLine(line).stats.exists(json =>
+                !ManifestStats.mayMatch(resolved, ManifestStats.fromJson(json)))
+            }
+          if (!sound) throw e
+          graft.core.Logging.logger().info(
+            s"$op: lost the race for version ${v + 1} on $root — winner is " +
+              "disjoint from every DV-tagged file and from the predicate, " +
+              s"re-applying the staged deletion vector onto version $wv")
           v = wv
           body = wBody
       }

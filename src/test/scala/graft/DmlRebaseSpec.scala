@@ -152,6 +152,54 @@ class DmlRebaseSpec extends SparkSpec {
     } finally pool.shutdownNow()
   }
 
+  test("racing disjoint MoR deletes both land without a retry wrapper; masks compose") {
+    val root = freshTable()
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      def racer(pred: org.apache.spark.sql.Column) = pool.submit(new Callable[Long] {
+        def call(): Long = { start.await(); SnapshotManifest.deleteWhereMoR(spark, root, pred) }
+      })
+      val a = racer(col("id") < 5L)
+      val b = racer(col("id") >= 100L && col("id") < 105L)
+      start.countDown()
+      val (va, vb) = (a.get(60, TimeUnit.SECONDS), b.get(60, TimeUnit.SECONDS))
+      assert(Set(va, vb) == Set(1L, 2L), s"both MoR deletes must commit: $va, $vb")
+      assert(ids(root) == ((5L until 100L) ++ (105L until 200L)).toSet)
+      // and the masks FOLD correctly after the race
+      SnapshotManifest.foldDeletes(spark, root)
+      assert(ids(root) == ((5L until 100L) ++ (105L until 200L)).toSet)
+    } finally pool.shutdownNow()
+  }
+
+  test("racing disjoint MoR merges both land without a retry wrapper") {
+    val root = freshTable()
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      def racer(df: org.apache.spark.sql.DataFrame) = pool.submit(new Callable[Long] {
+        def call(): Long = {
+          start.await()
+          graft.operators.Upsert.mergeWhereMoR(spark, root, df, Seq("id"), Seq("id"))
+        }
+      })
+      // keys stay INSIDE each merge's own file range: the appended
+      // post-merge file's stats span the batch keys, and a batch spanning
+      // the other's keys is a provable-conflict (correctly refused)
+      val a = racer(Seq((0L, "A0"), (10L, "A1")).toDF("id", "x"))
+      val b = racer(Seq((150L, "B0"), (160L, "B1")).toDF("id", "x"))
+      start.countDown()
+      val (va, vb) = (a.get(60, TimeUnit.SECONDS), b.get(60, TimeUnit.SECONDS))
+      assert(Set(va, vb) == Set(1L, 2L), s"both MoR merges must commit: $va, $vb")
+      val got = SnapshotManifest.read(spark, root)
+        .as[(Long, String)].collect().toMap
+      assert(got.size == 200)
+      assert(got(0L) == "A0" && got(10L) == "A1")
+      assert(got(150L) == "B0" && got(160L) == "B1")
+      assert(got(1L) == "v1")
+    } finally pool.shutdownNow()
+  }
+
   test("overlapping deletes under the retry wrapper stay serializable") {
     val root = freshTable()
     val start = new CountDownLatch(1)
