@@ -1345,9 +1345,17 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
-    // Multi-writer append (q145): base + two appended slices reassemble
-    // the full fixture with the middle slice's custkey shifted — a
-    // dropped, doubled, or mis-sliced append shifts the integer sums.
+    // Idempotent append (q147): the replayed middle slice lands ONCE, so
+    // the oracle is simply the single-copy reassembly — a double-append
+    // doubles its counts and shifts every sum.
+    "q147_idempotent_append" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // Purge propagation (q146): survivors = orders minus the purged
     // customer class, with the pre-purge update (keys ≡0 mod 11 → ×3)
     // applied; replica and source must agree exactly.
@@ -1366,6 +1374,9 @@ object Oracles {
         |FROM sides GROUP BY side, o_orderstatus
         |ORDER BY side, o_orderstatus""".stripMargin,
 
+    // Multi-writer append (q145): base + two appended slices reassemble
+    // the full fixture with the middle slice's custkey shifted — a
+    // dropped, doubled, or mis-sliced append shifts the integer sums.
     "q145_append_rows" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CASE WHEN o_orderkey > 10000 AND o_orderkey <= 20000

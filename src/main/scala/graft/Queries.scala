@@ -3008,6 +3008,47 @@ object Queries {
       .orderBy(col("side"), col("o_orderstatus"))
   }
 
+  /** Idempotent batch appends ([[graft.sources.SnapshotManifest
+    * .appendRowsIdempotent]] — Delta's txnAppId/txnVersion for the batch
+    * re-run case): the middle slice is appended TWICE under the same
+    * `(appId, txnVersion)` — orchestrator retry after a driver death —
+    * and must land ONCE; a duplicate landing doubles the middle slice's
+    * counts and shifts every sum (the oracle is the single-copy
+    * reassembly). In-query REQUIREs pin the mechanism, not just the
+    * numbers: the replay commits NOTHING (version unchanged), the next
+    * txnVersion advances, and the recorded high-mark reads back.
+    */
+  def q147IdempotentAppend(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q147").toString
+    val S = graft.sources.SnapshotManifest
+    val base = orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    S.commit(spark, root, base.filter(col("o_orderkey") <= 10000),
+      Seq("o_orderkey"))
+    val mid = base
+      .filter(col("o_orderkey") > 10000 && col("o_orderkey") <= 20000)
+    val v1 = S.appendRowsIdempotent(spark, root, mid, "q147_load", 1L,
+      Seq("o_orderkey"))
+    // the driver died after the commit; the orchestrator re-runs batch 1
+    val v1b = S.appendRowsIdempotent(spark, root, mid, "q147_load", 1L,
+      Seq("o_orderkey"))
+    require(v1 == 1L && v1b == 1L,
+      "q147: the replayed batch must commit nothing")
+    val v2 = S.appendRowsIdempotent(spark, root,
+      base.filter(col("o_orderkey") > 20000), "q147_load", 2L,
+      Seq("o_orderkey"))
+    require(v2 == 2L, "q147: the NEXT txnVersion must land as one version")
+    require(S.txnVersion(spark, root, "q147_load").contains(2L),
+      "q147: recorded txn high-mark must read back")
+    S.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_custkey")).alias("sum_cust"),
+        min(col("o_orderkey")).alias("min_key"),
+        max(col("o_orderkey")).alias("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -3158,6 +3199,7 @@ object Queries {
     "q143_delta_manifest" -> (q143DeltaManifest _),
     "q144_partitioned_delete" -> (q144PartitionedDelete _),
     "q145_append_rows" -> (q145AppendRows _),
-    "q146_purge_propagation" -> (q146PurgePropagation _)
+    "q146_purge_propagation" -> (q146PurgePropagation _),
+    "q147_idempotent_append" -> (q147IdempotentAppend _)
   )
 }

@@ -370,24 +370,13 @@ object SnapshotManifest {
     * ASSERTED here (driver-side, manifest already in memory) rather than
     * trusted.
     */
-  private[graft] def dvTagLines(entriesWithFiles: Seq[(ManifestEntry, String)],
-      affected: Set[String], dvFileNames: Set[String],
-      dvFile: String): Seq[String] = {
-    val dupNames = entriesWithFiles.map(e => new Path(e._1.rel).getName)
-      .groupBy(identity).collect { case (n, g) if g.size > 1 => n }
-    require(dupNames.isEmpty,
-      s"deletion-vector tagging requires manifest-wide unique file " +
-        s"basenames; duplicated: ${dupNames.take(3).mkString(", ")}")
-    entriesWithFiles.map { case (e, f) =>
-      if (affected(f) && dvFileNames.contains(new Path(e.rel).getName))
-        e.copy(dvRel = Some(dvFile)).render
-      else e.render
-    }
-  }
-
-  /** [[dvTagLines]] as a RAW-line → tagged-line map — the rebase-friendly
-    * form ([[publishRetaggedRebased]] re-applies it onto a winner's body,
-    * so keys must be the manifest's literal lines, not re-renders).
+  /** The deletion-vector tagging step as a RAW-line → tagged-line map —
+    * each affected file's line gains a `dv=` ref to the freshly-written
+    * sidecar. A MAP (keys = the manifest's literal lines, not re-renders)
+    * because [[publishRetaggedRebased]] re-applies it onto a concurrent
+    * winner's body on a rebase. Basename uniqueness is ASSERTED rather
+    * than trusted: DV identity keys on basename, so a collision would
+    * silently cross-assign one file's deleted positions to another.
     */
   private[graft] def retagMap(body: Seq[String],
       entriesWithFiles: Seq[(ManifestEntry, String)], affected: Set[String],
@@ -442,7 +431,8 @@ object SnapshotManifest {
 
   private[graft] final case class TableMeta(schema: Option[StructType],
       bloomCols: Seq[String], pk: Seq[String] = Nil,
-      partitionCols: Seq[String] = Nil)
+      partitionCols: Seq[String] = Nil,
+      txns: Map[String, Long] = Map.empty)
 
   private[graft] object TableMeta {
     val empty: TableMeta = TableMeta(None, Nil, Nil, Nil)
@@ -475,7 +465,23 @@ object SnapshotManifest {
        else s"bloom=${colsJson(meta.bloomCols)}\n") +
       (if (meta.pk.isEmpty) "" else s"pk=${colsJson(meta.pk)}\n") +
       (if (meta.partitionCols.isEmpty) ""
-       else s"partition=${colsJson(meta.partitionCols)}\n")
+       else s"partition=${colsJson(meta.partitionCols)}\n") +
+      (if (meta.txns.isEmpty) "" else s"txn=${txnsJson(meta.txns)}\n")
+
+  private def txnsJson(txns: Map[String, Long]): String = {
+    val obj = jsonMapper.createObjectNode()
+    txns.toSeq.sortBy(_._1).foreach { case (k, v) => obj.put(k, v) }
+    jsonMapper.writeValueAsString(obj)
+  }
+
+  private def txnsFromJson(s: String): Map[String, Long] = {
+    val n = jsonMapper.readTree(s)
+    require(n.isObject, s"corrupt txn header: $s")
+    val it = n.fields()
+    val b = Map.newBuilder[String, Long]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
+    b.result()
+  }
 
   /** Atomically publish version `next` with exactly `lines` — the
     * append-free MoR publish ([[deleteWhereMoR]]'s commit point).
@@ -898,7 +904,7 @@ object SnapshotManifest {
     * tables carrying it (see [[manifestBase]]).
     */
   private val HeaderKeys =
-    Seq("version=", "schema=", "bloom=", "pk=", "partition=")
+    Seq("version=", "schema=", "bloom=", "pk=", "partition=", "txn=")
 
   private def manifestBase(spark: SparkSession, root: String,
       version: Long): Option[Long] = {
@@ -1012,7 +1018,8 @@ object SnapshotManifest {
     val (bloomLines, rest2) = rest.partition(_.startsWith("bloom="))
     val (pkLines, rest3) = rest2.partition(_.startsWith("pk="))
     val (partLines, rest4) = rest3.partition(_.startsWith("partition="))
-    val (baseLines, rawBody) = rest4.partition(_.startsWith("base="))
+    val (txnLines, rest5) = rest4.partition(_.startsWith("txn="))
+    val (baseLines, rawBody) = rest5.partition(_.startsWith("base="))
     val meta = TableMeta(
       schemaLines.headOption.map(l =>
         org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("schema="))
@@ -1022,7 +1029,9 @@ object SnapshotManifest {
       pkLines.headOption.map(l => colsFromJson(l.stripPrefix("pk=")))
         .getOrElse(Nil),
       partLines.headOption.map(l => colsFromJson(l.stripPrefix("partition=")))
-        .getOrElse(Nil))
+        .getOrElse(Nil),
+      txnLines.headOption.map(l => txnsFromJson(l.stripPrefix("txn=")))
+        .getOrElse(Map.empty))
     val body = baseLines.headOption match {
       case None => rawBody
       case Some(bl) =>
@@ -1751,14 +1760,35 @@ object SnapshotManifest {
       baseVersion: Long, baseBody: Seq[String], baseMeta: TableMeta,
       removedLines: Set[String], newLines: Seq[String],
       resolved: org.apache.spark.sql.catalyst.expressions.Expression,
-      maxRebases: Int = 5): Long = {
+      maxRebases: Int = 5): Long =
+    rebaseLoop(spark, root, op, baseVersion, baseBody, baseMeta,
+      mustSurvive = removedLines,
+      composeLines = b => b.filterNot(removedLines) ++ newLines,
+      resolved, maxRebases)
+
+  /** The ONE rebase state machine both commit points share
+    * ([[publishRebased]] removes+adds lines, [[publishRetaggedRebased]]
+    * mutates them) — a soundness-gate fix here covers both. Gates, all
+    * conservative (anything unprovable rethrows for the caller's full
+    * re-run): winner metadata unchanged; every line in `mustSurvive`
+    * still in the winner's body VERBATIM; every winner-added/changed
+    * line stats-proven disjoint from `resolved`; and the candidate
+    * rebased manifest keeps BASENAMES unique manifest-wide (DV and stats
+    * identity key on basename — a collision between a winner-added file
+    * and a staged/DV-referenced one would silently cross-mask rows, the
+    * exact hazard the MoR tagging asserts against on the base body).
+    */
+  private def rebaseLoop(spark: SparkSession, root: String, op: String,
+      baseVersion: Long, baseBody: Seq[String], meta: TableMeta,
+      mustSurvive: Set[String], composeLines: Seq[String] => Seq[String],
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression,
+      maxRebases: Int): Long = {
     val baseSet = baseBody.toSet
     var v = baseVersion
     var body = baseBody
     var attempts = 0
     while (true) {
-      val kept = body.filterNot(removedLines)
-      try return publishLines(spark, root, v + 1, kept ++ newLines, op, baseMeta)
+      try return publishLines(spark, root, v + 1, composeLines(body), op, meta)
       catch {
         case e: ConcurrentCommitException =>
           attempts += 1
@@ -1766,17 +1796,22 @@ object SnapshotManifest {
           val wv = currentVersion(spark, root).getOrElse(throw e)
           val (wBody, wMeta) = manifestParts(spark, root, wv)
           val wSet = wBody.toSet
-          val sound = wMeta == baseMeta &&
-            removedLines.forall(wSet.contains) &&
+          def uniqueBasenames: Boolean = {
+            val names = composeLines(wBody)
+              .map(l => new Path(parseLine(l).rel).getName)
+            names.distinct.size == names.size
+          }
+          val sound = wMeta == meta &&
+            mustSurvive.forall(wSet.contains) &&
             wBody.filterNot(baseSet).forall { line =>
               parseLine(line).stats.exists(json =>
                 !ManifestStats.mayMatch(resolved, ManifestStats.fromJson(json)))
-            }
+            } && uniqueBasenames
           if (!sound) throw e
           graft.core.Logging.logger().info(
             s"$op: lost the race for version ${v + 1} on $root — winner is " +
               s"file-disjoint and predicate-disjoint, rebasing the staged " +
-              s"rewrite onto version $wv")
+              s"work onto version $wv")
           v = wv
           body = wBody
       }
@@ -1809,36 +1844,10 @@ object SnapshotManifest {
           meta)._2
       case None => Nil
     }
-    val baseSet = baseBody.toSet
-    var v = baseVersion
-    var body = baseBody
-    var attempts = 0
-    while (true) {
-      val lines = body.map(l => retag.getOrElse(l, l)) ++ staged
-      try return publishLines(spark, root, v + 1, lines, op, meta)
-      catch {
-        case e: ConcurrentCommitException =>
-          attempts += 1
-          if (attempts > maxRebases) throw e
-          val wv = currentVersion(spark, root).getOrElse(throw e)
-          val (wBody, wMeta) = manifestParts(spark, root, wv)
-          val wSet = wBody.toSet
-          val sound = wMeta == meta &&
-            retag.keys.forall(wSet.contains) &&
-            wBody.filterNot(baseSet).forall { line =>
-              parseLine(line).stats.exists(json =>
-                !ManifestStats.mayMatch(resolved, ManifestStats.fromJson(json)))
-            }
-          if (!sound) throw e
-          graft.core.Logging.logger().info(
-            s"$op: lost the race for version ${v + 1} on $root — winner is " +
-              "disjoint from every DV-tagged file and from the predicate, " +
-              s"re-applying the staged deletion vector onto version $wv")
-          v = wv
-          body = wBody
-      }
-    }
-    throw new IllegalStateException("unreachable")
+    rebaseLoop(spark, root, op, baseVersion, baseBody, meta,
+      mustSurvive = retag.keySet,
+      composeLines = b => b.map(l => retag.getOrElse(l, l)) ++ staged,
+      resolved, maxRebases)
   }
 
   /** [[publishVersion]]'s rebase-aware twin: stage `df` once, then publish
@@ -2005,7 +2014,7 @@ object SnapshotManifest {
     // file a task writes `part-<taskid>-<jobuuid>...` — IDENTICALLY across
     // the partition dirs that task holds — while manifest stats and DV
     // identity key on BASENAME (asserted manifest-wide unique in
-    // [[dvTagLines]]). A collision would silently cross-assign one file's
+    // [[retagMap]]). A collision would silently cross-assign one file's
     // stats/deletion-vector to another, so partitioned staging SALTS each
     // basename unique before anything records it. The rename loop is
     // O(files of THIS commit) driver-side metadata calls against a staging
@@ -2347,8 +2356,11 @@ object SnapshotManifest {
       else carried(prior.partitionCols, "partition"))
     stageAndPublish(spark, fs, rootPath, next, df, statsCols, Nil,
       "commit", requireFiles = true,
+      // txn records carry unconditionally (no columns to lose): an
+      // idempotent pipeline's exactly-once guarantee must survive a full
+      // overwrite exactly as it survives every DML verb
       meta = TableMeta(None, blooms, frameCased(carried(prior.pk, "primary-key")),
-        parts))
+        parts, prior.txns))
   }
 
   /** [[commit]] gated by declarative quality expectations — CHECK
@@ -2474,6 +2486,81 @@ object SnapshotManifest {
       }
       publishLines(spark, root, v + 1, body ++ lines, "appendRowsWithRetry",
         meta)
+    }
+  }
+
+  /** The highest transaction version recorded for `appId`, if any — the
+    * read half of [[appendRowsIdempotent]]'s exactly-once contract (an
+    * orchestrator can ask "did run N land?" without a data read).
+    */
+  def txnVersion(spark: SparkSession, root: String,
+      appId: String): Option[Long] =
+    currentVersion(spark, root).flatMap(v =>
+      manifestParts(spark, root, v)._2.txns.get(appId))
+
+  /** [[appendRows]] with EXACTLY-ONCE semantics per `(appId, txnVersion)`
+    * — the idempotent-writes contract (Delta's txnAppId/txnVersion) for
+    * BATCH pipelines that re-run after a driver death or an orchestrator
+    * retry: the manifest header records the highest txnVersion committed
+    * per appId (carried by every verb, full commits included), and an
+    * append at or below the recorded version SKIPS — returns the current
+    * version, lands nothing — instead of double-appending the batch.
+    * Pass a version that increases with the batch (a run date, an offset
+    * high-mark); re-running yesterday's job is then free. Streaming paths
+    * have their own marker-log contract; this is the batch twin.
+    *
+    * Built on the staged-reuse retry: rows are written once, and a lost
+    * race re-publishes the same staged files with the txn record merged
+    * onto the winner's metadata. Two instances of the SAME app racing the
+    * SAME version resolve to exactly one landed append — the loser's
+    * retry observes the recorded txn and skips (its staged dir is
+    * unreferenced vacuum garbage).
+    */
+  def appendRowsIdempotent(spark: SparkSession, root: String, df: DataFrame,
+      appId: String, txnVersion: Long, statsCols: Seq[String] = Nil,
+      maxAttempts: Int = 5,
+      backoff: Int => FiniteDuration = Retry.linearBackoff(1.second),
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Long = {
+    require(appId.nonEmpty && !appId.exists(c => c == '\n' || c == '\r'),
+      "appendRowsIdempotent: appId must be non-empty and newline-free")
+    val (fs, rootPath) = fsOf(spark, root)
+    var staged: Option[(TableMeta, Seq[String])] = None
+    Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
+      maxAttempts, backoff, sleep) {
+      val v = currentVersion(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"appendRowsIdempotent: no committed snapshot under $root — " +
+            "create the table with commit(...) first"))
+      val (body, meta) = manifestParts(spark, root, v)
+      if (meta.txns.get(appId).exists(_ >= txnVersion)) {
+        graft.core.Logging.logger().info(
+          s"appendRowsIdempotent: ($appId, $txnVersion) already committed " +
+            s"on $root (recorded ${meta.txns(appId)}) — skipping" +
+            staged.fold("")(_ => " (staged files from the lost attempt " +
+              "are unreferenced vacuum garbage)"))
+        v
+      } else {
+        requireAppendCompatible(spark, root, body, meta, df,
+          "appendRowsIdempotent")
+        val lines = staged match {
+          case Some((m, l)) if m.schema == meta.schema &&
+              m.partitionCols == meta.partitionCols &&
+              m.bloomCols == meta.bloomCols => l
+          case prior =>
+            prior.foreach { _ =>
+              graft.core.Logging.logger().warn(
+                "appendRowsIdempotent: table metadata changed under a lost " +
+                  s"race on $root — re-staging the append")
+            }
+            val (_, l) = writeDataFiles(spark, fs, rootPath, v + 1, df,
+              statsCols, meta)
+            staged = Some((meta, l))
+            l
+        }
+        publishLines(spark, root, v + 1, body ++ lines,
+          "appendRowsIdempotent",
+          meta.copy(txns = meta.txns + (appId -> txnVersion)))
+      }
     }
   }
 

@@ -200,6 +200,63 @@ class DmlRebaseSpec extends SparkSpec {
     } finally pool.shutdownNow()
   }
 
+  test("property: random disjoint-file verb pairs raced WITHOUT retry all land; table tracks the model") {
+    val rnd = new scala.util.Random(20260815L)
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      spark.range(0, 400).toDF("id").withColumn("x", concat(lit("v"), col("id")))
+        .repartitionByRange(20, col("id")), Seq("id"))
+    val model = scala.collection.mutable.Map(
+      (0L until 400L).map(i => i -> s"v$i"): _*)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      (1 to 4).foreach { round =>
+        // two DISJOINT key ranges in two different 20-wide range files
+        val Seq(fa, fb) = rnd.shuffle((0 until 20).toList).take(2)
+        def range(f: Int) = { val lo = 20L * f + rnd.nextInt(6); (lo, lo + 5) }
+        val (aLo, aHi) = range(fa)
+        val (bLo, bHi) = range(fb)
+        val start = new CountDownLatch(1)
+        def verb(lo: Long, hi: Long, kind: Int): () => Unit = kind match {
+          case 0 => () => { SnapshotManifest.deleteWhere(spark, root,
+            col("id") >= lo && col("id") < hi, Seq("id")); () }
+          case 1 => () => { SnapshotManifest.updateWhere(spark, root,
+            col("id") >= lo && col("id") < hi,
+            Map("x" -> concat(lit(s"u$round-"), col("id"))), Seq("id")); () }
+          case 2 => () => { graft.operators.Upsert.mergeWhere(spark, root,
+            spark.range(lo, hi).toDF("id")
+              .withColumn("x", concat(lit(s"m$round-"), col("id"))),
+            Seq("id"), Seq("id")); () }
+          case 3 => () => { SnapshotManifest.deleteWhereMoR(spark, root,
+            col("id") >= lo && col("id") < hi); () }
+          case _ => () => { SnapshotManifest.updateWhereMoR(spark, root,
+            col("id") >= lo && col("id") < hi,
+            Map("x" -> concat(lit(s"w$round-"), col("id"))), Seq("id")); () }
+        }
+        def applyModel(lo: Long, hi: Long, kind: Int): Unit = kind match {
+          case 0 | 3 => (lo until hi).foreach(model.remove)
+          case 1 => (lo until hi).foreach(i =>
+            if (model.contains(i)) model(i) = s"u$round-$i")
+          case 2 => (lo until hi).foreach(i => model(i) = s"m$round-$i")
+          case _ => (lo until hi).foreach(i =>
+            if (model.contains(i)) model(i) = s"w$round-$i")
+        }
+        val (ka, kb) = (rnd.nextInt(5), rnd.nextInt(5))
+        val fa2 = pool.submit(new Callable[Unit] {
+          def call(): Unit = { start.await(); verb(aLo, aHi, ka)() } })
+        val fb2 = pool.submit(new Callable[Unit] {
+          def call(): Unit = { start.await(); verb(bLo, bHi, kb)() } })
+        start.countDown()
+        fa2.get(120, TimeUnit.SECONDS); fb2.get(120, TimeUnit.SECONDS)
+        applyModel(aLo, aHi, ka); applyModel(bLo, bHi, kb)
+        val got = SnapshotManifest.read(spark, root)
+          .as[(Long, String)].collect().toMap
+        assert(got == model.toMap,
+          s"round $round diverged (verbs $ka@[$aLo,$aHi) / $kb@[$bLo,$bHi))")
+      }
+    } finally pool.shutdownNow()
+  }
+
   test("overlapping deletes under the retry wrapper stay serializable") {
     val root = freshTable()
     val start = new CountDownLatch(1)
