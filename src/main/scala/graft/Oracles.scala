@@ -1345,6 +1345,17 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Small-file compaction (q148): the bulk + four tail slices reassemble
+    // ALL of orders; a dropped/doubled tail batch or a botched compaction
+    // rewrite shifts the sums (mechanism pinned by in-query REQUIREs).
+    "q148_small_file_compaction" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // Idempotent append (q147): the replayed middle slice lands ONCE, so
     // the oracle is simply the single-copy reassembly — a double-append
     // doubles its counts and shifts every sum.

@@ -3049,6 +3049,56 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Small-file compaction ([[graft.sources.SnapshotManifest
+    * .compactSmallFiles]]) — the nightly maintenance shape at 100 TB:
+    * only the micro-batch ingest TAIL rewrites; the healthy bulk's
+    * manifest lines carry byte-for-byte. In-query REQUIREs pin the
+    * mechanism: the bulk file's line survives VERBATIM (a full-table
+    * rewrite is a build break), the tail's file count collapses, and a
+    * second pass is a committed-nothing no-op. Gated output: the
+    * reassembled per-status report — a dropped or doubled tail batch
+    * shifts the sums.
+    */
+  def q148SmallFileCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q148").toString
+    val S = graft.sources.SnapshotManifest
+    val base = orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    // the healthy bulk (every even key — one well-sized file) vs four
+    // straggler tail appends (odd residues mod 8): scale-independent
+    // slicing, each tail ~¼ of the bulk's rows so the size cut is sharp
+    S.commit(spark, root,
+      base.filter(col("o_orderkey") % 2 === 0).repartition(1), Seq("o_orderkey"))
+    Seq(1L, 3L, 5L, 7L).foreach { r =>
+      S.appendRows(spark, root,
+        base.filter(col("o_orderkey") % 8 === r).repartition(1), Seq("o_orderkey"))
+    }
+    val before = S.manifestBody(spark, root, 4L)
+    val (fs, _) = (new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration), ())
+    val sizes = before.map(l =>
+      l -> fs.getFileStatus(new org.apache.hadoop.fs.Path(S.bodyFile(root, l))).getLen)
+    val bulkLine = sizes.maxBy(_._2)._1
+    val cut = sizes.map(_._2).max // tail files are all strictly smaller
+    val v = S.compactSmallFiles(spark, root, smallBytes = cut,
+      targetBytes = 512L * 1024 * 1024)
+    require(v.contains(5L), "q148: the tail compaction must land as one version")
+    val after = S.manifestBody(spark, root, 5L)
+    require(after.contains(bulkLine),
+      "q148: the healthy bulk was rewritten — small-file compaction must not touch it")
+    require(after.size == 2,
+      s"q148: expected bulk + one compacted tail file, got ${after.size}")
+    require(S.compactSmallFiles(spark, root, smallBytes = cut).isEmpty,
+      "q148: a re-run with nothing to do must commit nothing")
+    S.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_custkey")).alias("sum_cust"),
+        min(col("o_orderkey")).alias("min_key"),
+        max(col("o_orderkey")).alias("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -3200,6 +3250,7 @@ object Queries {
     "q144_partitioned_delete" -> (q144PartitionedDelete _),
     "q145_append_rows" -> (q145AppendRows _),
     "q146_purge_propagation" -> (q146PurgePropagation _),
-    "q147_idempotent_append" -> (q147IdempotentAppend _)
+    "q147_idempotent_append" -> (q147IdempotentAppend _),
+    "q148_small_file_compaction" -> (q148SmallFileCompaction _)
   )
 }

@@ -163,7 +163,10 @@ object Layout {
       if (meta.partitionCols.isEmpty) zOrderByN(base, zCols, bits, numFiles)
       else base.select(col("*"),
         SnapshotManifest.clusterSortMarker(zValueFor(base, zCols, bits)))
-    // the bloom property survives OPTIMIZE, like stats do
-    SnapshotManifest.commit(spark, root, frame, statsCols, meta.bloomCols)
+    // MAINTENANCE commit: every table property (recorded schema, bloom,
+    // pk, partitioning, txn records) survives OPTIMIZE like stats do, and
+    // a concurrent append rebases on instead of failing the re-layout
+    SnapshotManifest.maintenanceCommit(spark, root, "optimizeSnapshot", v,
+      body, meta, frame, statsCols)
   }
 }

@@ -1764,7 +1764,44 @@ object SnapshotManifest {
     rebaseLoop(spark, root, op, baseVersion, baseBody, baseMeta,
       mustSurvive = removedLines,
       composeLines = b => b.filterNot(removedLines) ++ newLines,
-      resolved, maxRebases)
+      winnerLineOk = statsDisjoint(resolved), maxRebases)
+
+  /** The winner-added-line gate for PREDICATED rebases: the line's stats
+    * must PROVE the verb's predicate matches none of its rows (stats-less
+    * lines are conservatively conflicts).
+    */
+  private def statsDisjoint(
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression)
+      (line: String): Boolean =
+    parseLine(line).stats.exists(json =>
+      !ManifestStats.mayMatch(resolved, ManifestStats.fromJson(json)))
+
+  /** Maintenance (compaction / OPTIMIZE ZORDER) commit point: the verb
+    * rewrites exactly the base body into `newLines`, carrying ANY
+    * winner-added lines verbatim — maintenance has no predicate, so a
+    * concurrent APPEND never conflicts with it (Delta's
+    * OPTIMIZE-commutes-with-ingest property). A winner that REWROTE or
+    * removed one of the base lines (DML, another maintenance run) is a
+    * genuine conflict — the staged rewrite was computed from superseded
+    * rows — and rethrows for the caller's full re-run.
+    */
+  private[graft] def publishMaintenanceRebased(spark: SparkSession,
+      root: String, op: String, baseVersion: Long, baseBody: Seq[String],
+      meta: TableMeta, newLines: Seq[String], maxRebases: Int = 5): Long = {
+    val baseSet = baseBody.toSet
+    // the full-body rewrite MATERIALIZES any declared widening into the
+    // new files, so the schema header RETIRES (its job is done; keeping
+    // it would let it drift from what the files carry) — every other
+    // property (bloom, pk, partition, txn records) survives. Corollary:
+    // on a schema-declared table the rebase gate (wMeta == meta) never
+    // proves, so a lost race falls back to the loud re-run — conservative
+    // and correct.
+    rebaseLoop(spark, root, op, baseVersion, baseBody,
+      meta.copy(schema = None),
+      mustSurvive = baseSet,
+      composeLines = b => b.filterNot(baseSet) ++ newLines,
+      winnerLineOk = _ => true, maxRebases)
+  }
 
   /** The ONE rebase state machine both commit points share
     * ([[publishRebased]] removes+adds lines, [[publishRetaggedRebased]]
@@ -1772,7 +1809,8 @@ object SnapshotManifest {
     * conservative (anything unprovable rethrows for the caller's full
     * re-run): winner metadata unchanged; every line in `mustSurvive`
     * still in the winner's body VERBATIM; every winner-added/changed
-    * line stats-proven disjoint from `resolved`; and the candidate
+    * line passes `winnerLineOk` ([[statsDisjoint]] for predicated DML,
+    * always-true for predicate-free maintenance); and the candidate
     * rebased manifest keeps BASENAMES unique manifest-wide (DV and stats
     * identity key on basename — a collision between a winner-added file
     * and a staged/DV-referenced one would silently cross-mask rows, the
@@ -1781,8 +1819,7 @@ object SnapshotManifest {
   private def rebaseLoop(spark: SparkSession, root: String, op: String,
       baseVersion: Long, baseBody: Seq[String], meta: TableMeta,
       mustSurvive: Set[String], composeLines: Seq[String] => Seq[String],
-      resolved: org.apache.spark.sql.catalyst.expressions.Expression,
-      maxRebases: Int): Long = {
+      winnerLineOk: String => Boolean, maxRebases: Int): Long = {
     val baseSet = baseBody.toSet
     var v = baseVersion
     var body = baseBody
@@ -1803,10 +1840,8 @@ object SnapshotManifest {
           }
           val sound = wMeta == meta &&
             mustSurvive.forall(wSet.contains) &&
-            wBody.filterNot(baseSet).forall { line =>
-              parseLine(line).stats.exists(json =>
-                !ManifestStats.mayMatch(resolved, ManifestStats.fromJson(json)))
-            } && uniqueBasenames
+            wBody.filterNot(baseSet).forall(winnerLineOk) &&
+            uniqueBasenames
           if (!sound) throw e
           graft.core.Logging.logger().info(
             s"$op: lost the race for version ${v + 1} on $root — winner is " +
@@ -1847,7 +1882,7 @@ object SnapshotManifest {
     rebaseLoop(spark, root, op, baseVersion, baseBody, meta,
       mustSurvive = retag.keySet,
       composeLines = b => b.map(l => retag.getOrElse(l, l)) ++ staged,
-      resolved, maxRebases)
+      winnerLineOk = statsDisjoint(resolved), maxRebases)
   }
 
   /** [[publishVersion]]'s rebase-aware twin: stage `df` once, then publish
@@ -2663,13 +2698,85 @@ object SnapshotManifest {
       // DV-applied read: compacting a MoR-deleted table materializes the
       // deletions instead of resurrecting the rows; output carries no DVs
       // (and, read under the declared schema, materializes any addColumns
-      // widening into the compacted files). The bloom property SURVIVES
-      // compaction — maintenance must not silently strip the point-lookup
-      // index any more than it strips stats.
-      Some(commit(spark, root,
-        readEntries(spark, root, entries, meta.schema)
-          .coalesce(targetFiles), cols, meta.bloomCols))
+      // widening into the compacted files). EVERY table property —
+      // recorded schema, bloom, pk, partitioning, txn records — survives
+      // (meta carried whole), and the publish is the MAINTENANCE rebase:
+      // a concurrent APPEND never conflicts with a compaction (its new
+      // lines carry verbatim onto the compacted body; they just compact
+      // next time), while a concurrent DML rewrite re-runs loudly.
+      val (fsW, rootPath) = fsOf(spark, root)
+      val (_, newLines) = writeDataFiles(spark, fsW, rootPath, v + 1,
+        readEntries(spark, root, entries, meta.schema).coalesce(targetFiles),
+        cols, meta)
+      Some(publishMaintenanceRebased(spark, root, "compactSnapshot", v,
+        body, meta, newLines))
     }
+  }
+
+  /** Compact ONLY the small-file tail — the realistic nightly maintenance
+    * at 100 TB, where rewriting the whole table ([[compactSnapshot]]) is
+    * never an option: files under `smallBytes` are read (DVs applied,
+    * declared schema materialized) and re-written as ~`targetBytes`
+    * files; every other manifest line — the healthy bulk of the table —
+    * carries VERBATIM, so the rewrite cost tracks the ingest tail, not
+    * the table. Needs at least `minSmallFiles` candidates to bother
+    * (rewriting one straggler buys nothing). Publishes through the
+    * partial-maintenance rebase: concurrent appends carry (their fresh
+    * files just compact next run); a concurrent DML rewrite of a
+    * candidate re-runs loudly. Stats are inherited like
+    * [[compactSnapshot]]; the recorded schema header stays (the bulk of
+    * the table was NOT rewritten, so it is still load-bearing).
+    *
+    * @return Some(version) when a compaction landed, None when fewer
+    *         than `minSmallFiles` files qualify
+    */
+  def compactSmallFiles(spark: SparkSession, root: String,
+      smallBytes: Long = 16L * 1024 * 1024,
+      targetBytes: Long = 128L * 1024 * 1024,
+      minSmallFiles: Int = 2,
+      statsCols: Option[Seq[String]] = None): Option[Long] = {
+    require(smallBytes > 0 && targetBytes > 0, "byte thresholds must be positive")
+    require(minSmallFiles >= 2, "minSmallFiles must be >= 2 (one file gains nothing)")
+    val (fs, rootPath) = fsOf(spark, root)
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"compactSmallFiles: no committed snapshot under $root"))
+    val (body, meta) = manifestParts(spark, root, v)
+    val withSizes = body.map { line =>
+      (line, fs.getFileStatus(new Path(bodyFile(root, line))).getLen)
+    }
+    val small = withSizes.filter(_._2 < smallBytes)
+    if (small.size < minSmallFiles) return None
+    val smallLines = small.map(_._1)
+    val entries = smallLines.map(parseLine)
+    val cols = statsCols.getOrElse(bodyStatsOf(body.map(parseLine))
+      .values.flatMap(_.cols.keys).toSeq.distinct.sorted)
+    val totalSmall = small.map(_._2).sum
+    val targetFiles = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
+    val (_, newLines) = writeDataFiles(spark, fs, rootPath, v + 1,
+      readEntries(spark, root, entries, meta.schema).coalesce(targetFiles),
+      cols, meta)
+    val removed = smallLines.toSet
+    Some(rebaseLoop(spark, root, "compactSmallFiles", v, body, meta,
+      mustSurvive = removed,
+      composeLines = b => b.filterNot(removed) ++ newLines,
+      winnerLineOk = _ => true, maxRebases = 5))
+  }
+
+  /** Stage `df` and publish it as a MAINTENANCE rewrite of version
+    * `baseVersion`'s whole body ([[publishMaintenanceRebased]]) — the
+    * commit point [[graft.operators.Layout.optimizeSnapshot]] shares with
+    * [[compactSnapshot]]: concurrent appends carry, every table property
+    * survives.
+    */
+  private[graft] def maintenanceCommit(spark: SparkSession, root: String,
+      op: String, baseVersion: Long, baseBody: Seq[String], meta: TableMeta,
+      df: DataFrame, statsCols: Seq[String]): Long = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val (_, newLines) = writeDataFiles(spark, fs, rootPath, baseVersion + 1,
+      df, statsCols, meta)
+    publishMaintenanceRebased(spark, root, op, baseVersion, baseBody, meta,
+      newLines)
   }
 
   /** [[compactSnapshot]] with the bounded lost-race retry of the other

@@ -34,6 +34,10 @@ class DmlModelSpec extends SparkSpec {
   private case object Analyze extends Op
   private case object SetPk extends Op
   private case object SetBloom extends Op
+  // fresh-key idempotent append (txn records fuzzed through every verb's
+  // TableMeta carry) and the partial tail compaction (content-neutral)
+  private case class Append(rows: List[(Long, Long)]) extends Op
+  private case object CompactSmall extends Op
 
   private val genRange = for {
     lo <- Gen.choose(0L, 90L); w <- Gen.choose(0L, 15L)
@@ -53,7 +57,10 @@ class DmlModelSpec extends SparkSpec {
     1 -> Gen.const(Optimize),
     1 -> Gen.const(Analyze),
     1 -> Gen.const(SetPk),
-    1 -> Gen.const(SetBloom))
+    1 -> Gen.const(SetBloom),
+    2 -> Gen.listOfN(3, Gen.choose(-99L, 99L)).map(vs => Append(vs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) })),
+    1 -> Gen.const(CompactSmall))
 
   private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
     (0 until n).flatMap(i =>
@@ -123,6 +130,18 @@ class DmlModelSpec extends SparkSpec {
             SnapshotManifest.setPrimaryKey(spark, root, Seq("id")); pkSet = true
           case SetBloom =>
             SnapshotManifest.setBloomCols(spark, root, Seq("id")); bloomSet = true
+          case Append(rows) =>
+            val fresh = rows.zipWithIndex
+              .map { case ((_, v), i) => (5000L + step * 10L + i, v) }
+            SnapshotManifest.appendRowsIdempotent(spark, root,
+              fresh.toDF("id", "v"), "fuzz", step.toLong, Seq("id"))
+            // the orchestrator replays the batch: it must land NOTHING,
+            // whatever history preceded it
+            SnapshotManifest.appendRowsIdempotent(spark, root,
+              fresh.toDF("id", "v"), "fuzz", step.toLong, Seq("id"))
+            fresh.foreach { case (k, v) => model(k) = v }
+          case CompactSmall =>
+            SnapshotManifest.compactSmallFiles(spark, root, smallBytes = 1L << 20)
         }
         val got = SnapshotManifest.read(spark, root)
           .as[(Long, Long)].collect().toMap
@@ -241,6 +260,21 @@ class DmlModelSpec extends SparkSpec {
               if (evolved) Seq("id", "v", "note") else Seq("id", "v"))
           case SetPk => SnapshotManifest.setPrimaryKey(spark, root, Seq("id"))
           case SetBloom => SnapshotManifest.setBloomCols(spark, root, Seq("id"))
+          case Append(rows) =>
+            val fresh = rows.zipWithIndex
+              .map { case ((_, v), i) => (5000L + step * 10L + i, v) }
+            // the append frame must carry the evolved table's EXACT shape
+            val frame =
+              if (evolved) fresh.map { case (k, v) => (k, v, Option.empty[Long]) }
+                .toDF("id", "v", "note")
+              else fresh.toDF("id", "v")
+            SnapshotManifest.appendRowsIdempotent(spark, root, frame,
+              "fuzz", step.toLong, Seq("id"))
+            SnapshotManifest.appendRowsIdempotent(spark, root, frame,
+              "fuzz", step.toLong, Seq("id")) // replay lands nothing
+            fresh.foreach { case (k, v) => model(k) = (v, None) }
+          case CompactSmall =>
+            SnapshotManifest.compactSmallFiles(spark, root, smallBytes = 1L << 20)
         }
         if (!evolved) {
           val got = SnapshotManifest.read(spark, root)

@@ -200,6 +200,43 @@ class DmlRebaseSpec extends SparkSpec {
     } finally pool.shutdownNow()
   }
 
+  test("maintenance commutes with ingest: compaction races an append, both land") {
+    val root = freshTable() // 10 files
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val compact = pool.submit(new Callable[Option[Long]] {
+        def call(): Option[Long] = {
+          start.await()
+          // plain verb, NO retry wrapper: a lost race against the append
+          // must REBASE (the appended lines carry onto the compacted body)
+          SnapshotManifest.compactSnapshot(spark, root, targetBytes = Long.MaxValue)
+        }
+      })
+      val append = pool.submit(new Callable[Long] {
+        def call(): Long = {
+          start.await()
+          SnapshotManifest.appendRowsWithRetry(spark, root,
+            spark.range(900, 910).toDF("id")
+              .withColumn("x", concat(lit("a"), col("id")))
+              .repartition(1), Seq("id"),
+            backoff = _ => scala.concurrent.duration.Duration.Zero,
+            sleep = _ => ())
+        }
+      })
+      start.countDown()
+      assert(compact.get(60, TimeUnit.SECONDS).isDefined)
+      append.get(60, TimeUnit.SECONDS)
+      assert(ids(root) == ((0L until 200L) ++ (900L until 910L)).toSet)
+      val v = SnapshotManifest.currentVersion(spark, root).get
+      assert(SnapshotManifest.snapshotFiles(spark, root, v).size <= 3,
+        "compaction must have taken effect")
+      // maintenance keeps table properties: stats still prune
+      assert(SnapshotManifest.prunedFiles(spark, root, v,
+        col("id") === 905L).size <= 2)
+    } finally pool.shutdownNow()
+  }
+
   test("property: random disjoint-file verb pairs raced WITHOUT retry all land; table tracks the model") {
     val rnd = new scala.util.Random(20260815L)
     val root = newRoot()

@@ -30,6 +30,45 @@ class MaintenanceVerbsSpec extends SparkSpec {
     }
   }
 
+  test("compactSmallFiles rewrites ONLY the ingest tail; the healthy bulk carries verbatim") {
+    val root = newRoot()
+    // 2 BIG files (20k rows each, well past the threshold)
+    SnapshotManifest.commit(spark, root,
+      spark.range(0, 40000).toDF("id")
+        .withColumn("x", concat(lit("padpadpadpadpad"), col("id")))
+        .repartitionByRange(2, col("id")), Seq("id"))
+    // 4 SMALL straggler appends (the micro-batch ingest tail)
+    (0 until 4).foreach { i =>
+      SnapshotManifest.appendRows(spark, root,
+        spark.range(100000L + i * 10, 100000L + i * 10 + 10).toDF("id")
+          .withColumn("x", lit(s"tail$i")).repartition(1), Seq("id"))
+    }
+    val before = SnapshotManifest.manifestBody(spark, root, 4L)
+    val bigLines = before.filter { l =>
+      val p = new Path(SnapshotManifest.bodyFile(root, l))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getLen >= 64 * 1024
+    }
+    assert(bigLines.size == 2 && before.size == 6)
+    val v = SnapshotManifest.compactSmallFiles(spark, root,
+      smallBytes = 64 * 1024, targetBytes = 512L * 1024 * 1024)
+    assert(v.contains(5L))
+    val after = SnapshotManifest.manifestBody(spark, root, 5L)
+    // the two big lines survive byte-for-byte; the 4 small files became 1
+    bigLines.foreach(l => assert(after.contains(l), "big line was rewritten"))
+    assert(after.size == 3, s"expected 2 big + 1 compacted, got ${after.size}")
+    // content intact, stats still prune
+    assert(SnapshotManifest.read(spark, root).count() == 40040L)
+    assert(SnapshotManifest.read(spark, root)
+      .filter(col("x") === "tail2").count() == 10L)
+    assert(SnapshotManifest.prunedFiles(spark, root, 5L,
+      col("id") === 5L).size == 1)
+    // the remaining single small file is below minSmallFiles: no-op
+    assert(SnapshotManifest.compactSmallFiles(spark, root,
+      smallBytes = 64 * 1024).isEmpty)
+    assert(SnapshotManifest.currentVersion(spark, root).contains(5L))
+  }
+
   test("metadata retry twins compose like the DML twins (shared Retry core)") {
     val root = newRoot()
     SnapshotManifest.commit(spark, root,
