@@ -3074,8 +3074,8 @@ object Queries {
         base.filter(col("o_orderkey") % 8 === r).repartition(1), Seq("o_orderkey"))
     }
     val before = S.manifestBody(spark, root, 4L)
-    val (fs, _) = (new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration), ())
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sizes = before.map(l =>
       l -> fs.getFileStatus(new org.apache.hadoop.fs.Path(S.bodyFile(root, l))).getLen)
     val bulkLine = sizes.maxBy(_._2)._1

@@ -1760,8 +1760,9 @@ object SnapshotManifest {
       baseVersion: Long, baseBody: Seq[String], baseMeta: TableMeta,
       removedLines: Set[String], newLines: Seq[String],
       resolved: org.apache.spark.sql.catalyst.expressions.Expression,
-      maxRebases: Int = 5): Long =
+      maxRebases: Int = 5, gateMeta: TableMeta = null): Long =
     rebaseLoop(spark, root, op, baseVersion, baseBody, baseMeta,
+      Option(gateMeta).getOrElse(baseMeta),
       mustSurvive = removedLines,
       composeLines = b => b.filterNot(removedLines) ++ newLines,
       winnerLineOk = statsDisjoint(resolved), maxRebases)
@@ -1787,17 +1788,15 @@ object SnapshotManifest {
     */
   private[graft] def publishMaintenanceRebased(spark: SparkSession,
       root: String, op: String, baseVersion: Long, baseBody: Seq[String],
-      meta: TableMeta, newLines: Seq[String], maxRebases: Int = 5): Long = {
+      outMeta: TableMeta, gateMeta: TableMeta, newLines: Seq[String],
+      maxRebases: Int = 5): Long = {
     val baseSet = baseBody.toSet
-    // the full-body rewrite MATERIALIZES any declared widening into the
-    // new files, so the schema header RETIRES (its job is done; keeping
-    // it would let it drift from what the files carry) — every other
-    // property (bloom, pk, partition, txn records) survives. Corollary:
-    // on a schema-declared table the rebase gate (wMeta == meta) never
-    // proves, so a lost race falls back to the loud re-run — conservative
-    // and correct.
-    rebaseLoop(spark, root, op, baseVersion, baseBody,
-      meta.copy(schema = None),
+    // outMeta is the caller's retire-or-record schema decision
+    // ([[maintenanceCommit]]); the GATE compares the winner against the
+    // PRE-decision meta — a winner APPEND on a schema-declared table
+    // still commutes, and retiring remains sound because appendRows
+    // enforces the exact declared column set on every appended file.
+    rebaseLoop(spark, root, op, baseVersion, baseBody, outMeta, gateMeta,
       mustSurvive = baseSet,
       composeLines = b => b.filterNot(baseSet) ++ newLines,
       winnerLineOk = _ => true, maxRebases)
@@ -1818,14 +1817,16 @@ object SnapshotManifest {
     */
   private def rebaseLoop(spark: SparkSession, root: String, op: String,
       baseVersion: Long, baseBody: Seq[String], meta: TableMeta,
+      gateMeta: TableMeta,
       mustSurvive: Set[String], composeLines: Seq[String] => Seq[String],
       winnerLineOk: String => Boolean, maxRebases: Int): Long = {
     val baseSet = baseBody.toSet
     var v = baseVersion
     var body = baseBody
+    var curMeta = meta
     var attempts = 0
     while (true) {
-      try return publishLines(spark, root, v + 1, composeLines(body), op, meta)
+      try return publishLines(spark, root, v + 1, composeLines(body), op, curMeta)
       catch {
         case e: ConcurrentCommitException =>
           attempts += 1
@@ -1838,11 +1839,19 @@ object SnapshotManifest {
               .map(l => new Path(parseLine(l).rel).getName)
             names.distinct.size == names.size
           }
-          val sound = wMeta == meta &&
+          // TXN records are compared out and carried IN from the winner:
+          // an idempotent append's (appId → version) map is monotone
+          // bookkeeping this verb doesn't touch, so the rebase must adopt
+          // the winner's records — dropping them would re-open the
+          // winner's exactly-once window. Everything else in the metadata
+          // must match exactly.
+          val sound =
+            wMeta.copy(txns = Map.empty) == gateMeta.copy(txns = Map.empty) &&
             mustSurvive.forall(wSet.contains) &&
             wBody.filterNot(baseSet).forall(winnerLineOk) &&
             uniqueBasenames
           if (!sound) throw e
+          curMeta = meta.copy(txns = wMeta.txns)
           graft.core.Logging.logger().info(
             s"$op: lost the race for version ${v + 1} on $root — winner is " +
               s"file-disjoint and predicate-disjoint, rebasing the staged " +
@@ -1879,7 +1888,7 @@ object SnapshotManifest {
           meta)._2
       case None => Nil
     }
-    rebaseLoop(spark, root, op, baseVersion, baseBody, meta,
+    rebaseLoop(spark, root, op, baseVersion, baseBody, meta, meta,
       mustSurvive = retag.keySet,
       composeLines = b => b.map(l => retag.getOrElse(l, l)) ++ staged,
       winnerLineOk = statsDisjoint(resolved), maxRebases)
@@ -1941,8 +1950,10 @@ object SnapshotManifest {
         if (keptLines.isEmpty && meta.schema.isEmpty)
           meta.copy(schema = Some(schema))
         else meta
+      // gate against the PRE-record meta: recording the schema on an
+      // emptying delete must not turn a benign winner into a conflict
       return publishRebased(spark, root, op, v, body, outMeta,
-        removedLines, Nil, resolved)
+        removedLines, Nil, resolved, gateMeta = meta)
     }
     // affected files read with their DVs APPLIED (already-MoR-deleted rows
     // must not resurrect); the rewrite output is DV-free by construction
@@ -2687,10 +2698,9 @@ object SnapshotManifest {
       throw new IllegalStateException(s"compactSnapshot: no committed snapshot under $root"))
     // ONE manifest read answers files, stats, and the declared schema
     val (body, meta) = manifestParts(spark, root, v)
-    val files = body.map(bodyFile(root, _))
-    val totalBytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+    val totalBytes = bodyFileSizes(fs, root, body).map(_._2).sum
     val targetFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    if (files.length <= targetFiles) None
+    if (body.length <= targetFiles) None
     else {
       val entries = body.map(parseLine)
       val cols = statsCols.getOrElse(bodyStatsOf(entries)
@@ -2698,18 +2708,33 @@ object SnapshotManifest {
       // DV-applied read: compacting a MoR-deleted table materializes the
       // deletions instead of resurrecting the rows; output carries no DVs
       // (and, read under the declared schema, materializes any addColumns
-      // widening into the compacted files). EVERY table property —
-      // recorded schema, bloom, pk, partitioning, txn records — survives
-      // (meta carried whole), and the publish is the MAINTENANCE rebase:
-      // a concurrent APPEND never conflicts with a compaction (its new
-      // lines carry verbatim onto the compacted body; they just compact
-      // next time), while a concurrent DML rewrite re-runs loudly.
-      val (fsW, rootPath) = fsOf(spark, root)
-      val (_, newLines) = writeDataFiles(spark, fsW, rootPath, v + 1,
+      // widening into the compacted files). Every table property survives,
+      // and the publish is the MAINTENANCE rebase: a concurrent APPEND
+      // carries onto the compacted body (it just compacts next time),
+      // while a concurrent DML rewrite re-runs loudly.
+      Some(maintenanceCommit(spark, root, "compactSnapshot", v, body, meta,
         readEntries(spark, root, entries, meta.schema).coalesce(targetFiles),
-        cols, meta)
-      Some(publishMaintenanceRebased(spark, root, "compactSnapshot", v,
-        body, meta, newLines))
+        cols))
+    }
+  }
+
+  /** `(line, byteLen)` for every body line with ONE `listStatus` per data
+    * directory instead of one `getFileStatus` per file — the candidate
+    * scan of the compaction verbs costs O(#version-dirs) driver RPCs, not
+    * O(#files), which is what keeps a nightly no-op run cheap on a
+    * 10⁵-file table. A file the directory listing missed falls back to a
+    * direct status probe (fail-loud, exactly as before).
+    */
+  private def bodyFileSizes(fs: FileSystem, root: String,
+      body: Seq[String]): Seq[(String, Long)] = {
+    val paths = body.map(l => l -> fs.makeQualified(new Path(bodyFile(root, l))))
+    val listed = paths.map(_._2.getParent).distinct.flatMap { d =>
+      try fs.listStatus(d).toSeq.collect {
+        case s if s.isFile => s.getPath -> s.getLen
+      } catch { case _: java.io.FileNotFoundException => Nil }
+    }.toMap
+    paths.map { case (l, p) =>
+      l -> listed.getOrElse(p, fs.getFileStatus(p).getLen)
     }
   }
 
@@ -2728,7 +2753,10 @@ object SnapshotManifest {
     * the table was NOT rewritten, so it is still load-bearing).
     *
     * @return Some(version) when a compaction landed, None when fewer
-    *         than `minSmallFiles` files qualify
+    *         than `minSmallFiles` files qualify or the tail is already
+    *         at its target file count (the convergence guard — without
+    *         it, N same-sized sub-threshold files would re-compact into
+    *         N files every night, forever)
     */
   def compactSmallFiles(spark: SparkSession, root: String,
       smallBytes: Long = 16L * 1024 * 1024,
@@ -2742,22 +2770,27 @@ object SnapshotManifest {
       throw new IllegalStateException(
         s"compactSmallFiles: no committed snapshot under $root"))
     val (body, meta) = manifestParts(spark, root, v)
-    val withSizes = body.map { line =>
-      (line, fs.getFileStatus(new Path(bodyFile(root, line))).getLen)
-    }
-    val small = withSizes.filter(_._2 < smallBytes)
+    val small = bodyFileSizes(fs, root, body).filter(_._2 < smallBytes)
     if (small.size < minSmallFiles) return None
+    val totalSmall = small.map(_._2).sum
+    val targetFiles = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
+    if (small.size <= targetFiles) return None // already converged
     val smallLines = small.map(_._1)
     val entries = smallLines.map(parseLine)
     val cols = statsCols.getOrElse(bodyStatsOf(body.map(parseLine))
       .values.flatMap(_.cols.keys).toSeq.distinct.sorted)
-    val totalSmall = small.map(_._2).sum
-    val targetFiles = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
+    val tail = readEntries(spark, root, entries, meta.schema)
     val (_, newLines) = writeDataFiles(spark, fs, rootPath, v + 1,
-      readEntries(spark, root, entries, meta.schema).coalesce(targetFiles),
-      cols, meta)
+      tail.coalesce(targetFiles), cols, meta)
     val removed = smallLines.toSet
-    Some(rebaseLoop(spark, root, "compactSmallFiles", v, body, meta,
+    // a fully-DV-masked tail rewrites to ZERO files; if the bulk is empty
+    // too, the empty snapshot must stay readable — record the schema
+    // (deleteWhere's emptying contract) instead of leaving a bare manifest
+    val outMeta =
+      if (newLines.isEmpty && body.forall(removed) && meta.schema.isEmpty)
+        meta.copy(schema = Some(tail.schema))
+      else meta
+    Some(rebaseLoop(spark, root, "compactSmallFiles", v, body, outMeta, meta,
       mustSurvive = removed,
       composeLines = b => b.filterNot(removed) ++ newLines,
       winnerLineOk = _ => true, maxRebases = 5))
@@ -2775,9 +2808,37 @@ object SnapshotManifest {
     val (fs, rootPath) = fsOf(spark, root)
     val (_, newLines) = writeDataFiles(spark, fs, rootPath, baseVersion + 1,
       df, statsCols, meta)
-    publishMaintenanceRebased(spark, root, op, baseVersion, baseBody, meta,
-      newLines)
+    // the full rewrite MATERIALIZES any declared widening into the new
+    // files, so a recorded schema header RETIRES — unless the rewrite
+    // produced NO files (every row DV-masked): an empty snapshot without
+    // a schema can never be read again, so record the resolved shape
+    // instead (deleteWhere's emptying contract; the pre-rebase path
+    // aborted here via commit's requireFiles, bricking nothing but also
+    // fixing nothing)
+    val outMeta =
+      if (newLines.nonEmpty) meta.copy(schema = None)
+      else meta.copy(schema = meta.schema.orElse(Some(df.schema)))
+    publishMaintenanceRebased(spark, root, op, baseVersion, baseBody,
+      outMeta, meta, newLines)
   }
+
+  /** [[compactSmallFiles]] with the bounded lost-race retry of the other
+    * maintenance/DML entry points — the fallback for the conflicts the
+    * partial-maintenance rebase refuses (a concurrent DML rewrite of a
+    * candidate file). Safe to replay wholesale: every attempt re-reads
+    * the current version's candidate set.
+    */
+  def compactSmallFilesWithRetry(spark: SparkSession, root: String,
+      smallBytes: Long = 16L * 1024 * 1024,
+      targetBytes: Long = 128L * 1024 * 1024,
+      minSmallFiles: Int = 2,
+      statsCols: Option[Seq[String]] = None, maxAttempts: Int = 5,
+      backoff: Int => FiniteDuration = Retry.linearBackoff(1.second),
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Option[Long] =
+    Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
+      maxAttempts, backoff, sleep)(
+      compactSmallFiles(spark, root, smallBytes, targetBytes, minSmallFiles,
+        statsCols))
 
   /** [[compactSnapshot]] with the bounded lost-race retry of the other
     * maintenance/DML entry points. Safe to replay wholesale: every attempt

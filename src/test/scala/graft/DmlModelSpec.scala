@@ -133,12 +133,14 @@ class DmlModelSpec extends SparkSpec {
           case Append(rows) =>
             val fresh = rows.zipWithIndex
               .map { case ((_, v), i) => (5000L + step * 10L + i, v) }
-            SnapshotManifest.appendRowsIdempotent(spark, root,
+            val va = SnapshotManifest.appendRowsIdempotent(spark, root,
               fresh.toDF("id", "v"), "fuzz", step.toLong, Seq("id"))
             // the orchestrator replays the batch: it must land NOTHING,
-            // whatever history preceded it
-            SnapshotManifest.appendRowsIdempotent(spark, root,
-              fresh.toDF("id", "v"), "fuzz", step.toLong, Seq("id"))
+            // whatever history preceded it (version-pinned — a Map
+            // comparison would silently collapse duplicate rows)
+            assert(SnapshotManifest.appendRowsIdempotent(spark, root,
+              fresh.toDF("id", "v"), "fuzz", step.toLong, Seq("id")) == va,
+              s"replayed append committed at step $step")
             fresh.foreach { case (k, v) => model(k) = v }
           case CompactSmall =>
             SnapshotManifest.compactSmallFiles(spark, root, smallBytes = 1L << 20)
@@ -268,10 +270,11 @@ class DmlModelSpec extends SparkSpec {
               if (evolved) fresh.map { case (k, v) => (k, v, Option.empty[Long]) }
                 .toDF("id", "v", "note")
               else fresh.toDF("id", "v")
-            SnapshotManifest.appendRowsIdempotent(spark, root, frame,
+            val va = SnapshotManifest.appendRowsIdempotent(spark, root, frame,
               "fuzz", step.toLong, Seq("id"))
-            SnapshotManifest.appendRowsIdempotent(spark, root, frame,
-              "fuzz", step.toLong, Seq("id")) // replay lands nothing
+            assert(SnapshotManifest.appendRowsIdempotent(spark, root, frame,
+              "fuzz", step.toLong, Seq("id")) == va, // replay lands nothing
+              s"evo: replayed append committed at step $step")
             fresh.foreach { case (k, v) => model(k) = (v, None) }
           case CompactSmall =>
             SnapshotManifest.compactSmallFiles(spark, root, smallBytes = 1L << 20)
