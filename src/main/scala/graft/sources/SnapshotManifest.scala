@@ -1760,12 +1760,12 @@ object SnapshotManifest {
       baseVersion: Long, baseBody: Seq[String], baseMeta: TableMeta,
       removedLines: Set[String], newLines: Seq[String],
       resolved: org.apache.spark.sql.catalyst.expressions.Expression,
-      maxRebases: Int = 5, gateMeta: TableMeta = null): Long =
-    rebaseLoop(spark, root, op, baseVersion, baseBody, baseMeta,
-      Option(gateMeta).getOrElse(baseMeta),
+      emptySchema: Option[StructType],
+      maxRebases: Int = 5): Long =
+    rebaseLoop(spark, root, op, baseVersion, baseBody, baseMeta, baseMeta,
       mustSurvive = removedLines,
       composeLines = b => b.filterNot(removedLines) ++ newLines,
-      winnerLineOk = statsDisjoint(resolved), maxRebases)
+      winnerLineOk = statsDisjoint(resolved), emptySchema, maxRebases)
 
   /** The winner-added-line gate for PREDICATED rebases: the line's stats
     * must PROVE the verb's predicate matches none of its rows (stats-less
@@ -1789,9 +1789,9 @@ object SnapshotManifest {
   private[graft] def publishMaintenanceRebased(spark: SparkSession,
       root: String, op: String, baseVersion: Long, baseBody: Seq[String],
       outMeta: TableMeta, gateMeta: TableMeta, newLines: Seq[String],
-      maxRebases: Int = 5): Long = {
+      emptySchema: Option[StructType], maxRebases: Int = 5): Long = {
     val baseSet = baseBody.toSet
-    // outMeta is the caller's retire-or-record schema decision
+    // outMeta is the caller's retire-the-schema decision
     // ([[maintenanceCommit]]); the GATE compares the winner against the
     // PRE-decision meta — a winner APPEND on a schema-declared table
     // still commutes, and retiring remains sound because appendRows
@@ -1799,7 +1799,7 @@ object SnapshotManifest {
     rebaseLoop(spark, root, op, baseVersion, baseBody, outMeta, gateMeta,
       mustSurvive = baseSet,
       composeLines = b => b.filterNot(baseSet) ++ newLines,
-      winnerLineOk = _ => true, maxRebases)
+      winnerLineOk = _ => true, emptySchema, maxRebases)
   }
 
   /** The ONE rebase state machine both commit points share
@@ -1819,14 +1819,29 @@ object SnapshotManifest {
       baseVersion: Long, baseBody: Seq[String], meta: TableMeta,
       gateMeta: TableMeta,
       mustSurvive: Set[String], composeLines: Seq[String] => Seq[String],
-      winnerLineOk: String => Boolean, maxRebases: Int): Long = {
+      winnerLineOk: String => Boolean, emptySchema: Option[StructType],
+      maxRebases: Int): Long = {
     val baseSet = baseBody.toSet
     var v = baseVersion
     var body = baseBody
     var curMeta = meta
     var attempts = 0
     while (true) {
-      try return publishLines(spark, root, v + 1, composeLines(body), op, curMeta)
+      val lines = composeLines(body)
+      // THE EMPTYING CONTRACT lives here, on the FINAL composed body — a
+      // pre-rebase caller cannot know it (two concurrent verbs that
+      // jointly empty a table, neither individually, would compose an
+      // empty schema-less manifest no read can ever resolve; conversely
+      // an emptying verb rebasing over an append must NOT record a
+      // schema onto a no-longer-empty body). An empty body with no
+      // schema to record fails loudly rather than bricking the table.
+      val pubMeta =
+        if (lines.nonEmpty || curMeta.schema.nonEmpty) curMeta
+        else curMeta.copy(schema = Some(emptySchema.getOrElse(
+          throw new IllegalStateException(
+            s"$op: rewrite would publish an empty snapshot with no " +
+              s"resolvable schema for $root — refusing to brick the table"))))
+      try return publishLines(spark, root, v + 1, lines, op, pubMeta)
       catch {
         case e: ConcurrentCommitException =>
           attempts += 1
@@ -1888,10 +1903,14 @@ object SnapshotManifest {
           meta)._2
       case None => Nil
     }
+    // retagging never REMOVES lines, so the composed body can only empty
+    // when the base was already empty (the MoR verbs return early there);
+    // appendDf's schema is still the right record if it ever does
     rebaseLoop(spark, root, op, baseVersion, baseBody, meta, meta,
       mustSurvive = retag.keySet,
       composeLines = b => b.map(l => retag.getOrElse(l, l)) ++ staged,
-      winnerLineOk = statsDisjoint(resolved), maxRebases)
+      winnerLineOk = statsDisjoint(resolved),
+      emptySchema = appendDf.map(_.schema), maxRebases)
   }
 
   /** [[publishVersion]]'s rebase-aware twin: stage `df` once, then publish
@@ -1908,7 +1927,7 @@ object SnapshotManifest {
     val (_, newLines) = writeDataFiles(spark, fs, rootPath, next, df,
       statsCols, meta)
     publishRebased(spark, root, op, next - 1, baseBody, meta, removedLines,
-      newLines, resolved)
+      newLines, resolved, emptySchema = Some(df.schema))
   }
 
   private def rewriteWhere(spark: SparkSession, root: String,
@@ -1942,18 +1961,11 @@ object SnapshotManifest {
       val f = bodyFile(root, line); affected.contains(f) || dropped.contains(f)
     }.toSet
     if (affected.isEmpty) {
-      // every candidate file was proven whole-match: METADATA-ONLY commit.
-      // A delete that empties the table records the (already-resolved)
-      // schema so the empty snapshot stays readable.
-      val keptLines = body.filterNot(removedLines)
-      val outMeta =
-        if (keptLines.isEmpty && meta.schema.isEmpty)
-          meta.copy(schema = Some(schema))
-        else meta
-      // gate against the PRE-record meta: recording the schema on an
-      // emptying delete must not turn a benign winner into a conflict
-      return publishRebased(spark, root, op, v, body, outMeta,
-        removedLines, Nil, resolved, gateMeta = meta)
+      // METADATA-ONLY commit — every candidate file was proven
+      // whole-match. If the FINAL body empties, the rebase layer records
+      // the (already-resolved) schema so the empty snapshot stays readable
+      return publishRebased(spark, root, op, v, body, meta,
+        removedLines, Nil, resolved, emptySchema = Some(schema))
     }
     // affected files read with their DVs APPLIED (already-MoR-deleted rows
     // must not resurrect); the rewrite output is DV-free by construction
@@ -1967,7 +1979,7 @@ object SnapshotManifest {
       transform(readEntries(spark, root, affectedEntries, meta.schema)),
       statsCols, meta)
     publishRebased(spark, root, op, v, body, meta, removedLines, newLines,
-      resolved)
+      resolved, emptySchema = Some(schema))
   }
 
   /** Stage `df` into a fresh uniquely-nonced data dir for version `next`,
@@ -2783,17 +2795,14 @@ object SnapshotManifest {
     val (_, newLines) = writeDataFiles(spark, fs, rootPath, v + 1,
       tail.coalesce(targetFiles), cols, meta)
     val removed = smallLines.toSet
-    // a fully-DV-masked tail rewrites to ZERO files; if the bulk is empty
-    // too, the empty snapshot must stay readable — record the schema
-    // (deleteWhere's emptying contract) instead of leaving a bare manifest
-    val outMeta =
-      if (newLines.isEmpty && body.forall(removed) && meta.schema.isEmpty)
-        meta.copy(schema = Some(tail.schema))
-      else meta
-    Some(rebaseLoop(spark, root, "compactSmallFiles", v, body, outMeta, meta,
+    // if the FINAL body empties (fully-DV-masked tail, empty-or-emptied
+    // bulk), the rebase layer records the schema so the snapshot stays
+    // readable — evaluated on the composed body, never the base view
+    Some(rebaseLoop(spark, root, "compactSmallFiles", v, body, meta, meta,
       mustSurvive = removed,
       composeLines = b => b.filterNot(removed) ++ newLines,
-      winnerLineOk = _ => true, maxRebases = 5))
+      winnerLineOk = _ => true,
+      emptySchema = Some(tail.schema), maxRebases = 5))
   }
 
   /** Stage `df` and publish it as a MAINTENANCE rewrite of version
@@ -2809,17 +2818,15 @@ object SnapshotManifest {
     val (_, newLines) = writeDataFiles(spark, fs, rootPath, baseVersion + 1,
       df, statsCols, meta)
     // the full rewrite MATERIALIZES any declared widening into the new
-    // files, so a recorded schema header RETIRES — unless the rewrite
-    // produced NO files (every row DV-masked): an empty snapshot without
-    // a schema can never be read again, so record the resolved shape
-    // instead (deleteWhere's emptying contract; the pre-rebase path
-    // aborted here via commit's requireFiles, bricking nothing but also
-    // fixing nothing)
-    val outMeta =
-      if (newLines.nonEmpty) meta.copy(schema = None)
-      else meta.copy(schema = meta.schema.orElse(Some(df.schema)))
+    // files, so a recorded schema header RETIRES; if the FINAL body
+    // empties (every row DV-masked, nothing rebased in), the rebase layer
+    // records the resolved shape instead — minus the reserved sort
+    // marker, which is write-side metadata the files never carry
+    // (optimizeSnapshot's partition-declared frame includes it)
+    val emptySchema = meta.schema.orElse(Some(StructType(
+      df.schema.filterNot(_.name == ClusterSortCol))))
     publishMaintenanceRebased(spark, root, op, baseVersion, baseBody,
-      outMeta, meta, newLines)
+      meta.copy(schema = None), meta, newLines, emptySchema)
   }
 
   /** [[compactSmallFiles]] with the bounded lost-race retry of the other

@@ -200,6 +200,34 @@ class DmlRebaseSpec extends SparkSpec {
     } finally pool.shutdownNow()
   }
 
+  test("two racing metadata-only deletes that JOINTLY empty the table leave it readable") {
+    // the r10 review catch: the emptying contract must be evaluated on the
+    // COMPOSED final body — neither delete empties the table alone, so a
+    // base-view decision records no schema and the rebase would publish an
+    // empty schema-less manifest no read can resolve
+    val root = freshTable() // ids 0..199 in 10 range files, id stats
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      def racer(pred: org.apache.spark.sql.Column) = pool.submit(new Callable[Long] {
+        def call(): Long = { start.await(); SnapshotManifest.deleteWhere(spark, root, pred, Seq("id")) }
+      })
+      val a = racer(col("id") < 100L)   // whole-file drops: metadata-only
+      val b = racer(col("id") >= 100L)
+      start.countDown()
+      val (va, vb) = (a.get(60, TimeUnit.SECONDS), b.get(60, TimeUnit.SECONDS))
+      assert(Set(va, vb) == Set(1L, 2L), s"both deletes must commit: $va, $vb")
+      // the empty table READS (schema recorded by whichever publish
+      // emptied the composed body) and accepts new life
+      val empty = SnapshotManifest.read(spark, root)
+      assert(empty.count() == 0L)
+      assert(empty.columns.toSeq == Seq("id", "x"))
+      graft.operators.Upsert.mergeWhere(spark, root,
+        Seq((7L, "back")).toDF("id", "x"), Seq("id"), Seq("id"))
+      assert(ids(root) == Set(7L))
+    } finally pool.shutdownNow()
+  }
+
   test("maintenance commutes with ingest: compaction races an append, both land") {
     val root = freshTable() // 10 files
     val start = new CountDownLatch(1)
