@@ -168,11 +168,25 @@ object ChangeFeed {
     // validates per-window. A pair in a genuine un-materialized GAP
     // overlaps nothing and still repairs — the "missed calls are repaired
     // here, not lost" contract.
-    def overlapsDone(f: Long, t: Long) = doneRanges.exists { case (mf, mt) =>
-      !(mf == f && mt == t) && mf < t && f < mt }
+    def overlapsDone(f: Long, t: Long): Option[(Long, Long)] =
+      doneRanges.find { case (mf, mt) =>
+        !(mf == f && mt == t) && mf < t && f < mt }
     versions.zip(versions.tail).collect {
-      case (f, t) if !done(t) && !overlapsDone(f, t) &&
-        materializeStep(spark, root, f, t, pk) => (f, t)
+      case (f, t) if !done(t) && {
+        val overlap = overlapsDone(f, t)
+        // loud skip — the manual verb FAILS here; the catch-up must not
+        // make the same situation invisible (those commits are permanently
+        // unservable through the feed until the operator acts)
+        overlap.foreach { case (mf, mt) =>
+          graft.core.Logging.logger().warn(
+            s"ChangeFeed.materializeNew: skipping ($f, $t) of $root — it " +
+              s"overlaps already-materialized range ($mf, $mt); a vacuum " +
+              "reclaimed a version inside existing coverage, so these " +
+              "changes cannot be served as a step (vacuumFeed the stale " +
+              "ranges first if you intend a coarse re-materialization)")
+        }
+        overlap.isEmpty
+      } && materializeStep(spark, root, f, t, pk) => (f, t)
     }
   }
 

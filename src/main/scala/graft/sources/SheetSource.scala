@@ -118,12 +118,16 @@ object SheetSource {
       sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)
   ): DataFrame = {
     val fetch = httpFetch(spreadsheetId, range, tokenUrl, tokenForm, apiBase)
-    // 401 also retries: the retry wraps the WHOLE dance, so a bearer token
-    // that expired between the exchange and the GET re-exchanges on the
-    // next attempt. Other 4xx (bad grant, wrong id) and malformed bodies
-    // stay fail-fast.
+    // 401 retries AT MOST ONCE: the retry wraps the WHOLE dance, so one
+    // re-attempt re-exchanges a bearer token that expired between the
+    // exchange and the GET — the only transient 401. A second 401 means
+    // the credentials themselves are bad, which must fail fast (the
+    // contract above) instead of burning the full backoff ladder. Other
+    // 4xx and malformed bodies stay fail-fast from the first.
+    val unauthSeen = new java.util.concurrent.atomic.AtomicInteger(0)
     def retriable(t: Throwable): Boolean = t match {
-      case HttpTransport.HttpStatusException(401, _, _) => true
+      case HttpTransport.HttpStatusException(401, _, _) =>
+        unauthSeen.incrementAndGet() == 1
       case other => HttpTransport.isTransient(other)
     }
     fromValues(spark, Retry.retryWhen(retriable,

@@ -97,9 +97,17 @@ object SnapshotManifest {
     * manifest still exists is stale (crash BEFORE the swap started, or a
     * completed swap on a replacing-rename store) — the original delta is
     * intact and the next vacuum redoes the rewrite, so it is just
-    * deleted. Idempotent and multi-caller-safe: every step is a rename
-    * whose loser observes the winner's completed state.
+    * deleted — but only once it is older than [[StaleRewriteAgeMs]]: a
+    * younger sidecar may be another caller's IN-FLIGHT swap (written, not
+    * yet renamed), and deleting it from under that caller would strand the
+    * swap with no durable copy the moment the caller deletes the live
+    * manifest. An abandoned stale sidecar is inert garbage; waiting a few
+    * minutes to sweep it costs nothing. Idempotent and multi-caller-safe:
+    * every step is a rename whose loser observes the winner's completed
+    * state, and the only delete is age-gated past any plausible in-flight
+    * window.
     */
+  private val StaleRewriteAgeMs = 10L * 60 * 1000
   private def recoverManifestRewrites(fs: FileSystem, rootPath: Path): Unit = {
     if (!fs.exists(rootPath)) return
     fs.listStatus(rootPath).foreach { s =>
@@ -109,7 +117,10 @@ object SnapshotManifest {
           if (!fs.exists(mf)) {
             if (fs.rename(s.getPath, mf))
               fs.setTimes(mf, publishedAt.toLong, -1)
-          } else fs.delete(s.getPath, false)
+          } else if (System.currentTimeMillis() - s.getModificationTime >
+              StaleRewriteAgeMs) {
+            fs.delete(s.getPath, false)
+          }
         case _ => ()
       }
     }
@@ -2031,7 +2042,10 @@ object SnapshotManifest {
       graft.core.Logging.logger().warn(
         s"writeDataFiles: frame lacks declared partition column(s) " +
           s"${meta.partitionCols.mkString(", ")} — writing unclustered " +
-          "(files stay readable; they just cannot be partition-pruned)")
+          "(files stay readable; they just cannot be partition-pruned" +
+          sortMarker.fold("")(_ => "; the carried intra-partition sort " +
+            "marker is applied within the frame's existing partitions " +
+            "instead of per cluster") + ")")
     val tags = if (!partitioned) Nil else {
       val taken = scala.collection.mutable.ArrayBuffer(df.columns.toSeq: _*)
       pcols.zipWithIndex.map { case (c, i) =>
@@ -2039,7 +2053,12 @@ object SnapshotManifest {
       }
     }
     val clustered =
-      if (!partitioned) df
+      if (!partitioned)
+        // a carried sort marker is a caller's requested file-internal
+        // order (OPTIMIZE ZORDER's arrangement) — when the write degrades
+        // to unclustered, honor it within the frame's existing partitions
+        // rather than silently discarding the requested layout
+        sortMarker.map(m => df.sortWithinPartitions(col(s"`$m`"))).getOrElse(df)
       else {
         val shuffled = df.repartition(pcols.map(col): _*)
         // the RESERVED intra-partition sort marker ([[ClusterSortCol]]):
@@ -2498,6 +2517,24 @@ object SnapshotManifest {
       "appendRows", meta)
   }
 
+  /** Manifest-wide basename uniqueness, the invariant stats and
+    * deletion-vector identity key on — [[rebaseLoop]] gates every
+    * composed body with it, and the append retry paths must apply the
+    * SAME gate before re-publishing staged lines onto a winner's body
+    * (a collision between a winner-added file and a staged file would
+    * silently cross-assign one file's stats/DV to the other).
+    */
+  private def requireUniqueBasenames(op: String, root: String,
+      lines: Seq[String]): Unit = {
+    val names = lines.map(l => new Path(parseLine(l).rel).getName)
+    val dup = names.diff(names.distinct).distinct
+    require(dup.isEmpty,
+      s"$op: basename collision in composed manifest body for $root " +
+        s"(${dup.take(3).mkString(", ")}) — stats and deletion-vector " +
+        "identity key on basename; refusing to publish a body that would " +
+        "cross-assign them")
+  }
+
   /** [[appendRows]] with a bounded lost-race retry that NEVER rewrites the
     * staged data: the rows are written once, and a lost race re-publishes
     * the SAME staged files on top of the winner's manifest (appended rows
@@ -2542,6 +2579,7 @@ object SnapshotManifest {
           staged = Some((meta, l))
           l
       }
+      requireUniqueBasenames("appendRowsWithRetry", root, body ++ lines)
       publishLines(spark, root, v + 1, body ++ lines, "appendRowsWithRetry",
         meta)
     }
@@ -2615,6 +2653,7 @@ object SnapshotManifest {
             staged = Some((meta, l))
             l
         }
+        requireUniqueBasenames("appendRowsIdempotent", root, body ++ lines)
         publishLines(spark, root, v + 1, body ++ lines,
           "appendRowsIdempotent",
           meta.copy(txns = meta.txns + (appId -> txnVersion)))
@@ -2909,17 +2948,51 @@ object SnapshotManifest {
           // once it exists, every crash point is recoverable by
           // [[recoverManifestRewrites]].
           val side = new Path(rootPath, rewriteName(v, publishedAt))
-          CommitProtocol.overwriteFile(fs, side,
-            (headerFor(v, meta) + body.mkString("", "\n", "\n"))
-              .getBytes("UTF-8"))
-          if (!fs.rename(side, mf)) { // POSIX rename replaces; HDFS refuses
-            fs.delete(mf, false)
-            if (!fs.rename(side, mf))
+          val bytes = (headerFor(v, meta) + body.mkString("", "\n", "\n"))
+            .getBytes("UTF-8")
+          // The swap must never leave a window where NEITHER copy of a
+          // retained version exists, even against a concurrent caller's
+          // [[recoverManifestRewrites]] acting on the same sidecar. So:
+          // delete the live manifest ONLY while the sidecar is verified
+          // present (it is the durable copy through that window), and if
+          // the sidecar vanished under us — a concurrent recover judged it
+          // stale, or completed the swap on a replacing-rename store —
+          // NEVER touch the manifest blind: loop, re-read whether the
+          // rewrite is still needed, and redo or stand down accordingly.
+          var attempts = 0
+          var done = false
+          while (!done) {
+            attempts += 1
+            val mfExists = fs.exists(mf)
+            if (!mfExists && !fs.exists(side))
               throw new java.io.IOException(
-                s"vacuum: cannot swap rewritten manifest for version $v — " +
-                  s"durable copy left at $side (recovered on next vacuum/read)")
+                s"vacuum: retained version $v lost — manifest and rewrite " +
+                  s"sidecar both missing")
+            if (attempts > 1 && mfExists &&
+                !manifestBase(spark, root, v).exists(doomedSet)) {
+              done = true // a concurrent caller completed an equivalent swap
+            } else {
+              if (attempts > 5) throw new java.io.IOException(
+                s"vacuum: cannot swap rewritten manifest for version $v " +
+                  s"after $attempts attempts — durable copy left at $side " +
+                  s"(recovered on next vacuum/read)")
+              // always (re)write: never rename a pre-existing file of
+              // unknown provenance at this name into a manifest slot (a
+              // concurrent caller's copy is byte-identical — deterministic
+              // content — so overwriting it is harmless)
+              CommitProtocol.overwriteFile(fs, side, bytes)
+              if (fs.rename(side, mf)) { // POSIX replaces; HDFS refuses
+                fs.setTimes(mf, publishedAt, -1); done = true
+              } else if (fs.exists(side) && fs.exists(mf)) {
+                // refuse-on-existing store: sidecar verified present, so
+                // the delete window is covered by the durable copy
+                fs.delete(mf, false)
+                if (fs.rename(side, mf)) {
+                  fs.setTimes(mf, publishedAt, -1); done = true
+                } // else a concurrent recover won the rename — loop
+              } // else sidecar vanished mid-swap — loop, never delete mf
+            }
           }
-          fs.setTimes(mf, publishedAt, -1)
         }
       }
     }

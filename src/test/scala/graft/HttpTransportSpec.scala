@@ -85,6 +85,21 @@ class HttpTransportSpec extends SparkSpec {
       assert(tokens.get() == 2, "401 must re-run the token exchange")
       assert(df.count() == 1)
     }
+    // a PERSISTENT 401 (genuinely bad credentials) fails after exactly one
+    // re-exchange — the docstring's fail-fast promise, not the full ladder
+    val badCreds = new AtomicInteger
+    withServer(
+      "/token" -> (respond(_, 200, """{"access_token": "bad"}""")),
+      "/v4/spreadsheets" -> { ex =>
+        badCreds.incrementAndGet(); respond(ex, 401, "nope") }) { base =>
+      val e = intercept[HttpTransport.HttpStatusException] {
+        SheetSource.loadHttp(spark, "s", "r", tokenUrl = s"$base/token",
+          tokenForm = Map.empty, apiBase = s"$base/v4", sleep = _ => ())
+      }
+      assert(e.status == 401)
+      assert(badCreds.get() == 2,
+        s"persistent 401 must stop after one re-exchange, saw ${badCreds.get()}")
+    }
     // a 200 whose body is not JSON is a caller/endpoint bug: Jackson's
     // IOException subtypes are excluded from the transient class — one
     // attempt, loud failure, no backoff ladder

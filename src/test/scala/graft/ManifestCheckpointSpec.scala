@@ -160,9 +160,14 @@ class ManifestCheckpointSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == expected)
     assert(hfs.exists(mf) && !hfs.exists(side))
     assert(hfs.getFileStatus(mf).getModificationTime == publishedAt)
-    // a STALE sidecar (manifest present) is swept by the next vacuum
+    // a STALE sidecar (manifest present) is swept by the next vacuum once
+    // past the in-flight age gate (a FRESH one may be a concurrent swap's
+    // durable copy and must be left alone)
     val stale = new Path(root, f"manifest-${1L}%08d.json.rewrite-12345")
     val out = hfs.create(stale, true); out.write("junk".getBytes("UTF-8")); out.close()
+    SnapshotManifest.vacuum(spark, root, keep = 10)
+    assert(hfs.exists(stale), "fresh sidecar must survive the age gate")
+    hfs.setTimes(stale, System.currentTimeMillis() - 11L * 60 * 1000, -1)
     SnapshotManifest.vacuum(spark, root, keep = 10)
     assert(!hfs.exists(stale))
     assert(SnapshotManifest.read(spark, root)
