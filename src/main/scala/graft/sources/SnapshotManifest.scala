@@ -87,6 +87,8 @@ object SnapshotManifest {
   private def rewriteName(v: Long, publishedAt: Long) =
     f"manifest-$v%08d.json.rewrite-$publishedAt%d"
   private def dataDirName(v: Long) = f"v$v%08d"
+  private def ckptDir(rootPath: Path, v: Long): Path =
+    new Path(new Path(rootPath, "_ckpt"), f"v$v%08d")
 
   /** Complete a chain-guard rewrite swap that crashed between the
     * manifest delete and the sidecar rename ([[vacuum]]'s delta→full
@@ -510,6 +512,7 @@ object SnapshotManifest {
           "re-read the table and retry (staged sidecars are unreferenced " +
           "garbage for vacuum)")
     PartsCache.invalidate(s"${rootPath.toString}#$next")
+    maybeCheckpointParquet(spark, root, next, lines)
     maybeAutoCdf(spark, root, meta)
     next
   }
@@ -591,6 +594,7 @@ object SnapshotManifest {
         s"$op: version $next already committed by a concurrent writer; " +
           s"re-read the table and retry; staged data left at $dataDir")
     PartsCache.invalidate(s"${rootPath.toString}#$next")
+    maybeCheckpointParquet(spark, root, next, lines ++ appendLines)
     maybeAutoCdf(spark, root, meta)
     next
   }
@@ -618,6 +622,26 @@ object SnapshotManifest {
       predicate: org.apache.spark.sql.Column): DataFrame = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"SnapshotManifest.readWhere: no committed snapshot under $root"))
+    // DISTRIBUTED path first: when a parquet checkpoint anchors the body
+    // (the 10⁵-file regime), the prune runs on executors over the
+    // checkpoint frame and the driver only ever holds the SURVIVING
+    // lines — never the full file list. Any failure falls through to the
+    // authoritative driver-parsed path below.
+    val distributed =
+      try bodyLinesFrame(spark, root, v).flatMap { frame =>
+        val meta = manifestMetaOnly(spark, root, v)
+        frameSchema(spark, root, meta, frame).map { schema =>
+          val pred = ManifestStats.resolvePredicate(spark, schema, predicate)
+          val kept = pruneFrame(spark, frame, pred)
+          if (kept.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+              .filter(predicate)
+          else readEntries(spark, root, kept.map(parseLine), meta.schema)
+            .filter(predicate)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    if (distributed.isDefined) return distributed.get
     val (body, meta) = manifestParts(spark, root, v)
     val entries = body.map(parseLine)
     val all = body.map(l => bodyFile(root, l))
@@ -648,6 +672,17 @@ object SnapshotManifest {
     */
   def prunedFiles(spark: SparkSession, root: String, version: Long,
       predicate: org.apache.spark.sql.Column): Seq[String] = {
+    // distributed twin of [[readWhere]]'s fast path — survivors only on
+    // the driver; order is NOT the manifest's on this path
+    val distributed =
+      try bodyLinesFrame(spark, root, version).flatMap { frame =>
+        val meta = manifestMetaOnly(spark, root, version)
+        frameSchema(spark, root, meta, frame).map { schema =>
+          val pred = ManifestStats.resolvePredicate(spark, schema, predicate)
+          pruneFrame(spark, frame, pred).map(l => bodyFile(root, l))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    if (distributed.isDefined) return distributed.get
     val (body, meta) = manifestParts(spark, root, version)
     if (body.isEmpty) return Nil // nothing to prune, no schema needed
     val entries = body.map(parseLine)
@@ -1098,6 +1133,202 @@ object SnapshotManifest {
     val ops = removed ++ added
     if (ops.size >= fullLines.size) full
     else header + (s"base=$base" +: ops).mkString("", "\n", "\n")
+  }
+
+  /** Body-line floor below which no parquet checkpoint twin is written —
+    * a driver parse of a few thousand lines is faster than any Spark job,
+    * so the distributed artifact only earns its write at the 10⁴-10⁶-file
+    * scale it exists for. Overridable via
+    * `graft.manifest.parquetCheckpointMinLines` (specs set it low).
+    */
+  private val ParquetCheckpointMinLinesDefault = 10000
+  private def parquetCheckpointMinLines(spark: SparkSession): Int =
+    spark.conf.getOption("graft.manifest.parquetCheckpointMinLines")
+      .map(_.toInt).getOrElse(ParquetCheckpointMinLinesDefault)
+
+  /** Diagnostic counter: pruned reads answered through the DISTRIBUTED
+    * checkpoint-frame path (specs assert the fast path actually ran).
+    */
+  private[graft] val ckptFramePrunes = new java.util.concurrent.atomic.AtomicLong
+
+  /** Best-effort parquet TWIN of a checkpoint manifest — the distributed
+    * read path's anchor. The text manifest stays the commit source of
+    * truth (one atomic file publish); at every checkpoint boundary whose
+    * body is at least [[parquetCheckpointMinLines]] lines, the winning
+    * publisher also writes `_ckpt/v<version>/` parquet with one row per
+    * body line (`rel`, `line`). Readers then resolve the body as a
+    * DataFrame — checkpoint frame + churn-sized delta tails — and run
+    * stats-pruning on EXECUTORS, so a 10⁵-10⁶-file body is never
+    * materialized as driver strings for a pruned read
+    * ([[bodyLinesFrame]]). Content is a deterministic function of the
+    * published manifest and the publish is an atomic dir rename, so the
+    * twin's existence implies it is complete and correct; a failure here
+    * only costs the fast path (reads fall back to the text manifest) and
+    * must never fail the already-published commit.
+    */
+  private def maybeCheckpointParquet(spark: SparkSession, root: String,
+      next: Long, fullLines: Seq[String]): Unit = {
+    val interval = checkpointInterval(spark)
+    if (interval <= 1 || next % interval != 0 || fullLines.isEmpty ||
+        fullLines.size < parquetCheckpointMinLines(spark)) return
+    try {
+      val (fs, rootPath) = fsOf(spark, root)
+      val dest = ckptDir(rootPath, next)
+      if (fs.exists(dest)) return
+      val stage = new Path(rootPath,
+        new Path("_ckpt_stage", java.util.UUID.randomUUID.toString))
+      import spark.implicits._
+      val parts = math.max(1, fullLines.size / 500000)
+      spark.createDataset(fullLines).repartition(parts)
+        .map(l => (l.split('\t').head, l)).toDF("rel", "line")
+        .write.parquet(stage.toString)
+      CommitProtocol.publishDir(fs, stage, dest)
+      ()
+    } catch { case scala.util.control.NonFatal(e) =>
+      graft.core.Logging.logger().warn(
+        s"parquet checkpoint for version $next of $root failed (the commit " +
+          s"already published; reads fall back to the text manifest): " +
+          e.getMessage)
+    }
+  }
+
+  /** The RESOLVED body of `version` as a DISTRIBUTED frame (`rel`,
+    * `line`), when a parquet checkpoint twin anchors its delta chain:
+    * the chain is walked by HEADER only (delta manifests are churn-sized
+    * and read whole; a full manifest is never read — its parquet twin is
+    * the anchor), tail edits compose driver-side into a churn-bounded
+    * edit map, and the result is checkpoint-frame ANTI-JOIN edited rels
+    * UNION added lines — the full file list never exists on the driver.
+    * None when no twin anchors the chain (off-boundary full manifests,
+    * sub-floor bodies, a crashed twin write) — callers fall back to the
+    * driver-parsed path, which is also the FASTER path at those sizes.
+    * Row order is not the manifest's; no consumer of a body frame may
+    * depend on line order.
+    */
+  private[graft] def bodyLinesFrame(spark: SparkSession, root: String,
+      version: Long): Option[DataFrame] = try {
+    val (fs, rootPath) = fsOf(spark, root)
+    var v = version
+    val tails = scala.collection.mutable.ArrayBuffer[Seq[String]]() // newest first
+    var anchor = -1L
+    while (anchor < 0) {
+      manifestBase(spark, root, v) match {
+        case Some(b) =>
+          val text = CommitProtocol.readFully(fs, new Path(rootPath, manifestName(v)))
+          tails += text.split('\n').map(_.trim)
+            .filter(l => l.startsWith("-\t") || l.startsWith("+\t")).toSeq
+          v = b
+        case None => anchor = v
+      }
+    }
+    val dir = ckptDir(rootPath, anchor)
+    if (!fs.exists(dir)) return None
+    val ckpt = spark.read.parquet(dir.toString)
+    // replay ops oldest→newest into one last-write-wins edit map:
+    // None = removed, Some(line) = added or replaced
+    val edits = new java.util.LinkedHashMap[String, Option[String]]()
+    tails.reverseIterator.foreach(_.foreach { op =>
+      if (op.startsWith("-\t")) edits.put(op.stripPrefix("-\t"), None)
+      else { val l = op.stripPrefix("+\t"); edits.put(relOf(l), Some(l)) }
+    })
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val editedRels = edits.keySet.asScala.toSeq
+    val added = edits.values.asScala.toSeq.flatten
+    val base =
+      if (editedRels.isEmpty) ckpt
+      else ckpt.join(
+        org.apache.spark.sql.functions.broadcast(editedRels.toDF("rel")),
+        Seq("rel"), "left_anti")
+    Some(
+      if (added.isEmpty) base.select("rel", "line")
+      else base.select("rel", "line").unionByName(
+        added.map(l => (relOf(l), l)).toDF("rel", "line")))
+  } catch { case scala.util.control.NonFatal(_) =>
+    None // derived fast path only — the text-manifest path is authoritative
+  }
+
+  /** The table metadata of `version` from the manifest HEADER alone —
+    * streams header lines and stops at the first body line, so a
+    * checkpoint-sized manifest costs a few KB of driver reads instead of
+    * a full parse (every manifest, full or delta, carries its complete
+    * header). The distributed read path's metadata companion.
+    */
+  private[graft] def manifestMetaOnly(spark: SparkSession, root: String,
+      version: Long): TableMeta = {
+    val (fs, rootPath) = fsOf(spark, root)
+    def readHeader(): Seq[String] = {
+      val in = fs.open(new Path(rootPath, manifestName(version)))
+      try {
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8"))
+        val hdr = Seq.newBuilder[String]
+        var line = r.readLine()
+        var done = false
+        while (line != null && !done) {
+          val t = line.trim
+          if (t.nonEmpty &&
+              (HeaderKeys.exists(t.startsWith) || t.startsWith("base=")))
+            hdr += t
+          else if (t.nonEmpty) done = true
+          if (!done) line = r.readLine()
+        }
+        hdr.result()
+      } finally in.close()
+    }
+    val lines =
+      try readHeader()
+      catch {
+        case _: java.io.FileNotFoundException =>
+          // mid-swap chain-guard rewrite: complete it, then read normally
+          recoverManifestRewrites(fs, rootPath)
+          readHeader()
+      }
+    TableMeta(
+      lines.find(_.startsWith("schema=")).map(l =>
+        org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("schema="))
+          .asInstanceOf[StructType]),
+      lines.find(_.startsWith("bloom=")).map(l =>
+        colsFromJson(l.stripPrefix("bloom="))).getOrElse(Nil),
+      lines.find(_.startsWith("pk=")).map(l =>
+        colsFromJson(l.stripPrefix("pk="))).getOrElse(Nil),
+      lines.find(_.startsWith("partition=")).map(l =>
+        colsFromJson(l.stripPrefix("partition="))).getOrElse(Nil),
+      lines.find(_.startsWith("txn=")).map(l =>
+        txnsFromJson(l.stripPrefix("txn="))).getOrElse(Map.empty))
+  }
+
+  /** Surviving raw body lines of a checkpoint `frame` under `pred`,
+    * stats-evaluated on EXECUTORS — the driver receives only the
+    * survivors. Exactly [[ManifestStats.prune]]'s decision per line
+    * (stats-less lines always survive), shipped to where the metadata
+    * lives.
+    */
+  private def pruneFrame(spark: SparkSession, frame: DataFrame,
+      pred: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[String] = {
+    import spark.implicits._
+    val kept = frame.select("line").as[String].filter { line =>
+      val e = parseLine(line)
+      e.stats.forall(j =>
+        ManifestStats.mayMatch(pred, ManifestStats.fromJson(j)))
+    }.collect().toSeq
+    ckptFramePrunes.incrementAndGet()
+    kept
+  }
+
+  /** The table schema for a distributed pruned read: the RECORDED one, or
+    * inferred from ONE file pulled off the frame (a snapshot's files share
+    * a schema) — never a driver materialization of the body. None only for
+    * an empty body with no recorded schema (callers fall back to the
+    * driver path's canonical error).
+    */
+  private def frameSchema(spark: SparkSession, root: String,
+      meta: TableMeta, frame: DataFrame): Option[StructType] = {
+    import spark.implicits._
+    meta.schema.orElse(
+      frame.select("line").as[String].head(1).headOption
+        .map(l => spark.read.parquet(bodyFile(root, l)).schema))
   }
 
   private[graft] def manifestBody(spark: SparkSession, root: String,
@@ -2166,6 +2397,7 @@ object SnapshotManifest {
           s"re-read the table and retry; staged data left at $dataDir " +
           "(unreferenced — vacuum sweeps it)")
     PartsCache.invalidate(s"${rootPath.toString}#$next")
+    maybeCheckpointParquet(spark, rootPath.toString, next, keptLines ++ newLines)
     maybeAutoCdf(spark, rootPath.toString, meta)
     next
   }
@@ -3004,6 +3236,20 @@ object SnapshotManifest {
       // reachability sweep reclaims.
       if (!fs.delete(new Path(rootPath, manifestName(v)), false))
         throw new java.io.IOException(s"vacuum: cannot delete manifest for version $v")
+      // the version's parquet checkpoint twin (if any) is derived metadata
+      // with no references elsewhere — reclaim alongside the manifest
+      fs.delete(ckptDir(rootPath, v), true)
+    }
+    // crashed twin writes leave unreferenced staging — age-gated sweep,
+    // same contract as the data-dir sweep's in-flight protection
+    val ckptStage = new Path(rootPath, "_ckpt_stage")
+    if (fs.exists(ckptStage)) {
+      val stageCutoff = System.currentTimeMillis() -
+        math.max(minAgeMs, StaleRewriteAgeMs)
+      fs.listStatus(ckptStage).foreach { s =>
+        if (s.isDirectory && s.getModificationTime <= stageCutoff)
+          fs.delete(s.getPath, true)
+      }
     }
     plan.dataDirs.foreach { d =>
       if (!fs.delete(new Path(d), true))

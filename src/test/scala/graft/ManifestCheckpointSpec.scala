@@ -200,4 +200,124 @@ class ManifestCheckpointSpec extends SparkSpec {
       Seq((1L, "a2")).toDF("id", "x"), Seq("id"), Seq("id"))
     assert(!rawManifest(tiny, 1L).contains("base="))
   }
+
+  test("10k-file table: pruned reads resolve DISTRIBUTED through the parquet checkpoint twin — the driver never materializes the body") {
+    import graft.sources.ManifestStats
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val root = newRoot()
+    spark.conf.set("graft.manifest.checkpointInterval", "4")
+    spark.conf.set("graft.manifest.parquetCheckpointMinLines", "100")
+    try {
+      // synthetic 10k-line body: file i covers id in [10i, 10i+9]. The
+      // pruned read never opens data files (stats from the manifest,
+      // schema recorded in the header), so the files need not exist —
+      // what's under test is the METADATA path.
+      def line(i: Int) = f"data/v00000000/part-$i%05d.parquet\t" +
+        ManifestStats.toJson(ManifestStats.FileStats(10L, Map("id" ->
+          ManifestStats.ColStats(Some(BigDecimal(i * 10L)),
+            Some(BigDecimal(i * 10L + 9)), 0L))))
+      val schema = StructType(Seq(StructField("id", LongType)))
+      val meta = SnapshotManifest.TableMeta(Some(schema), Nil)
+      val v0 = (0 until 10000).map(line)
+      SnapshotManifest.publishLines(spark, root, 0L, v0, "spec", meta)
+      val hfs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(hfs.exists(new Path(root, "_ckpt/v00000000")),
+        "boundary publish above the floor must write the parquet twin")
+      // churn-sized deltas on top: v1 drops five files, v2 re-stats one,
+      // v3 adds a fresh file covering a distinctive range
+      val v1 = v0.drop(5)
+      SnapshotManifest.publishLines(spark, root, 1L, v1, "spec", meta)
+      val v2 = v1.updated(0, f"data/v00000000/part-${5}%05d.parquet\t" +
+        ManifestStats.toJson(ManifestStats.FileStats(10L, Map("id" ->
+          ManifestStats.ColStats(Some(BigDecimal(1000000L)),
+            Some(BigDecimal(1000009L)), 0L)))))
+      SnapshotManifest.publishLines(spark, root, 2L, v2, "spec", meta)
+      val v3 = v2 :+ ("data/v00000003/extra.parquet\t" +
+        ManifestStats.toJson(ManifestStats.FileStats(3L, Map("id" ->
+          ManifestStats.ColStats(Some(BigDecimal(2000000L)),
+            Some(BigDecimal(2000002L)), 0L)))))
+      SnapshotManifest.publishLines(spark, root, 3L, v3, "spec", meta)
+      assert(rawManifest(root, 3L).contains("base=2"), "v3 must be a delta")
+      // THE design-point assertion: a stats-pruned read of the current
+      // (delta) version runs on executors over checkpoint + tails; the
+      // driver parses NO manifest body (manifestReadCount stays 0 — not
+      // even a cache fill) and receives only the survivors
+      SnapshotManifest.manifestReadCount.set(0L)
+      SnapshotManifest.ckptFramePrunes.set(0L)
+      val one = SnapshotManifest.prunedFiles(spark, root, 3L,
+        col("id") === 55555L)
+      assert(one.map(new Path(_).getName) == Seq("part-05555.parquet"))
+      assert(SnapshotManifest.ckptFramePrunes.get() == 1L,
+        "the pruned read must have taken the distributed checkpoint-frame path")
+      assert(SnapshotManifest.manifestReadCount.get() == 0L,
+        "the driver must not materialize the body for a pruned read")
+      // delta edits are visible THROUGH the frame: the dropped files are
+      // gone, the re-statted file answers its new range (and not its
+      // old), the added file answers its range
+      assert(SnapshotManifest.prunedFiles(spark, root, 3L,
+        col("id") === 12L).isEmpty, "v1-dropped file must not resurface")
+      assert(SnapshotManifest.prunedFiles(spark, root, 3L,
+        col("id") === 1000005L).map(new Path(_).getName) ==
+        Seq("part-00005.parquet"))
+      assert(SnapshotManifest.prunedFiles(spark, root, 3L,
+        col("id") === 55L).isEmpty, "re-statted file must not answer its old range")
+      assert(SnapshotManifest.prunedFiles(spark, root, 3L,
+        col("id") === 2000001L).map(new Path(_).getName) == Seq("extra.parquet"))
+      // and a range predicate keeps exactly the covering files (ids
+      // 100..250 live in files 10..25 of the synthetic layout)
+      SnapshotManifest.ckptFramePrunes.set(0L)
+      val wide = SnapshotManifest.prunedFiles(spark, root, 3L,
+        col("id").between(100L, 250L))
+      assert(SnapshotManifest.ckptFramePrunes.get() == 1L)
+      assert(wide.map(new Path(_).getName).toSet ==
+        (10 to 25).map(i => f"part-$i%05d.parquet").toSet)
+    } finally {
+      spark.conf.unset("graft.manifest.checkpointInterval")
+      spark.conf.unset("graft.manifest.parquetCheckpointMinLines")
+    }
+  }
+
+  test("readWhere through the checkpoint twin equals the driver path on a real table; vacuum reclaims twins") {
+    val root = newRoot()
+    spark.conf.set("graft.manifest.checkpointInterval", "2")
+    spark.conf.set("graft.manifest.parquetCheckpointMinLines", "50")
+    try {
+      // v0 (boundary): 150 real range-clustered files with id stats
+      SnapshotManifest.commit(spark, root,
+        spark.range(0, 15000).toDF("id")
+          .withColumn("x", concat(lit("r"), col("id")))
+          .repartitionByRange(150, col("id")), Seq("id"))
+      assert(new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new Path(root, "_ckpt/v00000000")))
+      // churn: v1 delta (merge), v2 boundary (full + twin), v3 delta
+      graft.operators.Upsert.mergeWhere(spark, root,
+        Seq((7L, "m7")).toDF("id", "x"), Seq("id"), Seq("id"))
+      SnapshotManifest.deleteWhere(spark, root, col("id").between(200L, 299L))
+      SnapshotManifest.appendRows(spark, root,
+        Seq((20000L, "a0"), (20001L, "a1")).toDF("id", "x"), Seq("id"))
+      val expected = SnapshotManifest.read(spark, root)
+        .filter(col("id").between(150L, 400L) || col("id") >= 20000L)
+        .as[(Long, String)].collect().toSet
+      SnapshotManifest.ckptFramePrunes.set(0L)
+      val got = SnapshotManifest.readWhere(spark, root,
+        col("id").between(150L, 400L) || col("id") >= 20000L)
+        .as[(Long, String)].collect().toSet
+      assert(SnapshotManifest.ckptFramePrunes.get() >= 1L,
+        "readWhere must have pruned through the checkpoint frame")
+      assert(got == expected && got.nonEmpty)
+      assert(got.exists(_._1 >= 20000L), "delta-appended rows must be served")
+      assert(!got.exists(t => t._1 >= 200L && t._1 <= 299L))
+      // vacuum reclaims the doomed versions' twins with their manifests
+      val reclaimed = SnapshotManifest.vacuum(spark, root, keep = 1)
+      assert(reclaimed.contains(0L))
+      val hfs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!hfs.exists(new Path(root, "_ckpt/v00000000")),
+        "vacuumed version's parquet twin must be reclaimed")
+      assert(SnapshotManifest.readWhere(spark, root, col("id") === 7L)
+        .as[(Long, String)].collect().toSet == Set((7L, "m7")))
+    } finally {
+      spark.conf.unset("graft.manifest.checkpointInterval")
+      spark.conf.unset("graft.manifest.parquetCheckpointMinLines")
+    }
+  }
 }
