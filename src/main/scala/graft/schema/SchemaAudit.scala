@@ -110,4 +110,42 @@ object SchemaAudit {
       .map(c => SchemaChange(table, c, s"${cur(c)} -> ${inc(c)}", "retyped"))
     added ++ removed ++ retyped
   }
+
+  /** One alert message per changed column — the reference's message shape
+    * (`dlt_utils.py:28-33`: warning line, table line, column line, data
+    * type line, newline-joined), with the change verb made explicit
+    * (the reference only ever walks additions; [[schemaDiff]] also sees
+    * removals and retypes, and silently collapsing them to "changed"
+    * would hide the dangerous direction).
+    */
+  def changeMessage(pipeline: String, c: SchemaChange): String =
+    Seq(
+      s"*Warning*, schema-change detected in pipeline: `$pipeline`\n",
+      s"Table updated: `${c.table}`\n",
+      s"Column ${c.change}: `${c.column}`",
+      s"Data type: `${c.dataType}`").mkString("\n")
+
+  /** E3 — the load-report walker (`dlt_utils.notify_schema_changes`,
+    * `dlt_utils.py:8-40`): after a load lands a batch of tables, walk each
+    * table's pre→post schema pair, and deliver ONE message per changed
+    * column through the Slack sink. The reference iterates a dlt
+    * LoadInfo's per-package `schema_update`; the engine-native equivalent
+    * of that record is the (table, schema-before, schema-after) triple the
+    * loader already holds on both sides of its commit. Driver-side walk,
+    * executor-side delivery ([[graft.operators.SlackSink.send]] —
+    * fire-and-log, never fails the load).
+    *
+    * @return number of change messages attempted
+    */
+  def notifyLoadSchemaChanges(spark: SparkSession, pipeline: String,
+      tables: Seq[(String, StructType, StructType)],
+      webhookUrl: String): Long = {
+    val changes = tables.flatMap { case (t, pre, post) =>
+      schemaDiff(t, pre, post) }
+    if (changes.isEmpty) return 0L
+    import spark.implicits._
+    graft.operators.SlackSink.send(
+      changes.map(c => changeMessage(pipeline, c)).toDF("message"),
+      webhookUrl)
+  }
 }

@@ -241,4 +241,36 @@ class SchemaEvolutionSpec extends SparkSpec {
     SnapshotManifest.addColumnsWithRetry(spark, root, adds)
     assert(SnapshotManifest.read(spark, root).columns.contains("note"))
   }
+
+  test("E3 load-report walker: one message per changed column across the load's tables, dlt message shape") {
+    graft.operators.SlackSink.memorySink.clear()
+    val ordersPre = Seq((1L, "a")).toDF("id", "status").schema
+    val ordersPost = Seq((1L, "a", 2.5)).toDF("id", "status", "total").schema
+    val itemsPre = Seq((1L, 2)).toDF("id", "qty").schema
+    val itemsPost = Seq((1L, 2L)).toDF("id", "qty").schema // qty retyped
+    val unchanged = Seq((1L, "x")).toDF("id", "x").schema
+    val n = SchemaAudit.notifyLoadSchemaChanges(spark, "nightly_load",
+      Seq(("orders", ordersPre, ordersPost),
+        ("items", itemsPre, itemsPost),
+        ("untouched", unchanged, unchanged)),
+      "memory://alerts")
+    assert(n == 2L)
+    val got = graft.operators.SlackSink.memorySink.toArray.map(_.toString).toSet
+    assert(got.size == 2)
+    // reference message shape (dlt_utils.py:28-33): pipeline, table,
+    // column, data type — each on its own backticked line
+    val added = got.find(_.contains("`orders`")).get
+    assert(added.contains("*Warning*, schema-change detected in pipeline: `nightly_load`"))
+    assert(added.contains("Table updated: `orders`"))
+    assert(added.contains("Column added: `total`"))
+    assert(added.contains("Data type: `double`"))
+    val retyped = got.find(_.contains("`items`")).get
+    assert(retyped.contains("Column retyped: `qty`"))
+    assert(retyped.contains("Data type: `int -> bigint`"))
+    // an all-unchanged load sends nothing
+    graft.operators.SlackSink.memorySink.clear()
+    assert(SchemaAudit.notifyLoadSchemaChanges(spark, "nightly_load",
+      Seq(("untouched", unchanged, unchanged)), "memory://alerts") == 0L)
+    assert(graft.operators.SlackSink.memorySink.isEmpty)
+  }
 }
