@@ -76,6 +76,61 @@ object Oracles {
     header + iters
   }
 
+  /** Batched-BPE replay (q149): 64 unrolled batch iterations — ALWAYS
+    * enough, because every non-exhausted iteration accepts ≥1 merge and
+    * surplus iterations no-op once 64 are accepted (the QUALIFY bound
+    * goes to zero). Per iteration: rank pair counts `(cnt desc, pair
+    * asc)`, keep the longest symbol-disjoint rank prefix — cut at the
+    * first candidate sharing a symbol with ANY earlier-ranked one (the
+    * candidate self-join) — append to the accumulator with running
+    * ranks, and apply the whole batch as one `list_reduce` fold of
+    * padded literal replaces (disjoint ⇒ commuting, exactly
+    * `Bpe.trainMergesBatched`'s contract). MATERIALIZED pins linear
+    * evaluation: `s_i` feeds both `p_i` and `s_{i+1}`, so an inlined
+    * chain would blow up doubly exponentially.
+    */
+  private val bpeBatchedSql: String = {
+    val k = 64
+    val mb = 8
+    val header =
+      s"""WITH w AS (
+         |  SELECT tok AS word, count(*) AS f FROM (
+         |    SELECT unnest(list_filter(string_split($canon, ' '), t -> t <> '')) AS tok
+         |    FROM documents)
+         |  GROUP BY tok),
+         |s0 AS MATERIALIZED (
+         |  SELECT array_to_string([word[i] for i in generate_series(1, length(word))], ' ')
+         |    || ' </w>' AS seq, f FROM w),
+         |a0 AS (SELECT CAST(NULL AS INT) AS rank, CAST(NULL AS VARCHAR) AS pair,
+         |       CAST(NULL AS BIGINT) AS cnt WHERE false)""".stripMargin
+    val iters = (0 until k).map { i =>
+      s"""p$i AS (
+         |  ${bpePairSql(s"s$i")}),
+         |c$i AS MATERIALIZED (
+         |  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rn
+         |  FROM p$i
+         |  QUALIFY rn <= LEAST($mb, $k - (SELECT count(*) FROM a$i))),
+         |x$i AS (
+         |  SELECT c1.rn FROM c$i c1 JOIN c$i c2 ON c2.rn < c1.rn
+         |  WHERE list_has_any(string_split(c1.pair, ' '), string_split(c2.pair, ' '))),
+         |b$i AS MATERIALIZED (
+         |  SELECT pair, cnt, rn FROM c$i
+         |  WHERE rn < coalesce((SELECT min(rn) FROM x$i), 2147483647)),
+         |a${i + 1} AS MATERIALIZED (
+         |  SELECT * FROM a$i
+         |  UNION ALL
+         |  SELECT CAST((SELECT count(*) FROM a$i) + rn - 1 AS INT),
+         |         pair, CAST(cnt AS BIGINT) FROM b$i),
+         |s${i + 1} AS MATERIALIZED (
+         |  SELECT trim(list_reduce(
+         |    list_prepend(' ' || seq || ' ',
+         |      coalesce((SELECT list(pair ORDER BY rn) FROM b$i), [])),
+         |    (acc, p) -> replace(acc, ' ' || p || ' ', ' ' || replace(p, ' ', '') || ' ')
+         |  )) AS seq, f FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"$header,\n$iters\nSELECT rank, pair, cnt FROM a$k ORDER BY rank"
+  }
+
   /** Planted near-duplicate corpus (must match Queries.docsWithPlantedDups). */
   private val plantedDocs =
     """SELECT doc_id, text FROM documents
@@ -1355,6 +1410,10 @@ object Oracles {
         |FROM orders
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // Batched BPE training (q149): the rank-prefix-disjoint batch
+    // selection replayed over 64 unrolled iterations — see bpeBatchedSql.
+    "q149_bpe_batched" -> bpeBatchedSql,
 
     // Idempotent append (q147): the replayed middle slice lands ONCE, so
     // the oracle is simply the single-copy reassembly — a double-append

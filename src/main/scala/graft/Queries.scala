@@ -3099,6 +3099,27 @@ object Queries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Batched BPE training at the production shape
+    * ([[graft.operators.Bpe.trainMergesBatched]]): 64 merges accepted in
+    * rank-prefix-disjoint batches of ≤8 — ONE pair-count job per batch
+    * instead of per merge, the ~k/maxBatch job count that makes a 32k
+    * vocabulary trainable (q106 gates the per-merge trainer at k=3; this
+    * gates the batch selection itself at depth). The oracle replays the
+    * selection exactly: rank `(cnt desc, pair asc)`, accept the longest
+    * prefix of candidates whose symbols are mutually disjoint (cut at the
+    * first conflict), apply the whole batch (padded literal replaces —
+    * commuting because disjoint), repeat. Gated output: the full 64-row
+    * merge table — a wrong cut point, a non-commuting apply, or rank
+    * drift ANYWHERE in the 64 merges shifts it.
+    */
+  def q149BpeBatched(spark: SparkSession, dir: String): DataFrame = {
+    val wf = graft.operators.Bpe.wordFreq(t(spark, dir, "documents"), "text")
+    val (merges, _) =
+      graft.operators.Bpe.trainMergesBatched(wf, k = 64, maxBatch = 8)
+    spark.createDataFrame(merges).toDF("rank", "pair", "cnt")
+      .orderBy(col("rank"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -3251,6 +3272,7 @@ object Queries {
     "q145_append_rows" -> (q145AppendRows _),
     "q146_purge_propagation" -> (q146PurgePropagation _),
     "q147_idempotent_append" -> (q147IdempotentAppend _),
-    "q148_small_file_compaction" -> (q148SmallFileCompaction _)
+    "q148_small_file_compaction" -> (q148SmallFileCompaction _),
+    "q149_bpe_batched" -> (q149BpeBatched _)
   )
 }
