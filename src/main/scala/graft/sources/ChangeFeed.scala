@@ -298,6 +298,30 @@ object ChangeFeed {
       .parquet(new Path(rootPath, "_cdf").toString + "/*")
   }
 
+  /** Per-batch coverage assertion for LONG-RUNNING [[stream]] consumers:
+    * the materialized ranges on disk must still chain contiguously from
+    * `sinceVersion` (the consumer's applied watermark) through this
+    * batch's highest commit. AvailableNow consumers validate coverage up
+    * front ([[replicateAvailableNow]]); a CONTINUOUS consumer that a
+    * concurrent [[vacuumFeed]] outruns has no such gate — ranges
+    * reclaimed before the source ever LISTED them leave no trace in the
+    * stream (the file source cannot miss what it never saw), so the gap
+    * is silent by construction. Call this inside `foreachBatch` before
+    * applying: a gap throws the standard coverage error (re-bootstrap
+    * the consumer from a snapshot), never a silent skip. No-op for empty
+    * batches and for batches at or below the watermark (a split commit's
+    * tail re-delivery).
+    */
+  def validateBatchCoverage(spark: SparkSession, root: String,
+      sinceVersion: Long, batch: DataFrame): Unit = {
+    val hi = batch.agg(org.apache.spark.sql.functions
+      .max(org.apache.spark.sql.functions.col("_commit_version"))).head()
+    if (!hi.isNullAt(0) && sinceVersion < hi.getLong(0)) {
+      coveredRanges(spark, root, Some(sinceVersion), Some(hi.getLong(0)))
+      ()
+    }
+  }
+
   private def watermarkFile(dstRoot: String): Path =
     new Path(new Path(dstRoot), "_replication_watermark")
 
@@ -388,6 +412,19 @@ object ChangeFeed {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val feedCols = Seq("_change", "_commit_version")
         val dataCols = batch.columns.filterNot(feedCols.contains).toSeq
+        // PER-BATCH coverage from wherever this replica now stands: the
+        // start-of-run check cannot see a vacuumFeed that outruns the
+        // stream BETWEEN batches (reclaimed-before-listed ranges leave no
+        // trace in the source) — re-validate before anything applies
+        val hiRow = batch.agg(
+          org.apache.spark.sql.functions.max(col("_commit_version"))).head()
+        val hi = if (hiRow.isNullAt(0)) None else Some(hiRow.getLong(0))
+        hi.foreach { h =>
+          (replicaWatermark(spark, dstRoot).toSeq ++ effectiveFrom.toSeq)
+            .maxOption.foreach { w =>
+              if (w < h) { coveredRanges(spark, srcRoot, Some(w), Some(h)); () }
+            }
+        }
         // last-state-per-key: images of later commits win; within one
         // commit, update_preimage is the ONLY non-final state (a key's
         // commit emits delete, insert, or pre+post — never two finals)
@@ -407,10 +444,7 @@ object ChangeFeed {
           pk, statsCols, maxKeySetSize)
         // watermark AFTER both arms: a crash in between replays the batch
         // (idempotent), and a lagging watermark only tightens validation
-        val applied = batch.agg(
-          org.apache.spark.sql.functions.max(col("_commit_version"))).head()
-        if (!applied.isNullAt(0))
-          advanceWatermark(spark, dstRoot, applied.getLong(0))
+        hi.foreach(h => advanceWatermark(spark, dstRoot, h))
         ()
       }
       .option("checkpointLocation", checkpointDir)

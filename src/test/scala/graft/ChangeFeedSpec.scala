@@ -87,6 +87,54 @@ class ChangeFeedSpec extends SparkSpec {
     assert(streamed == rows(ChangeFeed.feed(spark, root)))
   }
 
+  test("mid-stream vacuumFeed fails loudly at the next batch instead of silently skipping never-listed ranges") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      (0L until 10L).map(i => (i, s"v$i")).toDF("id", "x"), Seq("id"))
+    graft.operators.Upsert.mergeWhere(spark, root,
+      Seq((1L, "c1")).toDF("id", "x"), Seq("id"), Seq("id"))
+    graft.operators.Upsert.mergeWhere(spark, root,
+      Seq((2L, "c2")).toDF("id", "x"), Seq("id"), Seq("id"))
+    ChangeFeed.materializeNew(spark, root, Seq("id")) // (0,1), (1,2)
+    @volatile var watermark = 0L
+    val chk = Files.createTempDirectory("cdfchk").toString
+    def consumer() = ChangeFeed.stream(spark, root).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the long-running consumer's contract: validate from the applied
+        // watermark BEFORE applying anything
+        ChangeFeed.validateBatchCoverage(spark, root, watermark, batch)
+        val hi = batch.agg(max(col("_commit_version"))).head()
+        if (!hi.isNullAt(0)) watermark = math.max(watermark, hi.getLong(0))
+        ()
+      }
+      .option("checkpointLocation", chk)
+      .start() // continuous micro-batches — NOT AvailableNow
+    val q1 = consumer()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(watermark == 2L)
+    // while the consumer is DOWN, two more commits land and the feed's
+    // early coverage — including a range the source never listed — is
+    // reclaimed: the silent-gap construction (a file source cannot miss
+    // what it never saw, and a raw stream has no start-of-run check)
+    graft.operators.Upsert.mergeWhere(spark, root,
+      Seq((3L, "c3")).toDF("id", "x"), Seq("id"), Seq("id"))
+    graft.operators.Upsert.mergeWhere(spark, root,
+      Seq((4L, "c4")).toDF("id", "x"), Seq("id"), Seq("id"))
+    ChangeFeed.materializeNew(spark, root, Seq("id")) // (2,3), (3,4)
+    ChangeFeed.vacuumFeed(spark, root, beforeVersion = 3L) // reclaims ..(2,3)
+    val q2 = consumer()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(msgs.exists(_.contains("feed coverage")),
+        s"expected the coverage error in the cause chain, got: $msgs")
+      assert(watermark == 2L, "nothing past the gap may have been applied")
+    } finally q2.stop()
+  }
+
   test("replication: clone-bootstrapped replica converges through the feed, deletes included") {
     val root = newRoot(); val replicaRoot = newRoot()
     build4(root)
