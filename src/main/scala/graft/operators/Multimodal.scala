@@ -124,9 +124,11 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
 
     /** Decode → bilinear scale to exactly `w`×`h` → re-encode PNG.
-      * Output type is pinned (`TYPE_INT_RGB` + software bilinear raster)
-      * so the bytes are deterministic for a given JDK — the property the
-      * plumbing specs assert.
+      * Output type is pinned (`TYPE_INT_ARGB` + software bilinear raster)
+      * so the bytes are deterministic for a given JDK — and ARGB, not
+      * RGB, because compositing a transparent source onto an opaque
+      * raster would silently flatten its alpha onto black (PNG carries
+      * alpha; the re-encode must too).
       */
     def resizePng(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
       if (bytes == null || bytes.isEmpty) None
@@ -135,7 +137,7 @@ object Multimodal {
         Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes)))
           .map { src =>
             val dst = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
             val g = dst.createGraphics()
             try {
               g.setRenderingHint(

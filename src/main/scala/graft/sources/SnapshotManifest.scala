@@ -627,12 +627,9 @@ object SnapshotManifest {
     // checkpoint frame and the driver only ever holds the SURVIVING
     // lines — never the full file list. Any failure falls through to the
     // authoritative driver-parsed path below.
-    val distributed =
-      try bodyLinesFrame(spark, root, v).flatMap { frame =>
-        val meta = manifestMetaOnly(spark, root, v)
-        frameSchema(spark, root, meta, frame).map { schema =>
-          val pred = ManifestStats.resolvePredicate(spark, schema, predicate)
-          val kept = pruneFrame(spark, frame, pred)
+    distributedPrune(spark, root, v, predicate) match {
+      case Some((meta, schema, kept)) =>
+        return {
           if (kept.isEmpty)
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -640,8 +637,8 @@ object SnapshotManifest {
           else readEntries(spark, root, kept.map(parseLine), meta.schema)
             .filter(predicate)
         }
-      } catch { case scala.util.control.NonFatal(_) => None }
-    if (distributed.isDefined) return distributed.get
+      case None => ()
+    }
     val (body, meta) = manifestParts(spark, root, v)
     val entries = body.map(parseLine)
     val all = body.map(l => bodyFile(root, l))
@@ -674,15 +671,10 @@ object SnapshotManifest {
       predicate: org.apache.spark.sql.Column): Seq[String] = {
     // distributed twin of [[readWhere]]'s fast path — survivors only on
     // the driver; order is NOT the manifest's on this path
-    val distributed =
-      try bodyLinesFrame(spark, root, version).flatMap { frame =>
-        val meta = manifestMetaOnly(spark, root, version)
-        frameSchema(spark, root, meta, frame).map { schema =>
-          val pred = ManifestStats.resolvePredicate(spark, schema, predicate)
-          pruneFrame(spark, frame, pred).map(l => bodyFile(root, l))
-        }
-      } catch { case scala.util.control.NonFatal(_) => None }
-    if (distributed.isDefined) return distributed.get
+    distributedPrune(spark, root, version, predicate) match {
+      case Some((_, _, kept)) => return kept.map(l => bodyFile(root, l))
+      case None => ()
+    }
     val (body, meta) = manifestParts(spark, root, version)
     if (body.isEmpty) return Nil // nothing to prune, no schema needed
     val entries = body.map(parseLine)
@@ -1208,21 +1200,37 @@ object SnapshotManifest {
   private[graft] def bodyLinesFrame(spark: SparkSession, root: String,
       version: Long): Option[DataFrame] = try {
     val (fs, rootPath) = fsOf(spark, root)
+    // walk to the anchor by HEADER PROBES ONLY first — the common case is
+    // a twin-less table (sub-floor body, clone, post-rewrite anchor), and
+    // it must not pay a full read of every delta in the chain just to
+    // discover there is no twin and fall back
     var v = version
-    val tails = scala.collection.mutable.ArrayBuffer[Seq[String]]() // newest first
+    val chain = scala.collection.mutable.ArrayBuffer[Long]() // newest first
     var anchor = -1L
     while (anchor < 0) {
       manifestBase(spark, root, v) match {
-        case Some(b) =>
-          val text = CommitProtocol.readFully(fs, new Path(rootPath, manifestName(v)))
-          tails += text.split('\n').map(_.trim)
-            .filter(l => l.startsWith("-\t") || l.startsWith("+\t")).toSeq
-          v = b
+        case Some(b) => chain += v; v = b
         case None => anchor = v
       }
     }
     val dir = ckptDir(rootPath, anchor)
     if (!fs.exists(dir)) return None
+    // twin confirmed: read the churn-sized delta tails. A body line that
+    // is neither header nor a +/- op is CORRUPTION — the driver path
+    // throws on it ([[manifestPartsUncached]]), and the distributed path
+    // must not quietly compose a partial body instead; the throw lands in
+    // the NonFatal handler below → None → the authoritative path raises
+    // the canonical error
+    val tails = chain.map { dv =>
+      val text = CommitProtocol.readFully(fs, new Path(rootPath, manifestName(dv)))
+      text.split('\n').map(_.trim).filter(_.nonEmpty).flatMap { l =>
+        if (l.startsWith("-\t") || l.startsWith("+\t")) Some(l)
+        else if (HeaderKeys.exists(l.startsWith) || l.startsWith("base=")) None
+        else throw new IllegalStateException(
+          s"corrupt delta manifest for version $dv: body line without " +
+            s"+/- op: ${l.take(80)}")
+      }.toSeq
+    }
     val ckpt = spark.read.parquet(dir.toString)
     // replay ops oldest→newest into one last-write-wins edit map:
     // None = removed, Some(line) = added or replaced
@@ -1330,6 +1338,24 @@ object SnapshotManifest {
       frame.select("line").as[String].head(1).headOption
         .map(l => spark.read.parquet(bodyFile(root, l)).schema))
   }
+
+  /** The shared DISTRIBUTED fast path of [[readWhere]]/[[prunedFiles]]:
+    * `(meta, schema, surviving raw lines)` resolved through the
+    * checkpoint frame with stats pruning on executors, or None — no twin
+    * anchors the version, the body is empty with no recorded schema, or
+    * anything in the derived path failed — in which case the caller runs
+    * the authoritative driver-parsed path.
+    */
+  private def distributedPrune(spark: SparkSession, root: String,
+      version: Long, predicate: org.apache.spark.sql.Column)
+      : Option[(TableMeta, StructType, Seq[String])] =
+    try bodyLinesFrame(spark, root, version).flatMap { frame =>
+      val meta = manifestMetaOnly(spark, root, version)
+      frameSchema(spark, root, meta, frame).map { schema =>
+        val pred = ManifestStats.resolvePredicate(spark, schema, predicate)
+        (meta, schema, pruneFrame(spark, frame, pred))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private[graft] def manifestBody(spark: SparkSession, root: String,
       version: Long): Seq[String] =
@@ -3236,6 +3262,14 @@ object SnapshotManifest {
       // reachability sweep reclaims.
       if (!fs.delete(new Path(rootPath, manifestName(v)), false))
         throw new java.io.IOException(s"vacuum: cannot delete manifest for version $v")
+      // any leftover rewrite sidecar of the DOOMED version must die WITH
+      // the manifest: the age gate in [[recoverManifestRewrites]] keeps
+      // young sidecars alive, so an orphaned one (a crashed chain-guard
+      // swap of a version that later became doomed) would otherwise be
+      // renamed back by the next recovery — resurrecting a 'retained'
+      // version whose data files this vacuum is about to sweep
+      Option(fs.globStatus(new Path(rootPath, manifestName(v) + ".rewrite-*")))
+        .getOrElse(Array.empty).foreach(s => fs.delete(s.getPath, false))
       // the version's parquet checkpoint twin (if any) is derived metadata
       // with no references elsewhere — reclaim alongside the manifest
       fs.delete(ckptDir(rootPath, v), true)

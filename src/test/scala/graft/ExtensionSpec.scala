@@ -751,5 +751,28 @@ class ExtensionSpec extends SparkSpec {
     // the non-image payload flows through the declared stub fallback —
     // same plumbing, no failure, deterministic bytes
     assert(out(3L).nonEmpty && java.util.Arrays.equals(out(3L), again(3L)))
+    // alpha survives the resize: a transparent source must not come back
+    // flattened onto an opaque background
+    val argb = {
+      val img = new java.awt.image.BufferedImage(
+        40, 40, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      (0 until 40).foreach(x => (0 until 40).foreach { y =>
+        img.setRGB(x, y, if (x < 20) 0x00000000 else 0xffff0000)
+      })
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val alphaOut = Multimodal.resize(
+      Seq((9L, "image/png", argb)).toDF("asset_id", "media_type", "bytes")
+        .withColumn("byte_len", length(col("bytes")).cast("long")),
+      20, 20).collect().head.getAs[Array[Byte]]("bytes")
+    val decoded = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(alphaOut))
+    assert(decoded.getColorModel.hasAlpha)
+    assert((decoded.getRGB(2, 10) >>> 24) < 32,
+      "the transparent half must stay transparent after resize")
+    assert((decoded.getRGB(17, 10) >>> 24) > 224,
+      "the opaque half must stay opaque after resize")
   }
 }

@@ -174,6 +174,38 @@ class ManifestCheckpointSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == expected)
   }
 
+  test("a doomed version's orphaned rewrite sidecar dies with its manifest — no resurrection") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      spark.range(0, 20).toDF("id").withColumn("x", lit("a"))
+        .repartitionByRange(2, col("id")), Seq("id"))
+    graft.operators.Upsert.mergeWhere(spark, root,
+      Seq((1L, "b")).toDF("id", "x"), Seq("id"), Seq("id"))
+    graft.operators.Upsert.mergeWhere(spark, root,
+      Seq((2L, "c")).toDF("id", "x"), Seq("id"), Seq("id"))
+    // simulate a chain-guard swap that crashed BEFORE its rename while v1
+    // was still retained: the manifest is intact and a FRESH sidecar holds
+    // a durable copy. The age gate rightly keeps the young sidecar alive —
+    // so when v1 later becomes doomed, vacuum must delete the sidecar WITH
+    // the manifest, or the next recovery pass renames it back and
+    // resurrects a version whose data files were just swept.
+    val mf1 = new Path(root, f"manifest-${1L}%08d.json")
+    val hfs = mf1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val publishedAt = hfs.getFileStatus(mf1).getModificationTime
+    val side = new Path(root, f"manifest-${1L}%08d.json.rewrite-$publishedAt%d")
+    org.apache.hadoop.fs.FileUtil.copy(hfs, mf1, hfs, side, false,
+      spark.sparkContext.hadoopConfiguration)
+    val expected = SnapshotManifest.read(spark, root)
+      .as[(Long, String)].collect().toSet
+    SnapshotManifest.vacuum(spark, root, keep = 1)
+    assert(!hfs.exists(side), "the doomed version's sidecar must be reclaimed")
+    assert(SnapshotManifest.listVersions(spark, root) == Seq(2L))
+    // a recovery pass (any read) must NOT bring v1 back
+    assert(SnapshotManifest.read(spark, root)
+      .as[(Long, String)].collect().toSet == expected)
+    assert(SnapshotManifest.listVersions(spark, root) == Seq(2L))
+  }
+
   test("interval=1 disables deltas entirely; resolution is format-compatible either way") {
     val root = newRoot()
     def baseCommit() = SnapshotManifest.commit(spark, root,
