@@ -197,12 +197,15 @@ object ChangeFeed {
     val v = SnapshotManifest.currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(
         s"ChangeFeed.feedSchema: no committed snapshot under $root"))
-    val (body, meta) = SnapshotManifest.manifestParts(spark, root, v)
-    val table = meta.schema.getOrElse {
-      require(body.nonEmpty, s"ChangeFeed.feedSchema: snapshot $v of $root " +
-        "has no data files and no recorded schema")
-      spark.read.parquet(SnapshotManifest.bodyFile(root, body.head)).schema
-    }
+    // header first: a RECORDED schema answers without resolving the body
+    // (a 10⁵-line parse saved per stream start on schema-declared tables)
+    val table = SnapshotManifest.manifestMetaOnly(spark, root, v).schema
+      .getOrElse {
+        val (body, _) = SnapshotManifest.manifestParts(spark, root, v)
+        require(body.nonEmpty, s"ChangeFeed.feedSchema: snapshot $v of $root " +
+          "has no data files and no recorded schema")
+        spark.read.parquet(SnapshotManifest.bodyFile(root, body.head)).schema
+      }
     StructType(table.fields.toSeq :+
       StructField("_change", StringType, nullable = false) :+
       StructField("_commit_version", LongType, nullable = false))

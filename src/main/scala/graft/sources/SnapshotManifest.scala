@@ -1363,18 +1363,19 @@ object SnapshotManifest {
 
   /** The RECORDED table schema of `version`, if any — the source of truth
     * once [[addColumns]] has widened the table beyond what any single
-    * data file carries. O(1) driver metadata; never lists or footers the
-    * data files.
+    * data file carries. HEADER-ONLY driver metadata ([[manifestMetaOnly]]
+    * streams a few KB and never resolves the body, whatever the file
+    * count); never lists or footers the data files.
     */
   def manifestSchema(spark: SparkSession, root: String,
       version: Long): Option[StructType] =
-    manifestParts(spark, root, version)._2.schema
+    manifestMetaOnly(spark, root, version).schema
 
   /** The bloom-indexed columns recorded for `version` (empty when the
-    * table carries no bloom property) — O(1) driver metadata.
+    * table carries no bloom property) — header-only driver metadata.
     */
   def bloomCols(spark: SparkSession, root: String, version: Long): Seq[String] =
-    manifestParts(spark, root, version)._2.bloomCols
+    manifestMetaOnly(spark, root, version).bloomCols
 
 
   /** Absolute data-file path of one manifest body line. */
@@ -1777,11 +1778,11 @@ object SnapshotManifest {
       meta.copy(pk = pk))
   }
 
-  /** The declared primary key of `version` (empty when none) — O(1)
-    * driver metadata.
+  /** The declared primary key of `version` (empty when none) —
+    * header-only driver metadata.
     */
   def primaryKey(spark: SparkSession, root: String, version: Long): Seq[String] =
-    manifestParts(spark, root, version)._2.pk
+    manifestMetaOnly(spark, root, version).pk
 
   /** [[setPrimaryKey]] / [[setBloomCols]] / [[analyzeTable]] with the
     * bounded lost-race retry of the other metadata twins — each attempt
@@ -1877,12 +1878,12 @@ object SnapshotManifest {
       meta.copy(partitionCols = cols))
   }
 
-  /** The declared partition columns of `version` (empty when none) — O(1)
-    * driver metadata.
+  /** The declared partition columns of `version` (empty when none) —
+    * header-only driver metadata.
     */
   def partitionColumns(spark: SparkSession, root: String,
       version: Long): Seq[String] =
-    manifestParts(spark, root, version)._2.partitionCols
+    manifestMetaOnly(spark, root, version).partitionCols
 
   def setPartitionColumnsWithRetry(spark: SparkSession, root: String,
       cols: Seq[String], maxAttempts: Int = 5,
@@ -2850,7 +2851,7 @@ object SnapshotManifest {
   def txnVersion(spark: SparkSession, root: String,
       appId: String): Option[Long] =
     currentVersion(spark, root).flatMap(v =>
-      manifestParts(spark, root, v)._2.txns.get(appId))
+      manifestMetaOnly(spark, root, v).txns.get(appId))
 
   /** [[appendRows]] with EXACTLY-ONCE semantics per `(appId, txnVersion)`
     * — the idempotent-writes contract (Delta's txnAppId/txnVersion) for
