@@ -698,6 +698,36 @@ object SnapshotManifest {
   def countRows(spark: SparkSession, root: String): Long = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"countRows: no committed snapshot under $root"))
+    // DISTRIBUTED fold when a checkpoint twin anchors the body: the
+    // recorded per-file rows sum on EXECUTORS and only the lines metadata
+    // cannot answer exactly (DV'd, stats-less — the ones a scan must
+    // touch anyway) come back to the driver. Same decision per line as
+    // the driver fold below.
+    val dist =
+      try bodyLinesFrame(spark, root, v).map { frame =>
+        import spark.implicits._
+        val classified = frame.select("line").as[String].map { line =>
+          val e = parseLine(line)
+          if (e.dvRel.isEmpty && e.stats.isDefined)
+            (ManifestStats.fromJson(e.stats.get).rows, null: String)
+          else (0L, line)
+        }.toDF("rows", "line")
+        val r = classified.agg(
+          org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("rows")),
+          org.apache.spark.sql.functions.collect_list(
+            org.apache.spark.sql.functions.col("line"))).head()
+        val metaCount = if (r.isNullAt(0)) 0L else r.getLong(0)
+        val scanLines = r.getSeq[String](1)
+        val scanCount =
+          if (scanLines.isEmpty) 0L
+          else readEntries(spark, root, scanLines.map(parseLine),
+            manifestMetaOnly(spark, root, v).schema).count()
+        metaCount + scanCount
+      } catch { case scala.util.control.NonFatal(_) => None }
+    dist match {
+      case Some(n) => return n
+      case None => ()
+    }
     val (body, meta) = manifestParts(spark, root, v)
     if (body.isEmpty) return 0L
     val entries = body.map(parseLine)

@@ -303,6 +303,13 @@ class ManifestCheckpointSpec extends SparkSpec {
       assert(SnapshotManifest.ckptFramePrunes.get() == 1L)
       assert(wide.map(new Path(_).getName).toSet ==
         (10 to 25).map(i => f"part-$i%05d.parquet").toSet)
+      // countRows folds the recorded stats on EXECUTORS through the same
+      // frame: 10k files x 10 rows, minus the five dropped, plus the
+      // 3-row added file — still zero driver manifest parses
+      SnapshotManifest.manifestReadCount.set(0L)
+      assert(SnapshotManifest.countRows(spark, root) == 99953L)
+      assert(SnapshotManifest.manifestReadCount.get() == 0L,
+        "the distributed countRows must not materialize the body")
     } finally {
       spark.conf.unset("graft.manifest.checkpointInterval")
       spark.conf.unset("graft.manifest.parquetCheckpointMinLines")
