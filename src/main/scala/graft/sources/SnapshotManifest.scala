@@ -695,46 +695,72 @@ object SnapshotManifest {
     * JUST those files; a stats-maintained, recently-folded table answers
     * entirely from metadata.
     */
+  /** The recorded row count of one entry when metadata answers it EXACTLY
+    * — no deletion vector masking an unknown share of the rows, stats
+    * present. THE classification both [[countRows]] folds share (per-entry
+    * stats, never a basename-keyed map: keying by name would let two
+    * same-named entries collapse to one count).
+    */
+  private def exactRows(e: ManifestEntry): Option[Long] =
+    if (e.dvRel.isEmpty) e.stats.map(ManifestStats.fromJson(_).rows) else None
+
+  /** Scan-line ceiling for [[countRows]]' distributed fold: past it the
+    * metadata cannot answer most of the table anyway, so the driver path
+    * (which materializes the body ONCE) is the cheaper shape — better
+    * than funneling a body-sized list through one aggregation buffer.
+    */
+  private val CountRowsMaxScanLines = 100000L
+
   def countRows(spark: SparkSession, root: String): Long = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"countRows: no committed snapshot under $root"))
     // DISTRIBUTED fold when a checkpoint twin anchors the body: the
     // recorded per-file rows sum on EXECUTORS and only the lines metadata
     // cannot answer exactly (DV'd, stats-less — the ones a scan must
-    // touch anyway) come back to the driver. Same decision per line as
-    // the driver fold below.
-    val dist =
-      try bodyLinesFrame(spark, root, v).map { frame =>
+    // touch anyway) come back to the driver. The try covers ONLY the
+    // derived-frame stages: the data scan below runs outside it, so a
+    // genuine scan failure surfaces once and loudly instead of silently
+    // re-running on the fallback path.
+    val dist: Option[(Long, Seq[String])] =
+      try bodyLinesFrame(spark, root, v).flatMap { frame =>
         import spark.implicits._
         val classified = frame.select("line").as[String].map { line =>
-          val e = parseLine(line)
-          if (e.dvRel.isEmpty && e.stats.isDefined)
-            (ManifestStats.fromJson(e.stats.get).rows, null: String)
-          else (0L, line)
+          exactRows(parseLine(line)) match {
+            case Some(rows) => (rows, null: String)
+            case None => (0L, line)
+          }
         }.toDF("rows", "line")
-        val r = classified.agg(
-          org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("rows")),
-          org.apache.spark.sql.functions.collect_list(
-            org.apache.spark.sql.functions.col("line"))).head()
-        val metaCount = if (r.isNullAt(0)) 0L else r.getLong(0)
-        val scanLines = r.getSeq[String](1)
-        val scanCount =
-          if (scanLines.isEmpty) 0L
-          else readEntries(spark, root, scanLines.map(parseLine),
-            manifestMetaOnly(spark, root, v).schema).count()
-        metaCount + scanCount
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val r = classified.agg(
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.col("rows")),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.col("line"))).head()
+          val metaCount = if (r.isNullAt(0)) 0L else r.getLong(0)
+          val scanN = r.getLong(1)
+          if (scanN > CountRowsMaxScanLines) None // driver path is cheaper
+          else if (scanN == 0L) Some((metaCount, Nil))
+          else Some((metaCount,
+            classified.filter(org.apache.spark.sql.functions.col("line").isNotNull)
+              .select("line").as[String].collect().toSeq))
+        } finally classified.unpersist(blocking = false)
       } catch { case scala.util.control.NonFatal(_) => None }
     dist match {
-      case Some(n) => return n
+      case Some((metaCount, scanLines)) =>
+        return metaCount + (
+          if (scanLines.isEmpty) 0L
+          else readEntries(spark, root, scanLines.map(parseLine),
+            manifestMetaOnly(spark, root, v).schema).count())
       case None => ()
     }
     val (body, meta) = manifestParts(spark, root, v)
     if (body.isEmpty) return 0L
-    val entries = body.map(parseLine)
-    val stats = bodyStatsOf(entries)
-    val (exact, scanned) = entries.partition(e =>
-      e.dvRel.isEmpty && stats.contains(new Path(e.rel).getName))
-    val metaCount = exact.map(e => stats(new Path(e.rel).getName).rows).sum
+    // one stats parse per entry (exactRows pays a JSON parse — never
+    // classify and re-derive in two passes)
+    val withRows = body.map(parseLine).map(e => e -> exactRows(e))
+    val metaCount = withRows.flatMap(_._2).sum
+    val scanned = withRows.collect { case (e, None) => e }
     val scanCount =
       if (scanned.isEmpty) 0L
       else readEntries(spark, root, scanned, meta.schema).count()
@@ -1322,6 +1348,12 @@ object SnapshotManifest {
           recoverManifestRewrites(fs, rootPath)
           readHeader()
       }
+    // the same corruption guard [[manifestPartsUncached]] enforces: a
+    // truncated or wrong-version file must fail LOUDLY here, not answer
+    // metadata questions with silently-empty TableMeta (txnVersion=None
+    // would re-open an idempotent writer's exactly-once window)
+    require(lines.headOption.contains(s"version=$version"),
+      s"corrupt manifest for version $version: bad header ${lines.headOption}")
     TableMeta(
       lines.find(_.startsWith("schema=")).map(l =>
         org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("schema="))
