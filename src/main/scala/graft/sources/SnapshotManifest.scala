@@ -1219,9 +1219,20 @@ object SnapshotManifest {
     val interval = checkpointInterval(spark)
     if (interval <= 1 || next % interval != 0 || fullLines.isEmpty ||
         fullLines.size < parquetCheckpointMinLines(spark)) return
+    writeCheckpointParquet(spark, root, next, fullLines)
+  }
+
+  /** The twin write itself, gate-free — shared by the boundary-publish
+    * hook above and vacuum's chain-guard rewrite (whose delta→full swap
+    * creates an off-boundary FULL anchor: without a twin it would demote
+    * every subsequent pruned read to the driver path until the next
+    * boundary). Best-effort always: a failure costs only the fast path.
+    */
+  private def writeCheckpointParquet(spark: SparkSession, root: String,
+      version: Long, fullLines: Seq[String]): Unit = {
     try {
       val (fs, rootPath) = fsOf(spark, root)
-      val dest = ckptDir(rootPath, next)
+      val dest = ckptDir(rootPath, version)
       if (fs.exists(dest)) return
       val stage = new Path(rootPath,
         new Path("_ckpt_stage", java.util.UUID.randomUUID.toString))
@@ -1234,9 +1245,9 @@ object SnapshotManifest {
       ()
     } catch { case scala.util.control.NonFatal(e) =>
       graft.core.Logging.logger().warn(
-        s"parquet checkpoint for version $next of $root failed (the commit " +
-          s"already published; reads fall back to the text manifest): " +
-          e.getMessage)
+        s"parquet checkpoint for version $version of $root failed (the " +
+          s"manifest is already durable; reads fall back to the text " +
+          s"path): ${e.getMessage}")
     }
   }
 
@@ -3314,6 +3325,12 @@ object SnapshotManifest {
               } // else sidecar vanished mid-swap — loop, never delete mf
             }
           }
+          // the rewrite leaves a FULL manifest at an OFF-BOUNDARY
+          // version: without a parquet twin every subsequent pruned read
+          // of a chain anchored here demotes to the driver path until
+          // the next checkpoint boundary — give large bodies their twin
+          if (body.size >= parquetCheckpointMinLines(spark))
+            writeCheckpointParquet(spark, root, v, body)
         }
       }
     }

@@ -310,6 +310,21 @@ class ManifestCheckpointSpec extends SparkSpec {
       assert(SnapshotManifest.countRows(spark, root) == 99953L)
       assert(SnapshotManifest.manifestReadCount.get() == 0L,
         "the distributed countRows must not materialize the body")
+      // vacuum's chain-guard rewrite leaves v3 as an OFF-BOUNDARY full
+      // anchor — it must carry a twin, and pruned reads must stay on the
+      // distributed path afterwards
+      assert(SnapshotManifest.vacuum(spark, root, keep = 1) == Seq(0L, 1L, 2L))
+      assert(hfs.exists(new Path(root, "_ckpt/v00000003")),
+        "the chain-guard rewrite must twin its off-boundary full anchor")
+      assert(!hfs.exists(new Path(root, "_ckpt/v00000000")),
+        "the doomed boundary's twin must be reclaimed")
+      SnapshotManifest.manifestReadCount.set(0L)
+      SnapshotManifest.ckptFramePrunes.set(0L)
+      assert(SnapshotManifest.prunedFiles(spark, root, 3L,
+        col("id") === 2000001L).map(new Path(_).getName) == Seq("extra.parquet"))
+      assert(SnapshotManifest.ckptFramePrunes.get() == 1L &&
+        SnapshotManifest.manifestReadCount.get() == 0L,
+        "post-vacuum pruned reads must still resolve distributed")
     } finally {
       spark.conf.unset("graft.manifest.checkpointInterval")
       spark.conf.unset("graft.manifest.parquetCheckpointMinLines")
