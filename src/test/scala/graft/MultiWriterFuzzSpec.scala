@@ -151,6 +151,12 @@ class MultiWriterFuzzSpec extends SparkSpec {
 
   test("3 concurrent writers x 100 random schedules: every observed state is SOME serial order of the committed verbs") {
     val root = java.nio.file.Files.createTempDirectory("mwfuzz").toString + "/t"
+    // short checkpoint cadence + a floor of 1 so the races ALSO exercise
+    // parquet twin writes at every boundary, twin reclamation under the
+    // periodic vacuum, chain-guard re-twinning, and the DISTRIBUTED
+    // pruned-read path (asserted against the same model each round)
+    spark.conf.set("graft.manifest.checkpointInterval", "4")
+    spark.conf.set("graft.manifest.parquetCheckpointMinLines", "1")
     SnapshotManifest.commit(spark, root,
       (0L until 100L).map(i => (i, i * 10L)).toDF("id", "v")
         .repartitionByRange(4, $"id"), Seq("id"))
@@ -195,7 +201,20 @@ class MultiWriterFuzzSpec extends SparkSpec {
               ((m.toSet diff observed.toSet) ++ (observed.toSet diff m.toSet)).take(10)
             }")
         model = serial.get
+        // the DISTRIBUTED pruned read must agree with the model too —
+        // checkpoint twins, tail-edit composition, and executor-side
+        // stats pruning fuzzed across the same arbitrary histories
+        val pruned = SnapshotManifest.readWhere(spark, root, col("id") >= 0L)
+          .as[(Long, Long)].collect().toMap
+        assert(pruned == model,
+          s"round $round: readWhere through the checkpoint frame diverged " +
+            s"from the model — ${((pruned.toSet diff model.toSet) ++
+              (model.toSet diff pruned.toSet)).take(10)}")
       }
-    } finally pool.shutdownNow()
+    } finally {
+      pool.shutdownNow()
+      spark.conf.unset("graft.manifest.checkpointInterval")
+      spark.conf.unset("graft.manifest.parquetCheckpointMinLines")
+    }
   }
 }
