@@ -1415,6 +1415,20 @@ object Oracles {
     // selection replayed over 64 unrolled iterations — see bpeBatchedSql.
     "q149_bpe_batched" -> bpeBatchedSql,
 
+    // Checkpoint-twin pruned read (q150): survivors of the CoW delete,
+    // band-filtered — the mechanism (twin existence, distributed path,
+    // zero driver parses) is pinned by in-query REQUIREs; the oracle
+    // gates the composed RESULT.
+    "q150_ckpt_pruned_read" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 500 AND 2500
+        |  AND o_orderkey NOT BETWEEN 1000 AND 1999
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // Idempotent append (q147): the replayed middle slice lands ONCE, so
     // the oracle is simply the single-copy reassembly — a double-append
     // doubles its counts and shifts every sum.

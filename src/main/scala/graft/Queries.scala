@@ -3120,6 +3120,63 @@ object Queries {
       .orderBy(col("rank"))
   }
 
+  /** Distributed pruned read through the PARQUET CHECKPOINT TWIN: the
+    * twin floor is dropped so the boundary commit writes `_ckpt/v0`, a
+    * CoW delete stacks a churn-sized delta tail on it, and the
+    * stats-pruned read resolves checkpoint-frame + tail edits ON
+    * EXECUTORS ([[graft.sources.SnapshotManifest.bodyLinesFrame]]).
+    * In-query REQUIREs pin the mechanism — the twin exists, the gated
+    * read actually took the distributed path, and the driver parsed no
+    * manifest body. Gated output: the survivors' aggregate — a wrong
+    * tail composition, a resurrected deleted file, or a wrongly pruned
+    * file shifts it.
+    */
+  def q150CkptPrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q150").toString
+    val S = graft.sources.SnapshotManifest
+    val prevI = spark.conf.getOption("graft.manifest.checkpointInterval")
+    val prevF = spark.conf.getOption("graft.manifest.parquetCheckpointMinLines")
+    spark.conf.set("graft.manifest.checkpointInterval", "2")
+    spark.conf.set("graft.manifest.parquetCheckpointMinLines", "1")
+    try {
+      val statsCols = Seq("o_orderkey", "o_totalprice", "o_orderstatus")
+      S.commit(spark, root,
+        orders.select(statsCols.map(col): _*)
+          .repartitionByRange(8, col("o_orderkey")), statsCols)
+      S.deleteWhere(spark, root,
+        col("o_orderkey").between(1000L, 1999L), statsCols)
+      val twin = new org.apache.hadoop.fs.Path(root, "_ckpt/v00000000")
+      require(twin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(twin), "q150: the boundary commit must write the parquet twin")
+      val framePrunes = S.ckptFramePrunes.get()
+      S.manifestReadCount.set(0L)
+      val out = S.readWhere(spark, root,
+        col("o_orderkey").between(500L, 2500L))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).alias("n"),
+          sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")
+            .alias("sum_price"),
+          min(col("o_orderkey")).alias("min_key"),
+          max(col("o_orderkey")).alias("max_key"))
+        .orderBy(col("o_orderstatus"))
+      require(S.ckptFramePrunes.get() > framePrunes,
+        "q150: the read must resolve through the distributed checkpoint frame")
+      require(S.manifestReadCount.get() == 0L,
+        "q150: the driver must not materialize the body for the pruned read")
+      out
+    } finally {
+      prevI match {
+        case Some(v) => spark.conf.set("graft.manifest.checkpointInterval", v)
+        case None => spark.conf.unset("graft.manifest.checkpointInterval")
+      }
+      prevF match {
+        case Some(v) => spark.conf.set("graft.manifest.parquetCheckpointMinLines", v)
+        case None => spark.conf.unset("graft.manifest.parquetCheckpointMinLines")
+      }
+    }
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -3273,6 +3330,7 @@ object Queries {
     "q146_purge_propagation" -> (q146PurgePropagation _),
     "q147_idempotent_append" -> (q147IdempotentAppend _),
     "q148_small_file_compaction" -> (q148SmallFileCompaction _),
-    "q149_bpe_batched" -> (q149BpeBatched _)
+    "q149_bpe_batched" -> (q149BpeBatched _),
+    "q150_ckpt_pruned_read" -> (q150CkptPrunedRead _)
   )
 }
