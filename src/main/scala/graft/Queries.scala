@@ -1924,14 +1924,21 @@ object Queries {
       orders.repartitionByRange(8, col("o_orderkey")),
       Seq("o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus"))
     val pred = col("o_orderkey").between(500, 2500) && col("o_totalprice") > 1000.0
-    graft.sources.SnapshotManifest.readWhere(spark, root, pred)
-      .groupBy(col("o_orderstatus"))
+    ordersStatusAgg(graft.sources.SnapshotManifest.readWhere(spark, root, pred))
+  }
+
+  /** The survivors' aggregate q113 and q150 share — the two pruned-read
+    * gates and their oracles must stay column-for-column identical, so
+    * the shape lives in exactly one place.
+    */
+  private def ordersStatusAgg(df: DataFrame): DataFrame =
+    df.groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).alias("n"),
-        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("sum_price"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")
+          .alias("sum_price"),
         min(col("o_orderkey")).alias("min_key"),
         max(col("o_orderkey")).alias("max_key"))
       .orderBy(col("o_orderstatus"))
-  }
 
   /** Incremental IVF maintenance ([[graft.operators.Similarity.ivfAssignWith]]
     * — the batch core of [[graft.streaming.StreamingAnnIngest]]): centroids
@@ -3151,15 +3158,8 @@ object Queries {
         .exists(twin), "q150: the boundary commit must write the parquet twin")
       val framePrunes = S.ckptFramePrunes.get()
       S.manifestReadCount.set(0L)
-      val out = S.readWhere(spark, root,
-        col("o_orderkey").between(500L, 2500L))
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).alias("n"),
-          sum(col("o_totalprice").cast("decimal(30,6)")).cast("double")
-            .alias("sum_price"),
-          min(col("o_orderkey")).alias("min_key"),
-          max(col("o_orderkey")).alias("max_key"))
-        .orderBy(col("o_orderstatus"))
+      val out = ordersStatusAgg(S.readWhere(spark, root,
+        col("o_orderkey").between(500L, 2500L)))
       require(S.ckptFramePrunes.get() > framePrunes,
         "q150: the read must resolve through the distributed checkpoint frame")
       require(S.manifestReadCount.get() == 0L,

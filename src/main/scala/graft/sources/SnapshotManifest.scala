@@ -1217,8 +1217,19 @@ object SnapshotManifest {
   private def maybeCheckpointParquet(spark: SparkSession, root: String,
       next: Long, fullLines: Seq[String]): Unit = {
     val interval = checkpointInterval(spark)
-    if (interval <= 1 || next % interval != 0 || fullLines.isEmpty ||
+    if (interval <= 1 || fullLines.isEmpty ||
         fullLines.size < parquetCheckpointMinLines(spark)) return
+    // key on what was PUBLISHED, not on boundary arithmetic: an
+    // off-boundary FULL manifest (any commit whose churn reaches body
+    // size — compaction, near-total rewrites) is just as much a chain
+    // anchor as a boundary checkpoint, and a twin-less anchor demotes
+    // every pruned read to the driver path until the next boundary. One
+    // header probe answers full-vs-delta. interval<=1 stays the explicit
+    // all-machinery-off posture. Residual (documented): a vacuum
+    // chain-guard swap completed by crash RECOVERY has no caller holding
+    // the resolved body, so that narrow path stays twin-less until the
+    // next full publish.
+    if (manifestBase(spark, root, next).isDefined) return // delta — no anchor
     writeCheckpointParquet(spark, root, next, fullLines)
   }
 

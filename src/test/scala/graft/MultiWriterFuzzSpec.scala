@@ -155,17 +155,19 @@ class MultiWriterFuzzSpec extends SparkSpec {
     // parquet twin writes at every boundary, twin reclamation under the
     // periodic vacuum, chain-guard re-twinning, and the DISTRIBUTED
     // pruned-read path (asserted against the same model each round)
-    spark.conf.set("graft.manifest.checkpointInterval", "4")
-    spark.conf.set("graft.manifest.parquetCheckpointMinLines", "1")
-    SnapshotManifest.commit(spark, root,
-      (0L until 100L).map(i => (i, i * 10L)).toDF("id", "v")
-        .repartitionByRange(4, $"id"), Seq("id"))
     var model: Model = (0L until 100L).map(i => i -> i * 10L).toMap
     val rnd = new scala.util.Random(20260815L)
     val keyCounter = new java.util.concurrent.atomic.AtomicLong(1000L)
     val freshKey: () => Long = () => keyCounter.getAndIncrement()
     val pool = Executors.newFixedThreadPool(3)
     try {
+      // conf set INSIDE the try: a bootstrap failure must not leak the
+      // short cadence/floor into the shared session for later suites
+      spark.conf.set("graft.manifest.checkpointInterval", "4")
+      spark.conf.set("graft.manifest.parquetCheckpointMinLines", "1")
+      SnapshotManifest.commit(spark, root,
+        (0L until 100L).map(i => (i, i * 10L)).toDF("id", "v")
+          .repartitionByRange(4, $"id"), Seq("id"))
       (0 until 100).foreach { round =>
         if (round % 10 == 9) {
           // serial history reclamation: no concurrent writers at this
