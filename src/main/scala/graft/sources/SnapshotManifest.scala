@@ -666,13 +666,19 @@ object SnapshotManifest {
 
   /** The file list [[readWhere]] would scan for `predicate` at `version` —
     * exposed so callers (and specs) can observe the skipping itself.
+    *
+    * ORDERING: on the driver-parsed path, manifest order (historical
+    * behavior); on the distributed checkpoint-twin path the frame has no
+    * stable order, so survivors are re-sorted lexicographically by path —
+    * deterministic, but NOT the manifest's. Callers needing positional
+    * stability must not diff lists across the two regimes.
     */
   def prunedFiles(spark: SparkSession, root: String, version: Long,
       predicate: org.apache.spark.sql.Column): Seq[String] = {
     // distributed twin of [[readWhere]]'s fast path — survivors only on
-    // the driver; order is NOT the manifest's on this path
+    // the driver; sorted (see ORDERING above) so repeated calls agree
     distributedPrune(spark, root, version, predicate) match {
-      case Some((_, _, kept)) => return kept.map(l => bodyFile(root, l))
+      case Some((_, _, kept)) => return kept.map(l => bodyFile(root, l)).sorted
       case None => ()
     }
     val (body, meta) = manifestParts(spark, root, version)
@@ -724,27 +730,30 @@ object SnapshotManifest {
     val dist: Option[(Long, Seq[String])] =
       try bodyLinesFrame(spark, root, v).flatMap { frame =>
         import spark.implicits._
-        val classified = frame.select("line").as[String].map { line =>
+        def classified = frame.select("line").as[String].map { line =>
           exactRows(parseLine(line)) match {
             case Some(rows) => (rows, null: String)
             case None => (0L, line)
           }
         }.toDF("rows", "line")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val r = classified.agg(
-            org.apache.spark.sql.functions.sum(
-              org.apache.spark.sql.functions.col("rows")),
-            org.apache.spark.sql.functions.count(
-              org.apache.spark.sql.functions.col("line"))).head()
-          val metaCount = if (r.isNullAt(0)) 0L else r.getLong(0)
-          val scanN = r.getLong(1)
-          if (scanN > CountRowsMaxScanLines) None // driver path is cheaper
-          else if (scanN == 0L) Some((metaCount, Nil))
-          else Some((metaCount,
-            classified.filter(org.apache.spark.sql.functions.col("line").isNotNull)
-              .select("line").as[String].collect().toSeq))
-        } finally classified.unpersist(blocking = false)
+        // SCREEN first with one lightweight aggregate (no persist): when
+        // scanN exceeds the cap the whole fold is discarded, so the
+        // expensive shape (persist + survivor collect) must not have run
+        // at exactly the mostly-stats-less sizes the cap targets. The
+        // common all-stats table answers in this single job; only the
+        // churn-sized scan set pays a second (cheap, metadata-frame) job.
+        val r = classified.agg(
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("rows")),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.col("line"))).head()
+        val metaCount = if (r.isNullAt(0)) 0L else r.getLong(0)
+        val scanN = r.getLong(1)
+        if (scanN > CountRowsMaxScanLines) None // driver path is cheaper
+        else if (scanN == 0L) Some((metaCount, Nil))
+        else Some((metaCount,
+          classified.filter(org.apache.spark.sql.functions.col("line").isNotNull)
+            .select("line").as[String].collect().toSeq))
       } catch { case scala.util.control.NonFatal(_) => None }
     dist match {
       case Some((metaCount, scanLines)) =>
@@ -1215,7 +1224,7 @@ object SnapshotManifest {
     * must never fail the already-published commit.
     */
   private def maybeCheckpointParquet(spark: SparkSession, root: String,
-      next: Long, fullLines: Seq[String]): Unit = {
+      next: Long, fullLines: Seq[String]): Unit = try {
     val interval = checkpointInterval(spark)
     if (interval <= 1 || fullLines.isEmpty ||
         fullLines.size < parquetCheckpointMinLines(spark)) return
@@ -1225,12 +1234,19 @@ object SnapshotManifest {
     // anchor as a boundary checkpoint, and a twin-less anchor demotes
     // every pruned read to the driver path until the next boundary. One
     // header probe answers full-vs-delta. interval<=1 stays the explicit
-    // all-machinery-off posture. Residual (documented): a vacuum
-    // chain-guard swap completed by crash RECOVERY has no caller holding
-    // the resolved body, so that narrow path stays twin-less until the
-    // next full publish.
+    // all-machinery-off posture.
     if (manifestBase(spark, root, next).isDefined) return // delta — no anchor
     writeCheckpointParquet(spark, root, next, fullLines)
+  } catch { case scala.util.control.NonFatal(e) =>
+    // the COMMIT is already durable when this hook runs: nothing in it —
+    // the conf parse, the full-vs-delta header probe, the twin write —
+    // may propagate a failure out of the publish verb (a caller retrying
+    // the "failed" verb would double-apply a non-idempotent append). A
+    // failure here only costs the distributed fast path.
+    graft.core.Logging.logger().warn(
+      s"parquet checkpoint hook for version $next of $root failed (the " +
+        s"manifest is already durable; reads fall back to the text " +
+        s"path): ${e.getMessage}")
   }
 
   /** The twin write itself, gate-free — shared by the boundary-publish
@@ -1252,6 +1268,17 @@ object SnapshotManifest {
       spark.createDataset(fullLines).repartition(parts)
         .map(l => (l.split('\t').head, l)).toDF("rel", "line")
         .write.parquet(stage.toString)
+      // stamp the ANCHOR MANIFEST'S IDENTITY (its byte length) into the
+      // twin before the atomic publish: if the root's manifests are ever
+      // dropped and recreated while a stale `_ckpt` survives (the same
+      // cross-process scenario PartsCache guards with (mtime,length)),
+      // [[bodyLinesFrame]] must detect the orphaned twin and fall back to
+      // the text path instead of silently serving the OLD table's body.
+      // Underscore-prefixed, so parquet readers of the dir ignore it.
+      val anchorLen =
+        fs.getFileStatus(new Path(rootPath, manifestName(version))).getLen
+      val out = fs.create(new Path(stage, "_anchor"), false)
+      try out.write(s"len=$anchorLen\n".getBytes("UTF-8")) finally out.close()
       CommitProtocol.publishDir(fs, stage, dest)
       ()
     } catch { case scala.util.control.NonFatal(e) =>
@@ -1260,6 +1287,22 @@ object SnapshotManifest {
           s"manifest is already durable; reads fall back to the text " +
           s"path): ${e.getMessage}")
     }
+  }
+
+  /** True iff the twin at `dir` provably anchors the CURRENT manifest of
+    * `version`: its recorded anchor identity (manifest byte length,
+    * stamped at twin-write time) matches the live file. A twin without a
+    * stamp, or with a mismatched one, is treated as orphaned — reads fall
+    * back to the authoritative text path, which also self-repairs (the
+    * next boundary publish writes a fresh twin).
+    */
+  private def twinAnchorsManifest(fs: FileSystem, rootPath: Path,
+      version: Long, dir: Path): Boolean = {
+    val stampPath = new Path(dir, "_anchor")
+    if (!fs.exists(stampPath)) return false
+    val stamped = CommitProtocol.readFully(fs, stampPath).trim
+    val live = fs.getFileStatus(new Path(rootPath, manifestName(version))).getLen
+    stamped == s"len=$live"
   }
 
   /** The RESOLVED body of `version` as a DISTRIBUTED frame (`rel`,
@@ -1285,7 +1328,13 @@ object SnapshotManifest {
     var v = version
     val chain = scala.collection.mutable.ArrayBuffer[Long]() // newest first
     var anchor = -1L
+    // chain depth < checkpointInterval by construction — bound the walk at
+    // that invariant (floored for tiny intervals) so a corrupt or cyclic
+    // base= chain returns None (text path raises the canonical error)
+    // instead of spinning the driver forever
+    val maxDepth = math.max(checkpointInterval(spark), 64)
     while (anchor < 0) {
+      if (chain.size > maxDepth) return None
       manifestBase(spark, root, v) match {
         case Some(b) => chain += v; v = b
         case None => anchor = v
@@ -1293,6 +1342,10 @@ object SnapshotManifest {
     }
     val dir = ckptDir(rootPath, anchor)
     if (!fs.exists(dir)) return None
+    // orphaned-twin guard: the stamp written at twin-publish time must
+    // match the LIVE anchor manifest, else the manifests were recreated
+    // under a surviving _ckpt and the frame describes a dead table
+    if (!twinAnchorsManifest(fs, rootPath, anchor, dir)) return None
     // twin confirmed: read the churn-sized delta tails. A body line that
     // is neither header nor a +/- op is CORRUPTION — the driver path
     // throws on it ([[manifestPartsUncached]]), and the distributed path

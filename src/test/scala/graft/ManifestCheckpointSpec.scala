@@ -374,4 +374,57 @@ class ManifestCheckpointSpec extends SparkSpec {
       spark.conf.unset("graft.manifest.parquetCheckpointMinLines")
     }
   }
+
+  test("an orphaned twin (manifests recreated under a surviving _ckpt) is detected and never served") {
+    val root = newRoot()
+    spark.conf.set("graft.manifest.checkpointInterval", "2")
+    spark.conf.set("graft.manifest.parquetCheckpointMinLines", "50")
+    try {
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // table A: big enough to earn a twin at v0
+      SnapshotManifest.commit(spark, root,
+        spark.range(0, 15000).toDF("id")
+          .withColumn("x", concat(lit("old"), col("id")))
+          .repartitionByRange(150, col("id")), Seq("id"))
+      assert(fs.exists(new Path(root, "_ckpt/v00000000")))
+      // DROP AND RECREATE the table out-of-band: manifests + data go, the
+      // stale _ckpt survives (the cross-process scenario PartsCache guards
+      // against with (mtime,length) — here the twin must guard itself)
+      fs.listStatus(new Path(root)).foreach { st =>
+        if (st.getPath.getName != "_ckpt") fs.delete(st.getPath, true)
+      }
+      SnapshotManifest.commit(spark, root,
+        spark.range(0, 7000).toDF("id")
+          .withColumn("x", concat(lit("new"), col("id")))
+          .repartitionByRange(70, col("id")), Seq("id"))
+      // the recreate could not replace the surviving twin (publish is
+      // fail-if-exists) — the stamp must now mismatch and reads fall back
+      // to the authoritative text path, serving the NEW table
+      val got = SnapshotManifest.readWhere(spark, root, col("id") < 100L)
+        .as[(Long, String)].collect().toSet
+      assert(got.size == 100 && got.forall(_._2.startsWith("new")),
+        s"orphaned twin served stale data: ${got.take(3)}")
+      assert(SnapshotManifest.read(spark, root).count() == 7000L,
+        "full read must reflect the recreated table")
+    } finally {
+      spark.conf.unset("graft.manifest.checkpointInterval")
+      spark.conf.unset("graft.manifest.parquetCheckpointMinLines")
+    }
+  }
+
+  test("a cyclic base= chain returns None from the frame path instead of spinning the driver") {
+    val root = newRoot()
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // handcraft a corrupt cycle: v1 bases on v2, v2 bases on v1
+    def put(name: String, text: String): Unit = {
+      val out = fs.create(new Path(root, name), true)
+      try out.write(text.getBytes("UTF-8")) finally out.close()
+    }
+    put("manifest-00000001.json", "version=1\nbase=2\n")
+    put("manifest-00000002.json", "version=2\nbase=1\n")
+    val t0 = System.nanoTime()
+    assert(SnapshotManifest.bodyLinesFrame(spark, root, 1L).isEmpty)
+    assert(SnapshotManifest.bodyLinesFrame(spark, root, 2L).isEmpty)
+    assert((System.nanoTime() - t0) < 60e9, "bounded walk must terminate promptly")
+  }
 }
