@@ -1429,6 +1429,20 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Frame sampling (q151): the Spark side synthesizes an animated GIF
+    // per document (2 + doc_id % 5 frames) and REAL-decodes every 2nd
+    // stored frame through javax.imageio; the oracle replays the stride
+    // arithmetic. A codec that misread frame counts, sampled wrong
+    // indices, or emitted undecodable rasters (the query re-decodes each
+    // frame's PNG header for frame_w/h) cannot match this row set.
+    "q151_frame_sampling" ->
+      """SELECT asset_id, CAST(i AS INT) AS frame_index,
+        |  8 AS frame_w, 6 AS frame_h
+        |FROM (SELECT doc_id AS asset_id,
+        |        unnest(range(0, 2 + doc_id % 5, 2)) AS i
+        |      FROM documents WHERE doc_id < 64)
+        |ORDER BY asset_id, frame_index""".stripMargin,
+
     // Idempotent append (q147): the replayed middle slice lands ONCE, so
     // the oracle is simply the single-copy reassembly — a double-append
     // doubles its counts and shifts every sum.

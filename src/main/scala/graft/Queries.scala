@@ -3177,6 +3177,68 @@ object Queries {
     }
   }
 
+  /** Multimodal — REAL frame sampling end-to-end: synthesize an animated
+    * GIF per document (frame count a deterministic function of `doc_id`),
+    * decode every 2nd STORED frame back out through
+    * [[graft.operators.Multimodal.sampleFrames]] (true per-frame pixel
+    * decode + PNG re-encode via `javax.imageio`), and verify each sampled
+    * frame by re-decoding its PNG header for the output dims. The oracle
+    * replays the stride arithmetic — if the codec misread frame counts,
+    * indices, or rasters, the row set would not match. Narrow maps only:
+    * synthesis, sampling, and the dim probe never shuffle frame bytes.
+    */
+  def q151FrameSampling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id").cast("long").alias("doc_id"))
+      .filter(col("doc_id") < 64)
+    val assets = docs.as[Long].mapPartitions { it =>
+      it.map { id =>
+        (id, "image/gif", synthGif(8, 6, (2 + id % 5).toInt, id))
+      }
+    }.toDF("asset_id", "media_type", "bytes")
+      .withColumn("byte_len", length(col("bytes")).cast("long"))
+    val frames = Multimodal.sampleFrames(assets, everyNth = 2, maxFrames = 16)
+    frames.select(col("asset_id"), col("frame_index"), col("frame_bytes"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, i, png) =>
+          // REAL header decode of the re-encoded frame — the dims reaching
+          // the oracle went bytes→pixels→bytes, not through bookkeeping
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          require(img != null, s"q151: sampled frame $i of asset $id is " +
+            "not a decodable image — the frame sampler emitted garbage")
+          (id, i, img.getWidth, img.getHeight)
+        }
+      }
+      .toDF("asset_id", "frame_index", "frame_w", "frame_h")
+      .orderBy(col("asset_id"), col("frame_index"))
+  }
+
+  /** Deterministic animated-GIF synthesis for [[q151FrameSampling]]: `n`
+    * solid-color frames, color a function of (seed, frame index) — runs on
+    * EXECUTORS inside the asset-synthesis kernel.
+    */
+  private def synthGif(w: Int, h: Int, n: Int, seed: Long): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until n).foreach { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val color = ((seed * 0x9e3779b9L).toInt ^ (f * 0x202020)) & 0xffffff
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, color)))
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    baos.toByteArray
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -3331,6 +3393,7 @@ object Queries {
     "q147_idempotent_append" -> (q147IdempotentAppend _),
     "q148_small_file_compaction" -> (q148SmallFileCompaction _),
     "q149_bpe_batched" -> (q149BpeBatched _),
-    "q150_ckpt_pruned_read" -> (q150CkptPrunedRead _)
+    "q150_ckpt_pruned_read" -> (q150CkptPrunedRead _),
+    "q151_frame_sampling" -> (q151FrameSampling _)
   )
 }

@@ -130,6 +130,48 @@ object Multimodal {
       * raster would silently flatten its alpha onto black (PNG carries
       * alpha; the re-encode must too).
       */
+    /** Sample every `everyNth`-th STORED frame of a multi-frame image
+      * (animated GIF — the one multi-frame format the JDK reads natively)
+      * as `(sourceFrameIndex, pngBytes)`, capped at `maxFrames`. Each
+      * sampled frame is the stored raster decoded by `ImageReader.read(i)`
+      * and re-encoded PNG — real pixel decode per frame, no container
+      * demuxer needed. (GIF frames can be delta RECTS against the logical
+      * screen; a playback-compositing sampler would additionally apply
+      * disposal methods — the training-data shape wants the stored
+      * rasters, which is also what keeps the kernel deterministic.)
+      * None when no registered reader accepts the payload, it carries no
+      * frame, or any sampled frame fails to decode — callers fall back to
+      * the declared stub so non-GIF media keep flowing.
+      */
+    def sampleFramesPng(bytes: Array[Byte], everyNth: Int,
+        maxFrames: Int): Option[Seq[(Int, Array[Byte])]] =
+      if (bytes == null || bytes.isEmpty) None
+      else try {
+        javax.imageio.ImageIO.setUseCache(false)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              // allowSearch=true: GIF stores no frame count up front — the
+              // reader walks the stream once (bytes are already in memory)
+              val n = r.getNumImages(true)
+              if (n <= 0) None
+              else Some((0 until n by everyNth).take(maxFrames).map { i =>
+                val img = r.read(i)
+                val baos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(img, "png", baos)
+                (i, baos.toByteArray)
+              })
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     def resizePng(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
       if (bytes == null || bytes.isEmpty) None
       else try {
@@ -208,9 +250,15 @@ object Multimodal {
       .toDF()
   }
 
-  /** Frame sampling for video payloads: emit one row per sampled frame
-    * (flatMap — row count grows, still a narrow op). Frame bytes are a
-    * deterministic slice stub; `everyNth` mirrors a real stride parameter.
+  /** Frame sampling: emit one row per sampled frame (flatMap — row count
+    * grows, still a narrow op; frame bytes never shuffle). REAL per-frame
+    * pixel decode + PNG re-encode for any multi-frame payload
+    * `javax.imageio` reads — animated GIF in a stock JDK
+    * ([[JdkImageCodec.sampleFramesPng]]); payloads no reader accepts
+    * (true video containers — no demuxer ships with the JDK) fall back to
+    * the declared deterministic slice stub, keeping non-GIF media flowing
+    * through the same plumbing. `frame_index` is the SOURCE frame index
+    * (0, everyNth, 2·everyNth, …) on both paths.
     */
   def sampleFrames(assets: DataFrame, everyNth: Int, maxFrames: Int = 16): DataFrame = {
     require(everyNth >= 1, "everyNth must be >= 1")
@@ -218,8 +266,12 @@ object Multimodal {
     import spark.implicits._
     assets.select(col("asset_id"), col("bytes")).as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val frames = frameSampleStub(bytes, everyNth, maxFrames)
-        frames.zipWithIndex.map { case (f, i) => (id, i * everyNth, f) }
+        JdkImageCodec.sampleFramesPng(bytes, everyNth, maxFrames) match {
+          case Some(frames) => frames.map { case (i, f) => (id, i, f) }
+          case None =>
+            frameSampleStub(bytes, everyNth, maxFrames).zipWithIndex
+              .map { case (f, i) => (id, i * everyNth, f) }
+        }
       }
       .toDF("asset_id", "frame_index", "frame_bytes")
   }

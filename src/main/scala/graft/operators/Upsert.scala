@@ -201,6 +201,36 @@ object Upsert {
     val stagedP = staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (stagedP.isEmpty) return v
+      // CHURN-BOUNDED fast path: with a twin-anchored body the candidate
+      // classification runs on executors, the commit publishes as edits,
+      // and the driver never holds the file list — the merge's cost is
+      // O(staged ∪ affected) whatever the table size. keyPred None means
+      // every staged key is null (pure inserts): lit(false) classifies
+      // nothing as affected, which is exactly that case.
+      val fastKeyPred = stagedKeyPredicate(stagedP, pk, maxKeySetSize)
+      val fastResult = SnapshotManifest.classifyAffected(spark, tableRoot, v,
+        fastKeyPred.getOrElse(lit(false))).map {
+        case (meta, targetSchema, frame, affectedLines) =>
+          pk.foreach(c => require(targetSchema.fieldNames.contains(c),
+            s"mergeWhere: PK column $c not in target schema " +
+              targetSchema.fieldNames.mkString(", ")))
+          val targetAffected =
+            if (affectedLines.isEmpty)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                targetSchema)
+            else SnapshotManifest.readEntries(spark, tableRoot,
+              affectedLines.map(SnapshotManifest.parseLine), meta.schema)
+          val merged = merge(targetAffected, stagedP, pk)
+          val aligned = merged.select(targetSchema.fields.toSeq.map(f =>
+            col(s"`${f.name}`").cast(f.dataType).alias(f.name)): _*)
+          SnapshotManifest.publishVersionEditsRebased(spark,
+            tableRoot, v + 1, aligned, statsCols, frame, affectedLines,
+            "mergeWhere", meta,
+            ManifestStats.resolvePredicate(spark, targetSchema,
+              fastKeyPred.getOrElse(lit(false))))
+      }
+      if (fastResult.isDefined) return fastResult.get
       val (body, meta) = SnapshotManifest.manifestParts(spark, tableRoot, v)
       if (body.isEmpty) {
         // degenerate current snapshot with zero data files (everything was
@@ -244,7 +274,7 @@ object Upsert {
       // and staged extras are dropped by the aligned select. No staged
       // realignment is needed here; only the TARGET read must follow the
       // declared schema.
-      val keyPred = stagedKeyPredicate(stagedP, pk, maxKeySetSize)
+      val keyPred = fastKeyPred // computed once above; staged is pinned
       val affected = keyPred match {
         case Some(p) => ManifestStats.prune(files, SnapshotManifest.bodyStats(body),
           ManifestStats.resolvePredicate(spark, targetSchema, p)).toSet

@@ -201,10 +201,12 @@ object ChangeFeed {
     // (a 10⁵-line parse saved per stream start on schema-declared tables)
     val table = SnapshotManifest.manifestMetaOnly(spark, root, v).schema
       .getOrElse {
-        val (body, _) = SnapshotManifest.manifestParts(spark, root, v)
-        require(body.nonEmpty, s"ChangeFeed.feedSchema: snapshot $v of $root " +
+        // one sampled footer — churn-bounded through the twin frame when
+        // one anchors the chain, never a full-list sweep either way
+        val sample = SnapshotManifest.sampleBodyLine(spark, root, v)
+        require(sample.nonEmpty, s"ChangeFeed.feedSchema: snapshot $v of $root " +
           "has no data files and no recorded schema")
-        spark.read.parquet(SnapshotManifest.bodyFile(root, body.head)).schema
+        spark.read.parquet(SnapshotManifest.bodyFile(root, sample.get)).schema
       }
     StructType(table.fields.toSeq :+
       StructField("_change", StringType, nullable = false) :+

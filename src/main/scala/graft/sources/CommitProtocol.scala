@@ -98,7 +98,17 @@ private[graft] object CommitProtocol {
     }
   }
 
-  def publishFile(fs: FileSystem, dest: Path, content: Array[Byte]): Boolean = {
+  def publishFile(fs: FileSystem, dest: Path, content: Array[Byte]): Boolean =
+    publishFileStream(fs, dest, Iterator.single(content))
+
+  /** [[publishFile]] fed by an ITERATOR of chunks — the streaming form for
+    * commit files whose content must never be held whole in driver memory
+    * (a checkpoint-boundary manifest of a 10⁵-10⁶-file table, streamed
+    * from the composed body frame one partition at a time). Identical
+    * commit point; the tmp write just drains the iterator.
+    */
+  def publishFileStream(fs: FileSystem, dest: Path,
+      content: Iterator[Array[Byte]]): Boolean = {
     if (fs.exists(dest)) return false
     // Per-attempt unique tmp name: two writers racing to publish the same
     // dest must never share a tmp file, else writer A can rename a tmp that
@@ -108,7 +118,7 @@ private[graft] object CommitProtocol {
     val tmp = new Path(dest.getParent,
       "." + dest.getName + "." + java.util.UUID.randomUUID().toString + ".tmp")
     val out = fs.create(tmp, true)
-    try out.write(content) finally out.close()
+    try content.foreach(out.write) finally out.close()
     if (fs.getScheme == "file") {
       // POSIX commit point: rename(2) silently REPLACES an existing
       // destination file, so on a local filesystem two racers passing the

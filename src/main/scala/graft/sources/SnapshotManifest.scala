@@ -599,6 +599,160 @@ object SnapshotManifest {
     next
   }
 
+  // ───────────────────────── churn-bounded commit path ──────────────────
+  // The WRITE-side twin of the distributed read path: when a parquet
+  // checkpoint twin anchors the current version (the 10⁵-10⁶-file regime),
+  // a commit is described as churn-sized EDITS — rels to remove, lines to
+  // add-or-replace — and published as a delta manifest COMPOSED DIRECTLY
+  // from those edits. The full resolved body never exists as driver
+  // strings: the basename-uniqueness invariant is checked by a broadcast
+  // join against the body frame on executors, schema gates resolve from
+  // the header (or ONE sampled file), and a checkpoint-boundary commit
+  // streams its full manifest from the composed frame one partition at a
+  // time. Delta's write shape, on this engine's single-file commit point.
+
+  /** Churn-sized edits against a base version's body: `removedRels` drop
+    * lines by rel; `upserts` add a new line or REPLACE the line of an
+    * existing rel (delta-op semantics — `+` alone rewrites in place).
+    */
+  private[graft] final case class BodyEdits(removedRels: Seq[String],
+      upserts: Seq[String]) {
+    def ops: Seq[String] =
+      removedRels.map(r => s"-\t$r") ++ upserts.map(l => s"+\t$l")
+    def touchedRels: Seq[String] =
+      (removedRels ++ upserts.map(relOf)).distinct
+  }
+
+  /** Diagnostic counter: commits published through the churn-bounded edits
+    * path (specs assert the write fast path actually ran — the positive
+    * half of the `manifestReadCount == 0` proof).
+    */
+  private[graft] val editsPublishes = new java.util.concurrent.atomic.AtomicLong
+
+  /** `frame` (the base body as `(rel, line)`) with `edits` applied — the
+    * composed FINAL body, still distributed: touched rels anti-join out,
+    * upserted lines union in. Mirrors [[bodyLinesFrame]]'s tail replay.
+    */
+  private def applyEdits(spark: SparkSession, frame: DataFrame,
+      edits: BodyEdits): DataFrame = {
+    import spark.implicits._
+    val touched = edits.touchedRels
+    val base =
+      if (touched.isEmpty) frame
+      else frame.join(
+        org.apache.spark.sql.functions.broadcast(touched.toDF("rel")),
+        Seq("rel"), "left_anti")
+    if (edits.upserts.isEmpty) base.select("rel", "line")
+    else base.select("rel", "line").unionByName(
+      edits.upserts.map(l => (relOf(l), l)).toDF("rel", "line"))
+  }
+
+  /** The manifest-wide basename-uniqueness gate ([[requireUniqueBasenames]])
+    * evaluated DISTRIBUTED: upserted basenames must be unique among
+    * themselves and absent from the surviving base body (frame minus
+    * touched rels). One broadcast semi-join over the body frame — the
+    * driver never holds the body's names. False = collision (callers
+    * decide loud-vs-conflict); removals alone can never collide.
+    */
+  private def editsBasenamesUnique(spark: SparkSession, frame: DataFrame,
+      edits: BodyEdits): Boolean = {
+    if (edits.upserts.isEmpty) return true
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, split}
+    val newNames = edits.upserts.map(l => new Path(parseLine(l).rel).getName)
+    if (newNames.distinct.size != newNames.size) return false
+    val touched = edits.touchedRels
+    val survivors =
+      if (touched.isEmpty) frame
+      else frame.join(broadcast(touched.toDF("rel")), Seq("rel"), "left_anti")
+    survivors
+      .select(element_at(split(col("rel"), "/"), -1).as("name"))
+      .join(broadcast(newNames.toDF("name")), Seq("name"), "left_semi")
+      .isEmpty
+  }
+
+  /** Publish version `next` as a delta manifest COMPOSED DIRECTLY from
+    * `edits` — header + `base=` pointer + churn-sized ops; the resolved
+    * body is never materialized. The caller owns every soundness gate
+    * (schema, uniqueness, conflict windows); this is just the commit
+    * point. Never writes a twin (a delta is no chain anchor).
+    */
+  private def publishEditsDelta(spark: SparkSession, root: String,
+      next: Long, edits: BodyEdits, op: String, meta: TableMeta): Long = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val text = headerFor(next, meta) +
+      (s"base=${next - 1}" +: edits.ops).mkString("", "\n", "\n")
+    val won = CommitProtocol.publishFile(fs, new Path(rootPath, manifestName(next)),
+      text.getBytes("UTF-8"))
+    if (!won)
+      throw new ConcurrentCommitException(
+        s"$op: version $next already committed by a concurrent writer; " +
+          "re-read the table and retry (staged sidecars are unreferenced " +
+          "garbage for vacuum)")
+    PartsCache.invalidate(s"${rootPath.toString}#$next")
+    editsPublishes.incrementAndGet()
+    maybeAutoCdf(spark, root, meta)
+    next
+  }
+
+  /** Publish version `next` as a FULL manifest STREAMED from the composed
+    * body `frame` — the checkpoint-boundary commit of the edits path. The
+    * text flows driver-through one partition at a time (never whole in
+    * memory); the parquet twin then writes from the same persisted frame,
+    * so the boundary's O(body) cost is IO, not driver heap.
+    */
+  private def publishEditsFullStreaming(spark: SparkSession, root: String,
+      next: Long, frame: DataFrame, op: String, meta: TableMeta): Long = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val pinned = frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      var n = 0L
+      val lineIt = pinned.select("line").as[String].toLocalIterator.asScala
+        .map { l => n += 1; (l + "\n").getBytes("UTF-8") }
+      val it = Iterator.single(headerFor(next, meta).getBytes("UTF-8")) ++ lineIt
+      val won = CommitProtocol.publishFileStream(fs,
+        new Path(rootPath, manifestName(next)), it)
+      if (!won)
+        throw new ConcurrentCommitException(
+          s"$op: version $next already committed by a concurrent writer; " +
+            "re-read the table and retry (staged sidecars are unreferenced " +
+            "garbage for vacuum)")
+      PartsCache.invalidate(s"${rootPath.toString}#$next")
+      editsPublishes.incrementAndGet()
+      // post-commit hooks — NonFatal-guarded like [[maybeCheckpointParquet]]:
+      // the manifest is durable, nothing here may fail the verb
+      try {
+        if (checkpointInterval(spark) > 1 &&
+            n >= parquetCheckpointMinLines(spark))
+          writeCheckpointParquetFrame(spark, root, next, pinned)
+      } catch { case scala.util.control.NonFatal(e) =>
+        graft.core.Logging.logger().warn(
+          s"parquet checkpoint hook for version $next of $root failed " +
+            s"(the manifest is already durable): ${e.getMessage}")
+      }
+      maybeAutoCdf(spark, root, meta)
+      next
+    } finally pinned.unpersist(false)
+  }
+
+  /** Publish `next` from churn-sized `edits` against the base body
+    * `frame`: delta-composed off boundaries, streamed-full on them. The
+    * edits-path commit point shared by the append family and the
+    * churn-bounded DML rebase.
+    */
+  private[graft] def publishEdits(spark: SparkSession, root: String,
+      next: Long, frame: DataFrame, edits: BodyEdits, op: String,
+      meta: TableMeta): Long = {
+    val interval = checkpointInterval(spark)
+    if (interval > 1 && next % interval != 0)
+      publishEditsDelta(spark, root, next, edits, op, meta)
+    else
+      publishEditsFullStreaming(spark, root, next,
+        applyEdits(spark, frame, edits), op, meta)
+  }
+
   /** Read the current snapshot (empty-schema error if the table has none). */
   def read(spark: SparkSession, root: String): DataFrame = {
     val v = currentVersion(spark, root).getOrElse(
@@ -1257,17 +1411,26 @@ object SnapshotManifest {
     */
   private def writeCheckpointParquet(spark: SparkSession, root: String,
       version: Long, fullLines: Seq[String]): Unit = {
+    import spark.implicits._
+    val parts = math.max(1, fullLines.size / 500000)
+    writeCheckpointParquetFrame(spark, root, version,
+      spark.createDataset(fullLines).repartition(parts)
+        .map(l => (l.split('\t').head, l)).toDF("rel", "line"))
+  }
+
+  /** [[writeCheckpointParquet]] from an already-distributed body frame
+    * (`rel`, `line`) — the edits path's boundary twin, where the body
+    * never existed as driver strings to begin with.
+    */
+  private def writeCheckpointParquetFrame(spark: SparkSession, root: String,
+      version: Long, frame: DataFrame): Unit = {
     try {
       val (fs, rootPath) = fsOf(spark, root)
       val dest = ckptDir(rootPath, version)
       if (fs.exists(dest)) return
       val stage = new Path(rootPath,
         new Path("_ckpt_stage", java.util.UUID.randomUUID.toString))
-      import spark.implicits._
-      val parts = math.max(1, fullLines.size / 500000)
-      spark.createDataset(fullLines).repartition(parts)
-        .map(l => (l.split('\t').head, l)).toDF("rel", "line")
-        .write.parquet(stage.toString)
+      frame.select("rel", "line").write.parquet(stage.toString)
       // stamp the ANCHOR MANIFEST'S IDENTITY (its byte length) into the
       // twin before the atomic publish: if the root's manifests are ever
       // dropped and recreated while a stale `_ckpt` survives (the same
@@ -1494,9 +1657,178 @@ object SnapshotManifest {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** The DML twin of [[distributedPrune]]: classify every body line on
+    * EXECUTORS into no-match (pruned), MAY-match (`affected` — must be
+    * read and rewritten), and — when `proven` — MUST-match (`dropped` —
+    * deletable by metadata alone). The driver receives only the lines the
+    * verb has to touch anyway; for a selective predicate that is churn,
+    * not body. None when no twin anchors the version or anything in the
+    * derived path fails (callers run the authoritative driver path).
+    */
+  private def distributedClassify(spark: SparkSession, root: String,
+      version: Long, predicate: org.apache.spark.sql.Column, proven: Boolean)
+      : Option[(TableMeta, StructType, DataFrame, Seq[String], Seq[String])] =
+    try bodyLinesFrame(spark, root, version).flatMap { frame =>
+      val meta = manifestMetaOnly(spark, root, version)
+      frameSchema(spark, root, meta, frame).map { schema =>
+        val pred = ManifestStats.resolvePredicate(spark, schema, predicate)
+        import spark.implicits._
+        val survivors = frame.select("line").as[String].map { line =>
+          val s = parseLine(line).stats.map(ManifestStats.fromJson)
+          val may = s.forall(ManifestStats.mayMatch(pred, _))
+          val must = proven && s.exists(ManifestStats.mustMatch(pred, _))
+          (line, may, must)
+        }.filter(_._2).collect()
+        ckptFramePrunes.incrementAndGet()
+        (meta, schema, frame,
+          survivors.collect { case (l, _, false) => l }.toSeq,
+          survivors.collect { case (l, _, true) => l }.toSeq)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The winner's edits between `base` (exclusive) and `winner`
+    * (inclusive) composed last-write-wins per rel — rel → None (removed) /
+    * Some(line) (added or replaced) — read from the churn-sized delta
+    * TAILS alone. This is what lets the edits-path rebase gate a conflict
+    * window without resolving either body: the winner's diff against OUR
+    * base IS the tail. None when any manifest in the window is full-form,
+    * breaks the `base=v-1` chain, or fails to read — unprovable, callers
+    * treat it as a conflict.
+    */
+  private def tailEditsBetween(spark: SparkSession, root: String,
+      base: Long, winner: Long): Option[Seq[(String, Option[String])]] = try {
+    if (winner <= base) return Some(Nil)
+    if (winner - base > math.max(checkpointInterval(spark), 64).toLong)
+      return None // window crosses a boundary by construction — unprovable here
+    val (fs, rootPath) = fsOf(spark, root)
+    val acc = new java.util.LinkedHashMap[String, Option[String]]()
+    var v = base + 1
+    while (v <= winner) {
+      val text = CommitProtocol.readFully(fs, new Path(rootPath, manifestName(v)))
+      val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
+      if (!lines.headOption.contains(s"version=$v")) return None
+      if (!lines.contains(s"base=${v - 1}")) return None // full form / odd chain
+      lines.tail.foreach { l =>
+        if (l.startsWith("-\t")) acc.put(l.stripPrefix("-\t"), None)
+        else if (l.startsWith("+\t")) {
+          val e = l.stripPrefix("+\t"); acc.put(relOf(e), Some(e))
+        } else if (!(HeaderKeys.exists(l.startsWith) || l.startsWith("base=")))
+          return None // stray body line — corrupt; the text path will raise
+      }
+      v += 1
+    }
+    import scala.jdk.CollectionConverters._
+    Some(acc.asScala.toSeq)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[rebaseLoop]]'s churn-bounded twin: the same soundness gates — winner
+    * metadata unchanged (header-only), every `mustSurvive` line untouched,
+    * every winner-added/changed line passes `winnerLineOk`, composed
+    * basenames unique — evaluated from the delta TAILS and a broadcast
+    * join over the winner's body frame, never a driver body. Anything
+    * unprovable (a boundary in the window, a twin-less winner) rethrows
+    * for the caller's full re-run; correctness never depends on this path.
+    */
+  private def rebaseLoopEdits(spark: SparkSession, root: String, op: String,
+      baseVersion: Long, frame0: DataFrame, edits: BodyEdits,
+      meta: TableMeta, gateMeta: TableMeta,
+      mustSurvive: Map[String, String], winnerLineOk: String => Boolean,
+      emptySchema: Option[StructType], maxRebases: Int = 5): Long = {
+    var v = baseVersion
+    var frame = frame0
+    var curMeta = meta
+    var attempts = 0
+    while (true) {
+      // THE EMPTYING CONTRACT on the composed FINAL body ([[rebaseLoop]]):
+      // only a pure-removal edit set can empty it — one distributed count
+      // answers whether it does, and only that narrow shape pays it
+      val pubMeta =
+        if (edits.upserts.nonEmpty || edits.removedRels.isEmpty ||
+            curMeta.schema.nonEmpty) curMeta
+        else if (frame.count() > edits.removedRels.size) curMeta
+        else curMeta.copy(schema = Some(emptySchema.getOrElse(
+          throw new IllegalStateException(
+            s"$op: rewrite would publish an empty snapshot with no " +
+              s"resolvable schema for $root — refusing to brick the table"))))
+      try return publishEdits(spark, root, v + 1, frame, edits, op, pubMeta)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > maxRebases) throw e
+          val wv = currentVersion(spark, root).getOrElse(throw e)
+          val tail = tailEditsBetween(spark, root, v, wv).getOrElse(throw e)
+          val wMeta =
+            try manifestMetaOnly(spark, root, wv)
+            catch { case scala.util.control.NonFatal(_) => throw e }
+          // TXN records adopt from the winner, everything else must match
+          // exactly ([[rebaseLoop]]'s gate, for the same reasons)
+          val metaOk =
+            wMeta.copy(txns = Map.empty) == gateMeta.copy(txns = Map.empty)
+          val surviveOk = tail.forall { case (rel, fin) =>
+            mustSurvive.get(rel).forall(line => fin.contains(line)) }
+          val winnerOk = tail.forall { case (_, fin) => fin.forall(winnerLineOk) }
+          if (!(metaOk && surviveOk && winnerOk)) throw e
+          val wFrame = bodyLinesFrame(spark, root, wv).getOrElse(throw e)
+          if (!editsBasenamesUnique(spark, wFrame, edits)) throw e
+          curMeta = meta.copy(txns = wMeta.txns)
+          graft.core.Logging.logger().info(
+            s"$op: lost the race for version ${v + 1} on $root — winner is " +
+              s"file-disjoint and predicate-disjoint (proven from its delta " +
+              s"tail), rebasing the staged work onto version $wv")
+          v = wv
+          frame = wFrame
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** [[distributedClassify]] for callers outside this object (the keyed
+    * MERGE): `(meta, schema, body frame, affected lines)` — the MAY-match
+    * candidates only, churn-sized for a selective predicate.
+    */
+  private[graft] def classifyAffected(spark: SparkSession, root: String,
+      version: Long, predicate: org.apache.spark.sql.Column)
+      : Option[(TableMeta, StructType, DataFrame, Seq[String])] =
+    distributedClassify(spark, root, version, predicate, proven = false)
+      .map { case (m, s, f, a, _) => (m, s, f, a) }
+
+  /** [[publishVersionRebased]]'s churn-bounded twin: stage `df` once, then
+    * publish through [[rebaseLoopEdits]] — removed lines become `-` ops,
+    * staged lines `+` ops, and a lost race gates through the winner's
+    * delta tail instead of a driver body.
+    */
+  private[graft] def publishVersionEditsRebased(spark: SparkSession,
+      root: String, next: Long, df: DataFrame, statsCols: Seq[String],
+      frame: DataFrame, removedLines: Seq[String], op: String,
+      meta: TableMeta,
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val (_, newLines) = writeDataFiles(spark, fs, rootPath, next, df,
+      statsCols, meta)
+    rebaseLoopEdits(spark, root, op, next - 1, frame,
+      BodyEdits(removedLines.map(relOf), newLines), meta, meta,
+      mustSurvive = removedLines.map(l => relOf(l) -> l).toMap,
+      winnerLineOk = statsDisjoint(resolved),
+      emptySchema = Some(df.schema))
+  }
+
   private[graft] def manifestBody(spark: SparkSession, root: String,
       version: Long): Seq[String] =
     manifestParts(spark, root, version)._1
+
+  /** ONE arbitrary body line of `version` — churn-bounded when a twin
+    * anchors the chain (frame `head(1)`, the body never reaches the
+    * driver), driver-parsed otherwise. None for an empty body. For the
+    * schema-from-one-footer pattern on paths that need nothing else.
+    */
+  private[graft] def sampleBodyLine(spark: SparkSession, root: String,
+      version: Long): Option[String] =
+    bodyLinesFrame(spark, root, version) match {
+      case Some(frame) =>
+        import spark.implicits._
+        frame.select("line").as[String].head(1).headOption
+      case None => manifestBody(spark, root, version).headOption
+    }
 
   /** The RECORDED table schema of `version`, if any — the source of truth
     * once [[addColumns]] has widened the table beyond what any single
@@ -2342,6 +2674,32 @@ object SnapshotManifest {
       dropProven: Boolean = false): Long = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"$op: no committed snapshot under $root"))
+    // CHURN-BOUNDED fast path: with a twin-anchored body, candidate
+    // classification runs on executors (the driver receives only the
+    // lines the verb must touch), the commit publishes as edits, and a
+    // lost race rebases through the delta-tail gates — the full file
+    // list never materializes on the driver, whatever the table size.
+    distributedClassify(spark, root, v, predicate, dropProven) match {
+      case Some((meta, schema, frame, affected, dropped)) =>
+        if (affected.isEmpty && dropped.isEmpty) return v // no file can match
+        val resolved = ManifestStats.resolvePredicate(spark, schema, predicate)
+        val touched = affected ++ dropped
+        val newLines =
+          if (affected.isEmpty) Nil // metadata-only proven drop
+          else {
+            val (fsW, rootPathW) = fsOf(spark, root)
+            writeDataFiles(spark, fsW, rootPathW, v + 1,
+              transform(readEntries(spark, root, affected.map(parseLine),
+                meta.schema)),
+              statsCols, meta)._2
+          }
+        return rebaseLoopEdits(spark, root, op, v, frame,
+          BodyEdits(touched.map(relOf), newLines), meta, meta,
+          mustSurvive = touched.map(l => relOf(l) -> l).toMap,
+          winnerLineOk = statsDisjoint(resolved),
+          emptySchema = Some(schema))
+      case None => ()
+    }
     val (body, meta) = manifestParts(spark, root, v)
     if (body.isEmpty) return v
     val files = body.map(bodyFile(root, _))
@@ -2607,6 +2965,58 @@ object SnapshotManifest {
       fromVersion: Long, toVersion: Long): DataFrame =
     changesBetweenResolved(spark, root, fromVersion, toVersion, None)
 
+  /** The two DIFF sides of `from → to` derived churn-bounded: the winner
+    * tail ([[tailEditsBetween]]) names every touched rel, a broadcast
+    * semi-join over the from-version's body frame recovers the touched
+    * rels' OLD lines, and untouched sample lines resolve schema inference
+    * — the driver receives O(churn) lines, never a body. None when the
+    * window is unprovable from tails (full manifest inside, no twin) —
+    * callers run the authoritative body-diff.
+    *
+    * Returns (oldOnlyLines, newOnlyLines, sampleFromLine, sampleToLine):
+    * samples are arbitrary SURVIVING body lines for the no-recorded-schema
+    * footer inference (from-side: any from-body line; to-side: a line
+    * known to be in the to-body).
+    */
+  private def changeSidesViaTails(spark: SparkSession, root: String,
+      from: Long, to: Long)
+      : Option[(Seq[String], Seq[String], Option[String], Option[String])] =
+    try tailEditsBetween(spark, root, from, to).flatMap { tail =>
+      bodyLinesFrame(spark, root, from).map { frame =>
+        import spark.implicits._
+        val touched = tail.map(_._1)
+        val oldByRel =
+          if (touched.isEmpty) Map.empty[String, String]
+          else frame.join(
+            org.apache.spark.sql.functions.broadcast(touched.toDF("rel")),
+            Seq("rel"), "left_semi")
+            .select("line").as[String].collect()
+            .map(l => relOf(l) -> l).toMap
+        val oldOnly = Seq.newBuilder[String]
+        val newOnly = Seq.newBuilder[String]
+        tail.foreach {
+          case (rel, None) => oldByRel.get(rel).foreach(oldOnly += _)
+          case (rel, Some(nl)) => oldByRel.get(rel) match {
+            case Some(ol) if ol == nl => () // no-op republish: shared
+            case Some(ol) => oldOnly += ol; newOnly += nl
+            case None => newOnly += nl // pure add
+          }
+        }
+        // schema samples: any from-body line works for the from side; the
+        // to side needs a line PROVABLY in the to-body — a tail-added line,
+        // else an untouched from-line (still present at `to`)
+        val untouched = frame.join(
+          org.apache.spark.sql.functions.broadcast(
+            (touched :+ "").toDF("rel")), // :+ "" keeps the frame non-degenerate when touched is empty
+          Seq("rel"), "left_anti")
+          .select("line").as[String].head(1).headOption
+        val newLines = newOnly.result()
+        (oldOnly.result(), newLines,
+          untouched.orElse(oldByRel.values.headOption),
+          newLines.headOption.orElse(untouched))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def changesBetweenResolved(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long, pkOpt: Option[Seq[String]]): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -2614,26 +3024,43 @@ object SnapshotManifest {
       "changesBetween: pk must name at least one column"))
     require(fromVersion <= toVersion,
       s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
-    // ONE manifest fetch per version: body + recorded schema together
-    val (fromBody, fromMeta) = manifestParts(spark, root, fromVersion)
-    val (toBody, toMeta) = manifestParts(spark, root, toVersion)
+    // CHURN-BOUNDED fast path: a twin-anchored from-body + delta tails
+    // yield the diff sides and schema samples without resolving either
+    // body on the driver ([[changeSidesViaTails]]); headers answer the
+    // metadata. The authoritative body-diff below remains the fallback.
+    val fast = changeSidesViaTails(spark, root, fromVersion, toVersion).map {
+      case (oldOnlyLines, newOnlyLines, sampleFrom, sampleTo) =>
+        val fm = manifestMetaOnly(spark, root, fromVersion)
+        val tm = manifestMetaOnly(spark, root, toVersion)
+        (oldOnlyLines.map(parseLine), newOnlyLines.map(parseLine), fm, tm,
+          fm.schema.orElse(sampleFrom.map(l =>
+            spark.read.parquet(bodyFile(root, l)).schema)),
+          tm.schema.orElse(sampleTo.map(l =>
+            spark.read.parquet(bodyFile(root, l)).schema)))
+    }
+    val (oldOnly, newOnly, fromMeta, toMeta, sideFrom, sideTo) = fast.getOrElse {
+      // ONE manifest fetch per version: body + recorded schema together
+      val (fromBody, fm) = manifestParts(spark, root, fromVersion)
+      val (toBody, tm) = manifestParts(spark, root, toVersion)
+      val oldEntries = fromBody.map(parseLine)
+      val newEntries = toBody.map(parseLine)
+      // shared = same data file AND same deletion vector: a file whose DV
+      // changed between the versions contributes different ROWS and must be
+      // diffed even though its data bytes are shared
+      val shared = oldEntries.map(_.unit).toSet intersect newEntries.map(_.unit).toSet
+      (oldEntries.filterNot(e => shared(e.unit)),
+        newEntries.filterNot(e => shared(e.unit)), fm, tm,
+        fm.schema.orElse(oldEntries.headOption.map(e =>
+          spark.read.parquet(new Path(new Path(root), e.rel).toString).schema)),
+        tm.schema.orElse(newEntries.headOption.map(e =>
+          spark.read.parquet(new Path(new Path(root), e.rel).toString).schema)))
+    }
     val pk = pkOpt.getOrElse {
       require(toMeta.pk.nonEmpty,
         s"changesBetween: no primary key declared for $root — " +
           "setPrimaryKey once, or pass pk explicitly")
       toMeta.pk
     }
-    val (fromSchema0, toSchema0) = (fromMeta.schema, toMeta.schema)
-    val oldEntries = fromBody.map(parseLine)
-    val newEntries = toBody.map(parseLine)
-    val oldFiles = oldEntries.map(e => new Path(new Path(root), e.rel).toString)
-    val newFiles = newEntries.map(e => new Path(new Path(root), e.rel).toString)
-    // shared = same data file AND same deletion vector: a file whose DV
-    // changed between the versions contributes different ROWS and must be
-    // diffed even though its data bytes are shared
-    val shared = oldEntries.map(_.unit).toSet intersect newEntries.map(_.unit).toSet
-    val oldOnly = oldEntries.filterNot(e => shared(e.unit))
-    val newOnly = newEntries.filterNot(e => shared(e.unit))
     // UNION schema across both versions: a schema-evolving commit (column
     // added or dropped between the versions) must not make the diff
     // unreadable. Each side is aligned to the union below — absent columns
@@ -2647,11 +3074,8 @@ object SnapshotManifest {
     // parquet's merge refuses even int→bigint anyway). A same-name/
     // different-type collision (a retyping full commit) reconciles to
     // Catalyst's tightest common type; irreconcilable types fail loudly
-    // with the column named.
-    val sideFrom = fromSchema0.orElse(
-      oldFiles.headOption.map(f => spark.read.parquet(f).schema))
-    val sideTo = toSchema0.orElse(
-      newFiles.headOption.map(f => spark.read.parquet(f).schema))
+    // with the column named. (Both sides — recorded header or ONE sampled
+    // footer — arrive resolved from the path split above.)
     val fromFields = sideFrom.map(_.fields.toSeq).getOrElse(Nil)
     val toFields = sideTo.map(_.fields.toSeq).getOrElse(Nil)
     // fields match by name CASE-INSENSITIVELY (the engine's resolution
@@ -2907,10 +3331,28 @@ object SnapshotManifest {
       throw new IllegalStateException(
         s"appendRows: no committed snapshot under $root — create the " +
           "table with commit(...) first"))
-    val (body, meta) = manifestParts(spark, root, v)
-    requireAppendCompatible(spark, root, body, meta, df, "appendRows")
-    publishWithAppend(spark, root, v + 1, body, df, statsCols,
-      "appendRows", meta)
+    // CHURN-BOUNDED fast path: when a checkpoint twin anchors the body
+    // (the 10⁵-10⁶-file regime), the append publishes as edits — header
+    // metadata + staged lines only; the existing file list never
+    // materializes on the driver. Fresh staged names are UUID-nonced, so
+    // like the driver path this verb carries no uniqueness job (the
+    // retry wrappers, which RE-publish staged lines onto a winner, do).
+    bodyLinesFrame(spark, root, v) match {
+      case Some(frame) =>
+        val (fs, rootPath) = fsOf(spark, root)
+        val meta = manifestMetaOnly(spark, root, v)
+        requireAppendSchemaCompatible(
+          frameSchema(spark, root, meta, frame), df, "appendRows")
+        val (_, lines) = writeDataFiles(spark, fs, rootPath, v + 1, df,
+          statsCols, meta)
+        publishEdits(spark, root, v + 1, frame, BodyEdits(Nil, lines),
+          "appendRows", meta)
+      case None =>
+        val (body, meta) = manifestParts(spark, root, v)
+        requireAppendCompatible(spark, root, body, meta, df, "appendRows")
+        publishWithAppend(spark, root, v + 1, body, df, statsCols,
+          "appendRows", meta)
+    }
   }
 
   /** Manifest-wide basename uniqueness, the invariant stats and
@@ -2957,8 +3399,22 @@ object SnapshotManifest {
         throw new IllegalStateException(
           s"appendRowsWithRetry: no committed snapshot under $root — " +
             "create the table with commit(...) first"))
-      val (body, meta) = manifestParts(spark, root, v)
-      requireAppendCompatible(spark, root, body, meta, df, "appendRowsWithRetry")
+      // resolve per attempt: driver body, or the CHURN-BOUNDED frame when
+      // a checkpoint twin anchors it (the body never materializes; the
+      // uniqueness gate runs as a broadcast join over the frame)
+      val fast = bodyLinesFrame(spark, root, v)
+      val meta = fast match {
+        case Some(_) => manifestMetaOnly(spark, root, v)
+        case None => manifestParts(spark, root, v)._2
+      }
+      fast match {
+        case Some(frame) =>
+          requireAppendSchemaCompatible(
+            frameSchema(spark, root, meta, frame), df, "appendRowsWithRetry")
+        case None =>
+          requireAppendCompatible(spark, root,
+            manifestParts(spark, root, v)._1, meta, df, "appendRowsWithRetry")
+      }
       val lines = staged match {
         case Some((m, l)) if m.schema == meta.schema &&
             m.partitionCols == meta.partitionCols &&
@@ -2975,9 +3431,21 @@ object SnapshotManifest {
           staged = Some((meta, l))
           l
       }
-      requireUniqueBasenames("appendRowsWithRetry", root, body ++ lines)
-      publishLines(spark, root, v + 1, body ++ lines, "appendRowsWithRetry",
-        meta)
+      fast match {
+        case Some(frame) =>
+          val edits = BodyEdits(Nil, lines)
+          require(editsBasenamesUnique(spark, frame, edits),
+            s"appendRowsWithRetry: basename collision in composed manifest " +
+              s"body for $root — stats and deletion-vector identity key on " +
+              "basename; refusing to publish a body that would cross-assign them")
+          publishEdits(spark, root, v + 1, frame, edits,
+            "appendRowsWithRetry", meta)
+        case None =>
+          val body = manifestParts(spark, root, v)._1
+          requireUniqueBasenames("appendRowsWithRetry", root, body ++ lines)
+          publishLines(spark, root, v + 1, body ++ lines,
+            "appendRowsWithRetry", meta)
+      }
     }
   }
 
@@ -3023,7 +3491,13 @@ object SnapshotManifest {
         throw new IllegalStateException(
           s"appendRowsIdempotent: no committed snapshot under $root — " +
             "create the table with commit(...) first"))
-      val (body, meta) = manifestParts(spark, root, v)
+      // the txn skip-check needs only the HEADER — resolve meta churn-
+      // bounded when a twin anchors the body, driver-parsed otherwise
+      val fast = bodyLinesFrame(spark, root, v)
+      val meta = fast match {
+        case Some(_) => manifestMetaOnly(spark, root, v)
+        case None => manifestParts(spark, root, v)._2
+      }
       if (meta.txns.get(appId).exists(_ >= txnVersion)) {
         graft.core.Logging.logger().info(
           s"appendRowsIdempotent: ($appId, $txnVersion) already committed " +
@@ -3032,8 +3506,14 @@ object SnapshotManifest {
               "are unreferenced vacuum garbage)"))
         v
       } else {
-        requireAppendCompatible(spark, root, body, meta, df,
-          "appendRowsIdempotent")
+        fast match {
+          case Some(frame) =>
+            requireAppendSchemaCompatible(
+              frameSchema(spark, root, meta, frame), df, "appendRowsIdempotent")
+          case None =>
+            requireAppendCompatible(spark, root,
+              manifestParts(spark, root, v)._1, meta, df, "appendRowsIdempotent")
+        }
         val lines = staged match {
           case Some((m, l)) if m.schema == meta.schema &&
               m.partitionCols == meta.partitionCols &&
@@ -3049,10 +3529,23 @@ object SnapshotManifest {
             staged = Some((meta, l))
             l
         }
-        requireUniqueBasenames("appendRowsIdempotent", root, body ++ lines)
-        publishLines(spark, root, v + 1, body ++ lines,
-          "appendRowsIdempotent",
-          meta.copy(txns = meta.txns + (appId -> txnVersion)))
+        val outMeta = meta.copy(txns = meta.txns + (appId -> txnVersion))
+        fast match {
+          case Some(frame) =>
+            val edits = BodyEdits(Nil, lines)
+            require(editsBasenamesUnique(spark, frame, edits),
+              s"appendRowsIdempotent: basename collision in composed " +
+                s"manifest body for $root — stats and deletion-vector " +
+                "identity key on basename; refusing to publish a body that " +
+                "would cross-assign them")
+            publishEdits(spark, root, v + 1, frame, edits,
+              "appendRowsIdempotent", outMeta)
+          case None =>
+            val body = manifestParts(spark, root, v)._1
+            requireUniqueBasenames("appendRowsIdempotent", root, body ++ lines)
+            publishLines(spark, root, v + 1, body ++ lines,
+              "appendRowsIdempotent", outMeta)
+        }
       }
     }
   }
@@ -3064,9 +3557,17 @@ object SnapshotManifest {
     * defines the shape, like a first commit).
     */
   private def requireAppendCompatible(spark: SparkSession, root: String,
-      body: Seq[String], meta: TableMeta, df: DataFrame, op: String): Unit = {
-    val tableSchema = meta.schema.orElse(body.headOption.map(l =>
-      spark.read.parquet(bodyFile(root, l)).schema))
+      body: Seq[String], meta: TableMeta, df: DataFrame, op: String): Unit =
+    requireAppendSchemaCompatible(
+      meta.schema.orElse(body.headOption.map(l =>
+        spark.read.parquet(bodyFile(root, l)).schema)), df, op)
+
+  /** The schema-shaped half of [[requireAppendCompatible]], taking the
+    * resolved table schema directly — the churn-bounded append path feeds
+    * it from the header (or ONE frame-sampled footer) without a body.
+    */
+  private def requireAppendSchemaCompatible(tableSchema: Option[StructType],
+      df: DataFrame, op: String): Unit = {
     tableSchema.foreach { s =>
       val have = df.schema.fields
         .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap

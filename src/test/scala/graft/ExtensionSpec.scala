@@ -775,4 +775,57 @@ class ExtensionSpec extends SparkSpec {
     assert((decoded.getRGB(17, 10) >>> 24) > 224,
       "the opaque half must stay opaque after resize")
   }
+
+  test("multimodal: REAL frame sampling — animated GIF fixtures decode per-frame, stride and cap honored, non-media falls back") {
+    // generated animated-GIF fixture: nFrames solid-color frames, color a
+    // deterministic function of (seed, frame) so each sampled frame is
+    // checkable back to its SOURCE index after the PNG re-encode
+    def gif(w: Int, h: Int, nFrames: Int, seed: Int): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val color = (seed ^ (f * 0x202020)) & 0xffffff
+        (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, color)))
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      baos.toByteArray
+    }
+    val assets = Seq(
+      (1L, "image/gif", gif(12, 8, 7, 0x4080c0)),   // 7 frames
+      (2L, "image/gif", gif(6, 6, 2, 0x102030)),    // 2 frames
+      (3L, "text/plain", "not a gif at all".getBytes("UTF-8")))
+      .toDF("asset_id", "media_type", "bytes")
+      .withColumn("byte_len", length(col("bytes")).cast("long"))
+    val frames = Multimodal.sampleFrames(assets, everyNth = 2, maxFrames = 16)
+      .collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[Int]("frame_index"),
+        r.getAs[Array[Byte]]("frame_bytes")))
+    // stride over SOURCE indices: 7 frames every 2nd → 0,2,4,6
+    val a1 = frames.filter(_._1 == 1L).sortBy(_._2)
+    assert(a1.map(_._2).toSeq == Seq(0, 2, 4, 6))
+    // every sampled frame is a REAL decodable PNG at the GIF's dimensions,
+    // carrying that source frame's color — proof read(i) hit frame i
+    a1.foreach { case (_, i, png) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth == 12 && img.getHeight == 8)
+      assert((img.getRGB(5, 3) & 0xffffff) == ((0x4080c0 ^ (i * 0x202020)) & 0xffffff),
+        s"frame $i must carry its own source frame's pixels")
+    }
+    assert(frames.filter(_._1 == 2L).map(_._2).toSeq == Seq(0))
+    // maxFrames caps the sample, not the source walk
+    val capped = Multimodal.sampleFrames(assets, everyNth = 1, maxFrames = 3)
+      .filter(col("asset_id") === 1L).select("frame_index")
+      .as[Int].collect().sorted.toSeq
+    assert(capped == Seq(0, 1, 2))
+    // non-media payloads keep flowing through the declared stub fallback
+    assert(frames.exists(_._1 == 3L))
+  }
 }

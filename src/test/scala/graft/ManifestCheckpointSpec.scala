@@ -375,6 +375,177 @@ class ManifestCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("appends on a twin-anchored table publish churn-bounded edits — the driver never materializes the body") {
+    val root = newRoot()
+    spark.conf.set("graft.manifest.checkpointInterval", "4")
+    spark.conf.set("graft.manifest.parquetCheckpointMinLines", "50")
+    try {
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // v0 boundary: 1000 real files with id stats → parquet twin
+      SnapshotManifest.commit(spark, root,
+        spark.range(0, 10000).toDF("id")
+          .withColumn("x", concat(lit("v"), col("id")))
+          .repartitionByRange(1000, col("id")), Seq("id"))
+      assert(fs.exists(new Path(root, "_ckpt/v00000000")))
+      SnapshotManifest.manifestReadCount.set(0L)
+      val e0 = SnapshotManifest.editsPublishes.get()
+      // v1-v3 off-boundary: delta-composed edits publishes
+      SnapshotManifest.appendRows(spark, root,
+        Seq((20000L, "a0")).toDF("id", "x"), Seq("id"))
+      SnapshotManifest.appendRowsWithRetry(spark, root,
+        Seq((20001L, "a1")).toDF("id", "x"), Seq("id"))
+      SnapshotManifest.appendRowsIdempotent(spark, root,
+        Seq((20002L, "a2")).toDF("id", "x"), "app", 1L, Seq("id"))
+      // v4 BOUNDARY: full manifest STREAMED from the composed frame + a
+      // fresh twin — still no driver body
+      SnapshotManifest.appendRows(spark, root,
+        Seq((20003L, "a3")).toDF("id", "x"), Seq("id"))
+      assert(SnapshotManifest.editsPublishes.get() - e0 == 4L,
+        "all four appends must take the churn-bounded edits path")
+      assert(SnapshotManifest.manifestReadCount.get() == 0L,
+        "the append path materialized the full body on the driver")
+      assert(fs.exists(new Path(root, "_ckpt/v00000004")),
+        "the boundary append must twin its streamed full manifest")
+      // exactly-once replay skips from the HEADER alone
+      assert(SnapshotManifest.appendRowsIdempotent(spark, root,
+        Seq((20002L, "dup")).toDF("id", "x"), "app", 1L, Seq("id")) == 4L)
+      assert(SnapshotManifest.manifestReadCount.get() == 0L,
+        "the idempotent skip-check must not resolve the body")
+      // manifest shapes: churn-sized deltas off-boundary, full at v4
+      assert(rawManifest(root, 1L).contains("base=0"))
+      assert(rawManifest(root, 1L).linesIterator.size < 10)
+      assert(!rawManifest(root, 4L).contains("base="), "v4 must be a boundary full")
+      assert(rawManifest(root, 4L).linesIterator.size >= 1000)
+      // correctness: the resolved table serves every append exactly once
+      val appended = SnapshotManifest.read(spark, root)
+        .filter(col("id") >= 20000L).as[(Long, String)].collect().toSet
+      assert(appended == Set((20000L, "a0"), (20001L, "a1"),
+        (20002L, "a2"), (20003L, "a3")))
+      assert(SnapshotManifest.read(spark, root).count() == 10004L)
+    } finally {
+      spark.conf.unset("graft.manifest.checkpointInterval")
+      spark.conf.unset("graft.manifest.parquetCheckpointMinLines")
+    }
+  }
+
+  test("CoW DML and keyed MERGE on a twin-anchored table publish churn-bounded edits") {
+    val root = newRoot()
+    spark.conf.set("graft.manifest.checkpointInterval", "4")
+    spark.conf.set("graft.manifest.parquetCheckpointMinLines", "50")
+    try {
+      SnapshotManifest.commit(spark, root,
+        spark.range(0, 10000).toDF("id")
+          .withColumn("x", concat(lit("v"), col("id")))
+          .repartitionByRange(1000, col("id")), Seq("id"))
+      SnapshotManifest.manifestReadCount.set(0L)
+      val e0 = SnapshotManifest.editsPublishes.get()
+      // v1: CoW delete — executors classify, the driver sees only the
+      // churn; the delete spans ~10 single-digit-row files
+      SnapshotManifest.deleteWhere(spark, root,
+        col("id").between(100L, 199L), Seq("id"))
+      // v2: CoW update over a narrow range
+      SnapshotManifest.updateWhere(spark, root,
+        col("id").between(300L, 309L), Map("x" -> lit("upd")), Seq("id"))
+      // v3: keyed MERGE — two updates + one insert
+      graft.operators.Upsert.mergeWhere(spark, root,
+        Seq((500L, "m500"), (501L, "m501"), (20000L, "ins")).toDF("id", "x"),
+        Seq("id"), Seq("id"))
+      assert(SnapshotManifest.editsPublishes.get() - e0 == 3L,
+        "all three DML verbs must take the churn-bounded edits path")
+      assert(SnapshotManifest.manifestReadCount.get() == 0L,
+        "a DML verb materialized the full body on the driver")
+      Seq(1L, 2L, 3L).foreach { dv =>
+        assert(rawManifest(root, dv).contains(s"base=${dv - 1}"))
+        assert(rawManifest(root, dv).linesIterator.size < 40,
+          s"v$dv must be churn-sized")
+      }
+      // correctness against first principles
+      val t = SnapshotManifest.read(spark, root)
+      assert(t.count() == 10000L - 100L + 1L)
+      assert(t.filter(col("id").between(100L, 199L)).isEmpty)
+      assert(t.filter(col("id").between(300L, 309L))
+        .select("x").as[String].collect().forall(_ == "upd"))
+      assert(t.filter(col("id").isin(500L, 501L, 20000L))
+        .as[(Long, String)].collect().toSet ==
+        Set((500L, "m500"), (501L, "m501"), (20000L, "ins")))
+      assert(t.filter(col("id") === 400L).as[(Long, String)].head() ==
+        ((400L, "v400")))
+    } finally {
+      spark.conf.unset("graft.manifest.checkpointInterval")
+      spark.conf.unset("graft.manifest.parquetCheckpointMinLines")
+    }
+  }
+
+  test("edits-path rebase: two racing file-disjoint DMLs both land through the delta-tail gates") {
+    val root = newRoot()
+    spark.conf.set("graft.manifest.checkpointInterval", "8")
+    spark.conf.set("graft.manifest.parquetCheckpointMinLines", "50")
+    try {
+      SnapshotManifest.commit(spark, root,
+        spark.range(0, 10000).toDF("id")
+          .withColumn("x", concat(lit("v"), col("id")))
+          .repartitionByRange(100, col("id")), Seq("id"))
+      SnapshotManifest.manifestReadCount.set(0L)
+      // interleave: both verbs observe v0, stage against it, then race the
+      // publish — the loser must REBASE through the tail gate, not re-run.
+      // Simulate by pre-publishing a conflicting-version winner: run
+      // deleteWhere on a DIFFERENT thread while this thread holds no lock —
+      // simplest deterministic interleave: call deleteWhere twice on
+      // disjoint ranges from two threads and assert both landed.
+      val t1 = new Thread(() => {
+        SnapshotManifest.deleteWhere(spark, root,
+          col("id").between(1000L, 1099L), Seq("id")); ()
+      })
+      val t2 = new Thread(() => {
+        SnapshotManifest.deleteWhere(spark, root,
+          col("id").between(5000L, 5099L), Seq("id")); ()
+      })
+      t1.start(); t2.start(); t1.join(); t2.join()
+      assert(SnapshotManifest.currentVersion(spark, root).contains(2L),
+        "both racing deletes must commit (one directly, one rebased)")
+      assert(SnapshotManifest.manifestReadCount.get() == 0L,
+        "the rebase path materialized a body on the driver")
+      val t = SnapshotManifest.read(spark, root)
+      assert(t.count() == 10000L - 200L)
+      assert(t.filter(col("id").between(1000L, 1099L)).isEmpty)
+      assert(t.filter(col("id").between(5000L, 5099L)).isEmpty)
+    } finally {
+      spark.conf.unset("graft.manifest.checkpointInterval")
+      spark.conf.unset("graft.manifest.parquetCheckpointMinLines")
+    }
+  }
+
+  test("changesBetween on a twin-anchored pair diffs through the delta tail — no driver body") {
+    val root = newRoot()
+    spark.conf.set("graft.manifest.checkpointInterval", "4")
+    spark.conf.set("graft.manifest.parquetCheckpointMinLines", "50")
+    try {
+      SnapshotManifest.commit(spark, root,
+        spark.range(0, 10000).toDF("id")
+          .withColumn("x", concat(lit("v"), col("id")))
+          .repartitionByRange(1000, col("id")), Seq("id"))
+      // v1: one churn commit — two updates, one insert, plus a delete
+      graft.operators.Upsert.mergeWhere(spark, root,
+        Seq((42L, "m42"), (43L, "m43"), (30000L, "ins")).toDF("id", "x"),
+        Seq("id"), Seq("id"))
+      SnapshotManifest.deleteWhere(spark, root, col("id") === 777L, Seq("id"))
+      SnapshotManifest.manifestReadCount.set(0L)
+      val feed = SnapshotManifest.changesBetween(spark, root, 0L, 2L, Seq("id"))
+        .select(col("id"), col("x"), col("_change"))
+        .as[(Long, String, String)].collect().toSet
+      assert(SnapshotManifest.manifestReadCount.get() == 0L,
+        "the feed diff materialized a body on the driver")
+      assert(feed == Set(
+        (42L, "v42", "update_preimage"), (42L, "m42", "update_postimage"),
+        (43L, "v43", "update_preimage"), (43L, "m43", "update_postimage"),
+        (30000L, "ins", "insert"),
+        (777L, "v777", "delete")))
+    } finally {
+      spark.conf.unset("graft.manifest.checkpointInterval")
+      spark.conf.unset("graft.manifest.parquetCheckpointMinLines")
+    }
+  }
+
   test("an orphaned twin (manifests recreated under a surviving _ckpt) is detected and never served") {
     val root = newRoot()
     spark.conf.set("graft.manifest.checkpointInterval", "2")
