@@ -110,15 +110,37 @@ object SnapshotManifest {
     * window.
     */
   private val StaleRewriteAgeMs = 10L * 60 * 1000
-  private def recoverManifestRewrites(fs: FileSystem, rootPath: Path): Unit = {
+  private def recoverManifestRewrites(spark: SparkSession, fs: FileSystem,
+      rootPath: Path): Unit = {
     if (!fs.exists(rootPath)) return
     fs.listStatus(rootPath).foreach { s =>
       s.getPath.getName match {
         case RewriteRe(v, publishedAt) if s.isFile =>
           val mf = new Path(rootPath, manifestName(v.toLong))
           if (!fs.exists(mf)) {
-            if (fs.rename(s.getPath, mf))
+            if (fs.rename(s.getPath, mf)) {
               fs.setTimes(mf, publishedAt.toLong, -1)
+              // the swap this recovery completed left an OFF-BOUNDARY FULL
+              // anchor — twin it exactly as the crashed caller would have
+              // ([[vacuum]]'s chain-guard rewrite), or every pruned read
+              // chaining here demotes to the driver path until the next
+              // boundary. Best-effort: a failure costs only the fast path.
+              try {
+                val body = CommitProtocol.readFully(fs, mf)
+                  .split('\n').map(_.trim).filter(_.nonEmpty)
+                  .filterNot(l =>
+                    HeaderKeys.exists(l.startsWith) || l.startsWith("base="))
+                  .toSeq
+                if (checkpointInterval(spark) > 1 &&
+                    body.size >= parquetCheckpointMinLines(spark))
+                  writeCheckpointParquet(spark, rootPath.toString, v.toLong, body)
+              } catch { case scala.util.control.NonFatal(e) =>
+                graft.core.Logging.logger().warn(
+                  s"twin write for crash-recovered rewrite of version $v " +
+                    s"under $rootPath failed (reads fall back to the text " +
+                    s"path): ${e.getMessage}")
+              }
+            }
           } else if (System.currentTimeMillis() - s.getModificationTime >
               StaleRewriteAgeMs) {
             fs.delete(s.getPath, false)
@@ -511,7 +533,7 @@ object SnapshotManifest {
         s"$op: version $next already committed by a concurrent writer; " +
           "re-read the table and retry (staged sidecars are unreferenced " +
           "garbage for vacuum)")
-    PartsCache.invalidate(s"${rootPath.toString}#$next")
+    PartsCache.invalidate(s"${rootPath.toString}#$next"); HeaderCache.invalidate(s"${rootPath.toString}#$next")
     maybeCheckpointParquet(spark, root, next, lines)
     maybeAutoCdf(spark, root, meta)
     next
@@ -593,7 +615,7 @@ object SnapshotManifest {
       throw new ConcurrentCommitException(
         s"$op: version $next already committed by a concurrent writer; " +
           s"re-read the table and retry; staged data left at $dataDir")
-    PartsCache.invalidate(s"${rootPath.toString}#$next")
+    PartsCache.invalidate(s"${rootPath.toString}#$next"); HeaderCache.invalidate(s"${rootPath.toString}#$next")
     maybeCheckpointParquet(spark, root, next, lines ++ appendLines)
     maybeAutoCdf(spark, root, meta)
     next
@@ -689,7 +711,7 @@ object SnapshotManifest {
         s"$op: version $next already committed by a concurrent writer; " +
           "re-read the table and retry (staged sidecars are unreferenced " +
           "garbage for vacuum)")
-    PartsCache.invalidate(s"${rootPath.toString}#$next")
+    PartsCache.invalidate(s"${rootPath.toString}#$next"); HeaderCache.invalidate(s"${rootPath.toString}#$next")
     editsPublishes.incrementAndGet()
     maybeAutoCdf(spark, root, meta)
     next
@@ -719,7 +741,7 @@ object SnapshotManifest {
           s"$op: version $next already committed by a concurrent writer; " +
             "re-read the table and retry (staged sidecars are unreferenced " +
             "garbage for vacuum)")
-      PartsCache.invalidate(s"${rootPath.toString}#$next")
+      PartsCache.invalidate(s"${rootPath.toString}#$next"); HeaderCache.invalidate(s"${rootPath.toString}#$next")
       editsPublishes.incrementAndGet()
       // post-commit hooks — NonFatal-guarded like [[maybeCheckpointParquet]]:
       // the manifest is durable, nothing here may fail the verb
@@ -1164,26 +1186,96 @@ object SnapshotManifest {
     Seq("version=", "schema=", "bloom=", "pk=", "partition=", "txn=")
 
   private def manifestBase(spark: SparkSession, root: String,
-      version: Long): Option[Long] = {
-    val (fs, rootPath) = fsOf(spark, root)
-    val in = fs.open(new Path(rootPath, manifestName(version)))
-    try {
-      val r = new java.io.BufferedReader(
-        new java.io.InputStreamReader(in, "UTF-8"))
-      var line = r.readLine()
-      while (line != null) {
-        val t = line.trim
-        if (t.startsWith("base=")) return Some(t.stripPrefix("base=").toLong)
-        // past the header with no base ⇒ full. MUST recognize every
-        // header key [[headerFor]] can emit: omitting one (the r10
-        // partition= regression) misclassifies every delta of a table
-        // carrying that property as full, so vacuum's chain guard never
-        // rewrites it and deletes its base out from under it.
-        if (t.nonEmpty && !HeaderKeys.exists(t.startsWith)) return None
-        line = r.readLine()
+      version: Long): Option[Long] =
+    headerEntry(spark, root, version).base
+
+  /** Diagnostic counter: UNCACHED manifest-header reads (specs assert one
+    * stream per (version, file identity), not one per accessor or verb).
+    */
+  private[graft] val headerReadCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** Driver-side HEADER cache — the few-hundred-byte sibling of
+    * [[PartsCache]], same (mtime, length) validation (the one manifest
+    * mutation, vacuum's chain-guard rewrite, always changes the length).
+    * One streamed header read serves every metadata accessor
+    * ([[manifestMetaOnly]]), every full-vs-delta probe ([[manifestBase]] —
+    * vacuum's chain guard and [[bodyLinesFrame]]'s anchor walk call it per
+    * retained version per read), and every post-publish checkpoint hook,
+    * instead of one `fs.open` each. Entry-count bounded: headers are tiny.
+    */
+  private object HeaderCache {
+    final case class Entry(mtime: Long, len: Long, meta: TableMeta,
+        base: Option[Long])
+    private val map = new java.util.LinkedHashMap[String, Entry](64, 0.75f, true) {
+      override protected def removeEldestEntry(
+          e: java.util.Map.Entry[String, Entry]): Boolean = size() > 512
+    }
+    def get(key: String, mtime: Long, len: Long): Option[Entry] =
+      synchronized {
+        Option(map.get(key)).filter(e => e.mtime == mtime && e.len == len)
       }
-      None
-    } finally in.close()
+    def put(key: String, e: Entry): Unit = synchronized { map.put(key, e); () }
+    def invalidate(key: String): Unit = synchronized { map.remove(key); () }
+  }
+
+  /** The parsed HEADER of `version` — metadata + `base=` pointer — from
+    * the cache or ONE streamed read that stops at the first body line.
+    * Propagates FileNotFound to callers (each owns its recovery/fallback
+    * posture); throws the canonical corrupt-header error on a bad
+    * `version=` tag — a truncated or wrong-version file must never answer
+    * metadata questions with silently-empty TableMeta (txnVersion=None
+    * would re-open an idempotent writer's exactly-once window).
+    */
+  private def headerEntry(spark: SparkSession, root: String,
+      version: Long): HeaderCache.Entry = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val path = new Path(rootPath, manifestName(version))
+    val st = fs.getFileStatus(path)
+    val key = s"${rootPath.toString}#$version"
+    HeaderCache.get(key, st.getModificationTime, st.getLen).getOrElse {
+      headerReadCount.incrementAndGet()
+      val in = fs.open(path)
+      val lines = try {
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8"))
+        val hdr = Seq.newBuilder[String]
+        var line = r.readLine()
+        var done = false
+        while (line != null && !done) {
+          val t = line.trim
+          // MUST recognize every header key [[headerFor]] can emit:
+          // omitting one (the r10 partition= regression) misclassifies
+          // every delta of a table carrying that property as full, so
+          // vacuum's chain guard never rewrites it and deletes its base
+          // out from under it.
+          if (t.nonEmpty &&
+              (HeaderKeys.exists(t.startsWith) || t.startsWith("base=")))
+            hdr += t
+          else if (t.nonEmpty) done = true
+          if (!done) line = r.readLine()
+        }
+        hdr.result()
+      } finally in.close()
+      require(lines.headOption.contains(s"version=$version"),
+        s"corrupt manifest for version $version: bad header ${lines.headOption}")
+      val meta = TableMeta(
+        lines.find(_.startsWith("schema=")).map(l =>
+          org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("schema="))
+            .asInstanceOf[StructType]),
+        lines.find(_.startsWith("bloom=")).map(l =>
+          colsFromJson(l.stripPrefix("bloom="))).getOrElse(Nil),
+        lines.find(_.startsWith("pk=")).map(l =>
+          colsFromJson(l.stripPrefix("pk="))).getOrElse(Nil),
+        lines.find(_.startsWith("partition=")).map(l =>
+          colsFromJson(l.stripPrefix("partition="))).getOrElse(Nil),
+        lines.find(_.startsWith("txn=")).map(l =>
+          txnsFromJson(l.stripPrefix("txn="))).getOrElse(Map.empty))
+      val e = HeaderCache.Entry(st.getModificationTime, st.getLen, meta,
+        lines.find(_.startsWith("base="))
+          .map(_.stripPrefix("base=").trim.toLong))
+      HeaderCache.put(key, e)
+      e
+    }
   }
 
   /** Driver-side resolved-parts cache, validated per hit against the
@@ -1249,7 +1341,7 @@ object SnapshotManifest {
         case _: java.io.FileNotFoundException =>
           // a chain-guard rewrite crashed mid-swap: the durable sidecar
           // holds this version — complete the swap and read normally
-          recoverManifestRewrites(fs, rootPath)
+          recoverManifestRewrites(spark, fs, rootPath)
           fs.getFileStatus(path)
       }
     val key = s"${rootPath.toString}#$version"
@@ -1558,52 +1650,16 @@ object SnapshotManifest {
     */
   private[graft] def manifestMetaOnly(spark: SparkSession, root: String,
       version: Long): TableMeta = {
-    val (fs, rootPath) = fsOf(spark, root)
-    def readHeader(): Seq[String] = {
-      val in = fs.open(new Path(rootPath, manifestName(version)))
-      try {
-        val r = new java.io.BufferedReader(
-          new java.io.InputStreamReader(in, "UTF-8"))
-        val hdr = Seq.newBuilder[String]
-        var line = r.readLine()
-        var done = false
-        while (line != null && !done) {
-          val t = line.trim
-          if (t.nonEmpty &&
-              (HeaderKeys.exists(t.startsWith) || t.startsWith("base=")))
-            hdr += t
-          else if (t.nonEmpty) done = true
-          if (!done) line = r.readLine()
-        }
-        hdr.result()
-      } finally in.close()
+    // one cached header entry serves every accessor ([[headerEntry]] —
+    // corruption guard and parse live there); FileNotFound means a
+    // mid-swap chain-guard rewrite: complete it, then read normally
+    try headerEntry(spark, root, version).meta
+    catch {
+      case _: java.io.FileNotFoundException =>
+        val (fs, rootPath) = fsOf(spark, root)
+        recoverManifestRewrites(spark, fs, rootPath)
+        headerEntry(spark, root, version).meta
     }
-    val lines =
-      try readHeader()
-      catch {
-        case _: java.io.FileNotFoundException =>
-          // mid-swap chain-guard rewrite: complete it, then read normally
-          recoverManifestRewrites(fs, rootPath)
-          readHeader()
-      }
-    // the same corruption guard [[manifestPartsUncached]] enforces: a
-    // truncated or wrong-version file must fail LOUDLY here, not answer
-    // metadata questions with silently-empty TableMeta (txnVersion=None
-    // would re-open an idempotent writer's exactly-once window)
-    require(lines.headOption.contains(s"version=$version"),
-      s"corrupt manifest for version $version: bad header ${lines.headOption}")
-    TableMeta(
-      lines.find(_.startsWith("schema=")).map(l =>
-        org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("schema="))
-          .asInstanceOf[StructType]),
-      lines.find(_.startsWith("bloom=")).map(l =>
-        colsFromJson(l.stripPrefix("bloom="))).getOrElse(Nil),
-      lines.find(_.startsWith("pk=")).map(l =>
-        colsFromJson(l.stripPrefix("pk="))).getOrElse(Nil),
-      lines.find(_.startsWith("partition=")).map(l =>
-        colsFromJson(l.stripPrefix("partition="))).getOrElse(Nil),
-      lines.find(_.startsWith("txn=")).map(l =>
-        txnsFromJson(l.stripPrefix("txn="))).getOrElse(Map.empty))
   }
 
   /** Surviving raw body lines of a checkpoint `frame` under `pred`,
@@ -2918,7 +2974,7 @@ object SnapshotManifest {
         s"$op: version $next already committed by a concurrent writer; " +
           s"re-read the table and retry; staged data left at $dataDir " +
           "(unreferenced — vacuum sweeps it)")
-    PartsCache.invalidate(s"${rootPath.toString}#$next")
+    PartsCache.invalidate(s"${rootPath.toString}#$next"); HeaderCache.invalidate(s"${rootPath.toString}#$next")
     maybeCheckpointParquet(spark, rootPath.toString, next, keptLines ++ newLines)
     maybeAutoCdf(spark, rootPath.toString, meta)
     next
@@ -3816,7 +3872,7 @@ object SnapshotManifest {
     val (fs, rootPath) = fsOf(spark, root)
     // complete any rewrite swap a crashed prior vacuum left mid-flight
     // BEFORE planning, so the plan sees every retained version's manifest
-    recoverManifestRewrites(fs, rootPath)
+    recoverManifestRewrites(spark, fs, rootPath)
     val plan = vacuumPlan(spark, root, keep, minAgeMs)
     // Delta manifests chain to earlier versions (base=): a RETAINED
     // manifest whose base is about to be reclaimed must be rewritten as a

@@ -515,6 +515,48 @@ class ManifestCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("a crash-recovered chain-guard rewrite twins its anchor — pruned reads stay distributed") {
+    val root = newRoot()
+    spark.conf.set("graft.manifest.checkpointInterval", "4")
+    spark.conf.set("graft.manifest.parquetCheckpointMinLines", "50")
+    try {
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      SnapshotManifest.commit(spark, root,
+        spark.range(0, 10000).toDF("id")
+          .withColumn("x", concat(lit("v"), col("id")))
+          .repartitionByRange(1000, col("id")), Seq("id"))
+      graft.operators.Upsert.mergeWhere(spark, root,
+        Seq((5L, "m5")).toDF("id", "x"), Seq("id"), Seq("id"))
+      // simulate the crash window of vacuum's delta→full rewrite of v1:
+      // the durable sidecar holds the FULL resolved text, the manifest is
+      // gone — exactly the state recovery completes
+      val body = SnapshotManifest.manifestBody(spark, root, 1L)
+      assert(body.size >= 1000)
+      val mf = new Path(root, f"manifest-${1L}%08d.json")
+      val publishedAt = fs.getFileStatus(mf).getModificationTime
+      val side = new Path(root, f"manifest-${1L}%08d.json.rewrite-$publishedAt%d")
+      val out = fs.create(side, false)
+      out.write(("version=1\n" + body.mkString("\n") + "\n").getBytes("UTF-8"))
+      out.close()
+      assert(fs.delete(mf, false))
+      // first read completes the swap AND (new) twins the recovered anchor
+      assert(SnapshotManifest.read(spark, root).count() == 10000L)
+      assert(fs.exists(new Path(root, "_ckpt/v00000001")),
+        "recovery must twin the off-boundary full anchor it restores")
+      // the next pruned read takes the DISTRIBUTED path off that twin
+      val p0 = SnapshotManifest.ckptFramePrunes.get()
+      SnapshotManifest.manifestReadCount.set(0L)
+      val kept = SnapshotManifest.prunedFiles(spark, root, 1L, col("id") === 5L)
+      assert(SnapshotManifest.ckptFramePrunes.get() > p0,
+        "pruned read after recovery must run through the checkpoint frame")
+      assert(SnapshotManifest.manifestReadCount.get() == 0L)
+      assert(kept.size < 20 && kept.nonEmpty)
+    } finally {
+      spark.conf.unset("graft.manifest.checkpointInterval")
+      spark.conf.unset("graft.manifest.parquetCheckpointMinLines")
+    }
+  }
+
   test("changesBetween on a twin-anchored pair diffs through the delta tail — no driver body") {
     val root = newRoot()
     spark.conf.set("graft.manifest.checkpointInterval", "4")
@@ -581,6 +623,33 @@ class ManifestCheckpointSpec extends SparkSpec {
       spark.conf.unset("graft.manifest.checkpointInterval")
       spark.conf.unset("graft.manifest.parquetCheckpointMinLines")
     }
+  }
+
+  test("header reads are cached: every metadata accessor shares ONE streamed header per version") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      spark.range(0, 20).toDF("id").withColumn("x", lit("a"))
+        .repartitionByRange(2, col("id")), Seq("id"))
+    SnapshotManifest.setPrimaryKey(spark, root, Seq("id"))
+    val v = SnapshotManifest.currentVersion(spark, root).get
+    SnapshotManifest.headerReadCount.set(0L)
+    // five accessors, one underlying header stream
+    SnapshotManifest.manifestSchema(spark, root, v)
+    SnapshotManifest.bloomCols(spark, root, v)
+    SnapshotManifest.partitionColumns(spark, root, v)
+    SnapshotManifest.txnVersion(spark, root, "nope")
+    SnapshotManifest.manifestIsDelta(spark, root, v)
+    assert(SnapshotManifest.headerReadCount.get() <= 1L,
+      s"header re-read per accessor: ${SnapshotManifest.headerReadCount.get()} streams")
+    // a publish invalidates exactly the published version's entry — the
+    // next accessor streams once for the NEW version, the old stays warm
+    graft.operators.Upsert.mergeWhere(spark, root,
+      Seq((1L, "b")).toDF("id", "x"), Seq("id"), Seq("id"))
+    SnapshotManifest.headerReadCount.set(0L)
+    SnapshotManifest.manifestSchema(spark, root, v + 1)
+    SnapshotManifest.manifestSchema(spark, root, v)
+    SnapshotManifest.txnVersion(spark, root, "nope")
+    assert(SnapshotManifest.headerReadCount.get() <= 1L)
   }
 
   test("a cyclic base= chain returns None from the frame path instead of spinning the driver") {
