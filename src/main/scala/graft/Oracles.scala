@@ -1443,6 +1443,30 @@ object Oracles {
         |      FROM documents WHERE doc_id < 64)
         |ORDER BY asset_id, frame_index""".stripMargin,
 
+    // Co-located merge (q152): q123's ANSI-MERGE replay over a different
+    // key range — the decomposed broadcast strategy (declared via
+    // merge=colocated) must be invisible in the result. The in-query
+    // REQUIREs pin that the decomposed path actually ran.
+    "q152_colocated_merge" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |staged AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 3 AS o_totalprice
+        |  FROM orders WHERE o_orderkey BETWEEN 200 AND 300
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000 AS o_orderkey, 'N' AS o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 1040),
+        |merged AS (
+        |  SELECT * FROM staged
+        |  UNION ALL
+        |  SELECT t.* FROM target t ANTI JOIN staged s ON t.o_orderkey = s.o_orderkey)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // Idempotent append (q147): the replayed middle slice lands ONCE, so
     // the oracle is simply the single-copy reassembly — a double-append
     // doubles its counts and shifts every sum.

@@ -3216,6 +3216,51 @@ object Queries {
       .orderBy(col("asset_id"), col("frame_index"))
   }
 
+  /** Co-located MERGE as a DECLARED table property (q152):
+    * [[graft.sources.SnapshotManifest.setColocatedMerge]] flips the
+    * snapshot table's merge strategy to the decomposed broadcast form
+    * ([[graft.operators.Upsert.mergeColocated]]) — zero target-side
+    * Exchange, the 100-TB merge posture as ONE flag instead of a
+    * per-call rewrite. In-query REQUIREs pin the mechanism (the hint
+    * reads back after the declaration publish; the merge takes the
+    * decomposed path — `colocatedMergeCount`); the oracle gates the
+    * semantics with the same ANSI-MERGE replay as q123 over a different
+    * key range — the strategy must be invisible in the result.
+    */
+  def q152ColocatedMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{SnapshotManifest => S}
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q152").toString
+    S.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey")),
+      Seq("o_orderkey"))
+    val v1 = S.setColocatedMerge(spark, root, true)
+    require(S.colocatedMerge(spark, root, v1),
+      "q152: the declared merge=colocated hint must read back")
+    // key ranges present at EVERY fixture sf (orderkeys are dense from 0;
+    // sf0.001 tops out at 1499 — a range above that would stage nothing
+    // and the engage-REQUIRE below would fail vacuously)
+    val staged = orders.filter(col("o_orderkey").between(200, 300))
+      .select(col("o_orderkey"), lit("U").alias("o_orderstatus"),
+        (col("o_totalprice") * 3).alias("o_totalprice"))
+      .unionByName(orders.filter(col("o_orderkey").between(1000, 1040))
+        .select((col("o_orderkey") + 20000000L).alias("o_orderkey"),
+          lit("N").alias("o_orderstatus"), col("o_totalprice")))
+    val before = graft.operators.Upsert.colocatedMergeCount.get()
+    graft.operators.Upsert.mergeWhere(spark, root, staged,
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    require(graft.operators.Upsert.colocatedMergeCount.get() == before + 1,
+      "q152: the declared hint must engage the decomposed merge path")
+    S.read(spark, root)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).alias("n"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("sum_price"),
+        min(col("o_orderkey")).alias("min_key"),
+        max(col("o_orderkey")).alias("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Deterministic animated-GIF synthesis for [[q151FrameSampling]]: `n`
     * solid-color frames, color a function of (seed, frame index) — runs on
     * EXECUTORS inside the asset-synthesis kernel.
@@ -3394,6 +3439,7 @@ object Queries {
     "q148_small_file_compaction" -> (q148SmallFileCompaction _),
     "q149_bpe_batched" -> (q149BpeBatched _),
     "q150_ckpt_pruned_read" -> (q150CkptPrunedRead _),
-    "q151_frame_sampling" -> (q151FrameSampling _)
+    "q151_frame_sampling" -> (q151FrameSampling _),
+    "q152_colocated_merge" -> (q152ColocatedMerge _)
   )
 }

@@ -95,6 +95,79 @@ object Upsert {
   def merge(target: DataFrame, staged: DataFrame, pkColumns: String): DataFrame =
     merge(target, staged, parsePkColumns(pkColumns))
 
+  /** Diagnostic counter: co-located merges taken (specs assert the
+    * declared-hint path engaged, or that a too-fat batch degraded).
+    */
+  private[graft] val colocatedMergeCount =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** [[merge]] decomposed for a BIG target and a churn-sized staged batch:
+    * identical semantics, ZERO target-side exchange. The full-outer form
+    * shuffles both sides on the PK — at 100 TB the target-side Exchange is
+    * the merge's dominant cost. Here the staged batch (the delta — small
+    * by construction) broadcasts instead, and the target is only ever
+    * scanned:
+    *
+    *   1. update pass — `target LEFT OUTER JOIN broadcast(staged)` on the
+    *      PK: matched rows take staged values (same PK/INSERT_TIMESTAMP/
+    *      drift carve-outs as [[merge]]), unmatched target rows pass
+    *      through. A narrow broadcast-hash join over the target scan.
+    *   2. matched keys — `target SEMI JOIN broadcast(staged keys)`: the PK
+    *      tuples that found a match, ≤ the affected row count (churn).
+    *   3. inserts — `staged ANTI JOIN broadcast(matched keys)`: staged
+    *      rows no target row matched (null-component PKs never equal, so
+    *      they insert — reference parity), aligned to the target's
+    *      columns with null for staged-absent ones.
+    *
+    * Output = pass 1 ∪ pass 3. No node in the plan is a shuffle: strictly
+    * stronger than bucketing the target (which still pays one staged-side
+    * Exchange into the bucket partitioning) — asserted in
+    * ColocatedMergeSpec. The target is scanned twice (update + matched-key
+    * pass); callers merging a pruned slice ([[mergeWhere]]) re-read only
+    * churn files. CALLER CONTRACT: `staged` must fit in a broadcast —
+    * [[mergeWhere]] gates on `maxColocatedRows` and degrades loudly to the
+    * shuffle [[merge]] rather than risking a driver OOM.
+    */
+  def mergeColocated(target: DataFrame, staged: DataFrame,
+      pkCols: Seq[String]): DataFrame = {
+    require(pkCols.nonEmpty, "at least one PK column required")
+    val pk = pkCols.map(_.trim)
+    val taken = target.columns.toSeq ++ staged.columns.toSeq
+    val sMark = freshName("__s_present", taken)
+    val t = target.alias("t")
+    val s = broadcast(staged.withColumn(sMark, lit(true))).alias("s")
+    val joined = t.join(s,
+      pk.map(c => col(s"t.`$c`") === col(s"s.`$c`")).reduce(_ && _),
+      "left_outer")
+    val matched = col(s"s.`$sMark`").isNotNull
+    val updateCols: Seq[Column] = target.columns.toSeq.map { c =>
+      val tc = col(s"t.`$c`")
+      val stagedHas = staged.columns.contains(c)
+      val v =
+        if (pk.contains(c) || c == InsertTs) tc // target wins on match
+        else if (stagedHas) when(matched, col(s"s.`$c`")).otherwise(tc)
+        else tc // staged-absent column (drift): matched rows keep target
+      v.alias(c)
+    }
+    val updatedOrKept = joined.select(updateCols: _*)
+    val pkColsOf = (d: DataFrame) => d.select(pk.map(c => col(s"`$c`")): _*)
+    // duplicates are NOT collapsed: the key list stays churn-bounded (≤
+    // matched target rows) and a distinct would reintroduce a shuffle
+    val matchedKeys = pkColsOf(target).alias("tk").join(
+      broadcast(pkColsOf(staged).alias("sk")),
+      pk.map(c => col(s"tk.`$c`") === col(s"sk.`$c`")).reduce(_ && _),
+      "left_semi")
+    val inserts = staged.alias("ins").join(
+      broadcast(matchedKeys.alias("mk")),
+      pk.map(c => col(s"ins.`$c`") === col(s"mk.`$c`")).reduce(_ && _),
+      "left_anti")
+    val insertCols: Seq[Column] = target.columns.toSeq.map { c =>
+      (if (staged.columns.contains(c)) col(s"ins.`$c`") else lit(null))
+        .alias(c)
+    }
+    updatedOrKept.unionByName(inserts.select(insertCols: _*))
+  }
+
   /** Full reference flow (`merge_tmp_into_target_tbl`): stage → merge →
     * atomic swap on a parquet path → audit count of rows updated today
     * (`utils.py:293-295`). Returns the audit count.
@@ -187,7 +260,9 @@ object Upsert {
     */
   def mergeWhere(spark: SparkSession, tableRoot: String, staged: DataFrame,
       pkCols: Seq[String], statsCols: Seq[String] = Nil,
-      maxKeySetSize: Int = 100000): Long = {
+      maxKeySetSize: Int = 100000,
+      colocated: Option[Boolean] = None,
+      maxColocatedRows: Long = 1L << 20): Long = {
     import graft.sources.{ManifestStats, SnapshotManifest}
     require(pkCols.nonEmpty, "at least one PK column required")
     require(maxKeySetSize >= 1, "maxKeySetSize must be >= 1")
@@ -199,6 +274,25 @@ object Upsert {
     // expression prices once, and a non-deterministic source cannot hand
     // the prune and the merge different rows
     val stagedP = staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // merge-strategy picker: the explicit `colocated` argument overrides
+    // the table's declared merge= hint ([[graft.sources.SnapshotManifest
+    // .setColocatedMerge]]); a batch too fat to broadcast degrades LOUDLY
+    // to the shuffle merge — correctness never depends on the hint
+    lazy val stagedRowCount = stagedP.count()
+    def pickMerge(declared: Boolean)
+        : (DataFrame, DataFrame, Seq[String]) => DataFrame =
+      if (!colocated.getOrElse(declared))
+        (t: DataFrame, s: DataFrame, p: Seq[String]) => merge(t, s, p)
+      else if (stagedRowCount <= maxColocatedRows) {
+        colocatedMergeCount.incrementAndGet()
+        (t: DataFrame, s: DataFrame, p: Seq[String]) => mergeColocated(t, s, p)
+      } else {
+        graft.core.Logging.logger().warn(
+          s"mergeWhere: staged batch ($stagedRowCount rows) exceeds " +
+            s"maxColocatedRows=$maxColocatedRows — degrading the " +
+            "co-located merge to the shuffle merge for this batch")
+        (t: DataFrame, s: DataFrame, p: Seq[String]) => merge(t, s, p)
+      }
     try {
       if (stagedP.isEmpty) return v
       // CHURN-BOUNDED fast path: with a twin-anchored body the candidate
@@ -221,7 +315,7 @@ object Upsert {
                 targetSchema)
             else SnapshotManifest.readEntries(spark, tableRoot,
               affectedLines.map(SnapshotManifest.parseLine), meta.schema)
-          val merged = merge(targetAffected, stagedP, pk)
+          val merged = pickMerge(meta.colocatedMerge)(targetAffected, stagedP, pk)
           val aligned = merged.select(targetSchema.fields.toSeq.map(f =>
             col(s"`${f.name}`").cast(f.dataType).alias(f.name)): _*)
           SnapshotManifest.publishVersionEditsRebased(spark,
@@ -290,7 +384,7 @@ object Upsert {
         else SnapshotManifest.readEntries(spark, tableRoot,
           body.map(SnapshotManifest.parseLine).zip(files)
             .collect { case (e, f) if affected(f) => e }, meta.schema)
-      val merged = merge(targetAffected, stagedP, pk)
+      val merged = pickMerge(meta.colocatedMerge)(targetAffected, stagedP, pk)
       // backticked refs: a column NAME containing a dot must resolve as a
       // top-level column, not parse as a nested-field path
       val aligned = merged.select(targetSchema.fields.toSeq.map(f =>
@@ -437,7 +531,9 @@ object Upsert {
   def mergeWhereMoR(spark: SparkSession, tableRoot: String, staged: DataFrame,
       pkCols: Seq[String], statsCols: Seq[String] = Nil,
       maxKeySetSize: Int = 100000,
-      maxDvPositions: Long = graft.sources.SnapshotManifest.DefaultMaxDvPositions)
+      maxDvPositions: Long = graft.sources.SnapshotManifest.DefaultMaxDvPositions,
+      colocated: Option[Boolean] = None,
+      maxColocatedRows: Long = 1L << 20)
       : Long = {
     import graft.sources.{ManifestStats, SnapshotManifest}
     require(pkCols.nonEmpty, "at least one PK column required")
@@ -447,12 +543,14 @@ object Upsert {
     val v = SnapshotManifest.currentVersion(spark, tableRoot).getOrElse(
       throw new IllegalStateException(s"mergeWhereMoR: no committed snapshot under $tableRoot"))
     val stagedP = staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lazy val stagedRowCount = stagedP.count()
     try {
       if (stagedP.isEmpty) return v
       val (body, meta) = SnapshotManifest.manifestParts(spark, tableRoot, v)
       if (body.isEmpty)
         // nothing to mask — identical to the copy-on-write form
-        return mergeWhere(spark, tableRoot, stagedP, pk, statsCols, maxKeySetSize)
+        return mergeWhere(spark, tableRoot, stagedP, pk, statsCols,
+          maxKeySetSize, colocated, maxColocatedRows)
       val entries = body.map(SnapshotManifest.parseLine)
       val files = body.map(SnapshotManifest.bodyFile(tableRoot, _))
       val targetSchema = meta.schema.getOrElse(spark.read.parquet(files.head).schema)
@@ -520,10 +618,18 @@ object Upsert {
               s"positions (> maxDvPositions=$maxDvPositions) — degrading " +
               "to the copy-on-write merge (mergeWhere)")
           return mergeWhere(spark, tableRoot, stagedP, pk, statsCols,
-            maxKeySetSize)
+            maxKeySetSize, colocated, maxColocatedRows)
         }
         val dvDf = oldDv.map(newPositions.unionByName(_)).getOrElse(newPositions)
-        val mergedAppend = merge(matchedTarget.drop(fCol, rCol), stagedP, pk)
+        // the matched slice is already churn-sized (it came off a
+        // broadcast semi join), but with the hint declared its merge join
+        // still decomposes — zero exchanges instead of two small ones
+        val mergedAppend =
+          if (colocated.getOrElse(meta.colocatedMerge) &&
+              stagedRowCount <= maxColocatedRows) {
+            colocatedMergeCount.incrementAndGet()
+            mergeColocated(matchedTarget.drop(fCol, rCol), stagedP, pk)
+          } else merge(matchedTarget.drop(fCol, rCol), stagedP, pk)
         val dvFileNames = dvDf.select(col("file_name")).distinct()
           .collect().map(_.getString(0)).toSet // affected ∪ sidecar-sharing files
         val dvFile = SnapshotManifest.writeDvSidecar(spark, tableRoot, v + 1, dvDf)
@@ -550,13 +656,15 @@ object Upsert {
         graft.core.Retry.linearBackoff(scala.concurrent.duration.DurationInt(1).second),
       sleep: scala.concurrent.duration.FiniteDuration => Unit =
         d => Thread.sleep(d.toMillis),
-      maxDvPositions: Long = graft.sources.SnapshotManifest.DefaultMaxDvPositions)
+      maxDvPositions: Long = graft.sources.SnapshotManifest.DefaultMaxDvPositions,
+      colocated: Option[Boolean] = None,
+      maxColocatedRows: Long = 1L << 20)
       : Long =
     graft.core.Retry.retryWhen(
       _.isInstanceOf[graft.sources.ConcurrentCommitException],
       maxAttempts, backoff, sleep)(
       mergeWhereMoR(spark, tableRoot, staged, pkCols, statsCols, maxKeySetSize,
-        maxDvPositions))
+        maxDvPositions, colocated, maxColocatedRows))
 
   /** [[mergeWhere]] with the same bounded lost-race retry as
     * `SnapshotManifest.commitWithRetry`: every attempt re-reads the current
@@ -570,11 +678,14 @@ object Upsert {
       backoff: Int => scala.concurrent.duration.FiniteDuration =
         graft.core.Retry.linearBackoff(scala.concurrent.duration.DurationInt(1).second),
       sleep: scala.concurrent.duration.FiniteDuration => Unit =
-        d => Thread.sleep(d.toMillis)): Long =
+        d => Thread.sleep(d.toMillis),
+      colocated: Option[Boolean] = None,
+      maxColocatedRows: Long = 1L << 20): Long =
     graft.core.Retry.retryWhen(
       _.isInstanceOf[graft.sources.ConcurrentCommitException],
       maxAttempts, backoff, sleep)(
-      mergeWhere(spark, tableRoot, staged, pkCols, statsCols, maxKeySetSize))
+      mergeWhere(spark, tableRoot, staged, pkCols, statsCols, maxKeySetSize,
+        colocated, maxColocatedRows))
 
   /** Write `df` as a PK-bucketed catalog table — the 100-TB merge lever
     * SCALE.md names for q06: with the target bucketed (and sorted) by its

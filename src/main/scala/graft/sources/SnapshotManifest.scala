@@ -467,7 +467,8 @@ object SnapshotManifest {
   private[graft] final case class TableMeta(schema: Option[StructType],
       bloomCols: Seq[String], pk: Seq[String] = Nil,
       partitionCols: Seq[String] = Nil,
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      colocatedMerge: Boolean = false)
 
   private[graft] object TableMeta {
     val empty: TableMeta = TableMeta(None, Nil, Nil, Nil)
@@ -501,12 +502,26 @@ object SnapshotManifest {
       (if (meta.pk.isEmpty) "" else s"pk=${colsJson(meta.pk)}\n") +
       (if (meta.partitionCols.isEmpty) ""
        else s"partition=${colsJson(meta.partitionCols)}\n") +
-      (if (meta.txns.isEmpty) "" else s"txn=${txnsJson(meta.txns)}\n")
+      (if (meta.txns.isEmpty) "" else s"txn=${txnsJson(meta.txns)}\n") +
+      (if (meta.colocatedMerge) "merge=colocated\n" else "")
 
   private def txnsJson(txns: Map[String, Long]): String = {
     val obj = jsonMapper.createObjectNode()
     txns.toSeq.sortBy(_._1).foreach { case (k, v) => obj.put(k, v) }
     jsonMapper.writeValueAsString(obj)
+  }
+
+  /** Parse a `merge=` header line. The only defined value is `colocated`
+    * ([[setColocatedMerge]]); anything else is a corrupt or
+    * future-versioned manifest and fails LOUDLY — silently ignoring an
+    * unknown hint would flip a declared merge strategy off without a
+    * trace.
+    */
+  private def mergeHintFromHeader(version: Long, line: String): Boolean = {
+    val v = line.stripPrefix("merge=").trim
+    require(v == "colocated",
+      s"corrupt manifest for version $version: unknown merge= hint '$v'")
+    true
   }
 
   private def txnsFromJson(s: String): Map[String, Long] = {
@@ -1183,7 +1198,8 @@ object SnapshotManifest {
     * tables carrying it (see [[manifestBase]]).
     */
   private val HeaderKeys =
-    Seq("version=", "schema=", "bloom=", "pk=", "partition=", "txn=")
+    Seq("version=", "schema=", "bloom=", "pk=", "partition=", "txn=",
+      "merge=")
 
   private def manifestBase(spark: SparkSession, root: String,
       version: Long): Option[Long] =
@@ -1269,7 +1285,9 @@ object SnapshotManifest {
         lines.find(_.startsWith("partition=")).map(l =>
           colsFromJson(l.stripPrefix("partition="))).getOrElse(Nil),
         lines.find(_.startsWith("txn=")).map(l =>
-          txnsFromJson(l.stripPrefix("txn="))).getOrElse(Map.empty))
+          txnsFromJson(l.stripPrefix("txn="))).getOrElse(Map.empty),
+        lines.find(_.startsWith("merge=")).exists(l =>
+          mergeHintFromHeader(version, l)))
       val e = HeaderCache.Entry(st.getModificationTime, st.getLen, meta,
         lines.find(_.startsWith("base="))
           .map(_.stripPrefix("base=").trim.toLong))
@@ -1368,7 +1386,8 @@ object SnapshotManifest {
     val (pkLines, rest3) = rest2.partition(_.startsWith("pk="))
     val (partLines, rest4) = rest3.partition(_.startsWith("partition="))
     val (txnLines, rest5) = rest4.partition(_.startsWith("txn="))
-    val (baseLines, rawBody) = rest5.partition(_.startsWith("base="))
+    val (mergeLines, rest6) = rest5.partition(_.startsWith("merge="))
+    val (baseLines, rawBody) = rest6.partition(_.startsWith("base="))
     val meta = TableMeta(
       schemaLines.headOption.map(l =>
         org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("schema="))
@@ -1380,7 +1399,8 @@ object SnapshotManifest {
       partLines.headOption.map(l => colsFromJson(l.stripPrefix("partition=")))
         .getOrElse(Nil),
       txnLines.headOption.map(l => txnsFromJson(l.stripPrefix("txn=")))
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      mergeLines.headOption.exists(l => mergeHintFromHeader(version, l)))
     val body = baseLines.headOption match {
       case None => rawBody
       case Some(bl) =>
@@ -2308,6 +2328,41 @@ object SnapshotManifest {
     */
   def primaryKey(spark: SparkSession, root: String, version: Long): Seq[String] =
     manifestMetaOnly(spark, root, version).pk
+
+  /** Declare (or clear) the CO-LOCATED MERGE strategy as a table property
+    * — a metadata-only publish like [[setPrimaryKey]]. With the hint
+    * declared, [[graft.operators.Upsert.mergeWhere]] (and its retry/MoR
+    * twins) decompose the merge join so the TARGET side never shuffles:
+    * the churn-sized staged batch broadcasts onto the target scan (update
+    * pass + matched-key pass are narrow broadcast joins, inserts anti-join
+    * a broadcast of the matched keys). This is the 100-TB merge posture as
+    * ONE declared flag instead of a per-call rewrite — the big side of the
+    * join pays scan cost only, no Exchange, regardless of table size. The
+    * verbs degrade loudly to the shuffle merge when a staged batch is too
+    * large to broadcast ([[graft.operators.Upsert.mergeWhere]]'s
+    * `maxColocatedRows`), so declaring the hint is always safe.
+    */
+  def setColocatedMerge(spark: SparkSession, root: String,
+      on: Boolean): Long = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"setColocatedMerge: no committed snapshot under $root"))
+    val (body, meta) = manifestParts(spark, root, v)
+    if (meta.colocatedMerge == on) return v
+    publishLines(spark, root, v + 1, body, "setColocatedMerge",
+      meta.copy(colocatedMerge = on))
+  }
+
+  /** The declared merge strategy of `version` — header-only metadata. */
+  def colocatedMerge(spark: SparkSession, root: String, version: Long): Boolean =
+    manifestMetaOnly(spark, root, version).colocatedMerge
+
+  def setColocatedMergeWithRetry(spark: SparkSession, root: String,
+      on: Boolean, maxAttempts: Int = 5,
+      backoff: Int => FiniteDuration = Retry.linearBackoff(1.second),
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Long =
+    Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
+      maxAttempts, backoff, sleep)(setColocatedMerge(spark, root, on))
 
   /** [[setPrimaryKey]] / [[setBloomCols]] / [[analyzeTable]] with the
     * bounded lost-race retry of the other metadata twins — each attempt
@@ -3312,8 +3367,10 @@ object SnapshotManifest {
       // txn records carry unconditionally (no columns to lose): an
       // idempotent pipeline's exactly-once guarantee must survive a full
       // overwrite exactly as it survives every DML verb
+      // the merge hint also carries unconditionally — a strategy choice,
+      // not a column-bound property
       meta = TableMeta(None, blooms, frameCased(carried(prior.pk, "primary-key")),
-        parts, prior.txns))
+        parts, prior.txns, prior.colocatedMerge))
   }
 
   /** [[commit]] gated by declarative quality expectations — CHECK
