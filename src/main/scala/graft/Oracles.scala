@@ -1467,6 +1467,31 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Distributed vacuum (q153): vacuum must be INVISIBLE — the oracle is
+    // simply the two merges' net effect (disjoint update + insert) on the
+    // raw fixture. A sweep that ate a live file or spared doomed data
+    // would shift counts/sums; the in-query REQUIREs pin that the plan
+    // was computed distributed and the garbage really went away.
+    "q153_distributed_vacuum" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |staged AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey BETWEEN 100 AND 140
+        |  UNION ALL
+        |  SELECT o_orderkey + 30000000 AS o_orderkey, 'N' AS o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey BETWEEN 500 AND 520),
+        |merged AS (
+        |  SELECT * FROM staged
+        |  UNION ALL
+        |  SELECT t.* FROM target t ANTI JOIN staged s ON t.o_orderkey = s.o_orderkey)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // Idempotent append (q147): the replayed middle slice lands ONCE, so
     // the oracle is simply the single-copy reassembly — a double-append
     // doubles its counts and shifts every sum.

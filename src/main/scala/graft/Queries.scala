@@ -3177,6 +3177,78 @@ object Queries {
     }
   }
 
+  /** Distributed vacuum reachability (q153): on a twin-anchored table the
+    * live-file set and the per-dir file sweep run on EXECUTORS
+    * ([[graft.sources.SnapshotManifest.vacuumPreview]]'s distributed
+    * planning path) — the driver receives only kept-dir names and the
+    * garbage list, never the live-file set. In-query REQUIREs pin the
+    * mechanism: the plan was computed distributed (`vacuumFramePlans`),
+    * planning parsed no manifest body on the driver, churn produced real
+    * file-level garbage, and the sweep reclaimed it. The oracle gates the
+    * SEMANTICS — after churn + vacuum the table reads exactly as the
+    * merges left it; a sweep that ate a live file or spared a doomed
+    * version's data would shift the aggregate.
+    */
+  def q153DistributedVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q153").toString
+    val S = graft.sources.SnapshotManifest
+    val prevI = spark.conf.getOption("graft.manifest.checkpointInterval")
+    val prevF = spark.conf.getOption("graft.manifest.parquetCheckpointMinLines")
+    spark.conf.set("graft.manifest.checkpointInterval", "4")
+    spark.conf.set("graft.manifest.parquetCheckpointMinLines", "10")
+    try {
+      S.commit(spark, root,
+        orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .repartitionByRange(16, col("o_orderkey")),
+        Seq("o_orderkey"))
+      // churn: a narrow update merge + an insert merge — the rewritten
+      // files' old copies become garbage inside kept dirs once v0/v1 doom
+      graft.operators.Upsert.mergeWhere(spark, root,
+        orders.filter(col("o_orderkey").between(100, 140))
+          .select(col("o_orderkey"), lit("U").alias("o_orderstatus"),
+            (col("o_totalprice") * 2).alias("o_totalprice")),
+        Seq("o_orderkey"), Seq("o_orderkey"))
+      graft.operators.Upsert.mergeWhere(spark, root,
+        orders.filter(col("o_orderkey").between(500, 520))
+          .select((col("o_orderkey") + 30000000L).alias("o_orderkey"),
+            lit("N").alias("o_orderstatus"), col("o_totalprice")),
+        Seq("o_orderkey"), Seq("o_orderkey"))
+      val plans = S.vacuumFramePlans.get()
+      S.manifestReadCount.set(0L)
+      val preview = S.vacuumPreview(spark, root, keep = 1)
+      require(S.vacuumFramePlans.get() == plans + 1,
+        "q153: the twin-anchored table must plan its vacuum DISTRIBUTED")
+      require(S.manifestReadCount.get() == 0L,
+        "q153: vacuum planning must not materialize a body on the driver")
+      require(preview.dataFiles.nonEmpty,
+        "q153: the churn must produce file-level garbage to sweep")
+      require(S.vacuum(spark, root, keep = 1).nonEmpty,
+        "q153: superseded versions must be reclaimed")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      preview.dataFiles.foreach(f =>
+        require(!fs.exists(new org.apache.hadoop.fs.Path(f)),
+          s"q153: planned garbage $f must be gone after the sweep"))
+      S.read(spark, root)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).alias("n"),
+          sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("sum_price"),
+          min(col("o_orderkey")).alias("min_key"),
+          max(col("o_orderkey")).alias("max_key"))
+        .orderBy(col("o_orderstatus"))
+    } finally {
+      prevI match {
+        case Some(v) => spark.conf.set("graft.manifest.checkpointInterval", v)
+        case None => spark.conf.unset("graft.manifest.checkpointInterval")
+      }
+      prevF match {
+        case Some(v) => spark.conf.set("graft.manifest.parquetCheckpointMinLines", v)
+        case None => spark.conf.unset("graft.manifest.parquetCheckpointMinLines")
+      }
+    }
+  }
+
   /** Multimodal — REAL frame sampling end-to-end: synthesize an animated
     * GIF per document (frame count a deterministic function of `doc_id`),
     * decode every 2nd STORED frame back out through
@@ -3440,6 +3512,7 @@ object Queries {
     "q149_bpe_batched" -> (q149BpeBatched _),
     "q150_ckpt_pruned_read" -> (q150CkptPrunedRead _),
     "q151_frame_sampling" -> (q151FrameSampling _),
-    "q152_colocated_merge" -> (q152ColocatedMerge _)
+    "q152_colocated_merge" -> (q152ColocatedMerge _),
+    "q153_distributed_vacuum" -> (q153DistributedVacuum _)
   )
 }

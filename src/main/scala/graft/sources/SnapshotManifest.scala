@@ -4054,7 +4054,10 @@ object SnapshotManifest {
     plan.versions
   }
 
-  /** What a [[vacuum]] with the same arguments would reclaim. */
+  /** What a [[vacuum]] with the same arguments would reclaim. `dataDirs`
+    * and `dataFiles` are lexicographically sorted (deterministic across
+    * runs and across the driver/distributed planning paths).
+    */
   final case class VacuumPlan(versions: Seq[Long], dataDirs: Seq[String],
       dataFiles: Seq[String]) {
     def isEmpty: Boolean = versions.isEmpty && dataDirs.isEmpty && dataFiles.isEmpty
@@ -4079,6 +4082,137 @@ object SnapshotManifest {
     * copy). The age gate also protects in-flight staging (unreferenced
     * only because its manifest has not published yet).
     */
+  /** The component DIRECTLY under data/ — NOT the file's immediate
+    * parent: partitioned staging nests files under Hive-style tag dirs
+    * (data/<dir>/__gp_0=en/f.parquet), and keying on the immediate parent
+    * would leave the real data dir out of the live set — vacuum would
+    * sweep a LIVE dir once it aged past the gate. A path with no data/
+    * ancestor (a clone's absolute foreign ref) keys on its top component,
+    * which never collides with this root's local dir names.
+    */
+  private def dataDirComponent(p: Path): String = {
+    var cur = p
+    while (cur.getParent != null && cur.getParent.getName != "data")
+      cur = cur.getParent
+    cur.getName
+  }
+
+  /** Diagnostic counter: vacuum reachability plans computed DISTRIBUTED
+    * (specs assert the twin-anchored path engaged).
+    */
+  private[graft] val vacuumFramePlans = new java.util.concurrent.atomic.AtomicLong
+
+  /** [[vacuumPlan]]'s distributed twin — the reachability sweep at the
+    * 10⁵–10⁶-file bar. The live (dir, file) set is NEVER materialized on
+    * the driver: each surviving version's body resolves as a checkpoint-
+    * frame + tail-edits DataFrame ([[bodyLinesFrame]]; versions without a
+    * twin contribute their driver-resolved rels as a local dataset — they
+    * are sub-floor by construction), and the file-level sweep inside
+    * referenced dirs runs as a per-dir executor listing anti-joined
+    * against the live frame. The driver receives: the kept-dir name set
+    * (bounded by commit count, not file count) and the GARBAGE paths —
+    * the list a vacuum must hold to delete anyway.
+    *
+    * None when no surviving version is twin-anchored (small tables — the
+    * driver path is cheaper) or on ANY failure: the driver path below is
+    * authoritative and the plans are semantically identical (spec-pinned
+    * differential), so degrading costs only driver memory at scale.
+    */
+  private def distributedVacuumPlan(spark: SparkSession, root: String,
+      doomed: Seq[Long], surviving: Seq[Long], cutoff: Long)
+      : Option[VacuumPlan] = try {
+    import spark.implicits._
+    val (fs, rootPath) = fsOf(spark, root)
+    var framed = 0
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val localRels = Seq.newBuilder[String]
+    surviving.foreach { v =>
+      bodyLinesFrame(spark, root, v) match {
+        case Some(f) =>
+          framed += 1
+          frames += f.select("line").as[String].flatMap { l =>
+            val e = parseLine(l); e.rel +: e.dvRel.toSeq
+          }.toDF("rel")
+        case None =>
+          manifestBody(spark, root, v).foreach { l =>
+            val e = parseLine(l)
+            localRels += e.rel; e.dvRel.foreach(r => localRels += r)
+          }
+      }
+    }
+    if (framed == 0) return None // no twin anywhere — small-table regime
+    val allRels = (frames.toSeq :+ localRels.result().toDF("rel"))
+      .reduce(_ unionByName _)
+    val liveKeys = allRels.as[String].map { rel =>
+      val p = new Path(rel); (dataDirComponent(p), p.getName)
+    }.toDF("dir", "name").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // kept-dir NAMES: one distinct per dir — commit-count-bounded
+      val keptDirs = liveKeys.select("dir").distinct().as[String]
+        .collect().toSet
+      val dataRoot = new Path(rootPath, "data")
+      val dirs = Seq.newBuilder[String]
+      val keptLocal = Seq.newBuilder[String]
+      if (fs.exists(dataRoot)) {
+        // ONE top-level listing (an entry per commit dir, never per file)
+        fs.listStatus(dataRoot).foreach { s =>
+          if (s.isDirectory && !keptDirs.contains(s.getPath.getName) &&
+              s.getModificationTime <= cutoff) dirs += s.getPath.toString
+          else if (s.isDirectory && keptDirs.contains(s.getPath.getName))
+            keptLocal += s.getPath.toString
+        }
+      }
+      val keptLocalDirs = keptLocal.result()
+      // FILE-level sweep inside referenced dirs, on EXECUTORS: each task
+      // lists its dirs recursively (a filesystem rebuilt from the
+      // driver's Hadoop conf) and the unreferenced-file decision is an
+      // anti-join against the live frame — same *.parquet + age-gate
+      // semantics as the driver path
+      val files: Seq[String] =
+        if (keptLocalDirs.isEmpty) Nil
+        else {
+          val confMap = {
+            val it = spark.sparkContext.hadoopConfiguration.iterator()
+            val b = Map.newBuilder[String, String]
+            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+            b.result()
+          }
+          val confB = spark.sparkContext.broadcast(confMap)
+          val listed = spark.createDataset(keptLocalDirs)
+            .repartition(math.max(1, math.min(keptLocalDirs.size,
+              spark.sparkContext.defaultParallelism)))
+            .mapPartitions { it =>
+              val conf = new org.apache.hadoop.conf.Configuration(false)
+              confB.value.foreach { case (k, v) => conf.set(k, v) }
+              it.flatMap { dirPath =>
+                val p = new Path(dirPath)
+                val dfs = p.getFileSystem(conf)
+                val out = scala.collection.mutable
+                  .ArrayBuffer[(String, String, String, Long)]()
+                val fit = dfs.listFiles(p, true)
+                while (fit.hasNext) {
+                  val f = fit.next()
+                  if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+                    out += ((p.getName, f.getPath.getName,
+                      f.getPath.toString, f.getModificationTime))
+                }
+                out
+              }
+            }.toDF("dir", "name", "path", "mtime")
+          listed.join(liveKeys, Seq("dir", "name"), "left_anti")
+            .filter(org.apache.spark.sql.functions.col("mtime") <= cutoff)
+            .select("path").as[String].collect().toSeq
+        }
+      vacuumFramePlans.incrementAndGet()
+      // deterministic order (the driver path emits listing order, which is
+      // itself unspecified; sorting here keeps previews reproducible)
+      Some(VacuumPlan(doomed, dirs.result().sorted, files.sorted))
+    } finally { liveKeys.unpersist(false); () }
+  } catch { case scala.util.control.NonFatal(_) =>
+    None // derived fast path only — the driver plan below is authoritative
+  }
+
   private def vacuumPlan(spark: SparkSession, root: String, keep: Int,
       minAgeMs: Long): VacuumPlan = {
     require(keep >= 1, "vacuum must keep at least the current snapshot")
@@ -4092,6 +4226,17 @@ object SnapshotManifest {
     val doomed = versions.dropRight(keep).filter { v =>
       fs.getFileStatus(new Path(rootPath, manifestName(v))).getModificationTime <= cutoff
     }
+    // DISTRIBUTED reachability first: when a checkpoint twin anchors the
+    // surviving versions, the live-file set and the per-dir sweep run on
+    // executors and the driver receives only the garbage list — the same
+    // 10⁵–10⁶-file bar the read and commit paths hold. None (sub-floor
+    // tables, no twin, any failure) falls through to the authoritative
+    // driver path below, which is also the faster path at those sizes.
+    distributedVacuumPlan(spark, root, doomed,
+      versions.filterNot(doomed.contains), cutoff) match {
+      case Some(p) => return p
+      case None => ()
+    }
     // live set FIRST, from the manifests that will survive (everything not
     // doomed -- including too-young superseded ones): any dir under data/
     // outside this set is unreachable garbage once the doomed manifests go
@@ -4100,17 +4245,6 @@ object SnapshotManifest {
     // scheme-less -- string comparison would mark EVERY file unreferenced.
     // DELETION-VECTOR sidecars are reachable files too: sweeping a live
     // DV would silently RESURRECT its deleted rows
-    // the dir key is the component DIRECTLY under data/ — NOT the file's
-    // immediate parent: partitioned staging nests files under Hive-style
-    // tag dirs (data/<dir>/__gp_0=en/f.parquet), and keying on the
-    // immediate parent would leave the real data dir out of the live set —
-    // vacuum would sweep a LIVE dir once it aged past the gate
-    def dataDirComponent(p: Path): String = {
-      var cur = p
-      while (cur.getParent != null && cur.getParent.getName != "data")
-        cur = cur.getParent
-      cur.getName
-    }
     val keptFiles = versions.filterNot(doomed.contains).flatMap(v =>
       manifestBody(spark, root, v).map(parseLine).flatMap(e =>
         e.rel +: e.dvRel.toSeq).map { rel =>
@@ -4149,6 +4283,8 @@ object SnapshotManifest {
         }
       }
     }
-    VacuumPlan(doomed, dirs.result(), files.result())
+    // deterministic order on BOTH planning paths (the distributed twin
+    // sorts too): previews are reproducible and diffable across runs
+    VacuumPlan(doomed, dirs.result().sorted, files.result().sorted)
   }
 }
