@@ -123,13 +123,6 @@ object Multimodal {
         } finally iis.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
-    /** Decode → bilinear scale to exactly `w`×`h` → re-encode PNG.
-      * Output type is pinned (`TYPE_INT_ARGB` + software bilinear raster)
-      * so the bytes are deterministic for a given JDK — and ARGB, not
-      * RGB, because compositing a transparent source onto an opaque
-      * raster would silently flatten its alpha onto black (PNG carries
-      * alpha; the re-encode must too).
-      */
     /** Sample every `everyNth`-th STORED frame of a multi-frame image
       * (animated GIF — the one multi-frame format the JDK reads natively)
       * as `(sourceFrameIndex, pngBytes)`, capped at `maxFrames`. Each
@@ -172,6 +165,13 @@ object Multimodal {
         } finally iis.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** Decode → bilinear scale to exactly `w`×`h` → re-encode PNG.
+      * Output type is pinned (`TYPE_INT_ARGB` + software bilinear raster)
+      * so the bytes are deterministic for a given JDK — and ARGB, not
+      * RGB, because compositing a transparent source onto an opaque
+      * raster would silently flatten its alpha onto black (PNG carries
+      * alpha; the re-encode must too).
+      */
     def resizePng(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
       if (bytes == null || bytes.isEmpty) None
       else try {

@@ -112,8 +112,10 @@ object Upsert {
     *      PK: matched rows take staged values (same PK/INSERT_TIMESTAMP/
     *      drift carve-outs as [[merge]]), unmatched target rows pass
     *      through. A narrow broadcast-hash join over the target scan.
-    *   2. matched keys — `target SEMI JOIN broadcast(staged keys)`: the PK
-    *      tuples that found a match, ≤ the affected row count (churn).
+    *   2. matched keys — `target SEMI JOIN broadcast(staged keys)`,
+    *      deduplicated PER PARTITION (no shuffle): the PK tuples that
+    *      found a match, ≤ distinct staged keys × partitions even when
+    *      the target holds duplicate PKs.
     *   3. inserts — `staged ANTI JOIN broadcast(matched keys)`: staged
     *      rows no target row matched (null-component PKs never equal, so
     *      they insert — reference parity), aligned to the target's
@@ -151,12 +153,22 @@ object Upsert {
     }
     val updatedOrKept = joined.select(updateCols: _*)
     val pkColsOf = (d: DataFrame) => d.select(pk.map(c => col(s"`$c`")): _*)
-    // duplicates are NOT collapsed: the key list stays churn-bounded (≤
-    // matched target rows) and a distinct would reintroduce a shuffle
-    val matchedKeys = pkColsOf(target).alias("tk").join(
+    val matchedRaw = pkColsOf(target).alias("tk").join(
       broadcast(pkColsOf(staged).alias("sk")),
       pk.map(c => col(s"tk.`$c`") === col(s"sk.`$c`")).reduce(_ && _),
       "left_semi")
+    // PER-PARTITION dedup before the broadcast — a global distinct would
+    // reintroduce a shuffle, but without ANY dedup the broadcast is
+    // bounded by matched TARGET rows, not by the staged batch: a target
+    // with heavily duplicated PKs (legal for the raw operator, even
+    // though the snapshot MERGE family's declared invariant is pk-unique
+    // snapshots) would collect every duplicate to the driver. Per-
+    // partition dedup caps it at distinct-matched-keys × partitions —
+    // a function of the (gated) staged key count again.
+    val matchedKeys = matchedRaw.mapPartitions { it =>
+      val seen = new java.util.HashSet[org.apache.spark.sql.Row]()
+      it.filter(seen.add)
+    }(org.apache.spark.sql.Encoders.row(matchedRaw.schema))
     val inserts = staged.alias("ins").join(
       broadcast(matchedKeys.alias("mk")),
       pk.map(c => col(s"ins.`$c`") === col(s"mk.`$c`")).reduce(_ && _),
@@ -299,11 +311,19 @@ object Upsert {
       // classification runs on executors, the commit publishes as edits,
       // and the driver never holds the file list — the merge's cost is
       // O(staged ∪ affected) whatever the table size. keyPred None means
-      // every staged key is null (pure inserts): lit(false) classifies
-      // nothing as affected, which is exactly that case.
+      // every staged key is null (pure inserts): NOTHING is affected by
+      // fiat, matching the text path's `affected = Set.empty` — the
+      // classifier must not decide it (no job runs at all), because
+      // stats-LESS lines may-match ANY predicate, even lit(false), and a
+      // pure-insert batch into a stats-less table would otherwise
+      // classify — and rewrite — the whole table.
       val fastKeyPred = stagedKeyPredicate(stagedP, pk, maxKeySetSize)
-      val fastResult = SnapshotManifest.classifyAffected(spark, tableRoot, v,
-        fastKeyPred.getOrElse(lit(false))).map {
+      val classified = fastKeyPred match {
+        case Some(p) => SnapshotManifest.classifyAffected(spark, tableRoot, v, p)
+        case None => SnapshotManifest.frameWithSchema(spark, tableRoot, v)
+          .map { case (m, s, f) => (m, s, f, Nil: Seq[String]) }
+      }
+      val fastResult = classified.map {
         case (meta, targetSchema, frame, affectedLines) =>
           pk.foreach(c => require(targetSchema.fieldNames.contains(c),
             s"mergeWhere: PK column $c not in target schema " +
@@ -624,12 +644,18 @@ object Upsert {
         // the matched slice is already churn-sized (it came off a
         // broadcast semi join), but with the hint declared its merge join
         // still decomposes — zero exchanges instead of two small ones
+        val wantColoc = colocated.getOrElse(meta.colocatedMerge)
         val mergedAppend =
-          if (colocated.getOrElse(meta.colocatedMerge) &&
-              stagedRowCount <= maxColocatedRows) {
+          if (wantColoc && stagedRowCount <= maxColocatedRows) {
             colocatedMergeCount.incrementAndGet()
             mergeColocated(matchedTarget.drop(fCol, rCol), stagedP, pk)
-          } else merge(matchedTarget.drop(fCol, rCol), stagedP, pk)
+          } else {
+            if (wantColoc) graft.core.Logging.logger().warn(
+              s"mergeWhereMoR: staged batch ($stagedRowCount rows) exceeds " +
+                s"maxColocatedRows=$maxColocatedRows — degrading the " +
+                "co-located merge to the shuffle merge for this batch")
+            merge(matchedTarget.drop(fCol, rCol), stagedP, pk)
+          }
         val dvFileNames = dvDf.select(col("file_name")).distinct()
           .collect().map(_.getString(0)).toSet // affected ∪ sidecar-sharing files
         val dvFile = SnapshotManifest.writeDvSidecar(spark, tableRoot, v + 1, dvDf)

@@ -1543,17 +1543,24 @@ object SnapshotManifest {
       val stage = new Path(rootPath,
         new Path("_ckpt_stage", java.util.UUID.randomUUID.toString))
       frame.select("rel", "line").write.parquet(stage.toString)
-      // stamp the ANCHOR MANIFEST'S IDENTITY (its byte length) into the
-      // twin before the atomic publish: if the root's manifests are ever
-      // dropped and recreated while a stale `_ckpt` survives (the same
-      // cross-process scenario PartsCache guards with (mtime,length)),
+      // stamp the ANCHOR MANIFEST'S IDENTITY — (byte length, mtime), the
+      // same pair PartsCache/HeaderCache validate with — into the twin
+      // before the atomic publish: if the root's manifests are ever
+      // dropped and recreated while a stale `_ckpt` survives,
       // [[bodyLinesFrame]] must detect the orphaned twin and fall back to
       // the text path instead of silently serving the OLD table's body.
-      // Underscore-prefixed, so parquet readers of the dir ignore it.
-      val anchorLen =
-        fs.getFileStatus(new Path(rootPath, manifestName(version))).getLen
+      // Length alone is NOT enough: a same-shape reload (fixed-width
+      // nonced file names, near-identical stats) can reproduce the byte
+      // count; mtime is immutable for anchors (only the vacuum rewrite
+      // ever replaces a manifest, and it stamps AFTER restoring the
+      // recorded publish instant). Underscore-prefixed, so parquet
+      // readers of the dir ignore it.
+      val anchorSt =
+        fs.getFileStatus(new Path(rootPath, manifestName(version)))
       val out = fs.create(new Path(stage, "_anchor"), false)
-      try out.write(s"len=$anchorLen\n".getBytes("UTF-8")) finally out.close()
+      try out.write(
+        s"len=${anchorSt.getLen},mtime=${anchorSt.getModificationTime}\n"
+          .getBytes("UTF-8")) finally out.close()
       CommitProtocol.publishDir(fs, stage, dest)
       ()
     } catch { case scala.util.control.NonFatal(e) =>
@@ -1565,19 +1572,20 @@ object SnapshotManifest {
   }
 
   /** True iff the twin at `dir` provably anchors the CURRENT manifest of
-    * `version`: its recorded anchor identity (manifest byte length,
-    * stamped at twin-write time) matches the live file. A twin without a
-    * stamp, or with a mismatched one, is treated as orphaned — reads fall
-    * back to the authoritative text path, which also self-repairs (the
-    * next boundary publish writes a fresh twin).
+    * `version`: its recorded anchor identity — (byte length, mtime),
+    * stamped at twin-write time — matches the live file. A twin without
+    * a stamp, with a mismatched one, or with an old/unknown stamp format
+    * is treated as orphaned — reads fall back to the authoritative text
+    * path, which also self-repairs (the next boundary publish writes a
+    * fresh twin).
     */
   private def twinAnchorsManifest(fs: FileSystem, rootPath: Path,
       version: Long, dir: Path): Boolean = {
     val stampPath = new Path(dir, "_anchor")
     if (!fs.exists(stampPath)) return false
     val stamped = CommitProtocol.readFully(fs, stampPath).trim
-    val live = fs.getFileStatus(new Path(rootPath, manifestName(version))).getLen
-    stamped == s"len=$live"
+    val st = fs.getFileStatus(new Path(rootPath, manifestName(version)))
+    stamped == s"len=${st.getLen},mtime=${st.getModificationTime}"
   }
 
   /** The RESOLVED body of `version` as a DISTRIBUTED frame (`rel`,
@@ -1867,6 +1875,20 @@ object SnapshotManifest {
       : Option[(TableMeta, StructType, DataFrame, Seq[String])] =
     distributedClassify(spark, root, version, predicate, proven = false)
       .map { case (m, s, f, a, _) => (m, s, f, a) }
+
+  /** [[classifyAffected]]'s predicate-free form for PURE-INSERT batches:
+    * `(meta, schema, body frame)` with NO classification job — nothing
+    * can be affected by fiat, and running the classifier with a
+    * known-false predicate would be worse than wasted work: stats-LESS
+    * lines may-match ANY predicate, so a stats-less table would classify
+    * every file affected and a pure insert would rewrite the world.
+    */
+  private[graft] def frameWithSchema(spark: SparkSession, root: String,
+      version: Long): Option[(TableMeta, StructType, DataFrame)] =
+    try bodyLinesFrame(spark, root, version).flatMap { frame =>
+      val meta = manifestMetaOnly(spark, root, version)
+      frameSchema(spark, root, meta, frame).map(s => (meta, s, frame))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** [[publishVersionRebased]]'s churn-bounded twin: stage `df` once, then
     * publish through [[rebaseLoopEdits]] — removed lines become `-` ops,
@@ -2340,7 +2362,11 @@ object SnapshotManifest {
     * join pays scan cost only, no Exchange, regardless of table size. The
     * verbs degrade loudly to the shuffle merge when a staged batch is too
     * large to broadcast ([[graft.operators.Upsert.mergeWhere]]'s
-    * `maxColocatedRows`), so declaring the hint is always safe.
+    * `maxColocatedRows`), so declaring the hint is safe under the Upsert
+    * family's documented invariant — pk-unique snapshots ([[setPrimaryKey]]):
+    * the broadcast volumes are then functions of the gated staged size
+    * (matched keys are per-partition-deduplicated, bounding even a
+    * duplicate-PK target at distinct-staged-keys × partitions).
     */
   def setColocatedMerge(spark: SparkSession, root: String,
       on: Boolean): Long = {

@@ -476,6 +476,38 @@ class ManifestCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("pure-insert MERGE on a STATS-LESS twin-anchored table rewrites nothing") {
+    // stats-less manifest lines may-match ANY predicate — the pure-insert
+    // fast path must not run the classifier at all (a lit(false) probe
+    // would classify — and rewrite — every stats-less file)
+    val root = newRoot()
+    spark.conf.set("graft.manifest.checkpointInterval", "4")
+    spark.conf.set("graft.manifest.parquetCheckpointMinLines", "10")
+    try {
+      SnapshotManifest.commit(spark, root,
+        spark.range(0, 200).toDF("id").withColumn("x", lit("a"))
+          .repartitionByRange(20, col("id"))) // NO statsCols — stats-less
+      val body0 = SnapshotManifest.manifestBody(spark, root, 0L)
+      assert(body0.size == 20)
+      SnapshotManifest.manifestReadCount.set(0L)
+      // every staged PK is null → pure inserts (null never matches)
+      graft.operators.Upsert.mergeWhere(spark, root,
+        Seq((Option.empty[Long], "ins1"), (Option.empty[Long], "ins2"))
+          .toDF("id", "x"), Seq("id"))
+      assert(SnapshotManifest.manifestReadCount.get() == 0L,
+        "the pure-insert fast path must not materialize the body")
+      val body1 = SnapshotManifest.manifestBody(spark, root, 1L)
+      assert(body0.toSet.subsetOf(body1.toSet),
+        "a pure insert must carry every original line verbatim — " +
+          "classifying stats-less files as affected rewrites the world")
+      assert((body1.toSet -- body0.toSet).nonEmpty, "the insert must land")
+      assert(SnapshotManifest.read(spark, root).count() == 202L)
+    } finally {
+      spark.conf.unset("graft.manifest.checkpointInterval")
+      spark.conf.unset("graft.manifest.parquetCheckpointMinLines")
+    }
+  }
+
   test("edits-path rebase: two racing file-disjoint DMLs both land through the delta-tail gates") {
     val root = newRoot()
     spark.conf.set("graft.manifest.checkpointInterval", "8")
