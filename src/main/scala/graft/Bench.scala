@@ -36,16 +36,36 @@ object Bench {
     // — the warmup pass has already paid codegen/JIT, so the first sample
     // captures residual first-run costs at the target SF (page cache, scan
     // listing, lazy init), NOT true cold-start latency.
+    // Failures are RECORDED, never swallowed into the timings: a query
+    // that throws "benchmarks" as the microseconds the throw took, and a
+    // run that breaks midway (a dead context fails every later query
+    // instantly) would otherwise masquerade as the fastest run of the
+    // round — 45 silently-dead queries once produced a record total that
+    // a cross-round comparison took at face value. Timed samples only
+    // count when the run succeeded; a query with zero successes reports
+    // time 0 and lands in `failed`.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to 3).map { _ =>
+      var err: Option[String] = None
+      val samples = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        try run(fn, sfDir) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { run(fn, sfDir); true } catch { case t: Throwable =>
+          if (err.isEmpty) err = Some(t.toString.replace('"', '\'').take(200))
+          false
+        }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      (name, samples.min, samples.head)
+      (name, if (samples.isEmpty) 0.0 else samples.min,
+        samples.headOption.getOrElse(0.0), err)
     }
+    val failed = results.collect { case (n, _, _, Some(e)) => n -> e }
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED — totals " +
+        s"are NOT cross-round comparable: ${failed.map(_._1).mkString(", ")}")
     def jsonMap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failedJson = failed
+      .map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
     val qs = jsonMap(results.map(r => r._1 -> r._2))
     val qsCold = jsonMap(results.map(r => r._1 -> r._3))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -54,7 +74,7 @@ object Bench {
     // regression when queries were added — mean per query is the
     // comparable cross-round number
     val mean = if (results.nonEmpty) total / results.length else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"mean_per_query":$mean,"queries":$qs,"queries_cold":$qsCold,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"mean_per_query":$mean,"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"queries_cold":$qsCold,"sf":"$sfDir"}"""
     // persist the FULL record to a file: the driver keeps only the last
     // ~2000 chars of stdout, and a 90+-query map is ~8 KB — r04/r05 both
     // recorded `parsed: null` because the one big line never fit the tail.
@@ -71,7 +91,8 @@ object Bench {
     // shape-identical to the full one, or a consumer silently treats the
     // 10-query subset as the whole map
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,""" +
-      s""""mean_per_query":$mean,"slowest_queries":$slow,"n_queries":${results.length},""" +
+      s""""mean_per_query":$mean,"n_failed":${failed.size},""" +
+      s""""slowest_queries":$slow,"n_queries":${results.length},""" +
       s""""queries_file":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
