@@ -34,6 +34,11 @@ class DmlModelSpec extends SparkSpec {
   private case object Analyze extends Op
   private case object SetPk extends Op
   private case object SetBloom extends Op
+  // flips merge=colocated: every merge AFTER a toggle-on runs through the
+  // decomposed broadcast strategy — the fuzz proves the strategy is
+  // invisible in content under arbitrary interleavings, and that the
+  // header property survives every verb like pk=/bloom=
+  private case object ToggleColoc extends Op
   // fresh-key idempotent append (txn records fuzzed through every verb's
   // TableMeta carry) and the partial tail compaction (content-neutral)
   private case class Append(rows: List[(Long, Long)]) extends Op
@@ -60,7 +65,8 @@ class DmlModelSpec extends SparkSpec {
     1 -> Gen.const(SetBloom),
     2 -> Gen.listOfN(3, Gen.choose(-99L, 99L)).map(vs => Append(vs.zipWithIndex
       .map { case (v, i) => (i.toLong, v) })),
-    1 -> Gen.const(CompactSmall))
+    1 -> Gen.const(CompactSmall),
+    2 -> Gen.const(ToggleColoc))
 
   private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
     (0 until n).flatMap(i =>
@@ -83,6 +89,7 @@ class DmlModelSpec extends SparkSpec {
         (0L until 100L).map(i => i -> i * 10L): _*)
       var pkSet = false
       var bloomSet = false
+      var colocOn = false
       // (version, expected content) after each step — replayed at the end
       // as time-travel reads resolving through whatever delta chains the
       // history produced. Vacuum clears it (old versions are reclaimed).
@@ -144,6 +151,9 @@ class DmlModelSpec extends SparkSpec {
             fresh.foreach { case (k, v) => model(k) = v }
           case CompactSmall =>
             SnapshotManifest.compactSmallFiles(spark, root, smallBytes = 1L << 20)
+          case ToggleColoc =>
+            SnapshotManifest.setColocatedMerge(spark, root, !colocOn)
+            colocOn = !colocOn
         }
         val got = SnapshotManifest.read(spark, root)
           .as[(Long, Long)].collect().toMap
@@ -160,6 +170,8 @@ class DmlModelSpec extends SparkSpec {
         assert(SnapshotManifest.bloomCols(spark, root, curV) ==
           (if (bloomSet) Seq("id") else Nil),
           s"trial $trial step $step ($op): bloom property lost")
+        assert(SnapshotManifest.colocatedMerge(spark, root, curV) == colocOn,
+          s"trial $trial step $step ($op): merge=colocated hint lost")
         hist += ((curV, model.toMap))
       }
       // time-travel replay: every retained historical version must read
@@ -278,6 +290,12 @@ class DmlModelSpec extends SparkSpec {
             fresh.foreach { case (k, v) => model(k) = (v, None) }
           case CompactSmall =>
             SnapshotManifest.compactSmallFiles(spark, root, smallBytes = 1L << 20)
+          case ToggleColoc =>
+            // evolution × colocated merge: post-toggle merges decompose
+            // AND handle the schema-drifted staged frame (no note column)
+            val curV = SnapshotManifest.currentVersion(spark, root).get
+            SnapshotManifest.setColocatedMerge(spark, root,
+              !SnapshotManifest.colocatedMerge(spark, root, curV))
         }
         if (!evolved) {
           val got = SnapshotManifest.read(spark, root)
