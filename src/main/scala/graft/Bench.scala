@@ -41,40 +41,50 @@ object Bench {
     // run that breaks midway (a dead context fails every later query
     // instantly) would otherwise masquerade as the fastest run of the
     // round — 45 silently-dead queries once produced a record total that
-    // a cross-round comparison took at face value. Timed samples only
-    // count when the run succeeded; a query with zero successes reports
-    // time 0 and lands in `failed`.
+    // a cross-round comparison took at face value. A query with ZERO
+    // successful samples lands in `failed` and POISONS the headline
+    // totals to -1 (a partially-dead run must not publish a plausible
+    // number a consumer could compare without checking n_failed); a query
+    // that failed some-but-not-all samples keeps its valid min and is
+    // recorded in `flaky` — measured, just noisy.
+    def jsonSafe(t: Throwable): String =
+      t.toString.map(c =>
+        if (c == '"' || c == '\\' || Character.isISOControl(c)) ' ' else c)
+        .take(200)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
       val samples = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { run(fn, sfDir); true } catch { case t: Throwable =>
-          if (err.isEmpty) err = Some(t.toString.replace('"', '\'').take(200))
+          if (err.isEmpty) err = Some(jsonSafe(t))
           false
         }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       (name, if (samples.isEmpty) 0.0 else samples.min,
-        samples.headOption.getOrElse(0.0), err)
+        samples.headOption.getOrElse(0.0), err, samples.nonEmpty)
     }
-    val failed = results.collect { case (n, _, _, Some(e)) => n -> e }
+    val failed = results.collect { case (n, _, _, Some(e), false) => n -> e }
+    val flaky = results.collect { case (n, _, _, Some(e), true) => n -> e }
     if (failed.nonEmpty)
-      System.err.println(s"[bench] ${failed.size} queries FAILED — totals " +
-        s"are NOT cross-round comparable: ${failed.map(_._1).mkString(", ")}")
+      System.err.println(s"[bench] ${failed.size} queries FAILED every " +
+        s"sample — headline totals poisoned to -1, per-query map still " +
+        s"valid for the others: ${failed.map(_._1).mkString(", ")}")
+    if (flaky.nonEmpty)
+      System.err.println(s"[bench] ${flaky.size} queries failed SOME " +
+        s"samples (min-of-successes recorded): ${flaky.map(_._1).mkString(", ")}")
     def jsonMap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val failedJson = failed
-      .map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }
-      .mkString("{", ",", "}")
+    def jsonStrMap(kv: Seq[(String, String)]): String =
+      kv.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }
+        .mkString("{", ",", "}")
     val qs = jsonMap(results.map(r => r._1 -> r._2))
     val qsCold = jsonMap(results.map(r => r._1 -> r._3))
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val totalCold = if (results.nonEmpty) results.map(_._3).sum else 0.0
-    // the inventory GROWS across rounds, so the total alone reads as a
-    // regression when queries were added — mean per query is the
-    // comparable cross-round number
-    val mean = if (results.nonEmpty) total / results.length else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"mean_per_query":$mean,"n_failed":${failed.size},"failed":$failedJson,"queries":$qs,"queries_cold":$qsCold,"sf":"$sfDir"}"""
+    val sums = (results.map(_._2).sum, results.map(_._3).sum,
+      if (results.isEmpty) 0.0 else results.map(_._2).sum / results.length)
+    val (total, totalCold, mean) =
+      if (failed.nonEmpty) (-1.0, -1.0, -1.0) else sums
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_cold":$totalCold,"mean_per_query":$mean,"n_failed":${failed.size},"failed":${jsonStrMap(failed)},"n_flaky":${flaky.size},"flaky":${jsonStrMap(flaky)},"queries":$qs,"queries_cold":$qsCold,"sf":"$sfDir"}"""
     // persist the FULL record to a file: the driver keeps only the last
     // ~2000 chars of stdout, and a 90+-query map is ~8 KB — r04/r05 both
     // recorded `parsed: null` because the one big line never fit the tail.

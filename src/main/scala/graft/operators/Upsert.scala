@@ -101,6 +101,33 @@ object Upsert {
   private[graft] val colocatedMergeCount =
     new java.util.concurrent.atomic.AtomicLong
 
+  /** The ONE merge-strategy gate shared by [[mergeWhere]] and
+    * [[mergeWhereMoR]]: the explicit `colocated` argument (resolved by the
+    * caller against the table's declared merge= hint) selects
+    * [[mergeColocated]], gated on the staged row count — a batch too fat
+    * to broadcast degrades LOUDLY to the shuffle [[merge]], so correctness
+    * never depends on the hint. `stagedRowCount` is a thunk: the count is
+    * only paid when the hint is actually on.
+    */
+  private def pickMergeStrategy(verb: String, wantColoc: Boolean,
+      stagedRowCount: () => Long, maxColocatedRows: Long)
+      : (DataFrame, DataFrame, Seq[String]) => DataFrame =
+    if (!wantColoc)
+      (t: DataFrame, s: DataFrame, p: Seq[String]) => merge(t, s, p)
+    else {
+      val n = stagedRowCount()
+      if (n <= maxColocatedRows) {
+        colocatedMergeCount.incrementAndGet()
+        (t: DataFrame, s: DataFrame, p: Seq[String]) => mergeColocated(t, s, p)
+      } else {
+        graft.core.Logging.logger().warn(
+          s"$verb: staged batch ($n rows) exceeds maxColocatedRows=" +
+            s"$maxColocatedRows — degrading the co-located merge to the " +
+            "shuffle merge for this batch")
+        (t: DataFrame, s: DataFrame, p: Seq[String]) => merge(t, s, p)
+      }
+    }
+
   /** [[merge]] decomposed for a BIG target and a churn-sized staged batch:
     * identical semantics, ZERO target-side exchange. The full-outer form
     * shuffles both sides on the PK — at 100 TB the target-side Exchange is
@@ -166,8 +193,16 @@ object Upsert {
     // partition dedup caps it at distinct-matched-keys × partitions —
     // a function of the (gated) staged key count again.
     val matchedKeys = matchedRaw.mapPartitions { it =>
-      val seen = new java.util.HashSet[org.apache.spark.sql.Row]()
-      it.filter(seen.add)
+      // canonical content key, NOT the Row itself: Row.equals compares
+      // array contents but Row.hashCode hashes array IDENTITY, so a
+      // HashSet[Row] would silently never collapse binary (Array[Byte])
+      // PKs and the bound below would not hold for them
+      def canon(v: Any): Any = v match {
+        case a: Array[_] => a.toSeq.map(canon)
+        case x => x
+      }
+      val seen = new java.util.HashSet[Seq[Any]]()
+      it.filter(r => seen.add(r.toSeq.map(canon)))
     }(org.apache.spark.sql.Encoders.row(matchedRaw.schema))
     val inserts = staged.alias("ins").join(
       broadcast(matchedKeys.alias("mk")),
@@ -286,25 +321,11 @@ object Upsert {
     // expression prices once, and a non-deterministic source cannot hand
     // the prune and the merge different rows
     val stagedP = staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // merge-strategy picker: the explicit `colocated` argument overrides
-    // the table's declared merge= hint ([[graft.sources.SnapshotManifest
-    // .setColocatedMerge]]); a batch too fat to broadcast degrades LOUDLY
-    // to the shuffle merge — correctness never depends on the hint
     lazy val stagedRowCount = stagedP.count()
     def pickMerge(declared: Boolean)
         : (DataFrame, DataFrame, Seq[String]) => DataFrame =
-      if (!colocated.getOrElse(declared))
-        (t: DataFrame, s: DataFrame, p: Seq[String]) => merge(t, s, p)
-      else if (stagedRowCount <= maxColocatedRows) {
-        colocatedMergeCount.incrementAndGet()
-        (t: DataFrame, s: DataFrame, p: Seq[String]) => mergeColocated(t, s, p)
-      } else {
-        graft.core.Logging.logger().warn(
-          s"mergeWhere: staged batch ($stagedRowCount rows) exceeds " +
-            s"maxColocatedRows=$maxColocatedRows — degrading the " +
-            "co-located merge to the shuffle merge for this batch")
-        (t: DataFrame, s: DataFrame, p: Seq[String]) => merge(t, s, p)
-      }
+      pickMergeStrategy("mergeWhere", colocated.getOrElse(declared),
+        () => stagedRowCount, maxColocatedRows)
     try {
       if (stagedP.isEmpty) return v
       // CHURN-BOUNDED fast path: with a twin-anchored body the candidate
@@ -644,18 +665,9 @@ object Upsert {
         // the matched slice is already churn-sized (it came off a
         // broadcast semi join), but with the hint declared its merge join
         // still decomposes — zero exchanges instead of two small ones
-        val wantColoc = colocated.getOrElse(meta.colocatedMerge)
-        val mergedAppend =
-          if (wantColoc && stagedRowCount <= maxColocatedRows) {
-            colocatedMergeCount.incrementAndGet()
-            mergeColocated(matchedTarget.drop(fCol, rCol), stagedP, pk)
-          } else {
-            if (wantColoc) graft.core.Logging.logger().warn(
-              s"mergeWhereMoR: staged batch ($stagedRowCount rows) exceeds " +
-                s"maxColocatedRows=$maxColocatedRows — degrading the " +
-                "co-located merge to the shuffle merge for this batch")
-            merge(matchedTarget.drop(fCol, rCol), stagedP, pk)
-          }
+        val mergedAppend = pickMergeStrategy("mergeWhereMoR",
+          colocated.getOrElse(meta.colocatedMerge), () => stagedRowCount,
+          maxColocatedRows)(matchedTarget.drop(fCol, rCol), stagedP, pk)
         val dvFileNames = dvDf.select(col("file_name")).distinct()
           .collect().map(_.getString(0)).toSet // affected ∪ sidecar-sharing files
         val dvFile = SnapshotManifest.writeDvSidecar(spark, tableRoot, v + 1, dvDf)

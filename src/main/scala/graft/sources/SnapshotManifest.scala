@@ -1539,7 +1539,16 @@ object SnapshotManifest {
     try {
       val (fs, rootPath) = fsOf(spark, root)
       val dest = ckptDir(rootPath, version)
-      if (fs.exists(dest)) return
+      if (fs.exists(dest)) {
+        // a twin that still anchors the live manifest is complete — done.
+        // A STALE one (manifests dropped and recreated under a surviving
+        // _ckpt) must be REPLACED here, or it squats the slot forever:
+        // vacuum only reclaims doomed versions' twins, so without this
+        // sweep every read chaining to this anchor would demote to the
+        // driver path permanently — the self-repair the stamp promises.
+        if (twinAnchorsManifest(fs, rootPath, version, dest)) return
+        fs.delete(dest, true)
+      }
       val stage = new Path(rootPath,
         new Path("_ckpt_stage", java.util.UUID.randomUUID.toString))
       frame.select("rel", "line").write.parquet(stage.toString)

@@ -634,23 +634,42 @@ class ManifestCheckpointSpec extends SparkSpec {
       assert(fs.exists(new Path(root, "_ckpt/v00000000")))
       // DROP AND RECREATE the table out-of-band: manifests + data go, the
       // stale _ckpt survives (the cross-process scenario PartsCache guards
-      // against with (mtime,length) — here the twin must guard itself)
+      // against with (mtime,length) — here the twin must guard itself).
+      // The recreate is SUB-floor (30 files < 50), so no boundary publish
+      // replaces the squatting twin — detection alone protects reads.
       fs.listStatus(new Path(root)).foreach { st =>
         if (st.getPath.getName != "_ckpt") fs.delete(st.getPath, true)
       }
       SnapshotManifest.commit(spark, root,
         spark.range(0, 7000).toDF("id")
           .withColumn("x", concat(lit("new"), col("id")))
-          .repartitionByRange(70, col("id")), Seq("id"))
-      // the recreate could not replace the surviving twin (publish is
-      // fail-if-exists) — the stamp must now mismatch and reads fall back
-      // to the authoritative text path, serving the NEW table
+          .repartitionByRange(30, col("id")), Seq("id"))
+      val prunes0 = SnapshotManifest.ckptFramePrunes.get()
       val got = SnapshotManifest.readWhere(spark, root, col("id") < 100L)
         .as[(Long, String)].collect().toSet
       assert(got.size == 100 && got.forall(_._2.startsWith("new")),
         s"orphaned twin served stale data: ${got.take(3)}")
+      assert(SnapshotManifest.ckptFramePrunes.get() == prunes0,
+        "a stamp-mismatched twin must not be served distributed")
       assert(SnapshotManifest.read(spark, root).count() == 7000L,
         "full read must reflect the recreated table")
+      // SELF-REPAIR: a twin-ELIGIBLE recreate replaces the squatting
+      // stale twin at its boundary publish — reads go distributed again
+      // on the NEW table's body instead of demoting forever
+      fs.listStatus(new Path(root)).foreach { st =>
+        if (st.getPath.getName != "_ckpt") fs.delete(st.getPath, true)
+      }
+      SnapshotManifest.commit(spark, root,
+        spark.range(0, 9000).toDF("id")
+          .withColumn("x", concat(lit("anew"), col("id")))
+          .repartitionByRange(90, col("id")), Seq("id"))
+      val prunes1 = SnapshotManifest.ckptFramePrunes.get()
+      val got2 = SnapshotManifest.readWhere(spark, root, col("id") < 100L)
+        .as[(Long, String)].collect().toSet
+      assert(got2.size == 100 && got2.forall(_._2.startsWith("anew")),
+        s"repaired twin served stale data: ${got2.take(3)}")
+      assert(SnapshotManifest.ckptFramePrunes.get() > prunes1,
+        "the replaced twin must serve the pruned read DISTRIBUTED")
     } finally {
       spark.conf.unset("graft.manifest.checkpointInterval")
       spark.conf.unset("graft.manifest.parquetCheckpointMinLines")
