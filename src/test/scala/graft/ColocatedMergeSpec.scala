@@ -54,6 +54,25 @@ class ColocatedMergeSpec extends SparkSpec {
       Upsert.merge(target, staged, pk)))
   }
 
+  test("mergeColocated ≡ merge on a BINARY PK with duplicate target keys") {
+    // exercises the content-canonical dedup key: Row.hashCode hashes
+    // Array[Byte] identity, so a naive HashSet[Row] never collapses
+    // binary keys — semantics must stay equal either way, and the
+    // duplicate target keys force the matched-key path to carry them
+    val target = Seq(
+      (Array[Byte](1, 2), 1L), (Array[Byte](3, 4), 2L),
+      (Array[Byte](1, 2), 3L), // duplicate binary key
+      (Array[Byte](7, 7), 4L))
+      .toDF("k", "v")
+    val staged = Seq(
+      (Array[Byte](1, 2), 10L), // matches two target rows
+      (Array[Byte](9, 9), 99L)) // pure insert
+      .toDF("k", "v")
+    assert(sameRows(
+      Upsert.mergeColocated(target, staged, Seq("k")),
+      Upsert.merge(target, staged, Seq("k"))))
+  }
+
   test("mergeColocated plan: zero shuffle Exchanges, broadcast joins only") {
     val target = spark.read.parquet(s"$sfDir/orders.parquet")
       .select("o_orderkey", "o_totalprice")
