@@ -61,8 +61,11 @@ object Bench {
         }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      (name, if (samples.isEmpty) 0.0 else samples.min,
-        samples.headOption.getOrElse(0.0), err, samples.nonEmpty)
+      // -1 sentinel in the PER-QUERY maps too: a dead query recorded as
+      // 0.0 is shape-identical to a record speedup for any consumer
+      // diffing the maps without cross-referencing `failed`
+      (name, if (samples.isEmpty) -1.0 else samples.min,
+        samples.headOption.getOrElse(-1.0), err, samples.nonEmpty)
     }
     val failed = results.collect { case (n, _, _, Some(e), false) => n -> e }
     val flaky = results.collect { case (n, _, _, Some(e), true) => n -> e }

@@ -666,6 +666,36 @@ object SnapshotManifest {
     */
   private[graft] val editsPublishes = new java.util.concurrent.atomic.AtomicLong
 
+  /** `frame` minus `touched` rels — the surviving base lines, as ONE
+    * broadcast anti-join. The single implementation of edit-survivor
+    * keying, shared by the composed-body builder and the uniqueness gate
+    * so the two can never diverge on how a rel drops out.
+    */
+  private def editsSurvivors(spark: SparkSession, frame: DataFrame,
+      touched: Seq[String]): DataFrame = {
+    import spark.implicits._
+    if (touched.isEmpty) frame
+    else frame.join(
+      org.apache.spark.sql.functions.broadcast(touched.toDF("rel")),
+      Seq("rel"), "left_anti")
+  }
+
+  /** Replay one manifest's already-validated `-\t`/`+\t` ops into the
+    * last-write-wins edit map (None = removed, Some(line) = added or
+    * replaced) — the ONE implementation of delta-op semantics, shared by
+    * [[bodyLinesFrame]] and [[tailEditsBetween]]. Callers validate op
+    * shape (stray body lines are corruption) before replaying.
+    */
+  private def replayOpsInto(
+      acc: java.util.LinkedHashMap[String, Option[String]],
+      ops: Iterable[String]): Unit =
+    ops.foreach { op =>
+      if (op.startsWith("-\t")) acc.put(op.stripPrefix("-\t"), None)
+      else {
+        val l = op.stripPrefix("+\t"); acc.put(relOf(l), Some(l))
+      }
+    }
+
   /** `frame` (the base body as `(rel, line)`) with `edits` applied — the
     * composed FINAL body, still distributed: touched rels anti-join out,
     * upserted lines union in. Mirrors [[bodyLinesFrame]]'s tail replay.
@@ -673,12 +703,7 @@ object SnapshotManifest {
   private def applyEdits(spark: SparkSession, frame: DataFrame,
       edits: BodyEdits): DataFrame = {
     import spark.implicits._
-    val touched = edits.touchedRels
-    val base =
-      if (touched.isEmpty) frame
-      else frame.join(
-        org.apache.spark.sql.functions.broadcast(touched.toDF("rel")),
-        Seq("rel"), "left_anti")
+    val base = editsSurvivors(spark, frame, edits.touchedRels)
     if (edits.upserts.isEmpty) base.select("rel", "line")
     else base.select("rel", "line").unionByName(
       edits.upserts.map(l => (relOf(l), l)).toDF("rel", "line"))
@@ -698,11 +723,7 @@ object SnapshotManifest {
     import org.apache.spark.sql.functions.{broadcast, col, element_at, split}
     val newNames = edits.upserts.map(l => new Path(parseLine(l).rel).getName)
     if (newNames.distinct.size != newNames.size) return false
-    val touched = edits.touchedRels
-    val survivors =
-      if (touched.isEmpty) frame
-      else frame.join(broadcast(touched.toDF("rel")), Seq("rel"), "left_anti")
-    survivors
+    editsSurvivors(spark, frame, edits.touchedRels)
       .select(element_at(split(col("rel"), "/"), -1).as("name"))
       .join(broadcast(newNames.toDF("name")), Seq("name"), "left_semi")
       .isEmpty
@@ -783,11 +804,21 @@ object SnapshotManifest {
       next: Long, frame: DataFrame, edits: BodyEdits, op: String,
       meta: TableMeta): Long = {
     val interval = checkpointInterval(spark)
-    if (interval > 1 && next % interval != 0)
-      publishEditsDelta(spark, root, next, edits, op, meta)
-    else
-      publishEditsFullStreaming(spark, root, next,
-        applyEdits(spark, frame, edits), op, meta)
+    val onBoundary = !(interval > 1 && next % interval != 0)
+    // a BROAD edit set renders a delta LARGER than the full manifest (a
+    // `-` per removed rel plus a `+` per upsert) — mirror the text path's
+    // fall-back-to-full ([[manifestText]]'s `ops.size >= fullLines.size`):
+    // once the op count reaches the twin floor, pay ONE cheap count of
+    // the composed frame and stream full when the delta would not be
+    // smaller. Tiny edits — the hot append/merge case — never pay the
+    // count, and the composed plan below is lazy (no job on the delta
+    // branch).
+    val composed = applyEdits(spark, frame, edits)
+    val writeFull = onBoundary ||
+      (edits.ops.size >= parquetCheckpointMinLines(spark) &&
+        edits.ops.size >= composed.count())
+    if (!writeFull) publishEditsDelta(spark, root, next, edits, op, meta)
+    else publishEditsFullStreaming(spark, root, next, composed, op, meta)
   }
 
   /** Read the current snapshot (empty-schema error if the table has none). */
@@ -1658,10 +1689,7 @@ object SnapshotManifest {
     // replay ops oldest→newest into one last-write-wins edit map:
     // None = removed, Some(line) = added or replaced
     val edits = new java.util.LinkedHashMap[String, Option[String]]()
-    tails.reverseIterator.foreach(_.foreach { op =>
-      if (op.startsWith("-\t")) edits.put(op.stripPrefix("-\t"), None)
-      else { val l = op.stripPrefix("+\t"); edits.put(relOf(l), Some(l)) }
-    })
+    tails.reverseIterator.foreach(t => replayOpsInto(edits, t))
     import scala.jdk.CollectionConverters._
     import spark.implicits._
     val editedRels = edits.keySet.asScala.toSeq
@@ -1801,13 +1829,12 @@ object SnapshotManifest {
       val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
       if (!lines.headOption.contains(s"version=$v")) return None
       if (!lines.contains(s"base=${v - 1}")) return None // full form / odd chain
-      lines.tail.foreach { l =>
-        if (l.startsWith("-\t")) acc.put(l.stripPrefix("-\t"), None)
-        else if (l.startsWith("+\t")) {
-          val e = l.stripPrefix("+\t"); acc.put(relOf(e), Some(e))
-        } else if (!(HeaderKeys.exists(l.startsWith) || l.startsWith("base=")))
-          return None // stray body line — corrupt; the text path will raise
-      }
+      val (ops, rest) = lines.tail.partition(l =>
+        l.startsWith("-\t") || l.startsWith("+\t"))
+      if (!rest.forall(l =>
+          HeaderKeys.exists(l.startsWith) || l.startsWith("base=")))
+        return None // stray body line — corrupt; the text path will raise
+      replayOpsInto(acc, ops)
       v += 1
     }
     import scala.jdk.CollectionConverters._
@@ -3549,19 +3576,21 @@ object SnapshotManifest {
             "create the table with commit(...) first"))
       // resolve per attempt: driver body, or the CHURN-BOUNDED frame when
       // a checkpoint twin anchors it (the body never materializes; the
-      // uniqueness gate runs as a broadcast join over the frame)
+      // uniqueness gate runs as a broadcast join over the frame). Meta is
+      // header-only either way, and the driver body binds ONCE per
+      // attempt — the r9 one-manifestParts-per-verb discipline (each call
+      // revalidates via getFileStatus: extra HEAD round-trips on an
+      // object store).
       val fast = bodyLinesFrame(spark, root, v)
-      val meta = fast match {
-        case Some(_) => manifestMetaOnly(spark, root, v)
-        case None => manifestParts(spark, root, v)._2
-      }
+      val meta = manifestMetaOnly(spark, root, v)
+      val slowBody = if (fast.isEmpty) manifestParts(spark, root, v)._1 else Nil
       fast match {
         case Some(frame) =>
           requireAppendSchemaCompatible(
             frameSchema(spark, root, meta, frame), df, "appendRowsWithRetry")
         case None =>
           requireAppendCompatible(spark, root,
-            manifestParts(spark, root, v)._1, meta, df, "appendRowsWithRetry")
+            slowBody, meta, df, "appendRowsWithRetry")
       }
       val lines = staged match {
         case Some((m, l)) if m.schema == meta.schema &&
@@ -3589,9 +3618,8 @@ object SnapshotManifest {
           publishEdits(spark, root, v + 1, frame, edits,
             "appendRowsWithRetry", meta)
         case None =>
-          val body = manifestParts(spark, root, v)._1
-          requireUniqueBasenames("appendRowsWithRetry", root, body ++ lines)
-          publishLines(spark, root, v + 1, body ++ lines,
+          requireUniqueBasenames("appendRowsWithRetry", root, slowBody ++ lines)
+          publishLines(spark, root, v + 1, slowBody ++ lines,
             "appendRowsWithRetry", meta)
       }
     }
@@ -3639,13 +3667,12 @@ object SnapshotManifest {
         throw new IllegalStateException(
           s"appendRowsIdempotent: no committed snapshot under $root — " +
             "create the table with commit(...) first"))
-      // the txn skip-check needs only the HEADER — resolve meta churn-
-      // bounded when a twin anchors the body, driver-parsed otherwise
-      val fast = bodyLinesFrame(spark, root, v)
-      val meta = fast match {
-        case Some(_) => manifestMetaOnly(spark, root, v)
-        case None => manifestParts(spark, root, v)._2
-      }
+      // the txn skip-check needs only the HEADER — and runs FIRST: the
+      // exactly-once REPLAY (an orchestrator re-running a landed batch)
+      // is this verb's hot case, and it must not pay the frame probe
+      // (chain walk + twin stamp IO) or a body parse just to discover it
+      // should skip
+      val meta = manifestMetaOnly(spark, root, v)
       if (meta.txns.get(appId).exists(_ >= txnVersion)) {
         graft.core.Logging.logger().info(
           s"appendRowsIdempotent: ($appId, $txnVersion) already committed " +
@@ -3654,13 +3681,17 @@ object SnapshotManifest {
               "are unreferenced vacuum garbage)"))
         v
       } else {
+        // non-skip: churn-bounded frame when a twin anchors the body,
+        // driver body bound ONCE per attempt otherwise
+        val fast = bodyLinesFrame(spark, root, v)
+        val slowBody = if (fast.isEmpty) manifestParts(spark, root, v)._1 else Nil
         fast match {
           case Some(frame) =>
             requireAppendSchemaCompatible(
               frameSchema(spark, root, meta, frame), df, "appendRowsIdempotent")
           case None =>
             requireAppendCompatible(spark, root,
-              manifestParts(spark, root, v)._1, meta, df, "appendRowsIdempotent")
+              slowBody, meta, df, "appendRowsIdempotent")
         }
         val lines = staged match {
           case Some((m, l)) if m.schema == meta.schema &&
@@ -3689,9 +3720,9 @@ object SnapshotManifest {
             publishEdits(spark, root, v + 1, frame, edits,
               "appendRowsIdempotent", outMeta)
           case None =>
-            val body = manifestParts(spark, root, v)._1
-            requireUniqueBasenames("appendRowsIdempotent", root, body ++ lines)
-            publishLines(spark, root, v + 1, body ++ lines,
+            requireUniqueBasenames("appendRowsIdempotent", root,
+              slowBody ++ lines)
+            publishLines(spark, root, v + 1, slowBody ++ lines,
               "appendRowsIdempotent", outMeta)
         }
       }
