@@ -53,7 +53,7 @@ object Bench {
         .take(200)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
-      val samples = (1 to 3).flatMap { _ =>
+      val attempts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { run(fn, sfDir); true } catch { case t: Throwable =>
           if (err.isEmpty) err = Some(jsonSafe(t))
@@ -61,11 +61,14 @@ object Bench {
         }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
+      val samples = attempts.flatten
       // -1 sentinel in the PER-QUERY maps too: a dead query recorded as
       // 0.0 is shape-identical to a record speedup for any consumer
-      // diffing the maps without cross-referencing `failed`
+      // diffing the maps without cross-referencing `failed`. The cold
+      // slot is the FIRST ATTEMPT only: a flaky query whose first run
+      // threw must not publish a later warm sample silently labeled cold.
       (name, if (samples.isEmpty) -1.0 else samples.min,
-        samples.headOption.getOrElse(-1.0), err, samples.nonEmpty)
+        attempts.head.getOrElse(-1.0), err, samples.nonEmpty)
     }
     val failed = results.collect { case (n, _, _, Some(e), false) => n -> e }
     val flaky = results.collect { case (n, _, _, Some(e), true) => n -> e }
@@ -83,7 +86,12 @@ object Bench {
         .mkString("{", ",", "}")
     val qs = jsonMap(results.map(r => r._1 -> r._2))
     val qsCold = jsonMap(results.map(r => r._1 -> r._3))
-    val sums = (results.map(_._2).sum, results.map(_._3).sum,
+    // total_cold is only meaningful when EVERY first attempt succeeded —
+    // a -1 cold sentinel (flaky first run) summed in would silently skew
+    // the total downward instead of flagging it
+    val coldSum =
+      if (results.exists(_._3 < 0)) -1.0 else results.map(_._3).sum
+    val sums = (results.map(_._2).sum, coldSum,
       if (results.isEmpty) 0.0 else results.map(_._2).sum / results.length)
     val (total, totalCold, mean) =
       if (failed.nonEmpty) (-1.0, -1.0, -1.0) else sums

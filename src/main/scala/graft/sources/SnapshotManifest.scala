@@ -754,45 +754,44 @@ object SnapshotManifest {
   }
 
   /** Publish version `next` as a FULL manifest STREAMED from the composed
-    * body `frame` — the checkpoint-boundary commit of the edits path. The
+    * body frame — the checkpoint-boundary commit of the edits path. The
     * text flows driver-through one partition at a time (never whole in
-    * memory); the parquet twin then writes from the same persisted frame,
-    * so the boundary's O(body) cost is IO, not driver heap.
+    * memory); the parquet twin then writes from the same frame. The CALLER
+    * pins `pinned` (and unpersists it): [[publishEdits]] may already have
+    * evaluated it for the full-vs-delta count, and pinning once there means
+    * the count, the stream, and the twin share ONE evaluation.
     */
   private def publishEditsFullStreaming(spark: SparkSession, root: String,
-      next: Long, frame: DataFrame, op: String, meta: TableMeta): Long = {
+      next: Long, pinned: DataFrame, op: String, meta: TableMeta): Long = {
     val (fs, rootPath) = fsOf(spark, root)
-    val pinned = frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    var n = 0L
+    val lineIt = pinned.select("line").as[String].toLocalIterator.asScala
+      .map { l => n += 1; (l + "\n").getBytes("UTF-8") }
+    val it = Iterator.single(headerFor(next, meta).getBytes("UTF-8")) ++ lineIt
+    val won = CommitProtocol.publishFileStream(fs,
+      new Path(rootPath, manifestName(next)), it)
+    if (!won)
+      throw new ConcurrentCommitException(
+        s"$op: version $next already committed by a concurrent writer; " +
+          "re-read the table and retry (staged sidecars are unreferenced " +
+          "garbage for vacuum)")
+    PartsCache.invalidate(s"${rootPath.toString}#$next"); HeaderCache.invalidate(s"${rootPath.toString}#$next")
+    editsPublishes.incrementAndGet()
+    // post-commit hooks — NonFatal-guarded like [[maybeCheckpointParquet]]:
+    // the manifest is durable, nothing here may fail the verb
     try {
-      import spark.implicits._
-      import scala.jdk.CollectionConverters._
-      var n = 0L
-      val lineIt = pinned.select("line").as[String].toLocalIterator.asScala
-        .map { l => n += 1; (l + "\n").getBytes("UTF-8") }
-      val it = Iterator.single(headerFor(next, meta).getBytes("UTF-8")) ++ lineIt
-      val won = CommitProtocol.publishFileStream(fs,
-        new Path(rootPath, manifestName(next)), it)
-      if (!won)
-        throw new ConcurrentCommitException(
-          s"$op: version $next already committed by a concurrent writer; " +
-            "re-read the table and retry (staged sidecars are unreferenced " +
-            "garbage for vacuum)")
-      PartsCache.invalidate(s"${rootPath.toString}#$next"); HeaderCache.invalidate(s"${rootPath.toString}#$next")
-      editsPublishes.incrementAndGet()
-      // post-commit hooks — NonFatal-guarded like [[maybeCheckpointParquet]]:
-      // the manifest is durable, nothing here may fail the verb
-      try {
-        if (checkpointInterval(spark) > 1 &&
-            n >= parquetCheckpointMinLines(spark))
-          writeCheckpointParquetFrame(spark, root, next, pinned)
-      } catch { case scala.util.control.NonFatal(e) =>
-        graft.core.Logging.logger().warn(
-          s"parquet checkpoint hook for version $next of $root failed " +
-            s"(the manifest is already durable): ${e.getMessage}")
-      }
-      maybeAutoCdf(spark, root, meta)
-      next
-    } finally pinned.unpersist(false)
+      if (checkpointInterval(spark) > 1 &&
+          n >= parquetCheckpointMinLines(spark))
+        writeCheckpointParquetFrame(spark, root, next, pinned)
+    } catch { case scala.util.control.NonFatal(e) =>
+      graft.core.Logging.logger().warn(
+        s"parquet checkpoint hook for version $next of $root failed " +
+          s"(the manifest is already durable): ${e.getMessage}")
+    }
+    maybeAutoCdf(spark, root, meta)
+    next
   }
 
   /** Publish `next` from churn-sized `edits` against the base body
@@ -805,20 +804,35 @@ object SnapshotManifest {
       meta: TableMeta): Long = {
     val interval = checkpointInterval(spark)
     val onBoundary = !(interval > 1 && next % interval != 0)
+    // O(1) op count — [[BodyEdits.ops]] is a def that formats churn-sized
+    // string Seqs; building it just to size it would allocate that garbage
+    // per commit on the hot path
+    val opCount = edits.removedRels.size + edits.upserts.size
     // a BROAD edit set renders a delta LARGER than the full manifest (a
     // `-` per removed rel plus a `+` per upsert) — mirror the text path's
     // fall-back-to-full ([[manifestText]]'s `ops.size >= fullLines.size`):
-    // once the op count reaches the twin floor, pay ONE cheap count of
-    // the composed frame and stream full when the delta would not be
-    // smaller. Tiny edits — the hot append/merge case — never pay the
-    // count, and the composed plan below is lazy (no job on the delta
-    // branch).
-    val composed = applyEdits(spark, frame, edits)
-    val writeFull = onBoundary ||
-      (edits.ops.size >= parquetCheckpointMinLines(spark) &&
-        edits.ops.size >= composed.count())
-    if (!writeFull) publishEditsDelta(spark, root, next, edits, op, meta)
-    else publishEditsFullStreaming(spark, root, next, composed, op, meta)
+    // once the op count reaches the twin floor, pay ONE count of the
+    // composed frame and stream full when the delta would not be smaller.
+    // Tiny edits — the hot append/merge case — return below without a
+    // job, a pin, or the count. Trade-off of the full form, documented:
+    // an off-boundary FULL makes [[tailEditsBetween]] windows across it
+    // unprovable, so a concurrent loser rebasing over a broad-edit winner
+    // demotes to the authoritative body path (or a full verb re-run) —
+    // rebase cost proportional to the winner's churn, which for a broad
+    // edit is O(body) regardless; the alternative (a body-sized delta)
+    // would instead charge that O(body) replay to EVERY subsequent read
+    // until the next boundary.
+    if (!onBoundary && opCount < parquetCheckpointMinLines(spark))
+      return publishEditsDelta(spark, root, next, edits, op, meta)
+    // pin ONCE: the full-vs-delta count, the streamed manifest, and the
+    // parquet twin share a single evaluation of the composed frame
+    val pinned = applyEdits(spark, frame, edits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (onBoundary || opCount >= pinned.count())
+        publishEditsFullStreaming(spark, root, next, pinned, op, meta)
+      else publishEditsDelta(spark, root, next, edits, op, meta)
+    } finally pinned.unpersist(false)
   }
 
   /** Read the current snapshot (empty-schema error if the table has none). */

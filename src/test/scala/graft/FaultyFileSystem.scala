@@ -82,6 +82,20 @@ class FaultyFileSystem extends RawLocalFileSystem {
     FaultGate.hit("mkdirs", f)
     super.mkdirs(f, permission)
   }
+
+  // mtime/permission writes mutate storage too: vacuum's chain-guard swap
+  // and crash recovery PRESERVE a manifest's publish instant via setTimes
+  // (the (mtime,len) pair caches and twin stamps validate with), so the
+  // crash point must be able to fall between a rename and its setTimes
+  override def setTimes(p: Path, mtime: Long, atime: Long): Unit = {
+    FaultGate.hit("settimes", p)
+    super.setTimes(p, mtime, atime)
+  }
+
+  override def setPermission(p: Path, permission: FsPermission): Unit = {
+    FaultGate.hit("setpermission", p)
+    super.setPermission(p, permission)
+  }
 }
 
 object FaultyFileSystem {
