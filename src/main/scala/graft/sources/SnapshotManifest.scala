@@ -811,10 +811,12 @@ object SnapshotManifest {
     // a BROAD edit set renders a delta LARGER than the full manifest (a
     // `-` per removed rel plus a `+` per upsert) — mirror the text path's
     // fall-back-to-full ([[manifestText]]'s `ops.size >= fullLines.size`):
-    // once the op count reaches the twin floor, pay ONE count of the
-    // composed frame and stream full when the delta would not be smaller.
-    // Tiny edits — the hot append/merge case — return below without a
-    // job, a pin, or the count. Trade-off of the full form, documented:
+    // once the op count reaches [[broadEditProbeFloor]], pay ONE count of
+    // the composed frame and stream full when the delta would not be
+    // smaller. Tiny edits — the hot append/merge case — return below
+    // without a job, a pin, or the count (the probe floor is absolute,
+    // NOT the twin floor: a test-pinned twin floor of 1 must not charge
+    // every 2-op append a probe job). Trade-off of the full form, documented:
     // an off-boundary FULL makes [[tailEditsBetween]] windows across it
     // unprovable, so a concurrent loser rebasing over a broad-edit winner
     // demotes to the authoritative body path (or a full verb re-run) —
@@ -822,7 +824,7 @@ object SnapshotManifest {
     // edit is O(body) regardless; the alternative (a body-sized delta)
     // would instead charge that O(body) replay to EVERY subsequent read
     // until the next boundary.
-    if (!onBoundary && opCount < parquetCheckpointMinLines(spark))
+    if (!onBoundary && opCount < broadEditProbeFloor(spark))
       return publishEditsDelta(spark, root, next, edits, op, meta)
     // pin ONCE: the full-vs-delta count, the streamed manifest, and the
     // parquet twin share a single evaluation of the composed frame
@@ -1513,6 +1515,21 @@ object SnapshotManifest {
   private def parquetCheckpointMinLines(spark: SparkSession): Int =
     spark.conf.getOption("graft.manifest.parquetCheckpointMinLines")
       .map(_.toInt).getOrElse(ParquetCheckpointMinLinesDefault)
+
+  /** Floor for [[publishEdits]]' full-vs-delta probe. The probe costs one
+    * Spark job (a count of the composed body frame), so unlike the text
+    * path's free in-memory comparison it must not run per tiny commit: it
+    * engages only for edit sets big enough in absolute terms that a
+    * body-sized delta is a plausible outcome worth preventing. Kept a
+    * SEPARATE knob from `parquetCheckpointMinLines` — tests pin the twin
+    * floor to 1 to force twins on tiny tables, and reusing that value here
+    * would charge every 2-op append on such a table a probe job.
+    */
+  private val BroadEditProbeFloorDefault = 1024
+  private def broadEditProbeFloor(spark: SparkSession): Int =
+    math.max(
+      spark.conf.getOption("graft.manifest.broadEditProbeFloor")
+        .map(_.toInt).getOrElse(BroadEditProbeFloorDefault), 1)
 
   /** Diagnostic counter: pruned reads answered through the DISTRIBUTED
     * checkpoint-frame path (specs assert the fast path actually ran).

@@ -428,6 +428,46 @@ class ManifestCheckpointSpec extends SparkSpec {
     }
   }
 
+  test("broad-edit fallback: the full-vs-delta probe engages at broadEditProbeFloor, not the twin floor") {
+    // (a) probe floor DEFAULT (1024): a broad-but-sub-floor DML keeps the
+    //     delta form and pays no probe job, even on a twin-floor-1 table
+    //     — the twin floor is a test knob, not the probe threshold
+    val rootA = newRoot()
+    // (b) probe floor lowered under the op count: the same DML streams a
+    //     FULL manifest because its 2N-op delta would exceed the body
+    val rootB = newRoot()
+    spark.conf.set("graft.manifest.checkpointInterval", "8")
+    spark.conf.set("graft.manifest.parquetCheckpointMinLines", "1")
+    try {
+      def bootstrap(root: String): Unit = SnapshotManifest.commit(spark, root,
+        spark.range(0, 1000).toDF("id").withColumn("x", lit(1L))
+          .repartitionByRange(100, col("id")), Seq("id"))
+      def broadUpdate(root: String): Unit = {
+        SnapshotManifest.updateWhere(spark, root, col("id") >= 0L,
+          Map("x" -> (col("x") + 1L)), Seq("id"))
+        ()
+      }
+      bootstrap(rootA); broadUpdate(rootA)
+      assert(rawManifest(rootA, 1L).contains("base=0"),
+        "sub-floor broad edit must keep the churn delta form")
+      bootstrap(rootB)
+      spark.conf.set("graft.manifest.broadEditProbeFloor", "10")
+      broadUpdate(rootB)
+      assert(!rawManifest(rootB, 1L).contains("base="),
+        "a broad edit past the probe floor must stream a full manifest " +
+          "(its 2N-op delta would not be smaller than the body)")
+      // both forms resolve to the identical updated table
+      for (root <- Seq(rootA, rootB)) {
+        val out = SnapshotManifest.read(spark, root)
+        assert(out.count() == 1000L && out.filter(col("x") =!= 2L).isEmpty)
+      }
+    } finally {
+      spark.conf.unset("graft.manifest.checkpointInterval")
+      spark.conf.unset("graft.manifest.parquetCheckpointMinLines")
+      spark.conf.unset("graft.manifest.broadEditProbeFloor")
+    }
+  }
+
   test("CoW DML and keyed MERGE on a twin-anchored table publish churn-bounded edits") {
     val root = newRoot()
     spark.conf.set("graft.manifest.checkpointInterval", "4")
