@@ -1492,6 +1492,40 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Churn-bounded write path (q154): the oracle replays the four commit
+    // verbs' net effect — two shifted appends (the idempotent one landing
+    // ONCE despite its replay), a range delete, a keyed upsert — on the
+    // raw fixture. The in-query REQUIREs pin that every verb published
+    // through the edits path with zero driver body parses; the aggregate
+    // pins that the path is also CORRECT.
+    "q154_edits_commit_path" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |app AS (
+        |  SELECT o_orderkey + 40000000 AS o_orderkey, o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey BETWEEN 1 AND 50
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000 AS o_orderkey, o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey BETWEEN 51 AND 100),
+        |alive AS (
+        |  SELECT * FROM base WHERE o_orderkey NOT BETWEEN 1000 AND 1999
+        |  UNION ALL
+        |  SELECT * FROM app),
+        |staged AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey BETWEEN 100 AND 140),
+        |merged AS (
+        |  SELECT * FROM staged
+        |  UNION ALL
+        |  SELECT a.* FROM alive a ANTI JOIN staged s ON a.o_orderkey = s.o_orderkey)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // Idempotent append (q147): the replayed middle slice lands ONCE, so
     // the oracle is simply the single-copy reassembly — a double-append
     // doubles its counts and shifts every sum.

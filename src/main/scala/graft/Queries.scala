@@ -3177,6 +3177,69 @@ object Queries {
     }
   }
 
+  /** Churn-bounded WRITE path gated end-to-end (q154 — the write-side twin
+    * of q150's read gate): on a twin-anchored table every off-boundary
+    * commit verb — append, idempotent append (and its exactly-once
+    * replay), CoW delete, keyed MERGE — must publish through the edits
+    * path without the driver ever materializing the manifest body.
+    * In-query REQUIREs pin the mechanism (the twin exists,
+    * `editsPublishes` advanced once per verb with the replay publishing
+    * nothing, `manifestReadCount == 0` across every commit); the oracle
+    * replays the verbs' net effect on the raw fixture, so a dropped edit,
+    * a double-applied replay, or a wrong survivor set shifts the
+    * aggregate.
+    */
+  def q154EditsCommitPath(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q154").toString
+    val S = graft.sources.SnapshotManifest
+    val prevI = spark.conf.getOption("graft.manifest.checkpointInterval")
+    val prevF = spark.conf.getOption("graft.manifest.parquetCheckpointMinLines")
+    spark.conf.set("graft.manifest.checkpointInterval", "8")
+    spark.conf.set("graft.manifest.parquetCheckpointMinLines", "1")
+    try {
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice")
+      val base = orders.select(cols.map(col): _*)
+      S.commit(spark, root,
+        base.repartitionByRange(8, col("o_orderkey")), cols)
+      val twin = new org.apache.hadoop.fs.Path(root, "_ckpt/v00000000")
+      require(twin.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(twin), "q154: the boundary commit must write the parquet twin")
+      val e0 = S.editsPublishes.get()
+      S.manifestReadCount.set(0L)
+      def shifted(lo: Long, hi: Long, by: Long) =
+        base.filter(col("o_orderkey").between(lo, hi))
+          .withColumn("o_orderkey", col("o_orderkey") + by)
+      S.appendRows(spark, root, shifted(1L, 50L, 40000000L), cols)
+      val vIdem = S.appendRowsIdempotent(spark, root,
+        shifted(51L, 100L, 50000000L), "q154-app", 1L, cols)
+      require(S.appendRowsIdempotent(spark, root,
+        shifted(51L, 100L, 50000000L), "q154-app", 1L, cols) == vIdem,
+        "q154: the idempotent replay must skip to the landed version")
+      S.deleteWhere(spark, root, col("o_orderkey").between(1000L, 1999L), cols)
+      graft.operators.Upsert.mergeWhere(spark, root,
+        orders.filter(col("o_orderkey").between(100L, 140L))
+          .select(col("o_orderkey"), lit("U").alias("o_orderstatus"),
+            (col("o_totalprice") * 2).alias("o_totalprice")),
+        Seq("o_orderkey"), cols)
+      require(S.editsPublishes.get() - e0 == 4L,
+        "q154: all four commit verbs must publish through the edits path " +
+          "and the replay must publish nothing")
+      require(S.manifestReadCount.get() == 0L,
+        "q154: no commit verb may materialize the manifest body on the driver")
+      ordersStatusAgg(S.read(spark, root))
+    } finally {
+      prevI match {
+        case Some(v) => spark.conf.set("graft.manifest.checkpointInterval", v)
+        case None => spark.conf.unset("graft.manifest.checkpointInterval")
+      }
+      prevF match {
+        case Some(v) => spark.conf.set("graft.manifest.parquetCheckpointMinLines", v)
+        case None => spark.conf.unset("graft.manifest.parquetCheckpointMinLines")
+      }
+    }
+  }
+
   /** Distributed vacuum reachability (q153): on a twin-anchored table the
     * live-file set and the per-dir file sweep run on EXECUTORS
     * ([[graft.sources.SnapshotManifest.vacuumPreview]]'s distributed
@@ -3513,6 +3576,7 @@ object Queries {
     "q150_ckpt_pruned_read" -> (q150CkptPrunedRead _),
     "q151_frame_sampling" -> (q151FrameSampling _),
     "q152_colocated_merge" -> (q152ColocatedMerge _),
-    "q153_distributed_vacuum" -> (q153DistributedVacuum _)
+    "q153_distributed_vacuum" -> (q153DistributedVacuum _),
+    "q154_edits_commit_path" -> (q154EditsCommitPath _)
   )
 }
