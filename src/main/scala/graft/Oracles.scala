@@ -1526,6 +1526,20 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Catalyst-integrated scan (q155): pruning is planning-time data
+    // SKIPPING, invisible to semantics — the oracle is simply the
+    // filtered aggregate on the raw fixture. The in-query REQUIREs pin
+    // that planning actually pruned files; this gate pins that it pruned
+    // the RIGHT ones.
+    "q155_catalyst_scan" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // Idempotent append (q147): the replayed middle slice lands ONCE, so
     // the oracle is simply the single-copy reassembly — a double-append
     // doubles its counts and shifts every sum.

@@ -3240,6 +3240,39 @@ object Queries {
     }
   }
 
+  /** Catalyst-integrated snapshot scan (q155): [[graft.sources.SnapshotManifest.table]]
+    * exposes the snapshot as a RELATION whose file listing runs
+    * manifest-stats pruning with the query's OWN pushed filters — plain
+    * declarative `.filter` prunes files at PLANNING time, no `readWhere`
+    * call, and Spark's native parquet scan keeps row-group pushdown +
+    * column pruning underneath. In-query REQUIREs pin the mechanism (the
+    * planning prune ran AND dropped files on the range-clustered layout);
+    * the oracle replays the filtered aggregate on the raw fixture, so a
+    * wrongly pruned file shifts it.
+    */
+  def q155CatalystScan(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q155").toString
+    val S = graft.sources.SnapshotManifest
+    val FI = graft.sources.SnapshotFileIndex
+    S.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(16, col("o_orderkey")),
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+    val p0 = FI.prunes.get()
+    val out = ordersStatusAgg(
+      S.table(spark, root).filter(col("o_orderkey").between(1000L, 3000L)))
+    val collected = out.collect() // force planning + execution before REQUIREs
+    require(FI.prunes.get() > p0,
+      "q155: the filtered scan must run manifest-stats pruning during planning")
+    require(FI.lastKept < FI.lastConsidered,
+      s"q155: a narrow key range on a range-clustered 16-file table must " +
+        s"drop files (considered ${FI.lastConsidered}, kept ${FI.lastKept})")
+    import spark.implicits._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(collected.toSeq, 1), out.schema)
+  }
+
   /** Distributed vacuum reachability (q153): on a twin-anchored table the
     * live-file set and the per-dir file sweep run on EXECUTORS
     * ([[graft.sources.SnapshotManifest.vacuumPreview]]'s distributed
@@ -3577,6 +3610,7 @@ object Queries {
     "q151_frame_sampling" -> (q151FrameSampling _),
     "q152_colocated_merge" -> (q152ColocatedMerge _),
     "q153_distributed_vacuum" -> (q153DistributedVacuum _),
-    "q154_edits_commit_path" -> (q154EditsCommitPath _)
+    "q154_edits_commit_path" -> (q154EditsCommitPath _),
+    "q155_catalyst_scan" -> (q155CatalystScan _)
   )
 }

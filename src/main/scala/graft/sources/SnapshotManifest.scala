@@ -845,6 +845,50 @@ object SnapshotManifest {
     readEntries(spark, root, body.map(parseLine), meta.schema)
   }
 
+  /** Catalyst-integrated scan: the snapshot as a RELATION whose file
+    * listing evaluates the query's own pushed data filters against the
+    * manifest stats during planning ([[SnapshotFileIndex]]) — so plain
+    * declarative code, `table(...).filter($"id" === x).select(...)`,
+    * prunes files with no [[readWhere]] call, and Spark's native parquet
+    * path (vectorized reader, row-group pushdown, column pruning,
+    * `sizeInBytes`-driven broadcast decisions) handles the rest. Always
+    * row-equal to `read(...)`: planning-time pruning is conservative and
+    * the pushed predicates re-evaluate in the scan.
+    *
+    * Falls back to the materialized [[read]]/[[readVersion]] — same
+    * rows, no planning-time prune — when the relation shape cannot
+    * express the version: live DV sidecars (the anti-join wrapper is not
+    * a `FileIndex` concern), declared partition columns, a missing
+    * recorded schema, or an empty body.
+    */
+  def table(spark: SparkSession, root: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val v = versionAsOf.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"SnapshotManifest.table: no committed snapshot under $root")))
+    val (body, meta) = manifestParts(spark, root, v)
+    val entries = body.map(parseLine)
+    val eligible = entries.nonEmpty && entries.forall(_.dvRel.isEmpty) &&
+      meta.partitionCols.isEmpty
+    if (!eligible) {
+      if (versionAsOf.isDefined) readVersion(spark, root, v)
+      else read(spark, root)
+    } else {
+      // recorded header schema, or ONE sampled footer (the repo-wide
+      // pattern — plain commits record no schema= line)
+      val schema = meta.schema.getOrElse(
+        spark.read.parquet(bodyFile(root, entries.head.rel)).schema)
+      val idx = new SnapshotFileIndex(spark, root, v, entries,
+        bodyStats(body), schema)
+      val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        idx, new StructType(), schema, None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+        Map.empty[String, String])(spark)
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .baseRelationToDataFrame(rel)
+    }
+  }
+
   /** Data-skipping read: files of the current snapshot whose manifest
     * stats admit a `predicate` match, scanned and re-filtered row-by-row
     * with the same predicate — always equal to `read(...).filter(predicate)`,

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{SnapshotFileIndex, SnapshotManifest}
+
+/** [[SnapshotManifest.table]]: the snapshot as a Catalyst relation whose
+  * file listing prunes on manifest stats with the query's OWN pushed
+  * filters — declarative `.filter` replaces explicit `readWhere` calls,
+  * and the parquet scan underneath keeps row-group pushdown + column
+  * pruning. Fallback shapes (DVs, versionAsOf on a DV'd history) must
+  * stay row-equal.
+  */
+class SnapshotFileIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot() = java.nio.file.Files.createTempDirectory("fidx").toString
+
+  private def bootstrap(root: String, n: Long = 1000L, parts: Int = 8): Unit = {
+    SnapshotManifest.commit(spark, root,
+      spark.range(0, n).toDF("id").withColumn("v", col("id") * 10L)
+        .repartitionByRange(parts, col("id")), Seq("id"))
+    ()
+  }
+
+  test("table() row-equals read(); a pushed filter prunes files at PLANNING time") {
+    val root = newRoot()
+    bootstrap(root)
+    val t = SnapshotManifest.table(spark, root)
+    assert(t.as[(Long, Long)].collect().toSet ==
+      SnapshotManifest.read(spark, root).as[(Long, Long)].collect().toSet)
+    val p0 = SnapshotFileIndex.prunes.get()
+    val out = t.filter(col("id").between(100L, 120L)).as[(Long, Long)].collect().toSet
+    assert(out == (100L to 120L).map(i => i -> i * 10L).toSet)
+    assert(SnapshotFileIndex.prunes.get() > p0,
+      "the filtered scan must run manifest-stats pruning during planning")
+    assert(SnapshotFileIndex.lastKept < SnapshotFileIndex.lastConsidered,
+      s"a 21-key range over a range-clustered 8-file table must drop files " +
+        s"(considered ${SnapshotFileIndex.lastConsidered}, kept ${SnapshotFileIndex.lastKept})")
+    // the SCAN itself only touches survivors — not just the row filter
+    val scanned = t.filter(col("id").between(100L, 120L))
+      .select(input_file_name()).distinct().count()
+    assert(scanned == SnapshotFileIndex.lastKept,
+      s"the scan read $scanned files but planning kept ${SnapshotFileIndex.lastKept}")
+  }
+
+  test("parquet pushdown survives the relation: PushedFilters + pruned ReadSchema in the plan") {
+    val root = newRoot()
+    bootstrap(root)
+    val plan = SnapshotManifest.table(spark, root)
+      .filter(col("id") === 42L).select("v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,42)"),
+      s"predicate must reach the parquet scan:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.replaceAll("(?s).*ReadSchema", "")
+      .split("\n").head.contains("nosuchcol"),
+      s"plan must expose its read schema:\n$plan")
+  }
+
+  test("conservative planning: a filter on a stats-less column keeps every file") {
+    val root = newRoot()
+    // stats recorded for id only; v is stats-less
+    val out = SnapshotManifest.table(spark, root match {
+      case r => bootstrap(r); r
+    }).filter(col("v") === 500L)
+    assert(out.as[(Long, Long)].collect().toSet == Set(50L -> 500L))
+    assert(SnapshotFileIndex.lastKept == SnapshotFileIndex.lastConsidered,
+      "stats-less columns must not prune")
+  }
+
+  test("fallback shapes stay row-equal: DV'd table and versionAsOf") {
+    val root = newRoot()
+    bootstrap(root, n = 200L, parts = 4)
+    SnapshotManifest.deleteWhereMoR(spark, root, col("id").between(10L, 19L))
+    // live DV sidecar → table() must fall back to the anti-joined read
+    val viaTable = SnapshotManifest.table(spark, root)
+      .as[(Long, Long)].collect().toSet
+    val viaRead = SnapshotManifest.read(spark, root)
+      .as[(Long, Long)].collect().toSet
+    assert(viaTable == viaRead && !viaTable.exists(kv => kv._1 >= 10 && kv._1 <= 19))
+    // time travel: v0 still serves the pre-delete content (relation path —
+    // v0 has no DVs)
+    val v0 = SnapshotManifest.table(spark, root, versionAsOf = Some(0L))
+      .as[(Long, Long)].collect().toSet
+    assert(v0 == (0L until 200L).map(i => i -> i * 10L).toSet)
+  }
+
+  test("empty-result prune still returns the full schema and zero rows") {
+    val root = newRoot()
+    bootstrap(root)
+    val out = SnapshotManifest.table(spark, root).filter(col("id") === -5L)
+    assert(out.columns.toSeq == Seq("id", "v") && out.count() == 0L)
+  }
+}
