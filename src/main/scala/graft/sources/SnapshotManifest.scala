@@ -855,11 +855,16 @@ object SnapshotManifest {
     * row-equal to `read(...)`: planning-time pruning is conservative and
     * the pushed predicates re-evaluate in the scan.
     *
-    * Falls back to the materialized [[read]]/[[readVersion]] — same
-    * rows, no planning-time prune — when the relation shape cannot
-    * express the version: live DV sidecars (the anti-join wrapper is not
-    * a `FileIndex` concern), declared partition columns, a missing
-    * recorded schema, or an empty body.
+    * PARTITION-declared tables serve through the same relation: partition
+    * values live IN the data files (see [[writeDataFiles]] — the
+    * `partitionBy` targets are throwaway duplicate tags), and the
+    * clustered layout records single-valued (min==max) stats per file in
+    * every partition column, so a partition predicate prunes EXACTLY
+    * here, planning-time, without Hive-style discovery. Falls back to
+    * the materialized [[read]]/[[readVersion]] — same rows, no
+    * planning-time prune — when the relation shape cannot express the
+    * version: live DV sidecars (the anti-join wrapper is not a
+    * `FileIndex` concern) or an empty body.
     */
   def table(spark: SparkSession, root: String,
       versionAsOf: Option[Long] = None): DataFrame = {
@@ -868,8 +873,7 @@ object SnapshotManifest {
         s"SnapshotManifest.table: no committed snapshot under $root")))
     val (body, meta) = manifestParts(spark, root, v)
     val entries = body.map(parseLine)
-    val eligible = entries.nonEmpty && entries.forall(_.dvRel.isEmpty) &&
-      meta.partitionCols.isEmpty
+    val eligible = entries.nonEmpty && entries.forall(_.dvRel.isEmpty)
     if (!eligible) {
       if (versionAsOf.isDefined) readVersion(spark, root, v)
       else read(spark, root)

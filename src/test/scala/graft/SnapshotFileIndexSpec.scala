@@ -67,6 +67,29 @@ class SnapshotFileIndexSpec extends SparkSpec {
       "stats-less columns must not prune")
   }
 
+  test("partition-declared tables serve through the relation; partition predicates prune at planning") {
+    val root = newRoot()
+    SnapshotManifest.commit(spark, root,
+      spark.range(0, 400).toDF("id")
+        .withColumn("p", col("id") % 4)
+        .withColumn("v", col("id") * 2L),
+      Seq("id", "p"), Nil, Seq("p"))
+    val t = SnapshotManifest.table(spark, root)
+    assert(t.as[(Long, Long, Long)].collect().toSet ==
+      SnapshotManifest.read(spark, root).as[(Long, Long, Long)].collect().toSet)
+    val out = t.filter(col("p") === 2L)
+    val rows = out.as[(Long, Long, Long)].collect()
+    assert(rows.length == 100 && rows.forall(_._2 == 2L))
+    // the clustered layout records single-valued partition stats, so the
+    // partition predicate prunes during planning and the scan touches
+    // only surviving files
+    assert(SnapshotFileIndex.lastKept < SnapshotFileIndex.lastConsidered,
+      s"partition predicate must prune (considered ${SnapshotFileIndex.lastConsidered}, " +
+        s"kept ${SnapshotFileIndex.lastKept})")
+    val scanned = out.select(input_file_name()).distinct().count()
+    assert(scanned == SnapshotFileIndex.lastKept)
+  }
+
   test("fallback shapes stay row-equal: DV'd table and versionAsOf") {
     val root = newRoot()
     bootstrap(root, n = 200L, parts = 4)
