@@ -871,25 +871,37 @@ object SnapshotManifest {
     val v = versionAsOf.getOrElse(currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(
         s"SnapshotManifest.table: no committed snapshot under $root")))
+    relationFor(spark, root, v) match {
+      case Some(rel) =>
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .baseRelationToDataFrame(rel)
+      case None =>
+        if (versionAsOf.isDefined) readVersion(spark, root, v)
+        else read(spark, root)
+    }
+  }
+
+  /** The file relation behind [[table]] for version `v` — shared with the
+    * `graft-snapshot` reader format ([[SnapshotSource]]). None when the
+    * version cannot be a pure file relation: live DV sidecars (readers
+    * must anti-join the sidecar) or an empty body.
+    */
+  private[graft] def relationFor(spark: SparkSession, root: String,
+      v: Long): Option[org.apache.spark.sql.sources.BaseRelation] = {
     val (body, meta) = manifestParts(spark, root, v)
     val entries = body.map(parseLine)
-    val eligible = entries.nonEmpty && entries.forall(_.dvRel.isEmpty)
-    if (!eligible) {
-      if (versionAsOf.isDefined) readVersion(spark, root, v)
-      else read(spark, root)
-    } else {
+    if (entries.isEmpty || entries.exists(_.dvRel.nonEmpty)) None
+    else {
       // recorded header schema, or ONE sampled footer (the repo-wide
       // pattern — plain commits record no schema= line)
       val schema = meta.schema.getOrElse(
         spark.read.parquet(bodyFile(root, entries.head.rel)).schema)
       val idx = new SnapshotFileIndex(spark, root, v, entries,
         bodyStats(body), schema)
-      val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      Some(org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         idx, new StructType(), schema, None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
-        Map.empty[String, String])(spark)
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        .baseRelationToDataFrame(rel)
+        Map.empty[String, String])(spark))
     }
   }
 

@@ -107,6 +107,26 @@ class SnapshotFileIndexSpec extends SparkSpec {
     assert(v0 == (0L until 200L).map(i => i -> i * 10L).toSet)
   }
 
+  test("spark.read.format(\"graft-snapshot\") serves the same relation; versionAsOf option; DVs refused loudly") {
+    val root = newRoot()
+    bootstrap(root, n = 300L, parts = 4)
+    val viaFormat = spark.read.format("graft-snapshot").load(root)
+    assert(viaFormat.as[(Long, Long)].collect().toSet ==
+      (0L until 300L).map(i => i -> i * 10L).toSet)
+    // pushed filters prune through the named reader too
+    viaFormat.filter(col("id") < 75L).collect()
+    assert(SnapshotFileIndex.lastKept < SnapshotFileIndex.lastConsidered)
+    SnapshotManifest.deleteWhere(spark, root, col("id") >= 150L, Seq("id"))
+    assert(spark.read.format("graft-snapshot").option("versionAsOf", "0")
+      .load(root).count() == 300L)
+    assert(spark.read.format("graft-snapshot").load(root).count() == 150L)
+    SnapshotManifest.deleteWhereMoR(spark, root, col("id") < 10L)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot").load(root).collect()
+    }
+    assert(e.getMessage.contains("deletion-vector"))
+  }
+
   test("empty-result prune still returns the full schema and zero rows") {
     val root = newRoot()
     bootstrap(root)
