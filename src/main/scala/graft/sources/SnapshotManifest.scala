@@ -876,8 +876,10 @@ object SnapshotManifest {
         spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
           .baseRelationToDataFrame(rel)
       case None =>
-        if (versionAsOf.isDefined) readVersion(spark, root, v)
-        else read(spark, root)
+        // pin the version we just inspected for DV sidecars — a racer
+        // committing between currentVersion and the read must not swap
+        // the served snapshot under us
+        readVersion(spark, root, v)
     }
   }
 
@@ -896,8 +898,10 @@ object SnapshotManifest {
       // pattern — plain commits record no schema= line)
       val schema = meta.schema.getOrElse(
         spark.read.parquet(bodyFile(root, entries.head.rel)).schema)
+      // bodyStatsOf, not bodyStats: we hold the parse — re-parsing
+      // 10⁵-10⁶ lines per relation construction is the documented sin
       val idx = new SnapshotFileIndex(spark, root, v, entries,
-        bodyStats(body), schema)
+        bodyStatsOf(entries), schema)
       Some(org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         idx, new StructType(), schema, None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),

@@ -26,7 +26,11 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister {
     val root = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-snapshot: a table root is required — .load(<tableRoot>)"))
     val spark = sqlContext.sparkSession
-    val v = parameters.get("versionAsOf").map(_.toLong).getOrElse(
+    val v = parameters.get("versionAsOf").map(s =>
+      try s.toLong catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft-snapshot: versionAsOf must be a version NUMBER, got '$s'")
+      }).getOrElse(
       SnapshotManifest.currentVersion(spark, root).getOrElse(
         throw new IllegalStateException(
           s"graft-snapshot: no committed snapshot under $root")))

@@ -45,15 +45,23 @@ class SnapshotFileIndexSpec extends SparkSpec {
 
   test("parquet pushdown survives the relation: PushedFilters + pruned ReadSchema in the plan") {
     val root = newRoot()
-    bootstrap(root)
+    // three columns so column pruning has something real to drop
+    SnapshotManifest.commit(spark, root,
+      spark.range(0, 1000).toDF("id")
+        .withColumn("v", col("id") * 10L)
+        .withColumn("wide", concat(lit("payload-"), col("id")))
+        .repartitionByRange(8, col("id")), Seq("id"))
     val plan = SnapshotManifest.table(spark, root)
       .filter(col("id") === 42L).select("v")
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,42)"),
       s"predicate must reach the parquet scan:\n$plan")
-    assert(plan.contains("ReadSchema") && !plan.replaceAll("(?s).*ReadSchema", "")
-      .split("\n").head.contains("nosuchcol"),
-      s"plan must expose its read schema:\n$plan")
+    // the scan's ReadSchema must carry only the filter + projection
+    // columns — the unused wide column is pruned
+    val readSchema = plan.replaceAll("(?s).*ReadSchema: ", "").split("\n").head
+    assert(readSchema.contains("id") && readSchema.contains("v") &&
+      !readSchema.contains("wide"),
+      s"column pruning must drop the unused column; ReadSchema: $readSchema")
   }
 
   test("conservative planning: a filter on a stats-less column keeps every file") {
