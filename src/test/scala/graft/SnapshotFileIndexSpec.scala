@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 import graft.sources.{SnapshotFileIndex, SnapshotManifest}
 
@@ -133,6 +134,39 @@ class SnapshotFileIndexSpec extends SparkSpec {
       spark.read.format("graft-snapshot").load(root).collect()
     }
     assert(e.getMessage.contains("deletion-vector"))
+  }
+
+  test("df.write.format(\"graft-snapshot\"): SaveMode maps onto the commit verbs") {
+    val root = newRoot() + "/t"
+    def frame(lo: Long, hi: Long) =
+      spark.range(lo, hi).toDF("id").withColumn("v", col("id") * 10L)
+    // bootstrap (mode irrelevant on a first write)
+    frame(0, 100).write.format("graft-snapshot")
+      .option("statsCols", "id").save(root)
+    assert(spark.read.format("graft-snapshot").load(root).count() == 100L)
+    // Append publishes a NEW version with the extra rows
+    frame(100, 150).write.format("graft-snapshot").mode(SaveMode.Append)
+      .option("statsCols", "id").save(root)
+    assert(spark.read.format("graft-snapshot").load(root).count() == 150L)
+    assert(SnapshotManifest.currentVersion(spark, root).contains(1L))
+    // Overwrite is a full-overwrite commit
+    frame(0, 30).write.format("graft-snapshot").mode(SaveMode.Overwrite)
+      .option("statsCols", "id").save(root)
+    assert(spark.read.format("graft-snapshot").load(root)
+      .as[(Long, Long)].collect().toSet ==
+      (0L until 30L).map(i => i -> i * 10L).toSet)
+    // Ignore no-ops on an existing table; ErrorIfExists refuses
+    frame(0, 5).write.format("graft-snapshot").mode(SaveMode.Ignore).save(root)
+    assert(spark.read.format("graft-snapshot").load(root).count() == 30L)
+    intercept[IllegalStateException] {
+      frame(0, 5).write.format("graft-snapshot")
+        .mode(SaveMode.ErrorIfExists).save(root)
+    }
+    // stats recorded through the writer prune through the reader
+    spark.read.format("graft-snapshot").load(root)
+      .filter(col("id") < 5L).collect()
+    assert(SnapshotFileIndex.lastKept < SnapshotFileIndex.lastConsidered,
+      "writer-recorded stats must prune through the reader")
   }
 
   test("empty-result prune still returns the full schema and zero rows") {
