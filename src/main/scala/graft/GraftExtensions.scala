@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: window top-N (row_number <= k) → bounded topk
     // aggregate with map-side partials (see graft.plans.TopNWindowRewrite)
     e.injectOptimizerRule(_ => graft.plans.TopNWindowRewrite())
+    // snapshot-format SQL statements: DELETE/UPDATE/MERGE on registered
+    // graft-snapshot tables → the engine's commit verbs, and catalog
+    // reads of non-file-relation versions (live DVs, empty bodies) →
+    // the distributed materialized read (see graft.plans.SnapshotStatements)
+    e.injectPostHocResolutionRule(session =>
+      graft.plans.SnapshotStatements(session))
     e.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

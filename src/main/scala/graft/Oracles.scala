@@ -1540,6 +1540,71 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // SQL/catalog surface (q156): the stream's parquet output must hold
+    // the initial snapshot plus the two SQL INSERT slices, each exactly
+    // once — a re-emit, a skipped commit, or a wrong INSERT projection
+    // shifts the aggregate.
+    "q156_sql_catalog" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |streamed AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey + 40000000, o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey BETWEEN 1 AND 50
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000, o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey BETWEEN 51 AND 100)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM streamed
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // DV-live named read (q157): merge-on-read semantics — the deleted
+    // range vanishes, the updated range reads post-image, everything else
+    // verbatim. A reader that served raw files (ignoring the sidecars)
+    // would resurrect the deleted rows and miss the update.
+    "q157_mor_named_read" ->
+      """WITH mor AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey BETWEEN 100 AND 140 THEN 'U'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey BETWEEN 100 AND 140 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey NOT BETWEEN 1000 AND 1999)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM mor
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // SQL MERGE (q158): the upsert replayed relationally — staged rows
+    // win on key collision (update), new keys append (insert), everything
+    // else survives verbatim.
+    "q158_sql_merge" ->
+      """WITH staged AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |         o_totalprice * 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey BETWEEN 100 AND 140
+        |  UNION ALL
+        |  SELECT o_orderkey + 60000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey BETWEEN 1 AND 30),
+        |merged AS (
+        |  SELECT * FROM staged
+        |  UNION ALL
+        |  SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice
+        |  FROM orders b ANTI JOIN staged s ON b.o_orderkey = s.o_orderkey)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // Idempotent append (q147): the replayed middle slice lands ONCE, so
     // the oracle is simply the single-copy reassembly — a double-append
     // doubles its counts and shifts every sum.

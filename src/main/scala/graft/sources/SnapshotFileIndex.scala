@@ -62,14 +62,16 @@ private[graft] final class SnapshotFileIndex(
 
   override def partitionSchema: StructType = new StructType()
 
+  private val counters = SnapshotFileIndex.countersFor(root)
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    SnapshotFileIndex.calls.incrementAndGet()
+    counters.calls.incrementAndGet()
     val survivors = dataFilters.reduceOption(And) match {
       case Some(pred) =>
         val kept = ManifestStats.prune(absPaths, stats, pred)
-        SnapshotFileIndex.prunes.incrementAndGet()
-        SnapshotFileIndex.lastPrune.set((absPaths.size.toLong << 32) | kept.size.toLong)
+        counters.prunes.incrementAndGet()
+        counters.lastPrune.set((absPaths.size.toLong << 32) | kept.size.toLong)
         kept
       case None => absPaths
     }
@@ -78,20 +80,54 @@ private[graft] final class SnapshotFileIndex(
 
   override def inputFiles: Array[String] = absPaths.toArray
 
+  /** Every file status of this version, manifest order — the DSv2 wrapper
+    * ([[SnapshotTableV2]]) feeds these to `PartitioningAwareFileIndex`'s
+    * leaf maps; resolution shares [[statusByPath]]'s one-listStatus-per-dir
+    * cache.
+    */
+  private[graft] def allStatuses: Seq[FileStatus] = absPaths.map(statusOf)
+
   override def refresh(): Unit = () // a snapshot version is immutable
 
   override lazy val sizeInBytes: Long = absPaths.map(statusOf(_).getLen).sum
 }
 
 private[graft] object SnapshotFileIndex {
-  /** Diagnostic counters: filtered-scan plannings that ran manifest-stats
-    * pruning, and the last (considered << 32 | kept) pair — specs and the
-    * q155 gate assert the planning-time prune actually fired and dropped
-    * files.
+
+  /** Diagnostic counters for ONE table root: filtered-scan plannings that
+    * ran manifest-stats pruning, and the last (considered << 32 | kept)
+    * pair — specs and the q155/q156 gates assert the planning-time prune
+    * actually fired and dropped files. PER-ROOT, not JVM-global: a gate
+    * reads the counters of the relation it built, so a concurrent query
+    * over another snapshot table (or a second scan elsewhere in the same
+    * plan) cannot make the gate assert on the wrong scan's numbers.
     */
-  val prunes = new java.util.concurrent.atomic.AtomicLong
-  val calls = new java.util.concurrent.atomic.AtomicLong
-  val lastPrune = new java.util.concurrent.atomic.AtomicLong(-1L)
-  def lastConsidered: Long = lastPrune.get() >>> 32
-  def lastKept: Long = lastPrune.get() & 0xffffffffL
+  final class PruneCounters {
+    val prunes = new java.util.concurrent.atomic.AtomicLong
+    val calls = new java.util.concurrent.atomic.AtomicLong
+    val lastPrune = new java.util.concurrent.atomic.AtomicLong(-1L)
+    def lastConsidered: Long = lastPrune.get() >>> 32
+    def lastKept: Long = lastPrune.get() & 0xffffffffL
+  }
+
+  // counters live and are looked up per root (all versions of a root
+  // share one object — gates use distinct temp roots). Entries are a few
+  // AtomicLongs; the clear() guard bounds a pathological
+  // many-tables-one-JVM run — these are diagnostics, not state.
+  private val byRoot =
+    new java.util.concurrent.ConcurrentHashMap[String, PruneCounters]
+  private val MaxTracked = 4096
+
+  def countersFor(root: String): PruneCounters = {
+    if (byRoot.size > MaxTracked) byRoot.clear()
+    byRoot.computeIfAbsent(normalize(root), _ => new PruneCounters)
+  }
+
+  // the same table root arrives both bare ("/tmp/t") and scheme-qualified
+  // ("file:/tmp/t" — catalog LOCATIONs); key on authority + path so a gate
+  // reads the counters its relation wrote whichever spelling it used
+  private def normalize(root: String): String = {
+    val uri = new Path(root).toUri
+    Option(uri.getAuthority).getOrElse("") + uri.getPath
+  }
 }

@@ -1343,7 +1343,13 @@ object SnapshotManifest {
       }
     def put(key: String, e: Entry): Unit = synchronized { map.put(key, e); () }
     def invalidate(key: String): Unit = synchronized { map.remove(key); () }
+    def size: Int = synchronized { map.size }
   }
+
+  /** Live header-cache entry count (test instrumentation: the eviction
+    * spec pins the 512-entry budget under many-tables churn).
+    */
+  private[graft] def headerCacheSize: Int = HeaderCache.size
 
   /** The parsed HEADER of `version` — metadata + `base=` pointer — from
     * the cache or ONE streamed read that stops at the first body line.
@@ -1458,7 +1464,13 @@ object SnapshotManifest {
         it.remove()
       }
     }
+    def stats: (Int, Long) = synchronized { (map.size, totalLines) }
   }
+
+  /** (entries, total cached body lines) of the parts cache — the eviction
+    * spec pins the 500k-line budget and over-budget-body skip.
+    */
+  private[graft] def partsCacheStats: (Int, Long) = PartsCache.stats
 
   private[graft] def manifestParts(spark: SparkSession, root: String,
       version: Long): (Seq[String], TableMeta) = {

@@ -52,8 +52,10 @@ class FaultyFileSystem extends RawLocalFileSystem {
   override def getFileStatus(f: Path): org.apache.hadoop.fs.FileStatus =
     eager(super.getFileStatus(f))
 
-  override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] =
+  override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    FaultyFileSystem.listStatusCount.incrementAndGet()
     super.listStatus(f).map(eager)
+  }
 
   // every create/append overload in RawLocalFileSystem funnels here
   override protected def createOutputStreamWithMode(f: Path, append: Boolean,
@@ -64,8 +66,17 @@ class FaultyFileSystem extends RawLocalFileSystem {
 
   override def rename(src: Path, dst: Path): Boolean = {
     FaultGate.hit("rename", dst)
-    // HDFS contract, not POSIX: rename FAILS on an existing destination
-    if (exists(dst)) false else super.rename(src, dst)
+    // HDFS contract, not POSIX: rename FAILS on an existing destination.
+    // The NameNode serializes this check-and-move atomically; a bare
+    // exists()-then-rename here would let two racing writers both pass the
+    // check and both "win" (POSIX rename replaces silently), making the
+    // race fuzz validate mutual exclusion against a WEAKER primitive than
+    // the one the commit protocol assumes — so the pair is serialized
+    // through one JVM-global lock (local-mode driver and executors share
+    // the JVM, so the lock covers every path into this scheme).
+    FaultyFileSystem.renameLock.synchronized {
+      if (exists(dst)) false else super.rename(src, dst)
+    }
   }
 
   override def delete(p: Path, recursive: Boolean): Boolean = {
@@ -100,6 +111,16 @@ class FaultyFileSystem extends RawLocalFileSystem {
 
 object FaultyFileSystem {
   val Name: URI = URI.create("faulty:///")
+
+  /** Serializes the exists+rename pair so the scheme provides the ATOMIC
+    * conditional rename HDFS does (see [[FaultyFileSystem.rename]]).
+    */
+  private[graft] val renameLock = new Object
+
+  /** Directory-listing calls through the scheme — PlanningScaleSpec pins
+    * "one listStatus per data directory" on the 10⁴-file index.
+    */
+  val listStatusCount = new AtomicLong
 }
 
 /** JVM-global trigger for [[FaultyFileSystem]] (local-mode executors share

@@ -29,19 +29,20 @@ class SnapshotFileIndexSpec extends SparkSpec {
     val t = SnapshotManifest.table(spark, root)
     assert(t.as[(Long, Long)].collect().toSet ==
       SnapshotManifest.read(spark, root).as[(Long, Long)].collect().toSet)
-    val p0 = SnapshotFileIndex.prunes.get()
+    val ctr = SnapshotFileIndex.countersFor(root) // per-root counters
+    val p0 = ctr.prunes.get()
     val out = t.filter(col("id").between(100L, 120L)).as[(Long, Long)].collect().toSet
     assert(out == (100L to 120L).map(i => i -> i * 10L).toSet)
-    assert(SnapshotFileIndex.prunes.get() > p0,
+    assert(ctr.prunes.get() > p0,
       "the filtered scan must run manifest-stats pruning during planning")
-    assert(SnapshotFileIndex.lastKept < SnapshotFileIndex.lastConsidered,
+    assert(ctr.lastKept < ctr.lastConsidered,
       s"a 21-key range over a range-clustered 8-file table must drop files " +
-        s"(considered ${SnapshotFileIndex.lastConsidered}, kept ${SnapshotFileIndex.lastKept})")
+        s"(considered ${ctr.lastConsidered}, kept ${ctr.lastKept})")
     // the SCAN itself only touches survivors — not just the row filter
     val scanned = t.filter(col("id").between(100L, 120L))
       .select(input_file_name()).distinct().count()
-    assert(scanned == SnapshotFileIndex.lastKept,
-      s"the scan read $scanned files but planning kept ${SnapshotFileIndex.lastKept}")
+    assert(scanned == ctr.lastKept,
+      s"the scan read $scanned files but planning kept ${ctr.lastKept}")
   }
 
   test("parquet pushdown survives the relation: PushedFilters + pruned ReadSchema in the plan") {
@@ -72,7 +73,8 @@ class SnapshotFileIndexSpec extends SparkSpec {
       case r => bootstrap(r); r
     }).filter(col("v") === 500L)
     assert(out.as[(Long, Long)].collect().toSet == Set(50L -> 500L))
-    assert(SnapshotFileIndex.lastKept == SnapshotFileIndex.lastConsidered,
+    val ctr = SnapshotFileIndex.countersFor(root)
+    assert(ctr.lastKept == ctr.lastConsidered,
       "stats-less columns must not prune")
   }
 
@@ -92,11 +94,12 @@ class SnapshotFileIndexSpec extends SparkSpec {
     // the clustered layout records single-valued partition stats, so the
     // partition predicate prunes during planning and the scan touches
     // only surviving files
-    assert(SnapshotFileIndex.lastKept < SnapshotFileIndex.lastConsidered,
-      s"partition predicate must prune (considered ${SnapshotFileIndex.lastConsidered}, " +
-        s"kept ${SnapshotFileIndex.lastKept})")
+    val ctr = SnapshotFileIndex.countersFor(root)
+    assert(ctr.lastKept < ctr.lastConsidered,
+      s"partition predicate must prune (considered ${ctr.lastConsidered}, " +
+        s"kept ${ctr.lastKept})")
     val scanned = out.select(input_file_name()).distinct().count()
-    assert(scanned == SnapshotFileIndex.lastKept)
+    assert(scanned == ctr.lastKept)
   }
 
   test("fallback shapes stay row-equal: DV'd table and versionAsOf") {
@@ -116,7 +119,7 @@ class SnapshotFileIndexSpec extends SparkSpec {
     assert(v0 == (0L until 200L).map(i => i -> i * 10L).toSet)
   }
 
-  test("spark.read.format(\"graft-snapshot\") serves the same relation; versionAsOf option; DVs refused loudly") {
+  test("spark.read.format(\"graft-snapshot\") serves the same relation; versionAsOf option; DV-live versions fall back to the MoR read") {
     val root = newRoot()
     bootstrap(root, n = 300L, parts = 4)
     val viaFormat = spark.read.format("graft-snapshot").load(root)
@@ -124,16 +127,17 @@ class SnapshotFileIndexSpec extends SparkSpec {
       (0L until 300L).map(i => i -> i * 10L).toSet)
     // pushed filters prune through the named reader too
     viaFormat.filter(col("id") < 75L).collect()
-    assert(SnapshotFileIndex.lastKept < SnapshotFileIndex.lastConsidered)
+    locally { val ctr = SnapshotFileIndex.countersFor(root)
+      assert(ctr.lastKept < ctr.lastConsidered) }
     SnapshotManifest.deleteWhere(spark, root, col("id") >= 150L, Seq("id"))
     assert(spark.read.format("graft-snapshot").option("versionAsOf", "0")
       .load(root).count() == 300L)
     assert(spark.read.format("graft-snapshot").load(root).count() == 150L)
     SnapshotManifest.deleteWhereMoR(spark, root, col("id") < 10L)
-    val e = intercept[IllegalArgumentException] {
-      spark.read.format("graft-snapshot").load(root).collect()
-    }
-    assert(e.getMessage.contains("deletion-vector"))
+    // a DV-live version SERVES (round-13: MoR fallback), same rows as read()
+    assert(spark.read.format("graft-snapshot").load(root)
+      .as[(Long, Long)].collect().toSet ==
+      SnapshotManifest.read(spark, root).as[(Long, Long)].collect().toSet)
   }
 
   test("df.write.format(\"graft-snapshot\"): SaveMode maps onto the commit verbs") {
@@ -165,8 +169,9 @@ class SnapshotFileIndexSpec extends SparkSpec {
     // stats recorded through the writer prune through the reader
     spark.read.format("graft-snapshot").load(root)
       .filter(col("id") < 5L).collect()
-    assert(SnapshotFileIndex.lastKept < SnapshotFileIndex.lastConsidered,
-      "writer-recorded stats must prune through the reader")
+    locally { val ctr = SnapshotFileIndex.countersFor(root)
+      assert(ctr.lastKept < ctr.lastConsidered,
+        "writer-recorded stats must prune through the reader") }
   }
 
   test("empty-result prune still returns the full schema and zero rows") {
