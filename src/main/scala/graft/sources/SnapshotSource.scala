@@ -38,8 +38,79 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `bloomCols` / `partitionCols` (the 6-arg commit).
   */
 final class SnapshotSource extends TableProvider with RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
+
+  // ---- Streaming sink: exactly-once appends per micro-batch -----------
+
+  /** `df.writeStream.format("graft-snapshot").option("checkpointLocation",
+    * …).start(root)` — each micro-batch lands through
+    * [[SnapshotManifest.appendRowsIdempotent]] keyed by (txnAppId,
+    * batchId), so a replayed batch after a crash/restart appends EXACTLY
+    * once (the recorded txn skips it) — the engine's idempotent-append
+    * contract as a standard Structured Streaming sink. A first batch on
+    * an absent root bootstraps an empty version 0 (schema from the batch)
+    * so the idempotent append always has a txn ledger to land on. The
+    * txn identity defaults to the checkpoint location (the identity that
+    * survives restarts); override with `txnAppId`. Append output mode
+    * only — the snapshot's update/complete shapes are the streaming
+    * upsert operators ([[graft.streaming.StreamingUpsert]]).
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-snapshot sink: a table root is required — .start(<tableRoot>)"))
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-snapshot sink: only Append output mode is supported (got " +
+        s"$outputMode) — update/complete shapes are the streaming upsert " +
+        "operators (graft.streaming.StreamingUpsert)")
+    require(partitionColumns.isEmpty,
+      "graft-snapshot sink: partitionBy is declared at bootstrap " +
+        "(partitionCols table property), not per stream")
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation")).getOrElse(
+        throw new IllegalArgumentException(
+          "graft-snapshot sink: exactly-once needs a stable txn identity " +
+            "— set checkpointLocation (the default identity) or txnAppId"))
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val spark = sqlContext.sparkSession
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, streamData: DataFrame): Unit = {
+        // the micro-batch frame is isStreaming-flagged (df.write refused);
+        // re-wrap its executed plan as a batch frame — the standard V1
+        // sink move
+        val data = org.apache.spark.sql.graftbridge.ColumnBridge
+          .streamingBatchAsBatch(streamData)
+        def land(attempt: Int): Unit =
+          try {
+            if (SnapshotManifest.currentVersion(spark, root).isEmpty) {
+              // bootstrap an empty v0: the ledger the idempotent append
+              // records its (appId, batchId) txn on. Schema-only — no job
+              // runs against the batch frame here (it executes exactly
+              // once, inside the append below)
+              SnapshotManifest.commit(spark, root,
+                spark.createDataFrame(
+                  new java.util.ArrayList[Row](), data.schema), statsCols)
+              ()
+            }
+            SnapshotManifest.appendRowsIdempotent(spark, root, data, appId,
+              batchId, statsCols)
+            ()
+          } catch {
+            case e: ConcurrentCommitException =>
+              if (attempt >= 5) throw e
+              land(attempt + 1)
+          }
+        land(0)
+      }
+      override def toString: String = s"graft-snapshot sink [$root]"
+    }
+  }
 
   // ---- DataSource V2: TableProvider ----------------------------------
 

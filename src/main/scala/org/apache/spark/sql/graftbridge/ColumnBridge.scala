@@ -23,4 +23,17 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-wrap a streaming micro-batch frame as a BATCH frame (the isStreaming
+    * flag forbids `df.write`): the standard V1-sink move — the batch's
+    * executed plan becomes a plain RDD-backed frame. `private[sql]`
+    * (`internalCreateDataFrame`), hence bridged here.
+    */
+  def streamingBatchAsBatch(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val classic = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -264,6 +264,53 @@ class SnapshotSqlSpec extends SparkSpec {
       s"the feed stream must carry the update post-image ($changes; ranges $ranges)")
   }
 
+  test("writeStream sink: snapshot→snapshot replication, exactly-once across restarts and batch replays") {
+    val src = newRoot()
+    val dst = newRoot() + "/dst"
+    val ckpt = newRoot() + "/ckpt"
+    bootstrap(src, n = 80L, parts = 2)
+
+    // the WHOLE pipeline is standard Structured Streaming: tail one
+    // snapshot table, land in another — both ends this format
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-snapshot").load(src)
+        .writeStream.format("graft-snapshot")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(dst)
+      q.awaitTermination(120000)
+      ()
+    }
+    runOnce()
+    assert(SnapshotManifest.read(spark, dst).count() == 80L)
+    SnapshotManifest.appendRows(spark, src,
+      spark.range(80, 120).toDF("id").withColumn("v", col("id") * 10L), Seq("id"))
+    runOnce() // restart: exactly the new commit, no re-appends
+    val out = SnapshotManifest.read(spark, dst).as[(Long, Long)].collect()
+    assert(out.length == 120 && out.map(_._1).toSet == (0L until 120L).toSet,
+      s"restart must land the new commit exactly once (got ${out.length})")
+
+    // a REPLAYED batch (same txn identity + batch id) lands nothing:
+    // re-running the same AvailableNow window is a no-op
+    val vBefore = SnapshotManifest.currentVersion(spark, dst)
+    runOnce()
+    assert(SnapshotManifest.read(spark, dst).count() == 120L &&
+      SnapshotManifest.currentVersion(spark, dst) == vBefore,
+      "an already-landed window must not append or commit again")
+
+    // update/complete modes refuse loudly
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-snapshot").load(src)
+        .groupBy(col("v")).count()
+        .writeStream.format("graft-snapshot")
+        .outputMode("complete")
+        .option("checkpointLocation", newRoot() + "/ck2")
+        .trigger(Trigger.AvailableNow()).start(newRoot() + "/d2")
+    }
+    assert(e.getMessage.contains("Append output mode") ||
+      Option(e.getCause).exists(_.getMessage.contains("Append output mode")),
+      s"unexpected refusal: ${e.getMessage}")
+  }
+
   test("V2 batch read equals V1: versionAsOf through the scan; write path SaveModes unchanged") {
     val root = newRoot() + "/t"
     def frame(lo: Long, hi: Long) =
