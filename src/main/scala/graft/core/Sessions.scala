@@ -23,6 +23,10 @@ object Sessions {
       .appName(appName)
       .master(master)
       .withExtensions(new graft.GraftExtensions) // SQL-callable native fns
+      // session-catalog extension: SQL time travel (VERSION/TIMESTAMP AS
+      // OF) for snapshot tables; everything else delegates verbatim
+      .config("spark.sql.catalog.spark_catalog",
+        "graft.sources.GraftCatalog")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -264,6 +264,56 @@ class SnapshotSqlSpec extends SparkSpec {
       s"the feed stream must carry the update post-image ($changes; ranges $ranges)")
   }
 
+  test("DataFrameWriterV2: writeTo(t).append() and .overwrite(cond) drive the commit verbs") {
+    val root = newRoot()
+    bootstrap(root, n = 100L, parts = 4)
+    spark.sql(s"CREATE TABLE snap_wt2 USING `graft-snapshot` LOCATION '$root'")
+    try {
+      // append (by-name resolution)
+      spark.range(100, 130).toDF("id").withColumn("v", col("id") * 10L)
+        .writeTo("snap_wt2").append()
+      assert(SnapshotManifest.read(spark, root).count() == 130L)
+      assert(SnapshotManifest.currentVersion(spark, root).contains(1L))
+      // filtered overwrite = replaceWhere: ONE atomic commit of
+      // survivors ∪ new rows
+      spark.range(500, 510).toDF("id").withColumn("v", lit(-1L))
+        .writeTo("snap_wt2").overwrite(col("id") >= 100L)
+      val after = SnapshotManifest.read(spark, root).as[(Long, Long)].collect()
+      assert(after.count(_._1 < 100L) == 100 &&
+        after.count(_._2 == -1L) == 10 && after.length == 110,
+        s"replaceWhere must drop the matching range and land the new rows " +
+          s"(got ${after.length})")
+      // truncate overwrite
+      spark.range(0, 7).toDF("id").withColumn("v", col("id"))
+        .writeTo("snap_wt2").overwrite(lit(true))
+      assert(SnapshotManifest.read(spark, root).count() == 7L)
+    } finally spark.sql("DROP TABLE IF EXISTS snap_wt2")
+  }
+
+  test("readStream maxVersionsPerTrigger bounds each batch; AvailableNow still drains to the pinned target") {
+    val root = newRoot()
+    val ckpt = newRoot() + "/ckpt"
+    val outDir = newRoot() + "/out"
+    bootstrap(root, n = 10L, parts = 1)
+    SnapshotManifest.appendRows(spark, root,
+      spark.range(10, 20).toDF("id").withColumn("v", col("id") * 10L), Seq("id"))
+    SnapshotManifest.appendRows(spark, root,
+      spark.range(20, 30).toDF("id").withColumn("v", col("id") * 10L), Seq("id"))
+    val q = spark.readStream.format("graft-snapshot")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(outDir).count() == 30L,
+      "AvailableNow must drain every commit despite the per-trigger cap")
+    // one version per batch: at least 3 committed micro-batches
+    val batches = new java.io.File(ckpt + "/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 3,
+      s"maxVersionsPerTrigger=1 over 3 versions must take >= 3 batches ($batches)")
+  }
+
   test("writeStream sink: snapshot→snapshot replication, exactly-once across restarts and batch replays") {
     val src = newRoot()
     val dst = newRoot() + "/dst"
