@@ -55,6 +55,22 @@ class GraftCatalog extends DelegatingCatalogExtension {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Snapshot tables load as THE V2 [[SnapshotTable]] (current version)
+    * — with a catalog extension registered, plain loads no longer take
+    * the built-in provider-conversion path, so returning the table here
+    * is what keeps SQL reads on the pruning scan, INSERT on the V2 write,
+    * and DELETE/UPDATE/MERGE visible to the
+    * [[graft.plans.SnapshotStatements]] rewrite (the same pattern the
+    * public lakehouse catalogs use). Everything else delegates.
+    */
+  override def loadTable(ident: Identifier): Table =
+    snapshotRoot(ident) match {
+      case Some(root) =>
+        new SnapshotTable(spark, root, None, None,
+          CaseInsensitiveStringMap.empty())
+      case None => super.loadTable(ident)
+    }
+
   override def loadTable(ident: Identifier, version: String): Table =
     snapshotRoot(ident) match {
       case Some(root) =>

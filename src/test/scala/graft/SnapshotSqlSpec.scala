@@ -38,6 +38,9 @@ class SnapshotSqlSpec extends SparkSpec {
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        // mirror graft.core.Sessions exactly (extensions + catalog) so
+        // these tests exercise the same resolution paths as Verify/Bench
+        .config("spark.sql.catalog.spark_catalog", "graft.sources.GraftCatalog")
         .withExtensions(new GraftExtensions)
         .getOrCreate()
       f(ext)
