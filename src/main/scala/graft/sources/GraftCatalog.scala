@@ -40,17 +40,20 @@ class GraftCatalog extends DelegatingCatalogExtension {
       .getOrElse(throw new IllegalStateException(
         "GraftCatalog: no active SparkSession"))
 
-  /** The snapshot root of `ident` when (and only when) it is a
-    * graft-snapshot table in the session catalog.
+  /** (root, catalog-declared schema) when `ident` is a graft-snapshot
+    * table in the session catalog. The declared schema matters only
+    * pre-bootstrap (CREATE TABLE with columns, then INSERT): once a
+    * snapshot exists its manifest is authoritative.
     */
-  private def snapshotRoot(ident: Identifier): Option[String] = {
+  private def snapshotRoot(ident: Identifier)
+      : Option[(String, Option[org.apache.spark.sql.types.StructType])] = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val id = TableIdentifier(ident.name,
       ident.namespace.lastOption.orElse(Some("default")))
     try {
       val meta = classic.sessionState.catalog.getTableMetadata(id)
       if (meta.provider.exists(_.equalsIgnoreCase("graft-snapshot")))
-        Some(meta.location.toString)
+        Some((meta.location.toString, Some(meta.schema).filter(_.nonEmpty)))
       else None
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -65,15 +68,15 @@ class GraftCatalog extends DelegatingCatalogExtension {
     */
   override def loadTable(ident: Identifier): Table =
     snapshotRoot(ident) match {
-      case Some(root) =>
-        new SnapshotTable(spark, root, None, None,
+      case Some((root, declared)) =>
+        new SnapshotTable(spark, root, None, declared,
           CaseInsensitiveStringMap.empty())
       case None => super.loadTable(ident)
     }
 
   override def loadTable(ident: Identifier, version: String): Table =
     snapshotRoot(ident) match {
-      case Some(root) =>
+      case Some((root, _)) =>
         val v = try version.toLong catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
             s"graft-snapshot: VERSION AS OF takes a version NUMBER, got " +
@@ -89,7 +92,7 @@ class GraftCatalog extends DelegatingCatalogExtension {
 
   override def loadTable(ident: Identifier, timestampMicros: Long): Table =
     snapshotRoot(ident) match {
-      case Some(root) =>
+      case Some((root, _)) =>
         val v = SnapshotManifest.versionAsOf(spark, root,
           timestampMicros / 1000L).getOrElse(
           throw new IllegalStateException(

@@ -132,8 +132,27 @@ class PlanSpec extends SparkSpec {
     // at sf0.001, fatal at 100 TB. Physical-node inspection, not string
     // matching: partitionSpec is checked on every WindowExec-family node.
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // the sweep runs in a PRODUCTION-shaped session (extensions + catalog,
+    // exactly graft.core.Sessions): the SQL/catalog queries (q156+)
+    // require it, and it is the session the driver's Verify/Bench use —
+    // the plans audited here are the plans that actually run
+    val shared = spark // force-init the plain shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val prodLike = try SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.spark_catalog", "graft.sources.GraftCatalog")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.sparkPlan
+      val plan = fn(prodLike, sfDir).queryExecution.sparkPlan
       val bad = plan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
         case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName

@@ -30,6 +30,7 @@ class SnapshotSqlSpec extends SparkSpec {
     * afterwards so later suites are unaffected.
     */
   private def withExtSession[A](f: SparkSession => A): A = {
+    val shared = spark // force-init the plain shared session FIRST (see SqlTimeTravelSpec)
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try {
@@ -45,8 +46,8 @@ class SnapshotSqlSpec extends SparkSpec {
         .getOrCreate()
       f(ext)
     } finally {
-      SparkSession.setActiveSession(spark)
-      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
     }
   }
 
@@ -265,6 +266,52 @@ class SnapshotSqlSpec extends SparkSpec {
       s"the feed stream must carry the merge's insert ($changes; ranges $ranges)")
     assert(changes.contains("update_postimage"),
       s"the feed stream must carry the update post-image ($changes; ranges $ranges)")
+  }
+
+  test("CREATE TABLE with declared columns, then INSERT: catalog-first bootstrap") {
+    withExtSession { ext =>
+      val root = newRoot() + "/t"
+      ext.sql(s"CREATE TABLE snap_boot (id BIGINT, v BIGINT) " +
+        s"USING `graft-snapshot` LOCATION '$root'")
+      try {
+        // no snapshot yet: the declared schema carries the table until
+        // the first INSERT bootstraps it
+        ext.sql("INSERT INTO snap_boot VALUES (1, 10), (2, 20)")
+        assert(ext.sql("SELECT sum(v) FROM snap_boot").head().getLong(0) == 30L)
+        assert(SnapshotManifest.read(ext, root).count() == 2L)
+        // and the manifest is authoritative from then on
+        ext.sql("INSERT INTO snap_boot VALUES (3, 30)")
+        assert(ext.sql("SELECT count(*) FROM snap_boot").head().getLong(0) == 3L)
+      } finally ext.sql("DROP TABLE IF EXISTS snap_boot")
+    }
+  }
+
+  test("readStream ignoreChanges=true re-emits rewritten files instead of refusing") {
+    val root = newRoot()
+    val ckpt = newRoot() + "/ckpt"
+    val outDir = newRoot() + "/out"
+    bootstrap(root, n = 40L, parts = 2)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("ignoreChanges", "true").load(root)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      ()
+    }
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 40L)
+    // a destructive window: CoW delete rewrites a file
+    SnapshotManifest.deleteWhere(spark, root, col("id") < 5L, Seq("id"))
+    runOnce() // no refusal; the REWRITTEN file's survivors re-emit
+    val out = spark.read.parquet(outDir).as[(Long, Long)].collect()
+    // at-least-once on rewrites (Delta's ignoreChanges contract): every
+    // current row present, re-emitted survivors may duplicate
+    assert(out.map(_._1).toSet == (0L until 40L).toSet,
+      "every pre-delete row was already emitted; survivors may re-emit")
+    assert(out.length >= 40 && out.length <= 40 + 35,
+      s"re-emits are bounded by the rewritten file's rows (${out.length})")
   }
 
   test("DataFrameWriterV2: writeTo(t).append() and .overwrite(cond) drive the commit verbs") {

@@ -15,6 +15,11 @@ import graft.sources.SnapshotManifest
 class SqlTimeTravelSpec extends SparkSpec {
 
   test("VERSION AS OF / TIMESTAMP AS OF on a catalog snapshot table; delegation otherwise") {
+    // force-init the PLAIN shared session before any clear: if the lazy
+    // SparkSpec.spark first materialized while the extension session was
+    // the default, getOrCreate would hand every later suite the
+    // extension session (rule pollution across suites)
+    val shared = spark
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try {
@@ -61,8 +66,8 @@ class SqlTimeTravelSpec extends SparkSpec {
         } finally ext.sql("DROP TABLE IF EXISTS tt_plain")
       } finally ext.sql("DROP TABLE IF EXISTS tt_sql")
     } finally {
-      SparkSession.setActiveSession(spark)
-      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
     }
   }
 }
