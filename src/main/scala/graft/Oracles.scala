@@ -1605,6 +1605,60 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // SQL ALTER + explicit-list MERGE (q159): the widened column is null
+    // for untouched rows ('base'), populated by the merge for updated and
+    // inserted ones — a widening that rewrote or dropped rows, a merge
+    // that missed the new column, or a backfill reading garbage shifts
+    // the per-flag groups.
+    "q159_sql_alter" ->
+      """WITH staged AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |         o_totalprice * 2 AS o_totalprice, 'upd' AS flag
+        |  FROM orders WHERE o_orderkey BETWEEN 100 AND 300
+        |  UNION ALL
+        |  SELECT o_orderkey + 70000000, o_orderstatus, o_totalprice,
+        |         'new' AS flag
+        |  FROM orders WHERE o_orderkey BETWEEN 1 AND 40),
+        |merged AS (
+        |  SELECT * FROM staged
+        |  UNION ALL
+        |  SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice,
+        |         CAST(NULL AS VARCHAR) AS flag
+        |  FROM orders b ANTI JOIN staged s ON b.o_orderkey = s.o_orderkey)
+        |SELECT coalesce(flag, 'base') AS flag, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // DDL-declared properties (q160): indexes and partitioning are
+    // pruning aids, never semantics — the point lookup must return
+    // exactly the raw fixture's rows (a bloom false negative or an
+    // overdropped partition file loses one here).
+    "q160_ddl_properties" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey IN (1, 7, 32, 33, 1000, 4999, 12345, 29989)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // SQL maintenance (q161): OPTIMIZE and VACUUM are layout/retention
+    // verbs — the table must read exactly as the churn left it (a sweep
+    // that ate a live file or a rewrite that dropped rows shifts the
+    // aggregate).
+    "q161_sql_maintenance" ->
+      """WITH churned AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey BETWEEN 100 AND 140 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey NOT BETWEEN 1000 AND 1999)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM churned
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // Idempotent append (q147): the replayed middle slice lands ONCE, so
     // the oracle is simply the single-copy reassembly — a double-append
     // doubles its counts and shifts every sum.

@@ -92,7 +92,7 @@ object Layout {
     * partition clustering rather than range-partitioning the whole frame).
     */
   def zValueFor(df: DataFrame, zCols: Seq[String], bits: Int = 8): Column = {
-    require(zCols.size >= 2, "zValueFor needs at least 2 columns")
+    require(zCols.nonEmpty, "zValueFor needs at least 1 column")
     require(zCols.distinct.size == zCols.size, s"duplicate z-order column in $zCols")
     // backticked refs: a z-column NAME containing a dot must resolve as a
     // top-level column, not parse as a nested-field path
@@ -105,7 +105,9 @@ object Layout {
       require(!row.isNullAt(2 * i), s"zValueFor: empty input or all-null $c")
       bucketLong(col(s"`$c`"), row.getLong(2 * i), row.getLong(2 * i + 1), bits)
     }
-    zValueN(buckets, bits)
+    // one column has nothing to interleave — the clustering IS the
+    // bucketed order (Delta's single-column ZORDER is the same range sort)
+    if (buckets.size == 1) buckets.head else zValueN(buckets, bits)
   }
 
   /** Cluster `df` for scans that filter on BOTH `colA` and `colB`: bucket

@@ -74,11 +74,18 @@ final case class SnapshotStatements(spark: SparkSession)
           val served = graft.sources.SnapshotManifest
             .readVersion(spark, t.root, t.snapshotVersion.get)
             .queryExecution.analyzed
-          require(served.output.length == r.output.length,
-            s"graft-snapshot: materialized serve of ${t.root} produced " +
-              s"${served.output.length} columns for a ${r.output.length}" +
-              "-column relation")
-          Project(r.output.zip(served.output).map { case (tgt, src) =>
+          // resolve BY NAME (names are unique in a table schema), never by
+          // position: a column-order divergence between readVersion and
+          // the relation must fail loudly, not serve data under the wrong
+          // attribute
+          val servedByName = served.output
+            .map(a => a.name.toLowerCase -> a).toMap
+          Project(r.output.map { tgt =>
+            val src = servedByName.getOrElse(tgt.name.toLowerCase,
+              throw new IllegalStateException(
+                s"graft-snapshot: materialized serve of ${t.root} has no " +
+                  s"column '${tgt.name}' (serves " +
+                  s"${served.output.map(_.name).mkString(", ")})"))
             Alias(src, tgt.name)(exprId = tgt.exprId,
               qualifier = tgt.qualifier)
           }, served)
@@ -151,11 +158,24 @@ final case class SnapshotStatements(spark: SparkSession)
         val in = assignPairs(inAssigns, "INSERT")
         val upMap = up.toMap
         val inMap = in.toMap
-        if (upMap.keySet != inMap.keySet ||
-            upMap.exists { case (k, v) => !inMap(k).semanticEquals(v) })
+        // compare the NON-KEY mappings: the reference's canonical
+        // explicit-list shape (utils.py:265-292) excludes the ON keys
+        // from UPDATE SET (keys are immutable in a merge) while INSERT
+        // includes them — a key column whose assignment just restates the
+        // ON pair's source attribute is not a divergence; withKeyCols
+        // fills missing keys from the ON pairs either way
+        val pkMap = pkPairs.toMap
+        def nonKey(m: Map[String, Expression]): Map[String, Expression] =
+          m.filterNot { case (k, v) =>
+            pkMap.get(k).exists(src => v.semanticEquals(src)) }
+        val upCore = nonKey(upMap)
+        val inCore = nonKey(inMap)
+        if (upCore.keySet != inCore.keySet ||
+            upCore.exists { case (k, v) => !inCore(k).semanticEquals(v) })
           refuse("UPDATE SET and INSERT with different column mappings — " +
             "the upsert needs one source→target mapping (use SET * / " +
-            "INSERT *, or identical explicit lists)")
+            "INSERT *, or explicit lists that agree on every non-key " +
+            "column; UPDATE SET may omit the ON key columns)")
         val staged = withKeyCols(up, pkPairs)
         GraftMergeCommand(t.root, m.sourceTable, staged.map {
           case (n, e) => (n, e) }, pkNames, insertOnly = false)

@@ -1,30 +1,49 @@
 package graft.sources
 
+import java.util
+
+import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.TableIdentifier
-import org.apache.spark.sql.connector.catalog.{DelegatingCatalogExtension, Identifier, Table}
+import org.apache.spark.sql.connector.catalog.{DelegatingCatalogExtension, Identifier, ProcedureCatalog, Table, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Session-catalog extension adding SQL TIME TRAVEL for snapshot tables —
-  * the one statement shape the analyzer resolves through the CATALOG
-  * (`V2SessionCatalog.loadTable(ident, version)` throws
-  * `UNSUPPORTED_FEATURE.TIME_TRAVEL` before any injected rule can run, so
-  * a `DelegatingCatalogExtension` is the supported Spark mechanism —
-  * exactly how the public lakehouse formats wire theirs in):
+/** Session-catalog extension making snapshot tables full SQL citizens —
+  * three surfaces the analyzer resolves through the CATALOG (each the
+  * supported Spark mechanism, exactly how the public lakehouse formats
+  * wire theirs in):
   *
-  * {{{
-  *   spark.sql.catalog.spark_catalog = graft.sources.GraftCatalog
+  *   1. '''Loads & time travel.''' `V2SessionCatalog.loadTable(ident,
+  *      version)` throws `UNSUPPORTED_FEATURE.TIME_TRAVEL` before any
+  *      injected rule can run, so `SELECT * FROM t VERSION AS OF 3` /
+  *      `TIMESTAMP AS OF ts` must be answered here; and with a catalog
+  *      extension registered, PLAIN loads no longer take the built-in
+  *      provider-conversion path, so returning the V2 [[SnapshotTable]]
+  *      here is what keeps SQL reads on the pruning scan. Loads carry the
+  *      catalog table's declared OPTIONS and TBLPROPERTIES (plus its
+  *      `PARTITIONED BY` columns as `partitionCols`) into the table, so a
+  *      `CREATE TABLE … TBLPROPERTIES('statsCols'='…','bloomCols'='…')`
+  *      bootstraps an INSERT with stats and bloom indexing declared —
+  *      DDL-first users get the same table the API's 6-arg commit builds.
+  *   2. '''`ALTER TABLE t ADD COLUMNS (…)`''' — the reference's own
+  *      schema-evolution surface (bi_utils `utils.py:541-557`) — maps
+  *      onto the metadata-only [[SnapshotManifest.addColumns]] publish;
+  *      `SET/UNSET TBLPROPERTIES` of the manifest-backed properties
+  *      (`bloomCols`, `primaryKey`, `partitionCols`) run the matching
+  *      declare verbs. Any other change kind on a bootstrapped snapshot
+  *      table is REFUSED loudly with the supported grammar — never a
+  *      metastore-only edit the manifest silently ignores.
+  *   3. '''Maintenance procedures.''' `CALL graft.vacuum('t')`,
+  *      `optimize`, `compact_small_files`, `restore_version`,
+  *      `analyze_table`, `history` ([[GraftProcedures]]) — Spark 4's
+  *      `ProcedureCatalog` contract, the same CALL surface
+  *      Iceberg/Paimon expose their maintenance through.
   *
-  *   SELECT * FROM t VERSION AS OF 3
-  *   SELECT * FROM t TIMESTAMP AS OF '2026-08-16 07:00:00'
-  * }}}
-  *
-  * Every other catalog operation — `CREATE TABLE`, plain loads, DROP,
-  * ALTER, namespaces — DELEGATES verbatim to the built-in session
-  * catalog: registering this catalog changes nothing but the time-travel
-  * overloads, and those only for tables whose provider is
-  * `graft-snapshot` (anything else keeps the delegate's behavior,
-  * including its refusal).
+  * Every other catalog operation — `CREATE TABLE`, DROP, namespaces, any
+  * operation on a non-snapshot table — DELEGATES verbatim to the built-in
+  * session catalog.
   *
   * Version resolution matches the reader options: `VERSION AS OF n` is
   * the committed version number ([[SnapshotManifest.readVersion]]'s
@@ -33,29 +52,48 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * or before `ts` — manifest mtimes order the commits, the same contract
   * as `readAsOf`).
   */
-class GraftCatalog extends DelegatingCatalogExtension {
+class GraftCatalog extends DelegatingCatalogExtension with ProcedureCatalog {
 
   private def spark: SparkSession =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .getOrElse(throw new IllegalStateException(
         "GraftCatalog: no active SparkSession"))
 
-  /** (root, catalog-declared schema) when `ident` is a graft-snapshot
-    * table in the session catalog. The declared schema matters only
+  /** The catalog's record of a graft-snapshot table: root, declared
+    * schema, and declared properties. The declared schema matters only
     * pre-bootstrap (CREATE TABLE with columns, then INSERT): once a
-    * snapshot exists its manifest is authoritative.
+    * snapshot exists its manifest is authoritative. The PROPERTIES always
+    * matter: `statsCols`/`bloomCols`/`partitionCols`/`primaryKey` ride
+    * every load into the table's write path (an INSERT INTO a table
+    * declared with stats must record them — losing the declaration loses
+    * manifest-stats pruning for those files permanently), and the
+    * catalog's `PARTITIONED BY` columns surface as `partitionCols`.
+    * Only a MISSING table maps to None (delegate handles it); a transient
+    * metastore/IO failure propagates — silently reclassifying a snapshot
+    * table as a delegate table would fail time travel with the wrong
+    * error and route plain loads down the wrong path.
     */
-  private def snapshotRoot(ident: Identifier)
-      : Option[(String, Option[org.apache.spark.sql.types.StructType])] = {
+  private def snapshotMeta(ident: Identifier)
+      : Option[(String, Option[StructType], util.Map[String, String])] = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val id = TableIdentifier(ident.name,
       ident.namespace.lastOption.orElse(Some("default")))
-    try {
-      val meta = classic.sessionState.catalog.getTableMetadata(id)
-      if (meta.provider.exists(_.equalsIgnoreCase("graft-snapshot")))
-        Some((meta.location.toString, Some(meta.schema).filter(_.nonEmpty)))
-      else None
-    } catch { case scala.util.control.NonFatal(_) => None }
+    val meta = try classic.sessionState.catalog.getTableMetadata(id) catch {
+      case _: AnalysisException => return None // no such table/database
+    }
+    if (!meta.provider.exists(_.equalsIgnoreCase("graft-snapshot"))) None
+    else {
+      val props = new util.HashMap[String, String]()
+      // OPTIONS(…) then TBLPROPERTIES(…) — table properties win on a key
+      // declared in both (they are the later, more deliberate statement)
+      meta.storage.properties.foreach { case (k, v) => props.put(k, v) }
+      meta.properties.foreach { case (k, v) => props.put(k, v) }
+      if (meta.partitionColumnNames.nonEmpty &&
+          !props.containsKey("partitionCols"))
+        props.put("partitionCols", meta.partitionColumnNames.mkString(","))
+      Some((meta.location.toString, Some(meta.schema).filter(_.nonEmpty),
+        props))
+    }
   }
 
   /** Snapshot tables load as THE V2 [[SnapshotTable]] (current version)
@@ -67,16 +105,16 @@ class GraftCatalog extends DelegatingCatalogExtension {
     * public lakehouse catalogs use). Everything else delegates.
     */
   override def loadTable(ident: Identifier): Table =
-    snapshotRoot(ident) match {
-      case Some((root, declared)) =>
+    snapshotMeta(ident) match {
+      case Some((root, declared, props)) =>
         new SnapshotTable(spark, root, None, declared,
-          CaseInsensitiveStringMap.empty())
+          new CaseInsensitiveStringMap(props))
       case None => super.loadTable(ident)
     }
 
   override def loadTable(ident: Identifier, version: String): Table =
-    snapshotRoot(ident) match {
-      case Some((root, _)) =>
+    snapshotMeta(ident) match {
+      case Some((root, _, props)) =>
         val v = try version.toLong catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
             s"graft-snapshot: VERSION AS OF takes a version NUMBER, got " +
@@ -86,13 +124,13 @@ class GraftCatalog extends DelegatingCatalogExtension {
           s"graft-snapshot: version $v of $root is not retained " +
             "(never committed, or vacuumed)")
         new SnapshotTable(spark, root, Some(v), None,
-          CaseInsensitiveStringMap.empty())
+          new CaseInsensitiveStringMap(props))
       case None => super.loadTable(ident, version)
     }
 
   override def loadTable(ident: Identifier, timestampMicros: Long): Table =
-    snapshotRoot(ident) match {
-      case Some((root, _)) =>
+    snapshotMeta(ident) match {
+      case Some((root, _, props)) =>
         val v = SnapshotManifest.versionAsOf(spark, root,
           timestampMicros / 1000L).getOrElse(
           throw new IllegalStateException(
@@ -100,7 +138,99 @@ class GraftCatalog extends DelegatingCatalogExtension {
               s"$timestampMicros µs — the first retained commit is newer " +
               "(or the table is empty)"))
         new SnapshotTable(spark, root, Some(v), None,
-          CaseInsensitiveStringMap.empty())
+          new CaseInsensitiveStringMap(props))
       case None => super.loadTable(ident, timestampMicros)
     }
+
+  // ---- ALTER TABLE ----------------------------------------------------
+
+  private def refuseChange(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft-snapshot ALTER TABLE does not support $what. Supported on a " +
+        "committed snapshot table: ADD COLUMNS (nullable, no DEFAULT, no " +
+        "position) and SET/UNSET TBLPROPERTIES ('bloomCols', 'primaryKey', " +
+        "'partitionCols', or ride-along properties like 'statsCols'). " +
+        "Renames, drops, type or nullability changes would strand the " +
+        "committed data files' schema — rewrite through INSERT OVERWRITE " +
+        "instead")
+
+  /** The manifest-backed TBLPROPERTIES: SET runs the declare verb (a
+    * metadata-only publish), UNSET clears it the same way. Anything else
+    * (e.g. `statsCols`, comments) only updates the metastore record —
+    * which [[snapshotMeta]] feeds back into every load, so INSERT write
+    * options pick it up.
+    */
+  private val manifestProps: Map[String, (SparkSession, String, Seq[String]) => Long] =
+    Map(
+      "bloomcols" -> ((s, r, cols) => SnapshotManifest.setBloomColsWithRetry(s, r, cols)),
+      "primarykey" -> ((s, r, cols) => SnapshotManifest.setPrimaryKeyWithRetry(s, r, cols)),
+      "partitioncols" -> ((s, r, cols) => SnapshotManifest.setPartitionColumnsWithRetry(s, r, cols)))
+
+  /** `ALTER TABLE t ADD COLUMNS (…)` on a committed snapshot table is the
+    * metadata-only manifest widening ([[SnapshotManifest.addColumns]] —
+    * no data file is touched; existing rows read the new columns as
+    * null). The MANIFEST is authoritative for a bootstrapped table's
+    * schema (every load serves it), so the metastore's creation-time
+    * column record is deliberately left alone. Pre-bootstrap (CREATE
+    * TABLE, no snapshot yet) everything delegates: the metastore schema
+    * is exactly the declared seed the first INSERT bootstraps from.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    snapshotMeta(ident) match {
+      case Some((root, _, _))
+          if SnapshotManifest.currentVersion(spark, root).isDefined =>
+        val adds = Seq.newBuilder[StructField]
+        val propVerbs = Seq.newBuilder[() => Long]
+        val delegated = Seq.newBuilder[TableChange]
+        changes.foreach {
+          case a: TableChange.AddColumn =>
+            if (a.fieldNames.length != 1)
+              refuseChange(s"adding a NESTED field " +
+                s"(${a.fieldNames.mkString(".")}) — add a top-level column")
+            if (!a.isNullable)
+              refuseChange(s"adding NOT NULL column '${a.fieldNames.head}' " +
+                "— existing rows have no values for it")
+            if (a.defaultValue != null)
+              refuseChange(s"a DEFAULT value on added column " +
+                s"'${a.fieldNames.head}' — existing files cannot carry it")
+            if (a.position != null)
+              refuseChange(s"a column position (FIRST/AFTER) on " +
+                s"'${a.fieldNames.head}' — added columns append")
+            val md = Option(a.comment)
+              .map(c => new org.apache.spark.sql.types.MetadataBuilder()
+                .putString("comment", c).build())
+              .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+            adds += StructField(a.fieldNames.head, a.dataType,
+              nullable = true, md)
+          case p: TableChange.SetProperty =>
+            manifestProps.get(p.property.toLowerCase).foreach { verb =>
+              val cols = p.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+              propVerbs += (() => verb(spark, root, cols))
+            }
+            delegated += p // keep the metastore record in sync either way
+          case p: TableChange.RemoveProperty =>
+            manifestProps.get(p.property.toLowerCase).foreach { verb =>
+              propVerbs += (() => verb(spark, root, Nil))
+            }
+            delegated += p
+          case other =>
+            refuseChange(other.getClass.getSimpleName)
+        }
+        val newCols = adds.result()
+        if (newCols.nonEmpty)
+          SnapshotManifest.addColumnsWithRetry(spark, root, newCols)
+        propVerbs.result().foreach(_.apply())
+        val remaining = delegated.result()
+        if (remaining.nonEmpty) super.alterTable(ident, remaining: _*)
+        loadTable(ident)
+      case _ => super.alterTable(ident, changes: _*)
+    }
+
+  // ---- Maintenance procedures (CALL graft.<verb>(…)) -------------------
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.load(ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list()
 }

@@ -2652,6 +2652,32 @@ object SnapshotManifest {
     * [[changesBetween]](bad, restored) emits exactly the inverse feed.
     * Restoring a vacuumed version fails loudly ([[hasVersion]] probes).
     */
+  /** One retained version's audit row: publish instant (the manifest's
+    * write-once mtime, the same clock [[versionAsOf]] travels by), body
+    * size, and how many entries carry a live deletion-vector sidecar.
+    */
+  final case class HistoryEntry(version: Long, committedAtMs: Long,
+      dataFiles: Long, dvFiles: Long)
+
+  /** DESCRIBE HISTORY, on this engine's manifest: one row per RETAINED
+    * version, oldest first. Cost is driver metadata only — one directory
+    * listing plus, per retained version, one file status and one
+    * (PartsCache-amortized) manifest resolve; retention ([[vacuum]]'s
+    * `keep`) bounds the row count, so the listing never grows with table
+    * age. The SQL surface is `CALL graft.history('<table>')`
+    * ([[GraftProcedures]]).
+    */
+  def history(spark: SparkSession, root: String): Seq[HistoryEntry] = {
+    val (fs, rootPath) = fsOf(spark, root)
+    listVersions(spark, root).map { v =>
+      val mtime = fs.getFileStatus(new Path(rootPath, manifestName(v)))
+        .getModificationTime
+      val entries = manifestParts(spark, root, v)._1.map(parseLine)
+      HistoryEntry(v, mtime, entries.size.toLong,
+        entries.count(_.dvRel.nonEmpty).toLong)
+    }
+  }
+
   def restoreVersion(spark: SparkSession, root: String, toVersion: Long): Long = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"restoreVersion: no committed snapshot under $root"))

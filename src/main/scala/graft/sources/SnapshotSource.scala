@@ -76,8 +76,16 @@ final class SnapshotSource extends TableProvider with RelationProvider
         throw new IllegalArgumentException(
           "graft-snapshot sink: exactly-once needs a stable txn identity " +
             "— set checkpointLocation (the default identity) or txnAppId"))
-    val statsCols = parameters.get("statsCols")
+    def cols(key: String): Seq[String] = parameters.get(key)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val statsCols = cols("statsCols")
+    // a stream may be the table's FIRST writer: the full property set —
+    // bloom indexing, partition clustering, primary key — must be
+    // declarable here too, or a stream-bootstrapped table is permanently
+    // unindexed (post-bootstrap these ride the manifest like any commit)
+    val bloomCols = cols("bloomCols")
+    val partitionCols = cols("partitionCols")
+    val primaryKey = cols("primaryKey")
     val spark = sqlContext.sparkSession
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, streamData: DataFrame): Unit = {
@@ -92,11 +100,25 @@ final class SnapshotSource extends TableProvider with RelationProvider
               // bootstrap an empty v0: the ledger the idempotent append
               // records its (appId, batchId) txn on. Schema-only — no job
               // runs against the batch frame here (it executes exactly
-              // once, inside the append below)
+              // once, inside the append below). The declared table
+              // properties land with it.
               SnapshotManifest.commit(spark, root,
                 spark.createDataFrame(
-                  new java.util.ArrayList[Row](), data.schema), statsCols)
-              ()
+                  new java.util.ArrayList[Row](), data.schema), statsCols,
+                bloomCols)
+              // partitioning and pk declare as metadata-only publishes on
+              // the empty v0 (the zero-file frame has nothing to cluster);
+              // the first appended batch clusters under the declaration
+              if (partitionCols.nonEmpty) {
+                SnapshotManifest.setPartitionColumnsWithRetry(spark, root,
+                  partitionCols)
+                ()
+              }
+              if (primaryKey.nonEmpty) {
+                SnapshotManifest.setPrimaryKeyWithRetry(spark, root,
+                  primaryKey)
+                ()
+              }
             }
             SnapshotManifest.appendRowsIdempotent(spark, root, data, appId,
               batchId, statsCols)

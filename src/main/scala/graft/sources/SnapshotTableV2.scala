@@ -134,7 +134,7 @@ final class SnapshotTable(
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new SnapshotWriteBuilder(spark, root, info)
+    new SnapshotWriteBuilder(spark, root, info, tableOptions)
 }
 
 /** `PartitioningAwareFileIndex` adapter over one snapshot version — the
@@ -280,7 +280,11 @@ private[graft] final case class SnapshotStreamOffset(version: Long)
   *     compaction, z-order) is not representable as a file diff: the
   *     batch THROWS unless `ignoreChanges=true` (Delta's contract for the
   *     same situation — rewritten rows re-emit; downstream must be
-  *     idempotent) — never a silent wrong answer.
+  *     idempotent) — never a silent wrong answer. Under `ignoreChanges`,
+  *     an added entry carrying a deletion-vector sidecar emits the data
+  *     file's FULL pre-deletion rows (deletes never propagate through an
+  *     append tail; a file committed and DV-tagged within one window
+  *     still delivers its surviving rows).
   *   - '''`readChangeFeed=true`''': batches read the MATERIALIZED change
   *     feed ranges (`_cdf/`, [[ChangeFeed.materialize]]) covering the
   *     offset window — row-level changes with `_change`/`_commit_version`
@@ -418,8 +422,14 @@ private[graft] final class SnapshotMicroBatchStream(
           "feed (option readChangeFeed=true, after ChangeFeed.materialize) " +
           "or accept re-emitted rewritten rows with ignoreChanges=true " +
           "against an idempotent sink")
-      fsListed(added.filter(_.dvRel.isEmpty)
-        .map(e => new Path(SnapshotManifest.bodyFile(root, e.rel))))
+      // under ignoreChanges a DV-TAGGED added entry emits the data file's
+      // FULL (pre-deletion) rows: deletes don't propagate and rewritten/
+      // re-tagged rows re-emit — exactly the documented at-least-once
+      // contract for this option — whereas dropping the entry would LOSE
+      // a file committed and DV-tagged within one offset window (its
+      // surviving rows would never reach the sink). Row-accurate change
+      // delivery is readChangeFeed=true.
+      fsListed(added.map(e => new Path(SnapshotManifest.bodyFile(root, e.rel))))
     }
   }
 
@@ -458,11 +468,19 @@ private[graft] final class SnapshotMicroBatchStream(
   * `CreatableRelationProvider` path and its full SaveMode semantics.
   */
 private[graft] final class SnapshotWriteBuilder(
-    spark: SparkSession, root: String, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsOverwrite {
+    spark: SparkSession, root: String, info: LogicalWriteInfo,
+    tableOptions: CaseInsensitiveStringMap) extends WriteBuilder
+    with SupportsOverwrite {
 
+  /** Write options first, then the TABLE's declared options — the
+    * catalog table's `TBLPROPERTIES('statsCols'='…','bloomCols'='…')` /
+    * `PARTITIONED BY` (carried in by [[GraftCatalog]]) govern every SQL
+    * INSERT into it, so a DDL-declared table never silently commits
+    * stats-less, index-less files (a per-statement `.option(...)` still
+    * overrides).
+    */
   private def cols(key: String): Seq[String] =
-    Option(info.options.get(key))
+    Option(info.options.get(key)).orElse(Option(tableOptions.get(key)))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
   // None = append; Some(None) = truncate-overwrite; Some(Some(f)) = filtered
@@ -482,6 +500,15 @@ private[graft] final class SnapshotWriteBuilder(
         override def insert(data: org.apache.spark.sql.DataFrame,
             overwriteFlag: Boolean): Unit = {
           val statsCols = cols("statsCols")
+          // a declared primaryKey lands as the table property right after
+          // the bootstrap commit (a metadata-only publish; later commits
+          // carry it) — the identity the change feed and upserts key by
+          def declarePk(): Unit = {
+            val pk = cols("primaryKey")
+            if (pk.nonEmpty) {
+              SnapshotManifest.setPrimaryKeyWithRetry(spark, root, pk); ()
+            }
+          }
           def dispatch(attempt: Int): Unit =
             try {
               val exists = SnapshotManifest.currentVersion(spark, root).isDefined
@@ -500,7 +527,7 @@ private[graft] final class SnapshotWriteBuilder(
                 case Some(_) | None if !exists => // bootstrap
                   SnapshotManifest.commit(spark, root, data, statsCols,
                     cols("bloomCols"), cols("partitionCols"))
-                  ()
+                  declarePk()
                 case Some(_) => // truncate-overwrite (or overwriteFlag)
                   SnapshotManifest.commit(spark, root, data, statsCols,
                     cols("bloomCols"), cols("partitionCols"))

@@ -162,15 +162,33 @@ class SnapshotSqlSpec extends SparkSpec {
         assert(fin.count() == 51L)
         assert(fin.filter(col("id") === 41L).select("v").as[Long].head() == -2L)
         assert(fin.filter(col("id") === 70L).select("v").as[Long].head() == 700L)
-        // unsupported shape: conditional matched clause
-        val e = intercept[Exception] {
-          ext.sql(
-            """MERGE INTO snap_mrg_t t USING mrg_ins s ON t.id = s.id
-              |WHEN MATCHED AND s.v > 0 THEN UPDATE SET *
-              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-        }
-        assert(e.getMessage.contains("graft-snapshot SQL does not support"),
-          s"expected a loud unsupported-shape refusal, got: ${e.getMessage}")
+        // the reference's canonical EXPLICIT-LIST shape: UPDATE SET
+        // excludes the ON key, INSERT includes it (utils.py:265-292) —
+        // must be accepted, keys filled from the ON pairs
+        Seq((70L, 7000L), (80L, 800L)).toDF("id", "v")
+          .createOrReplaceTempView("mrg_exp")
+        ext.sql(
+          """MERGE INTO snap_mrg_t t USING mrg_exp s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET v = s.v
+            |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+        val exp = SnapshotManifest.read(ext, root)
+        assert(exp.count() == 52L)
+        assert(exp.filter(col("id") === 70L).select("v").as[Long].head() == 7000L)
+        assert(exp.filter(col("id") === 80L).select("v").as[Long].head() == 800L)
+        // unsupported shapes refuse loudly: conditional matched clause,
+        // and genuinely divergent non-key mappings
+        Seq(
+          """MERGE INTO snap_mrg_t t USING mrg_ins s ON t.id = s.id
+            |WHEN MATCHED AND s.v > 0 THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+          """MERGE INTO snap_mrg_t t USING mrg_ins s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET v = s.v
+            |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v + 1)""".stripMargin)
+          .foreach { stmt =>
+            val e = intercept[Exception](ext.sql(stmt))
+            assert(e.getMessage.contains("graft-snapshot SQL does not support"),
+              s"expected a loud unsupported-shape refusal, got: ${e.getMessage}")
+          }
       } finally ext.sql("DROP TABLE IF EXISTS snap_mrg_t")
     }
   }
@@ -409,6 +427,261 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("Append output mode") ||
       Option(e.getCause).exists(_.getMessage.contains("Append output mode")),
       s"unexpected refusal: ${e.getMessage}")
+  }
+
+  test("ALTER TABLE ADD COLUMNS widens the manifest; other change kinds refuse loudly") {
+    withExtSession { ext =>
+      val root = newRoot()
+      SnapshotManifest.commit(ext, root,
+        ext.range(0, 20).toDF("id").withColumn("v", col("id") * 10L)
+          .repartitionByRange(2, col("id")), Seq("id"))
+      ext.sql(s"CREATE TABLE snap_alter_t USING `graft-snapshot` LOCATION '$root'")
+      try {
+        // SQL ALTER → metadata-only addColumns publish (no data rewritten)
+        val filesBefore = SnapshotManifest.snapshotFiles(ext, root, 0L).toSet
+        ext.sql("ALTER TABLE snap_alter_t ADD COLUMNS (tag STRING, score DOUBLE)")
+        assert(SnapshotManifest.currentVersion(ext, root).contains(1L))
+        assert(SnapshotManifest.snapshotFiles(ext, root, 1L).toSet == filesBefore,
+          "ADD COLUMNS must be metadata-only — same data files")
+        val widened = ext.sql("SELECT id, v, tag, score FROM snap_alter_t")
+        assert(widened.columns.toSeq == Seq("id", "v", "tag", "score"))
+        assert(widened.count() == 20L &&
+          widened.filter(col("tag").isNull).count() == 20L,
+          "existing rows read the added columns as null")
+        // the next SQL MERGE populates the added column
+        ext.range(0, 5).toDF("id")
+          .withColumn("v", col("id")).withColumn("tag", lit("m"))
+          .withColumn("score", col("id").cast("double"))
+          .createOrReplaceTempView("alter_src")
+        ext.sql(
+          """MERGE INTO snap_alter_t t USING alter_src s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        assert(ext.sql(
+          "SELECT count(*) FROM snap_alter_t WHERE tag = 'm'")
+          .head().getLong(0) == 5L)
+        // refusal shapes: drops, renames, type changes, NOT NULL adds
+        Seq(
+          "ALTER TABLE snap_alter_t DROP COLUMN v",
+          "ALTER TABLE snap_alter_t RENAME COLUMN v TO w",
+          "ALTER TABLE snap_alter_t ALTER COLUMN v TYPE STRING",
+          "ALTER TABLE snap_alter_t ADD COLUMNS (nn STRING NOT NULL)")
+          .foreach { stmt =>
+            val e = intercept[Exception](ext.sql(stmt))
+            assert(e.getMessage.contains("graft-snapshot ALTER TABLE does not support"),
+              s"$stmt must refuse loudly, got: ${e.getMessage}")
+          }
+      } finally ext.sql("DROP TABLE IF EXISTS snap_alter_t")
+    }
+  }
+
+  test("SET TBLPROPERTIES of manifest-backed properties runs the declare verbs") {
+    withExtSession { ext =>
+      val root = newRoot()
+      SnapshotManifest.commit(ext, root,
+        ext.range(0, 20).toDF("id").withColumn("v", col("id") * 10L), Seq("id"))
+      ext.sql(s"CREATE TABLE snap_prop_t USING `graft-snapshot` LOCATION '$root'")
+      try {
+        ext.sql("ALTER TABLE snap_prop_t SET TBLPROPERTIES" +
+          "('bloomCols'='id', 'primaryKey'='id')")
+        val v = SnapshotManifest.currentVersion(ext, root).get
+        assert(SnapshotManifest.bloomCols(ext, root, v) == Seq("id"))
+        assert(SnapshotManifest.primaryKey(ext, root, v) == Seq("id"))
+        ext.sql("ALTER TABLE snap_prop_t UNSET TBLPROPERTIES ('bloomCols')")
+        val v2 = SnapshotManifest.currentVersion(ext, root).get
+        assert(SnapshotManifest.bloomCols(ext, root, v2).isEmpty)
+        assert(SnapshotManifest.primaryKey(ext, root, v2) == Seq("id"),
+          "unsetting one property must not clear the others")
+      } finally ext.sql("DROP TABLE IF EXISTS snap_prop_t")
+    }
+  }
+
+  test("DDL-declared TBLPROPERTIES govern INSERT writes: statsCols recorded, bloom/partition landed at bootstrap") {
+    withExtSession { ext =>
+      val root = newRoot() + "/t"
+      // declared schema + properties, NO committed snapshot yet: the first
+      // INSERT bootstraps with the full declared property set
+      ext.sql(
+        s"""CREATE TABLE snap_ddl_t (id BIGINT, p STRING, v BIGINT)
+           |USING `graft-snapshot` LOCATION '$root'
+           |TBLPROPERTIES('statsCols'='id,v', 'bloomCols'='id',
+           |              'partitionCols'='p', 'primaryKey'='id')""".stripMargin)
+      try {
+        ext.sql(
+          """INSERT INTO snap_ddl_t
+            |SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, id * 10
+            |FROM range(1000)""".stripMargin)
+        assert(SnapshotManifest.currentVersion(ext, root).isDefined)
+        val v = SnapshotManifest.currentVersion(ext, root).get
+        // the ADVICE gate: an INSERT into an OPTIONS/TBLPROPERTIES table
+        // must record per-file stats — losing them loses pruning forever
+        val stats = SnapshotManifest.snapshotFileStats(ext, root, v)
+        assert(stats.nonEmpty && stats.values.forall(s =>
+          s.cols.contains("id") && s.cols.contains("v")),
+          s"INSERT must record the declared statsCols (got ${stats.values.headOption})")
+        assert(SnapshotManifest.bloomCols(ext, root, v) == Seq("id"))
+        assert(SnapshotManifest.partitionColumns(ext, root, v) == Seq("p"))
+        assert(SnapshotManifest.primaryKey(ext, root, v) == Seq("id"))
+        // partition-declared layout: a partition predicate prunes files
+        val ctr = SnapshotFileIndex.countersFor(root)
+        assert(ext.sql("SELECT count(*) FROM snap_ddl_t WHERE p = 'a'")
+          .head().getLong(0) == 500L)
+        assert(ctr.lastKept < ctr.lastConsidered,
+          s"partition predicate must prune (considered ${ctr.lastConsidered}, " +
+            s"kept ${ctr.lastKept})")
+      } finally ext.sql("DROP TABLE IF EXISTS snap_ddl_t")
+    }
+  }
+
+  test("CTAS with PARTITIONED BY + TBLPROPERTIES bootstraps a partitioned, indexed table") {
+    withExtSession { ext =>
+      val root = newRoot() + "/t"
+      ext.sql(
+        s"""CREATE TABLE snap_ctas_t
+           |USING `graft-snapshot`
+           |PARTITIONED BY (p)
+           |LOCATION '$root'
+           |TBLPROPERTIES('bloomCols'='id', 'statsCols'='id')
+           |AS SELECT id, CAST(id % 4 AS STRING) AS p, id * 10 AS v
+           |   FROM range(2000)""".stripMargin)
+      try {
+        val v = SnapshotManifest.currentVersion(ext, root).get
+        assert(SnapshotManifest.partitionColumns(ext, root, v) == Seq("p"),
+          "PARTITIONED BY must land as the table's partition property")
+        assert(SnapshotManifest.bloomCols(ext, root, v) == Seq("id"))
+        assert(SnapshotManifest.snapshotFileStats(ext, root, v).nonEmpty)
+        val ctr = SnapshotFileIndex.countersFor(root)
+        assert(ext.sql("SELECT count(*) FROM snap_ctas_t WHERE p = '1'")
+          .head().getLong(0) == 500L)
+        assert(ctr.lastKept < ctr.lastConsidered,
+          s"partition predicate must prune CTAS files (considered " +
+            s"${ctr.lastConsidered}, kept ${ctr.lastKept})")
+      } finally ext.sql("DROP TABLE IF EXISTS snap_ctas_t")
+    }
+  }
+
+  test("CALL graft.<verb>: history, restore_version, vacuum run the maintenance verbs from SQL") {
+    withExtSession { ext =>
+      val root = newRoot()
+      SnapshotManifest.commit(ext, root,
+        ext.range(0, 100).toDF("id").withColumn("v", col("id")), Seq("id"))
+      SnapshotManifest.appendRows(ext, root,
+        ext.range(100, 150).toDF("id").withColumn("v", col("id")), Seq("id"))
+      ext.sql(s"CREATE TABLE snap_call_t USING `graft-snapshot` LOCATION '$root'")
+      try {
+        // history: one row per retained version, versioned and counted
+        val hist = ext.sql("CALL graft.history('snap_call_t')").collect()
+        assert(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+        assert(hist.forall(_.getLong(2) > 0L), "data_files must be counted")
+        // restore: back to v0 content as a NEW version
+        val restored = ext.sql(
+          "CALL graft.restore_version('snap_call_t', 0)").head().getLong(0)
+        assert(restored == 2L)
+        assert(ext.sql("SELECT count(*) FROM snap_call_t").head().getLong(0) == 100L)
+        // vacuum (keep 1): versions 0 and 1 reclaimed, content intact
+        val removed = ext.sql(
+          "CALL graft.vacuum('snap_call_t', keep => 1)").collect()
+        assert(removed.map(_.getLong(0)).toSet == Set(0L, 1L),
+          s"vacuum must report the reclaimed versions (${removed.toSeq})")
+        assert(ext.sql("SELECT count(*) FROM snap_call_t").head().getLong(0) == 100L)
+        // a raw-path table argument works too; unknown procedures refuse
+        assert(ext.sql(s"CALL graft.history('$root')").collect().length == 1)
+        val e = intercept[Exception](ext.sql("CALL graft.nope('x')"))
+        assert(e.getMessage.contains("no procedure") ||
+          e.getMessage.contains("Failed to load routine"),
+          s"unknown procedure must refuse loudly: ${e.getMessage}")
+      } finally ext.sql("DROP TABLE IF EXISTS snap_call_t")
+    }
+  }
+
+  test("CALL graft.optimize / compact_small_files / analyze_table commit maintenance versions") {
+    withExtSession { ext =>
+      val root = newRoot()
+      // many small files, NO stats recorded at commit time
+      SnapshotManifest.commit(ext, root,
+        ext.range(0, 2000).toDF("id").withColumn("v", col("id") * 3L)
+          .repartition(16))
+      ext.sql(s"CREATE TABLE snap_mnt_t USING `graft-snapshot` LOCATION '$root'")
+      try {
+        // analyze: retrofit per-file stats without rewriting data
+        val v1 = ext.sql(
+          "CALL graft.analyze_table('snap_mnt_t', 'id')").head().getLong(0)
+        val stats = SnapshotManifest.snapshotFileStats(ext, root, v1)
+        assert(stats.nonEmpty && stats.values.forall(_.cols.contains("id")))
+        // compact: 16 small files coalesce
+        val v2 = ext.sql(
+          "CALL graft.compact_small_files('snap_mnt_t', min_small_files => 2)")
+          .head().getLong(0)
+        assert(SnapshotManifest.snapshotFiles(ext, root, v2).size <
+          SnapshotManifest.snapshotFiles(ext, root, 0L).size)
+        // optimize: z-order rewrite, rows unchanged
+        val v3 = ext.sql(
+          "CALL graft.optimize('snap_mnt_t', zorder_by => 'id,v', num_files => 4)")
+          .head().getLong(0)
+        assert(v3 == v2 + 1)
+        assert(ext.sql("SELECT count(*), sum(v) FROM snap_mnt_t").head()
+          .getLong(0) == 2000L)
+      } finally ext.sql("DROP TABLE IF EXISTS snap_mnt_t")
+    }
+  }
+
+  test("readStream ignoreChanges: a file committed and DV-tagged within one window still delivers its rows") {
+    val root = newRoot()
+    val ckpt = newRoot() + "/ckpt"
+    val outDir = newRoot() + "/out"
+    bootstrap(root, n = 40L, parts = 2)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("ignoreChanges", "true").load(root)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      ()
+    }
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 40L)
+    // ONE offset window: append a brand-new file, then MoR-delete rows in
+    // BOTH the new file and an old one (DV sidecars, no rewrite)
+    SnapshotManifest.appendRows(spark, root,
+      spark.range(100, 110).toDF("id").withColumn("v", col("id") * 10L), Seq("id"))
+    SnapshotManifest.deleteWhereMoR(spark, root,
+      col("id") === 105L || col("id") < 3L)
+    runOnce()
+    val ids = spark.read.parquet(outDir).select("id").as[Long].collect()
+    // the new file's rows must ALL be delivered (silent loss was the bug);
+    // deletes don't propagate through an append tail — the DV'd rows
+    // re-emit as pre-deletion content (at-least-once, Delta's contract)
+    assert((100L until 110L).forall(ids.contains),
+      s"a file added and DV-tagged within one window lost rows: " +
+        s"${(100L until 110L).filterNot(ids.contains)}")
+    assert((0L until 40L).forall(ids.contains))
+  }
+
+  test("writeStream sink bootstrap declares the full property set (bloom/partition/pk/stats)") {
+    val src = newRoot()
+    val dst = newRoot() + "/dst"
+    val ckpt = newRoot() + "/ckpt"
+    SnapshotManifest.commit(spark, src,
+      spark.range(0, 60).toDF("id").withColumn("p", (col("id") % 3).cast("string"))
+        .withColumn("v", col("id") * 10L), Seq("id"))
+    val q = spark.readStream.format("graft-snapshot").load(src)
+      .writeStream.format("graft-snapshot")
+      .option("checkpointLocation", ckpt)
+      .option("statsCols", "id")
+      .option("bloomCols", "id")
+      .option("partitionCols", "p")
+      .option("primaryKey", "id")
+      .trigger(Trigger.AvailableNow()).start(dst)
+    q.awaitTermination(120000)
+    val v = SnapshotManifest.currentVersion(spark, dst).get
+    assert(SnapshotManifest.bloomCols(spark, dst, v) == Seq("id"),
+      "a stream-bootstrapped table must carry its declared bloom index")
+    assert(SnapshotManifest.partitionColumns(spark, dst, v) == Seq("p"))
+    assert(SnapshotManifest.primaryKey(spark, dst, v) == Seq("id"))
+    assert(SnapshotManifest.snapshotFileStats(spark, dst, v).nonEmpty,
+      "streamed batches must record the declared stats")
+    assert(SnapshotManifest.read(spark, dst).count() == 60L)
   }
 
   test("V2 batch read equals V1: versionAsOf through the scan; write path SaveModes unchanged") {
