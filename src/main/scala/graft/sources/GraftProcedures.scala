@@ -183,6 +183,56 @@ private[graft] object GraftProcedures {
       }
     },
 
+    new Proc("fold_deletes",
+      "Rewrite deletion-vector'd files as plain survivors (SnapshotManifest" +
+        ".foldDeletes) — returns the MoR read path to a pure file scan; " +
+        "returns the committed version (unchanged when no DVs are live)",
+      Array(in("table", StringType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val root = resolveRoot(input.getUTF8String(0).toString)
+        val v = SnapshotManifest.foldDeletes(spark, root)
+        result(versionSchema, versionRow(v))
+      }
+    },
+
+    new Proc("materialize_feed",
+      "Catch the materialized change feed (_cdf) up to the current " +
+        "version (ChangeFeed.materializeNew, keyed by the declared " +
+        "primary key); returns one row per materialized (from, to) range",
+      Array(in("table", StringType))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val root = resolveRoot(input.getUTF8String(0).toString)
+        val ranges = ChangeFeed.materializeNew(spark, root)
+        result(new StructType()
+          .add("from_version", LongType).add("to_version", LongType),
+          ranges.map { case (f, t) => row(f, t) }.toArray)
+      }
+    },
+
+    new Proc("clone",
+      "Shallow-clone a snapshot version into a NEW table root " +
+        "(SnapshotManifest.cloneTable — metadata only, zero data bytes " +
+        "copied); returns the clone's version 0",
+      Array(in("source", StringType),
+        in("target", StringType),
+        inDefault("version", LongType, "-1"))) {
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val src = resolveRoot(input.getUTF8String(0).toString)
+        // the TARGET is a fresh root by definition (cloning onto a
+        // registered table would be a bootstrap conflict) — path only
+        val dst = input.getUTF8String(1).toString
+        require(dst.contains("/"),
+          "clone: target must be a table-root PATH (register it with " +
+            "CREATE TABLE … LOCATION afterwards)")
+        val ver = input.getLong(2) match {
+          case -1L => None
+          case v => Some(v)
+        }
+        val v = SnapshotManifest.cloneTable(spark, src, dst, ver)
+        result(versionSchema, versionRow(v))
+      }
+    },
+
     new Proc("history",
       "DESCRIBE HISTORY: one row per retained version — version, publish " +
         "time, data-file count, live-DV count (SnapshotManifest.history)",

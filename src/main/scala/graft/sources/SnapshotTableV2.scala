@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TruncatableTable}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming
@@ -63,7 +63,7 @@ final class SnapshotTable(
     versionAsOf: Option[Long],
     providedSchema: Option[StructType],
     tableOptions: CaseInsensitiveStringMap) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite with TruncatableTable {
 
   /** Pinned at construction — a racer committing mid-query must not swap
     * the served snapshot (same contract as [[SnapshotManifest.table]]).
@@ -135,6 +135,33 @@ final class SnapshotTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SnapshotWriteBuilder(spark, root, info, tableOptions)
+
+  /** `TRUNCATE TABLE t`: ONE atomic commit of an empty snapshot. The
+    * recorded schema and the declared table properties (bloom, pk,
+    * partitioning, txn ledger) CARRY — the commit path's standard
+    * property-carry rules apply, and the schema-typed empty frame
+    * satisfies every column check. History is preserved for time travel
+    * until [[SnapshotManifest.vacuum]]. Refused on a time-traveled or
+    * change-feed handle — neither is a write surface.
+    */
+  override def truncateTable(): Boolean = {
+    require(versionAsOf.isEmpty && !readChangeFeed,
+      s"graft-snapshot: TRUNCATE targets the CURRENT table, not a " +
+        "time-traveled or change-feed handle")
+    def go(attempt: Int): Unit =
+      try {
+        SnapshotManifest.commit(spark, root,
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema()))
+        ()
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= 5) throw e
+          go(attempt + 1)
+      }
+    go(0)
+    true
+  }
 }
 
 /** `PartitioningAwareFileIndex` adapter over one snapshot version — the

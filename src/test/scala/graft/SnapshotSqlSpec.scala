@@ -625,6 +625,41 @@ class SnapshotSqlSpec extends SparkSpec {
     }
   }
 
+  test("CALL graft.fold_deletes / materialize_feed / clone run the lifecycle verbs from SQL") {
+    withExtSession { ext =>
+      val root = newRoot()
+      SnapshotManifest.commit(ext, root,
+        ext.range(0, 100).toDF("id").withColumn("v", col("id") * 10L)
+          .repartitionByRange(4, col("id")), Seq("id"))
+      SnapshotManifest.setPrimaryKeyWithRetry(ext, root, Seq("id"))
+      ext.sql(s"CREATE TABLE snap_lc_t USING `graft-snapshot` LOCATION '$root'")
+      try {
+        // feed catch-up covers the bootstrap + pk declare commits
+        val ranges = ext.sql("CALL graft.materialize_feed('snap_lc_t')").collect()
+        assert(ranges.nonEmpty && ranges.last.getLong(1) ==
+          SnapshotManifest.currentVersion(ext, root).get)
+        // MoR delete leaves live DVs; fold returns the table to a pure
+        // file set (and the named reader to the file scan)
+        SnapshotManifest.deleteWhereMoR(ext, root, col("id") < 10L)
+        ext.sql("CALL graft.materialize_feed('snap_lc_t')") // keep feed covered
+        val vFold = ext.sql("CALL graft.fold_deletes('snap_lc_t')")
+          .head().getLong(0)
+        assert(SnapshotManifest.snapshotFileStats(ext, root, vFold) != null)
+        val plan = ext.read.format("graft-snapshot").load(root)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("FrameRelation"),
+          s"after fold the named reader must use the file scan:\n$plan")
+        assert(ext.sql("SELECT count(*) FROM snap_lc_t").head().getLong(0) == 90L)
+        // shallow clone to a fresh root: metadata-only, same rows
+        val dst = newRoot() + "/clone"
+        val v0 = ext.sql(s"CALL graft.clone('snap_lc_t', '$dst')")
+          .head().getLong(0)
+        assert(v0 == 0L)
+        assert(SnapshotManifest.read(ext, dst).count() == 90L)
+      } finally ext.sql("DROP TABLE IF EXISTS snap_lc_t")
+    }
+  }
+
   test("readStream ignoreChanges: a file committed and DV-tagged within one window still delivers its rows") {
     val root = newRoot()
     val ckpt = newRoot() + "/ckpt"
@@ -682,6 +717,68 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(SnapshotManifest.snapshotFileStats(spark, dst, v).nonEmpty,
       "streamed batches must record the declared stats")
     assert(SnapshotManifest.read(spark, dst).count() == 60L)
+  }
+
+  test("TRUNCATE TABLE commits an empty snapshot; schema and properties carry; history stays travelable") {
+    withExtSession { ext =>
+      val root = newRoot()
+      SnapshotManifest.commit(ext, root,
+        ext.range(0, 50).toDF("id").withColumn("v", col("id") * 10L),
+        Seq("id"), Seq("id"))
+      SnapshotManifest.setPrimaryKeyWithRetry(ext, root, Seq("id"))
+      ext.sql(s"CREATE TABLE snap_trunc_t USING `graft-snapshot` LOCATION '$root'")
+      try {
+        ext.sql("TRUNCATE TABLE snap_trunc_t")
+        val v = SnapshotManifest.currentVersion(ext, root).get
+        assert(ext.sql("SELECT count(*) FROM snap_trunc_t").head().getLong(0) == 0L)
+        assert(SnapshotManifest.bloomCols(ext, root, v) == Seq("id"),
+          "TRUNCATE must carry the declared properties")
+        assert(SnapshotManifest.primaryKey(ext, root, v) == Seq("id"))
+        // history preserved; an INSERT lands on the empty table
+        assert(ext.sql(s"SELECT count(*) FROM snap_trunc_t VERSION AS OF 1")
+          .head().getLong(0) == 50L)
+        ext.sql("INSERT INTO snap_trunc_t VALUES (7, 70)")
+        assert(ext.sql("SELECT id, v FROM snap_trunc_t").collect().toSeq
+          .map(r => (r.getLong(0), r.getLong(1))) == Seq(7L -> 70L))
+      } finally ext.sql("DROP TABLE IF EXISTS snap_trunc_t")
+    }
+  }
+
+  test("SHOW PROCEDURES lists the maintenance verbs; DESCRIBE PROCEDURE resolves one") {
+    withExtSession { ext =>
+      val listed = ext.sql("SHOW PROCEDURES").collect().map(_.mkString("|"))
+      Seq("vacuum", "optimize", "compact_small_files", "restore_version",
+        "analyze_table", "history").foreach(p =>
+        assert(listed.exists(_.contains(p)), s"SHOW PROCEDURES must list $p " +
+          s"(got ${listed.mkString("; ")})"))
+      val desc = ext.sql("DESCRIBE PROCEDURE graft.vacuum").collect()
+        .map(_.mkString("|")).mkString("\n")
+      assert(desc.contains("vacuum"), s"unexpected DESCRIBE output: $desc")
+    }
+  }
+
+  test("writeTo(...).create() with partitionedBy + tableProperty bootstraps the declared table") {
+    withExtSession { ext =>
+      val root = newRoot() + "/t"
+      ext.range(0, 300).toDF("id")
+        .withColumn("p", (col("id") % 3).cast("string"))
+        .withColumn("v", col("id") * 2L)
+        .writeTo("snap_wtc_t").using("graft-snapshot")
+        .partitionedBy(col("p"))
+        .tableProperty("location", root)
+        .tableProperty("bloomCols", "id")
+        .tableProperty("statsCols", "id")
+        .create()
+      try {
+        val v = SnapshotManifest.currentVersion(ext, root).get
+        assert(SnapshotManifest.partitionColumns(ext, root, v) == Seq("p"),
+          "partitionedBy must land as the partition property")
+        assert(SnapshotManifest.bloomCols(ext, root, v) == Seq("id"))
+        assert(SnapshotManifest.snapshotFileStats(ext, root, v).nonEmpty)
+        assert(ext.sql("SELECT count(*) FROM snap_wtc_t WHERE p = '1'")
+          .head().getLong(0) == 100L)
+      } finally ext.sql("DROP TABLE IF EXISTS snap_wtc_t")
+    }
   }
 
   test("V2 batch read equals V1: versionAsOf through the scan; write path SaveModes unchanged") {
