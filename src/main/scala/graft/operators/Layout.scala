@@ -94,6 +94,10 @@ object Layout {
   def zValueFor(df: DataFrame, zCols: Seq[String], bits: Int = 8): Column = {
     require(zCols.nonEmpty, "zValueFor needs at least 1 column")
     require(zCols.distinct.size == zCols.size, s"duplicate z-order column in $zCols")
+    // one column has nothing to interleave: the RAW value is the exact
+    // range sort (Delta's single-column ZORDER) — strictly tighter
+    // row-group stats than any bucket quantization, and no bounds job
+    if (zCols.size == 1) return col(s"`${zCols.head}`").cast("long")
     // backticked refs: a z-column NAME containing a dot must resolve as a
     // top-level column, not parse as a nested-field path
     val aggs = zCols.zipWithIndex.flatMap { case (c, i) =>
@@ -105,9 +109,7 @@ object Layout {
       require(!row.isNullAt(2 * i), s"zValueFor: empty input or all-null $c")
       bucketLong(col(s"`$c`"), row.getLong(2 * i), row.getLong(2 * i + 1), bits)
     }
-    // one column has nothing to interleave — the clustering IS the
-    // bucketed order (Delta's single-column ZORDER is the same range sort)
-    if (buckets.size == 1) buckets.head else zValueN(buckets, bits)
+    zValueN(buckets, bits)
   }
 
   /** Cluster `df` for scans that filter on BOTH `colA` and `colB`: bucket

@@ -155,16 +155,15 @@ class GraftCatalog extends DelegatingCatalogExtension with ProcedureCatalog {
         "instead")
 
   /** The manifest-backed TBLPROPERTIES: SET runs the declare verb (a
-    * metadata-only publish), UNSET clears it the same way. Anything else
-    * (e.g. `statsCols`, comments) only updates the metastore record —
-    * which [[snapshotMeta]] feeds back into every load, so INSERT write
+    * metadata-only publish), UNSET clears it the same way — all the
+    * statement's manifest-backed properties apply as ONE publish
+    * ([[SnapshotManifest.setProperties]]), so a multi-property ALTER is
+    * atomic: it takes effect entirely or not at all, never half. Anything
+    * else (e.g. `statsCols`, comments) only updates the metastore record
+    * — which [[snapshotMeta]] feeds back into every load, so INSERT write
     * options pick it up.
     */
-  private val manifestProps: Map[String, (SparkSession, String, Seq[String]) => Long] =
-    Map(
-      "bloomcols" -> ((s, r, cols) => SnapshotManifest.setBloomColsWithRetry(s, r, cols)),
-      "primarykey" -> ((s, r, cols) => SnapshotManifest.setPrimaryKeyWithRetry(s, r, cols)),
-      "partitioncols" -> ((s, r, cols) => SnapshotManifest.setPartitionColumnsWithRetry(s, r, cols)))
+  private val manifestPropKeys = Set("bloomcols", "primarykey", "partitioncols")
 
   /** `ALTER TABLE t ADD COLUMNS (…)` on a committed snapshot table is the
     * metadata-only manifest widening ([[SnapshotManifest.addColumns]] —
@@ -180,7 +179,18 @@ class GraftCatalog extends DelegatingCatalogExtension with ProcedureCatalog {
       case Some((root, _, _))
           if SnapshotManifest.currentVersion(spark, root).isDefined =>
         val adds = Seq.newBuilder[StructField]
-        val propVerbs = Seq.newBuilder[() => Long]
+        // accumulated manifest-backed property assignments — applied as
+        // ONE setProperties publish after the loop (statement atomicity)
+        var bloom: Option[Seq[String]] = None
+        var pk: Option[Seq[String]] = None
+        var parts: Option[Seq[String]] = None
+        def assignProp(key: String, cols: Seq[String]): Unit =
+          key.toLowerCase match {
+            case "bloomcols" => bloom = Some(cols)
+            case "primarykey" => pk = Some(cols)
+            case "partitioncols" => parts = Some(cols)
+            case _ => ()
+          }
         val delegated = Seq.newBuilder[TableChange]
         changes.foreach {
           case a: TableChange.AddColumn =>
@@ -203,15 +213,13 @@ class GraftCatalog extends DelegatingCatalogExtension with ProcedureCatalog {
             adds += StructField(a.fieldNames.head, a.dataType,
               nullable = true, md)
           case p: TableChange.SetProperty =>
-            manifestProps.get(p.property.toLowerCase).foreach { verb =>
-              val cols = p.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-              propVerbs += (() => verb(spark, root, cols))
-            }
+            if (manifestPropKeys.contains(p.property.toLowerCase))
+              assignProp(p.property,
+                p.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             delegated += p // keep the metastore record in sync either way
           case p: TableChange.RemoveProperty =>
-            manifestProps.get(p.property.toLowerCase).foreach { verb =>
-              propVerbs += (() => verb(spark, root, Nil))
-            }
+            if (manifestPropKeys.contains(p.property.toLowerCase))
+              assignProp(p.property, Nil)
             delegated += p
           case other =>
             refuseChange(other.getClass.getSimpleName)
@@ -219,7 +227,8 @@ class GraftCatalog extends DelegatingCatalogExtension with ProcedureCatalog {
         val newCols = adds.result()
         if (newCols.nonEmpty)
           SnapshotManifest.addColumnsWithRetry(spark, root, newCols)
-        propVerbs.result().foreach(_.apply())
+        if (bloom.isDefined || pk.isDefined || parts.isDefined)
+          SnapshotManifest.setPropertiesWithRetry(spark, root, bloom, pk, parts)
         val remaining = delegated.result()
         if (remaining.nonEmpty) super.alterTable(ident, remaining: _*)
         loadTable(ident)
@@ -232,5 +241,5 @@ class GraftCatalog extends DelegatingCatalogExtension with ProcedureCatalog {
     GraftProcedures.load(ident)
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    GraftProcedures.list()
+    GraftProcedures.list(namespace)
 }

@@ -252,17 +252,28 @@ private[graft] object GraftProcedures {
 
   ).map(p => p.name() -> p).toMap
 
+  /** The procedures are ENGINE verbs, not database objects: they resolve
+    * under any single-part namespace (`CALL graft.vacuum`, `CALL
+    * system.vacuum`, or the session's current database when unqualified)
+    * and always list under `graft`. `load` and `list` share this rule —
+    * SHOW PROCEDURES must never advertise a name CALL then refuses, and a
+    * bare SHOW PROCEDURES (which passes the CURRENT namespace) must
+    * discover them.
+    */
+  private def knownNamespace(ns: Array[String]): Boolean = ns.length <= 1
+
   def load(ident: Identifier): UnboundProcedure = {
     val ns = ident.namespace()
-    val known = ns.isEmpty ||
-      (ns.length == 1 && (ns.head == "graft" || ns.head == "system"))
-    procedures.get(ident.name().toLowerCase).filter(_ => known).getOrElse(
+    procedures.get(ident.name().toLowerCase)
+      .filter(_ => knownNamespace(ns)).getOrElse(
       throw new UnsupportedOperationException(
         s"graft procedures: no procedure " +
           s"${(ns :+ ident.name()).mkString(".")} — available: " +
           procedures.keys.toSeq.sorted.map("graft." + _).mkString(", ")))
   }
 
-  def list(): Array[Identifier] =
-    procedures.keys.toArray.sorted.map(n => Identifier.of(Namespace, n))
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (knownNamespace(namespace))
+      procedures.keys.toArray.sorted.map(n => Identifier.of(Namespace, n))
+    else Array.empty
 }

@@ -2634,6 +2634,60 @@ object SnapshotManifest {
       version: Long): Seq[String] =
     manifestMetaOnly(spark, root, version).partitionCols
 
+  /** Declare several table properties in ONE metadata publish — the
+    * atomic form of [[setBloomCols]] + [[setPrimaryKey]] +
+    * [[setPartitionColumns]] (same per-property validations), for callers
+    * whose statement names more than one property (SQL `ALTER TABLE … SET
+    * TBLPROPERTIES('bloomCols'='…','primaryKey'='…')`): a single
+    * statement must apply entirely or not at all, never leave the table
+    * half-altered behind a mid-sequence failure. `None` keeps a property
+    * as declared; `Some(Nil)` clears it.
+    */
+  def setProperties(spark: SparkSession, root: String,
+      bloomCols: Option[Seq[String]] = None,
+      pk: Option[Seq[String]] = None,
+      partitionCols: Option[Seq[String]] = None): Long = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"setProperties: no committed snapshot under $root"))
+    val (body, meta) = manifestParts(spark, root, v)
+    val next = meta.copy(
+      bloomCols = bloomCols.getOrElse(meta.bloomCols),
+      pk = pk.getOrElse(meta.pk),
+      partitionCols = partitionCols.getOrElse(meta.partitionCols))
+    if (next.bloomCols == meta.bloomCols && next.pk == meta.pk &&
+      next.partitionCols == meta.partitionCols) return v
+    val schema = meta.schema.orElse(body.headOption.map(l =>
+      spark.read.parquet(bodyFile(root, l)).schema))
+    schema.foreach { s =>
+      (next.bloomCols.map("setProperties (bloom)" -> _) ++
+        next.pk.map("setProperties (pk)" -> _)).foreach { case (what, c) =>
+        require(s.fieldNames.contains(c),
+          s"$what: column $c not in schema ${s.fieldNames.mkString(", ")}")
+      }
+      next.partitionCols.foreach { c =>
+        val f = s.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"setProperties (partition): column $c not in schema " +
+              s.fieldNames.mkString(", ")))
+        require(ManifestStats.supportsStats(f.dataType),
+          s"setProperties (partition): column $c has unsupported type " +
+            f.dataType.simpleString)
+      }
+    }
+    publishLines(spark, root, v + 1, body, "setProperties", next)
+  }
+
+  def setPropertiesWithRetry(spark: SparkSession, root: String,
+      bloomCols: Option[Seq[String]] = None,
+      pk: Option[Seq[String]] = None,
+      partitionCols: Option[Seq[String]] = None, maxAttempts: Int = 5,
+      backoff: Int => FiniteDuration = Retry.linearBackoff(1.second),
+      sleep: FiniteDuration => Unit = d => Thread.sleep(d.toMillis)): Long =
+    Retry.retryWhen(_.isInstanceOf[ConcurrentCommitException],
+      maxAttempts, backoff, sleep)(
+      setProperties(spark, root, bloomCols, pk, partitionCols))
+
   def setPartitionColumnsWithRetry(spark: SparkSession, root: String,
       cols: Seq[String], maxAttempts: Int = 5,
       backoff: Int => FiniteDuration = Retry.linearBackoff(1.second),
@@ -2670,9 +2724,13 @@ object SnapshotManifest {
   def history(spark: SparkSession, root: String): Seq[HistoryEntry] = {
     val (fs, rootPath) = fsOf(spark, root)
     listVersions(spark, root).map { v =>
+      // resolve the body FIRST: a version listed via its mid-swap rewrite
+      // sidecar (crashed chain-guard rewrite) has no manifest file until
+      // manifestParts completes the swap — stat-before-resolve would
+      // throw FileNotFound on a table that reads fine
+      val entries = manifestParts(spark, root, v)._1.map(parseLine)
       val mtime = fs.getFileStatus(new Path(rootPath, manifestName(v)))
         .getModificationTime
-      val entries = manifestParts(spark, root, v)._1.map(parseLine)
       HistoryEntry(v, mtime, entries.size.toLong,
         entries.count(_.dvRel.nonEmpty).toLong)
     }

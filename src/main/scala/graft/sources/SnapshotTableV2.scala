@@ -111,8 +111,24 @@ final class SnapshotTable(
 
   override def partitioning(): Array[Transform] = Array.empty
 
-  override def properties(): util.Map[String, String] =
-    tableOptions.asCaseSensitiveMap()
+  /** Catalog-declared options ENRICHED with the manifest's own declared
+    * properties — `SHOW TBLPROPERTIES` / `DESCRIBE EXTENDED` must report
+    * the table's TRUTH (an API-declared bloom index or pk exists whether
+    * or not any DDL mentioned it). Header-only cost: the manifest header
+    * streams a few KB and rides the HeaderCache.
+    */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String](tableOptions.asCaseSensitiveMap())
+    snapshotVersion.foreach { v =>
+      val hdr = SnapshotManifest.manifestMetaOnly(spark, root, v)
+      if (hdr.bloomCols.nonEmpty) m.put("bloomCols", hdr.bloomCols.mkString(","))
+      if (hdr.pk.nonEmpty) m.put("primaryKey", hdr.pk.mkString(","))
+      if (hdr.partitionCols.nonEmpty)
+        m.put("partitionCols", hdr.partitionCols.mkString(","))
+      m.put("snapshotVersion", v.toString)
+    }
+    m
+  }
 
   override def capabilities(): util.Set[TableCapability] = {
     val caps = mutable.Set[TableCapability](
@@ -311,7 +327,11 @@ private[graft] final case class SnapshotStreamOffset(version: Long)
   *     an added entry carrying a deletion-vector sidecar emits the data
   *     file's FULL pre-deletion rows (deletes never propagate through an
   *     append tail; a file committed and DV-tagged within one window
-  *     still delivers its surviving rows).
+  *     still delivers its surviving rows). The BOOTSTRAP batch is the
+  *     exception: it represents the current snapshot, not a change
+  *     window, so a DV-live initial version REFUSES even under
+  *     `ignoreChanges` (raw files would emit rows that were never
+  *     stream-observable) — fold the DVs or use `readChangeFeed`.
   *   - '''`readChangeFeed=true`''': batches read the MATERIALIZED change
   *     feed ranges (`_cdf/`, [[ChangeFeed.materialize]]) covering the
   *     offset window — row-level changes with `_change`/`_commit_version`
@@ -437,6 +457,19 @@ private[graft] final class SnapshotMicroBatchStream(
     } else {
       val oldEntries = entriesOf(from)
       val newEntries = entriesOf(to)
+      // the BOOTSTRAP batch (from < 0) represents the current SNAPSHOT,
+      // not a change window: serving a DV-live version's raw files would
+      // emit rows that were never part of the stream's observable content
+      // (wrong data, not an at-least-once re-emit) — and the parquet
+      // batch path cannot apply the sidecar anti-join. Refuse loudly,
+      // with the two correct outs.
+      if (from < 0 && newEntries.exists(_.dvRel.nonEmpty))
+        throw new IllegalStateException(
+          s"graft-snapshot stream: the initial snapshot of $root has live " +
+            "deletion-vector sidecars, which an append batch cannot apply " +
+            "(even with ignoreChanges). foldDeletes first (CALL " +
+            "graft.fold_deletes), or stream the row-level feed " +
+            "(readChangeFeed=true)")
       val oldUnits = oldEntries.map(_.unit).toSet
       val newUnits = newEntries.map(_.unit).toSet
       val added = newEntries.filterNot(e => oldUnits(e.unit))

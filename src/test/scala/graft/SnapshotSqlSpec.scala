@@ -485,6 +485,8 @@ class SnapshotSqlSpec extends SparkSpec {
         ext.sql("ALTER TABLE snap_prop_t SET TBLPROPERTIES" +
           "('bloomCols'='id', 'primaryKey'='id')")
         val v = SnapshotManifest.currentVersion(ext, root).get
+        assert(v == 1L,
+          "a multi-property SET must apply as ONE atomic manifest publish")
         assert(SnapshotManifest.bloomCols(ext, root, v) == Seq("id"))
         assert(SnapshotManifest.primaryKey(ext, root, v) == Seq("id"))
         ext.sql("ALTER TABLE snap_prop_t UNSET TBLPROPERTIES ('bloomCols')")
@@ -691,6 +693,22 @@ class SnapshotSqlSpec extends SparkSpec {
       s"a file added and DV-tagged within one window lost rows: " +
         s"${(100L until 110L).filterNot(ids.contains)}")
     assert((0L until 40L).forall(ids.contains))
+
+    // the BOOTSTRAP batch is different: a FRESH stream over the now
+    // DV-live version must refuse even with ignoreChanges — raw files
+    // would emit rows that were never part of the stream's content
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("ignoreChanges", "true").load(root)
+        .writeStream.format("parquet").option("path", newRoot() + "/out2")
+        .option("checkpointLocation", newRoot() + "/ck2")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("initial snapshot")),
+      s"a DV-live bootstrap must refuse loudly: ${e.getMessage}")
   }
 
   test("writeStream sink bootstrap declares the full property set (bloom/partition/pk/stats)") {
@@ -741,6 +759,26 @@ class SnapshotSqlSpec extends SparkSpec {
         assert(ext.sql("SELECT id, v FROM snap_trunc_t").collect().toSeq
           .map(r => (r.getLong(0), r.getLong(1))) == Seq(7L -> 70L))
       } finally ext.sql("DROP TABLE IF EXISTS snap_trunc_t")
+    }
+  }
+
+  test("SHOW TBLPROPERTIES reports the manifest's declared properties, DDL-declared or not") {
+    withExtSession { ext =>
+      val root = newRoot()
+      // properties declared through the API, with no DDL mention at all
+      SnapshotManifest.commit(ext, root,
+        ext.range(0, 30).toDF("id").withColumn("v", col("id")),
+        Seq("id"), Seq("id"))
+      SnapshotManifest.setPrimaryKeyWithRetry(ext, root, Seq("id"))
+      ext.sql(s"CREATE TABLE snap_show_t USING `graft-snapshot` LOCATION '$root'")
+      try {
+        val props = ext.sql("SHOW TBLPROPERTIES snap_show_t").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(props.get("bloomCols").contains("id"),
+          s"SHOW TBLPROPERTIES must surface the manifest bloom index ($props)")
+        assert(props.get("primaryKey").contains("id"))
+        assert(props.get("snapshotVersion").contains("1"))
+      } finally ext.sql("DROP TABLE IF EXISTS snap_show_t")
     }
   }
 
