@@ -94,10 +94,6 @@ object Layout {
   def zValueFor(df: DataFrame, zCols: Seq[String], bits: Int = 8): Column = {
     require(zCols.nonEmpty, "zValueFor needs at least 1 column")
     require(zCols.distinct.size == zCols.size, s"duplicate z-order column in $zCols")
-    // one column has nothing to interleave: the RAW value is the exact
-    // range sort (Delta's single-column ZORDER) — strictly tighter
-    // row-group stats than any bucket quantization, and no bounds job
-    if (zCols.size == 1) return col(s"`${zCols.head}`").cast("long")
     // backticked refs: a z-column NAME containing a dot must resolve as a
     // top-level column, not parse as a nested-field path
     val aggs = zCols.zipWithIndex.flatMap { case (c, i) =>
@@ -109,7 +105,13 @@ object Layout {
       require(!row.isNullAt(2 * i), s"zValueFor: empty input or all-null $c")
       bucketLong(col(s"`$c`"), row.getLong(2 * i), row.getLong(2 * i + 1), bits)
     }
-    zValueN(buckets, bits)
+    // one column has nothing to interleave: the RAW value is the exact
+    // range sort (Delta's single-column ZORDER) — strictly tighter
+    // row-group stats than any bucket quantization. The bounds
+    // aggregation above still ran: it is also the loud all-null/empty
+    // guard (a constant-null sort key would silently collapse the layout)
+    if (zCols.size == 1) col(s"`${zCols.head}`").cast("long")
+    else zValueN(buckets, bits)
   }
 
   /** Cluster `df` for scans that filter on BOTH `colA` and `colB`: bucket

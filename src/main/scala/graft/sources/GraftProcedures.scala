@@ -252,15 +252,17 @@ private[graft] object GraftProcedures {
 
   ).map(p => p.name() -> p).toMap
 
-  /** The procedures are ENGINE verbs, not database objects: they resolve
-    * under any single-part namespace (`CALL graft.vacuum`, `CALL
-    * system.vacuum`, or the session's current database when unqualified)
-    * and always list under `graft`. `load` and `list` share this rule —
-    * SHOW PROCEDURES must never advertise a name CALL then refuses, and a
-    * bare SHOW PROCEDURES (which passes the CURRENT namespace) must
-    * discover them.
+  /** The namespaces the procedures answer under: `graft`, `system`,
+    * unqualified, and the session's CURRENT database (a bare
+    * `SHOW PROCEDURES` / `CALL vacuum(…)` resolves there). `load` and
+    * `list` share this rule — SHOW PROCEDURES must never advertise a name
+    * CALL then refuses — and a typo'd database name (`CALL
+    * prod_bakup.vacuum`) still refuses loudly instead of executing a
+    * destructive verb under the wrong address.
     */
-  private def knownNamespace(ns: Array[String]): Boolean = ns.length <= 1
+  private def knownNamespace(ns: Array[String]): Boolean =
+    ns.isEmpty || (ns.length == 1 && (ns.head == "graft" ||
+      ns.head == "system" || ns.head == spark.catalog.currentDatabase))
 
   def load(ident: Identifier): UnboundProcedure = {
     val ns = ident.namespace()

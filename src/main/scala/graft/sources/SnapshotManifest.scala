@@ -2475,18 +2475,8 @@ object SnapshotManifest {
     * [[commitChecked]] with a uniqueness check is the enforcing form.
     */
   def setPrimaryKey(spark: SparkSession, root: String,
-      pk: Seq[String]): Long = {
-    val v = currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"setPrimaryKey: no committed snapshot under $root"))
-    val (body, meta) = manifestParts(spark, root, v)
-    if (meta.pk == pk) return v
-    val schema = meta.schema.orElse(body.headOption.map(l =>
-      spark.read.parquet(bodyFile(root, l)).schema))
-    schema.foreach(s => pk.foreach(c => require(s.fieldNames.contains(c),
-      s"setPrimaryKey: column $c not in schema ${s.fieldNames.mkString(", ")}")))
-    publishLines(spark, root, v + 1, body, "setPrimaryKey",
-      meta.copy(pk = pk))
-  }
+      pk: Seq[String]): Long =
+    setProperties(spark, root, pk = Some(pk), op = "setPrimaryKey")
 
   /** The declared primary key of `version` (empty when none) —
     * header-only driver metadata.
@@ -2569,21 +2559,8 @@ object SnapshotManifest {
     * (dropped loudly only if a full commit's frame lacks the columns).
     */
   def setBloomCols(spark: SparkSession, root: String,
-      cols: Seq[String]): Long = {
-    val v = currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"setBloomCols: no committed snapshot under $root"))
-    val (body, meta) = manifestParts(spark, root, v)
-    if (meta.bloomCols == cols) return v
-    // same fail-fast as commit's bloomCols: a misspelled column would
-    // publish fine and then silently never index (one footer read when
-    // the table has no recorded schema — a rare maintenance verb)
-    val schema = meta.schema.orElse(body.headOption.map(l =>
-      spark.read.parquet(bodyFile(root, l)).schema))
-    schema.foreach(s => cols.foreach(c => require(s.fieldNames.contains(c),
-      s"setBloomCols: column $c not in schema ${s.fieldNames.mkString(", ")}")))
-    publishLines(spark, root, v + 1, body, "setBloomCols",
-      meta.copy(bloomCols = cols))
-  }
+      cols: Seq[String]): Long =
+    setProperties(spark, root, bloomCols = Some(cols), op = "setBloomCols")
 
   /** Declare (or clear) the table's PARTITION columns — a metadata-only
     * property publish, [[setBloomCols]]'s sibling. Every data file written
@@ -2602,30 +2579,9 @@ object SnapshotManifest {
     * exactly as it would any groupBy.
     */
   def setPartitionColumns(spark: SparkSession, root: String,
-      cols: Seq[String]): Long = {
-    val v = currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(
-        s"setPartitionColumns: no committed snapshot under $root"))
-    val (body, meta) = manifestParts(spark, root, v)
-    if (meta.partitionCols == cols) return v
-    val schema = meta.schema.orElse(body.headOption.map(l =>
-      spark.read.parquet(bodyFile(root, l)).schema))
-    schema.foreach { s =>
-      cols.foreach { c =>
-        val f = s.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
-          throw new IllegalArgumentException(
-            s"setPartitionColumns: column $c not in schema " +
-              s.fieldNames.mkString(", ")))
-        // partition pruning proofs live in manifest stats — a type stats
-        // cannot encode cannot partition
-        require(ManifestStats.supportsStats(f.dataType),
-          s"setPartitionColumns: column $c has unsupported type " +
-            f.dataType.simpleString)
-      }
-    }
-    publishLines(spark, root, v + 1, body, "setPartitionColumns",
-      meta.copy(partitionCols = cols))
-  }
+      cols: Seq[String]): Long =
+    setProperties(spark, root, partitionCols = Some(cols),
+      op = "setPartitionColumns")
 
   /** The declared partition columns of `version` (empty when none) —
     * header-only driver metadata.
@@ -2646,10 +2602,11 @@ object SnapshotManifest {
   def setProperties(spark: SparkSession, root: String,
       bloomCols: Option[Seq[String]] = None,
       pk: Option[Seq[String]] = None,
-      partitionCols: Option[Seq[String]] = None): Long = {
+      partitionCols: Option[Seq[String]] = None,
+      op: String = "setProperties"): Long = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(
-        s"setProperties: no committed snapshot under $root"))
+        s"$op: no committed snapshot under $root"))
     val (body, meta) = manifestParts(spark, root, v)
     val next = meta.copy(
       bloomCols = bloomCols.getOrElse(meta.bloomCols),
@@ -2660,22 +2617,22 @@ object SnapshotManifest {
     val schema = meta.schema.orElse(body.headOption.map(l =>
       spark.read.parquet(bodyFile(root, l)).schema))
     schema.foreach { s =>
-      (next.bloomCols.map("setProperties (bloom)" -> _) ++
-        next.pk.map("setProperties (pk)" -> _)).foreach { case (what, c) =>
+      (next.bloomCols.map(s"$op (bloom)" -> _) ++
+        next.pk.map(s"$op (pk)" -> _)).foreach { case (what, c) =>
         require(s.fieldNames.contains(c),
           s"$what: column $c not in schema ${s.fieldNames.mkString(", ")}")
       }
       next.partitionCols.foreach { c =>
         val f = s.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
           throw new IllegalArgumentException(
-            s"setProperties (partition): column $c not in schema " +
+            s"$op (partition): column $c not in schema " +
               s.fieldNames.mkString(", ")))
         require(ManifestStats.supportsStats(f.dataType),
-          s"setProperties (partition): column $c has unsupported type " +
+          s"$op (partition): column $c has unsupported type " +
             f.dataType.simpleString)
       }
     }
-    publishLines(spark, root, v + 1, body, "setProperties", next)
+    publishLines(spark, root, v + 1, body, op, next)
   }
 
   def setPropertiesWithRetry(spark: SparkSession, root: String,

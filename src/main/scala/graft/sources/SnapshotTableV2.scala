@@ -121,11 +121,21 @@ final class SnapshotTable(
     val m = new util.HashMap[String, String](tableOptions.asCaseSensitiveMap())
     snapshotVersion.foreach { v =>
       val hdr = SnapshotManifest.manifestMetaOnly(spark, root, v)
-      if (hdr.bloomCols.nonEmpty) m.put("bloomCols", hdr.bloomCols.mkString(","))
-      if (hdr.pk.nonEmpty) m.put("primaryKey", hdr.pk.mkString(","))
-      if (hdr.partitionCols.nonEmpty)
-        m.put("partitionCols", hdr.partitionCols.mkString(","))
-      m.put("snapshotVersion", v.toString)
+      // the manifest value REPLACES any catalog-declared spelling, in
+      // both directions: a property cleared in the manifest must not keep
+      // reporting a stale DDL value (keys matched case-insensitively —
+      // TBLPROPERTIES('bloomcols'=…) is the same property)
+      def set(key: String, cols: Seq[String]): Unit = {
+        val it = m.keySet().iterator()
+        while (it.hasNext) if (it.next().equalsIgnoreCase(key)) it.remove()
+        if (cols.nonEmpty) {
+          m.put(key, cols.mkString(","))
+          ()
+        }
+      }
+      set("bloomCols", hdr.bloomCols)
+      set("primaryKey", hdr.pk)
+      set("partitionCols", hdr.partitionCols)
     }
     m
   }

@@ -777,7 +777,14 @@ class SnapshotSqlSpec extends SparkSpec {
         assert(props.get("bloomCols").contains("id"),
           s"SHOW TBLPROPERTIES must surface the manifest bloom index ($props)")
         assert(props.get("primaryKey").contains("id"))
-        assert(props.get("snapshotVersion").contains("1"))
+        // the other direction: a property CLEARED through the API must
+        // stop being reported, even if DDL once declared it
+        SnapshotManifest.setBloomColsWithRetry(ext, root, Nil)
+        val cleared = ext.sql("SHOW TBLPROPERTIES snap_show_t").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(!cleared.contains("bloomCols"),
+          s"a cleared property must not report a stale value ($cleared)")
+        assert(cleared.get("primaryKey").contains("id"))
       } finally ext.sql("DROP TABLE IF EXISTS snap_show_t")
     }
   }
