@@ -43,6 +43,13 @@ class DmlModelSpec extends SparkSpec {
   // TableMeta carry) and the partial tail compaction (content-neutral)
   private case class Append(rows: List[(Long, Long)]) extends Op
   private case object CompactSmall extends Op
+  // round-14 SQL-surface verbs: TRUNCATE (one empty property-carrying
+  // commit), RESTORE to a retained version (model AND property flags
+  // revert — restore republishes the target's meta verbatim), and the
+  // atomic multi-property declare
+  private case object Truncate extends Op
+  private case object Restore extends Op
+  private case object SetProps extends Op
 
   private val genRange = for {
     lo <- Gen.choose(0L, 90L); w <- Gen.choose(0L, 15L)
@@ -66,7 +73,10 @@ class DmlModelSpec extends SparkSpec {
     2 -> Gen.listOfN(3, Gen.choose(-99L, 99L)).map(vs => Append(vs.zipWithIndex
       .map { case (v, i) => (i.toLong, v) })),
     1 -> Gen.const(CompactSmall),
-    2 -> Gen.const(ToggleColoc))
+    2 -> Gen.const(ToggleColoc),
+    1 -> Gen.const(Truncate),
+    1 -> Gen.const(Restore),
+    1 -> Gen.const(SetProps))
 
   private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
     (0 until n).flatMap(i =>
@@ -90,10 +100,12 @@ class DmlModelSpec extends SparkSpec {
       var pkSet = false
       var bloomSet = false
       var colocOn = false
-      // (version, expected content) after each step — replayed at the end
-      // as time-travel reads resolving through whatever delta chains the
-      // history produced. Vacuum clears it (old versions are reclaimed).
-      val hist = scala.collection.mutable.ArrayBuffer[(Long, Map[Long, Long])]()
+      // (version, expected content, pk/bloom/coloc flags) after each step
+      // — replayed at the end as time-travel reads resolving through
+      // whatever delta chains the history produced, and the RESTORE op's
+      // revert targets. Vacuum clears it (old versions are reclaimed).
+      val hist = scala.collection.mutable.ArrayBuffer[
+        (Long, Map[Long, Long], Boolean, Boolean, Boolean)]()
       val ops = samples(genOp, 10, 5000L + trial * 100L)
       ops.zipWithIndex.foreach { case (op, step) =>
         op match {
@@ -154,6 +166,23 @@ class DmlModelSpec extends SparkSpec {
           case ToggleColoc =>
             SnapshotManifest.setColocatedMerge(spark, root, !colocOn)
             colocOn = !colocOn
+          case Truncate =>
+            // the SQL TRUNCATE path: one empty commit, properties carry
+            new graft.sources.SnapshotTable(spark, root, None, None,
+              org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+              .truncateTable()
+            model.clear()
+          case Restore if hist.nonEmpty =>
+            val (tv, want, p, bl, co) = hist(step % hist.size)
+            SnapshotManifest.restoreVersion(spark, root, tv)
+            model.clear(); model ++= want
+            pkSet = p; bloomSet = bl; colocOn = co
+          case Restore => () // nothing retained to restore to
+          case SetProps =>
+            // the atomic multi-property declare (SQL ALTER's one-publish)
+            SnapshotManifest.setProperties(spark, root,
+              bloomCols = Some(Seq("id")), pk = Some(Seq("id")))
+            pkSet = true; bloomSet = true
         }
         val got = SnapshotManifest.read(spark, root)
           .as[(Long, Long)].collect().toMap
@@ -172,12 +201,12 @@ class DmlModelSpec extends SparkSpec {
           s"trial $trial step $step ($op): bloom property lost")
         assert(SnapshotManifest.colocatedMerge(spark, root, curV) == colocOn,
           s"trial $trial step $step ($op): merge=colocated hint lost")
-        hist += ((curV, model.toMap))
+        hist += ((curV, model.toMap, pkSet, bloomSet, colocOn))
       }
       // time-travel replay: every retained historical version must read
       // back to the content the model had at that step — exercising delta
       // resolution from an arbitrary chain position, not just the head
-      hist.foreach { case (v, want) =>
+      hist.foreach { case (v, want, _, _, _) =>
         val got = SnapshotManifest.readVersion(spark, root, v)
           .select($"id", $"v").as[(Long, Long)].collect().toMap
         assert(got == want,
@@ -296,6 +325,17 @@ class DmlModelSpec extends SparkSpec {
             val curV = SnapshotManifest.currentVersion(spark, root).get
             SnapshotManifest.setColocatedMerge(spark, root,
               !SnapshotManifest.colocatedMerge(spark, root, curV))
+          case SetProps =>
+            SnapshotManifest.setProperties(spark, root,
+              bloomCols = Some(Seq("id")), pk = Some(Seq("id")))
+          case Truncate =>
+            // evolution × TRUNCATE: the empty commit's one schema-bearing
+            // file must carry the WIDENED shape
+            new graft.sources.SnapshotTable(spark, root, None, None,
+              org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+              .truncateTable()
+            model.clear()
+          case Restore => () // revert targets are tracked in the first fuzz
         }
         if (!evolved) {
           val got = SnapshotManifest.read(spark, root)
