@@ -270,7 +270,11 @@ private[graft] final class SnapshotScanBuilder(
     options: CaseInsensitiveStringMap)
     extends ParquetScanBuilder(
       spark,
-      if (table.canFileRelation)
+      // readChangeFeed first: the CDF stream never uses the file index,
+      // and canFileRelation resolves the manifest BODY — a 10⁵-line
+      // driver parse the feed mode must never pay (ChangeFeedSpec pins
+      // zero body parses across a CDF tail)
+      if (!table.readChangeFeed && table.canFileRelation)
         new SnapshotV2FileIndex(spark, table.root, table.snapshotVersion.get,
           table.entries, SnapshotManifest.bodyStatsOf(table.entries),
           table.schema())

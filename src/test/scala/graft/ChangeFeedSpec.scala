@@ -30,6 +30,57 @@ class ChangeFeedSpec extends SparkSpec {
       Seq((100L, "new")).toDF("id", "x"), Seq("id"), Seq("id"))
   }
 
+  test("CDF streaming is O(churn) on the driver: zero manifest-body parses across a cold-cache tail") {
+    // the scaladoc claim under test: at the 10⁵-file regime the CDF mode's
+    // per-trigger cost is one _cdf listing + the churned ranges — never a
+    // body resolve. A schema-RECORDED table (addColumns) answers the
+    // stream-start schema from the header, so the whole lifecycle must
+    // touch no manifest body on the driver.
+    val src = newRoot() + "/t"
+    SnapshotManifest.commit(spark, src,
+      (0L until 20L).map(i => (i, s"v$i")).toDF("id", "x"), Seq("id"))
+    SnapshotManifest.addColumns(spark, src, Seq(
+      org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    SnapshotManifest.updateWhere(spark, src, col("id") === 3L,
+      Map("x" -> lit("patched")), Seq("id"))
+    SnapshotManifest.deleteWhere(spark, src, col("id") >= 18L, Seq("id"))
+    ChangeFeed.materializeNew(spark, src, Seq("id"))
+    // cache-cold twin of the whole root: PartsCache keys by root path, so
+    // the copy proves the stream NEVER NEEDS a body, not that one was
+    // cached earlier
+    val dst = newRoot() + "/t2"
+    val sp = java.nio.file.Paths.get(src)
+    val dp = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(sp).forEach { p =>
+      val t = dp.resolve(sp.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+      ()
+    }
+    val outDir = newRoot() + "/out"
+    SnapshotManifest.manifestReadCount.set(0L)
+    val q = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1").load(dst)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", newRoot() + "/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(SnapshotManifest.manifestReadCount.get() == 0L,
+      "a CDF stream must never materialize a manifest body on the driver " +
+        "— its per-trigger cost is the _cdf listing plus churned ranges")
+    // and it emitted exactly the materialized feed
+    val got = spark.read.parquet(outDir)
+      .select(col("id"), col("_change"), col("_commit_version"))
+      .as[(Long, String, Long)].collect().toSet
+    val want = ChangeFeed.feed(spark, src, None, None)
+      .select(col("id"), col("_change"), col("_commit_version"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want, s"CDF tail diverged: extra=${(got -- want).take(3)} " +
+      s"missing=${(want -- got).take(3)}")
+  }
+
   test("materializeNew covers every commit boundary; feed equals the per-commit diffs") {
     val root = newRoot()
     build4(root)
