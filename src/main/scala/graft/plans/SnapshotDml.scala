@@ -77,7 +77,15 @@ final case class SnapshotStatements(spark: SparkSession)
           // resolve BY NAME (names are unique in a table schema), never by
           // position: a column-order divergence between readVersion and
           // the relation must fail loudly, not serve data under the wrong
-          // attribute
+          // attribute. The lookup keys on lowercase, so two served names
+          // differing only in case (legal under spark.sql.caseSensitive)
+          // would silently collapse — fail loudly BEFORE building the map
+          served.output.groupBy(_.name.toLowerCase).collectFirst {
+            case (_, as) if as.size > 1 => throw new IllegalStateException(
+              s"graft-snapshot: materialized serve of ${t.root} has " +
+                s"case-colliding columns ${as.map(_.name).mkString(", ")} — " +
+                "by-name resolution cannot disambiguate them; rename one")
+          }
           val servedByName = served.output
             .map(a => a.name.toLowerCase -> a).toMap
           Project(r.output.map { tgt =>

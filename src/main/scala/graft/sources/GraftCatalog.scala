@@ -59,6 +59,14 @@ class GraftCatalog extends DelegatingCatalogExtension with ProcedureCatalog {
       .getOrElse(throw new IllegalStateException(
         "GraftCatalog: no active SparkSession"))
 
+  /** Option keys the snapshot READ paths consume (scan builder, V1
+    * relation, micro-batch stream) — lowercase. Declaring one of these as
+    * a catalog table property must not ride into every scan's options.
+    */
+  private val readOptionKeys = Set("readchangefeed", "ignorechanges",
+    "startingversion", "maxversionspertrigger", "versionasof",
+    "timestampasof")
+
   /** The catalog's record of a graft-snapshot table: root, declared
     * schema, and declared properties. The declared schema matters only
     * pre-bootstrap (CREATE TABLE with columns, then INSERT): once a
@@ -85,9 +93,16 @@ class GraftCatalog extends DelegatingCatalogExtension with ProcedureCatalog {
     else {
       val props = new util.HashMap[String, String]()
       // OPTIONS(…) then TBLPROPERTIES(…) — table properties win on a key
-      // declared in both (they are the later, more deliberate statement)
-      meta.storage.properties.foreach { case (k, v) => props.put(k, v) }
-      meta.properties.foreach { case (k, v) => props.put(k, v) }
+      // declared in both (they are the later, more deliberate statement).
+      // READ-semantic option keys are STRIPPED: the carried map merges
+      // into every scan's read options (newScanBuilder), so a table
+      // property named readChangeFeed/versionAsOf/… would silently flip
+      // read semantics for every reader of the table — a declaration
+      // surface must never double as a per-query switch.
+      def put(k: String, v: String): Unit =
+        if (!readOptionKeys.contains(k.toLowerCase)) { props.put(k, v); () }
+      meta.storage.properties.foreach { case (k, v) => put(k, v) }
+      meta.properties.foreach { case (k, v) => put(k, v) }
       if (meta.partitionColumnNames.nonEmpty &&
           !props.containsKey("partitionCols"))
         props.put("partitionCols", meta.partitionColumnNames.mkString(","))

@@ -45,9 +45,19 @@ private[graft] object GraftProcedures {
     * name resolved through the session catalog — which must be a
     * graft-snapshot table (running VACUUM against a parquet directory
     * that merely looks like a table must fail loudly, not sweep it).
+    * A PATH argument gets the equivalent gate: a committed snapshot
+    * manifest must exist under it — `CALL graft.vacuum('/some/dir')`
+    * against a directory that is not a snapshot table must refuse before
+    * any verb (especially a sweeping one) touches it.
     */
   private def resolveRoot(tableOrPath: String): String = {
-    if (tableOrPath.contains("/")) return tableOrPath
+    if (tableOrPath.contains("/")) {
+      require(SnapshotManifest.currentVersion(spark, tableOrPath).isDefined,
+        s"graft procedures: no committed graft-snapshot manifest under " +
+          s"path '$tableOrPath' — refusing to run a maintenance verb " +
+          "against a non-snapshot directory")
+      return tableOrPath
+    }
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val id = classic.sessionState.sqlParser.parseTableIdentifier(tableOrPath)
     val meta = classic.sessionState.catalog.getTableMetadata(id)

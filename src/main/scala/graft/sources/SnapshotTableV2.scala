@@ -557,6 +557,21 @@ private[graft] final class SnapshotWriteBuilder(
     Option(info.options.get(key)).orElse(Option(tableOptions.get(key)))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
+  /** MANIFEST-backed properties (`bloomCols`, `partitionCols`): on a
+    * COMMITTED table the manifest header is the truth — a property later
+    * changed through the API (setBloomCols/setProperties) leaves the
+    * catalog's DDL record stale, and feeding that stale value into
+    * `commit` as an explicit argument would silently REVERT the manifest
+    * declaration on the next SQL INSERT. So the catalog-declared value
+    * applies only at BOOTSTRAP; afterwards Nil lets commit's carry rule
+    * serve the header's current declaration. A per-statement write
+    * `.option(...)` is a deliberate override either way.
+    */
+  private def manifestBackedCols(key: String, exists: Boolean): Seq[String] =
+    Option(info.options.get(key))
+      .orElse(if (exists) None else Option(tableOptions.get(key)))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
   // None = append; Some(None) = truncate-overwrite; Some(Some(f)) = filtered
   @volatile private var overwrite: Option[Option[Array[Filter]]] = None
 
@@ -586,6 +601,8 @@ private[graft] final class SnapshotWriteBuilder(
           def dispatch(attempt: Int): Unit =
             try {
               val exists = SnapshotManifest.currentVersion(spark, root).isDefined
+              val bloom = manifestBackedCols("bloomCols", exists)
+              val parts = manifestBackedCols("partitionCols", exists)
               overwrite match {
                 case Some(Some(filters)) if exists =>
                   // replaceWhere: ONE commit of survivors ∪ new rows
@@ -595,20 +612,19 @@ private[graft] final class SnapshotWriteBuilder(
                     .filter(!org.apache.spark.sql.functions.coalesce(
                       cond, org.apache.spark.sql.functions.lit(false)))
                   SnapshotManifest.commit(spark, root,
-                    survivors.unionByName(data), statsCols,
-                    cols("bloomCols"), cols("partitionCols"))
+                    survivors.unionByName(data), statsCols, bloom, parts)
                   ()
                 case Some(_) | None if !exists => // bootstrap
                   SnapshotManifest.commit(spark, root, data, statsCols,
-                    cols("bloomCols"), cols("partitionCols"))
+                    bloom, parts)
                   declarePk()
                 case Some(_) => // truncate-overwrite (or overwriteFlag)
                   SnapshotManifest.commit(spark, root, data, statsCols,
-                    cols("bloomCols"), cols("partitionCols"))
+                    bloom, parts)
                   ()
                 case None if overwriteFlag =>
                   SnapshotManifest.commit(spark, root, data, statsCols,
-                    cols("bloomCols"), cols("partitionCols"))
+                    bloom, parts)
                   ()
                 case None =>
                   SnapshotManifest.appendRows(spark, root, data, statsCols)

@@ -826,6 +826,108 @@ class SnapshotSqlSpec extends SparkSpec {
     }
   }
 
+  test("SQL INSERT into a committed table follows the MANIFEST property carry, not stale DDL") {
+    withExtSession { ext =>
+      val root = newRoot() + "/t"
+      ext.sql(
+        s"""CREATE TABLE snap_carry_t (id BIGINT, v BIGINT)
+           |USING `graft-snapshot` LOCATION '$root'
+           |TBLPROPERTIES('bloomCols'='id', 'statsCols'='id')""".stripMargin)
+      try {
+        ext.sql("INSERT INTO snap_carry_t SELECT id, id * 10 FROM range(0, 40)")
+        val v0 = SnapshotManifest.currentVersion(ext, root).get
+        assert(SnapshotManifest.bloomCols(ext, root, v0) == Seq("id"),
+          "bootstrap must apply the DDL-declared bloom index")
+        // the property is LATER changed through the API: the catalog's DDL
+        // record is now stale — the next SQL INSERT must follow the
+        // manifest's carry rule, not silently revert to the DDL value
+        SnapshotManifest.setBloomColsWithRetry(ext, root, Seq("v"))
+        ext.sql("INSERT INTO snap_carry_t SELECT id, id * 10 FROM range(40, 80)")
+        val v2 = SnapshotManifest.currentVersion(ext, root).get
+        assert(SnapshotManifest.bloomCols(ext, root, v2) == Seq("v"),
+          "an INSERT must not revert an API-declared property to stale DDL")
+        // a cleared property stays cleared through SQL writes too
+        SnapshotManifest.setBloomColsWithRetry(ext, root, Nil)
+        ext.sql("INSERT INTO snap_carry_t SELECT id, id * 10 FROM range(80, 90)")
+        val v4 = SnapshotManifest.currentVersion(ext, root).get
+        assert(SnapshotManifest.bloomCols(ext, root, v4).isEmpty,
+          "an INSERT must not resurrect a cleared property from DDL")
+        // a PER-STATEMENT writer option is a deliberate override and wins
+        // (on a commit — appends land files under the carried properties)
+        SnapshotManifest.read(ext, root)
+          .unionByName(ext.range(90, 95).toDF("id")
+            .withColumn("v", col("id") * 10L))
+          .write.format("graft-snapshot").mode(SaveMode.Overwrite)
+          .option("bloomCols", "id").save(root)
+        val v5 = SnapshotManifest.currentVersion(ext, root).get
+        assert(SnapshotManifest.bloomCols(ext, root, v5) == Seq("id"),
+          "an explicit per-statement option must still override")
+        assert(ext.sql("SELECT count(*) FROM snap_carry_t").head().getLong(0) == 95L)
+      } finally ext.sql("DROP TABLE IF EXISTS snap_carry_t")
+    }
+  }
+
+  test("a table property spelled like a read option must not flip read semantics") {
+    withExtSession { ext =>
+      val root = newRoot()
+      SnapshotManifest.commit(ext, root,
+        ext.range(0, 25).toDF("id").withColumn("v", col("id") * 10L), Seq("id"))
+      SnapshotManifest.commit(ext, root,
+        ext.range(0, 30).toDF("id").withColumn("v", col("id") * 10L), Seq("id"))
+      ext.sql(
+        s"""CREATE TABLE snap_ropt_t USING `graft-snapshot` LOCATION '$root'
+           |TBLPROPERTIES('readChangeFeed'='true', 'versionAsOf'='0',
+           |              'comment'='carried fine')""".stripMargin)
+      try {
+        // both keys stripped from the carried options: the read serves the
+        // CURRENT version's plain rows, not the feed and not version 0
+        assert(ext.sql("SELECT count(*) FROM snap_ropt_t").head().getLong(0) == 30L,
+          "a readChangeFeed/versionAsOf TBLPROPERTY must not flip semantics")
+        val cols = ext.sql("SELECT * FROM snap_ropt_t").columns.toSeq
+        assert(cols == Seq("id", "v"), s"feed columns leaked into the read: $cols")
+      } finally ext.sql("DROP TABLE IF EXISTS snap_ropt_t")
+    }
+  }
+
+  test("materialized serve refuses case-colliding served columns loudly") {
+    withExtSession { ext =>
+      val prev = ext.conf.get("spark.sql.caseSensitive", "false")
+      ext.conf.set("spark.sql.caseSensitive", "true")
+      val root = newRoot()
+      try {
+        // two columns legal under caseSensitive that collide in a
+        // lowercase lookup; a live DV forces the materialized serve path
+        SnapshotManifest.commit(ext, root,
+          ext.range(0, 20).toDF("id")
+            .withColumn("V", col("id") * 10L).withColumn("v", col("id") + 1L),
+          Nil)
+        SnapshotManifest.deleteWhereMoR(ext, root, col("id") === 3L)
+        ext.sql(s"CREATE TABLE snap_case_t USING `graft-snapshot` LOCATION '$root'")
+        try {
+          val e = intercept[Exception] {
+            ext.sql("SELECT * FROM snap_case_t").collect()
+          }
+          def msgs(t: Throwable): Seq[String] =
+            Option(t).toSeq.flatMap(x =>
+              Option(x.getMessage).toSeq ++ msgs(x.getCause))
+          assert(msgs(e).exists(_.contains("case-colliding")),
+            s"the serve must fail loudly, not mis-serve a column: ${e.getMessage}")
+        } finally ext.sql("DROP TABLE IF EXISTS snap_case_t")
+      } finally ext.conf.set("spark.sql.caseSensitive", prev)
+    }
+  }
+
+  test("CALL with a PATH argument refuses a directory that is not a snapshot table") {
+    withExtSession { ext =>
+      val dir = newRoot() // exists, but holds no committed manifest
+      val e = intercept[Exception] {
+        ext.sql(s"CALL graft.vacuum('$dir')").collect()
+      }
+      assert(Option(e.getMessage).exists(_.contains("non-snapshot")),
+        s"a destructive verb on a raw path must prove a manifest first: ${e.getMessage}")
+    }
+  }
+
   test("V2 batch read equals V1: versionAsOf through the scan; write path SaveModes unchanged") {
     val root = newRoot() + "/t"
     def frame(lo: Long, hi: Long) =
