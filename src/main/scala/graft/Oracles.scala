@@ -1659,6 +1659,33 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // SQL subquery DML (q162): the IN-subquery DELETE and the NOT IN +
+    // scalar-subquery UPDATE replayed relationally; the two null-
+    // semantics statements (NOT IN over a null-bearing set, false
+    // EXISTS) are no-ops by SQL three-valued logic, so they appear in
+    // the replay as nothing at all — a membership join that dropped a
+    // surviving row or a no-op that committed shifts the aggregate.
+    "q162_sql_subquery_dml" ->
+      """WITH del1 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'O' AND o_custkey IN
+        |    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'))),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey <= 10000 AND o_custkey NOT IN
+        |           (SELECT c_custkey FROM customer
+        |            WHERE c_mktsegment = 'AUTOMOBILE')
+        |         THEN o_totalprice + (SELECT min(c_acctbal) FROM customer)
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM del1)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM upd
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // Idempotent append (q147): the replayed middle slice lands ONCE, so
     // the oracle is simply the single-copy reassembly — a double-append
     // doubles its counts and shifts every sum.

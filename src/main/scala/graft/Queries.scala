@@ -3627,6 +3627,72 @@ object Queries {
     } finally spark.sql("DROP TABLE IF EXISTS graft_q161")
   }
 
+  /** SQL DML with subquery conditions (q162 — round-14 VERDICT ask #1):
+    * the most common free-form-SQL shapes a user migrating from the
+    * reference's SQL entry point (bi_utils `utils.py:312-339`) writes —
+    * `DELETE … WHERE k IN (SELECT …) AND plain`, `UPDATE … SET v =
+    * (scalar subquery) WHERE k NOT IN (SELECT …)` — planned by
+    * [[graft.plans.SnapshotStatements]] as a materialized key frame whose
+    * membership is decided by a JOIN inside the same stats-pruned
+    * copy-on-write kernel as literal-predicate DML (never a row-by-row
+    * driver loop, never an unbounded collect). In-query REQUIREs pin the
+    * null-semantics contracts: a NOT IN over a null-bearing subquery and
+    * a false EXISTS gate must each be PROVABLE no-ops (no version
+    * commits). The oracle replays all four statements relationally in
+    * DuckDB — a membership join that dropped a row, missed a null rule,
+    * or double-applied an update shifts the per-status aggregate.
+    */
+  def q162SqlSubqueryDml(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q162").toString
+    val S = graft.sources.SnapshotManifest
+    S.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(16, col("o_orderkey")),
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    customer.createOrReplaceTempView("customer_q162")
+    spark.sql(s"CREATE TABLE graft_q162 USING `graft-snapshot` LOCATION '$root'")
+    try {
+      // IN-subquery DELETE with a plain conjunct: only the intersection goes
+      spark.sql(
+        """DELETE FROM graft_q162
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer_q162
+          |                    WHERE c_mktsegment = 'BUILDING')
+          |  AND o_orderstatus = 'O'""".stripMargin)
+      require(S.currentVersion(spark, root).contains(1L),
+        "q162: the IN-subquery DELETE must commit exactly one version")
+      // NOT IN + scalar-subquery UPDATE (subquery sets are evaluated once;
+      // assignments against the pre-update row)
+      spark.sql(
+        """UPDATE graft_q162
+          |SET o_totalprice = o_totalprice +
+          |      (SELECT min(c_acctbal) FROM customer_q162)
+          |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer_q162
+          |                        WHERE c_mktsegment = 'AUTOMOBILE')
+          |  AND o_orderkey <= 10000""".stripMargin)
+      val vAfterUpdate = S.currentVersion(spark, root).get
+      // NOT IN over a null-bearing subquery: never TRUE (SQL three-valued
+      // logic) — the statement must be a PROVABLE no-op, nothing commits
+      spark.sql(
+        """DELETE FROM graft_q162
+          |WHERE o_custkey NOT IN (
+          |  SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey END
+          |  FROM customer_q162)""".stripMargin)
+      require(S.currentVersion(spark, root).contains(vAfterUpdate),
+        "q162: NOT IN over a null-bearing subquery must commit NOTHING")
+      // false EXISTS gate: one bounded probe, then a provable no-op
+      spark.sql(
+        """DELETE FROM graft_q162
+          |WHERE EXISTS (SELECT 1 FROM customer_q162
+          |              WHERE c_mktsegment = 'NO_SUCH_SEGMENT')""".stripMargin)
+      require(S.currentVersion(spark, root).contains(vAfterUpdate),
+        "q162: a false EXISTS gate must commit NOTHING")
+      ordersStatusAgg(S.read(spark, root))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_q162")
+  }
+
   /** Distributed vacuum reachability (q153): on a twin-anchored table the
     * live-file set and the per-dir file sweep run on EXECUTORS
     * ([[graft.sources.SnapshotManifest.vacuumPreview]]'s distributed
@@ -3971,6 +4037,7 @@ object Queries {
     "q158_sql_merge" -> (q158SqlMerge _),
     "q159_sql_alter" -> (q159SqlAlter _),
     "q160_ddl_properties" -> (q160DdlProperties _),
-    "q161_sql_maintenance" -> (q161SqlMaintenance _)
+    "q161_sql_maintenance" -> (q161SqlMaintenance _),
+    "q162_sql_subquery_dml" -> (q162SqlSubqueryDml _)
   )
 }

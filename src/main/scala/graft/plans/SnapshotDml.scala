@@ -1,8 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualTo, Expression, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualTo, Exists, Expression, InSubquery, ListQuery, Literal, Not, ScalarSubquery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -45,12 +45,14 @@ final case class SnapshotStatements(spark: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val afterDml = plan.resolveOperatorsUp {
       case d @ DeleteFromTable(SnapshotV2(_, t), cond) if d.resolved =>
-        refuseSubquery(cond, "DELETE")
-        GraftDeleteCommand(t.root, cond)
+        val (plain, ins, gates) = classifyCondition(cond, "DELETE")
+        GraftDeleteCommand(t.root, plain, ins, gates)
 
       case u @ UpdateTable(SnapshotV2(_, t), assignments, cond)
           if u.resolved =>
-        cond.foreach(refuseSubquery(_, "UPDATE"))
+        val (plain, ins, gates) = cond
+          .map(classifyCondition(_, "UPDATE"))
+          .getOrElse((Literal.TrueLiteral: Expression, Nil, Nil))
         val sets = assignments.map { a =>
           val name = a.key match {
             case ar: AttributeReference => ar.name
@@ -58,10 +60,21 @@ final case class SnapshotStatements(spark: SparkSession)
               s"UPDATE of a nested field (${other.sql}) — update the " +
                 "top-level column, or use the API (updateWhere)")
           }
+          // SET values may carry uncorrelated SCALAR subqueries (evaluated
+          // once, at run time); row-set subqueries (IN/EXISTS) in a value
+          // position have no relational meaning here — refuse loudly
+          a.value.foreach {
+            case s: ScalarSubquery if s.isCorrelated => refuse(
+              s"a correlated subquery in the UPDATE SET value for $name — " +
+                "only uncorrelated scalar subqueries are supported")
+            case _: InSubquery | _: Exists | _: ListQuery => refuse(
+              s"an IN/EXISTS subquery in the UPDATE SET value for $name — " +
+                "only scalar subqueries yield a value")
+            case _ => ()
+          }
           name -> a.value
         }
-        GraftUpdateCommand(t.root,
-          cond.getOrElse(Literal.TrueLiteral), sets)
+        GraftUpdateCommand(t.root, plain, sets, ins, gates)
 
       case m: MergeIntoTable if m.resolved &&
           SnapshotV2.unapply(m.targetTable).isDefined =>
@@ -254,6 +267,210 @@ object SnapshotStatements {
       refuse(s"a subquery in the $stmt condition — materialize it and " +
         "use MERGE, or the API verbs")
 
+  /** One `[NOT] IN (SELECT …)` conjunct of a DELETE/UPDATE condition:
+    * the row-side value expressions (over the target's columns) and the
+    * resolved subquery plan, materialized to a key frame at RUN time and
+    * decided by a join — never row-by-row, never collected unbounded.
+    */
+  final case class InMembership(values: Seq[Expression], source: LogicalPlan,
+      negated: Boolean)
+
+  /** One uncorrelated `[NOT] EXISTS (SELECT …)` conjunct — row-independent,
+    * so it degenerates to a run-time emptiness probe gating the whole
+    * statement (false ⇒ the DML is a no-op; true ⇒ the conjunct drops out).
+    */
+  final case class ExistsGate(source: LogicalPlan, negated: Boolean)
+
+  /** Split a DELETE/UPDATE condition into (plain residue, IN memberships,
+    * EXISTS gates) at ANALYSIS time — every unsupported shape refuses
+    * HERE, loudly, before any command exists (round-14 VERDICT ask #1).
+    * Supported grammar: a conjunction whose conjuncts are each either
+    *   - plain (uncorrelated scalar subqueries allowed anywhere inside),
+    *   - `[NOT] (v₁[, …]) IN (SELECT …)` (single-column only under NOT —
+    *     multi-column NOT IN's per-component null semantics are a
+    *     correctness trap, refused), or
+    *   - uncorrelated `[NOT] EXISTS (SELECT …)`.
+    * Correlated subqueries and IN/EXISTS under OR/other non-conjunct
+    * positions refuse with the shape named.
+    */
+  def classifyCondition(cond: Expression, stmt: String)
+      : (Expression, Seq[InMembership], Seq[ExistsGate]) = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def noCorrelation(s: SubqueryExpression, what: String): Unit =
+      if (s.isCorrelated) refuse(
+        s"a correlated subquery in the $stmt $what — rewrite it as an " +
+          "uncorrelated IN/EXISTS, or use MERGE")
+    val plains = Seq.newBuilder[Expression]
+    val ins = Seq.newBuilder[InMembership]
+    val gates = Seq.newBuilder[ExistsGate]
+    conjuncts(cond).foreach {
+      case InSubquery(values, lq: ListQuery) =>
+        noCorrelation(lq, "condition")
+        ins += InMembership(values, lq.plan, negated = false)
+      case Not(InSubquery(values, lq: ListQuery)) =>
+        noCorrelation(lq, "condition")
+        if (values.size > 1) refuse(
+          s"a multi-column NOT IN subquery in the $stmt condition — its " +
+            "per-component null semantics are ambiguous; decompose it")
+        ins += InMembership(values, lq.plan, negated = true)
+      case e: Exists =>
+        noCorrelation(e, "condition")
+        gates += ExistsGate(e.plan, negated = false)
+      case Not(e: Exists) =>
+        noCorrelation(e, "condition")
+        gates += ExistsGate(e.plan, negated = true)
+      case other =>
+        other.foreach {
+          case s: ScalarSubquery => noCorrelation(s, "condition")
+          case s: SubqueryExpression => refuse(
+            s"an IN/EXISTS subquery under OR (or another non-top-level " +
+              s"position) in the $stmt condition: ${s.getClass.getSimpleName} " +
+              s"inside `${other.sql}` — only AND-connected subquery " +
+              "conjuncts are supported")
+          case _ => ()
+        }
+        plains += other
+    }
+    val plain = plains.result().reduceOption(And).getOrElse(Literal.TrueLiteral)
+    (plain, ins.result(), gates.result())
+  }
+
+  /** Replace every uncorrelated [[ScalarSubquery]] in `e` with the
+    * LITERAL its plan evaluates to — run once per statement, SQL scalar
+    * semantics (0 rows → NULL, >1 row → error). Evaluation is driver-side
+    * but 1-row-bounded by contract.
+    */
+  def substituteScalars(spark: SparkSession, e: Expression): Expression =
+    e.transform {
+      case s: ScalarSubquery =>
+        val rows = ColumnBridge.ofRows(spark, s.plan).take(2)
+        if (rows.length > 1) throw new IllegalStateException(
+          "graft-snapshot SQL: a scalar subquery returned more than one row")
+        Literal.create(rows.headOption.map(_.get(0)).orNull, s.dataType)
+    }
+
+  /** Run a DELETE/UPDATE whose condition carries subquery conjuncts.
+    * EXISTS gates probe first (a false gate makes the whole statement a
+    * provable no-op — nothing commits); IN subqueries materialize ONCE
+    * (persisted — the frame feeds a null probe, an emptiness probe, the
+    * prune-key collect, and the rewrite join), and each candidate row's
+    * membership is decided by a LEFT JOIN against the distinct key frame
+    * (AQE broadcasts a small frame; a huge one shuffles — never an
+    * unbounded driver collect). File pruning and the concurrent-writer
+    * gate use a sound SUPERSET predicate: the plain conjuncts plus an
+    * isin/min-max key predicate per positive IN ([[inKeyPredicate]]).
+    * NOT IN follows SQL three-valued logic: any NULL in the subquery
+    * result, or a NULL row value, means the conjunct is never TRUE.
+    */
+  def runSubqueryDml(spark: SparkSession, root: String, plainCond: Expression,
+      ins: Seq[InMembership], gates: Seq[ExistsGate],
+      sets: Option[Seq[(String, Expression)]],
+      maxKeySetSize: Int = 100000): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    gates.foreach { g =>
+      val hasRows = ColumnBridge.ofRows(spark, g.source).limit(1).count() > 0
+      if (hasRows == g.negated) return // gate false ⇒ provable no-op
+    }
+    val plain = byName(substituteScalars(spark, plainCond))
+    val setsSub = sets.map(_.map { case (n, e) =>
+      n -> byName(substituteScalars(spark, e)) })
+    final case class RtIn(values: Seq[Column], frame: DataFrame, negated: Boolean)
+    val rt = Seq.newBuilder[RtIn]
+    val persisted = Seq.newBuilder[DataFrame]
+    try {
+      ins.foreach { m =>
+        val raw = ColumnBridge.ofRows(spark, m.source)
+        require(raw.columns.length == m.values.length,
+          s"IN subquery arity ${raw.columns.length} != ${m.values.length}")
+        if (m.negated) {
+          // NOT IN: one NULL in the subquery result ⇒ conjunct never TRUE
+          val rawP = raw.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          persisted += rawP
+          if (rawP.filter(col(rawP.columns.head).isNull).limit(1).count() > 0)
+            return // provable no-op
+          rt += RtIn(m.values.map(byName), rawP.distinct(), negated = true)
+        } else {
+          val keys = raw.na.drop("any").distinct().persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          persisted += keys
+          if (keys.isEmpty) return // v IN (∅) is FALSE for every row
+          rt += RtIn(m.values.map(byName), keys, negated = false)
+        }
+      }
+      val rtIns = rt.result()
+      val prune = (Seq(plain) ++ rtIns.filterNot(_.negated).flatMap(m =>
+        inKeyPredicate(m.values, m.frame, maxKeySetSize))).reduce(_ && _)
+      val op = if (sets.isDefined) "updateWhereIn" else "deleteWhereIn"
+      SnapshotManifest.rewriteWhereTransform(spark, root, prune,
+        statsColsOf(spark, root), op, { df =>
+          val orig = df.schema
+          var prefix = "__sq_"
+          while (df.columns.exists(_.startsWith(prefix))) prefix += "_"
+          var joined = df
+          val memberCols = rtIns.zipWithIndex.map { case (m, i) =>
+            val kCols = m.values.indices.map(j => s"$prefix${i}_k$j")
+            val marker = s"$prefix${i}_m"
+            val kf = m.frame.toDF(kCols: _*).withColumn(marker, lit(true))
+            joined = joined.join(kf,
+              m.values.zip(kCols).map { case (v, kc) => v === col(kc) }
+                .reduce(_ && _), "left")
+            if (m.negated)
+              m.values.map(_.isNotNull).reduce(_ && _) && col(marker).isNull
+            else col(marker).isNotNull
+          }
+          val hit = (Seq(coalesce(plain, lit(false))) ++ memberCols)
+            .reduce(_ && _)
+          setsSub match {
+            case None => // DELETE: keep the complement, original shape
+              joined.filter(!hit).select(orig.fields.toSeq.map(f =>
+                col(s"`${f.name}`").cast(f.dataType).alias(f.name)): _*)
+            case Some(ss) => // UPDATE: assignments against the PRE-update row
+              val byCol = ss.toMap
+              byCol.keys.foreach(c => require(orig.fieldNames.contains(c),
+                s"UPDATE SET column '$c' not in ${orig.fieldNames.mkString(", ")}"))
+              joined.select(orig.fields.toSeq.map { f =>
+                byCol.get(f.name)
+                  .map(e => when(hit, e).otherwise(col(s"`${f.name}`"))
+                    .cast(f.dataType).alias(f.name))
+                  .getOrElse(col(s"`${f.name}`"))
+              }: _*)
+          }
+        })
+      ()
+    } finally persisted.result().foreach(_.unpersist(false))
+  }
+
+  /** Prune-key predicate over an IN subquery's materialized distinct key
+    * frame — [[graft.operators.Upsert]]'s churn-bounded shape: exact
+    * per-column `isin` lists when the frame is small (one bounded
+    * `limit(n+1).collect`), a min/max range conjunction above the cap
+    * (one 1-row aggregate). Sound either way: pruning only SELECTS
+    * candidate files; the join decides row fates.
+    */
+  private def inKeyPredicate(values: Seq[Column], keys: DataFrame,
+      maxKeySetSize: Int): Option[Column] = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    val rows = keys.limit(maxKeySetSize + 1).collect()
+    if (rows.isEmpty) None
+    else if (rows.length <= maxKeySetSize)
+      Some(values.zipWithIndex.map { case (v, i) =>
+        v.isin(rows.map(_.get(i)).distinct.toSeq: _*)
+      }.reduce(_ && _))
+    else {
+      val kCols = keys.columns
+      val aggs = kCols.flatMap(c =>
+        Seq(min(col(s"`$c`")).alias(s"__mn_$c"), max(col(s"`$c`")).alias(s"__mx_$c"))).toSeq
+      val b = keys.agg(aggs.head, aggs.tail: _*).head()
+      Some(values.zipWithIndex.map { case (v, i) =>
+        v >= lit(b.get(2 * i)) && v <= lit(b.get(2 * i + 1))
+      }.reduce(_ && _))
+    }
+  }
+
   /** Detach a resolved single-relation expression from its attribute ids:
     * references become name-based so the verb re-resolves them against
     * its own fresh read of the table (names are unique in a table
@@ -280,28 +497,49 @@ object SnapshotStatements {
 /** `DELETE FROM <snapshot table> WHERE <cond>` → [[SnapshotManifest.deleteWhere]]
   * (stats-pruned copy-on-write, manifest-line reuse, loud conflicts).
   * The condition travels as SQL text (name-based), re-resolved by the
-  * verb against its own read.
+  * verb against its own read. Conditions carrying `[NOT] IN (SELECT …)` /
+  * `[NOT] EXISTS` conjuncts or scalar subqueries route through
+  * [[SnapshotStatements.runSubqueryDml]] (join-decided membership, same
+  * pruned copy-on-write kernel).
   */
-final case class GraftDeleteCommand(root: String, cond: Expression)
+final case class GraftDeleteCommand(root: String, cond: Expression,
+    ins: Seq[SnapshotStatements.InMembership] = Nil,
+    gates: Seq[SnapshotStatements.ExistsGate] = Nil)
     extends LeafRunnableCommand {
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+    ins.map(_.source) ++ gates.map(_.source)
   override def run(spark: SparkSession): Seq[Row] = {
-    SnapshotManifest.deleteWhere(spark, root,
-      SnapshotStatements.byName(cond),
-      SnapshotStatements.statsColsOf(spark, root))
+    if (ins.isEmpty && gates.isEmpty &&
+        !cond.exists(_.isInstanceOf[SubqueryExpression]))
+      SnapshotManifest.deleteWhere(spark, root,
+        SnapshotStatements.byName(cond),
+        SnapshotStatements.statsColsOf(spark, root))
+    else SnapshotStatements.runSubqueryDml(spark, root, cond, ins, gates, None)
     Nil
   }
 }
 
 /** `UPDATE <snapshot table> SET … WHERE …` → [[SnapshotManifest.updateWhere]]
   * (assignments evaluate against the pre-update row, SQL semantics).
+  * Subquery conditions route like [[GraftDeleteCommand]]'s.
   */
 final case class GraftUpdateCommand(root: String, cond: Expression,
-    sets: Seq[(String, Expression)]) extends LeafRunnableCommand {
+    sets: Seq[(String, Expression)],
+    ins: Seq[SnapshotStatements.InMembership] = Nil,
+    gates: Seq[SnapshotStatements.ExistsGate] = Nil)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans.QueryPlan[_]] =
+    ins.map(_.source) ++ gates.map(_.source)
   override def run(spark: SparkSession): Seq[Row] = {
-    SnapshotManifest.updateWhere(spark, root,
-      SnapshotStatements.byName(cond),
-      sets.map { case (c, e) => c -> SnapshotStatements.byName(e) }.toMap,
-      SnapshotStatements.statsColsOf(spark, root))
+    if (ins.isEmpty && gates.isEmpty &&
+        !(cond +: sets.map(_._2)).exists(_.exists(
+          _.isInstanceOf[SubqueryExpression])))
+      SnapshotManifest.updateWhere(spark, root,
+        SnapshotStatements.byName(cond),
+        sets.map { case (c, e) => c -> SnapshotStatements.byName(e) }.toMap,
+        SnapshotStatements.statsColsOf(spark, root))
+    else SnapshotStatements.runSubqueryDml(spark, root, cond, ins, gates,
+      Some(sets))
     Nil
   }
 }

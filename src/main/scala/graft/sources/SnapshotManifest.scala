@@ -1259,6 +1259,24 @@ object SnapshotManifest {
     })
   }
 
+  /** [[rewriteWhere]] with a CALLER-SUPPLIED row transform — the entry
+    * point for DML whose row fate cannot be a pure per-row `Column`
+    * (SQL DELETE/UPDATE with `IN (SELECT …)` conditions, which decide
+    * membership by JOINING the candidate rows against a materialized key
+    * frame — [[graft.plans.SnapshotStatements]]). `prunePredicate` must
+    * ADMIT every row the transform may touch (a conservative superset of
+    * the true condition — e.g. the plain conjuncts plus a key-range
+    * predicate over the subquery frame); it drives both file pruning and
+    * the concurrent-writer disjointness gate, and soundness of both only
+    * needs the superset direction. `dropProven` stays OFF: a file proven
+    * to fully match the superset is NOT proven to fully match the true
+    * condition.
+    */
+  private[graft] def rewriteWhereTransform(spark: SparkSession, root: String,
+      prunePredicate: org.apache.spark.sql.Column, statsCols: Seq[String],
+      op: String, transform: DataFrame => DataFrame): Long =
+    rewriteWhere(spark, root, prunePredicate, statsCols, op, transform)
+
   /** Raw manifest BODY lines of `version` — `relpath` optionally followed
     * by TAB + stats JSON, verbatim as committed. The carrier for manifest-
     * line reuse: a copy-on-write commit copies kept lines unchanged (path

@@ -944,4 +944,74 @@ class SnapshotSqlSpec extends SparkSpec {
     assert(plan.contains("BatchScan") && !plan.contains("FrameRelation"),
       s"non-DV versions must serve through the DSv2 file scan:\n$plan")
   }
+
+  test("DELETE/UPDATE with IN-subquery conditions: join-decided membership, NOT IN null semantics, EXISTS gates, correlated refusal") {
+    withExtSession { ext =>
+      import ext.implicits._
+      val root = newRoot()
+      SnapshotManifest.commit(ext, root,
+        ext.range(0, 100).toDF("id").withColumn("v", col("id") * 10L)
+          .repartitionByRange(4, col("id")), Seq("id"))
+      ext.sql(s"CREATE TABLE snap_sub_t USING `graft-snapshot` LOCATION '$root'")
+      try {
+        Seq(Some(5L), Some(6L), Some(7L), None).toDF("k")
+          .createOrReplaceTempView("sub_keys")
+        // IN (SELECT …): nulls in the subquery never match under IN
+        ext.sql(
+          "DELETE FROM snap_sub_t WHERE id IN (SELECT k FROM sub_keys)")
+        assert(ext.sql("SELECT count(*) FROM snap_sub_t").head().getLong(0) == 97L)
+        assert(ext.sql("SELECT count(*) FROM snap_sub_t WHERE id IN (5,6,7)")
+          .head().getLong(0) == 0L)
+        // IN combined with a plain conjunct: only the intersection deletes
+        Seq(10L, 11L, 12L, 13L).toDF("k").createOrReplaceTempView("sub_k2")
+        ext.sql(
+          """DELETE FROM snap_sub_t
+            |WHERE id IN (SELECT k FROM sub_k2) AND v >= 120""".stripMargin)
+        assert(ext.sql("SELECT id FROM snap_sub_t WHERE id BETWEEN 10 AND 13 ORDER BY id")
+          .as[Long].collect().toSeq == Seq(10L, 11L))
+        // NOT IN with a NULL in the subquery: SQL three-valued logic —
+        // the condition is never TRUE, the statement is a provable no-op
+        val before = ext.sql("SELECT count(*) FROM snap_sub_t").head().getLong(0)
+        ext.sql(
+          "DELETE FROM snap_sub_t WHERE id NOT IN (SELECT k FROM sub_keys)")
+        assert(ext.sql("SELECT count(*) FROM snap_sub_t").head().getLong(0) == before,
+          "NOT IN over a null-bearing subquery must delete NOTHING")
+        // NOT IN without nulls: everything outside the key set goes
+        ext.sql(
+          """DELETE FROM snap_sub_t
+            |WHERE id NOT IN (SELECT k FROM sub_k2) AND id >= 90""".stripMargin)
+        assert(ext.sql("SELECT count(*) FROM snap_sub_t WHERE id >= 90")
+          .head().getLong(0) == 0L)
+        // UPDATE with IN-subquery + scalar subquery in SET
+        ext.sql(
+          """UPDATE snap_sub_t
+            |SET v = (SELECT min(k) FROM sub_k2) WHERE id IN (SELECT k FROM sub_k2)""".stripMargin)
+        assert(ext.sql("SELECT v FROM snap_sub_t WHERE id IN (10, 11)")
+          .as[Long].collect().toSeq == Seq(10L, 10L))
+        // EXISTS gate true ⇒ plain conjunct applies; NOT EXISTS false ⇒ no-op
+        ext.sql(
+          """UPDATE snap_sub_t SET v = -1
+            |WHERE EXISTS (SELECT 1 FROM sub_k2 WHERE k > 12) AND id = 0""".stripMargin)
+        assert(ext.sql("SELECT v FROM snap_sub_t WHERE id = 0").as[Long].head() == -1L)
+        val b2 = ext.sql("SELECT count(*) FROM snap_sub_t").head().getLong(0)
+        ext.sql(
+          "DELETE FROM snap_sub_t WHERE NOT EXISTS (SELECT 1 FROM sub_k2)")
+        assert(ext.sql("SELECT count(*) FROM snap_sub_t").head().getLong(0) == b2,
+          "NOT EXISTS over a non-empty subquery must gate the DELETE off")
+        // refusals: correlated subquery, IN under OR, multi-column NOT IN
+        Seq(
+          """DELETE FROM snap_sub_t t
+            |WHERE EXISTS (SELECT 1 FROM sub_k2 s WHERE s.k = t.id)""".stripMargin,
+          """DELETE FROM snap_sub_t
+            |WHERE id IN (SELECT k FROM sub_k2) OR v < 0""".stripMargin,
+          """DELETE FROM snap_sub_t
+            |WHERE (id, v) NOT IN (SELECT k, k FROM sub_k2)""".stripMargin)
+          .foreach { stmt =>
+            val e = intercept[Exception](ext.sql(stmt))
+            assert(e.getMessage.contains("graft-snapshot SQL does not support"),
+              s"expected a loud refusal for:\n$stmt\ngot: ${e.getMessage}")
+          }
+      } finally ext.sql("DROP TABLE IF EXISTS snap_sub_t")
+    }
+  }
 }
