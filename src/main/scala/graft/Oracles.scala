@@ -1686,6 +1686,59 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // Conditional multi-action MERGE (q163): replay delete / update /
+    // no-action / conditional-insert relationally. Matched rows take the
+    // FIRST true clause ('D' deletes, 'U' updates, 'X' matches no
+    // clause → untouched); unmatched source rows insert only under the
+    // insert condition.
+    "q163_merge_actions" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+        |              WHEN o_orderkey % 10 < 5 THEN 'U'
+        |              ELSE 'X' END AS op
+        |  FROM orders WHERE o_orderkey BETWEEN 100 AND 2000
+        |  UNION ALL
+        |  SELECT o_orderkey + 70000000, o_totalprice, 'I'
+        |  FROM orders WHERE o_orderkey <= 50),
+        |kept AS (
+        |  SELECT b.o_orderkey,
+        |    CASE WHEN s.op = 'U' THEN 'U' ELSE b.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN s.op = 'U' THEN s.o_totalprice * 2
+        |         ELSE b.o_totalprice END AS o_totalprice
+        |  FROM orders b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+        |  WHERE s.op IS NULL OR s.op <> 'D'),
+        |ins AS (
+        |  SELECT s.o_orderkey, 'N' AS o_orderstatus, s.o_totalprice
+        |  FROM src s ANTI JOIN orders b ON s.o_orderkey = b.o_orderkey
+        |  WHERE s.op = 'I'),
+        |merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM merged
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    // WHEN NOT MATCHED BY SOURCE (q164): after the unconditional full
+    // sync (table = keys %3=0, price×2) the conditional sync updates
+    // %6=0 keys to price×3 and deletes the remaining unmatched rows only
+    // where status 'O'.
+    "q164_merge_by_source" ->
+      """WITH fin AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 3
+        |              ELSE o_totalprice * 2 END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 3 = 0
+        |    AND (o_orderkey % 6 = 0 OR o_orderstatus <> 'O'))
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM fin
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     // Idempotent append (q147): the replayed middle slice lands ONCE, so
     // the oracle is simply the single-copy reassembly — a double-append
     // doubles its counts and shifts every sum.

@@ -3693,6 +3693,106 @@ object Queries {
     } finally spark.sql("DROP TABLE IF EXISTS graft_q162")
   }
 
+  /** Conditional multi-action SQL MERGE (q163 — round-14 VERDICT ask #2):
+    * the op-code CDC shape every Delta/Iceberg migrator writes — `WHEN
+    * MATCHED AND s.op='D' THEN DELETE` + `WHEN MATCHED AND s.op='U' THEN
+    * UPDATE …` + conditional INSERT — planned by
+    * [[graft.plans.GraftMergeActionsCommand]]: per-row action resolution
+    * by FIRST-true clause over the joined (target, source) pair, all
+    * three arms landing in ONE atomic commit through the extended merge
+    * kernel ([[graft.operators.Upsert.mergeWhere]] `deletes` arm). The
+    * in-query REQUIRE pins atomicity (exactly one version); the oracle
+    * replays delete/update/no-action/insert relationally in DuckDB — a
+    * mis-ordered clause, a dropped no-action row, or a double-applied
+    * arm shifts the per-status aggregate.
+    */
+  def q163MergeActions(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q163").toString
+    val S = graft.sources.SnapshotManifest
+    S.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(16, col("o_orderkey")),
+      Seq("o_orderkey", "o_totalprice"))
+    orders.createOrReplaceTempView("orders_q163")
+    spark.sql(s"CREATE TABLE graft_q163 USING `graft-snapshot` LOCATION '$root'")
+    try {
+      spark.sql(
+        """MERGE INTO graft_q163 t
+          |USING (
+          |  SELECT o_orderkey, o_totalprice,
+          |         CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+          |              WHEN o_orderkey % 10 < 5 THEN 'U'
+          |              ELSE 'X' END AS op
+          |  FROM orders_q163 WHERE o_orderkey BETWEEN 100 AND 2000
+          |  UNION ALL
+          |  SELECT o_orderkey + 70000000, o_totalprice, 'I'
+          |  FROM orders_q163 WHERE o_orderkey <= 50
+          |) s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET
+          |  o_orderstatus = 'U', o_totalprice = s.o_totalprice * 2
+          |WHEN NOT MATCHED AND s.op = 'I' THEN INSERT
+          |  (o_orderkey, o_orderstatus, o_totalprice)
+          |  VALUES (s.o_orderkey, 'N', s.o_totalprice)""".stripMargin)
+      require(S.currentVersion(spark, root).contains(1L),
+        "q163: delete+update+insert arms must land in ONE atomic version")
+      ordersStatusAgg(S.read(spark, root))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_q163")
+  }
+
+  /** `WHEN NOT MATCHED BY SOURCE THEN DELETE` (q164 — round-14 VERDICT
+    * ask #3): the full-sync/replication shape as ONE SQL statement.
+    * First an UNCONDITIONAL by-source MERGE — the post-state must EQUAL
+    * the source exactly (what [[graft.sources.ChangeFeed
+    * .replicateAvailableNow]] converges to, rows REQUIRE-pinned) — then
+    * a CONDITIONAL one (`AND t.o_orderstatus = 'O'`) where unmatched
+    * target rows outside the condition survive. Each statement is one
+    * atomic commit. The oracle derives the final state relationally —
+    * an unmatched row wrongly kept/dropped, or a matched row caught by
+    * the by-source arm, shifts the per-status aggregate.
+    */
+  def q164MergeBySource(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q164").toString
+    val S = graft.sources.SnapshotManifest
+    S.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(16, col("o_orderkey")),
+      Seq("o_orderkey", "o_totalprice"))
+    orders.createOrReplaceTempView("orders_q164")
+    spark.sql(s"CREATE TABLE graft_q164 USING `graft-snapshot` LOCATION '$root'")
+    try {
+      // 1. unconditional: full sync — table becomes exactly the source
+      spark.sql(
+        """MERGE INTO graft_q164 t
+          |USING (SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+          |       FROM orders_q164 WHERE o_orderkey % 3 = 0) s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      require(S.currentVersion(spark, root).contains(1L),
+        "q164: the full sync must land in ONE atomic version")
+      val srcCount = orders.filter(col("o_orderkey") % 3 === 0).count()
+      require(S.read(spark, root).count() == srcCount,
+        "q164: after an unconditional by-source MERGE the table IS the source")
+      // 2. conditional: unmatched rows survive unless o_orderstatus = 'O'
+      spark.sql(
+        """MERGE INTO graft_q164 t
+          |USING (SELECT o_orderkey, o_orderstatus, o_totalprice * 3 AS o_totalprice
+          |       FROM orders_q164 WHERE o_orderkey % 6 = 0) s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'O' THEN DELETE""".stripMargin)
+      require(S.currentVersion(spark, root).contains(2L),
+        "q164: the conditional sync must land in ONE atomic version")
+      ordersStatusAgg(S.read(spark, root))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_q164")
+  }
+
   /** Distributed vacuum reachability (q153): on a twin-anchored table the
     * live-file set and the per-dir file sweep run on EXECUTORS
     * ([[graft.sources.SnapshotManifest.vacuumPreview]]'s distributed
@@ -4038,6 +4138,8 @@ object Queries {
     "q159_sql_alter" -> (q159SqlAlter _),
     "q160_ddl_properties" -> (q160DdlProperties _),
     "q161_sql_maintenance" -> (q161SqlMaintenance _),
-    "q162_sql_subquery_dml" -> (q162SqlSubqueryDml _)
+    "q162_sql_subquery_dml" -> (q162SqlSubqueryDml _),
+    "q163_merge_actions" -> (q163MergeActions _),
+    "q164_merge_by_source" -> (q164MergeBySource _)
   )
 }

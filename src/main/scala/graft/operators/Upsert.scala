@@ -302,6 +302,20 @@ object Upsert {
     * the verbatim-kept files and corrupt the mixed-file read (the same
     * hazard `updateWhere` documents).
     *
+    * Two optional arms extend the same SINGLE atomic commit to the full
+    * SQL MERGE clause family ([[graft.plans.SnapshotStatements]]):
+    *   - `deletes`: matched-DELETE key tuples (`WHEN MATCHED [AND cond]
+    *     THEN DELETE`) — anti-joined out of the merged rewrite; their
+    *     keys join the prune predicate, so the delete arm stays
+    *     churn-bounded.
+    *   - `deleteUnmatched = (sourceKeys, cond)`: `WHEN NOT MATCHED BY
+    *     SOURCE [AND cond] THEN DELETE` — target rows whose PK appears in
+    *     no source row and satisfying `cond` (over the target row) are
+    *     dropped BEFORE the merge. Every file may hold such a row, so
+    *     this arm rewrites all files (inherent to full-sync semantics)
+    *     and disables both the churn fast path and race disjointness
+    *     proofs (concurrent commits refuse rather than rebase).
+    *
     * @return the committed version (the current version unchanged when
     *         `staged` is empty — a no-op merge commits nothing)
     */
@@ -309,7 +323,9 @@ object Upsert {
       pkCols: Seq[String], statsCols: Seq[String] = Nil,
       maxKeySetSize: Int = 100000,
       colocated: Option[Boolean] = None,
-      maxColocatedRows: Long = 1L << 20): Long = {
+      maxColocatedRows: Long = 1L << 20,
+      deletes: Option[DataFrame] = None,
+      deleteUnmatched: Option[(DataFrame, Column)] = None): Long = {
     import graft.sources.{ManifestStats, SnapshotManifest}
     require(pkCols.nonEmpty, "at least one PK column required")
     require(maxKeySetSize >= 1, "maxKeySetSize must be >= 1")
@@ -321,13 +337,30 @@ object Upsert {
     // expression prices once, and a non-deterministic source cannot hand
     // the prune and the merge different rows
     val stagedP = staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // matched-DELETE keys: same pin (they feed the prune key-set AND the
+    // anti-join); normalized to distinct non-null PK tuples (SQL IN
+    // semantics — a null-component key matches nothing)
+    val deletesP = deletes.map(_.select(pkCols.map(c => col(s"`$c`")): _*)
+      .na.drop("any", pkCols).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     lazy val stagedRowCount = stagedP.count()
     def pickMerge(declared: Boolean)
         : (DataFrame, DataFrame, Seq[String]) => DataFrame =
       pickMergeStrategy("mergeWhere", colocated.getOrElse(declared),
         () => stagedRowCount, maxColocatedRows)
+    def dropDeleted(merged: DataFrame): DataFrame = deletesP match {
+      case Some(d) =>
+        var kp = "__md_"
+        while (pkCols.exists(c => merged.columns.contains(kp + c))) kp += "_"
+        val keyed = d.select(pkCols.map(c =>
+          col(s"`$c`").alias(s"$kp$c")): _*)
+        merged.join(keyed, pkCols.map(c =>
+          col(s"`$c`") === col(s"$kp$c")).reduce(_ && _), "left_anti")
+      case None => merged
+    }
     try {
-      if (stagedP.isEmpty) return v
+      if (stagedP.isEmpty && !deletesP.exists(d => !d.isEmpty) &&
+          deleteUnmatched.isEmpty) return v
       // CHURN-BOUNDED fast path: with a twin-anchored body the candidate
       // classification runs on executors, the commit publishes as edits,
       // and the driver never holds the file list — the merge's cost is
@@ -338,8 +371,18 @@ object Upsert {
       // stats-LESS lines may-match ANY predicate, even lit(false), and a
       // pure-insert batch into a stats-less table would otherwise
       // classify — and rewrite — the whole table.
-      val fastKeyPred = stagedKeyPredicate(stagedP, pk, maxKeySetSize)
-      val classified = fastKeyPred match {
+      // The key-set prune covers BOTH arms: staged upsert keys and the
+      // matched-delete keys (a file holding a doomed key must rewrite)
+      val keyFrame = deletesP match {
+        case Some(d) =>
+          stagedP.select(pk.map(c => col(s"`$c`")): _*).unionByName(d)
+        case None => stagedP
+      }
+      val fastKeyPred = stagedKeyPredicate(keyFrame, pk, maxKeySetSize)
+      // deleteUnmatched touches every file by construction — no churn
+      // fast path, the text path below rewrites the full body
+      val classified = if (deleteUnmatched.isDefined) None
+      else fastKeyPred match {
         case Some(p) => SnapshotManifest.classifyAffected(spark, tableRoot, v, p)
         case None => SnapshotManifest.frameWithSchema(spark, tableRoot, v)
           .map { case (m, s, f) => (m, s, f, Nil: Seq[String]) }
@@ -356,7 +399,8 @@ object Upsert {
                 targetSchema)
             else SnapshotManifest.readEntries(spark, tableRoot,
               affectedLines.map(SnapshotManifest.parseLine), meta.schema)
-          val merged = pickMerge(meta.colocatedMerge)(targetAffected, stagedP, pk)
+          val merged = dropDeleted(
+            pickMerge(meta.colocatedMerge)(targetAffected, stagedP, pk))
           val aligned = merged.select(targetSchema.fields.toSeq.map(f =>
             col(s"`${f.name}`").cast(f.dataType).alias(f.name)): _*)
           SnapshotManifest.publishVersionEditsRebased(spark,
@@ -368,6 +412,9 @@ object Upsert {
       if (fastResult.isDefined) return fastResult.get
       val (body, meta) = SnapshotManifest.manifestParts(spark, tableRoot, v)
       if (body.isEmpty) {
+        // delete arms against an EMPTY table are no-ops; without staged
+        // rows there is nothing to commit at all
+        if (stagedP.isEmpty) return v
         // degenerate current snapshot with zero data files (everything was
         // deleted): the merge is just the staged rows — but still ALIGNED
         // to the TABLE's schema, recovered from the most recent version
@@ -410,11 +457,13 @@ object Upsert {
       // realignment is needed here; only the TARGET read must follow the
       // declared schema.
       val keyPred = fastKeyPred // computed once above; staged is pinned
-      val affected = keyPred match {
-        case Some(p) => ManifestStats.prune(files, SnapshotManifest.bodyStats(body),
-          ManifestStats.resolvePredicate(spark, targetSchema, p)).toSet
-        case None => Set.empty[String]
-      }
+      val affected =
+        if (deleteUnmatched.isDefined) files.toSet // every file may hold an unmatched row
+        else keyPred match {
+          case Some(p) => ManifestStats.prune(files, SnapshotManifest.bodyStats(body),
+            ManifestStats.resolvePredicate(spark, targetSchema, p)).toSet
+          case None => Set.empty[String]
+        }
       // affected files read with their deletion vectors APPLIED — a
       // MoR-deleted row must not resurrect through the merge rewrite
       val targetAffected =
@@ -425,7 +474,29 @@ object Upsert {
         else SnapshotManifest.readEntries(spark, tableRoot,
           body.map(SnapshotManifest.parseLine).zip(files)
             .collect { case (e, f) if affected(f) => e }, meta.schema)
-      val merged = pickMerge(meta.colocatedMerge)(targetAffected, stagedP, pk)
+      // NOT-MATCHED-BY-SOURCE arm: drop target rows whose PK no source
+      // row carries AND that satisfy the clause condition, BEFORE the
+      // merge — the merge then only sees survivors. Membership is a
+      // left-join marker against the distinct source key frame (AQE
+      // broadcasts it when small; never a driver collect).
+      val targetForMerge = deleteUnmatched match {
+        case Some((sourceKeys, cond)) =>
+          val origCols = targetAffected.columns.toSeq
+          var kp = "__nb_"
+          while (origCols.exists(c => c.startsWith(kp))) kp += "_"
+          val marker = s"${kp}m"
+          val keyed = sourceKeys.select(pk.map(c => col(s"`$c`")): _*)
+            .na.drop("any", pk).distinct()
+            .select((pk.map(c => col(s"`$c`").alias(s"$kp$c")) :+
+              lit(true).alias(marker)): _*)
+          targetAffected.join(keyed, pk.map(c =>
+              col(s"`$c`") === col(s"$kp$c")).reduce(_ && _), "left")
+            .filter(col(marker).isNotNull || !coalesce(cond, lit(false)))
+            .select(origCols.map(c => col(s"`$c`")): _*)
+        case None => targetAffected
+      }
+      val merged = dropDeleted(
+        pickMerge(meta.colocatedMerge)(targetForMerge, stagedP, pk))
       // backticked refs: a column NAME containing a dot must resolve as a
       // top-level column, not parse as a nested-field path
       val aligned = merged.select(targetSchema.fields.toSeq.map(f =>
@@ -436,12 +507,19 @@ object Upsert {
       // disjoint from the merge's affected set AND whose new lines provably
       // hold none of the staged PKs re-publishes the staged rewrite in one
       // manifest round-trip (keyPred None = every staged key is null — a
-      // pure insert that commutes with anything, so `false` proves it)
+      // pure insert that commutes with anything, so `false` proves it).
+      // deleteUnmatched inverts this: NO winner line can be proven
+      // disjoint (its rows' fates depend on the source key set), so the
+      // always-true predicate forces every race to refuse, never rebase.
       SnapshotManifest.publishVersionRebased(spark, tableRoot, v + 1, aligned,
         statsCols, body, removedLines, "mergeWhere", meta,
         ManifestStats.resolvePredicate(spark, targetSchema,
-          keyPred.getOrElse(lit(false))))
-    } finally stagedP.unpersist(false)
+          if (deleteUnmatched.isDefined) lit(true)
+          else keyPred.getOrElse(lit(false))))
+    } finally {
+      stagedP.unpersist(false)
+      deletesP.foreach(_.unpersist(false))
+    }
   }
 
   /** The staged batch's prune predicate — distinct non-null key tuples as

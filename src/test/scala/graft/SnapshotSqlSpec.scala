@@ -175,18 +175,27 @@ class SnapshotSqlSpec extends SparkSpec {
         assert(exp.count() == 52L)
         assert(exp.filter(col("id") === 70L).select("v").as[Long].head() == 7000L)
         assert(exp.filter(col("id") === 80L).select("v").as[Long].head() == 800L)
-        // unsupported shapes refuse loudly: conditional matched clause,
-        // and genuinely divergent non-key mappings
+        // unsupported shapes refuse loudly: an UNCONDITIONAL matched
+        // clause followed by another (unreachable — clauses act
+        // first-match-wins), a key-changing assignment, and NOT MATCHED
+        // BY SOURCE with an action other than DELETE
         Seq(
           """MERGE INTO snap_mrg_t t USING mrg_ins s ON t.id = s.id
-            |WHEN MATCHED AND s.v > 0 THEN UPDATE SET *
+            |WHEN MATCHED THEN UPDATE SET v = s.v
+            |WHEN MATCHED THEN DELETE""".stripMargin,
+          """MERGE INTO snap_mrg_t t USING mrg_ins s ON t.id = s.id
+            |WHEN MATCHED AND s.v > 0 THEN UPDATE SET id = s.id + 1, v = s.v
             |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
           """MERGE INTO snap_mrg_t t USING mrg_ins s ON t.id = s.id
-            |WHEN MATCHED THEN UPDATE SET v = s.v
-            |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v + 1)""".stripMargin)
+            |WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v
+            |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = -1""".stripMargin)
           .foreach { stmt =>
             val e = intercept[Exception](ext.sql(stmt))
-            assert(e.getMessage.contains("graft-snapshot SQL does not support"),
+            // the unreachable-clause rule is enforced by Spark's PARSER
+            // (NON_LAST_MATCHED_CLAUSE_OMIT_CONDITION) before our rule
+            // sees the plan; engine-level shapes refuse with our message
+            assert(e.getMessage.contains("graft-snapshot SQL does not support") ||
+              e.getMessage.contains("NON_LAST_MATCHED_CLAUSE_OMIT_CONDITION"),
               s"expected a loud unsupported-shape refusal, got: ${e.getMessage}")
           }
       } finally ext.sql("DROP TABLE IF EXISTS snap_mrg_t")
@@ -1012,6 +1021,106 @@ class SnapshotSqlSpec extends SparkSpec {
               s"expected a loud refusal for:\n$stmt\ngot: ${e.getMessage}")
           }
       } finally ext.sql("DROP TABLE IF EXISTS snap_sub_t")
+    }
+  }
+
+  test("general MERGE: conditional multi-action matched clauses, conditional insert, divergent mappings, NOT MATCHED BY SOURCE, cardinality") {
+    withExtSession { ext =>
+      import ext.implicits._
+      val root = newRoot()
+      SnapshotManifest.commit(ext, root,
+        ext.range(0, 50).toDF("id").withColumn("v", col("id") * 10L)
+          .repartitionByRange(4, col("id")), Seq("id"))
+      ext.sql(s"CREATE TABLE snap_gm_t USING `graft-snapshot` LOCATION '$root'")
+      try {
+        // conditional + multi-action matched, conditional insert — the
+        // op-code CDC shape every Delta/Iceberg migrator writes
+        Seq((1L, 101L, "U"), (2L, 102L, "D"), (3L, 103L, "U"),
+            (4L, 104L, "X"), (60L, 600L, "I"), (61L, -5L, "I"),
+            (62L, 620L, "X"))
+          .toDF("id", "v", "op").createOrReplaceTempView("gm_src")
+        ext.sql(
+          """MERGE INTO snap_gm_t t USING gm_src s ON t.id = s.id
+            |WHEN MATCHED AND s.op = 'D' THEN DELETE
+            |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.v + t.v
+            |WHEN NOT MATCHED AND s.v > 0 THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+        // ONE atomic version for the whole clause family
+        assert(SnapshotManifest.currentVersion(ext, root).contains(1L),
+          "the general MERGE must commit exactly one version")
+        val after = SnapshotManifest.read(ext, root)
+        assert(after.count() == 51L) // 50 - 1 deleted + 2 inserted
+        val m = after.filter(col("id").isin(1L, 3L, 4L, 60L, 62L))
+          .select("id", "v").as[(Long, Long)].collect().toMap
+        assert(m == Map(1L -> 111L, 3L -> 133L, 4L -> 40L,
+          60L -> 600L, 62L -> 620L),
+          s"first-match-wins action resolution diverged: $m")
+        assert(after.filter(col("id").isin(2L, 61L)).isEmpty,
+          "matched-DELETE and false insert condition must both hold")
+        // divergent UPDATE/INSERT mappings (previously refused) act
+        // independently per clause
+        Seq((4L, 1000L), (70L, 700L)).toDF("id", "v")
+          .createOrReplaceTempView("gm_div")
+        ext.sql(
+          """MERGE INTO snap_gm_t t USING gm_div s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET v = s.v
+            |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v + 1)""".stripMargin)
+        val div = SnapshotManifest.read(ext, root)
+          .filter(col("id").isin(4L, 70L)).select("id", "v")
+          .as[(Long, Long)].collect().toMap
+        assert(div == Map(4L -> 1000L, 70L -> 701L),
+          s"divergent mappings must act per clause: $div")
+        // cardinality rule: two source rows acting on one target row throw
+        Seq((4L, 1L, "U"), (4L, 2L, "U")).toDF("id", "v", "op")
+          .createOrReplaceTempView("gm_dup")
+        val e = intercept[Exception](ext.sql(
+          """MERGE INTO snap_gm_t t USING gm_dup s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin))
+        assert(e.getMessage != null &&
+          e.getMessage.contains("more than one source row"),
+          s"MERGE cardinality violation must throw, got: ${e.getMessage}")
+      } finally ext.sql("DROP TABLE IF EXISTS snap_gm_t")
+    }
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE THEN DELETE: conditional keep, and the unconditional full-sync equals the source") {
+    withExtSession { ext =>
+      import ext.implicits._
+      val root = newRoot()
+      SnapshotManifest.commit(ext, root,
+        ext.range(0, 20).toDF("id").withColumn("v", col("id") * 10L)
+          .repartitionByRange(4, col("id")), Seq("id"))
+      ext.sql(s"CREATE TABLE snap_bs_t USING `graft-snapshot` LOCATION '$root'")
+      try {
+        (5L to 9L).map(i => (i, i * 1000L)).toDF("id", "v")
+          .createOrReplaceTempView("bs_src")
+        // CONDITIONAL by-source delete: unmatched target rows below the
+        // cutoff survive
+        ext.sql(
+          """MERGE INTO snap_bs_t t USING bs_src s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *
+            |WHEN NOT MATCHED BY SOURCE AND t.id >= 10 THEN DELETE""".stripMargin)
+        assert(SnapshotManifest.currentVersion(ext, root).contains(1L),
+          "all three arms must land in ONE version")
+        val after = SnapshotManifest.read(ext, root)
+          .select("id", "v").as[(Long, Long)].collect().toMap
+        val want = (0L to 4L).map(i => i -> i * 10L).toMap ++
+          (5L to 9L).map(i => i -> i * 1000L).toMap
+        assert(after == want, s"conditional by-source sync diverged: $after")
+        // UNCONDITIONAL by-source delete = full sync: post-state IS the
+        // source (the replicateAvailableNow end-state, as one statement)
+        (0L to 3L).map(i => (i * 2, i * 7L)).toDF("id", "v")
+          .createOrReplaceTempView("bs_full")
+        ext.sql(
+          """MERGE INTO snap_bs_t t USING bs_full s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *
+            |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+        val synced = SnapshotManifest.read(ext, root)
+          .select("id", "v").as[(Long, Long)].collect().toMap
+        assert(synced == (0L to 3L).map(i => (i * 2) -> (i * 7L)).toMap,
+          s"unconditional by-source MERGE must equal the source: $synced")
+      } finally ext.sql("DROP TABLE IF EXISTS snap_bs_t")
     }
   }
 }
