@@ -39,6 +39,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the distributed materialized read (see graft.plans.SnapshotStatements)
     e.injectPostHocResolutionRule(session =>
       graft.plans.SnapshotStatements(session))
+    // SQL-only windowed CDF read: table_changes('t'|'/root', from[, to])
+    // — versions inclusive, coverage validated at plan time (a vacuumed
+    // window refuses, never partial changes). See ChangeFeed.tableChangesPlan
+    e.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo(classOf[graft.sources.ChangeFeed.type].getName,
+        "table_changes"),
+      (args: Seq[Expression]) =>
+        graft.sources.ChangeFeed.tableChangesPlan(args)))
     e.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),

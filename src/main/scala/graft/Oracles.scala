@@ -1739,6 +1739,18 @@ object Oracles {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
+    // SQL table_changes TVF (q165): after the update (v1) and the %5
+    // delete (v2), the surviving [2,2] window is exactly the deleted
+    // rows AS OF v1 — keys %5=0 with the [100,300] update applied.
+    "q165_sql_table_changes" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey BETWEEN 100 AND 300 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  'delete' AS _change,
+        |  CAST(2 AS BIGINT) AS _commit_version
+        |FROM orders WHERE o_orderkey % 5 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
     // Idempotent append (q147): the replayed middle slice lands ONCE, so
     // the oracle is simply the single-copy reassembly — a double-append
     // doubles its counts and shifts every sum.

@@ -3793,6 +3793,56 @@ object Queries {
     } finally spark.sql("DROP TABLE IF EXISTS graft_q164")
   }
 
+  /** CDF as a SQL relation (q165 — round-14 VERDICT ask #5): the
+    * `table_changes('t', from[, to])` table-valued function
+    * ([[graft.sources.ChangeFeed.tableChangesPlan]], registered through
+    * `SparkSessionExtensions.injectTableFunction`) — the pure-SQL
+    * spelling of the windowed change-feed read, versions inclusive like
+    * the public lakehouse contract. In-query REQUIREs pin the window
+    * arithmetic (full [1,2] window = pre+post pairs + deletes) and the
+    * coverage gate: after `vacuumFeed` reclaims the first range, the
+    * [1,2] window REFUSES at plan time (never partial changes) while the
+    * surviving [2,2] tail still serves — and that tail is the oracle'd
+    * result: DuckDB re-derives the deleted rows (v1 state of the %5
+    * keys) relationally.
+    */
+  def q165SqlTableChanges(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory(serveIdxRoot, "q165").toString
+    val S = graft.sources.SnapshotManifest
+    val CF = graft.sources.ChangeFeed
+    S.commit(spark, root,
+      orders.select(col("o_orderkey"), col("o_totalprice"))
+        .repartitionByRange(16, col("o_orderkey")),
+      Seq("o_orderkey"))
+    S.updateWhere(spark, root, col("o_orderkey").between(100, 300),
+      Map("o_totalprice" -> (col("o_totalprice") * 2)), Seq("o_orderkey")) // v1
+    S.deleteWhere(spark, root, col("o_orderkey") % 5 === 0, Seq("o_orderkey")) // v2
+    CF.materializeNew(spark, root, Seq("o_orderkey"))
+    spark.sql(s"CREATE TABLE graft_q165 USING `graft-snapshot` LOCATION '$root'")
+    try {
+      val nUpd = orders.filter(col("o_orderkey").between(100, 300)).count()
+      val nDel = orders.filter(col("o_orderkey") % 5 === 0).count()
+      require(spark.sql(
+        "SELECT count(*) FROM table_changes('graft_q165', 1, 2)")
+        .head().getLong(0) == 2 * nUpd + nDel,
+        "q165: the [1,2] window must hold every pre/post image and delete")
+      // reclaim the first range: the full window must now REFUSE loudly
+      CF.vacuumFeed(spark, root, beforeVersion = 1L)
+      val refused = try { spark.sql(
+        "SELECT count(*) FROM table_changes('graft_q165', 1, 2)").head(); false
+      } catch { case e: Exception =>
+        e.getMessage != null && e.getMessage.contains("incomplete") }
+      require(refused,
+        "q165: a vacuumed window must refuse at plan time, never feed " +
+          "partial changes")
+      spark.sql(
+        """SELECT o_orderkey, o_totalprice, _change, _commit_version
+          |FROM table_changes('graft_q165', 2, 2)
+          |ORDER BY o_orderkey""".stripMargin)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_q165")
+  }
+
   /** Distributed vacuum reachability (q153): on a twin-anchored table the
     * live-file set and the per-dir file sweep run on EXECUTORS
     * ([[graft.sources.SnapshotManifest.vacuumPreview]]'s distributed
@@ -4140,6 +4190,7 @@ object Queries {
     "q161_sql_maintenance" -> (q161SqlMaintenance _),
     "q162_sql_subquery_dml" -> (q162SqlSubqueryDml _),
     "q163_merge_actions" -> (q163MergeActions _),
-    "q164_merge_by_source" -> (q164MergeBySource _)
+    "q164_merge_by_source" -> (q164MergeBySource _),
+    "q165_sql_table_changes" -> (q165SqlTableChanges _)
   )
 }

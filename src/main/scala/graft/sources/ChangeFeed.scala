@@ -278,6 +278,48 @@ object ChangeFeed {
       new Path(rootPath, new Path("_cdf", dirName(f, t))).toString }: _*)
   }
 
+  /** SQL table-valued function `table_changes(tableOrPath, fromVersion
+    * [, toVersion])` (round-14 VERDICT ask #5): the pure-SQL spelling of
+    * the windowed CDF read — versions are INCLUSIVE on both ends
+    * (Delta's `table_changes` contract), mapped onto [[feed]]'s
+    * `(since, until]` watermark window. The argument must name a
+    * registered graft-snapshot table or a raw table root (same
+    * resolution + provider gate as `CALL` procedures); coverage is
+    * validated by [[coveredRanges]] at PLAN time, so a vacuumed or
+    * unmaterialized window refuses the query instead of feeding partial
+    * changes. Registered via
+    * [[graft.GraftExtensions]]`.injectTableFunction`.
+    */
+  private[graft] def tableChangesPlan(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    def usage(what: String): Nothing = throw new IllegalArgumentException(
+      s"table_changes(tableOrPath, fromVersion[, toVersion]): $what")
+    if (args.length < 2 || args.length > 3)
+      usage(s"got ${args.length} arguments")
+    val name = args.head match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        s.toString
+      case other => usage(s"the table argument must be a string literal, got $other")
+    }
+    def ver(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+      e match {
+        case Literal(v: Int, IntegerType) => v.toLong
+        case Literal(v: Long, LongType) => v
+        case other => usage(s"version bounds must be integer literals, got $other")
+      }
+    val from = ver(args(1))
+    if (from < 1) usage(
+      s"fromVersion must be >= 1 (version 0 is the bootstrap commit; it has no change feed), got $from")
+    val until = if (args.length == 3) Some(ver(args(2))) else None
+    until.foreach(u => if (u < from) usage(s"toVersion $u < fromVersion $from"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    val root = GraftProcedures.resolveRoot(name)
+    feed(spark, root, Some(from - 1), until).queryExecution.analyzed
+  }
+
   /** Tail the table as a STREAM: a Structured Streaming file source over
     * the materialized feed. Each [[materialize]] publishes its directory
     * atomically, so a trigger sees whole commits; files are consumed

@@ -50,7 +50,7 @@ private[graft] object GraftProcedures {
     * against a directory that is not a snapshot table must refuse before
     * any verb (especially a sweeping one) touches it.
     */
-  private def resolveRoot(tableOrPath: String): String = {
+  private[graft] def resolveRoot(tableOrPath: String): String = {
     if (tableOrPath.contains("/")) {
       require(SnapshotManifest.currentVersion(spark, tableOrPath).isDefined,
         s"graft procedures: no committed graft-snapshot manifest under " +

@@ -217,6 +217,197 @@ class DmlModelSpec extends SparkSpec {
     }
   }
 
+  // ---- SQL-mode fuzz (round-14 VERDICT ask #4) ----------------------
+
+  private sealed trait SqlOp
+  private case class SqlDelete(lo: Long, hi: Long) extends SqlOp
+  private case class SqlUpdate(lo: Long, hi: Long, d: Long) extends SqlOp
+  // IN-subquery DELETE; withNull renders the NOT IN null-bearing shape,
+  // which must be a provable no-op under SQL three-valued logic
+  private case class SqlDeleteIn(keys: List[Long], withNull: Boolean) extends SqlOp
+  private case class SqlMergeUpsert(rows: List[(Long, Long)]) extends SqlOp
+  // conditional multi-action MERGE: op 'D' deletes matched, otherwise
+  // update; unmatched 'U' rows insert, unmatched 'D' rows do nothing
+  private case class SqlMergeOps(rows: List[(Long, Long, String)]) extends SqlOp
+  // NOT MATCHED BY SOURCE sync: source = model keys ≡0 (mod m) with v+1;
+  // unmatched target rows at/above the cutoff are dropped
+  private case class SqlMergeSync(mod: Long, cutoff: Long) extends SqlOp
+  private case object SqlTruncate extends SqlOp
+  private case object SqlRestore extends SqlOp
+  private case object SqlVacuum extends SqlOp
+  private case object SqlOptimize extends SqlOp
+  private case object SqlFold extends SqlOp
+  private case object SqlSetProps extends SqlOp
+
+  private val genSqlOp: Gen[SqlOp] = Gen.frequency(
+    3 -> genRange.map { case (l, h) => SqlDelete(l, h) },
+    3 -> (for { (l, h) <- genRange; d <- Gen.choose(1L, 9L) } yield SqlUpdate(l, h, d)),
+    2 -> (for {
+      ks <- Gen.listOfN(5, Gen.choose(0L, 120L)); n <- Gen.oneOf(true, false)
+    } yield SqlDeleteIn(ks.distinct, n)),
+    3 -> Gen.listOfN(4, for { k <- Gen.choose(0L, 120L); v <- Gen.choose(-99L, 99L) }
+      yield (k, v)).map(rs => SqlMergeUpsert(rs.distinctBy(_._1))),
+    3 -> Gen.listOfN(5, for {
+      k <- Gen.choose(0L, 120L); v <- Gen.choose(-99L, 99L)
+      op <- Gen.frequency(1 -> Gen.const("D"), 2 -> Gen.const("U"))
+    } yield (k, v, op)).map(rs => SqlMergeOps(rs.distinctBy(_._1))),
+    2 -> (for { m <- Gen.choose(2L, 5L); c <- Gen.choose(0L, 120L) }
+      yield SqlMergeSync(m, c)),
+    1 -> Gen.const(SqlTruncate),
+    1 -> Gen.const(SqlRestore),
+    1 -> Gen.const(SqlVacuum),
+    1 -> Gen.const(SqlOptimize),
+    1 -> Gen.const(SqlFold),
+    1 -> Gen.const(SqlSetProps))
+
+  /** Fresh session with GraftExtensions + GraftCatalog (the SQL surface
+    * needs both); mirrors SnapshotSqlSpec's helper.
+    */
+  private def withExtSession[A](f: org.apache.spark.sql.SparkSession => A): A = {
+    val shared = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val ext = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.catalog.spark_catalog", "graft.sources.GraftCatalog")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      f(ext)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+    }
+  }
+
+  test("SQL-mode fuzz: every verb rendered as a SQL statement against a catalog table matches the model") {
+    withExtSession { ext =>
+      import ext.implicits._
+      (0 until 2).foreach { trial =>
+        ext.conf.set("graft.manifest.checkpointInterval", (trial + 2).toString)
+        val root = Files.createTempDirectory(s"dmlsql$trial").toString + "/t"
+        val tbl = s"dmlsql_t$trial"
+        SnapshotManifest.commit(ext, root,
+          (0L until 100L).map(i => (i, i * 10L)).toDF("id", "v")
+            .repartitionByRange(4, $"id"),
+          Seq("id"))
+        ext.sql(s"CREATE TABLE $tbl USING `graft-snapshot` LOCATION '$root'")
+        try {
+          val model = scala.collection.mutable.Map[Long, Long](
+            (0L until 100L).map(i => i -> i * 10L): _*)
+          var pkSet = false; var bloomSet = false
+          val hist = scala.collection.mutable.ArrayBuffer[
+            (Long, Map[Long, Long], Boolean, Boolean)]()
+          val ops = samples(genSqlOp, 12, 7300L + trial * 100L)
+          ops.zipWithIndex.foreach { case (op, step) =>
+            op match {
+              case SqlDelete(lo, hi) =>
+                ext.sql(s"DELETE FROM $tbl WHERE id BETWEEN $lo AND $hi")
+                model.keys.filter(k => k >= lo && k <= hi).toSeq.foreach(model.remove)
+              case SqlUpdate(lo, hi, d) =>
+                ext.sql(s"UPDATE $tbl SET v = v + $d WHERE id BETWEEN $lo AND $hi")
+                model.keys.filter(k => k >= lo && k <= hi).toSeq
+                  .foreach(k => model(k) = model(k) + d)
+              case SqlDeleteIn(keys, withNull) =>
+                val view = s"dmlsql_keys$trial"
+                (keys.map(Option(_)) ++ (if (withNull) Seq(None) else Nil))
+                  .toDF("k").createOrReplaceTempView(view)
+                if (withNull) {
+                  // NOT IN over a null-bearing subquery: provable no-op
+                  val v0 = SnapshotManifest.currentVersion(ext, root)
+                  ext.sql(s"DELETE FROM $tbl WHERE id NOT IN (SELECT k FROM $view)")
+                  assert(SnapshotManifest.currentVersion(ext, root) == v0,
+                    s"trial $trial step $step: null-bearing NOT IN committed")
+                } else {
+                  ext.sql(s"DELETE FROM $tbl WHERE id IN (SELECT k FROM $view)")
+                  keys.foreach(model.remove)
+                }
+              case SqlMergeUpsert(rows) =>
+                val view = s"dmlsql_ups$trial"
+                rows.toDF("id", "v").createOrReplaceTempView(view)
+                ext.sql(
+                  s"""MERGE INTO $tbl t USING $view s ON t.id = s.id
+                     |WHEN MATCHED THEN UPDATE SET *
+                     |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+                rows.foreach { case (k, v) => model(k) = v }
+              case SqlMergeOps(rows) =>
+                val view = s"dmlsql_ops$trial"
+                rows.toDF("id", "v", "op").createOrReplaceTempView(view)
+                ext.sql(
+                  s"""MERGE INTO $tbl t USING $view s ON t.id = s.id
+                     |WHEN MATCHED AND s.op = 'D' THEN DELETE
+                     |WHEN MATCHED THEN UPDATE SET v = s.v
+                     |WHEN NOT MATCHED AND s.op = 'U' THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+                rows.foreach { case (k, v, o) =>
+                  if (model.contains(k)) { if (o == "D") model.remove(k) else model(k) = v }
+                  else if (o == "U") model(k) = v
+                }
+              case SqlMergeSync(m, cutoff) =>
+                val src = model.toSeq.collect {
+                  case (k, v) if k % m == 0 => (k, v + 1) }
+                val view = s"dmlsql_sync$trial"
+                src.toDF("id", "v").createOrReplaceTempView(view)
+                ext.sql(
+                  s"""MERGE INTO $tbl t USING $view s ON t.id = s.id
+                     |WHEN MATCHED THEN UPDATE SET *
+                     |WHEN NOT MATCHED THEN INSERT *
+                     |WHEN NOT MATCHED BY SOURCE AND t.id >= $cutoff THEN DELETE""".stripMargin)
+                val srcKeys = src.map(_._1).toSet
+                model.keys.toSeq.foreach { k =>
+                  if (srcKeys(k)) model(k) = model(k) + 1
+                  else if (k >= cutoff) model.remove(k)
+                }
+              case SqlTruncate =>
+                ext.sql(s"TRUNCATE TABLE $tbl")
+                model.clear()
+              case SqlRestore if hist.nonEmpty =>
+                val (tv, want, p, bl) = hist(step % hist.size)
+                ext.sql(s"CALL graft.restore_version('$tbl', $tv)").collect()
+                model.clear(); model ++= want; pkSet = p; bloomSet = bl
+              case SqlRestore => ()
+              case SqlVacuum =>
+                ext.sql(s"CALL graft.vacuum('$tbl', keep => 1)").collect()
+                hist.clear()
+              case SqlOptimize if model.nonEmpty =>
+                ext.sql(s"CALL graft.optimize('$tbl', zorder_by => 'id,v', num_files => 4)")
+                  .collect()
+              case SqlOptimize => ()
+              case SqlFold =>
+                ext.sql(s"CALL graft.fold_deletes('$tbl')").collect()
+              case SqlSetProps =>
+                ext.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES" +
+                  "('bloomCols'='id', 'primaryKey'='id')")
+                pkSet = true; bloomSet = true
+            }
+            // compare through the SQL read path (catalog relation, DV-live
+            // serve rule and all) — any SQL/API divergence lands here
+            val got = ext.sql(s"SELECT id, v FROM $tbl")
+              .as[(Long, Long)].collect().toMap
+            assert(got == model.toMap,
+              s"SQL trial $trial diverged after step $step ($op): " +
+                s"extra=${(got.keySet -- model.keySet).take(5)} " +
+                s"missing=${(model.keySet -- got.keySet).take(5)} " +
+                s"wrong=${got.collect { case (k, v) if model.get(k).exists(_ != v) => k }.take(5)}")
+            val curV = SnapshotManifest.currentVersion(ext, root).get
+            assert(SnapshotManifest.primaryKey(ext, root, curV) ==
+              (if (pkSet) Seq("id") else Nil),
+              s"SQL trial $trial step $step ($op): pk property lost")
+            assert(SnapshotManifest.bloomCols(ext, root, curV) ==
+              (if (bloomSet) Seq("id") else Nil),
+              s"SQL trial $trial step $step ($op): bloom property lost")
+            hist += ((curV, model.toMap, pkSet, bloomSet))
+          }
+        } finally {
+          ext.sql(s"DROP TABLE IF EXISTS $tbl")
+          ext.conf.unset("graft.manifest.checkpointInterval")
+        }
+      }
+    }
+  }
+
   test("addColumns interleaves with every DML verb; the declared column tracks the model") {
     // schema evolution lands mid-history: before it the table is (id, v);
     // after it (id, v, note) where merges may or may not carry note.

@@ -1123,4 +1123,55 @@ class SnapshotSqlSpec extends SparkSpec {
       } finally ext.sql("DROP TABLE IF EXISTS snap_bs_t")
     }
   }
+
+  test("table_changes TVF: SQL-only windowed CDF, inclusive versions, vacuumed-window refusal, argument gates") {
+    withExtSession { ext =>
+      import ext.implicits._
+      import graft.sources.ChangeFeed
+      val root = newRoot()
+      SnapshotManifest.commit(ext, root,
+        ext.range(0, 100).toDF("id").withColumn("v", col("id") * 10L)
+          .repartitionByRange(4, col("id")), Seq("id"))
+      SnapshotManifest.updateWhere(ext, root, col("id") < 10,
+        Map("v" -> (col("v") + 1L)), Seq("id"))                    // v1
+      SnapshotManifest.deleteWhere(ext, root, col("id") >= 90, Seq("id")) // v2
+      ChangeFeed.materializeNew(ext, root, Seq("id"))
+      ext.sql(s"CREATE TABLE snap_tvf_t USING `graft-snapshot` LOCATION '$root'")
+      try {
+        // full window [1, 2]: 10 pre + 10 post images + 10 deletes
+        val full = ext.sql(
+          """SELECT id, v, _change, _commit_version
+            |FROM table_changes('snap_tvf_t', 1, 2)
+            |ORDER BY _commit_version, id, _change""".stripMargin).collect()
+        assert(full.length == 30, s"expected 30 change rows, got ${full.length}")
+        assert(full.count(_.getString(2) == "delete") == 10)
+        assert(full.count(_.getString(2) == "update_postimage") == 10)
+        // 2-arg variant reads to the head; a raw-path argument resolves too
+        assert(ext.sql(s"SELECT count(*) FROM table_changes('$root', 2)")
+          .head().getLong(0) == 10L)
+        // inclusive-from: [2, 2] is just the delete commit
+        val del = ext.sql(
+          "SELECT id FROM table_changes('snap_tvf_t', 2, 2) ORDER BY id")
+          .as[Long].collect().toSeq
+        assert(del == (90L until 100L).toSeq)
+        // argument gates: version 0 (bootstrap), non-literal table name,
+        // a non-snapshot path
+        intercept[Exception](ext.sql(
+          "SELECT * FROM table_changes('snap_tvf_t', 0, 2)"))
+        intercept[Exception](ext.sql(
+          "SELECT * FROM table_changes(concat('a','b'), 1)"))
+        intercept[Exception](ext.sql(
+          s"SELECT * FROM table_changes('${newRoot()}', 1)"))
+        // vacuumed window refuses at PLAN time, never partial changes
+        ChangeFeed.vacuumFeed(ext, root, beforeVersion = 1L)
+        val e = intercept[Exception](ext.sql(
+          "SELECT * FROM table_changes('snap_tvf_t', 1, 2)"))
+        assert(e.getMessage.contains("incomplete"),
+          s"a reclaimed range must refuse the window: ${e.getMessage}")
+        // the surviving tail still serves
+        assert(ext.sql("SELECT count(*) FROM table_changes('snap_tvf_t', 2, 2)")
+          .head().getLong(0) == 10L)
+      } finally ext.sql("DROP TABLE IF EXISTS snap_tvf_t")
+    }
+  }
 }
