@@ -523,22 +523,48 @@ object Upsert {
   }
 
   /** The staged batch's prune predicate — distinct non-null key tuples as
-    * per-column IN lists when churn-bounded (a conservative cross-product
-    * superset for composite PKs), one min/max aggregation and a range
-    * conjunction above the cap. None = no non-null staged key exists
-    * (every staged row is a pure insert). Tuples with ANY null component
-    * can never match under `=`, so they contribute nothing.
+    * per-column IN lists when the batch is SMALL (≤ [[maxInListLiterals]],
+    * a conservative cross-product superset for composite PKs), one min/max
+    * aggregation and a range conjunction above that. None = no non-null
+    * staged key exists (every staged row is a pure insert). Tuples with
+    * ANY null component can never match under `=`, so they contribute
+    * nothing.
+    *
+    * Why TWO tiers below `maxKeySetSize`: a literal IN list is a PLAN-SIZE
+    * tax, not just a collect — every `lit()` captures a stack trace at
+    * construction, the optimizer turns the list into an `InSet` whose
+    * `simpleString` sorts and re-renders all N literals, and EVERY action
+    * on a plan embedding it pays that render again in
+    * `SQLExecution.withNewExecutionId`'s eager `explainString` (plus each
+    * AQE re-plan). Measured on a 50k-key merge: ~27 s of single-threaded
+    * driver time for ~6 s of actual executor work. The range conjunction
+    * is a handful of literals whatever the churn; pruning stays sound
+    * (only SELECTS candidate files — joins decide row fates) and the
+    * race-gate use stays conservative (a superset predicate can only
+    * refuse more rebases, never admit a conflicting one).
     */
+  private[graft] def maxInListLiterals(spark: org.apache.spark.sql.SparkSession,
+      maxKeySetSize: Int): Int = math.min(maxKeySetSize,
+    spark.conf.getOption("graft.dml.maxInListLiterals")
+      .map(_.toInt).getOrElse(1024))
+
   private def stagedKeyPredicate(staged: DataFrame, pk: Seq[String],
       maxKeySetSize: Int): Option[Column] = {
     val keyDf = staged.select(pk.map(col): _*).na.drop("any", pk).distinct()
-    val keyRows = keyDf.limit(maxKeySetSize + 1).collect()
+    val inCap = maxInListLiterals(staged.sparkSession, maxKeySetSize)
+    // collect at most inCap+1 rows: enough to decide the tier, never the
+    // 100k-row driver haul the old single-tier shape paid
+    val keyRows = keyDf.limit(inCap + 1).collect()
     if (keyRows.isEmpty) None
-    else if (keyRows.length <= maxKeySetSize)
+    else if (keyRows.length <= inCap)
       Some(pk.zipWithIndex.map { case (c, i) =>
         col(c).isin(keyRows.map(_.get(i)).distinct.toSeq: _*)
       }.reduce(_ && _))
     else {
+      // one 1-row aggregate on the (persisted) key frame — min/max in the
+      // ENGINE's ordering (driver-side ordering of collected values would
+      // diverge from UTF8String binary order on supplementary characters,
+      // and a wrong bound prunes wrong, which is a data bug)
       val aggs = pk.flatMap(c =>
         Seq(min(col(c)).alias(s"__mn_$c"), max(col(c)).alias(s"__mx_$c")))
       val b = keyDf.agg(aggs.head, aggs.tail: _*).head()

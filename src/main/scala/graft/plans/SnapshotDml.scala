@@ -547,18 +547,24 @@ object SnapshotStatements {
   }
 
   /** Prune-key predicate over an IN subquery's materialized distinct key
-    * frame — [[graft.operators.Upsert]]'s churn-bounded shape: exact
-    * per-column `isin` lists when the frame is small (one bounded
-    * `limit(n+1).collect`), a min/max range conjunction above the cap
-    * (one 1-row aggregate). Sound either way: pruning only SELECTS
-    * candidate files; the join decides row fates.
+    * frame — [[graft.operators.Upsert]]'s churn-bounded two-tier shape:
+    * exact per-column `isin` lists when the frame is SMALL (≤
+    * `graft.dml.maxInListLiterals`, default 1024 — one bounded
+    * `limit(n+1).collect`), a min/max range conjunction above that (one
+    * 1-row aggregate). Sound either way: pruning only SELECTS candidate
+    * files; the join decides row fates. The literal cap exists because a
+    * huge IN list is a driver tax on EVERY action over a plan embedding
+    * it (InSet's simpleString re-renders all N literals in each eager
+    * explainString) — see Upsert.stagedKeyPredicate for the measurement.
     */
   private[plans] def inKeyPredicate(values: Seq[Column], keys: DataFrame,
       maxKeySetSize: Int): Option[Column] = {
     import org.apache.spark.sql.functions.{col, lit, max, min}
-    val rows = keys.limit(maxKeySetSize + 1).collect()
+    val inCap = graft.operators.Upsert.maxInListLiterals(
+      keys.sparkSession, maxKeySetSize)
+    val rows = keys.limit(inCap + 1).collect()
     if (rows.isEmpty) None
-    else if (rows.length <= maxKeySetSize)
+    else if (rows.length <= inCap)
       Some(values.zipWithIndex.map { case (v, i) =>
         v.isin(rows.map(_.get(i)).distinct.toSeq: _*)
       }.reduce(_ && _))
