@@ -2994,8 +2994,16 @@ object Queries {
     require(replica.filter(col("o_custkey") % 13 === 0).isEmpty,
       "q146: replica retains purged keys — the purge did not propagate")
     val srcNow = S.read(spark, src)
-    require(replica.exceptAll(srcNow).isEmpty &&
-        srcNow.exceptAll(replica).isEmpty,
+    // multiset equality in ONE job: signed union + group-by-all-columns,
+    // any nonzero net count = divergence. Replaces the two exceptAll
+    // probes (two full shuffles + two actions) with one shuffle + one
+    // action; same predicate (exceptAll both ways empty ⟺ equal as bags).
+    val allCols = replica.columns.toSeq.map(c => col(s"`$c`"))
+    require(replica.select(allCols :+ lit(1L).alias("__sgn"): _*)
+        .unionByName(srcNow.select(allCols :+ lit(-1L).alias("__sgn"): _*))
+        .groupBy(replica.columns.map(c => col(s"`$c`")): _*)
+        .agg(sum(col("__sgn")).alias("__net"))
+        .filter(col("__net") =!= 0L).isEmpty,
       "q146: replica diverged from source after purge propagation")
     // make the purge durable at the source: one retained version, and the
     // consumed feed ranges are reclaimed

@@ -42,6 +42,14 @@ object Sessions {
       // arithmetic, RANGE frames) are defined over the instant type, and
       // with a UTC session the wall-clock values are identical either way
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // NOTE on timestamps: the INT96 write default stays for GENERAL
+      // writes — downstream consumers (the oracle harness reads result
+      // dumps through DuckDB/pandas) type INT64-micros-adjustedToUTC as
+      // TIMESTAMPTZ, which changes their rendered values. Engine-INTERNAL
+      // snapshot data files (only ever read back by this engine) are
+      // written as INT64 micros instead — see SnapshotManifest
+      // .writeDataFiles — because INT96 chunks carry no footer statistics
+      // and Spark disables parquet predicate pushdown on INT96 entirely.
       .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft"): SparkSession = {

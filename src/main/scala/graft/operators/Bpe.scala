@@ -130,7 +130,17 @@ object Bpe {
       (Seq[(Int, String, Long)], DataFrame) = {
     require(k >= 1 && k <= 65536, s"k merges out of range: $k")
     require(maxBatch >= 1, s"maxBatch must be >= 1: $maxBatch")
-    var seqs = initialSeqs(wordFreq).localCheckpoint()
+    // LAZY checkpoints throughout the loop: each iteration's pair-count
+    // collect is the action that materializes the pending checkpoint, so
+    // the separate eager-checkpoint job (plus its planning gap) disappears
+    // — at ~3 driver round-trips per iteration and up to k iterations
+    // when prefixes cut early, that job was a third of the loop's wall
+    // time. The superseded checkpoint's blocks are released only AFTER
+    // the next action has durably materialized the new one (a lazy
+    // checkpoint's lineage still reads the predecessor's blocks until it
+    // runs — unpersisting first would kill the recompute path).
+    var seqs = initialSeqs(wordFreq).localCheckpoint(eager = false)
+    var prevSeqs: Option[DataFrame] = None
     val merges = Seq.newBuilder[(Int, String, Long)]
     var rank = 0
     var exhausted = false
@@ -138,6 +148,8 @@ object Bpe {
       val want = math.min(maxBatch, k - rank)
       val cands = pairCounts(seqs)
         .orderBy(col("cnt").desc, col("pair").asc).limit(want).collect()
+      // seqs' checkpoint is durable now — the predecessor can go
+      prevSeqs.foreach(_.unpersist(blocking = false)); prevSeqs = None
       if (cands.isEmpty) exhausted = true
       else {
         val used = scala.collection.mutable.HashSet[String]()
@@ -155,15 +167,16 @@ object Bpe {
         accepted.foreach { case (pair, cnt) =>
           merges += ((rank, pair, cnt)); rank += 1
         }
-        // disjoint symbols ⇒ the replaces commute; fold + EAGER checkpoint
-        // keeps the plan batch-deep. The superseded checkpoint's blocks
-        // are released EXPLICITLY — relying on GC-driven cleanup would
+        // disjoint symbols ⇒ the replaces commute; fold + LAZY checkpoint
+        // keeps the plan batch-deep without paying a dedicated
+        // materialization job — the next iteration's count collect runs
+        // it. Blocks are still released explicitly (top of the loop),
+        // one iteration deferred: GC-driven cleanup alone would
         // accumulate one vocabulary-sized copy per batch (~k/maxBatch
         // copies on exactly the production-vocab runs this variant is for)
-        val prev = seqs
+        prevSeqs = Some(seqs)
         seqs = accepted.foldLeft(seqs)((df, m) => applyMerge(df, m._1))
-          .localCheckpoint()
-        prev.unpersist(blocking = false)
+          .localCheckpoint(eager = false)
       }
     }
     (merges.result(), seqs)

@@ -401,9 +401,11 @@ object Dedup {
     val edges = pairs.select(col(idA).alias("src"), col(idB).alias("dst"))
       .union(pairs.select(col(idB).alias("src"), col(idA).alias("dst")))
       .distinct()
-      .localCheckpoint()
+      // lazy: the count right below is the materializing action — an eager
+      // checkpoint would run the same plan as a separate job first
+      .localCheckpoint(eager = false)
     val idType = edges.schema("src").dataType
-    val nEdges = edges.count() // cheap: reads the checkpointed blocks
+    val nEdges = edges.count() // materializes the checkpoint blocks
     val lt = idOrdering(idType)
     if (nEdges <= smallGraphMaxEdges && lt.isDefined) {
       // Small-graph fast path: near-dup graphs are usually a sliver of the
@@ -424,7 +426,7 @@ object Dedup {
     }
     var labels = edges.select(col("src").alias("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // round 1's convergence probe runs it
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -436,7 +438,7 @@ object Dedup {
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("__nmin"), col("label"))).alias("__next"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // the probe below materializes it
       converged = updated.filter(col("__next") =!= col("label")).isEmpty
       labels = updated.select(col("id"), col("__next").alias("label"))
       round += 1

@@ -359,8 +359,6 @@ object Upsert {
       case None => merged
     }
     try {
-      if (stagedP.isEmpty && !deletesP.exists(d => !d.isEmpty) &&
-          deleteUnmatched.isEmpty) return v
       // CHURN-BOUNDED fast path: with a twin-anchored body the candidate
       // classification runs on executors, the commit publishes as edits,
       // and the driver never holds the file list — the merge's cost is
@@ -379,6 +377,16 @@ object Upsert {
         case None => stagedP
       }
       val fastKeyPred = stagedKeyPredicate(keyFrame, pk, maxKeySetSize)
+      // ONE bounded collect (the key predicate's) answers the emptiness
+      // probe too: a defined predicate proves a non-null key exists, so
+      // the common non-empty batch skips the separate isEmpty job the old
+      // shape paid first. Only the None case (no non-null key anywhere)
+      // still needs isEmpty — to tell a genuinely empty batch (no-op)
+      // from an all-null-key pure-insert batch (must commit). deletesP is
+      // normalized to non-null distinct keys, so None also proves the
+      // delete arm is empty.
+      if (fastKeyPred.isEmpty && deleteUnmatched.isEmpty && stagedP.isEmpty)
+        return v
       // deleteUnmatched touches every file by construction — no churn
       // fast path, the text path below rewrites the full body
       val classified = if (deleteUnmatched.isDefined) None
@@ -623,14 +631,18 @@ object Upsert {
       .na.drop("any", pk).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (keysP.isEmpty) return v
+      // keysP is na-dropped + distinct, so the key predicate's bounded
+      // collect doubles as the emptiness probe (None ⟺ no keys) — no
+      // separate isEmpty job
+      val keyPred = stagedKeyPredicate(keysP, pk, maxKeySetSize)
+      if (keyPred.isEmpty) return v
       val (body, meta) = SnapshotManifest.manifestParts(spark, tableRoot, v)
       if (body.isEmpty) return v
       val files = body.map(SnapshotManifest.bodyFile(tableRoot, _))
       val targetSchema = meta.schema.getOrElse(spark.read.parquet(files.head).schema)
       pk.foreach(c => require(targetSchema.fieldNames.contains(c),
         s"deleteKeys: PK column $c not in target schema ${targetSchema.fieldNames.mkString(", ")}"))
-      val affected = stagedKeyPredicate(keysP, pk, maxKeySetSize) match {
+      val affected = keyPred match {
         case Some(p) => ManifestStats.prune(files, SnapshotManifest.bodyStats(body),
           ManifestStats.resolvePredicate(spark, targetSchema, p)).toSet
         case None => Set.empty[String]
@@ -690,7 +702,12 @@ object Upsert {
     val stagedP = staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lazy val stagedRowCount = stagedP.count()
     try {
-      if (stagedP.isEmpty) return v
+      // the key predicate's bounded collect doubles as the emptiness
+      // probe in the common case (a defined predicate proves rows exist);
+      // only the None case still needs isEmpty, to tell an empty batch
+      // (no-op) from an all-null-key pure-insert batch (must commit)
+      val keyPred = stagedKeyPredicate(stagedP, pk, maxKeySetSize)
+      if (keyPred.isEmpty && stagedP.isEmpty) return v
       val (body, meta) = SnapshotManifest.manifestParts(spark, tableRoot, v)
       if (body.isEmpty)
         // nothing to mask — identical to the copy-on-write form
@@ -703,7 +720,6 @@ object Upsert {
         s"mergeWhereMoR: PK column $c not in target schema ${targetSchema.fieldNames.mkString(", ")}"))
       // staged realignment is NOT needed for evolution — merge() handles
       // staged-narrower-than-target natively (see mergeWhere)
-      val keyPred = stagedKeyPredicate(stagedP, pk, maxKeySetSize)
       // the rebase conflict predicate: winner lines that may hold a staged
       // key are conflicts; `false` (no non-null staged key) conflicts with
       // nothing — a pure insert commutes like an append
@@ -822,12 +838,13 @@ object Upsert {
       sleep: scala.concurrent.duration.FiniteDuration => Unit =
         d => Thread.sleep(d.toMillis),
       colocated: Option[Boolean] = None,
-      maxColocatedRows: Long = 1L << 20): Long =
+      maxColocatedRows: Long = 1L << 20,
+      deletes: Option[DataFrame] = None): Long =
     graft.core.Retry.retryWhen(
       _.isInstanceOf[graft.sources.ConcurrentCommitException],
       maxAttempts, backoff, sleep)(
       mergeWhere(spark, tableRoot, staged, pkCols, statsCols, maxKeySetSize,
-        colocated, maxColocatedRows))
+        colocated, maxColocatedRows, deletes))
 
   /** Write `df` as a PK-bucketed catalog table — the 100-TB merge lever
     * SCALE.md names for q06: with the target bucketed (and sorted) by its

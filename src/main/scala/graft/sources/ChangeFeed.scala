@@ -485,10 +485,14 @@ object ChangeFeed {
           .select(dataCols.map(c => col(s"`$c`")): _*)
         val deletes = last.filter(col("_change") === "delete")
           .select(pk.map(c => col(s"`$c`")): _*)
+        // ONE atomic commit per batch: the upsert arm and the keyed-delete
+        // arm share the merge kernel's single rewrite (disjoint key sets
+        // by construction — last-state-per-key leaves one final state per
+        // key). The old merge-then-delete pair paid two full commit
+        // protocols (two data writes, two stats passes, two manifest
+        // publishes) per micro-batch and rewrote overlapping files twice.
         graft.operators.Upsert.mergeWhereWithRetry(spark, dstRoot, upserts,
-          pk, statsCols, maxKeySetSize)
-        graft.operators.Upsert.deleteKeysWithRetry(spark, dstRoot, deletes,
-          pk, statsCols, maxKeySetSize)
+          pk, statsCols, maxKeySetSize, deletes = Some(deletes))
         // watermark AFTER both arms: a crash in between replays the batch
         // (idempotent), and a lagging watermark only tightens validation
         hi.foreach(h => advanceWatermark(spark, dstRoot, h))

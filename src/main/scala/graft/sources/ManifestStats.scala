@@ -113,6 +113,185 @@ object ManifestStats {
     }.toMap
   }
 
+  /** [[collect]] from parquet FOOTERS — metadata-only, no data re-read.
+    *
+    * Every commit used to pay a second full scan of its freshly written
+    * files just to aggregate min/max/nulls/rows (the write-amplification
+    * point the class doc concedes). The parquet writer already computed
+    * exactly these numbers per column chunk; this path folds them out of
+    * the footers instead: O(files) metadata reads, zero data bytes — at
+    * 100 TB the difference between "commit writes the data once" and
+    * "commit writes it once and reads it back once". Footers are read on
+    * the driver through a bounded pool for churn-sized commits and on
+    * executors above [[FooterDriverMaxFiles]] (a 10⁵-file commit must not
+    * serialize 10⁵ footer round-trips on the driver).
+    *
+    * Exactness contract: returns Some ONLY when the footer evidence
+    * reproduces [[collect]]'s answer bit-for-bit — same value domain
+    * (BigDecimal / String), same null counts, same bounds. Anything it
+    * cannot prove equivalent (a float/double column: NaN/±0.0 footer
+    * conventions differ from the aggregation's; INT96 timestamps: no
+    * footer stats at all; unset null counts; dropped chunk stats while
+    * non-null values exist; any unexpected physical/logical type) returns
+    * None and the caller falls back to the exact aggregation job. String
+    * bounds are safe because parquet's BINARY(UTF8) comparator is
+    * unsigned-lexicographic byte order — identical to UTF8String's
+    * code-point ordering that [[collect]] records.
+    */
+  private[graft] val FooterDriverMaxFiles = 256
+
+  def collectFromFooters(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[org.apache.hadoop.fs.Path],
+      statsCols: Seq[String]): Option[Map[String, FileStats]] = {
+    if (files.isEmpty) return Some(Map.empty)
+    val conf = spark.sessionState.newHadoopConf()
+    if (files.size <= FooterDriverMaxFiles) {
+      // bounded driver pool: footer reads are tiny metadata IO; 8-way
+      // parallelism hides per-file open latency without a Spark job
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, files.size))
+      try {
+        val futs = files.map(p => pool.submit(
+          new java.util.concurrent.Callable[Option[(String, FileStats)]] {
+            def call(): Option[(String, FileStats)] =
+              footerStats(conf, p.toString, statsCols).map(p.getName -> _)
+          }))
+        val res = futs.map(_.get())
+        if (res.exists(_.isEmpty)) None else Some(res.flatten.toMap)
+      } finally pool.shutdown()
+    } else {
+      val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+      val bc = spark.sparkContext.broadcast(sconf)
+      val paths = files.map(_.toString)
+      val cols = statsCols
+      val res = spark.sparkContext
+        .parallelize(paths, math.max(1, paths.size / 64))
+        .map { p =>
+          val name = new org.apache.hadoop.fs.Path(p).getName
+          footerStats(bc.value.value, p, cols).map(name -> _)
+        }
+        .collect() // one FileStats per file — same driver footprint as collect()
+      if (res.exists(_.isEmpty)) None else Some(res.flatten.toMap)
+    }
+  }
+
+  /** Footer-derived [[FileStats]] for one file; None when any requested
+    * column's chunks cannot PROVE the exact [[collect]] answer.
+    */
+  private[graft] def footerStats(conf: org.apache.hadoop.conf.Configuration,
+      path: String, statsCols: Seq[String]): Option[FileStats] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val blocks = footer.getBlocks
+      import scala.jdk.CollectionConverters._
+      val rows = blocks.asScala.map(_.getRowCount).sum
+      // decode one chunk bound into collect()'s stats domain; None = this
+      // (primitive, annotation) pair has no proven-equivalent decoding
+      def decode(cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+          minSide: Boolean): Option[Any] = {
+        val st = cc.getStatistics
+        val prim = cc.getPrimitiveType
+        val ann = prim.getLogicalTypeAnnotation
+        def big(l: Long) = BigDecimal(l)
+        prim.getPrimitiveTypeName match {
+          case BOOLEAN =>
+            val v = (if (minSide) st.genericGetMin else st.genericGetMax)
+              .asInstanceOf[java.lang.Boolean]
+            Some(BigDecimal(if (v) 1 else 0))
+          case INT32 =>
+            val v = (if (minSide) st.genericGetMin else st.genericGetMax)
+              .asInstanceOf[java.lang.Integer].intValue
+            ann match {
+              case null => Some(big(v))
+              case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                  if i.isSigned => Some(big(v))
+              case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+                Some(big(v)) // epoch days — collect()'s datediff domain
+              case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                Some(BigDecimal(java.math.BigDecimal.valueOf(v, d.getScale)))
+              case _ => None
+            }
+          case INT64 =>
+            val v = (if (minSide) st.genericGetMin else st.genericGetMax)
+              .asInstanceOf[java.lang.Long].longValue
+            ann match {
+              case null => Some(big(v))
+              case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                  if i.isSigned => Some(big(v))
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                  if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+                Some(big(v)) // epoch micros — collect()'s unix_micros domain
+              case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                Some(BigDecimal(java.math.BigDecimal.valueOf(v, d.getScale)))
+              case _ => None
+            }
+          case BINARY | FIXED_LEN_BYTE_ARRAY =>
+            val bytes = if (minSide) st.getMinBytes else st.getMaxBytes
+            ann match {
+              case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+                Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+              case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                Some(BigDecimal(new java.math.BigDecimal(
+                  new java.math.BigInteger(bytes), d.getScale)))
+              case _ => None
+            }
+          // FLOAT/DOUBLE: footer NaN/±0.0 conventions diverge from the
+          // aggregation's (writers drop stats on NaN; collect() keeps the
+          // finite bound) — not provably identical, so never claimed.
+          // INT96: parquet writes no stats at all.
+          case _ => None
+        }
+      }
+      def cmp(a: Any, b: Any): Int = (a, b) match {
+        case (x: BigDecimal, y: BigDecimal) => x.compare(y)
+        case (x: String, y: String) =>
+          // UTF8String binary order (code points), NOT String.compareTo
+          java.util.Arrays.compareUnsigned(
+            x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        case _ => throw new IllegalStateException(
+          s"footer stats: mixed bound types ${a.getClass} vs ${b.getClass}")
+      }
+      val colStats = statsCols.map { c =>
+        var nulls = 0L
+        var mn: Option[Any] = None
+        var mx: Option[Any] = None
+        for (b <- blocks.asScala) {
+          val cc = b.getColumns.asScala.find(cc =>
+            cc.getPath.size == 1 && cc.getPath.toDotString.equalsIgnoreCase(c))
+            .getOrElse(return None) // column absent from this file's footer
+          val st = cc.getStatistics
+          if (st == null || !st.isNumNullsSet) return None
+          nulls += st.getNumNulls
+          if (st.hasNonNullValue) {
+            val dmn = decode(cc, minSide = true).getOrElse(return None)
+            val dmx = decode(cc, minSide = false).getOrElse(return None)
+            mn = Some(mn.fold(dmn)(cur => if (cmp(dmn, cur) < 0) dmn else cur))
+            mx = Some(mx.fold(dmx)(cur => if (cmp(dmx, cur) > 0) dmx else cur))
+          } else if (st.getNumNulls != cc.getValueCount) {
+            // non-null values exist but the writer dropped the bounds —
+            // collect() would have recorded them; not equivalent
+            return None
+          }
+        }
+        // resolve the recorded key the way collect() does: the footer's
+        // exact field casing (schema fields are the frame's names)
+        val fieldName = schema.getFields.asScala
+          .find(_.getName.equalsIgnoreCase(c)).map(_.getName).getOrElse(c)
+        fieldName -> ColStats(mn, mx, nulls)
+      }.toMap
+      Some(FileStats(rows, colStats))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally reader.close()
+  }
+
   /** Normalize an aggregated bound into the stats domain: BigDecimal for
     * anything numeric, String for strings. Non-finite doubles have no
     * decimal encoding — drop that bound (None), never guess. Shared with

@@ -3177,7 +3177,21 @@ object SnapshotManifest {
       else toWrite.write.option("parquet.bloom.filter.adaptive.enabled", "true")
     )((w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     val writer = if (partitioned) writer0.partitionBy(tags.map(_._2): _*) else writer0
-    writer.parquet(dataDir.toString)
+    // engine-INTERNAL files write timestamps as INT64 micros (never the
+    // INT96 session default): INT96 chunks carry no footer statistics
+    // (commit-time footer-derived stats would fall back to a second data
+    // scan) and Spark disables parquet predicate pushdown on INT96. These
+    // files are only ever read back by this engine, where both encodings
+    // read identically under the UTC session; result dumps and other
+    // caller-facing writes keep the session default.
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val priorTsType = spark.conf.getOption(tsTypeKey)
+    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    try writer.parquet(dataDir.toString)
+    finally priorTsType match {
+      case Some(v) => spark.conf.set(tsTypeKey, v)
+      case None => spark.conf.unset(tsTypeKey)
+    }
     // partitioned writes nest files under tag dirs — list recursively and
     // keep paths manifest-relative. CRITICAL: `partitionBy` names every
     // file a task writes `part-<taskid>-<jobuuid>...` — IDENTICALLY across
@@ -3221,8 +3235,12 @@ object SnapshotManifest {
        else Nil)).distinct
     val stats =
       if (effStatsCols.isEmpty) Map.empty[String, ManifestStats.FileStats]
-      else ManifestStats.collect(
-        spark.read.parquet(dataDir.toString).drop(tags.map(_._2): _*), effStatsCols)
+      else ManifestStats.collectFromFooters(spark, finalPaths, effStatsCols)
+        // footer path unprovable for this column/type mix — run the exact
+        // aggregation job (the old always-on second scan) instead
+        .getOrElse(ManifestStats.collect(
+          spark.read.parquet(dataDir.toString).drop(tags.map(_._2): _*),
+          effStatsCols))
     // a ZERO-ROW part file produces no aggregation group: record it as
     // rows=0 (prunable by construction) rather than stats-less (never
     // pruned) — the empty file can satisfy no predicate

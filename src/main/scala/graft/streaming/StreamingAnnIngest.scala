@@ -445,9 +445,15 @@ object StreamingAnnIngest {
     sweepStaleArtifacts(fs, root)
     MarkerLog.foldGeneration(spark, root, "delta", requireDeltas = false) {
       (data, newGen) =>
-        val idxIds = data.select(col("neighbor_id").alias("__id"))
-        val corpIds = corpus.select(col(idCol).alias("__id"))
-        require(idxIds.exceptAll(corpIds).isEmpty && corpIds.exceptAll(idxIds).isEmpty,
+        // bag-equality in ONE job (signed union + group-by + net-count
+        // probe) instead of two exceptAll shuffles + two actions
+        val idxIds = data.select(col("neighbor_id").alias("__id"),
+          org.apache.spark.sql.functions.lit(1L).alias("__sgn"))
+        val corpIds = corpus.select(col(idCol).alias("__id"),
+          org.apache.spark.sql.functions.lit(-1L).alias("__sgn"))
+        require(idxIds.unionByName(corpIds).groupBy(col("__id"))
+            .agg(org.apache.spark.sql.functions.sum(col("__sgn")).alias("__net"))
+            .filter(col("__net") =!= 0L).isEmpty,
           "rebuildCoded: corpus must cover exactly the indexed ids — " +
             "codes are lossy, so the raw corpus is the rebuild's source of truth")
         val (assigned, cents) = Similarity.ivfAssignCells(
