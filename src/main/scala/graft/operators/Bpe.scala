@@ -179,6 +179,17 @@ object Bpe {
           .localCheckpoint(eager = false)
       }
     }
+    // normal full-vocabulary exit (rank >= k): the final checkpoint is
+    // still LAZY and prevSeqs still holds the superseded blocks — without
+    // this they leak one vocabulary-sized cached copy per training call
+    // (the caller cannot release them; unpersisting before the successor
+    // is durable would break its recompute path). Materialize the final
+    // frame cheaply, then release the predecessor. The exhausted exit
+    // already cleared prevSeqs at the top of the loop.
+    prevSeqs.foreach { p =>
+      seqs.count()
+      p.unpersist(blocking = false)
+    }
     (merges.result(), seqs)
   }
 

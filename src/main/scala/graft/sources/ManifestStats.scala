@@ -156,7 +156,25 @@ object ManifestStats {
             def call(): Option[(String, FileStats)] =
               footerStats(conf, p.toString, statsCols).map(p.getName -> _)
           }))
-        val res = futs.map(_.get())
+        // contract: any per-file failure (not just the ones footerStats
+        // swallows — an interrupted get(), a rethrown ExecutionException)
+        // yields None for that file → overall None → the caller runs the
+        // exact aggregation job. Only truly fatal JVM errors propagate.
+        val res = futs.map { f =>
+          try f.get()
+          catch {
+            case _: InterruptedException =>
+              Thread.currentThread().interrupt()
+              None
+            case e: java.util.concurrent.ExecutionException =>
+              e.getCause match {
+                case fatal if fatal != null &&
+                  !scala.util.control.NonFatal(fatal) => throw fatal
+                case _ => None
+              }
+            case scala.util.control.NonFatal(_) => None
+          }
+        }
         if (res.exists(_.isEmpty)) None else Some(res.flatten.toMap)
       } finally pool.shutdown()
     } else {
@@ -191,6 +209,15 @@ object ManifestStats {
       val blocks = footer.getBlocks
       import scala.jdk.CollectionConverters._
       val rows = blocks.asScala.map(_.getRowCount).sum
+      // session timezone, threaded in via the hadoop conf (newHadoopConf
+      // copies every set SQL conf): gates the NTZ-micros arm below. Absent
+      // key = unknown = conservatively not UTC (fallback, never wrong).
+      val utcSession = {
+        val tz = conf.get("spark.sql.session.timeZone")
+        tz != null && (try {
+          java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+        } catch { case _: java.time.DateTimeException => false })
+      }
       // decode one chunk bound into collect()'s stats domain; None = this
       // (primitive, annotation) pair has no proven-equivalent decoding
       def decode(cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
@@ -225,8 +252,14 @@ object ManifestStats {
               case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
                   if i.isSigned => Some(big(v))
               case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
-                  if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
-                Some(big(v)) // epoch micros — collect()'s unix_micros domain
+                  if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS &&
+                    (t.isAdjustedToUTC || utcSession) =>
+                // epoch micros — collect()'s unix_micros domain. NTZ chunks
+                // (isAdjustedToUTC=false) store wall-clock micros; collect()
+                // records unix_micros(cast(TimestampType)), which equals the
+                // stored value ONLY under a UTC session — outside it, fall
+                // back to the exact aggregation rather than claim exactness.
+                Some(big(v))
               case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
                 Some(BigDecimal(java.math.BigDecimal.valueOf(v, d.getScale)))
               case _ => None

@@ -3095,6 +3095,31 @@ object SnapshotManifest {
     * staging step under [[stageAndPublish]] and [[updateWhereMoR]]'s
     * post-image append. Nothing is visible until a manifest references it.
     */
+  /** Engine-internal WRITER session per caller session: identical to the
+    * caller (same SparkContext, same shared state/cache, same builder
+    * options) except `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`
+    * is set ONCE at creation. Data-file writes run through it so the
+    * INT64-micros encoding is session-scoped instead of a set/restore
+    * mutation of the CALLER's conf — concurrent commit threads
+    * (MultiWriterFuzzSpec runs 2-4) could race one thread's restore-to-INT96
+    * against another's write-job planning, and a concurrent caller-facing
+    * write could pick up TIMESTAMP_MICROS and change externally-visible
+    * bytes. Cached weakly so one clone serves a session's lifetime.
+    */
+  private val writerSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private def internalWriterSession(spark: SparkSession): SparkSession =
+    writerSessions.synchronized {
+      val cached = writerSessions.get(spark)
+      if (cached != null) cached
+      else {
+        val s = spark.newSession()
+        s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        writerSessions.put(spark, s)
+        s
+      }
+    }
+
   private def writeDataFiles(spark: SparkSession, fs: FileSystem, rootPath: Path,
       next: Long, df: DataFrame, statsCols: Seq[String],
       meta: TableMeta = TableMeta.empty): (Path, Seq[String]) = {
@@ -3164,7 +3189,20 @@ object SnapshotManifest {
         tags.foldLeft(sorted) { case (d, (c, t)) => d.withColumn(t, col(s"`$c`")) }
       }
     // the marker is write-side metadata, never data
-    val toWrite = sortMarker.map(clustered.drop).getOrElse(clustered)
+    val toWrite0 = sortMarker.map(clustered.drop).getOrElse(clustered)
+    // engine-INTERNAL files write timestamps as INT64 micros (never the
+    // INT96 session default): INT96 chunks carry no footer statistics
+    // (commit-time footer-derived stats would fall back to a second data
+    // scan) and Spark disables parquet predicate pushdown on INT96. These
+    // files are only ever read back by this engine, where both encodings
+    // read identically under the UTC session; result dumps and other
+    // caller-facing writes keep the session default. The encoding is
+    // SESSION-scoped (the plan is re-rooted into a cached writer session
+    // that has the conf set permanently), not a set/write/restore on the
+    // caller's conf — see [[internalWriterSession]] for the race that rules
+    // the mutation out.
+    val toWrite = org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(
+      internalWriterSession(spark), toWrite0.queryExecution.analyzed)
     // parquet-NATIVE bloom filters per row group for the table's
     // bloom-indexed columns: the codegen'd scan path prunes row groups on
     // pushed equality predicates with zero reader changes here (parquet-mr
@@ -3177,21 +3215,7 @@ object SnapshotManifest {
       else toWrite.write.option("parquet.bloom.filter.adaptive.enabled", "true")
     )((w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     val writer = if (partitioned) writer0.partitionBy(tags.map(_._2): _*) else writer0
-    // engine-INTERNAL files write timestamps as INT64 micros (never the
-    // INT96 session default): INT96 chunks carry no footer statistics
-    // (commit-time footer-derived stats would fall back to a second data
-    // scan) and Spark disables parquet predicate pushdown on INT96. These
-    // files are only ever read back by this engine, where both encodings
-    // read identically under the UTC session; result dumps and other
-    // caller-facing writes keep the session default.
-    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
-    val priorTsType = spark.conf.getOption(tsTypeKey)
-    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
-    try writer.parquet(dataDir.toString)
-    finally priorTsType match {
-      case Some(v) => spark.conf.set(tsTypeKey, v)
-      case None => spark.conf.unset(tsTypeKey)
-    }
+    writer.parquet(dataDir.toString)
     // partitioned writes nest files under tag dirs — list recursively and
     // keep paths manifest-relative. CRITICAL: `partitionBy` names every
     // file a task writes `part-<taskid>-<jobuuid>...` — IDENTICALLY across
